@@ -1,0 +1,162 @@
+"""Vector similarity: exact cosine machinery + brute-force and IVF top-k.
+
+Dot products are sequential double folds over ``zip_with`` products — pure
+JVM builtins, bit-deterministic, and expressible identically in the DuckDB
+oracle (``list_zip`` + ``list_reduce``).  A pandas-UDF path would be faster
+per-row for very high dimensions; at dim=64 the builtin fold keeps the whole
+plan in codegen and avoids Arrow transfer entirely.
+
+IVF background: inverted-file ANN indexing per Jégou et al., "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011) — here only the
+coarse IVF layer (centroid assignment + probe) without PQ compression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact-order dot product of two float arrays in DOUBLE."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0-vector-safe (returns NULL via nullif)."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Scale: broadcast the (small) query set against the full vector table —
+    an embarrassingly parallel scan with per-partition top-k maintained by
+    the rank<=k window filter (WindowGroupLimit pushes the limit into the
+    shuffle).  Cost O(|vectors|·|queries|·dim) — the honest baseline every
+    ANN variant is validated against."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_vvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build a coarse IVF index: (centroids, assignments).
+
+    Centroids are the `n_centroids` lowest-id vectors (deterministic seed
+    choice — at production scale replace with k-means|| from MLlib; the
+    bucketing/probe plumbing is identical).  Assignment is one broadcast
+    join + window argmin: each vector joins all centroids (tiny), keeps its
+    nearest.  Result is hash-partitionable by `centroid_id` — the bucket
+    key that makes 100 TB ANN a per-bucket scan instead of a full sweep."""
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    scored = vectors.select(
+        F.col(id_col).alias("m_id"), F.col(vec_col).alias("mvec")
+    ).crossJoin(F.broadcast(cents))
+    w = Window.partitionBy("m_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    assignments = (
+        scored.withColumn("sim", cosine(F.col("mvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("m_id").alias(id_col), "centroid_id")
+    )
+    return cents, assignments
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the `n_probe` nearest IVF buckets only.
+
+    Scale path for SURVEY §2C similarity search: search cost drops by
+    ~n_probe/n_centroids vs brute force; recall is tunable via n_probe and
+    validated against :func:`brute_force_topk` in the test suite."""
+    cents, assign = ivf_assign(vectors, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # which buckets does each query probe?
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qsim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    # members of the probed buckets
+    members = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("mvec")
+    ).join(
+        assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+    )
+    scored = (
+        members.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("mvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

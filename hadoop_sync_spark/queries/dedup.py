@@ -1,0 +1,249 @@
+"""Deduplication operators over `documents` (driver L3 mandate).
+
+Tiers, cheapest → fuzziest:
+  exact (md5 grouping) → token-set (order-insensitive) → n-gram Jaccard
+  (exact set similarity on bounded candidates) → MinHash-LSH (scalable
+  candidate generation) → SimHash (bit-signature).
+
+Exact/token-set/Jaccard are SQL-expressible → DuckDB oracles.  MinHash/
+SimHash signatures depend on xxhash64 (no DuckDB twin) → rows-only checks
+here, with behavioral tests (planted duplicates) in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop_sync_spark.queries import register
+from hadoop_sync_spark.queries._util import t
+from hadoop_sync_spark.functions.hashing import (
+    hamming64,
+    minhash_lsh_pairs,
+    simhash64,
+)
+from hadoop_sync_spark.functions.text import (
+    fingerprint,
+    token_set_key,
+    tokens,
+    normalize,
+)
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_NORM_TOKENS = "string_split_regex(trim(lower(trim(text))), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# q60 — exact dedup: deterministic survivors
+# --------------------------------------------------------------------------
+@register(
+    "q60_exact_dedup",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+    ) k USING (doc_id)
+    """,
+    tags=("dedup", "exact"),
+)
+def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication with deterministic survivor selection (lowest
+    doc_id per content fingerprint) — hash-groupBy dedup, the 100 TB-safe
+    form of ``dropDuplicates`` (one shuffle on the fingerprint).
+
+    Scale: group key is the 128-bit md5, uniformly distributed → no skew;
+    survivors join back semi-style on doc_id."""
+    d = t(spark, sf_dir, "documents")
+    keep = (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# q61 — token-set (order/multiplicity-insensitive) dedup groups
+# --------------------------------------------------------------------------
+@register(
+    "q61_token_set_dedup",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_SQL_NORM_TOKENS})), ' '))
+             AS set_key,
+           COUNT(*) AS doc_cnt,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY set_key
+    HAVING COUNT(*) > 0
+    """,
+    tags=("dedup", "near"),
+)
+def q61_token_set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup grouping on the sorted-distinct-token key: catches documents
+    that are word-order shuffles or repetition-padded copies of each other
+    (a common crawl-dup pattern a raw md5 misses)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", token_set_key(F.col("text")).alias("set_key"))
+        .groupBy("set_key")
+        .agg(F.count("*").alias("doc_cnt"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q62 — exact n-gram (token) Jaccard on bounded candidate pairs
+# --------------------------------------------------------------------------
+@register(
+    "q62_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, list_distinct({_SQL_NORM_TOKENS}) AS tok
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+             / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+             AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND b.doc_id <= a.doc_id + 10
+    WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+             / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+          >= 0.3
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q62_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard similarity over a bounded candidate window
+    (same-language, nearby doc_ids) — the verification stage every
+    LSH-generated candidate pair goes through, run here standalone so the
+    arithmetic itself is oracle-checked.
+
+    Scale: candidate generation in production comes from LSH buckets (q63),
+    never from an unbounded self-join; the banded join here bounds work the
+    same way."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(tokens(normalize(F.col("text")))).alias("tok"),
+    )
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("tok").alias("tok_a"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.col("tok_a")) + F.size(F.col("tok_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("doc_b") <= F.col("doc_a") + 10),
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — MinHash-LSH candidate pairs (rows-only: xxhash64 has no DuckDB twin)
+# --------------------------------------------------------------------------
+@register(
+    "q63_minhash_lsh_pairs",
+    oracle=None,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup candidate generation: 3-token shingles → 32-slot
+    MinHash signature → 8-band LSH bucketing → in-bucket self-join.
+
+    Deterministic (fixed permutation family, seed 42) but xxhash64-based, so
+    checked by planted-duplicate tests rather than a SQL oracle.  This is
+    the operator that replaces the O(n²) scan at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    with_tokens = d.select(
+        "doc_id", F.array_distinct(tokens(normalize(F.col("text")))).alias("tok")
+    )
+    return minhash_lsh_pairs(with_tokens, "doc_id", "tok", k=32, bands=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# q64 — SimHash signatures + close-pair scan (rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q64_simhash_signatures",
+    oracle=None,
+    tags=("dedup", "simhash"),
+)
+def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (single-fold, no shuffle) plus its
+    16-bit prefix — the block key under which production SimHash dedup
+    compares hamming distance (Manku et al., WWW'07 block-permuted
+    approach)."""
+    d = t(spark, sf_dir, "documents")
+    sig = simhash64(tokens(normalize(F.col("text"))))
+    return d.select(
+        "doc_id",
+        sig.alias("simhash"),
+        F.shiftrightunsigned(sig, 48).alias("block16"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — embedding-cosine near-dup pairs (bounded, oracle-checked)
+# --------------------------------------------------------------------------
+@register(
+    "q65_embedding_dup_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, b) -> a + b)) AS nrm
+        FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.35
+    """,
+    tags=("dedup", "vectors"),
+)
+def q65_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a bounded slice — the
+    semantic-dedup primitive.  Dot/norm are sequential double folds, so
+    Spark and the oracle agree bit-for-bit.
+
+    Scale: production replaces the bounded self-join with IVF bucketing
+    (functions.vectors.ivf_topk) — same scoring expression, candidate set
+    restricted to shared buckets."""
+    from hadoop_sync_spark.functions.vectors import cosine
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("ea"), F.col("eb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.35)
+    )

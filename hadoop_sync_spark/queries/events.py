@@ -1,0 +1,163 @@
+"""Event-time windowing over `events` — batch faces of the §2C streaming
+surface (tumbling/sliding/session windows, dedup).  The streaming versions of
+the same computations live in ``hadoop_sync_spark.streaming``; these batch
+queries share semantics and are DuckDB-oracle-checkable.
+
+Window-start parity: Spark's ``F.window`` aligns window starts to the Unix
+epoch; the oracles reproduce that with integer epoch arithmetic
+(``epoch_us DIV window DIV`` …) rather than relying on DuckDB's
+``time_bucket`` origin conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from hadoop_sync_spark.queries import register
+from hadoop_sync_spark.queries._util import davg, sql_davg, t
+
+_10M_US = 600_000_000
+_5M_US = 300_000_000
+
+
+# --------------------------------------------------------------------------
+# q40 — tumbling window aggregation
+# --------------------------------------------------------------------------
+@register(
+    "q40_tumbling_window",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // {_10M_US}) * {_10M_US})
+             AS window_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           {sql_davg('value')} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg", "streaming-batch"),
+)
+def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window counts per event type (epoch-aligned, same
+    grouping Structured Streaming would maintain incrementally).
+
+    Scale: single shuffle on (window, type); partial agg bounds shuffle rows
+    by distinct windows × types per task."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("event_cnt"), davg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "avg_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — sliding window aggregation
+# --------------------------------------------------------------------------
+@register(
+    "q41_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // {_5M_US}) * {_5M_US})
+                 AS window_start, value
+        FROM events
+        UNION ALL
+        SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // {_5M_US}) * {_5M_US}
+                              - {_5M_US}) AS window_start, value
+        FROM events
+    )
+    SELECT window_start, COUNT(*) AS event_cnt,
+           {sql_davg('value')} AS total_avg
+    FROM assigned
+    GROUP BY window_start
+    """,
+    tags=("events", "window-agg", "streaming-batch"),
+)
+def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly two
+    overlapping windows (the oracle materializes that assignment with a
+    2-way UNION of shifted epoch buckets)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("event_cnt"), davg("value").alias("total_avg"))
+        .select(F.col("w.start").alias("window_start"), "event_cnt", "total_avg")
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — session windows (gaps-and-islands oracle)
+# --------------------------------------------------------------------------
+@register(
+    "q42_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts::TIMESTAMP >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS event_cnt
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    tags=("events", "session-window", "streaming-batch"),
+)
+def q42_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (``F.session_window``); the oracle derives the same islands with
+    LAG + running SUM.  Output keys on (user, session_start) so the
+    windowed and island forms align."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.max("ts").alias("last_event"), F.count("*").alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event",
+            "event_cnt",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — deterministic dedup (streaming dropDuplicates, batch face)
+# --------------------------------------------------------------------------
+@register(
+    "q43_dedup_events",
+    oracle="""
+    SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                     ORDER BY ts, user_id, event_type, value) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("events", "dedup", "streaming-batch"),
+)
+def q43_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping a *deterministic* representative (lowest full
+    sort order) — the batch face of streaming ``dropDuplicates`` on the
+    `event_id` key (SURVEY §2C stateful dedup).  Unlike ``dropDuplicates``,
+    the window form pins which duplicate survives, making it oracle-safe."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type", "value")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

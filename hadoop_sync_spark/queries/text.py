@@ -1,0 +1,217 @@
+"""Text-analysis operators over `documents` (SURVEY §2C / driver L3):
+token counting, fingerprinting, quality scoring, language-ID heuristics.
+
+Everything here is built-in-function-only (split/transform/filter/md5 —
+JVM-side, codegen'd); no Python UDFs, so the hot path stays vectorized at
+100 TB.  The richer reusable forms live in
+:mod:`hadoop_sync_spark.functions.text`; these queries declare the judgeable
+surface with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop_sync_spark.queries import register
+from hadoop_sync_spark.queries._util import t
+from hadoop_sync_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    quality_score,
+    token_count,
+    tokens,
+    unique_token_count,
+)
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_STOP = "['" + "','".join(STOPWORDS) + "']"
+
+
+# --------------------------------------------------------------------------
+# q50 — token statistics
+# --------------------------------------------------------------------------
+@register(
+    "q50_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS token_cnt,
+           CAST(len(list_distinct({_SQL_TOKENS})) AS BIGINT) AS uniq_token_cnt,
+           CAST(length(text) AS BIGINT) AS char_cnt,
+           lang, source
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization: total and distinct token counts per doc —
+    the foundation for BPE-ish budgeting of a training corpus.  Pure
+    narrow transforms: zero shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("token_cnt"),
+        unique_token_count(F.col("text")).alias("uniq_token_cnt"),
+        F.length("text").cast("long").alias("char_cnt"),
+        "lang",
+        "source",
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — document fingerprinting (md5 of normalized text)
+# --------------------------------------------------------------------------
+@register(
+    "q51_fingerprint_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           COUNT(*) AS doc_cnt,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY fp
+    """,
+    tags=("text", "dedup", "fingerprint"),
+)
+def q51_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of case/whitespace-normalized text) with a
+    deterministic survivor (min doc_id) per group — exact-dedup's grouping
+    step, the same shape as the reference's shardId dedup (A3)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("doc_cnt"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — corpus statistics per language
+# --------------------------------------------------------------------------
+@register(
+    "q52_lang_profile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS doc_cnt,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT source) AS source_cnt
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def q52_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (doc counts, char volume, source spread) —
+    the mix-balancing report a pretraining pipeline runs per shard."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("source").alias("source_cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — quality scoring
+# --------------------------------------------------------------------------
+@register(
+    "q53_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS token_cnt,
+               CAST(len(list_filter({_SQL_TOKENS},
+                    x -> list_contains({_SQL_STOP}, x))) AS BIGINT) AS stop_cnt,
+               CAST(length(text) AS BIGINT) AS char_cnt
+        FROM documents
+    )
+    SELECT doc_id, lang, token_cnt,
+           CAST(stop_cnt AS DOUBLE) / token_cnt AS stopword_ratio,
+           CAST(char_cnt AS DOUBLE) / token_cnt AS avg_token_len,
+           CASE WHEN token_cnt >= 20
+                 AND CAST(stop_cnt AS DOUBLE) / token_cnt BETWEEN 0.01 AND 0.6
+                THEN 'keep' ELSE 'flag' END AS quality_bucket
+    FROM scored
+    """,
+    tags=("text", "quality"),
+)
+def q53_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document: length, stopword ratio, average
+    token length → keep/flag bucket (the filter stage of a data-curation
+    pipeline).  All ratios are double divisions of exact integers —
+    bit-identical across engines."""
+    d = t(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("token_cnt"),
+        F.size(
+            F.filter(tok, lambda x: F.array_contains(F.lit(list(STOPWORDS)), x))
+        ).cast("long").alias("stop_cnt"),
+        F.length("text").cast("long").alias("char_cnt"),
+    )
+    ratio = F.col("stop_cnt").cast("double") / F.col("token_cnt")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "token_cnt",
+        ratio.alias("stopword_ratio"),
+        (F.col("char_cnt").cast("double") / F.col("token_cnt")).alias(
+            "avg_token_len"
+        ),
+        F.when(
+            (F.col("token_cnt") >= 20) & ratio.between(0.01, 0.6), "keep"
+        )
+        .otherwise("flag")
+        .alias("quality_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — language-ID heuristic (script + stopword evidence)
+# --------------------------------------------------------------------------
+@register(
+    "q54_lang_id_heuristic",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang AS labeled_lang,
+               CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+                    AS DOUBLE) / length(text) AS non_ascii_ratio,
+               CAST(len(list_filter({_SQL_TOKENS},
+                    x -> list_contains({_SQL_STOP}, x))) AS DOUBLE)
+                 / len({_SQL_TOKENS}) AS en_stop_ratio
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang, non_ascii_ratio, en_stop_ratio,
+           CASE WHEN non_ascii_ratio > 0.3 THEN 'non-latin'
+                WHEN en_stop_ratio >= 0.05 THEN 'en'
+                ELSE 'latin-other' END AS guessed_script
+    FROM feat
+    """,
+    tags=("text", "lang-id"),
+)
+def q54_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap language/script identification from character-class and
+    stopword evidence (n-gram-free tier of a lang-ID cascade; the fixture
+    corpus is ASCII word soup, so the value is the operator shape, judged
+    against the labeled `lang` column)."""
+    d = t(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    non_ascii = (
+        F.length(F.regexp_replace("text", r"[\x00-\x7F]", "")).cast("double")
+        / F.length("text")
+    )
+    en_stop = F.size(
+        F.filter(tok, lambda x: F.array_contains(F.lit(list(STOPWORDS)), x))
+    ).cast("double") / F.size(tok)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        non_ascii.alias("non_ascii_ratio"),
+        en_stop.alias("en_stop_ratio"),
+        F.when(non_ascii > 0.3, "non-latin")
+        .when(en_stop >= 0.05, "en")
+        .otherwise("latin-other")
+        .alias("guessed_script"),
+    )

@@ -1,0 +1,75 @@
+"""Similarity search over `embeddings` (driver L3): exact brute-force top-k
+(oracle-checked) and the IVF approximate path (recall-tested in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop_sync_spark.queries import register
+from hadoop_sync_spark.queries._util import t
+from hadoop_sync_spark.functions.vectors import brute_force_topk, ivf_topk
+
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+)
+
+
+# --------------------------------------------------------------------------
+# q70 — exact cosine top-k (the ANN baseline)
+# --------------------------------------------------------------------------
+@register(
+    "q70_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               {_SQL_DOT.format(a='q.qvec', b='v.embedding')}
+                 / nullif({_SQL_NORM.format(a='q.qvec')}
+                          * {_SQL_NORM.format(a='v.embedding')}, 0.0)
+                 AS cosine_sim
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    bench=True,
+    tags=("vectors", "ann", "topk"),
+)
+def q70_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: broadcast the
+    query set, scan the vector table once, per-group window top-k.
+    The honest baseline the IVF path (q71) is measured against."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+# --------------------------------------------------------------------------
+# q71 — IVF approximate top-k (the 100 TB scale path; rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q71_ivf_topk",
+    oracle=None,
+    tags=("vectors", "ann", "ivf"),
+)
+def q71_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via coarse IVF: assign vectors to 16 centroid
+    buckets, probe the 4 nearest buckets per query (~4/16 of the data
+    scanned).  Deterministic given the seed-centroid rule; recall vs q70 is
+    asserted in tests/test_vectors.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "cosine_sim", "rank"
+    )

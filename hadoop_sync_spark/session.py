@@ -1,0 +1,98 @@
+"""SparkSession construction with a 100 TB-ready default configuration.
+
+The reference resolves layered config (JVM props over ``sync.properties`` over
+code defaults, ``HdfsSynchronizer.java:90-107``); we mirror that with
+environment variables over keyword overrides over engine defaults.
+
+Defaults are chosen for the scale posture SURVEY.md §2C/§7 demands:
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- broadcast threshold large enough that every TPC-H dim table broadcasts
+- shuffle partitions sized to cores locally; on a real cluster AQE coalesces
+  from a high initial number, so we set the *initial* number high and let
+  ``spark.sql.adaptive.coalescePartitions`` shrink it.
+- Arrow enabled for the few pandas-UDF operators (vector similarity, multimodal)
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Engine defaults; every entry can be overridden via ``extra_conf``.
+_DEFAULT_CONF: dict[str, str] = {
+    # --- adaptive execution: let Spark re-plan at runtime -------------------
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- joins --------------------------------------------------------------
+    # dims (region/nation/customer/supplier/part at fixture SF) must broadcast;
+    # 64 MB is safe for a 128 GiB-heap local run and typical executor sizing.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- shuffle ------------------------------------------------------------
+    # initial partition count; AQE coalesces down.  On a 1000-executor cluster
+    # this would be raised (rule of thumb: 2-3x total cores) — env override.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # --- scans --------------------------------------------------------------
+    # 128 MB splits: big enough to amortize task overhead, small enough that a
+    # partition fits executor memory even with wide rows.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # read parquet TIMESTAMP(NANOS) (events.ts) as a nanos-since-epoch long
+    # instead of failing; io.load_table converts it back to TimestampType.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # --- python interop -----------------------------------------------------
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- semantics ----------------------------------------------------------
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: TPC-H-ish fixtures are clean; oracle (DuckDB) differences on
+    # overflow/div0 are handled per-query with explicit casts.
+    "spark.sql.ansi.enabled": "false",
+    # --- driver/executor sizing for the local[32] test harness --------------
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Dlog4j2.level=error",
+}
+
+
+def get_spark(
+    app_name: str = "hadoop-sync-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` resolves as: explicit arg > ``SPARK_GRAFT_CPUS`` env
+    (``local[N]``) > ``local[*]``.  When the driver hands us an existing
+    session (``__spark_entry__.entry(spark)``) we never call this — every
+    engine API takes ``spark`` as its first argument.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to an externally-built session.
+
+    The driver smoke test constructs its own SparkSession; static conf
+    (driver memory, master) cannot change post-start, but the semantic and
+    optimizer settings below can and should.
+    """
+    for k, v in _DEFAULT_CONF.items():
+        if k.startswith(("spark.sql.",)):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static or unknown conf on this build — keep going
+    return spark
