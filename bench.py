@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Protocol (BASELINE.md §3): per-query wall clock is the median of N warm
+runs (default 3) after one untimed warm-up that triggers JIT/codegen and
+file-listing caches.  Timing covers the full action (plan + execute +
+collect-to-driver of the query's result rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from hadoop_sync_spark.queries import load_all
+from hadoop_sync_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: headline set: the queries flagged bench=True plus a spread of operator
+#: families (windows, dedup, vectors) so the number reflects the whole
+#: engine, not just scans.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_unshipped_orders",
+    "q05_order_count_distribution",
+    "q08_late_shipments",
+    "q09_distinct_counts",
+    "q12_top_orders_per_customer",
+    "q21_regional_revenue",
+    "q40_tumbling_window",
+    "q42_session_windows",
+    "q51_fingerprint_groups",
+    "q60_exact_dedup",
+    "q63_minhash_lsh_pairs",
+    "q70_cosine_topk",
+]
+
+
+def main() -> None:
+    registry = load_all()
+    spark = get_spark(app_name="hadoop-sync-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        q.fn(spark, SF_DIR).collect()  # warm-up: codegen + listing caches
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall clock (median of "
+                f"{RUNS} warm runs/query)",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -169,12 +169,19 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic (fixed permutation family, seed 42) but xxhash64-based, so
     checked by planted-duplicate tests rather than a SQL oracle.  This is
-    the operator that replaces the O(n²) scan at 100 TB."""
+    the operator that replaces the O(n²) scan at 100 TB.
+
+    Shingles (3-token n-grams), not bare tokens, feed the signature:
+    shared-vocabulary corpora make token-set Jaccard uniformly high (the
+    sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
+    MinHash), while shingle Jaccard stays discriminative."""
+    from hadoop_sync_spark.functions.text import shingles
+
     d = t(spark, sf_dir, "documents")
-    with_tokens = d.select(
-        "doc_id", F.array_distinct(tokens(normalize(F.col("text")))).alias("tok")
+    with_shingles = d.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), n=3)).alias("sh")
     )
-    return minhash_lsh_pairs(with_tokens, "doc_id", "tok", k=32, bands=8).orderBy(
+    return minhash_lsh_pairs(with_shingles, "doc_id", "sh", k=32, bands=8).orderBy(
         "id_a", "id_b"
     )
 

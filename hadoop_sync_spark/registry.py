@@ -1,0 +1,378 @@
+"""The shard registry: the reference's metadata-sync engine, Spark-first.
+
+The reference (`HdfsSynchronizer.java`) maintains CitusDB catalog tables that
+map one logical table to an HDFS directory, one *shard* per HDFS block, one
+*placement* per replica, with optional per-shard min/max statistics — synced
+incrementally (diff, not rebuild) and transactionally (all-or-nothing catalog
+update).  This module is that engine for a Spark world:
+
+- table ↔ directory of parquet files      (`HdfsSynchronizer.java:29-34`)
+- shard ↔ one data file; identity is the (path, size, mtime) triple
+  mirroring ShardPlacement's (shardId, shardLength, hostname) value
+  semantics (`ShardPlacement.java:47-60`: same id with a different length
+  is a *different* placement)
+- min/max stats per shard, stored as strings
+  (`MinMaxValue.java:6-7`, `CitusMasterNode.java:44-47`) and cast back to
+  the column type at prune time
+- diff = two anti-joins (`HdfsSynchronizer.java:172-188`)
+- sync = validate-then-publish with the reference's invariants
+  (`HdfsSynchronizer.java:263-273,282-289`)
+- transaction = stage a full new catalog version in a scratch directory,
+  then atomically swap a pointer file (`os.replace`) — the engine-level
+  analogue of the reference's BEGIN/COMMIT/ROLLBACK
+  (`CitusMasterNode.java:108-126`); a crash mid-sync leaves the previous
+  version live and queryable (`README.md:15-19`).
+
+Scale posture: catalog I/O is parquet via pyarrow (columnar, O(#files) rows
+— at 100 TB / 128 MB files that's ~800k rows, megabytes of footprint); the
+min/max scan for new files is ONE distributed Spark job over all new files
+grouped by ``input_file_name()`` — not the reference's shard-at-a-time loop
+(`HdfsSynchronizer.java:438-459`) — so stat collection parallelizes across
+the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_POINTER = "VERSION"
+_TABLES = "tables.json"
+_SHARDS = "shards.parquet"
+
+_SHARD_SCHEMA = pa.schema(
+    [
+        ("table_name", pa.string()),
+        ("shard_id", pa.int64()),  # unsigned-decimal naming quirk preserved
+        ("path", pa.string()),
+        ("size", pa.int64()),
+        ("mtime_ns", pa.int64()),
+        ("min_value", pa.string()),  # stringly, like shardminvalue
+        ("max_value", pa.string()),
+        ("hostname", pa.string()),  # placement host (local FS: "localhost")
+    ]
+)
+
+
+def _shard_id(path: str) -> int:
+    """Stable signed-64 shard id from the file path (the reference derives
+    shardId from the HDFS blockId; a content-independent stable id)."""
+    import zlib
+
+    h = 0
+    for chunk in (path[i : i + 64] for i in range(0, len(path), 64)):
+        h = (h * 1000003 ^ zlib.crc32(chunk.encode(), h & 0xFFFFFFFF)) & (
+            (1 << 64) - 1
+        )
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def shard_table_name(table: str, shard_id: int) -> str:
+    """`table_<unsigned shardId>` — the reference renders signed ids in
+    unsigned decimal (`CitusWorkerNode.java:36-37,185-193`)."""
+    return f"{table}_{shard_id & 0xFFFFFFFFFFFFFFFF}"
+
+
+@dataclass
+class MetadataDifference:
+    """The reference's 5-field diff IR (`HdfsSynchronizer.java:117-134`),
+    minus replica-placement split (single-host local FS)."""
+
+    new_files: list[dict] = field(default_factory=list)  # on FS, not in catalog
+    old_files: list[dict] = field(default_factory=list)  # in catalog, gone/changed
+    unchanged: list[dict] = field(default_factory=list)
+
+    @property
+    def empty(self) -> bool:
+        return not self.new_files and not self.old_files
+
+
+@dataclass
+class SyncResult:
+    table: str
+    version: int
+    added: int
+    removed: int
+    noop: bool
+
+
+class Registry:
+    """Versioned, atomically-published table/shard catalog."""
+
+    def __init__(self, spark: SparkSession, meta_dir: str):
+        self.spark = spark
+        self.meta_dir = meta_dir
+        os.makedirs(meta_dir, exist_ok=True)
+
+    # ---------------------------------------------------------------- core io
+    def _current_version(self) -> int:
+        ptr = os.path.join(self.meta_dir, _POINTER)
+        if not os.path.exists(ptr):
+            return 0
+        with open(ptr) as f:
+            return int(f.read().strip() or "0")
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:09d}")
+
+    def _load_tables(self, version: int | None = None) -> dict[str, dict]:
+        v = self._current_version() if version is None else version
+        if v == 0:
+            return {}
+        with open(os.path.join(self._version_dir(v), _TABLES)) as f:
+            return json.load(f)
+
+    def _load_shards(self, version: int | None = None) -> list[dict]:
+        v = self._current_version() if version is None else version
+        if v == 0:
+            return []
+        path = os.path.join(self._version_dir(v), _SHARDS)
+        return pq.read_table(path).to_pylist()
+
+    def _publish(self, tables: dict[str, dict], shards: list[dict]) -> int:
+        """Stage version N+1 fully, then atomically swap the pointer.
+
+        The pointer write is `os.replace` of a same-directory temp file —
+        atomic on POSIX — so a reader sees either version N or N+1, never a
+        torn catalog.  Analogue of the reference's single COMMIT
+        (`HdfsSynchronizer.java:321`); any exception before the replace
+        leaves the old version live (rollback, `:323-325`)."""
+        new_version = self._current_version() + 1
+        vdir = self._version_dir(new_version)
+        if os.path.exists(vdir):  # stale leftover from a crashed attempt
+            shutil.rmtree(vdir)
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, _TABLES), "w") as f:
+            json.dump(tables, f, indent=1, sort_keys=True)
+        pq.write_table(
+            pa.Table.from_pylist(shards, schema=_SHARD_SCHEMA),
+            os.path.join(vdir, _SHARDS),
+        )
+        tmp = os.path.join(self.meta_dir, f".{_POINTER}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.meta_dir, _POINTER))
+        return new_version
+
+    # ------------------------------------------------------------- listing
+    @staticmethod
+    def _list_data_files(dir_path: str) -> list[dict]:
+        """Recursive listing of data files — the A1 directory walk
+        (`HdfsMasterNode.java:110-147`); local-FS flavor of the paginated
+        NameNode scan.  Hidden/underscore files are skipped exactly like
+        Spark's file index does."""
+        out = []
+        for root, _dirs, files in os.walk(dir_path):
+            for fname in sorted(files):
+                if fname.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, fname)
+                st = os.stat(p)
+                out.append(
+                    {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+                )
+        return out
+
+    # ---------------------------------------------------------------- api
+    def register(
+        self,
+        name: str,
+        dir_path: str,
+        partition_column: str | None = None,
+    ) -> None:
+        """Bind a logical table to a directory (the foreign table's
+        `hdfs_directory_path` option, `CitusMasterNode.java:338-381`).
+        Idempotent overwrite, like the reference's drop-if-exists DDL
+        (`CitusWorkerNode.java:119-134`)."""
+        tables = self._load_tables()
+        shards = self._load_shards()
+        tables[name] = {
+            "dir_path": os.path.abspath(dir_path),
+            "partition_column": partition_column,
+            "registered_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        self._publish(tables, shards)
+
+    def tables(self) -> dict[str, dict]:
+        return self._load_tables()
+
+    def shards(self, name: str | None = None) -> list[dict]:
+        rows = self._load_shards()
+        return rows if name is None else [r for r in rows if r["table_name"] == name]
+
+    def diff(self, name: str) -> MetadataDifference:
+        """FS state vs catalog state — the reference's
+        `calculateMetadataDifference` (`HdfsSynchronizer.java:142-205`).
+
+        Identity is the (path, size, mtime) triple: a rewritten file (same
+        path, new size/mtime) appears in BOTH old and new, exactly like a
+        re-replicated block with a new length is a different placement."""
+        tables = self._load_tables()
+        if name not in tables:
+            raise KeyError(f"table not registered: {name}")
+        fs = {
+            (f["path"], f["size"], f["mtime_ns"]): f
+            for f in self._list_data_files(tables[name]["dir_path"])
+        }
+        cat = {
+            (s["path"], s["size"], s["mtime_ns"]): s
+            for s in self.shards(name)
+        }
+        new_keys = fs.keys() - cat.keys()
+        old_keys = cat.keys() - fs.keys()
+        return MetadataDifference(
+            new_files=[fs[k] for k in sorted(new_keys)],
+            old_files=[cat[k] for k in sorted(old_keys)],
+            unchanged=[cat[k] for k in sorted(cat.keys() & fs.keys())],
+        )
+
+    def _fetch_min_max(
+        self, files: list[dict], column: str
+    ) -> dict[str, tuple[str, str]]:
+        """Per-file min/max of the partition column — A17
+        (`CitusWorkerNode.java:140-165`) — as ONE distributed job over all
+        new files (`groupBy(input_file_name())`), not a per-shard loop."""
+        if not files:
+            return {}
+        df = self.spark.read.parquet(*[f["path"] for f in files])
+        rows = (
+            df.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min(column).cast("string").alias("min_value"),
+                F.max(column).cast("string").alias("max_value"),
+            )
+            .collect()
+        )
+        out = {}
+        for r in rows:
+            # input_file_name returns a URI (file:///...); normalize to path
+            p = r["file"]
+            p = p[7:] if p.startswith("file://") else p
+            out[p] = (r["min_value"], r["max_value"])
+        return out
+
+    def sync(self, name: str, fetch_min_max: bool = False) -> SyncResult:
+        """Apply the diff transactionally — `syncMetadataDifference`
+        (`HdfsSynchronizer.java:215-332`), same load-bearing order:
+        drop old → add new (with optional stats) → validate → commit.
+
+        Idempotent: an immediate re-run has an empty diff and publishes
+        nothing (`README.md:10-13`)."""
+        tables = self._load_tables()
+        if name not in tables:
+            raise KeyError(f"table not registered: {name}")
+        d = self.diff(name)
+        if d.empty:
+            return SyncResult(name, self._current_version(), 0, 0, noop=True)
+
+        part_col = tables[name]["partition_column"]
+        stats = (
+            self._fetch_min_max(d.new_files, part_col)
+            if fetch_min_max and part_col
+            else {}
+        )
+
+        keep = [
+            s
+            for s in self._load_shards()
+            if s["table_name"] != name
+            or (s["path"], s["size"], s["mtime_ns"])
+            in {(u["path"], u["size"], u["mtime_ns"]) for u in d.unchanged}
+        ]
+        added = []
+        for f in d.new_files:
+            mn, mx = stats.get(f["path"], (None, None))
+            if fetch_min_max and part_col and stats and f["path"] not in stats:
+                # A16/A18 analogue: a new shard whose stats scan found no
+                # replica answering → abort before publish
+                raise RuntimeError(f"no stats for new shard {f['path']}")
+            added.append(
+                {
+                    "table_name": name,
+                    "shard_id": _shard_id(f["path"]),
+                    "path": f["path"],
+                    "size": f["size"],
+                    "mtime_ns": f["mtime_ns"],
+                    "min_value": mn,
+                    "max_value": mx,
+                    "hostname": "localhost",
+                }
+            )
+
+        new_shards = keep + added
+        # A16 invariant: an old shard must leave no surviving row; a new
+        # shard must appear exactly once (`HdfsSynchronizer.java:263-289`)
+        by_key = {}
+        for s in new_shards:
+            k = (s["table_name"], s["path"], s["size"], s["mtime_ns"])
+            if k in by_key:
+                raise RuntimeError(f"duplicate shard staged: {k}")
+            by_key[k] = s
+        removed_keys = {
+            (name, s["path"], s["size"], s["mtime_ns"]) for s in d.old_files
+        }
+        if removed_keys & by_key.keys():
+            raise RuntimeError("old shard survived staging — aborting publish")
+
+        version = self._publish(tables, new_shards)
+        return SyncResult(
+            name, version, added=len(added), removed=len(d.old_files), noop=False
+        )
+
+    # ------------------------------------------------------------- querying
+    def read(self, name: str) -> DataFrame:
+        """Scan a registered table from its *catalog* file list (not a live
+        directory listing) — queries see exactly the last published sync,
+        the reference's only-the-catalog-is-queried property."""
+        files = [s["path"] for s in self.shards(name)]
+        if not files:
+            raise ValueError(f"no synced shards for table {name}")
+        return self.spark.read.parquet(*files)
+
+    def prune_files(self, name: str, lo, hi) -> list[str]:
+        """Stat-based shard pruning — the *point* of the reference's
+        min/max sync (`README.md:41-46`): keep files whose [min,max]
+        interval intersects [lo,hi]; files without stats always survive
+        (sound).  Values compare in the partition column's type (stats are
+        stored stringly and cast back here — `MinMaxValue.java:6-7`)."""
+        tables = self._load_tables()
+        part_col = tables[name]["partition_column"]
+        if part_col is None:
+            return [s["path"] for s in self.shards(name)]
+        sample = self.spark.read.parquet(
+            *[s["path"] for s in self.shards(name)][:1]
+        )
+        dtype = dict(sample.dtypes)[part_col]
+
+        def cast(v):
+            if v is None:
+                return None
+            if dtype in ("bigint", "int", "smallint"):
+                return int(v)
+            if dtype in ("double", "float"):
+                return float(v)
+            return v  # strings & timestamps: ISO strings compare correctly
+
+        lo_c, hi_c = cast(str(lo)), cast(str(hi))
+        keep = []
+        for s in self.shards(name):
+            mn, mx = cast(s["min_value"]), cast(s["max_value"])
+            if mn is None or mx is None or (mx >= lo_c and mn <= hi_c):
+                keep.append(s["path"])
+        return keep
+
+    def read_pruned(self, name: str, lo, hi) -> DataFrame:
+        """Scan only the shards surviving min/max pruning (P2 proxy)."""
+        files = self.prune_files(name, lo, hi)
+        if not files:
+            return self.read(name).limit(0)
+        return self.spark.read.parquet(*files)

@@ -1,0 +1,189 @@
+"""Property tests for the registry — the reference's stated guarantees
+(SURVEY §5.2): idempotency, incrementality, atomicity under injected
+failure, A16 invariants, stats correctness, pruning soundness."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from hadoop_sync_spark.io import table_path
+from hadoop_sync_spark.registry import Registry, shard_table_name
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def scratch(tmp_path):
+    """A mutable data dir seeded with one lineitem file + a meta dir."""
+    data = tmp_path / "data"
+    data.mkdir()
+    shutil.copy(table_path(SF_DIR, "lineitem"), data / "part-000.parquet")
+    return {"data": str(data), "meta": str(tmp_path / "meta")}
+
+
+def _add_file(scratch, name="part-001.parquet", src="orders"):
+    shutil.copy(table_path(SF_DIR, src), os.path.join(scratch["data"], name))
+
+
+def test_idempotency(spark, scratch):
+    """`sync(t); sync(t)` → second run is a no-op (README.md:10-13)."""
+    reg = Registry(spark, scratch["meta"])
+    reg.register("li", scratch["data"], partition_column="l_shipdate")
+    r1 = reg.sync("li")
+    assert not r1.noop and r1.added == 1
+    r2 = reg.sync("li")
+    assert r2.noop and r2.version == r1.version
+    assert len(reg.shards("li")) == 1
+
+
+def test_incrementality(spark, scratch):
+    """Adding/removing one file → diff contains exactly that file."""
+    reg = Registry(spark, scratch["meta"])
+    reg.register("li", scratch["data"], partition_column="l_shipdate")
+    reg.sync("li")
+
+    _add_file(scratch, "part-001.parquet", src="lineitem")
+    d = reg.diff("li")
+    assert [os.path.basename(f["path"]) for f in d.new_files] == [
+        "part-001.parquet"
+    ]
+    assert d.old_files == []
+    r = reg.sync("li")
+    assert (r.added, r.removed) == (1, 0)
+
+    os.remove(os.path.join(scratch["data"], "part-000.parquet"))
+    d2 = reg.diff("li")
+    assert [os.path.basename(f["path"]) for f in d2.old_files] == [
+        "part-000.parquet"
+    ]
+    assert d2.new_files == []
+    r2 = reg.sync("li")
+    assert (r2.added, r2.removed) == (0, 1)
+    assert len(reg.shards("li")) == 1
+
+
+def test_changed_file_is_old_and_new(spark, scratch):
+    """Shard identity is (path, size, mtime): a rewritten file shows up as
+    one old + one new shard (ShardPlacement.java:47-60 semantics)."""
+    reg = Registry(spark, scratch["meta"])
+    reg.register("li", scratch["data"], partition_column="l_shipdate")
+    reg.sync("li")
+    # rewrite with different content (orders parquet) at the same path
+    shutil.copy(
+        table_path(SF_DIR, "orders"),
+        os.path.join(scratch["data"], "part-000.parquet"),
+    )
+    d = reg.diff("li")
+    assert len(d.new_files) == 1 and len(d.old_files) == 1
+    assert d.new_files[0]["path"] == d.old_files[0]["path"]
+
+
+def test_atomicity_under_injected_failure(spark, scratch, monkeypatch):
+    """Crash mid-publish → catalog still reads as the previous version
+    (README.md:15-19 crash-consistency)."""
+    reg = Registry(spark, scratch["meta"])
+    reg.register("li", scratch["data"], partition_column="l_shipdate")
+    reg.sync("li", fetch_min_max=True)
+    v_before = reg._current_version()
+    shards_before = reg.shards("li")
+
+    _add_file(scratch, "part-001.parquet", src="lineitem")
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("injected crash before pointer swap")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError, match="injected"):
+        reg.sync("li")
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    assert reg._current_version() == v_before
+    assert reg.shards("li") == shards_before
+    # recovery: the next sync succeeds and applies the pending diff
+    r = reg.sync("li")
+    assert not r.noop and r.added == 1
+
+
+def test_stats_correctness(spark, scratch):
+    """Registry min/max equals a direct agg per file (A17)."""
+    reg = Registry(spark, scratch["meta"])
+    reg.register("li", scratch["data"], partition_column="l_shipdate")
+    reg.sync("li", fetch_min_max=True)
+    (shard,) = reg.shards("li")
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.read.parquet(shard["path"])
+        .agg(
+            F.min("l_shipdate").cast("string").alias("mn"),
+            F.max("l_shipdate").cast("string").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (shard["min_value"], shard["max_value"]) == (row["mn"], row["mx"])
+
+
+def test_pruning_soundness_and_effectiveness(spark, tmp_path):
+    """Query over pruned file set == query over all files; and a
+    disjoint-range predicate actually skips files (P2)."""
+    # build a 3-file table partitioned by disjoint date ranges
+    data = tmp_path / "data"
+    meta = str(tmp_path / "meta")
+    src = spark.read.parquet(table_path(SF_DIR, "lineitem"))
+    from pyspark.sql import functions as F
+
+    for i, (lo, hi) in enumerate(
+        [("1995-01-01", "1997-01-01"), ("1997-01-01", "1999-01-01"),
+         ("1999-01-01", "2002-01-01")]
+    ):
+        part = src.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp_ntz"))
+        ).coalesce(1)
+        part.write.mode("overwrite").parquet(str(data / f"chunk{i}"))
+
+    reg = Registry(spark, meta)
+    reg.register("li", str(data), partition_column="l_shipdate")
+    reg.sync("li", fetch_min_max=True)
+    n_files = len(reg.shards("li"))
+    assert n_files >= 3  # one+ parquet part per chunk
+
+    lo, hi = "1995-06-01 00:00:00", "1996-06-01 00:00:00"
+    pruned = reg.prune_files("li", lo, hi)
+    assert 0 < len(pruned) < n_files  # skipped something
+
+    full = (
+        reg.read("li")
+        .filter(F.col("l_shipdate").between(lo, hi))
+        .agg(F.count("*"), F.sum("l_quantity"))
+        .collect()
+    )
+    pr = (
+        reg.read_pruned("li", lo, hi)
+        .filter(F.col("l_shipdate").between(lo, hi))
+        .agg(F.count("*"), F.sum("l_quantity"))
+        .collect()
+    )
+    assert full == pr and full[0][0] > 0
+
+
+def test_shard_table_name_unsigned():
+    """Signed→unsigned decimal naming quirk (CitusWorkerNode.java:185-193)."""
+    assert shard_table_name("t", -1) == f"t_{2**64 - 1}"
+    assert shard_table_name("t", 5) == "t_5"
+
+
+def test_read_sees_only_catalog(spark, scratch):
+    """Queries consult the published catalog, not the live directory —
+    a file added without sync is invisible (master-catalog-is-truth)."""
+    reg = Registry(spark, scratch["meta"])
+    reg.register("li", scratch["data"], partition_column="l_shipdate")
+    reg.sync("li")
+    before = reg.read("li").count()
+    _add_file(scratch, "part-001.parquet", src="lineitem")
+    assert reg.read("li").count() == before  # unchanged until sync
+    reg.sync("li")
+    assert reg.read("li").count() == 2 * before
