@@ -1,0 +1,11 @@
+"""Structured Streaming surface: the reference's incremental file-arrival
+model (`README.md:10-13`) as continuous pipelines (SURVEY §2C)."""
+
+from hadoop_sync_spark.streaming.pipeline import (  # noqa: F401
+    EVENTS_SCHEMA,
+    dedup_stream,
+    sessionized,
+    sessionized_with_state,
+    stream_events,
+    windowed_counts,
+)

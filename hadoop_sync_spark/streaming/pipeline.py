@@ -1,0 +1,224 @@
+"""Streaming pipelines over the `events` table.
+
+The reference's defining loop — *new HDFS blocks appear, a sync notices only
+the difference and makes them queryable* (`README.md:10-13`,
+`HdfsSynchronizer.java:142-205`) — is exactly Structured Streaming's file
+source: each micro-batch processes only files not yet recorded in the
+checkpoint's file log, `Trigger.AvailableNow` gives the reference's
+run-to-completion CLI semantics, and the checkpoint plays the role of the
+Citus catalog (exactly-once bookkeeping of what's been absorbed).
+
+Batch twins of every computation here are registered as oracle-checked
+queries (q40-q43); the streaming tests assert stream == batch at
+end-of-input, which is Structured Streaming's correctness contract.
+
+Scale posture: stateful operators (windows, dedup, sessions) shuffle on
+their state key exactly once per micro-batch; watermarks bound state size —
+without them a 100 TB/day stream accretes state forever.  Every operator
+below takes an explicit watermark for that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: File-source schema for `events` — streaming reads require an explicit
+#: schema.  `ts` arrives as nanos-since-epoch (parquet TIMESTAMP(NANOS) via
+#: nanosAsLong, matching hadoop_sync_spark.io.load_table).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 64
+) -> DataFrame:
+    """File-source stream of events with a proper event-time column.
+
+    ``maxFilesPerTrigger`` keeps micro-batches bounded when a backlog of
+    files exists (the 100 TB catch-up case)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling/sliding event-time window counts with late-data handling.
+
+    The watermark lets Spark finalize (and in append mode emit/evict)
+    windows older than max(event_time) − delay: bounded state, late rows
+    beyond the delay are dropped — SURVEY §2C's late-data contract."""
+    w = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("event_cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — the built-in
+    session_window operator; state merges adjacent micro-batch sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("event_cnt"), F.max("ts").alias("last_event"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event",
+            "event_cnt",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once dedup on event_id within the watermark horizon
+    (`dropDuplicates` keyed state; SURVEY §2C).  The watermark bounds the
+    dedup state — the difference between "works in the demo" and "OOMs on
+    day three of a real stream"."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def sessionized_with_state(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the escape hatch for stateful logic session_window can't express
+    (here: per-session value sum + event count with explicit state
+    management, the pattern for custom counters/CRDTs/model state).
+
+    Arrow-batched per group; state is one dict per user carrying the open
+    session.  Emits one row per *closed* session; event-time timeout closes
+    the final session at end-of-input."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("event_cnt", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("cnt", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed = []
+        if state.exists:
+            start_us, end_us, cnt, total = state.get
+        else:
+            start_us = end_us = cnt = None
+            total = 0.0
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t_us = int(ts.value // 1000)  # pandas ns → µs
+                if start_us is None:
+                    start_us, end_us, cnt, total = t_us, t_us, 1, float(value)
+                elif t_us - end_us >= gap_us:
+                    closed.append((user_id, start_us, end_us, cnt, total))
+                    start_us, end_us, cnt, total = t_us, t_us, 1, float(value)
+                else:
+                    end_us, cnt, total = t_us, cnt + 1, total + float(value)
+        if state.hasTimedOut:
+            if start_us is not None:
+                closed.append((user_id, start_us, end_us, cnt, total))
+            state.remove()
+        elif start_us is not None:
+            state.update((start_us, end_us, cnt, total))
+            state.setTimeoutTimestamp(end_us // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start_us",
+                    "session_end_us",
+                    "event_cnt",
+                    "sum_value",
+                ],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain everything currently available into an in-memory table and
+    return it — the reference's run-to-completion CLI sync as a streaming
+    trigger.  Re-running with the same checkpoint processes only files that
+    arrived since (incrementality, `README.md:10-13`)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,170 @@
+"""Streaming behavior tests: stream == batch at end-of-input, incremental
+file-arrival processing (the reference's defining loop), stateful dedup,
+custom stateful sessionization."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_sync_spark.io import load_table, table_path
+from hadoop_sync_spark.streaming import (
+    dedup_stream,
+    sessionized,
+    sessionized_with_state,
+    stream_events,
+    windowed_counts,
+)
+from hadoop_sync_spark.streaming.pipeline import run_available_now
+from tests.conftest import SF_DIR
+
+_QN = iter(range(1000))
+
+
+def _qname(prefix: str) -> str:
+    return f"{prefix}_{next(_QN)}"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events"
+    d.mkdir()
+    shutil.copy(table_path(SF_DIR, "events"), d / "part-000.parquet")
+    return str(d)
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir, tmp_path):
+    """Windowed stream aggregation at end-of-input == batch q40 counts."""
+    stream = windowed_counts(stream_events(spark, events_dir))
+    name = _qname("tumb")
+    got = run_available_now(stream, str(tmp_path / "ckpt"), name)
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("event_cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_cnt")
+    )
+    cols = ["window_start", "event_type", "event_cnt"]
+    assert _canon(got, cols) == _canon(batch, cols)
+
+
+def test_incremental_file_arrival(spark, events_dir, tmp_path):
+    """The A12 loop, streamified: second availableNow run with the same
+    checkpoint absorbs ONLY newly-arrived files."""
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_events(spark, events_dir).groupBy("event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    name = _qname("incr")
+    first = run_available_now(stream, ckpt, name).collect()
+    total1 = sum(r["cnt"] for r in first)
+    assert total1 > 0
+
+    # no new files → no micro-batch fires at all: the fresh memory sink
+    # stays empty (the reference's "application does nothing" re-run)
+    again = run_available_now(stream, ckpt, name).collect()
+    assert sum(r["cnt"] for r in again) == 0
+
+    # new file arrives → complete-mode output reflects old+new state:
+    # only the new file was read, but counts cover both (checkpoint state)
+    shutil.copy(
+        table_path(SF_DIR, "events"), events_dir + "/part-001.parquet"
+    )
+    third = run_available_now(stream, ckpt, name).collect()
+    assert sum(r["cnt"] for r in third) == 2 * total1
+
+
+def test_stream_dedup(spark, events_dir, tmp_path):
+    """Duplicate event_ids across files (same file copied) collapse to one
+    row each under stateful dropDuplicates."""
+    shutil.copy(
+        table_path(SF_DIR, "events"), events_dir + "/part-dup.parquet"
+    )
+    n_unique = load_table(spark, SF_DIR, "events").count()
+    stream = dedup_stream(stream_events(spark, events_dir))
+    name = _qname("dedup")
+    got = run_available_now(
+        stream, str(tmp_path / "ckpt"), name, output_mode="append"
+    )
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_sessions_equal_batch_islands(spark, events_dir, tmp_path):
+    """session_window stream at end-of-input == batch gaps-and-islands."""
+    stream = sessionized(stream_events(spark, events_dir))
+    name = _qname("sess")
+    got = run_available_now(stream, str(tmp_path / "ckpt"), name)
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .select("user_id", F.col("w.start").alias("session_start"), "event_cnt")
+    )
+    cols = ["user_id", "session_start", "event_cnt"]
+    assert _canon(got, cols) == _canon(batch, cols)
+
+
+def test_custom_stateful_sessionization(spark, events_dir, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions match the
+    built-in session_window islands (count parity per user).
+
+    Event-time timeouts only fire in a *later* micro-batch whose watermark
+    has passed them, so two far-future sentinel files (fake user, separate
+    micro-batches via maxFilesPerTrigger=1) advance the watermark and close
+    every real session — the standard end-of-stream flush pattern."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sentinel_user = 10**9
+    for i, year_off in enumerate((365, 730)):
+        ts_ns = int(
+            (pd.Timestamp("2024-01-01") + pd.Timedelta(days=year_off)).value
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([10**9 + i], pa.int64()),
+                    "ts": pa.array([ts_ns], pa.int64()),
+                    "user_id": pa.array([sentinel_user], pa.int64()),
+                    "event_type": pa.array(["sentinel"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ),
+            events_dir + f"/zz-sentinel-{i}.parquet",
+        )
+
+    stream = sessionized_with_state(
+        stream_events(spark, events_dir, max_files_per_trigger=1),
+        watermark="0 seconds",
+    )
+    name = _qname("state")
+    got = run_available_now(
+        stream, str(tmp_path / "ckpt"), name, output_mode="append"
+    ).filter(F.col("user_id") != sentinel_user)
+    per_user_stream = {
+        r["user_id"]: r["cnt"]
+        for r in got.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    per_user_batch = {
+        r["user_id"]: r["cnt"]
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.lit(1))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    }
+    assert per_user_stream == per_user_batch
