@@ -11,6 +11,8 @@ documents" (1997); banding/LSH analysis per Leskovec-Rajaraman-Ullman,
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # deterministic odd multipliers/offsets for the permutation family
@@ -40,12 +42,20 @@ def _signed(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
-def minhash_signature(items: Column, k: int = 32, seed: int = 42) -> Column:
-    """MinHash signature (array<bigint>, length k) of an array<string>.
+def element_hashes(items: Column) -> Column:
+    """xxhash64 of each array element → array<bigint>, fully JVM-side."""
+    return F.transform(items, lambda x: F.xxhash64(x))
 
-    One pass, no explode/shuffle: fold the item array once, keeping the
+
+def minhash_signature_builtin(items: Column, k: int = 32, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length k) of an array<string>,
+    pure-builtin formulation: fold the item array once, keeping the
     element-wise minimum of the k permuted hashes.  Empty arrays yield the
     max-long sentinel signature (never collides with real content).
+
+    Kept as the semantic reference: higher-order array lambdas are
+    interpreted (no whole-stage codegen), so the Arrow path in
+    :func:`minhash_signature` is ~20× faster at equal output.
     """
     params = _perm_params(k, seed)
     init = F.array(*[F.lit(0x7FFFFFFFFFFFFFFF).cast("long") for _ in range(k)])
@@ -64,6 +74,62 @@ def minhash_signature(items: Column, k: int = 32, seed: int = 42) -> Column:
     return F.aggregate(items, init, step)
 
 
+_MINHASH_UDF_CACHE: dict = {}
+
+
+def _minhash_arrow_udf(k: int, seed: int):
+    """Arrow-batched pandas UDF: array<bigint> element hashes → length-k
+    MinHash signature.  numpy uint64 arithmetic wraps mod 2^64 exactly like
+    Java long arithmetic, so outputs are bit-identical to the builtin fold
+    (asserted in tests/test_dedup.py)."""
+    key = (k, seed)
+    if key in _MINHASH_UDF_CACHE:
+        return _MINHASH_UDF_CACHE[key]
+
+    params = _perm_params(k, seed)
+    a_vec = np.array([a % (1 << 64) for a, _ in params], dtype=np.uint64)
+    b_vec = np.array([b % (1 << 64) for _, b in params], dtype=np.uint64)
+    mask = np.uint64(_MASK)
+    sentinel = np.full(k, 0x7FFFFFFFFFFFFFFF, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def mh(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hashes:
+                if h is None or len(h) == 0:
+                    out.append(sentinel)
+                    continue
+                hu = np.asarray(h, dtype=np.int64).view(np.uint64)
+                # (k, n) permuted-hash matrix; min over elements per slot
+                sig = ((a_vec[:, None] * hu[None, :] + b_vec[:, None]) & mask).min(
+                    axis=1
+                )
+                out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    # Output IS deterministic; the flag is a Catalyst optimizer barrier.
+    # Without it, a filter on the signature column gets pushed below the
+    # upstream exchange and Spark DUPLICATES the whole UDF subtree to
+    # evaluate the predicate pre-shuffle — measured as an extra full
+    # signature pass on the narrow pre-repartition partition (8× slowdown).
+    mh = mh.asNondeterministic()
+    _MINHASH_UDF_CACHE[key] = mh
+    return mh
+
+
+def minhash_signature(items: Column, k: int = 32, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length k) of an array<string>.
+
+    Two-stage split keeps the per-element hashing JVM-side (codegen'd
+    ``xxhash64`` inside ``transform``) and moves only the k-permutation
+    min-fold to a vectorized Arrow batch (numpy matrix min) — the fold is
+    where the interpreted higher-order-function path burns time.  Output is
+    bit-identical to :func:`minhash_signature_builtin`.
+    """
+    return _minhash_arrow_udf(k, seed)(element_hashes(items))
+
+
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     """Band the signature for LSH: array of `bands` hashes, one per band of
     `rows` signature slots.  Two docs collide in a band iff that band of
@@ -78,13 +144,13 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
-def simhash64(items: Column) -> Column:
-    """64-bit SimHash (Charikar 2002) of an array<string> → BIGINT.
+def simhash64_builtin(items: Column) -> Column:
+    """64-bit SimHash (Charikar 2002) of an array<string> → BIGINT, pure
+    builtins.  Single fold: accumulate a 64-slot counter array (+1/−1 per
+    bit of each item's xxhash64), then assemble the sign bits.
 
-    Single fold: accumulate a 64-slot counter array (+1/−1 per bit of each
-    item's xxhash64), then assemble the sign bits.  No explode, no shuffle,
-    no UDF — safe to run on every document of a 100 TB corpus.
-    """
+    Semantic reference for the Arrow path in :func:`simhash64` (interpreted
+    HOF fold — slow on wide state)."""
     init = F.array(*[F.lit(0).cast("long") for _ in range(64)])
 
     def step(acc: Column, x: Column) -> Column:
@@ -110,6 +176,47 @@ def simhash64(items: Column) -> Column:
     return out
 
 
+_SIMHASH_UDF = None
+
+
+def _simhash_arrow_udf():
+    """Arrow-batched pandas UDF: array<bigint> element hashes → SimHash.
+    Bit-identical to the builtin fold (majority vote per bit, strict >0)."""
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is not None:
+        return _SIMHASH_UDF
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("bigint")
+    def sh(hashes: pd.Series) -> pd.Series:
+        res = np.zeros(len(hashes), dtype=np.uint64)
+        for i, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            hu = np.asarray(h, dtype=np.int64).view(np.uint64)
+            # (n, 64) bit matrix; bit j set iff ones > n/2 (count>0 in ±1 terms)
+            ones = ((hu[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            sig_bits = (2 * ones > len(hu)).astype(np.uint64)
+            res[i] = np.bitwise_or.reduce(sig_bits << shifts)
+        return pd.Series(res.view(np.int64))
+
+    # deterministic output; flag is a pushdown barrier (see _minhash_arrow_udf)
+    sh = sh.asNondeterministic()
+    _SIMHASH_UDF = sh
+    return sh
+
+
+def simhash64(items: Column) -> Column:
+    """64-bit SimHash (Charikar 2002) of an array<string> → BIGINT.
+
+    JVM-side per-element xxhash64 (codegen'd) + vectorized Arrow bit-count
+    fold.  No shuffle; safe to run on every document of a 100 TB corpus.
+    Output bit-identical to :func:`simhash64_builtin`.
+    """
+    return _simhash_arrow_udf()(element_hashes(items))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit SimHashes (BIGINT)."""
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
@@ -122,23 +229,42 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     seed: int = 42,
+    max_bucket: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-LSH banding.
 
-    Pipeline: signature (narrow) → explode band keys → self-join on
-    (band, key) → distinct ordered pairs with estimated Jaccard from full
-    signature agreement.
+    Pipeline: signature (narrow, computed ONCE) → explode band keys →
+    groupBy (band, key) bucket → in-bucket ordered-pair expansion (narrow,
+    nested array transform) → distinct.
 
-    Scale: the only shuffle is the band-bucket self-join, keyed on band
-    hash — exactly the "join only within buckets" trick that turns O(n²)
-    pair generation into O(n·b + collisions).  Skewed mega-buckets (e.g.
-    empty-doc signatures) should be salted or capped upstream.
+    Scale: exactly one wide shuffle (the bucket groupBy) plus the final
+    distinct — the "join only within buckets" trick that turns O(n²) pair
+    generation into O(n·b + collisions), without the self-join formulation's
+    duplicated signature computation (Spark does not reuse the exchange
+    across the two join sides when a Python-UDF stage feeds it).  Empty item
+    sets are dropped up front: their sentinel signatures would otherwise
+    all collide into one quadratic mega-bucket.  `max_bucket` caps bucket
+    width as a skew guard (None = uncapped).
     """
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(items_col), k=k, seed=seed).alias("_sig"),
-    )
+    src = df.select(F.col(id_col).alias("_id"), F.col(items_col).alias("_items"))
+    # `parallelism`: explicit repartition width for narrow inputs (a single
+    # small parquet file arrives as 1 partition, serializing the signature
+    # pass).  Deliberately NOT auto-detected: df.rdd.getNumPartitions()
+    # under AQE materializes upstream shuffle stages just to count
+    # partitions — an entire wasted pass.  Callers on hot paths should
+    # instead repartition BEFORE computing the item arrays (see q63) so
+    # the array build is parallel too, and leave this None.
+    if parallelism is not None:
+        src = src.repartition(parallelism, "_id")
+    # Empty item sets are dropped AFTER the signature, by their sentinel
+    # slot: a size()>0 predicate here would be pushed below the projection,
+    # re-inlining the item-array expression into the filter (computed
+    # twice); the sentinel test can't cross the Arrow stage.
+    sig = src.select(
+        "_id", minhash_signature(F.col("_items"), k=k, seed=seed).alias("_sig")
+    ).filter(F.element_at("_sig", 1) != F.lit(0x7FFFFFFFFFFFFFFF).cast("long"))
     banded = sig.select(
         "_id",
         "_sig",
@@ -146,17 +272,28 @@ def minhash_lsh_pairs(
             "_band", "_bkey"
         ),
     )
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_band", "_bkey"
+    buckets = (
+        banded.groupBy("_band", "_bkey")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_ms"))
+        .filter(F.size("_ms") > 1)
     )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_band", "_bkey"
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ms") <= max_bucket)
+    ms = F.col("_ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
     )
-    pairs = (
-        left.join(right, ["_band", "_bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+    ex = buckets.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.x._id").alias("id_a"),
+        F.col("p.y._id").alias("id_b"),
+        F.col("p.x._sig").alias("sig_a"),
+        F.col("p.y._sig").alias("sig_b"),
     )
     est = F.size(
         F.filter(
@@ -164,4 +301,4 @@ def minhash_lsh_pairs(
             lambda x: x,
         )
     ).cast("double") / F.lit(float(k))
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return ex.select("id_a", "id_b", est.alias("est_jaccard")).distinct()

@@ -89,14 +89,27 @@ def quality_score(col: Column | str, min_tokens: int = 20) -> Column:
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles → array<string>; MinHash/Jaccard input.
+def shingles_of_tokens(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of an ALREADY-MATERIALIZED token array column →
+    array<string>.  For a doc of t tokens produces t-n+1 shingles of n
+    space-joined tokens.
 
-    Built with ``transform`` over token indexes (JVM-side lambda): for a
-    doc of t tokens produces t-n+1 shingles of n space-joined tokens.
+    `tok` must be a plain column reference (project the token array in a
+    prior ``select``), NOT an inline expression: Catalyst expression trees
+    are trees, not DAGs, so an expression embedded in the ``transform``
+    lambda body is re-evaluated once per shingle index — an inline
+    ``split()`` there re-tokenizes the whole document t times (measured
+    ~50× slowdown on the fixture corpus).
     """
-    tok = tokens(normalize(col))
     idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(tok, i + 1, n), " ")
-    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(tok, i + 1, n), " "))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column.
+
+    Convenience form; on hot paths prefer projecting
+    ``tokens(normalize(text))`` first and calling
+    :func:`shingles_of_tokens` on the materialized column (see its
+    docstring for why)."""
+    return shingles_of_tokens(tokens(normalize(col)), n)

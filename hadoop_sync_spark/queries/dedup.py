@@ -127,30 +127,51 @@ def q62_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never from an unbounded self-join; the banded join here bounds work the
     same way."""
     d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
     toks = d.select(
         "doc_id",
         "lang",
         F.array_distinct(tokens(normalize(F.col("text")))).alias("tok"),
     )
+    # Block-bucketed equi-join: doc_b ∈ (doc_a, doc_a+10] means doc_b's
+    # 10-wide id block is doc_a's block or the next one, so probing two
+    # blocks per left row turns the theta join into a hash-joinable equi
+    # join on (lang, block).  A raw non-equi condition on doc ids plans as
+    # a per-language nested-loop sweep — quadratic in docs-per-language.
+    span = 10
+    blk = (F.col("doc_id") / span).cast("long")
     a = toks.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
         F.col("tok").alias("tok_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk_a"),
     )
     b = toks.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
         F.col("tok").alias("tok_b"),
+        blk.alias("blk_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("doc_b") <= F.col("doc_a") + span),
     )
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
-    union = F.size(F.col("tok_a")) + F.size(F.col("tok_b")) - inter
-    jac = inter.cast("double") / union
+    staged = joined.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("nc"),
+        F.size("tok_a").alias("na"),
+        F.size("tok_b").alias("nb"),
+    )
+    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("doc_b") <= F.col("doc_a") + 10),
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        staged.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.3)
     )
 
@@ -175,11 +196,20 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-vocabulary corpora make token-set Jaccard uniformly high (the
     sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
     MinHash), while shingle Jaccard stays discriminative."""
-    from hadoop_sync_spark.functions.text import shingles
+    from hadoop_sync_spark.functions.text import shingles_of_tokens
 
     d = t(spark, sf_dir, "documents")
-    with_shingles = d.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), n=3)).alias("sh")
+    # repartition the raw text FIRST so shingle building and signatures run
+    # on all cores (a single small parquet file arrives as one partition);
+    # then two-step projection: materialize tokens, then shingle from the
+    # column reference — keeps the transform lambda from re-tokenizing per
+    # shingle index (Catalyst expression trees are trees, not DAGs)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
+    toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
+    with_shingles = toks_df.select(
+        "doc_id", F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh")
     )
     return minhash_lsh_pairs(with_shingles, "doc_id", "sh", k=32, bands=8).orderBy(
         "id_a", "id_b"
