@@ -6,49 +6,55 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.io import load_table
 
-#: Decimal type used for exact money/quantity aggregation.  Every fixture
-#: money/rate column carries exactly 2 fraction digits, so scale-2 casts are
-#: lossless; Spark widens the sum to DECIMAL(28,2) and DuckDB to (38,2) —
-#: both exact, both cast back to DOUBLE on output.
+#: Exact-aggregation discipline: every fixture money/rate column carries
+#: exactly 2 fraction digits, so ``ROUND(x*100)`` recovers the exact scaled
+#: integer in BOTH engines (the product lands within ~1e-9 of an integer, so
+#: any tie-break mode agrees, and ROUND's integral output casts to BIGINT
+#: identically despite Spark truncating and DuckDB rounding that cast).
+#: Summing BIGINTs is exact and reduction-order-independent, the final
+#: ``CAST(sum AS DOUBLE) / 10^scale`` applies IEEE ops to identical scalars
+#: on both sides — bit-identical hashes — and long sums stay inside Spark's
+#: whole-stage codegen, unlike Decimal128 aggregation (measured 5× slower
+#: on the flagship query).
 #:
-#: Scale discipline (hard-won parity constraint): DuckDB's DECIMAL→DOUBLE
-#: cast double-rounds when the *scaled integer* exceeds 2^53 (it converts
-#: the hugeint mantissa to double before dividing by 10^scale), while
-#: Spark/Java round the decimal string directly.  Keeping sum scales ≤ 6
-#: keeps scaled values < 2^53 at every fixture SF, so both casts are the
-#: correctly-rounded nearest double and hashes match bit-for-bit.
-DEC = "decimal(18,2)"
-#: 2-factor products (price × (1−discount)): scale 4, precision ≤ 26.
-DEC2 = "decimal(12,2)"
-#: 3-factor products (price × (1−disc) × (1+tax)): scale 6, precision ≤ 29.
-DEC3 = "decimal(9,2)"
+#: Overflow headroom: worst fixture term is a scale-6 three-factor product
+#: (≤ ~1.1e12/row), giving > 8e6 rows of headroom under int64 at sf0.1 and
+#: a documented ceiling of ~sf100 per partition-group before a wider
+#: accumulator (or per-group decimal fallback) is needed.
+SCALE2 = 100
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def dec(c: Column | str) -> Column:
-    """Cast to the exact-aggregation decimal type."""
-    return (F.col(c) if isinstance(c, str) else c).cast(DEC)
+def scaled(c: Column | str) -> Column:
+    """Exact scaled-integer form of a 2-decimal double column (BIGINT)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * SCALE2).cast("long")
+
+
+def sql_scaled(expr: str) -> str:
+    """DuckDB spelling of :func:`scaled`."""
+    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
 
 
 def dsum(c: Column | str) -> Column:
-    """Exact SUM over a double column, emitted as DOUBLE."""
-    return F.sum(dec(c)).cast("double")
+    """Exact SUM over a 2-decimal double column, emitted as DOUBLE."""
+    return F.sum(scaled(c)).cast("double") / F.lit(100.0)
 
 
 def davg(c: Column | str) -> Column:
-    """Deterministic AVG: exact decimal sum → double → divide by count."""
+    """Deterministic AVG: exact scaled sum → double → /100 → /count."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.sum(dec(col)).cast("double") / F.count(col)
+    return F.sum(scaled(col)).cast("double") / F.lit(100.0) / F.count(col)
 
 
 def sql_dsum(expr: str) -> str:
     """DuckDB spelling of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+    return f"CAST(SUM({sql_scaled(expr)}) AS DOUBLE) / 100.0"
 
 
 def sql_davg(expr: str) -> str:
     """DuckDB spelling of :func:`davg`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({expr})"
+    return f"CAST(SUM({sql_scaled(expr)}) AS DOUBLE) / 100.0 / COUNT({expr})"

@@ -18,34 +18,36 @@ from pyspark.sql.window import Window
 
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import (
-    DEC2,
-    DEC3,
     davg,
-    dec,
     dsum,
+    scaled,
     sql_davg,
     sql_dsum,
+    sql_scaled,
     t,
 )
 
 
-def _dec2(c) -> F.Column:
-    return (F.col(c) if isinstance(c, str) else c).cast(DEC2)
+def _revenue4() -> F.Column:
+    """Exact per-row revenue term scaled by 1e4:
+    round(price*100) * (100 - round(discount*100)), as BIGINT."""
+    return scaled("l_extendedprice") * (
+        F.lit(100).cast("long") - scaled("l_discount")
+    )
 
 
-def _dec3(c) -> F.Column:
-    return (F.col(c) if isinstance(c, str) else c).cast(DEC3)
+def _charge6() -> F.Column:
+    """Exact per-row charge term scaled by 1e6:
+    revenue4 * (100 + round(tax*100)), as BIGINT."""
+    return _revenue4() * (F.lit(100).cast("long") + scaled("l_tax"))
 
 
-def _revenue() -> F.Column:
-    """Exact per-row revenue term: extendedprice * (1 - discount)."""
-    return _dec2("l_extendedprice") * (F.lit(1).cast(DEC2) - _dec2("l_discount"))
-
-
-_SQL_REVENUE = (
-    "CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+#: DuckDB twin of :func:`_revenue4` (scaled-by-1e4 BIGINT term).
+_SQL_REVENUE4 = (
+    f"{sql_scaled('l_extendedprice')} * (100 - {sql_scaled('l_discount')})"
 )
+#: DuckDB twin of :func:`_charge6` (scaled-by-1e6 BIGINT term).
+_SQL_CHARGE6 = f"({_SQL_REVENUE4}) * (100 + {sql_scaled('l_tax')})"
 
 
 # --------------------------------------------------------------------------
@@ -57,10 +59,8 @@ _SQL_REVENUE = (
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM({_SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
-                    * (1 - CAST(l_discount AS DECIMAL(9,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM({_SQL_REVENUE4}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE6}) AS DOUBLE) / 1000000.0 AS sum_charge,
            {sql_davg('l_quantity')} AS avg_qty,
            {sql_davg('l_extendedprice')} AS avg_price,
            {sql_davg('l_discount')} AS avg_disc,
@@ -87,14 +87,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
-            F.sum(
-                _dec3("l_extendedprice")
-                * (F.lit(1).cast(DEC3) - _dec3("l_discount"))
-                * (F.lit(1).cast(DEC3) + _dec3("l_tax"))
-            )
-            .cast("double")
-            .alias("sum_charge"),
+            (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(_charge6()).cast("double") / F.lit(1000000.0)).alias(
+                "sum_charge"
+            ),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -110,7 +108,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_filter_predicates",
     oracle=f"""
     SELECT l_orderkey, l_linenumber, l_quantity,
-           CAST({_SQL_REVENUE} AS DOUBLE) AS revenue
+           CAST({_SQL_REVENUE4} AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -141,7 +139,7 @@ def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        _revenue().cast("double").alias("revenue"),
+        (_revenue4().cast("double") / F.lit(10000.0)).alias("revenue"),
     )
 
 
@@ -152,7 +150,7 @@ def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_top_unshipped_orders",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({_SQL_REVENUE}) AS DOUBLE) AS revenue,
+           CAST(SUM({_SQL_REVENUE4}) AS DOUBLE) / 10000.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -186,7 +184,9 @@ def q03_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(
+            (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -201,7 +201,7 @@ def q03_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name,
            COUNT(*) AS supplier_cnt,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+           CAST(SUM(CAST(ROUND((s_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -315,7 +315,7 @@ def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS late_line_cnt,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS late_value
+           CAST(SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS late_value
     FROM orders JOIN lineitem
       ON l_orderkey = o_orderkey
      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
@@ -383,7 +383,7 @@ def q09_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
            COUNT(*) AS order_cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
     """,
@@ -415,7 +415,7 @@ def q10_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
            CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -510,10 +510,10 @@ def q13_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spend
+           ) AS DOUBLE) / 100.0 AS running_spend
     FROM orders
     """,
     tags=("window", "frame"),
@@ -530,7 +530,9 @@ def q14_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        (F.sum(scaled("o_totalprice")).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_spend"
+        ),
     )
 
 
@@ -720,7 +722,7 @@ def q19_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            COUNT(*) AS part_cnt,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(SUM(CAST(ROUND((p_retailprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0
              / COUNT(p_retailprice) AS avg_price
     FROM part
     GROUP BY p_brand
@@ -748,7 +750,7 @@ def q20_brand_stats_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_regional_revenue",
     oracle=f"""
     SELECT n_name,
-           CAST(SUM({_SQL_REVENUE}) AS DOUBLE) AS revenue,
+           CAST(SUM({_SQL_REVENUE4}) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS line_cnt
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -787,7 +789,7 @@ def q21_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_revenue()).cast("double").alias("revenue"),
+            (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("line_cnt"),
         )
     )

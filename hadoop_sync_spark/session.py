@@ -38,6 +38,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # 128 MB splits: big enough to amortize task overhead, small enough that a
     # partition fits executor memory even with wide rows.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # ... but never fewer splits than cores: a table that is one small
+    # parquet file (the fixture layout) otherwise scans on a single core.
+    # At cluster scale inputs have >> this many splits, so it's a no-op.
+    "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # read parquet TIMESTAMP(NANOS) (events.ts) as a nanos-since-epoch long
