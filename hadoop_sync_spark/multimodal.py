@@ -85,6 +85,47 @@ def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-grounded asset table: one synthetic media asset per document
+    (payload deterministically keyed by doc_id, kind cycling
+    image/audio/video, dims derived from n_chars).  Built distributedly via
+    ``mapInPandas`` so asset generation scales with the corpus instead of
+    materializing on the driver."""
+    from collections.abc import Iterator as _It
+
+    from hadoop_sync_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def fn(batches: _It) -> _It:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                i = int(did)
+                kind = ("image", "audio", "video")[i % 3]
+                w, h = 16 + (int(nch) % 5) * 8, 16 + (i % 3) * 8
+                frames = 1 if kind == "image" else (8 + i % 4)
+                out.append(
+                    (
+                        i,
+                        kind,
+                        _encode_fake(kind, i, w, h, frames),
+                        w if kind != "audio" else None,
+                        h if kind != "audio" else None,
+                        frames if kind == "video" else None,
+                        16000 if kind == "audio" else None,
+                        float(frames) / 8.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ASSET_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(fn, ASSET_SCHEMA)
+
+
 def decode_real(content: bytes) -> object:
     """THE codec seam.  Swap in PIL/av/librosa here when available.
 

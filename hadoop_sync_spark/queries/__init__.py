@@ -72,11 +72,13 @@ def load_all() -> dict[str, Query]:
     if not _LOADED:
         from hadoop_sync_spark.queries import (  # noqa: F401
             relational,
+            relational2,
             events,
             text,
             dedup,
             vectors,
             registry_ops,
+            multimodal_q,
         )
 
         _LOADED = True

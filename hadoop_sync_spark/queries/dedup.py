@@ -239,6 +239,69 @@ def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q66 — SimHash block join: near-pairs by hamming distance (rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q66_simhash_pairs",
+    oracle=None,
+    tags=("dedup", "simhash", "hamming"),
+)
+def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share a 16-bit signature
+    block (Manku et al. WWW'07 block strategy — a true near-pair at
+    hamming ≤ 3 must agree on at least one of four 16-bit blocks), verified
+    by exact hamming distance.
+
+    Scale: one shuffle on (block_no, block_value); in-bucket pair expansion
+    like q63.  4 block probes per doc replace the O(n²) signature sweep."""
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
+    toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
+    sig = toks_df.select(
+        "doc_id", simhash64(F.col("tok")).alias("sig")
+    )
+    blocks = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), s).bitwiseAND(
+                        F.lit(0xFFFF).cast("long")
+                    )
+                    for s in (0, 16, 32, 48)
+                ]
+            )
+        ).alias("block_no", "block_val"),
+    )
+    buckets = (
+        blocks.groupBy("block_no", "block_val")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("_ms")
+        )
+        .filter(F.size("_ms") > 1)
+    )
+    ms = F.col("_ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    ex = buckets.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.x.doc_id").alias("doc_a"),
+        F.col("p.y.doc_id").alias("doc_b"),
+        hamming64(F.col("p.x.sig"), F.col("p.y.sig")).alias("hamming"),
+    )
+    return ex.filter(F.col("hamming") <= 6).distinct().orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
 # q65 — embedding-cosine near-dup pairs (bounded, oracle-checked)
 # --------------------------------------------------------------------------
 @register(
