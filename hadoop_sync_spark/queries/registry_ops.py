@@ -9,10 +9,20 @@ reference stores as stringly-typed shard stats (``MinMaxValue.java:6-7``,
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import t
+
+
+def _scratch_meta_dir(sf_dir: str) -> str:
+    """Deterministic scratch catalog location for one fixture dir."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"hss_meta_{key}")
 
 
 @register(
@@ -66,4 +76,89 @@ def q80_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("lineitem", "l_shipdate")
         .unionByName(one("orders", "o_orderdate"))
         .unionByName(one("events", "ts"))
+    )
+
+
+@register(
+    "q81_registry_pruned_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+      AND l_quantity >= 45
+    """,
+    tags=("registry", "pruning"),
+)
+def q81_registry_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end registry lifecycle behind a query: register lineitem with
+    `l_shipdate` as partition column, sync with min/max stat collection
+    (A17/A19), then answer a range query through `read_pruned` — only files
+    whose [min,max] interval intersects the predicate are opened, plus the
+    residual filter (SURVEY §4.1 P2, `README.md:44-46`).
+
+    The oracle is the plain range scan, so the driver hash-checks pruning
+    SOUNDNESS: pruned results must equal the full-scan results exactly.
+    Scale: pruning cost is O(#files) catalog rows on the driver; the saved
+    work is O(pruned bytes) of cluster scan."""
+    from hadoop_sync_spark.io import table_path
+    from hadoop_sync_spark.registry import Registry
+
+    reg = Registry(spark, _scratch_meta_dir(sf_dir))
+    reg.register(
+        "lineitem",
+        table_path(sf_dir, "lineitem"),
+        partition_column="l_shipdate",
+    )
+    reg.sync("lineitem", fetch_min_max=True)
+    lo, hi = "1997-06-01 00:00:00", "1997-09-01 00:00:00"
+    df = reg.read_pruned("lineitem", lo, hi)
+    return (
+        df.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp_ntz"))
+            & (F.col("l_quantity") >= 45)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+    )
+
+
+@register(
+    "q82_registry_sync_lifecycle",
+    oracle=None,
+    tags=("registry", "sync", "idempotency"),
+)
+def q82_registry_sync_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's defining behaviors as a checkable result row per
+    table: first sync adds every data file; an immediate re-run is a no-op
+    (`README.md:10-13`); the published catalog version only advances when
+    the diff is non-empty.  Rows-only (the registry has no SQL twin)."""
+    from hadoop_sync_spark.io import TABLES, table_path
+    from hadoop_sync_spark.registry import Registry
+
+    reg = Registry(spark, _scratch_meta_dir(sf_dir + "#lifecycle"))
+    rows = []
+    for name in sorted(TABLES):
+        reg.register(name, table_path(sf_dir, name))
+        first = reg.sync(name, fetch_min_max=False)
+        second = reg.sync(name, fetch_min_max=False)
+        rows.append(
+            (
+                name,
+                first.added,
+                first.removed,
+                bool(second.noop),
+                len(reg.shards(name)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, first_added int, first_removed int, "
+        "rerun_noop boolean, shard_cnt int",
     )

@@ -169,7 +169,18 @@ class Registry:
         """Recursive listing of data files — the A1 directory walk
         (`HdfsMasterNode.java:110-147`); local-FS flavor of the paginated
         NameNode scan.  Hidden/underscore files are skipped exactly like
-        Spark's file index does."""
+        Spark's file index does.  A plain file path is accepted as a
+        single-file table (the fixture layout is one parquet file per
+        table, not one directory per table)."""
+        if os.path.isfile(dir_path):
+            st = os.stat(dir_path)
+            return [
+                {
+                    "path": dir_path,
+                    "size": st.st_size,
+                    "mtime_ns": st.st_mtime_ns,
+                }
+            ]
         out = []
         for root, _dirs, files in os.walk(dir_path):
             for fname in sorted(files):
