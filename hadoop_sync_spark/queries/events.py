@@ -161,3 +161,47 @@ def q43_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# q44 — salted two-phase aggregation on a skewed key
+# --------------------------------------------------------------------------
+@register(
+    "q44_salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "skew", "salting", "events"),
+)
+def q44_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over `event_type` — a handful of hot keys, the
+    archetypal skewed group-by — via salted two-phase aggregation
+    (functions.skew.salted_agg): phase 1 groups on (key, salt) so each hot
+    key fans out over 32 reducers, phase 2 recombines the partials.
+
+    Result is hash-identical to the plain GROUP BY oracle (sums/counts are
+    decomposable), which is the point: salting changes the shuffle shape,
+    never the answer."""
+    from hadoop_sync_spark.functions.skew import salted_agg
+    from hadoop_sync_spark.queries._util import scaled
+
+    e = t(spark, sf_dir, "events")
+    return salted_agg(
+        e.select("event_type", "value"),
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("_cnt"),
+            F.sum(scaled("value")).alias("_sum_scaled"),
+        ],
+        final_aggs=[
+            F.sum("_cnt").alias("event_cnt"),
+            (F.sum("_sum_scaled").cast("double") / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        ],
+    )

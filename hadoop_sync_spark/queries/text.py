@@ -17,6 +17,7 @@ from hadoop_sync_spark.queries._util import t
 from hadoop_sync_spark.functions.text import (
     STOPWORDS,
     fingerprint,
+    normalize,
     quality_score,
     token_count,
     tokens,
@@ -214,4 +215,109 @@ def q54_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(en_stop >= 0.05, "en")
         .otherwise("latin-other")
         .alias("guessed_script"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — TF-IDF (term frequency × inverse document frequency)
+# --------------------------------------------------------------------------
+@register(
+    "q55_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(trim(text))), '\\s+'))
+                 AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           df.df,
+           CAST(tf.tf AS DOUBLE) * ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                                       / CAST(df.df AS DOUBLE)) AS tf_idf
+    FROM tf JOIN df USING (term)
+    WHERE length(tf.term) >= 9
+    """,
+    tags=("text", "tfidf"),
+)
+def q55_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, term): explode tokens once, aggregate term
+    frequency per doc and document frequency per term, broadcast-join the
+    (small) per-term DF back onto the per-doc TF.  All arithmetic is
+    integer counts until the final ln/multiply — identical IEEE on both
+    engines.
+
+    Scale: the explode is the big intermediate (corpus token count); both
+    aggregations are single-shuffle with map-side combine, and the DF table
+    (|vocabulary| rows) broadcasts.  Long-term filter bounds output."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .filter(F.length("term") >= 9)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            ).alias("tf_idf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — top-k terms per language (explode → agg → window top-k)
+# --------------------------------------------------------------------------
+@register(
+    "q56_top_terms_per_lang",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split_regex(trim(lower(trim(text))), '\\s+'))
+                 AS term
+        FROM documents
+    ), cnt AS (
+        SELECT lang, term, COUNT(*) AS term_cnt
+        FROM tok GROUP BY lang, term
+    ), ranked AS (
+        SELECT lang, term, term_cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY term_cnt DESC, term) AS rnk
+        FROM cnt
+    )
+    SELECT lang, term, term_cnt, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("text", "topk", "window"),
+)
+def q56_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent terms per language — the vocabulary-profile
+    query: explode, count per (lang, term), rank within language with a
+    deterministic tiebreak.
+
+    Scale: the rank window partitions by language; if one language
+    dominates the corpus, pre-aggregation (cnt) has already collapsed the
+    fan-in to |vocabulary| rows per language."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(tokens(normalize(F.col("text")))).alias("term")
+    )
+    cnt = tok.groupBy("lang", "term").agg(F.count("*").alias("term_cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("term_cnt").desc(), "term")
+    return (
+        cnt.select("lang", "term", "term_cnt", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
     )
