@@ -205,3 +205,59 @@ def q44_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# q45 — custom UDAF via applyInPandas (grouped mode with tiebreak)
+# --------------------------------------------------------------------------
+@register(
+    "q45_grouped_mode_udaf",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ), r AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS distinct_types
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_type, cnt AS mode_cnt, distinct_types
+    FROM r WHERE rn = 1
+    """,
+    tags=("udaf", "applyInPandas", "events"),
+)
+def q45_grouped_mode_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — a custom UDAF through
+    ``groupBy().applyInPandas`` (SURVEY §2B's UDAF row): each group arrives
+    as one pandas frame, the body is vectorized value_counts, ties break on
+    the lexicographically smallest type so the oracle (arg_max over counts
+    with the same tiebreak) matches exactly.
+
+    Scale: one shuffle on the group key; state is bounded by the group, so
+    hot users need the salting pattern (q44) — mode is decomposable into
+    per-salt partial counts exactly like sum."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type")
+
+    def mode_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            pdf.groupby("event_type").size().reset_index(name="cnt")
+            .sort_values(["cnt", "event_type"], ascending=[False, True])
+        )
+        top = counts.iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "mode_type": [top["event_type"]],
+                "mode_cnt": [int(top["cnt"])],
+                "distinct_types": [len(counts)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        mode_fn,
+        "user_id bigint, mode_type string, mode_cnt bigint, distinct_types bigint",
+    )
