@@ -261,3 +261,39 @@ def q45_grouped_mode_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode_fn,
         "user_id bigint, mode_type string, mode_cnt bigint, distinct_types bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# q46 — JSON → MapType → explode (A9's pg_options_to_table lateral unnest)
+# --------------------------------------------------------------------------
+@register(
+    "q46_json_map_explode",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           COUNT(*) AS cnt,
+           SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT))
+             AS sum_val
+    FROM kv
+    GROUP BY prop_key
+    """,
+    tags=("json", "map", "explode", "events"),
+)
+def q46_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column into a MapType and explode its entries
+    into (key, value) rows — the exact shape of the reference's
+    `pg_options_to_table(ftoptions)` lateral unnest (A9,
+    `CitusMasterNode.java:58-61,338-381`), which turns the foreign table's
+    option array into queryable key/value rows."""
+    ev = t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "prop_key", "prop_val"
+        )
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("prop_val").cast("long")).alias("sum_val"),
+    )
