@@ -297,3 +297,60 @@ def q46_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(F.col("prop_val").cast("long")).alias("sum_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# q47 — REAL Structured Streaming run (AvailableNow → memory sink)
+# --------------------------------------------------------------------------
+@register(
+    "q47_streaming_tumbling_window",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // {_10M_US}) * {_10M_US})
+             AS window_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "streaming", "window-agg", "availableNow"),
+)
+def q47_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A genuine Structured Streaming execution, not a batch twin: file
+    source over the events parquet → watermarked 10-minute tumbling windows
+    (scaled-BIGINT sums, so incremental state merge is exact) → drained
+    with ``Trigger.AvailableNow`` into a memory sink, whose final contents
+    are hash-checked against the batch SQL oracle — Structured Streaming's
+    stream==batch contract, driver-verified.
+
+    A fresh checkpoint per call makes the run self-contained; production
+    keeps the checkpoint so each run absorbs only new files — the
+    reference's incremental sync loop (`README.md:10-13`)."""
+    import tempfile
+    import uuid
+
+    from hadoop_sync_spark.queries._util import scaled
+    from hadoop_sync_spark.streaming.pipeline import (
+        run_available_now,
+        stream_events,
+    )
+
+    events = stream_events(spark, sf_dir, path_glob_filter="events.parquet")
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.sum(scaled("value")).alias("_sv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_cnt",
+            (F.col("_sv").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+    name = f"q47_sink_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix="hss_q47_ckpt_")
+    return run_available_now(agg, ckpt, name, output_mode="complete")

@@ -45,18 +45,25 @@ EVENTS_SCHEMA = StructType(
 
 
 def stream_events(
-    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 64
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int = 64,
+    path_glob_filter: str | None = None,
 ) -> DataFrame:
     """File-source stream of events with a proper event-time column.
 
     ``maxFilesPerTrigger`` keeps micro-batches bounded when a backlog of
-    files exists (the 100 TB catch-up case)."""
+    files exists (the 100 TB catch-up case).  The source path must be a
+    DIRECTORY (file-source contract); `path_glob_filter` narrows to
+    matching files when the directory holds several tables (the fixture
+    layout)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    raw = reader.parquet(events_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
