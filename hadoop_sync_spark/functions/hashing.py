@@ -248,7 +248,13 @@ def minhash_lsh_pairs(
     width as a skew guard (None = uncapped).
     """
     rows = k // bands
-    src = df.select(F.col(id_col).alias("_id"), F.col(items_col).alias("_items"))
+    # strip empty-string items: a whitespace-only document tokenizes to
+    # [""], which would make every blank doc an exact "duplicate" of every
+    # other blank doc — a quadratic mega-bucket of meaningless pairs
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_remove(F.col(items_col), "").alias("_items"),
+    )
     # `parallelism`: explicit repartition width for narrow inputs (a single
     # small parquet file arrives as 1 partition, serializing the signature
     # pass).  Deliberately NOT auto-detected: df.rdd.getNumPartitions()

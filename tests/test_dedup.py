@@ -1,0 +1,102 @@
+"""Behavioral coverage for the rows-only dedup operators (q63/q64/q66):
+planted near-duplicates must be found, unrelated docs must not pair, and
+the Arrow-vectorized signature paths must be bit-identical to the
+pure-builtin reference implementations."""
+
+from pyspark.sql import functions as F
+
+from hadoop_sync_spark.functions.hashing import (
+    hamming64,
+    minhash_lsh_pairs,
+    minhash_signature,
+    minhash_signature_builtin,
+    simhash64,
+    simhash64_builtin,
+)
+from hadoop_sync_spark.functions.text import (
+    normalize,
+    shingles_of_tokens,
+    tokens,
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions beneath the ancient oak tree near the river"
+)
+
+
+def _planted_corpus(spark):
+    """100 mutually-distinct docs (disjoint vocabularies → near-zero shingle
+    overlap) + 2 exact copies of doc 0 and 1 one-word variant of it."""
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(1, 100)
+    ]
+    rows.append((0, _BASE))
+    near = _BASE.replace("wizards", "sorcerers")
+    rows += [(1000 + j, _BASE) for j in range(2)]
+    rows.append((2000, near))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingled(df):
+    toks = df.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
+    return toks.select(
+        "doc_id",
+        F.array_distinct(shingles_of_tokens(F.col("tok"), 3)).alias("sh"),
+    )
+
+
+def test_minhash_arrow_is_bit_identical_to_builtin(spark):
+    sh = _shingled(_planted_corpus(spark))
+    cmp = sh.select(
+        minhash_signature(F.col("sh")).alias("a"),
+        minhash_signature_builtin(F.col("sh")).alias("b"),
+    )
+    assert cmp.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_simhash_arrow_is_bit_identical_to_builtin(spark):
+    d = _planted_corpus(spark)
+    tok = tokens(normalize(F.col("text")))
+    cmp = d.select(
+        simhash64(tok).alias("a"), simhash64_builtin(tok).alias("b")
+    )
+    assert cmp.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark):
+    pairs = minhash_lsh_pairs(
+        _shingled(_planted_corpus(spark)), "doc_id", "sh", k=32, bands=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(0, 1000), (0, 1001), (1000, 1001)}
+    assert planted <= found, f"missing planted dup pairs: {planted - found}"
+    # the one-word variant shares almost all shingles → should collide too
+    assert any(2000 in p for p in found)
+    # distinct filler docs must not flood the candidate set
+    assert len(found) < 50
+
+
+def test_simhash_near_duplicates_have_small_hamming(spark):
+    d = _planted_corpus(spark)
+    sig = d.select(
+        "doc_id", simhash64(tokens(normalize(F.col("text")))).alias("s")
+    )
+    rows = {r["doc_id"]: r["s"] for r in sig.collect()}
+    pair = spark.createDataFrame(
+        [(rows[0], rows[2000]), (rows[0], rows[50])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h"))
+    near, far = [r["h"] for r in pair.collect()]
+    assert near < far, (near, far)
+    assert near <= 12
+
+
+def test_empty_documents_do_not_flood_buckets(spark):
+    rows = [(i, f"{_BASE} token{i}") for i in range(10)]
+    rows += [(100 + j, "   ") for j in range(20)]  # 20 empty docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(
+        _shingled(df), "doc_id", "sh", k=32, bands=8
+    ).collect()
+    ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+    assert all(i < 100 for i in ids), "sentinel signatures paired empty docs"

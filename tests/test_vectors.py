@@ -1,0 +1,81 @@
+"""Vector similarity: the IVF approximate path must stay close to the
+exact brute-force baseline (recall), and the scoring math must agree with
+a numpy reference."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_sync_spark.functions.vectors import (
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+)
+from hadoop_sync_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_matches_numpy(spark, emb):
+    rows = emb.orderBy("vec_id").limit(6).collect()
+    a, b = np.array(rows[0]["embedding"]), np.array(rows[1]["embedding"])
+    expected = float(
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+    got = (
+        spark.createDataFrame(
+            [(rows[0]["embedding"], rows[1]["embedding"])],
+            "a array<float>, b array<float>",
+        )
+        .select(cosine(F.col("a"), F.col("b")).alias("c"))
+        .first()["c"]
+    )
+    assert math.isclose(got, expected, rel_tol=1e-6)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=8)
+
+    def pairs(df):
+        return {
+            (r["query_id"], r["neighbor_id"]) for r in df.collect()
+        }
+
+    e, a = pairs(exact), pairs(approx)
+    recall = len(e & a) / len(e)
+    # probing half the coarse buckets must recover most true neighbors
+    assert recall >= 0.6, f"recall@10 = {recall:.2f}"
+    # approx results are a subset of real vectors with sane scores
+    assert all(
+        -1.0 - 1e-6 <= r["cosine_sim"] <= 1.0 + 1e-6 for r in approx.collect()
+    )
+
+
+def test_brute_force_topk_is_exact(spark, emb):
+    """Spot-check one query against a full numpy ranking."""
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qid = rows[0]["vec_id"]
+    q = vecs[qid]
+
+    def cos(x):
+        return float(np.dot(q, x) / (np.linalg.norm(q) * np.linalg.norm(x)))
+
+    expected = sorted(
+        ((cos(v), -i) for i, v in vecs.items() if i != qid), reverse=True
+    )[:10]
+    expected_ids = [-t[1] for t in expected]
+
+    got = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") == qid), k=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in got] == expected_ids
