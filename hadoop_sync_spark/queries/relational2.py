@@ -761,3 +761,34 @@ def q39_scalar_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderkey % 50 = 0
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q48 — approximate percentiles (KLL/GK sketch family; rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q48_approx_percentiles",
+    oracle=None,
+    tags=("agg", "approx", "sketch", "quantile"),
+)
+def q48_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch per return flag: approx_percentile with a 10k
+    accuracy parameter next to the exact window-rank median (q24's
+    technique) — the 100 TB path for latency/price distribution questions,
+    where exact quantiles need a full sort per group.
+
+    Rows-only: quantile-sketch internals are engine-specific by design;
+    tests assert the sketch lands within the accuracy envelope of the
+    exact values."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", [0.25, 0.5, 0.75, 0.95], 10000)
+            .alias("approx_quantiles"),
+            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))")
+            .alias("exact_quantiles"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

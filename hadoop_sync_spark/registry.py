@@ -216,8 +216,20 @@ class Registry:
     def tables(self) -> dict[str, dict]:
         return self._load_tables()
 
-    def shards(self, name: str | None = None) -> list[dict]:
-        rows = self._load_shards()
+    def versions(self) -> list[int]:
+        """All published catalog versions still on disk, oldest first.
+        Every `_publish` stages a complete version directory, so each entry
+        is a full, independently-queryable snapshot."""
+        out = []
+        for d in sorted(os.listdir(self.meta_dir)):
+            if d.startswith("v") and d[1:].isdigit():
+                out.append(int(d[1:]))
+        return out
+
+    def shards(
+        self, name: str | None = None, version: int | None = None
+    ) -> list[dict]:
+        rows = self._load_shards(version)
         return rows if name is None else [r for r in rows if r["table_name"] == name]
 
     def diff(self, name: str) -> MetadataDifference:
@@ -340,11 +352,18 @@ class Registry:
         )
 
     # ------------------------------------------------------------- querying
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, version: int | None = None) -> DataFrame:
         """Scan a registered table from its *catalog* file list (not a live
         directory listing) — queries see exactly the last published sync,
-        the reference's only-the-catalog-is-queried property."""
-        files = [s["path"] for s in self.shards(name)]
+        the reference's only-the-catalog-is-queried property.
+
+        `version` time-travels to an older published snapshot: because the
+        transactional publish (A23) stages each version as a complete
+        directory, every historical catalog state remains queryable — the
+        same mechanism that gives the reference its "reverts back to its
+        original state" crash guarantee (`README.md:15-19`) doubles as
+        snapshot isolation for readers."""
+        files = [s["path"] for s in self.shards(name, version)]
         if not files:
             raise ValueError(f"no synced shards for table {name}")
         return self.spark.read.parquet(*files)

@@ -187,3 +187,29 @@ def test_read_sees_only_catalog(spark, scratch):
     assert reg.read("li").count() == before  # unchanged until sync
     reg.sync("li")
     assert reg.read("li").count() == 2 * before
+
+
+def test_time_travel_reads_previous_snapshot(spark, tmp_path):
+    """Every published version stays queryable: after a second sync picks
+    up a new file, reading at the first sync's version still sees only the
+    original files (snapshot isolation from the A23 staged-version
+    publish)."""
+    from hadoop_sync_spark.registry import Registry
+
+    data = tmp_path / "tbl"
+    data.mkdir()
+    spark.range(0, 100).write.parquet(str(data / "part1.parquet"))
+
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register("tbl", str(data))
+    r1 = reg.sync("tbl")
+    v1 = r1.version
+    assert reg.read("tbl").count() == 100
+
+    spark.range(100, 150).write.parquet(str(data / "part2.parquet"))
+    r2 = reg.sync("tbl")
+    assert r2.version > v1
+    assert reg.read("tbl").count() == 150
+    # time travel: the pre-append snapshot is still intact
+    assert reg.read("tbl", version=v1).count() == 100
+    assert v1 in reg.versions() and r2.version in reg.versions()

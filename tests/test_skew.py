@@ -39,3 +39,15 @@ def test_salted_agg_matches_plain_agg(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_approx_percentiles_within_envelope(spark, sf_dir):
+    """q48's sketch quantiles must track the exact quantiles closely at
+    accuracy=10000 (the whole point of shipping the sketch path)."""
+    from hadoop_sync_spark.queries import load_all
+
+    rows = load_all()["q48_approx_percentiles"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r["approx_quantiles"], r["exact_quantiles"]):
+            assert abs(float(approx) - float(exact)) <= max(1.0, 0.05 * exact)
