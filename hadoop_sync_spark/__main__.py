@@ -1,0 +1,85 @@
+"""CLI entry point mirroring the reference's `main` (A29,
+`HdfsSynchronizer.java:50-80`): sync one registered table, optionally
+collecting min/max statistics.
+
+    python -m hadoop_sync_spark sync  <meta_dir> <table> [--fetch-min-max]
+    python -m hadoop_sync_spark register <meta_dir> <table> <data_path>
+                                        [--partition-column COL]
+    python -m hadoop_sync_spark diff  <meta_dir> <table>
+
+Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
+error, 2 runtime failure (catalog left at its previous version —
+`README.md:15-19`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from hadoop_sync_spark.registry import Registry
+from hadoop_sync_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hadoop_sync_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    reg_p = sub.add_parser("register", help="bind a table to a data path")
+    reg_p.add_argument("meta_dir")
+    reg_p.add_argument("table")
+    reg_p.add_argument("data_path")
+    reg_p.add_argument("--partition-column", default=None)
+
+    sync_p = sub.add_parser("sync", help="incremental diff-sync one table")
+    sync_p.add_argument("meta_dir")
+    sync_p.add_argument("table")
+    sync_p.add_argument(
+        "--fetch-min-max",
+        action="store_true",
+        help="scan new shards for partition-column min/max (slower sync, "
+        "faster pruned queries — the reference's trade-off)",
+    )
+
+    diff_p = sub.add_parser("diff", help="show the pending FS-vs-catalog diff")
+    diff_p.add_argument("meta_dir")
+    diff_p.add_argument("table")
+
+    try:
+        args = p.parse_args(argv)
+    except SystemExit:
+        return 1
+
+    spark = get_spark(app_name="hadoop-sync-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = Registry(spark, args.meta_dir)
+    try:
+        if args.cmd == "register":
+            reg.register(
+                args.table, args.data_path, partition_column=args.partition_column
+            )
+            print(f"registered {args.table} -> {args.data_path}")
+        elif args.cmd == "sync":
+            r = reg.sync(args.table, fetch_min_max=args.fetch_min_max)
+            if r.noop:
+                print(f"{args.table}: catalog already current (no-op)")
+            else:
+                print(
+                    f"{args.table}: +{r.added} -{r.removed} shards, "
+                    f"published v{r.version}"
+                )
+        elif args.cmd == "diff":
+            d = reg.diff(args.table)
+            print(
+                f"{args.table}: {len(d.new_files)} new, "
+                f"{len(d.old_files)} removed/changed, "
+                f"{len(d.unchanged)} unchanged"
+            )
+    except (KeyError, ValueError, RuntimeError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -351,6 +351,33 @@ class Registry:
             name, version, added=len(added), removed=len(d.old_files), noop=False
         )
 
+    def table_ddl_events(self, name: str) -> list[str]:
+        """Ordered DDL statements that recreate the table and its per-shard
+        bindings — the analogue of `master_get_table_ddl_events()` (A11,
+        `CitusMasterNode.java:38-39,195-215`) replayed per shard by the
+        reference (A25, `CitusWorkerNode.java:69-113`).  Here: one Spark SQL
+        CREATE TABLE for the logical table, plus one per-shard external
+        table statement using the reference's unsigned shard naming quirk
+        (`shard_table_name`)."""
+        tables = self._load_tables()
+        if name not in tables:
+            raise KeyError(f"table not registered: {name}")
+        shards = self.shards(name)
+        if not shards:
+            raise ValueError(f"no synced shards for table {name}")
+        schema_ddl = self.spark.read.parquet(shards[0]["path"]).schema.toDDL()
+        events = [
+            f"CREATE TABLE IF NOT EXISTS {name} ({schema_ddl}) USING parquet "
+            f"LOCATION '{tables[name]['dir_path']}'"
+        ]
+        for s in sorted(shards, key=lambda r: r["shard_id"]):
+            events.append(
+                f"CREATE TABLE IF NOT EXISTS "
+                f"{shard_table_name(name, s['shard_id'])} ({schema_ddl}) "
+                f"USING parquet LOCATION '{s['path']}'"
+            )
+        return events
+
     # ------------------------------------------------------------- querying
     def read(self, name: str, version: int | None = None) -> DataFrame:
         """Scan a registered table from its *catalog* file list (not a live

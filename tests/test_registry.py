@@ -213,3 +213,46 @@ def test_time_travel_reads_previous_snapshot(spark, tmp_path):
     # time travel: the pre-append snapshot is still intact
     assert reg.read("tbl", version=v1).count() == 100
     assert v1 in reg.versions() and r2.version in reg.versions()
+
+
+def test_table_ddl_events(spark, tmp_path):
+    """A11/A25 analogue: ordered DDL events recreate the logical table and
+    every per-shard binding, using the unsigned shard-name quirk."""
+    from hadoop_sync_spark.registry import Registry, shard_table_name
+
+    data = tmp_path / "t"
+    spark.range(0, 10, 1, 1).write.parquet(str(data))  # flat dir of part files
+    reg = Registry(spark, str(tmp_path / "m"))
+    reg.register("t", str(data))
+    reg.sync("t")
+    events = reg.table_ddl_events("t")
+    assert events[0].startswith("CREATE TABLE IF NOT EXISTS t (")
+    names = {shard_table_name("t", s["shard_id"]) for s in reg.shards("t")}
+    assert all(any(n in e for e in events[1:]) for n in names)
+    assert len(events) == 1 + len(reg.shards("t"))
+    # the DDL is actually executable Spark SQL
+    for e in events:
+        spark.sql(e)
+    assert spark.table("t").count() == 10
+    spark.sql("DROP TABLE IF EXISTS t")
+    for s in reg.shards("t"):
+        spark.sql(f"DROP TABLE IF EXISTS {shard_table_name('t', s['shard_id'])}")
+
+
+def test_cli_register_sync_diff(spark, tmp_path, capsys):
+    """A29 analogue: the CLI drives register → diff → sync → no-op sync."""
+    from hadoop_sync_spark.__main__ import main
+
+    data = tmp_path / "t"
+    data.mkdir()
+    spark.range(0, 10).write.parquet(str(data / "a.parquet"))
+    meta = str(tmp_path / "m")
+
+    assert main(["register", meta, "t", str(data)]) == 0
+    assert main(["diff", meta, "t"]) == 0
+    assert "1 new" in capsys.readouterr().out
+    assert main(["sync", meta, "t"]) == 0
+    assert "+1" in capsys.readouterr().out
+    assert main(["sync", meta, "t"]) == 0
+    assert "no-op" in capsys.readouterr().out
+    assert main(["sync", meta, "missing"]) == 2
