@@ -177,6 +177,95 @@ def q62_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q67 — exact character-n-gram Jaccard on bounded candidate pairs
+# --------------------------------------------------------------------------
+@register(
+    "q67_chargram_jaccard_pairs",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, greatest(length(lower(trim(text))) - 3, 1) + 1),
+                   i -> substr(lower(trim(text)), CAST(i AS INT), 4))) AS gr
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+             / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))
+             AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND b.doc_id <= a.doc_id + 10
+    WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+             / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))
+          >= 0.35
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def q67_chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup pairs — the tokenization-free tier
+    of the dedup cascade: robust to hyphenation/whitespace damage that
+    shifts word boundaries (where token Jaccard, q62, under-counts).
+    Same block-bucketed equi-join as q62 so the theta condition never
+    plans as a nested-loop sweep.
+
+    Scale: the gram set is built per-row (narrow, codegen'd substr loop
+    over one materialized normalized-text column); candidates at 100 TB
+    come from LSH buckets (q63) — the banded join here bounds fixture work
+    the same way."""
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
+    n = 4
+    norm = d.select("doc_id", "lang", normalize(F.col("text")).alias("s"))
+    s = F.col("s")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    grams = norm.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+        ).alias("gr"),
+    )
+    span = 10
+    blk = (F.col("doc_id") / span).cast("long")
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("gr").alias("gr_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk_a"),
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("gr").alias("gr_b"),
+        blk.alias("blk_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("doc_b") <= F.col("doc_a") + span),
+    )
+    inter = F.size(F.array_intersect(F.col("gr_a"), F.col("gr_b")))
+    staged = joined.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("nc"),
+        F.size("gr_a").alias("na"),
+        F.size("gr_b").alias("nb"),
+    )
+    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
+    return (
+        staged.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.35)
+    )
+
+
+# --------------------------------------------------------------------------
 # q63 — MinHash-LSH candidate pairs (rows-only: xxhash64 has no DuckDB twin)
 # --------------------------------------------------------------------------
 @register(

@@ -25,6 +25,7 @@ from hadoop_sync_spark.functions.text import (
 )
 
 _SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_NORM_TOKENS = "string_split_regex(trim(lower(trim(text))), '\\s+')"
 _SQL_STOP = "['" + "','".join(STOPWORDS) + "']"
 
 
@@ -215,6 +216,130 @@ def q54_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(en_stop >= 0.05, "en")
         .otherwise("latin-other")
         .alias("guessed_script"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 — BPE-ish regex pre-tokenization (subword-budget counting)
+# --------------------------------------------------------------------------
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "q57_bpe_pretokens",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{_BPE_RE}', 0) AS pt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pt) AS BIGINT) AS pretoken_cnt,
+           CAST(len(list_distinct(pt)) AS BIGINT) AS uniq_pretoken_cnt,
+           CAST(len(list_filter(pt, x -> substr(x,1,1) BETWEEN 'a' AND 'z'))
+                AS BIGINT) AS alpha_cnt,
+           CAST(len(list_filter(pt, x -> substr(x,1,1) BETWEEN '0' AND '9'))
+                AS BIGINT) AS num_cnt
+    FROM tok
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def q57_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization: the GPT-2-style regex split into letter
+    runs / digit runs / single punctuation marks — the unit a byte-pair
+    tokenizer merges from, so `pretoken_cnt` is the corpus token-budget
+    estimate a training pipeline actually bills against (whitespace counts
+    under-estimate punctuation-heavy text).
+
+    Scale: one `regexp_extract_all` per row, JVM-side codegen, zero
+    shuffle — the classification filters are array lambdas over the
+    already-extracted list."""
+    d = t(spark, sf_dir, "documents")
+    pt = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    first = lambda x: x.substr(1, 1)  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.size(pt).cast("long").alias("pretoken_cnt"),
+        F.size(F.array_distinct(pt)).cast("long").alias("uniq_pretoken_cnt"),
+        F.size(F.filter(pt, lambda x: first(x).between("a", "z")))
+        .cast("long")
+        .alias("alpha_cnt"),
+        F.size(F.filter(pt, lambda x: first(x).between("0", "9")))
+        .cast("long")
+        .alias("num_cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q58 — rolling-hash document fingerprint (winnowing-style)
+# --------------------------------------------------------------------------
+_RH_B, _RH_M, _RH_W = 1000003, 2147483647, 4
+
+
+@register(
+    "q58_rolling_hash_fp",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_NORM_TOKENS} AS toks FROM documents
+    ), v AS (
+        SELECT doc_id,
+               list_transform(toks,
+                   t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS vals
+        FROM tok
+    ), w AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(vals) - {_RH_W - 1}, 1) + 1),
+                   i -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                         list_slice(vals, i, i + {_RH_W - 1})),
+                            (a, b) -> (a * {_RH_B} + b) % {_RH_M})) AS wh
+        FROM v
+    )
+    SELECT doc_id,
+           list_min(wh) AS fp,
+           CAST(len(wh) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(wh)) AS BIGINT) AS uniq_windows
+    FROM w
+    """,
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def q58_rolling_hash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing-style, Schleimer et
+    al. SIGMOD'03): polynomial Rabin-Karp hash over every 4-token window,
+    fingerprint = the minimum window hash — stable under small edits
+    anywhere outside the minimizing window, unlike the whole-document md5
+    of q51.  Token values come from an md5 prefix so Spark and the oracle
+    share an exact integer hash; all arithmetic stays in bounded BIGINT
+    (acc < 2^31, step < 2^51).
+
+    Scale: pure narrow per-row array math, zero shuffle; windows are
+    slices of one materialized token-value array (projected first —
+    Catalyst expression trees are trees, so an inline expression in the
+    transform lambda would re-tokenize per window)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(normalize(F.col("text"))).alias("toks"))
+    vals_df = toks.select(
+        "doc_id",
+        F.transform(
+            "toks",
+            lambda tk: F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast("long"),
+        ).alias("vals"),
+    )
+    vals = F.col("vals")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(vals) - (_RH_W - 1), F.lit(1)))
+    wh = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(vals, i, _RH_W),
+            F.lit(0).cast("long"),
+            lambda a, b: (a * _RH_B + b) % _RH_M,
+        ),
+    )
+    return vals_df.select(
+        "doc_id",
+        F.array_min(wh).alias("fp"),
+        F.size(wh).cast("long").alias("n_windows"),
+        F.size(F.array_distinct(wh)).cast("long").alias("uniq_windows"),
     )
 
 
