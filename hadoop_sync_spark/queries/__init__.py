@@ -73,6 +73,7 @@ def load_all() -> dict[str, Query]:
         from hadoop_sync_spark.queries import (  # noqa: F401
             relational,
             relational2,
+            relational3,
             events,
             text,
             dedup,

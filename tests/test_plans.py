@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions: the 100 TB posture, made regression-proof.
+
+Correctness tests prove the numbers; these prove the *plans* — that filters
+reach the parquet scan, projections prune the read schema, dimension joins
+broadcast, top-k avoids a global sort, the NOT IN deny-list plans as a
+null-aware broadcast anti-join, and the banded similarity joins never
+degenerate into nested-loop sweeps.  Each assertion is a property that
+would silently rot under refactoring while small-SF results stayed green.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hadoop_sync_spark.queries import load_all
+
+QUERIES = load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _filescan_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    """q02's predicates reach the scan; unused fact columns never leave
+    the parquet footer (ReadSchema pruned)."""
+    plan = _plan(spark, sf_dir, "q02_filter_predicates")
+    assert re.search(r"PushedFilters: \[[^\]]", plan), "no pushed filters"
+    scans = _filescan_lines(plan)
+    assert scans, "no parquet scan in plan"
+    # columns q02 never touches must be pruned from the lineitem scan
+    for col in ("l_tax", "l_partkey", "l_suppkey"):
+        assert col not in scans[0], f"{col} not pruned from scan"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """The six-table star join (q21) broadcasts every dimension: no
+    sort-merge exchange, no cartesian product."""
+    plan = _plan(spark, sf_dir, "q21_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT (q03) must plan TakeOrderedAndProject — a per-
+    partition heap + driver merge — never a global sort of the join."""
+    plan = _plan(spark, sf_dir, "q03_top_unshipped_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_notin_plans_null_aware_broadcast_anti(spark, sf_dir):
+    """q83's NOT IN deny-list plans as a broadcast LeftAnti join (the
+    trailing `true` on the join line is Spark's isNullAwareAntiJoin flag),
+    so the fact side never shuffles for the exclusion."""
+    plan = _plan(spark, sf_dir, "q83_notin_supplier_cnt")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q62_jaccard_pairs", "q67_chargram_jaccard_pairs"]
+)
+def test_banded_similarity_join_is_hash_joinable(spark, sf_dir, name):
+    """The block-bucketed rewrite of the doc-window theta join must keep
+    the plan free of nested-loop/cartesian operators — the rewrite exists
+    precisely so the candidate join stays O(n) at 100 TB."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flagship_agg_is_partial_final(spark, sf_dir):
+    """q01 aggregates partially before the exchange (map-side combine):
+    two HashAggregate levels with one shuffle between them."""
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2  # one agg exchange (+AQE wrapper slack)
