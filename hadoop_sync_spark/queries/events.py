@@ -354,3 +354,40 @@ def q47_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame
     name = f"q47_sink_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix="hss_q47_ckpt_")
     return run_available_now(agg, ckpt, name, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# q49 — interval attribution join (batch twin of the stream-stream join)
+# --------------------------------------------------------------------------
+@register(
+    "q49_attribution_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts::TIMESTAMP AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts::TIMESTAMP AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+     AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 30 MINUTE
+    """,
+    tags=("events", "interval-join", "streaming-batch"),
+)
+def q49_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: every purchase joined to the same
+    user's clicks in the preceding 30 minutes — the batch twin of
+    ``streaming.attribution_join`` (stream-stream interval join), declared
+    here so the join semantics themselves are oracle-checked while the
+    streaming test asserts stream == batch on the same operator.
+
+    Scale: equi-key user_id carries the shuffle; the time band is a
+    post-join filter per key.  In streaming the same band is what bounds
+    join state (watermark + 30 min horizon per side)."""
+    from hadoop_sync_spark.streaming import attribution_join
+
+    ev = t(spark, sf_dir, "events")
+    return attribution_join(ev).select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )

@@ -3,6 +3,7 @@ model (`README.md:10-13`) as continuous pipelines (SURVEY §2C)."""
 
 from hadoop_sync_spark.streaming.pipeline import (  # noqa: F401
     EVENTS_SCHEMA,
+    attribution_join,
     dedup_stream,
     sessionized,
     sessionized_with_state,

@@ -209,6 +209,59 @@ def sessionized_with_state(
     )
 
 
+def attribution_join(
+    events: DataFrame,
+    horizon_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the clicks the
+    same user made in the preceding `horizon_minutes` — the canonical
+    attribution query, and the one streaming operator whose state contract
+    differs from aggregation: BOTH sides buffer rows until the watermark
+    plus the join interval passes, so the time bound on the condition is
+    what makes state finite (an unbounded-time stream-stream join would
+    buffer each side forever).
+
+    Works identically on a batch DataFrame (same code path, Spark treats
+    the interval condition as a plain theta join) — the test's
+    stream == batch contract.
+
+    Scale: state is keyed by user_id (the equi part of the condition), so
+    the join shuffles each side once on user_id; watermark + interval
+    bound per-key buffered history to ~(watermark + horizon)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

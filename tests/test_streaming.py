@@ -168,3 +168,21 @@ def test_custom_stateful_sessionization(spark, events_dir, tmp_path):
         )
     }
     assert per_user_stream == per_user_batch
+
+
+def test_stream_stream_attribution_join(spark, events_dir, tmp_path):
+    """Stream-stream interval join == the identical batch join at
+    end-of-input; both sides' state bounded by watermark + interval."""
+    from hadoop_sync_spark.streaming import attribution_join
+
+    stream = attribution_join(
+        stream_events(spark, events_dir), watermark="0 seconds"
+    )
+    name = _qname("ssjoin")
+    got = run_available_now(
+        stream, str(tmp_path / "ckpt"), name, output_mode="append"
+    )
+    batch = attribution_join(load_table(spark, SF_DIR, "events"))
+    cols = ["user_id", "purchase_id", "click_id"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert len(_canon(got, cols)) > 0
