@@ -160,3 +160,94 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (sign) LSH signature: bit i = [vec · plane_i > 0],
+    packed into one BIGINT (Charikar, STOC'02 §3).  P[bit agrees] =
+    1 − θ/π for vectors at angle θ, so close vectors share long bit
+    prefixes.  Pure builtin folds — no Python in the per-row path."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, lit_plane) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return sig
+
+
+def rp_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing: candidates
+    are vectors sharing at least one `band_bits`-wide signature band with
+    the query; exact cosine rescoring + per-query window top-k.
+
+    The hyperplane family is driver-generated (numpy, fixed seed) and
+    enters the plan as literals — deterministic across runs and executors.
+    Dimensionality comes from one metadata probe of the first row.
+
+    Scale: one shuffle on (band_no, band_val); per-bucket fan-in is
+    n/2^band_bits in expectation (uniform directions), so band_bits tunes
+    the recall/cost point the way n_probe does for IVF — and the candidate
+    join never touches vectors outside shared buckets."""
+    import numpy as np
+
+    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim)).tolist()
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def with_bands(df: DataFrame, idname: str) -> DataFrame:
+        sig = rp_signature(F.col(vec_col), planes)
+        bands = F.array(
+            *[
+                F.shiftrightunsigned(sig, b * band_bits)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias(f"b{b}")
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname}_vec"),
+            F.posexplode(bands).alias("band_no", "band_val"),
+        )
+
+    qb = with_bands(queries, "query_id")
+    vb = with_bands(vectors, "neighbor_id")
+    cands = (
+        vb.join(F.broadcast(qb), ["band_no", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

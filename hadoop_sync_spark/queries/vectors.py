@@ -73,3 +73,30 @@ def q71_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
         "query_id", "neighbor_id", "cosine_sim", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# q72 — random-hyperplane LSH approximate top-k (rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q72_rp_lsh_topk",
+    oracle=None,
+    tags=("vectors", "ann", "lsh"),
+)
+def q72_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane (sign) LSH: 48 sign bits →
+    twelve 4-bit bands → bucket join → exact cosine rescoring (Charikar
+    STOC'02).  The bucketed alternative to IVF (q71): no centroid pass, so
+    it suits append-heavy corpora where re-clustering is unaffordable;
+    recall vs exact q70 asserted in tests/test_vectors.py.
+
+    Band shape is regime-dependent: the fixture cloud is near-uniform
+    (top-10 cosine ≈ 0.3 → per-bit agreement ≈ 0.6), so recall needs many
+    narrow bands; a true near-dup corpus (cosine ≥ 0.9, agreement ≈ 0.9)
+    gets the same recall from a few 8-bit bands at far lower fan-in —
+    band_bits is the knob, as n_probe is for IVF."""
+    from hadoop_sync_spark.functions.vectors import rp_lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return rp_lsh_topk(emb, queries, k=10, n_planes=48, band_bits=4)

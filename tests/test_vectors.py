@@ -79,3 +79,23 @@ def test_brute_force_topk_is_exact(spark, emb):
         .collect()
     )
     assert [r["neighbor_id"] for r in got] == expected_ids
+
+
+def test_rp_lsh_recall_and_determinism(spark, emb):
+    """Sign-LSH bucketing must recover most true neighbors in the
+    fixture's near-uniform regime (48 planes × 4-bit bands) and be
+    bit-deterministic across runs (fixed hyperplane seed)."""
+    from hadoop_sync_spark.functions.vectors import rp_lsh_topk
+
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = rp_lsh_topk(emb, queries, k=10, n_planes=48, band_bits=4)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    e, a = pairs(exact), pairs(approx)
+    recall = len(e & a) / len(e)
+    assert recall >= 0.55, f"recall@10 = {recall:.2f}"
+    again = pairs(rp_lsh_topk(emb, queries, k=10, n_planes=48, band_bits=4))
+    assert a == again
