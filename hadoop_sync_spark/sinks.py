@@ -51,8 +51,19 @@ def write_table(
     if compression:
         w = w.option("compression", compression)
     if fmt == "csv":
-        # header on: CSV is the interchange format, keep it self-describing
-        w = w.option("header", "true")
+        # Lossless-CSV contract (verified by the adversarial round-trip
+        # test): self-describing header; quote-escape so embedded
+        # delimiters/quotes/newlines survive; distinct NULL vs empty-string
+        # markers; and NO whitespace trimming — Spark's CSV writer trims
+        # leading/trailing whitespace by default, which is silent data loss.
+        w = (
+            w.option("header", "true")
+            .option("escape", '"')
+            .option("nullValue", "\\N")
+            .option("emptyValue", '""')
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+        )
     getattr(w, fmt)(path)
 
 
@@ -76,7 +87,13 @@ def read_table(
             raise ValueError(f"{fmt} sources require an explicit schema")
         r = r.schema(schema)
         if fmt == "csv":
-            r = r.option("header", "true")
+            # mirror of write_table's lossless-CSV contract
+            r = (
+                r.option("header", "true")
+                .option("escape", '"')
+                .option("multiLine", "true")
+                .option("nullValue", "\\N")
+            )
     elif schema is not None:
         r = r.schema(schema)
     return getattr(r, fmt)(path)

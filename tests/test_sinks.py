@@ -51,3 +51,35 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path_factory):
     # pruning is sound: same rows as a post-hoc filter of the full table
     expect = orders.filter(F.col("o_year") == 1995).count()
     assert back.count() == expect
+
+
+def test_csv_json_adversarial_roundtrip(spark, tmp_path_factory):
+    """Row formats must survive the strings that break naive writers:
+    embedded delimiters, quotes, newlines, unicode, empty strings, and
+    NULLs (CSV's empty-vs-NULL ambiguity is pinned by explicit options)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("s", StringType())]
+    )
+    rows = [
+        (1, 'comma,sep"quoted"'),
+        (2, "line\nbreak\r\nand\ttab"),
+        (3, ""),
+        (4, None),
+        (5, "ünïcode – 中文 🚀"),
+        (6, "   leading/trailing   "),
+        (7, "\\backslash\\ and 'single'"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    for fmt in ("csv", "json"):
+        path = str(tmp_path_factory.mktemp(f"adv_{fmt}"))
+        write_table(df, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=schema)
+        got = sorted((r.id, r.s) for r in back.collect())
+        assert got == sorted(rows), f"{fmt} lost data: {got}"
