@@ -6,6 +6,7 @@ collecting min/max statistics.
     python -m hadoop_sync_spark register <meta_dir> <table> <data_path>
                                         [--partition-column COL]
     python -m hadoop_sync_spark diff  <meta_dir> <table>
+    python -m hadoop_sync_spark vacuum <meta_dir> [--keep-last N]
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -45,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     diff_p.add_argument("meta_dir")
     diff_p.add_argument("table")
 
+    vac_p = sub.add_parser(
+        "vacuum", help="drop catalog snapshots older than the newest N"
+    )
+    vac_p.add_argument("meta_dir")
+    vac_p.add_argument("--keep-last", type=int, default=3)
+
     try:
         args = p.parse_args(argv)
     except SystemExit:
@@ -68,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"{args.table}: +{r.added} -{r.removed} shards, "
                     f"published v{r.version}"
                 )
+        elif args.cmd == "vacuum":
+            removed = reg.vacuum(keep_last=args.keep_last)
+            print(
+                f"vacuumed {len(removed)} snapshot(s); "
+                f"{len(reg.versions())} retained"
+            )
         elif args.cmd == "diff":
             d = reg.diff(args.table)
             print(

@@ -226,6 +226,28 @@ class Registry:
                 out.append(int(d[1:]))
         return out
 
+    def vacuum(self, keep_last: int = 3) -> list[int]:
+        """Drop all but the newest `keep_last` version snapshots; returns
+        the versions removed.  The live version is never dropped
+        (keep_last is clamped to ≥1), and removal happens strictly oldest-
+        first AFTER the pointer already names a retained version, so a
+        concurrent reader of the current catalog is never broken — only
+        time-travel to vacuumed versions stops working.
+
+        Scale: each snapshot is O(#files) catalog metadata, not data, but
+        at 100 TB (millions of files × frequent syncs) unbounded retention
+        would eventually dominate the _meta dir — the same reason Delta
+        and Iceberg ship expire-snapshots."""
+        keep_last = max(1, keep_last)
+        current = self._current_version()
+        cutoff = max(0, current - keep_last + 1)
+        removed = []
+        for v in self.versions():
+            if v < cutoff and v != current:
+                shutil.rmtree(self._version_dir(v))
+                removed.append(v)
+        return removed
+
     def shards(
         self, name: str | None = None, version: int | None = None
     ) -> list[dict]:

@@ -256,3 +256,39 @@ def test_cli_register_sync_diff(spark, tmp_path, capsys):
     assert main(["sync", meta, "t"]) == 0
     assert "no-op" in capsys.readouterr().out
     assert main(["sync", meta, "missing"]) == 2
+
+
+def test_vacuum_retains_live_and_recent_versions(spark, tmp_path):
+    """vacuum(keep_last=N) drops only snapshots older than the newest N;
+    the live catalog stays readable, retained versions stay time-
+    travelable, vacuumed versions are gone from disk."""
+    from hadoop_sync_spark.registry import Registry
+
+    data = tmp_path / "tbl"
+    data.mkdir()
+    reg = Registry(spark, str(tmp_path / "meta"))
+    versions = []
+    for i in range(4):
+        spark.range(i * 10, (i + 1) * 10).write.parquet(
+            str(data / f"part{i}.parquet")
+        )
+        if i == 0:
+            reg.register("tbl", str(data))
+        versions.append(reg.sync("tbl").version)
+
+    removed = reg.vacuum(keep_last=2)
+    kept = reg.versions()
+    assert versions[-1] in kept and versions[-2] in kept
+    assert all(v not in kept for v in removed)
+    assert set(removed) & set(kept) == set()
+    # live catalog unbroken; retained snapshot still time-travelable
+    assert reg.read("tbl").count() == 40
+    assert reg.read("tbl", version=versions[-2]).count() == 30
+    # vacuumed snapshot is genuinely gone
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        reg.read("tbl", version=versions[0])
+    # keep_last clamps: vacuum(0) never drops the live version
+    reg.vacuum(keep_last=0)
+    assert reg.read("tbl").count() == 40
