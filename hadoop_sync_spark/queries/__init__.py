@@ -77,6 +77,7 @@ def load_all() -> dict[str, Query]:
             events,
             text,
             dedup,
+            sampling,
             vectors,
             registry_ops,
             multimodal_q,
