@@ -17,7 +17,14 @@ STOPWORDS: tuple[str, ...] = (
     "the", "a", "an", "of", "and", "to", "in", "is", "it", "for",
 )
 
-_WS = r"\s+"
+#: Whitespace run, spelled as an explicit class instead of `\s` because the
+#: two regex engines disagree on `\s`'s members: Java (Spark) includes
+#: vertical tab U+000B, RE2 (the DuckDB oracle) does not — a latent parity
+#: break for any document containing U+000B.  This class IS Java's `\s`
+#: set, written portably; both engines read the identical pattern text.
+WS_RE = r"[ \t\n\x0b\f\r]+"
+
+_WS = WS_RE
 
 
 def _c(col: Column | str) -> Column:

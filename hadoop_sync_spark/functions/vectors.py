@@ -211,7 +211,18 @@ def rp_lsh_topk(
     n/2^band_bits in expectation (uniform directions), so band_bits tunes
     the recall/cost point the way n_probe does for IVF — and the candidate
     join never touches vectors outside shared buckets."""
+    if n_planes % band_bits != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of band_bits "
+            f"({band_bits}); trailing sign bits would be computed but "
+            "never bucketed, silently lowering recall"
+        )
     first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError(
+            f"cannot infer dimensionality: vectors DataFrame is empty or "
+            f"its first {vec_col!r} is NULL"
+        )
     dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim)).tolist()

@@ -58,3 +58,16 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB spelling of :func:`davg`."""
     return f"CAST(SUM({sql_scaled(expr)}) AS DOUBLE) / 100.0 / COUNT({expr})"
+
+
+def md5_prefix_long(c: Column) -> Column:
+    """First 32 bits of md5 as a BIGINT — the cross-engine exact hash
+    (DuckDB twin: :func:`sql_md5_prefix_long`).  Used wherever Spark and
+    the oracle must agree on an integer hash (rolling-hash token values,
+    sampling buckets): xxhash64/hash are Spark-only, md5 is everywhere."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def sql_md5_prefix_long(expr: str) -> str:
+    """DuckDB spelling of :func:`md5_prefix_long`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"

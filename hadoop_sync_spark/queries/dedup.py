@@ -28,8 +28,10 @@ from hadoop_sync_spark.functions.text import (
     normalize,
 )
 
-_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
-_SQL_NORM_TOKENS = "string_split_regex(trim(lower(trim(text))), '\\s+')"
+from hadoop_sync_spark.functions.text import WS_RE
+
+_SQL_TOKENS = f"string_split_regex(trim(text), '{WS_RE}')"
+_SQL_NORM_TOKENS = f"string_split_regex(trim(lower(trim(text))), '{WS_RE}')"
 
 
 # --------------------------------------------------------------------------
@@ -93,6 +95,63 @@ def q61_token_set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_jaccard_pairs(
+    sets: DataFrame, arr_col: str, span: int, threshold: float
+) -> DataFrame:
+    """Exact set-Jaccard over a bounded candidate window, as a hash join.
+
+    `sets` carries (doc_id, lang, <arr_col>: array).  Candidates are
+    same-language pairs with doc_b ∈ (doc_a, doc_a+span] — which means
+    doc_b's span-wide id block is doc_a's block or the next one, so
+    probing two blocks per left row turns the theta join into a
+    hash-joinable equi join on (lang, block).  A raw non-equi condition on
+    doc ids plans as a per-language nested-loop sweep — quadratic in
+    docs-per-language (plan-asserted in tests/test_plans.py).  Shared by
+    q62 (token sets) and q67 (char-4-gram sets)."""
+    blk = (F.col("doc_id") / span).cast("long")
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col(arr_col).alias("arr_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col(arr_col).alias("arr_b"),
+        blk.alias("blk_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("doc_b") <= F.col("doc_a") + span),
+    )
+    inter = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    staged = joined.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("nc"),
+        F.size("arr_a").alias("na"),
+        F.size("arr_b").alias("nb"),
+    )
+    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
+    return (
+        staged.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a single-file table so per-row array work uses all
+    cores (a small parquet file arrives as one partition)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, "doc_id")
+    return df
+
+
 # --------------------------------------------------------------------------
 # q62 — exact n-gram (token) Jaccard on bounded candidate pairs
 # --------------------------------------------------------------------------
@@ -126,54 +185,13 @@ def q62_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate generation in production comes from LSH buckets (q63),
     never from an unbounded self-join; the banded join here bounds work the
     same way."""
-    d = t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par, "doc_id")
+    d = _spread(spark, t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         "lang",
         F.array_distinct(tokens(normalize(F.col("text")))).alias("tok"),
     )
-    # Block-bucketed equi-join: doc_b ∈ (doc_a, doc_a+10] means doc_b's
-    # 10-wide id block is doc_a's block or the next one, so probing two
-    # blocks per left row turns the theta join into a hash-joinable equi
-    # join on (lang, block).  A raw non-equi condition on doc ids plans as
-    # a per-language nested-loop sweep — quadratic in docs-per-language.
-    span = 10
-    blk = (F.col("doc_id") / span).cast("long")
-    a = toks.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("tok").alias("tok_a"),
-        F.explode(F.array(blk, blk + 1)).alias("blk_a"),
-    )
-    b = toks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("tok").alias("tok_b"),
-        blk.alias("blk_b"),
-    )
-    joined = a.join(
-        b,
-        (F.col("blk_a") == F.col("blk_b"))
-        & (F.col("lang_a") == F.col("lang_b"))
-        & (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("doc_b") <= F.col("doc_a") + span),
-    )
-    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
-    staged = joined.select(
-        "doc_a",
-        "doc_b",
-        inter.alias("nc"),
-        F.size("tok_a").alias("na"),
-        F.size("tok_b").alias("nb"),
-    )
-    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
-    return (
-        staged.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.3)
-    )
+    return _banded_jaccard_pairs(toks, "tok", span=10, threshold=0.3)
 
 
 # --------------------------------------------------------------------------
@@ -214,10 +232,7 @@ def q67_chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one materialized normalized-text column); candidates at 100 TB
     come from LSH buckets (q63) — the banded join here bounds fixture work
     the same way."""
-    d = t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par, "doc_id")
+    d = _spread(spark, t(spark, sf_dir, "documents"))
     n = 4
     norm = d.select("doc_id", "lang", normalize(F.col("text")).alias("s"))
     s = F.col("s")
@@ -229,40 +244,7 @@ def q67_chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(idx, lambda i: s.substr(i, F.lit(n)))
         ).alias("gr"),
     )
-    span = 10
-    blk = (F.col("doc_id") / span).cast("long")
-    a = grams.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("gr").alias("gr_a"),
-        F.explode(F.array(blk, blk + 1)).alias("blk_a"),
-    )
-    b = grams.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("gr").alias("gr_b"),
-        blk.alias("blk_b"),
-    )
-    joined = a.join(
-        b,
-        (F.col("blk_a") == F.col("blk_b"))
-        & (F.col("lang_a") == F.col("lang_b"))
-        & (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("doc_b") <= F.col("doc_a") + span),
-    )
-    inter = F.size(F.array_intersect(F.col("gr_a"), F.col("gr_b")))
-    staged = joined.select(
-        "doc_a",
-        "doc_b",
-        inter.alias("nc"),
-        F.size("gr_a").alias("na"),
-        F.size("gr_b").alias("nb"),
-    )
-    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
-    return (
-        staged.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.35)
-    )
+    return _banded_jaccard_pairs(grams, "gr", span=10, threshold=0.35)
 
 
 # --------------------------------------------------------------------------
@@ -287,15 +269,11 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash), while shingle Jaccard stays discriminative."""
     from hadoop_sync_spark.functions.text import shingles_of_tokens
 
-    d = t(spark, sf_dir, "documents")
-    # repartition the raw text FIRST so shingle building and signatures run
-    # on all cores (a single small parquet file arrives as one partition);
+    # spread first so shingle building and signatures run on all cores;
     # then two-step projection: materialize tokens, then shingle from the
     # column reference — keeps the transform lambda from re-tokenizing per
     # shingle index (Catalyst expression trees are trees, not DAGs)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par, "doc_id")
+    d = _spread(spark, t(spark, sf_dir, "documents"))
     toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
     with_shingles = toks_df.select(
         "doc_id", F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh")
@@ -343,10 +321,7 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on (block_no, block_value); in-bucket pair expansion
     like q63.  4 block probes per doc replace the O(n²) signature sweep."""
-    d = t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par, "doc_id")
+    d = _spread(spark, t(spark, sf_dir, "documents"))
     toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
     sig = toks_df.select(
         "doc_id", simhash64(F.col("tok")).alias("sig")

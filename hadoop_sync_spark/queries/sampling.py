@@ -16,29 +16,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.queries import register
-from hadoop_sync_spark.queries._util import t
+from hadoop_sync_spark.queries._util import md5_prefix_long, sql_md5_prefix_long, t
 
 #: SQL twin of :func:`hash_bucket` (DuckDB spelling).
-_SQL_BUCKET = (
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
-)
+_SQL_BUCKET = f"{sql_md5_prefix_long('CAST(doc_id AS VARCHAR)')} % 100"
 
 
 def hash_bucket(idc: Column, n: int = 100) -> Column:
     """Stable bucket in [0, n): md5-prefix of the stringified id.  The id,
     not the row, carries membership — append-safe and order-free."""
-    return (
-        F.conv(F.substring(F.md5(idc.cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % n
-    )
+    return md5_prefix_long(idc.cast("string")) % n
 
 
 # --------------------------------------------------------------------------
 # q73 — deterministic stratified sampling by language
 # --------------------------------------------------------------------------
-_FRACTIONS = {"en": 50, "de": 20}  # percent kept per lang
+#: Single source of truth for the per-language keep rates (percent); the
+#: Spark when-chain and the oracle CASE are both generated from it.
+_FRACTIONS = {"en": 50, "de": 20}
 _DEFAULT_PCT = 10
+
+_SQL_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {pct}" for lang, pct in _FRACTIONS.items())
+    + f" ELSE {_DEFAULT_PCT} END"
+)
+
+
+def _threshold() -> Column:
+    expr = None
+    for lang, pct in _FRACTIONS.items():
+        clause = F.when(F.col("lang") == lang, pct)
+        expr = clause if expr is None else expr.when(F.col("lang") == lang, pct)
+    return expr.otherwise(_DEFAULT_PCT)
 
 
 @register(
@@ -47,8 +57,7 @@ _DEFAULT_PCT = 10
     SELECT doc_id, lang, source,
            {_SQL_BUCKET} AS bucket
     FROM documents
-    WHERE {_SQL_BUCKET} <
-          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
+    WHERE {_SQL_BUCKET} < {_SQL_CASE}
     """,
     tags=("sampling", "stratified", "l3"),
 )
@@ -62,12 +71,9 @@ def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown-friendly, no RNG state."""
     d = t(spark, sf_dir, "documents")
     bucket = hash_bucket(F.col("doc_id"))
-    threshold = F.when(F.col("lang") == "en", 50).when(
-        F.col("lang") == "de", 20
-    ).otherwise(_DEFAULT_PCT)
     return d.select(
         "doc_id", "lang", "source", bucket.alias("bucket")
-    ).filter(F.col("bucket") < threshold)
+    ).filter(F.col("bucket") < _threshold())
 
 
 # --------------------------------------------------------------------------

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.queries import register
-from hadoop_sync_spark.queries._util import t
+from hadoop_sync_spark.queries._util import (
+    md5_prefix_long,
+    sql_md5_prefix_long,
+    t,
+)
 from hadoop_sync_spark.functions.text import (
     STOPWORDS,
     fingerprint,
@@ -24,8 +28,10 @@ from hadoop_sync_spark.functions.text import (
     unique_token_count,
 )
 
-_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
-_SQL_NORM_TOKENS = "string_split_regex(trim(lower(trim(text))), '\\s+')"
+from hadoop_sync_spark.functions.text import WS_RE
+
+_SQL_TOKENS = f"string_split_regex(trim(text), '{WS_RE}')"
+_SQL_NORM_TOKENS = f"string_split_regex(trim(lower(trim(text))), '{WS_RE}')"
 _SQL_STOP = "['" + "','".join(STOPWORDS) + "']"
 
 
@@ -222,7 +228,9 @@ def q54_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q57 — BPE-ish regex pre-tokenization (subword-budget counting)
 # --------------------------------------------------------------------------
-_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# explicit whitespace class, not `\s`: Java's \s includes U+000B, RE2's
+# does not — see functions.text.WS_RE
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 
 
 @register(
@@ -274,6 +282,7 @@ def q57_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q58 — rolling-hash document fingerprint (winnowing-style)
 # --------------------------------------------------------------------------
 _RH_B, _RH_M, _RH_W = 1000003, 2147483647, 4
+_SQL_MD5_LONG = sql_md5_prefix_long("t")
 
 
 @register(
@@ -283,8 +292,7 @@ _RH_B, _RH_M, _RH_W = 1000003, 2147483647, 4
         SELECT doc_id, {_SQL_NORM_TOKENS} AS toks FROM documents
     ), v AS (
         SELECT doc_id,
-               list_transform(toks,
-                   t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS vals
+               list_transform(toks, t -> {_SQL_MD5_LONG}) AS vals
         FROM tok
     ), w AS (
         SELECT doc_id,
@@ -320,10 +328,7 @@ def q58_rolling_hash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", tokens(normalize(F.col("text"))).alias("toks"))
     vals_df = toks.select(
         "doc_id",
-        F.transform(
-            "toks",
-            lambda tk: F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast("long"),
-        ).alias("vals"),
+        F.transform("toks", md5_prefix_long).alias("vals"),
     )
     vals = F.col("vals")
     idx = F.sequence(F.lit(1), F.greatest(F.size(vals) - (_RH_W - 1), F.lit(1)))
@@ -348,9 +353,9 @@ def q58_rolling_hash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q55_tfidf",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(lower(trim(text))), '\\s+'))
+        SELECT doc_id, unnest({_SQL_NORM_TOKENS})
                  AS term
         FROM documents
     ), tf AS (
@@ -407,9 +412,9 @@ def q55_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q56_top_terms_per_lang",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
-        SELECT lang, unnest(string_split_regex(trim(lower(trim(text))), '\\s+'))
+        SELECT lang, unnest({_SQL_NORM_TOKENS})
                  AS term
         FROM documents
     ), cnt AS (

@@ -29,6 +29,17 @@ from pyspark.sql.types import StructType
 #: formats the engine will read/write; all ship inside vanilla Spark.
 FORMATS: tuple[str, ...] = ("parquet", "orc", "csv", "json")
 
+#: CSV NULL marker.  Spark's CSV layer compares values against nullValue
+#: AFTER unquoting, so NULL and a data string equal to the marker are
+#: fundamentally indistinguishable in the file (quoteAll doesn't help —
+#: the writer quotes the marker too; verified empirically).  A marker
+#: framed by NUL bytes makes that collision impossible for any real text
+#: (strings containing U+0000 don't survive most text pipelines anyway);
+#: the residual corruption case is data exactly equal to this 3-char
+#: sequence.  The common markers ('', '\\N', 'NULL') all collide with
+#: strings that genuinely occur in corpora.
+CSV_NULL_MARKER = "\x00N\x00"
+
 
 def write_table(
     df: DataFrame,
@@ -59,7 +70,7 @@ def write_table(
         w = (
             w.option("header", "true")
             .option("escape", '"')
-            .option("nullValue", "\\N")
+            .option("nullValue", CSV_NULL_MARKER)
             .option("emptyValue", '""')
             .option("ignoreLeadingWhiteSpace", "false")
             .option("ignoreTrailingWhiteSpace", "false")
@@ -92,7 +103,7 @@ def read_table(
                 r.option("header", "true")
                 .option("escape", '"')
                 .option("multiLine", "true")
-                .option("nullValue", "\\N")
+                .option("nullValue", CSV_NULL_MARKER)
             )
     elif schema is not None:
         r = r.schema(schema)

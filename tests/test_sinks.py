@@ -75,6 +75,8 @@ def test_csv_json_adversarial_roundtrip(spark, tmp_path_factory):
         (5, "ünïcode – 中文 🚀"),
         (6, "   leading/trailing   "),
         (7, "\\backslash\\ and 'single'"),
+        (8, "\\N"),  # the classic null-marker collision string
+        (9, "NULL"),
     ]
     df = spark.createDataFrame(rows, schema)
     for fmt in ("csv", "json"):
