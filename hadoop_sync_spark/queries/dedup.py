@@ -30,8 +30,8 @@ from hadoop_sync_spark.functions.text import (
 
 from hadoop_sync_spark.functions.text import WS_RE
 
-_SQL_TOKENS = f"string_split_regex(trim(text), '{WS_RE}')"
-_SQL_NORM_TOKENS = f"string_split_regex(trim(lower(trim(text))), '{WS_RE}')"
+_SQL_TOKENS = f"string_split_regex(trim(text, ' '), '{WS_RE}')"
+_SQL_NORM_TOKENS = f"string_split_regex(trim(lower(trim(text, ' ')), ' '), '{WS_RE}')"
 
 
 # --------------------------------------------------------------------------
@@ -45,7 +45,7 @@ _SQL_NORM_TOKENS = f"string_split_regex(trim(lower(trim(text))), '{WS_RE}')"
     JOIN (
         SELECT MIN(doc_id) AS doc_id
         FROM documents
-        GROUP BY md5(lower(trim(text)))
+        GROUP BY md5(lower(trim(text, ' ')))
     ) k USING (doc_id)
     """,
     tags=("dedup", "exact"),
@@ -203,8 +203,8 @@ def q62_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(
-                   range(1, greatest(length(lower(trim(text))) - 3, 1) + 1),
-                   i -> substr(lower(trim(text)), CAST(i AS INT), 4))) AS gr
+                   range(1, greatest(length(lower(trim(text, ' '))) - 3, 1) + 1),
+                   i -> substr(lower(trim(text, ' ')), CAST(i AS INT), 4))) AS gr
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

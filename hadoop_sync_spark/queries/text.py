@@ -30,8 +30,8 @@ from hadoop_sync_spark.functions.text import (
 
 from hadoop_sync_spark.functions.text import WS_RE
 
-_SQL_TOKENS = f"string_split_regex(trim(text), '{WS_RE}')"
-_SQL_NORM_TOKENS = f"string_split_regex(trim(lower(trim(text))), '{WS_RE}')"
+_SQL_TOKENS = f"string_split_regex(trim(text, ' '), '{WS_RE}')"
+_SQL_NORM_TOKENS = f"string_split_regex(trim(lower(trim(text, ' ')), ' '), '{WS_RE}')"
 _SQL_STOP = "['" + "','".join(STOPWORDS) + "']"
 
 
@@ -71,7 +71,7 @@ def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q51_fingerprint_groups",
     oracle="""
-    SELECT md5(lower(trim(text))) AS fp,
+    SELECT md5(lower(trim(text, ' '))) AS fp,
            COUNT(*) AS doc_cnt,
            MIN(doc_id) AS keep_doc_id
     FROM documents

@@ -1,0 +1,176 @@
+"""Cross-engine idiom fuzzing: the oracle gate rests on a handful of
+Spark↔DuckDB expression pairs (whitespace tokenization, the BPE-ish regex,
+the md5-prefix integer hash, the rolling-hash fold).  The fixture corpus is
+ASCII word soup, so it cannot catch divergence on the inputs engines
+actually disagree about — exotic whitespace (U+000B!), unicode, quotes,
+empty strings.  This test generates a seeded adversarial corpus and runs
+every paired idiom through BOTH engines in one batch.
+
+NULL text is deliberately excluded: Spark's `size(NULL)` is -1 while
+DuckDB's `len(NULL)` is NULL — a real semantic difference the queries never
+hit because the fixture schema is non-null.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from hadoop_sync_spark.functions.text import WS_RE, normalize, tokens
+from hadoop_sync_spark.queries._util import md5_prefix_long, sql_md5_prefix_long
+from hadoop_sync_spark.queries.text import (
+    _BPE_RE,
+    _RH_B,
+    _RH_M,
+    _RH_W,
+    _SQL_NORM_TOKENS,
+    _SQL_TOKENS,
+)
+
+_WS_CHARS = [" ", "\t", "\n", "\r", "\x0b", "\f"]
+_ATOMS = (
+    list("abcdefXYZ0123456789")
+    + list(".,;:!?\"'`()[]{}<>@#$%^&*-_=+|\\/~")
+    + ["é", "ü", "ß", "中", "文", "🚀", "–", "…", " ", " "]
+)
+
+
+def _corpus(n: int = 300, seed: int = 42) -> list[str]:
+    rng = random.Random(seed)
+    out = ["", " ", "\x0b", "a\x0bb", "  x  ", "\t\n"]
+    while len(out) < n:
+        length = rng.randint(1, 60)
+        out.append(
+            "".join(
+                rng.choice(_WS_CHARS if rng.random() < 0.25 else _ATOMS)
+                for _ in range(length)
+            )
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    texts = _corpus()
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    sdf = spark.createDataFrame(pdf, schema)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return sdf, con
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _sql(con, q):
+    return sorted(tuple(r) for r in con.sql(q).fetchall())
+
+
+def test_tokenizer_parity(frames):
+    sdf, con = frames
+    got = _rows(
+        sdf.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n"),
+            F.size(F.array_distinct(tokens(normalize(F.col("text")))))
+            .cast("long")
+            .alias("nd"),
+        )
+    )
+    want = _sql(
+        con,
+        f"""
+        SELECT doc_id,
+               CAST(len({_SQL_TOKENS}) AS BIGINT),
+               CAST(len(list_distinct({_SQL_NORM_TOKENS})) AS BIGINT)
+        FROM documents ORDER BY doc_id
+        """,
+    )
+    assert got == want
+
+
+def test_bpe_regex_parity(frames):
+    sdf, con = frames
+    got = _rows(
+        sdf.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+            ).cast("long").alias("n"),
+        )
+    )
+    want = _sql(
+        con,
+        f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}', 0))
+                    AS BIGINT)
+        FROM documents ORDER BY doc_id
+        """,
+    )
+    assert got == want
+
+
+def test_md5_prefix_hash_parity(frames):
+    sdf, con = frames
+    got = _rows(
+        sdf.select("doc_id", md5_prefix_long(F.col("text")).alias("h"))
+    )
+    want = _sql(
+        con,
+        f"SELECT doc_id, {sql_md5_prefix_long('text')} "
+        "FROM documents ORDER BY doc_id",
+    )
+    assert got == want
+
+
+def test_rolling_hash_parity(frames):
+    sdf, con = frames
+    toks = sdf.select("doc_id", tokens(normalize(F.col("text"))).alias("toks"))
+    vals_df = toks.select(
+        "doc_id", F.transform("toks", md5_prefix_long).alias("vals")
+    )
+    vals = F.col("vals")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(vals) - (_RH_W - 1), F.lit(1)))
+    wh = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(vals, i, _RH_W),
+            F.lit(0).cast("long"),
+            lambda a, b: (a * _RH_B + b) % _RH_M,
+        ),
+    )
+    got = _rows(vals_df.select("doc_id", F.array_min(wh).alias("fp")))
+    want = _sql(
+        con,
+        f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   {_SQL_NORM_TOKENS} AS toks
+            FROM documents
+        ), v AS (
+            SELECT doc_id,
+                   list_transform(toks, t -> {sql_md5_prefix_long('t')}) AS vals
+            FROM tok
+        ), w AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(vals) - {_RH_W - 1}, 1) + 1),
+                       i -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             list_slice(vals, i, i + {_RH_W - 1})),
+                                (a, b) -> (a * {_RH_B} + b) % {_RH_M})) AS wh
+            FROM v
+        )
+        SELECT doc_id, list_min(wh) FROM w ORDER BY doc_id
+        """,
+    )
+    assert got == want
