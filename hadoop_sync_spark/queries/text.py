@@ -451,3 +451,66 @@ def q56_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.select("lang", "term", "term_cnt", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# q59 — repetition / boilerplate signals (Gopher-style quality filters)
+# --------------------------------------------------------------------------
+@register(
+    "q59_repetition_signals",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_NORM_TOKENS}) AS term
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, term, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, term
+    ), agg AS (
+        SELECT doc_id,
+               SUM(c) AS total,
+               COUNT(*) AS uniq,
+               MAX(c) AS top_c
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS token_cnt,
+           1.0 - CAST(uniq AS DOUBLE) / total AS dup_token_frac,
+           CAST(top_c AS DOUBLE) / total AS top_token_frac,
+           CASE WHEN 1.0 - CAST(uniq AS DOUBLE) / total > 0.6
+                  OR CAST(top_c AS DOUBLE) / total > 0.2
+                THEN 'flag' ELSE 'keep' END AS repetition_bucket
+    FROM agg
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def q59_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signals per document — the Gopher-rules tier
+    of quality filtering (Rae et al. 2021, App. A1.1): duplicate-token
+    fraction and most-frequent-token dominance, thresholded into a
+    keep/flag bucket.  Catches the looping/template pathologies a
+    stopword-ratio filter (q53) misses.
+
+    Scale: one explode + one (doc_id, term) aggregation with map-side
+    combine; doc_id is the grouping key so the shuffle is uniform (no term
+    skew — contrast q55's term-keyed DF aggregate)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize(F.col("text")))).alias("term")
+    )
+    cnt = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("uniq"),
+        F.max("c").alias("top_c"),
+    )
+    dup = 1.0 - F.col("uniq").cast("double") / F.col("total")
+    top = F.col("top_c").cast("double") / F.col("total")
+    return agg.select(
+        "doc_id",
+        F.col("total").cast("long").alias("token_cnt"),
+        dup.alias("dup_token_frac"),
+        top.alias("top_token_frac"),
+        F.when((dup > 0.6) | (top > 0.2), "flag")
+        .otherwise("keep")
+        .alias("repetition_bucket"),
+    )

@@ -83,3 +83,12 @@ def test_flagship_agg_is_partial_final(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q01_pricing_summary")
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") <= 2  # one agg exchange (+AQE wrapper slack)
+
+
+def test_disjunctive_join_broadcasts_dimension(spark, sf_dir):
+    """q84's disjunctive predicate must not prevent the part dimension
+    from broadcasting (the single-table conjuncts are extracted and pushed
+    below the join)."""
+    plan = _plan(spark, sf_dir, "q84_disjunctive_join_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
