@@ -391,3 +391,85 @@ def q49_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_join(ev).select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
     )
+
+
+# --------------------------------------------------------------------------
+# q75 — time-series gap filling + LOCF (hypertable-rollup pattern)
+# --------------------------------------------------------------------------
+@register(
+    "q75_gap_fill_locf",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               make_timestamp((epoch_us(ts::TIMESTAMP) // {_10M_US})
+                              * {_10M_US}) AS bucket,
+               COUNT(*) AS cnt,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(
+              (SELECT MIN(bucket) FROM b), (SELECT MAX(bucket) FROM b),
+              INTERVAL 10 MINUTE)) AS bucket) g
+    )
+    SELECT s.event_type, s.bucket,
+           COALESCE(b.cnt, 0) AS cnt,
+           LAST_VALUE(CAST(b.sv AS DOUBLE) / 100.0 IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_sum
+    FROM spine s LEFT JOIN b USING (event_type, bucket)
+    """,
+    tags=("events", "timeseries", "gap-fill", "locf"),
+)
+def q75_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series rollup: 10-minute per-type buckets joined onto a
+    generated continuous bucket spine, empty buckets filled with zero
+    counts and last-observation-carried-forward sums — the hypertable /
+    continuous-aggregate pattern (gap filling + LOCF) dashboards need,
+    since a plain GROUP BY silently omits empty intervals.
+
+    Scale: the spine is |event_types| × |buckets| rows — generated, never
+    scanned; the LOCF window partitions by type so state per partition is
+    one running value.  Sums ride scaled BIGINTs until the final double
+    division (exact parity)."""
+    ev = t(spark, sf_dir, "events")
+    bucket = F.timestamp_micros(
+        F.expr(f"unix_micros(ts) DIV {_10M_US}") * _10M_US
+    )
+    b = ev.groupBy(
+        F.col("event_type"), bucket.alias("bucket")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sv"),
+    )
+    bounds = b.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 10 MINUTES"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.last(
+                F.col("sv").cast("double") / F.lit(100.0), ignorenulls=True
+            ).over(w).alias("locf_sum"),
+        )
+    )
