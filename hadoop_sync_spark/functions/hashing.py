@@ -97,7 +97,12 @@ def _minhash_arrow_udf(k: int, seed: int):
         out = []
         with np.errstate(over="ignore"):
             for h in hashes:
-                if h is None or len(h) == 0:
+                if h is None:
+                    # builtin reference propagates NULL for a NULL array;
+                    # only a genuinely EMPTY doc gets the sentinel
+                    out.append(None)
+                    continue
+                if len(h) == 0:
                     out.append(sentinel)
                     continue
                 hu = np.asarray(h, dtype=np.int64).view(np.uint64)
@@ -190,16 +195,22 @@ def _simhash_arrow_udf():
 
     @F.pandas_udf("bigint")
     def sh(hashes: pd.Series) -> pd.Series:
-        res = np.zeros(len(hashes), dtype=np.uint64)
-        for i, h in enumerate(hashes):
-            if h is None or len(h) == 0:
+        out: list[int | None] = []
+        for h in hashes:
+            if h is None:
+                # builtin reference propagates NULL for a NULL array
+                out.append(None)
+                continue
+            if len(h) == 0:
+                out.append(0)
                 continue
             hu = np.asarray(h, dtype=np.int64).view(np.uint64)
             # (n, 64) bit matrix; bit j set iff ones > n/2 (count>0 in ±1 terms)
             ones = ((hu[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
             sig_bits = (2 * ones > len(hu)).astype(np.uint64)
-            res[i] = np.bitwise_or.reduce(sig_bits << shifts)
-        return pd.Series(res.view(np.int64))
+            sig = np.bitwise_or.reduce(sig_bits << shifts)
+            out.append(int(np.uint64(sig).astype(np.int64)))
+        return pd.Series(out, dtype="object")
 
     # deterministic output; flag is a pushdown barrier (see _minhash_arrow_udf)
     sh = sh.asNondeterministic()
@@ -247,6 +258,12 @@ def minhash_lsh_pairs(
     all collide into one quadratic mega-bucket.  `max_bucket` caps bucket
     width as a skew guard (None = uncapped).
     """
+    if bands < 1 or bands > k or k % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide k ({k}): bands > k collapses "
+            "every band key to a constant (one quadratic mega-bucket); "
+            "k % bands != 0 silently drops trailing signature slots"
+        )
     rows = k // bands
     # strip empty-string items: a whitespace-only document tokenizes to
     # [""], which would make every blank doc an exact "duplicate" of every

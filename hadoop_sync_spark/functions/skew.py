@@ -16,11 +16,22 @@ DEFAULT_SALT = 32
 
 
 def with_salt(df: DataFrame, buckets: int = DEFAULT_SALT) -> DataFrame:
-    """Attach a uniform `_salt` column (deterministic per row via a hash of
-    the whole row, NOT rand(): re-computation under task retry must land
-    the row in the same bucket or counts drift)."""
+    """Attach a uniform `_salt` column.
+
+    Derived from the row's POSITION (`monotonically_increasing_id`), not
+    `rand()` and not a hash of the row's content:
+
+    - rand() drifts under task retry (the recomputed row may land in a
+      different bucket → double counting);
+    - a content hash collapses on DUPLICATE rows — the exact hot-key shape
+      salting exists for (e.g. counting events per user on a projected
+      `(user_id)` frame: every hot-key row is identical, so all of them
+      hash to ONE salt bucket and the reducer fan-in is unchanged);
+    - mono-id is deterministic for a given input partitioning (partition
+      index ≪ 33 | row position), survives task retry, and cycles rows
+      evenly across buckets."""
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(buckets))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     )
 
 
@@ -64,9 +75,7 @@ def salted_join(
     (the same precondition as a broadcast join; prefer plain broadcast
     when the small side fits — this helper exists for the middle ground
     where the dim is too big to broadcast but the fact key is skewed)."""
-    sk = skewed.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(buckets))
-    )
+    sk = with_salt(skewed, buckets)
     sm = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -38,6 +38,7 @@ import os
 import shutil
 import time
 from dataclasses import dataclass, field
+from urllib.parse import unquote, urlparse
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -144,24 +145,61 @@ class Registry:
         torn catalog.  Analogue of the reference's single COMMIT
         (`HdfsSynchronizer.java:321`); any exception before the replace
         leaves the old version live (rollback, `:323-325`)."""
-        new_version = self._current_version() + 1
-        vdir = self._version_dir(new_version)
-        if os.path.exists(vdir):  # stale leftover from a crashed attempt
-            shutil.rmtree(vdir)
-        os.makedirs(vdir)
-        with open(os.path.join(vdir, _TABLES), "w") as f:
-            json.dump(tables, f, indent=1, sort_keys=True)
-        pq.write_table(
-            pa.Table.from_pylist(shards, schema=_SHARD_SCHEMA),
-            os.path.join(vdir, _SHARDS),
-        )
-        tmp = os.path.join(self.meta_dir, f".{_POINTER}.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.meta_dir, _POINTER))
-        return new_version
+        lock = self._acquire_publish_lock()
+        try:
+            # version counter is read UNDER the lock: without it two
+            # concurrent publishers both compute N+1 and the loser's
+            # stale-dir cleanup would rmtree the winner's LIVE version
+            new_version = self._current_version() + 1
+            vdir = self._version_dir(new_version)
+            if os.path.exists(vdir):  # stale leftover from a crashed attempt
+                shutil.rmtree(vdir)
+            os.makedirs(vdir)
+            with open(os.path.join(vdir, _TABLES), "w") as f:
+                json.dump(tables, f, indent=1, sort_keys=True)
+            pq.write_table(
+                pa.Table.from_pylist(shards, schema=_SHARD_SCHEMA),
+                os.path.join(vdir, _SHARDS),
+            )
+            tmp = os.path.join(self.meta_dir, f".{_POINTER}.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(new_version))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.meta_dir, _POINTER))
+            return new_version
+        finally:
+            os.unlink(lock)
+
+    #: a publish lock older than this is presumed crashed and stolen
+    _LOCK_STALE_S = 300.0
+
+    def _acquire_publish_lock(self) -> str:
+        """Exclusive writer lock (O_CREAT|O_EXCL lockfile) serializing
+        publishes — the engine-side analogue of the master catalog taking
+        row locks inside the reference's transaction.  Readers never take
+        it (the pointer swap keeps them lock-free).  A lockfile left by a
+        crashed publisher is stolen after `_LOCK_STALE_S`."""
+        path = os.path.join(self.meta_dir, ".publish.lock")
+        for _ in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return path
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue  # holder just released; retry
+                if age > self._LOCK_STALE_S:
+                    os.unlink(path)  # crashed holder
+                    continue
+                raise RuntimeError(
+                    "another publish is in progress (stale after "
+                    f"{self._LOCK_STALE_S:.0f}s: {path})"
+                )
+        raise RuntimeError(f"could not acquire publish lock {path}")
 
     # ------------------------------------------------------------- listing
     @staticmethod
@@ -182,7 +220,12 @@ class Registry:
                 }
             ]
         out = []
-        for root, _dirs, files in os.walk(dir_path):
+        for root, dirs, files in os.walk(dir_path):
+            # prune hidden/underscore DIRECTORIES too (Spark skips any path
+            # with such a segment): otherwise a crashed writer's
+            # `_temporary/.../part-*.parquet` would register as a shard and
+            # a later read() would scan partial output
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             for fname in sorted(files):
                 if fname.startswith((".", "_")):
                     continue
@@ -299,9 +342,12 @@ class Registry:
         )
         out = {}
         for r in rows:
-            # input_file_name returns a URI (file:///...); normalize to path
+            # input_file_name returns a percent-encoded URI (file:///...);
+            # decode it or paths with spaces/non-ASCII never match the
+            # os.walk listing and healthy files would look stat-less
             p = r["file"]
-            p = p[7:] if p.startswith("file://") else p
+            if p.startswith("file:"):
+                p = unquote(urlparse(p).path)
             out[p] = (r["min_value"], r["max_value"])
         return out
 
@@ -326,20 +372,23 @@ class Registry:
             else {}
         )
 
+        unchanged_keys = {
+            (u["path"], u["size"], u["mtime_ns"]) for u in d.unchanged
+        }
         keep = [
             s
             for s in self._load_shards()
             if s["table_name"] != name
-            or (s["path"], s["size"], s["mtime_ns"])
-            in {(u["path"], u["size"], u["mtime_ns"]) for u in d.unchanged}
+            or (s["path"], s["size"], s["mtime_ns"]) in unchanged_keys
         ]
         added = []
         for f in d.new_files:
+            # a zero-row parquet file legitimately produces no stats row
+            # (groupBy over zero rows); it gets (None, None) — pruning
+            # treats missing stats as keep-always, so this stays sound.
+            # Genuine scan failures raise inside the Spark job itself
+            # (the A18 replica-fallback concern is Spark task retry).
             mn, mx = stats.get(f["path"], (None, None))
-            if fetch_min_max and part_col and stats and f["path"] not in stats:
-                # A16/A18 analogue: a new shard whose stats scan found no
-                # replica answering → abort before publish
-                raise RuntimeError(f"no stats for new shard {f['path']}")
             added.append(
                 {
                     "table_name": name,
@@ -432,14 +481,28 @@ class Registry:
         )
         dtype = dict(sample.dtypes)[part_col]
 
+        # dtypes whose string form compares correctly as text: ISO
+        # timestamps/dates and plain strings ('false' < 'true' for bool)
+        _TEXT_ORDERED = ("string", "date", "timestamp", "boolean")
+
         def cast(v):
             if v is None:
                 return None
-            if dtype in ("bigint", "int", "smallint"):
+            if dtype in ("bigint", "int", "smallint", "tinyint"):
                 return int(v)
-            if dtype in ("double", "float"):
-                return float(v)
-            return v  # strings & timestamps: ISO strings compare correctly
+            if dtype in ("double", "float") or dtype.startswith("decimal"):
+                from decimal import Decimal
+
+                return Decimal(v)
+            return v
+
+        if dtype not in ("bigint", "int", "smallint", "tinyint", "double",
+                         "float") and not dtype.startswith("decimal") \
+                and not dtype.startswith(_TEXT_ORDERED):
+            # unknown/unorderable-as-text dtype (binary, array, ...):
+            # comparing would be lexicographic nonsense — keep every file
+            # (pruning must stay sound before it is effective)
+            return [s["path"] for s in self.shards(name)]
 
         lo_c, hi_c = cast(str(lo)), cast(str(hi))
         keep = []

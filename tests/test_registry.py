@@ -292,3 +292,86 @@ def test_vacuum_retains_live_and_recent_versions(spark, tmp_path):
     # keep_last clamps: vacuum(0) never drops the live version
     reg.vacuum(keep_last=0)
     assert reg.read("tbl").count() == 40
+
+
+def test_temporary_dirs_and_hidden_dirs_are_not_shards(spark, tmp_path):
+    """A crashed writer's _temporary/... part files must never register:
+    Spark's file index skips any path with a hidden/underscore segment."""
+    from hadoop_sync_spark.registry import Registry
+
+    data = tmp_path / "tbl"
+    (data / "_temporary" / "0").mkdir(parents=True)
+    (data / ".staging").mkdir()
+    spark.range(10).write.parquet(str(data / "good.parquet"))
+    spark.range(5).coalesce(1).write.parquet(
+        str(data / "_temporary" / "0" / "part.parquet")
+    )
+    spark.range(7).coalesce(1).write.parquet(
+        str(data / ".staging" / "part.parquet")
+    )
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register("tbl", str(data))
+    reg.sync("tbl")
+    assert reg.read("tbl").count() == 10
+    rel = [s["path"][len(str(data)) :] for s in reg.shards("tbl")]
+    assert rel and all(
+        "_temporary" not in p and ".staging" not in p for p in rel
+    )
+
+
+def test_empty_parquet_file_syncs_with_null_stats(spark, tmp_path):
+    """A zero-row part file is a legitimate shard: it gets (None, None)
+    stats (kept by pruning) instead of aborting the sync forever."""
+    from hadoop_sync_spark.registry import Registry
+
+    data = tmp_path / "tbl"
+    data.mkdir()
+    spark.range(0, 100).write.parquet(str(data / "full.parquet"))
+    spark.range(0).write.parquet(str(data / "empty.parquet"))
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register("tbl", str(data), partition_column="id")
+    r = reg.sync("tbl", fetch_min_max=True)
+    assert not r.noop
+    stats = {
+        s["path"].rsplit("/", 2)[-2]: (s["min_value"], s["max_value"])
+        for s in reg.shards("tbl")
+    }
+    full = [v for k, v in stats.items() if "full" in k]
+    empty = [v for k, v in stats.items() if "empty" in k]
+    assert all(v == (None, None) for v in empty)
+    assert all(v[0] is not None for v in full)
+    # pruning keeps the stat-less empty file (soundness): surviving files
+    # contain every row in range (they may contain more — read_pruned is a
+    # file-level filter, the row predicate still applies on top)
+    from pyspark.sql import functions as F
+
+    pruned = reg.read_pruned("tbl", 0, 10)
+    assert pruned.filter(F.col("id").between(0, 10)).count() == 11
+    assert len(reg.prune_files("tbl", 0, 10)) < len(reg.shards("tbl"))
+
+
+def test_publish_lock_blocks_concurrent_writer(spark, tmp_path):
+    """A second publisher must fail fast while a publish is in flight
+    (and never rmtree the live version)."""
+    import os
+
+    import pytest as _pytest
+
+    from hadoop_sync_spark.registry import Registry
+
+    data = tmp_path / "tbl"
+    data.mkdir()
+    spark.range(10).write.parquet(str(data / "p.parquet"))
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register("tbl", str(data))
+    reg.sync("tbl")
+    # simulate an in-flight publisher holding the lock
+    lock = os.path.join(str(tmp_path / "meta"), ".publish.lock")
+    with open(lock, "w") as f:
+        f.write("99999")
+    spark.range(5).write.parquet(str(data / "p2.parquet"))
+    with _pytest.raises(RuntimeError, match="another publish"):
+        reg.sync("tbl")
+    os.unlink(lock)
+    assert not reg.sync("tbl").noop  # lock released → sync proceeds
+    assert reg.read("tbl").count() == 15
