@@ -411,3 +411,44 @@ def q65_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_sim") >= 0.35)
     )
+
+
+# --------------------------------------------------------------------------
+# q68 — duplicate clusters: LSH pairs → connected components (rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q68_dup_components",
+    oracle=None,
+    tags=("dedup", "components", "iterative"),
+)
+def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup cascade's completion step: near-dup PAIRS (MinHash-LSH
+    candidates, q63) become duplicate GROUPS via connected components, and
+    each group elects the minimum doc_id as its canonical survivor — the
+    "keep one per cluster" output a curation pipeline actually writes.
+
+    Iterative min-label propagation (one shuffle per round, lineage
+    truncated per round); duplicate clusters are tiny and dense, so it
+    converges in ~3 rounds.  Rows-only: iteration-to-fixpoint has no
+    single-query SQL twin (DuckDB's recursive CTEs could express it, but
+    the driver's hash compare needs deterministic convergence on both
+    engines — behavioral tests with planted chains cover it instead)."""
+    from hadoop_sync_spark.functions.graph import connected_components
+    from hadoop_sync_spark.functions.text import shingles_of_tokens
+
+    d = _spread(spark, t(spark, sf_dir, "documents"))
+    toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
+    with_sh = toks_df.select(
+        "doc_id", F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh")
+    )
+    pairs = minhash_lsh_pairs(with_sh, "doc_id", "sh", k=32, bands=8)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("member_cnt"),
+            F.min("node").alias("keep_doc_id"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("component")
+    )

@@ -100,3 +100,19 @@ def test_empty_documents_do_not_flood_buckets(spark):
     ).collect()
     ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
     assert all(i < 100 for i in ids), "sentinel signatures paired empty docs"
+
+
+def test_connected_components_planted_chain(spark):
+    """A~B, B~C, D~E must yield components {A,B,C} and {D,E} with the
+    minimum id as the canonical label; convergence needs >1 round (the
+    chain's transitive closure is not visible in any single edge)."""
+    from hadoop_sync_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
