@@ -452,3 +452,48 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# q69 — semantic dedup: embedding-cosine pairs → clusters (rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q69_semantic_dedup",
+    oracle=None,
+    tags=("dedup", "semantic", "vectors", "components"),
+)
+def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): documents
+    whose EMBEDDINGS are near-parallel are duplicates even when their text
+    differs (paraphrases, translations, templated rewrites) — cosine pairs
+    above threshold become edges, connected components become clusters,
+    min vec_id is the canonical survivor.
+
+    Scale: candidate pairs at 100 TB come from IVF buckets
+    (functions.vectors.ivf_topk's assignment) or sign-LSH bands
+    (rp_signature) rather than this bounded self-join — the scoring
+    expression and the component step are unchanged; the fixture keeps an
+    exact bounded candidate set so the cluster structure is reproducible."""
+    from hadoop_sync_spark.functions.graph import connected_components
+    from hadoop_sync_spark.functions.vectors import cosine
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("sim")
+        )
+        .filter(F.col("sim") >= 0.35)
+    )
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("member_cnt"),
+            F.min("node").alias("keep_vec_id"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("component")
+    )
