@@ -41,9 +41,13 @@ HEADLINE = [
     "q40_tumbling_window",
     "q42_session_windows",
     "q51_fingerprint_groups",
+    "q57_bpe_pretokens",
     "q60_exact_dedup",
     "q63_minhash_lsh_pairs",
     "q70_cosine_topk",
+    "q73_stratified_sample",
+    "q75_gap_fill_locf",
+    "q84_disjunctive_join_revenue",
 ]
 
 
