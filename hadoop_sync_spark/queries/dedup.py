@@ -365,6 +365,36 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.filter(F.col("hamming") <= 6).distinct().orderBy("doc_a", "doc_b")
 
 
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded embedding-cosine near-dup pairs (vec_a, vec_b, sim ≥ 0.35),
+    shared by q65 (pairs) and q69 (clusters).  Norms are projected ONCE
+    per row before the self-join — `cosine()` inline would re-fold each
+    side's 64-element norm per PAIR (n× redundant work; the oracle
+    precomputes `nrm` the same way, so the arithmetic stays identical:
+    sqrt of the same double, multiplied once)."""
+    from hadoop_sync_spark.functions.vectors import dot, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+    )
+
+
 # --------------------------------------------------------------------------
 # q65 — embedding-cosine near-dup pairs (bounded, oracle-checked)
 # --------------------------------------------------------------------------
@@ -397,20 +427,7 @@ def q65_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: production replaces the bounded self-join with IVF bucketing
     (functions.vectors.ivf_topk) — same scoring expression, candidate set
     restricted to shared buckets."""
-    from hadoop_sync_spark.functions.vectors import cosine
-
-    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine(F.col("ea"), F.col("eb")).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.35)
-    )
+    return _cosine_pairs(spark, sf_dir).withColumnRenamed("sim", "cosine_sim")
 
 
 # --------------------------------------------------------------------------
@@ -475,19 +492,10 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression and the component step are unchanged; the fixture keeps an
     exact bounded candidate set so the cluster structure is reproducible."""
     from hadoop_sync_spark.functions.graph import connected_components
-    from hadoop_sync_spark.functions.vectors import cosine
 
-    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("sim")
-        )
-        .filter(F.col("sim") >= 0.35)
+    comp = connected_components(
+        _cosine_pairs(spark, sf_dir), src="vec_a", dst="vec_b"
     )
-    comp = connected_components(pairs, src="vec_a", dst="vec_b")
     return (
         comp.groupBy("component")
         .agg(
