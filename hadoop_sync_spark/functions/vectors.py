@@ -51,20 +51,28 @@ def brute_force_topk(
     the rank<=k window filter (WindowGroupLimit pushes the limit into the
     shuffle).  Cost O(|vectors|·|queries|·dim) — the honest baseline every
     ANN variant is validated against."""
+    # norms are projected ONCE per row on each side: `cosine()` inline in
+    # the pair space would re-fold the vector-side norm once per QUERY and
+    # the query-side norm once per ROW (|queries|× / |vectors|× redundant
+    # dim-wide folds); sqrt of the same double multiplied once is
+    # IEEE-identical, so oracle parity is unaffected
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vvec"),
+        l2_norm(F.col(vec_col)).alias("_vn"),
+    )
+    sim = dot(F.col("_qvec"), F.col("_vvec")) / F.nullif(
+        F.col("_qn") * F.col("_vn"), F.lit(0.0)
     )
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_vvec")).alias("cosine_sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
