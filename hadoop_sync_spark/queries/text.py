@@ -514,3 +514,60 @@ def q59_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("repetition_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# q76 — Python UDTF: sentence segmentation via LATERAL table function
+# --------------------------------------------------------------------------
+@register(
+    "q76_udtf_sentences",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, '.') AS seg FROM documents
+    ), e AS (
+        SELECT doc_id, unnest(range(len(seg))) AS i, seg FROM s
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS idx,
+           trim(seg[CAST(i + 1 AS INT)], ' ') AS sentence
+    FROM e
+    WHERE trim(seg[CAST(i + 1 AS INT)], ' ') <> ''
+    """,
+    tags=("text", "udtf", "lateral"),
+)
+def q76_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Python UDTF joined LATERALLY — the
+    one→many UDF flavor (scalar/pandas UDF, applyInPandas UDAF, and
+    mapInPandas are covered elsewhere; this completes the family).  The
+    segmenter here is a '.'-splitter so the oracle can mirror it exactly;
+    a real pipeline would swap in a model-backed splitter with the same
+    (idx, sentence) contract.
+
+    Parity detail: the UDTF strips ' ' only (`strip(' ')`), matching the
+    oracle's `trim(x, ' ')` — Python's bare strip() removes \\t/\\n too,
+    which DuckDB's space-trim does not.
+
+    Scale: UDTFs stream Arrow batches like mapInPandas — per-row Python,
+    so it's the right tool only when the expansion logic needs Python;
+    the split itself would otherwise be `posexplode(split(...))`."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: bigint, sentence: string")
+    class SentSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, seg in enumerate(text.split(".")):
+                s = seg.strip(" ")
+                if s:
+                    yield i, s
+
+    spark.udtf.register("sent_split", SentSplit)
+    d = t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT t.doc_id, s.idx, s.sentence
+        FROM _docs_for_udtf t, LATERAL sent_split(t.text) s
+        """
+    )
