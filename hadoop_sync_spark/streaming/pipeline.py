@@ -213,6 +213,7 @@ def attribution_join(
     events: DataFrame,
     horizon_minutes: int = 30,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the clicks the
     same user made in the preceding `horizon_minutes` — the canonical
@@ -228,7 +229,13 @@ def attribution_join(
 
     Scale: state is keyed by user_id (the equi part of the condition), so
     the join shuffles each side once on user_id; watermark + interval
-    bound per-key buffered history to ~(watermark + horizon)."""
+    bound per-key buffered history to ~(watermark + horizon).
+
+    ``how="leftOuter"`` adds the un-attributed purchases (null click
+    columns) — in streaming these rows can only emit once the watermark
+    guarantees no matching click can still arrive, which is why outer
+    stream-stream joins REQUIRE the time bound (an unbounded outer join
+    could never declare a row unmatched)."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -256,7 +263,7 @@ def attribution_join(
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
         )
     )
-    return purchases.join(clicks, cond, "inner").select(
+    return purchases.join(clicks, cond, how).select(
         "user_id", "purchase_id", "purchase_ts", "purchase_value",
         "click_id", "click_ts",
     )

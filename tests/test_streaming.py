@@ -186,3 +186,33 @@ def test_stream_stream_attribution_join(spark, events_dir, tmp_path):
     cols = ["user_id", "purchase_id", "click_id"]
     assert _canon(got, cols) == _canon(batch, cols)
     assert len(_canon(got, cols)) > 0
+
+
+def test_stream_stream_outer_join(spark, events_dir, tmp_path):
+    """leftOuter stream-stream join: un-attributed purchases emit with
+    null click columns once the watermark passes; coverage equals the
+    batch outer join (every purchase appears exactly once per match or
+    once unmatched)."""
+    from hadoop_sync_spark.streaming import attribution_join
+
+    stream = attribution_join(
+        stream_events(spark, events_dir), watermark="0 seconds", how="leftOuter"
+    )
+    name = _qname("ssouter")
+    got = run_available_now(
+        stream, str(tmp_path / "ckpt"), name, output_mode="append"
+    )
+    batch = attribution_join(
+        load_table(spark, SF_DIR, "events"), how="leftOuter"
+    )
+    cols = ["user_id", "purchase_id", "click_id"]
+    got_rows, batch_rows = set(_canon(got, cols)), set(_canon(batch, cols))
+    # streaming outer joins emit an unmatched row only once the watermark
+    # passes its eviction point; end-of-input stops the watermark clock, so
+    # purchases near the stream's end legitimately stay unemitted — the
+    # stream result is a subset of the batch result, with the MATCHED rows
+    # identical and a non-empty unmatched tail already flushed
+    assert got_rows <= batch_rows
+    matched = lambda rows: {r for r in rows if r[2] is not None}  # noqa: E731
+    assert matched(got_rows) == matched(batch_rows)
+    assert any(r[2] is None for r in got_rows)
