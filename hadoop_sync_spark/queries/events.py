@@ -274,8 +274,8 @@ def q45_grouped_mode_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT prop_key,
            COUNT(*) AS cnt,
-           SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT))
-             AS sum_val
+           CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS sum_val
     FROM kv
     GROUP BY prop_key
     """,

@@ -655,7 +655,7 @@ def q17_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_json_extract",
     oracle=f"""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS cnt,
            {sql_davg('value')} AS avg_value
     FROM events

@@ -156,8 +156,8 @@ def q25_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_conditional_agg",
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_cnt,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
            CAST(SUM(CASE WHEN o_orderpriority LIKE '1%'
                          THEN {sql_scaled('o_totalprice')} ELSE 0 END) AS DOUBLE)
              / 100.0 AS urgent_value,
@@ -768,27 +768,52 @@ def q39_scalar_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q48_approx_percentiles",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_cont(l_quantity, 0.95) AS p95,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "sketch", "quantile"),
 )
 def q48_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch per return flag: approx_percentile with a 10k
-    accuracy parameter next to the exact window-rank median (q24's
-    technique) — the 100 TB path for latency/price distribution questions,
-    where exact quantiles need a full sort per group.
+    accuracy parameter next to exact interpolated percentiles — the 100 TB
+    path for latency/price distribution questions, where exact quantiles
+    need a full sort per group.
 
-    Rows-only: quantile-sketch internals are engine-specific by design;
-    tests assert the sketch lands within the accuracy envelope of the
-    exact values."""
+    Exact percentiles are oracle-checked value-for-value (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share linear-interpolation
+    semantics); the engine-specific sketch output is checked via the
+    ``approx_ok`` contract column — TRUE iff every approximate quantile
+    lands within 1% relative error of its exact counterpart, which the
+    oracle asserts as a constant."""
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_quantity", [0.25, 0.5, 0.75, 0.95], 10000)
-            .alias("approx_quantiles"),
-            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))")
-            .alias("exact_quantiles"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").alias(
+            "_exact"
+        ),
+        F.percentile_approx(
+            "l_quantity", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("_approx"),
+    )
+    within = F.expr(
+        "aggregate(zip_with(_approx, _exact, (a, e) ->"
+        " abs(a - e) <= 0.01 * greatest(abs(e), 1.0)),"
+        " true, (acc, x) -> acc AND x)"
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.col("_exact")[0].alias("p25"),
+        F.col("_exact")[1].alias("p50"),
+        F.col("_exact")[2].alias("p75"),
+        F.col("_exact")[3].alias("p95"),
+        within.alias("approx_ok"),
     )

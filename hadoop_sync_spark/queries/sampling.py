@@ -87,7 +87,7 @@ def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_SQL_BUCKET} < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS doc_cnt,
-           SUM(n_chars) AS char_cnt
+           CAST(SUM(n_chars) AS BIGINT) AS char_cnt
     FROM documents
     GROUP BY lang, split
     """,

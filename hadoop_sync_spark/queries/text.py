@@ -99,7 +99,7 @@ def q51_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS doc_cnt,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            COUNT(DISTINCT source) AS source_cnt
     FROM documents

@@ -6,9 +6,11 @@ from __future__ import annotations
 
 import math
 import os
-from datetime import datetime
+from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 from hadoop_sync_spark.io import TABLES, table_path
@@ -43,47 +45,71 @@ def oracle():
 
 def canon_cell(v) -> str:
     """Canonical string for a cell, strict enough to surface any
-    cross-engine drift the driver's value-hash would catch."""
+    cross-engine drift the driver's value-hash would catch.
+
+    Dtype-sensitive on purpose: the driver hashes the *pandas* frame, so a
+    DuckDB HUGEINT that lands as float64 must canonicalize to ``123.0``
+    while Spark's int64 gives ``123`` — a mismatch we want to see locally
+    (the r1 q18/q26/q46 failure class)."""
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "NULL" if not isinstance(v, float) else "NaN"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return repr(v)  # shortest round-trip repr: exact double identity
-    if isinstance(v, datetime):
-        return v.isoformat(sep=" ", timespec="microseconds")
+        return repr(f)  # shortest round-trip repr: exact double identity
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (pd.Timestamp, datetime)):
+        # date-typed columns surface as datetime.date on the Spark side but
+        # midnight datetime64 on the DuckDB side — same value, one string
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return str(v)
 
 
-def canon_rows(columns, rows):
-    """Order-insensitive canonical multiset: sort columns by name (the
-    driver's convention), stringify, sort rows."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
+def canon_pdf(pdf: pd.DataFrame) -> list[str]:
+    """Order-insensitive canonical multiset of a pandas frame: sort columns
+    by name (the driver's convention), stringify each cell with its pandas
+    dtype intact, sort rows."""
+    pdf = pdf[sorted(pdf.columns)]
     return sorted(
-        "|".join(canon_cell(row[i]) for i in order) for row in rows
+        "|".join(canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
     )
 
 
 def compare_frames(spark_df, oracle_rel, name: str):
     """Assert driver-style equivalence: row count, column-name set, and
-    order-insensitive canonical values."""
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    o_cols = [d[0] for d in oracle_rel.description]
-    o_rows = oracle_rel.fetchall()
+    order-insensitive canonical values — both sides via pandas, exactly the
+    dtype path the driver's value-hash takes (DuckDB ``.df()``, Spark
+    ``.toPandas()``)."""
+    s_pdf = spark_df.toPandas()
+    o_pdf = oracle_rel.df()
 
-    assert sorted(s_cols) == sorted(o_cols), (
-        f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    assert sorted(s_pdf.columns) == sorted(o_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(s_pdf.columns)} "
+        f"oracle={sorted(o_pdf.columns)}"
     )
-    assert len(s_rows) == len(o_rows), (
-        f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}"
+    assert len(s_pdf) == len(o_pdf), (
+        f"{name}: row count spark={len(s_pdf)} oracle={len(o_pdf)}"
     )
-    s_canon = canon_rows(s_cols, s_rows)
-    o_canon = canon_rows(o_cols, o_rows)
+    s_canon = canon_pdf(s_pdf)
+    o_canon = canon_pdf(o_pdf)
     if s_canon != o_canon:
         diffs = [
             (a, b) for a, b in zip(s_canon, o_canon) if a != b
