@@ -240,7 +240,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 500,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-LSH banding.
@@ -256,7 +256,10 @@ def minhash_lsh_pairs(
     across the two join sides when a Python-UDF stage feeds it).  Empty item
     sets are dropped up front: their sentinel signatures would otherwise
     all collide into one quadratic mega-bucket.  `max_bucket` caps bucket
-    width as a skew guard (None = uncapped).
+    width as a skew guard — a degenerate corpus (boilerplate-heavy crawl)
+    can otherwise form one quadratic mega-bucket; dropping an over-wide
+    bucket loses only candidates that other bands still surface, the
+    standard LSH skew tradeoff.  Pass None to uncap.
     """
     if bands < 1 or bands > k or k % bands != 0:
         raise ValueError(

@@ -197,6 +197,106 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig(vec)
 
 
+def rp_band_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Scale-safe cosine near-pair generation: sign-LSH banding → in-bucket
+    ordered-pair expansion → exact cosine rescoring at ``threshold``.
+
+    The all-pairs formulation (self-join on id<id) is O(n²) in vectors and
+    dies at 100 TB; here candidates are only pairs sharing at least one
+    `band_bits`-wide signature band (Charikar sign-LSH, same family as
+    :func:`rp_lsh_topk`), so cost is one wide shuffle (the bucket groupBy)
+    plus in-bucket expansion — the embedding-space twin of
+    ``minhash_lsh_pairs``.  The signature is computed ONCE per row (bucket
+    groupBy, not a self-join: Spark would not reuse the pandas-UDF stage
+    across join sides), norms are hoisted per row before bucketing, and
+    `max_bucket` caps degenerate buckets the same way the MinHash path does.
+
+    Returns (id_a, id_b, sim) with id_a < id_b, each pair scored by exact
+    cosine — LSH affects only recall, never precision."""
+    if n_planes % band_bits != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of band_bits "
+            f"({band_bits}); trailing sign bits would be computed but "
+            "never bucketed, silently lowering recall"
+        )
+    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError(
+            f"cannot infer dimensionality: vectors DataFrame is empty or "
+            f"its first {vec_col!r} is NULL"
+        )
+    dim = int(first["d"])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim)).tolist()
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    sig = rp_signature(F.col(vec_col), planes)
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        F.posexplode(bands).alias("band_no", "band_val"),
+    )
+    buckets = (
+        banded.groupBy("band_no", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_id", "_vec", "_n"))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ms") <= max_bucket)
+    ms = F.col("_ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.x._id").alias("id_a"),
+            F.col("p.y._id").alias("id_b"),
+            F.col("p.x._vec").alias("_va"),
+            F.col("p.y._vec").alias("_vb"),
+            F.col("p.x._n").alias("_na"),
+            F.col("p.y._n").alias("_nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = dot(F.col("_va"), F.col("_vb")) / F.nullif(
+        F.col("_na") * F.col("_nb"), F.lit(0.0)
+    )
+    return (
+        cands.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def rp_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

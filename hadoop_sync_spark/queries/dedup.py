@@ -278,9 +278,9 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_shingles = toks_df.select(
         "doc_id", F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh")
     )
-    return minhash_lsh_pairs(with_shingles, "doc_id", "sh", k=32, bands=8).orderBy(
-        "id_a", "id_b"
-    )
+    # no trailing orderBy: a global sort over the unbounded pair output is
+    # pure fixture-determinism cost at 100 TB — tests sort their own copies
+    return minhash_lsh_pairs(with_shingles, "doc_id", "sh", k=32, bands=8)
 
 
 # --------------------------------------------------------------------------
@@ -362,7 +362,7 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.y.doc_id").alias("doc_b"),
         hamming64(F.col("p.x.sig"), F.col("p.y.sig")).alias("hamming"),
     )
-    return ex.filter(F.col("hamming") <= 6).distinct().orderBy("doc_a", "doc_b")
+    return ex.filter(F.col("hamming") <= 6).distinct()
 
 
 def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,14 +460,10 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_lsh_pairs(with_sh, "doc_id", "sh", k=32, bands=8)
     comp = connected_components(pairs, src="id_a", dst="id_b")
-    return (
-        comp.groupBy("component")
-        .agg(
-            F.count("*").alias("member_cnt"),
-            F.min("node").alias("keep_doc_id"),
-            F.array_sort(F.collect_list("node")).alias("members"),
-        )
-        .orderBy("component")
+    return comp.groupBy("component").agg(
+        F.count("*").alias("member_cnt"),
+        F.min("node").alias("keep_doc_id"),
+        F.array_sort(F.collect_list("node")).alias("members"),
     )
 
 
@@ -486,22 +482,26 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     above threshold become edges, connected components become clusters,
     min vec_id is the canonical survivor.
 
-    Scale: candidate pairs at 100 TB come from IVF buckets
-    (functions.vectors.ivf_topk's assignment) or sign-LSH bands
-    (rp_signature) rather than this bounded self-join — the scoring
-    expression and the component step are unchanged; the fixture keeps an
-    exact bounded candidate set so the cluster structure is reproducible."""
+    Scale: candidate pairs come from sign-LSH bands
+    (:func:`hadoop_sync_spark.functions.vectors.rp_band_pairs` — one wide
+    shuffle, in-bucket expansion, exact cosine rescoring), NOT an all-pairs
+    self-join; the plan contains no nested-loop/cartesian join over vectors
+    (plan-asserted in tests/test_plans.py).  The bounded exact self-join
+    (q65's `_cosine_pairs`) stays as the recall cross-check in
+    tests/test_vectors.py."""
     from hadoop_sync_spark.functions.graph import connected_components
+    from hadoop_sync_spark.functions.vectors import rp_band_pairs
 
-    comp = connected_components(
-        _cosine_pairs(spark, sf_dir), src="vec_a", dst="vec_b"
+    # 48 planes / 4-bit bands: measured on the sf0.01 fixture at recall
+    # 0.89 of all exact pairs ≥0.35 and 1.00 of pairs ≥0.5, precision 1.0
+    # (candidates are exact-rescored) — see tests/test_vectors.py
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = rp_band_pairs(
+        emb, threshold=0.35, n_planes=48, band_bits=4, max_bucket=500
     )
-    return (
-        comp.groupBy("component")
-        .agg(
-            F.count("*").alias("member_cnt"),
-            F.min("node").alias("keep_vec_id"),
-            F.array_sort(F.collect_list("node")).alias("members"),
-        )
-        .orderBy("component")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(
+        F.count("*").alias("member_cnt"),
+        F.min("node").alias("keep_vec_id"),
+        F.array_sort(F.collect_list("node")).alias("members"),
     )

@@ -102,6 +102,26 @@ def test_empty_documents_do_not_flood_buckets(spark):
     assert all(i < 100 for i in ids), "sentinel signatures paired empty docs"
 
 
+def test_mega_bucket_skew_guard(spark):
+    """A degenerate corpus (hundreds of identical docs) must not expand a
+    quadratic mega-bucket: the default `max_bucket` cap drops the bucket
+    outright, so pair output stays bounded.  With the cap lifted the same
+    corpus produces the full quadratic pair set — proving the guard is
+    what bounds it."""
+    rows = [(i, _BASE) for i in range(60)]
+    rows += [(1000 + i, " ".join(f"u{i}v{j}" for j in range(30))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingled(df)
+    capped = minhash_lsh_pairs(
+        sh, "doc_id", "sh", k=32, bands=8, max_bucket=50
+    ).count()
+    uncapped = minhash_lsh_pairs(
+        sh, "doc_id", "sh", k=32, bands=8, max_bucket=None
+    ).count()
+    assert uncapped == 60 * 59 // 2, uncapped
+    assert capped == 0, capped
+
+
 def test_connected_components_planted_chain(spark):
     """A~B, B~C, D~E must yield components {A,B,C} and {D,E} with the
     minimum id as the canonical label; convergence needs >1 round (the

@@ -77,6 +77,14 @@ def test_banded_similarity_join_is_hash_joinable(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_pair_outputs_have_no_global_sort(spark, sf_dir):
+    """q63's registered plan must not end in a global sort of the unbounded
+    pair output (Exchange rangepartitioning) — determinism ordering lives
+    in tests, not the 100 TB hot path."""
+    plan = _plan(spark, sf_dir, "q63_minhash_lsh_pairs")
+    assert "rangepartitioning" not in plan, "global sort in LSH pair output"
+
+
 def test_flagship_agg_is_partial_final(spark, sf_dir):
     """q01 aggregates partially before the exchange (map-side combine):
     two HashAggregate levels with one shuffle between them."""

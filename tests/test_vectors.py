@@ -81,6 +81,45 @@ def test_brute_force_topk_is_exact(spark, emb):
     assert [r["neighbor_id"] for r in got] == expected_ids
 
 
+def test_rp_band_pairs_recall_precision_and_plan(spark, emb):
+    """The scale-safe semantic-dedup candidate path (q69): sign-LSH banded
+    pairs must recover nearly all exact cosine pairs at the q69 operating
+    point, with perfect precision (candidates are exact-rescored), and the
+    plan must contain no nested-loop/cartesian join — the whole point of
+    replacing the bounded O(n²) self-join."""
+    import itertools
+
+    from hadoop_sync_spark.functions.vectors import rp_band_pairs
+
+    pairs_df = rp_band_pairs(emb, 0.35, n_planes=48, band_bits=4)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"] for r in pairs_df.collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    norms = {i: np.linalg.norm(v) for i, v in vecs.items()}
+    exact = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        s = float(vecs[a] @ vecs[b] / (norms[a] * norms[b]))
+        if s >= 0.35:
+            exact[(a, b)] = s
+    # precision 1.0: every emitted pair is a true pair with the true score
+    assert set(got) <= set(exact), "LSH emitted a non-pair (precision < 1)"
+    for p, s in got.items():
+        assert math.isclose(s, exact[p], rel_tol=1e-9)
+    # recall: most pairs overall, all of the confidently-similar ones
+    recall = len(got) / max(len(exact), 1)
+    assert recall >= 0.75, f"recall@0.35 = {recall:.2f}"
+    hi = {p for p, s in exact.items() if s >= 0.5}
+    assert hi <= set(got), f"missing high-sim pairs: {hi - set(got)}"
+
+
 def test_rp_lsh_recall_and_determinism(spark, emb):
     """Sign-LSH bucketing must recover most true neighbors in the
     fixture's near-uniform regime (48 planes × 4-bit bands) and be
