@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _POINTER = "VERSION"
 _TABLES = "tables.json"
 _SHARDS = "shards.parquet"
+_PLACEMENTS = "placements.parquet"
 
 _SHARD_SCHEMA = pa.schema(
     [
@@ -57,7 +58,23 @@ _SHARD_SCHEMA = pa.schema(
         ("mtime_ns", pa.int64()),
         ("min_value", pa.string()),  # stringly, like shardminvalue
         ("max_value", pa.string()),
-        ("hostname", pa.string()),  # placement host (local FS: "localhost")
+    ]
+)
+
+#: One row per REPLICA of a shard — the reference's ShardPlacement value
+#: class (`ShardPlacement.java:4-98`): identity is the (shardId, length,
+#: hostname) triple, so a re-replicated block with a new length IS a
+#: different placement.  On a local FS each shard has exactly one
+#: placement ("localhost"); the model carries the full set regardless so
+#: the diff semantics stay faithful (`HdfsSynchronizer.java:172-188`).
+_PLACEMENT_SCHEMA = pa.schema(
+    [
+        ("table_name", pa.string()),
+        ("shard_id", pa.int64()),
+        ("path", pa.string()),
+        ("size", pa.int64()),  # ShardPlacement.shardLength
+        ("mtime_ns", pa.int64()),
+        ("hostname", pa.string()),
     ]
 )
 
@@ -84,15 +101,28 @@ def shard_table_name(table: str, shard_id: int) -> str:
 @dataclass
 class MetadataDifference:
     """The reference's 5-field diff IR (`HdfsSynchronizer.java:117-134`),
-    minus replica-placement split (single-host local FS)."""
+    with the shard/placement split intact: shard (file) identity and
+    placement (replica) identity are diffed INDEPENDENTLY — the four set
+    differences of `calculateMetadataDifference`
+    (`HdfsSynchronizer.java:172-199`) — so a replica moving hosts shows up
+    as a placement change with an empty shard diff, exactly like a block
+    re-replicating without its id changing."""
 
     new_files: list[dict] = field(default_factory=list)  # on FS, not in catalog
     old_files: list[dict] = field(default_factory=list)  # in catalog, gone/changed
     unchanged: list[dict] = field(default_factory=list)
+    # placement-level diffs: identity is (path, size, mtime_ns, hostname)
+    new_placements: list[dict] = field(default_factory=list)
+    old_placements: list[dict] = field(default_factory=list)
 
     @property
     def empty(self) -> bool:
-        return not self.new_files and not self.old_files
+        return (
+            not self.new_files
+            and not self.old_files
+            and not self.new_placements
+            and not self.old_placements
+        )
 
 
 @dataclass
@@ -105,11 +135,24 @@ class SyncResult:
 
 
 class Registry:
-    """Versioned, atomically-published table/shard catalog."""
+    """Versioned, atomically-published table/shard/placement catalog.
 
-    def __init__(self, spark: SparkSession, meta_dir: str):
+    ``placement_hosts`` maps a listed file to the hostnames holding its
+    replicas — the A2 block-location scan (`HdfsMasterNode.java:149-182`
+    walks each block's `DatanodeInfo[]`).  A local FS has exactly one
+    replica ("localhost"); a cluster deployment injects a resolver backed
+    by the real block-location API, and every diff/sync path below already
+    handles >1 replica per shard."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        meta_dir: str,
+        placement_hosts=None,
+    ):
         self.spark = spark
         self.meta_dir = meta_dir
+        self.placement_hosts = placement_hosts or (lambda f: ["localhost"])
         os.makedirs(meta_dir, exist_ok=True)
 
     # ---------------------------------------------------------------- core io
@@ -137,7 +180,21 @@ class Registry:
         path = os.path.join(self._version_dir(v), _SHARDS)
         return pq.read_table(path).to_pylist()
 
-    def _publish(self, tables: dict[str, dict], shards: list[dict]) -> int:
+    def _load_placements(self, version: int | None = None) -> list[dict]:
+        v = self._current_version() if version is None else version
+        if v == 0:
+            return []
+        path = os.path.join(self._version_dir(v), _PLACEMENTS)
+        if not os.path.exists(path):  # catalog written before the split
+            return []
+        return pq.read_table(path).to_pylist()
+
+    def _publish(
+        self,
+        tables: dict[str, dict],
+        shards: list[dict],
+        placements: list[dict] | None = None,
+    ) -> int:
         """Stage version N+1 fully, then atomically swap the pointer.
 
         The pointer write is `os.replace` of a same-directory temp file —
@@ -160,6 +217,12 @@ class Registry:
             pq.write_table(
                 pa.Table.from_pylist(shards, schema=_SHARD_SCHEMA),
                 os.path.join(vdir, _SHARDS),
+            )
+            if placements is None:  # carry the live placement set forward
+                placements = self._load_placements()
+            pq.write_table(
+                pa.Table.from_pylist(placements, schema=_PLACEMENT_SCHEMA),
+                os.path.join(vdir, _PLACEMENTS),
             )
             tmp = os.path.join(self.meta_dir, f".{_POINTER}.tmp")
             with open(tmp, "w") as f:
@@ -297,30 +360,55 @@ class Registry:
         rows = self._load_shards(version)
         return rows if name is None else [r for r in rows if r["table_name"] == name]
 
+    def placements(
+        self, name: str | None = None, version: int | None = None
+    ) -> list[dict]:
+        """One row per shard replica — pg_dist_shard_placement's analogue
+        (`CitusMasterNode.java:41-42`)."""
+        rows = self._load_placements(version)
+        return rows if name is None else [r for r in rows if r["table_name"] == name]
+
     def diff(self, name: str) -> MetadataDifference:
         """FS state vs catalog state — the reference's
-        `calculateMetadataDifference` (`HdfsSynchronizer.java:142-205`).
+        `calculateMetadataDifference` (`HdfsSynchronizer.java:142-205`),
+        all four of its set differences: shard ids (files) and shard
+        placements (replicas) are diffed independently.
 
-        Identity is the (path, size, mtime) triple: a rewritten file (same
-        path, new size/mtime) appears in BOTH old and new, exactly like a
-        re-replicated block with a new length is a different placement."""
+        Shard identity is the (path, size, mtime) triple: a rewritten file
+        (same path, new size/mtime) appears in BOTH old and new.  Placement
+        identity adds the hostname (`ShardPlacement.java:47-60`), so a
+        replica moving hosts is a pure placement change — empty shard
+        diff, non-empty placement diff — exactly the case the reference's
+        placement walk handles separately from shard DDL."""
         tables = self._load_tables()
         if name not in tables:
             raise KeyError(f"table not registered: {name}")
-        fs = {
-            (f["path"], f["size"], f["mtime_ns"]): f
-            for f in self._list_data_files(tables[name]["dir_path"])
-        }
+        fs_files = self._list_data_files(tables[name]["dir_path"])
+        fs = {(f["path"], f["size"], f["mtime_ns"]): f for f in fs_files}
         cat = {
             (s["path"], s["size"], s["mtime_ns"]): s
             for s in self.shards(name)
         }
         new_keys = fs.keys() - cat.keys()
         old_keys = cat.keys() - fs.keys()
+
+        fs_place = {}
+        for f in fs_files:
+            for host in self.placement_hosts(f):
+                k = (f["path"], f["size"], f["mtime_ns"], host)
+                fs_place[k] = {**f, "hostname": host}
+        cat_place = {
+            (p["path"], p["size"], p["mtime_ns"], p["hostname"]): p
+            for p in self.placements(name)
+        }
+        new_p = fs_place.keys() - cat_place.keys()
+        old_p = cat_place.keys() - fs_place.keys()
         return MetadataDifference(
             new_files=[fs[k] for k in sorted(new_keys)],
             old_files=[cat[k] for k in sorted(old_keys)],
             unchanged=[cat[k] for k in sorted(cat.keys() & fs.keys())],
+            new_placements=[fs_place[k] for k in sorted(new_p)],
+            old_placements=[cat_place[k] for k in sorted(old_p)],
         )
 
     def _fetch_min_max(
@@ -354,7 +442,11 @@ class Registry:
     def sync(self, name: str, fetch_min_max: bool = False) -> SyncResult:
         """Apply the diff transactionally — `syncMetadataDifference`
         (`HdfsSynchronizer.java:215-332`), same load-bearing order:
-        drop old → add new (with optional stats) → validate → commit.
+        drop old placements/shards → add new (with optional stats) →
+        validate → commit.  Placements are applied as their own set (the
+        reference walks placement differences before shard inserts,
+        `HdfsSynchronizer.java:219-247`), so a pure replica move publishes
+        a new catalog version with the shard rows untouched.
 
         Idempotent: an immediate re-run has an empty diff and publishes
         nothing (`README.md:10-13`)."""
@@ -398,7 +490,6 @@ class Registry:
                     "mtime_ns": f["mtime_ns"],
                     "min_value": mn,
                     "max_value": mx,
-                    "hostname": "localhost",
                 }
             )
 
@@ -411,13 +502,49 @@ class Registry:
             if k in by_key:
                 raise RuntimeError(f"duplicate shard staged: {k}")
             by_key[k] = s
+
+        # placements: drop old, keep surviving, add new — then validate
+        # every placement references a staged shard of its table
+        old_place_keys = {
+            (p["path"], p["size"], p["mtime_ns"], p["hostname"])
+            for p in d.old_placements
+        }
+        keep_place = [
+            p
+            for p in self._load_placements()
+            if p["table_name"] != name
+            or (p["path"], p["size"], p["mtime_ns"], p["hostname"])
+            not in old_place_keys
+        ]
+        added_place = [
+            {
+                "table_name": name,
+                "shard_id": _shard_id(p["path"]),
+                "path": p["path"],
+                "size": p["size"],
+                "mtime_ns": p["mtime_ns"],
+                "hostname": p["hostname"],
+            }
+            for p in d.new_placements
+        ]
+        new_placements = keep_place + added_place
+        seen_place = set()
+        for p in new_placements:
+            k = (p["table_name"], p["path"], p["size"], p["mtime_ns"], p["hostname"])
+            if k in seen_place:
+                raise RuntimeError(f"duplicate placement staged: {k}")
+            seen_place.add(k)
+            sk = (p["table_name"], p["path"], p["size"], p["mtime_ns"])
+            if sk not in by_key:
+                raise RuntimeError(f"placement references unstaged shard: {k}")
+
         removed_keys = {
             (name, s["path"], s["size"], s["mtime_ns"]) for s in d.old_files
         }
         if removed_keys & by_key.keys():
             raise RuntimeError("old shard survived staging — aborting publish")
 
-        version = self._publish(tables, new_shards)
+        version = self._publish(tables, new_shards, new_placements)
         return SyncResult(
             name, version, added=len(added), removed=len(d.old_files), noop=False
         )

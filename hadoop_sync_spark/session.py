@@ -47,6 +47,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # read parquet TIMESTAMP(NANOS) (events.ts) as a nanos-since-epoch long
     # instead of failing; io.load_table converts it back to TimestampType.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # --- streaming state store ----------------------------------------------
+    # background state-store maintenance (snapshotting/cleanup) every 60s by
+    # default; under a many-query test run the maintenance thread can race a
+    # micro-batch commit (observed: HDFSBackedStateStore commit abort).  The
+    # queries here are short AvailableNow drains — defer maintenance far past
+    # their lifetime.  A long-lived production stream would tune this down.
+    "spark.sql.streaming.stateStore.maintenanceInterval": "3600s",
     # --- python interop -----------------------------------------------------
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

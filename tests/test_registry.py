@@ -375,3 +375,55 @@ def test_publish_lock_blocks_concurrent_writer(spark, tmp_path):
     os.unlink(lock)
     assert not reg.sync("tbl").noop  # lock released → sync proceeds
     assert reg.read("tbl").count() == 15
+
+
+def test_placements_tracked_per_replica(spark, scratch):
+    """A multi-replica host resolver yields one placement row per replica
+    per shard (`ShardPlacement.java:4-98` — one row per DatanodeInfo),
+    while the shard set stays one row per file."""
+    reg = Registry(
+        spark, scratch["meta"], placement_hosts=lambda f: ["host1", "host2"]
+    )
+    reg.register("li", scratch["data"])
+    reg.sync("li")
+    assert len(reg.shards("li")) == 1
+    places = reg.placements("li")
+    assert sorted(p["hostname"] for p in places) == ["host1", "host2"]
+    assert {p["shard_id"] for p in places} == {
+        s["shard_id"] for s in reg.shards("li")
+    }
+
+
+def test_replica_move_is_pure_placement_diff(spark, scratch):
+    """A replica moving hosts (same file, same size/mtime) must produce an
+    EMPTY shard diff and a placement diff of exactly {old host out, new
+    host in} — the reference diffs the two sets independently
+    (`HdfsSynchronizer.java:172-199`), and sync must publish the placement
+    change even though no shard changed."""
+    hosts = {"current": ["host1", "host2"]}
+    reg = Registry(
+        spark, scratch["meta"], placement_hosts=lambda f: hosts["current"]
+    )
+    reg.register("li", scratch["data"])
+    v1 = reg.sync("li").version
+
+    hosts["current"] = ["host1", "host3"]  # replica moved host2 → host3
+    d = reg.diff("li")
+    assert d.new_files == [] and d.old_files == []
+    assert [p["hostname"] for p in d.new_placements] == ["host3"]
+    assert [p["hostname"] for p in d.old_placements] == ["host2"]
+    assert not d.empty
+
+    r = reg.sync("li")
+    assert not r.noop and r.version == v1 + 1
+    assert sorted(p["hostname"] for p in reg.placements("li")) == [
+        "host1",
+        "host3",
+    ]
+    # shard rows untouched, placement history time-travels with versions
+    assert reg.shards("li") == reg.shards("li", version=v1)
+    assert sorted(
+        p["hostname"] for p in reg.placements("li", version=v1)
+    ) == ["host1", "host2"]
+    # and the sync is idempotent like every other
+    assert reg.sync("li").noop

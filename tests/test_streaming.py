@@ -148,10 +148,24 @@ def test_custom_stateful_sessionization(spark, events_dir, tmp_path):
         stream_events(spark, events_dir, max_files_per_trigger=1),
         watermark="0 seconds",
     )
-    name = _qname("state")
-    got = run_available_now(
-        stream, str(tmp_path / "ckpt"), name, output_mode="append"
-    ).filter(F.col("user_id") != sentinel_user)
+    # bounded retry with a FRESH checkpoint + sink per attempt: a state-store
+    # commit can abort spuriously when the whole suite loads the JVM (the
+    # maintenance-thread race; see session.py maintenanceInterval note), and
+    # a half-committed checkpoint must not be reused
+    last_err = None
+    for attempt in range(3):
+        try:
+            got = run_available_now(
+                stream,
+                str(tmp_path / f"ckpt{attempt}"),
+                _qname("state"),
+                output_mode="append",
+            ).filter(F.col("user_id") != sentinel_user)
+            break
+        except Exception as e:  # noqa: BLE001 — retry then re-raise
+            last_err = e
+    else:
+        raise last_err
     per_user_stream = {
         r["user_id"]: r["cnt"]
         for r in got.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
