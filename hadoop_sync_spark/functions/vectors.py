@@ -83,27 +83,78 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Learn IVF coarse centroids with MLlib k-means (k-means|| init —
+    Bahmani et al., VLDB 2012), on L2-NORMALIZED inputs so the euclidean
+    objective matches the cosine geometry the index probes (spherical
+    k-means approximation: for unit vectors, euclidean argmin == cosine
+    argmax).
+
+    Scale: k-means|| is the distributed-native initializer (O(iterations)
+    passes, each one map-reduce over the vectors); the fitted centers are
+    `n_centroids × dim` doubles — driver-side tiny — re-entering the plan
+    as a literal DataFrame that every assignment join broadcasts."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double")
+        / F.nullif(l2_norm(F.col(vec_col)), F.lit(0.0)),
+    )
+    feat = vectors.select(array_to_vector(unit).alias("features")).filter(
+        F.col("features").isNotNull()
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feat)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return vectors.sparkSession.createDataFrame(
+        centers, "centroid_id int, cvec array<double>"
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "kmeans",
+    seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a coarse IVF index: (centroids, assignments).
 
-    Centroids are the `n_centroids` lowest-id vectors (deterministic seed
-    choice — at production scale replace with k-means|| from MLlib; the
-    bucketing/probe plumbing is identical).  Assignment is one broadcast
-    join + window argmin: each vector joins all centroids (tiny), keeps its
+    ``centroids="kmeans"`` (default) learns centers with MLlib k-means||
+    (:func:`kmeans_centroids`); ``"lowest_id"`` keeps the deterministic
+    data-points-as-centers fallback (no fit pass — useful for fixture
+    reproducibility and as the recall baseline the k-means path must
+    beat, tests/test_vectors.py).  Assignment is one broadcast join +
+    window argmin: each vector joins all centroids (tiny), keeps its
     nearest.  Result is hash-partitionable by `centroid_id` — the bucket
     key that makes 100 TB ANN a per-bucket scan instead of a full sweep."""
-    cents = (
-        vectors.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    if centroids == "kmeans":
+        cents = kmeans_centroids(
+            vectors, n_centroids, vec_col=vec_col, seed=seed
         )
-    )
+    elif centroids == "lowest_id":
+        cents = (
+            vectors.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).cast("int").alias("centroid_id"),
+                F.col(vec_col).alias("cvec"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown centroid strategy: {centroids!r}")
     scored = vectors.select(
         F.col(id_col).alias("m_id"), F.col(vec_col).alias("mvec")
     ).crossJoin(F.broadcast(cents))
@@ -127,13 +178,14 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "kmeans",
 ) -> DataFrame:
     """Approximate top-k: probe the `n_probe` nearest IVF buckets only.
 
     Scale path for SURVEY §2C similarity search: search cost drops by
     ~n_probe/n_centroids vs brute force; recall is tunable via n_probe and
     validated against :func:`brute_force_topk` in the test suite."""
-    cents, assign = ivf_assign(vectors, n_centroids, id_col, vec_col)
+    cents, assign = ivf_assign(vectors, n_centroids, id_col, vec_col, centroids)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

@@ -64,10 +64,12 @@ def q70_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vectors", "ann", "ivf"),
 )
 def q71_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via coarse IVF: assign vectors to 16 centroid
-    buckets, probe the 4 nearest buckets per query (~4/16 of the data
-    scanned).  Deterministic given the seed-centroid rule; recall vs q70 is
-    asserted in tests/test_vectors.py."""
+    """Approximate top-10 via coarse IVF: k-means|| centroids (MLlib,
+    spherical approximation on normalized vectors), assign vectors to 16
+    centroid buckets, probe the 4 nearest buckets per query (~4/16 of the
+    data scanned).  Deterministic given the fixed k-means seed; recall vs
+    q70 — and the k-means-beats-lowest-id margin — asserted in
+    tests/test_vectors.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(

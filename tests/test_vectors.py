@@ -58,6 +58,33 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     )
 
 
+def test_kmeans_centroids_beat_lowest_id_at_equal_probe(spark, emb):
+    """The k-means|| centroid path must beat the data-points-as-centers
+    fallback at equal n_probe, measured on queries that are NOT centroids
+    of either index (vec_id >= 400) — querying a centroid flatters the
+    lowest-id strategy (its bucket IS the probe), which is exactly the
+    bias real query traffic won't have."""
+    queries = emb.filter(F.col("vec_id") >= 400).orderBy("vec_id").limit(12)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(strat):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, k=10, n_centroids=16, n_probe=4,
+                centroids=strat,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_kmeans, r_lowest = recall("kmeans"), recall("lowest_id")
+    assert r_kmeans > r_lowest, (r_kmeans, r_lowest)
+    assert r_kmeans >= 0.55, r_kmeans
+
+
 def test_brute_force_topk_is_exact(spark, emb):
     """Spot-check one query against a full numpy ranking."""
     rows = emb.collect()
