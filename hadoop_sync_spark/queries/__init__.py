@@ -92,6 +92,10 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q58_rolling_hash_fp",
     "q59_repetition_signals",
     "q76_udtf_sentences",
+    # (b) corpus-pipeline ops (new in round 2)
+    "q77_ngram_stats",
+    "q78_corpus_mix",
+    "q79_sequence_packing",
     # (b) dedup / sampling / vectors / registry / events
     "q60_exact_dedup",
     "q61_token_set_dedup",
@@ -118,17 +122,15 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q91_image_resize",
     "q92_frame_sample",
     "q32_approx_distinct",
-    # (d) representative r1-green relational/event families
+    # (d) representative r1-green relational/event families (q30/q33/q85
+    # rotated out to make room for q77-q79 — their r1 rows stand)
     "q01_pricing_summary",
     "q21_regional_revenue",
-    "q30_event_range_join",
     "q31_asof_join",
-    "q33_pivot_returnflag",
     "q42_session_windows",
     "q43_dedup_events",
     "q44_salted_skew_agg",
     "q45_grouped_mode_udaf",
-    "q85_correlated_max_qty",
 )
 
 
@@ -155,6 +157,7 @@ def load_all() -> dict[str, Query]:
             text,
             dedup,
             sampling,
+            pipeline_q,
             vectors,
             registry_ops,
             multimodal_q,

@@ -1,0 +1,220 @@
+"""Training-data pipeline operators beyond per-doc analysis (driver L3):
+corpus n-gram statistics, deterministic weighted mix resampling, and
+context-window sequence packing — the steps between "scored documents" and
+"batches a trainer consumes".
+
+Built-in-function-only like queries/text.py (split/transform/window —
+JVM-side, codegen'd); the only shuffles are the declared aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from hadoop_sync_spark.queries import register
+from hadoop_sync_spark.queries._util import (
+    md5_prefix_long,
+    t,
+    sql_md5_prefix_long,
+)
+from hadoop_sync_spark.functions.text import WS_RE, normalize, tokens
+from hadoop_sync_spark.queries.sampling import hash_bucket, _SQL_BUCKET
+
+_SQL_NORM_TOKENS = (
+    f"string_split_regex(trim(lower(trim(text, ' ')), ' '), '{WS_RE}')"
+)
+
+
+# --------------------------------------------------------------------------
+# q77 — corpus n-gram statistics: top bigrams per language
+# --------------------------------------------------------------------------
+@register(
+    "q77_ngram_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_NORM_TOKENS} AS tok FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   range(1, greatest(len(tok) - 1, 0) + 1),
+                   i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT) + 1]
+               )) AS bigram
+        FROM toks
+    ),
+    agg AS (
+        SELECT lang, bigram,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM bg GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, cnt, doc_freq, rank FROM (
+        SELECT lang, bigram, cnt, doc_freq,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, bigram
+               ) AS BIGINT) AS rank
+        FROM agg
+    ) WHERE rank <= 10
+    """,
+    tags=("text", "ngram", "corpus", "l3"),
+)
+def q77_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency: total occurrences and document
+    frequency per (lang, bigram), top-10 per language — the vocabulary /
+    contamination / boilerplate report a corpus curator reads before
+    training, and the count layer a BPE trainer's pair statistics start
+    from.
+
+    Scale: bigram explode is narrow; the (lang, bigram) aggregation is ONE
+    wide shuffle with map-side partial counts (the key space is vocab²
+    but heavy hitters dominate partial aggregation); the per-lang top-k
+    window shuffles only the aggregated counts, and languages are few —
+    if one language's distinct-bigram set were itself huge, the rank
+    filter composes with a pre-window `cnt > threshold` guard."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", tokens(normalize(F.col("text"))).alias("tok")
+    )
+    # sequence(1, size-1) would run DESCENDING for 1-token docs (Spark
+    # sequences auto-step -1), fabricating a bogus index — gate it
+    idx = F.when(
+        F.size("tok") >= 2, F.sequence(F.lit(1), F.size("tok") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigram = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tok"), i), F.element_at(F.col("tok"), i + 1)
+            ),
+        )
+    )
+    bg = toks.select("doc_id", "lang", bigram.alias("bigram"))
+    agg = bg.groupBy("lang", "bigram").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — deterministic weighted corpus mix (per-source resampling)
+# --------------------------------------------------------------------------
+@register(
+    "q78_corpus_mix",
+    oracle=f"""
+    WITH weighted AS (
+        SELECT source, lang, n_chars,
+               20 + {sql_md5_prefix_long("source")} % 60 AS weight,
+               {_SQL_BUCKET} AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CAST(MIN(weight) AS BIGINT) AS weight,
+           COUNT(*) AS total_cnt,
+           CAST(SUM(CASE WHEN bucket < weight THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_cnt,
+           CAST(SUM(CASE WHEN bucket < weight THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM weighted
+    GROUP BY source
+    """,
+    tags=("sampling", "mix", "corpus", "l3"),
+)
+def q78_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (Gopher/The-Pile-style source weighting):
+    each source gets a sampling weight (here derived from the source name
+    hash, 20-79%; production passes a curated weight table) and documents
+    are kept by content-hash bucket < weight — deterministic, append-safe
+    (a doc's fate never changes when other docs arrive), and exactly
+    reproducible across engines.  Output is the per-source audit: weight,
+    totals, kept counts/chars.
+
+    Scale: the keep decision is a narrow expression (no shuffle, no RNG
+    state); the audit is one partial+final aggregation on source."""
+    d = t(spark, sf_dir, "documents")
+    weight = (F.lit(20) + md5_prefix_long(F.col("source")) % 60).alias("weight")
+    bucket = hash_bucket(F.col("doc_id"))
+    keep = (bucket < F.col("weight")).cast("long")
+    return (
+        d.select("source", "n_chars", weight, keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.min("weight").cast("long").alias("weight"),
+            F.count("*").alias("total_cnt"),
+            F.sum("keep").cast("long").alias("kept_cnt"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — context-window sequence packing (concat-and-chunk budgeting)
+# --------------------------------------------------------------------------
+@register(
+    "q79_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len({_SQL_NORM_TOKENS}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tok,
+               CAST(FLOOR(CAST(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok AS DOUBLE) / 512) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang, bin_id,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_cnt,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM packed
+    GROUP BY lang, bin_id
+    """,
+    tags=("packing", "tokens", "corpus", "l3"),
+)
+def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: concatenate documents in
+    deterministic (lang, doc_id) order and chunk the token stream into
+    512-token context windows — each document's bin is the window its
+    FIRST token lands in (floor(preceding-token-count / 512)), the
+    concat-and-chunk packing GPT-style pipelines use.  Output is the
+    per-bin manifest (doc span, token count) a loader shards by.
+
+    Scale: one window cumsum per language partition (a single shuffle on
+    lang — at real scale the partition key would be (lang, shard) so no
+    one language serializes into one task), then one aggregation reusing
+    the same partitioning."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(normalize(F.col("text")))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")).cast("double") / 512
+        ).cast("long"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum("n_tok").cast("long").alias("tok_cnt"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
