@@ -92,10 +92,16 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q58_rolling_hash_fp",
     "q59_repetition_signals",
     "q76_udtf_sentences",
-    # (b) corpus-pipeline ops (new in round 2)
+    # (b) corpus-pipeline + curation ops (new in round 2)
     "q77_ngram_stats",
     "q78_corpus_mix",
     "q79_sequence_packing",
+    "q86_pii_redaction",
+    "q87_contamination_screen",
+    "q88_token_budget_sample",
+    "q89_corpus_merge",
+    "q93_unpivot_metrics",
+    "q94_regression_stats",
     # (b) dedup / sampling / vectors / registry / events
     "q60_exact_dedup",
     "q61_token_set_dedup",
@@ -122,15 +128,10 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q91_image_resize",
     "q92_frame_sample",
     "q32_approx_distinct",
-    # (d) representative r1-green relational/event families (q30/q33/q85
-    # rotated out to make room for q77-q79 — their r1 rows stand)
+    # (d) representative r1-green relational family (q21/q30/q31/q33/
+    # q42-q45/q85 rotated out to make room for q77-q79 and q86-q94 —
+    # their r1 rows stand, implementations unchanged)
     "q01_pricing_summary",
-    "q21_regional_revenue",
-    "q31_asof_join",
-    "q42_session_windows",
-    "q43_dedup_events",
-    "q44_salted_skew_agg",
-    "q45_grouped_mode_udaf",
 )
 
 
@@ -158,6 +159,7 @@ def load_all() -> dict[str, Query]:
             dedup,
             sampling,
             pipeline_q,
+            curation,
             vectors,
             registry_ops,
             multimodal_q,

@@ -1,0 +1,529 @@
+"""Corpus-curation operators (driver L3): PII redaction, benchmark
+contamination screening, token-budget subsampling, incremental corpus
+merge (MERGE INTO semantics), metric unpivot, and exact regression
+statistics.
+
+These are the remaining steps of a training-data pipeline between "scored
+documents" (queries/text.py) and "batches" (queries/pipeline_q.py):
+scrubbing, decontamination against an eval set, budgeted selection, and
+incremental refresh of a published corpus.  Reference parity note: the
+reference (kavita26/hadoop-sync, HdfsSynchronizer.java:172-199) only
+*moves* data; this curation layer is part of the driver-mandated L3
+surface, not a reference port.
+
+Built-in-function discipline as in queries/text.py: regex/split/window/
+join only — JVM-side, codegen'd, no Python UDFs; every operator states its
+shuffle count and 100 TB posture in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from hadoop_sync_spark.queries import register
+from hadoop_sync_spark.queries._util import dsum, sql_dsum, t
+from hadoop_sync_spark.functions.text import normalize, tokens
+from hadoop_sync_spark.queries.pipeline_q import _SQL_NORM_TOKENS
+from hadoop_sync_spark.queries.sampling import hash_bucket, _SQL_BUCKET
+
+# --------------------------------------------------------------------------
+# q86 — PII inject-and-redact round trip
+# --------------------------------------------------------------------------
+# Cross-engine regex discipline: Java (Spark) and RE2 (DuckDB oracle) agree
+# on explicit classes, `(?:...)`, bounded repetition and `\b`; we avoid
+# lookaround and backreferences (RE2 has neither).  Groups are
+# non-capturing and extraction is explicit group 0, because the engines'
+# *default* extraction group differs (Spark regexp_extract_all defaults to
+# group 1, DuckDB to group 0).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+
+#: The synthetic corpus carries no real PII, so the query plants
+#: deterministic PII on every 7th document and then scrubs it — the oracle
+#: must agree on both the detection counts and the redacted lengths, which
+#: exercises the regexes in both directions (a silent non-match would show
+#: up as a char-delta mismatch).
+_SQL_INJECTED = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' "
+    "|| CAST(doc_id AS VARCHAR) || '@example.com or 10.' "
+    "|| CAST(doc_id % 200 AS VARCHAR) || '.' "
+    "|| CAST(doc_id % 250 AS VARCHAR) || '.' "
+    "|| CAST(doc_id % 100 AS VARCHAR) || ' asap' "
+    "ELSE text END"
+)
+
+
+def _injected_col() -> F.Column:
+    d = F.col("doc_id")
+    return F.when(
+        d % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com or 10."),
+            (d % 200).cast("string"),
+            F.lit("."),
+            (d % 250).cast("string"),
+            F.lit("."),
+            (d % 100).cast("string"),
+            F.lit(" asap"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def redact_pii(col: F.Column) -> F.Column:
+    """Scrub emails then IPv4 literals from a text column (builtin
+    regexp_replace, replace-all)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+
+
+@register(
+    "q86_pii_redaction",
+    oracle=f"""
+    WITH staged AS (
+        SELECT source, {_SQL_INJECTED} AS injected FROM documents
+    ),
+    scrubbed AS (
+        SELECT source, injected,
+               regexp_replace(regexp_replace(injected,
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g') AS redacted,
+               len(regexp_extract_all(injected, '{EMAIL_RE}', 0)) AS n_email,
+               len(regexp_extract_all(injected, '{IPV4_RE}', 0)) AS n_ip
+        FROM staged
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_ip > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS emails_found,
+           CAST(SUM(n_ip) AS BIGINT) AS ips_found,
+           CAST(SUM(length(injected) - length(redacted)) AS BIGINT)
+               AS char_delta
+    FROM scrubbed
+    GROUP BY source
+    """,
+    tags=("curation", "pii", "regex", "l3"),
+)
+def q86_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report per source: plant deterministic emails/IPs on every
+    7th document, redact them with cross-engine-safe regexes, and account
+    for every detection and removed character.
+
+    Scale: narrow per-row regex work inside whole-stage codegen plus ONE
+    aggregation shuffle on `source` — the same shape at 100 TB.  Regex
+    cost is linear in text length; no Python, no explode."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("source", _injected_col().alias("injected"))
+    scrubbed = staged.select(
+        "source",
+        "injected",
+        redact_pii(F.col("injected")).alias("redacted"),
+        F.size(
+            F.regexp_extract_all(F.col("injected"), F.lit(EMAIL_RE), F.lit(0))
+        ).alias("n_email"),
+        F.size(
+            F.regexp_extract_all(F.col("injected"), F.lit(IPV4_RE), F.lit(0))
+        ).alias("n_ip"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(((F.col("n_email") + F.col("n_ip")) > 0).cast("long")).alias(
+            "docs_with_pii"
+        ),
+        F.sum("n_email").cast("long").alias("emails_found"),
+        F.sum("n_ip").cast("long").alias("ips_found"),
+        F.sum(F.length("injected") - F.length("redacted"))
+        .cast("long")
+        .alias("char_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q87 — benchmark-contamination screen (n-gram overlap vs a held-out set)
+# --------------------------------------------------------------------------
+#: Benchmark membership is deterministic (every 97th doc); k=3 over the
+#: small synthetic vocabulary yields real collisions, standing in for
+#: k=8..13 over natural text (the knob is the same operator).
+_CONTAM_K = 3
+_BENCH_PRED = "doc_id % 97 = 0"
+
+
+def _kgrams(tok: F.Column, k: int) -> F.Column:
+    """All k-grams of a token array, space-joined; empty for short docs.
+    The sequence is gated because Spark's sequence(1, n) auto-steps -1
+    when n < 1, fabricating bogus indices."""
+    n = F.size(tok) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(tok, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SQL_KGRAMS = (
+    "list_transform(range(1, greatest(len(tok) - {km1}, 0) + 1),"
+    " i -> array_to_string(tok[CAST(i AS INT):CAST(i AS INT) + {km1}], ' '))"
+).format(km1=_CONTAM_K - 1)
+
+
+@register(
+    "q87_contamination_screen",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_NORM_TOKENS} AS tok FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, unnest({_SQL_KGRAMS}) AS gram FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE {_BENCH_PRED}
+    ),
+    corpus AS (
+        SELECT DISTINCT doc_id, lang, gram FROM grams
+        WHERE NOT ({_BENCH_PRED})
+    ),
+    hits AS (
+        SELECT corpus.doc_id, corpus.lang
+        FROM corpus JOIN bench USING (gram)
+    ),
+    per_lang_hits AS (
+        SELECT lang,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS contaminated_docs,
+               CAST(COUNT(*) AS BIGINT) AS gram_hits
+        FROM hits GROUP BY lang
+    ),
+    per_lang AS (
+        SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM corpus GROUP BY lang
+    )
+    SELECT per_lang.lang, n_docs,
+           COALESCE(contaminated_docs, 0) AS contaminated_docs,
+           COALESCE(gram_hits, 0) AS gram_hits
+    FROM per_lang LEFT JOIN per_lang_hits USING (lang)
+    """,
+    tags=("curation", "contamination", "ngram", "l3"),
+)
+def q87_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report: which corpus documents share a k-gram with
+    the benchmark (eval) subset, per language — the screen run before
+    training so eval questions aren't in the training set.
+
+    Scale: the benchmark gram set is small by construction (eval suites
+    are MBs, corpora are TBs) → broadcast hash join against it, no shuffle
+    of the corpus grams; distinct-per-doc and the per-lang rollup are the
+    only wide stages.  At 100 TB the distinct runs on (doc_id, gram)
+    hashes, and k≥8 keeps the gram stream narrow."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", tokens(normalize(F.col("text"))).alias("tok")
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(_kgrams(F.col("tok"), _CONTAM_K)).alias("gram"),
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = grams.where(is_bench).select("gram").distinct()
+    corpus = grams.where(~is_bench).distinct()
+    hits = corpus.join(F.broadcast(bench), "gram")
+    per_lang_hits = hits.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("contaminated_docs"),
+        F.count("*").alias("gram_hits"),
+    )
+    per_lang = corpus.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return per_lang.join(per_lang_hits, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("contaminated_docs", F.lit(0)).alias("contaminated_docs"),
+        F.coalesce("gram_hits", F.lit(0)).alias("gram_hits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 — per-language token-budget selection (two-phase, no global sort)
+# --------------------------------------------------------------------------
+_TOKEN_BUDGET = 3000
+
+
+@register(
+    "q88_token_budget_sample",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               CAST(len({_SQL_NORM_TOKENS}) AS BIGINT) AS n_tok,
+               CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, lang, n_tok, bucket,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY bucket, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS tok_before
+        FROM docs
+    )
+    SELECT doc_id, lang, n_tok, bucket FROM ordered
+    WHERE tok_before < {_TOKEN_BUDGET}
+    """,
+    tags=("curation", "sampling", "budget", "l3"),
+)
+def q88_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: per language, keep documents in
+    deterministic content-hash order until {budget} tokens are consumed
+    (the last document may straddle the budget) — how a pretraining mix
+    caps each language/source at N tokens reproducibly.
+
+    Scale: the naive form is a per-language global sort + running sum over
+    EVERY document.  This implementation is two-phase: (1) aggregate token
+    sums per (lang, hash-bucket) — one small shuffle, 100 rows/lang; (2) a
+    window over that tiny bucket ledger finds each bucket's tokens-before;
+    (3) fully-kept buckets pass with a broadcast semi-join and NO sort;
+    only the single straddling bucket per language (~1% of rows) gets a
+    per-doc running sum.  The oracle states the same semantics as one
+    naive window (identical keep set, different plan).  At 100 TB the
+    full-sort version is a terabyte-scale sort; this sorts megabytes."""
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(normalize(F.col("text")))).cast("long").alias("n_tok"),
+        hash_bucket(F.col("doc_id")).cast("long").alias("bucket"),
+    )
+    ledger = docs.groupBy("lang", "bucket").agg(
+        F.sum("n_tok").alias("btok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ledger = ledger.select(
+        "lang",
+        "bucket",
+        "btok",
+        F.coalesce(F.sum("btok").over(w), F.lit(0)).alias("bucket_before"),
+    )
+    budget = F.lit(_TOKEN_BUDGET)
+    full = ledger.where(
+        F.col("bucket_before") + F.col("btok") <= budget
+    ).select("lang", "bucket")
+    straddle = ledger.where(
+        (F.col("bucket_before") < budget)
+        & (F.col("bucket_before") + F.col("btok") > budget)
+    ).select("lang", "bucket", "bucket_before")
+
+    kept_full = docs.join(F.broadcast(full), ["lang", "bucket"], "left_semi")
+
+    wdoc = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    straddle_docs = docs.join(F.broadcast(straddle), ["lang", "bucket"])
+    kept_straddle = (
+        straddle_docs.select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            "bucket",
+            (
+                F.col("bucket_before")
+                + F.coalesce(F.sum("n_tok").over(wdoc), F.lit(0))
+            ).alias("tok_before"),
+        )
+        .where(F.col("tok_before") < budget)
+        .drop("tok_before")
+    )
+    return kept_full.select("doc_id", "lang", "n_tok", "bucket").unionByName(
+        kept_straddle
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — incremental corpus merge (MERGE INTO semantics as a join rewrite)
+# --------------------------------------------------------------------------
+_SQL_CHANGESET = """
+        SELECT doc_id, upper(text) AS text, lang, source
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text, lang, source
+        FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@register(
+    "q89_corpus_merge",
+    oracle=f"""
+    WITH changes AS ({_SQL_CHANGESET}
+    )
+    SELECT CASE WHEN b.doc_id IS NULL THEN 'insert'
+                WHEN c.doc_id IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           COALESCE(c.lang, b.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS doc_cnt,
+           CAST(SUM(length(COALESCE(c.text, b.text))) AS BIGINT) AS char_cnt
+    FROM documents b FULL OUTER JOIN changes c USING (doc_id)
+    GROUP BY action, COALESCE(c.lang, b.lang)
+    """,
+    tags=("curation", "merge", "upsert", "l3"),
+)
+def q89_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh with MERGE INTO semantics, expressed as
+    the full-outer-join rewrite (plain-parquet tables have no MERGE):
+    a deterministic changeset (every 10th doc re-crawled and upper-cased;
+    every 50th doc spawning a new versioned doc) merges into the base
+    corpus; output audits the merge per (action, lang).
+
+    Scale: ONE shuffle — the full outer join on doc_id (the changeset is
+    typically ≪ base, so AQE picks a broadcast/shuffled-hash side
+    automatically) — plus the audit aggregation.  The same rewrite is the
+    writer for registry-managed corpora: action='keep' rows short-circuit
+    to existing files, only insert/update partitions rewrite."""
+    d = t(spark, sf_dir, "documents")
+    updates = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.upper("text").alias("text"), "lang", "source"
+    )
+    inserts = d.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "lang",
+        "source",
+    )
+    changes = updates.unionByName(inserts)
+    b = d.alias("b")
+    c = changes.alias("c")
+    merged = b.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer")
+    action = (
+        F.when(F.col("b.doc_id").isNull(), F.lit("insert"))
+        .when(F.col("c.doc_id").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    return merged.select(
+        action.alias("action"),
+        F.coalesce(F.col("c.lang"), F.col("b.lang")).alias("lang"),
+        F.coalesce(F.col("c.text"), F.col("b.text")).alias("new_text"),
+    ).groupBy("action", "lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum(F.length("new_text")).cast("long").alias("char_cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — unpivot / melt (wide metrics → long form)
+# --------------------------------------------------------------------------
+@register(
+    "q93_unpivot_metrics",
+    oracle=f"""
+    WITH agg AS (
+        SELECT o_orderpriority,
+               {sql_dsum('o_totalprice')} AS total_price,
+               CAST(COUNT(*) AS DOUBLE) AS order_cnt
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'total_price' AS metric, total_price AS value
+    FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'order_cnt' AS metric, order_cnt AS value
+    FROM agg
+    """,
+    tags=("relational", "unpivot", "melt"),
+)
+def q93_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (DataFrame.unpivot / SQL UNPIVOT): per-priority
+    order metrics melted to (priority, metric, value) rows — the missing
+    half of q33's pivot, used by metric stores and chart feeds.
+
+    Scale: the aggregation is the only shuffle; unpivot itself is a
+    narrow per-row expansion (Spark `Expand` node, no exchange)."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        dsum("o_totalprice").alias("total_price"),
+        F.count("*").cast("double").alias("order_cnt"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["total_price", "order_cnt"],
+        "metric",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# q94 — exact regression statistics via integer power sums
+# --------------------------------------------------------------------------
+@register(
+    "q94_regression_stats",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice) AS BIGINT)) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice) AS BIGINT)) AS DOUBLE)
+                   AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS regr_intercept
+    FROM sums
+    """,
+    tags=("agg", "statistics", "regression"),
+)
+def q94_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation and least-squares regression of price on quantity per
+    return flag — computed from EXACT integer power sums (quantity is
+    integer-valued; price is rounded to whole units first), so both
+    engines fold identical BIGINTs and the final double arithmetic is the
+    same IEEE expression tree on identical scalars: bit-identical results,
+    where native corr()/regr_slope() would drift by reduction order.
+
+    Scale: one partial+final aggregation shuffle, all sums in whole-stage
+    codegen.  Overflow headroom: price ≤ ~1.1e5 → syy term ≤ 1.2e10/row →
+    int64 safe beyond sf100 per group; document wider accumulators past
+    that."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    slope = cov_n / (n * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (
+            cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        slope.alias("regr_slope"),
+        ((sy - slope * sx) / n).alias("regr_intercept"),
+    )
