@@ -7,6 +7,8 @@ collecting min/max statistics.
                                         [--partition-column COL]
     python -m hadoop_sync_spark diff  <meta_dir> <table>
     python -m hadoop_sync_spark vacuum <meta_dir> [--keep-last N]
+    python -m hadoop_sync_spark compact <meta_dir> <table>
+                                        [--target-bytes N] [--min-group N]
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -52,6 +54,21 @@ def main(argv: list[str] | None = None) -> int:
     vac_p.add_argument("meta_dir")
     vac_p.add_argument("--keep-last", type=int, default=3)
 
+    cmp_p = sub.add_parser(
+        "compact", help="bin-pack small shards into ~target-size files"
+    )
+    cmp_p.add_argument("meta_dir")
+    cmp_p.add_argument("table")
+    cmp_p.add_argument(
+        "--target-bytes", type=int, default=128 << 20, help="bin size cap"
+    )
+    cmp_p.add_argument(
+        "--min-group",
+        type=int,
+        default=2,
+        help="only rewrite bins holding at least this many files",
+    )
+
     try:
         args = p.parse_args(argv)
     except SystemExit:
@@ -81,6 +98,20 @@ def main(argv: list[str] | None = None) -> int:
                 f"vacuumed {len(removed)} snapshot(s); "
                 f"{len(reg.versions())} retained"
             )
+        elif args.cmd == "compact":
+            c = reg.compact(
+                args.table,
+                target_bytes=args.target_bytes,
+                min_group=args.min_group,
+            )
+            if c.noop:
+                print(f"{args.table}: nothing to compact (no-op)")
+            else:
+                print(
+                    f"{args.table}: {c.files_in} files -> {c.files_out} "
+                    f"({c.bytes_in} bytes in {c.groups} group(s)), "
+                    f"published v{c.version}"
+                )
         elif args.cmd == "diff":
             d = reg.diff(args.table)
             print(

@@ -383,11 +383,12 @@ def q89_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 50th doc spawning a new versioned doc) merges into the base
     corpus; output audits the merge per (action, lang).
 
-    Scale: ONE shuffle — the full outer join on doc_id (the changeset is
-    typically ≪ base, so AQE picks a broadcast/shuffled-hash side
-    automatically) — plus the audit aggregation.  The same rewrite is the
-    writer for registry-managed corpora: action='keep' rows short-circuit
-    to existing files, only insert/update partitions rewrite."""
+    Scale: ONE co-partitioning shuffle — the full outer join on doc_id
+    (sort-merge; Spark cannot broadcast a full-outer side, and at corpus
+    scale both sides are large anyway; AQE splits skewed key ranges) —
+    plus the audit aggregation.  The same rewrite is the writer for
+    registry-managed corpora: action='keep' rows short-circuit to
+    existing files, only insert/update partitions rewrite."""
     d = t(spark, sf_dir, "documents")
     updates = d.where(F.col("doc_id") % 10 == 0).select(
         "doc_id", F.upper("text").alias("text"), "lang", "source"

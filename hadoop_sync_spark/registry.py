@@ -134,6 +134,19 @@ class SyncResult:
     noop: bool
 
 
+@dataclass
+class CompactResult:
+    """Outcome of a small-file compaction pass."""
+
+    table: str
+    version: int  # catalog version after the pass (unchanged when noop)
+    groups: int  # bins rewritten
+    files_in: int  # small files consumed
+    files_out: int  # compacted files produced (== groups)
+    bytes_in: int  # total bytes rewritten
+    noop: bool = False
+
+
 class Registry:
     """Versioned, atomically-published table/shard/placement catalog.
 
@@ -194,6 +207,7 @@ class Registry:
         tables: dict[str, dict],
         shards: list[dict],
         placements: list[dict] | None = None,
+        have_lock: bool = False,
     ) -> int:
         """Stage version N+1 fully, then atomically swap the pointer.
 
@@ -201,8 +215,12 @@ class Registry:
         atomic on POSIX — so a reader sees either version N or N+1, never a
         torn catalog.  Analogue of the reference's single COMMIT
         (`HdfsSynchronizer.java:321`); any exception before the replace
-        leaves the old version live (rollback, `:323-325`)."""
-        lock = self._acquire_publish_lock()
+        leaves the old version live (rollback, `:323-325`).
+
+        ``have_lock`` lets a caller that already holds the publish lock
+        (compaction, which must keep its journal+rename+publish sequence
+        under ONE critical section) skip re-acquisition."""
+        lock = None if have_lock else self._acquire_publish_lock()
         try:
             # version counter is read UNDER the lock: without it two
             # concurrent publishers both compute N+1 and the loser's
@@ -232,7 +250,8 @@ class Registry:
             os.replace(tmp, os.path.join(self.meta_dir, _POINTER))
             return new_version
         finally:
-            os.unlink(lock)
+            if lock is not None:
+                os.unlink(lock)
 
     #: a publish lock older than this is presumed crashed and stolen
     _LOCK_STALE_S = 300.0
@@ -453,6 +472,7 @@ class Registry:
         tables = self._load_tables()
         if name not in tables:
             raise KeyError(f"table not registered: {name}")
+        self._recover_compaction()  # roll forward any crashed compaction
         d = self.diff(name)
         if d.empty:
             return SyncResult(name, self._current_version(), 0, 0, noop=True)
@@ -548,6 +568,250 @@ class Registry:
         return SyncResult(
             name, version, added=len(added), removed=len(d.old_files), noop=False
         )
+
+    # ---------------------------------------------------------- compaction
+    #: journal filename inside meta_dir; presence = a compaction reached
+    #: its commit point and must roll FORWARD (all data is already in the
+    #: staged files; only renames/deletes/publish may be outstanding)
+    _JOURNAL = "compact.journal.json"
+
+    def compact(
+        self,
+        name: str,
+        target_bytes: int = 128 << 20,
+        min_group: int = 2,
+    ) -> CompactResult:
+        """Bin-pack small data files into ~``target_bytes`` files and
+        republish the catalog — the small-file management every 100 TB
+        deployment needs (a NameNode and a Spark driver both pay O(#files);
+        streaming sinks and incremental syncs accrete kilobyte files).
+
+        Transactional via a roll-forward journal, extending the
+        reference's crash contract ("reverts back to its original state",
+        `README.md:15-19`) to data-file rewrites where pure rollback is
+        impossible once originals are deleted:
+
+        1. under the publish lock, plan bins from the CATALOG (not the FS);
+        2. write each bin with Spark into a hidden ``_compact_stage`` dir
+           (underscore-prefixed → invisible to listing and readers; a
+           crash here leaves only debris that the next pass sweeps);
+        3. write the journal (tmp + fsync + atomic replace) — the COMMIT
+           POINT: it names every staged file, its final path, and every
+           original to delete;
+        4. rename staged → final, delete originals, publish the swapped
+           catalog rows, drop the journal.
+
+        A crash after (3) is completed by :meth:`_recover_compaction` —
+        every step is idempotent (rename-if-exists, delete-if-exists,
+        publish-if-catalog-still-references-originals) and runs before any
+        subsequent ``sync``/``compact`` plans anything, closing the window
+        where a half-applied rewrite could be re-registered as new files.
+
+        Older catalog versions referencing the deleted originals stop
+        being time-travel-readable — the same retention trade as
+        :meth:`vacuum`.
+
+        Scale: planning is O(#shards) catalog rows; each bin rewrite is a
+        narrow ``coalesce(1)`` read→write of ~target_bytes (no shuffle),
+        and bins rewrite independently — on a cluster they parallelize as
+        separate jobs; min/max stats for compacted files are re-fetched in
+        ONE distributed job like sync's."""
+        tables = self._load_tables()
+        if name not in tables:
+            raise KeyError(f"table not registered: {name}")
+        lock = self._acquire_publish_lock()
+        try:
+            self._recover_compaction(have_lock=True)
+            dir_path = tables[name]["dir_path"]
+            self._sweep_stage_debris(dir_path)
+
+            shards = self.shards(name)
+            smalls = sorted(
+                (s for s in shards if s["size"] < target_bytes),
+                key=lambda s: -s["size"],
+            )
+            bins: list[list[dict]] = []
+            for s in smalls:  # first-fit decreasing
+                for b in bins:
+                    if sum(x["size"] for x in b) + s["size"] <= target_bytes:
+                        b.append(s)
+                        break
+                else:
+                    bins.append([s])
+            bins = [b for b in bins if len(b) >= min_group]
+            if not bins:
+                return CompactResult(
+                    name, self._current_version(), 0, 0, 0, 0, noop=True
+                )
+
+            stage_root = os.path.join(dir_path, "_compact_stage")
+            renames: list[list[str]] = []  # [staged_tmp, final]
+            old_paths: list[str] = []
+            bytes_in = 0
+            base_version = self._current_version()
+            for i, b in enumerate(bins):
+                member_paths = [s["path"] for s in b]
+                stage_dir = os.path.join(stage_root, f"bin-{i}")
+                (
+                    self.spark.read.parquet(*member_paths)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(stage_dir)
+                )
+                parts = [
+                    f
+                    for f in os.listdir(stage_dir)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+                if len(parts) != 1:
+                    raise RuntimeError(
+                        f"expected one part file in {stage_dir}, got {parts}"
+                    )
+                final = os.path.join(
+                    dir_path, f"compact-v{base_version}-{i:05d}.parquet"
+                )
+                renames.append([os.path.join(stage_dir, parts[0]), final])
+                old_paths.extend(member_paths)
+                bytes_in += sum(s["size"] for s in b)
+
+            part_col = tables[name]["partition_column"]
+            refetch_stats = bool(part_col) and any(
+                s["min_value"] is not None for s in smalls
+            )
+            journal = {
+                "table": name,
+                "renames": renames,
+                "old_paths": old_paths,
+                "refetch_stats": refetch_stats,
+            }
+            jpath = os.path.join(self.meta_dir, self._JOURNAL)
+            jtmp = jpath + ".tmp"
+            with open(jtmp, "w") as f:
+                json.dump(journal, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(jtmp, jpath)  # ---- commit point ----
+
+            version = self._apply_compaction(journal, have_lock=True)
+            os.unlink(jpath)
+            self._sweep_stage_debris(dir_path)
+            return CompactResult(
+                name,
+                version,
+                groups=len(bins),
+                files_in=len(old_paths),
+                files_out=len(renames),
+                bytes_in=bytes_in,
+            )
+        finally:
+            os.unlink(lock)
+
+    @staticmethod
+    def _sweep_stage_debris(dir_path: str) -> None:
+        """Remove `_compact_stage` leftovers from a pass that crashed
+        before its commit point (they are invisible to readers either
+        way — underscore prefix)."""
+        stage_root = os.path.join(dir_path, "_compact_stage")
+        if os.path.isdir(stage_root):
+            shutil.rmtree(stage_root)
+
+    def _recover_compaction(self, have_lock: bool = False) -> bool:
+        """Roll a journaled-but-unfinished compaction forward; returns
+        True if one was applied.  Safe to call anytime: no journal → no-op."""
+        jpath = os.path.join(self.meta_dir, self._JOURNAL)
+        if not os.path.exists(jpath):
+            return False
+        lock = None if have_lock else self._acquire_publish_lock()
+        try:
+            if not os.path.exists(jpath):  # lost the race to another repairer
+                return False
+            with open(jpath) as f:
+                journal = json.load(f)
+            self._apply_compaction(journal, have_lock=True)
+            os.unlink(jpath)
+            tables = self._load_tables()
+            if journal["table"] in tables:
+                self._sweep_stage_debris(tables[journal["table"]]["dir_path"])
+            return True
+        finally:
+            if lock is not None:
+                os.unlink(lock)
+
+    def _apply_compaction(self, journal: dict, have_lock: bool) -> int:
+        """Idempotently execute a journal: renames, deletes, catalog swap.
+        Caller holds the publish lock."""
+        name = journal["table"]
+        for staged, final in journal["renames"]:
+            if os.path.exists(staged):
+                os.replace(staged, final)
+            elif not os.path.exists(final):
+                raise RuntimeError(
+                    f"compaction journal names a missing file: {final}"
+                )
+        for p in journal["old_paths"]:
+            if os.path.exists(p):
+                os.unlink(p)
+
+        old_set = set(journal["old_paths"])
+        final_paths = [final for _, final in journal["renames"]]
+        shards = self._load_shards()
+        catalog_paths = {
+            s["path"] for s in shards if s["table_name"] == name
+        }
+        already = set(final_paths) <= catalog_paths and not (
+            old_set & catalog_paths
+        )
+        if already:  # crash landed after the publish — nothing left to do
+            return self._current_version()
+
+        tables = self._load_tables()
+        new_files = []
+        for p in final_paths:
+            st = os.stat(p)
+            new_files.append(
+                {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+            )
+        stats = (
+            self._fetch_min_max(new_files, tables[name]["partition_column"])
+            if journal.get("refetch_stats")
+            else {}
+        )
+        keep = [
+            s
+            for s in shards
+            if s["table_name"] != name or s["path"] not in old_set
+        ]
+        for f in new_files:
+            mn, mx = stats.get(f["path"], (None, None))
+            keep.append(
+                {
+                    "table_name": name,
+                    "shard_id": _shard_id(f["path"]),
+                    "path": f["path"],
+                    "size": f["size"],
+                    "mtime_ns": f["mtime_ns"],
+                    "min_value": mn,
+                    "max_value": mx,
+                }
+            )
+        placements = [
+            p
+            for p in self._load_placements()
+            if p["table_name"] != name or p["path"] not in old_set
+        ]
+        for f in new_files:
+            for host in self.placement_hosts(f):
+                placements.append(
+                    {
+                        "table_name": name,
+                        "shard_id": _shard_id(f["path"]),
+                        "path": f["path"],
+                        "size": f["size"],
+                        "mtime_ns": f["mtime_ns"],
+                        "hostname": host,
+                    }
+                )
+        return self._publish(tables, keep, placements, have_lock=have_lock)
 
     def table_ddl_events(self, name: str) -> list[str]:
         """Ordered DDL statements that recreate the table and its per-shard

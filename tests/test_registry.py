@@ -427,3 +427,142 @@ def test_replica_move_is_pure_placement_diff(spark, scratch):
     ) == ["host1", "host2"]
     # and the sync is idempotent like every other
     assert reg.sync("li").noop
+
+
+# ----------------------------------------------------------- compaction
+@pytest.fixture()
+def shredded(spark, tmp_path):
+    """A data dir holding lineitem shredded into 6 small part files."""
+    data = str(tmp_path / "data")
+    (
+        spark.read.parquet(table_path(SF_DIR, "lineitem"))
+        .repartition(6)
+        .write.parquet(data)
+    )
+    return {"data": data, "meta": str(tmp_path / "meta")}
+
+
+def _visible_files(data_dir):
+    return sorted(
+        f
+        for f in os.listdir(data_dir)
+        if not f.startswith((".", "_")) and os.path.isfile(
+            os.path.join(data_dir, f)
+        )
+    )
+
+
+def test_compact_merges_small_files_and_preserves_data(spark, shredded):
+    reg = Registry(spark, shredded["meta"])
+    reg.register("li", shredded["data"], partition_column="l_shipdate")
+    reg.sync("li", fetch_min_max=True)
+    before = sorted(
+        map(tuple, reg.read("li").select("l_orderkey", "l_linenumber").collect())
+    )
+    assert len(_visible_files(shredded["data"])) == 6
+
+    c = reg.compact("li", target_bytes=1 << 30)
+    assert not c.noop
+    assert (c.files_in, c.files_out, c.groups) == (6, 1, 1)
+    assert len(_visible_files(shredded["data"])) == 1
+    assert len(reg.shards("li")) == 1
+
+    after = sorted(
+        map(tuple, reg.read("li").select("l_orderkey", "l_linenumber").collect())
+    )
+    assert before == after
+    # compacted catalog matches the FS exactly: next sync is a no-op
+    assert reg.sync("li").noop
+    # stats were re-fetched for the compacted shard, and pruning stays sound
+    (shard,) = reg.shards("li")
+    assert shard["min_value"] is not None and shard["max_value"] is not None
+
+
+def test_compact_noop_below_min_group(spark, shredded):
+    reg = Registry(spark, shredded["meta"])
+    reg.register("li", shredded["data"])
+    reg.sync("li")
+    v = reg._current_version()
+    # every file is "small" but each lands in its own bin under a tiny cap
+    c = reg.compact("li", target_bytes=1)
+    assert c.noop and reg._current_version() == v
+    assert len(_visible_files(shredded["data"])) == 6
+
+
+def test_compact_crash_before_apply_rolls_forward_on_sync(
+    spark, shredded, monkeypatch
+):
+    """Crash at the commit point (journal written, nothing applied):
+    the next sync() must roll the compaction forward, not re-register
+    half-applied state."""
+    reg = Registry(spark, shredded["meta"])
+    reg.register("li", shredded["data"])
+    reg.sync("li")
+    before = sorted(map(tuple, reg.read("li").select("l_orderkey").collect()))
+
+    real_apply = Registry._apply_compaction
+    calls = {"n": 0}
+
+    def boom(self, journal, have_lock):
+        calls["n"] += 1
+        raise OSError("injected crash after journal write")
+
+    monkeypatch.setattr(Registry, "_apply_compaction", boom)
+    with pytest.raises(OSError, match="injected"):
+        reg.compact("li", target_bytes=1 << 30)
+    monkeypatch.setattr(Registry, "_apply_compaction", real_apply)
+    assert os.path.exists(os.path.join(shredded["meta"], Registry._JOURNAL))
+
+    # recovery path: a plain sync rolls the journal forward first
+    r = reg.sync("li")
+    assert not os.path.exists(os.path.join(shredded["meta"], Registry._JOURNAL))
+    assert len(_visible_files(shredded["data"])) == 1
+    assert len(reg.shards("li")) == 1
+    after = sorted(map(tuple, reg.read("li").select("l_orderkey").collect()))
+    assert before == after
+    assert reg.sync("li").noop
+
+
+def test_compact_crash_mid_apply_recovers_idempotently(
+    spark, shredded, monkeypatch
+):
+    """Crash after renames+deletes but before the catalog publish: the
+    journal replay must finish the publish without double-applying."""
+    reg = Registry(spark, shredded["meta"])
+    reg.register("li", shredded["data"])
+    reg.sync("li")
+    before = sorted(map(tuple, reg.read("li").select("l_orderkey").collect()))
+
+    real_publish = Registry._publish
+
+    def boom(self, tables, shards, placements=None, have_lock=False):
+        if have_lock:  # only the compaction-held publish
+            raise OSError("injected crash before catalog swap")
+        return real_publish(self, tables, shards, placements, have_lock)
+
+    monkeypatch.setattr(Registry, "_publish", boom)
+    with pytest.raises(OSError, match="injected"):
+        reg.compact("li", target_bytes=1 << 30)
+    monkeypatch.setattr(Registry, "_publish", real_publish)
+
+    # originals are gone and the catalog still points at them — exactly
+    # the window the journal covers; replay must finish, not resync
+    assert reg._recover_compaction()
+    assert len(reg.shards("li")) == 1
+    after = sorted(map(tuple, reg.read("li").select("l_orderkey").collect()))
+    assert before == after
+    assert reg.sync("li").noop
+    # replay again is a no-op (journal gone)
+    assert not reg._recover_compaction()
+
+
+def test_cli_compact(spark, shredded, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    assert main(["register", shredded["meta"], "li", shredded["data"]]) == 0
+    assert main(["sync", shredded["meta"], "li"]) == 0
+    assert main(["compact", shredded["meta"], "li"]) == 0
+    out = capsys.readouterr().out
+    assert "6 files -> 1" in out
+    assert main(["compact", shredded["meta"], "li"]) == 0
+    assert "no-op" in capsys.readouterr().out
