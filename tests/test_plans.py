@@ -66,11 +66,17 @@ def test_notin_plans_null_aware_broadcast_anti(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["q62_jaccard_pairs", "q67_chargram_jaccard_pairs"]
+    "name",
+    [
+        "q62_jaccard_pairs",
+        "q67_chargram_jaccard_pairs",
+        "q69_semantic_dedup",
+    ],
 )
 def test_banded_similarity_join_is_hash_joinable(spark, sf_dir, name):
-    """The block-bucketed rewrite of the doc-window theta join must keep
-    the plan free of nested-loop/cartesian operators — the rewrite exists
+    """The block-bucketed rewrite of the doc-window theta join — and the
+    sign-LSH banded candidate path of semantic dedup — must keep the plan
+    free of nested-loop/cartesian operators — the rewrite exists
     precisely so the candidate join stays O(n) at 100 TB."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
