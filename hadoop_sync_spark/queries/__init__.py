@@ -127,10 +127,10 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q90_media_features",
     "q91_image_resize",
     "q92_frame_sample",
-    "q32_approx_distinct",
+    "q95_compaction_lifecycle",
     # (d) representative r1-green relational family (q21/q30/q31/q33/
-    # q42-q45/q85 rotated out to make room for q77-q79 and q86-q94 —
-    # their r1 rows stand, implementations unchanged)
+    # q42-q45/q85 rotated out to make room for q77-q79 and q86-q95,
+    # q32's r1 no_oracle row stands — implementations unchanged)
     "q01_pricing_summary",
 )
 

@@ -162,3 +162,60 @@ def q82_registry_sync_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, first_added int, first_removed int, "
         "rerun_noop boolean, shard_cnt int",
     )
+
+
+@register(
+    "q95_compaction_lifecycle",
+    oracle=None,
+    tags=("registry", "compaction", "l3"),
+)
+def q95_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end as a checkable row: shred the
+    documents table into small shards, sync, compact, and report the
+    file-count collapse plus the invariants that make compaction safe —
+    row counts identical before/after, the post-compact catalog matches
+    the FS exactly (re-sync no-op), and the catalog version advanced
+    atomically.  Rows-only (the registry has no SQL twin).
+
+    Scale: this is the operator that keeps O(#files) driver/NameNode state
+    bounded at 100 TB; each bin rewrite is a narrow coalesce(1) job."""
+    import shutil
+
+    from hadoop_sync_spark.registry import Registry
+
+    scratch = _scratch_meta_dir(sf_dir + "#compaction")
+    shutil.rmtree(scratch, ignore_errors=True)
+    data_dir = os.path.join(scratch, "data")
+    meta_dir = os.path.join(scratch, "meta")
+    (
+        t(spark, sf_dir, "documents")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+
+    reg = Registry(spark, meta_dir)
+    reg.register("docs", data_dir)
+    synced = reg.sync("docs")
+    rows_before = reg.read("docs").count()
+    v_before = reg._current_version()
+
+    c = reg.compact("docs", target_bytes=1 << 30)
+    rows_after = reg.read("docs").count()
+    resync = reg.sync("docs")
+
+    return spark.createDataFrame(
+        [
+            (
+                "docs",
+                synced.added,
+                c.files_in,
+                c.files_out,
+                bool(rows_before == rows_after),
+                bool(resync.noop),
+                bool(reg._current_version() > v_before),
+            )
+        ],
+        "table_name string, files_synced int, files_in int, files_out int, "
+        "rows_preserved boolean, resync_noop boolean, version_advanced boolean",
+    )
