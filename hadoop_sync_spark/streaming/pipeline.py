@@ -20,6 +20,8 @@ below takes an explicit watermark for that reason.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -289,3 +291,34 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def foreach_batch_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once file sink via ``foreachBatch``: every micro-batch
+    lands in its own ``batch_id=N`` partition directory with overwrite
+    mode, so Structured Streaming's replay contract (a batch id may be
+    re-delivered after failure, with identical contents) degrades to an
+    idempotent overwrite of the same directory instead of duplicate rows
+    — the standard batchId-keyed idempotent-sink pattern from the Spark
+    docs, and the streaming face of the registry's transactional publish.
+
+    Scale: each batch write is an independent parquet job; downstream
+    readers see `out_dir` as one partitioned table (`batch_id` is a
+    discoverable partition column usable for incremental consumption)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

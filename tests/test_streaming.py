@@ -230,3 +230,57 @@ def test_stream_stream_outer_join(spark, events_dir, tmp_path):
     matched = lambda rows: {r for r in rows if r[2] is not None}  # noqa: E731
     assert matched(got_rows) == matched(batch_rows)
     assert any(r[2] is None for r in got_rows)
+
+
+def test_foreach_batch_sink_is_exactly_once(spark, events_dir, tmp_path):
+    """batchId-keyed foreachBatch sink: incremental drains append new
+    batches; a re-delivered batch id (the replay contract) overwrites its
+    own directory instead of duplicating rows."""
+    import os
+
+    from hadoop_sync_spark.streaming.pipeline import (
+        foreach_batch_parquet_sink,
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = stream_events(spark, events_dir).select("event_id", "event_type")
+    foreach_batch_parquet_sink(src, out, ckpt)
+    first = spark.read.parquet(out)
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert first.count() == n_events
+    assert first.select("event_id").distinct().count() == n_events
+
+    # drain again with no new input: no new batch, no duplicates
+    foreach_batch_parquet_sink(
+        stream_events(spark, events_dir).select("event_id", "event_type"),
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(out).count() == n_events
+
+    # new file arrives -> next drain appends exactly its rows once
+    shutil.copy(
+        os.path.join(events_dir, "part-000.parquet"),
+        os.path.join(events_dir, "part-001.parquet"),
+    )
+    foreach_batch_parquet_sink(
+        stream_events(spark, events_dir).select("event_id", "event_type"),
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(out).count() == 2 * n_events
+
+    # simulate a failure replay: rewrite the LAST batch id with identical
+    # contents (Spark's contract on restart-after-sink-success-but-
+    # commit-failure); the partition overwrite keeps the total unchanged
+    batch_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    last_id = int(batch_dirs[-1].split("=")[1])
+    replay_df = spark.read.parquet(
+        os.path.join(events_dir, "part-001.parquet")
+    ).select("event_id", "event_type")
+    replay_df.write.mode("overwrite").parquet(
+        os.path.join(out, f"batch_id={last_id}")
+    )
+    assert spark.read.parquet(out).count() == 2 * n_events
