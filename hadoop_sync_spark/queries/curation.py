@@ -528,3 +528,54 @@ def q94_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("regr_slope"),
         ((sy - slope * sx) / n).alias("regr_intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — per-source duplication health profile
+# --------------------------------------------------------------------------
+@register(
+    "q96_dup_profile",
+    oracle="""
+    WITH fp AS (
+        SELECT source, md5(lower(trim(text, ' '))) AS f FROM documents
+    ),
+    c AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt FROM fp GROUP BY f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS distinct_fps,
+           CAST(MAX(cnt) AS BIGINT) AS max_clone_cnt
+    FROM fp JOIN c USING (f)
+    GROUP BY source
+    """,
+    tags=("curation", "dedup", "report", "l3"),
+)
+def q96_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication health report: how many of a source's
+    documents are exact clones (by normalized-content fingerprint), how
+    many distinct texts it contributes, and its worst clone multiplicity
+    — the dashboard a corpus curator watches to decide which sources need
+    dedup before mixing (q78) or budgeting (q88).
+
+    Scale: two shuffles — fingerprint counts (map-side combined) and the
+    per-source rollup; the join back to rows is on the fingerprint key the
+    first aggregation already partitioned by, so AQE reuses the exchange.
+    No Python, no explode."""
+    from hadoop_sync_spark.functions.text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    fp = d.select("source", fingerprint(F.col("text")).alias("f"))
+    counts = fp.groupBy("f").agg(F.count("*").cast("long").alias("cnt"))
+    return (
+        fp.join(counts, "f")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("dup_docs"),
+            F.countDistinct("f").alias("distinct_fps"),
+            F.max("cnt").alias("max_clone_cnt"),
+        )
+    )

@@ -566,3 +566,17 @@ def test_cli_compact(spark, shredded, capsys):
     assert "6 files -> 1" in out
     assert main(["compact", shredded["meta"], "li"]) == 0
     assert "no-op" in capsys.readouterr().out
+
+
+def test_compact_breaks_time_travel_to_rewritten_files_only(spark, shredded):
+    """Documented retention contract: compaction deletes originals, so
+    time-travel to a pre-compaction version (which references them) fails,
+    while the current version and post-compaction snapshots stay readable."""
+    reg = Registry(spark, shredded["meta"])
+    reg.register("li", shredded["data"])
+    reg.sync("li")
+    v_pre = reg._current_version()
+    reg.compact("li", target_bytes=1 << 30)
+    assert reg.read("li").count() > 0  # current snapshot fine
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        reg.read("li", version=v_pre).count()

@@ -52,3 +52,63 @@ def test_approx_percentiles_within_envelope(spark, sf_dir):
         assert r["approx_ok"] is True
         for q in ("p25", "p50", "p75", "p95"):
             assert r[q] is not None and float(r[q]) >= 0.0
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """100 TB posture check: with AQE's skew-join thresholds scaled down
+    to fixture size, a sort-merge join against a heavily skewed key must
+    come out of adaptive planning with its skewed partitions split
+    (`skew=true` marks on the SMJ node) — the runtime answer to the hot
+    keys that salting (q44) handles statically."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        # 90% of rows pile onto key 0; the rest spread over 1000 keys.
+        # The fact side MUST come from many map tasks (16-way range):
+        # AQE splits a skewed reduce partition at map-output granularity,
+        # so a single-mapper input (one small parquet file) is
+        # structurally unsplittable at any threshold.
+        fact = spark.range(0, 150_000, 1, 16).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") % 50).cast("double").alias("l_quantity"),
+        )
+        dim = (
+            spark.range(0, 1000)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        )
+        joined = fact.join(dim, "k").groupBy().agg(
+            F.count("*").alias("cnt"),
+            F.sum("l_quantity").alias("qty"),  # keeps the payload column
+        )
+        (row,) = joined.collect()
+        assert row["cnt"] == fact.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
