@@ -1,0 +1,70 @@
+"""Repo-wide plan hygiene: EVERY registered query's physical plan must be
+free of cartesian products and nested-loop joins (the two operators that
+turn a 100 TB query into a non-terminating one), except an explicit
+allowlist of intentionally-bounded oracle cross-checks.
+
+This is the blanket form of the targeted assertions in test_plans.py: a
+new query cannot silently regress into a quadratic join shape without
+either failing here or being consciously allowlisted."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_sync_spark.queries import load_all
+
+QUERIES = load_all()
+
+#: Queries whose nested-loop/cross node is BOUNDED by construction — each
+#: entry documents exactly which side is bounded and why that holds at
+#: 100 TB (a data×data nested loop would never qualify).
+BOUNDED_OK = {
+    # bounded (vec_id < 300) oracle cross-check; scale path is q69/q71/q72
+    "q65_embedding_dup_pairs",
+    # brute-force exact top-k IS the all-pairs baseline by definition
+    # (broadcast queries × corpus); the scale paths are q71 (IVF) and
+    # q72 (sign-LSH) whose candidate joins are hash joins
+    "q70_cosine_topk",
+    # the cross nodes are query×CENTROID-TABLE assignment (k centroids,
+    # k ≤ a few hundred, broadcast); the corpus-side candidate join is a
+    # BroadcastHashJoin on centroid_id — asserted below
+    "q71_ivf_topk",
+    # the cross attaches a ONE-ROW min/max bounds aggregate to the
+    # event-type dimension to generate the bucket spine — a scalar
+    # attach, not a data×data join
+    "q75_gap_fill_locf",
+}
+
+#: Queries whose fn() performs driver-side work beyond building a plan
+#: (registry lifecycle, streaming drains) — exercised by their own tests.
+SIDE_EFFECTING = {
+    "q47_streaming_tumbling_window",
+    "q82_registry_sync_lifecycle",
+    "q95_compaction_lifecycle",
+}
+
+SWEEP = sorted(set(QUERIES) - SIDE_EFFECTING)
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_no_quadratic_join_shapes(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in BOUNDED_OK:
+        pytest.skip("bounded cross by construction (documented above)")
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested loop"
+
+
+def test_ivf_candidate_join_is_hash_join(spark, sf_dir):
+    """q71's allowlisting covers ONLY the bounded centroid-assignment
+    cross: the corpus-side candidate join must still be a hash join on
+    centroid_id, or IVF has silently degraded to brute force."""
+    plan = (
+        QUERIES["q71_ivf_topk"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin [centroid_id" in plan
