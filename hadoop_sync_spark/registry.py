@@ -820,14 +820,25 @@ class Registry:
         reference (A25, `CitusWorkerNode.java:69-113`).  Here: one Spark SQL
         CREATE TABLE for the logical table, plus one per-shard external
         table statement using the reference's unsigned shard naming quirk
-        (`shard_table_name`)."""
+        (`shard_table_name`).
+
+        Schema evolution: the DDL is derived from the UNION of all shard
+        footers (`mergeSchema`), so a table whose newer files added
+        columns replays with the full evolved schema — the reference's
+        single-master-DDL-for-every-shard property
+        (`CitusWorkerNode.java:69-113` replays one DDL per shard)
+        preserved under evolution."""
         tables = self._load_tables()
         if name not in tables:
             raise KeyError(f"table not registered: {name}")
         shards = self.shards(name)
         if not shards:
             raise ValueError(f"no synced shards for table {name}")
-        schema_ddl = self.spark.read.parquet(shards[0]["path"]).schema.toDDL()
+        schema_ddl = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[s["path"] for s in shards])
+            .schema.toDDL()
+        )
         events = [
             f"CREATE TABLE IF NOT EXISTS {name} ({schema_ddl}) USING parquet "
             f"LOCATION '{tables[name]['dir_path']}'"
@@ -841,7 +852,12 @@ class Registry:
         return events
 
     # ------------------------------------------------------------- querying
-    def read(self, name: str, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Scan a registered table from its *catalog* file list (not a live
         directory listing) — queries see exactly the last published sync,
         the reference's only-the-catalog-is-queried property.
@@ -851,11 +867,20 @@ class Registry:
         directory, every historical catalog state remains queryable — the
         same mechanism that gives the reference its "reverts back to its
         original state" crash guarantee (`README.md:15-19`) doubles as
-        snapshot isolation for readers."""
+        snapshot isolation for readers.
+
+        `merge_schema=True` reads the union of all shard schemas (columns
+        absent from older files surface as NULL) — schema evolution for
+        append-style corpora, at the footer-merge cost that option always
+        carries; leave it off for fixed-schema tables so scans keep the
+        single-footer fast path."""
         files = [s["path"] for s in self.shards(name, version)]
         if not files:
             raise ValueError(f"no synced shards for table {name}")
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def prune_files(self, name: str, lo, hi) -> list[str]:
         """Stat-based shard pruning — the *point* of the reference's

@@ -580,3 +580,44 @@ def test_compact_breaks_time_travel_to_rewritten_files_only(spark, shredded):
     assert reg.read("li").count() > 0  # current snapshot fine
     with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
         reg.read("li", version=v_pre).count()
+
+
+def test_schema_evolution_read_and_ddl(spark, tmp_path):
+    """A table whose newer shards added a column: merge_schema read
+    surfaces the union schema (old rows NULL), and DDL replay emits the
+    evolved schema for the logical table and every shard."""
+    import pyarrow as pa
+    import pyarrow.parquet as paq
+
+    data = tmp_path / "data"
+    data.mkdir()
+    paq.write_table(
+        pa.table({"id": [1, 2], "txt": ["a", "b"]}),
+        str(data / "part-000.parquet"),
+    )
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register("t", str(data))
+    reg.sync("t")
+
+    # evolution: a later file carries an extra column
+    paq.write_table(
+        pa.table({"id": [3], "txt": ["c"], "score": [0.5]}),
+        str(data / "part-001.parquet"),
+    )
+    r = reg.sync("t")
+    assert r.added == 1
+
+    evolved = reg.read("t", merge_schema=True)
+    assert set(evolved.columns) == {"id", "txt", "score"}
+    rows = {r["id"]: r["score"] for r in evolved.collect()}
+    assert rows[1] is None and rows[3] == 0.5
+
+    events = reg.table_ddl_events("t")
+    assert all("score" in e for e in events)  # one DDL, every shard
+    # the replayed DDL is executable Spark SQL
+    spark.sql(f"DROP TABLE IF EXISTS t")
+    spark.sql(events[0])
+    try:
+        assert "score" in spark.table("t").columns
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t")
