@@ -2,16 +2,21 @@
 
 Driver L3 mandate: treat media as `binary` columns with structured metadata
 and run decode / feature-extract / resize / frame-sample as Arrow-batched
-pandas UDFs over ``mapInPandas``.  Real codec libraries (PIL/ffmpeg/librosa)
-are NOT in this container, so the codec boundary is explicitly stubbed:
+pandas UDFs over ``mapInPandas``.
 
-- assets carry a tiny self-describing deterministic format (`FAKE` header +
-  dims + payload) so every piece of *Spark* plumbing — schema, binary
-  transport through Arrow, batch iteration, explode of sampled frames,
-  partition-preserving metadata derivation — is real and tested;
-- ``decode_real()`` is the marked seam: it raises ``NotImplementedError``
-  unless a real codec import succeeds, at which point only that function
-  changes.
+The codec layer is REAL for the uncompressed formats that need only
+``struct`` + numpy — no external codec libraries:
+
+- **images**: 24-bit uncompressed BMP (BITMAPFILEHEADER/INFOHEADER, BGR,
+  bottom-up, 4-byte row padding) — encoded and decoded bit-exactly;
+- **audio**: RIFF/WAVE PCM 16-bit mono — encoded and decoded bit-exactly;
+- **video**: an explicit raw container (``RVID`` magic + frame count +
+  length-prefixed BMP frames) — every sampled frame decodes as a real BMP.
+
+Compressed formats (JPEG/PNG/MP4/...) remain the marked seam:
+:func:`decode_real` falls through to an import-try of PIL/av and raises
+``NotImplementedError`` in this container (no codec libs) — swapping in a
+real library changes only that branch.
 
 Scale notes: binary payloads ride Spark's columnar binary type (Arrow
 `binary`), so ``mapInPandas`` streams them in bounded batches
@@ -50,43 +55,210 @@ ASSET_SCHEMA = StructType(
     ]
 )
 
-_MAGIC = b"FAKE"
+_RVID_MAGIC = b"RVID"
+_AUDIO_RATE = 16000
 
 
-def _encode_fake(kind: str, asset_id: int, w: int, h: int, frames: int) -> bytes:
-    """Deterministic synthetic payload: header + pseudo-pixel bytes."""
-    header = _MAGIC + struct.pack(">BIIH", {"image": 1, "audio": 2, "video": 3}[kind], w, h, frames)
-    n = w * h * max(frames, 1)
-    # cheap deterministic byte stream keyed by asset_id
-    body = bytes(((asset_id * 2654435761 + i * 40503) >> 7) & 0xFF for i in range(min(n, 4096)))
-    return header + body
+# ------------------------------------------------------------------ codecs
+def encode_bmp(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (real, spec-compliant: BGR channel order, bottom-up rows, rows padded
+    to 4 bytes)."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = arr[:, :, ::-1]  # RGB -> BGR
+    rows = []
+    padding = b"\x00" * pad
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + padding)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes):
+    """Decode a 24-bit uncompressed BMP into an (H, W, 3) uint8 RGB
+    array — the exact inverse of :func:`encode_bmp`."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    px = px.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    return px[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
+
+
+def encode_wav(samples, rate: int = _AUDIO_RATE) -> bytes:
+    """Encode an int16 numpy array as RIFF/WAVE PCM mono."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + n, b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", n)
+        + data
+    )
+
+
+def decode_wav(data: bytes):
+    """Decode RIFF/WAVE PCM 16-bit mono → (sample_rate, int16 array)."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", data[20:36])
+    if (fmt, ch, bits) != (1, 1, 16):
+        raise NotImplementedError("only PCM 16-bit mono supported")
+    n = struct.unpack("<I", data[40:44])[0]
+    return rate, np.frombuffer(data, dtype="<i2", count=n // 2, offset=44)
+
+
+def encode_rvid(frames) -> bytes:
+    """Encode a list of (H, W, 3) uint8 frames as the raw RVID container:
+    magic + frame count + length-prefixed real BMP frames."""
+    parts = [_RVID_MAGIC, struct.pack("<H", len(frames))]
+    for f in frames:
+        b = encode_bmp(f)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def decode_rvid(data: bytes):
+    """Decode an RVID container → list of (offset, length) frame slices
+    (frames themselves decode lazily via :func:`decode_bmp`)."""
+    if data[:4] != _RVID_MAGIC:
+        raise ValueError("not an RVID payload")
+    (n,) = struct.unpack("<H", data[4:6])
+    spans, pos = [], 6
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[pos : pos + 4])
+        pos += 4
+        spans.append((pos, ln))
+        pos += ln
+    return spans
+
+
+def decode_real(content: bytes):
+    """Decode a media payload to numpy data.  REAL for the uncompressed
+    formats above (BMP → (H,W,3) RGB array; WAV → (rate, int16 samples);
+    RVID → list of RGB frame arrays).  Compressed formats fall through to
+    the codec-library seam, stubbed in this container (no PIL/av)."""
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:4] == b"RIFF":
+        return decode_wav(content)
+    if content[:4] == _RVID_MAGIC:
+        return [
+            decode_bmp(content[o : o + ln]) for o, ln in decode_rvid(content)
+        ]
+    try:
+        import PIL.Image  # noqa: F401  (absent in this container)
+    except ImportError as e:
+        raise NotImplementedError(
+            "compressed-format decoding requires codec libraries not "
+            "present in this environment; uncompressed BMP/WAV/RVID "
+            "payloads decode for real above"
+        ) from e
+    raise NotImplementedError("real codec path not wired yet")
+
+
+def decode_header(content: bytes) -> tuple[int, int, int, int]:
+    """Cheap header-only probe → (kind, width, height, frames) without
+    decoding payloads: kind 1=image, 2=audio (width=n_samples, height=1),
+    3=video."""
+    if content[:2] == b"BM":
+        w, h = struct.unpack("<ii", content[18:26])
+        return 1, w, h, 1
+    if content[:4] == b"RIFF":
+        n = struct.unpack("<I", content[40:44])[0]
+        return 2, n // 2, 1, 1
+    if content[:4] == _RVID_MAGIC:
+        spans = decode_rvid(content)
+        o, _ln = spans[0]
+        w, h = struct.unpack("<ii", content[o + 18 : o + 26])
+        return 3, w, h, len(spans)
+    raise ValueError("unknown media payload")
+
+
+# --------------------------------------------------------------- generation
+def _synth_image(asset_id: int, w: int, h: int):
+    """Deterministic RGB test pattern (gradients + id-keyed phase)."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.uint32)
+    y = np.arange(h, dtype=np.uint32)[:, None]
+    r = (x * 255 // max(w - 1, 1)) * np.ones((h, 1), dtype=np.uint32)
+    g = (y * 255 // max(h - 1, 1)) * np.ones((1, w), dtype=np.uint32)
+    b = (x + y * 3 + asset_id * 7) % 256
+    return np.stack(
+        [r.astype(np.uint8), g.astype(np.uint8), b.astype(np.uint8)], axis=2
+    )
+
+
+def _synth_audio(asset_id: int, n_samples: int):
+    """Deterministic int16 sinusoid, frequency keyed by asset id."""
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 220.0 + (asset_id % 16) * 55.0
+    return (
+        np.sin(2 * np.pi * freq * t / _AUDIO_RATE) * 12000.0
+    ).astype("<i2")
+
+
+def _make_asset(i: int, nch: int) -> tuple:
+    kind = ("image", "audio", "video")[i % 3]
+    w, h = 16 + (int(nch) % 5) * 8, 16 + (i % 3) * 8
+    frames = 1 if kind == "image" else (8 + i % 4)
+    if kind == "image":
+        content = encode_bmp(_synth_image(i, w, h))
+    elif kind == "audio":
+        n_samples = _AUDIO_RATE // 8 * frames  # frames/8 seconds
+        content = encode_wav(_synth_audio(i, n_samples))
+    else:
+        content = encode_rvid(
+            [_synth_image(i + fno, w, h) for fno in range(frames)]
+        )
+    return (
+        i,
+        kind,
+        content,
+        w if kind != "audio" else None,
+        h if kind != "audio" else None,
+        frames if kind == "video" else None,
+        _AUDIO_RATE if kind == "audio" else None,
+        float(frames) / 8.0,
+    )
 
 
 def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fixture generator (no media fixture tables exist):
-    n assets cycling image/audio/video with varied dims."""
-    rows = []
-    for i in range(n):
-        kind = ("image", "audio", "video")[i % 3]
-        w, h = 16 + (i % 5) * 8, 16 + (i % 3) * 8
-        frames = 1 if kind == "image" else (8 + i % 4)
-        rows.append(
-            (
-                i,
-                kind,
-                _encode_fake(kind, i, w, h, frames),
-                w if kind != "audio" else None,
-                h if kind != "audio" else None,
-                frames if kind == "video" else None,
-                16000 if kind == "audio" else None,
-                float(frames) / 8.0,
-            )
-        )
+    n assets cycling image/audio/video with varied dims — every payload a
+    real decodable BMP/WAV/RVID."""
+    rows = [_make_asset(i, i) for i in range(n)]
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
 def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture-grounded asset table: one synthetic media asset per document
+    """Fixture-grounded asset table: one real media asset per document
     (payload deterministically keyed by doc_id, kind cycling
     image/audio/video, dims derived from n_chars).  Built distributedly via
     ``mapInPandas`` so asset generation scales with the corpus instead of
@@ -101,24 +273,10 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
-                i = int(did)
-                kind = ("image", "audio", "video")[i % 3]
-                w, h = 16 + (int(nch) % 5) * 8, 16 + (i % 3) * 8
-                frames = 1 if kind == "image" else (8 + i % 4)
-                out.append(
-                    (
-                        i,
-                        kind,
-                        _encode_fake(kind, i, w, h, frames),
-                        w if kind != "audio" else None,
-                        h if kind != "audio" else None,
-                        frames if kind == "video" else None,
-                        16000 if kind == "audio" else None,
-                        float(frames) / 8.0,
-                    )
-                )
+            out = [
+                _make_asset(int(did), int(nch))
+                for did, nch in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
             yield pd.DataFrame(
                 out, columns=[f.name for f in ASSET_SCHEMA.fields]
             )
@@ -126,31 +284,7 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(fn, ASSET_SCHEMA)
 
 
-def decode_real(content: bytes) -> object:
-    """THE codec seam.  Swap in PIL/av/librosa here when available.
-
-    STUB: real image/audio decoding is intentionally unimplemented in this
-    container (no codec libs); everything downstream consumes
-    :func:`decode_header` instead."""
-    try:
-        import PIL.Image  # noqa: F401  (absent in this container)
-    except ImportError as e:
-        raise NotImplementedError(
-            "real media decoding requires codec libraries not present in "
-            "this environment; the deterministic FAKE-format path below "
-            "exercises the full Spark plumbing"
-        ) from e
-    raise NotImplementedError("real codec path not wired yet")
-
-
-def decode_header(content: bytes) -> tuple[int, int, int, int]:
-    """Parse the deterministic FAKE header → (kind, width, height, frames)."""
-    if content is None or content[:4] != _MAGIC:
-        raise ValueError("not a FAKE-format payload")
-    kind, w, h, frames = struct.unpack(">BIIH", content[4:15])
-    return kind, w, h, frames
-
-
+# ----------------------------------------------------------------- operators
 FEATURE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -165,25 +299,37 @@ FEATURE_SCHEMA = StructType(
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """Decode + featurize via ``mapInPandas`` (Arrow-batched).
-
-    The per-batch body is vectorized numpy over the payload bytes; this is
-    the shape a real embedding/feature extractor takes (decode → ndarray →
-    model), minus the stubbed codec."""
+    """Decode + featurize via ``mapInPandas`` (Arrow-batched): REAL decode
+    (BMP pixels / WAV samples / RVID first frame), then vectorized numpy
+    statistics over the decoded data — the decode → ndarray → features
+    shape of an embedding extractor."""
 
     def fn(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
+
+        def entropy(u8) -> float:
+            counts = np.bincount(u8, minlength=256)
+            p = counts[counts > 0] / len(u8)
+            return float(-(p * np.log2(p)).sum())
 
         for pdf in batches:
             out = []
             for aid, mt, content in zip(
                 pdf["asset_id"], pdf["media_type"], pdf["content"]
             ):
-                _kind, w, h, _frames = decode_header(content)
-                body = np.frombuffer(content[15:], dtype=np.uint8)
-                counts = np.bincount(body, minlength=256)
-                p = counts[counts > 0] / len(body)
+                decoded = decode_real(bytes(content))
+                if mt == "image":
+                    w, h = decoded.shape[1], decoded.shape[0]
+                    u8 = decoded.reshape(-1)
+                elif mt == "audio":
+                    _rate, samples = decoded
+                    w, h = len(samples), 1
+                    u8 = samples.view(np.uint8)
+                else:  # video: stats over the first frame
+                    first = decoded[0]
+                    w, h = first.shape[1], first.shape[0]
+                    u8 = first.reshape(-1)
                 out.append(
                     (
                         aid,
@@ -191,8 +337,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         w,
                         h,
                         len(content),
-                        float(body.mean()),
-                        float(-(p * np.log2(p)).sum()),
+                        float(u8.mean()),
+                        entropy(u8),
                     )
                 )
             yield pd.DataFrame(
@@ -213,21 +359,28 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_images(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """'Resize' images (payload re-encoded at target dims — stub math,
-    real batch plumbing): filter to images JVM-side first so the Python
-    stage sees only relevant rows (predicate stays ahead of the UDF)."""
+    """REAL nearest-neighbor image resize (decode BMP → index-sample the
+    pixel grid → re-encode BMP), filtered to images JVM-side first so the
+    Python stage sees only relevant rows (predicate ahead of the UDF)."""
 
     def fn(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                _k, _w, _h, _f = decode_header(content)
+                img = decode_bmp(bytes(content))
+                h, w, _ = img.shape
+                ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                resized = img[ys[:, None], xs[None, :]]
                 out.append(
-                    (aid, target_w, target_h, _encode_fake("image", int(aid), target_w, target_h, 1))
+                    (aid, target_w, target_h, encode_bmp(resized))
                 )
-            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
 
     return assets.filter(F.col("media_type") == "image").mapInPandas(
         fn, RESIZE_SCHEMA
@@ -244,8 +397,9 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(assets: DataFrame, every_k: int = 4) -> DataFrame:
-    """Frame sampling for video: one output row per kept frame (row
-    explosion inside mapInPandas — the decode-then-explode pattern)."""
+    """Frame sampling for video: parse the RVID index, emit one row per
+    kept frame with its REAL encoded byte length (row explosion inside
+    mapInPandas — the decode-then-explode pattern)."""
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -253,10 +407,12 @@ def sample_frames(assets: DataFrame, every_k: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                _k, w, h, frames = decode_header(content)
-                for fno in range(0, frames, every_k):
-                    out.append((aid, fno, w * h))
-            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+                spans = decode_rvid(bytes(content))
+                for fno in range(0, len(spans), every_k):
+                    out.append((aid, fno, spans[fno][1]))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
 
     return assets.filter(F.col("media_type") == "video").mapInPandas(
         fn, FRAME_SCHEMA

@@ -2,8 +2,9 @@
 with typed metadata, decode/featurize/resize/frame-sample as Arrow-batched
 ``mapInPandas`` stages.
 
-All rows-only: the asset payloads are engine-generated binaries (no media
-fixture tables exist, and DuckDB has no twin for the decode plumbing).
+All rows-only: the asset payloads are engine-generated REAL media binaries
+(uncompressed BMP images, PCM WAV audio, RVID raw video — no media fixture
+tables exist, and DuckDB has no twin for the decode plumbing).
 Deterministic correctness is pinned by tests/test_multimodal.py; the asset
 table itself derives 1:1 from `documents`, so row counts scale with SF.
 """
@@ -27,10 +28,10 @@ from hadoop_sync_spark.queries import register
     tags=("multimodal", "mapInPandas", "features"),
 )
 def q90_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + featurize every asset (header parse, payload byte stats,
-    entropy) through the Arrow batch path, then aggregate per media type —
-    the decode→ndarray→features shape of a real embedding extractor with
-    the codec stubbed (multimodal.decode_real is the marked seam)."""
+    """Decode + featurize every asset through the Arrow batch path —
+    REAL decoding (pure-numpy BMP/WAV/RVID codecs; pixel/sample stats,
+    entropy) — then aggregate per media type.  Compressed formats remain
+    multimodal.decode_real's marked import-try seam."""
     feats = extract_features(assets_from_documents(spark, sf_dir))
     return (
         feats.groupBy("media_type")
@@ -50,9 +51,10 @@ def q90_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "resize"),
 )
 def q91_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch image resize to 32×32 (stub math, real plumbing): the
-    media-type filter stays JVM-side ahead of the Python stage, so audio/
-    video payloads never cross the Arrow boundary."""
+    """Batch image resize to 32×32 — real nearest-neighbor resampling of
+    decoded BMP pixels, re-encoded as BMP.  The media-type filter stays
+    JVM-side ahead of the Python stage, so audio/video payloads never
+    cross the Arrow boundary."""
     out = resize_images(assets_from_documents(spark, sf_dir), 32, 32)
     return out.select(
         "asset_id", "width", "height", F.length("content").alias("content_bytes")
