@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 #: Every fixture table (TESTDATA.md).  Order: dims → facts → L3 tables.
 TABLES: tuple[str, ...] = (
@@ -39,18 +39,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table.  Plain ``spark.read.parquet`` so Catalyst gets full
     pushdown/pruning; callers `.select()` early to keep ReadSchema narrow.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    timestamp type, so we read it as a nanos-since-epoch long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
-    TimestampType column — the same truncation DuckDB's
-    ``timestamp_ns::TIMESTAMP`` cast performs, keeping oracle parity.
+    ``events.ts`` normalization: the fixture generator has shipped the
+    column as parquet TIMESTAMP(NANOS) (read here as a nanos long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as naive TIMESTAMP(US)
+    (read as ``timestamp_ntz`` under Spark 4's NTZ inference).  Both are
+    wall-clock-in-UTC encodings, so we canonicalize to one engine-wide
+    type — TimestampType (LTZ) holding the naive value as a UTC instant —
+    which every downstream consumer (``unix_micros``, ``F.window``,
+    ``session_window``, watermarks) accepts, and which collects back to
+    the same naive datetime DuckDB's ``ts::TIMESTAMP`` yields (sessions
+    run with UTC as the session zone), keeping oracle parity.
     """
     # session-settable legacy conf; required for any table with ns timestamps
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer division: float division would lose precision above 2^53 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer division: float division loses precision above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # naive wall clock → the same instant under UTC, type TIMESTAMP;
+            # session-tz-independent (to_utc_timestamp pins the zone to UTC)
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         # restore the documented column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df

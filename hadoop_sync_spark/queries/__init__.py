@@ -126,10 +126,11 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q82_registry_sync_lifecycle",
     "q90_media_features",
     "q91_image_resize",
-    "q92_frame_sample",
     "q95_compaction_lifecycle",
+    "q96_dup_profile",
     # (d) representative r1-green relational family (q21/q30/q31/q33/
-    # q42-q45/q85 rotated out to make room for q77-q79 and q86-q95,
+    # q42-q45/q85 rotated out to make room for q77-q79 and q86-q96;
+    # q92 shares the multimodal family's driver row with q90/q91;
     # q32's r1 no_oracle row stands — implementations unchanged)
     "q01_pricing_summary",
 )

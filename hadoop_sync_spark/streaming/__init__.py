@@ -2,7 +2,6 @@
 model (`README.md:10-13`) as continuous pipelines (SURVEY §2C)."""
 
 from hadoop_sync_spark.streaming.pipeline import (  # noqa: F401
-    EVENTS_SCHEMA,
     attribution_join,
     dedup_stream,
     sessionized,

@@ -29,21 +29,24 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-#: File-source schema for `events` — streaming reads require an explicit
-#: schema.  `ts` arrives as nanos-since-epoch (parquet TIMESTAMP(NANOS) via
-#: nanosAsLong, matching hadoop_sync_spark.io.load_table).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    """File-source schema for `events` — streaming reads require an explicit
+    schema.  The fixture generator has shipped `ts` as parquet
+    TIMESTAMP(NANOS) (long via nanosAsLong) and as naive TIMESTAMP(US)
+    (timestamp_ntz); the on-disk type is probed at stream construction."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(
@@ -58,15 +61,30 @@ def stream_events(
     files exists (the 100 TB catch-up case).  The source path must be a
     DIRECTORY (file-source contract); `path_glob_filter` narrows to
     matching files when the directory holds several tables (the fixture
-    layout)."""
+    layout).
+
+    `ts` is canonicalized to TimestampType (naive wall clock pinned as a
+    UTC instant), matching hadoop_sync_spark.io.load_table, whichever
+    encoding the files carry.  The encoding is probed from the parquet
+    footers with a batch read (metadata-only, no data scan)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    probe = spark.read
+    if path_glob_filter is not None:
+        probe = probe.option("pathGlobFilter", path_glob_filter)
+    ts_type = probe.parquet(events_dir).schema["ts"].dataType
+
+    reader = spark.readStream.schema(_events_schema(ts_type)).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     if path_glob_filter is not None:
         reader = reader.option("pathGlobFilter", path_glob_filter)
     raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, LongType):
+        # nanos-since-epoch → micros (integer division: exact above 2^53 ns)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return raw
 
 
 def windowed_counts(

@@ -126,15 +126,22 @@ def test_custom_stateful_sessionization(spark, events_dir, tmp_path):
     import pyarrow.parquet as pq
 
     sentinel_user = 10**9
+    # match the fixture's on-disk ts encoding (nanos long vs naive us)
+    fixture_ts_type = pq.read_schema(events_dir + "/part-000.parquet").field(
+        "ts"
+    ).type
     for i, year_off in enumerate((365, 730)):
-        ts_ns = int(
-            (pd.Timestamp("2024-01-01") + pd.Timedelta(days=year_off)).value
+        sent_ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=year_off)
+        ts_arr = (
+            pa.array([int(sent_ts.value)], pa.int64())
+            if pa.types.is_integer(fixture_ts_type)
+            else pa.array([sent_ts.to_pydatetime()], fixture_ts_type)
         )
         pq.write_table(
             pa.table(
                 {
                     "event_id": pa.array([10**9 + i], pa.int64()),
-                    "ts": pa.array([ts_ns], pa.int64()),
+                    "ts": ts_arr,
                     "user_id": pa.array([sentinel_user], pa.int64()),
                     "event_type": pa.array(["sentinel"], pa.string()),
                     "value": pa.array([0.0], pa.float64()),
