@@ -102,6 +102,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q89_corpus_merge",
     "q93_unpivot_metrics",
     "q94_regression_stats",
+    "q97_table_fingerprint_diff",
+    "q98_heavy_hitters",
     # (b) dedup / sampling / vectors / registry / events
     "q60_exact_dedup",
     "q61_token_set_dedup",
@@ -117,7 +119,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q75_gap_fill_locf",
     # (c) rows-only, sole driver-visible coverage of their capability
     "q63_minhash_lsh_pairs",
-    "q64_simhash_signatures",
     "q66_simhash_pairs",
     "q68_dup_components",
     "q69_semantic_dedup",
@@ -125,14 +126,17 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q72_rp_lsh_topk",
     "q82_registry_sync_lifecycle",
     "q90_media_features",
-    "q91_image_resize",
     "q95_compaction_lifecycle",
     "q96_dup_profile",
-    # (d) representative r1-green relational family (q21/q30/q31/q33/
-    # q42-q45/q85 rotated out to make room for q77-q79 and q86-q96;
-    # q92 shares the multimodal family's driver row with q90/q91;
-    # q32's r1 no_oracle row stands — implementations unchanged)
-    "q01_pricing_summary",
+    # (a2) upgraded from no_oracle to an oracle-backed contract row this
+    # round — needs its first real driver check
+    "q32_approx_distinct",
+    # Window notes: q21/q30/q31/q33/q42-q45/q85 and (this round) q01
+    # rotated out — all r1-green with unchanged implementations (q01 also
+    # stays smoke-checked through entry() every round); q91/q92 share the
+    # multimodal family's driver row with q90, and q64 shares the SimHash
+    # family's row with q66, freeing slots for the oracle-backed q97/q98
+    # and the upgraded q32.
 )
 
 

@@ -1,7 +1,8 @@
 """Corpus-curation operators (driver L3): PII redaction, benchmark
 contamination screening, token-budget subsampling, incremental corpus
-merge (MERGE INTO semantics), metric unpivot, and exact regression
-statistics.
+merge (MERGE INTO semantics), metric unpivot, exact regression
+statistics, per-source duplication profile, anti-entropy table
+fingerprint reconciliation, and exact heavy hitters.
 
 These are the remaining steps of a training-data pipeline between "scored
 documents" (queries/text.py) and "batches" (queries/pipeline_q.py):
@@ -22,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_sync_spark.queries import register
-from hadoop_sync_spark.queries._util import dsum, sql_dsum, t
+from hadoop_sync_spark.queries._util import (
+    dsum,
+    md5_prefix_long,
+    sql_dsum,
+    sql_md5_prefix_long,
+    t,
+)
 from hadoop_sync_spark.functions.text import normalize, tokens
 from hadoop_sync_spark.queries.pipeline_q import _SQL_NORM_TOKENS
 from hadoop_sync_spark.queries.sampling import hash_bucket, _SQL_BUCKET
@@ -578,4 +585,179 @@ def q96_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("f").alias("distinct_fps"),
             F.max("cnt").alias("max_clone_cnt"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — table fingerprint reconciliation (anti-entropy check)
+# --------------------------------------------------------------------------
+# Canonical row string: integer/string columns only (doubles ride the
+# scaled-BIGINT idiom, timestamps ride tz-pinned epoch micros), so both
+# engines render byte-identical strings — float formatting never enters.
+_SQL_LI_ROWSTR = (
+    "concat_ws('|', l_orderkey, l_partkey, l_suppkey, {LINENO}, "
+    "CAST(ROUND(l_quantity*100) AS BIGINT), "
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT), "
+    "CAST(ROUND(l_discount*100) AS BIGINT), "
+    "CAST(ROUND(l_tax*100) AS BIGINT), "
+    "l_returnflag, l_linestatus, epoch_us(l_shipdate))"
+)
+#: deliberate drift planted in the "replica": every l_orderkey divisible by
+#: 997 gets its line number shifted, so a handful of buckets must mismatch
+_SQL_LINENO_B = (
+    "CASE WHEN l_orderkey % 997 = 0 THEN l_linenumber + 100 "
+    "ELSE l_linenumber END"
+)
+
+_N_FP_BUCKETS = 64
+_FP_MOD = 1000003  # keeps the additive digest < 2^63 for ~9e12 rows/bucket
+
+
+def _li_bucket_digest(li: DataFrame, lineno: F.Column) -> DataFrame:
+    """Per-bucket order-insensitive digest of lineitem rows: row count,
+    XOR-fold and bounded additive fold of a 32-bit md5 row fingerprint."""
+    rowstr = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        lineno,
+        F.round(F.col("l_quantity") * 100).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+        F.round(F.col("l_tax") * 100).cast("long"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        # naive shipdate → micros, pinned to UTC (session-tz-independent)
+        F.expr("unix_micros(to_utc_timestamp(l_shipdate,'UTC'))"),
+    )
+    fp = md5_prefix_long(rowstr)
+    return (
+        li.select(fp.alias("fp"))
+        .groupBy((F.col("fp") % _N_FP_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr("bit_xor(fp)").alias("xr"),
+            F.sum(F.col("fp") % _FP_MOD).alias("ms"),
+        )
+    )
+
+
+def _sql_bucket_digest(lineno_expr: str) -> str:
+    rowstr = _SQL_LI_ROWSTR.format(LINENO=lineno_expr)
+    return f"""
+        SELECT fp % {_N_FP_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(bit_xor(fp) AS BIGINT) AS xr,
+               CAST(SUM(fp % {_FP_MOD}) AS BIGINT) AS ms
+        FROM (SELECT {sql_md5_prefix_long(rowstr)} AS fp FROM lineitem)
+        GROUP BY 1
+    """
+
+
+@register(
+    "q97_table_fingerprint_diff",
+    oracle=f"""
+    WITH a AS ({_sql_bucket_digest("l_linenumber")}),
+         b AS ({_sql_bucket_digest(_SQL_LINENO_B)})
+    SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+           CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt_a,
+           CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt_b,
+           (a.cnt IS NOT DISTINCT FROM b.cnt
+            AND a.xr IS NOT DISTINCT FROM b.xr
+            AND a.ms IS NOT DISTINCT FROM b.ms) AS bucket_match
+    FROM a FULL OUTER JOIN b USING (bucket)
+    """,
+    tags=("reconcile", "fingerprint", "anti-entropy", "l3"),
+)
+def q97_table_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table reconciliation: compare two table states by
+    per-bucket content digests instead of row-by-row transfer — the
+    data-plane completion of the reference's metadata diff
+    (``HdfsSynchronizer.java:172-199`` diffs *catalog entries*; this diffs
+    the *rows behind them*).  A replica that drifted (here: a planted
+    line-number shift on every 997th order) surfaces as mismatched digest
+    buckets; matching buckets certify their rows wholesale.
+
+    Digest = (count, XOR-fold, bounded additive fold) of a 32-bit md5 row
+    fingerprint over a canonical row string, bucketed by fingerprint.  XOR
+    and the mod-1e6 sum are order- and partition-insensitive, exact in
+    int64 under ANSI mode (no overflow: additive term < 1e6, ~9e12 rows of
+    headroom per bucket), and cross-engine identical (md5 everywhere;
+    xxhash64 is Spark-only).
+
+    Scale: each side is one scan + one 64-group partial+final aggregation
+    — the shuffle carries 64 rows per side regardless of table size; the
+    reconcile join is on 64-row digests.  At 100 TB this is the Merkle
+    level-0 sweep: only mismatched buckets need a drill-down rescan
+    (re-digest the bucket at finer granularity), never a full-table sort
+    or exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    a = _li_bucket_digest(li, F.col("l_linenumber"))
+    b = _li_bucket_digest(
+        li,
+        F.when(
+            F.col("l_orderkey") % 997 == 0, F.col("l_linenumber") + 100
+        ).otherwise(F.col("l_linenumber")),
+    )
+    a, b = a.alias("a"), b.alias("b")
+    return a.join(b, "bucket", "full_outer").select(
+        F.col("bucket"),
+        F.coalesce(F.col("a.cnt"), F.lit(0)).alias("cnt_a"),
+        F.coalesce(F.col("b.cnt"), F.lit(0)).alias("cnt_b"),
+        (
+            F.col("a.cnt").eqNullSafe(F.col("b.cnt"))
+            & F.col("a.xr").eqNullSafe(F.col("b.xr"))
+            & F.col("a.ms").eqNullSafe(F.col("b.ms"))
+        ).alias("bucket_match"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — exact corpus heavy hitters
+# --------------------------------------------------------------------------
+_HH_PPM = 1000  # report terms ≥ 0.1% of all corpus tokens
+
+
+@register(
+    "q98_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_NORM_TOKENS}) AS term FROM documents
+    ), c AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT term, cnt,
+           CAST((cnt * 1000000) // (SELECT total FROM n) AS BIGINT) AS ppm
+    FROM c
+    WHERE (cnt * 1000000) // (SELECT total FROM n) >= {_HH_PPM}
+    """,
+    tags=("text", "heavy-hitters", "frequency", "l3"),
+)
+def q98_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: every normalized token holding at least
+    0.1% of all token occurrences, with its exact count and integer
+    parts-per-million share — the vocabulary/stopword profile a corpus
+    curator reads before filtering (and the exact answer sketches like
+    Misra-Gries or Count-Min approximate).
+
+    The share is integer arithmetic (``cnt * 1e6 DIV total``) so both
+    engines agree exactly — no float division in the cut-off predicate.
+
+    Scale: explode + one partial+final aggregation on the term key —
+    map-side combine absorbs hot-token skew before the shuffle; the total
+    is a broadcast scalar.  Headroom note: cnt*1e6 needs int64 → exact up
+    to ~9e12 occurrences of a single term; past that (a 100 TB corpus's
+    top stopword) divide total first or fold through DECIMAL(38,0) — or
+    switch to the per-partition Misra-Gries + merge pattern when even one
+    exact pass is too much."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(normalize(F.col("text")))).alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("ppm", F.expr("cnt * 1000000 DIV total"))
+        .filter(F.col("ppm") >= _HH_PPM)
+        .select("term", "cnt", "ppm")
     )

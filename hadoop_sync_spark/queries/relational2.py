@@ -457,23 +457,43 @@ def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q32_approx_distinct",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def q32_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per return flag (rsd 1%) next to
     the exact count — the 100 TB path for cardinality questions (sketches
     merge in the combiner; exact distinct costs a full shuffle of keys).
-    Rows-only check: HLL implementations differ across engines by design;
-    tests assert the ±rsd envelope against the exact value."""
+
+    HLL implementations differ across engines by design, so the sketch
+    value itself cannot hash-match an oracle; instead the exact count is
+    oracle-checked value-for-value and the sketch is checked through the
+    ``approx_ok`` contract column — TRUE iff the estimate lands within a
+    5-sigma envelope of the exact count (rsd 1% → ±5%), which the oracle
+    asserts as a constant (the q48 contract pattern)."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct(
+                "l_partkey", rsd=0.01
+            ).alias("_approx"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
-        .orderBy("l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_ok"),
+        )
     )
 
 

@@ -1,5 +1,7 @@
 """Similarity search over `embeddings` (driver L3): exact brute-force top-k
-(oracle-checked) and the IVF approximate path (recall-tested in pytest).
+(oracle-checked value-for-value) and the IVF / sign-LSH approximate paths
+(driver-checked through one-row completeness+recall acceptance contracts,
+recall-tested in pytest).
 """
 
 from __future__ import annotations
@@ -58,23 +60,72 @@ def q70_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q71 — IVF approximate top-k (the 100 TB scale path; rows-only)
 # --------------------------------------------------------------------------
+#: Oracle for the ANN contract rows (q71/q72): the query-set size is
+#: data-derived; completeness and recall are engine-side self-assertions
+#: the oracle pins to TRUE (the q48/q32 contract pattern — the ANN
+#: neighbor sets themselves are engine-specific by design).
+_SQL_ANN_CONTRACT = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS complete_ok,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _ann_contract(
+    ann: DataFrame, exact: DataFrame, k: int, min_recall: float
+) -> DataFrame:
+    """One-row ANN acceptance contract: every query returned exactly k
+    neighbors, and pooled recall against the exact top-k meets the floor.
+    All attaches are one-row broadcast scalars — no data×data join."""
+    per_q = ann.groupBy("query_id").agg(F.count("*").alias("n"))
+    shape = per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.min("n").alias("_mn"),
+        F.max("n").alias("_mx"),
+    )
+    hits = ann.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).agg(F.count("*").alias("_hits"))
+    n_exact = exact.agg(F.count("*").alias("_n_exact"))
+    return (
+        shape.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "n_queries",
+            ((F.col("_mn") == k) & (F.col("_mx") == k)).alias("complete_ok"),
+            (
+                F.col("_hits") >= F.lit(min_recall) * F.col("_n_exact")
+            ).alias("recall_ok"),
+        )
+    )
+
+
 @register(
     "q71_ivf_topk",
-    oracle=None,
+    oracle=_SQL_ANN_CONTRACT,
     tags=("vectors", "ann", "ivf"),
 )
 def q71_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via coarse IVF: k-means|| centroids (MLlib,
     spherical approximation on normalized vectors), assign vectors to 16
     centroid buckets, probe the 4 nearest buckets per query (~4/16 of the
-    data scanned).  Deterministic given the fixed k-means seed; recall vs
-    q70 — and the k-means-beats-lowest-id margin — asserted in
+    data scanned).  Deterministic given the fixed k-means seed.
+
+    Driver-checked through the one-row acceptance contract: completeness
+    (10 neighbors per query) and pooled recall ≥ 0.35 vs the exact top-10
+    — measured ~0.5 at sf0.001-0.01 probing a quarter of the buckets,
+    against a 0.25 random-scan baseline; the sharper ≥0.6 recall bound at
+    n_probe=8 and the k-means-beats-lowest-id margin stay asserted in
     tests/test_vectors.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
+    ann = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
         "query_id", "neighbor_id", "cosine_sim", "rank"
     )
+    exact = brute_force_topk(emb, queries, k=10)
+    return _ann_contract(ann, exact, k=10, min_recall=0.35)
 
 
 # --------------------------------------------------------------------------
@@ -82,15 +133,19 @@ def q71_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q72_rp_lsh_topk",
-    oracle=None,
+    oracle=_SQL_ANN_CONTRACT,
     tags=("vectors", "ann", "lsh"),
 )
 def q72_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane (sign) LSH: 48 sign bits →
     twelve 4-bit bands → bucket join → exact cosine rescoring (Charikar
     STOC'02).  The bucketed alternative to IVF (q71): no centroid pass, so
-    it suits append-heavy corpora where re-clustering is unaffordable;
-    recall vs exact q70 asserted in tests/test_vectors.py.
+    it suits append-heavy corpora where re-clustering is unaffordable.
+
+    Driver-checked through the one-row acceptance contract: completeness
+    (10 neighbors per query) and pooled recall ≥ 0.55 vs the exact top-10
+    (measured 0.74-0.84 at sf0.001-0.01); per-pair recall/precision and
+    the hash-join plan shape stay asserted in tests/test_vectors.py.
 
     Band shape is regime-dependent: the fixture cloud is near-uniform
     (top-10 cosine ≈ 0.3 → per-bit agreement ≈ 0.6), so recall needs many
@@ -101,4 +156,6 @@ def q72_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return rp_lsh_topk(emb, queries, k=10, n_planes=48, band_bits=4)
+    ann = rp_lsh_topk(emb, queries, k=10, n_planes=48, band_bits=4)
+    exact = brute_force_topk(emb, queries, k=10)
+    return _ann_contract(ann, exact, k=10, min_recall=0.55)

@@ -29,10 +29,18 @@ BOUNDED_OK = {
     # k ≤ a few hundred, broadcast); the corpus-side candidate join is a
     # BroadcastHashJoin on centroid_id — asserted below
     "q71_ivf_topk",
+    # the crosses are ONE-ROW contract attaches (hit count / exact count)
+    # plus the exact-baseline comparison, which is itself the bounded
+    # broadcast-queries shape of q70; the banded candidate join's
+    # hash-join plan is asserted in tests/test_vectors.py
+    "q72_rp_lsh_topk",
     # the cross attaches a ONE-ROW min/max bounds aggregate to the
     # event-type dimension to generate the bucket spine — a scalar
     # attach, not a data×data join
     "q75_gap_fill_locf",
+    # the cross attaches a ONE-ROW total-token-count aggregate to the
+    # per-term counts (broadcast scalar attach for the ppm share)
+    "q98_heavy_hitters",
 }
 
 #: Queries whose fn() performs driver-side work beyond building a plan

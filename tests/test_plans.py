@@ -106,3 +106,44 @@ def test_disjunctive_join_broadcasts_dimension(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q84_disjunctive_join_revenue")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """A selective dimension filter feeding a shuffle join must inject a
+    runtime bloom filter (`might_contain` on the fact side's join key), so
+    at scale most fact rows die at the scan instead of crossing the
+    shuffle.  Injection is size-gated: the application side must exceed
+    `...applicationSideScanSizeThreshold` (10 GB default) — trivially true
+    for a 100 TB fact table, emulated here by zeroing the threshold while
+    broadcast and AQE are held off to force the shuffle-join shape."""
+    from pyspark.sql import functions as F
+
+    from hadoop_sync_spark.io import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
