@@ -6,8 +6,10 @@ Tiers, cheapest → fuzziest:
   candidate generation) → SimHash (bit-signature).
 
 Exact/token-set/Jaccard are SQL-expressible → DuckDB oracles.  MinHash/
-SimHash signatures depend on xxhash64 (no DuckDB twin) → rows-only checks
-here, with behavioral tests (planted duplicates) in tests/test_dedup.py.
+SimHash/sign-LSH signatures depend on xxhash64 (no DuckDB twin) → their
+driver rows are planted-clone acceptance contracts (oracle-pinned planted
+count + deterministic recall/bound booleans; see the contract section
+below), with pair-level behavioral tests in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -248,25 +250,87 @@ def q67_chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q63 — MinHash-LSH candidate pairs (rows-only: xxhash64 has no DuckDB twin)
+# Planted-clone acceptance contracts for the signature-hash dedup family
 # --------------------------------------------------------------------------
-@register(
-    "q63_minhash_lsh_pairs",
-    oracle=None,
-    tags=("dedup", "minhash", "lsh"),
-)
-def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalable near-dup candidate generation: 3-token shingles → 32-slot
-    MinHash signature → 8-band LSH bucketing → in-bucket self-join.
+# xxhash64-based signatures (MinHash, SimHash, sign-LSH) have no DuckDB
+# twin, so their PAIR OUTPUTS cannot hash-match an oracle.  What CAN be
+# oracle-checked is the planted-clone contract (the q48/q32/q71 pattern):
+# clone every Nth document under a shifted id, run the real operator over
+# the planted corpus, and emit one row the oracle can pin — the planted
+# count (data-derived SQL) plus self-asserted booleans that hold
+# DETERMINISTICALLY: an exact clone has the identical shingle set /
+# signature / embedding, so it shares every LSH band and SimHash block
+# with its source, and the candidate pair MUST surface.  Pair-level
+# behavior stays covered by tests/test_dedup.py.
+_CLONE_MOD = 50
+_CLONE_OFFSET = 10_000_000
 
-    Deterministic (fixed permutation family, seed 42) but xxhash64-based, so
-    checked by planted-duplicate tests rather than a SQL oracle.  This is
-    the operator that replaces the O(n²) scan at 100 TB.
+_SQL_DOC_CLONE_CONTRACT = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           TRUE AS clone_recall_ok,
+           TRUE AS candidate_bound_ok
+    FROM documents WHERE doc_id % {_CLONE_MOD} = 0
+"""
 
-    Shingles (3-token n-grams), not bare tokens, feed the signature:
-    shared-vocabulary corpora make token-set Jaccard uniformly high (the
-    sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
-    MinHash), while shingle Jaccard stays discriminative."""
+
+def _with_planted_clones(df: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus ∪ exact clones of every `_CLONE_MOD`-th row, the planted
+    originals).  Clone ids are shifted by `_CLONE_OFFSET`."""
+    planted = df.filter(F.col(id_col) % _CLONE_MOD == 0)
+    clones = planted.withColumn(id_col, F.col(id_col) + _CLONE_OFFSET)
+    return df.unionByName(clones), planted
+
+
+def _pair_contract(
+    pairs: DataFrame,
+    planted: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_pairs_per_row: int = 5,
+) -> DataFrame:
+    """One-row acceptance contract over a (distinct) candidate-pair
+    output: every planted (id, id+offset) clone pair was emitted, and the
+    pair count stays linear in the corpus (the anti-quadratic bound).
+
+    Single pass over the expensive pair pipeline: the expected clone
+    pairs join in as a broadcast flag and ONE aggregation yields both the
+    pair count and the found-clone count (expected pairs are distinct and
+    the pair output is distinct, so count(flag) == matched pairs) — the
+    pipeline is never recomputed for a second aggregate branch.  The
+    planted/corpus counts are trivial source re-scans attached as one-row
+    broadcast scalars."""
+    expected = planted.select(
+        F.col(id_col).alias(a_col),
+        (F.col(id_col) + _CLONE_OFFSET).alias(b_col),
+        F.lit(1).alias("_flag"),
+    )
+    pair_stats = (
+        pairs.join(F.broadcast(expected), [a_col, b_col], "left")
+        .agg(
+            F.count("*").alias("_np"),
+            F.count("_flag").alias("_found"),
+        )
+    )
+    n_planted = planted.agg(F.count("*").alias("n_planted"))
+    n_corpus = corpus.agg(F.count("*").alias("_nc"))
+    return (
+        n_planted.crossJoin(F.broadcast(pair_stats))
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "n_planted",
+            (F.col("_found") == F.col("n_planted")).alias("clone_recall_ok"),
+            (
+                F.col("_np") <= max_pairs_per_row * F.col("_nc")
+            ).alias("candidate_bound_ok"),
+        )
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct 3-token shingle sets — shared by the MinHash
+    family (q63/q68)."""
     from hadoop_sync_spark.functions.text import shingles_of_tokens
 
     # spread first so shingle building and signatures run on all cores;
@@ -275,12 +339,48 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle index (Catalyst expression trees are trees, not DAGs)
     d = _spread(spark, t(spark, sf_dir, "documents"))
     toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
-    with_shingles = toks_df.select(
-        "doc_id", F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh")
+    return toks_df.select(
+        "doc_id",
+        F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh"),
     )
-    # no trailing orderBy: a global sort over the unbounded pair output is
-    # pure fixture-determinism cost at 100 TB — tests sort their own copies
-    return minhash_lsh_pairs(with_shingles, "doc_id", "sh", k=32, bands=8)
+
+
+def lsh_candidate_pairs(shingled: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs over (doc_id, sh) rows: 32-slot
+    signature → 8-band bucketing → in-bucket expansion.  No trailing
+    orderBy: a global sort over the unbounded pair output is pure
+    fixture-determinism cost at 100 TB — tests sort their own copies."""
+    return minhash_lsh_pairs(shingled, "doc_id", "sh", k=32, bands=8)
+
+
+# --------------------------------------------------------------------------
+# q63 — MinHash-LSH candidate pairs (planted-clone acceptance contract)
+# --------------------------------------------------------------------------
+@register(
+    "q63_minhash_lsh_pairs",
+    oracle=_SQL_DOC_CLONE_CONTRACT,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup candidate generation: 3-token shingles → 32-slot
+    MinHash signature → 8-band LSH bucketing → in-bucket self-join.  This
+    is the operator that replaces the O(n²) scan at 100 TB.
+
+    Driver-checked through the planted-clone contract (module note above):
+    every `_CLONE_MOD`-th document is cloned under a shifted id, and the
+    contract row asserts the oracle-counted planted total, 100% clone-pair
+    recall (identical shingle sets collide in every band — deterministic,
+    not probabilistic), and the linear candidate bound.
+
+    Shingles (3-token n-grams), not bare tokens, feed the signature:
+    shared-vocabulary corpora make token-set Jaccard uniformly high (the
+    sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
+    MinHash), while shingle Jaccard stays discriminative."""
+    corpus, planted = _with_planted_clones(
+        _doc_shingles(spark, sf_dir), "doc_id"
+    )
+    pairs = lsh_candidate_pairs(corpus)
+    return _pair_contract(pairs, planted, corpus, "doc_id", "id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -306,11 +406,11 @@ def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q66 — SimHash block join: near-pairs by hamming distance (rows-only)
+# q66 — SimHash block join (planted-clone acceptance contract)
 # --------------------------------------------------------------------------
 @register(
     "q66_simhash_pairs",
-    oracle=None,
+    oracle=_SQL_DOC_CLONE_CONTRACT,
     tags=("dedup", "simhash", "hamming"),
 )
 def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,11 +419,17 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming ≤ 3 must agree on at least one of four 16-bit blocks), verified
     by exact hamming distance.
 
+    Driver-checked through the planted-clone contract (module note above):
+    an exact clone has the identical 64-bit signature, so it shares all
+    four blocks at hamming 0 and its pair MUST surface — recall of planted
+    pairs is deterministic, plus the linear candidate bound.
+
     Scale: one shuffle on (block_no, block_value); in-bucket pair expansion
     like q63.  4 block probes per doc replace the O(n²) signature sweep."""
     d = _spread(spark, t(spark, sf_dir, "documents"))
     toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
-    sig = toks_df.select(
+    corpus, planted = _with_planted_clones(toks_df, "doc_id")
+    sig = corpus.select(
         "doc_id", simhash64(F.col("tok")).alias("sig")
     )
     blocks = sig.select(
@@ -362,7 +468,8 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.y.doc_id").alias("doc_b"),
         hamming64(F.col("p.x.sig"), F.col("p.y.sig")).alias("hamming"),
     )
-    return ex.filter(F.col("hamming") <= 6).distinct()
+    pairs = ex.filter(F.col("hamming") <= 6).distinct()
+    return _pair_contract(pairs, planted, corpus, "doc_id", "doc_a", "doc_b")
 
 
 def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,62 +540,117 @@ def q65_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q68 — duplicate clusters: LSH pairs → connected components (rows-only)
 # --------------------------------------------------------------------------
+_SQL_COMPONENT_CONTRACT = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           TRUE AS clones_colocated_ok,
+           TRUE AS no_collapse_ok
+    FROM documents WHERE doc_id % {_CLONE_MOD} = 0
+"""
+
+
+def _component_contract(
+    comp: DataFrame, planted: DataFrame, corpus: DataFrame, id_col: str
+) -> DataFrame:
+    """One-row contract over a (node, component) labeling: every planted
+    clone landed in its source's component, and no component swallowed
+    more than half the corpus (the accidental-full-graph-collapse guard)."""
+    p = planted.select(F.col(id_col).alias("p"))
+    ca = p.join(
+        comp.withColumnRenamed("node", "p"), "p"
+    ).select("p", F.col("component").alias("_comp_a"))
+    cb = planted.select(
+        F.col(id_col).alias("p"),
+        (F.col(id_col) + _CLONE_OFFSET).alias("node"),
+    ).join(comp, "node").select("p", F.col("component").alias("_comp_b"))
+    bad = (
+        ca.join(cb, "p", "full_outer")
+        .filter(
+            ~F.col("_comp_a").eqNullSafe(F.col("_comp_b"))
+        )
+        .agg(F.count("*").alias("_bad"))
+    )
+    n_planted = planted.agg(F.count("*").alias("n_planted"))
+    biggest = comp.groupBy("component").count().agg(
+        F.max("count").alias("_mx")
+    )
+    n_corpus = corpus.agg(F.count("*").alias("_nc"))
+    return (
+        n_planted.crossJoin(F.broadcast(bad))
+        .crossJoin(F.broadcast(biggest))
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "n_planted",
+            (F.col("_bad") == 0).alias("clones_colocated_ok"),
+            (F.col("_mx") <= F.col("_nc") / 2).alias("no_collapse_ok"),
+        )
+    )
+
+
 @register(
     "q68_dup_components",
-    oracle=None,
+    oracle=_SQL_COMPONENT_CONTRACT,
     tags=("dedup", "components", "iterative"),
 )
 def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup cascade's completion step: near-dup PAIRS (MinHash-LSH
-    candidates, q63) become duplicate GROUPS via connected components, and
-    each group elects the minimum doc_id as its canonical survivor — the
-    "keep one per cluster" output a curation pipeline actually writes.
+    candidates, q63) become duplicate GROUPS via connected components —
+    the "keep one per cluster" output a curation pipeline actually writes.
+
+    Iteration-to-fixpoint has no hash-comparable SQL twin, so the driver
+    row is the planted-clone colocation contract: every cloned document
+    must land in its source's component (the clone PAIR is a guaranteed
+    edge — identical shingle sets collide in every LSH band), and no
+    component may swallow more than half the corpus.  Cluster-level
+    behavior (planted chains, survivor election) stays covered in
+    tests/test_dedup.py and tests for functions/graph.py.
 
     Iterative min-label propagation (one shuffle per round, lineage
     truncated per round); duplicate clusters are tiny and dense, so it
-    converges in ~3 rounds.  Rows-only: iteration-to-fixpoint has no
-    single-query SQL twin (DuckDB's recursive CTEs could express it, but
-    the driver's hash compare needs deterministic convergence on both
-    engines — behavioral tests with planted chains cover it instead)."""
+    converges in ~3 rounds."""
     from hadoop_sync_spark.functions.graph import connected_components
-    from hadoop_sync_spark.functions.text import shingles_of_tokens
 
-    d = _spread(spark, t(spark, sf_dir, "documents"))
-    toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
-    with_sh = toks_df.select(
-        "doc_id", F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh")
+    corpus, planted = _with_planted_clones(
+        _doc_shingles(spark, sf_dir), "doc_id"
     )
-    pairs = minhash_lsh_pairs(with_sh, "doc_id", "sh", k=32, bands=8)
+    pairs = lsh_candidate_pairs(corpus)
     comp = connected_components(pairs, src="id_a", dst="id_b")
-    return comp.groupBy("component").agg(
-        F.count("*").alias("member_cnt"),
-        F.min("node").alias("keep_doc_id"),
-        F.array_sort(F.collect_list("node")).alias("members"),
-    )
+    return _component_contract(comp, planted, corpus, "doc_id")
 
 
 # --------------------------------------------------------------------------
 # q69 — semantic dedup: embedding-cosine pairs → clusters (rows-only)
 # --------------------------------------------------------------------------
+_SQL_EMB_COMPONENT_CONTRACT = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           TRUE AS clones_colocated_ok,
+           TRUE AS no_collapse_ok
+    FROM embeddings WHERE vec_id % {_CLONE_MOD} = 0
+"""
+
+
 @register(
     "q69_semantic_dedup",
-    oracle=None,
+    oracle=_SQL_EMB_COMPONENT_CONTRACT,
     tags=("dedup", "semantic", "vectors", "components"),
 )
 def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): documents
     whose EMBEDDINGS are near-parallel are duplicates even when their text
     differs (paraphrases, translations, templated rewrites) — cosine pairs
-    above threshold become edges, connected components become clusters,
-    min vec_id is the canonical survivor.
+    above threshold become edges, connected components become clusters.
+
+    Driver-checked through the planted-clone colocation contract: every
+    `_CLONE_MOD`-th vector is cloned under a shifted id; an identical
+    vector has the identical sign bits, shares every LSH band bucket, and
+    rescores at cosine 1.0 ≥ threshold — so the clone edge is guaranteed
+    and both must land in one component; plus the no-full-collapse guard.
+    Cluster-level behavior stays covered in tests/test_vectors.py.
 
     Scale: candidate pairs come from sign-LSH bands
     (:func:`hadoop_sync_spark.functions.vectors.rp_band_pairs` — one wide
     shuffle, in-bucket expansion, exact cosine rescoring), NOT an all-pairs
-    self-join; the plan contains no nested-loop/cartesian join over vectors
-    (plan-asserted in tests/test_plans.py).  The bounded exact self-join
-    (q65's `_cosine_pairs`) stays as the recall cross-check in
-    tests/test_vectors.py."""
+    self-join.  The bounded exact self-join (q65's `_cosine_pairs`) stays
+    as the recall cross-check in tests/test_vectors.py."""
     from hadoop_sync_spark.functions.graph import connected_components
     from hadoop_sync_spark.functions.vectors import rp_band_pairs
 
@@ -496,12 +658,11 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.89 of all exact pairs ≥0.35 and 1.00 of pairs ≥0.5, precision 1.0
     # (candidates are exact-rescored) — see tests/test_vectors.py
     emb = t(spark, sf_dir, "embeddings")
+    corpus, planted = _with_planted_clones(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
     pairs = rp_band_pairs(
-        emb, threshold=0.35, n_planes=48, band_bits=4, max_bucket=500
+        corpus, threshold=0.35, n_planes=48, band_bits=4, max_bucket=500
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
-    return comp.groupBy("component").agg(
-        F.count("*").alias("member_cnt"),
-        F.min("node").alias("keep_vec_id"),
-        F.array_sort(F.collect_list("node")).alias("members"),
-    )
+    return _component_contract(comp, planted, corpus, "vec_id")

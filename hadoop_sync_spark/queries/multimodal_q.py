@@ -2,11 +2,17 @@
 with typed metadata, decode/featurize/resize/frame-sample as Arrow-batched
 ``mapInPandas`` stages.
 
-All rows-only: the asset payloads are engine-generated REAL media binaries
-(uncompressed BMP images, PCM WAV audio, RVID raw video — no media fixture
-tables exist, and DuckDB has no twin for the decode plumbing).
-Deterministic correctness is pinned by tests/test_multimodal.py; the asset
-table itself derives 1:1 from `documents`, so row counts scale with SF.
+Oracle strategy: the asset payloads are engine-generated REAL media
+binaries (uncompressed BMP images, PCM WAV audio, RVID raw video — no
+media fixture tables exist), derived 1:1 from `documents` by a
+deterministic rule (multimodal._make_asset: kind = doc_id % 3, dims from
+n_chars, frame count from doc_id).  Because the container formats are
+byte-exact functions of those dims (BMP = 54 + 3·w·h with zero row pad at
+our widths; WAV = 44 + 2·samples; RVID = 6 + frames·(4 + bmp)), DuckDB
+can predict the DECODED geometry and payload byte counts from `documents`
+alone — so the whole decode → Arrow → featurize path is value-hash
+checked cross-engine, not merely rows-only.  Pixel-level behavior
+(means, entropy, resampling) is pinned by tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -21,55 +27,98 @@ from hadoop_sync_spark.multimodal import (
 )
 from hadoop_sync_spark.queries import register
 
+#: doc_id-keyed asset geometry, the SQL twin of multimodal._make_asset
+_SQL_ASSET_GEOMETRY = """
+    SELECT doc_id,
+           CAST(doc_id % 3 AS INT) AS k,
+           16 + (n_chars % 5) * 8 AS w,
+           16 + (doc_id % 3) * 8 AS h,
+           8 + doc_id % 4 AS fr
+    FROM documents
+"""
+
 
 @register(
     "q90_media_features",
-    oracle=None,
+    oracle=f"""
+    WITH g AS ({_SQL_ASSET_GEOMETRY})
+    SELECT CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS asset_cnt,
+           CAST(SUM(CASE k
+                WHEN 0 THEN 54 + 3 * w * h
+                WHEN 1 THEN 44 + 4000 * fr
+                ELSE 6 + fr * (4 + 54 + 3 * w * h) END) AS BIGINT)
+               AS total_bytes,
+           CAST(MIN(CASE k WHEN 1 THEN 2000 * fr ELSE w END) AS INT) AS min_w,
+           CAST(MAX(CASE k WHEN 1 THEN 2000 * fr ELSE w END) AS INT) AS max_w
+    FROM g GROUP BY 1
+    """,
     tags=("multimodal", "mapInPandas", "features"),
 )
 def q90_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + featurize every asset through the Arrow batch path —
     REAL decoding (pure-numpy BMP/WAV/RVID codecs; pixel/sample stats,
     entropy) — then aggregate per media type.  Compressed formats remain
-    multimodal.decode_real's marked import-try seam."""
+    multimodal.decode_real's marked import-try seam.
+
+    The oracle predicts decoded geometry and payload bytes from
+    `documents` via the format arithmetic (module note), so a wrong
+    header, truncated payload, or mis-decoded dimension anywhere in the
+    Arrow path breaks the value hash."""
     feats = extract_features(assets_from_documents(spark, sf_dir))
-    return (
-        feats.groupBy("media_type")
-        .agg(
-            F.count("*").alias("asset_cnt"),
-            F.sum("payload_bytes").alias("total_bytes"),
-            F.min("decoded_width").alias("min_w"),
-            F.max("decoded_width").alias("max_w"),
-        )
-        .orderBy("media_type")
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("asset_cnt"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.min("decoded_width").alias("min_w"),
+        F.max("decoded_width").alias("max_w"),
     )
 
 
 @register(
     "q91_image_resize",
-    oracle=None,
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           CAST(54 + 3 * 32 * 32 AS INT) AS content_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
     tags=("multimodal", "mapInPandas", "resize"),
 )
 def q91_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch image resize to 32×32 — real nearest-neighbor resampling of
     decoded BMP pixels, re-encoded as BMP.  The media-type filter stays
     JVM-side ahead of the Python stage, so audio/video payloads never
-    cross the Arrow boundary."""
+    cross the Arrow boundary.
+
+    The oracle enumerates the image assets (doc_id % 3 = 0) and the exact
+    re-encoded BMP size (54-byte headers + 32×32 RGB rows, zero pad), so
+    a dropped asset or malformed re-encode fails the hash."""
     out = resize_images(assets_from_documents(spark, sf_dir), 32, 32)
     return out.select(
         "asset_id", "width", "height", F.length("content").alias("content_bytes")
-    ).orderBy("asset_id")
+    )
 
 
 @register(
     "q92_frame_sample",
-    oracle=None,
+    oracle=f"""
+    WITH g AS ({_SQL_ASSET_GEOMETRY})
+    SELECT doc_id AS asset_id,
+           CAST(s.f AS INT) AS frame_no,
+           CAST(54 + 3 * w * h AS BIGINT) AS frame_bytes
+    FROM g, (SELECT unnest([0, 4, 8]) AS f) s
+    WHERE k = 2 AND s.f < fr
+    """,
     tags=("multimodal", "mapInPandas", "video"),
 )
 def q92_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-4th-frame sampling for video assets — the decode-then-explode
     pattern (one input row → many frame rows) inside a single mapInPandas
-    stage, keeping the frame fan-out off the driver."""
-    return sample_frames(assets_from_documents(spark, sf_dir), every_k=4).orderBy(
-        "asset_id", "frame_no"
-    )
+    stage, keeping the frame fan-out off the driver.
+
+    The oracle enumerates the expected (asset, frame) grid and per-frame
+    BMP sizes from the RVID arithmetic, so a mis-parsed container index
+    or wrong stride fails the hash."""
+    return sample_frames(assets_from_documents(spark, sf_dir), every_k=4)

@@ -131,18 +131,34 @@ def q81_registry_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q82_registry_sync_lifecycle",
-    oracle=None,
+    oracle="""
+    SELECT t.table_name,
+           CAST(0 AS BIGINT) AS first_removed,
+           TRUE AS rerun_noop,
+           TRUE AS catalog_matches_fs
+    FROM (VALUES ('customer'), ('documents'), ('embeddings'), ('events'),
+                 ('lineitem'), ('nation'), ('orders'), ('part'),
+                 ('region'), ('supplier')) t(table_name)
+    """,
     tags=("registry", "sync", "idempotency"),
 )
 def q82_registry_sync_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's defining behaviors as a checkable result row per
-    table: first sync adds every data file; an immediate re-run is a no-op
-    (`README.md:10-13`); the published catalog version only advances when
-    the diff is non-empty.  Rows-only (the registry has no SQL twin)."""
+    """The reference's defining behaviors as a checkable contract row per
+    table: first sync of a fresh catalog removes nothing; an immediate
+    re-run is a no-op (`README.md:10-13`); after sync the catalog's shard
+    set matches what the sync reported adding (catalog == filesystem).
+    The registry has no SQL twin, so the oracle pins the invariants as
+    constants over the fixed fixture table list (the contract pattern) —
+    the file COUNTS stay out of the row because they are an environment
+    property, not an engine invariant."""
+    import shutil
+
     from hadoop_sync_spark.io import TABLES, table_path
     from hadoop_sync_spark.registry import Registry
 
-    reg = Registry(spark, _scratch_meta_dir(sf_dir + "#lifecycle"))
+    scratch = _scratch_meta_dir(sf_dir + "#lifecycle")
+    shutil.rmtree(scratch, ignore_errors=True)  # a FRESH catalog every run
+    reg = Registry(spark, scratch)
     rows = []
     for name in sorted(TABLES):
         reg.register(name, table_path(sf_dir, name))
@@ -151,22 +167,28 @@ def q82_registry_sync_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 name,
-                first.added,
                 first.removed,
                 bool(second.noop),
-                len(reg.shards(name)),
+                bool(len(reg.shards(name)) == first.added),
             )
         )
     return spark.createDataFrame(
         rows,
-        "table_name string, first_added int, first_removed int, "
-        "rerun_noop boolean, shard_cnt int",
+        "table_name string, first_removed long, "
+        "rerun_noop boolean, catalog_matches_fs boolean",
     )
 
 
 @register(
     "q95_compaction_lifecycle",
-    oracle=None,
+    oracle="""
+    SELECT 'docs' AS table_name,
+           CAST(4 AS BIGINT) AS files_in,
+           CAST(1 AS BIGINT) AS files_out,
+           TRUE AS rows_preserved,
+           TRUE AS resync_noop,
+           TRUE AS version_advanced
+    """,
     tags=("registry", "compaction", "l3"),
 )
 def q95_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +197,10 @@ def q95_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-count collapse plus the invariants that make compaction safe —
     row counts identical before/after, the post-compact catalog matches
     the FS exactly (re-sync no-op), and the catalog version advanced
-    atomically.  Rows-only (the registry has no SQL twin).
+    atomically.  The registry has no SQL twin, so the oracle pins the
+    contract: the query itself constructs exactly 4 input shards
+    (`repartition(4)`), and the whole table fits one 1 GiB target bin, so
+    files_in/files_out are deterministic alongside the three invariants.
 
     Scale: this is the operator that keeps O(#files) driver/NameNode state
     bounded at 100 TB; each bin rewrite is a narrow coalesce(1) job."""
@@ -208,14 +233,14 @@ def q95_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 "docs",
-                synced.added,
-                c.files_in,
+                # files_in per the catalog AND per the compactor must agree
+                c.files_in if c.files_in == synced.added else -1,
                 c.files_out,
                 bool(rows_before == rows_after),
                 bool(resync.noop),
                 bool(reg._current_version() > v_before),
             )
         ],
-        "table_name string, files_synced int, files_in int, files_out int, "
+        "table_name string, files_in long, files_out long, "
         "rows_preserved boolean, resync_noop boolean, version_advanced boolean",
     )

@@ -41,6 +41,14 @@ BOUNDED_OK = {
     # the cross attaches a ONE-ROW total-token-count aggregate to the
     # per-term counts (broadcast scalar attach for the ppm share)
     "q98_heavy_hitters",
+    # planted-clone acceptance contracts: the crosses are ONE-ROW scalar
+    # attaches (planted count / missed count / pair count / corpus count);
+    # the underlying pair paths are asserted nested-loop-free directly in
+    # test_plans.py (lsh_candidate_pairs, rp_band_pairs)
+    "q63_minhash_lsh_pairs",
+    "q66_simhash_pairs",
+    "q68_dup_components",
+    "q69_semantic_dedup",
 }
 
 #: Queries whose fn() performs driver-side work beyond building a plan

@@ -70,25 +70,51 @@ def test_notin_plans_null_aware_broadcast_anti(spark, sf_dir):
     [
         "q62_jaccard_pairs",
         "q67_chargram_jaccard_pairs",
-        "q69_semantic_dedup",
     ],
 )
 def test_banded_similarity_join_is_hash_joinable(spark, sf_dir, name):
-    """The block-bucketed rewrite of the doc-window theta join — and the
-    sign-LSH banded candidate path of semantic dedup — must keep the plan
-    free of nested-loop/cartesian operators — the rewrite exists
+    """The block-bucketed rewrite of the doc-window theta join must keep
+    the plan free of nested-loop/cartesian operators — the rewrite exists
     precisely so the candidate join stays O(n) at 100 TB."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_pair_path_is_hash_joinable(spark, sf_dir):
+    """q69's underlying sign-LSH banded candidate path (rp_band_pairs, the
+    same call the registered contract wraps) must stay free of nested-loop/
+    cartesian operators.  Asserted on the pair DataFrame directly because
+    the registered q69 row now ends in one-row contract attaches (allow-
+    listed broadcast scalars in test_plan_hygiene.py)."""
+    from hadoop_sync_spark.functions.vectors import rp_band_pairs
+    from hadoop_sync_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = rp_band_pairs(
+        emb, threshold=0.35, n_planes=48, band_bits=4, max_bucket=500
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_pair_outputs_have_no_global_sort(spark, sf_dir):
-    """q63's registered plan must not end in a global sort of the unbounded
-    pair output (Exchange rangepartitioning) — determinism ordering lives
-    in tests, not the 100 TB hot path."""
-    plan = _plan(spark, sf_dir, "q63_minhash_lsh_pairs")
+    """The MinHash-LSH pair output (the same DataFrame q63's contract
+    wraps) must not end in a global sort of the unbounded pair output
+    (Exchange rangepartitioning) — determinism ordering lives in tests,
+    not the 100 TB hot path.  Also re-asserts the no-nested-loop shape
+    for the LSH bucket expansion."""
+    from hadoop_sync_spark.queries.dedup import (
+        _doc_shingles,
+        lsh_candidate_pairs,
+    )
+
+    pairs = lsh_candidate_pairs(_doc_shingles(spark, sf_dir))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan, "global sort in LSH pair output"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_flagship_agg_is_partial_final(spark, sf_dir):
