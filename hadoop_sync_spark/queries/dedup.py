@@ -666,3 +666,129 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return _component_contract(comp, planted, corpus, "vec_id")
+
+
+# --------------------------------------------------------------------------
+# q99 — incremental snapshot dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+#: The fixture has no "second snapshot", so the query constructs one
+#: deterministically (SQL-expressible, identical in the oracle): the
+#: incoming batch is every 10th document; every 30th batch doc re-carries
+#: the TEXT of its corpus neighbor (doc_id+1 — a re-crawl dup), and every
+#: 40th (not also 30th) re-carries the raw text of batch neighbor
+#: doc_id+10 (a within-batch dup).  Classification below is purely
+#: content-based — it never peeks at the planting rule.
+_SQL_Q99 = """
+    WITH batch AS (
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 30 = 0 AND c.text IS NOT NULL THEN c.text
+                    WHEN b.doc_id % 30 <> 0 AND b.doc_id % 40 = 0
+                         AND d.text IS NOT NULL THEN d.text
+                    ELSE b.text END AS text
+        FROM documents b
+        LEFT JOIN documents c ON c.doc_id = b.doc_id + 1
+        LEFT JOIN documents d ON d.doc_id = b.doc_id + 10
+        WHERE b.doc_id % 10 = 0
+    ),
+    bfp AS (
+        SELECT doc_id, md5(lower(trim(text, ' '))) AS f FROM batch
+    ),
+    corpus_min AS (
+        SELECT md5(lower(trim(text, ' '))) AS f,
+               MIN(doc_id) AS corpus_canonical
+        FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+    ),
+    batch_min AS (
+        SELECT f, MIN(doc_id) AS batch_first FROM bfp GROUP BY f
+    )
+    SELECT b.doc_id,
+           CASE WHEN cm.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id > bm.batch_first THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           CAST(CASE WHEN cm.corpus_canonical IS NOT NULL
+                         THEN cm.corpus_canonical
+                     WHEN b.doc_id > bm.batch_first THEN bm.batch_first
+                END AS BIGINT) AS canonical_id
+    FROM bfp b
+    LEFT JOIN corpus_min cm USING (f)
+    JOIN batch_min bm USING (f)
+"""
+
+
+@register(
+    "q99_incremental_dedup",
+    oracle=_SQL_Q99,
+    tags=("dedup", "incremental", "snapshot", "l3"),
+)
+def q99_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup — the reference's incremental-sync idea
+    applied to CONTENT: when a new batch of documents arrives, classify
+    each incoming doc as a duplicate of the existing corpus (with its
+    canonical surviving doc), a duplicate within the batch itself (first
+    occurrence wins), or genuinely new — the decision a crawl-refresh
+    pipeline makes before admitting rows, without re-deduplicating the
+    whole corpus.
+
+    Scale: the batch is small relative to a 100 TB corpus, so the corpus
+    side NEVER shuffles — its fingerprint scan is probed by a broadcast of
+    the batch's distinct fingerprints, the classic
+    big-stream × small-broadcast shape; the per-fingerprint minimums
+    aggregate only the (tiny) hit set.  The fixture batch is constructed
+    in-query (docstring note above) so all three statuses occur at every
+    SF."""
+    d = t(spark, sf_dir, "documents")
+    b = d.filter(F.col("doc_id") % 10 == 0).alias("b")
+    c = d.select(
+        (F.col("doc_id") - 1).alias("_cid"), F.col("text").alias("_ctext")
+    ).alias("c")
+    e = d.select(
+        (F.col("doc_id") - 10).alias("_did"), F.col("text").alias("_dtext")
+    ).alias("e")
+    batch = (
+        b.join(c, F.col("b.doc_id") == F.col("_cid"), "left")
+        .join(e, F.col("b.doc_id") == F.col("_did"), "left")
+        .select(
+            "b.doc_id",
+            F.when(
+                (F.col("b.doc_id") % 30 == 0) & F.col("_ctext").isNotNull(),
+                F.col("_ctext"),
+            )
+            .when(
+                (F.col("b.doc_id") % 30 != 0)
+                & (F.col("b.doc_id") % 40 == 0)
+                & F.col("_dtext").isNotNull(),
+                F.col("_dtext"),
+            )
+            .otherwise(F.col("b.text"))
+            .alias("text"),
+        )
+    )
+    bfp = batch.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("f")
+    )
+    # 100 TB shape: broadcast the batch's fingerprint set; the corpus scan
+    # streams past it un-shuffled, and only hits reach the aggregation
+    corpus_min = (
+        corpus.join(F.broadcast(bfp.select("f").distinct()), "f")
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("corpus_canonical"))
+    )
+    batch_min = bfp.groupBy("f").agg(F.min("doc_id").alias("batch_first"))
+    has_corpus = F.col("corpus_canonical").isNotNull()
+    in_batch_dup = F.col("doc_id") > F.col("batch_first")
+    return (
+        bfp.join(F.broadcast(corpus_min), "f", "left")
+        .join(F.broadcast(batch_min), "f")
+        .select(
+            "doc_id",
+            F.when(has_corpus, F.lit("dup_of_corpus"))
+            .when(in_batch_dup, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.when(has_corpus, F.col("corpus_canonical"))
+            .when(in_batch_dup, F.col("batch_first"))
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )

@@ -244,3 +244,123 @@ def q95_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, files_in long, files_out long, "
         "rows_preserved boolean, resync_noop boolean, version_advanced boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — column profile: the A17 stats scan, generalized
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _sql_profile_one(col: str) -> str:
+    return f"""
+    SELECT column_name, stat, value FROM (
+        WITH x AS (SELECT {col} AS x FROM lineitem),
+        b AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS nulls,
+                   COUNT(DISTINCT x) AS nd,
+                   MIN(x) AS mn, MAX(x) AS mx,
+                   SUM(CAST(ROUND(x * 100) AS BIGINT)) AS s
+            FROM x
+        )
+        SELECT '{col}' AS column_name, 'n' AS stat, CAST(n AS DOUBLE) AS value FROM b
+        UNION ALL SELECT '{col}', 'nulls', CAST(nulls AS DOUBLE) FROM b
+        UNION ALL SELECT '{col}', 'n_distinct', CAST(nd AS DOUBLE) FROM b
+        UNION ALL SELECT '{col}', 'min', CAST(mn AS DOUBLE) FROM b
+        UNION ALL SELECT '{col}', 'max', CAST(mx AS DOUBLE) FROM b
+        UNION ALL SELECT '{col}', 'mean', CAST(s AS DOUBLE) / 100.0 / n FROM b
+        UNION ALL
+        SELECT '{col}', 'h' || CAST(bkt AS VARCHAR), CAST(COUNT(*) AS DOUBLE)
+        FROM (
+            SELECT COALESCE(LEAST(7, CAST(FLOOR((x - mn) / NULLIF(mx - mn, 0)
+                                               * 8) AS INT)), 0) AS bkt
+            FROM x, b
+        ) GROUP BY bkt
+    )
+    """
+
+
+@register(
+    "q100_column_profile",
+    oracle=" UNION ALL ".join(_sql_profile_one(c) for c in _PROFILE_COLS),
+    tags=("registry", "stats", "profile"),
+)
+def q100_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the reference's per-shard min/max statistic scan
+    (A17, `CitusWorkerNode.java:140-165`) generalized to the profile a
+    warehouse catalog actually stores per column: row/null/distinct
+    counts, min/max, exact mean, and an 8-bucket equal-width histogram,
+    emitted long-form as (column_name, stat, value) rows.
+
+    Exactness: the mean rides the scaled-BIGINT idiom; histogram bucket
+    edges are the same IEEE expression on both engines, so assignments
+    match bit-for-bit.
+
+    Scale: two passes per column (bounds, then bucketing against the
+    broadcast one-row bounds) — the honest cost of an exact equal-width
+    histogram; the single-pass alternative is a t-digest/KLL sketch, which
+    q48's approx-percentile contract already covers.  Each pass reads ONE
+    column (pruned scan), aggregates map-side, and shuffles 8 rows."""
+    li = t(spark, sf_dir, "lineitem")
+    parts = []
+    for col in _PROFILE_COLS:
+        x = li.select(F.col(col).alias("x"))
+        b = x.agg(
+            F.count("*").alias("n"),
+            F.sum(F.isnull("x").cast("long")).alias("nulls"),
+            F.countDistinct("x").alias("nd"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            F.sum(F.round(F.col("x") * 100).cast("long")).alias("s"),
+        )
+        name = F.lit(col).alias("column_name")
+        stats = b.select(
+            name,
+            F.explode(
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("n"),
+                        F.lit("nulls"),
+                        F.lit("n_distinct"),
+                        F.lit("min"),
+                        F.lit("max"),
+                        F.lit("mean"),
+                    ),
+                    F.array(
+                        F.col("n").cast("double"),
+                        F.col("nulls").cast("double"),
+                        F.col("nd").cast("double"),
+                        F.col("mn").cast("double"),
+                        F.col("mx").cast("double"),
+                        F.col("s").cast("double") / 100.0 / F.col("n"),
+                    ),
+                )
+            ).alias("stat", "value"),
+        )
+        bkt = F.coalesce(
+            F.least(
+                F.lit(7),
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    / F.nullif(F.col("mx") - F.col("mn"), F.lit(0))
+                    * 8
+                ).cast("int"),
+            ),
+            F.lit(0),
+        )
+        hist = (
+            x.crossJoin(F.broadcast(b.select("mn", "mx")))
+            .groupBy(bkt.alias("bkt"))
+            .agg(F.count("*").cast("double").alias("value"))
+            .select(
+                name,
+                F.concat(F.lit("h"), F.col("bkt").cast("string")).alias("stat"),
+                "value",
+            )
+        )
+        parts.append(stats.unionByName(hist))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -49,6 +49,9 @@ BOUNDED_OK = {
     "q66_simhash_pairs",
     "q68_dup_components",
     "q69_semantic_dedup",
+    # the cross attaches the ONE-ROW per-column bounds aggregate to the
+    # histogram bucketing pass (broadcast scalar attach)
+    "q100_column_profile",
 }
 
 #: Queries whose fn() performs driver-side work beyond building a plan
