@@ -384,24 +384,65 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q64 — SimHash signatures + close-pair scan (rows-only)
+# q64 — SimHash signatures (planted-clone determinism contract)
 # --------------------------------------------------------------------------
 @register(
     "q64_simhash_signatures",
-    oracle=None,
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           TRUE AS clone_sig_identical_ok,
+           TRUE AS block_consistent_ok
+    FROM documents WHERE doc_id % {_CLONE_MOD} = 0
+    """,
     tags=("dedup", "simhash"),
 )
 def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (single-fold, no shuffle) plus its
     16-bit prefix — the block key under which production SimHash dedup
     compares hamming distance (Manku et al., WWW'07 block-permuted
-    approach)."""
+    approach).
+
+    Driver-checked through the signature determinism contract: the
+    signature of every planted exact clone must equal its source's
+    signature bit-for-bit (content-functional, partition-independent),
+    and every emitted block key must equal the signature's top 16 bits —
+    the properties block-probing (q66) silently depends on."""
     d = t(spark, sf_dir, "documents")
+    corpus, planted = _with_planted_clones(
+        d.select("doc_id", "text"), "doc_id"
+    )
     sig = simhash64(tokens(normalize(F.col("text"))))
-    return d.select(
+    sigs = corpus.select(
         "doc_id",
         sig.alias("simhash"),
         F.shiftrightunsigned(sig, 48).alias("block16"),
+    )
+    src = sigs.filter(F.col("doc_id") < _CLONE_OFFSET).select(
+        F.col("doc_id").alias("p"), F.col("simhash").alias("_sig_a")
+    )
+    cln = sigs.filter(F.col("doc_id") >= _CLONE_OFFSET).select(
+        (F.col("doc_id") - _CLONE_OFFSET).alias("p"),
+        F.col("simhash").alias("_sig_b"),
+    )
+    sig_pairs = src.join(F.broadcast(cln), "p").agg(
+        F.count("*").alias("n_planted"),
+        F.sum(
+            (~F.col("_sig_a").eqNullSafe(F.col("_sig_b"))).cast("long")
+        ).alias("_sig_bad"),
+    )
+    block_bad = sigs.agg(
+        F.sum(
+            (
+                ~F.col("block16").eqNullSafe(
+                    F.shiftrightunsigned(F.col("simhash"), 48)
+                )
+            ).cast("long")
+        ).alias("_blk_bad")
+    )
+    return sig_pairs.crossJoin(F.broadcast(block_bad)).select(
+        "n_planted",
+        (F.col("_sig_bad") == 0).alias("clone_sig_identical_ok"),
+        (F.col("_blk_bad") == 0).alias("block_consistent_ok"),
     )
 
 

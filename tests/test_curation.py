@@ -150,3 +150,30 @@ def test_contamination_benchmark_join_is_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_fingerprint_diff_detects_drift_and_certifies_identity(spark, sf_dir):
+    """q97 sensitivity in both directions: the registered query's planted
+    line-number drift must flag at least one digest bucket, and an
+    UNPERTURBED twin digest must match on every bucket (no false
+    positives)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_sync_spark.io import load_table
+    from hadoop_sync_spark.queries.curation import _li_bucket_digest
+
+    rows = QUERIES["q97_table_fingerprint_diff"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert any(not r["bucket_match"] for r in rows), "planted drift missed"
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = _li_bucket_digest(li, F.col("l_linenumber")).alias("a")
+    b = _li_bucket_digest(li, F.col("l_linenumber")).alias("b")
+    joined = a.join(b, "bucket").select(
+        (
+            F.col("a.cnt").eqNullSafe(F.col("b.cnt"))
+            & F.col("a.xr").eqNullSafe(F.col("b.xr"))
+            & F.col("a.ms").eqNullSafe(F.col("b.ms"))
+        ).alias("ok")
+    )
+    assert all(r["ok"] for r in joined.collect()), "identical tables flagged"

@@ -46,6 +46,7 @@ BOUNDED_OK = {
     # the underlying pair paths are asserted nested-loop-free directly in
     # test_plans.py (lsh_candidate_pairs, rp_band_pairs)
     "q63_minhash_lsh_pairs",
+    "q64_simhash_signatures",
     "q66_simhash_pairs",
     "q68_dup_components",
     "q69_semantic_dedup",

@@ -173,3 +173,24 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_fingerprint_digest_is_aggregation_only(spark, sf_dir):
+    """q97's table digests must be pure scan→aggregate pipelines: no sort,
+    no cartesian/nested-loop join — the shuffle carries only 64 digest
+    rows per side regardless of table size (the Merkle level-0 shape)."""
+    plan = _plan(spark, sf_dir, "q97_table_fingerprint_diff")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_incremental_dedup_corpus_side_never_shuffles(spark, sf_dir):
+    """q99's corpus-side fingerprint scan must be probed by a BROADCAST of
+    the batch fingerprints — a SortMergeJoin there would shuffle the whole
+    100 TB corpus to admit a small batch."""
+    plan = _plan(spark, sf_dir, "q99_incremental_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
