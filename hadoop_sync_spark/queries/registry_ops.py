@@ -364,3 +364,260 @@ def q100_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# q101 — time-travel + retention lifecycle (A23's snapshot face)
+# --------------------------------------------------------------------------
+@register(
+    "q101_time_travel",
+    oracle="""
+    SELECT 'docs' AS table_name,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+                AS BIGINT) AS rows_v1,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS rows_v2,
+           TRUE AS v1_stable_after_v2,
+           TRUE AS vacuum_enforces_retention
+    """,
+    tags=("registry", "time-travel", "vacuum"),
+)
+def q101_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation and retention as a checkable row: publish v1
+    (the even-doc_id half of `documents`), append the odd half and publish
+    v2, then assert (a) the v1 snapshot still reads EXACTLY its original
+    rows after v2 exists — the transactional-publish mechanism
+    (`README.md:15-19`) doubling as time travel — and (b) `vacuum`
+    drops v1 past the retention window so reading it fails.  Row counts
+    for both versions are data-derived and oracle-checked.
+
+    Scale: each published version is a complete catalog directory (KB of
+    metadata, no data copies), so retention cost is O(#versions), not
+    O(data)."""
+    import shutil
+
+    from hadoop_sync_spark.registry import Registry
+
+    scratch = _scratch_meta_dir(sf_dir + "#timetravel")
+    shutil.rmtree(scratch, ignore_errors=True)
+    data_dir = os.path.join(scratch, "data")
+    meta_dir = os.path.join(scratch, "meta")
+
+    docs = t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+
+    reg = Registry(spark, meta_dir)
+    reg.register("docs", data_dir)
+    reg.sync("docs")
+    v1 = reg._current_version()
+    rows_v1 = reg.read("docs").count()
+
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    reg.sync("docs")
+    rows_v2 = reg.read("docs").count()
+
+    v1_stable = reg.read("docs", version=v1).count() == rows_v1
+
+    reg.vacuum(keep_last=1)
+    try:
+        reg.read("docs", version=v1)
+        vacuumed = False
+    except Exception:  # noqa: BLE001 — any failure to read = dropped
+        vacuumed = True
+
+    return spark.createDataFrame(
+        [("docs", rows_v1, rows_v2, bool(v1_stable), bool(vacuumed))],
+        "table_name string, rows_v1 long, rows_v2 long, "
+        "v1_stable_after_v2 boolean, vacuum_enforces_retention boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# q102 — schema evolution (merged-footer reads, old rows NULL-extended)
+# --------------------------------------------------------------------------
+@register(
+    "q102_schema_evolution",
+    oracle="""
+    SELECT 'docs' AS table_name,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1)
+                AS BIGINT) AS n_scored,
+           CAST((SELECT SUM(doc_id % 100) FROM documents
+                 WHERE doc_id % 2 = 1) AS BIGINT) AS score_sum,
+           TRUE AS old_rows_null_extended
+    """,
+    tags=("registry", "schema-evolution"),
+)
+def q102_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: shards written under the ORIGINAL
+    schema coexist with shards that carry a new `score` column; a
+    `merge_schema=True` catalog read surfaces the union schema with old
+    rows NULL-extended — append-style corpus evolution without rewriting
+    history.  The scored-row count and the exact score sum are
+    data-derived (score = doc_id % 100) and oracle-checked, so a dropped
+    column, misaligned footer merge, or default-filled old row all break
+    the hash."""
+    import shutil
+
+    from hadoop_sync_spark.registry import Registry
+
+    scratch = _scratch_meta_dir(sf_dir + "#schemaevo")
+    shutil.rmtree(scratch, ignore_errors=True)
+    data_dir = os.path.join(scratch, "data")
+    meta_dir = os.path.join(scratch, "meta")
+
+    docs = t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").coalesce(
+        1
+    ).write.mode("overwrite").parquet(data_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", (F.col("doc_id") % 100).cast("long").alias("score")
+    ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    reg = Registry(spark, meta_dir)
+    reg.register("docs", data_dir)
+    reg.sync("docs")
+    merged = reg.read("docs", merge_schema=True)
+
+    stats = merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count("score").alias("n_scored"),
+        F.sum("score").alias("score_sum"),
+        F.sum(
+            ((F.col("doc_id") % 2 == 0) & F.col("score").isNotNull()).cast(
+                "long"
+            )
+        ).alias("_old_scored"),
+    ).first()
+
+    return spark.createDataFrame(
+        [
+            (
+                "docs",
+                stats["n_rows"],
+                stats["n_scored"],
+                stats["score_sum"],
+                bool(stats["_old_scored"] == 0),
+            )
+        ],
+        "table_name string, n_rows long, n_scored long, score_sum long, "
+        "old_rows_null_extended boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# q103 — z-order clustering: two-column skipping contract
+# --------------------------------------------------------------------------
+@register(
+    "q103_zorder_box_query",
+    oracle="""
+    WITH b AS (
+        SELECT MAX(l_orderkey) // 10 AS hi_ok,
+               MAX(l_partkey)  // 10 AS hi_pk
+        FROM lineitem
+    )
+    SELECT 'lineitem' AS table_name,
+           CAST((SELECT COUNT(*) FROM lineitem, b
+                 WHERE l_orderkey <= hi_ok AND l_partkey <= hi_pk)
+                AS BIGINT) AS box_rows,
+           TRUE AS zorder_lossless,
+           TRUE AS zorder_serves_both_columns
+    """,
+    tags=("registry", "zorder", "skipping"),
+)
+def q103_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column clustering as a judged row: write lineitem z-ordered
+    on (l_orderkey, l_partkey) next to a single-column linear sort, and
+    assert the property z-ordering exists for — ONE layout serving
+    selective queries on BOTH columns.  Footer-stat file skipping is
+    measured for a bottom-decile range on each column separately; the
+    contract is that the z-layout's TOTAL files-hit across the two
+    queries is at most the linear layout's total (linear prunes its sort
+    column perfectly but must read every file for the other column —
+    16 + ~2 files here vs the z-curve's balanced ~6 + ~6).  The two-column
+    box answer from the clustered copy is also checked lossless against
+    the oracle's plain scan.
+
+    Scale: the write is one range-partition shuffle on the z-value; the
+    skipping arithmetic reads only parquet footers (O(#files)), the same
+    stats machinery the registry's A17 pruning uses."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    scratch = _scratch_meta_dir(sf_dir + "#zorder")
+    shutil.rmtree(scratch, ignore_errors=True)
+    zdir = os.path.join(scratch, "z")
+    ldir = os.path.join(scratch, "linear")
+
+    from hadoop_sync_spark.functions.zorder import write_zordered
+
+    cols = ["l_orderkey", "l_partkey"]
+    li = t(spark, sf_dir, "lineitem").select(*cols)
+    n_files = 16
+    write_zordered(li, cols, zdir, n_files)
+    (
+        li.repartitionByRange(n_files, cols[0])
+        .sortWithinPartitions(cols[0])
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    mx = li.agg(
+        F.max(cols[0]).alias("mo"), F.max(cols[1]).alias("mp")
+    ).first()
+    # bottom decile per column, integer bounds (exact in both engines)
+    hi = {cols[0]: mx["mo"] // 10, cols[1]: mx["mp"] // 10}
+
+    box = (F.col(cols[0]) <= hi[cols[0]]) & (F.col(cols[1]) <= hi[cols[1]])
+    box_rows = spark.read.parquet(zdir).filter(box).count()
+    plain = li.filter(box).count()
+
+    def file_stats(path: str) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, fn))
+            mins = {c: None for c in cols}
+            maxs = {c: None for c in cols}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        st = col.statistics
+                        if mins[name] is None or st.min < mins[name]:
+                            mins[name] = st.min
+                        if maxs[name] is None or st.max > maxs[name]:
+                            maxs[name] = st.max
+            out.append({"mins": mins, "maxs": maxs})
+        return out
+
+    def hit_one_col(stats: list[dict], c: str) -> int:
+        return sum(
+            1
+            for f in stats
+            if f["mins"][c] is None or f["mins"][c] <= hi[c]
+        )
+
+    z_stats, l_stats = file_stats(zdir), file_stats(ldir)
+    z_total = sum(hit_one_col(z_stats, c) for c in cols)
+    l_total = sum(hit_one_col(l_stats, c) for c in cols)
+
+    return spark.createDataFrame(
+        [
+            (
+                "lineitem",
+                box_rows,
+                bool(box_rows == plain),
+                bool(z_total <= l_total),
+            )
+        ],
+        "table_name string, box_rows long, zorder_lossless boolean, "
+        "zorder_serves_both_columns boolean",
+    )

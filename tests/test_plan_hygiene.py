@@ -61,6 +61,9 @@ SIDE_EFFECTING = {
     "q47_streaming_tumbling_window",
     "q82_registry_sync_lifecycle",
     "q95_compaction_lifecycle",
+    "q101_time_travel",
+    "q102_schema_evolution",
+    "q103_zorder_box_query",
 }
 
 SWEEP = sorted(set(QUERIES) - SIDE_EFFECTING)
