@@ -83,11 +83,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q48_approx_percentiles",
     # (b) oracle-backed, never driver-checked: text analysis
     "q50_token_stats",
-    "q51_fingerprint_groups",
     "q53_quality_scores",
     "q54_lang_id_heuristic",
     "q55_tfidf",
-    "q56_top_terms_per_lang",
     "q57_bpe_pretokens",
     "q58_rolling_hash_fp",
     "q59_repetition_signals",
@@ -108,7 +106,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q60_exact_dedup",
     "q61_token_set_dedup",
     "q62_jaccard_pairs",
-    "q67_chargram_jaccard_pairs",
     "q65_embedding_dup_pairs",
     "q73_stratified_sample",
     "q70_cosine_topk",
@@ -131,12 +128,20 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # (a2) upgraded from no_oracle to an oracle-backed contract row this
     # round — needs its first real driver check
     "q32_approx_distinct",
+    # (b2) new this round: first driver rows for the §2 rows they back —
+    # A23 time-travel/retention (q101), schema evolution (q102), z-order
+    # multi-column skipping (q103)
+    "q101_time_travel",
+    "q102_schema_evolution",
+    "q103_zorder_box_query",
     # Window notes: q21/q30/q31/q33/q42-q45/q85 and (this round) q01
     # rotated out — all r1-green with unchanged implementations (q01 also
     # stays smoke-checked through entry() every round); q91/q92 share the
-    # multimodal family's driver row with q90, and q64 shares the SimHash
-    # family's row with q66, freeing slots for the oracle-backed q97/q98
-    # and the upgraded q32.
+    # multimodal family's driver row with q90, q64 shares the SimHash
+    # family's row with q66, q67 the Jaccard row with q62, q51 the
+    # fingerprinting row with q58/q60, and q56 the TF-IDF row with q55 —
+    # freeing slots for the oracle-backed q97/q98, the upgraded q32, and
+    # the new q101-q103.
 )
 
 
