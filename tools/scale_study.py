@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Scale study: replicate sf0.1 k-fold with disjoint keys, then measure
+per-query wall clock at both scales to find superlinear operators.
+
+Usage:
+    python tools/scale_study.py build [k]     # default k=10 → ~sf1
+    python tools/scale_study.py run [k]       # times queries, prints table
+
+Replication is *key-shifted*, not naive duplication, so data
+characteristics (dup rate, similarity structure, group cardinalities per
+key) stay constant while volume grows — the property that makes a time
+ratio comparable to the data ratio:
+
+- Fact tables (`lineitem`, `orders`, `customer`, `supplier`, `part`,
+  `events`): every key column is offset by `replica * SPAN` (SPAN a power
+  of ten above the base key range) so joins stay 1:1 consistent and no
+  cross-replica key collides.  Dimension tables (`region`, `nation`) are
+  NOT replicated — dims don't grow with fact volume in a star schema, and
+  broadcast-ability at scale is exactly the property we want to preserve.
+- `documents.text`: replica i>0 rewrites token t → t+<replica letter> for
+  the ~30% of the token vocabulary with crc32(t) % 10 < 3.  The rewrite
+  is a function of (token, replica) only, so any two documents inside one
+  replica keep their exact base-corpus similarity (same substitution
+  applied to both), while cross-replica Jaccard of a doc with its own
+  copy drops to ~0.54 — below near-dup thresholds.  Dup structure per
+  unit of data is therefore scale-invariant.
+- `embeddings.embedding`: replica i applies a ±1 diagonal transform with
+  signs keyed by (dim, replica).  Orthogonal → all within-replica
+  cosines/norms are preserved exactly; cross-replica cosine of a vector
+  with its own copy decays to ~0 (random sign agreement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+
+#: key column → SPAN (one power of ten above the base sf0.1 key range)
+KEY_SPANS = {
+    "l_orderkey": 10_000_000,
+    "o_orderkey": 10_000_000,
+    "l_partkey": 1_000_000,
+    "p_partkey": 1_000_000,
+    "l_suppkey": 100_000,
+    "s_suppkey": 100_000,
+    "o_custkey": 1_000_000,
+    "c_custkey": 1_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+REPLICATED = (
+    "lineitem",
+    "orders",
+    "customer",
+    "supplier",
+    "part",
+    "events",
+    "documents",
+    "embeddings",
+)
+DIMS = ("region", "nation")
+
+#: one representative per operator family (registry names)
+STUDY_QUERIES = [
+    "q01_pricing_summary",      # scan + group agg
+    "q03_top_unshipped_orders", # join + top-k
+    "q09_distinct_counts",      # distinct
+    "q12_top_orders_per_customer",  # window
+    "q21_regional_revenue",     # 6-table broadcast star
+    "q40_tumbling_window",      # event-time window
+    "q42_session_windows",      # session window
+    "q57_bpe_pretokens",        # text tokenize + agg
+    "q60_exact_dedup",          # hash dedup
+    "q62_jaccard_pairs",        # bucketed similarity join
+    "q63_minhash_lsh_pairs",    # LSH banding
+    "q66_simhash_pairs",        # simhash blocks
+    "q68_dup_components",       # iterative label propagation
+    "q70_cosine_topk",          # brute-force ANN baseline
+    "q71_ivf_topk",             # IVF ANN
+    "q73_stratified_sample",    # deterministic sampling
+    "q75_gap_fill_locf",        # time-series gap fill
+    "q84_disjunctive_join_revenue",
+    "q88_token_budget_sample",  # two-phase budget selection
+    "q97_table_fingerprint_diff",
+    "q98_heavy_hitters",
+    "q99_incremental_dedup",
+]
+
+
+def scaled_dir(k: int) -> str:
+    return f"/tmp/hss_scale_x{k}"
+
+
+def _mutate_tokens(texts: pd.Series, replica: int) -> pd.Series:
+    """token t → t+<letter> when crc32(t)%10 < 3; keyed by (token, replica)."""
+    suffix = chr(ord("a") + (replica % 26))
+    cache: dict[str, str] = {}
+
+    def tok(t: str) -> str:
+        got = cache.get(t)
+        if got is None:
+            got = t + suffix if zlib.crc32(t.encode()) % 10 < 3 else t
+            cache[t] = got
+        return got
+
+    return texts.map(lambda s: " ".join(tok(t) for t in s.split(" ")))
+
+
+def build(k: int) -> None:
+    out = scaled_dir(k)
+    os.makedirs(out, exist_ok=True)
+    for name in DIMS:
+        src = os.path.join(BASE, f"{name}.parquet")
+        pq.write_table(pq.read_table(src), os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: copied (dimension, not replicated)")
+    for name in REPLICATED:
+        t0 = time.time()
+        base = pq.read_table(os.path.join(BASE, f"{name}.parquet"))
+        pdf = base.to_pandas()
+        parts = []
+        for i in range(k):
+            rep = pdf.copy()
+            for col in rep.columns:
+                if col in KEY_SPANS and i:
+                    rep[col] = rep[col] + i * KEY_SPANS[col]
+            if name == "documents" and i:
+                rep["text"] = _mutate_tokens(rep["text"], i)
+                rep["n_chars"] = rep["text"].str.len().astype("int64")
+            if name == "embeddings" and i:
+                mat = np.stack(rep["embedding"].to_numpy())
+                dims = mat.shape[1]
+                rng = (
+                    np.array(
+                        [zlib.crc32(f"{i}:{d}".encode()) for d in range(dims)]
+                    )
+                    % 2
+                ) * 2 - 1
+                rep["embedding"] = list(
+                    (mat * rng.astype(mat.dtype)).astype(np.float32)
+                )
+            parts.append(rep)
+        big = pd.concat(parts, ignore_index=True)
+        table = pa.Table.from_pandas(big, schema=base.schema, preserve_index=False)
+        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: {len(pdf)} → {len(big)} rows ({time.time()-t0:.1f}s)")
+    print("built", out)
+
+
+def run(k: int) -> None:
+    from pyspark.sql import SparkSession
+
+    from hadoop_sync_spark.queries import load_all
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    big = scaled_dir(k)
+
+    def median_time(fn, sf_dir: str) -> float:
+        fn(spark, sf_dir).count()  # warm-up (JIT, listing caches)
+        times = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            times.append(time.time() - t0)
+        return statistics.median(times)
+
+    rows = []
+    for name in STUDY_QUERIES:
+        q = registry[name]
+        t_small = median_time(q.fn, BASE)
+        t_big = median_time(q.fn, big)
+        ratio = t_big / t_small if t_small > 0 else float("nan")
+        rows.append((name, t_small, t_big, ratio))
+        flag = " <-- SUPERLINEAR" if ratio > 1.5 * k else ""
+        print(f"{name:34s} {t_small:7.2f}s {t_big:7.2f}s  x{ratio:5.1f}{flag}")
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "queries": {
+                    n: {"t_base": round(a, 3), "t_scaled": round(b, 3), "ratio": round(r, 2)}
+                    for n, a, b, r in rows
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    kk = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    if cmd == "build":
+        build(kk)
+    elif cmd == "run":
+        run(kk)
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
