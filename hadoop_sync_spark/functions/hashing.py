@@ -195,22 +195,32 @@ def _simhash_arrow_udf():
 
     @F.pandas_udf("bigint")
     def sh(hashes: pd.Series) -> pd.Series:
-        out: list[int | None] = []
-        for h in hashes:
-            if h is None:
-                # builtin reference propagates NULL for a NULL array
-                out.append(None)
-                continue
-            if len(h) == 0:
-                out.append(0)
-                continue
-            hu = np.asarray(h, dtype=np.int64).view(np.uint64)
-            # (n, 64) bit matrix; bit j set iff ones > n/2 (count>0 in ±1 terms)
-            ones = ((hu[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
-            sig_bits = (2 * ones > len(hu)).astype(np.uint64)
-            sig = np.bitwise_or.reduce(sig_bits << shifts)
-            out.append(int(np.uint64(sig).astype(np.int64)))
-        return pd.Series(out, dtype="object")
+        # one vectorized pass per Arrow batch: concatenate every doc's
+        # hashes, build the (total, 64) bit matrix once, then segment-sum
+        # per doc with np.add.reduceat — no per-row Python/numpy overhead
+        isnull = hashes.isna().to_numpy()
+        lens = np.array(
+            [0 if n else len(h) for h, n in zip(hashes, isnull)],
+            dtype=np.int64,
+        )
+        out = np.zeros(len(hashes), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes[nonempty]]
+            ).view(np.uint64)
+            bits = (flat[:, None] >> shifts[None, :]) & np.uint64(1)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            ones = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+            # bit j set iff ones > n/2 (count > 0 in ±1 terms)
+            sig_bits = (2 * ones > lens[nonempty, None]).astype(np.uint64)
+            out[nonempty] = (sig_bits << shifts).sum(
+                axis=1, dtype=np.uint64
+            ).astype(np.int64)
+        res = pd.Series(out, dtype="object", index=hashes.index)
+        res[isnull] = None  # builtin reference propagates NULL for NULL array
+        return res
 
     # deterministic output; flag is a pushdown barrier (see _minhash_arrow_udf)
     sh = sh.asNondeterministic()
