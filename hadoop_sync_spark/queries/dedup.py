@@ -466,7 +466,15 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs is deterministic, plus the linear candidate bound.
 
     Scale: one shuffle on (block_no, block_value); in-bucket pair expansion
-    like q63.  4 block probes per doc replace the O(n²) signature sweep."""
+    like q63.  4 block probes per doc replace the O(n²) signature sweep.
+    Real-text SimHash bits are highly non-uniform (common tokens dominate
+    the per-bit majority votes), so a few block values go quadratic: at
+    10× sf0.1 the widest of 65,536 buckets held 1,031 of 50k docs and
+    candidates totaled 9.8M (~50× the linear target) — one straggler
+    task.  The same `max_bucket` cap as q63 bounds the expansion; a true
+    near-pair is lost only if ALL FOUR of its shared blocks are over-cap
+    (each pair has 4 independent probes), the standard LSH skew
+    tradeoff."""
     d = _spread(spark, t(spark, sf_dir, "documents"))
     toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
     corpus, planted = _with_planted_clones(toks_df, "doc_id")
@@ -492,7 +500,7 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("_ms")
         )
-        .filter(F.size("_ms") > 1)
+        .filter((F.size("_ms") > 1) & (F.size("_ms") <= 500))
     )
     ms = F.col("_ms")
     pair_structs = F.flatten(
