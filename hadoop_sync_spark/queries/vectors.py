@@ -108,10 +108,12 @@ def _ann_contract(
     tags=("vectors", "ann", "ivf"),
 )
 def q71_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via coarse IVF: k-means|| centroids (MLlib,
-    spherical approximation on normalized vectors), assign vectors to 16
-    centroid buckets, probe the 4 nearest buckets per query (~4/16 of the
-    data scanned).  Deterministic given the fixed k-means seed.
+    """Approximate top-10 via coarse IVF: spherical k-means centroids
+    trained on a bounded driver-side sample (constant cost in corpus
+    size, FAISS convention — see functions/vectors.py::kmeans_centroids),
+    vectors assigned to 16 centroid buckets in one Arrow matmul pass,
+    queries probing their 4 nearest buckets (~4/16 of the data scanned).
+    Deterministic given the fixed k-means seed.
 
     Driver-checked through the one-row acceptance contract: completeness
     (10 neighbors per query) and pooled recall ≥ 0.35 vs the exact top-10
