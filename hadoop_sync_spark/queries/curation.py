@@ -761,3 +761,96 @@ def q98_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ppm") >= _HH_PPM)
         .select("term", "cnt", "ppm")
     )
+
+
+# --------------------------------------------------------------------------
+# q105 — Misra-Gries heavy hitters (the sketch upgrade path q98 documents)
+# --------------------------------------------------------------------------
+_MG_K = 2000  # sketch capacity: error ≤ n/(K+1) token occurrences
+
+
+@register(
+    "q105_misra_gries",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_NORM_TOKENS}) AS term FROM documents
+    ), c AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT term, cnt,
+           CAST((cnt * 1000000) // (SELECT total FROM n) AS BIGINT) AS ppm,
+           TRUE AS mg_found_ok,
+           TRUE AS mg_err_ok
+    FROM c
+    WHERE (cnt * 1000000) // (SELECT total FROM n) >= {_HH_PPM}
+    """,
+    tags=("text", "heavy-hitters", "sketch", "l3"),
+)
+def q105_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters — the mergeable-sketch path q98's
+    docstring points to for when even one exact aggregation pass is too
+    much.  Per-partition capacity-K sketches over the token stream
+    (Arrow-batched `mapInPandas`; the iterated-min decrement is computed
+    in one vectorized step — subtracting the (m−K)-th smallest counter
+    value is exactly equivalent), merged by summing surviving counters:
+    per-partition errors add to ≤ n/(K+1) TOTAL (Agarwal et al.,
+    "Mergeable Summaries", PODS'12), so the merged estimate `est`
+    satisfies  cnt − n/(K+1) ≤ est ≤ cnt.
+
+    Driver-checked through the guarantee, not the (partitioning-
+    dependent) estimates: for every EXACT heavy hitter (≥0.1% share,
+    values oracle-checked like q98), `mg_found_ok` pins that the sketch
+    surfaced it — guaranteed, since cnt > n/1000 > n/(K+1) — and
+    `mg_err_ok` pins the integer-exact error bound
+    (cnt − est)·(K+1) ≤ total.
+
+    Scale: the sketch shuffle carries ≤ K rows per partition regardless
+    of corpus size — this is the operator whose exchange stays KB-sized
+    at 100 TB; the exact pass alongside it exists only as the acceptance
+    oracle."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(normalize(F.col("text")))).alias("term"))
+
+    def mg(batches):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term, c in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(c)
+            m = len(counters)
+            if m > _MG_K:
+                vals = np.sort(np.fromiter(counters.values(), dtype=np.int64))
+                delta = int(vals[m - _MG_K - 1])
+                counters = {
+                    t_: c - delta for t_, c in counters.items() if c > delta
+                }
+        yield pd.DataFrame(
+            {"term": list(counters), "est": list(counters.values())}
+        )
+
+    sketch = (
+        tok.mapInPandas(mg, "term string, est long")
+        .groupBy("term")
+        .agg(F.sum("est").alias("est"))
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("ppm", F.expr("cnt * 1000000 DIV total"))
+        .filter(F.col("ppm") >= _HH_PPM)
+        .join(sketch, "term", "left")
+        .select(
+            "term",
+            "cnt",
+            "ppm",
+            F.col("est").isNotNull().alias("mg_found_ok"),
+            (
+                (F.col("cnt") - F.coalesce(F.col("est"), F.lit(0)))
+                * (_MG_K + 1)
+                <= F.col("total")
+            ).alias("mg_err_ok"),
+        )
+    )

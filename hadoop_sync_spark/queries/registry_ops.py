@@ -621,3 +621,76 @@ def q103_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, box_rows long, zorder_lossless boolean, "
         "zorder_serves_both_columns boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# q104 — multi-format sink/source round trip (CSV / JSON / ORC)
+# --------------------------------------------------------------------------
+@register(
+    "q104_format_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT * FROM lineitem WHERE l_orderkey % 50 = 0
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+        FROM base
+    )
+    SELECT fmt, n_rows, price_cents, n_flags, TRUE AS roundtrip_ok
+    FROM (VALUES ('csv'), ('json'), ('orc')) AS f(fmt), agg
+    """,
+    tags=("io", "sinks", "roundtrip"),
+)
+def q104_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources/sinks as a judged row: the same lineitem slice is written
+    to CSV, JSON, and ORC through `sinks.write_table` (lossless-CSV
+    contract: header, quote-escape, NULL-vs-empty markers, no trimming),
+    read back with the EXPLICIT schema (`sinks.read_table` refuses
+    inference for text formats — the registry, not the data, owns types),
+    and re-aggregated.  One output row per format carries the row count,
+    the exact scaled-cents revenue sum, and the distinct-flag count; the
+    oracle computes the same values straight from the base parquet, so a
+    single bit lost by any format's serializer breaks the hash.
+    `roundtrip_ok` additionally pins full-row fidelity: the re-read frame
+    EXCEPT the original slice must be empty both ways.
+
+    Scale: each write is one narrow pass (no shuffle); `exceptAll` is the
+    only exchange and exists solely for the fidelity proof."""
+    from hadoop_sync_spark.sinks import read_table, write_table
+
+    scratch = _scratch_meta_dir(sf_dir + "#roundtrip")
+    cols = "l_orderkey long, l_quantity double, l_extendedprice double, " \
+           "l_returnflag string"
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        )
+    )
+    rows = []
+    for fmt in ("csv", "json", "orc"):
+        path = os.path.join(scratch, fmt)
+        write_table(base, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=cols)
+        agg = back.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents"),
+            F.countDistinct("l_returnflag").alias("flags"),
+        ).first()
+        lossless = (
+            back.exceptAll(base).count() == 0
+            and base.exceptAll(back).count() == 0
+        )
+        rows.append(
+            (fmt, agg["n"], agg["cents"], int(agg["flags"]), bool(lossless))
+        )
+    return spark.createDataFrame(
+        rows,
+        "fmt string, n_rows long, price_cents long, n_flags long, "
+        "roundtrip_ok boolean",
+    )

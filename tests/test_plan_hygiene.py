@@ -41,6 +41,9 @@ BOUNDED_OK = {
     # the cross attaches a ONE-ROW total-token-count aggregate to the
     # per-term counts (broadcast scalar attach for the ppm share)
     "q98_heavy_hitters",
+    # same ONE-ROW total attach as q98; the sketch-vs-exact join itself
+    # is a hash join on term
+    "q105_misra_gries",
     # planted-clone acceptance contracts: the crosses are ONE-ROW scalar
     # attaches (planted count / missed count / pair count / corpus count);
     # the underlying pair paths are asserted nested-loop-free directly in
@@ -64,6 +67,7 @@ SIDE_EFFECTING = {
     "q101_time_travel",
     "q102_schema_evolution",
     "q103_zorder_box_query",
+    "q104_format_roundtrip",
 }
 
 SWEEP = sorted(set(QUERIES) - SIDE_EFFECTING)
