@@ -88,8 +88,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q55_tfidf",
     "q57_bpe_pretokens",
     "q58_rolling_hash_fp",
-    "q59_repetition_signals",
     "q76_udtf_sentences",
+    "q104_format_roundtrip",
     # (b) corpus-pipeline + curation ops (new in round 2)
     "q77_ngram_stats",
     "q78_corpus_mix",
@@ -139,9 +139,10 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # stays smoke-checked through entry() every round); q91/q92 share the
     # multimodal family's driver row with q90, q64 shares the SimHash
     # family's row with q66, q67 the Jaccard row with q62, q51 the
-    # fingerprinting row with q58/q60, and q56 the TF-IDF row with q55 —
-    # freeing slots for the oracle-backed q97/q98, the upgraded q32, and
-    # the new q101-q103.
+    # fingerprinting row with q58/q60, q56 the TF-IDF row with q55, and
+    # q59/q105 the text/heavy-hitter rows with q50-q58/q98 — freeing
+    # slots for the oracle-backed q97/q98, the upgraded q32, the new
+    # q101-q103, and q104 (the sources/sinks row's first driver row).
 )
 
 
