@@ -61,20 +61,23 @@ def connected_components(
         msgs = bidir.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "component")
-        new_labels = (
+        # carry the previous label through the min-agg so the fixpoint
+        # check is a shuffle-free scan of the SAME checkpointed frame —
+        # one materialized shuffle job per round instead of two (both the
+        # agg and the old-label join partition on `node`, so the join
+        # rides the agg's exchange)
+        stepped = (
             labels.select("node", "component")
             .union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .join(labels.withColumnRenamed("component", "old"), "node")
             .localCheckpoint()  # truncate lineage: plan would double/round
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("component") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
