@@ -102,6 +102,7 @@ STUDY_QUERIES = [
     "q97_table_fingerprint_diff",
     "q98_heavy_hitters",
     "q99_incremental_dedup",
+    "q105_misra_gries",       # mergeable sketch (KB-sized exchange)
 ]
 
 
