@@ -15,11 +15,14 @@ Scale notes:
 - each round is ONE shuffle round-trip (edge⋈label join + min-agg);
 - ``localCheckpoint`` truncates lineage every round — without it the plan
   doubles per iteration and Catalyst analysis dominates by round ~8;
-- for web-scale graphs with long chains, the round count is the bottleneck
-  and the published fix is the alternating large-star/small-star algorithm
-  (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14), which converges in O(log² n); the driver loop below is the
-  same skeleton with a different message rule, so the upgrade is local.
+- for web-scale graphs with long chains, the round count is the bottleneck;
+  :func:`connected_components_star` implements the published fix — the
+  alternating large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14), O(log² n) rounds —
+  verified equivalent to label propagation on random graphs and a
+  400-node chain (tests/test_dedup.py).  Pick by graph shape: label
+  propagation for tiny-diameter dup clusters (fewer shuffles per round),
+  star for long-chain graphs.
 """
 
 from __future__ import annotations
@@ -83,4 +86,98 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph has very long chains — switch to large-star/small-star"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log² n)-round algorithm for graphs whose DIAMETER,
+    not just size, is large (web-graph chains, linked citation series),
+    where :func:`connected_components`'s one-hop label propagation would
+    need O(diameter) rounds.
+
+    Per round, two phases of (groupBy-min + same-key join + distinct):
+
+    - **large-star** (keyed by every endpoint `u`): attach every
+      strictly-larger neighbor of `u` to `m = min(Γ(u) ∪ {u})`;
+    - **small-star** (each edge keyed by its LARGER endpoint `u`, so
+      Γ⁻(u) is the smaller neighbors): attach `u` and all of Γ⁻(u)
+      to `m = min(Γ⁻(u) ∪ {u})`.
+
+    The fixpoint is a star forest — every edge points directly at its
+    component's minimum id — detected with an order-insensitive
+    (count, xxhash64-sum) digest of the edge set (the q97 anti-entropy
+    idiom; a 64-bit collision would only delay termination to
+    `max_iter`, never corrupt the result, because the digest gates the
+    LOOP, not the labels).  Returns (node, component) with the same
+    contract as :func:`connected_components`.
+
+    Scale: both phases shuffle on the grouping key and the edge set
+    shrinks monotonically toward n−1 star edges; `localCheckpoint` per
+    phase truncates lineage exactly as in the label-propagation loop."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    cur = e.distinct().localCheckpoint()
+
+    def digest(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(F.col("a"), F.col("b"))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # ---- large-star: key = u over BOTH directions
+        bidir = cur.union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = bidir.groupBy("a").agg(F.min("b").alias("mb"))
+        m = F.least(F.col("a"), F.col("mb"))
+        cur = (
+            bidir.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star: key = larger endpoint, neighbors are smaller
+        directed = cur.select(
+            F.greatest(F.col("a"), F.col("b")).alias("a"),
+            F.least(F.col("a"), F.col("b")).alias("b"),
+        )
+        mins = directed.groupBy("a").agg(F.min("b").alias("mb"))
+        attach = (
+            directed.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("mb").alias("b"))
+            .union(mins.select(F.col("a"), F.col("mb").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = attach
+        d = digest(cur)
+        if d == prev:
+            break
+        prev = d
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # star forest: every edge is (node -> component root); roots label
+    # themselves
+    return (
+        cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .union(
+            cur.select(F.col("b").alias("node"), F.col("b").alias("component"))
+        )
+        .distinct()
     )

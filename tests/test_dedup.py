@@ -136,3 +136,49 @@ def test_connected_components_planted_chain(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_star_components_match_label_propagation(spark):
+    """large-star/small-star must agree with one-hop label propagation on
+    random graphs (several seeds and densities) — same (node, component)
+    set, including multi-component splits."""
+    import random
+
+    from hadoop_sync_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n, m in [(1, 60, 40), (2, 120, 80), (3, 200, 260)]:
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        lp = {
+            (r.node, r.component) for r in connected_components(edges).collect()
+        }
+        st = {
+            (r.node, r.component)
+            for r in connected_components_star(edges).collect()
+        }
+        assert st == lp, (seed, st ^ lp)
+
+
+def test_star_components_converge_on_long_chain(spark):
+    """A 400-node path has diameter 399: label propagation would need
+    ~400 rounds, large-star/small-star must finish in O(log² n) — well
+    under 15 alternating rounds — and still label every node with the
+    chain's minimum."""
+    from hadoop_sync_spark.functions.graph import connected_components_star
+
+    n = 400
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components_star(edges, max_iter=15).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
