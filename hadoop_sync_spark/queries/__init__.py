@@ -124,7 +124,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q82_registry_sync_lifecycle",
     "q90_media_features",
     "q95_compaction_lifecycle",
-    "q96_dup_profile",
+    "q106_chain_components",
     # (a2) upgraded from no_oracle to an oracle-backed contract row this
     # round — needs its first real driver check
     "q32_approx_distinct",
@@ -140,9 +140,12 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # multimodal family's driver row with q90, q64 shares the SimHash
     # family's row with q66, q67 the Jaccard row with q62, q51 the
     # fingerprinting row with q58/q60, q56 the TF-IDF row with q55, and
-    # q59/q105 the text/heavy-hitter rows with q50-q58/q98 — freeing
-    # slots for the oracle-backed q97/q98, the upgraded q32, the new
-    # q101-q103, and q104 (the sources/sinks row's first driver row).
+    # q59/q105 the text/heavy-hitter rows with q50-q58/q98, and q96 the
+    # curation row with q86-q89 — freeing slots for the oracle-backed
+    # q97/q98, the upgraded q32, the new q101-q104 (q104 = the
+    # sources/sinks row's first driver row), and q106 (iterative graph
+    # closure, every row VALUE-checked via the per-source window-min
+    # oracle — the strongest check the components family has).
 )
 
 

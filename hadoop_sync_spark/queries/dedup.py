@@ -841,3 +841,55 @@ def q99_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("canonical_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — long-chain transitive closure (large-star/small-star, value-checked)
+# --------------------------------------------------------------------------
+@register(
+    "q106_chain_components",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY source) AS component
+    FROM documents
+    """,
+    tags=("graph", "components", "star", "l3"),
+)
+def q106_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over LONG chains, fully value-checked: the docs
+    of each source are linked consecutively by doc_id (each source becomes
+    one path of hundreds/thousands of hops), and every doc must be
+    labeled with its chain's minimum — which SQL states directly as
+    `MIN(doc_id) OVER (PARTITION BY source)`, so the oracle checks every
+    (node, component) VALUE, not a summary contract.
+
+    This is the workload that separates the two component algorithms:
+    one-hop label propagation needs O(chain length) rounds (hundreds
+    here — it would exhaust any sane round budget), while the
+    large-star/small-star alternation (`connected_components_star`,
+    Kiveris et al. SoCC'14) converges in O(log² n) — ~10 alternations at
+    this size.  Single-doc sources (isolated nodes) are unioned back in
+    as self-labeled, same contract as the graph API documents.
+
+    Scale: edge construction is one window pass per source partition;
+    each star phase is a groupBy-min + same-key join + distinct."""
+    from hadoop_sync_spark.functions.graph import connected_components_star
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        d.withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    labels = connected_components_star(edges, max_iter=25)
+    return (
+        d.join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+    )
