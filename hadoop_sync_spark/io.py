@@ -64,6 +64,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         # restore the documented column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    elif name in ("lineitem", "orders"):
+        # the fixture generator has flipped timestamp encodings between
+        # rounds before (events.ts: NANOS long in r1, naive US in r2);
+        # if the date columns ever arrive as nanos longs, restore a real
+        # timestamp so every downstream year()/range/window survives.
+        # Inert while the columns are already timestamps.
+        col = "l_shipdate" if name == "lineitem" else "o_orderdate"
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     return df
 
 
