@@ -111,3 +111,69 @@ def q74_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("doc_cnt"), F.sum("n_chars").alias("char_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# q107 — exactly-k weighted priority sample (Duffield-Lund-Thorup)
+# --------------------------------------------------------------------------
+_PRIO_K = 200
+
+#: DuckDB spelling of the integer priority (see q107 docstring).
+_SQL_PRIO = (
+    "CAST(n_chars AS BIGINT) * 4294967296 // "
+    f"({sql_md5_prefix_long('CAST(doc_id AS VARCHAR)')} + 1)"
+)
+
+
+@register(
+    "q107_weighted_priority_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           CAST({_SQL_PRIO} AS BIGINT) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT {_PRIO_K}
+    """,
+    tags=("sampling", "weighted", "l3"),
+)
+def q107_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sample via priority sampling (Duffield, Lund &
+    Thorup, JACM'07): each document draws priority `w/u` — weight
+    `n_chars` over a uniform keyed by content hash — and the k highest
+    priorities are kept, so heavier documents are proportionally likelier
+    to be sampled while the total is EXACTLY k (the guarantee the
+    threshold-style q88 trades away).
+
+    Cross-engine exactness: the priority is integer-quantized as
+    `(w · 2³²) DIV (h + 1)` with `h` the 32-bit md5 prefix — pure BIGINT
+    arithmetic both engines compute identically (a float `w/u` or the
+    classic `u^(1/w)` Efraimidis-Spirakis key would hinge on pow/log ULP
+    agreement at the top-k boundary), with doc_id as the total-order tie
+    breaker.  Like q73/q74, membership is a pure function of (doc_id,
+    n_chars): reproducible across runs, no RNG state.
+
+    Scale: plans as TakeOrderedAndProject — per-partition top-k then a
+    k-row merge on the driver; no global sort, no shuffle of the corpus."""
+    d = t(spark, sf_dir, "documents")
+    # stage the hash, then integer-divide with SQL DIV: Column `/` on
+    # longs is DOUBLE division, whose nearest-rounding can cross an
+    # integer boundary the oracle's exact `//` floors under
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (md5_prefix_long(F.col("doc_id").cast("string")) + 1).alias("_h"),
+    )
+    prio = F.expr(
+        "CAST(n_chars AS BIGINT) * CAST(4294967296 AS BIGINT) DIV _h"
+    )
+    return (
+        staged.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            prio.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_PRIO_K)
+    )
