@@ -893,3 +893,76 @@ def q106_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q108 — bounded edit-distance (typo/OCR) near-pairs, fully value-checked
+# --------------------------------------------------------------------------
+@register(
+    "q108_edit_distance_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, lang, substr(lower(trim(text, ' ')), 1, 64) AS pre
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND b.doc_id <= a.doc_id + 10
+    WHERE levenshtein(a.pre, b.pre) <= 16
+    """,
+    tags=("dedup", "fuzzy", "levenshtein"),
+)
+def q108_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/OCR-grade fuzzy matching: exact Levenshtein distance over
+    64-char normalized prefixes for bounded same-language candidate
+    pairs — the character-level complement to token Jaccard (q62), and
+    fully VALUE-checked (both engines implement exact edit distance, so
+    every emitted integer must agree).
+
+    Candidates use the same two-block-probe equi rewrite as q62 (doc_b in
+    (doc_a, doc_a+10], hash-joinable on (lang, block) — never a
+    nested-loop sweep); at production scale the candidates come from LSH
+    buckets and this is the verification stage.  The prefix bound keeps
+    the DP cost per pair at O(64²) regardless of document length —
+    Spark's `levenshtein(l, r, threshold)` early-exit form is the
+    documented fallback when full-text distances are needed."""
+    d = _spread(spark, t(spark, sf_dir, "documents"))
+    pre = d.select(
+        "doc_id",
+        "lang",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 64).alias("pre"),
+    )
+    span = 10
+    blk = (F.col("doc_id") / span).cast("long")
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("pre").alias("pre_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk_a"),
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("pre").alias("pre_b"),
+        blk.alias("blk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("doc_b") <= F.col("doc_a") + span),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("pre_a"), F.col("pre_b"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 16)
+    )
