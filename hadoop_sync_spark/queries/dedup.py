@@ -911,16 +911,20 @@ def q106_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.lang = b.lang
      AND a.doc_id < b.doc_id
      AND b.doc_id <= a.doc_id + 10
-    WHERE levenshtein(a.pre, b.pre) <= 16
+    ORDER BY edit_dist, doc_a, doc_b
+    LIMIT 20
     """,
     tags=("dedup", "fuzzy", "levenshtein"),
 )
 def q108_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo/OCR-grade fuzzy matching: exact Levenshtein distance over
     64-char normalized prefixes for bounded same-language candidate
-    pairs — the character-level complement to token Jaccard (q62), and
-    fully VALUE-checked (both engines implement exact edit distance, so
-    every emitted integer must agree).
+    pairs, reported as the 20 CLOSEST pairs under a total order
+    (edit_dist, doc_a, doc_b) — the character-level complement to token
+    Jaccard (q62), fully VALUE-checked (both engines implement exact edit
+    distance, so every emitted integer must agree; a closest-pair ranking
+    checks real distances on any corpus, where a fixed near-dup threshold
+    would go empty on fixture word soup).
 
     Candidates use the same two-block-probe equi rewrite as q62 (doc_b in
     (doc_a, doc_a+10], hash-joinable on (lang, block) — never a
@@ -928,7 +932,8 @@ def q108_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets and this is the verification stage.  The prefix bound keeps
     the DP cost per pair at O(64²) regardless of document length —
     Spark's `levenshtein(l, r, threshold)` early-exit form is the
-    documented fallback when full-text distances are needed."""
+    documented fallback when full-text distances are needed.  The top-k
+    plans as TakeOrderedAndProject (per-partition heads + k-row merge)."""
     d = _spread(spark, t(spark, sf_dir, "documents"))
     pre = d.select(
         "doc_id",
@@ -964,5 +969,6 @@ def q108_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 16)
+        .orderBy("edit_dist", "doc_a", "doc_b")
+        .limit(20)
     )
