@@ -127,11 +127,18 @@ def connected_components_star(
     cur = e.distinct().localCheckpoint()
 
     def digest(df: DataFrame) -> tuple:
+        # overflow-proof set digest (the q97 anti-entropy idiom): XOR-fold
+        # never overflows, and the additive fold sums 32-bit slices so it
+        # stays < 2^63 to ~4e9 edges — a bare SUM(xxhash64) is a random
+        # walk with step ~2^63 that overflows ANSI-mode long arithmetic
+        # after a few hundred edges
+        h = F.xxhash64(F.col("a"), F.col("b"))
         row = df.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64(F.col("a"), F.col("b"))).alias("h"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("hx"),
+            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))).alias("hs"),
         ).first()
-        return (row["n"], row["h"])
+        return (row["n"], row["hx"], row["hs"])
 
     prev = None
     for _ in range(max_iter):
