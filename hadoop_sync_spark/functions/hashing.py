@@ -56,6 +56,12 @@ def minhash_signature_builtin(items: Column, k: int = 32, seed: int = 42) -> Col
     Kept as the semantic reference: higher-order array lambdas are
     interpreted (no whole-stage codegen), so the Arrow path in
     :func:`minhash_signature` is ~20× faster at equal output.
+
+    Requires NON-ANSI (wraparound) arithmetic: the affine permutation is
+    `(a·h + b) mod 2^64`, which ANSI mode traps as long overflow.  The
+    production Arrow path computes the same wraparound in numpy uint64
+    and is ANSI-clean — only this reference needs the lenient conf (the
+    bit-identical test toggles it around the comparison).
     """
     params = _perm_params(k, seed)
     init = F.array(*[F.lit(0x7FFFFFFFFFFFFFFF).cast("long") for _ in range(k)])

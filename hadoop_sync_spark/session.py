@@ -59,9 +59,13 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # --- semantics ----------------------------------------------------------
     "spark.sql.session.timeZone": "UTC",
-    # ANSI off: TPC-H-ish fixtures are clean; oracle (DuckDB) differences on
-    # overflow/div0 are handled per-query with explicit casts.
-    "spark.sql.ansi.enabled": "false",
+    # ANSI on — matching Spark 4's default and, critically, the DRIVER's
+    # vanilla session: the driver imports __spark_entry__ with its own
+    # SparkSession where ANSI is on, so running the suite with ANSI off
+    # would mask overflow/strict-cast failures until the driver hits them
+    # (a probabilistic hash-sum overflow in the star-components digest
+    # was exactly such a latent bug).  Every query is ANSI-clean.
+    "spark.sql.ansi.enabled": "true",
     # --- driver/executor sizing for the local[32] test harness --------------
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

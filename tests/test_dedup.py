@@ -47,12 +47,21 @@ def _shingled(df):
 
 
 def test_minhash_arrow_is_bit_identical_to_builtin(spark):
-    sh = _shingled(_planted_corpus(spark))
-    cmp = sh.select(
-        minhash_signature(F.col("sh")).alias("a"),
-        minhash_signature_builtin(F.col("sh")).alias("b"),
-    )
-    assert cmp.filter(F.col("a") != F.col("b")).count() == 0
+    # the builtin REFERENCE formulation needs wraparound multiply
+    # (a*h mod 2^64), which ANSI mode traps as overflow — evaluate the
+    # comparison under a temporarily non-ANSI conf; the PRODUCTION Arrow
+    # path wraps in numpy uint64 and stays ANSI-clean (the parity sweep
+    # and driver run it under ANSI)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        sh = _shingled(_planted_corpus(spark))
+        cmp = sh.select(
+            minhash_signature(F.col("sh")).alias("a"),
+            minhash_signature_builtin(F.col("sh")).alias("b"),
+        )
+        assert cmp.filter(F.col("a") != F.col("b")).count() == 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
 
 
 def test_simhash_arrow_is_bit_identical_to_builtin(spark):
