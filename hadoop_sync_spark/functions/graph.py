@@ -113,10 +113,14 @@ def connected_components_star(
     The fixpoint is a star forest — every edge points directly at its
     component's minimum id — detected with an order-insensitive
     (count, xxhash64-sum) digest of the edge set (the q97 anti-entropy
-    idiom; a 64-bit collision would only delay termination to
-    `max_iter`, never corrupt the result, because the digest gates the
-    LOOP, not the labels).  Returns (node, component) with the same
-    contract as :func:`connected_components`.
+    idiom).  Digest equality is a FILTER, not the verdict: because the
+    digest gates the loop BREAK, a collision between two different
+    consecutive edge sets would otherwise terminate early on a
+    non-converged set; so equality is confirmed with one exact
+    ``exceptAll`` probe before breaking (counts already matched via the
+    digest, so an empty difference proves set equality).  Returns
+    (node, component) with the same contract as
+    :func:`connected_components`.
 
     Scale: both phases shuffle on the grouping key and the edge set
     shrinks monotonically toward n−1 star edges; `localCheckpoint` per
@@ -141,6 +145,7 @@ def connected_components_star(
         return (row["n"], row["hx"], row["hs"])
 
     prev = None
+    prev_cur: DataFrame | None = None
     for _ in range(max_iter):
         # ---- large-star: key = u over BOTH directions
         bidir = cur.union(
@@ -172,9 +177,18 @@ def connected_components_star(
         )
         cur = attach
         d = digest(cur)
-        if d == prev:
+        # digest equality is necessary, not sufficient: confirm with one
+        # exact set probe (both frames are distinct and counts matched in
+        # the digest, so empty difference ⇒ equal sets) — a digest
+        # collision then just costs one extra probe, never a wrong result
+        if (
+            d == prev
+            and prev_cur is not None
+            and cur.exceptAll(prev_cur).limit(1).count() == 0
+        ):
             break
         prev = d
+        prev_cur = cur
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"

@@ -258,7 +258,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int | None = 500,
     parallelism: int | None = None,
-) -> DataFrame:
+    with_capped_ids: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate near-duplicate pairs via MinHash-LSH banding.
 
     Pipeline: signature (narrow, computed ONCE) → explode band keys →
@@ -276,6 +277,11 @@ def minhash_lsh_pairs(
     can otherwise form one quadratic mega-bucket; dropping an over-wide
     bucket loses only candidates that other bands still surface, the
     standard LSH skew tradeoff.  Pass None to uncap.
+
+    With ``with_capped_ids=True`` also returns the ids whose every
+    ≥2-member bucket was dropped by the cap — rows that *cannot* appear
+    in any pair; contract queries subtract them from expected recall so
+    the documented cap tradeoff doesn't read as an operator bug.
     """
     if bands < 1 or bands > k or k % bands != 0:
         raise ValueError(
@@ -314,13 +320,14 @@ def minhash_lsh_pairs(
             "_band", "_bkey"
         ),
     )
-    buckets = (
+    buckets_all = (
         banded.groupBy("_band", "_bkey")
         .agg(F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_ms"))
         .filter(F.size("_ms") > 1)
     )
+    buckets = buckets_all
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ms") <= max_bucket)
+        buckets = buckets_all.filter(F.size("_ms") <= max_bucket)
     ms = F.col("_ms")
     pair_structs = F.flatten(
         F.transform(
@@ -343,4 +350,22 @@ def minhash_lsh_pairs(
             lambda x: x,
         )
     ).cast("double") / F.lit(float(k))
-    return ex.select("id_a", "id_b", est.alias("est_jaccard")).distinct()
+    pairs = ex.select("id_a", "id_b", est.alias("est_jaccard")).distinct()
+    if not with_capped_ids:
+        return pairs
+    if max_bucket is None:
+        capped = df.sparkSession.createDataFrame([], "id_a long")
+    else:
+        # ids whose every ≥2-member bucket was dropped by the cap — they
+        # cannot surface in any pair (see docstring)
+        capped = (
+            buckets_all.select(
+                (F.size("_ms") <= max_bucket).cast("int").alias("_u"),
+                F.explode("_ms").alias("_m"),
+            )
+            .groupBy(F.col("_m._id").alias("id_a"))
+            .agg(F.max("_u").alias("_any_under"))
+            .filter(F.col("_any_under") == 0)
+            .select("id_a")
+        )
+    return pairs, capped

@@ -120,14 +120,21 @@ def kmeans_centroids(
     # measured ~19 s over 20k×64 vectors vs milliseconds driver-side
     sample = (
         vectors.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
-        .filter(F.size(F.col(vec_col)) > 0)
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .orderBy(F.xxhash64(F.col("_sid"), F.lit(seed)), F.col("_sid"))
         .limit(cap)
         .collect()
     )
     X = np.array([r["_v"] for r in sample], dtype=np.float64)
-    nrm = np.linalg.norm(X, axis=1)
-    X = X[nrm > 0] / nrm[nrm > 0, None]
+    if X.size:
+        nrm = np.linalg.norm(X, axis=1)
+        X = X[nrm > 0] / nrm[nrm > 0, None]
+    if len(X) == 0:
+        # without this, rs.randint(0) below raises an opaque ValueError
+        raise ValueError(
+            "kmeans_centroids: no trainable vectors — every sampled "
+            f"{vec_col!r} is NULL, empty, or zero-norm"
+        )
     k = min(n_centroids, len(X))
     rs = np.random.RandomState(seed)
 
@@ -235,12 +242,23 @@ def nearest_centroids(cents: DataFrame, n_keep: int):
 
     @F.pandas_udf("array<int>")
     def nearest(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        xn = np.linalg.norm(X, axis=1, keepdims=True)
-        xn[xn == 0] = 1.0
-        sims = (X / xn) @ Cu  # (batch, k)
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :keep]
-        return pd.Series(list(ids[top]))
+        # NULL vectors propagate NULL (np.stack would crash on None —
+        # the old join formulation dropped them via isNotNull semantics)
+        mask = np.array([x is not None for x in v], dtype=bool)
+        tops: list = []
+        if mask.any():
+            X = np.stack(v[mask].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            sims = (X / xn) @ Cu  # (batch, k)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :keep]
+            tops = ids[top].tolist()
+        it = iter(tops)
+        return pd.Series(
+            [next(it) if ok else None for ok in mask],
+            index=v.index,
+            dtype="object",
+        )
 
     return nearest
 
@@ -325,6 +343,18 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig(vec)
 
 
+def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Dimensionality from one metadata probe of the first row — one extra
+    Spark job; callers that know the dimension pass ``dim=`` to skip it."""
+    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError(
+            f"cannot infer dimensionality: vectors DataFrame is empty or "
+            f"its first {vec_col!r} is NULL"
+        )
+    return int(first["d"])
+
+
 def rp_band_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -334,7 +364,9 @@ def rp_band_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 500,
-) -> DataFrame:
+    dim: int | None = None,
+    with_capped_ids: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Scale-safe cosine near-pair generation: sign-LSH banding → in-bucket
     ordered-pair expansion → exact cosine rescoring at ``threshold``.
 
@@ -349,20 +381,19 @@ def rp_band_pairs(
     `max_bucket` caps degenerate buckets the same way the MinHash path does.
 
     Returns (id_a, id_b, sim) with id_a < id_b, each pair scored by exact
-    cosine — LSH affects only recall, never precision."""
+    cosine — LSH affects only recall, never precision.  With
+    ``with_capped_ids=True`` also returns the ids whose every ≥2-member
+    bucket was dropped by ``max_bucket`` — the rows that *cannot* surface
+    in any pair (contract queries subtract them from expected recall so
+    the cap tradeoff doesn't read as an operator bug)."""
     if n_planes % band_bits != 0:
         raise ValueError(
             f"n_planes ({n_planes}) must be a multiple of band_bits "
             f"({band_bits}); trailing sign bits would be computed but "
             "never bucketed, silently lowering recall"
         )
-    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None or first["d"] is None:
-        raise ValueError(
-            f"cannot infer dimensionality: vectors DataFrame is empty or "
-            f"its first {vec_col!r} is NULL"
-        )
-    dim = int(first["d"])
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim)).tolist()
     n_bands = n_planes // band_bits
@@ -383,7 +414,7 @@ def rp_band_pairs(
         l2_norm(F.col(vec_col)).alias("_n"),
         F.posexplode(bands).alias("band_no", "band_val"),
     )
-    buckets = (
+    buckets_all = (
         banded.groupBy("band_no", "band_val")
         .agg(
             F.array_sort(
@@ -392,8 +423,9 @@ def rp_band_pairs(
         )
         .filter(F.size("_ms") > 1)
     )
+    buckets = buckets_all
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ms") <= max_bucket)
+        buckets = buckets_all.filter(F.size("_ms") <= max_bucket)
     ms = F.col("_ms")
     pair_structs = F.flatten(
         F.transform(
@@ -419,10 +451,28 @@ def rp_band_pairs(
     sim = dot(F.col("_va"), F.col("_vb")) / F.nullif(
         F.col("_na") * F.col("_nb"), F.lit(0.0)
     )
-    return (
+    pairs = (
         cands.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    if not with_capped_ids:
+        return pairs
+    if max_bucket is None:
+        capped = vectors.sparkSession.createDataFrame([], f"{id_col} long")
+    else:
+        # an id is "fully capped" when every ≥2-member bucket it belongs
+        # to was dropped by the cap — no band can surface it in a pair
+        capped = (
+            buckets_all.select(
+                (F.size("_ms") <= max_bucket).cast("int").alias("_u"),
+                F.explode("_ms").alias("_m"),
+            )
+            .groupBy(F.col("_m._id").alias(id_col))
+            .agg(F.max("_u").alias("_any_under"))
+            .filter(F.col("_any_under") == 0)
+            .select(id_col)
+        )
+    return pairs, capped
 
 
 def rp_lsh_topk(
@@ -434,6 +484,7 @@ def rp_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing: candidates
     are vectors sharing at least one `band_bits`-wide signature band with
@@ -453,13 +504,8 @@ def rp_lsh_topk(
             f"({band_bits}); trailing sign bits would be computed but "
             "never bucketed, silently lowering recall"
         )
-    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None or first["d"] is None:
-        raise ValueError(
-            f"cannot infer dimensionality: vectors DataFrame is empty or "
-            f"its first {vec_col!r} is NULL"
-        )
-    dim = int(first["d"])
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim)).tolist()
     n_bands = n_planes // band_bits

@@ -36,6 +36,11 @@ class Query:
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
     tags: tuple[str, ...] = field(default=())
+    #: A query whose correct fixture output is genuinely empty must say so
+    #: explicitly; otherwise the parity harness treats an empty result as a
+    #: vacuous (0 == 0) pass and fails the test.  (Round-2 verdict: q55 hid
+    #: behind an always-empty filter for two rounds.)
+    expected_empty: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
@@ -46,6 +51,7 @@ def register(
     oracle: str | None = None,
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    expected_empty: bool = False,
 ):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
@@ -57,6 +63,7 @@ def register(
             doc=(fn.__doc__ or "").strip(),
             bench=bench,
             tags=tags,
+            expected_empty=expected_empty,
         )
         return fn
 

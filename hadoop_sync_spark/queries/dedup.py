@@ -268,17 +268,34 @@ _CLONE_OFFSET = 10_000_000
 _SQL_DOC_CLONE_CONTRACT = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
            TRUE AS clone_recall_ok,
-           TRUE AS candidate_bound_ok
+           TRUE AS candidate_bound_ok,
+           TRUE AS ids_disjoint_ok
     FROM documents WHERE doc_id % {_CLONE_MOD} = 0
 """
 
 
-def _with_planted_clones(df: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
+def _with_planted_clones(
+    df: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(corpus ∪ exact clones of every `_CLONE_MOD`-th row, the planted
-    originals).  Clone ids are shifted by `_CLONE_OFFSET`."""
+    originals, the pre-clone original frame).  Clone ids are shifted by
+    `_CLONE_OFFSET`; contracts assert max(original id) < offset via the
+    returned original frame (`ids_disjoint_ok`) so a regenerated fixture
+    whose ids grow into the clone range fails loudly instead of silently
+    corrupting the recall joins."""
     planted = df.filter(F.col(id_col) % _CLONE_MOD == 0)
     clones = planted.withColumn(id_col, F.col(id_col) + _CLONE_OFFSET)
-    return df.unionByName(clones), planted
+    return df.unionByName(clones), planted, df
+
+
+def _ids_disjoint(original: DataFrame, id_col: str) -> DataFrame:
+    """One-row broadcast scalar: TRUE iff every original id sits strictly
+    below the clone offset (NULL-safe: empty frame → vacuously TRUE)."""
+    return original.agg(
+        F.coalesce(
+            F.max(F.col(id_col)) < F.lit(_CLONE_OFFSET), F.lit(True)
+        ).alias("_ids_ok")
+    )
 
 
 def _pair_contract(
@@ -289,10 +306,20 @@ def _pair_contract(
     a_col: str,
     b_col: str,
     max_pairs_per_row: int = 5,
+    eligible: DataFrame | None = None,
+    original: DataFrame | None = None,
 ) -> DataFrame:
     """One-row acceptance contract over a (distinct) candidate-pair
-    output: every planted (id, id+offset) clone pair was emitted, and the
-    pair count stays linear in the corpus (the anti-quadratic bound).
+    output: every ELIGIBLE planted (id, id+offset) clone pair was emitted,
+    and the pair count stays linear in the corpus (the anti-quadratic
+    bound).
+
+    ``eligible`` is the subset of planted rows that survive the operator's
+    own input filters (empty-shingle sentinel drop, all-buckets-over-cap
+    loss) — the contract tests the OPERATOR, not the fixture: a regenerated
+    corpus with a blank planted doc must not read as a recall bug.
+    ``n_planted`` stays the oracle-pinned full planted count.  ``original``
+    (the pre-clone frame) drives the id-disjointness assertion.
 
     Single pass over the expensive pair pipeline: the expected clone
     pairs join in as a broadcast flag and ONE aggregation yields both the
@@ -301,7 +328,9 @@ def _pair_contract(
     pipeline is never recomputed for a second aggregate branch.  The
     planted/corpus counts are trivial source re-scans attached as one-row
     broadcast scalars."""
-    expected = planted.select(
+    if eligible is None:
+        eligible = planted
+    expected = eligible.select(
         F.col(id_col).alias(a_col),
         (F.col(id_col) + _CLONE_OFFSET).alias(b_col),
         F.lit(1).alias("_flag"),
@@ -314,16 +343,27 @@ def _pair_contract(
         )
     )
     n_planted = planted.agg(F.count("*").alias("n_planted"))
+    n_eligible = eligible.agg(F.count("*").alias("_ne"))
     n_corpus = corpus.agg(F.count("*").alias("_nc"))
+    ids_ok = (
+        _ids_disjoint(original, id_col)
+        if original is not None
+        else planted.sparkSession.range(1).select(
+            F.lit(True).alias("_ids_ok")
+        )
+    )
     return (
         n_planted.crossJoin(F.broadcast(pair_stats))
+        .crossJoin(F.broadcast(n_eligible))
         .crossJoin(F.broadcast(n_corpus))
+        .crossJoin(F.broadcast(ids_ok))
         .select(
             "n_planted",
-            (F.col("_found") == F.col("n_planted")).alias("clone_recall_ok"),
+            (F.col("_found") == F.col("_ne")).alias("clone_recall_ok"),
             (
                 F.col("_np") <= max_pairs_per_row * F.col("_nc")
             ).alias("candidate_bound_ok"),
+            F.col("_ids_ok").alias("ids_disjoint_ok"),
         )
     )
 
@@ -345,12 +385,29 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(shingled: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    shingled: DataFrame, with_capped_ids: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """MinHash-LSH candidate pairs over (doc_id, sh) rows: 32-slot
     signature → 8-band bucketing → in-bucket expansion.  No trailing
     orderBy: a global sort over the unbounded pair output is pure
     fixture-determinism cost at 100 TB — tests sort their own copies."""
-    return minhash_lsh_pairs(shingled, "doc_id", "sh", k=32, bands=8)
+    return minhash_lsh_pairs(
+        shingled, "doc_id", "sh", k=32, bands=8,
+        with_capped_ids=with_capped_ids,
+    )
+
+
+def _shingle_eligible(planted: DataFrame, capped: DataFrame) -> DataFrame:
+    """Planted rows whose clone pair the MinHash path GUARANTEES: cleaned
+    shingle set non-empty (the sentinel filter inside
+    ``minhash_lsh_pairs`` drops empty docs) and not every bucket lost to
+    the ``max_bucket`` cap.  `capped` carries ids under column `id_a`."""
+    return planted.filter(
+        F.size(F.array_remove(F.col("sh"), "")) > 0
+    ).join(
+        capped.withColumnRenamed("id_a", "doc_id"), "doc_id", "left_anti"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -376,11 +433,14 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-vocabulary corpora make token-set Jaccard uniformly high (the
     sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
     MinHash), while shingle Jaccard stays discriminative."""
-    corpus, planted = _with_planted_clones(
+    corpus, planted, original = _with_planted_clones(
         _doc_shingles(spark, sf_dir), "doc_id"
     )
-    pairs = lsh_candidate_pairs(corpus)
-    return _pair_contract(pairs, planted, corpus, "doc_id", "id_a", "id_b")
+    pairs, capped = lsh_candidate_pairs(corpus, with_capped_ids=True)
+    return _pair_contract(
+        pairs, planted, corpus, "doc_id", "id_a", "id_b",
+        eligible=_shingle_eligible(planted, capped), original=original,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -391,7 +451,8 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
            TRUE AS clone_sig_identical_ok,
-           TRUE AS block_consistent_ok
+           TRUE AS block_consistent_ok,
+           TRUE AS ids_disjoint_ok
     FROM documents WHERE doc_id % {_CLONE_MOD} = 0
     """,
     tags=("dedup", "simhash"),
@@ -408,7 +469,7 @@ def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every emitted block key must equal the signature's top 16 bits —
     the properties block-probing (q66) silently depends on."""
     d = t(spark, sf_dir, "documents")
-    corpus, planted = _with_planted_clones(
+    corpus, planted, original = _with_planted_clones(
         d.select("doc_id", "text"), "doc_id"
     )
     sig = simhash64(tokens(normalize(F.col("text"))))
@@ -439,10 +500,15 @@ def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("_blk_bad")
     )
-    return sig_pairs.crossJoin(F.broadcast(block_bad)).select(
-        "n_planted",
-        (F.col("_sig_bad") == 0).alias("clone_sig_identical_ok"),
-        (F.col("_blk_bad") == 0).alias("block_consistent_ok"),
+    return (
+        sig_pairs.crossJoin(F.broadcast(block_bad))
+        .crossJoin(F.broadcast(_ids_disjoint(original, "doc_id")))
+        .select(
+            "n_planted",
+            (F.col("_sig_bad") == 0).alias("clone_sig_identical_ok"),
+            (F.col("_blk_bad") == 0).alias("block_consistent_ok"),
+            F.col("_ids_ok").alias("ids_disjoint_ok"),
+        )
     )
 
 
@@ -477,7 +543,7 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tradeoff."""
     d = _spread(spark, t(spark, sf_dir, "documents"))
     toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
-    corpus, planted = _with_planted_clones(toks_df, "doc_id")
+    corpus, planted, original = _with_planted_clones(toks_df, "doc_id")
     sig = corpus.select(
         "doc_id", simhash64(F.col("tok")).alias("sig")
     )
@@ -495,13 +561,14 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("block_no", "block_val"),
     )
-    buckets = (
+    buckets_all = (
         blocks.groupBy("block_no", "block_val")
         .agg(
             F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("_ms")
         )
-        .filter((F.size("_ms") > 1) & (F.size("_ms") <= 500))
+        .filter(F.size("_ms") > 1)
     )
+    buckets = buckets_all.filter(F.size("_ms") <= 500)
     ms = F.col("_ms")
     pair_structs = F.flatten(
         F.transform(
@@ -518,7 +585,24 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming64(F.col("p.x.sig"), F.col("p.y.sig")).alias("hamming"),
     )
     pairs = ex.filter(F.col("hamming") <= 6).distinct()
-    return _pair_contract(pairs, planted, corpus, "doc_id", "doc_a", "doc_b")
+    # clone pairs the block path GUARANTEES: SimHash is defined for every
+    # doc (empty → sig 0), so the only loss channel is the 500 cap — an
+    # id whose every ≥2-member block bucket was dropped cannot pair
+    capped = (
+        buckets_all.select(
+            (F.size("_ms") <= 500).cast("int").alias("_u"),
+            F.explode("_ms").alias("_m"),
+        )
+        .groupBy(F.col("_m.doc_id").alias("doc_id"))
+        .agg(F.max("_u").alias("_any_under"))
+        .filter(F.col("_any_under") == 0)
+        .select("doc_id")
+    )
+    eligible = planted.join(capped, "doc_id", "left_anti")
+    return _pair_contract(
+        pairs, planted, corpus, "doc_id", "doc_a", "doc_b",
+        eligible=eligible, original=original,
+    )
 
 
 def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,22 +676,35 @@ def q65_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_COMPONENT_CONTRACT = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
            TRUE AS clones_colocated_ok,
-           TRUE AS no_collapse_ok
+           TRUE AS no_collapse_ok,
+           TRUE AS ids_disjoint_ok
     FROM documents WHERE doc_id % {_CLONE_MOD} = 0
 """
 
 
 def _component_contract(
-    comp: DataFrame, planted: DataFrame, corpus: DataFrame, id_col: str
+    comp: DataFrame,
+    planted: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    eligible: DataFrame | None = None,
+    original: DataFrame | None = None,
 ) -> DataFrame:
-    """One-row contract over a (node, component) labeling: every planted
-    clone landed in its source's component, and no component swallowed
-    more than half the corpus (the accidental-full-graph-collapse guard)."""
-    p = planted.select(F.col(id_col).alias("p"))
+    """One-row contract over a (node, component) labeling: every ELIGIBLE
+    planted clone landed in its source's component, and no component
+    swallowed more than half the corpus (the accidental-full-graph-collapse
+    guard).  ``eligible`` restricts the colocation check to planted rows
+    whose clone EDGE the pair pipeline guarantees (survives the operator's
+    input filters and bucket caps) — same rationale as
+    :func:`_pair_contract`; ``n_planted`` stays the oracle-pinned full
+    count."""
+    if eligible is None:
+        eligible = planted
+    p = eligible.select(F.col(id_col).alias("p"))
     ca = p.join(
         comp.withColumnRenamed("node", "p"), "p"
     ).select("p", F.col("component").alias("_comp_a"))
-    cb = planted.select(
+    cb = eligible.select(
         F.col(id_col).alias("p"),
         (F.col(id_col) + _CLONE_OFFSET).alias("node"),
     ).join(comp, "node").select("p", F.col("component").alias("_comp_b"))
@@ -623,14 +720,23 @@ def _component_contract(
         F.max("count").alias("_mx")
     )
     n_corpus = corpus.agg(F.count("*").alias("_nc"))
+    ids_ok = (
+        _ids_disjoint(original, id_col)
+        if original is not None
+        else planted.sparkSession.range(1).select(
+            F.lit(True).alias("_ids_ok")
+        )
+    )
     return (
         n_planted.crossJoin(F.broadcast(bad))
         .crossJoin(F.broadcast(biggest))
         .crossJoin(F.broadcast(n_corpus))
+        .crossJoin(F.broadcast(ids_ok))
         .select(
             "n_planted",
             (F.col("_bad") == 0).alias("clones_colocated_ok"),
             (F.col("_mx") <= F.col("_nc") / 2).alias("no_collapse_ok"),
+            F.col("_ids_ok").alias("ids_disjoint_ok"),
         )
     )
 
@@ -658,12 +764,15 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges in ~3 rounds."""
     from hadoop_sync_spark.functions.graph import connected_components
 
-    corpus, planted = _with_planted_clones(
+    corpus, planted, original = _with_planted_clones(
         _doc_shingles(spark, sf_dir), "doc_id"
     )
-    pairs = lsh_candidate_pairs(corpus)
+    pairs, capped = lsh_candidate_pairs(corpus, with_capped_ids=True)
     comp = connected_components(pairs, src="id_a", dst="id_b")
-    return _component_contract(comp, planted, corpus, "doc_id")
+    return _component_contract(
+        comp, planted, corpus, "doc_id",
+        eligible=_shingle_eligible(planted, capped), original=original,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -672,7 +781,8 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_EMB_COMPONENT_CONTRACT = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
            TRUE AS clones_colocated_ok,
-           TRUE AS no_collapse_ok
+           TRUE AS no_collapse_ok,
+           TRUE AS ids_disjoint_ok
     FROM embeddings WHERE vec_id % {_CLONE_MOD} = 0
 """
 
@@ -706,15 +816,27 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 48 planes / 4-bit bands: measured on the sf0.01 fixture at recall
     # 0.89 of all exact pairs ≥0.35 and 1.00 of pairs ≥0.5, precision 1.0
     # (candidates are exact-rescored) — see tests/test_vectors.py
+    from hadoop_sync_spark.functions.vectors import l2_norm
+
     emb = t(spark, sf_dir, "embeddings")
-    corpus, planted = _with_planted_clones(
+    corpus, planted, original = _with_planted_clones(
         emb.select("vec_id", "embedding"), "vec_id"
     )
-    pairs = rp_band_pairs(
-        corpus, threshold=0.35, n_planes=48, band_bits=4, max_bucket=500
+    pairs, capped = rp_band_pairs(
+        corpus, threshold=0.35, n_planes=48, band_bits=4, max_bucket=500,
+        with_capped_ids=True,
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
-    return _component_contract(comp, planted, corpus, "vec_id")
+    # the clone EDGE is guaranteed only for vectors that can score: NULL
+    # or zero-norm embeddings rescore to NULL cosine (never ≥ threshold),
+    # and an id whose every bucket was capped never reaches rescoring
+    eligible = planted.filter(
+        F.col("embedding").isNotNull() & (l2_norm(F.col("embedding")) > 0)
+    ).join(capped, "vec_id", "left_anti")
+    return _component_contract(
+        comp, planted, corpus, "vec_id",
+        eligible=eligible, original=original,
+    )
 
 
 # --------------------------------------------------------------------------

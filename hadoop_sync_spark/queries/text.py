@@ -367,10 +367,13 @@ def q58_rolling_hash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT tf.doc_id, tf.term, tf.tf,
            df.df,
-           CAST(tf.tf AS DOUBLE) * ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
-                                       / CAST(df.df AS DOUBLE)) AS tf_idf
+           CAST(ROUND(CAST(tf.tf AS DOUBLE)
+                      * ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                           / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT)
+             AS tf_idf_q6
     FROM tf JOIN df USING (term)
-    WHERE length(tf.term) >= 9
+    ORDER BY tf_idf_q6 DESC, tf.doc_id, tf.term
+    LIMIT 100
     """,
     tags=("text", "tfidf"),
 )
@@ -378,12 +381,20 @@ def q55_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (document, term): explode tokens once, aggregate term
     frequency per doc and document frequency per term, broadcast-join the
     (small) per-term DF back onto the per-doc TF.  All arithmetic is
-    integer counts until the final ln/multiply — identical IEEE on both
-    engines.
+    integer counts until the final ln/multiply; the exposed score is the
+    micro-quantized ``tf_idf_q6 = round(tf·ln(n/df)·1e6)`` BIGINT because
+    Java's ``Math.log`` and DuckDB's libm ``ln`` differ in the last ulp
+    (measured on this very fixture: ...355 vs ...357) — the scaled-BIGINT
+    idiom makes the compared value and the top-k order engine-identical
+    while still checking the arithmetic to 1e-6.
 
     Scale: the explode is the big intermediate (corpus token count); both
     aggregations are single-shuffle with map-side combine, and the DF table
-    (|vocabulary| rows) broadcasts.  Long-term filter bounds output."""
+    (|vocabulary| rows) broadcasts.  Output is the global top-100 under a
+    total order (tf_idf_q6 DESC, doc_id, term) — TakeOrdered, no global
+    sort.  (Round-2 verdict: the old ``length >= 9`` filter was vacuously
+    empty on the fixture corpus, whose max token length is 8; top-k makes
+    the driver row exercise the actual arithmetic.)"""
     d = t(spark, sf_dir, "documents")
     n_docs = d.count()
     tok = d.select(
@@ -393,17 +404,19 @@ def q55_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (
         tf.join(F.broadcast(df_), "term")
-        .filter(F.length("term") >= 9)
         .select(
             "doc_id",
             "term",
             "tf",
             "df",
-            (
+            F.round(
                 F.col("tf").cast("double")
                 * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
-            ).alias("tf_idf"),
+                * F.lit(1_000_000.0)
+            ).cast("bigint").alias("tf_idf_q6"),
         )
+        .orderBy(F.col("tf_idf_q6").desc(), "doc_id", "term")
+        .limit(100)
     )
 
 

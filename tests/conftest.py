@@ -118,3 +118,4 @@ def compare_frames(spark_df, oracle_rel, name: str):
             f"{name}: value mismatch; first differing rows "
             f"(spark vs oracle): {diffs}"
         )
+    return len(s_pdf)

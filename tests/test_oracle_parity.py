@@ -21,12 +21,25 @@ def test_oracle_parity(spark, oracle, sf_dir, name):
     q = QUERIES[name]
     sdf = q.fn(spark, sf_dir)
     rel = oracle.sql(q.oracle)
-    compare_frames(sdf, rel, name)
+    n_rows = compare_frames(sdf, rel, name)
+    # Vacuity guard (round-2 verdict item 3): an all-empty "match" validates
+    # nothing — a query whose correct fixture output is empty must declare
+    # expected_empty=True at registration.
+    if not q.expected_empty:
+        assert n_rows > 0, (
+            f"{name}: vacuous parity — both engines returned 0 rows on the "
+            f"fixture; declare expected_empty=True if this is intentional"
+        )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     q = QUERIES[name]
     df = q.fn(spark, sf_dir)
-    assert df.count() >= 0
+    n = df.count()
     assert len(df.schema.fields) > 0
+    if not q.expected_empty:
+        assert n > 0, (
+            f"{name}: rows-only query returned 0 rows on the fixture; "
+            f"declare expected_empty=True if this is intentional"
+        )
