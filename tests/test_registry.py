@@ -429,6 +429,44 @@ def test_replica_move_is_pure_placement_diff(spark, scratch):
     assert reg.sync("li").noop
 
 
+def test_replica_add_and_remove_are_placement_only(spark, scratch):
+    """Re-replication (2→3 replicas) and decommission (3→1) are pure
+    placement changes: shard rows and table version content stay
+    untouched apart from the placement set — the reference's
+    insert/deleteShardPlacementRow paths (`HdfsSynchronizer.java:209-239`)
+    never touch shard rows for a placement-only delta."""
+    hosts = {"current": ["host1", "host2"]}
+    reg = Registry(
+        spark, scratch["meta"], placement_hosts=lambda f: hosts["current"]
+    )
+    reg.register("li", scratch["data"])
+    v1 = reg.sync("li").version
+    shards_v1 = reg.shards("li")
+
+    hosts["current"] = ["host1", "host2", "host3"]  # re-replicated
+    d = reg.diff("li")
+    assert d.new_files == [] and d.old_files == []
+    assert [p["hostname"] for p in d.new_placements] == ["host3"]
+    assert d.old_placements == []
+    assert not reg.sync("li").noop
+    assert sorted(p["hostname"] for p in reg.placements("li")) == [
+        "host1", "host2", "host3",
+    ]
+
+    hosts["current"] = ["host2"]  # two replicas decommissioned
+    d = reg.diff("li")
+    assert d.new_files == [] and d.old_files == []
+    assert sorted(p["hostname"] for p in d.old_placements) == [
+        "host1", "host3",
+    ]
+    assert d.new_placements == []
+    assert not reg.sync("li").noop
+    assert [p["hostname"] for p in reg.placements("li")] == ["host2"]
+    # shard identity never changed across any of the placement deltas
+    assert reg.shards("li") == shards_v1
+    assert reg.shards("li", version=v1) == shards_v1
+
+
 # ----------------------------------------------------------- compaction
 @pytest.fixture()
 def shredded(spark, tmp_path):

@@ -125,14 +125,18 @@ def _mutate_tokens(texts: pd.Series, replica: int) -> pd.Series:
     return texts.map(lambda s: " ".join(tok(t) for t in s.split(" ")))
 
 
-def build(k: int) -> None:
+def build(k: int, tables: tuple[str, ...] | None = None) -> None:
+    """Build the k× replica dir; `tables` restricts which fact tables are
+    replicated (for targeted high-k studies where a full build would be
+    pointless I/O — e.g. 100× needs only documents+lineitem for the
+    q68/q97/q98 curves)."""
     out = scaled_dir(k)
     os.makedirs(out, exist_ok=True)
     for name in DIMS:
         src = os.path.join(BASE, f"{name}.parquet")
         pq.write_table(pq.read_table(src), os.path.join(out, f"{name}.parquet"))
         print(f"{name}: copied (dimension, not replicated)")
-    for name in REPLICATED:
+    for name in tables or REPLICATED:
         t0 = time.time()
         base = pq.read_table(os.path.join(BASE, f"{name}.parquet"))
         pdf = base.to_pandas()
@@ -191,7 +195,9 @@ def run(k: int) -> None:
         return statistics.median(times)
 
     rows = []
-    for name in STUDY_QUERIES:
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    queries = only.split(",") if only else STUDY_QUERIES
+    for name in queries:
         q = registry[name]
         t_small = median_time(q.fn, BASE)
         t_big = median_time(q.fn, big)
@@ -216,7 +222,7 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     kk = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     if cmd == "build":
-        build(kk)
+        build(kk, tuple(sys.argv[3:]) or None)
     elif cmd == "run":
         run(kk)
     else:
