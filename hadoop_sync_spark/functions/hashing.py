@@ -325,6 +325,22 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_ms"))
         .filter(F.size("_ms") > 1)
     )
+    if with_capped_ids and max_bucket is not None:
+        # Both the pair branch and the capped-id branch hang off this
+        # frame, and the Arrow signature stage is nondeterministic (its
+        # pushdown barrier), which defeats ReuseExchange — without a
+        # persist Spark recomputes the whole signature pass + bucket
+        # shuffle per branch (measured 2.1x on the q63 contract).
+        # MEMORY_AND_DISK: at 100 TB the bucketed frame (only >=2-member
+        # buckets) is the standard materialization point of a production
+        # LSH pipeline; evicted LRU, never required for correctness.
+        from pyspark import StorageLevel
+
+        buckets_all = buckets_all.persist(StorageLevel.MEMORY_AND_DISK)
+        # eager: the two branches surface as concurrent broadcast jobs,
+        # which would otherwise race past the lazy persist and both
+        # compute; one count() materializes the cache deterministically
+        buckets_all.count()
     buckets = buckets_all
     if max_bucket is not None:
         buckets = buckets_all.filter(F.size("_ms") <= max_bucket)

@@ -423,6 +423,16 @@ def rp_band_pairs(
         )
         .filter(F.size("_ms") > 1)
     )
+    if with_capped_ids and max_bucket is not None:
+        # same persist rationale as minhash_lsh_pairs: the pair and
+        # capped-id branches otherwise each recompute the signature pass
+        # and bucket shuffle (the pandas-UDF stage defeats ReuseExchange)
+        from pyspark import StorageLevel
+
+        buckets_all = buckets_all.persist(StorageLevel.MEMORY_AND_DISK)
+        # eager for the same reason as minhash_lsh_pairs: concurrent
+        # broadcast jobs race past a lazy persist
+        buckets_all.count()
     buckets = buckets_all
     if max_bucket is not None:
         buckets = buckets_all.filter(F.size("_ms") <= max_bucket)

@@ -816,9 +816,18 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_sync_spark.functions.graph import connected_components
     from hadoop_sync_spark.functions.vectors import rp_band_pairs
 
-    # 48 planes / 4-bit bands: measured on the sf0.01 fixture at recall
-    # 0.89 of all exact pairs ≥0.35 and 1.00 of pairs ≥0.5, precision 1.0
-    # (candidates are exact-rescored) — see tests/test_vectors.py
+    # Operating point: θ=0.9, 60 planes / 12-bit bands (5 bands).  True
+    # duplicate embeddings are near-parallel (SemDeDup dedups at cosine
+    # ≥~0.9), and sign-LSH is only sub-quadratic when the threshold is
+    # high: a random pair collides in a 12-bit band w.p. 2^-12, so
+    # background candidates are ~5·2^-12 ≈ 0.1% of all pairs, while a
+    # clone pair (agreement 1.0) collides in EVERY band — recall 1.0 for
+    # exact dups, ≈0.8 at cosine 0.95, ≈0.57 at the 0.9 boundary
+    # ((1-θ/π)^12 per band; Charikar '02).  The earlier 0.35/4-bit point
+    # recalled fixture-cloud pairs well but collided ~75% of ALL pairs —
+    # near-quadratic candidate generation dressed as LSH (measured: ~12 s
+    # for 2 000 vectors at sf0.1).  Coarse operating points remain
+    # caller-choosable on the generic operator; tests pin both.
     from hadoop_sync_spark.functions.vectors import l2_norm
 
     emb = t(spark, sf_dir, "embeddings")
@@ -826,7 +835,7 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding"), "vec_id"
     )
     pairs, capped = rp_band_pairs(
-        corpus, threshold=0.35, n_planes=48, band_bits=4, max_bucket=500,
+        corpus, threshold=0.9, n_planes=60, band_bits=12, max_bucket=500,
         with_capped_ids=True,
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")

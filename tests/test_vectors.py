@@ -109,11 +109,12 @@ def test_brute_force_topk_is_exact(spark, emb):
 
 
 def test_rp_band_pairs_recall_precision_and_plan(spark, emb):
-    """The scale-safe semantic-dedup candidate path (q69): sign-LSH banded
-    pairs must recover nearly all exact cosine pairs at the q69 operating
-    point, with perfect precision (candidates are exact-rescored), and the
-    plan must contain no nested-loop/cartesian join — the whole point of
-    replacing the bounded O(n²) self-join."""
+    """Coarse operating point (low threshold, 4-bit bands — the
+    interactive/small-corpus config): sign-LSH banded pairs must recover
+    nearly all exact cosine pairs, with perfect precision (candidates are
+    exact-rescored), and the plan must contain no nested-loop/cartesian
+    join.  The registered q69 runs the HIGH-threshold config — see
+    test_rp_band_pairs_semantic_dedup_operating_point."""
     import itertools
 
     from hadoop_sync_spark.functions.vectors import rp_band_pairs
@@ -145,6 +146,37 @@ def test_rp_band_pairs_recall_precision_and_plan(spark, emb):
     assert recall >= 0.75, f"recall@0.35 = {recall:.2f}"
     hi = {p for p, s in exact.items() if s >= 0.5}
     assert hi <= set(got), f"missing high-sim pairs: {hi - set(got)}"
+
+
+def test_rp_band_pairs_semantic_dedup_operating_point(spark, emb):
+    """The registered q69 config (θ=0.9, 60 planes / 12-bit bands) must be
+    BOTH complete on true duplicates and selective: every planted exact
+    clone pair surfaces (identical sign bits → collides in every band),
+    and nothing else does — the fixture cloud's max off-diagonal cosine is
+    ~0.5, so any extra emitted pair means the rescore threshold leaked.
+    Selectivity is the scale property: at 2^-12 per-band background
+    collision, candidates stay ~0.1% of n² instead of the coarse config's
+    ~75%."""
+    from hadoop_sync_spark.functions.vectors import rp_band_pairs
+
+    offset = 1_000_000
+    clones = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .withColumn("vec_id", F.col("vec_id") + offset)
+    )
+    corpus = emb.unionByName(clones)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in rp_band_pairs(
+            corpus, 0.9, n_planes=60, band_bits=12
+        ).collect()
+    }
+    expected = {
+        (r["vec_id"], r["vec_id"] + offset)
+        for r in emb.filter(F.col("vec_id") % 25 == 0).collect()
+    }
+    assert expected <= pairs, f"missing clone pairs: {expected - pairs}"
+    assert pairs == expected, f"unexpected non-clone pairs: {pairs - expected}"
 
 
 def test_rp_lsh_recall_and_determinism(spark, emb):
