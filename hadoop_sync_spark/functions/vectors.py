@@ -343,16 +343,34 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig(vec)
 
 
-def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
-    """Dimensionality from one metadata probe of the first row — one extra
-    Spark job; callers that know the dimension pass ``dim=`` to skip it."""
-    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None or first["d"] is None:
-        raise ValueError(
-            f"cannot infer dimensionality: vectors DataFrame is empty or "
-            f"its first {vec_col!r} is NULL"
-        )
-    return int(first["d"])
+def rp_signature_lazy(vec: Column, n_planes: int, seed: int = 42) -> Column:
+    """:func:`rp_signature` without the driver-side dimensionality probe:
+    the plane matrix is generated INSIDE the Arrow UDF from the first
+    batch's vector length.  ``RandomState(seed).normal(size=(n_planes,
+    dim))`` is a pure function of (seed, n_planes, dim), so every executor
+    materializes the bit-identical matrix the eager path would have — same
+    signatures, one Spark job fewer (the ``first()`` probe).  At 100 TB an
+    extra job is noise; at interactive scale it is the difference between
+    one job and three per ANN call."""
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+    state: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf("bigint")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        dense = np.stack(v.to_numpy())  # (batch, dim)
+        mat = state.get(dense.shape[1])
+        if mat is None:
+            mat = np.random.RandomState(seed).normal(
+                size=(n_planes, dense.shape[1])
+            )
+            state[dense.shape[1]] = mat
+        bits = dense.astype(np.float64) @ mat.T > 0
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
+
+    return sig(vec)
 
 
 def rp_band_pairs(
@@ -392,14 +410,15 @@ def rp_band_pairs(
             f"({band_bits}); trailing sign bits would be computed but "
             "never bucketed, silently lowering recall"
         )
-    if dim is None:
-        dim = _infer_dim(vectors, vec_col)
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim)).tolist()
+    if dim is not None:
+        rng = np.random.RandomState(seed)
+        sig = rp_signature(
+            F.col(vec_col), rng.normal(size=(n_planes, dim)).tolist()
+        )
+    else:
+        sig = rp_signature_lazy(F.col(vec_col), n_planes, seed)
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
-
-    sig = rp_signature(F.col(vec_col), planes)
     bands = F.array(
         *[
             F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(
@@ -500,9 +519,10 @@ def rp_lsh_topk(
     are vectors sharing at least one `band_bits`-wide signature band with
     the query; exact cosine rescoring + per-query window top-k.
 
-    The hyperplane family is driver-generated (numpy, fixed seed) and
-    enters the plan as literals — deterministic across runs and executors.
-    Dimensionality comes from one metadata probe of the first row.
+    The hyperplane family is a pure function of (seed, n_planes, dim) —
+    deterministic across runs and executors.  With ``dim=`` it is
+    driver-generated and enters the plan as literals; without, each
+    executor derives it from its first Arrow batch (no probe job).
 
     Scale: one shuffle on (band_no, band_val); per-bucket fan-in is
     n/2^band_bits in expectation (uniform directions), so band_bits tunes
@@ -514,15 +534,21 @@ def rp_lsh_topk(
             f"({band_bits}); trailing sign bits would be computed but "
             "never bucketed, silently lowering recall"
         )
-    if dim is None:
-        dim = _infer_dim(vectors, vec_col)
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim)).tolist()
+    if dim is not None:
+        planes = (
+            np.random.RandomState(seed).normal(size=(n_planes, dim)).tolist()
+        )
+    else:
+        planes = None
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
 
     def with_bands(df: DataFrame, idname: str) -> DataFrame:
-        sig = rp_signature(F.col(vec_col), planes)
+        sig = (
+            rp_signature(F.col(vec_col), planes)
+            if planes is not None
+            else rp_signature_lazy(F.col(vec_col), n_planes, seed)
+        )
         bands = F.array(
             *[
                 F.shiftrightunsigned(sig, b * band_bits)

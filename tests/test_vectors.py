@@ -179,6 +179,35 @@ def test_rp_band_pairs_semantic_dedup_operating_point(spark, emb):
     assert pairs == expected, f"unexpected non-clone pairs: {pairs - expected}"
 
 
+def test_rp_signature_lazy_matches_eager(spark, emb):
+    """The probe-free signature path (plane matrix generated inside the
+    UDF from the first batch's dim) must be bit-identical to the
+    driver-generated eager path — both are RandomState(seed).normal of the
+    same shape, so any drift means the lazy path broke determinism."""
+    import numpy as np
+
+    from hadoop_sync_spark.functions.vectors import (
+        rp_signature,
+        rp_signature_lazy,
+    )
+
+    planes = np.random.RandomState(7).normal(size=(24, 64)).tolist()
+    eager = {
+        r["vec_id"]: r["s"]
+        for r in emb.select(
+            "vec_id", rp_signature(F.col("embedding"), planes).alias("s")
+        ).collect()
+    }
+    lazy = {
+        r["vec_id"]: r["s"]
+        for r in emb.select(
+            "vec_id",
+            rp_signature_lazy(F.col("embedding"), 24, seed=7).alias("s"),
+        ).collect()
+    }
+    assert eager == lazy
+
+
 def test_rp_lsh_recall_and_determinism(spark, emb):
     """Sign-LSH bucketing must recover most true neighbors in the
     fixture's near-uniform regime (48 planes × 4-bit bands) and be
