@@ -107,6 +107,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q66_simhash_pairs",
     "q68_dup_components",
     "q69_semantic_dedup",
+    "q72_rp_lsh_topk",  # r3: probe-free lazy signature path
     "q106_chain_components",
     # (3) oldest green rows first: green in r1, unchecked in r2 — the 30
     # that fit; q34-q45 (minus q38) /q83-q85 (also r1-green, unchanged)
@@ -140,7 +141,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q29_outer_joins",
     "q30_event_range_join",
     "q31_asof_join",
-    "q33_pivot_returnflag",
 )
 
 
