@@ -571,6 +571,14 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("_ms") > 1)
     )
+    # the pair branch and the capped-id branch below both hang off this
+    # frame; the nondeterministic SimHash Arrow stage defeats
+    # ReuseExchange, so without an eager persist each branch recomputes
+    # the signature pass + block shuffle (same fix as minhash_lsh_pairs)
+    from pyspark import StorageLevel
+
+    buckets_all = buckets_all.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets_all.count()
     buckets = buckets_all.filter(F.size("_ms") <= 500)
     ms = F.col("_ms")
     pair_structs = F.flatten(
