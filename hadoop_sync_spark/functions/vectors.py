@@ -272,12 +272,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "kmeans",
+    with_candidates: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe the `n_probe` nearest IVF buckets only.
 
     Scale path for SURVEY §2C similarity search: search cost drops by
     ~n_probe/n_centroids vs brute force; recall is tunable via n_probe and
-    validated against :func:`brute_force_topk` in the test suite."""
+    validated against :func:`brute_force_topk` in the test suite.
+
+    ``with_candidates=True`` additionally returns the pre-top-k candidate
+    set ``(query_id, neighbor_id)`` — the exact scan mass the probe
+    touched, which the acceptance contracts use to derive a random-scan
+    recall baseline from the data instead of a fixture-tuned constant."""
     cents, assign = ivf_assign(vectors, n_centroids, id_col, vec_col, centroids)
     # which buckets does each query probe? same narrow Arrow pass as
     # assignment — no crossJoin row expansion, no window shuffle
@@ -312,10 +318,13 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+    if with_candidates:
+        return topk, scored.select("query_id", "neighbor_id")
+    return topk
 
 
 def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -404,6 +413,12 @@ def rp_band_pairs(
     bucket was dropped by ``max_bucket`` — the rows that *cannot* surface
     in any pair (contract queries subtract them from expected recall so
     the cap tradeoff doesn't read as an operator bug)."""
+    if n_planes > 64:
+        raise ValueError(
+            f"n_planes ({n_planes}) > 64: signatures pack into one BIGINT "
+            "and JVM shifts are mod 64, so bands past bit 63 would silently "
+            "alias low bits (matching wrong buckets) instead of failing"
+        )
     if n_planes % band_bits != 0:
         raise ValueError(
             f"n_planes ({n_planes}) must be a multiple of band_bits "
@@ -514,10 +529,16 @@ def rp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    with_candidates: bool = False,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing: candidates
     are vectors sharing at least one `band_bits`-wide signature band with
     the query; exact cosine rescoring + per-query window top-k.
+
+    ``with_candidates=True`` additionally returns the deduplicated
+    candidate set ``(query_id, neighbor_id)`` — the scan mass the band
+    join produced, used by the acceptance contracts to derive a
+    random-scan recall baseline from the data.
 
     The hyperplane family is a pure function of (seed, n_planes, dim) —
     deterministic across runs and executors.  With ``dim=`` it is
@@ -528,6 +549,12 @@ def rp_lsh_topk(
     n/2^band_bits in expectation (uniform directions), so band_bits tunes
     the recall/cost point the way n_probe does for IVF — and the candidate
     join never touches vectors outside shared buckets."""
+    if n_planes > 64:
+        raise ValueError(
+            f"n_planes ({n_planes}) > 64: signatures pack into one BIGINT "
+            "and JVM shifts are mod 64, so bands past bit 63 would silently "
+            "alias low bits (matching wrong buckets) instead of failing"
+        )
     if n_planes % band_bits != 0:
         raise ValueError(
             f"n_planes ({n_planes}) must be a multiple of band_bits "
@@ -581,7 +608,7 @@ def rp_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
-    return (
+    topk = (
         scored.select(
             "query_id",
             "neighbor_id",
@@ -590,3 +617,6 @@ def rp_lsh_topk(
         )
         .filter(F.col("rank") <= k)
     )
+    if with_candidates:
+        return topk, cands.select("query_id", "neighbor_id")
+    return topk

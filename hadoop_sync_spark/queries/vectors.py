@@ -73,11 +73,27 @@ _SQL_ANN_CONTRACT = """
 
 
 def _ann_contract(
-    ann: DataFrame, exact: DataFrame, k: int, min_recall: float
+    ann: DataFrame,
+    exact: DataFrame,
+    k: int,
+    candidates: DataFrame,
+    corpus: DataFrame,
+    margin: float,
 ) -> DataFrame:
     """One-row ANN acceptance contract: every query returned exactly k
-    neighbors, and pooled recall against the exact top-k meets the floor.
-    All attaches are one-row broadcast scalars — no data×data join."""
+    neighbors, and pooled recall against the exact top-k beats the
+    random-scan baseline by `margin`.
+
+    The baseline is *data-derived* (round-2 advisor item): scanning the
+    same number of candidates uniformly at random would recall
+    ``frac = |candidates| / (n_queries · (N − 1))`` of the exact top-k in
+    expectation, so the contract asserts
+    ``hits ≥ margin · frac · n_exact`` — i.e. the index genuinely
+    concentrates neighbors, at whatever operating point the current
+    fixture puts it.  A fixture regeneration moves the baseline with the
+    data instead of stranding a tuned constant (recall floors 0.35/0.55
+    were measured on round-2 fixtures; this replaces them).  All attaches
+    are one-row broadcast scalars — no data×data join."""
     per_q = ann.groupBy("query_id").agg(F.count("*").alias("n"))
     shape = per_q.agg(
         F.count("*").alias("n_queries"),
@@ -89,14 +105,24 @@ def _ann_contract(
         ["query_id", "neighbor_id"],
     ).agg(F.count("*").alias("_hits"))
     n_exact = exact.agg(F.count("*").alias("_n_exact"))
+    n_cand = candidates.agg(F.count("*").alias("_n_cand"))
+    n_corpus = corpus.agg(F.count("*").alias("_n_corpus"))
     return (
         shape.crossJoin(F.broadcast(hits))
         .crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_corpus))
         .select(
             "n_queries",
             ((F.col("_mn") == k) & (F.col("_mx") == k)).alias("complete_ok"),
             (
-                F.col("_hits") >= F.lit(min_recall) * F.col("_n_exact")
+                F.col("_hits")
+                >= F.lit(margin)
+                * F.col("_n_cand")
+                / F.greatest(
+                    F.col("n_queries") * (F.col("_n_corpus") - 1), F.lit(1)
+                )
+                * F.col("_n_exact")
             ).alias("recall_ok"),
         )
     )
@@ -116,18 +142,23 @@ def q71_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic given the fixed k-means seed.
 
     Driver-checked through the one-row acceptance contract: completeness
-    (10 neighbors per query) and pooled recall ≥ 0.35 vs the exact top-10
-    — measured ~0.5 at sf0.001-0.01 probing a quarter of the buckets,
-    against a 0.25 random-scan baseline; the sharper ≥0.6 recall bound at
-    n_probe=8 and the k-means-beats-lowest-id margin stay asserted in
+    (10 neighbors per query) and pooled recall ≥ 1.4× the data-derived
+    random-scan baseline (scanned fraction ≈ n_probe/n_centroids = 0.25;
+    recall measured ~0.5 at sf0.001-0.01, so the contract holds with ~40%
+    headroom on both sides and tracks any fixture regeneration); the
+    sharper ≥0.6 recall bound at n_probe=8 and the
+    k-means-beats-lowest-id margin stay asserted in
     tests/test_vectors.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    ann = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
-        "query_id", "neighbor_id", "cosine_sim", "rank"
+    ann, cands = ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, with_candidates=True
     )
+    ann = ann.select("query_id", "neighbor_id", "cosine_sim", "rank")
     exact = brute_force_topk(emb, queries, k=10)
-    return _ann_contract(ann, exact, k=10, min_recall=0.35)
+    return _ann_contract(
+        ann, exact, k=10, candidates=cands, corpus=emb, margin=1.4
+    )
 
 
 # --------------------------------------------------------------------------
@@ -140,24 +171,34 @@ def q71_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q72_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane (sign) LSH: 48 sign bits →
-    twelve 4-bit bands → bucket join → exact cosine rescoring (Charikar
+    eight 6-bit bands → bucket join → exact cosine rescoring (Charikar
     STOC'02).  The bucketed alternative to IVF (q71): no centroid pass, so
     it suits append-heavy corpora where re-clustering is unaffordable.
 
     Driver-checked through the one-row acceptance contract: completeness
-    (10 neighbors per query) and pooled recall ≥ 0.55 vs the exact top-10
-    (measured 0.74-0.84 at sf0.001-0.01); per-pair recall/precision and
-    the hash-join plan shape stay asserted in tests/test_vectors.py.
+    (10 neighbors per query) and pooled recall ≥ 1.4× the data-derived
+    random-scan baseline (the band join's actual candidate fraction —
+    measured ~0.13 of the corpus at this operating point, with recall
+    ~0.3-0.4 → concentration ~2.5×, headroom ~1.8× over the floor on
+    round-3 fixtures); per-pair recall/precision and the hash-join plan
+    shape stay asserted in tests/test_vectors.py.
 
     Band shape is regime-dependent: the fixture cloud is near-uniform
-    (top-10 cosine ≈ 0.3 → per-bit agreement ≈ 0.6), so recall needs many
-    narrow bands; a true near-dup corpus (cosine ≥ 0.9, agreement ≈ 0.9)
-    gets the same recall from a few 8-bit bands at far lower fan-in —
-    band_bits is the knob, as n_probe is for IVF."""
+    (top-10 cosine ≈ 0.3 → per-bit agreement ≈ 0.6), so wide bands trade
+    recall for selectivity steeply; 6-bit bands scan ~13% of the corpus —
+    the honest scale operating point (4-bit bands reach recall 0.74 here
+    but admit 54% of the corpus, half a brute-force scan).  A true
+    near-dup corpus (cosine ≥ 0.9, agreement ≈ 0.9) gets high recall from
+    8-bit bands at ~3% fan-in — band_bits is the knob, as n_probe is for
+    IVF."""
     from hadoop_sync_spark.functions.vectors import rp_lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    ann = rp_lsh_topk(emb, queries, k=10, n_planes=48, band_bits=4)
+    ann, cands = rp_lsh_topk(
+        emb, queries, k=10, n_planes=48, band_bits=6, with_candidates=True
+    )
     exact = brute_force_topk(emb, queries, k=10)
-    return _ann_contract(ann, exact, k=10, min_recall=0.55)
+    return _ann_contract(
+        ann, exact, k=10, candidates=cands, corpus=emb, margin=1.4
+    )
