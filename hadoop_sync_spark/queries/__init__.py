@@ -127,7 +127,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q13_event_gaps",
     "q14_running_customer_spend",
     "q15_nation_set_ops",
-    "q16_distinct_segments",
+    # q16_distinct_segments displaced (distinct family already carried by
+    # q09 in-window) to fit q109, new this round — never-checked rule 1
+    "q109_fingerprint_drilldown",
     "q17_scalar_functions",
     "q19_array_ops",
     "q20_brand_stats_having",

@@ -71,3 +71,16 @@ def md5_prefix_long(c: Column) -> Column:
 def sql_md5_prefix_long(expr: str) -> str:
     """DuckDB spelling of :func:`md5_prefix_long`."""
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def md5_prefix60_long(c: Column) -> Column:
+    """First 60 bits of md5 as a BIGINT (15 hex chars — still positive in
+    int64).  The wide variant for leaf-level row identity in the Merkle
+    drill-down: 32 bits collide by the birthday bound around ~100k rows,
+    60 bits push that past 1e9 rows per mismatched bucket."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_prefix60_long(expr: str) -> str:
+    """DuckDB spelling of :func:`md5_prefix60_long`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"

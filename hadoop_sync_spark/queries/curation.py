@@ -25,8 +25,10 @@ from pyspark.sql.window import Window
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import (
     dsum,
+    md5_prefix60_long,
     md5_prefix_long,
     sql_dsum,
+    sql_md5_prefix60_long,
     sql_md5_prefix_long,
     t,
 )
@@ -613,10 +615,10 @@ _N_FP_BUCKETS = 64
 _FP_MOD = 1000003  # keeps the additive digest < 2^63 for ~9e12 rows/bucket
 
 
-def _li_bucket_digest(li: DataFrame, lineno: F.Column) -> DataFrame:
-    """Per-bucket order-insensitive digest of lineitem rows: row count,
-    XOR-fold and bounded additive fold of a 32-bit md5 row fingerprint."""
-    rowstr = F.concat_ws(
+def _li_rowstr(lineno: F.Column) -> F.Column:
+    """Canonical lineitem row string (integer/string columns only — see
+    the module note above ``_SQL_LI_ROWSTR``)."""
+    return F.concat_ws(
         "|",
         F.col("l_orderkey"),
         F.col("l_partkey"),
@@ -631,7 +633,12 @@ def _li_bucket_digest(li: DataFrame, lineno: F.Column) -> DataFrame:
         # naive shipdate → micros, pinned to UTC (session-tz-independent)
         F.expr("unix_micros(to_utc_timestamp(l_shipdate,'UTC'))"),
     )
-    fp = md5_prefix_long(rowstr)
+
+
+def _li_bucket_digest(li: DataFrame, lineno: F.Column) -> DataFrame:
+    """Per-bucket order-insensitive digest of lineitem rows: row count,
+    XOR-fold and bounded additive fold of a 32-bit md5 row fingerprint."""
+    fp = md5_prefix_long(_li_rowstr(lineno))
     return (
         li.select(fp.alias("fp"))
         .groupBy((F.col("fp") % _N_FP_BUCKETS).alias("bucket"))
@@ -710,6 +717,180 @@ def q97_table_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("a.xr").eqNullSafe(F.col("b.xr"))
             & F.col("a.ms").eqNullSafe(F.col("b.ms"))
         ).alias("bucket_match"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q109 — Merkle drill-down: from mismatched digests to exact drifted rows
+# --------------------------------------------------------------------------
+_N_FP_SUBBUCKETS = 4096  # 64 sub-buckets per level-0 bucket (64 | 4096)
+
+_SQL_FP_ROWS = """
+    SELECT l_orderkey, CAST({LINENO} AS BIGINT) AS l_linenumber,
+           fp % {NB} AS bucket, fp % {NSB} AS subbucket, leaf
+    FROM (SELECT *, {FP} AS fp, {LEAF} AS leaf FROM lineitem)
+"""
+
+_SQL_BAD_DIGEST = """
+    SELECT COALESCE(a.{K}, b.{K}) AS {K}
+    FROM {A} a FULL OUTER JOIN {B} b USING ({K})
+    WHERE NOT (a.cnt IS NOT DISTINCT FROM b.cnt
+           AND a.xr IS NOT DISTINCT FROM b.xr
+           AND a.ms IS NOT DISTINCT FROM b.ms)
+"""
+
+
+def _keyed_fp_rows(li: DataFrame, lineno: F.Column) -> DataFrame:
+    """Per-row fingerprints with their digest-tree coordinates: level-0
+    bucket (fp32 % 64 — MUST equal the q97 digest bucketing so the drill
+    descends the same tree), level-1 sub-bucket (fp32 % 4096; since
+    64 | 4096, each sub-bucket nests inside exactly one bucket), and the
+    60-bit leaf identity."""
+    rowstr = _li_rowstr(lineno)
+    fp = md5_prefix_long(rowstr)
+    return li.select(
+        F.col("l_orderkey"),
+        lineno.cast("long").alias("l_linenumber"),
+        (fp % _N_FP_BUCKETS).alias("bucket"),
+        (fp % _N_FP_SUBBUCKETS).alias("subbucket"),
+        md5_prefix60_long(rowstr).alias("leaf"),
+    )
+
+
+def _leaf_digest(rows: DataFrame, key: str) -> DataFrame:
+    return rows.groupBy(key).agg(
+        F.count("*").alias("cnt"),
+        F.expr("bit_xor(leaf)").alias("xr"),
+        F.sum(F.col("leaf") % _FP_MOD).alias("ms"),
+    )
+
+
+def _digest_mismatches(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    a, b = a.alias("a"), b.alias("b")
+    return (
+        a.join(b, key, "full_outer")
+        .filter(
+            ~(
+                F.col("a.cnt").eqNullSafe(F.col("b.cnt"))
+                & F.col("a.xr").eqNullSafe(F.col("b.xr"))
+                & F.col("a.ms").eqNullSafe(F.col("b.ms"))
+            )
+        )
+        .select(key)
+    )
+
+
+@register(
+    "q109_fingerprint_drilldown",
+    oracle=f"""
+    WITH a0 AS ({_sql_bucket_digest("l_linenumber")}),
+         b0 AS ({_sql_bucket_digest(_SQL_LINENO_B)}),
+         bad0 AS ({_SQL_BAD_DIGEST.format(A="a0", B="b0", K="bucket")}),
+         ra AS ({_SQL_FP_ROWS.format(
+             LINENO="l_linenumber", NB=_N_FP_BUCKETS, NSB=_N_FP_SUBBUCKETS,
+             FP=sql_md5_prefix_long(_SQL_LI_ROWSTR.format(LINENO="l_linenumber")),
+             LEAF=sql_md5_prefix60_long(_SQL_LI_ROWSTR.format(LINENO="l_linenumber")))}),
+         rb AS ({_SQL_FP_ROWS.format(
+             LINENO=_SQL_LINENO_B, NB=_N_FP_BUCKETS, NSB=_N_FP_SUBBUCKETS,
+             FP=sql_md5_prefix_long(_SQL_LI_ROWSTR.format(LINENO=_SQL_LINENO_B)),
+             LEAF=sql_md5_prefix60_long(_SQL_LI_ROWSTR.format(LINENO=_SQL_LINENO_B)))}),
+         ra0 AS (SELECT * FROM ra WHERE bucket IN (SELECT bucket FROM bad0)),
+         rb0 AS (SELECT * FROM rb WHERE bucket IN (SELECT bucket FROM bad0)),
+         sa AS (SELECT subbucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(bit_xor(leaf) AS BIGINT) AS xr,
+                       CAST(SUM(leaf % {_FP_MOD}) AS BIGINT) AS ms
+                FROM ra0 GROUP BY 1),
+         sb AS (SELECT subbucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(bit_xor(leaf) AS BIGINT) AS xr,
+                       CAST(SUM(leaf % {_FP_MOD}) AS BIGINT) AS ms
+                FROM rb0 GROUP BY 1),
+         bad1 AS ({_SQL_BAD_DIGEST.format(A="sa", B="sb", K="subbucket")}),
+         la AS (SELECT l_orderkey, l_linenumber, leaf,
+                       CAST(COUNT(*) AS BIGINT) AS cnt_a
+                FROM ra0 WHERE subbucket IN (SELECT subbucket FROM bad1)
+                GROUP BY 1, 2, 3),
+         lb AS (SELECT l_orderkey, l_linenumber, leaf,
+                       CAST(COUNT(*) AS BIGINT) AS cnt_b
+                FROM rb0 WHERE subbucket IN (SELECT subbucket FROM bad1)
+                GROUP BY 1, 2, 3)
+    SELECT CASE WHEN COALESCE(cnt_a, 0) > COALESCE(cnt_b, 0)
+                THEN 'authoritative_only' ELSE 'replica_only' END AS side,
+           l_orderkey, l_linenumber
+    FROM la FULL OUTER JOIN lb USING (l_orderkey, l_linenumber, leaf)
+    WHERE COALESCE(cnt_a, 0) != COALESCE(cnt_b, 0)
+    """,
+    tags=("reconcile", "fingerprint", "anti-entropy", "drilldown", "l3"),
+)
+def q109_fingerprint_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drill-down q97's docstring promises: descend from mismatched
+    level-0 digest buckets to the EXACT drifted row identities, never
+    shuffling rows outside mismatched subtrees.  Same planted drift as
+    q97 (every 997th order's line numbers shifted on the "replica" side);
+    output is one row per drifted physical row — (side, l_orderkey,
+    l_linenumber) with side = which table state has it.
+
+    Three-level stateless Merkle sweep:
+      level 0 — q97's 64-bucket digests (exchange: 64 rows/side);
+      level 1 — rows in mismatched buckets only, re-digested at 4096
+        sub-buckets nested 64-per-bucket (fp%64 = (fp%4096)%64), using
+        the 60-bit leaf fingerprint (32-bit birthday-collides ~100k rows;
+        60-bit holds to ~1e9 rows per bucket);
+      leaf — rows in mismatched SUB-buckets only, full-outer multiset
+        diff on (leaf, key) → per-row classification.
+
+    Scale: each level rescans the table (scans are cheap, embarrassingly
+    parallel, and pruned by nothing weaker than the digest tree itself)
+    but the exchanges shrink geometrically: 64 rows, then |bad buckets|
+    ·N/64 rows, then |bad sub-buckets|·N/4096 rows — at 100 TB with ε
+    drift the leaf diff shuffles ~ε·N + N/4096-per-bad-subtree instead of
+    the full table, which is the entire point of anti-entropy digests
+    (the mismatched-bucket sets ride as broadcast semi-join filters, tiny
+    by construction).  A persisted digest tree (registry-published, per
+    q95's compaction lifecycle) would drop the rescans too; the stateless
+    form is the worst case."""
+    li = t(spark, sf_dir, "lineitem")
+    lineno_b = F.when(
+        F.col("l_orderkey") % 997 == 0, F.col("l_linenumber") + 100
+    ).otherwise(F.col("l_linenumber"))
+
+    bad0 = _digest_mismatches(
+        _li_bucket_digest(li, F.col("l_linenumber")),
+        _li_bucket_digest(li, lineno_b),
+        "bucket",
+    )
+    ra = _keyed_fp_rows(li, F.col("l_linenumber")).join(
+        F.broadcast(bad0), "bucket"
+    )
+    rb = _keyed_fp_rows(li, lineno_b).join(F.broadcast(bad0), "bucket")
+
+    bad1 = _digest_mismatches(
+        _leaf_digest(ra, "subbucket"), _leaf_digest(rb, "subbucket"), "subbucket"
+    )
+    keys = ["l_orderkey", "l_linenumber", "leaf"]
+    la = (
+        ra.join(F.broadcast(bad1), "subbucket")
+        .groupBy(keys)
+        .agg(F.count("*").alias("cnt_a"))
+    )
+    lb = (
+        rb.join(F.broadcast(bad1), "subbucket")
+        .groupBy(keys)
+        .agg(F.count("*").alias("cnt_b"))
+    )
+    return (
+        la.join(lb, keys, "full_outer")
+        .withColumn("cnt_a", F.coalesce("cnt_a", F.lit(0)))
+        .withColumn("cnt_b", F.coalesce("cnt_b", F.lit(0)))
+        .filter(F.col("cnt_a") != F.col("cnt_b"))
+        .select(
+            F.when(
+                F.col("cnt_a") > F.col("cnt_b"), F.lit("authoritative_only")
+            )
+            .otherwise(F.lit("replica_only"))
+            .alias("side"),
+            "l_orderkey",
+            "l_linenumber",
+        )
     )
 
 

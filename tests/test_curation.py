@@ -177,3 +177,26 @@ def test_fingerprint_diff_detects_drift_and_certifies_identity(spark, sf_dir):
         ).alias("ok")
     )
     assert all(r["ok"] for r in joined.collect()), "identical tables flagged"
+
+
+def test_fingerprint_drilldown_identifies_exact_planted_rows(spark, sf_dir):
+    """q109 end-to-end against the planted truth: the Merkle descent must
+    recover EXACTLY the drifted physical rows — every lineitem row of an
+    order divisible by 997 appears once per side, 'authoritative_only'
+    with its true line number and 'replica_only' with the shifted one —
+    and nothing else (no false positives from un-drifted subtrees)."""
+    from hadoop_sync_spark.io import load_table
+
+    got = {
+        (r["side"], r["l_orderkey"], r["l_linenumber"])
+        for r in QUERIES["q109_fingerprint_drilldown"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    planted = li.filter(F.col("l_orderkey") % 997 == 0).select(
+        "l_orderkey", F.col("l_linenumber").cast("long").alias("ln")
+    ).collect()
+    assert planted, "fixture has no order divisible by 997 — test is vacuous"
+    want = {("authoritative_only", r["l_orderkey"], r["ln"]) for r in planted} | {
+        ("replica_only", r["l_orderkey"], r["ln"] + 100) for r in planted
+    }
+    assert got == want
