@@ -169,15 +169,50 @@ def decode_real(content: bytes):
         return [
             decode_bmp(content[o : o + ln]) for o, ln in decode_rvid(content)
         ]
+    # Compressed-format path, wired but environment-gated (re-checked
+    # round 3: neither PIL nor av ships in this container).  If the libs
+    # appear, JPEG/PNG/… decode via PIL and MP4/audio via av with no code
+    # change here; with both absent the documented seam error below is
+    # the only reachable outcome.
+    import io as _io
+
+    import numpy as np
+
     try:
-        import PIL.Image  # noqa: F401  (absent in this container)
-    except ImportError as e:
-        raise NotImplementedError(
-            "compressed-format decoding requires codec libraries not "
-            "present in this environment; uncompressed BMP/WAV/RVID "
-            "payloads decode for real above"
-        ) from e
-    raise NotImplementedError("real codec path not wired yet")
+        import PIL.Image
+
+        try:
+            img = PIL.Image.open(_io.BytesIO(content)).convert("RGB")
+            return np.asarray(img)
+        except PIL.UnidentifiedImageError:
+            pass  # not a PIL-readable image — try the av container path
+    except ImportError:
+        pass
+    try:
+        import av
+
+        with av.open(_io.BytesIO(content)) as container:
+            if container.streams.video:
+                return [
+                    frame.to_ndarray(format="rgb24")
+                    for frame in container.decode(video=0)
+                ]
+            if container.streams.audio:
+                samples = np.concatenate(
+                    [
+                        frame.to_ndarray().reshape(-1)
+                        for frame in container.decode(audio=0)
+                    ]
+                )
+                rate = container.streams.audio[0].rate
+                return rate, samples.astype(np.int16)
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        "compressed-format decoding requires codec libraries (PIL for "
+        "images, av for audio/video) not present in this environment; "
+        "uncompressed BMP/WAV/RVID payloads decode for real above"
+    )
 
 
 def decode_header(content: bytes) -> tuple[int, int, int, int]:
