@@ -174,3 +174,89 @@ def test_rolling_hash_parity(frames):
         """,
     )
     assert got == want
+
+
+def test_row_digest_idiom_parity(spark):
+    """The q97/q109 anti-entropy gate rests on the canonical lineitem row
+    string rendering byte-identically in both engines: concat_ws over
+    ROUND(x*100) scaled doubles, date → tz-pinned epoch micros, and the
+    32/60-bit md5 prefixes.  The fixture's tame values (prices with 2
+    clean decimals, post-1992 dates) can't expose divergence on the
+    inputs engines disagree about — exact .5 rounding boundaries,
+    negatives, pre-1970 dates, unicode flags — so fuzz those through BOTH
+    engines directly."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from hadoop_sync_spark.queries._util import (
+        md5_prefix60_long,
+        sql_md5_prefix60_long,
+    )
+    from hadoop_sync_spark.queries.curation import _SQL_LI_ROWSTR, _li_rowstr
+
+    rng = random.Random(7)
+    n = 400
+    # deliberately adversarial doubles: exact k/100 values, exact .5-cent
+    # rounding boundaries (k/100 + 0.005), negatives, and wide magnitudes
+    def money():
+        k = rng.randint(-10**7, 10**7)
+        case = rng.random()
+        if case < 0.4:
+            return k / 100.0
+        if case < 0.7:
+            return k / 100.0 + 0.005
+        return rng.uniform(-1e9, 1e9)
+
+    rows = {
+        "l_orderkey": [rng.randint(-2**40, 2**40) for _ in range(n)],
+        "l_partkey": [rng.randint(0, 2**31) for _ in range(n)],
+        "l_suppkey": [rng.randint(0, 10**6) for _ in range(n)],
+        "l_linenumber": [rng.randint(-100, 10**6) for _ in range(n)],
+        "l_quantity": [money() for _ in range(n)],
+        "l_extendedprice": [money() for _ in range(n)],
+        "l_discount": [money() for _ in range(n)],
+        "l_tax": [money() for _ in range(n)],
+        "l_returnflag": [
+            rng.choice(["A", "N", "R", "", "é", "中", "🚀", "a|b"])
+            for _ in range(n)
+        ],
+        "l_linestatus": [
+            rng.choice(["F", "O", "", "ß", "x|y"]) for _ in range(n)
+        ],
+        "l_shipdate": [
+            dt.date(1900, 1, 1) + dt.timedelta(days=rng.randint(0, 110000))
+            for _ in range(n)
+        ],
+    }
+    at = pa.table(
+        {
+            **{k: pa.array(v, pa.int64()) for k, v in rows.items()
+               if k.startswith("l_") and isinstance(rows[k][0], int)},
+            **{k: pa.array(v, pa.float64()) for k, v in rows.items()
+               if isinstance(rows[k][0], float)},
+            "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(rows["l_linestatus"], pa.string()),
+            "l_shipdate": pa.array(rows["l_shipdate"], pa.date32()),
+        }
+    )
+    sdf = spark.createDataFrame(at.to_pandas())
+    rowstr = _li_rowstr(F.col("l_linenumber"))
+    got = sorted(
+        (r["fp"], r["leaf"])
+        for r in sdf.select(
+            md5_prefix_long(rowstr).alias("fp"),
+            md5_prefix60_long(rowstr).alias("leaf"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("lineitem", at)
+    expr = _SQL_LI_ROWSTR.format(LINENO="l_linenumber")
+    want = sorted(
+        (r[0], r[1])
+        for r in con.sql(
+            f"SELECT {sql_md5_prefix_long(expr)}, {sql_md5_prefix60_long(expr)}"
+            " FROM lineitem"
+        ).fetchall()
+    )
+    assert got == want
