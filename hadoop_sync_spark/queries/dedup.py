@@ -1114,3 +1114,100 @@ def q108_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("edit_dist", "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q110 — duplicate-span removal (sub-document exact dedup)
+# --------------------------------------------------------------------------
+_SPAN_W = 8
+
+
+@register(
+    "q110_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS span_no,
+               array_to_string(tk[i*{_SPAN_W}+1 : i*{_SPAN_W}+{_SPAN_W}], ' ')
+                 AS span
+        FROM toks, unnest(range(CAST(ceil(len(tk) / {_SPAN_W}.0) AS BIGINT)))
+               AS u(i)
+    ), counts AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY span
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (c.nd >= 2) AS BIGINT) AS dup_spans,
+           string_agg(s.span, ' ' ORDER BY s.span_no) FILTER (c.nd < 2)
+             AS kept_text
+    FROM spans s JOIN counts c USING (span)
+    GROUP BY s.doc_id
+    """,
+    tags=("dedup", "span", "l3"),
+)
+def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplicate-span removal: every document is cut into
+    fixed-stride 8-token spans, spans occurring in ≥2 DISTINCT documents
+    are dropped, and the survivors are reassembled in order — the
+    fixed-stride approximation of exact-substring training-data dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22: boilerplate/licence/navigation text recurs across
+    crawled pages whose documents are NOT near-dups, so document-level
+    dedup q60-q69 cannot touch it).  Emits (doc_id, n_spans, dup_spans,
+    kept_text), kept_text NULL when every span was shared.
+
+    Fully value-checked: span extraction, the distinct-document counts,
+    and the reassembled text must agree byte-for-byte with the oracle
+    (Spark's empty concat_ws is NULLIFed to match string_agg-over-none).
+
+    Scale: explode is n_tokens/8 rows; the span-frequency pass is one
+    partial+final aggregation keyed by the span text (uniform-ish key
+    space — a popular boilerplate span concentrates its COUNT, not rows),
+    the count join back is 1-row-per-key (no expansion), and the doc
+    regroup is one shuffle on doc_id.  No Python, no global sort; at
+    100 TB the span key would be md5(span) (16 bytes vs the text) —
+    kept verbatim here so the reassembly is oracle-checkable."""
+    d = _spread(spark, t(spark, sf_dir, "documents"))
+    tk = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(tk) / F.lit(float(_SPAN_W))).cast("int")
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tk, i * _SPAN_W + 1, _SPAN_W)
+                ),
+            )
+        ).alias("span_no", "span"),
+    )
+    counts = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("span_no"),
+                F.when(F.col("nd") < 2, F.col("span")).alias("kept"),
+            )
+        )
+    )
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("dup_spans"),
+            F.nullif(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.transform(kept_structs, lambda s: s["kept"]),
+                        lambda x: x.isNotNull(),
+                    ),
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )
