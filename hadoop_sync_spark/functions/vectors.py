@@ -620,3 +620,245 @@ def rp_lsh_topk(
     if with_candidates:
         return topk, cands.select("query_id", "neighbor_id")
     return topk
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory-compression layer
+# --------------------------------------------------------------------------
+def _kmeans_euclid(
+    X: np.ndarray, k: int, seed: int, max_iter: int = 20
+) -> np.ndarray:
+    """Plain Lloyd k-means with k-means++ init on raw (sub)vectors —
+    the per-subspace trainer for PQ codebooks.  Unlike the spherical
+    variant in :func:`kmeans_centroids`, subvectors are NOT unit-norm,
+    so assignment is true euclidean argmin.  Deterministic for a fixed
+    (X, k, seed)."""
+    k = min(k, len(X))
+    rs = np.random.RandomState(seed)
+    first = int(rs.randint(len(X)))
+    cents = [X[first]]
+    d2 = ((X - X[first]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        total = d2.sum()
+        if total <= 0.0:
+            nxt = int(rs.randint(len(X)))
+        else:
+            nxt = int(rs.choice(len(X), p=d2 / total))
+        cents.append(X[nxt])
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = np.stack(cents)
+    for _ in range(max_iter):
+        # ||x-c||² argmin via the expanded form; X·Cᵀ dominates and is BLAS
+        d = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+        assign = d.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+            else:  # empty cluster → reseed to the worst-served point
+                newC[j] = X[int(d.min(axis=1).argmax())]
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_cap: int | None = None,
+) -> np.ndarray:
+    """Train PQ sub-codebooks (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    L2-normalized vector is split into `m` contiguous subspaces and each
+    subspace gets its own `ksub`-centroid euclidean codebook, so a vector
+    compresses to `m` small codes — m·log2(ksub) bits instead of 4·dim
+    bytes (8 bytes vs 256 at dim=64, m=8, ksub=256: 32×).
+
+    Training follows the same constant-cost discipline as
+    :func:`kmeans_centroids`: a bounded, hash-ordered, deterministic
+    driver-side sample (FAISS-convention ~256·ksub rows cap) — codebook
+    quality needs samples-per-centroid, not corpus coverage, so the fit
+    never grows with the corpus.  Returns (m, ksub', dsub) float64; dim
+    must divide evenly by m."""
+    cap = sample_cap or max(4096, 256 * ksub)
+    sample = (
+        vectors.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .orderBy(F.xxhash64(F.col("_sid"), F.lit(seed)), F.col("_sid"))
+        .limit(cap)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in sample], dtype=np.float64)
+    if X.size:
+        nrm = np.linalg.norm(X, axis=1)
+        X = X[nrm > 0] / nrm[nrm > 0, None]
+    if len(X) == 0:
+        raise ValueError(
+            "pq_codebooks: no trainable vectors — every sampled "
+            f"{vec_col!r} is NULL, empty, or zero-norm"
+        )
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    dsub = dim // m
+    return np.stack(
+        [
+            _kmeans_euclid(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its `m` PQ codes (array<int>): L2-normalize,
+    split into subspaces, per-subspace euclidean argmin against the
+    codebook.  One Arrow pass (numpy matmul per batch) — the codebook
+    tensor is O(m·ksub·dsub) doubles and rides into executors as a
+    closure constant.  NULL/empty/zero-norm vectors are dropped (they
+    have no meaningful code), mirroring the IVF bucket semantics."""
+    m, ksub, dsub = books.shape
+    b2 = (books**2).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)  # (b, dim)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]  # (b, dsub)
+            d = (S**2).sum(1)[:, None] - 2.0 * (S @ books[j].T) + b2[j][None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return vectors.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        & (l2_norm(F.col(vec_col)) > 0)
+    ).select(F.col(id_col), encode(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    with_candidates: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Approximate top-k via PQ asymmetric distance computation (ADC):
+    the corpus is scanned as m-byte codes, each query precomputes an
+    (m × ksub) lookup table of subspace inner products, and the
+    approximate score is m table gathers + a sum — no float vectors are
+    read in the scan.  The ADC top-`n_candidates` per query are then
+    rescored with EXACT cosine (fetched by id), so quantization error
+    affects only recall, never the reported similarities.
+
+    This is the memory half of IVF-PQ (Jégou et al. 2011): at 100 TB,
+    raw float32 embeddings are ~30× the size of their PQ codes — the
+    codes fit hot storage/page cache where the vectors cannot, and the
+    rescore touches only n_candidates·|queries| full vectors.  Compose
+    with the IVF layer (q71) for the full IVF-PQ: probe buckets first,
+    ADC-scan inside them.
+
+    Determinism: codebooks are a pure function of (corpus sample, seed),
+    LUTs of (query, codebooks), and the ADC sum is a fixed-order numpy
+    reduction — same data, same ranking.  Queries are collected
+    driver-side (the broadcast-small-side pattern of
+    :func:`brute_force_topk` — the query set is bounded by contract)."""
+    books = pq_codebooks(
+        vectors, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+
+    qrows = [
+        r
+        for r in queries.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+        ).collect()
+        if r["_qv"] is not None and len(r["_qv"]) > 0
+    ]
+    qids = [int(r["_qid"]) for r in qrows]
+    Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    mm, _, dsub = books.shape
+    # LUT[q, j, c] = <query_sub_j, codebook_j[c]>  — ADC inner product
+    lut = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(mm)],
+        axis=1,
+    )  # (nq, m, ksub)
+
+    @F.pandas_udf("array<double>")
+    def adc(codes_s: pd.Series) -> pd.Series:
+        C = np.stack(codes_s.to_numpy())  # (b, m)
+        # gather per subspace: scores (b, nq) = Σ_j LUT[:, j, C[:, j]]
+        scores = np.zeros((len(C), lut.shape[0]), dtype=np.float64)
+        for j in range(lut.shape[1]):
+            scores += lut[:, j, :][:, C[:, j]].T
+        return pd.Series(list(scores))
+
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q).cast("long") for q in qids]).alias("qid"),
+                adc(F.col("pq_codes")).alias("adc"),
+            )
+        ).alias("z"),
+    ).select(
+        F.col("z.qid").alias("query_id"),
+        "neighbor_id",
+        F.col("z.adc").alias("adc_score"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore of the candidate ids only: narrow semi-join fetch
+    nvec = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        l2_norm(F.col(vec_col)).alias("_nn"),
+    ).join(F.broadcast(cands), "neighbor_id")
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    rescored = nvec.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("_qv"), F.col("_nv"))
+            / F.nullif(F.col("_qn") * F.col("_nn"), F.lit(0.0))
+        ).alias("cosine_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    if with_candidates:
+        return topk, cands
+    return topk

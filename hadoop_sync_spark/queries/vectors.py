@@ -202,3 +202,42 @@ def q72_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(
         ann, exact, k=10, candidates=cands, corpus=emb, margin=1.4
     )
+
+
+# --------------------------------------------------------------------------
+# q111 — product-quantization ADC top-k (the ANN memory-compression layer)
+# --------------------------------------------------------------------------
+@register(
+    "q111_pq_topk",
+    oracle=_SQL_ANN_CONTRACT,
+    tags=("vectors", "ann", "pq"),
+)
+def q111_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via product quantization (Jégou et al., TPAMI
+    2011): vectors compress to 8 codebook codes (m=8 subspaces × 16
+    centroids — 4 bytes vs 256 of float32 at dim 64), the corpus is
+    scanned as codes with per-query lookup tables (ADC), and the top-50
+    ADC candidates per query are rescored with exact cosine.  The memory
+    half of IVF-PQ: at 100 TB the codes fit hot storage where the raw
+    embeddings cannot, and only 50·|queries| full vectors are ever read
+    back.  Codebook training is constant-cost (bounded driver-side
+    sample, the q71 discipline).
+
+    Driver-checked through the one-row acceptance contract
+    (completeness + pooled recall ≥ 1.4× the data-derived random-scan
+    baseline; measured concentration ~8× at sf0.01 — PQ error is small
+    on this cloud because 16 centroids/subspace quantize an 8-dim
+    subspace of a near-uniform distribution gently); per-ranking recall
+    stays asserted in tests/test_vectors.py."""
+    from hadoop_sync_spark.functions.vectors import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann, cands = pq_topk(
+        emb, queries, k=10, m=8, ksub=16, n_candidates=50,
+        with_candidates=True,
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    return _ann_contract(
+        ann, exact, k=10, candidates=cands, corpus=emb, margin=1.4
+    )

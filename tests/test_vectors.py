@@ -226,3 +226,47 @@ def test_rp_lsh_recall_and_determinism(spark, emb):
     assert recall >= 0.55, f"recall@10 = {recall:.2f}"
     again = pairs(rp_lsh_topk(emb, queries, k=10, n_planes=48, band_bits=4))
     assert a == again
+
+
+def test_pq_topk_recall_codes_and_determinism(spark, emb):
+    """PQ ADC must (a) encode every non-degenerate vector to exactly m
+    codes in [0, ksub), (b) beat a 0.5 pooled-recall floor at the q111
+    operating point (measured ~0.8 at sf0.001-0.01 — generous margin),
+    and (c) be run-to-run deterministic (fixed seed, fixed-order numpy
+    reductions)."""
+    from hadoop_sync_spark.functions.vectors import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    m, ksub = 8, 16
+    books = pq_codebooks(emb, m=m, ksub=ksub)
+    assert books.shape[0] == m and books.shape[1] <= ksub
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        assert len(r["pq_codes"]) == m
+        assert all(0 <= c < ksub for c in r["pq_codes"])
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = pq_topk(emb, queries, k=10, m=m, ksub=ksub, n_candidates=50)
+    exact = brute_force_topk(emb, queries, k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.5
+
+    again = pq_topk(emb, queries, k=10, m=m, ksub=ksub, n_candidates=50)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in again.collect()} == {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in ann.collect()
+    }
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from hadoop_sync_spark.functions.vectors import pq_codebooks
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(df, m=2)
