@@ -112,20 +112,25 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # (3) oldest green rows first: green in r1, unchecked in r2 — the 30
     # that fit; q34-q45 (minus q38) /q83-q85 (also r1-green, unchanged)
     # are scheduled for the round-4 window (see WINDOW.md)
+    # (1 again) brand-new round-3 queries — never checked, rule 1 windows
+    # them immediately; the four displaced family-redundant r1-green
+    # members (q04 joins→q03/q21 carry; q10/q11 rollup/cube→q23 grouping
+    # sets subsumes; q14 windows→q12/q28 carry) join the round-4
+    # must-window set in WINDOW.md
+    "q110_span_dedup",
+    "q111_pq_topk",
+    "q112_quality_constraints",
+    "q113_shard_shuffle",
     "q01_pricing_summary",
     "q02_filter_predicates",
     "q03_top_unshipped_orders",
-    "q04_supplier_by_region",
     "q05_order_count_distribution",
     "q06_customers_with_open_orders",
     "q07_customers_without_orders",
     "q08_late_shipments",
     "q09_distinct_counts",
-    "q10_rollup_orders",
-    "q11_cube_lineitem",
     "q12_top_orders_per_customer",
     "q13_event_gaps",
-    "q14_running_customer_spend",
     "q15_nation_set_ops",
     # q16_distinct_segments displaced (distinct family already carried by
     # q09 in-window) to fit q109, new this round — never-checked rule 1

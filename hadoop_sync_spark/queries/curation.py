@@ -1035,3 +1035,117 @@ def q105_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mg_err_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q112 — data-quality constraint report (Deequ-style, single-pass)
+# --------------------------------------------------------------------------
+@register(
+    "q112_quality_constraints",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(l_shipdate) AS BIGINT) AS ship_nn,
+               CAST(COUNT(*) FILTER (l_quantity BETWEEN 1 AND 50) AS BIGINT)
+                 AS qty_ok,
+               CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+                 AS pk_distinct,
+               CAST(COUNT(*) FILTER (l_returnflag IN ('R','A','N')) AS BIGINT)
+                 AS rf_ok
+        FROM lineitem
+    ), orph AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+        FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT 'row_count' AS check_name, CAST(n AS DOUBLE) AS metric,
+           n >= 1 AS ok FROM m
+    UNION ALL
+    SELECT 'completeness_l_shipdate', CAST(ship_nn AS DOUBLE) / n,
+           ship_nn = n FROM m
+    UNION ALL
+    SELECT 'domain_l_quantity_1_50', CAST(qty_ok AS DOUBLE) / n,
+           qty_ok = n FROM m
+    UNION ALL
+    SELECT 'accepted_values_l_returnflag', CAST(rf_ok AS DOUBLE) / n,
+           rf_ok = n FROM m
+    UNION ALL
+    SELECT 'uniqueness_orderkey_linenumber', CAST(pk_distinct AS DOUBLE) / n,
+           pk_distinct = n FROM m
+    UNION ALL
+    SELECT 'referential_lineitem_orders', CAST(orphans AS DOUBLE),
+           orphans = 0 FROM orph
+    """,
+    tags=("curation", "quality", "constraints"),
+)
+def q112_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the fact table (the Deequ
+    pattern: Schelter et al., "Automating Large-Scale Data Quality
+    Verification", VLDB'18) — the admission check a training-data
+    pipeline runs before a corpus snapshot is published: row-count
+    floor, completeness (l_shipdate), value domain (l_quantity ∈
+    [1,50]), accepted values (l_returnflag), key uniqueness
+    ((l_orderkey, l_linenumber) — genuinely violated in the fixture, so
+    the failing row is exercised), and referential integrity (every
+    lineitem has its order).  Emits one long-form row per constraint:
+    (check_name, metric DOUBLE, ok BOOLEAN).
+
+    Scale: ALL row-level checks fold into ONE partial+final aggregation
+    pass over the fact table (no per-constraint scans — the point of the
+    Deequ design); the distinct-key count rides the same pass, and the
+    referential check is one anti-join whose build side (orders keys) is
+    dimension-scale here and bloom/broadcast-prunable at 100 TB.  The
+    report itself is 6 rows — driver-sized by construction."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.count("l_shipdate").alias("ship_nn"),
+        F.sum(
+            F.col("l_quantity").between(1, 50).cast("long")
+        ).alias("qty_ok"),
+        F.count_distinct(
+            F.struct("l_orderkey", "l_linenumber")
+        ).alias("pk_distinct"),
+        F.sum(
+            F.col("l_returnflag").isin("R", "A", "N").cast("long")
+        ).alias("rf_ok"),
+    )
+    orph = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+    combined = m.crossJoin(F.broadcast(orph))
+    n = F.col("n").cast("double")
+    report = F.array(
+        F.struct(
+            F.lit("row_count").alias("check_name"),
+            n.alias("metric"),
+            (F.col("n") >= 1).alias("ok"),
+        ),
+        F.struct(
+            F.lit("completeness_l_shipdate").alias("check_name"),
+            (F.col("ship_nn").cast("double") / n).alias("metric"),
+            (F.col("ship_nn") == F.col("n")).alias("ok"),
+        ),
+        F.struct(
+            F.lit("domain_l_quantity_1_50").alias("check_name"),
+            (F.col("qty_ok").cast("double") / n).alias("metric"),
+            (F.col("qty_ok") == F.col("n")).alias("ok"),
+        ),
+        F.struct(
+            F.lit("accepted_values_l_returnflag").alias("check_name"),
+            (F.col("rf_ok").cast("double") / n).alias("metric"),
+            (F.col("rf_ok") == F.col("n")).alias("ok"),
+        ),
+        F.struct(
+            F.lit("uniqueness_orderkey_linenumber").alias("check_name"),
+            (F.col("pk_distinct").cast("double") / n).alias("metric"),
+            (F.col("pk_distinct") == F.col("n")).alias("ok"),
+        ),
+        F.struct(
+            F.lit("referential_lineitem_orders").alias("check_name"),
+            F.col("orphans").cast("double").alias("metric"),
+            (F.col("orphans") == 0).alias("ok"),
+        ),
+    )
+    return combined.select(F.inline(report))

@@ -177,3 +177,63 @@ def q107_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(_PRIO_K)
     )
+
+
+# --------------------------------------------------------------------------
+# q113 — deterministic training-shard assignment (seeded corpus shuffle)
+# --------------------------------------------------------------------------
+_N_SHARDS = 8
+
+#: order-hash: a SECOND, salt-distinguished md5 stream so the within-shard
+#: order is independent of the shard-choice hash (same value would sort
+#: each shard by its own bucket residue — correlated, not shuffled).
+_SQL_ORDER_H = sql_md5_prefix_long("'ord1|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "q113_shard_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           {_SQL_BUCKET} % {_N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY {_SQL_BUCKET} % {_N_SHARDS}
+               ORDER BY {_SQL_ORDER_H}, doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+    tags=("sampling", "shuffle", "l3"),
+)
+def q113_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards: each
+    document lands in shard `hash(doc_id) mod 8` and takes position
+    `row_number` under a SECOND, salt-independent content hash within its
+    shard — the epoch-shard construction of a pretraining data loader
+    (documents must arrive in a reproducible pseudo-random order, and no
+    two ranks may read the same document).  Re-running on the same corpus
+    snapshot reproduces the identical order; both hashes are md5 prefixes,
+    so every (doc_id, shard, pos) triple is value-checked cross-engine.
+
+    Scale: this is how you shuffle 100 TB WITHOUT a global sort — shard
+    membership is a narrow per-row hash (zero shuffle), and ordering is
+    per-shard (one shuffle on the shard key, each shard sorted
+    independently in parallel; a single global row_number would serialize
+    through one partition).  Shard count scales to rank count; positions
+    are snapshot-relative (append ⇒ rebuild epoch shards, as data loaders
+    do)."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    shard = hash_bucket(F.col("doc_id")) % _N_SHARDS
+    order_h = md5_prefix_long(
+        F.concat(F.lit("ord1|"), F.col("doc_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("shard").orderBy(F.col("_oh"), F.col("doc_id"))
+    )
+    return (
+        d.select(
+            "doc_id", shard.alias("shard"), order_h.alias("_oh")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -340,3 +340,71 @@ def foreach_batch_parquet_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4.x arbitrary-state API (typed state handles + timers) that
+    supersedes ``applyInPandasWithState`` for new stateful operators.
+    State here is one ValueState row per user carrying (event count,
+    exact cent-scaled value sum); each micro-batch folds its Arrow
+    batches into the state and emits the updated running totals
+    (outputMode Update).  The cent-scaled BIGINT keeps the running sum
+    exact and reduction-order-free, the same discipline as the batch
+    queries (_util.SCALE2).
+
+    Scale: state lives in the state store keyed by user_id (RocksDB
+    backend in production — transformWithState REQUIRES the RocksDB
+    provider), shuffled once per micro-batch on the group key; per-key
+    state is two longs — horizonless running aggregates stay O(distinct
+    users), not O(events).
+
+    Environment gate (like the compressed-codec seam in multimodal.py):
+    the transformWithState state-server protocol speaks protobuf, and
+    this container ships no `google.protobuf` — the operator is built
+    and its cross-micro-batch contract is tested wherever protobuf
+    exists (tests/test_streaming.py skips with the reason otherwise);
+    the applyInPandasWithState path (sessionized_with_state) carries
+    the custom-stateful coverage in this container."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "cnt BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, cents = 0, 0
+            if self._totals.exists():
+                prev = self._totals.get()
+                cnt, cents = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                cnt += len(pdf)
+                cents += int(
+                    pdf["value"].astype(float).mul(100).round().sum()
+                )
+            self._totals.update((cnt, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "event_cnt": [cnt],
+                    "value_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, event_cnt bigint, value_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -56,6 +56,15 @@ BOUNDED_OK = {
     # the cross attaches the ONE-ROW per-column bounds aggregate to the
     # histogram bucketing pass (broadcast scalar attach)
     "q100_column_profile",
+    # same ANN acceptance-contract shape as q71/q72: the crosses are
+    # ONE-ROW scalar attaches plus the bounded broadcast-queries exact
+    # baseline; the PQ ADC scan itself is a narrow per-row code pass and
+    # the rescore join is a broadcast hash join on the candidate ids
+    "q111_pq_topk",
+    # the cross joins the ONE-ROW lineitem metrics aggregate to the
+    # ONE-ROW orphan-count aggregate to assemble the 6-row report —
+    # both sides are scalar by construction at any corpus size
+    "q112_quality_constraints",
 }
 
 #: Queries whose fn() performs driver-side work beyond building a plan

@@ -291,3 +291,76 @@ def test_foreach_batch_sink_is_exactly_once(spark, events_dir, tmp_path):
         os.path.join(out, f"batch_id={last_id}")
     )
     assert spark.read.parquet(out).count() == 2 * n_events
+
+
+def _protobuf_available() -> bool:
+    """transformWithState's state-server protocol needs google.protobuf;
+    this container ships none (environment gate, like the compressed
+    codecs in multimodal.py — re-check each round)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="google.protobuf absent: transformWithState state server "
+    "cannot start in this container (environment gate)",
+)
+def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
+    """The transformWithStateInPandas running totals must, at end of
+    input, equal the batch per-user count and exact cent-scaled sum —
+    and must carry state ACROSS micro-batches: a second file delivered
+    through the same checkpoint continues the running totals instead of
+    restarting them.  Requires the RocksDB state store provider (set in
+    tests/conftest.py? no — per-query: transformWithState refuses the
+    HDFS-backed provider) and google.protobuf (see the skipif)."""
+    from hadoop_sync_spark.streaming.pipeline import running_user_totals
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        name = _qname("tws")
+        ckpt = str(tmp_path / "ckpt")
+        stream = running_user_totals(stream_events(spark, events_dir))
+        got = run_available_now(stream, ckpt, name, output_mode="update")
+
+        batch = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("event_cnt"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+        )
+        # update-mode memory sink may carry one row per key per batch;
+        # the LAST row per key is the running total
+        gp = got.toPandas().drop_duplicates("user_id", keep="last")
+        bp = batch.toPandas()
+        m = gp.merge(bp, on="user_id", suffixes=("_s", "_b"))
+        assert len(m) == len(bp)
+        assert (m.event_cnt_s == m.event_cnt_b).all()
+        assert (m.value_cents_s == m.value_cents_b).all()
+
+        # second delivery: append a copy of the events file; totals double
+        shutil.copy(
+            table_path(SF_DIR, "events"),
+            events_dir + "/part-001.parquet",
+        )
+        name2 = _qname("tws")
+        got2 = run_available_now(stream, ckpt, name2, output_mode="update")
+        gp2 = got2.toPandas().drop_duplicates("user_id", keep="last")
+        m2 = gp2.merge(bp, on="user_id", suffixes=("_s", "_b"))
+        assert len(m2) == len(bp)
+        assert (m2.event_cnt_s == 2 * m2.event_cnt_b).all()
+        assert (m2.value_cents_s == 2 * m2.value_cents_b).all()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
