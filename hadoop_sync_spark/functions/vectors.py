@@ -862,3 +862,130 @@ def pq_topk(
     if with_candidates:
         return topk, cands
     return topk
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: str = "kmeans",
+    with_candidates: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Full IVF-PQ (Jégou et al., TPAMI 2011): the coarse IVF layer
+    (q71) restricts the scan to the `n_probe` nearest centroid buckets,
+    the PQ layer (q111) scans those buckets as m-byte codes via ADC
+    lookup tables, and the ADC top-`n_candidates` are rescored with
+    exact cosine.  The two layers multiply: scan mass drops by
+    ~n_probe/n_centroids AND each scanned row is ~30× smaller — the
+    composition FAISS ships as `IVFx,PQy`, and the only ANN shape that
+    works when 100 TB of embeddings must be searched from disk.
+
+    This variant encodes raw (normalized) vectors rather than
+    centroid residuals — residual encoding buys accuracy when
+    n_centroids is large (vectors cluster tightly); at coarse
+    n_centroids the simpler form keeps the codebooks shared across
+    buckets and the contract identical to q111's.
+
+    Scale: codebook + centroid training are both bounded driver-side
+    samples (constant in corpus size); the bucket restriction is a
+    broadcast hash join on centroid_id; the ADC pass reads only codes;
+    the exact rescore touches n_candidates·|queries| full vectors."""
+    cents, assign = ivf_assign(
+        vectors, n_centroids, id_col, vec_col, centroids, seed=seed
+    )
+    books = pq_codebooks(
+        vectors, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col).join(
+        assign.withColumnRenamed(id_col, "_cid").withColumnRenamed(
+            "centroid_id", "_bucket"
+        ),
+        F.col(id_col) == F.col("_cid"),
+    )
+
+    qrows = [
+        r
+        for r in queries.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+        ).collect()
+        if r["_qv"] is not None and len(r["_qv"]) > 0
+    ]
+    qids = [int(r["_qid"]) for r in qrows]
+    Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    dsub = books.shape[2]
+    lut = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (nq, m, ksub)
+    qpos = {q: i for i, q in enumerate(qids)}
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            nearest_centroids(cents, n_keep=n_probe)(F.col(vec_col))
+        ).alias("_bucket"),
+    )
+    # bucket-restricted candidates: (query_id, neighbor_id, pq_codes)
+    in_bucket = codes.join(F.broadcast(probes), "_bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    @F.pandas_udf("double")
+    def adc_pair(codes_s: pd.Series, qid_s: pd.Series) -> pd.Series:
+        C = np.stack(codes_s.to_numpy())  # (b, m)
+        qi = qid_s.map(qpos).to_numpy(dtype=np.int64)  # (b,)
+        scores = np.zeros(len(C), dtype=np.float64)
+        for j in range(m):
+            scores += lut[qi, j, C[:, j]]
+        return pd.Series(scores)
+
+    scored = in_bucket.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        adc_pair(F.col("pq_codes"), F.col("query_id")).alias("adc_score"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        l2_norm(F.col(vec_col)).alias("_nn"),
+    ).join(F.broadcast(cands), "neighbor_id")
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    rescored = nvec.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("_qv"), F.col("_nv"))
+            / F.nullif(F.col("_qn") * F.col("_nn"), F.lit(0.0))
+        ).alias("cosine_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    if with_candidates:
+        return topk, cands
+    return topk

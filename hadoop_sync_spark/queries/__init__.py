@@ -121,10 +121,10 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q111_pq_topk",
     "q112_quality_constraints",
     "q113_shard_shuffle",
+    "q114_ivf_pq_topk",  # displaces q05 (agg family carried by q01/q09/q20)
     "q01_pricing_summary",
     "q02_filter_predicates",
     "q03_top_unshipped_orders",
-    "q05_order_count_distribution",
     "q06_customers_with_open_orders",
     "q07_customers_without_orders",
     "q08_late_shipments",

@@ -241,3 +241,42 @@ def q111_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(
         ann, exact, k=10, candidates=cands, corpus=emb, margin=1.4
     )
+
+
+# --------------------------------------------------------------------------
+# q114 — composed IVF-PQ top-k (coarse probe × compressed scan)
+# --------------------------------------------------------------------------
+@register(
+    "q114_ivf_pq_topk",
+    oracle=_SQL_ANN_CONTRACT,
+    tags=("vectors", "ann", "ivf", "pq"),
+)
+def q114_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ composition (FAISS `IVFx,PQy`; Jégou et al.,
+    TPAMI 2011) the q111 docstring promises: the coarse IVF layer
+    restricts the scan to 4 of 16 centroid buckets, the PQ layer scans
+    those buckets as 8-code rows via per-query ADC lookup tables, and
+    the ADC top-50 are rescored with exact cosine.  The layers multiply
+    — ~n_probe/n_centroids of the rows, each read ~30× smaller — the
+    only ANN shape that works when 100 TB of embeddings must be
+    searched from cold storage.  Both training passes are bounded
+    driver-side samples (constant in corpus size).
+
+    Driver-checked through the one-row acceptance contract
+    (completeness + pooled recall ≥ 1.4× the data-derived random-scan
+    baseline; measured concentration ~5.4× at sf0.01 — below q111's
+    ~8× because the probe restriction costs some recall before ADC
+    ranks, exactly the IVF trade q71 documents); ranking-level recall
+    stays asserted in tests/test_vectors.py."""
+    from hadoop_sync_spark.functions.vectors import ivf_pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann, cands = ivf_pq_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, m=8, ksub=16,
+        n_candidates=50, with_candidates=True,
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    return _ann_contract(
+        ann, exact, k=10, candidates=cands, corpus=emb, margin=1.4
+    )

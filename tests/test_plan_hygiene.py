@@ -61,6 +61,9 @@ BOUNDED_OK = {
     # baseline; the PQ ADC scan itself is a narrow per-row code pass and
     # the rescore join is a broadcast hash join on the candidate ids
     "q111_pq_topk",
+    # same contract shape; the bucket restriction is a BroadcastHashJoin
+    # on the bucket id and the ADC scan is a narrow per-row code pass
+    "q114_ivf_pq_topk",
     # the cross joins the ONE-ROW lineitem metrics aggregate to the
     # ONE-ROW orphan-count aggregate to assemble the 6-row report —
     # both sides are scalar by construction at any corpus size

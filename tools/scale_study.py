@@ -103,6 +103,11 @@ STUDY_QUERIES = [
     "q98_heavy_hitters",
     "q99_incremental_dedup",
     "q105_misra_gries",       # mergeable sketch (KB-sized exchange)
+    "q110_span_dedup",        # sub-document span dedup (explode + 2 shuffles)
+    "q111_pq_topk",           # PQ ADC scan (constant-cost codebooks)
+    "q112_quality_constraints",  # single-pass constraint report
+    "q113_shard_shuffle",     # per-shard window, no global sort
+    "q114_ivf_pq_topk",       # composed coarse probe × ADC scan
 ]
 
 
