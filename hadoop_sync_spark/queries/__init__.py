@@ -122,10 +122,11 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q112_quality_constraints",
     "q113_shard_shuffle",
     "q114_ivf_pq_topk",  # displaces q05 (agg family carried by q01/q09/q20)
+    "q115_per_source_quality_gate",  # displaces q06 (semi/anti carried by q07)
+    "q116_eval_per_lang",  # displaces q19 (array family carried by q22)
     "q01_pricing_summary",
     "q02_filter_predicates",
     "q03_top_unshipped_orders",
-    "q06_customers_with_open_orders",
     "q07_customers_without_orders",
     "q08_late_shipments",
     "q09_distinct_counts",
@@ -136,7 +137,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # q09 in-window) to fit q109, new this round — never-checked rule 1
     "q109_fingerprint_drilldown",
     "q17_scalar_functions",
-    "q19_array_ops",
     "q20_brand_stats_having",
     "q21_regional_revenue",
     "q22_explode_embedding_prefix",

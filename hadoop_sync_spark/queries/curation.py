@@ -32,7 +32,7 @@ from hadoop_sync_spark.queries._util import (
     sql_md5_prefix_long,
     t,
 )
-from hadoop_sync_spark.functions.text import normalize, tokens
+from hadoop_sync_spark.functions.text import WS_RE, normalize, tokens
 from hadoop_sync_spark.queries.pipeline_q import _SQL_NORM_TOKENS
 from hadoop_sync_spark.queries.sampling import hash_bucket, _SQL_BUCKET
 
@@ -1149,3 +1149,65 @@ def q112_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return combined.select(F.inline(report))
+
+
+# --------------------------------------------------------------------------
+# q115 — per-source relative quality gate (keep top 60% per source)
+# --------------------------------------------------------------------------
+_SQL_TOKCNT = f"CAST(len(string_split_regex(trim(text, ' '), '{WS_RE}')) AS BIGINT)"
+
+
+@register(
+    "q115_per_source_quality_gate",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, {_SQL_TOKCNT} AS token_cnt FROM documents
+    ), r AS (
+        SELECT doc_id, source, token_cnt,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY token_cnt DESC, doc_id
+               ) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        FROM s
+    )
+    SELECT doc_id, source, token_cnt, rn, n_src
+    FROM r WHERE rn * 10 <= n_src * 6
+    """,
+    tags=("curation", "quality", "per-group"),
+)
+def q115_per_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source RELATIVE quality filtering: keep the top 60% of each
+    source's documents by token count (rank under a total order; the
+    keep test `rn·10 ≤ n·6` is pure integer arithmetic — no float
+    percentile at the cut boundary).  Absolute thresholds (q53's keep/
+    flag) mis-serve heterogeneous corpora — a cutoff tuned for web text
+    deletes all of a transcript source or keeps all of a spam one;
+    ranking WITHIN each source holds the mix steady while dropping each
+    source's own worst tail, the Gopher/CCNet-style per-source gate.
+
+    Scale: one shuffle on source; both window functions share the same
+    partitioning pass.  Group count = source count (thousands at
+    100 TB), each group's rank is computed in parallel — and a skewed
+    mega-source splits cleanly under AQE because rank-then-filter
+    never materializes the group in one task's memory (unlike
+    collect_list-style gates)."""
+    d = t(spark, sf_dir, "documents")
+    from hadoop_sync_spark.functions.text import token_count
+
+    s = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("token_cnt")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("token_cnt").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    return (
+        s.select(
+            "doc_id",
+            "source",
+            "token_cnt",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*").over(wc).alias("n_src"),
+        )
+        .filter(F.col("rn") * 10 <= F.col("n_src") * 6)
+    )

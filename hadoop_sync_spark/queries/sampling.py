@@ -237,3 +237,51 @@ def q113_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# q116 — exactly-k-per-group eval sample (deterministic, hash-ordered)
+# --------------------------------------------------------------------------
+_EVAL_K = 20
+
+_SQL_EVAL_H = sql_md5_prefix_long("'eval1|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "q116_eval_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY {_SQL_EVAL_H}, doc_id
+               ) AS BIGINT) AS rn
+        FROM documents
+    ) WHERE rn <= {_EVAL_K}
+    """,
+    tags=("sampling", "per-group", "eval"),
+)
+def q116_eval_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out eval-set construction: EXACTLY 20 documents per language,
+    chosen by a salted content hash under a total order — the per-group
+    twin of q107 (q73's rate-based strata cannot promise a count, and an
+    eval set needs one).  The salt ('eval1|') makes the draw independent
+    of the q73/q74 split hash, so eval membership does not correlate
+    with train/test membership; re-runs reproduce the identical set.
+
+    Scale: rank-then-filter plans as WindowGroupLimit (plan-asserted in
+    tests/test_plans.py) — each partition keeps only its local top-20
+    per language BEFORE the shuffle, so the exchange carries
+    O(partitions · languages · k) rows, not the corpus."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    h = md5_prefix_long(
+        F.concat(F.lit("eval1|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("_h"), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", h.alias("_h"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _EVAL_K)
+        .select("doc_id", "lang", "rn")
+    )

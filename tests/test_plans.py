@@ -194,3 +194,14 @@ def test_incremental_dedup_corpus_side_never_shuffles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_eval_per_lang_plans_window_group_limit(spark, sf_dir):
+    """q116's rank-then-filter must push the per-group limit below the
+    shuffle (WindowGroupLimit): each task ships only its local top-k per
+    language, or the exchange carries the whole corpus."""
+    from hadoop_sync_spark.queries import load_all
+
+    df = load_all()["q116_eval_per_lang"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
