@@ -1122,16 +1122,18 @@ def q108_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = 8
 
 
-@register(
-    "q110_span_dedup",
-    oracle=f"""
+def span_dedup_sql(table: str = "documents", w: int = _SPAN_W) -> str:
+    """DuckDB twin of :func:`span_dedup_frame` — parameterized so the
+    idiom fuzz harness (tests/test_parity_fuzz.py) can run it over an
+    adversarial corpus, not just the fixture."""
+    return f"""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        SELECT doc_id, string_split(text, ' ') AS tk FROM {table}
     ), spans AS (
         SELECT doc_id, CAST(i AS BIGINT) AS span_no,
-               array_to_string(tk[i*{_SPAN_W}+1 : i*{_SPAN_W}+{_SPAN_W}], ' ')
+               array_to_string(tk[i*{w}+1 : i*{w}+{w}], ' ')
                  AS span
-        FROM toks, unnest(range(CAST(ceil(len(tk) / {_SPAN_W}.0) AS BIGINT)))
+        FROM toks, unnest(range(CAST(ceil(len(tk) / {w}.0) AS BIGINT)))
                AS u(i)
     ), counts AS (
         SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY span
@@ -1143,42 +1145,20 @@ _SPAN_W = 8
              AS kept_text
     FROM spans s JOIN counts c USING (span)
     GROUP BY s.doc_id
-    """,
-    tags=("dedup", "span", "l3"),
-)
-def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-document duplicate-span removal: every document is cut into
-    fixed-stride 8-token spans, spans occurring in ≥2 DISTINCT documents
-    are dropped, and the survivors are reassembled in order — the
-    fixed-stride approximation of exact-substring training-data dedup
-    (Lee et al., "Deduplicating Training Data Makes Language Models
-    Better", ACL'22: boilerplate/licence/navigation text recurs across
-    crawled pages whose documents are NOT near-dups, so document-level
-    dedup q60-q69 cannot touch it).  Emits (doc_id, n_spans, dup_spans,
-    kept_text), kept_text NULL when every span was shared.
+    """
 
-    Fully value-checked: span extraction, the distinct-document counts,
-    and the reassembled text must agree byte-for-byte with the oracle
-    (Spark's empty concat_ws is NULLIFed to match string_agg-over-none).
 
-    Scale: explode is n_tokens/8 rows; the span-frequency pass is one
-    partial+final aggregation keyed by the span text (uniform-ish key
-    space — a popular boilerplate span concentrates its COUNT, not rows),
-    the count join back is 1-row-per-key (no expansion), and the doc
-    regroup is one shuffle on doc_id.  No Python, no global sort; at
-    100 TB the span key would be md5(span) (16 bytes vs the text) —
-    kept verbatim here so the reassembly is oracle-checkable."""
-    d = _spread(spark, t(spark, sf_dir, "documents"))
+def span_dedup_frame(d: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """Core of q110 over an arbitrary (doc_id, text) frame — see the
+    q110 docstring for semantics and the scale analysis."""
     tk = F.split(F.col("text"), " ")
-    n_spans = F.ceil(F.size(tk) / F.lit(float(_SPAN_W))).cast("int")
+    n_spans = F.ceil(F.size(tk) / F.lit(float(w))).cast("int")
     spans = d.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(tk, i * _SPAN_W + 1, _SPAN_W)
-                ),
+                lambda i: F.concat_ws(" ", F.slice(tk, i * w + 1, w)),
             )
         ).alias("span_no", "span"),
     )
@@ -1211,3 +1191,33 @@ def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_text"),
         )
     )
+
+
+@register(
+    "q110_span_dedup",
+    oracle=span_dedup_sql(),
+    tags=("dedup", "span", "l3"),
+)
+def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplicate-span removal: every document is cut into
+    fixed-stride 8-token spans, spans occurring in ≥2 DISTINCT documents
+    are dropped, and the survivors are reassembled in order — the
+    fixed-stride approximation of exact-substring training-data dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22: boilerplate/licence/navigation text recurs across
+    crawled pages whose documents are NOT near-dups, so document-level
+    dedup q60-q69 cannot touch it).  Emits (doc_id, n_spans, dup_spans,
+    kept_text), kept_text NULL when every span was shared.
+
+    Fully value-checked: span extraction, the distinct-document counts,
+    and the reassembled text must agree byte-for-byte with the oracle
+    (Spark's empty concat_ws is NULLIFed to match string_agg-over-none).
+
+    Scale: explode is n_tokens/8 rows; the span-frequency pass is one
+    partial+final aggregation keyed by the span text (uniform-ish key
+    space — a popular boilerplate span concentrates its COUNT, not rows),
+    the count join back is 1-row-per-key (no expansion), and the doc
+    regroup is one shuffle on doc_id.  No Python, no global sort; at
+    100 TB the span key would be md5(span) (16 bytes vs the text) —
+    kept verbatim here so the reassembly is oracle-checkable."""
+    return span_dedup_frame(_spread(spark, t(spark, sf_dir, "documents")))

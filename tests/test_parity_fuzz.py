@@ -260,3 +260,20 @@ def test_row_digest_idiom_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_span_dedup_parity(frames):
+    """The q110 span idiom pair (split ' ' / sequence+slice+concat_ws /
+    nullif-empty vs string_split / list-slice / array_to_string /
+    string_agg-FILTER) over the adversarial corpus, including empty
+    strings and exotic-whitespace-only documents — and at span width 3
+    so multi-span documents with partial tails are common."""
+    from hadoop_sync_spark.queries.dedup import (
+        span_dedup_frame,
+        span_dedup_sql,
+    )
+
+    sdf, con = frames
+    got = _rows(span_dedup_frame(sdf, w=3))
+    want = _sql(con, span_dedup_sql("documents", w=3))
+    assert got == want
