@@ -385,3 +385,80 @@ def minhash_lsh_pairs(
             .select("id_a")
         )
     return pairs, capped
+
+
+# --------------------------------------------------------------------------
+# Bloom filter membership index (incremental-dedup scale path)
+# --------------------------------------------------------------------------
+def build_bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build a Bloom filter over a key column as a packed numpy bit array
+    (m_bits/8 bytes — 128 KB at the default size, CONSTANT in corpus
+    size).  Each key sets `n_hashes` bits at `xxhash64(i·seed', key) mod
+    m_bits`; the distributed side ships only the DISTINCT set positions
+    (≤ m_bits rows by construction — the exchange is bounded by the
+    filter size, never the corpus), and the driver packs them.
+
+    This is the maintainable membership index for incremental pipelines:
+    built once per corpus snapshot (or unioned monotonically across
+    appends — Bloom bits only ever turn on), probed per batch without
+    touching the corpus.  False positives are a cost knob (they trigger
+    exact confirmation), never a correctness one; false negatives are
+    impossible, so a negative probe is PROOF of novelty."""
+    pos_arrays = F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(i * 1_000_003 + seed), F.col(key_col)),
+                F.lit(m_bits),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    rows = (
+        keys.select(F.explode(pos_arrays).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    if rows:
+        bits[np.array([r["pos"] for r in rows], dtype=np.int64)] = True
+    return np.packbits(bits)
+
+
+def bloom_might_contain(
+    packed: np.ndarray,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 42,
+):
+    """Return a Column-function probing :func:`build_bloom_bits` output:
+    TRUE iff every hash position is set.  The packed filter rides into
+    executors as a closure constant (the broadcast-small-side pattern);
+    probing stays JVM-side for the hash columns and crosses to one
+    Arrow-batched numpy gather for the bit test."""
+    bits = np.unpackbits(packed).astype(bool)
+
+    @F.pandas_udf("boolean")
+    def probe(*pos_cols: pd.Series) -> pd.Series:
+        out = np.ones(len(pos_cols[0]), dtype=bool)
+        for p in pos_cols:
+            out &= bits[p.to_numpy(dtype=np.int64)]
+        return pd.Series(out)
+
+    def apply(key: Column) -> Column:
+        return probe(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(i * 1_000_003 + seed), key),
+                    F.lit(m_bits),
+                )
+                for i in range(n_hashes)
+            ]
+        )
+
+    return apply

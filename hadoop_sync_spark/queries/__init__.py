@@ -124,6 +124,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q114_ivf_pq_topk",  # displaces q05 (agg family carried by q01/q09/q20)
     "q115_per_source_quality_gate",  # displaces q06 (semi/anti carried by q07)
     "q116_eval_per_lang",  # displaces q19 (array family carried by q22)
+    "q117_bloom_incremental_dedup",  # displaces q13 (lag carried by q28)
     "q01_pricing_summary",
     "q02_filter_predicates",
     "q03_top_unshipped_orders",
@@ -131,7 +132,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q08_late_shipments",
     "q09_distinct_counts",
     "q12_top_orders_per_customer",
-    "q13_event_gaps",
     "q15_nation_set_ops",
     # q16_distinct_segments displaced (distinct family already carried by
     # q09 in-window) to fit q109, new this round — never-checked rule 1

@@ -906,6 +906,37 @@ _SQL_Q99 = """
 """
 
 
+def _q99_batch(d: DataFrame) -> DataFrame:
+    """The deterministic synthetic 'incoming batch' both q99 and q117
+    classify (see the _SQL_Q99 comment for the planting rule)."""
+    b = d.filter(F.col("doc_id") % 10 == 0).alias("b")
+    c = d.select(
+        (F.col("doc_id") - 1).alias("_cid"), F.col("text").alias("_ctext")
+    ).alias("c")
+    e = d.select(
+        (F.col("doc_id") - 10).alias("_did"), F.col("text").alias("_dtext")
+    ).alias("e")
+    return (
+        b.join(c, F.col("b.doc_id") == F.col("_cid"), "left")
+        .join(e, F.col("b.doc_id") == F.col("_did"), "left")
+        .select(
+            "b.doc_id",
+            F.when(
+                (F.col("b.doc_id") % 30 == 0) & F.col("_ctext").isNotNull(),
+                F.col("_ctext"),
+            )
+            .when(
+                (F.col("b.doc_id") % 30 != 0)
+                & (F.col("b.doc_id") % 40 == 0)
+                & F.col("_dtext").isNotNull(),
+                F.col("_dtext"),
+            )
+            .otherwise(F.col("b.text"))
+            .alias("text"),
+        )
+    )
+
+
 @register(
     "q99_incremental_dedup",
     oracle=_SQL_Q99,
@@ -928,32 +959,7 @@ def q99_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-query (docstring note above) so all three statuses occur at every
     SF."""
     d = t(spark, sf_dir, "documents")
-    b = d.filter(F.col("doc_id") % 10 == 0).alias("b")
-    c = d.select(
-        (F.col("doc_id") - 1).alias("_cid"), F.col("text").alias("_ctext")
-    ).alias("c")
-    e = d.select(
-        (F.col("doc_id") - 10).alias("_did"), F.col("text").alias("_dtext")
-    ).alias("e")
-    batch = (
-        b.join(c, F.col("b.doc_id") == F.col("_cid"), "left")
-        .join(e, F.col("b.doc_id") == F.col("_did"), "left")
-        .select(
-            "b.doc_id",
-            F.when(
-                (F.col("b.doc_id") % 30 == 0) & F.col("_ctext").isNotNull(),
-                F.col("_ctext"),
-            )
-            .when(
-                (F.col("b.doc_id") % 30 != 0)
-                & (F.col("b.doc_id") % 40 == 0)
-                & F.col("_dtext").isNotNull(),
-                F.col("_dtext"),
-            )
-            .otherwise(F.col("b.text"))
-            .alias("text"),
-        )
-    )
+    batch = _q99_batch(d)
     bfp = batch.select("doc_id", fingerprint(F.col("text")).alias("f"))
     corpus = d.filter(F.col("doc_id") % 10 != 0).select(
         "doc_id", fingerprint(F.col("text")).alias("f")
@@ -970,6 +976,75 @@ def q99_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_batch_dup = F.col("doc_id") > F.col("batch_first")
     return (
         bfp.join(F.broadcast(corpus_min), "f", "left")
+        .join(F.broadcast(batch_min), "f")
+        .select(
+            "doc_id",
+            F.when(has_corpus, F.lit("dup_of_corpus"))
+            .when(in_batch_dup, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.when(has_corpus, F.col("corpus_canonical"))
+            .when(in_batch_dup, F.col("batch_first"))
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 — Bloom-prefiltered incremental dedup (the amortized-index path)
+# --------------------------------------------------------------------------
+@register(
+    "q117_bloom_incremental_dedup",
+    oracle=_SQL_Q99,
+    tags=("dedup", "incremental", "bloom", "l3"),
+)
+def q117_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q99's classification through a Bloom membership index (Bloom,
+    CACM'70) — the SAME exact answer (same oracle SQL), different scale
+    mechanism: q99 probes the corpus per batch (one corpus scan every
+    batch); here corpus membership is pre-baked into a constant-size bit
+    array (128 KB at 2²⁰ bits) that is built once per snapshot, grows
+    monotonically under appends (bits only turn on), and answers most
+    batch rows WITHOUT touching the corpus.  Only Bloom-POSITIVE
+    fingerprints pay the exact corpus confirmation join (true dups +
+    the false-positive margin); a negative probe is proof of novelty —
+    false negatives are impossible, so exactness is preserved by
+    construction, which is why the full q99 oracle applies verbatim.
+
+    At 100 TB: a per-batch corpus scan is the dominant cost of q99's
+    shape; the Bloom flips that to O(batch) probes + point-lookup
+    confirms on the candidate set, with the index 9.6 bits/key at 1%
+    FPR — the only membership structure that fits in executor memory
+    when the fingerprint set does not.  FPR/no-false-negative
+    properties are asserted in tests/test_dedup.py."""
+    from hadoop_sync_spark.functions.hashing import (
+        bloom_might_contain,
+        build_bloom_bits,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    batch = _q99_batch(d)
+    bfp = batch.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("f")
+    )
+    # snapshot-time index build (amortized across batches in production)
+    packed = build_bloom_bits(corpus, "f")
+    probe = bloom_might_contain(packed)
+    probed = bfp.withColumn("_maybe", probe(F.col("f")))
+    # only Bloom-positive fingerprints reach the exact corpus confirm
+    cand = probed.filter(F.col("_maybe")).select("f").distinct()
+    corpus_min = (
+        corpus.join(F.broadcast(cand), "f")
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("corpus_canonical"))
+    )
+    batch_min = bfp.groupBy("f").agg(F.min("doc_id").alias("batch_first"))
+    has_corpus = F.col("corpus_canonical").isNotNull()
+    in_batch_dup = F.col("doc_id") > F.col("batch_first")
+    return (
+        probed.join(F.broadcast(corpus_min), "f", "left")
         .join(F.broadcast(batch_min), "f")
         .select(
             "doc_id",

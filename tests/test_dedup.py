@@ -191,3 +191,51 @@ def test_star_components_converge_on_long_chain(spark):
         for r in connected_components_star(edges, max_iter=15).collect()
     }
     assert got == {(i, 0) for i in range(n)}
+
+
+def test_bloom_filter_no_false_negatives_and_low_fpr(spark):
+    """The Bloom index must answer TRUE for EVERY inserted key (false
+    negatives are what would corrupt q117's exactness) and stay under a
+    2% false-positive rate on disjoint keys at the default sizing
+    (2^20 bits / 5 hashes — 1% expected at ~87k keys, far above the
+    fixture's)."""
+    from hadoop_sync_spark.functions.hashing import (
+        bloom_might_contain,
+        build_bloom_bits,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(5000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("f")
+    )
+    packed = build_bloom_bits(keys, "f")
+    probe = bloom_might_contain(packed)
+    inserted = keys.select(probe(F.col("f")).alias("hit"))
+    assert inserted.filter(~F.col("hit")).count() == 0
+
+    others = spark.range(5000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("f")
+    )
+    fpr = (
+        others.select(probe(F.col("f")).cast("int").alias("hit"))
+        .agg(F.avg("hit"))
+        .first()[0]
+    )
+    assert fpr < 0.02, f"false-positive rate {fpr}"
+
+
+def test_bloom_incremental_dedup_equals_exact_path(spark, sf_dir):
+    """q117 (Bloom-prefiltered) must return row-for-row the same
+    classification as q99 (direct broadcast probe) — the Bloom is a
+    cost lever, never a semantics one."""
+    from hadoop_sync_spark.queries import load_all
+
+    qs = load_all()
+    a = sorted(
+        tuple(r) for r in qs["q99_incremental_dedup"].fn(spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in qs["q117_bloom_incremental_dedup"].fn(spark, sf_dir).collect()
+    )
+    assert a == b
