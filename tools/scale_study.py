@@ -108,6 +108,9 @@ STUDY_QUERIES = [
     "q112_quality_constraints",  # single-pass constraint report
     "q113_shard_shuffle",     # per-shard window, no global sort
     "q114_ivf_pq_topk",       # composed coarse probe × ADC scan
+    "q115_per_source_quality_gate",  # per-source rank gate
+    "q116_eval_per_lang",     # WindowGroupLimit per-group top-k
+    "q117_bloom_incremental_dedup",  # bloom index + exact confirm
 ]
 
 
