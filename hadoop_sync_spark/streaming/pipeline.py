@@ -408,3 +408,20 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC join: each streaming event enriched with a batch
+    dimension row (per-user attributes here) — the third join shape
+    Structured Streaming supports, completing stream-stream
+    (attribution_join) and windowed aggregation.  Stateless by design:
+    the static side is simply (re)broadcast per micro-batch, so there is
+    no join state to watermark, and a dimension refresh between batches
+    is picked up automatically — the streaming face of the broadcast
+    dimension joins (q21) and the reference's catalog-sized joins (A7).
+
+    Scale: identical to the batch rule — dimension broadcastable →
+    BroadcastHashJoin per micro-batch, no shuffle of the stream."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), "user_id", "left")

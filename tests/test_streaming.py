@@ -364,3 +364,35 @@ def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
         assert (m2.value_cents_s == 2 * m2.value_cents_b).all()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_static_join_equals_batch(spark, events_dir, tmp_path):
+    """Stream-static enrichment at end-of-input must equal the same join
+    run in batch: every event carries its user's static attributes, and
+    events whose user is missing from the dimension survive (left join)
+    with NULLs."""
+    from hadoop_sync_spark.streaming.pipeline import enrich_with_dimension
+
+    # static per-user dimension derived once, batch-side; drop some users
+    # so the left-join NULL path is exercised
+    dim = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+        .filter(F.col("user_id") % 3 != 0)
+    )
+    stream = enrich_with_dimension(
+        stream_events(spark, events_dir).select("event_id", "user_id"), dim
+    )
+    name = _qname("ssj")
+    got = run_available_now(
+        stream, str(tmp_path / "ckpt"), name, output_mode="append"
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id")
+        .join(F.broadcast(dim), "user_id", "left")
+    )
+    cols = ["event_id", "user_id", "user_events"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert got.filter(F.col("user_events").isNull()).count() > 0
