@@ -125,6 +125,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q115_per_source_quality_gate",  # displaces q06 (semi/anti carried by q07)
     "q116_eval_per_lang",  # displaces q19 (array family carried by q22)
     "q117_bloom_incremental_dedup",  # displaces q13 (lag carried by q28)
+    "q118_split_leakage",  # displaces q15 (set-op family rechecked r4)
     "q01_pricing_summary",
     "q02_filter_predicates",
     "q03_top_unshipped_orders",
@@ -132,7 +133,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q08_late_shipments",
     "q09_distinct_counts",
     "q12_top_orders_per_customer",
-    "q15_nation_set_ops",
     # q16_distinct_segments displaced (distinct family already carried by
     # q09 in-window) to fit q109, new this round — never-checked rule 1
     "q109_fingerprint_drilldown",

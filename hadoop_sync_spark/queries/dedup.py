@@ -1296,3 +1296,99 @@ def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the span key would be md5(span) (16 bytes vs the text) —
     kept verbatim here so the reassembly is oracle-checkable."""
     return span_dedup_frame(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+# q118 — train/test split-leakage audit (cross-split duplicate content)
+# --------------------------------------------------------------------------
+#: q74's split rule (sampling._SQL_BUCKET twin), inlined for the oracle
+_SQL_SPLIT = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "q118_split_leakage",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(lower(trim(text, ' '))) AS exact_key,
+               md5(array_to_string(list_sort(list_distinct(
+                   {_SQL_NORM_TOKENS})), ' ')) AS set_key,
+               {_SQL_SPLIT} AS split
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.lang, 'exact' AS kind,
+               a.doc_id AS test_doc, b.doc_id AS train_doc
+        FROM fp a JOIN fp b ON a.exact_key = b.exact_key
+        WHERE a.split = 'test' AND b.split = 'train'
+        UNION ALL
+        SELECT a.lang, 'token_set',
+               a.doc_id, b.doc_id
+        FROM fp a JOIN fp b ON a.set_key = b.set_key
+        WHERE a.split = 'test' AND b.split = 'train'
+    )
+    SELECT lang, kind,
+           CAST(COUNT(*) AS BIGINT) AS leak_pairs,
+           MIN(test_doc) AS min_test_doc,
+           MIN(train_doc) AS min_train_doc
+    FROM pairs GROUP BY lang, kind
+    """,
+    tags=("dedup", "leakage", "split", "l3"),
+)
+def q118_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit: every TEST document whose content
+    already appears in TRAIN — at two severities: byte-exact (md5 of
+    normalized text) and token-set (order/multiplicity-insensitive, the
+    q61 key, catching shuffled/padded re-crawls).  This is the audit an
+    eval pipeline runs before trusting held-out numbers: the q74 split
+    is leakage-safe BY ID (membership is a pure hash of doc_id), but
+    nothing stops two DIFFERENT ids carrying the same content across the
+    boundary — which is exactly what this surfaces (the fixture has
+    zero exact leaks and dozens of token-set leaks).  Reported per
+    (lang, severity) with deterministic witness ids.
+
+    Scale: two hash joins on uniform 128-bit content keys (never a
+    data×data nested loop), each shuffling the corpus once; the split
+    column is a free narrow projection.  Composable with the near-dup
+    tiers (MinHash bands across the boundary) when exact/set equality
+    is too strict."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    fp = d.select(
+        "doc_id",
+        "lang",
+        fingerprint(F.col("text")).alias("exact_key"),
+        token_set_key(F.col("text")).alias("set_key"),
+        split.alias("split"),
+    )
+    test = fp.filter(F.col("split") == "test")
+    train = fp.filter(F.col("split") == "train")
+
+    def leaks(key: str, kind: str) -> DataFrame:
+        a = test.select(
+            "lang", F.col("doc_id").alias("test_doc"), F.col(key).alias("k")
+        )
+        b = train.select(F.col("doc_id").alias("train_doc"), F.col(key).alias("k"))
+        return a.join(b, "k").select(
+            "lang", F.lit(kind).alias("kind"), "test_doc", "train_doc"
+        )
+
+    pairs = leaks("exact_key", "exact").unionByName(
+        leaks("set_key", "token_set")
+    )
+    return pairs.groupBy("lang", "kind").agg(
+        F.count("*").alias("leak_pairs"),
+        F.min("test_doc").alias("min_test_doc"),
+        F.min("train_doc").alias("min_train_doc"),
+    )
