@@ -728,6 +728,19 @@ def pq_encode(
     tensor is O(m·ksub·dsub) doubles and rides into executors as a
     closure constant.  NULL/empty/zero-norm vectors are dropped (they
     have no meaningful code), mirroring the IVF bucket semantics."""
+    encode = pq_encoder(books)
+    return vectors.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        & (l2_norm(F.col(vec_col)) > 0)
+    ).select(F.col(id_col), encode(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_encoder(books: np.ndarray):
+    """The Arrow encode UDF behind :func:`pq_encode`, exposed so callers
+    that also need other per-row UDF columns (the IVF-PQ composition)
+    can compute codes and bucket in ONE narrow select instead of joining
+    two corpus-sized derived frames."""
     m, ksub, dsub = books.shape
     b2 = (books**2).sum(axis=2)  # (m, ksub)
 
@@ -742,11 +755,7 @@ def pq_encode(
             codes[:, j] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
-    return vectors.filter(
-        F.col(vec_col).isNotNull()
-        & (F.size(F.col(vec_col)) > 0)
-        & (l2_norm(F.col(vec_col)) > 0)
-    ).select(F.col(id_col), encode(F.col(vec_col)).alias("pq_codes"))
+    return encode
 
 
 def pq_topk(
@@ -898,17 +907,31 @@ def ivf_pq_topk(
     samples (constant in corpus size); the bucket restriction is a
     broadcast hash join on centroid_id; the ADC pass reads only codes;
     the exact rescore touches n_candidates·|queries| full vectors."""
-    cents, assign = ivf_assign(
-        vectors, n_centroids, id_col, vec_col, centroids, seed=seed
-    )
+    if centroids == "kmeans":
+        cents = kmeans_centroids(
+            vectors, n_centroids, vec_col=vec_col, seed=seed, id_col=id_col
+        )
+    else:
+        cents, _ = ivf_assign(
+            vectors, n_centroids, id_col, vec_col, centroids, seed=seed
+        )
     books = pq_codebooks(
         vectors, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col).join(
-        assign.withColumnRenamed(id_col, "_cid").withColumnRenamed(
-            "centroid_id", "_bucket"
+    # codes AND bucket in ONE narrow select (two Arrow UDFs on the same
+    # row) — a join of two corpus-sized derived frames would shuffle the
+    # whole corpus just to reunite columns born from the same row
+    encode = pq_encoder(books)
+    codes = vectors.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        & (l2_norm(F.col(vec_col)) > 0)
+    ).select(
+        F.col(id_col),
+        encode(F.col(vec_col)).alias("pq_codes"),
+        nearest_centroids(cents, n_keep=1)(F.col(vec_col))[0].alias(
+            "_bucket"
         ),
-        F.col(id_col) == F.col("_cid"),
     )
 
     qrows = [
