@@ -205,3 +205,38 @@ def test_eval_per_lang_plans_window_group_limit(spark, sf_dir):
     df = load_all()["q116_eval_per_lang"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the runtime face of the reference's
+    min/max shard pruning (README.md:44-46): a selective dim-side filter
+    must inject a runtime subquery into the partitioned fact scan
+    (SubqueryAdaptiveBroadcast dynamicpruning#N), so only matching
+    partition directories are read at all.  At 100 TB this is the
+    difference between scanning one year and scanning the table; it
+    composes with the registry's static file pruning (q81) and the
+    runtime bloom filter (test above)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_sync_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    fact_dir = str(tmp_path / "po")
+    dim_dir = str(tmp_path / "dim")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year"
+    ).mode("overwrite").parquet(fact_dir)
+    (
+        orders.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("prio") == "1-URGENT")
+    j = fact.join(dim, "o_year").groupBy("prio").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
