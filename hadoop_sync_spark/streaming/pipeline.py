@@ -416,9 +416,15 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
     Structured Streaming supports, completing stream-stream
     (attribution_join) and windowed aggregation.  Stateless by design:
     the static side is simply (re)broadcast per micro-batch, so there is
-    no join state to watermark, and a dimension refresh between batches
-    is picked up automatically — the streaming face of the broadcast
+    no join state to watermark — the streaming face of the broadcast
     dimension joins (q21) and the reference's catalog-sized joins (A7).
+    Caveat (verified empirically): a parquet-backed static side pins its
+    FILE LISTING at stream construction — an overwrite between
+    micro-batches throws FILE_NOT_EXIST even after refreshByPath/
+    refreshTable; picking up dimension refreshes requires a
+    re-resolvable table format (Delta/Iceberg) or restarting the query
+    with a rebuilt plan.  Restart-per-refresh composes cleanly with
+    Trigger.AvailableNow drains (the pattern the tests use).
 
     Scale: identical to the batch rule — dimension broadcastable →
     BroadcastHashJoin per micro-batch, no shuffle of the stream."""
