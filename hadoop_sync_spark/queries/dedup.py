@@ -1352,11 +1352,16 @@ def q118_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero exact leaks and dozens of token-set leaks).  Reported per
     (lang, severity) with deterministic witness ids.
 
-    Scale: two hash joins on uniform 128-bit content keys (never a
-    data×data nested loop), each shuffling the corpus once; the split
-    column is a free narrow projection.  Composable with the near-dup
-    tiers (MinHash bands across the boundary) when exact/set equality
-    is too strict."""
+    Scale: the pair COUNT is computed from per-key group sizes
+    (Σ n_test·n_train over shared keys) — both sides aggregate to one
+    row per content key BEFORE the join, so a degenerate mega-group
+    (thousands of empty/boilerplate documents sharing one set key — the
+    common crawl pathology) costs counts×counts arithmetic, never a
+    materialized quadratic pair expansion; the oracle states the same
+    number by expanding pairs, which DuckDB can afford at fixture
+    scale.  Two shuffles per severity (group + key join), hash joins on
+    uniform 128-bit keys.  Composable with the near-dup tiers (MinHash
+    bands across the boundary) when exact/set equality is too strict."""
     d = t(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1376,19 +1381,33 @@ def q118_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = fp.filter(F.col("split") == "train")
 
     def leaks(key: str, kind: str) -> DataFrame:
-        a = test.select(
-            "lang", F.col("doc_id").alias("test_doc"), F.col(key).alias("k")
+        a = (
+            test.groupBy(F.col(key).alias("k"), "lang")
+            .agg(
+                F.count("*").alias("n_test"),
+                F.min("doc_id").alias("t_min"),
+            )
         )
-        b = train.select(F.col("doc_id").alias("train_doc"), F.col(key).alias("k"))
+        b = (
+            train.groupBy(F.col(key).alias("k"))
+            .agg(
+                F.count("*").alias("n_train"),
+                F.min("doc_id").alias("tr_min"),
+            )
+        )
         return a.join(b, "k").select(
-            "lang", F.lit(kind).alias("kind"), "test_doc", "train_doc"
+            "lang",
+            F.lit(kind).alias("kind"),
+            (F.col("n_test") * F.col("n_train")).alias("npairs"),
+            "t_min",
+            "tr_min",
         )
 
-    pairs = leaks("exact_key", "exact").unionByName(
+    per_key = leaks("exact_key", "exact").unionByName(
         leaks("set_key", "token_set")
     )
-    return pairs.groupBy("lang", "kind").agg(
-        F.count("*").alias("leak_pairs"),
-        F.min("test_doc").alias("min_test_doc"),
-        F.min("train_doc").alias("min_train_doc"),
+    return per_key.groupBy("lang", "kind").agg(
+        F.sum("npairs").alias("leak_pairs"),
+        F.min("t_min").alias("min_test_doc"),
+        F.min("tr_min").alias("min_train_doc"),
     )
