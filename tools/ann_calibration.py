@@ -22,7 +22,9 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 from hadoop_sync_spark.functions.vectors import (  # noqa: E402
     brute_force_topk,
+    ivf_pq_topk,
     ivf_topk,
+    pq_topk,
     rp_lsh_topk,
 )
 
@@ -50,6 +52,22 @@ def measure(spark, sf_dir: str) -> None:
             rp_lsh_topk(
                 emb, queries, k=10, n_planes=48, band_bits=6,
                 with_candidates=True,
+            ),
+        ),
+        (
+            "q111_pq",
+            1.4,
+            pq_topk(
+                emb, queries, k=10, m=8, ksub=16, n_candidates=50,
+                with_candidates=True,
+            ),
+        ),
+        (
+            "q114_ivf_pq",
+            1.4,
+            ivf_pq_topk(
+                emb, queries, k=10, n_centroids=16, n_probe=4, m=8,
+                ksub=16, n_candidates=50, with_candidates=True,
             ),
         ),
     ]:
