@@ -73,6 +73,10 @@ class _Reader(DataSourceReader):
         self.parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
+        if self.rows <= 0:
+            # rows=0 is a valid empty scan; a zero range step would
+            # raise an opaque ValueError inside partition planning
+            return [_Range(0, 0)]
         step = (self.rows + self.parts - 1) // self.parts
         return [
             _Range(lo, min(lo + step, self.rows))

@@ -242,9 +242,12 @@ def nearest_centroids(cents: DataFrame, n_keep: int):
 
     @F.pandas_udf("array<int>")
     def nearest(v: pd.Series) -> pd.Series:
-        # NULL vectors propagate NULL (np.stack would crash on None —
-        # the old join formulation dropped them via isNotNull semantics)
-        mask = np.array([x is not None for x in v], dtype=bool)
+        # NULL and EMPTY vectors propagate NULL (np.stack would crash on
+        # None, and a (0,)-shaped member breaks the stack/matmul shapes —
+        # the old join formulation dropped both via isNotNull semantics)
+        mask = np.array(
+            [x is not None and len(x) > 0 for x in v], dtype=bool
+        )
         tops: list = []
         if mask.any():
             X = np.stack(v[mask].to_numpy()).astype(np.float64)
@@ -800,7 +803,12 @@ def pq_topk(
         for r in queries.select(
             F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
         ).collect()
-        if r["_qv"] is not None and len(r["_qv"]) > 0
+        if r["_qv"] is not None
+        and len(r["_qv"]) > 0
+        # zero-norm queries would normalize to NaN lookup tables and
+        # silently rank arbitrary candidates (review finding) — drop
+        # them like the corpus side's l2_norm > 0 filter does
+        and float(np.linalg.norm(r["_qv"])) > 0.0
     ]
     qids = [int(r["_qid"]) for r in qrows]
     Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
@@ -939,7 +947,12 @@ def ivf_pq_topk(
         for r in queries.select(
             F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
         ).collect()
-        if r["_qv"] is not None and len(r["_qv"]) > 0
+        if r["_qv"] is not None
+        and len(r["_qv"]) > 0
+        # zero-norm queries would normalize to NaN lookup tables and
+        # silently rank arbitrary candidates (review finding) — drop
+        # them like the corpus side's l2_norm > 0 filter does
+        and float(np.linalg.norm(r["_qv"])) > 0.0
     ]
     qids = [int(r["_qid"]) for r in qrows]
     Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)

@@ -1216,8 +1216,8 @@ def span_dedup_sql(table: str = "documents", w: int = _SPAN_W) -> str:
     SELECT s.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
            CAST(COUNT(*) FILTER (c.nd >= 2) AS BIGINT) AS dup_spans,
-           string_agg(s.span, ' ' ORDER BY s.span_no) FILTER (c.nd < 2)
-             AS kept_text
+           NULLIF(string_agg(s.span, ' ' ORDER BY s.span_no)
+                    FILTER (c.nd < 2), '') AS kept_text
     FROM spans s JOIN counts c USING (span)
     GROUP BY s.doc_id
     """
@@ -1285,8 +1285,14 @@ def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_text), kept_text NULL when every span was shared.
 
     Fully value-checked: span extraction, the distinct-document counts,
-    and the reassembled text must agree byte-for-byte with the oracle
-    (Spark's empty concat_ws is NULLIFed to match string_agg-over-none).
+    and the reassembled text must agree byte-for-byte with the oracle.
+    Both sides NULLIF an empty reassembly: Spark's concat_ws returns ''
+    for zero kept spans where string_agg returns NULL, and — the
+    converse, caught by review — a document whose ONLY kept span is the
+    empty string aggregates to '' in DuckDB while Spark's nullif had
+    already collapsed it; the double NULLIF makes the two agree on NULL
+    for every empty-string reassembly (tests/test_dedup.py pins the
+    lone-empty-doc case).
 
     Scale: explode is n_tokens/8 rows; the span-frequency pass is one
     partial+final aggregation keyed by the span text (uniform-ish key
@@ -1301,13 +1307,10 @@ def q110_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q118 — train/test split-leakage audit (cross-split duplicate content)
 # --------------------------------------------------------------------------
-#: q74's split rule (sampling._SQL_BUCKET twin), inlined for the oracle
-_SQL_SPLIT = (
-    "CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
-    "AS BIGINT) % 100 < 80 THEN 'train' "
-    "WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
-    "AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END"
-)
+#: q74's split rule, imported — the audit must test the SAME assignment
+#: q74 produces, so neither the rule nor the hash idiom is re-spelled here
+from hadoop_sync_spark.queries.sampling import SQL_SPLIT as _SQL_SPLIT
+from hadoop_sync_spark.queries.sampling import split_col as _split_col
 
 
 @register(
@@ -1363,13 +1366,7 @@ def q118_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform 128-bit keys.  Composable with the near-dup tiers (MinHash
     bands across the boundary) when exact/set equality is too strict."""
     d = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
+    split = _split_col()
     fp = d.select(
         "doc_id",
         "lang",

@@ -79,13 +79,34 @@ def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q74 — deterministic train/val/test split with per-cell counts
 # --------------------------------------------------------------------------
+#: the ONE split rule: q74 assigns it, q118's leakage audit must audit
+#: the SAME rule — both sides (Spark and SQL) are built from these
+TRAIN_PCT, VAL_PCT = 80, 90
+
+#: DuckDB spelling of :func:`split_col`.
+SQL_SPLIT = (
+    f"CASE WHEN {_SQL_BUCKET} < {TRAIN_PCT} THEN 'train' "
+    f"WHEN {_SQL_BUCKET} < {VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+
+def split_col() -> Column:
+    """The q74 train/val/test assignment as a Column (pure function of
+    doc_id — shared with the q118 leakage audit so the two can never
+    drift onto different split rules)."""
+    bucket = hash_bucket(F.col("doc_id"))
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
 @register(
     "q74_train_val_test_split",
     oracle=f"""
     SELECT lang,
-           CASE WHEN {_SQL_BUCKET} < 80 THEN 'train'
-                WHEN {_SQL_BUCKET} < 90 THEN 'val'
-                ELSE 'test' END AS split,
+           {SQL_SPLIT} AS split,
            COUNT(*) AS doc_cnt,
            CAST(SUM(n_chars) AS BIGINT) AS char_cnt
     FROM documents
@@ -102,10 +123,7 @@ def q74_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the split column is free (no shuffle); the count is one
     partial+final aggregation."""
     d = t(spark, sf_dir, "documents")
-    bucket = hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
+    split = split_col()
     return (
         d.select("lang", split.alias("split"), "n_chars")
         .groupBy("lang", "split")
@@ -189,14 +207,19 @@ _N_SHARDS = 8
 #: each shard by its own bucket residue — correlated, not shuffled).
 _SQL_ORDER_H = sql_md5_prefix_long("'ord1|' || CAST(doc_id AS VARCHAR)")
 
+#: shard directly as md5-prefix mod 8 — (hash % 100) % 8 would give
+#: residues 0-3 a systematic 13/100-vs-12/100 size bias (review finding:
+#: 100 = 12·8 + 4), ~8% heavier shards for half the ranks on EVERY corpus
+_SQL_SHARD = f"{sql_md5_prefix_long('CAST(doc_id AS VARCHAR)')} % {_N_SHARDS}"
+
 
 @register(
     "q113_shard_shuffle",
     oracle=f"""
     SELECT doc_id,
-           {_SQL_BUCKET} % {_N_SHARDS} AS shard,
+           {_SQL_SHARD} AS shard,
            CAST(ROW_NUMBER() OVER (
-               PARTITION BY {_SQL_BUCKET} % {_N_SHARDS}
+               PARTITION BY {_SQL_SHARD}
                ORDER BY {_SQL_ORDER_H}, doc_id
            ) AS BIGINT) AS pos
     FROM documents
@@ -223,7 +246,7 @@ def q113_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    shard = hash_bucket(F.col("doc_id")) % _N_SHARDS
+    shard = hash_bucket(F.col("doc_id"), _N_SHARDS)
     order_h = md5_prefix_long(
         F.concat(F.lit("ord1|"), F.col("doc_id").cast("string"))
     )

@@ -93,7 +93,22 @@ def _ann_contract(
     fixture puts it.  A fixture regeneration moves the baseline with the
     data instead of stranding a tuned constant (recall floors 0.35/0.55
     were measured on round-2 fixtures; this replaces them).  All attaches
-    are one-row broadcast scalars — no data×data join."""
+    are one-row broadcast scalars — no data×data join.
+
+    The contract references `ann` twice (shape + hits) and `candidates`
+    once, and every subtree shares the expensive signature/ADC/bucket
+    pipeline — which the pandas-UDF stages keep Spark from reusing
+    across subtrees (same ReuseExchange defeat as minhash_lsh_pairs), so
+    without a persist each driver check pays up to two extra full
+    pipeline executions.  Both frames are persisted EAGERLY (lazy
+    persists lose the race against the concurrent one-row broadcast
+    jobs, the q63 lesson) and freed before returning the one-row plan."""
+    from pyspark import StorageLevel
+
+    ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    ann.count()
+    candidates.count()
     per_q = ann.groupBy("query_id").agg(F.count("*").alias("n"))
     shape = per_q.agg(
         F.count("*").alias("n_queries"),

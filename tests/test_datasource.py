@@ -51,3 +51,8 @@ def test_source_feeds_engine_operators(spark):
     out = span_dedup_frame(df.select("doc_id", "text"), w=8)
     assert out.count() == 300
     assert out.filter("n_spans <= 0").count() == 0
+
+
+def test_rows_zero_is_empty_scan(spark):
+    df = _read(spark, 0, 4)
+    assert df.count() == 0

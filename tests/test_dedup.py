@@ -239,3 +239,32 @@ def test_bloom_incremental_dedup_equals_exact_path(spark, sf_dir):
         for r in qs["q117_bloom_incremental_dedup"].fn(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_span_dedup_lone_empty_doc_matches_oracle(spark):
+    """Review-caught parity hole: a document whose ONLY kept span is the
+    empty string — Spark's nullif collapsed '' to NULL while DuckDB's
+    string_agg kept ''; both sides now NULLIF, agreeing on NULL.  The
+    committed fuzz corpus masked it (five docs share the empty span, so
+    nd>=2 drops it before reassembly)."""
+    import duckdb
+    import pandas as pd
+
+    from hadoop_sync_spark.queries.dedup import (
+        span_dedup_frame,
+        span_dedup_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["", "a b c d", "e f g h"]}
+    )
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = sorted(tuple(r) for r in span_dedup_frame(sdf, w=3).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(tuple(r) for r in con.sql(
+        span_dedup_sql("documents", w=3)
+    ).fetchall())
+    assert got == want
+    # and the lone empty doc's reassembly is NULL on both engines
+    assert got[0] == (0, 1, 0, None)

@@ -1,7 +1,8 @@
 """Machine-checked driver-window rotation ledger (WINDOW.md policy).
 
 The driver records CORRECTNESS rows for only the first 50 entries of
-``queries_map()``; with 108 registered queries the window must rotate so
+``queries_map()``; the registry holds over twice that many queries
+(``len(load_all())`` is the live count), so the window must rotate so
 every query keeps a reasonably fresh green row.  These tests parse the
 ``CORRECTNESS_r*.json`` history in the repo root (the ground truth the
 judge reads) instead of a hand-maintained table, and fail the build when
