@@ -83,6 +83,38 @@ def brute_force_topk(
     )
 
 
+def _collect_sample(
+    vectors: DataFrame,
+    cap: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> np.ndarray:
+    """The shared bounded, deterministic, hash-ordered training sample
+    (raw float64 rows, NULL/empty dropped, zero-norm rows retained for
+    the caller to drop after its own slicing — slicing the first k rows
+    of a larger sample is then bit-identical to collecting k directly).
+    Used by both the coarse-centroid and PQ-codebook trainers; callers
+    composing the two (ivf_pq_topk) collect ONE sample and share it
+    instead of paying two TakeOrdered corpus sweeps."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .orderBy(F.xxhash64(F.col("_sid"), F.lit(seed)), F.col("_sid"))
+        .limit(cap)
+        .collect()
+    )
+    return np.array([r["_v"] for r in rows], dtype=np.float64)
+
+
+def _normalize_drop(X: np.ndarray) -> np.ndarray:
+    """L2-normalize sample rows, dropping zero-norm ones."""
+    if X.size:
+        nrm = np.linalg.norm(X, axis=1)
+        X = X[nrm > 0] / nrm[nrm > 0, None]
+    return X
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -91,6 +123,7 @@ def kmeans_centroids(
     max_iter: int = 20,
     id_col: str = "vec_id",
     sample_cap: int | None = None,
+    raw_sample: np.ndarray | None = None,
 ) -> DataFrame:
     """Learn IVF coarse centroids: spherical k-means (k-means++ init +
     Lloyd) on a bounded, deterministic sample of L2-normalized vectors,
@@ -118,17 +151,12 @@ def kmeans_centroids(
     # `transform(v, x -> x / l2_norm(v))` inlines the whole norm fold
     # into every element's lambda — O(dim²) interpreted ops per row,
     # measured ~19 s over 20k×64 vectors vs milliseconds driver-side
-    sample = (
-        vectors.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
-        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-        .orderBy(F.xxhash64(F.col("_sid"), F.lit(seed)), F.col("_sid"))
-        .limit(cap)
-        .collect()
+    X = (
+        raw_sample[:cap]
+        if raw_sample is not None
+        else _collect_sample(vectors, cap, id_col, vec_col, seed)
     )
-    X = np.array([r["_v"] for r in sample], dtype=np.float64)
-    if X.size:
-        nrm = np.linalg.norm(X, axis=1)
-        X = X[nrm > 0] / nrm[nrm > 0, None]
+    X = _normalize_drop(X)
     if len(X) == 0:
         # without this, rs.randint(0) below raises an opaque ValueError
         raise ValueError(
@@ -372,6 +400,19 @@ def rp_signature_lazy(vec: Column, n_planes: int, seed: int = 42) -> Column:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
         dense = np.stack(v.to_numpy())  # (batch, dim)
+        if state and dense.shape[1] not in state:
+            # a mixed-dimensional corpus (bad upstream join, botched
+            # fixture regeneration) would otherwise get a SEPARATE plane
+            # family per dim whose sign bits are bucketed together as if
+            # comparable — silently wrong candidates (second-pass review
+            # finding; the eager `dim=` path fails loudly on the matmul
+            # shape instead).  Within-batch mixes already crash in
+            # np.stack; this catches the cross-batch case per worker.
+            raise ValueError(
+                f"rp_signature_lazy: vector dim {dense.shape[1]} differs "
+                f"from previously seen dim {next(iter(state))} — "
+                "mixed-dimensional corpora cannot share one LSH family"
+            )
         mat = state.get(dense.shape[1])
         if mat is None:
             mat = np.random.RandomState(seed).normal(
@@ -676,6 +717,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_cap: int | None = None,
+    raw_sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train PQ sub-codebooks (Jégou, Douze & Schmid, "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): the
@@ -691,17 +733,12 @@ def pq_codebooks(
     never grows with the corpus.  Returns (m, ksub', dsub) float64; dim
     must divide evenly by m."""
     cap = sample_cap or max(4096, 256 * ksub)
-    sample = (
-        vectors.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
-        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-        .orderBy(F.xxhash64(F.col("_sid"), F.lit(seed)), F.col("_sid"))
-        .limit(cap)
-        .collect()
+    X = (
+        raw_sample[:cap]
+        if raw_sample is not None
+        else _collect_sample(vectors, cap, id_col, vec_col, seed)
     )
-    X = np.array([r["_v"] for r in sample], dtype=np.float64)
-    if X.size:
-        nrm = np.linalg.norm(X, axis=1)
-        X = X[nrm > 0] / nrm[nrm > 0, None]
+    X = _normalize_drop(X)
     if len(X) == 0:
         raise ValueError(
             "pq_codebooks: no trainable vectors — every sampled "
@@ -810,6 +847,11 @@ def pq_topk(
         # them like the corpus side's l2_norm > 0 filter does
         and float(np.linalg.norm(r["_qv"])) > 0.0
     ]
+    if not qrows:
+        raise ValueError(
+            "pq_topk: no searchable queries — every query vector is "
+            "NULL, empty, or zero-norm"
+        )
     qids = [int(r["_qid"]) for r in qrows]
     Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
@@ -915,16 +957,23 @@ def ivf_pq_topk(
     samples (constant in corpus size); the bucket restriction is a
     broadcast hash join on centroid_id; the ADC pass reads only codes;
     the exact rescore touches n_candidates·|queries| full vectors."""
+    # ONE hash-ordered sample sweep serves both trainers (each slices to
+    # its own cap, bit-identical to an independent collect — second-pass
+    # review finding: the duplicated TakeOrdered doubled pre-search I/O)
+    shared_cap = max(4096, 256 * n_centroids, 256 * ksub)
+    raw = _collect_sample(vectors, shared_cap, id_col, vec_col, seed)
     if centroids == "kmeans":
         cents = kmeans_centroids(
-            vectors, n_centroids, vec_col=vec_col, seed=seed, id_col=id_col
+            vectors, n_centroids, vec_col=vec_col, seed=seed,
+            id_col=id_col, raw_sample=raw,
         )
     else:
         cents, _ = ivf_assign(
             vectors, n_centroids, id_col, vec_col, centroids, seed=seed
         )
     books = pq_codebooks(
-        vectors, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, seed=seed
+        vectors, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, seed=seed,
+        raw_sample=raw,
     )
     # codes AND bucket in ONE narrow select (two Arrow UDFs on the same
     # row) — a join of two corpus-sized derived frames would shuffle the
@@ -954,6 +1003,11 @@ def ivf_pq_topk(
         # them like the corpus side's l2_norm > 0 filter does
         and float(np.linalg.norm(r["_qv"])) > 0.0
     ]
+    if not qrows:
+        raise ValueError(
+            "ivf_pq_topk: no searchable queries — every query vector is "
+            "NULL, empty, or zero-norm"
+        )
     qids = [int(r["_qid"]) for r in qrows]
     Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
@@ -964,7 +1018,10 @@ def ivf_pq_topk(
     )  # (nq, m, ksub)
     qpos = {q: i for i, q in enumerate(qids)}
 
-    probes = queries.select(
+    # probes must cover EXACTLY the filtered qids: a degenerate query
+    # that survived into probes would reach adc_pair with no qpos entry
+    # (NaN index → task crash, second-pass review finding)
+    probes = queries.filter(F.col(id_col).isin(qids)).select(
         F.col(id_col).alias("query_id"),
         F.explode(
             nearest_centroids(cents, n_keep=n_probe)(F.col(vec_col))

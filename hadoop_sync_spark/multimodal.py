@@ -198,14 +198,26 @@ def decode_real(content: bytes):
                     for frame in container.decode(video=0)
                 ]
             if container.streams.audio:
+                # frame.to_ndarray() is (channels, samples) and, for the
+                # planar float formats every lossy codec decodes to
+                # ('fltp': float32 in [-1, 1]), a bare astype(int16)
+                # would truncate all samples to 0/±1 and reshape(-1)
+                # would concatenate channel PLANES instead of
+                # interleaving (second-pass review finding) — scale
+                # floats to PCM and interleave via the transpose
+                def pcm(frame):
+                    a = frame.to_ndarray()
+                    if a.ndim == 1:
+                        a = a[None, :]
+                    if np.issubdtype(a.dtype, np.floating):
+                        a = np.clip(a, -1.0, 1.0) * 32767.0
+                    return a.T.reshape(-1).astype(np.int16)
+
                 samples = np.concatenate(
-                    [
-                        frame.to_ndarray().reshape(-1)
-                        for frame in container.decode(audio=0)
-                    ]
+                    [pcm(f) for f in container.decode(audio=0)]
                 )
                 rate = container.streams.audio[0].rate
-                return rate, samples.astype(np.int16)
+                return rate, samples
     except ImportError:
         pass
     raise NotImplementedError(

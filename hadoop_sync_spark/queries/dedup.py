@@ -292,11 +292,16 @@ def _with_planted_clones(
 
 
 def _ids_disjoint(original: DataFrame, id_col: str) -> DataFrame:
-    """One-row broadcast scalar: TRUE iff every original id sits strictly
-    below the clone offset (NULL-safe: empty frame → vacuously TRUE)."""
+    """One-row broadcast scalar: TRUE iff every original id sits in
+    [0, _CLONE_OFFSET) (NULL-safe: empty frame → vacuously TRUE).  The
+    lower bound matters too: a NEGATIVE id (id = 5 − offset) would clone
+    to a legitimate positive id and corrupt the recall join while a
+    max-only check stays green (second-pass review finding)."""
     return original.agg(
         F.coalesce(
-            F.max(F.col(id_col)) < F.lit(_CLONE_OFFSET), F.lit(True)
+            (F.max(F.col(id_col)) < F.lit(_CLONE_OFFSET))
+            & (F.min(F.col(id_col)) >= 0),
+            F.lit(True),
         ).alias("_ids_ok")
     )
 

@@ -102,7 +102,11 @@ def _ann_contract(
     without a persist each driver check pays up to two extra full
     pipeline executions.  Both frames are persisted EAGERLY (lazy
     persists lose the race against the concurrent one-row broadcast
-    jobs, the q63 lesson) and freed before returning the one-row plan."""
+    jobs, the q63 lesson); the contract row is then MATERIALIZED and
+    both caches unpersisted before returning — a lazily returned plan
+    would either hold the caches for the session lifetime (a driver
+    sweep accumulates a dozen cached pipelines) or, unpersisted early,
+    recompute everything at collect time."""
     from pyspark import StorageLevel
 
     ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
@@ -122,7 +126,7 @@ def _ann_contract(
     n_exact = exact.agg(F.count("*").alias("_n_exact"))
     n_cand = candidates.agg(F.count("*").alias("_n_cand"))
     n_corpus = corpus.agg(F.count("*").alias("_n_corpus"))
-    return (
+    assembled = (
         shape.crossJoin(F.broadcast(hits))
         .crossJoin(F.broadcast(n_exact))
         .crossJoin(F.broadcast(n_cand))
@@ -141,6 +145,11 @@ def _ann_contract(
             ).alias("recall_ok"),
         )
     )
+    row = assembled.first()
+    schema = assembled.schema
+    ann.unpersist()
+    candidates.unpersist()
+    return ann.sparkSession.createDataFrame([row], schema)
 
 
 @register(

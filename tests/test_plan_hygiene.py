@@ -25,15 +25,11 @@ BOUNDED_OK = {
     # (broadcast queries × corpus); the scale paths are q71 (IVF) and
     # q72 (sign-LSH) whose candidate joins are hash joins
     "q70_cosine_topk",
-    # the cross nodes are query×CENTROID-TABLE assignment (k centroids,
-    # k ≤ a few hundred, broadcast); the corpus-side candidate join is a
-    # BroadcastHashJoin on centroid_id — asserted below
-    "q71_ivf_topk",
-    # the crosses are ONE-ROW contract attaches (hit count / exact count)
-    # plus the exact-baseline comparison, which is itself the bounded
-    # broadcast-queries shape of q70; the banded candidate join's
-    # hash-join plan is asserted in tests/test_vectors.py
-    "q72_rp_lsh_topk",
+    # q71/q72/q111/q114 no longer need allowlisting: their _ann_contract
+    # rows materialize to a LocalRelation (caches freed eagerly), so the
+    # returned plan carries no joins at all; the operator-level join
+    # shapes are asserted directly (test_ivf_candidate_join_is_hash_join
+    # here, band-join and rescore shapes in tests/test_vectors.py)
     # the cross attaches a ONE-ROW min/max bounds aggregate to the
     # event-type dimension to generate the bucket spine — a scalar
     # attach, not a data×data join
@@ -56,14 +52,6 @@ BOUNDED_OK = {
     # the cross attaches the ONE-ROW per-column bounds aggregate to the
     # histogram bucketing pass (broadcast scalar attach)
     "q100_column_profile",
-    # same ANN acceptance-contract shape as q71/q72: the crosses are
-    # ONE-ROW scalar attaches plus the bounded broadcast-queries exact
-    # baseline; the PQ ADC scan itself is a narrow per-row code pass and
-    # the rescore join is a broadcast hash join on the candidate ids
-    "q111_pq_topk",
-    # same contract shape; the bucket restriction is a BroadcastHashJoin
-    # on the bucket id and the ADC scan is a narrow per-row code pass
-    "q114_ivf_pq_topk",
     # the cross joins the ONE-ROW lineitem metrics aggregate to the
     # ONE-ROW orphan-count aggregate to assemble the 6-row report —
     # both sides are scalar by construction at any corpus size
@@ -96,14 +84,18 @@ def test_no_quadratic_join_shapes(spark, sf_dir, name):
 
 
 def test_ivf_candidate_join_is_hash_join(spark, sf_dir):
-    """q71's allowlisting covers ONLY the bounded centroid-assignment
-    cross: the corpus-side candidate join must still be a hash join on
-    centroid_id, or IVF has silently degraded to brute force."""
-    plan = (
-        QUERIES["q71_ivf_topk"]
-        .fn(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    """The IVF candidate join must be a hash join on centroid_id, or IVF
+    has silently degraded to brute force.  Inspected on the operator
+    itself — the q71 contract row now materializes to a LocalRelation
+    (its caches are freed eagerly), so the pipeline plan is only visible
+    pre-contract."""
+    from pyspark.sql import functions as F
+
+    from hadoop_sync_spark.functions.vectors import ivf_topk
+    from hadoop_sync_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    topk = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin [centroid_id" in plan
