@@ -30,6 +30,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _tracked_ckpt(df: DataFrame) -> tuple[DataFrame, list]:
+    """``localCheckpoint`` plus the underlying persisted-RDD handles.
+
+    The checkpoint cache is RDD-level: ``DataFrame.unpersist()`` only
+    talks to the Catalyst cache manager and is a NO-OP for it (verified
+    empirically), so without handle bookkeeping every loop round leaks
+    one MEMORY_AND_DISK cache until session shutdown.  The handles come
+    from diffing ``sc.getPersistentRDDs()`` around the checkpoint call —
+    exact under the single driver thread that runs these loops (a
+    concurrent checkpoint from another thread could be mis-attributed;
+    these loops are driver-sequential by construction).
+
+    DANGER: freeing a handle makes ITS OWN frame unusable
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next use — lineage was
+    truncated, there is nothing to recompute from).  Only free a round's
+    handles once a LATER checkpoint has materialized and no live frame
+    references it."""
+    sc = df.sparkSession.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap.keySet().toArray()}
+    out = df.localCheckpoint()
+    jmap = sc._jsc.getPersistentRDDs()
+    handles = [
+        jmap.get(k)
+        for k in jmap.keySet().toArray()
+        if int(k) not in before
+    ]
+    return out, handles
+
+
+def _free(handles: list) -> None:
+    for h in handles:
+        h.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -51,13 +86,14 @@ def connected_components(
     )
     # undirected: keep both directions so one join propagates both ways
     bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    bidir = bidir.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    bidir, bidir_h = _tracked_ckpt(
+        bidir.filter(F.col("src") != F.col("dst")).distinct()
+    )
 
-    labels = (
+    labels, prev_h = _tracked_ckpt(
         bidir.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # labels flow one hop: neighbor's current component reaches `node`
@@ -69,19 +105,23 @@ def connected_components(
         # one materialized shuffle job per round instead of two (both the
         # agg and the old-label join partition on `node`, so the join
         # rides the agg's exchange)
-        stepped = (
+        stepped, step_h = _tracked_ckpt(  # truncate lineage per round
             labels.select("node", "component")
             .union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .join(labels.withColumnRenamed("component", "old"), "node")
-            .localCheckpoint()  # truncate lineage: plan would double/round
         )
+        # the new checkpoint materialized eagerly, so the previous round's
+        # is dead — free it (one leaked cache per round otherwise)
+        _free(prev_h)
+        prev_h = step_h
         changed = (
             stepped.filter(F.col("component") != F.col("old")).limit(1).count()
         )
         labels = stepped.select("node", "component")
         if changed == 0:
+            _free(bidir_h)  # the result depends only on the final ckpt
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
@@ -128,7 +168,7 @@ def connected_components_star(
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).filter(F.col("a") != F.col("b"))
-    cur = e.distinct().localCheckpoint()
+    cur, cur_h = _tracked_ckpt(e.distinct())
 
     def digest(df: DataFrame) -> tuple:
         # overflow-proof set digest (the q97 anti-entropy idiom): XOR-fold
@@ -146,20 +186,22 @@ def connected_components_star(
 
     prev = None
     prev_cur: DataFrame | None = None
+    prev_cur_h: list | None = None
     for _ in range(max_iter):
+        last_h = cur_h
+        last_was_prev = cur is prev_cur
         # ---- large-star: key = u over BOTH directions
         bidir = cur.union(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         mins = bidir.groupBy("a").agg(F.min("b").alias("mb"))
         m = F.least(F.col("a"), F.col("mb"))
-        cur = (
+        cur, ls_h = _tracked_ckpt(
             bidir.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), m.alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
         )
         # ---- small-star: key = larger endpoint, neighbors are smaller
         directed = cur.select(
@@ -167,15 +209,21 @@ def connected_components_star(
             F.least(F.col("a"), F.col("b")).alias("b"),
         )
         mins = directed.groupBy("a").agg(F.min("b").alias("mb"))
-        attach = (
+        attach, at_h = _tracked_ckpt(
             directed.join(mins, "a")
             .select(F.col("b").alias("a"), F.col("mb").alias("b"))
             .union(mins.select(F.col("a"), F.col("mb").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
         )
         cur = attach
+        cur_h = at_h
+        # attach materialized, so the large-star intermediate is dead; the
+        # round-entry checkpoint is too UNLESS the convergence probe below
+        # still references it as prev_cur
+        _free(ls_h)
+        if not last_was_prev:
+            _free(last_h)
         d = digest(cur)
         # digest equality is necessary, not sufficient: confirm with one
         # exact set probe (both frames are distinct and counts matched in
@@ -186,9 +234,13 @@ def connected_components_star(
             and prev_cur is not None
             and cur.exceptAll(prev_cur).limit(1).count() == 0
         ):
+            _free(prev_cur_h)  # result is built from cur alone
             break
         prev = d
+        if prev_cur_h is not None:
+            _free(prev_cur_h)
         prev_cur = cur
+        prev_cur_h = cur_h
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"

@@ -259,7 +259,10 @@ def minhash_lsh_pairs(
     max_bucket: int | None = 500,
     parallelism: int | None = None,
     with_capped_ids: bool = False,
-) -> DataFrame | tuple[DataFrame, DataFrame]:
+    with_persist_handle: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
+    DataFrame, DataFrame, DataFrame | None
+]:
     """Candidate near-duplicate pairs via MinHash-LSH banding.
 
     Pipeline: signature (narrow, computed ONCE) → explode band keys →
@@ -282,6 +285,10 @@ def minhash_lsh_pairs(
     ≥2-member bucket was dropped by the cap — rows that *cannot* appear
     in any pair; contract queries subtract them from expected recall so
     the documented cap tradeoff doesn't read as an operator bug.
+    ``with_persist_handle=True`` additionally returns the internally
+    persisted bucket frame (or None) so a caller that MATERIALIZES its
+    result can unpersist it — otherwise the cache lives until session
+    shutdown (the contract queries' pattern).
     """
     if bands < 1 or bands > k or k % bands != 0:
         raise ValueError(
@@ -384,6 +391,9 @@ def minhash_lsh_pairs(
             .filter(F.col("_any_under") == 0)
             .select("id_a")
         )
+    if with_persist_handle:
+        handle = buckets_all if max_bucket is not None else None
+        return pairs, capped, handle
     return pairs, capped
 
 

@@ -437,7 +437,10 @@ def rp_band_pairs(
     max_bucket: int | None = 500,
     dim: int | None = None,
     with_capped_ids: bool = False,
-) -> DataFrame | tuple[DataFrame, DataFrame]:
+    with_persist_handle: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
+    DataFrame, DataFrame, DataFrame | None
+]:
     """Scale-safe cosine near-pair generation: sign-LSH banding → in-bucket
     ordered-pair expansion → exact cosine rescoring at ``threshold``.
 
@@ -560,6 +563,9 @@ def rp_band_pairs(
             .filter(F.col("_any_under") == 0)
             .select(id_col)
         )
+    if with_persist_handle:
+        handle = buckets_all if max_bucket is not None else None
+        return pairs, capped, handle
     return pairs, capped
 
 

@@ -316,6 +316,7 @@ def _pair_contract(
     max_pairs_per_row: int = 5,
     eligible: DataFrame | None = None,
     original: DataFrame | None = None,
+    free: list[DataFrame] | None = None,
 ) -> DataFrame:
     """One-row acceptance contract over a (distinct) candidate-pair
     output: every ELIGIBLE planted (id, id+offset) clone pair was emitted,
@@ -335,7 +336,12 @@ def _pair_contract(
     the pair output is distinct, so count(flag) == matched pairs) — the
     pipeline is never recomputed for a second aggregate branch.  The
     planted/corpus counts are trivial source re-scans attached as one-row
-    broadcast scalars."""
+    broadcast scalars.
+
+    ``free`` lists internally persisted frames (the LSH bucket caches)
+    to release after the row MATERIALIZES here — same
+    materialize-then-unpersist hygiene as the ANN contracts: a lazily
+    returned plan would pin the caches for the session lifetime."""
     if eligible is None:
         eligible = planted
     expected = eligible.select(
@@ -360,7 +366,7 @@ def _pair_contract(
             F.lit(True).alias("_ids_ok")
         )
     )
-    return (
+    assembled = (
         n_planted.crossJoin(F.broadcast(pair_stats))
         .crossJoin(F.broadcast(n_eligible))
         .crossJoin(F.broadcast(n_corpus))
@@ -374,6 +380,14 @@ def _pair_contract(
             F.col("_ids_ok").alias("ids_disjoint_ok"),
         )
     )
+    if not free:
+        return assembled
+    row = assembled.first()
+    schema = assembled.schema
+    for frame in free:
+        if frame is not None:
+            frame.unpersist()
+    return planted.sparkSession.createDataFrame([row], schema)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,8 +408,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    shingled: DataFrame, with_capped_ids: bool = False
-) -> DataFrame | tuple[DataFrame, DataFrame]:
+    shingled: DataFrame,
+    with_capped_ids: bool = False,
+    with_persist_handle: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
+    DataFrame, DataFrame, DataFrame | None
+]:
     """MinHash-LSH candidate pairs over (doc_id, sh) rows: 32-slot
     signature → 8-band bucketing → in-bucket expansion.  No trailing
     orderBy: a global sort over the unbounded pair output is pure
@@ -403,6 +421,7 @@ def lsh_candidate_pairs(
     return minhash_lsh_pairs(
         shingled, "doc_id", "sh", k=32, bands=8,
         with_capped_ids=with_capped_ids,
+        with_persist_handle=with_persist_handle,
     )
 
 
@@ -444,10 +463,13 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, planted, original = _with_planted_clones(
         _doc_shingles(spark, sf_dir), "doc_id"
     )
-    pairs, capped = lsh_candidate_pairs(corpus, with_capped_ids=True)
+    pairs, capped, handle = lsh_candidate_pairs(
+        corpus, with_capped_ids=True, with_persist_handle=True
+    )
     return _pair_contract(
         pairs, planted, corpus, "doc_id", "id_a", "id_b",
         eligible=_shingle_eligible(planted, capped), original=original,
+        free=[handle],
     )
 
 
@@ -617,7 +639,7 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = planted.join(capped, "doc_id", "left_anti")
     return _pair_contract(
         pairs, planted, corpus, "doc_id", "doc_a", "doc_b",
-        eligible=eligible, original=original,
+        eligible=eligible, original=original, free=[buckets_all],
     )
 
 
@@ -705,6 +727,7 @@ def _component_contract(
     id_col: str,
     eligible: DataFrame | None = None,
     original: DataFrame | None = None,
+    free: list[DataFrame] | None = None,
 ) -> DataFrame:
     """One-row contract over a (node, component) labeling: every ELIGIBLE
     planted clone landed in its source's component, and no component
@@ -743,7 +766,7 @@ def _component_contract(
             F.lit(True).alias("_ids_ok")
         )
     )
-    return (
+    assembled = (
         n_planted.crossJoin(F.broadcast(bad))
         .crossJoin(F.broadcast(biggest))
         .crossJoin(F.broadcast(n_corpus))
@@ -755,6 +778,14 @@ def _component_contract(
             F.col("_ids_ok").alias("ids_disjoint_ok"),
         )
     )
+    if not free:
+        return assembled
+    row = assembled.first()
+    schema = assembled.schema
+    for frame in free:
+        if frame is not None:
+            frame.unpersist()
+    return planted.sparkSession.createDataFrame([row], schema)
 
 
 @register(
@@ -783,11 +814,14 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, planted, original = _with_planted_clones(
         _doc_shingles(spark, sf_dir), "doc_id"
     )
-    pairs, capped = lsh_candidate_pairs(corpus, with_capped_ids=True)
+    pairs, capped, handle = lsh_candidate_pairs(
+        corpus, with_capped_ids=True, with_persist_handle=True
+    )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return _component_contract(
         comp, planted, corpus, "doc_id",
         eligible=_shingle_eligible(planted, capped), original=original,
+        free=[handle],
     )
 
 
@@ -847,9 +881,9 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, planted, original = _with_planted_clones(
         emb.select("vec_id", "embedding"), "vec_id"
     )
-    pairs, capped = rp_band_pairs(
+    pairs, capped, handle = rp_band_pairs(
         corpus, threshold=0.9, n_planes=60, band_bits=12, max_bucket=500,
-        with_capped_ids=True,
+        with_capped_ids=True, with_persist_handle=True,
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     # the clone EDGE is guaranteed only for vectors that can score: NULL
@@ -860,7 +894,7 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(capped, "vec_id", "left_anti")
     return _component_contract(
         comp, planted, corpus, "vec_id",
-        eligible=eligible, original=original,
+        eligible=eligible, original=original, free=[handle],
     )
 
 
