@@ -375,6 +375,13 @@ def minhash_lsh_pairs(
     ).cast("double") / F.lit(float(k))
     pairs = ex.select("id_a", "id_b", est.alias("est_jaccard")).distinct()
     if not with_capped_ids:
+        if with_persist_handle:
+            raise ValueError(
+                "with_persist_handle requires with_capped_ids: the bucket "
+                "frame is only persisted on the two-branch path, so there "
+                "is no handle to return (and silently dropping the flag "
+                "would crash the caller's 3-tuple unpacking)"
+            )
         return pairs
     if max_bucket is None:
         capped = df.sparkSession.createDataFrame([], "id_a long")

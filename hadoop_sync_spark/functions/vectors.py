@@ -404,10 +404,13 @@ def rp_signature_lazy(vec: Column, n_planes: int, seed: int = 42) -> Column:
             # a mixed-dimensional corpus (bad upstream join, botched
             # fixture regeneration) would otherwise get a SEPARATE plane
             # family per dim whose sign bits are bucketed together as if
-            # comparable — silently wrong candidates (second-pass review
-            # finding; the eager `dim=` path fails loudly on the matmul
-            # shape instead).  Within-batch mixes already crash in
-            # np.stack; this catches the cross-batch case per worker.
+            # comparable — silently wrong candidates.  Scope is honest
+            # but PARTIAL: `state` lives in the UDF closure, which is
+            # re-deserialized per TASK, so only within-task cross-batch
+            # mixes raise (within-batch mixes crash in np.stack); dims
+            # segregated into different partitions still slip through.
+            # The strict option is the eager `dim=` path, which pins one
+            # plane family and fails loudly on any matmul shape mismatch.
             raise ValueError(
                 f"rp_signature_lazy: vector dim {dense.shape[1]} differs "
                 f"from previously seen dim {next(iter(state))} — "
@@ -547,6 +550,13 @@ def rp_band_pairs(
         .filter(F.col("sim") >= threshold)
     )
     if not with_capped_ids:
+        if with_persist_handle:
+            raise ValueError(
+                "with_persist_handle requires with_capped_ids: the bucket "
+                "frame is only persisted on the two-branch path, so there "
+                "is no handle to return (and silently dropping the flag "
+                "would crash the caller's 3-tuple unpacking)"
+            )
         return pairs
     if max_bucket is None:
         capped = vectors.sparkSession.createDataFrame([], f"{id_col} long")

@@ -211,6 +211,11 @@ def decode_real(content: bytes):
                         a = a[None, :]
                     if np.issubdtype(a.dtype, np.floating):
                         a = np.clip(a, -1.0, 1.0) * 32767.0
+                    elif a.dtype == np.int32:
+                        a = a >> 16  # s32 full-scale → s16
+                    elif a.dtype == np.uint8:
+                        # u8 is unsigned with a 128 offset, 8-bit scale
+                        a = (a.astype(np.int16) - 128) << 8
                     return a.T.reshape(-1).astype(np.int16)
 
                 samples = np.concatenate(

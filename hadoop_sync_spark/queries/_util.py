@@ -84,3 +84,27 @@ def md5_prefix60_long(c: Column) -> Column:
 def sql_md5_prefix60_long(expr: str) -> str:
     """DuckDB spelling of :func:`md5_prefix60_long`."""
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def materialize_and_free(assembled: DataFrame, free) -> DataFrame:
+    """Contract-row epilogue shared by the ANN/pair/component contracts:
+    materialize the (one-row) assembled frame, unpersist the listed
+    cached inputs, and return the row as a LocalRelation — a lazily
+    returned plan would either pin the caches for the session lifetime
+    or recompute the whole pipeline at collect time.  ``free`` may hold
+    DataFrames (``.unpersist()``) or raw persisted-RDD handles
+    (``.unpersist(bool)`` from the checkpoint trackers); Nones are
+    skipped.  With no ``free`` list the assembled plan returns lazily
+    unchanged."""
+    if not free:
+        return assembled
+    rows = assembled.collect()
+    schema = assembled.schema
+    for frame in free:
+        if frame is None:
+            continue
+        try:
+            frame.unpersist()
+        except TypeError:
+            frame.unpersist(False)
+    return assembled.sparkSession.createDataFrame(rows, schema)

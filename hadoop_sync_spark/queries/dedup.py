@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.queries import register
-from hadoop_sync_spark.queries._util import t
+from hadoop_sync_spark.queries._util import materialize_and_free, t
 from hadoop_sync_spark.functions.hashing import (
     hamming64,
     minhash_lsh_pairs,
@@ -380,14 +380,7 @@ def _pair_contract(
             F.col("_ids_ok").alias("ids_disjoint_ok"),
         )
     )
-    if not free:
-        return assembled
-    row = assembled.first()
-    schema = assembled.schema
-    for frame in free:
-        if frame is not None:
-            frame.unpersist()
-    return planted.sparkSession.createDataFrame([row], schema)
+    return materialize_and_free(assembled, free)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,14 +771,7 @@ def _component_contract(
             F.col("_ids_ok").alias("ids_disjoint_ok"),
         )
     )
-    if not free:
-        return assembled
-    row = assembled.first()
-    schema = assembled.schema
-    for frame in free:
-        if frame is not None:
-            frame.unpersist()
-    return planted.sparkSession.createDataFrame([row], schema)
+    return materialize_and_free(assembled, free)
 
 
 @register(

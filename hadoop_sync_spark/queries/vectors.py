@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.queries import register
-from hadoop_sync_spark.queries._util import t
+from hadoop_sync_spark.queries._util import materialize_and_free, t
 from hadoop_sync_spark.functions.vectors import brute_force_topk, ivf_topk
 
 _SQL_DOT = (
@@ -100,19 +100,22 @@ def _ann_contract(
     pipeline — which the pandas-UDF stages keep Spark from reusing
     across subtrees (same ReuseExchange defeat as minhash_lsh_pairs), so
     without a persist each driver check pays up to two extra full
-    pipeline executions.  Both frames are persisted EAGERLY (lazy
-    persists lose the race against the concurrent one-row broadcast
-    jobs, the q63 lesson); the contract row is then MATERIALIZED and
-    both caches unpersisted before returning — a lazily returned plan
-    would either hold the caches for the session lifetime (a driver
-    sweep accumulates a dozen cached pipelines) or, unpersisted early,
-    recompute everything at collect time."""
+    pipeline executions.  `exact` is likewise referenced twice (hits +
+    n_exact) and is itself a full brute-force corpus scan, so all THREE
+    frames are persisted EAGERLY (lazy persists lose the race against
+    the concurrent one-row broadcast jobs, the q63 lesson); the contract
+    row is then MATERIALIZED and every cache freed before returning — a
+    lazily returned plan would either hold the caches for the session
+    lifetime (a driver sweep accumulates a dozen cached pipelines) or,
+    unpersisted early, recompute everything at collect time."""
     from pyspark import StorageLevel
 
     ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     ann.count()
     candidates.count()
+    exact.count()
     per_q = ann.groupBy("query_id").agg(F.count("*").alias("n"))
     shape = per_q.agg(
         F.count("*").alias("n_queries"),
@@ -145,11 +148,7 @@ def _ann_contract(
             ).alias("recall_ok"),
         )
     )
-    row = assembled.first()
-    schema = assembled.schema
-    ann.unpersist()
-    candidates.unpersist()
-    return ann.sparkSession.createDataFrame([row], schema)
+    return materialize_and_free(assembled, [ann, candidates, exact])
 
 
 @register(

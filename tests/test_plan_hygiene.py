@@ -40,15 +40,6 @@ BOUNDED_OK = {
     # same ONE-ROW total attach as q98; the sketch-vs-exact join itself
     # is a hash join on term
     "q105_misra_gries",
-    # planted-clone acceptance contracts: the crosses are ONE-ROW scalar
-    # attaches (planted count / missed count / pair count / corpus count);
-    # the underlying pair paths are asserted nested-loop-free directly in
-    # test_plans.py (lsh_candidate_pairs, rp_band_pairs)
-    "q63_minhash_lsh_pairs",
-    "q64_simhash_signatures",
-    "q66_simhash_pairs",
-    "q68_dup_components",
-    "q69_semantic_dedup",
     # the cross attaches the ONE-ROW per-column bounds aggregate to the
     # histogram bucketing pass (broadcast scalar attach)
     "q100_column_profile",
@@ -56,6 +47,10 @@ BOUNDED_OK = {
     # ONE-ROW orphan-count aggregate to assemble the 6-row report —
     # both sides are scalar by construction at any corpus size
     "q112_quality_constraints",
+    # signature-determinism contract (no bucket persist → stays lazy):
+    # the crosses are ONE-ROW scalar attaches (block-consistency count,
+    # id-disjointness); the signature path itself carries no joins
+    "q64_simhash_signatures",
 }
 
 #: Queries whose fn() performs driver-side work beyond building a plan
@@ -70,15 +65,39 @@ SIDE_EFFECTING = {
     "q104_format_roundtrip",
 }
 
+#: Contract queries whose fn() MATERIALIZES its one-row result (the
+#: _ann_contract/_pair_contract/_component_contract cache-freeing
+#: epilogue): the returned plan is a LocalRelation, so a plan assertion
+#: here would be vacuous — and executing the full pipeline just to skip
+#: wastes minutes.  Their join shapes are asserted at OPERATOR level:
+#: test_ivf_candidate_join_is_hash_join below, the lsh_candidate_pairs /
+#: rp_band_pairs plan tests in test_plans.py, and the band-join shapes
+#: in tests/test_vectors.py.
+MATERIALIZED_CONTRACT = {
+    "q63_minhash_lsh_pairs",
+    "q66_simhash_pairs",
+    "q68_dup_components",
+    "q69_semantic_dedup",
+    "q71_ivf_topk",
+    "q72_rp_lsh_topk",
+    "q111_pq_topk",
+    "q114_ivf_pq_topk",
+}
+
 SWEEP = sorted(set(QUERIES) - SIDE_EFFECTING)
 
 
 @pytest.mark.parametrize("name", SWEEP)
 def test_no_quadratic_join_shapes(spark, sf_dir, name):
-    df = QUERIES[name].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # skip BEFORE building/executing: a materialized contract's fn() runs
+    # its whole pipeline, and an allowlisted query's plan is never
+    # asserted — either way the fn() call would be pure wasted minutes
+    if name in MATERIALIZED_CONTRACT:
+        pytest.skip("fn() materializes a LocalRelation (documented above)")
     if name in BOUNDED_OK:
         pytest.skip("bounded cross by construction (documented above)")
+    df = QUERIES[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested loop"
 
