@@ -268,3 +268,40 @@ def test_span_dedup_lone_empty_doc_matches_oracle(spark):
     assert got == want
     # and the lone empty doc's reassembly is NULL on both engines
     assert got[0] == (0, 1, 0, None)
+
+
+def test_materialize_and_free_releases_caches(spark):
+    """The contract epilogue must free every listed cache (DataFrames
+    and raw RDD handles alike), return the same rows as the lazy plan,
+    and leave a frame that no longer depends on the freed caches."""
+    from hadoop_sync_spark.queries._util import materialize_and_free
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    base = spark.range(100).withColumn("v", F.col("id") * 2)
+    cached = base.persist()
+    cached.count()
+    n_with = len(jmap())
+    agg = cached.agg(F.sum("v").alias("s"))
+    out = materialize_and_free(agg, [cached])
+    assert len(jmap()) == n_with - 1
+    assert out.collect() == agg.collect()  # recomputable without cache
+
+    # no free list → lazy passthrough, nothing touched
+    lazy = materialize_and_free(agg, None)
+    assert lazy is agg
+
+
+def test_tracked_ckpt_frees_exactly_its_checkpoint(spark):
+    """_tracked_ckpt must hand back handles that free the checkpoint it
+    created and nothing else."""
+    from hadoop_sync_spark.functions.graph import _free, _tracked_ckpt
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    other = spark.range(50).localCheckpoint()  # bystander cache
+    n0 = len(jmap())
+    df, handles = _tracked_ckpt(spark.range(10).withColumn("x", F.lit(1)))
+    assert len(jmap()) == n0 + 1
+    assert df.count() == 10
+    _free(handles)
+    assert len(jmap()) == n0  # bystander survives
+    assert other.count() == 50
