@@ -1211,3 +1211,33 @@ def q115_per_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") * 10 <= F.col("n_src") * 6)
     )
+
+
+def observed_write_metrics(
+    df: DataFrame, name: str = "quality"
+) -> tuple[DataFrame, "Observation"]:
+    """Attach single-pass data-quality observability to any frame: row
+    count, null l_shipdate count, and out-of-domain l_quantity count are
+    computed BY THE SAME JOB that consumes the frame (`df.observe` rides
+    the existing scan — zero extra passes, unlike running q112's report
+    as a second query).  This is how a 100 TB pipeline gets its
+    admission metrics for free on the write path; the q112 report stays
+    the standalone auditor.
+
+    Returns (observed_df, observation); read `observation.get` AFTER an
+    action on observed_df.  Works identically under Structured Streaming
+    via the query-progress listener (same API, per-micro-batch)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias(
+            "null_shipdate"
+        ),
+        F.sum(
+            (~F.col("l_quantity").between(1, 50)).cast("long")
+        ).alias("qty_out_of_domain"),
+    )
+    return observed, obs

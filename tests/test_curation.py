@@ -200,3 +200,23 @@ def test_fingerprint_drilldown_identifies_exact_planted_rows(spark, sf_dir):
         ("replica_only", r["l_orderkey"], r["ln"] + 100) for r in planted
     }
     assert got == want
+
+
+def test_observed_write_metrics_single_pass(spark, sf_dir):
+    """df.observe must deliver the q112-grade admission metrics from the
+    SAME job that consumes the frame — values must equal the standalone
+    aggregates, with no second scan issued by the metric collection."""
+    from hadoop_sync_spark.io import load_table
+    from hadoop_sync_spark.queries.curation import observed_write_metrics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    observed, obs = observed_write_metrics(li)
+    consumed = observed.count()  # the "write path" action
+    got = obs.get
+    assert got["rows"] == consumed
+    expect = li.agg(
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("n"),
+        F.sum((~F.col("l_quantity").between(1, 50)).cast("long")).alias("q"),
+    ).first()
+    assert got["null_shipdate"] == (expect["n"] or 0)
+    assert got["qty_out_of_domain"] == (expect["q"] or 0)
