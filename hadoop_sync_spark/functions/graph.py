@@ -65,6 +65,41 @@ def _free(handles: list) -> None:
         h.unpersist(False)
 
 
+class _HandlePool:
+    """Exit-path-safe registry of live checkpoint handle-lists.
+
+    The iterative loops below hold 1-3 live checkpoints at a time and free
+    each as soon as a later one materializes; that success-path hygiene
+    used to leak every live handle on the non-convergence RuntimeError or
+    any mid-loop exception (round-3 advice).  The pool makes release
+    structural: hold() on creation, drop() when dead, keep() for the one
+    checkpoint the returned DataFrame still references, and a finally-
+    drain() frees whatever survives on EVERY exit path.  Membership is by
+    identity — handle lists wrap py4j JavaObjects whose __eq__ would cross
+    the gateway."""
+
+    def __init__(self) -> None:
+        self._live: dict[int, list] = {}
+
+    def hold(self, handles: list) -> list:
+        self._live[id(handles)] = handles
+        return handles
+
+    def drop(self, handles: list | None) -> None:
+        if handles is not None and id(handles) in self._live:
+            _free(self._live.pop(id(handles)))
+
+    def keep(self, handles: list | None) -> None:
+        """Forget without freeing (the result's own checkpoint)."""
+        if handles is not None:
+            self._live.pop(id(handles), None)
+
+    def drain(self) -> None:
+        for h in self._live.values():
+            _free(h)
+        self._live.clear()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -84,49 +119,65 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
-    # undirected: keep both directions so one join propagates both ways
-    bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    bidir, bidir_h = _tracked_ckpt(
-        bidir.filter(F.col("src") != F.col("dst")).distinct()
-    )
+    pool = _HandlePool()
+    try:
+        # undirected: keep both directions so one join propagates both ways
+        bidir = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        bidir, bidir_h = _tracked_ckpt(
+            bidir.filter(F.col("src") != F.col("dst")).distinct()
+        )
+        pool.hold(bidir_h)
 
-    labels, prev_h = _tracked_ckpt(
-        bidir.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
-    for _ in range(max_iter):
-        # labels flow one hop: neighbor's current component reaches `node`
-        msgs = bidir.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "component")
-        # carry the previous label through the min-agg so the fixpoint
-        # check is a shuffle-free scan of the SAME checkpointed frame —
-        # one materialized shuffle job per round instead of two (both the
-        # agg and the old-label join partition on `node`, so the join
-        # rides the agg's exchange)
-        stepped, step_h = _tracked_ckpt(  # truncate lineage per round
-            labels.select("node", "component")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .join(labels.withColumnRenamed("component", "old"), "node")
+        labels, prev_h = _tracked_ckpt(
+            bidir.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
         )
-        # the new checkpoint materialized eagerly, so the previous round's
-        # is dead — free it (one leaked cache per round otherwise)
-        _free(prev_h)
-        prev_h = step_h
-        changed = (
-            stepped.filter(F.col("component") != F.col("old")).limit(1).count()
+        pool.hold(prev_h)
+        for _ in range(max_iter):
+            # labels flow one hop: neighbor's current component reaches `node`
+            msgs = bidir.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "component")
+            # carry the previous label through the min-agg so the fixpoint
+            # check is a shuffle-free scan of the SAME checkpointed frame —
+            # one materialized shuffle job per round instead of two (both the
+            # agg and the old-label join partition on `node`, so the join
+            # rides the agg's exchange)
+            stepped, step_h = _tracked_ckpt(  # truncate lineage per round
+                labels.select("node", "component")
+                .union(msgs)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .join(labels.withColumnRenamed("component", "old"), "node")
+            )
+            pool.hold(step_h)
+            # the new checkpoint materialized eagerly, so the previous
+            # round's is dead — free it (one leaked cache per round
+            # otherwise)
+            pool.drop(prev_h)
+            prev_h = step_h
+            changed = (
+                stepped.filter(F.col("component") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = stepped.select("node", "component")
+            if changed == 0:
+                # the result references only the final checkpoint — it
+                # outlives the pool; everything else (bidir) drains below
+                pool.keep(prev_h)
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "graph has very long chains — switch to large-star/small-star"
         )
-        labels = stepped.select("node", "component")
-        if changed == 0:
-            _free(bidir_h)  # the result depends only on the final ckpt
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "graph has very long chains — switch to large-star/small-star"
-    )
+    finally:
+        # every exit path — convergence, non-convergence RuntimeError, or
+        # any mid-loop exception — releases the still-live checkpoints
+        pool.drain()
 
 
 def connected_components_star(
@@ -168,7 +219,16 @@ def connected_components_star(
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).filter(F.col("a") != F.col("b"))
+    pool = _HandlePool()
+    try:
+        return _star_loop(e, max_iter, pool)
+    finally:
+        pool.drain()
+
+
+def _star_loop(e: DataFrame, max_iter: int, pool: _HandlePool) -> DataFrame:
     cur, cur_h = _tracked_ckpt(e.distinct())
+    pool.hold(cur_h)
 
     def digest(df: DataFrame) -> tuple:
         # overflow-proof set digest (the q97 anti-entropy idiom): XOR-fold
@@ -203,6 +263,7 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
+        pool.hold(ls_h)
         # ---- small-star: key = larger endpoint, neighbors are smaller
         directed = cur.select(
             F.greatest(F.col("a"), F.col("b")).alias("a"),
@@ -216,14 +277,15 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
+        pool.hold(at_h)
         cur = attach
         cur_h = at_h
         # attach materialized, so the large-star intermediate is dead; the
         # round-entry checkpoint is too UNLESS the convergence probe below
         # still references it as prev_cur
-        _free(ls_h)
+        pool.drop(ls_h)
         if not last_was_prev:
-            _free(last_h)
+            pool.drop(last_h)
         d = digest(cur)
         # digest equality is necessary, not sufficient: confirm with one
         # exact set probe (both frames are distinct and counts matched in
@@ -234,11 +296,11 @@ def connected_components_star(
             and prev_cur is not None
             and cur.exceptAll(prev_cur).limit(1).count() == 0
         ):
-            _free(prev_cur_h)  # result is built from cur alone
+            pool.drop(prev_cur_h)  # result is built from cur alone
             break
         prev = d
         if prev_cur_h is not None:
-            _free(prev_cur_h)
+            pool.drop(prev_cur_h)
         prev_cur = cur
         prev_cur_h = cur_h
     else:
@@ -246,7 +308,9 @@ def connected_components_star(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
     # star forest: every edge is (node -> component root); roots label
-    # themselves
+    # themselves.  The result references cur's checkpoint — it outlives
+    # the caller's drain()
+    pool.keep(cur_h)
     return (
         cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
         .union(

@@ -426,7 +426,15 @@ def build_bloom_bits(
     appends — Bloom bits only ever turn on), probed per batch without
     touching the corpus.  False positives are a cost knob (they trigger
     exact confirmation), never a correctness one; false negatives are
-    impossible, so a negative probe is PROOF of novelty."""
+    impossible, so a negative probe is PROOF of novelty.
+
+    NULL keys are EXCLUDED from the filter: ``xxhash64`` skips a NULL
+    argument, so a NULL key would otherwise hash to one fixed position
+    set — every NULL "present" — while downstream null-unsafe equi-joins
+    silently drop the same rows (round-3 advice).  The membership
+    contract is three-valued: :func:`bloom_might_contain` propagates
+    NULL for NULL keys, and callers decide the null policy explicitly."""
+    keys = keys.filter(F.col(key_col).isNotNull())
     pos_arrays = F.array(
         *[
             F.pmod(
@@ -468,14 +476,22 @@ def bloom_might_contain(
         return pd.Series(out)
 
     def apply(key: Column) -> Column:
-        return probe(
-            *[
-                F.pmod(
-                    F.xxhash64(F.lit(i * 1_000_003 + seed), key),
-                    F.lit(m_bits),
-                )
-                for i in range(n_hashes)
-            ]
+        # Three-valued membership: NULL key → NULL (unknown), matching the
+        # builder's NULL exclusion — a NULL must never probe 'maybe' via
+        # xxhash64's skip-NULL-argument behavior and then vanish in a
+        # null-unsafe confirm join
+        return F.when(
+            key.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(
+            probe(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(i * 1_000_003 + seed), key),
+                        F.lit(m_bits),
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
         )
 
     return apply

@@ -1236,8 +1236,14 @@ def observed_write_metrics(
         F.sum(F.col("l_shipdate").isNull().cast("long")).alias(
             "null_shipdate"
         ),
+        # NULL counts as OUT of domain, matching q112: its qty_ok sum skips
+        # the NULL `between`, so a NULL quantity already fails the q112
+        # check (qty_ok < n) — without the coalesce this metric would
+        # report 0 out-of-domain on the same corpus (round-3 advice)
         F.sum(
-            (~F.col("l_quantity").between(1, 50)).cast("long")
+            F.coalesce(
+                ~F.col("l_quantity").between(1, 50), F.lit(True)
+            ).cast("long")
         ).alias("qty_out_of_domain"),
     )
     return observed, obs

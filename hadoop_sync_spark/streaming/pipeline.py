@@ -387,8 +387,16 @@ def running_user_totals(events: DataFrame) -> DataFrame:
                 if pdf.empty:
                     continue
                 cnt += len(pdf)
+                # Half-up like the batch convention (_util.scaled / Spark
+                # F.round, HALF_UP away from zero) — pandas Series.round is
+                # half-EVEN, which diverges on exact .5 cents. Fixture values
+                # carry 2 decimals so ties are ~impossible there, but the
+                # streaming total must match the batch aggregate on ANY input.
+                import numpy as np
+
+                v = pdf["value"].astype(float).to_numpy()
                 cents += int(
-                    pdf["value"].astype(float).mul(100).round().sum()
+                    (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).sum()
                 )
             self._totals.update((cnt, cents))
             yield pd.DataFrame(

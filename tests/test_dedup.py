@@ -224,6 +224,38 @@ def test_bloom_filter_no_false_negatives_and_low_fpr(spark):
     assert fpr < 0.02, f"false-positive rate {fpr}"
 
 
+def test_bloom_null_keys_excluded_and_probe_propagates_null(spark):
+    """NULL keys must not enter the filter (xxhash64 skips a NULL arg, so
+    every NULL would otherwise share one fixed position set and probe
+    'maybe'), and the probe must answer NULL — not TRUE/FALSE — for a
+    NULL key so callers choose the null policy explicitly (round-3
+    advice)."""
+    from hadoop_sync_spark.functions.hashing import (
+        bloom_might_contain,
+        build_bloom_bits,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(100).select(
+        F.when(F.col("id") < 50, F.concat(F.lit("k-"), F.col("id"))).alias(
+            "f"
+        )
+    )  # 50 real keys + 50 NULLs
+    packed = build_bloom_bits(keys, "f")
+    # NULLs contributed nothing: same bits as the non-null subset alone
+    non_null_packed = build_bloom_bits(keys.filter(F.col("f").isNotNull()), "f")
+    assert (packed == non_null_packed).all()
+    probe = bloom_might_contain(packed)
+    rows = keys.select(
+        F.col("f"), probe(F.col("f")).alias("hit")
+    ).collect()
+    for r in rows:
+        if r["f"] is None:
+            assert r["hit"] is None, "NULL key must probe NULL"
+        else:
+            assert r["hit"] is True
+
+
 def test_bloom_incremental_dedup_equals_exact_path(spark, sf_dir):
     """q117 (Bloom-prefiltered) must return row-for-row the same
     classification as q99 (direct broadcast probe) — the Bloom is a
@@ -305,3 +337,52 @@ def test_tracked_ckpt_frees_exactly_its_checkpoint(spark):
     _free(handles)
     assert len(jmap()) == n0  # bystander survives
     assert other.count() == 50
+
+
+def test_component_loops_free_checkpoints_on_failure_paths(spark):
+    """Round-3 advice: the checkpoint hygiene covered only the success
+    path — the non-convergence RuntimeError (and any mid-loop exception)
+    leaked every live handle.  Both loops must now release ALL their
+    checkpoints on the error exit; on success exactly one checkpoint (the
+    result's own) may remain live."""
+    import pytest
+
+    from hadoop_sync_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    # a 12-node chain needs ~6 label-propagation rounds; max_iter=1 cannot
+    # converge for either algorithm
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    n0 = len(jmap())
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    assert len(jmap()) == n0, "label-propagation error path leaked caches"
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(
+            edges.withColumnRenamed("src", "a").withColumnRenamed(
+                "dst", "b"
+            ),
+            src="a",
+            dst="b",
+            max_iter=1,
+        )
+    assert len(jmap()) == n0, "star error path leaked caches"
+
+    # success path: only the result's own checkpoint stays live
+    before = {int(k) for k in jmap().keySet().toArray()}
+    out = connected_components(edges)
+    live = jmap()
+    new = [
+        live.get(k)
+        for k in live.keySet().toArray()
+        if int(k) not in before
+    ]
+    assert len(new) == 1, "success path must keep exactly the result ckpt"
+    assert out.filter(F.col("component") != 0).count() == 0
+    for h in new:  # leave the session clean for other tests
+        h.unpersist(False)

@@ -118,3 +118,49 @@ def test_ivf_candidate_join_is_hash_join(spark, sf_dir):
     topk = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
     plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin [centroid_id" in plan
+
+
+def test_pq_internal_joins_are_hash_joins(spark, sf_dir):
+    """pq_topk's internal joins (candidate-id fetch + query rescore) must
+    stay hash joins — the q111 contract row materializes a LocalRelation,
+    so without an operator-level assert a regression to
+    BroadcastNestedLoopJoin in the rescore path would go unnoticed
+    (round-3 advice)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_sync_spark.functions.vectors import pq_topk
+    from hadoop_sync_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    topk = pq_topk(emb, queries, k=10, m=8, ksub=16, n_candidates=30)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, "PQ rescore degraded"
+    assert "CartesianProduct" not in plan
+    # candidate fetch keyed on neighbor_id, rescore keyed on query_id
+    assert "BroadcastHashJoin [neighbor_id" in plan
+    assert "BroadcastHashJoin [query_id" in plan
+
+
+def test_ivf_pq_internal_joins_are_hash_joins(spark, sf_dir):
+    """ivf_pq_topk's bucket probe (the ADC scan restriction) and both
+    rescore joins must be hash joins: a nested-loop bucket probe would
+    silently scan every code for every query — brute force with extra
+    steps."""
+    from pyspark.sql import functions as F
+
+    from hadoop_sync_spark.functions.vectors import ivf_pq_topk
+    from hadoop_sync_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    topk = ivf_pq_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, m=8, ksub=16
+    )
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, "IVF-PQ probe degraded"
+    assert "CartesianProduct" not in plan
+    # bucket probe keyed on _bucket; rescore joins on neighbor_id/query_id
+    assert "BroadcastHashJoin [_bucket" in plan
+    assert "BroadcastHashJoin [neighbor_id" in plan
+    assert "BroadcastHashJoin [query_id" in plan
