@@ -181,6 +181,7 @@ def load_all() -> dict[str, Query]:
             vectors,
             registry_ops,
             multimodal_q,
+            temporal,
         )
 
         _LOADED = True
