@@ -83,71 +83,67 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # (1) never driver-checked — the 13 from VERDICT r2 "What's missing"
-    "q51_fingerprint_groups",
-    "q56_top_terms_per_lang",
-    "q59_repetition_signals",
-    "q64_simhash_signatures",   # also (2): contract gained ids_disjoint_ok
-    "q67_chargram_jaccard_pairs",
-    "q91_image_resize",
-    "q92_frame_sample",
-    "q96_dup_profile",
-    "q99_incremental_dedup",
-    "q100_column_profile",
-    "q105_misra_gries",
-    "q107_weighted_priority_sample",
-    "q108_edit_distance_pairs",
-    # (2) implementation/oracle changed this round — must re-check:
-    # q55 un-vacuated (top-100 by quantized tf-idf); the clone contracts
-    # gained filter-aware eligibility + ids_disjoint_ok; q106's star loop
-    # gained the exact convergence confirmation
-    "q55_tfidf",
-    "q38_exists_subquery",  # r1 row was vacuous (0==0); anti predicate fixed
-    "q63_minhash_lsh_pairs",
-    "q66_simhash_pairs",
+    # ---- ROUND-4 WINDOW ----
+    # (3) last green in r1 (two rounds unchecked after r3) — the ledger
+    # test makes these 25 mandatory this round (WINDOW.md "Deferred to
+    # the round-4 window")
+    "q04_supplier_by_region",
+    "q05_order_count_distribution",
+    "q06_customers_with_open_orders",
+    "q10_rollup_orders",
+    "q11_cube_lineitem",
+    "q13_event_gaps",
+    "q14_running_customer_spend",
+    "q15_nation_set_ops",
+    "q16_distinct_segments",
+    "q19_array_ops",
+    "q33_pivot_returnflag",
+    "q34_exact_variance",
+    "q35_date_arithmetic",
+    "q36_regexp_text",
+    "q37_multiset_ops",
+    "q39_scalar_in_subquery",
+    "q40_tumbling_window",
+    "q41_sliding_window",
+    "q42_session_windows",
+    "q43_dedup_events",
+    "q44_salted_skew_agg",
+    "q45_grouped_mode_udaf",
+    "q83_notin_supplier_cnt",
+    "q84_disjunctive_join_revenue",
+    "q85_correlated_max_qty",
+    # (2) implementation changed in round 4 — re-check: the component
+    # loops gained exit-path checkpoint release (q68/q69/q106) and the
+    # Bloom index gained NULL-key exclusion + three-valued probe (q117)
     "q68_dup_components",
     "q69_semantic_dedup",
-    "q72_rp_lsh_topk",  # r3: probe-free lazy signature path
     "q106_chain_components",
-    # (3) oldest green rows first: green in r1, unchecked in r2 — the 30
-    # that fit; q34-q45 (minus q38) /q83-q85 (also r1-green, unchanged)
-    # are scheduled for the round-4 window (see WINDOW.md)
-    # (1 again) brand-new round-3 queries — never checked, rule 1 windows
-    # them immediately; the four displaced family-redundant r1-green
-    # members (q04 joins→q03/q21 carry; q10/q11 rollup/cube→q23 grouping
-    # sets subsumes; q14 windows→q12/q28 carry) join the round-4
-    # must-window set in WINDOW.md
-    "q110_span_dedup",
-    "q111_pq_topk",
-    "q112_quality_constraints",
-    "q113_shard_shuffle",
-    "q114_ivf_pq_topk",  # displaces q05 (agg family carried by q01/q09/q20)
-    "q115_per_source_quality_gate",  # displaces q06 (semi/anti carried by q07)
-    "q116_eval_per_lang",  # displaces q19 (array family carried by q22)
-    "q117_bloom_incremental_dedup",  # displaces q13 (lag carried by q28)
-    "q118_split_leakage",  # displaces q15 (set-op family rechecked r4)
-    "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_top_unshipped_orders",
-    "q07_customers_without_orders",
-    "q08_late_shipments",
-    "q09_distinct_counts",
-    "q12_top_orders_per_customer",
-    # q16_distinct_segments displaced (distinct family already carried by
-    # q09 in-window) to fit q109, new this round — never-checked rule 1
-    "q109_fingerprint_drilldown",
-    "q17_scalar_functions",
-    "q20_brand_stats_having",
-    "q21_regional_revenue",
-    "q22_explode_embedding_prefix",
-    "q23_grouping_sets",
-    "q24_exact_median",
-    "q25_minby_maxby",
-    "q27_string_agg",
-    "q28_window_navigation",
-    "q29_outer_joins",
-    "q30_event_range_join",
-    "q31_asof_join",
+    "q117_bloom_incremental_dedup",
+    # (1) brand-new round-4 queries — never checked
+    "q119_scd2_intervals",
+    "q120_funnel_conversion",
+    "q121_bigram_lm_quality",
+    "q122_rolling_7d_revenue",
+    # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
+    # exactly 2 rounds behind after round 4 and becomes the mandatory
+    # round-5 set (see WINDOW.md)
+    "q101_time_travel",
+    "q102_schema_evolution",
+    "q103_zorder_box_query",
+    "q104_format_roundtrip",
+    "q47_streaming_tumbling_window",
+    "q48_approx_percentiles",
+    "q49_attribution_join",
+    "q75_gap_fill_locf",
+    "q76_udtf_sentences",
+    "q80_minmax_stats",
+    "q81_registry_pruned_scan",
+    "q82_registry_sync_lifecycle",
+    "q95_compaction_lifecycle",
+    "q97_table_fingerprint_diff",
+    "q18_json_extract",
+    "q32_approx_distinct",
+    "q46_json_map_explode",
 )
 
 

@@ -584,3 +584,89 @@ def q76_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _docs_for_udtf t, LATERAL sent_split(t.text) s
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q121 — bigram language-model quality score (corpus-trained, self-scored)
+# --------------------------------------------------------------------------
+@register(
+    "q121_bigram_lm_quality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_NORM_TOKENS} AS toks FROM documents
+    ), idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM tok
+    ), bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx
+    ), cb AS (
+        SELECT w1, w2, COUNT(*) AS cnt_bg FROM bg GROUP BY w1, w2
+    ), cp AS (
+        SELECT w1, COUNT(*) AS cnt_w1 FROM bg GROUP BY w1
+    ), sc AS (
+        SELECT bg.doc_id,
+               CAST(ROUND(ln(CAST(cb.cnt_bg AS DOUBLE)
+                             / CAST(cp.cnt_w1 AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS lq
+        FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lq) AS BIGINT) AS score_q6,
+           CAST(SUM(lq) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logp
+    FROM sc GROUP BY doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def q121_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality: score every document by its average
+    bigram log-probability under a language model TRAINED ON THE CORPUS
+    ITSELF (conditional MLE: p(w2|w1) = c(w1,w2)/c(w1·)) — the
+    KenLM-perplexity-filter pattern (CCNet / Gopher) with the n-gram
+    model held as a DataFrame instead of an external artifact.
+    Low-probability documents are gibberish/boilerplate candidates; the
+    quantized per-bigram log (ROUND(ln·1e6), the q55 idiom) makes the
+    per-doc sum an exact BIGINT so reduction order cannot perturb parity.
+
+    Scale: bigram extraction is a narrow array transform (no Python);
+    model training is ONE shuffle each for c(w1,w2) and c(w1·);
+    scoring joins the doc-bigram stream to both count tables on their
+    natural keys — hash joins on (w1,w2)/(w1), AQE-splittable if a stop
+    bigram skews.  Model size = distinct bigrams (vocabulary-bounded, far
+    below corpus scale), so at 100 TB the count tables are broadcastable
+    after a frequency floor — the same plan with one fewer shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.trim(F.col("text")))), WS_RE)
+    bg = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), "
+                    "(x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt_bg"))
+    cp = bg.groupBy("w1").agg(F.count("*").alias("cnt_w1"))
+    lq = F.round(
+        F.log(F.col("cnt_bg").cast("double") / F.col("cnt_w1").cast("double"))
+        * 1_000_000
+    ).cast("long")
+    return (
+        bg.join(cb, ["w1", "w2"])
+        .join(cp, ["w1"])
+        .select("doc_id", lq.alias("lq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lq").alias("score_q6"),
+            (
+                F.sum("lq").cast("double") / F.lit(1_000_000.0) / F.count("*")
+            ).alias("avg_logp"),
+        )
+    )
