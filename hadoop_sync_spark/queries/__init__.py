@@ -124,6 +124,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q120_funnel_conversion",
     "q121_bigram_lm_quality",
     "q122_rolling_7d_revenue",
+    "q123_copurchase_triangles",  # displaces q46 (JSON family carried by q18)
     # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
     # exactly 2 rounds behind after round 4 and becomes the mandatory
     # round-5 set (see WINDOW.md)
@@ -143,7 +144,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q97_table_fingerprint_diff",
     "q18_json_extract",
     "q32_approx_distinct",
-    "q46_json_map_explode",
 )
 
 
@@ -178,6 +178,7 @@ def load_all() -> dict[str, Query]:
             registry_ops,
             multimodal_q,
             temporal,
+            graph_q,
         )
 
         _LOADED = True

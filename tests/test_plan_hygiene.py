@@ -82,6 +82,8 @@ MATERIALIZED_CONTRACT = {
     "q72_rp_lsh_topk",
     "q111_pq_topk",
     "q114_ivf_pq_topk",
+    # operator-level shape asserted by test_triangle_joins_are_hash_joins
+    "q123_copurchase_triangles",
 }
 
 SWEEP = sorted(set(QUERIES) - SIDE_EFFECTING)
@@ -164,3 +166,33 @@ def test_ivf_pq_internal_joins_are_hash_joins(spark, sf_dir):
     assert "BroadcastHashJoin [_bucket" in plan
     assert "BroadcastHashJoin [neighbor_id" in plan
     assert "BroadcastHashJoin [query_id" in plan
+
+
+def test_triangle_joins_are_hash_joins(spark, sf_dir):
+    """q123's wedge join (e2.src = e1.dst) and closing-edge probe
+    ((src,dst) equi-pair) must be hash joins, and the only cross joins
+    are the one-row scalar attaches assembling the report.  Inspected on
+    the lazy pipeline — the registered fn() materializes a
+    LocalRelation."""
+    from hadoop_sync_spark.queries.graph_q import triangle_pipeline
+
+    assembled, caches = triangle_pipeline(spark, sf_dir, persist=False)
+    assert caches == []
+    plan = assembled._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly the TWO one-row scalar attaches assembling the
+    # (n_nodes, n_edges, n_triangles) report may be nested-loop crosses;
+    # a third would mean a data-sized join degraded
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # the wedge join (e2.src = e1.dst) and closing probe ((src,dst)
+    # pair) must be equi-joins: hash or sort-merge, keyed on src/dst
+    import re
+
+    equi = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", ln)
+        and "src" in ln
+        and "dst" in ln
+    ]
+    assert equi, f"no equi-join on (src, dst) found:\n{plan}"
