@@ -125,6 +125,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q121_bigram_lm_quality",
     "q122_rolling_7d_revenue",
     "q123_copurchase_triangles",  # displaces q46 (JSON family carried by q18)
+    "q124_retention_cohorts",  # displaces q48 (quantiles carried by q24)
+    "q125_event_trigrams",  # displaces q80 (min/max stats carried by q81)
     # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
     # exactly 2 rounds behind after round 4 and becomes the mandatory
     # round-5 set (see WINDOW.md)
@@ -133,11 +135,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q103_zorder_box_query",
     "q104_format_roundtrip",
     "q47_streaming_tumbling_window",
-    "q48_approx_percentiles",
     "q49_attribution_join",
     "q75_gap_fill_locf",
     "q76_udtf_sentences",
-    "q80_minmax_stats",
     "q81_registry_pruned_scan",
     "q82_registry_sync_lifecycle",
     "q95_compaction_lifecycle",

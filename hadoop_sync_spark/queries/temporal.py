@@ -248,3 +248,106 @@ def q122_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).alias("orders_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# q124 — retention cohort matrix (cohort day × age)
+# --------------------------------------------------------------------------
+@register(
+    "q124_retention_cohorts",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ), coh AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_day, a.day - c.cohort_day AS age_days,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM act a JOIN coh c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "cohort", "retention"),
+)
+def q124_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day (their
+    cohort), activity counted per (cohort_day, age_days) — the
+    product-analytics staple that, at the pipeline layer, answers "how
+    long do sources keep contributing after onboarding".  `act` is
+    (user, day) distinct so COUNT(*) per cell IS distinct active users —
+    no count_distinct needed in the final pass.
+
+    Scale: distinct on (user, day), min-agg per user, then an equi-join
+    back on user_id and one final aggregation — three shuffles, all on
+    user-scale or cell-scale keys; the cohort side is user-cardinality
+    and broadcastable once aggregated at 100 TB."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    )
+    act = ev.distinct()
+    coh = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days")
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q125 — top event-type trigram sequences (sequence pattern mining)
+# --------------------------------------------------------------------------
+@register(
+    "q125_event_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 20
+    """,
+    tags=("temporal", "sequence", "pattern-mining"),
+)
+def q125_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type trigram sequences across all user journeys —
+    lightweight sequential pattern mining (the n-gram view of behavior
+    that seeds funnel design and anomaly baselines).  Both lags ride ONE
+    window pass; the LIMIT sits under a total order (count desc, then
+    the trigram itself) so the top-20 is deterministic.
+
+    Scale: one shuffle on user_id for the lags, one aggregation on the
+    trigram key (cardinality ≤ |event_type|³ — tiny), then
+    TakeOrdered(20); nothing global-sorts the event stream."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        ev.filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("t1"),
+            F.col("p1").alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )

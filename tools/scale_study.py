@@ -111,6 +111,11 @@ STUDY_QUERIES = [
     "q115_per_source_quality_gate",  # per-source rank gate
     "q116_eval_per_lang",     # WindowGroupLimit per-group top-k
     "q117_bloom_incremental_dedup",  # bloom index + exact confirm
+    "q119_scd2_intervals",    # gaps-and-islands (3 window passes, 1 shuffle)
+    "q120_funnel_conversion", # equi-join + conditional MIN funnel
+    "q121_bigram_lm_quality", # bigram LM train + score (3 shuffles)
+    "q122_rolling_7d_revenue",  # RANGE frame sliding aggregate
+    "q123_copurchase_triangles",  # degree-ordered wedge + closing joins
 ]
 
 
