@@ -127,6 +127,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q123_copurchase_triangles",  # displaces q46 (JSON family carried by q18)
     "q124_retention_cohorts",  # displaces q48 (quantiles carried by q24)
     "q125_event_trigrams",  # displaces q80 (min/max stats carried by q81)
+    "q126_snapshot_cdc",  # displaces q97 (anti-entropy carried by q109 r3)
+    "q127_vocab_build",  # displaces q49 (interval joins carried by q30/q31 r3)
     # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
     # exactly 2 rounds behind after round 4 and becomes the mandatory
     # round-5 set (see WINDOW.md)
@@ -135,13 +137,11 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q103_zorder_box_query",
     "q104_format_roundtrip",
     "q47_streaming_tumbling_window",
-    "q49_attribution_join",
     "q75_gap_fill_locf",
     "q76_udtf_sentences",
     "q81_registry_pruned_scan",
     "q82_registry_sync_lifecycle",
     "q95_compaction_lifecycle",
-    "q97_table_fingerprint_diff",
     "q18_json_extract",
     "q32_approx_distinct",
 )

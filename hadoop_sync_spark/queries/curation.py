@@ -1247,3 +1247,85 @@ def observed_write_metrics(
         ).alias("qty_out_of_domain"),
     )
     return observed, obs
+
+
+# --------------------------------------------------------------------------
+# q126 — snapshot change-data-capture (row + column-level diff)
+# --------------------------------------------------------------------------
+@register(
+    "q126_snapshot_cdc",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 <> 0
+    ), b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END
+                 AS text,
+               lang
+        FROM documents WHERE doc_id % 5 <> 0
+    ), d AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.text IS DISTINCT FROM b.text
+                         OR a.lang IS DISTINCT FROM b.lang THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                AND a.text IS DISTINCT FROM b.text) AS text_changed,
+               (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                AND a.lang IS DISTINCT FROM b.lang) AS lang_changed
+        FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, change_type, text_changed, lang_changed
+    FROM d WHERE change_type <> 'unchanged'
+    """,
+    tags=("curation", "cdc", "diff"),
+)
+def q126_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two corpus snapshots: per-key
+    added/removed/changed classification PLUS per-column change flags —
+    the row-level diff feed (Delta CDF shape) that downstream consumers
+    use to reprocess only what moved, where q97/q109's digests only
+    LOCATE drift.  Snapshots are carved deterministically from the
+    fixture (A drops doc_id%7==0, B drops doc_id%5==0 and rewrites
+    doc_id%11==0), so adds, removes, and column-level changes are all
+    genuinely exercised.
+
+    Scale: ONE full-outer hash join co-partitioned on the key; column
+    comparisons are null-safe expressions inside the join's projection
+    (no second pass).  The unchanged majority is filtered before
+    emission, so the output is delta-sized, not corpus-sized — at
+    100 TB the join itself is the only corpus-scale cost and both
+    sides shuffle once on doc_id."""
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text", "lang")
+    b = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.upper("text")
+            ).otherwise(F.col("text")).alias("text"),
+            "lang",
+        )
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    both = F.col("a.doc_id").isNotNull() & F.col("b.doc_id").isNotNull()
+    text_chg = both & ~F.col("a.text").eqNullSafe(F.col("b.text"))
+    lang_chg = both & ~F.col("a.lang").eqNullSafe(F.col("b.lang"))
+    change_type = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(text_chg | lang_chg, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        aa.join(bb, F.col("a.doc_id") == F.col("b.doc_id"), "full")
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            change_type.alias("change_type"),
+            text_chg.alias("text_changed"),
+            lang_chg.alias("lang_changed"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )

@@ -11,6 +11,7 @@ surface with DuckDB oracles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import (
@@ -669,4 +670,56 @@ def q121_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("lq").cast("double") / F.lit(1_000_000.0) / F.count("*")
             ).alias("avg_logp"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q127 — tokenizer vocabulary build (stable ids by frequency rank)
+# --------------------------------------------------------------------------
+@register(
+    "q127_vocab_build",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_NORM_TOKENS}) AS token FROM documents
+    ), stats AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY token
+    )
+    SELECT token, tf, df,
+           CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT)
+             AS vocab_id
+    FROM stats
+    """,
+    tags=("text", "vocabulary", "tokenizer"),
+)
+def q127_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: every corpus token with its
+    total frequency, document frequency, and a STABLE integer id
+    assigned by (frequency desc, token) rank — the id table a trained
+    tokenizer ships with, reproducible because the rank order is total.
+
+    Scale: token stats are one shuffle on token (partial+final agg with
+    an exact count_distinct riding the same pass via a two-level
+    aggregation Catalyst plans automatically).  The final ROW_NUMBER is
+    a rank over the VOCABULARY — orders of magnitude smaller than the
+    corpus (vocabulary grows ~Heaps' law, |V| ≈ O(N^0.5)), so the
+    single-partition window is a deliberate, documented choice: at
+    100 TB the vocab is millions of rows, still one executor's work,
+    and the alternative (ordered global id via zipWithIndex) gives up
+    Catalyst for no gain."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.trim(F.col("text")))), WS_RE)
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    stats = tok.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), "token")
+    return stats.select(
+        "token",
+        "tf",
+        "df",
+        F.row_number().over(w).cast("long").alias("vocab_id"),
     )
