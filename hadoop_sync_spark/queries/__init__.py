@@ -129,6 +129,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q125_event_trigrams",  # displaces q80 (min/max stats carried by q81)
     "q126_snapshot_cdc",  # displaces q97 (anti-entropy carried by q109 r3)
     "q127_vocab_build",  # displaces q49 (interval joins carried by q30/q31 r3)
+    "q128_price_size_skyline",  # displaces q47 (its batch twin q40 is in-window)
     # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
     # exactly 2 rounds behind after round 4 and becomes the mandatory
     # round-5 set (see WINDOW.md)
@@ -136,7 +137,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q102_schema_evolution",
     "q103_zorder_box_query",
     "q104_format_roundtrip",
-    "q47_streaming_tumbling_window",
     "q75_gap_fill_locf",
     "q76_udtf_sentences",
     "q81_registry_pruned_scan",

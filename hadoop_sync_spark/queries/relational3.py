@@ -174,3 +174,96 @@ def q85_correlated_max_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q128 — skyline / Pareto front (grid-partitioned dominance)
+# --------------------------------------------------------------------------
+#: Grid width over p_retailprice: bucket = floor(price / W).  Any point in
+#: a strictly earlier bucket is strictly cheaper, so cross-bucket
+#: dominance reduces to one prefix-min over BUCKET aggregates (tiny),
+#: and within-bucket dominance parallelizes per bucket.
+_SKY_W = 50
+
+
+@register(
+    "q128_price_size_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey, p_retailprice AS price,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    )
+    SELECT p.p_partkey, p.price, p.size
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price <= p.price AND q.size <= p.size
+          AND (q.price < p.price OR q.size < p.size)
+    )
+    """,
+    tags=("relational", "skyline", "pareto"),
+)
+def q128_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) of parts minimizing (price, size): a part
+    survives iff no other part is ≤ on both dimensions and < on one —
+    the multi-criteria shortlist query (Börzsönyi et al., "The Skyline
+    Operator", ICDE'01).  The oracle is the textbook NOT EXISTS
+    (quadratic, fine at fixture scale); the Spark plan is the
+    GRID-PARTITIONED form that scales:
+
+    - bucket points by price range (floor(price/W) — data-independent,
+      no sort); a point in a strictly earlier bucket is strictly
+      cheaper, so CROSS-bucket dominance collapses to a prefix-min of
+      per-bucket min sizes — bucket-cardinality work on the driver-scale
+      aggregate, broadcast back;
+    - WITHIN-bucket dominance uses two window frames partitioned per
+      bucket (min size over strictly-cheaper rows via a RANGE frame that
+      excludes price peers; min size among exact price peers), so every
+      corpus-scale pass is embarrassingly parallel across buckets — no
+      global sort, no self-join, one shuffle on bucket.
+
+    Equal (price, size) duplicates don't strictly dominate each other
+    and both survive, matching the NOT EXISTS semantics."""
+    from pyspark.sql.window import Window
+
+    pts = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    pts = pts.withColumn(
+        "bucket", F.floor(F.col("price") / F.lit(float(_SKY_W)))
+    )
+    # cross-bucket: prefix min of per-bucket min size over EARLIER buckets
+    bmins = pts.groupBy("bucket").agg(F.min("size").alias("bmin"))
+    wprev = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bucket-cardinality frame — tiny by construction
+    prefix = bmins.select(
+        "bucket", F.min("bmin").over(wprev).alias("prev_min")
+    )
+    # within-bucket: RANGE frame over CENT-scaled price (exact long, the
+    # _util.scaled idiom) ending at -1 excludes price peers → the frame
+    # is exactly the strictly-cheaper rows
+    pts = pts.withColumn("price_c", scaled("price"))
+    wcheaper = (
+        Window.partitionBy("bucket")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wpeers = Window.partitionBy("bucket", "price_c")
+    flagged = (
+        pts.join(F.broadcast(prefix), "bucket")
+        .withColumn("m_cheaper", F.min("size").over(wcheaper))
+        .withColumn("m_peer", F.min("size").over(wpeers))
+    )
+    dominated = (
+        (F.col("prev_min") <= F.col("size"))
+        | (F.col("m_cheaper") <= F.col("size"))
+        | (F.col("m_peer") < F.col("size"))
+    )
+    return flagged.filter(~F.coalesce(dominated, F.lit(False))).select(
+        "p_partkey", "price", "size"
+    )
