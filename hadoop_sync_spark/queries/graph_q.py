@@ -128,6 +128,17 @@ def triangle_pipeline(
         .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
         .distinct()
     )
+    return triangle_stats(e0, persist=persist)
+
+
+def triangle_stats(
+    e0: DataFrame, persist: bool = True
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Degree-ordered triangle counting over an undirected edge list
+    (columns u, v; u != v, one row per unordered pair).  Returns the
+    one-row (n_nodes, n_edges, n_triangles) frame plus caches-to-free.
+    Factored so behavioral tests can feed crafted graphs with known
+    triangle counts."""
     if persist:
         e0 = e0.persist()
     deg = (

@@ -225,15 +225,25 @@ def q128_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Equal (price, size) duplicates don't strictly dominate each other
     and both survive, matching the NOT EXISTS semantics."""
-    from pyspark.sql.window import Window
-
     pts = t(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_retailprice").alias("price"),
         F.col("p_size").cast("long").alias("size"),
     )
+    return pareto_front(pts)
+
+
+def pareto_front(pts: DataFrame, bucket_width: int = _SKY_W) -> DataFrame:
+    """Grid-partitioned 2-D skyline minimizing (price, size) over a frame
+    with columns (price DOUBLE 2-decimal, size BIGINT, + carried id
+    columns).  See :func:`q128_price_size_skyline` for the algorithm;
+    factored so behavioral tests can feed crafted point sets against a
+    brute-force reference."""
+    from pyspark.sql.window import Window
+
+    carried = [c for c in pts.columns if c not in ("price", "size")]
     pts = pts.withColumn(
-        "bucket", F.floor(F.col("price") / F.lit(float(_SKY_W)))
+        "bucket", F.floor(F.col("price") / F.lit(float(bucket_width)))
     )
     # cross-bucket: prefix min of per-bucket min size over EARLIER buckets
     bmins = pts.groupBy("bucket").agg(F.min("size").alias("bmin"))
@@ -265,5 +275,5 @@ def q128_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("m_peer") < F.col("size"))
     )
     return flagged.filter(~F.coalesce(dominated, F.lit(False))).select(
-        "p_partkey", "price", "size"
+        *carried, "price", "size"
     )
