@@ -116,6 +116,11 @@ STUDY_QUERIES = [
     "q121_bigram_lm_quality", # bigram LM train + score (3 shuffles)
     "q122_rolling_7d_revenue",  # RANGE frame sliding aggregate
     "q123_copurchase_triangles",  # degree-ordered wedge + closing joins
+    "q124_retention_cohorts",   # distinct + min-agg + equi-join
+    "q125_event_trigrams",      # double-lag window + tiny agg + top-k
+    "q126_snapshot_cdc",        # one co-partitioned full-outer join
+    "q127_vocab_build",         # token agg + vocab-scale rank
+    "q128_price_size_skyline",  # grid-partitioned dominance windows
 ]
 
 
