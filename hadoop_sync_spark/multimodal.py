@@ -33,6 +33,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -266,14 +267,24 @@ def _synth_image(asset_id: int, w: int, h: int):
 
 
 def _synth_audio(asset_id: int, n_samples: int):
-    """Deterministic int16 sinusoid, frequency keyed by asset id."""
+    """Deterministic int16 sawtooth, period keyed by asset id — INTEGER
+    arithmetic only (``(t·k) mod 32768 − 16384``), so a SQL oracle can
+    reconstruct every sample bit-exactly (a float sinusoid would differ
+    between numpy's and the oracle's libm by an occasional ulp, flipping
+    truncated samples).  Every 4th asset is a 'quiet' track (samples
+    pre-scaled by ⅛ before the offset, both operands non-negative so
+    floor == trunc in every engine) — gives energy-threshold operators
+    (q129) a real active/quiet split to classify."""
     import numpy as np
 
-    t = np.arange(n_samples, dtype=np.float64)
-    freq = 220.0 + (asset_id % 16) * 55.0
-    return (
-        np.sin(2 * np.pi * freq * t / _AUDIO_RATE) * 12000.0
-    ).astype("<i2")
+    k = 37 + (asset_id % 16) * 2
+    t = np.arange(n_samples, dtype=np.int64)
+    m = (t * k) % 32768
+    if asset_id % 4 == 3:
+        s = m // 8 - 2048  # quiet track: RMS ~1/8 of the loud ones
+    else:
+        s = m - 16384
+    return s.astype("<i2")
 
 
 def _make_asset(i: int, nch: int) -> tuple:
@@ -468,4 +479,65 @@ def sample_frames(assets: DataFrame, every_k: int = 4) -> DataFrame:
 
     return assets.filter(F.col("media_type") == "video").mapInPandas(
         fn, FRAME_SCHEMA
+    )
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("energy_sq", LongType()),
+        StructField("active", BooleanType()),
+    ]
+)
+
+#: 25 ms frames at the fixture rate; energy threshold = RMS 4000 (the
+#: loud sawtooth sits near RMS 9459, the quiet ⅛-scale track near 1182 —
+#: a real split, not a vacuous always-on flag)
+_ENERGY_FRAME = 400
+_ENERGY_THRESH_SQ = _ENERGY_FRAME * 4000 * 4000
+
+
+def audio_frame_energy(
+    assets: DataFrame,
+    frame: int = _ENERGY_FRAME,
+    thresh_sq: int = _ENERGY_THRESH_SQ,
+) -> DataFrame:
+    """Frame-level audio energy / voice-activity shape: decode each WAV
+    payload, split into fixed `frame`-sample windows (tail partials
+    dropped), and emit the EXACT integer sum of squares per frame plus
+    an active flag — the segmentation primitive under silence trimming
+    and speech-region extraction in audio dataset pipelines.
+
+    Scale: the media-type filter stays JVM-side so only audio payloads
+    cross the Arrow boundary; per batch the energy is one vectorized
+    reshape + square-sum (no per-sample Python).  int64 headroom: a
+    frame's sum of squares ≤ frame · 2³⁰ ≈ 4.3e11 at frame=400."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                _rate, samples = decode_wav(bytes(content))
+                n_frames = len(samples) // frame
+                if n_frames == 0:
+                    continue
+                mat = (
+                    samples[: n_frames * frame]
+                    .astype(np.int64)
+                    .reshape(n_frames, frame)
+                )
+                energy = (mat * mat).sum(axis=1)
+                for fno in range(n_frames):
+                    e = int(energy[fno])
+                    out.append((int(aid), fno, e, e > thresh_sq))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ENERGY_SCHEMA.fields]
+            )
+
+    return assets.filter(F.col("media_type") == "audio").mapInPandas(
+        fn, ENERGY_SCHEMA
     )

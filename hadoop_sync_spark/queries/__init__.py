@@ -130,6 +130,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q126_snapshot_cdc",  # displaces q97 (anti-entropy carried by q109 r3)
     "q127_vocab_build",  # displaces q49 (interval joins carried by q30/q31 r3)
     "q128_price_size_skyline",  # displaces q47 (its batch twin q40 is in-window)
+    "q129_audio_energy_segments",  # displaces q32 (count-distinct family carried by q09)
     # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
     # exactly 2 rounds behind after round 4 and becomes the mandatory
     # round-5 set (see WINDOW.md)
@@ -143,7 +144,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q82_registry_sync_lifecycle",
     "q95_compaction_lifecycle",
     "q18_json_extract",
-    "q32_approx_distinct",
 )
 
 

@@ -122,3 +122,49 @@ def q92_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     BMP sizes from the RVID arithmetic, so a mis-parsed container index
     or wrong stride fails the hash."""
     return sample_frames(assets_from_documents(spark, sf_dir), every_k=4)
+
+
+@register(
+    "q129_audio_energy_segments",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               37 + (doc_id % 16) * 2 AS k,
+               2000 * (8 + doc_id % 4) AS n_samples,
+               doc_id % 4 = 3 AS quiet
+        FROM documents WHERE doc_id % 3 = 1
+    ), s AS (
+        SELECT doc_id, quiet, k,
+               unnest(generate_series(0, n_samples - 1)) AS t
+        FROM a
+    ), v AS (
+        SELECT doc_id, CAST(t // 400 AS INT) AS frame_no,
+               CASE WHEN quiet THEN ((t * k) % 32768) // 8 - 2048
+                    ELSE (t * k) % 32768 - 16384 END AS smp
+        FROM s
+    )
+    SELECT doc_id AS asset_id, frame_no,
+           CAST(SUM(smp * smp) AS BIGINT) AS energy_sq,
+           CAST(SUM(smp * smp) AS BIGINT) > 6400000000 AS active
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("multimodal", "audio", "dsp", "mapInPandas"),
+)
+def q129_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio energy segmentation: every WAV payload decoded
+    for real, split into 400-sample (25 ms) frames, each frame's EXACT
+    integer sum-of-squares energy emitted with an activity flag — the
+    silence-trimming / voice-activity primitive of audio dataset
+    curation.  The fixture waveform is integer-exact by construction
+    (multimodal._synth_audio), so the oracle reconstructs every sample
+    from `documents` alone and the value hash covers the full
+    decode → Arrow → vectorized-DSP path sample-for-sample; the quiet
+    tracks (every 4th asset at ⅛ amplitude) make the activity flag a
+    real classification, not an always-true column.
+
+    Scale: the media-type filter runs JVM-side (audio payloads only
+    cross Arrow); per batch the energy is one reshape + square-sum.
+    Output is frame-count-sized (payload_bytes / 800 rows)."""
+    from hadoop_sync_spark.multimodal import audio_frame_energy
+
+    return audio_frame_energy(assets_from_documents(spark, sf_dir))
