@@ -131,15 +131,18 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q127_vocab_build",  # displaces q49 (interval joins carried by q30/q31 r3)
     "q128_price_size_skyline",  # displaces q47 (its batch twin q40 is in-window)
     "q129_audio_energy_segments",  # displaces q32 (count-distinct family carried by q09)
+    "q130_robust_source_stats",  # displaces q76 (Python-extension family carried by q45)
+    # (2) q24 changed in round 4: odd-group middle row now counted
+    # twice in the doubled-median sum (was halved; latent — fixture
+    # groups are even)
+    "q24_exact_median",
     # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
     # exactly 2 rounds behind after round 4 and becomes the mandatory
     # round-5 set (see WINDOW.md)
     "q101_time_travel",
     "q102_schema_evolution",
     "q103_zorder_box_query",
-    "q104_format_roundtrip",
     "q75_gap_fill_locf",
-    "q76_udtf_sentences",
     "q81_registry_pruned_scan",
     "q82_registry_sync_lifecycle",
     "q95_compaction_lifecycle",

@@ -1329,3 +1329,115 @@ def q126_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change_type") != "unchanged")
     )
+
+
+# --------------------------------------------------------------------------
+# q130 — robust per-source statistics (exact integer median / MAD / outliers)
+# --------------------------------------------------------------------------
+@register(
+    "q130_robust_source_stats",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, {_SQL_TOKCNT} AS tc FROM documents
+    ), r1 AS (
+        SELECT doc_id, source, tc,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY tc, doc_id)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM s
+    ), m AS (
+        SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rn = (n+1)//2 THEN tc ELSE 0 END
+                      + CASE WHEN rn = (n+2)//2 THEN tc ELSE 0 END)
+                    AS BIGINT) AS med2
+        FROM r1 GROUP BY source
+    ), d AS (
+        SELECT s.doc_id, s.source, abs(2 * s.tc - m.med2) AS dv
+        FROM s JOIN m USING (source)
+    ), r2 AS (
+        SELECT source, dv,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv, doc_id)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM d
+    ), mm AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN rn = (n+1)//2 THEN dv ELSE 0 END
+                      + CASE WHEN rn = (n+2)//2 THEN dv ELSE 0 END)
+                    AS BIGINT) AS mad2
+        FROM r2 GROUP BY source
+    ), o AS (
+        SELECT d.source,
+               CAST(SUM(CASE WHEN 2 * d.dv > 3 * mm.mad2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM d JOIN mm USING (source) GROUP BY d.source
+    )
+    SELECT m.source, m.n_docs, m.med2, mm.mad2, o.n_outliers
+    FROM m JOIN mm USING (source) JOIN o USING (source)
+    """,
+    tags=("curation", "robust-stats", "quality"),
+)
+def q130_robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source token-count statistics: exact MEDIAN, exact MAD
+    (median absolute deviation), and the count of 3-MAD outliers — the
+    outlier detector quality pipelines prefer over mean/stddev because a
+    source's own spam tail can't drag the threshold.  All arithmetic
+    stays on DOUBLED integers (med2 = 2·median, mad2 = 4·MAD on the
+    doubled-deviation scale; the outlier test 2·d > 3·mad2 is the
+    integer form of |x−med| > 3·MAD), so both engines agree bit-for-bit
+    — and the doubled-median sums its two middle ranks as separate
+    terms, counting an odd group's middle row twice (the q24 lesson).
+
+    Scale: two rank-window passes and three joins, every one partitioned
+    or keyed on `source`; the per-source aggregate tables (m, mm) are
+    source-cardinality and broadcast back to the doc-level frame.  One
+    logical shuffle on source serves every pass."""
+    d0 = t(spark, sf_dir, "documents")
+    from hadoop_sync_spark.functions.text import token_count
+
+    s = d0.select(
+        "doc_id", "source", token_count(F.col("text")).alias("tc")
+    )
+    w1 = Window.partitionBy("source").orderBy("tc", "doc_id")
+    wc = Window.partitionBy("source")
+    r1 = s.select(
+        "source",
+        "tc",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    lo, hi = F.floor((F.col("n") + 1) / 2), F.floor((F.col("n") + 2) / 2)
+    zero = F.lit(0).cast("long")
+    pick = lambda c: (  # noqa: E731 — two-term middle sum (q24 lesson)
+        F.when(F.col("rn") == lo, F.col(c)).otherwise(zero)
+        + F.when(F.col("rn") == hi, F.col(c)).otherwise(zero)
+    )
+    m = r1.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.sum(pick("tc")).alias("med2"),
+    )
+    d = s.join(F.broadcast(m.select("source", "med2")), "source").select(
+        "doc_id", "source", F.abs(2 * F.col("tc") - F.col("med2")).alias("dv")
+    )
+    w2 = Window.partitionBy("source").orderBy("dv", "doc_id")
+    r2 = d.select(
+        "source",
+        "dv",
+        F.row_number().over(w2).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    mm = r2.groupBy("source").agg(F.sum(pick("dv")).alias("mad2"))
+    o = (
+        d.join(F.broadcast(mm), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (2 * F.col("dv") > 3 * F.col("mad2")).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        m.join(mm, "source")
+        .join(o, "source")
+        .select("source", "n_docs", "med2", "mad2", "n_outliers")
+    )

@@ -72,7 +72,9 @@ def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN rn IN ((n+1)//2, (n+2)//2)
+           CAST(SUM(CASE WHEN rn = (n+1)//2
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END
+                  + CASE WHEN rn = (n+2)//2
                          THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE)
              / 2.0 AS median_qty,
            MAX(n) AS n
@@ -85,6 +87,11 @@ def q24_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact group median built from row_number + count windows instead of
     an engine-specific quantile function, so both engines compute literally
     the same integer arithmetic (l_quantity is integral in the fixtures).
+    The two middle indices are summed as SEPARATE terms so an odd-sized
+    group (lo == hi) counts its middle row twice before the /2 — the
+    ``rn IN (lo, hi)`` spelling silently halved odd-group medians (latent:
+    every fixture group happens to be even-sized; both engines agreed on
+    the wrong value, so only inspection could catch it).
 
     Scale: one shuffle on the partition key; the rank window is the
     standard distributed exact-quantile pattern (vs approx_percentile for
@@ -102,10 +109,12 @@ def q24_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.floor((F.col("n") + 1) / 2)
     hi = F.floor((F.col("n") + 2) / 2)
-    mid = F.when(
-        (F.col("rn") == lo) | (F.col("rn") == hi),
-        F.col("l_quantity").cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
+    zero = F.lit(0).cast("long")
+    mid = F.when(F.col("rn") == lo, F.col("l_quantity").cast("long")).otherwise(
+        zero
+    ) + F.when(F.col("rn") == hi, F.col("l_quantity").cast("long")).otherwise(
+        zero
+    )
     return (
         r.groupBy("l_returnflag")
         .agg(

@@ -218,3 +218,33 @@ def test_retention_cohort_counts_distinct_days(spark, tmp_path):
         for r in load_all()["q124_retention_cohorts"].fn(spark, out).collect()
     }
     assert rows == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_exact_median_counts_odd_group_middle_twice(spark, tmp_path):
+    """q24 regression (round-4 find): an odd-sized group's median must be
+    the middle value itself — the old `rn IN (lo, hi)` spelling matched
+    the middle row once and then halved it.  Crafted odd group: quantities
+    1,2,9 → median 2 (the old formula returned 1.0)."""
+    import datetime
+
+    rows = [
+        (1, 1, 1.0, "A", datetime.datetime(2024, 1, 1)),
+        (2, 1, 2.0, "A", datetime.datetime(2024, 1, 1)),
+        (3, 1, 9.0, "A", datetime.datetime(2024, 1, 1)),
+        (4, 1, 4.0, "B", datetime.datetime(2024, 1, 1)),
+        (5, 1, 6.0, "B", datetime.datetime(2024, 1, 1)),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_returnflag string, l_shipdate timestamp",
+    )
+    out = str(tmp_path / "li")
+    li.write.parquet(out + "/lineitem.parquet")
+    from hadoop_sync_spark.queries import load_all
+
+    got = {
+        r["l_returnflag"]: (r["median_qty"], r["n"])
+        for r in load_all()["q24_exact_median"].fn(spark, out).collect()
+    }
+    assert got == {"A": (2.0, 3), "B": (5.0, 2)}
