@@ -518,8 +518,9 @@ def audio_frame_energy(
         import numpy as np
         import pandas as pd
 
+        cols = [f.name for f in ENERGY_SCHEMA.fields]
         for pdf in batches:
-            out = []
+            ids, fnos, energies = [], [], []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 _rate, samples = decode_wav(bytes(content))
                 n_frames = len(samples) // frame
@@ -530,12 +531,20 @@ def audio_frame_energy(
                     .astype(np.int64)
                     .reshape(n_frames, frame)
                 )
-                energy = (mat * mat).sum(axis=1)
-                for fno in range(n_frames):
-                    e = int(energy[fno])
-                    out.append((int(aid), fno, e, e > thresh_sq))
+                ids.append(np.full(n_frames, int(aid), dtype=np.int64))
+                fnos.append(np.arange(n_frames, dtype=np.int32))
+                energies.append((mat * mat).sum(axis=1))
+            if not ids:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            e = np.concatenate(energies)
             yield pd.DataFrame(
-                out, columns=[f.name for f in ENERGY_SCHEMA.fields]
+                {
+                    "asset_id": np.concatenate(ids),
+                    "frame_no": np.concatenate(fnos),
+                    "energy_sq": e,
+                    "active": e > thresh_sq,
+                }
             )
 
     return assets.filter(F.col("media_type") == "audio").mapInPandas(

@@ -121,6 +121,8 @@ STUDY_QUERIES = [
     "q126_snapshot_cdc",        # one co-partitioned full-outer join
     "q127_vocab_build",         # token agg + vocab-scale rank
     "q128_price_size_skyline",  # grid-partitioned dominance windows
+    "q129_audio_energy_segments",  # decode + vectorized DSP per frame
+    "q130_robust_source_stats",  # two rank-window passes on source
 ]
 
 
