@@ -142,6 +142,26 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Dedup via ``dropDuplicatesWithinWatermark`` — the Spark 3.5+ form
+    whose state EVICTS on the watermark even though the event-time column
+    is NOT part of the dedup key.  Plain ``dropDuplicates(["event_id"])``
+    only expires state if the key includes the watermark column;
+    within-watermark dedup keeps the key natural (event_id alone) while
+    still bounding state to the late-data horizon — duplicates are only
+    guaranteed collapsed when they arrive within the watermark delay of
+    the first occurrence, exactly the at-least-once-source contract.
+
+    Scale: state is one row per distinct in-horizon key, shuffled once on
+    the key per micro-batch; eviction is watermark-driven so day-three
+    state size tracks the horizon, not the stream's lifetime."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def sessionized_with_state(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
 ) -> DataFrame:

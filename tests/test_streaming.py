@@ -396,3 +396,27 @@ def test_stream_static_join_equals_batch(spark, events_dir, tmp_path):
     cols = ["event_id", "user_id", "user_events"]
     assert _canon(got, cols) == _canon(batch, cols)
     assert got.filter(F.col("user_events").isNull()).count() > 0
+
+
+def test_stream_dedup_within_watermark_collapses_in_horizon_dups(
+    spark, events_dir, tmp_path
+):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark horizon of the first occurrence collapse to one row, with
+    the key kept natural (event_id alone — no watermark column in the
+    key) and state still watermark-evicted.  With both copies in one
+    AvailableNow drain every duplicate is in-horizon, so coverage equals
+    exact batch dedup."""
+    from hadoop_sync_spark.streaming import dedup_stream_within_watermark
+
+    shutil.copy(
+        table_path(SF_DIR, "events"), events_dir + "/part-dup.parquet"
+    )
+    n_unique = load_table(spark, SF_DIR, "events").count()
+    stream = dedup_stream_within_watermark(stream_events(spark, events_dir))
+    name = _qname("dedup_ww")
+    got = run_available_now(
+        stream, str(tmp_path / "ckpt"), name, output_mode="append"
+    )
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
