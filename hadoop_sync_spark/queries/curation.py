@@ -1388,10 +1388,12 @@ def q130_robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and the doubled-median sums its two middle ranks as separate
     terms, counting an odd group's middle row twice (the q24 lesson).
 
-    Scale: two rank-window passes and three joins, every one partitioned
-    or keyed on `source`; the per-source aggregate tables (m, mm) are
-    source-cardinality and broadcast back to the doc-level frame.  One
-    logical shuffle on source serves every pass."""
+    Scale: the ENTIRE report is stacked window functions over ONE
+    hash-partitioning on `source` — median via rank-pick-as-window-sum,
+    deviations, MAD the same way, the outlier flag, then a final groupBy
+    on the same key that rides the existing partitioning.  Plan-checked
+    at exactly 1 exchange (test_plans): the earlier join-based form
+    recomputed the corpus per report column (7 exchanges)."""
     d0 = t(spark, sf_dir, "documents")
     from hadoop_sync_spark.functions.text import token_count
 
@@ -1400,44 +1402,35 @@ def q130_robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1 = Window.partitionBy("source").orderBy("tc", "doc_id")
     wc = Window.partitionBy("source")
-    r1 = s.select(
-        "source",
-        "tc",
-        F.row_number().over(w1).alias("rn"),
-        F.count("*").over(wc).alias("n"),
-    )
-    lo, hi = F.floor((F.col("n") + 1) / 2), F.floor((F.col("n") + 2) / 2)
     zero = F.lit(0).cast("long")
-    pick = lambda c: (  # noqa: E731 — two-term middle sum (q24 lesson)
-        F.when(F.col("rn") == lo, F.col(c)).otherwise(zero)
-        + F.when(F.col("rn") == hi, F.col(c)).otherwise(zero)
-    )
-    m = r1.groupBy("source").agg(
-        F.max("n").alias("n_docs"),
-        F.sum(pick("tc")).alias("med2"),
-    )
-    d = s.join(F.broadcast(m.select("source", "med2")), "source").select(
-        "doc_id", "source", F.abs(2 * F.col("tc") - F.col("med2")).alias("dv")
+
+    def pick(rank_col: str, val: str) -> F.Column:
+        # two-term middle sum (q24 lesson: odd groups count the middle
+        # row twice), evaluated per row then summed over the partition
+        lo = F.floor((F.col("n") + 1) / 2)
+        hi = F.floor((F.col("n") + 2) / 2)
+        return F.when(F.col(rank_col) == lo, F.col(val)).otherwise(
+            zero
+        ) + F.when(F.col(rank_col) == hi, F.col(val)).otherwise(zero)
+
+    r = (
+        s.withColumn("n", F.count("*").over(wc))
+        .withColumn("rn1", F.row_number().over(w1))
+        .withColumn("med2", F.sum(pick("rn1", "tc")).over(wc))
+        .withColumn("dv", F.abs(2 * F.col("tc") - F.col("med2")))
     )
     w2 = Window.partitionBy("source").orderBy("dv", "doc_id")
-    r2 = d.select(
-        "source",
-        "dv",
-        F.row_number().over(w2).alias("rn"),
-        F.count("*").over(wc).alias("n"),
-    )
-    mm = r2.groupBy("source").agg(F.sum(pick("dv")).alias("mad2"))
-    o = (
-        d.join(F.broadcast(mm), "source")
-        .groupBy("source")
-        .agg(
-            F.sum(
-                (2 * F.col("dv") > 3 * F.col("mad2")).cast("long")
-            ).alias("n_outliers")
+    r = (
+        r.withColumn("rn2", F.row_number().over(w2))
+        .withColumn("mad2", F.sum(pick("rn2", "dv")).over(wc))
+        .withColumn(
+            "is_outlier",
+            (2 * F.col("dv") > 3 * F.col("mad2")).cast("long"),
         )
     )
-    return (
-        m.join(mm, "source")
-        .join(o, "source")
-        .select("source", "n_docs", "med2", "mad2", "n_outliers")
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max("med2").alias("med2"),
+        F.max("mad2").alias("mad2"),
+        F.sum("is_outlier").alias("n_outliers"),
     )

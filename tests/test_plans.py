@@ -240,3 +240,24 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     j = fact.join(dim, "o_year").groupBy("prio").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_robust_stats_single_doc_scale_exchange(spark, sf_dir):
+    """q130's whole report must ride ONE hash-partitioning on source —
+    the stacked-window formulation; the earlier join-based form
+    recomputed the corpus per report column (7 exchanges)."""
+    from hadoop_sync_spark.queries import load_all
+
+    df = load_all()["q130_robust_source_stats"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """q119's three window passes and the segment aggregation must share
+    one user_id exchange (the docstring's claim, pinned)."""
+    from hadoop_sync_spark.queries import load_all
+
+    df = load_all()["q119_scd2_intervals"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
