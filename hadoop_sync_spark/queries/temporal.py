@@ -278,17 +278,21 @@ def q124_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day) distinct so COUNT(*) per cell IS distinct active users —
     no count_distinct needed in the final pass.
 
-    Scale: distinct on (user, day), min-agg per user, then an equi-join
-    back on user_id and one final aggregation — three shuffles, all on
-    user-scale or cell-scale keys; the cohort side is user-cardinality
-    and broadcastable once aggregated at 100 TB."""
+    Scale: ONE user-scale exchange — the frame repartitions on user_id
+    once, and the (user, day) distinct, the cohort min (a window over
+    the same key, replacing the aggregate+self-join), and the outgoing
+    partial agg all ride that partitioning; the only other exchange
+    moves cell-scale rows (cohort × age cardinality).  Plan-checked."""
     ev = t(spark, sf_dir, "events").select(
         "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
     )
-    act = ev.distinct()
-    coh = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # hash-partitioning on user_id alone satisfies the (user_id, day)
+    # clustering the distinct needs AND the cohort window's requirement,
+    # so everything below the final cell-agg shares this one shuffle
+    act = ev.repartition("user_id").distinct()
+    coh_day = F.min("day").over(Window.partitionBy("user_id"))
     return (
-        act.join(coh, "user_id")
+        act.withColumn("cohort_day", coh_day)
         .groupBy(
             "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days")
         )

@@ -261,3 +261,14 @@ def test_scd2_single_exchange(spark, sf_dir):
     df = load_all()["q119_scd2_intervals"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_retention_cohorts_two_exchanges(spark, sf_dir):
+    """q124: one user-scale exchange (repartition serving the distinct,
+    the cohort window, and the partial agg) plus one cell-scale exchange
+    for the final (cohort, age) aggregation — nothing else."""
+    from hadoop_sync_spark.queries import load_all
+
+    df = load_all()["q124_retention_cohorts"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
