@@ -604,7 +604,7 @@ def q76_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cb AS (
         SELECT w1, w2, COUNT(*) AS cnt_bg FROM bg GROUP BY w1, w2
     ), cp AS (
-        SELECT w1, COUNT(*) AS cnt_w1 FROM bg GROUP BY w1
+        SELECT w1, CAST(SUM(cnt_bg) AS BIGINT) AS cnt_w1 FROM cb GROUP BY w1
     ), sc AS (
         SELECT bg.doc_id,
                CAST(ROUND(ln(CAST(cb.cnt_bg AS DOUBLE)
@@ -631,7 +631,9 @@ def q121_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum an exact BIGINT so reduction order cannot perturb parity.
 
     Scale: bigram extraction is a narrow array transform (no Python);
-    model training is ONE shuffle each for c(w1,w2) and c(w1·);
+    model training is ONE corpus-scale shuffle for c(w1,w2), and c(w1·)
+    folds the resulting MODEL table (vocabulary-scale) rather than
+    re-aggregating the corpus;
     scoring joins the doc-bigram stream to both count tables on their
     natural keys — hash joins on (w1,w2)/(w1), AQE-splittable if a stop
     bigram skews.  Model size = distinct bigrams (vocabulary-bounded, far
@@ -653,7 +655,9 @@ def q121_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "b.w1", "b.w2")
     )
     cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt_bg"))
-    cp = bg.groupBy("w1").agg(F.count("*").alias("cnt_w1"))
+    # prefix counts fold the MODEL table (vocabulary-scale), not the
+    # corpus-scale bigram stream a second time: c(w1·) = Σ_w2 c(w1,w2)
+    cp = cb.groupBy("w1").agg(F.sum("cnt_bg").alias("cnt_w1"))
     lq = F.round(
         F.log(F.col("cnt_bg").cast("double") / F.col("cnt_w1").cast("double"))
         * 1_000_000
