@@ -132,6 +132,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q128_price_size_skyline",  # displaces q47 (its batch twin q40 is in-window)
     "q129_audio_energy_segments",  # displaces q32 (count-distinct family carried by q09)
     "q130_robust_source_stats",  # displaces q76 (Python-extension family carried by q45)
+    "q131_temperature_mix",  # displaces q101 (versioned-publish family carried by q82)
     # (2) q24 changed in round 4: odd-group middle row now counted
     # twice in the doubled-median sum (was halved; latent — fixture
     # groups are even)
@@ -139,7 +140,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
     # exactly 2 rounds behind after round 4 and becomes the mandatory
     # round-5 set (see WINDOW.md)
-    "q101_time_travel",
     "q102_schema_evolution",
     "q103_zorder_box_query",
     "q75_gap_fill_locf",

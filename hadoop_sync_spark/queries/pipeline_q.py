@@ -218,3 +218,74 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q131 — temperature-scaled mixture reweighting (α = 0.5)
+# --------------------------------------------------------------------------
+@register(
+    "q131_temperature_mix",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(SUM(len({_SQL_NORM_TOKENS})) AS BIGINT) AS n_tok
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM s
+    ), w AS (
+        SELECT source, n_tok,
+               n_tok * 1000000 // tot.total AS share_ppm,
+               CAST(ROUND(sqrt(CAST(n_tok AS DOUBLE) / tot.total) * 1000000)
+                    AS BIGINT) AS sqrt_w_q6
+        FROM s, tot
+    ), sw AS (
+        SELECT CAST(SUM(sqrt_w_q6) AS BIGINT) AS sum_w FROM w
+    )
+    SELECT w.source, w.n_tok, w.share_ppm,
+           CAST(ROUND(CAST(w.sqrt_w_q6 AS DOUBLE) * 1000000 / sw.sum_w)
+                AS BIGINT) AS mix_ppm
+    FROM w, sw
+    """,
+    tags=("sampling", "mix", "temperature", "l3"),
+)
+def q131_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: sampling weights ∝ (token
+    share)^α with α = 0.5 — the standard flattening knob (multilingual
+    LM sampling, XLM-style) that up-weights small sources relative to
+    their raw share where q78's fixed weight table cannot adapt.
+    α = 0.5 is computed as sqrt, which IEEE-754 requires to be
+    CORRECTLY ROUNDED — so both engines produce the identical double and
+    the quantized weights (·1e6, ROUND) match bit-for-bit; the raw share
+    is exact integer ppm (n·1e6 // total).
+
+    Scale: one corpus-scale aggregation to per-source token counts; the
+    total and the weight normalizer are one-row aggregates of the
+    source-scale table, broadcast back.  Emits the audit (raw share vs
+    temperature share) a mixing run logs before sampling."""
+    d = t(spark, sf_dir, "documents")
+    from hadoop_sync_spark.functions.text import token_count
+
+    s = (
+        d.select("source", token_count(F.col("text")).alias("tc"))
+        .groupBy("source")
+        .agg(F.sum("tc").alias("n_tok"))
+    )
+    tot = s.agg(F.sum("n_tok").alias("total"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        F.expr("n_tok * 1000000 div total").alias("share_ppm"),
+        F.round(
+            F.sqrt(F.col("n_tok").cast("double") / F.col("total")) * 1_000_000
+        )
+        .cast("long")
+        .alias("sqrt_w_q6"),
+    )
+    sw = w.agg(F.sum("sqrt_w_q6").alias("sum_w"))
+    return w.crossJoin(F.broadcast(sw)).select(
+        "source",
+        "n_tok",
+        "share_ppm",
+        F.round(F.col("sqrt_w_q6").cast("double") * 1_000_000 / F.col("sum_w"))
+        .cast("long")
+        .alias("mix_ppm"),
+    )
