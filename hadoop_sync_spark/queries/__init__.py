@@ -133,6 +133,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q129_audio_energy_segments",  # displaces q32 (count-distinct family carried by q09)
     "q130_robust_source_stats",  # displaces q76 (Python-extension family carried by q45)
     "q131_temperature_mix",  # displaces q101 (versioned-publish family carried by q82)
+    "q132_posting_blocks",  # displaces q103 (skipping family carried by q81; zorder keeps its tests)
     # (2) q24 changed in round 4: odd-group middle row now counted
     # twice in the doubled-median sum (was halved; latent — fixture
     # groups are even)
@@ -141,7 +142,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # exactly 2 rounds behind after round 4 and becomes the mandatory
     # round-5 set (see WINDOW.md)
     "q102_schema_evolution",
-    "q103_zorder_box_query",
     "q75_gap_fill_locf",
     "q81_registry_pruned_scan",
     "q82_registry_sync_lifecycle",

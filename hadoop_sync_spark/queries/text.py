@@ -727,3 +727,57 @@ def q127_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         F.row_number().over(w).cast("long").alias("vocab_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q132 — doc-sharded inverted index (posting blocks)
+# --------------------------------------------------------------------------
+@register(
+    "q132_posting_blocks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_NORM_TOKENS}) AS token
+        FROM documents
+    )
+    SELECT token,
+           doc_id // 256 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS doc_csv
+    FROM tok
+    GROUP BY token, shard
+    """,
+    tags=("text", "inverted-index", "search"),
+)
+def q132_posting_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction, doc-sharded: one posting BLOCK per
+    (token, doc-range shard of 256 ids), each block carrying its sorted
+    doc list — the distributed layout search systems actually build
+    (doc-partitioned postings), chosen over rank-based fixed-size blocks
+    because the shard key is a pure function of doc_id: no per-token
+    rank window, so a stopword's giant posting list parallelizes across
+    shards instead of serializing through one task.  Doc lists ship as
+    CSV strings under a total order, so the value hash pins every
+    posting.
+
+    Scale: one shuffle on (token, shard) — the shard fan-out bounds any
+    single group at the shard width regardless of token frequency (the
+    max_bucket idea applied to postings); block merge/iteration at query
+    time is a shard-ordered scan."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.trim(F.col("text")))), WS_RE)
+    tok = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .distinct()
+        .withColumn("shard", F.expr("doc_id div 256"))
+    )
+    return tok.groupBy("token", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("doc_csv"),
+    )
