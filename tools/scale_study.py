@@ -123,6 +123,8 @@ STUDY_QUERIES = [
     "q128_price_size_skyline",  # grid-partitioned dominance windows
     "q129_audio_energy_segments",  # decode + vectorized DSP per frame
     "q130_robust_source_stats",  # two rank-window passes on source
+    "q131_temperature_mix",     # agg + one-row normalizers
+    "q132_posting_blocks",      # doc-sharded postings, one shuffle
 ]
 
 
