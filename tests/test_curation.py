@@ -220,3 +220,54 @@ def test_observed_write_metrics_single_pass(spark, sf_dir):
     ).first()
     assert got["null_shipdate"] == (expect["n"] or 0)
     assert got["qty_out_of_domain"] == (expect["q"] or 0)
+
+
+def test_agg_state_merge_equals_full_recompute(spark, sf_dir):
+    """Mergeable aggregate state: splitting the corpus into arbitrary
+    batches, building per-batch state, and merging must equal the state
+    of the whole corpus — for every (key, measure) cell, in any merge
+    order (associativity/commutativity/identity probes)."""
+    from hadoop_sync_spark.functions.aggstate import (
+        agg_state,
+        merge_agg_states,
+        state_mean,
+    )
+    from hadoop_sync_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    full = agg_state(d, ["source"], ["n_chars", "doc_id"])
+
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 1)
+    b3 = d.filter(F.col("doc_id") % 3 == 2)
+    s1, s2, s3 = (
+        agg_state(b, ["source"], ["n_chars", "doc_id"]) for b in (b1, b2, b3)
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = rows(full)
+    # left fold and a different association must both equal full recompute
+    assert rows(merge_agg_states(merge_agg_states(s1, s2), s3)) == want
+    assert rows(merge_agg_states(s1, merge_agg_states(s3, s2))) == want
+    # identity tolerance: merging with an empty batch changes nothing
+    empty = agg_state(
+        d.filter(F.lit(False)), ["source"], ["n_chars", "doc_id"]
+    )
+    assert rows(merge_agg_states(full, empty)) == want
+    # derived mean from merged state == direct mean
+    got_mean = {
+        r["source"]: r["n_chars_mean"]
+        for r in state_mean(
+            merge_agg_states(s1, merge_agg_states(s2, s3)), "n_chars"
+        ).collect()
+    }
+    direct = {
+        r["source"]: r["m"]
+        for r in d.groupBy("source")
+        .agg((F.sum("n_chars") / F.count("n_chars")).alias("m"))
+        .collect()
+    }
+    assert got_mean == direct
