@@ -105,13 +105,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
-) -> DataFrame:
+    with_handles: bool = False,
+) -> DataFrame | tuple[DataFrame, list]:
     """Connected components of an undirected graph given as an edge list.
 
     Returns (node, component) where component = the minimum node id
     reachable from `node` (a canonical, deterministic cluster id).
     Isolated nodes don't appear in the edge list and so don't appear in
     the output — callers union them back if every row needs a label.
+
+    ``with_handles=True`` additionally returns the result's live
+    checkpoint handles so a caller that MATERIALIZES the result (the
+    contract rows) can release the one cache that must otherwise outlive
+    this function.
 
     Raises RuntimeError if `max_iter` rounds don't reach the fixpoint
     (pathologically long chains — see module docstring for the
@@ -169,7 +175,7 @@ def connected_components(
                 # the result references only the final checkpoint — it
                 # outlives the pool; everything else (bidir) drains below
                 pool.keep(prev_h)
-                return labels
+                return (labels, prev_h) if with_handles else labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "graph has very long chains — switch to large-star/small-star"

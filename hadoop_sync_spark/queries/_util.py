@@ -103,6 +103,11 @@ def materialize_and_free(assembled: DataFrame, free) -> DataFrame:
     for frame in free:
         if frame is None:
             continue
+        if isinstance(frame, (list, tuple)):
+            # a checkpoint tracker's raw handle list (graph._tracked_ckpt)
+            for h in frame:
+                h.unpersist(False)
+            continue
         try:
             frame.unpersist()
         except TypeError:

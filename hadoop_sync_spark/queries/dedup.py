@@ -453,16 +453,20 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-vocabulary corpora make token-set Jaccard uniformly high (the
     sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
     MinHash), while shingle Jaccard stays discriminative."""
-    corpus, planted, original = _with_planted_clones(
-        _doc_shingles(spark, sf_dir), "doc_id"
-    )
+    # persist the shingled frame: the contract's scalar counts (corpus,
+    # planted, eligible, id-disjointness) each re-derive from it — without
+    # the cache every count re-runs tokenize+shingle over the corpus
+    # (measured ~2s of the contract's ~3.2s at sf0.1); freed with the
+    # bucket cache once the row materializes
+    sh = _doc_shingles(spark, sf_dir).persist()
+    corpus, planted, original = _with_planted_clones(sh, "doc_id")
     pairs, capped, handle = lsh_candidate_pairs(
         corpus, with_capped_ids=True, with_persist_handle=True
     )
     return _pair_contract(
         pairs, planted, corpus, "doc_id", "id_a", "id_b",
         eligible=_shingle_eligible(planted, capped), original=original,
-        free=[handle],
+        free=[handle, sh],
     )
 
 
@@ -797,17 +801,21 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges in ~3 rounds."""
     from hadoop_sync_spark.functions.graph import connected_components
 
-    corpus, planted, original = _with_planted_clones(
-        _doc_shingles(spark, sf_dir), "doc_id"
-    )
+    # shingle persist: same contract-count rationale as q63
+    sh = _doc_shingles(spark, sf_dir).persist()
+    corpus, planted, original = _with_planted_clones(sh, "doc_id")
     pairs, capped, handle = lsh_candidate_pairs(
         corpus, with_capped_ids=True, with_persist_handle=True
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp, comp_h = connected_components(
+        pairs, src="id_a", dst="id_b", with_handles=True
+    )
+    # the contract row materializes, so even the components' own result
+    # checkpoint is releasable — zero caches survive this query
     return _component_contract(
         comp, planted, corpus, "doc_id",
         eligible=_shingle_eligible(planted, capped), original=original,
-        free=[handle],
+        free=[handle, sh, comp_h],
     )
 
 
