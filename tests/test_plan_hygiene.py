@@ -51,6 +51,10 @@ BOUNDED_OK = {
     # the crosses are ONE-ROW scalar attaches (block-consistency count,
     # id-disjointness); the signature path itself carries no joins
     "q64_simhash_signatures",
+    # the crosses attach the ONE-ROW corpus-total and weight-normalizer
+    # aggregates to the source-scale weight table (broadcast scalar
+    # attaches, both sides bounded at any corpus size)
+    "q131_temperature_mix",
 }
 
 #: Queries whose fn() performs driver-side work beyond building a plan
