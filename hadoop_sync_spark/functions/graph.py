@@ -191,7 +191,8 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
-) -> DataFrame:
+    with_handles: bool = False,
+) -> DataFrame | tuple[DataFrame, list]:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — the O(log² n)-round algorithm for graphs whose DIAMETER,
@@ -227,12 +228,15 @@ def connected_components_star(
     ).filter(F.col("a") != F.col("b"))
     pool = _HandlePool()
     try:
-        return _star_loop(e, max_iter, pool)
+        labels, handles = _star_loop(e, max_iter, pool)
+        return (labels, handles) if with_handles else labels
     finally:
         pool.drain()
 
 
-def _star_loop(e: DataFrame, max_iter: int, pool: _HandlePool) -> DataFrame:
+def _star_loop(
+    e: DataFrame, max_iter: int, pool: _HandlePool
+) -> tuple[DataFrame, list]:
     cur, cur_h = _tracked_ckpt(e.distinct())
     pool.hold(cur_h)
 
@@ -315,12 +319,14 @@ def _star_loop(e: DataFrame, max_iter: int, pool: _HandlePool) -> DataFrame:
         )
     # star forest: every edge is (node -> component root); roots label
     # themselves.  The result references cur's checkpoint — it outlives
-    # the caller's drain()
+    # the caller's drain(); the handles ride back so a materializing
+    # caller can release it
     pool.keep(cur_h)
-    return (
+    labels = (
         cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
         .union(
             cur.select(F.col("b").alias("node"), F.col("b").alias("component"))
         )
         .distinct()
     )
+    return labels, cur_h

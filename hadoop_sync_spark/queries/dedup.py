@@ -879,7 +879,9 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=0.9, n_planes=60, band_bits=12, max_bucket=500,
         with_capped_ids=True, with_persist_handle=True,
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp, comp_h = connected_components(
+        pairs, src="id_a", dst="id_b", with_handles=True
+    )
     # the clone EDGE is guaranteed only for vectors that can score: NULL
     # or zero-norm embeddings rescore to NULL cosine (never ≥ threshold),
     # and an id whose every bucket was capped never reaches rescoring
@@ -888,7 +890,7 @@ def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(capped, "vec_id", "left_anti")
     return _component_contract(
         comp, planted, corpus, "vec_id",
-        eligible=eligible, original=original, free=[handle],
+        eligible=eligible, original=original, free=[handle, comp_h],
     )
 
 
@@ -1133,8 +1135,13 @@ def q106_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nxt").isNotNull())
         .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
     )
-    labels = connected_components_star(edges, max_iter=25)
-    return (
+    labels, star_h = connected_components_star(
+        edges, max_iter=25, with_handles=True
+    )
+    # the output is node-scale (one row per document of this table slice)
+    # and every value is driver-checked anyway — materialize it and free
+    # the star result's checkpoint so the query leaves zero caches
+    out = (
         d.join(labels, d["doc_id"] == labels["node"], "left")
         .select(
             "doc_id",
@@ -1143,6 +1150,9 @@ def q106_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from hadoop_sync_spark.queries._util import materialize_and_free
+
+    return materialize_and_free(out, [star_h])
 
 
 # --------------------------------------------------------------------------
