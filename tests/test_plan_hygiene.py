@@ -88,6 +88,10 @@ MATERIALIZED_CONTRACT = {
     "q114_ivf_pq_topk",
     # operator-level shape asserted by test_triangle_joins_are_hash_joins
     "q123_copurchase_triangles",
+    # materializes its node-scale driver-checked output to free the star
+    # checkpoint; the star loop's join shapes are covered by the graph
+    # equivalence/convergence tests
+    "q106_chain_components",
 }
 
 SWEEP = sorted(set(QUERIES) - SIDE_EFFECTING)
