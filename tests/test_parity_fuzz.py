@@ -277,3 +277,103 @@ def test_span_dedup_parity(frames):
     got = _rows(span_dedup_frame(sdf, w=3))
     want = _sql(con, span_dedup_sql("documents", w=3))
     assert got == want
+
+
+def test_gaps_and_islands_idiom_parity(spark):
+    """Cross-engine fuzz of the q119 SCD2 idiom (change flag → running
+    sum → segment agg → lead) on an adversarial event stream: timestamp
+    TIES inside and across type runs, single-event runs, users with one
+    event, and types that alternate every event.  The fixture stream is
+    too benign to stress the tie-break (`ORDER BY us, event_id`), which
+    is where window idioms actually diverge."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for uid in range(12):
+        t = 1_000_000
+        for _ in range(rng.randint(1, 40)):
+            # ties: ~40% of steps do not advance the clock
+            if rng.random() > 0.4:
+                t += rng.randint(1, 5) * 1_000_000
+            rows.append((eid, uid, t, rng.choice(["a", "b", "c"])))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "us", "event_type"]
+    )
+
+    sdf = spark.createDataFrame(
+        pdf, "event_id long, user_id long, us long, event_type string"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = F.coalesce(
+        F.lag("event_type").over(w) != F.col("event_type"), F.lit(True)
+    ).cast("long")
+    grp = sdf.withColumn("chg", chg).withColumn(
+        "g",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seg = grp.groupBy("user_id", "g", "event_type").agg(
+        F.min("us").alias("valid_from_us"), F.count("*").alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("g")
+    def _key(row):
+        return tuple((x is None, x) for x in row)
+
+    got = sorted(
+        (
+            tuple(r)
+            for r in seg.select(
+                "user_id",
+                "event_type",
+                "valid_from_us",
+                F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+                "n_events",
+            ).collect()
+        ),
+        key=_key,
+    )
+
+    con = duckdb.connect()
+    con.register("e", pdf)
+    want = sorted(
+        (tuple(r)
+        for r in con.sql(
+            """
+            WITH flag AS (
+                SELECT user_id, event_id, event_type, us,
+                       CASE WHEN lag(event_type) OVER (
+                                PARTITION BY user_id ORDER BY us, event_id
+                            ) IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM e
+            ), grp AS (
+                SELECT *, SUM(chg) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS g
+                FROM flag
+            ), seg AS (
+                SELECT user_id, g, event_type, MIN(us) AS valid_from_us,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM grp GROUP BY user_id, g, event_type
+            )
+            SELECT user_id, event_type, valid_from_us,
+                   lead(valid_from_us) OVER (
+                       PARTITION BY user_id ORDER BY g) AS valid_to_us,
+                   n_events
+            FROM seg
+            """
+        ).fetchall()),
+        key=_key,
+    )
+    assert got == want
+    # sanity: the adversarial stream must actually contain ties
+    assert pdf.duplicated(subset=["user_id", "us"]).any()
