@@ -377,3 +377,76 @@ def test_gaps_and_islands_idiom_parity(spark):
     assert got == want
     # sanity: the adversarial stream must actually contain ties
     assert pdf.duplicated(subset=["user_id", "us"]).any()
+
+
+def test_range_frame_idiom_parity(spark):
+    """Cross-engine fuzz of the q122 RANGE-frame idiom on a TIE-heavy
+    key: many rows per (customer, day) so every frame includes peers,
+    plus sparse days that leave frames partially empty.  RANGE frames
+    are the one window family whose peer-inclusion semantics could
+    diverge silently — counts and cent-exact sums must match per ROW."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(11)
+    rows = []
+    oid = 0
+    for cust in range(8):
+        day = 0
+        for _ in range(rng.randint(3, 30)):
+            if rng.random() > 0.5:  # ~half the orders tie on the day
+                day += rng.randint(1, 12)
+            rows.append((oid, cust, day, round(rng.uniform(1, 500), 2)))
+            oid += 1
+    pdf = pd.DataFrame(rows, columns=["oid", "cust", "day", "price"])
+
+    sdf = spark.createDataFrame(
+        pdf, "oid long, cust long, day long, price double"
+    )
+    from pyspark.sql.window import Window
+
+    from hadoop_sync_spark.queries._util import scaled
+
+    w = Window.partitionBy("cust").orderBy("day").rangeBetween(-6, 0)
+    got = sorted(
+        tuple(r)
+        for r in sdf.select(
+            "oid",
+            (F.sum(scaled("price")).over(w).cast("double") / 100.0).alias(
+                "roll"
+            ),
+            F.count("*").over(w).alias("n"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("o", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT oid,
+                   CAST(SUM(CAST(ROUND(price*100) AS BIGINT)) OVER (
+                       PARTITION BY cust ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE)/100.0 AS roll,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY cust ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n
+            FROM o
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert pdf.duplicated(subset=["cust", "day"]).any()  # ties exist
+
+
+def test_posting_shard_width_bound(spark, sf_dir):
+    """q132 invariant: no posting block may exceed the shard width — the
+    anti-skew property the doc-sharded layout exists for (a stopword
+    appearing in EVERY doc still caps each block at 256 postings)."""
+    from hadoop_sync_spark.queries import load_all
+
+    df = load_all()["q132_posting_blocks"].fn(spark, sf_dir)
+    assert df.filter(F.col("n_docs") > 256).count() == 0
