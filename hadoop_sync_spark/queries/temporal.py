@@ -84,8 +84,13 @@ def q119_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    chg = F.coalesce(
-        F.lag("event_type").over(w) != F.col("event_type"), F.lit(True)
+    # null-safe change detection, the exact twin of the oracle's
+    # IS DISTINCT FROM: with `coalesce(lag != cur, TRUE)` a NULL
+    # event_type would start a new segment on EVERY row in Spark while
+    # DuckDB treats NULL-follows-NULL as unchanged — latent divergence
+    # (fixture types are non-null), the q24 class
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
     ).cast("long")
     grp = (
         ev.withColumn("chg", chg)
