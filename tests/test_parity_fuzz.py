@@ -450,3 +450,114 @@ def test_posting_shard_width_bound(spark, sf_dir):
 
     df = load_all()["q132_posting_blocks"].fn(spark, sf_dir)
     assert df.filter(F.col("n_docs") > 256).count() == 0
+
+
+def test_asof_join_matches_duckdb_native_asof(spark):
+    """Third-formulation probe for q31: the Spark union-merge as-of must
+    agree with DuckDB's NATIVE `ASOF LEFT JOIN` — an implementation
+    neither our Spark plan nor our correlated-subquery oracle shares, so
+    agreement is evidence about SEMANTICS, not about two copies of the
+    same idiom.  Fuzzed with timestamp ties between probe and reference
+    (the <= boundary) and users with no reference at all."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(3)
+    rows = []
+    eid = 0
+    for uid in range(10):
+        t = 0
+        for _ in range(rng.randint(1, 30)):
+            if rng.random() > 0.3:  # ~30% exact-tie steps
+                t += rng.randint(1, 9)
+            rows.append(
+                (eid, uid, t, "purchase" if rng.random() < 0.4 else "view")
+            )
+            eid += 1
+    # one user with purchases but zero references (NULL asof)
+    rows += [(eid, 99, 5, "purchase"), (eid + 1, 99, 9, "purchase")]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "us", "event_type"])
+
+    sdf = spark.createDataFrame(
+        pdf, "event_id long, user_id long, us long, event_type string"
+    )
+    from pyspark.sql.window import Window
+
+    probe = sdf.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us", F.lit(1).alias("is_probe")
+    )
+    refs = sdf.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "us", F.lit(0).alias("is_probe")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref_us = F.when(F.col("is_probe") == 0, F.col("us"))
+    got = {
+        r["event_id"]: r["asof_us"]
+        for r in probe.unionByName(refs)
+        .select(
+            "event_id",
+            "is_probe",
+            F.last(ref_us, ignorenulls=True).over(w).alias("asof_us"),
+        )
+        .filter(F.col("is_probe") == 1)
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.register("e", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            """
+            SELECT p.event_id, r.us AS asof_us
+            FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM e WHERE event_type <> 'purchase') r
+              ON p.user_id = r.user_id AND r.us <= p.us
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert any(v is None for v in got.values())  # the no-reference user
+    # ties actually exercised: some probe shares a us with a reference
+    ties = pdf.merge(pdf, on=["user_id", "us"]).query(
+        "event_type_x == 'purchase' and event_type_y != 'purchase'"
+    )
+    assert len(ties) > 0
+
+
+def test_variance_power_sums_match_native_var_pop(spark):
+    """q34's integer power-sum variance must agree with DuckDB's native
+    var_pop/stddev_pop to float tolerance — the independent-formulation
+    probe (the oracle itself uses the same power sums, so parity alone
+    can't catch an algebra slip in the shared formula)."""
+    import duckdb
+
+    from hadoop_sync_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["l_returnflag"]: (r["var_pop"], r["stddev_pop"])
+        for r in load_all()["q34_exact_variance"].fn(spark, SF_DIR).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            "SELECT l_returnflag, var_pop(l_quantity), "
+            "stddev_pop(l_quantity) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k][0] - want[k][0]) < 1e-9 * max(1.0, want[k][0])
+        assert abs(got[k][1] - want[k][1]) < 1e-9 * max(1.0, want[k][1])
