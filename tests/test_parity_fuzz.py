@@ -561,3 +561,107 @@ def test_variance_power_sums_match_native_var_pop(spark):
     for k in got:
         assert abs(got[k][0] - want[k][0]) < 1e-9 * max(1.0, want[k][0])
         assert abs(got[k][1] - want[k][1]) < 1e-9 * max(1.0, want[k][1])
+
+
+def test_regression_power_sums_match_native_regr_aggs(spark):
+    """q94's power-sum regression must agree with DuckDB's native
+    corr/regr_slope/regr_intercept to float tolerance — independent
+    formulation probe (y is price ROUNDED to whole units, so the native
+    aggregates run on the same rounded variable)."""
+    import duckdb
+
+    from hadoop_sync_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["l_returnflag"]: (
+            r["corr_qty_price"],
+            r["regr_slope"],
+            r["regr_intercept"],
+        )
+        for r in load_all()["q94_regression_stats"].fn(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            """
+            SELECT l_returnflag,
+                   corr(ROUND(l_extendedprice), l_quantity),
+                   regr_slope(ROUND(l_extendedprice), l_quantity),
+                   regr_intercept(ROUND(l_extendedprice), l_quantity)
+            FROM lineitem GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for g, w in zip(got[k], want[k]):
+            assert abs(g - w) < 1e-9 * max(1.0, abs(w)), (k, got[k], want[k])
+
+
+def test_locf_equals_native_asof_spine_join(spark):
+    """Semantic probe for the q75 LOCF idiom: last-observation-carried-
+    forward over a bucket spine IS an ASOF join of the spine against the
+    observations — DuckDB's native ASOF provides the independent
+    formulation.  Fuzzed with leading gaps (NULL until first observation)
+    and long tails."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(5)
+    obs_rows = []
+    for series in ["a", "b"]:
+        for b in range(0, 40):
+            if rng.random() < 0.3:  # sparse observations
+                obs_rows.append((series, b, rng.randint(1, 999)))
+    pdf = pd.DataFrame(obs_rows, columns=["series", "bucket", "v"])
+    spine = pd.DataFrame(
+        [(s, b) for s in ["a", "b"] for b in range(0, 40)],
+        columns=["series", "bucket"],
+    )
+
+    sdf = spark.createDataFrame(pdf, "series string, bucket long, v long")
+    sp = spark.createDataFrame(spine, "series string, bucket long")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("series")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = sorted(
+        tuple(r)
+        for r in sp.join(sdf, ["series", "bucket"], "left")
+        .select(
+            "series",
+            "bucket",
+            F.last("v", ignorenulls=True).over(w).alias("locf"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("obs", pdf)
+    con.register("spine", spine)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT s.series, s.bucket, o.v AS locf
+            FROM spine s
+            ASOF LEFT JOIN obs o
+              ON s.series = o.series AND o.bucket <= s.bucket
+            """
+        ).fetchall()
+    )
+
+    def _key(row):
+        return tuple((x is None, x) for x in row)
+
+    assert sorted(got, key=_key) == sorted(want, key=_key)
+    assert any(r[2] is None for r in got)  # leading gap exercised
