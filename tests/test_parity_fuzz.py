@@ -665,3 +665,27 @@ def test_locf_equals_native_asof_spine_join(spark):
 
     assert sorted(got, key=_key) == sorted(want, key=_key)
     assert any(r[2] is None for r in got)  # leading gap exercised
+
+
+def test_integer_division_parity_including_negatives(spark):
+    """Document-by-test the cross-engine integer-division semantics: Spark
+    `div` truncates toward zero and — measured, not assumed — DuckDB's
+    integer `//` ALSO truncates (-7 // 2 = -3, not the float-division
+    floor), so the `div`/`//` oracle pairing (epoch-day buckets, doc-id
+    shards, ppm shares) is exact over the FULL signed range, not just the
+    non-negative operands current queries feed it."""
+    import duckdb
+
+    vals = [-7, -2, -1, 0, 1, 2, 7, 255, 256, 257]
+    sdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["d"]
+        for r in sdf.selectExpr("v", "v div 2 AS d").collect()
+    }
+    con = duckdb.connect()
+    want = {
+        v: con.sql(f"SELECT CAST({v} AS BIGINT) // 2").fetchone()[0]
+        for v in vals
+    }
+    assert got == want  # identical everywhere, negatives included
+    assert got[-7] == -3  # both truncate toward zero (no floor surprise)
