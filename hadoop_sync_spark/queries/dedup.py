@@ -495,16 +495,22 @@ def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature bit-for-bit (content-functional, partition-independent),
     and every emitted block key must equal the signature's top 16 bits —
     the properties block-probing (q66) silently depends on."""
-    d = t(spark, sf_dir, "documents")
+    d = _spread(spark, t(spark, sf_dir, "documents"))
     corpus, planted, original = _with_planted_clones(
         d.select("doc_id", "text"), "doc_id"
     )
     sig = simhash64(tokens(normalize(F.col("text"))))
+    # persist the signature frame: the contract's three scalar branches
+    # (clone-pair join, block-consistency agg, id-disjointness) each hang
+    # off it, and the nondeterministic SimHash Arrow stage defeats
+    # ReuseExchange — without the cache every branch re-tokenizes and
+    # re-signs the corpus (the q63/q68 contract-persist fix, deferred
+    # from round 4); freed once the row materializes
     sigs = corpus.select(
         "doc_id",
         sig.alias("simhash"),
         F.shiftrightunsigned(sig, 48).alias("block16"),
-    )
+    ).persist()
     src = sigs.filter(F.col("doc_id") < _CLONE_OFFSET).select(
         F.col("doc_id").alias("p"), F.col("simhash").alias("_sig_a")
     )
@@ -527,7 +533,7 @@ def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("_blk_bad")
     )
-    return (
+    assembled = (
         sig_pairs.crossJoin(F.broadcast(block_bad))
         .crossJoin(F.broadcast(_ids_disjoint(original, "doc_id")))
         .select(
@@ -537,6 +543,7 @@ def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_ids_ok").alias("ids_disjoint_ok"),
         )
     )
+    return materialize_and_free(assembled, [sigs])
 
 
 # --------------------------------------------------------------------------
@@ -569,7 +576,14 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each pair has 4 independent probes), the standard LSH skew
     tradeoff."""
     d = _spread(spark, t(spark, sf_dir, "documents"))
-    toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
+    # persist the tokenized frame: corpus/planted/original/eligible and
+    # the contract's scalar counts all hang off it — without the cache
+    # every branch re-tokenizes the corpus (the q63/q68 contract-persist
+    # fix, deferred from round 4); freed with the bucket cache once the
+    # contract row materializes
+    toks_df = d.select(
+        "doc_id", tokens(normalize(F.col("text"))).alias("tok")
+    ).persist()
     corpus, planted, original = _with_planted_clones(toks_df, "doc_id")
     sig = corpus.select(
         "doc_id", simhash64(F.col("tok")).alias("sig")
@@ -636,7 +650,7 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = planted.join(capped, "doc_id", "left_anti")
     return _pair_contract(
         pairs, planted, corpus, "doc_id", "doc_a", "doc_b",
-        eligible=eligible, original=original, free=[buckets_all],
+        eligible=eligible, original=original, free=[buckets_all, toks_df],
     )
 
 
