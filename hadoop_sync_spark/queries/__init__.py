@@ -83,70 +83,72 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # ---- ROUND-4 WINDOW ----
-    # (3) last green in r1 (two rounds unchecked after r3) — the ledger
-    # test makes these 25 mandatory this round (WINDOW.md "Deferred to
-    # the round-4 window")
-    "q04_supplier_by_region",
-    "q05_order_count_distribution",
-    "q06_customers_with_open_orders",
-    "q10_rollup_orders",
-    "q11_cube_lineitem",
-    "q13_event_gaps",
-    "q14_running_customer_spend",
-    "q15_nation_set_ops",
-    "q16_distinct_segments",
-    "q19_array_ops",
-    "q33_pivot_returnflag",
-    "q34_exact_variance",
-    "q35_date_arithmetic",
-    "q36_regexp_text",
-    "q37_multiset_ops",
-    "q39_scalar_in_subquery",
-    "q40_tumbling_window",
-    "q41_sliding_window",
-    "q42_session_windows",
-    "q43_dedup_events",
-    "q44_salted_skew_agg",
-    "q45_grouped_mode_udaf",
-    "q83_notin_supplier_cnt",
-    "q84_disjunctive_join_revenue",
-    "q85_correlated_max_qty",
-    # (2) implementation changed in round 4 — re-check: the component
-    # loops gained exit-path checkpoint release (q68/q69/q106) and the
-    # Bloom index gained NULL-key exclusion + three-valued probe (q117)
-    "q68_dup_components",
-    "q69_semantic_dedup",
-    "q106_chain_components",
-    "q117_bloom_incremental_dedup",
-    # (1) brand-new round-4 queries — never checked
-    "q119_scd2_intervals",
-    "q120_funnel_conversion",
-    "q121_bigram_lm_quality",
-    "q122_rolling_7d_revenue",
-    "q123_copurchase_triangles",  # displaces q46 (JSON family carried by q18)
-    "q124_retention_cohorts",  # displaces q48 (quantiles carried by q24)
-    "q125_event_trigrams",  # displaces q80 (min/max stats carried by q81)
-    "q126_snapshot_cdc",  # displaces q97 (anti-entropy carried by q109 r3)
-    "q127_vocab_build",  # displaces q49 (interval joins carried by q30/q31 r3)
-    "q128_price_size_skyline",  # displaces q47 (its batch twin q40 is in-window)
-    "q129_audio_energy_segments",  # displaces q32 (count-distinct family carried by q09)
-    "q130_robust_source_stats",  # displaces q76 (Python-extension family carried by q45)
-    "q131_temperature_mix",  # displaces q101 (versioned-publish family carried by q82)
-    "q132_posting_blocks",  # displaces q103 (skipping family carried by q81; zorder keeps its tests)
-    # (2) q24 changed in round 4: odd-group middle row now counted
-    # twice in the doubled-median sum (was halved; latent — fixture
-    # groups are even)
-    "q24_exact_median",
-    # (3) oldest remaining green rows (r2); the rest of the r2 cohort is
-    # exactly 2 rounds behind after round 4 and becomes the mandatory
-    # round-5 set (see WINDOW.md)
-    "q102_schema_evolution",
-    "q75_gap_fill_locf",
-    "q81_registry_pruned_scan",
-    "q82_registry_sync_lifecycle",
-    "q95_compaction_lifecycle",
-    "q18_json_extract",
+    # ---- ROUND-6 WINDOW ----
+    # The driver recorded no CORRECTNESS_r4.json (skipped round), so the
+    # rotation backlog (37 r2-green + 45 r3-green = 82 stale) exceeds the
+    # 50-slot window for the first time.  Recovery plan (WINDOW.md): this
+    # round drains the stalest cohort completely; round 7 takes the rest.
+    # (3) the full r2-green cohort — last green THREE recorded rounds ago,
+    # the ledger's oldest backlog; every one is mandatory before anything
+    # fresher
+    "q26_conditional_agg",
+    "q32_approx_distinct",
+    "q46_json_map_explode",
+    "q47_streaming_tumbling_window",
+    "q48_approx_percentiles",
+    "q49_attribution_join",
+    "q50_token_stats",
+    "q52_lang_profile",
+    "q53_quality_scores",
+    "q54_lang_id_heuristic",
+    "q57_bpe_pretokens",
+    "q58_rolling_hash_fp",
+    "q60_exact_dedup",
+    "q61_token_set_dedup",
+    "q62_jaccard_pairs",
+    "q65_embedding_dup_pairs",
+    "q70_cosine_topk",
+    "q71_ivf_topk",
+    "q73_stratified_sample",
+    "q74_train_val_test_split",
+    "q76_udtf_sentences",
+    "q77_ngram_stats",
+    "q78_corpus_mix",
+    "q79_sequence_packing",
+    "q80_minmax_stats",
+    "q86_pii_redaction",
+    "q87_contamination_screen",
+    "q88_token_budget_sample",
+    "q89_corpus_merge",
+    "q90_media_features",
+    "q93_unpivot_metrics",
+    "q94_regression_stats",
+    "q97_table_fingerprint_diff",
+    "q98_heavy_hitters",
+    "q101_time_travel",
+    "q103_zorder_box_query",
+    "q104_format_roundtrip",
+    # (2) changed in round 5 WITHOUT re-windowing (the round-5 process
+    # gap flagged by ADVICE): both gained the contract-persist
+    # optimization; q64 additionally gained an eager cache materialization
+    # this round
+    "q64_simhash_signatures",
+    "q66_simhash_pairs",
+    # (3) r3-green single-row queries with no family sibling elsewhere in
+    # this window — the stalest tail that fits after the r2 cohort; the
+    # remaining r3 cohort is the mandatory round-7 set
+    "q99_incremental_dedup",
+    "q105_misra_gries",
+    "q108_edit_distance_pairs",
+    "q110_span_dedup",
+    "q112_quality_constraints",
+    "q113_shard_shuffle",
+    "q118_split_leakage",
+    # (1) brand-new round-6 queries — never checked
+    "q133_doc_chunks",
+    "q134_interval_weighted_avg",
+    "q135_k_anonymity",
+    "q136_token_pmi",
 )
 
 

@@ -1434,3 +1434,78 @@ def q130_robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mad2").alias("mad2"),
         F.sum("is_outlier").alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# q135 — k-anonymity small-group suppression audit
+# --------------------------------------------------------------------------
+_K_ANON = 5
+
+
+@register(
+    "q135_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS grp_n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n >= {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_groups_kept,
+           CAST(SUM(CASE WHEN grp_n >= {_K_ANON} THEN grp_n ELSE 0 END)
+                AS BIGINT) AS n_rows_kept,
+           CAST(SUM(CASE WHEN grp_n < {_K_ANON} THEN grp_n ELSE 0 END)
+                AS BIGINT) AS n_rows_suppressed
+    FROM qi
+    GROUP BY c_nationkey
+    """,
+    tags=("curation", "privacy", "k-anonymity"),
+)
+def q135_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement audit (k=5) over the customer table: rows
+    are generalized to quasi-identifier groups — (nation, market segment,
+    $1000 account-balance band) — and any group smaller than k is
+    suppressed before the data may ship in a training corpus.  The audit
+    reports, per nation, how many QI groups exist, how many survive, and
+    the kept/suppressed row counts — the release-gate report a privacy
+    review signs off on (Sweeney's k-anonymity, the standard tabular
+    pre-release check).
+
+    Exactness: the balance band is the scaled-cents integer divided by
+    100000 — both engines truncate integer division toward zero
+    (measured, commit 76bc554), so negative balances band identically.
+
+    Scale: two chained aggregations; the first shuffles on the QI key
+    (partial aggregation bounds shuffle rows by distinct QI groups per
+    task), the second reduces group rows — already tiny — onto nations.
+    No row-level data survives the first exchange, so the plan's width is
+    the number of QI groups, not customers."""
+    qi = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 100000"
+            ).alias("bal_band"),
+        )
+        .agg(F.count("*").alias("grp_n"))
+    )
+    k = F.lit(_K_ANON)
+    return qi.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") >= k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_kept"),
+        F.sum(F.when(F.col("grp_n") >= k, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_kept"),
+        F.sum(F.when(F.col("grp_n") < k, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_suppressed"),
+    )

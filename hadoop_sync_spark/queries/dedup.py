@@ -511,6 +511,13 @@ def q64_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.alias("simhash"),
         F.shiftrightunsigned(sig, 48).alias("block16"),
     ).persist()
+    # materialize the cache eagerly (as q66 does for buckets_all): the
+    # broadcast subtrees below (cln, block_bad) are submitted as separate
+    # concurrent jobs, and with a lazy cache each can recompute the
+    # nondeterministic-flagged Arrow simhash stage before the cache
+    # populates — values are deterministic so that is perf-only, but the
+    # tokenize+sign pass is the whole cost of this query
+    sigs.count()
     src = sigs.filter(F.col("doc_id") < _CLONE_OFFSET).select(
         F.col("doc_id").alias("p"), F.col("simhash").alias("_sig_a")
     )

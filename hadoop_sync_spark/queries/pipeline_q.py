@@ -289,3 +289,67 @@ def q131_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mix_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q133 — overlapping token-window chunking (RAG / context-window prep)
+# --------------------------------------------------------------------------
+_CHUNK_W = 40  # tokens per chunk
+_CHUNK_S = 30  # stride (10-token overlap between consecutive chunks)
+
+
+@register(
+    "q133_doc_chunks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_NORM_TOKENS} AS tok FROM documents
+    ), starts AS (
+        SELECT doc_id, tok,
+               unnest(generate_series(0, len(tok) - 1, {_CHUNK_S})) AS s
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_no,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(len(tok[s + 1 : s + {_CHUNK_W}]) AS BIGINT) AS chunk_len,
+           md5(array_to_string(tok[s + 1 : s + {_CHUNK_W}], ' ')) AS chunk_sig
+    FROM starts
+    """,
+    tags=("pipeline", "chunking", "rag"),
+)
+def q133_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: split every document into
+    40-token chunks on a 30-token stride (10-token overlap
+    so no answer span is ever cut without a copy that contains it) — the
+    passage-extraction step every RAG indexing and long-context training
+    pipeline runs between raw documents and an embedding/packing stage.
+    Each chunk carries a stable (doc_id, chunk_no) identity, its token
+    offset and length, and a content signature (md5 of the joined window)
+    for chunk-level dedup downstream.
+
+    Scale: pure narrow transforms — tokenize, per-row integer sequence of
+    chunk starts, explode, slice — zero shuffle, zero UDFs, whole-stage
+    codegen end to end.  Output rows ≈ tokens/stride ≈ 1.3 rows per 40
+    input tokens; the explode never materializes a per-doc collection
+    larger than the document itself, so mega-documents stream through
+    partition-locally.  (The trailing chunk is the natural short tail,
+    kept: packing (q79) pads or merges tails downstream.)"""
+    d = t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        tokens(normalize(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tok") - 1, F.lit(_CHUNK_S))
+        ).alias("s"),
+    )
+    win = F.slice("tok", F.col("s") + 1, _CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        F.expr(f"s div {_CHUNK_S}").cast("long").alias("chunk_no"),
+        F.col("s").cast("long").alias("start_tok"),
+        F.size(win).cast("long").alias("chunk_len"),
+        F.md5(F.array_join(win, " ")).alias("chunk_sig"),
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_sync_spark.queries import register
-from hadoop_sync_spark.queries._util import t
+from hadoop_sync_spark.queries._util import scaled, t
 
 _DAY_US = 86_400_000_000
 
@@ -359,4 +359,83 @@ def q125_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q134 — interval-weighted (time-weighted) average per user
+# --------------------------------------------------------------------------
+@register(
+    "q134_interval_weighted_avg",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(ROUND(value * 100) AS BIGINT) AS val_c
+        FROM events
+    ), iv AS (
+        SELECT user_id, val_c,
+               (lead(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                ) - us) // 1000000 AS dur_s
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+           CAST(CAST(SUM(val_c * dur_s) AS BIGINT) AS DOUBLE)
+             / 100.0 / SUM(dur_s) AS twap
+    FROM iv
+    WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dur_s) > 0
+    """,
+    tags=("temporal", "window", "twap"),
+)
+def q134_interval_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of `value` per user: each observation
+    is held until the user's next event, so its weight is that interval's
+    duration — the canonical downsampling/summary operator for irregular
+    time series (billing meters, sensor states, position marks), which a
+    plain AVG gets wrong whenever sampling is bursty.
+
+    Exactness: weights are integer SECONDS (truncating integer division
+    of the epoch-microsecond gap — both engines truncate toward zero),
+    values go through the scaled-cents idiom, so the weighted sum is an
+    exact BIGINT on both sides and the final double division applies IEEE
+    ops to identical scalars.  Users whose events all share one timestamp
+    (total weight 0) are excluded on both sides rather than dividing by
+    zero; the stream's last observation per user has no closing bound and
+    is likewise excluded (standard right-open TWAP).
+
+    Scale: ONE shuffle on user_id serves both the lead() pass and the
+    aggregation (identical partitioning — Catalyst reuses the exchange);
+    per-user state is a sliding one-row lead buffer, never a collected
+    series.  Overflow headroom: cents (≤1e5) × seconds-per-interval
+    (≤~1e7 for a year-long gap) is ≤1e12 per row, leaving >9e6 intervals
+    of int64 headroom per user — a per-user ceiling no real stream hits."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        scaled("value").alias("val_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    iv = e.select(
+        "user_id",
+        "val_c",
+        F.expr("(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)"
+               " - us) div 1000000").alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_s").alias("total_dur_s"),
+            (
+                F.sum(F.col("val_c") * F.col("dur_s")).cast("double")
+                / F.lit(100.0)
+                / F.sum("dur_s")
+            ).alias("twap"),
+        )
+        .filter(F.col("total_dur_s") > 0)
     )

@@ -781,3 +781,106 @@ def q132_posting_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("doc_csv"),
     )
+
+
+# --------------------------------------------------------------------------
+# q136 — token co-occurrence lift (quantized PMI collocations)
+# --------------------------------------------------------------------------
+_PMI_VOCAB = 200  # document-frequency top-k vocabulary
+_PMI_MIN_CO = 5  # minimum co-document support
+
+
+@register(
+    "q136_token_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_NORM_TOKENS})) AS term
+        FROM documents
+    ), vocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM toks GROUP BY term
+        ORDER BY df DESC, term LIMIT {_PMI_VOCAB}
+    ), inc AS (
+        SELECT t.doc_id, t.term, v.df
+        FROM toks t JOIN vocab v USING (term)
+    ), pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               a.df AS df_a, b.df AS df_b,
+               CAST(COUNT(*) AS BIGINT) AS co_df
+        FROM inc a JOIN inc b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2, 3, 4
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT term_a, term_b, co_df, df_a, df_b,
+           CAST((co_df * n_docs * 1000000) // (df_a * df_b) AS BIGINT)
+             AS lift_ppm
+    FROM pairs, n
+    WHERE co_df >= {_PMI_MIN_CO}
+    ORDER BY lift_ppm DESC, term_a, term_b
+    LIMIT 50
+    """,
+    tags=("text", "collocation", "pmi"),
+)
+def q136_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level co-occurrence lift for pairs of
+    top-200-DF vocabulary terms — lift = P(x,y)/(P(x)P(y)), the inside of
+    PMI (Church & Hanks 1990), reported as an exact integer ppm ratio
+    `co_df·N·10⁶ ÷ (df_x·df_y)` so both engines agree bit-for-bit without
+    a cross-engine log().  Top-50 pairs by lift under a total order, with
+    a minimum co-document support of 5 (the standard guard against
+    high-PMI noise pairs).
+
+    Scale: the vocabulary cap makes this safe at any corpus size — the
+    incidence table is corpus×(≤200) rows, the vocabulary broadcasts, and
+    the doc-keyed self-join expands each document to at most C(200,2)
+    pairs (realistically ~100× less) before the partial-aggregated
+    groupBy collapses them; one shuffle each for incidence→pairs and the
+    final TakeOrdered(50).  The one-row corpus total attaches by
+    broadcast (the q98 scalar-attach idiom).  Integer headroom:
+    co_df·N·10⁶ stays inside int64 up to ~3·10⁶ co-occurring docs per
+    pair × 10⁶-doc corpora product (co_df·N < 9.2·10¹²); past that,
+    compute lift on per-shard subsamples or switch the final ratio to
+    DOUBLE (counts stay exact either way)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(normalize(F.col("text"))))
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_PMI_VOCAB)
+    )
+    inc = toks.join(F.broadcast(vocab), "term")
+    a = inc.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = inc.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count("*").alias("co_df"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .where(F.col("co_df") >= _PMI_MIN_CO)
+        .select(
+            "term_a",
+            "term_b",
+            "co_df",
+            "df_a",
+            "df_b",
+            F.expr(
+                "CAST((co_df * n_docs * 1000000) div (df_a * df_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "term_a", "term_b")
+        .limit(50)
+    )

@@ -47,14 +47,14 @@ BOUNDED_OK = {
     # ONE-ROW orphan-count aggregate to assemble the 6-row report —
     # both sides are scalar by construction at any corpus size
     "q112_quality_constraints",
-    # signature-determinism contract (no bucket persist → stays lazy):
-    # the crosses are ONE-ROW scalar attaches (block-consistency count,
-    # id-disjointness); the signature path itself carries no joins
-    "q64_simhash_signatures",
     # the crosses attach the ONE-ROW corpus-total and weight-normalizer
     # aggregates to the source-scale weight table (broadcast scalar
     # attaches, both sides bounded at any corpus size)
     "q131_temperature_mix",
+    # the cross attaches the ONE-ROW corpus-total aggregate to the
+    # vocab-bounded pair counts (the q98 scalar-attach idiom); the
+    # incidence self-join itself is a hash join on doc_id
+    "q136_token_pmi",
 }
 
 #: Queries whose fn() performs driver-side work beyond building a plan
@@ -79,6 +79,13 @@ SIDE_EFFECTING = {
 #: in tests/test_vectors.py.
 MATERIALIZED_CONTRACT = {
     "q63_minhash_lsh_pairs",
+    # since the round-5 contract-persist fix q64 persists its signature
+    # frame and materializes the contract row to free it, so the returned
+    # plan is a LocalRelation like q66's; its crosses are the same
+    # ONE-ROW scalar attaches as before (block-consistency count,
+    # id-disjointness), asserted nowhere else because the signature path
+    # carries no data×data joins at all
+    "q64_simhash_signatures",
     "q66_simhash_pairs",
     "q68_dup_components",
     "q69_semantic_dedup",

@@ -87,20 +87,47 @@ def test_never_checked_queries_are_windowed():
 
 def test_no_query_goes_stale():
     """No registered query's last green row may be >2 rounds behind the
-    latest recorded round unless the current window re-checks it."""
+    latest recorded round unless the current window re-checks it.
+
+    Recovery mode: the driver can skip recording a round entirely (round 4
+    produced no CORRECTNESS_r4.json), which ages every query by an extra
+    round at once — the stale backlog can then exceed the 50-slot window
+    and the invariant above is mathematically unsatisfiable.  In that case
+    the enforceable requirement becomes *drain oldest-first at full
+    capacity*: every window slot must be spent on the backlog (a stale or
+    never-checked query — zero slots on fresh re-checks), and no query
+    left outside the window may be strictly STALER than any query inside
+    it.  That guarantees the leftover is exactly the least-stale tail,
+    which the next round's window must then absorb (this test reverts to
+    the strict branch as soon as the backlog fits)."""
     history = _history()
     if not history:
         return
     current_round = max(history) + 1  # the round this window targets
     window = set(list(queries_map())[:WINDOW_SIZE])
-    stale = sorted(
-        n
-        for n in QUERIES
-        if n not in window
-        and (lg := _last_green(history, n)) is not None
-        and current_round - lg > 2
-    )
-    assert not stale, (
-        f"stale queries (last green row >2 rounds ago, not in window): "
-        f"{stale}"
-    )
+
+    def staleness(name: str) -> float:
+        lg = _last_green(history, name)
+        return float("inf") if lg is None else current_round - lg
+
+    backlog = {n for n in QUERIES if staleness(n) > 2}
+    if len(backlog) <= WINDOW_SIZE:
+        stale = sorted(backlog - window)
+        assert not stale, (
+            f"stale queries (last green row >2 rounds ago, not in window): "
+            f"{stale}"
+        )
+    else:
+        wasted = sorted(window - backlog)
+        assert not wasted, (
+            f"backlog ({len(backlog)}) exceeds the window; every slot must "
+            f"drain it, but these windowed queries are not stale: {wasted}"
+        )
+        left_out = backlog - window
+        worst_left_out = max(staleness(n) for n in left_out)
+        best_windowed = min(staleness(n) for n in window)
+        assert worst_left_out <= best_windowed, (
+            f"backlog must drain oldest-first: a left-out query is "
+            f"{worst_left_out} rounds stale while a windowed one is only "
+            f"{best_windowed}"
+        )
