@@ -134,13 +134,16 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # this round
     "q64_simhash_signatures",
     "q66_simhash_pairs",
+    # (2) changed in round 6: the folded three-job _pair_contract (q66
+    # above shares it) — q63 swaps in for q110 (dedup family carried
+    # in-window by q60/q61/q62; q110 joins the round-7 set)
+    "q63_minhash_lsh_pairs",
     # (3) r3-green single-row queries with no family sibling elsewhere in
     # this window — the stalest tail that fits after the r2 cohort; the
     # remaining r3 cohort is the mandatory round-7 set
     "q99_incremental_dedup",
     "q105_misra_gries",
     "q108_edit_distance_pairs",
-    "q110_span_dedup",
     "q112_quality_constraints",
     "q113_shard_shuffle",
     "q118_split_leakage",

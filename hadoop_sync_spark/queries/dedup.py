@@ -14,7 +14,7 @@ below), with pair-level behavioral tests in tests/test_dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import materialize_and_free, t
@@ -308,14 +308,14 @@ def _ids_disjoint(original: DataFrame, id_col: str) -> DataFrame:
 
 def _pair_contract(
     pairs: DataFrame,
-    planted: DataFrame,
-    corpus: DataFrame,
+    original: DataFrame,
     id_col: str,
     a_col: str,
     b_col: str,
     max_pairs_per_row: int = 5,
-    eligible: DataFrame | None = None,
-    original: DataFrame | None = None,
+    eligible_pred: Column | None = None,
+    capped: DataFrame | None = None,
+    capped_id_col: str = "id_a",
     free: list[DataFrame] | None = None,
 ) -> DataFrame:
     """One-row acceptance contract over a (distinct) candidate-pair
@@ -323,28 +323,52 @@ def _pair_contract(
     and the pair count stays linear in the corpus (the anti-quadratic
     bound).
 
-    ``eligible`` is the subset of planted rows that survive the operator's
-    own input filters (empty-shingle sentinel drop, all-buckets-over-cap
-    loss) — the contract tests the OPERATOR, not the fixture: a regenerated
-    corpus with a blank planted doc must not read as a recall bug.
-    ``n_planted`` stays the oracle-pinned full planted count.  ``original``
-    (the pre-clone frame) drives the id-disjointness assertion.
+    ``original`` is the pre-clone frame (the contract assumes the caller
+    built its corpus as ``original ∪ clones(planted)`` via
+    :func:`_with_planted_clones`, so the corpus count is derivable as
+    ``n_original + n_planted`` without a separate job).  ``eligible_pred``
+    is the operator's own input filter on original rows (empty-shingle
+    sentinel drop); ``capped`` lists ids whose every bucket was lost to
+    the ``max_bucket`` cap — the contract tests the OPERATOR, not the
+    fixture: a regenerated corpus with a blank planted doc must not read
+    as a recall bug.  ``n_planted`` stays the oracle-pinned full planted
+    count.
 
-    Single pass over the expensive pair pipeline: the expected clone
-    pairs join in as a broadcast flag and ONE aggregation yields both the
-    pair count and the found-clone count (expected pairs are distinct and
-    the pair output is distinct, so count(flag) == matched pairs) — the
-    pipeline is never recomputed for a second aggregate branch.  The
-    planted/corpus counts are trivial source re-scans attached as one-row
-    broadcast scalars.
+    Three jobs total (folded from five in round 6):
+
+    - ONE aggregation over the cached original frame yields the corpus /
+      planted / pre-cap-eligible counts AND the id-disjointness min/max
+      in a single pass (they were four separate branch jobs, ~1s of
+      per-job overhead on warm caches);
+    - the expected clone pairs broadcast into the pair pipeline WITHOUT
+      the old anti-join against ``capped``: a capped id's pair cannot be
+      emitted by construction (every bucket that contained it was
+      dropped), so flagging it in `expected` can never inflate `_found` —
+      the recall equation subtracts the capped-eligible count instead;
+    - the capped∩eligible adjustment is a broadcast semi-join of the tiny
+      capped residue against the cached original (empirically ~0 rows —
+      a corpus where a large fraction of docs lose EVERY bucket to the
+      skew cap has degenerated beyond what a recall contract describes).
 
     ``free`` lists internally persisted frames (the LSH bucket caches)
     to release after the row MATERIALIZES here — same
     materialize-then-unpersist hygiene as the ANN contracts: a lazily
     returned plan would pin the caches for the session lifetime."""
-    if eligible is None:
-        eligible = planted
-    expected = eligible.select(
+    is_planted = F.col(id_col) % _CLONE_MOD == 0
+    is_elig = (
+        is_planted & eligible_pred if eligible_pred is not None else is_planted
+    )
+    scalars = original.agg(
+        F.count("*").alias("_no"),
+        F.sum(is_planted.cast("long")).alias("n_planted"),
+        F.sum(is_elig.cast("long")).alias("_ne_pre"),
+        F.coalesce(
+            (F.max(F.col(id_col)) < F.lit(_CLONE_OFFSET))
+            & (F.min(F.col(id_col)) >= 0),
+            F.lit(True),
+        ).alias("_ids_ok"),
+    )
+    expected = original.filter(is_elig).select(
         F.col(id_col).alias(a_col),
         (F.col(id_col) + _CLONE_OFFSET).alias(b_col),
         F.lit(1).alias("_flag"),
@@ -356,26 +380,33 @@ def _pair_contract(
             F.count("_flag").alias("_found"),
         )
     )
-    n_planted = planted.agg(F.count("*").alias("n_planted"))
-    n_eligible = eligible.agg(F.count("*").alias("_ne"))
-    n_corpus = corpus.agg(F.count("*").alias("_nc"))
-    ids_ok = (
-        _ids_disjoint(original, id_col)
-        if original is not None
-        else planted.sparkSession.range(1).select(
-            F.lit(True).alias("_ids_ok")
+    if capped is None:
+        n_capped = original.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("_ncap")
         )
-    )
+    else:
+        n_capped = (
+            original.filter(is_elig)
+            .join(
+                F.broadcast(
+                    capped.withColumnRenamed(capped_id_col, id_col)
+                ),
+                id_col,
+                "left_semi",
+            )
+            .agg(F.count("*").alias("_ncap"))
+        )
     assembled = (
-        n_planted.crossJoin(F.broadcast(pair_stats))
-        .crossJoin(F.broadcast(n_eligible))
-        .crossJoin(F.broadcast(n_corpus))
-        .crossJoin(F.broadcast(ids_ok))
+        scalars.crossJoin(F.broadcast(pair_stats))
+        .crossJoin(F.broadcast(n_capped))
         .select(
             "n_planted",
-            (F.col("_found") == F.col("_ne")).alias("clone_recall_ok"),
             (
-                F.col("_np") <= max_pairs_per_row * F.col("_nc")
+                F.col("_found") == F.col("_ne_pre") - F.col("_ncap")
+            ).alias("clone_recall_ok"),
+            (
+                F.col("_np")
+                <= max_pairs_per_row * (F.col("_no") + F.col("n_planted"))
             ).alias("candidate_bound_ok"),
             F.col("_ids_ok").alias("ids_disjoint_ok"),
         )
@@ -418,18 +449,6 @@ def lsh_candidate_pairs(
     )
 
 
-def _shingle_eligible(planted: DataFrame, capped: DataFrame) -> DataFrame:
-    """Planted rows whose clone pair the MinHash path GUARANTEES: cleaned
-    shingle set non-empty (the sentinel filter inside
-    ``minhash_lsh_pairs`` drops empty docs) and not every bucket lost to
-    the ``max_bucket`` cap.  `capped` carries ids under column `id_a`."""
-    return planted.filter(
-        F.size(F.array_remove(F.col("sh"), "")) > 0
-    ).join(
-        capped.withColumnRenamed("id_a", "doc_id"), "doc_id", "left_anti"
-    )
-
-
 # --------------------------------------------------------------------------
 # q63 — MinHash-LSH candidate pairs (planted-clone acceptance contract)
 # --------------------------------------------------------------------------
@@ -453,19 +472,21 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-vocabulary corpora make token-set Jaccard uniformly high (the
     sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
     MinHash), while shingle Jaccard stays discriminative."""
-    # persist the shingled frame: the contract's scalar counts (corpus,
-    # planted, eligible, id-disjointness) each re-derive from it — without
-    # the cache every count re-runs tokenize+shingle over the corpus
-    # (measured ~2s of the contract's ~3.2s at sf0.1); freed with the
-    # bucket cache once the row materializes
+    # persist the shingled frame: the contract's folded scalar pass, the
+    # expected-pair broadcast, and the capped adjustment all re-derive
+    # from it — without the cache each re-runs tokenize+shingle over the
+    # corpus; freed with the bucket cache once the row materializes
     sh = _doc_shingles(spark, sf_dir).persist()
-    corpus, planted, original = _with_planted_clones(sh, "doc_id")
+    corpus, _planted, _original = _with_planted_clones(sh, "doc_id")
     pairs, capped, handle = lsh_candidate_pairs(
         corpus, with_capped_ids=True, with_persist_handle=True
     )
+    # eligibility = the sentinel filter inside minhash_lsh_pairs: docs
+    # whose cleaned shingle set is empty never get a signature
     return _pair_contract(
-        pairs, planted, corpus, "doc_id", "id_a", "id_b",
-        eligible=_shingle_eligible(planted, capped), original=original,
+        pairs, sh, "doc_id", "id_a", "id_b",
+        eligible_pred=F.size(F.array_remove(F.col("sh"), "")) > 0,
+        capped=capped, capped_id_col="id_a",
         free=[handle, sh],
     )
 
@@ -591,7 +612,7 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_df = d.select(
         "doc_id", tokens(normalize(F.col("text"))).alias("tok")
     ).persist()
-    corpus, planted, original = _with_planted_clones(toks_df, "doc_id")
+    corpus, _planted, _original = _with_planted_clones(toks_df, "doc_id")
     sig = corpus.select(
         "doc_id", simhash64(F.col("tok")).alias("sig")
     )
@@ -654,10 +675,12 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_any_under") == 0)
         .select("doc_id")
     )
-    eligible = planted.join(capped, "doc_id", "left_anti")
+    # eligibility needs no predicate: SimHash is defined for every doc
+    # (empty → sig 0), so the cap is the only loss channel
     return _pair_contract(
-        pairs, planted, corpus, "doc_id", "doc_a", "doc_b",
-        eligible=eligible, original=original, free=[buckets_all, toks_df],
+        pairs, toks_df, "doc_id", "doc_a", "doc_b",
+        capped=capped, capped_id_col="doc_id",
+        free=[buckets_all, toks_df],
     )
 
 

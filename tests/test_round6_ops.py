@@ -1,0 +1,221 @@
+"""Behavioral tests for the round-6 operators on CRAFTED inputs — the
+fixture-parity sweep (test_oracle_parity) already cross-checks every
+registered query against DuckDB on the fixtures; these tests pin the
+semantics on hand-computable cases and on edge shapes the fixtures don't
+contain (chunk tails shorter than the overlap, all-simultaneous event
+streams, negative-balance banding, independence-lift identities).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hadoop_sync_spark.queries import load_all
+
+
+def _mk_documents(spark, rows, out):
+    """rows: (doc_id, text); writes a documents.parquet the queries read."""
+    spark.createDataFrame(
+        [(i, txt, "en", "crafted", len(txt)) for i, txt in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(out) + "/documents.parquet")
+    return str(out)
+
+
+def _mk_events(spark, rows, out):
+    """rows: (event_id, user_id, us_seconds, value)."""
+    spark.createDataFrame(
+        [(eid, uid, "e", us * 1_000_000, val) for eid, uid, us, val in rows],
+        "event_id long, user_id long, event_type string, _us long,"
+        " value double",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.col("_us")).alias("ts"),
+        "value",
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(out) + "/events.parquet")
+    return str(out)
+
+
+# --------------------------------------------------------------------------
+# q133 — overlapping token-window chunking
+# --------------------------------------------------------------------------
+def _chunks(spark, sf_dir):
+    return {
+        r["chunk_no"]: (r["start_tok"], r["chunk_len"], r["chunk_sig"])
+        for r in load_all()["q133_doc_chunks"].fn(spark, sf_dir).collect()
+    }
+
+
+def test_chunking_covers_every_token_with_10_token_overlap(spark, tmp_path):
+    """100 tokens → starts 0/30/60/90 with lengths 40/40/40/10; chunk k
+    covers [30k, 30k+39], so consecutive chunks overlap by exactly 10 and
+    every token index lands in at least one chunk."""
+    toks = [f"t{i:03d}" for i in range(100)]
+    sf = _mk_documents(spark, [(1, " ".join(toks))], tmp_path)
+    got = _chunks(spark, sf)
+    assert {k: v[:2] for k, v in got.items()} == {
+        0: (0, 40),
+        1: (30, 40),
+        2: (60, 40),
+        3: (90, 10),
+    }
+    # signatures are md5 of the space-joined window
+    assert (
+        got[3][2] == hashlib.md5(" ".join(toks[90:100]).encode()).hexdigest()
+    )
+    covered = set()
+    for _, (s, ln, _sig) in got.items():
+        covered.update(range(s, s + ln))
+    assert covered == set(range(100))
+
+
+def test_chunking_tail_shorter_than_overlap_and_tiny_docs(spark, tmp_path):
+    """31 tokens → a second chunk of length 1 (the stride landed before
+    the end, so the tail chunk exists even though the first chunk already
+    covered 40 > 31); 30 tokens → exactly one chunk; 1 token → one
+    1-token chunk."""
+    sf = _mk_documents(
+        spark,
+        [
+            (1, " ".join(f"a{i}" for i in range(31))),
+            (2, " ".join(f"b{i}" for i in range(30))),
+            (3, "solo"),
+        ],
+        tmp_path,
+    )
+    rows = load_all()["q133_doc_chunks"].fn(spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_no"], r["start_tok"], r["chunk_len"])
+        )
+    assert sorted(by_doc[1]) == [(0, 0, 31), (1, 30, 1)]
+    assert sorted(by_doc[2]) == [(0, 0, 30)]
+    assert sorted(by_doc[3]) == [(0, 0, 1)]
+
+
+# --------------------------------------------------------------------------
+# q134 — interval-weighted (time-weighted) average
+# --------------------------------------------------------------------------
+def test_twap_weights_by_holding_duration(spark, tmp_path):
+    """val 10.00 held 10s, then 20.00 held 30s, final event open-ended →
+    TWAP = (10·10 + 20·30)/40 = 17.5 ≠ the plain AVG 10.0 of the three
+    observations — exactly the burst-robustness a time-weighted mean
+    buys."""
+    sf = _mk_events(
+        spark,
+        [(1, 7, 0, 10.0), (2, 7, 10, 20.0), (3, 7, 40, 999.0)],
+        tmp_path,
+    )
+    rows = load_all()["q134_interval_weighted_avg"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["n_intervals"], r["total_dur_s"]) == (7, 2, 40)
+    assert r["twap"] == 17.5
+
+
+def test_twap_excludes_zero_weight_and_single_event_users(spark, tmp_path):
+    """A single-event user has no closing bound (no interval); a user
+    whose events all share one timestamp has total weight 0 — both are
+    excluded rather than producing NULL/∞ rows.  Sub-second gaps truncate
+    to 0 seconds (integer division), so user 9's one real interval also
+    carries weight 0 and is excluded."""
+    sf = _mk_events(
+        spark,
+        [
+            (1, 1, 100, 5.0),  # single event
+            (2, 2, 100, 5.0),
+            (3, 2, 100, 7.0),  # simultaneous pair → weight 0
+            (4, 9, 0, 5.0),
+            (5, 9, 0, 7.0),  # same second → dur_s = 0
+        ],
+        tmp_path,
+    )
+    assert load_all()["q134_interval_weighted_avg"].fn(spark, sf).count() == 0
+
+
+# --------------------------------------------------------------------------
+# q135 — k-anonymity suppression audit
+# --------------------------------------------------------------------------
+def _mk_customer(spark, rows, out):
+    """rows: (nationkey, mktsegment, acctbal) one per customer."""
+    spark.createDataFrame(
+        [(i, nk, seg, bal) for i, (nk, seg, bal) in enumerate(rows)],
+        "c_custkey long, c_nationkey long, c_mktsegment string,"
+        " c_acctbal double",
+    ).write.parquet(str(out) + "/customer.parquet")
+    return str(out)
+
+
+def test_k_anonymity_keeps_only_groups_of_5_plus(spark, tmp_path):
+    """Nation 1: one QI group of 5 (kept) + one of 2 (suppressed);
+    nation 2: one group of 4 → everything suppressed."""
+    rows = (
+        [(1, "AUTO", 500.0)] * 5
+        + [(1, "STEEL", 500.0)] * 2
+        + [(2, "AUTO", 1500.0)] * 4
+    )
+    sf = _mk_customer(spark, rows, tmp_path)
+    got = {
+        r["c_nationkey"]: (
+            r["n_groups"],
+            r["n_groups_kept"],
+            r["n_rows_kept"],
+            r["n_rows_suppressed"],
+        )
+        for r in load_all()["q135_k_anonymity"].fn(spark, sf).collect()
+    }
+    assert got == {1: (2, 1, 5, 2), 2: (1, 0, 0, 4)}
+
+
+def test_k_anonymity_balance_banding_truncates_toward_zero(spark, tmp_path):
+    """Banding is scaled-cents integer division truncating toward zero on
+    BOTH engines, so -500.00 and +500.00 share band 0 (the zero band is
+    double-width, a documented property of truncation) while 1500.00
+    bands to 1 and -1500.00 to -1."""
+    rows = [(1, "AUTO", b) for b in (-500.0, 500.0) for _ in range(5)] + [
+        (1, "AUTO", 1500.0)
+    ] * 5 + [(1, "AUTO", -1500.0)] * 5
+    sf = _mk_customer(spark, rows, tmp_path)
+    got = load_all()["q135_k_anonymity"].fn(spark, sf).collect()
+    # bands: 0 (±500 together, 10 rows), 1 (5 rows), -1 (5 rows) → 3
+    # groups, all ≥ 5 → all kept
+    assert [
+        (r["n_groups"], r["n_groups_kept"], r["n_rows_kept"]) for r in got
+    ] == [(3, 3, 20)]
+
+
+# --------------------------------------------------------------------------
+# q136 — co-occurrence lift (quantized PMI)
+# --------------------------------------------------------------------------
+def test_pmi_lift_identities_on_crafted_corpus(spark, tmp_path):
+    """10 docs all containing {a b}; {c d} co-occur in the 5 docs where
+    both appear.  lift(a,b) = 10·10·10⁶÷(10·10) = exactly 1e6 ppm
+    (ubiquitous pairs carry NO association signal — lift 1.0); lift(c,d)
+    = 5·10·10⁶÷(5·5) = 2e6 ppm (perfect co-occurrence at df 5 doubles
+    it).  Cross pairs like (a,c) have co_df 5 = df_c·df_a/N → also 1e6:
+    independence shows up as exactly 10⁶ whenever counts allow it."""
+    docs = []
+    for i in range(10):
+        text = "a b" + (" c d" if i < 5 else "")
+        docs.append((i, text))
+    sf = _mk_documents(spark, docs, tmp_path)
+    got = {
+        (r["term_a"], r["term_b"]): (
+            r["co_df"],
+            r["df_a"],
+            r["df_b"],
+            r["lift_ppm"],
+        )
+        for r in load_all()["q136_token_pmi"].fn(spark, sf).collect()
+    }
+    assert got[("a", "b")] == (10, 10, 10, 1_000_000)
+    assert got[("c", "d")] == (5, 5, 5, 2_000_000)
+    assert got[("a", "c")] == (5, 10, 5, 1_000_000)
+    # support guard: nothing below 5 co-docs surfaces
+    assert all(v[0] >= 5 for v in got.values())
