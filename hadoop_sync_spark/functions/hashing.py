@@ -82,12 +82,82 @@ def minhash_signature_builtin(items: Column, k: int = 32, seed: int = 42) -> Col
 
 _MINHASH_UDF_CACHE: dict = {}
 
+#: Per-chunk flat-hash caps for the vectorized UDF folds: chosen so the
+#: per-task working set stays ~64-128 MB whatever the Arrow batch shape
+#: (simhash builds a 64-byte/hash uint8 bit matrix, minhash a k×8-byte
+#: permuted-product matrix).  Chunks align to doc boundaries, so the
+#: Python loop runs once per ~megabyte, not once per document.
+_SIMHASH_CHUNK = 1 << 20
+_MINHASH_CHUNK = 1 << 19
+
+
+def _doc_chunks(ne_idx: np.ndarray, lens: np.ndarray, chunk: int):
+    """Yield slices of ``ne_idx`` whose total ``lens`` stays ≤ ``chunk``
+    (a single over-long doc forms its own slice) — the doc-aligned
+    chunking both vectorized folds share."""
+    pos = 0
+    while pos < ne_idx.size:
+        end, tot = pos, 0
+        while end < ne_idx.size and (
+            tot == 0 or tot + lens[ne_idx[end]] <= chunk
+        ):
+            tot += lens[ne_idx[end]]
+            end += 1
+        yield ne_idx[pos:end]
+        pos = end
+
+
+def _minhash_fold(
+    hashes: pd.Series,
+    a_vec: np.ndarray,
+    b_vec: np.ndarray,
+    sentinel: np.ndarray,
+    chunk: int,
+) -> pd.Series:
+    """The minhash fold body, directly callable for chunk-boundary tests
+    (the UDF's worker processes re-import this module, so monkeypatching
+    the chunk constant cannot reach them — tests call this instead)."""
+    mask = np.uint64(_MASK)
+    out = np.empty(len(hashes), dtype=object)
+    isnull = hashes.isna().to_numpy()
+    lens = np.array(
+        [0 if n else len(h) for h, n in zip(hashes, isnull)],
+        dtype=np.int64,
+    )
+    for i in np.flatnonzero(isnull):
+        # builtin reference propagates NULL for a NULL array; only a
+        # genuinely EMPTY doc gets the sentinel
+        out[i] = None
+    for i in np.flatnonzero(~isnull & (lens == 0)):
+        out[i] = sentinel
+    ne_idx = np.flatnonzero(lens > 0)
+    with np.errstate(over="ignore"):
+        for idx in _doc_chunks(ne_idx, lens, chunk):
+            flat = np.concatenate(
+                [np.asarray(hashes.iat[i], dtype=np.int64) for i in idx]
+            ).view(np.uint64)
+            starts = np.zeros(idx.size, dtype=np.int64)
+            np.cumsum(lens[idx][:-1], out=starts[1:])
+            # (k, chunk_total) permuted-hash matrix; per-doc min fold
+            prod = (a_vec[:, None] * flat[None, :] + b_vec[:, None]) & mask
+            sig = np.minimum.reduceat(prod, starts, axis=1)  # (k, docs)
+            sigs = sig.astype(np.int64).T
+            for j, i in enumerate(idx):
+                out[i] = sigs[j]
+    return pd.Series(list(out))
+
 
 def _minhash_arrow_udf(k: int, seed: int):
     """Arrow-batched pandas UDF: array<bigint> element hashes → length-k
     MinHash signature.  numpy uint64 arithmetic wraps mod 2^64 exactly like
     Java long arithmetic, so outputs are bit-identical to the builtin fold
-    (asserted in tests/test_dedup.py)."""
+    (asserted in tests/test_dedup.py).
+
+    Vectorized per Arrow batch, CHUNKED on doc boundaries (the simhash-UDF
+    pattern): the old per-row loop built a (k, n) permuted matrix per
+    DOCUMENT — ~10k Python iterations per batch, interpreter-bound on
+    short docs.  One (k, chunk_total) matrix + np.minimum.reduceat per
+    ≤2^19-hash chunk does the same fold batch-wide at ≤128 MB peak."""
     key = (k, seed)
     if key in _MINHASH_UDF_CACHE:
         return _MINHASH_UDF_CACHE[key]
@@ -95,29 +165,11 @@ def _minhash_arrow_udf(k: int, seed: int):
     params = _perm_params(k, seed)
     a_vec = np.array([a % (1 << 64) for a, _ in params], dtype=np.uint64)
     b_vec = np.array([b % (1 << 64) for _, b in params], dtype=np.uint64)
-    mask = np.uint64(_MASK)
     sentinel = np.full(k, 0x7FFFFFFFFFFFFFFF, dtype=np.int64)
 
     @F.pandas_udf("array<bigint>")
     def mh(hashes: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
-            for h in hashes:
-                if h is None:
-                    # builtin reference propagates NULL for a NULL array;
-                    # only a genuinely EMPTY doc gets the sentinel
-                    out.append(None)
-                    continue
-                if len(h) == 0:
-                    out.append(sentinel)
-                    continue
-                hu = np.asarray(h, dtype=np.int64).view(np.uint64)
-                # (k, n) permuted-hash matrix; min over elements per slot
-                sig = ((a_vec[:, None] * hu[None, :] + b_vec[:, None]) & mask).min(
-                    axis=1
-                )
-                out.append(sig.astype(np.int64))
-        return pd.Series(out)
+        return _minhash_fold(hashes, a_vec, b_vec, sentinel, _MINHASH_CHUNK)
 
     # Output IS deterministic; the flag is a Catalyst optimizer barrier.
     # Without it, a filter on the signature column gets pushed below the
@@ -190,6 +242,49 @@ def simhash64_builtin(items: Column) -> Column:
 _SIMHASH_UDF = None
 
 
+def _simhash_fold(
+    hashes: pd.Series, shifts: np.ndarray, chunk: int
+) -> pd.Series:
+    """The simhash fold body, directly callable for chunk-boundary tests
+    (see :func:`_minhash_fold`).
+
+    Chunked on doc boundaries: the old one-shot form materialized a
+    (total_hashes, 64) uint64 shift matrix — 512 bytes per token hash,
+    gigabytes per batch on a 10× corpus (measured as a 16 s bucket build
+    at 50k docs, pure allocator thrash).  unpackbits gives the same bit
+    matrix in uint8 (64 B/hash; little-endian byte view ↔
+    bitorder='little' matches the >>shift bit indexing), and the
+    ≤2^20-hash chunks cap peak memory at ~64 MB whatever the batch
+    shape."""
+    isnull = hashes.isna().to_numpy()
+    lens = np.array(
+        [0 if n else len(h) for h, n in zip(hashes, isnull)],
+        dtype=np.int64,
+    )
+    out = np.zeros(len(hashes), dtype=np.int64)
+    ne_idx = np.flatnonzero(lens > 0)
+    for idx in _doc_chunks(ne_idx, lens, chunk):
+        flat = np.concatenate(
+            [np.asarray(hashes.iat[i], dtype=np.int64) for i in idx]
+        )
+        bits = np.unpackbits(
+            flat.view(np.uint8), bitorder="little"
+        ).reshape(-1, 64)
+        starts = np.zeros(idx.size, dtype=np.int64)
+        np.cumsum(lens[idx][:-1], out=starts[1:])
+        ones = np.add.reduceat(
+            bits, starts, axis=0, dtype=np.int64
+        )  # (docs, 64)
+        # bit j set iff ones > n/2 (count > 0 in ±1 terms)
+        sig_bits = (2 * ones > lens[idx, None]).astype(np.uint64)
+        out[idx] = (sig_bits << shifts).sum(
+            axis=1, dtype=np.uint64
+        ).astype(np.int64)
+    res = pd.Series(out, dtype="object", index=hashes.index)
+    res[isnull] = None  # builtin reference propagates NULL for NULL array
+    return res
+
+
 def _simhash_arrow_udf():
     """Arrow-batched pandas UDF: array<bigint> element hashes → SimHash.
     Bit-identical to the builtin fold (majority vote per bit, strict >0)."""
@@ -201,32 +296,7 @@ def _simhash_arrow_udf():
 
     @F.pandas_udf("bigint")
     def sh(hashes: pd.Series) -> pd.Series:
-        # one vectorized pass per Arrow batch: concatenate every doc's
-        # hashes, build the (total, 64) bit matrix once, then segment-sum
-        # per doc with np.add.reduceat — no per-row Python/numpy overhead
-        isnull = hashes.isna().to_numpy()
-        lens = np.array(
-            [0 if n else len(h) for h, n in zip(hashes, isnull)],
-            dtype=np.int64,
-        )
-        out = np.zeros(len(hashes), dtype=np.int64)
-        nonempty = lens > 0
-        if nonempty.any():
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in hashes[nonempty]]
-            ).view(np.uint64)
-            bits = (flat[:, None] >> shifts[None, :]) & np.uint64(1)
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=starts[1:])
-            ones = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
-            # bit j set iff ones > n/2 (count > 0 in ±1 terms)
-            sig_bits = (2 * ones > lens[nonempty, None]).astype(np.uint64)
-            out[nonempty] = (sig_bits << shifts).sum(
-                axis=1, dtype=np.uint64
-            ).astype(np.int64)
-        res = pd.Series(out, dtype="object", index=hashes.index)
-        res[isnull] = None  # builtin reference propagates NULL for NULL array
-        return res
+        return _simhash_fold(hashes, shifts, _SIMHASH_CHUNK)
 
     # deterministic output; flag is a pushdown barrier (see _minhash_arrow_udf)
     sh = sh.asNondeterministic()

@@ -854,11 +854,23 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp, comp_h = connected_components(
         pairs, src="id_a", dst="id_b", with_handles=True
     )
+    # eligible = planted rows whose clone EDGE the MinHash path
+    # guarantees: cleaned shingle set non-empty (the sentinel filter
+    # inside minhash_lsh_pairs drops empty docs) and not every bucket
+    # lost to the max_bucket cap; the capped residue is ~0 rows, so it
+    # broadcasts (was the inlined body of the removed _shingle_eligible)
+    eligible = planted.filter(
+        F.size(F.array_remove(F.col("sh"), "")) > 0
+    ).join(
+        F.broadcast(capped.withColumnRenamed("id_a", "doc_id")),
+        "doc_id",
+        "left_anti",
+    )
     # the contract row materializes, so even the components' own result
     # checkpoint is releasable — zero caches survive this query
     return _component_contract(
         comp, planted, corpus, "doc_id",
-        eligible=_shingle_eligible(planted, capped), original=original,
+        eligible=eligible, original=original,
         free=[handle, sh, comp_h],
     )
 

@@ -386,3 +386,50 @@ def test_component_loops_free_checkpoints_on_failure_paths(spark):
     assert out.filter(F.col("component") != 0).count() == 0
     for h in new:  # leave the session clean for other tests
         h.unpersist(False)
+
+
+def test_vectorized_folds_are_chunk_invariant():
+    """The chunked vectorized folds must give identical results whatever
+    the chunk size: tiny chunks force every boundary case (doc spanning
+    its own chunk, single over-long doc, chunk cut between docs) that the
+    production 2^19/2^20 constants never hit on fixture batches.  Null
+    and empty docs interleave with the numeric path."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_sync_spark.functions.hashing import (
+        _minhash_fold,
+        _perm_params,
+        _simhash_fold,
+    )
+
+    rng = np.random.default_rng(7)
+    docs: list = []
+    for i in range(200):
+        if i % 17 == 0:
+            docs.append(None)
+        elif i % 11 == 0:
+            docs.append(np.array([], dtype=np.int64))
+        else:
+            n = int(rng.integers(1, 50)) if i % 5 else int(rng.integers(100, 300))
+            docs.append(rng.integers(-(2**63), 2**63, size=n, dtype=np.int64))
+    s = pd.Series(docs)
+
+    params = _perm_params(32, 42)
+    a_vec = np.array([a % (1 << 64) for a, _ in params], dtype=np.uint64)
+    b_vec = np.array([b % (1 << 64) for _, b in params], dtype=np.uint64)
+    sentinel = np.full(32, 0x7FFFFFFFFFFFFFFF, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def canon_mh(res):
+        return [None if v is None else list(v) for v in res]
+
+    big_mh = canon_mh(_minhash_fold(s, a_vec, b_vec, sentinel, 1 << 30))
+    big_sh = list(_simhash_fold(s, shifts, 1 << 30))
+    for chunk in (1, 7, 64, 251):
+        assert canon_mh(
+            _minhash_fold(s, a_vec, b_vec, sentinel, chunk)
+        ) == big_mh, f"minhash fold differs at chunk={chunk}"
+        assert list(_simhash_fold(s, shifts, chunk)) == big_sh, (
+            f"simhash fold differs at chunk={chunk}"
+        )

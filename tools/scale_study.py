@@ -125,6 +125,10 @@ STUDY_QUERIES = [
     "q130_robust_source_stats",  # two rank-window passes on source
     "q131_temperature_mix",     # agg + one-row normalizers
     "q132_posting_blocks",      # doc-sharded postings, one shuffle
+    "q133_doc_chunks",          # zero-shuffle narrow chunking
+    "q134_interval_weighted_avg",  # one-exchange window + agg
+    "q135_k_anonymity",         # two chained aggregations
+    "q136_token_pmi",           # vocab-capped doc-keyed pair expansion
 ]
 
 
