@@ -11,6 +11,8 @@ documents" (1997); banding/LSH analysis per Leskovec-Rajaraman-Ullman,
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -267,6 +269,12 @@ def _simhash_fold(
         flat = np.concatenate(
             [np.asarray(hashes.iat[i], dtype=np.int64) for i in idx]
         )
+        if sys.byteorder == "big":
+            # the uint8 view + bitorder='little' bit indexing assumes
+            # little-endian int64 layout (every x86/arm worker); the old
+            # shift-based fold was endianness-agnostic, so keep that
+            # property rather than silently mis-mapping bit columns
+            flat = flat.byteswap()
         bits = np.unpackbits(
             flat.view(np.uint8), bitorder="little"
         ).reshape(-1, 64)

@@ -358,10 +358,15 @@ def _pair_contract(
     is_elig = (
         is_planted & eligible_pred if eligible_pred is not None else is_planted
     )
+    # coalesce: SUM over an empty frame is NULL where the old per-frame
+    # COUNT(*) jobs returned 0 — an empty regenerated fixture must yield
+    # (0, TRUE, TRUE, TRUE) like the oracle, not a NULL-poisoned row
     scalars = original.agg(
         F.count("*").alias("_no"),
-        F.sum(is_planted.cast("long")).alias("n_planted"),
-        F.sum(is_elig.cast("long")).alias("_ne_pre"),
+        F.coalesce(F.sum(is_planted.cast("long")), F.lit(0)).alias(
+            "n_planted"
+        ),
+        F.coalesce(F.sum(is_elig.cast("long")), F.lit(0)).alias("_ne_pre"),
         F.coalesce(
             (F.max(F.col(id_col)) < F.lit(_CLONE_OFFSET))
             & (F.min(F.col(id_col)) >= 0),

@@ -423,8 +423,11 @@ def q134_interval_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = e.select(
         "user_id",
         "val_c",
-        F.expr("(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)"
-               " - us) div 1000000").alias("dur_s"),
+        (F.lead("us").over(w) - F.col("us")).alias("dur_us"),
+    ).select(
+        "user_id",
+        "val_c",
+        F.expr("dur_us div 1000000").alias("dur_s"),
     ).filter(F.col("dur_s").isNotNull())
     return (
         iv.groupBy("user_id")

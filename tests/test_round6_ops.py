@@ -219,3 +219,24 @@ def test_pmi_lift_identities_on_crafted_corpus(spark, tmp_path):
     assert got[("a", "c")] == (5, 10, 5, 1_000_000)
     # support guard: nothing below 5 co-docs surfaces
     assert all(v[0] >= 5 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# _pair_contract — empty-corpus NULL-safety (round-6 review fix)
+# --------------------------------------------------------------------------
+def test_pair_contract_empty_corpus_matches_oracle_shape(spark, tmp_path):
+    """An empty regenerated fixture must yield (0, TRUE, TRUE, TRUE) like
+    the DuckDB oracle — the folded contract's SUM-based counts return
+    NULL over zero rows without the coalesce (the old per-frame COUNT(*)
+    jobs returned 0)."""
+    sf = _mk_documents(spark, [], tmp_path)
+    for q in ("q63_minhash_lsh_pairs", "q66_simhash_pairs"):
+        rows = load_all()[q].fn(spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (
+            r["n_planted"],
+            r["clone_recall_ok"],
+            r["candidate_bound_ok"],
+            r["ids_disjoint_ok"],
+        ) == (0, True, True, True), q
