@@ -240,3 +240,76 @@ def test_pair_contract_empty_corpus_matches_oracle_shape(spark, tmp_path):
             r["candidate_bound_ok"],
             r["ids_disjoint_ok"],
         ) == (0, True, True, True), q
+
+
+# --------------------------------------------------------------------------
+# _pair_contract — falsifiability of the folded algebra (round-6 fold)
+# --------------------------------------------------------------------------
+def _contract_row(spark, pairs_rows, capped_ids=(), n_docs=150):
+    """Run _pair_contract directly on crafted frames: docs 0..n_docs-1
+    with single-token texts, clone ids shifted by _CLONE_OFFSET; `pairs`
+    is handed in verbatim so tests can withhold or inflate candidates."""
+    from hadoop_sync_spark.queries.dedup import _CLONE_OFFSET, _pair_contract
+
+    original = spark.createDataFrame(
+        [(i, ["tok"]) for i in range(n_docs)], "doc_id long, sh array<string>"
+    )
+    pairs = spark.createDataFrame(
+        pairs_rows or [], "id_a long, id_b long"
+    )
+    capped = spark.createDataFrame(
+        [(i,) for i in capped_ids] or [], "id_a long"
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return _pair_contract(
+        pairs,
+        original,
+        "doc_id",
+        "id_a",
+        "id_b",
+        eligible_pred=F.size(F.array_remove(F.col("sh"), "")) > 0,
+        capped=capped,
+    ).collect()[0]
+
+
+def test_pair_contract_catches_withheld_clone_pair(spark):
+    """Planted ids with n_docs=150 and _CLONE_MOD=50 are {0, 50, 100};
+    emitting only two of the three expected clone pairs must flip
+    clone_recall_ok to False — the contract is falsifiable, not
+    vacuously green."""
+    from hadoop_sync_spark.queries.dedup import _CLONE_OFFSET
+
+    full = [(p, p + _CLONE_OFFSET) for p in (0, 50, 100)]
+    ok = _contract_row(spark, full)
+    assert (ok["n_planted"], ok["clone_recall_ok"]) == (3, True)
+    missing = _contract_row(spark, full[:2])
+    assert (missing["n_planted"], missing["clone_recall_ok"]) == (3, False)
+
+
+def test_pair_contract_capped_id_excuses_only_its_own_pair(spark):
+    """Declaring id 100 capped exempts exactly its pair from the recall
+    requirement: withholding (100, clone) passes, but withholding an
+    UNCAPPED pair still fails."""
+    from hadoop_sync_spark.queries.dedup import _CLONE_OFFSET
+
+    two = [(p, p + _CLONE_OFFSET) for p in (0, 50)]
+    assert _contract_row(spark, two, capped_ids=[100])[
+        "clone_recall_ok"
+    ] is True
+    assert _contract_row(spark, two[:1], capped_ids=[100])[
+        "clone_recall_ok"
+    ] is False
+
+
+def test_pair_contract_catches_quadratic_candidate_blowup(spark):
+    """A pair output larger than max_pairs_per_row × corpus must flip
+    candidate_bound_ok — with n_docs=150 (+3 clones) the bound is
+    5 × 153; 800 distinct pairs exceed it."""
+    from hadoop_sync_spark.queries.dedup import _CLONE_OFFSET
+
+    full = [(p, p + _CLONE_OFFSET) for p in (0, 50, 100)]
+    blowup = full + [(10_000 + i, 20_000 + i) for i in range(800)]
+    r = _contract_row(spark, blowup)
+    assert r["clone_recall_ok"] is True
+    assert r["candidate_bound_ok"] is False
