@@ -146,12 +146,14 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q108_edit_distance_pairs",
     "q112_quality_constraints",
     "q113_shard_shuffle",
-    "q118_split_leakage",
-    # (1) brand-new round-6 queries — never checked
+    # (1) brand-new round-6 queries — never checked; q137 displaces
+    # q118 (split-leakage family rides q116's eval-sampling neighbor in
+    # the r3 cohort; q118 joins the round-7 set)
     "q133_doc_chunks",
     "q134_interval_weighted_avg",
     "q135_k_anonymity",
     "q136_token_pmi",
+    "q137_copurchase_pagerank",
 )
 
 

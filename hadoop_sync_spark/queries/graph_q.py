@@ -93,13 +93,11 @@ def q123_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_free(assembled, caches)
 
 
-def triangle_pipeline(
-    spark: SparkSession, sf_dir: str, persist: bool = True
-) -> tuple[DataFrame, list[DataFrame]]:
-    """Build the co-purchase triangle pipeline; returns (assembled one-row
-    frame, caches-to-free).  ``persist=False`` keeps every frame lazy so
-    plan tests can inspect the triangle joins (a persisted edge list
-    would hide them behind InMemoryTableScan)."""
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edge list (u, v; u < v, distinct): customers
+    adjacent when they bought the same small part, per-part fan-out capped
+    at `_CUST_CAP` (the max_bucket skew idiom).  Shared by the triangle
+    (q123) and PageRank (q137) pipelines."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     p = (
@@ -120,15 +118,25 @@ def triangle_pipeline(
         .select("pk", "c")
     )
     a, b = capped.alias("a"), capped.alias("b")
-    # persist the edge list: three consumers (degree agg, edge count, and
-    # the 3-way triangle self-join) would otherwise each recompute the
-    # projection joins; freed by the materialize epilogue below
-    e0 = (
+    return (
         a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.c") < F.col("b.c")))
         .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
         .distinct()
     )
-    return triangle_stats(e0, persist=persist)
+
+
+def triangle_pipeline(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Build the co-purchase triangle pipeline; returns (assembled one-row
+    frame, caches-to-free).  ``persist=False`` keeps every frame lazy so
+    plan tests can inspect the triangle joins (a persisted edge list
+    would hide them behind InMemoryTableScan)."""
+    # the edge list gets persisted inside triangle_stats: three consumers
+    # (degree agg, edge count, and the 3-way triangle self-join) would
+    # otherwise each recompute the projection joins; freed by the
+    # materialize epilogue
+    return triangle_stats(copurchase_edges(spark, sf_dir), persist=persist)
 
 
 def triangle_stats(
@@ -184,4 +192,188 @@ def triangle_stats(
 
 q123_copurchase_triangles.__doc__ = q123_copurchase_triangles.__doc__.format(
     cap=_CUST_CAP
+)
+
+
+# --------------------------------------------------------------------------
+# q137 — fixed-iteration quantized PageRank over the co-purchase graph
+# --------------------------------------------------------------------------
+_PR_SCALE = 1_000_000_000  # score unit: 1e-9 of total probability mass
+_PR_ITERS = 3
+
+_SQL_PR_EDGES = f"""
+    pc AS (
+        SELECT DISTINCT l.l_partkey AS pk, o.o_custkey AS c
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= {_MAX_PART_SIZE}
+    ), capped AS (
+        SELECT pk, c FROM (
+            SELECT pk, c,
+                   ROW_NUMBER() OVER (PARTITION BY pk ORDER BY c) AS rn
+            FROM pc
+        ) WHERE rn <= {_CUST_CAP}
+    ), e0 AS (
+        SELECT DISTINCT a.c AS u, b.c AS v
+        FROM capped a JOIN capped b ON a.pk = b.pk AND a.c < b.c
+    )
+"""
+
+
+def _sql_pr_iter(i: int) -> str:
+    prev = f"s{i - 1}"
+    return f"""
+    it{i} AS (
+        SELECT adj.dst AS node,
+               CAST(SUM({prev}.s // {prev}.d) AS BIGINT) AS agg
+        FROM adj JOIN {prev} ON adj.src = {prev}.node
+        GROUP BY adj.dst
+    ), s{i} AS (
+        SELECT {prev}.node, {prev}.d, {prev}.base,
+               CAST({prev}.base
+                    + (85 * COALESCE(it{i}.agg, 0)) // 100 AS BIGINT) AS s
+        FROM {prev} LEFT JOIN it{i} ON {prev}.node = it{i}.node
+    )"""
+
+
+@register(
+    "q137_copurchase_pagerank",
+    oracle=f"""
+    WITH {_SQL_PR_EDGES},
+    adj AS (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL
+        SELECT v AS src, u AS dst FROM e0
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM adj GROUP BY src
+    ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    s0 AS (
+        SELECT node, d,
+               CAST((15 * ({_PR_SCALE} // cnt.n_nodes)) // 100 AS BIGINT)
+                 AS base,
+               CAST({_PR_SCALE} // cnt.n_nodes AS BIGINT) AS s
+        FROM deg, cnt
+    ),{",".join(_sql_pr_iter(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT node AS custkey, d AS degree, s AS pr_q9
+    FROM s{_PR_ITERS}
+    ORDER BY s DESC, node
+    LIMIT 20
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def q137_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {iters} unrolled iterations from the
+    uniform vector) over the customer co-purchase graph — the canonical
+    iterative-propagation operator the graph family still lacked
+    (components find WHO is connected, triangles how densely; PageRank
+    ranks influence).  Top-20 customers by score under a total order.
+
+    Exactness: the whole recurrence is integer arithmetic in 1e-9 mass
+    units — contribution = s div d (truncating), update = base +
+    (85·Σcontrib) div 100 with base = (15·(SCALE div N)) div 100 — both
+    engines truncate integer division toward zero (commit 76bc554), so
+    three iterations stay bit-exact with the DuckDB oracle without a
+    single float.  A fixed iteration count (the production norm for
+    ranking pipelines: power iteration is run a budgeted number of
+    sweeps, not to machine-epsilon convergence) is what makes an EXACT
+    oracle expressible as chained CTEs rather than a weaker fixpoint
+    contract like q68's.
+
+    Scale: the adjacency persists once (2 rows/edge) and each iteration
+    is one hash join (adj ⋈ scores on src, node-scale build side) + one
+    partial-aggregated shuffle on dst — the classic message-passing
+    round, O(edges) per iteration with no global sort; scores stay
+    node-scale.  Truncation drains ≤1 unit per (node, div) per round, so
+    total mass shrinks by <2N·10⁻⁹ per sweep — rank order is unaffected
+    and the drain is deterministic, hence oracle-matched.  The final
+    TakeOrdered(20) is the only ordering."""
+    from hadoop_sync_spark.queries._util import materialize_and_free
+
+    e0 = copurchase_edges(spark, sf_dir)
+    adj = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()
+    )
+    scores, handles = pagerank_quantized(
+        adj, iters=_PR_ITERS, with_handles=True
+    )
+    top = (
+        scores.select(
+            F.col("node").alias("custkey"),
+            F.col("d").alias("degree"),
+            F.col("s").alias("pr_q9"),
+        )
+        .orderBy(F.col("pr_q9").desc(), "custkey")
+        .limit(20)
+    )
+    return materialize_and_free(top, [adj, *handles])
+
+
+def pagerank_quantized(
+    adj: DataFrame, iters: int = _PR_ITERS, with_handles: bool = False
+) -> DataFrame | tuple[DataFrame, list[DataFrame]]:
+    """Integer-quantized PageRank over a directed adjacency frame
+    (columns src, dst; for undirected graphs pass both directions).
+    Returns (node, d, base, s) after ``iters`` unrolled message-passing
+    rounds.  Factored so behavioral tests can feed crafted graphs and
+    compare against a pure-Python mirror of the same recurrence.
+
+    ``with_handles=True`` persists each round's score frame and returns
+    the handles for the caller's materialize-then-free epilogue: every
+    round references its predecessor TWICE (contrib side + carry side),
+    so without the cache the lineage doubles per round — 2^iters copies
+    of the init subtree at runtime (the q68 component-loop lesson,
+    applied to an unrolled loop).  Tests keep the default lazy form so
+    plan assertions can see the joins."""
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    cnt = deg.agg(F.count("*").alias("n_nodes"))
+    handles: list[DataFrame] = []
+
+    def _hold(frame: DataFrame) -> DataFrame:
+        if with_handles:
+            frame = frame.persist()
+            handles.append(frame)
+        return frame
+
+    s = _hold(
+        deg.crossJoin(F.broadcast(cnt)).select(
+            "node",
+            "d",
+            F.expr(f"(15 * ({_PR_SCALE} div n_nodes)) div 100").alias("base"),
+            F.expr(f"{_PR_SCALE} div n_nodes").alias("s"),
+        )
+    )
+    for _ in range(iters):
+        contrib = (
+            adj.join(
+                s.select(
+                    F.col("node").alias("src"), F.expr("s div d").alias("w")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("agg"))
+        )
+        s = _hold(
+            s.select("node", "d", "base")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "d",
+                "base",
+                F.expr(
+                    "base + (85 * coalesce(agg, 0)) div 100"
+                ).alias("s"),
+            )
+        )
+    return (s, handles) if with_handles else s
+
+
+q137_copurchase_pagerank.__doc__ = q137_copurchase_pagerank.__doc__.format(
+    iters=_PR_ITERS
 )

@@ -95,6 +95,10 @@ MATERIALIZED_CONTRACT = {
     "q114_ivf_pq_topk",
     # operator-level shape asserted by test_triangle_joins_are_hash_joins
     "q123_copurchase_triangles",
+    # materializes its top-20 to free the adjacency cache; the per-round
+    # message-passing join shape is asserted on pagerank_quantized
+    # directly (test_round6_ops.py)
+    "q137_copurchase_pagerank",
     # materializes its node-scale driver-checked output to free the star
     # checkpoint; the star loop's join shapes are covered by the graph
     # equivalence/convergence tests

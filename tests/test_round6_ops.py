@@ -313,3 +313,99 @@ def test_pair_contract_catches_quadratic_candidate_blowup(spark):
     r = _contract_row(spark, blowup)
     assert r["clone_recall_ok"] is True
     assert r["candidate_bound_ok"] is False
+
+
+# --------------------------------------------------------------------------
+# q137 — quantized PageRank: pure-Python mirror + structural properties
+# --------------------------------------------------------------------------
+def _py_pagerank(edges, iters=3, scale=1_000_000_000):
+    """Exact Python mirror of pagerank_quantized's integer recurrence:
+    undirected edges → per-node score after `iters` rounds."""
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    n = len(adj)
+    base = (15 * (scale // n)) // 100
+    s = {v: scale // n for v in adj}
+    for _ in range(iters):
+        contrib = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            w = s[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += w
+        s = {v: base + (85 * contrib[v]) // 100 for v in adj}
+    return {v: (len(adj[v]), s[v]) for v in adj}
+
+
+def _spark_pagerank(spark, edges):
+    from hadoop_sync_spark.queries.graph_q import pagerank_quantized
+
+    e0 = spark.createDataFrame(edges, "u long, v long")
+    adj = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    return {
+        r["node"]: (r["d"], r["s"])
+        for r in pagerank_quantized(adj).collect()
+    }
+
+
+def test_pagerank_matches_pure_python_mirror_exactly(spark):
+    """Star-with-tail graph (hub 0 — leaves 1..4, leaf 4 chains to 5):
+    the Spark recurrence must equal the Python mirror BIT-FOR-BIT on
+    every node — same truncating divisions, same order-independent
+    integer sums."""
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (4, 5)]
+    assert _spark_pagerank(spark, edges) == _py_pagerank(edges)
+
+
+def test_pagerank_symmetry_and_hub_dominance(spark):
+    """K4: every node is structurally identical → identical scores.
+    Star: the hub outranks every leaf, and structurally-identical leaves
+    tie exactly."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _spark_pagerank(spark, k4)
+    assert len({sv for _, sv in got.values()}) == 1
+    star = [(0, i) for i in range(1, 6)]
+    got = _spark_pagerank(spark, star)
+    hub = got[0][1]
+    leaf_scores = {got[i][1] for i in range(1, 6)}
+    assert len(leaf_scores) == 1
+    assert hub > leaf_scores.pop()
+
+
+def test_pagerank_iteration_join_is_hash_join(spark):
+    """Each message-passing round must be a hash/shuffle join on src —
+    a nested-loop here would be O(V·E) per round at 100 TB."""
+    from hadoop_sync_spark.queries.graph_q import pagerank_quantized
+
+    e0 = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "u long, v long"
+    )
+    adj = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    plan = (
+        pagerank_quantized(adj)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the lazy (test) form re-instantiates the init's ONE-ROW n_nodes
+    # broadcast attach per unrolled round (q137 itself persists each
+    # round, collapsing these) — every nested-loop node must be that
+    # Cross-typed scalar attach, never a data×data join
+    import re
+
+    bnlj = [
+        l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l
+    ]
+    assert bnlj and all(
+        re.search(r"BuildRight, Cross", l) for l in bnlj
+    ), bnlj
+    # the message joins themselves are shuffle joins on src
+    assert plan.count("SortMergeJoin [src") + plan.count(
+        "ShuffledHashJoin [src"
+    ) >= 3

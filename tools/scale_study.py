@@ -129,6 +129,7 @@ STUDY_QUERIES = [
     "q134_interval_weighted_avg",  # one-exchange window + agg
     "q135_k_anonymity",         # two chained aggregations
     "q136_token_pmi",           # vocab-capped doc-keyed pair expansion
+    "q137_copurchase_pagerank",  # per-round message join + agg, cached rounds
 ]
 
 
