@@ -689,3 +689,128 @@ def test_integer_division_parity_including_negatives(spark):
     }
     assert got == want  # identical everywhere, negatives included
     assert got[-7] == -3  # both truncate toward zero (no floor surprise)
+
+
+def test_chunk_slice_idiom_parity(frames):
+    """q133's chunking rests on THREE paired idioms beyond the shared
+    tokenizer: Spark `sequence(0, n-1, stride)` ↔ DuckDB
+    `generate_series(0, n-1, stride)` (both inclusive-stop, both empty
+    for n=0), Spark `slice(arr, start+1, W)` ↔ DuckDB `arr[start+1 :
+    start+W]` (1-based, end-inclusive, silently clipped), and the
+    md5-of-joined-window signature.  The adversarial corpus hits the
+    shapes the fixtures can't: empty strings (whose token list is [''],
+    size 1), all-whitespace docs, and token counts straddling every
+    stride/width boundary."""
+    from hadoop_sync_spark.queries.pipeline_q import _CHUNK_S, _CHUNK_W
+
+    sdf, con = frames
+    toks = tokens(normalize(F.col("text")))
+    chunks = sdf.select(
+        "doc_id", toks.alias("tok")
+    ).select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tok") - 1, F.lit(_CHUNK_S))
+        ).alias("s"),
+    )
+    win = F.slice("tok", F.col("s") + 1, _CHUNK_W)
+    got = _rows(
+        chunks.select(
+            "doc_id",
+            F.col("s").cast("long"),
+            F.size(win).cast("long"),
+            F.md5(F.array_join(win, " ")),
+        )
+    )
+    want = _sql(
+        con,
+        f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_NORM_TOKENS} AS tok FROM documents
+        ), starts AS (
+            SELECT doc_id, tok,
+                   unnest(generate_series(0, len(tok) - 1, {_CHUNK_S})) AS s
+            FROM tok
+        )
+        SELECT doc_id, CAST(s AS BIGINT),
+               CAST(len(tok[s + 1 : s + {_CHUNK_W}]) AS BIGINT),
+               md5(array_to_string(tok[s + 1 : s + {_CHUNK_W}], ' '))
+        FROM starts
+        """,
+    )
+    assert got == want
+
+
+def test_chunk_slice_idiom_parity_at_stride_boundaries(spark):
+    """The shared fuzz corpus tops out around 60 characters — a dozen
+    tokens, one chunk — so it never exercises a second chunk.  This frame
+    pins every token count around the stride/width boundaries (stride±1,
+    width±1, 2·stride±1, …): the exact places where inclusive-stop
+    generate_series or end-inclusive list slicing could diverge from
+    Spark's sequence/slice by one chunk or one token."""
+    from hadoop_sync_spark.queries.pipeline_q import _CHUNK_S, _CHUNK_W
+
+    counts = sorted(
+        {1, 2}
+        | {max(1, b + d) for b in (
+            _CHUNK_S, _CHUNK_W, 2 * _CHUNK_S, _CHUNK_S + _CHUNK_W,
+            3 * _CHUNK_S, 2 * _CHUNK_W,
+        ) for d in (-1, 0, 1)}
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(counts)),
+            "text": [" ".join(f"w{i}" for i in range(n)) for n in counts],
+        }
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    sdf = spark.createDataFrame(pdf, schema)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    toks = tokens(normalize(F.col("text")))
+    chunks = sdf.select("doc_id", toks.alias("tok")).select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tok") - 1, F.lit(_CHUNK_S))
+        ).alias("s"),
+    )
+    win = F.slice("tok", F.col("s") + 1, _CHUNK_W)
+    got = _rows(
+        chunks.select(
+            "doc_id",
+            F.col("s").cast("long"),
+            F.size(win).cast("long"),
+            F.md5(F.array_join(win, " ")),
+        )
+    )
+    want = _sql(
+        con,
+        f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_NORM_TOKENS} AS tok FROM documents
+        ), starts AS (
+            SELECT doc_id, tok,
+                   unnest(generate_series(0, len(tok) - 1, {_CHUNK_S})) AS s
+            FROM tok
+        )
+        SELECT doc_id, CAST(s AS BIGINT),
+               CAST(len(tok[s + 1 : s + {_CHUNK_W}]) AS BIGINT),
+               md5(array_to_string(tok[s + 1 : s + {_CHUNK_W}], ' '))
+        FROM starts
+        """,
+    )
+    assert got == want
+    # sanity on the crafted shape itself: the 91-token doc (3·stride+1)
+    # must produce 4 chunks
+    n_91 = [n for n in counts if n == 3 * _CHUNK_S + 1]
+    if n_91:
+        per_doc = {}
+        for d, s, ln, _h in got:
+            per_doc.setdefault(d, 0)
+            per_doc[d] += 1
+        assert per_doc[counts.index(91)] == 4
