@@ -409,3 +409,23 @@ def test_pagerank_iteration_join_is_hash_join(spark):
     assert plan.count("SortMergeJoin [src") + plan.count(
         "ShuffledHashJoin [src"
     ) >= 3
+
+
+def test_pagerank_matches_python_mirror_on_random_graph(spark):
+    """200-node seeded random graph (~600 edges, hubs and isolates-free):
+    bit-equality against the Python mirror on a shape large enough that
+    truncation drift, join duplication, or aggregation-order effects
+    would show if any existed."""
+    import random
+
+    rng = random.Random(99)
+    edges = sorted(
+        {
+            (min(u, v), max(u, v))
+            for u, v in (
+                (rng.randrange(200), rng.randrange(200)) for _ in range(700)
+            )
+            if u != v
+        }
+    )
+    assert _spark_pagerank(spark, edges) == _py_pagerank(edges)
