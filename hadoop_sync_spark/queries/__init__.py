@@ -83,77 +83,76 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # ---- ROUND-6 WINDOW ----
-    # The driver recorded no CORRECTNESS_r4.json (skipped round), so the
-    # rotation backlog (37 r2-green + 45 r3-green = 82 stale) exceeds the
-    # 50-slot window for the first time.  Recovery plan (WINDOW.md): this
-    # round drains the stalest cohort completely; round 7 takes the rest.
-    # (3) the full r2-green cohort — last green THREE recorded rounds ago,
-    # the ledger's oldest backlog; every one is mandatory before anything
-    # fresher
-    "q26_conditional_agg",
-    "q32_approx_distinct",
-    "q46_json_map_explode",
-    "q47_streaming_tumbling_window",
-    "q48_approx_percentiles",
-    "q49_attribution_join",
-    "q50_token_stats",
-    "q52_lang_profile",
-    "q53_quality_scores",
-    "q54_lang_id_heuristic",
-    "q57_bpe_pretokens",
-    "q58_rolling_hash_fp",
-    "q60_exact_dedup",
-    "q61_token_set_dedup",
-    "q62_jaccard_pairs",
-    "q65_embedding_dup_pairs",
-    "q70_cosine_topk",
-    "q71_ivf_topk",
-    "q73_stratified_sample",
-    "q74_train_val_test_split",
-    "q76_udtf_sentences",
-    "q77_ngram_stats",
-    "q78_corpus_mix",
-    "q79_sequence_packing",
-    "q80_minmax_stats",
-    "q86_pii_redaction",
-    "q87_contamination_screen",
-    "q88_token_budget_sample",
-    "q89_corpus_merge",
-    "q90_media_features",
-    "q93_unpivot_metrics",
-    "q94_regression_stats",
-    "q97_table_fingerprint_diff",
-    "q98_heavy_hitters",
-    "q101_time_travel",
-    "q103_zorder_box_query",
-    "q104_format_roundtrip",
-    # (2) changed in round 5 WITHOUT re-windowing (the round-5 process
-    # gap flagged by ADVICE): both gained the contract-persist
-    # optimization; q64 additionally gained an eager cache materialization
-    # this round
-    "q64_simhash_signatures",
-    "q66_simhash_pairs",
-    # (2) changed in round 6: the folded three-job _pair_contract (q66
-    # above shares it) — q63 swaps in for q110 (dedup family carried
-    # in-window by q60/q61/q62; q110 joins the round-7 set)
+    # ---- ROUND-7 WINDOW ----
+    # Round 6 drained the r2-green cohort; the remaining backlog is the
+    # 37-query r3-green cohort (last green three recorded rounds ago) —
+    # the ledger's strict branch applies again (37 <= 50) and windows all
+    # of them mandatorily.  Plan in WINDOW.md round-7 section.
+    # (3) the full r3-green cohort — the relational core plus the r3
+    # singles deferred from round 6
+    "q01_pricing_summary",
+    "q02_filter_predicates",
+    "q03_top_unshipped_orders",
+    "q07_customers_without_orders",
+    "q08_late_shipments",
+    "q09_distinct_counts",
+    "q12_top_orders_per_customer",
+    "q17_scalar_functions",
+    "q20_brand_stats_having",
+    "q21_regional_revenue",
+    "q22_explode_embedding_prefix",
+    "q23_grouping_sets",
+    "q25_minby_maxby",
+    "q27_string_agg",
+    "q28_window_navigation",
+    "q29_outer_joins",
+    "q30_event_range_join",
+    "q31_asof_join",
+    "q38_exists_subquery",
+    "q51_fingerprint_groups",
+    "q55_tfidf",
+    "q56_top_terms_per_lang",
+    "q59_repetition_signals",
+    "q67_chargram_jaccard_pairs",
+    "q72_rp_lsh_topk",
+    "q91_image_resize",
+    "q92_frame_sample",
+    "q96_dup_profile",
+    "q100_column_profile",
+    "q107_weighted_priority_sample",
+    "q109_fingerprint_drilldown",
+    "q110_span_dedup",
+    "q111_pq_topk",
+    "q114_ivf_pq_topk",
+    "q115_per_source_quality_gate",
+    "q116_eval_per_lang",
+    "q118_split_leakage",
+    # (2) changed in round 6 without re-windowing (ADVICE rule-2 gap):
+    # q68's eligible anti-join gained an F.broadcast hint when
+    # _shingle_eligible was inlined — a physical-plan change; its rule-3
+    # deadline was round 8 anyway, so it slots in now
+    "q68_dup_components",
+    # (2) changed in round 7: _pair_contract gains the capped-pair
+    # masking guard (ADVICE falsifiability item — a spuriously emitted
+    # capped pair can no longer offset a missing uncapped pair in the
+    # recall count); both its users re-window
     "q63_minhash_lsh_pairs",
-    # (3) r3-green single-row queries with no family sibling elsewhere in
-    # this window — the stalest tail that fits after the r2 cohort; the
-    # remaining r3 cohort is the mandatory round-7 set
-    "q99_incremental_dedup",
-    "q105_misra_gries",
-    "q108_edit_distance_pairs",
-    "q112_quality_constraints",
-    "q113_shard_shuffle",
-    # (1) brand-new round-6 queries — never checked; q137 displaces
-    # q118 (split-leakage family rides q116's eval-sampling neighbor in
-    # the r3 cohort; q118 joins the round-7 set)
-    "q133_doc_chunks",
-    "q134_interval_weighted_avg",
-    "q135_k_anonymity",
-    "q136_token_pmi",
+    "q66_simhash_pairs",
+    # (2) changed in round 7: q137's per-round persist cadence trimmed
+    # (VERDICT perf item 5)
     "q137_copurchase_pagerank",
+    # (3) remaining slots: oldest-green r5 rows, pre-draining the
+    # round-8 mandatory set; displaced one-for-one by any brand-new
+    # round-7 queries (rule 1)
+    "q04_supplier_by_region",
+    "q05_order_count_distribution",
+    "q06_customers_with_open_orders",
+    "q10_rollup_orders",
+    "q11_cube_lineitem",
+    "q13_event_gaps",
+    "q14_running_customer_spend",
+    "q15_nation_set_ops",
+    "q16_distinct_segments",
 )
 
 

@@ -344,7 +344,13 @@ def _pair_contract(
       the old anti-join against ``capped``: a capped id's pair cannot be
       emitted by construction (every bucket that contained it was
       dropped), so flagging it in `expected` can never inflate `_found` —
-      the recall equation subtracts the capped-eligible count instead;
+      the recall equation subtracts the capped-eligible count instead.
+      That by-construction invariant is no longer assumed silently: the
+      same pair job also counts flagged pairs whose original-side id is
+      capped (``_found_capped``) and the recall verdict requires it to be
+      zero, so a future cap-semantics change (whole-bucket drop →
+      per-member trimming) that starts emitting capped pairs trips the
+      contract instead of masking a missing uncapped pair;
     - the capped∩eligible adjustment is a broadcast semi-join of the tiny
       capped residue against the cached original (empirically ~0 rows —
       a corpus where a large fraction of docs lose EVERY bucket to the
@@ -378,12 +384,33 @@ def _pair_contract(
         (F.col(id_col) + _CLONE_OFFSET).alias(b_col),
         F.lit(1).alias("_flag"),
     )
-    pair_stats = (
-        pairs.join(F.broadcast(expected), [a_col, b_col], "left")
-        .agg(
-            F.count("*").alias("_np"),
-            F.count("_flag").alias("_found"),
+    # masking guard (round-7 ADVICE): the recall equation below checks
+    # COUNT equality (_found == _ne_pre - _ncap), so a spuriously emitted
+    # capped pair would numerically offset a MISSING uncapped pair and
+    # read green.  By construction a capped id's pair cannot be emitted
+    # (every bucket containing it was dropped) — enforce that invariant
+    # explicitly: count flagged pairs whose original-side id is capped,
+    # and require zero.  One extra broadcast hash join inside the same
+    # pair-aggregation job; no new Spark job.
+    flagged = pairs.join(F.broadcast(expected), [a_col, b_col], "left")
+    if capped is not None:
+        cap_marked = capped.select(
+            F.col(capped_id_col).alias(a_col), F.lit(1).alias("_cap")
         )
+        flagged = flagged.join(F.broadcast(cap_marked), [a_col], "left")
+    else:
+        flagged = flagged.withColumn("_cap", F.lit(None).cast("int"))
+    pair_stats = flagged.agg(
+        F.count("*").alias("_np"),
+        F.count("_flag").alias("_found"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("_flag").isNotNull() & F.col("_cap").isNotNull()
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("_found_capped"),
     )
     if capped is None:
         n_capped = original.sparkSession.range(1).select(
@@ -407,7 +434,8 @@ def _pair_contract(
         .select(
             "n_planted",
             (
-                F.col("_found") == F.col("_ne_pre") - F.col("_ncap")
+                (F.col("_found") == F.col("_ne_pre") - F.col("_ncap"))
+                & (F.col("_found_capped") == 0)
             ).alias("clone_recall_ok"),
             (
                 F.col("_np")

@@ -694,8 +694,12 @@ def test_integer_division_parity_including_negatives(spark):
 def test_chunk_slice_idiom_parity(frames):
     """q133's chunking rests on THREE paired idioms beyond the shared
     tokenizer: Spark `sequence(0, n-1, stride)` ↔ DuckDB
-    `generate_series(0, n-1, stride)` (both inclusive-stop, both empty
-    for n=0), Spark `slice(arr, start+1, W)` ↔ DuckDB `arr[start+1 :
+    `generate_series(0, n-1, stride)` (both inclusive-stop; the n=0
+    case CANNOT occur — Spark's sequence(0, -1, stride) with a positive
+    stride actually RAISES rather than returning empty, but tokens()
+    never yields a size-0 array because even empty text splits to ['']
+    — do not rely on an n=0 both-empty equivalence), Spark
+    `slice(arr, start+1, W)` ↔ DuckDB `arr[start+1 :
     start+W]` (1-based, end-inclusive, silently clipped), and the
     md5-of-joined-window signature.  The adversarial corpus hits the
     shapes the fixtures can't: empty strings (whose token list is [''],

@@ -302,6 +302,25 @@ def test_pair_contract_capped_id_excuses_only_its_own_pair(spark):
     ] is False
 
 
+def test_pair_contract_capped_pair_cannot_mask_missing_uncapped(spark):
+    """The masking scenario from the round-6 ADVICE: id 100 is capped,
+    its pair is (impossibly) emitted anyway, and the UNCAPPED pair for
+    id 0 is withheld.  _found would read 3-1=2 == _ne_pre - _ncap under
+    count-only algebra — the _found_capped guard must flip the verdict
+    to False instead of letting the offsets cancel."""
+    from hadoop_sync_spark.queries.dedup import _CLONE_OFFSET
+
+    masked = [(p, p + _CLONE_OFFSET) for p in (50, 100)]  # 0 withheld
+    r = _contract_row(spark, masked, capped_ids=[100])
+    assert r["clone_recall_ok"] is False
+    # control: same capped declaration with honest emission (capped pair
+    # absent, both uncapped pairs present) still passes
+    honest = [(p, p + _CLONE_OFFSET) for p in (0, 50)]
+    assert _contract_row(spark, honest, capped_ids=[100])[
+        "clone_recall_ok"
+    ] is True
+
+
 def test_pair_contract_catches_quadratic_candidate_blowup(spark):
     """A pair output larger than max_pairs_per_row × corpus must flip
     candidate_bound_ok — with n_docs=150 (+3 clones) the bound is
