@@ -334,7 +334,10 @@ def _pair_contract(
     as a recall bug.  ``n_planted`` stays the oracle-pinned full planted
     count.
 
-    Three jobs total (folded from five in round 6):
+    ONE job total beyond the caller's eager cache materialization (five
+    jobs in round 5, three in round 6, one in round 7 — the two broadcast
+    one-row aggregates became unionByName branches of the final collect's
+    max-fold, so their per-job overhead disappeared):
 
     - ONE aggregation over the cached original frame yields the corpus /
       planted / pre-cap-eligible counts AND the id-disjointness min/max
@@ -428,9 +431,42 @@ def _pair_contract(
             )
             .agg(F.count("*").alias("_ncap"))
         )
+    # single-job assembly (round 7): the old epilogue cross-joined the two
+    # one-row aggregates into `scalars` via F.broadcast — each broadcast
+    # materializes as its OWN eager Spark job before the final collect,
+    # three jobs of pure per-job overhead on warm caches (same-boot A/B:
+    # ~0.7 s of the q63 wall clock).  Union-folding the three one-row
+    # aggregates keeps every branch inside the single collect job: each
+    # branch pads the shared scalar schema with typed NULLs and a
+    # null-skipping max() reassembles the row.  Emitted row is identical.
+    _cols = {
+        "_no": "long",
+        "n_planted": "long",
+        "_ne_pre": "long",
+        "_ids_ok": "boolean",
+        "_np": "long",
+        "_found": "long",
+        "_found_capped": "long",
+        "_ncap": "long",
+    }
+
+    def _pad(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast(t).alias(c)
+                for c, t in _cols.items()
+            ]
+        )
+
+    folded = (
+        _pad(scalars)
+        .unionByName(_pad(pair_stats))
+        .unionByName(_pad(n_capped))
+        .agg(*[F.max(c).alias(c) for c in _cols])
+    )
     assembled = (
-        scalars.crossJoin(F.broadcast(pair_stats))
-        .crossJoin(F.broadcast(n_capped))
+        folded
         .select(
             "n_planted",
             (
