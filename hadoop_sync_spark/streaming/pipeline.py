@@ -379,13 +379,15 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     state is two longs — horizonless running aggregates stay O(distinct
     users), not O(events).
 
-    Environment gate (like the compressed-codec seam in multimodal.py):
-    the transformWithState state-server protocol speaks protobuf, and
-    this container ships no `google.protobuf` — the operator is built
-    and its cross-micro-batch contract is tested wherever protobuf
-    exists (tests/test_streaming.py skips with the reason otherwise);
-    the applyInPandasWithState path (sessionized_with_state) carries
-    the custom-stateful coverage in this container."""
+    Dependency note: the transformWithState state-server protocol
+    speaks protobuf in both the driver and every Python worker.  Where
+    no `protobuf` wheel exists,
+    :mod:`hadoop_sync_spark.compat.protobuf_shim` routes
+    `google.protobuf` to a vendored pure-Python runtime (activated by
+    tests/conftest.py before the JVM starts, so workers inherit it via
+    PYTHONPATH) — the cross-micro-batch contract test in
+    tests/test_streaming.py runs for real in this container, RocksDB
+    state store included."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -13,8 +13,15 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from hadoop_sync_spark.compat.protobuf_shim import ensure_protobuf
 from hadoop_sync_spark.io import TABLES, table_path
 from hadoop_sync_spark.session import get_spark
+
+# must run at import time, BEFORE any SparkSession exists: local-mode
+# Python workers inherit PYTHONPATH from the driver JVM's environment,
+# so the google.protobuf shim (transformWithStateInPandas's state-server
+# protocol) has to be on PYTHONPATH before the JVM starts
+ensure_protobuf()
 
 #: correctness SF; override with SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")

@@ -294,31 +294,48 @@ def test_foreach_batch_sink_is_exactly_once(spark, events_dir, tmp_path):
 
 
 def _protobuf_available() -> bool:
-    """transformWithState's state-server protocol needs google.protobuf;
-    this container ships none (environment gate, like the compressed
-    codecs in multimodal.py — re-check each round)."""
+    """transformWithState's state-server protocol needs google.protobuf.
+    This container ships no protobuf wheel, but conftest.py activates the
+    Cloud-SDK-vendored pure-Python runtime through
+    hadoop_sync_spark.compat.protobuf_shim before the JVM starts — a
+    round-trip through PySpark's own generated StateMessage proto is the
+    availability probe (it exercises descriptor build + serialize +
+    parse, everything the state server needs from the runtime)."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.proto import StateMessage_pb2 as M
 
+        req = M.StateRequest()
+        M.StateRequest.FromString(req.SerializeToString())
         return True
-    except ImportError:
+    except Exception:
         return False
 
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="google.protobuf absent: transformWithState state server "
-    "cannot start in this container (environment gate)",
+    reason="google.protobuf absent (and no Cloud-SDK-vendored runtime to "
+    "shim): transformWithState state server cannot start",
 )
 def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
     """The transformWithStateInPandas running totals must, at end of
     input, equal the batch per-user count and exact cent-scaled sum —
     and must carry state ACROSS micro-batches: a second file delivered
     through the same checkpoint continues the running totals instead of
-    restarting them.  Requires the RocksDB state store provider (set in
-    tests/conftest.py? no — per-query: transformWithState refuses the
-    HDFS-backed provider) and google.protobuf (see the skipif)."""
-    from hadoop_sync_spark.streaming.pipeline import running_user_totals
+    restarting them.  Requires the RocksDB state store provider
+    (per-query conf: transformWithState refuses the HDFS-backed
+    provider) and google.protobuf (see the skipif).
+
+    Sink choice: foreachBatch-to-parquet, NOT the memory sink — a
+    memory-sink query refuses to RESTART from an existing checkpoint
+    ("does not support recovering from checkpoint location"), and the
+    restart is exactly what this test exercises.  Each drain appends
+    batch_id-partitioned updates; the latest batch_id per user is that
+    user's current running total (update mode emits one row per touched
+    key per batch)."""
+    from hadoop_sync_spark.streaming.pipeline import (
+        foreach_batch_parquet_sink,
+        running_user_totals,
+    )
 
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -326,10 +343,20 @@ def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
         "RocksDBStateStoreProvider",
     )
     try:
-        name = _qname("tws")
         ckpt = str(tmp_path / "ckpt")
-        stream = running_user_totals(stream_events(spark, events_dir))
-        got = run_available_now(stream, ckpt, name, output_mode="update")
+        out = str(tmp_path / "out")
+
+        def drain_totals():
+            foreach_batch_parquet_sink(
+                running_user_totals(stream_events(spark, events_dir)),
+                out,
+                ckpt,
+            )
+            pdf = spark.read.parquet(out).toPandas()
+            return (
+                pdf.sort_values("batch_id")
+                .drop_duplicates("user_id", keep="last")
+            )
 
         batch = (
             load_table(spark, SF_DIR, "events")
@@ -341,23 +368,21 @@ def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
                 ),
             )
         )
-        # update-mode memory sink may carry one row per key per batch;
-        # the LAST row per key is the running total
-        gp = got.toPandas().drop_duplicates("user_id", keep="last")
         bp = batch.toPandas()
+
+        gp = drain_totals()
         m = gp.merge(bp, on="user_id", suffixes=("_s", "_b"))
         assert len(m) == len(bp)
         assert (m.event_cnt_s == m.event_cnt_b).all()
         assert (m.value_cents_s == m.value_cents_b).all()
 
-        # second delivery: append a copy of the events file; totals double
+        # second delivery: append a copy of the events file; the SAME
+        # checkpoint must continue (not restart) the totals — doubling
         shutil.copy(
             table_path(SF_DIR, "events"),
             events_dir + "/part-001.parquet",
         )
-        name2 = _qname("tws")
-        got2 = run_available_now(stream, ckpt, name2, output_mode="update")
-        gp2 = got2.toPandas().drop_duplicates("user_id", keep="last")
+        gp2 = drain_totals()
         m2 = gp2.merge(bp, on="user_id", suffixes=("_s", "_b"))
         assert len(m2) == len(bp)
         assert (m2.event_cnt_s == 2 * m2.event_cnt_b).all()
