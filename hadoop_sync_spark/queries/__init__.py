@@ -141,9 +141,12 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # (2) changed in round 7: q137's per-round persist cadence trimmed
     # (VERDICT perf item 5)
     "q137_copurchase_pagerank",
+    # (1) brand-new round-7 queries — never checked, mandatory; each
+    # displaces one r5-green placeholder below (family-carry notes in
+    # WINDOW.md)
+    "q138_delta_log_reader",
     # (3) remaining slots: oldest-green r5 rows, pre-draining the
-    # round-8 mandatory set; displaced one-for-one by any brand-new
-    # round-7 queries (rule 1)
+    # round-8 mandatory set
     "q04_supplier_by_region",
     "q05_order_count_distribution",
     "q06_customers_with_open_orders",
@@ -152,7 +155,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q13_event_gaps",
     "q14_running_customer_spend",
     "q15_nation_set_ops",
-    "q16_distinct_segments",
 )
 
 
@@ -188,6 +190,7 @@ def load_all() -> dict[str, Query]:
             multimodal_q,
             temporal,
             graph_q,
+            lakehouse_q,
         )
 
         _LOADED = True

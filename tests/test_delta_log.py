@@ -1,0 +1,153 @@
+"""Delta transaction-log reader: replay semantics, checkpoint
+equivalence, partitioned reads, and the honest protocol seam (see
+hadoop_sync_spark/delta_log.py; format per the public Delta
+PROTOCOL.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from hadoop_sync_spark.delta_log import DeltaLog
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _meta(partition_cols=()):
+    return {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": list(partition_cols),
+            "configuration": {},
+        }
+    }
+
+
+def _write_file(table_dir, rel, rows):
+    path = os.path.join(table_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pd.DataFrame(rows).to_parquet(path)
+
+
+def _mk_table(tmp_path, name="t"):
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    return d, DeltaLog(d)
+
+
+def test_replay_add_remove_last_writer_wins(tmp_path):
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.commit(1, [log.add_action_for("b.parquet")])
+    log.commit(2, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    # re-add after remove: last writer wins again
+    log.commit(3, [log.add_action_for("a.parquet")])
+
+    assert log.snapshot(0).files == ["a.parquet"]
+    assert log.snapshot(1).files == ["a.parquet", "b.parquet"]
+    assert log.snapshot(2).files == ["b.parquet"]
+    assert log.snapshot(3).files == ["a.parquet", "b.parquet"]
+    assert log.latest_version() == 3
+    assert log.snapshot().version == 3
+
+
+def test_spark_read_pins_logged_schema_and_rows(spark, tmp_path):
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    _write_file(d, "b.parquet", {"k": [3], "v": [30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet"),
+                   log.add_action_for("b.parquet")])
+    log.commit(1, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    df = log.read(spark)
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    assert [tuple(r) for r in df.collect()] == [(3, 30)]
+    # time travel to v0 sees both files
+    assert log.read(spark, 0).count() == 3
+
+
+def test_checkpoint_seeded_replay_equals_pure_json(spark, tmp_path):
+    d, log = _mk_table(tmp_path)
+    for i in range(4):
+        _write_file(d, f"f{i}.parquet", {"k": [i], "v": [i * 10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("f0.parquet")])
+    log.commit(1, [log.add_action_for("f1.parquet"),
+                   {"remove": {"path": "f0.parquet", "dataChange": True}}])
+    log.commit(2, [log.add_action_for("f2.parquet")])
+    # snapshot BEFORE the checkpoint exists = pure JSON replay
+    pure = log.snapshot(2)
+    log.write_checkpoint(2)
+    log.commit(3, [log.add_action_for("f3.parquet")])
+    seeded = log.snapshot(3)
+    # checkpoint covers <=2; tail replay adds f3
+    assert seeded.files == sorted([*pure.files, "f3.parquet"])
+    assert seeded.schema_json == pure.schema_json
+    # and a fresh snapshot at exactly the checkpoint version agrees with
+    # the pure replay bit-for-bit
+    assert log.snapshot(2).live.keys() == pure.live.keys()
+    # Spark read through the seeded path
+    assert sorted(r.k for r in log.read(spark).collect()) == [1, 2, 3]
+
+
+def test_partitioned_read_attaches_partition_column(spark, tmp_path):
+    d, log = _mk_table(tmp_path)
+    # partition column p lives only in the directory layout
+    _write_file(d, "p=0/a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "p=1/b.parquet", {"k": [2], "v": [20]})
+    log.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1}},
+            _meta(partition_cols=("p",)),
+            log.add_action_for("p=0/a.parquet",
+                               partitionValues={"p": "0"}),
+            log.add_action_for("p=1/b.parquet",
+                               partitionValues={"p": "1"}),
+        ],
+    )
+    df = log.read(spark)
+    assert "p" in df.columns
+    got = {(r.k, r.p) for r in df.collect()}
+    assert got == {(1, 0), (2, 1)}
+
+
+def test_protocol_v2_reader_features_refuse(tmp_path):
+    d, log = _mk_table(tmp_path)
+    log.commit(0, [{"protocol": {"minReaderVersion": 3,
+                                 "readerFeatures": ["deletionVectors"]}},
+                   _meta()])
+    with pytest.raises(NotImplementedError, match="minReaderVersion"):
+        log.snapshot()
+
+
+def test_commit_put_if_absent(tmp_path):
+    d, log = _mk_table(tmp_path)
+    log.commit(0, [_meta()])
+    with pytest.raises(FileExistsError):
+        log.commit(0, [_meta()])
+
+
+def test_missing_intermediate_commit_raises(tmp_path):
+    d, log = _mk_table(tmp_path)
+    log.commit(0, [_meta()])
+    log.commit(1, [])
+    os.remove(os.path.join(d, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(FileNotFoundError):
+        log.snapshot(1)
