@@ -145,6 +145,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # displaces one r5-green placeholder below (family-carry notes in
     # WINDOW.md)
     "q138_delta_log_reader",
+    "q139_bm25_topk",
+    "q140_cogroup_asof_align",
+    "q141_ngram_novelty",
     # (3) remaining slots: oldest-green r5 rows, pre-draining the
     # round-8 mandatory set
     "q04_supplier_by_region",
@@ -152,9 +155,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q06_customers_with_open_orders",
     "q10_rollup_orders",
     "q11_cube_lineitem",
-    "q13_event_gaps",
-    "q14_running_customer_spend",
-    "q15_nation_set_ops",
 )
 
 
@@ -191,6 +191,7 @@ def load_all() -> dict[str, Query]:
             temporal,
             graph_q,
             lakehouse_q,
+            retrieval_q,
         )
 
         _LOADED = True

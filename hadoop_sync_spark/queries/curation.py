@@ -1509,3 +1509,97 @@ def q135_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows_suppressed"),
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — n-gram novelty vs a reference split (memorization-risk profile)
+# --------------------------------------------------------------------------
+@register(
+    "q141_ngram_novelty",
+    oracle=f"""
+    WITH tokd AS (
+        SELECT doc_id, source, {_SQL_NORM_TOKENS} AS tok FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(0, greatest(len(tok) - 3, 0)),
+                   i -> array_to_string(tok[i+1 : i+3], ' '))) AS sh
+        FROM tokd
+    ), ref AS (
+        SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 < 3
+    ), probe AS (
+        SELECT doc_id, source, unnest(sh) AS s FROM sh
+        WHERE doc_id % 10 >= 3
+    ), per_doc AS (
+        SELECT p.doc_id, p.source,
+               COUNT(*) AS n_sh,
+               SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        FROM probe p LEFT JOIN ref r ON p.s = r.s
+        GROUP BY p.doc_id, p.source
+    ), cov AS (
+        SELECT source, (1000000 * matched) // n_sh AS cov_ppm FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cov_ppm) AS BIGINT) AS sum_cov_ppm,
+           CAST(MAX(cov_ppm) AS BIGINT) AS max_cov_ppm,
+           CAST(MIN(cov_ppm) AS BIGINT) AS min_cov_ppm
+    FROM cov GROUP BY source
+    """,
+    tags=("curation", "ngram", "novelty", "contamination"),
+)
+def q141_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram coverage of every probe document against the reference
+    split's shingle inventory (doc_id % 10 < 3 = reference, the rest
+    probe) — the memorization/novelty profile a training-data pipeline
+    runs before mixing a new source into a corpus that already contains
+    its possible ancestors.  Complements q87 (exact substring
+    contamination screen): q87 answers "does an eval string appear
+    verbatim"; this scores HOW MUCH of each document is recombined
+    reference material, per source, in exact integer ppm
+    (``cov_ppm = 1e6·matched div n_shingles``, truncating — the
+    engine's quantized-ratio idiom).
+
+    Scale: the probe→ref membership check joins on the shingle string
+    with NO forced broadcast hint — at fixture scale AQE broadcasts the
+    small reference inventory, while at 100 TB (reference = hundreds of
+    GB of distinct shingles) the planner keeps the hash-shuffle join;
+    both are correct and the choice stays size-adaptive.  Everything
+    else is two explode+aggregate passes; per-doc then per-source
+    rollups are map-side-combined.  No driver-side state at all."""
+    from hadoop_sync_spark.functions.text import shingles_of_tokens
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(normalize(F.col("text"))).alias("tok")
+    )
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh"),
+    )
+    ref = (
+        sh.filter(F.col("doc_id") % 10 < 3)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = sh.filter(F.col("doc_id") % 10 >= 3).select(
+        "doc_id", "source", F.explode("sh").alias("s")
+    )
+    per_doc = (
+        probe.join(ref, "s", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("matched"),
+        )
+    )
+    cov = per_doc.select(
+        "source", F.expr("(1000000 * matched) div n_sh").alias("cov_ppm")
+    )
+    return cov.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("cov_ppm").cast("long").alias("sum_cov_ppm"),
+        F.max("cov_ppm").cast("long").alias("max_cov_ppm"),
+        F.min("cov_ppm").cast("long").alias("min_cov_ppm"),
+    )

@@ -473,3 +473,106 @@ def q75_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w).alias("locf_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — cogrouped-map as-of alignment (cogroup().applyInPandas)
+# --------------------------------------------------------------------------
+@register(
+    "q140_cogroup_asof_align",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts FROM events
+        WHERE event_type = 'click'
+    ), j AS (
+        SELECT p.user_id, p.event_id, c.click_id,
+               CASE WHEN c.click_ts IS NULL THEN NULL
+                    ELSE epoch_us(p.ts) - epoch_us(c.click_ts) END AS gap_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.user_id, p.event_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC
+               ) AS rn
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.click_ts <= p.ts
+    )
+    SELECT user_id, event_id, click_id, CAST(gap_us AS BIGINT) AS gap_us
+    FROM j WHERE rn = 1
+    """,
+    tags=("events", "cogroup", "applyInPandas", "asof"),
+)
+def q140_cogroup_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of alignment through the COGROUPED-map Python extension point
+    (``groupBy().cogroup().applyInPandas`` — the one pandas-API face the
+    UDF family didn't yet exercise; q45 covers grouped-map, q76 the
+    UDTF): for every purchase event, the user's latest click at or
+    before the purchase, emitted as (click_id, exact microsecond gap).
+    Purchases with no preceding click survive with NULLs — the
+    left-as-of contract, same semantics as the builtin-composed q31 but
+    computed per-user in pandas ``merge_asof``, the shape custom
+    session/attribution logic takes when it outgrows SQL.
+
+    Exactness: ties on click_ts break toward the larger click_id — the
+    clicks frame is sorted by (click_ts, click_id) and merge_asof
+    backward takes the LAST equal-key row, mirroring the oracle's
+    ``ORDER BY click_ts DESC, click_id DESC`` pick.  Gaps are integer
+    microseconds (pandas datetime64[ns] // 1000 vs epoch_us), exact in
+    both engines.
+
+    Scale: cogroup shuffles each side ONCE on user_id and streams
+    matched group pairs through Arrow — per-group memory is one user's
+    events, never the corpus; merge_asof inside the group is
+    O(n log n) local work.  No driver-side anything."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return cogroup_asof_align(purchases, clicks)
+
+
+def cogroup_asof_align(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """The cogrouped as-of kernel behind q140, factored so behavioral
+    tests can feed crafted (user_id, event_id, ts) / (user_id, click_id,
+    click_ts) frames and pin the tie/NULL semantics directly."""
+    import pandas as pd
+
+    def align(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "click_id", "gap_us"]
+            )
+        p = p.sort_values(["ts", "event_id"])
+        c = c.sort_values(["click_ts", "click_id"])
+        m = pd.merge_asof(
+            p, c.drop(columns=["user_id"]),
+            left_on="ts", right_on="click_ts", direction="backward",
+        )
+        # datetime64 subtraction is integer nanoseconds; floor-dividing
+        # the timedelta by 1us stays integral (NaT rows surface as NA)
+        gap_us = (m["ts"] - m["click_ts"]) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "event_id": m["event_id"],
+                "click_id": m["click_id"].astype("Int64"),
+                "gap_us": gap_us.astype("Int64"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            "user_id bigint, event_id bigint, click_id bigint, gap_us bigint",
+        )
+    )

@@ -169,7 +169,26 @@ def q138_delta_log_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(latest).cast("long").alias("latest_version"),
         F.lit(len(snap.files)).cast("long").alias("n_live_files_latest"),
     )
+    # one-row assembly via the union/max-fold idiom (same as the round-7
+    # pair-contract epilogue): one job, no bounded-cross nested loops
+    cols = (
+        "latest_version", "n_live_files_latest",
+        "cnt_latest", "cents_latest", "cnt_v1", "cents_v1",
+    )
+
+    def _pad(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast("long").alias(c)
+                for c in cols
+            ]
+        )
+
     return (
-        meta.crossJoin(F.broadcast(agg_of(None, "cnt_latest", "cents_latest")))
-        .crossJoin(F.broadcast(agg_of(1, "cnt_v1", "cents_v1")))
+        _pad(meta)
+        .unionByName(_pad(agg_of(None, "cnt_latest", "cents_latest")))
+        .unionByName(_pad(agg_of(1, "cnt_v1", "cents_v1")))
+        .agg(*[F.max(c).alias(c) for c in cols])
     )
