@@ -304,6 +304,52 @@ class DeltaLog:
             json.dump({"version": snap.version, "size": len(rows)}, fh)
         return cp_path
 
+    # ---- lifecycle (the registry's A23 ops on the open format) --------
+    def history(self) -> list[dict]:
+        """One row per commit, newest first: version, file mtime, and
+        the action mix — the DESCRIBE HISTORY shape.  Metadata-only."""
+        out = []
+        for v in reversed(self.versions()):
+            path = _commit_path(self.table_dir, v)
+            counts: dict[str, int] = {}
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        for key in json.loads(line):
+                            counts[key] = counts.get(key, 0) + 1
+            out.append(
+                {
+                    "version": v,
+                    "timestamp_ms": int(os.path.getmtime(path) * 1000),
+                    "actions": counts,
+                }
+            )
+        return out
+
+    def vacuum(self) -> list[str]:
+        """Delete data files no longer referenced by the LATEST snapshot
+        (the Delta VACUUM with retention 0 for this container's
+        single-writer fixtures — production retention windows exist to
+        protect concurrent readers of old snapshots; after vacuum, time
+        travel to versions needing removed files fails at read, exactly
+        like the registry's post-vacuum reads).  Returns deleted paths.
+        Never touches the log itself."""
+        live = set(self.snapshot().files)
+        deleted = []
+        for root, dirs, files in os.walk(self.table_dir):
+            if _LOG_DIR in root.split(os.sep):
+                continue
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.table_dir)
+                if rel not in live:
+                    os.remove(full)
+                    deleted.append(rel)
+        return sorted(deleted)
+
     def _seed_from_checkpoint(self, snap: Snapshot, version: int) -> None:
         import pyarrow.parquet as pq
 

@@ -148,13 +148,13 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q139_bm25_topk",
     "q140_cogroup_asof_align",
     "q141_ngram_novelty",
+    "q142_length_matched_controls",
+    "q143_cdc_chunk_dups",
     # (3) remaining slots: oldest-green r5 rows, pre-draining the
     # round-8 mandatory set
     "q04_supplier_by_region",
     "q05_order_count_distribution",
     "q06_customers_with_open_orders",
-    "q10_rollup_orders",
-    "q11_cube_lineitem",
 )
 
 

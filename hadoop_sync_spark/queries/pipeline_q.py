@@ -353,3 +353,124 @@ def q133_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(win).cast("long").alias("chunk_len"),
         F.md5(F.array_join(win, " ")).alias("chunk_sig"),
     )
+
+
+# --------------------------------------------------------------------------
+# q143 — content-defined chunking + chunk-level dup profile
+# --------------------------------------------------------------------------
+#: a token ENDS a chunk when its md5's last hex digit is in this set —
+#: 2/16 boundary probability, expected chunk ≈ 8 tokens.  Content-defined
+#: (rsync/LBFS-style): boundaries depend only on local content, so an
+#: insertion reshapes chunks only up to the next boundary, where q133's
+#: fixed-stride windows shift EVERY downstream chunk (the property that
+#: makes chunk-level dedup robust to edits).
+_CDC_BOUNDARY = ("0", "1")
+
+
+def cdc_chunks_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_sig) content-defined chunks of
+    a (doc_id, text) frame — the kernel behind q143, factored for the
+    insertion-robustness property test.
+
+    Plan: posexplode → one boundary flag per token (md5, codegen) → a
+    running pre-boundary count per doc assigns chunk ids → one groupBy
+    rebuilds each chunk (sorted struct collect, the q27 ordered-agg
+    idiom) and signs it.  Two exchanges total (window on doc_id, agg on
+    (doc_id, chunk_id)); per-group state is one chunk, never a corpus."""
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens(normalize(F.col("text")))).alias("pos", "term"),
+    )
+    flag = (
+        F.substring(F.md5(F.col("term")), 32, 1)
+        .isin(*_CDC_BOUNDARY)
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.select(
+        "doc_id",
+        "pos",
+        "term",
+        F.coalesce(F.sum(flag).over(w), F.lit(0)).alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "term"))
+                        ),
+                        lambda x: x["term"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_sig"),
+        )
+    )
+
+
+@register(
+    "q143_cdc_chunk_dups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_NORM_TOKENS} AS tok FROM documents
+    ), tokpos AS (
+        SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, tok[i + 1] AS term
+        FROM toks, unnest(range(len(tok))) AS u(i)
+    ), flagged AS (
+        SELECT doc_id, pos, term,
+               CASE WHEN substr(md5(term), 32, 1) IN ('0', '1')
+                    THEN 1 ELSE 0 END AS flag
+        FROM tokpos
+    ), chunked AS (
+        SELECT doc_id, pos, term,
+               COALESCE(SUM(flag) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_id
+        FROM flagged
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_sig
+        FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_sig,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    GROUP BY chunk_sig
+    HAVING COUNT(*) >= 2
+    ORDER BY n_occ DESC, chunk_sig
+    LIMIT 20
+    """,
+    tags=("pipeline", "chunking", "cdc", "dedup"),
+)
+def q143_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (module note above) + the top-20 most
+    duplicated chunk signatures across the corpus — sub-document dedup
+    where q110's fixed-stride spans miss edit-shifted duplicates: a
+    one-token insertion shifts every downstream fixed-stride span but
+    only the local content-defined chunk (property-tested in
+    tests/test_round7_ops.py).
+
+    Scale: boundary flags are pure codegen (md5 + substring per token);
+    the dup profile is one map-side-combined aggregation on chunk_sig;
+    top-20 under a total order is TakeOrdered, no global sort."""
+    chunks = cdc_chunks_frame(t(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_sig")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy(F.col("n_occ").desc(), "chunk_sig")
+        .limit(20)
+    )

@@ -308,3 +308,171 @@ def q116_eval_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _EVAL_K)
         .select("doc_id", "lang", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# q142 — length-matched control pairing (global 1D nearest-value join)
+# --------------------------------------------------------------------------
+#: band width for the nearest-length union-merge (n_chars div _MATCH_BAND)
+_MATCH_BAND = 64
+
+
+@register(
+    "q142_length_matched_controls",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS a_id, n_chars AS a_len FROM documents
+        WHERE doc_id % 2 = 1
+    ), b AS (
+        SELECT doc_id AS b_id, n_chars AS b_len FROM documents
+        WHERE doc_id % 2 = 0
+    ), r AS (
+        SELECT a_id, a_len, b_id, b_len,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a_id
+                   ORDER BY abs(b_len - a_len), b_len, b_id
+               ) AS rn
+        FROM a CROSS JOIN b
+    )
+    SELECT a_id, CAST(a_len AS BIGINT) AS a_len,
+           b_id, CAST(b_len AS BIGINT) AS b_len,
+           CAST(abs(b_len - a_len) AS BIGINT) AS diff
+    FROM r WHERE rn = 1
+    """,
+    tags=("sampling", "matching", "nearest-join"),
+)
+def q142_length_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-matched control pairing: every treatment document (odd
+    doc_id) matched to the control-pool document (even doc_id) with the
+    NEAREST n_chars — with-replacement nearest-neighbor matching, the
+    control-construction step of a paired eval (match on a confounder,
+    compare on the treatment axis).  Ties: equal distance prefers the
+    shorter control, equal length the smaller doc_id — total order, so
+    the output is deterministic.
+
+    The oracle states the semantics as the textbook quadratic
+    (cross join + rank); the Spark plan is the scalable GLOBAL 1D
+    nearest-join: a per-length deduped control table unions with the
+    probe stream, bands on ``n_chars div 64`` partition the
+    union-merge windows (below = last control at-or-under in band, above
+    = first control strictly over in band), and a TINY per-band
+    aggregate frame (≤ one row per band — the q128 cross-bucket idiom)
+    carries each band's best below/above candidate across band
+    boundaries, broadcast back onto the probes.  One shuffle on the
+    band key; no self-join, no global sort (the only partitionless
+    window runs on the band-aggregate frame, whose size is the length
+    domain / 64).
+
+    Scale: probe volume is corpus-sized but everything control-side
+    collapses to ≤ one row per DISTINCT length first — the length
+    domain, not the corpus, bounds every auxiliary structure."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("n_chars").cast("long").alias("len"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("b_id"),
+    )
+    # per-length control representative: the tie rule (min doc_id per
+    # equal length) applied ONCE, corpus-scale -> length-domain-scale
+    bagg = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy(F.col("n_chars").cast("long").alias("len"))
+        .agg(F.min("doc_id").alias("b_id"))
+    )
+    refs = bagg.select(
+        F.lit(None).cast("long").alias("a_id"),
+        "len",
+        F.lit(0).alias("is_probe"),
+        "b_id",
+    )
+    m = probe.unionByName(refs).withColumn(
+        "band", F.expr(f"len div {_MATCH_BAND}")
+    )
+    ref_struct = F.when(
+        F.col("is_probe") == 0, F.struct(F.col("len"), F.col("b_id"))
+    )
+    # refs sort before probes at equal len (is_probe asc): an equal-length
+    # control is below-visible (diff 0) and never above-visible (strict >)
+    order = [F.col("len"), F.col("is_probe"), F.col("b_id")]
+    w_below = (
+        Window.partitionBy("band").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_above = (
+        Window.partitionBy("band").orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    within = m.select(
+        "a_id", "len", "is_probe", "band",
+        F.last(ref_struct, ignorenulls=True).over(w_below).alias("below_in"),
+        F.first(ref_struct, ignorenulls=True).over(w_above).alias("above_in"),
+    ).filter(F.col("is_probe") == 1)
+    # tiny cross-band frame: one row per band present in the union (bands
+    # holding probes but no controls included — their mx/mn stay NULL and
+    # the skip-null prefix fold reaches past them)
+    ref_len = F.when(F.col("is_probe") == 0, F.col("len"))
+    bandagg = m.groupBy("band").agg(
+        F.max(ref_len).alias("mx"), F.min(ref_len).alias("mn")
+    )
+    w_prev = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_next = Window.orderBy("band").rowsBetween(1, Window.unboundedFollowing)
+    bandctx = bandagg.select(
+        "band",
+        F.max("mx").over(w_prev).alias("prev_len"),
+        F.min("mn").over(w_next).alias("next_len"),
+    )
+    prev_rep = bagg.select(
+        F.col("len").alias("prev_len"), F.col("b_id").alias("prev_id")
+    )
+    next_rep = bagg.select(
+        F.col("len").alias("next_len"), F.col("b_id").alias("next_id")
+    )
+    bandctx = (
+        bandctx.join(F.broadcast(prev_rep), "prev_len", "left")
+        .join(F.broadcast(next_rep), "next_len", "left")
+        .select("band", "prev_len", "prev_id", "next_len", "next_id")
+    )
+    j = within.join(F.broadcast(bandctx), "band", "left").select(
+        "a_id",
+        "len",
+        F.coalesce(
+            F.col("below_in"),
+            F.when(
+                F.col("prev_len").isNotNull(),
+                F.struct(
+                    F.col("prev_len").alias("len"),
+                    F.col("prev_id").alias("b_id"),
+                ),
+            ),
+        ).alias("below"),
+        F.coalesce(
+            F.col("above_in"),
+            F.when(
+                F.col("next_len").isNotNull(),
+                F.struct(
+                    F.col("next_len").alias("len"),
+                    F.col("next_id").alias("b_id"),
+                ),
+            ),
+        ).alias("above"),
+    )
+    pick_above = F.col("below").isNull() | (
+        F.col("above").isNotNull()
+        & (
+            (F.col("above.len") - F.col("len"))
+            < (F.col("len") - F.col("below.len"))
+        )
+    )
+    best = F.when(pick_above, F.col("above")).otherwise(F.col("below"))
+    return j.select(
+        "a_id",
+        F.col("len").alias("a_len"),
+        best["b_id"].alias("b_id"),
+        best["len"].alias("b_len"),
+        F.abs(best["len"] - F.col("len")).cast("long").alias("diff"),
+    )

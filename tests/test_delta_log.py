@@ -151,3 +151,37 @@ def test_missing_intermediate_commit_raises(tmp_path):
     os.remove(os.path.join(d, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(FileNotFoundError):
         log.snapshot(1)
+
+
+def test_history_lists_commits_newest_first(tmp_path):
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.commit(1, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    h = log.history()
+    assert [r["version"] for r in h] == [1, 0]
+    assert h[0]["actions"] == {"remove": 1}
+    assert h[1]["actions"] == {"protocol": 1, "metaData": 1, "add": 1}
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    _write_file(d, "stray.txt.parquet" + "", {"k": [9], "v": [90]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet"),
+                   log.add_action_for("b.parquet")])
+    log.commit(1, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    deleted = log.vacuum()
+    # a.parquet unreferenced by latest; the never-added stray too
+    assert deleted == ["a.parquet", "stray.txt.parquet"]
+    # latest still reads; pre-vacuum version now fails at scan time
+    assert [r.k for r in log.read(spark).collect()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        log.read(spark, 0).collect()
+    # log untouched: history still lists both commits
+    assert [r["version"] for r in log.history()] == [1, 0]

@@ -274,3 +274,115 @@ def test_ngram_novelty_hand_computed(spark, tmp_path):
         "s1": (2, 1_000_000 + 333_333, 1_000_000, 333_333),
         "s2": (1, 0, 0, 0),
     }
+
+
+# --------------------------------------------------------------------------
+# q142 — nearest-length matching: crafted tie + cross-band cases
+# --------------------------------------------------------------------------
+def test_length_match_ties_and_cross_band(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    # even doc_id = control pool, odd = treatment; bands are len div 64
+    rows = [
+        (2, 90), (4, 110), (6, 50), (8, 50), (10, 500),   # controls
+        (13, 100),  # equidistant 90/110 -> prefer shorter (id 2)
+        (15, 50),   # exact match -> rep is min control id (6, not 8)
+        (17, 1000), # empty band, nearest is bands away (id 10, len 500)
+        (19, 10),   # nothing at-or-under -> above-only (id 6, len 50)
+        (21, 120),  # below 110 beats above 500
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": "x",
+            "lang": "en",
+            "source": "s",
+            "n_chars": [r[1] for r in rows],
+        }
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+    from hadoop_sync_spark.queries import load_all
+
+    got = {
+        r.a_id: (r.b_id, r.b_len, r.diff)
+        for r in load_all()["q142_length_matched_controls"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert got == {
+        13: (2, 90, 10),
+        15: (6, 50, 0),
+        17: (10, 500, 500),
+        19: (6, 50, 40),
+        21: (4, 110, 10),
+    }
+
+
+# --------------------------------------------------------------------------
+# q143 — content-defined chunking: python mirror + insertion robustness
+# --------------------------------------------------------------------------
+def _mirror_cdc(tokens_):
+    """Pure-Python mirror of cdc_chunks_frame's per-doc chunking."""
+    import hashlib
+
+    chunks, cur = [], []
+    for t_ in tokens_:
+        cur.append(t_)
+        if hashlib.md5(t_.encode()).hexdigest()[-1] in ("0", "1"):
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [
+        (i, len(c), hashlib.md5(" ".join(c).encode()).hexdigest())
+        for i, c in enumerate(c2 for c2 in chunks)
+    ]
+
+
+def _cdc_tokens(n=120):
+    # deterministic pseudo-corpus with enough variety to hit boundaries
+    return [f"tok{(i * 7 + 3) % 41}" for i in range(n)]
+
+
+def test_cdc_chunks_match_python_mirror(spark):
+    import pandas as pd
+
+    from hadoop_sync_spark.queries.pipeline_q import cdc_chunks_frame
+
+    toks = _cdc_tokens()
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [" ".join(toks)]})
+    )
+    got = sorted(
+        (r.chunk_id, r.n_tokens, r.chunk_sig)
+        for r in cdc_chunks_frame(d).collect()
+    )
+    assert got == sorted(_mirror_cdc(toks))
+
+
+def test_cdc_insertion_shifts_only_local_chunks(spark):
+    """The content-defined property: inserting one token reshapes chunks
+    only up to the next boundary — every later chunk signature survives
+    identically (where a fixed-stride chunker would shift them ALL)."""
+    toks = _cdc_tokens()
+    ins_at = 25
+    toks2 = toks[:ins_at] + ["inserted"] + toks[ins_at:]
+    sigs1 = [s for _, _, s in _mirror_cdc(toks)]
+    sigs2 = [s for _, _, s in _mirror_cdc(toks2)]
+    # chunks strictly before the insertion's chunk are untouched, and the
+    # tail after the insertion's boundary re-synchronizes exactly
+    import hashlib
+
+    n_bound_before = sum(
+        1 for t_ in toks[:ins_at]
+        if hashlib.md5(t_.encode()).hexdigest()[-1] in ("0", "1")
+    )
+    assert sigs1[:n_bound_before] == sigs2[:n_bound_before]
+    assert sigs1[n_bound_before + 1:] == sigs2[n_bound_before + 1:]
+    assert sigs1[n_bound_before] != sigs2[n_bound_before]
+    # sanity: the corpus actually has chunks on both sides of the edit
+    assert n_bound_before >= 2 and len(sigs1) - n_bound_before >= 3
