@@ -192,3 +192,154 @@ def q138_delta_log_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_pad(agg_of(1, "cnt_v1", "cents_v1")))
         .agg(*[F.max(c).alias(c) for c in cols])
     )
+
+
+# --------------------------------------------------------------------------
+# q144 — Delta table synced through the registry (A12-A16 over the open
+# format)
+# --------------------------------------------------------------------------
+@register(
+    "q144_delta_registry_sync",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_orderkey % 4 AS bkt, o_totalprice FROM orders
+    )
+    SELECT
+        CAST(2 AS BIGINT) AS shards_after_c0,
+        CAST(1 AS BIGINT) AS added_c1,
+        CAST(1 AS BIGINT) AS added_c2,
+        CAST(1 AS BIGINT) AS removed_c2,
+        CAST(3 AS BIGINT) AS shards_final,
+        TRUE AS resync_noop,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b
+         WHERE bkt IN (0, 2)
+            OR (bkt = 1 AND o_totalprice >= {_REWRITE_MIN}))
+            AS cnt_live,
+        (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) FROM b
+         WHERE bkt IN (0, 2)
+            OR (bkt = 1 AND o_totalprice >= {_REWRITE_MIN}))
+            AS cents_live
+    """,
+    tags=("lakehouse", "delta", "registry", "sync", "interop"),
+)
+def q144_delta_registry_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental-sync workflow (A12-A16: diff the FS
+    state against the catalog, apply transactionally, idempotent re-run)
+    driven by a DELTA table instead of a raw directory: each Delta
+    commit surfaces as ordinary shard adds/removes because
+    ``register_delta`` swaps the diff's FS-state source for the log's
+    latest snapshot.  Commit-by-commit: c0 (two files) syncs 2 shards;
+    c1 (append) diffs as exactly one add; c2 (delete-where rewrite)
+    diffs as one add + one remove — the raw directory walk would have
+    resurrected the removed file; an immediate re-sync is a noop; and
+    the catalog-only read aggregates exactly the live rows (same oracle
+    arithmetic as q138).
+
+    Scale: identical posture to q82's sync lifecycle — log replay and
+    catalog publish are KB-scale driver metadata, the final read is the
+    ordinary distributed scan of the live files."""
+    from hadoop_sync_spark.registry import Registry
+
+    scratch = _scratch_dir(os.path.abspath(sf_dir) + "#delta_sync")
+    shutil.rmtree(scratch, ignore_errors=True)
+    table_dir = os.path.join(scratch, "orders_delta")
+    os.makedirs(table_dir)
+    meta_dir = os.path.join(scratch, "meta")
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bucket = F.col("o_orderkey") % 4
+
+    def write_file(df: DataFrame, name: str) -> None:
+        staging = os.path.join(scratch, "staging_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        _move_single_part(staging, os.path.join(table_dir, name))
+
+    write_file(src.filter(bucket == 0), "part-00000-f0.parquet")
+    write_file(src.filter(bucket == 1), "part-00001-f1.parquet")
+    write_file(src.filter(bucket == 2), "part-00002-f2.parquet")
+    write_file(
+        src.filter((bucket == 1) & (F.col("o_totalprice") >= _REWRITE_MIN)),
+        "part-00003-f3.parquet",
+    )
+
+    log = DeltaLog(table_dir)
+    reg = Registry(spark, meta_dir)
+
+    log.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "orders-delta-sync",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": src.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            log.add_action_for("part-00000-f0.parquet"),
+            log.add_action_for("part-00001-f1.parquet"),
+        ],
+    )
+    reg.register_delta("orders_delta", table_dir)
+    reg.sync("orders_delta")
+    shards_after_c0 = len(reg.shards("orders_delta"))
+
+    log.commit(1, [log.add_action_for("part-00002-f2.parquet")])
+    s1 = reg.sync("orders_delta")
+
+    log.commit(
+        2,
+        [
+            {"remove": {"path": "part-00001-f1.parquet",
+                        "dataChange": True}},
+            log.add_action_for("part-00003-f3.parquet"),
+        ],
+    )
+    s2 = reg.sync("orders_delta")
+    shards_final = len(reg.shards("orders_delta"))
+    noop = reg.sync("orders_delta").noop
+
+    live = reg.read("orders_delta").agg(
+        F.count("*").alias("cnt_live"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents_live"),
+    )
+    meta = spark.range(1).select(
+        F.lit(shards_after_c0).cast("long").alias("shards_after_c0"),
+        F.lit(s1.added).cast("long").alias("added_c1"),
+        F.lit(s2.added).cast("long").alias("added_c2"),
+        F.lit(s2.removed).cast("long").alias("removed_c2"),
+        F.lit(shards_final).cast("long").alias("shards_final"),
+        F.lit(bool(noop)).alias("resync_noop"),
+    )
+    cols = {
+        "shards_after_c0": "long",
+        "added_c1": "long",
+        "added_c2": "long",
+        "removed_c2": "long",
+        "shards_final": "long",
+        "resync_noop": "boolean",
+        "cnt_live": "long",
+        "cents_live": "long",
+    }
+
+    def _pad(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast(tp).alias(c)
+                for c, tp in cols.items()
+            ]
+        )
+
+    return (
+        _pad(meta)
+        .unionByName(_pad(live))
+        .agg(*[F.max(c).alias(c) for c in cols])
+    )

@@ -387,6 +387,43 @@ class Registry:
         rows = self._load_placements(version)
         return rows if name is None else [r for r in rows if r["table_name"] == name]
 
+    def register_delta(self, name: str, table_dir: str) -> None:
+        """Bind a logical table to a DELTA table directory: the FS-state
+        side of diff/sync becomes the Delta log's latest SNAPSHOT (live
+        files only) instead of the raw directory walk — a raw walk would
+        resurrect files a Delta writer already removed.  Everything
+        downstream (sync's transactional apply, catalog-only reads,
+        stats, pruning) is unchanged: Delta commits arrive as ordinary
+        shard adds/removes, so the reference's incremental-sync workflow
+        (`HdfsSynchronizer.java:142-205`) runs verbatim against the open
+        format.  Idempotent overwrite like :meth:`register`."""
+        tables = self._load_tables()
+        shards = self._load_shards()
+        tables[name] = {
+            "dir_path": os.path.abspath(table_dir),
+            "partition_column": None,
+            "format": "delta",
+            "registered_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        self._publish(tables, shards)
+
+    @staticmethod
+    def _delta_live_files(table_dir: str) -> list[dict]:
+        """FS state of a Delta-format table: the latest snapshot's live
+        file list (driver-side metadata replay, like production Delta),
+        with (size, mtime) identity from the filesystem so a rewritten
+        path still diffs as old+new."""
+        from hadoop_sync_spark.delta_log import DeltaLog
+
+        out = []
+        for rel in DeltaLog(table_dir).snapshot().files:
+            p = os.path.join(table_dir, rel)
+            st = os.stat(p)
+            out.append(
+                {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+            )
+        return out
+
     def diff(self, name: str) -> MetadataDifference:
         """FS state vs catalog state — the reference's
         `calculateMetadataDifference` (`HdfsSynchronizer.java:142-205`),
@@ -402,7 +439,13 @@ class Registry:
         tables = self._load_tables()
         if name not in tables:
             raise KeyError(f"table not registered: {name}")
-        fs_files = self._list_data_files(tables[name]["dir_path"])
+        # delta-format tables substitute the snapshot's live list for the
+        # raw walk; the non-delta path is byte-identical to before
+        fs_files = (
+            self._delta_live_files(tables[name]["dir_path"])
+            if tables[name].get("format") == "delta"
+            else self._list_data_files(tables[name]["dir_path"])
+        )
         fs = {(f["path"], f["size"], f["mtime_ns"]): f for f in fs_files}
         cat = {
             (s["path"], s["size"], s["mtime_ns"]): s

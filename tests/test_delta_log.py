@@ -185,3 +185,39 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
         log.read(spark, 0).collect()
     # log untouched: history still lists both commits
     assert [r["version"] for r in log.history()] == [1, 0]
+
+
+def test_registry_sync_of_delta_table_tracks_commits(spark, tmp_path):
+    """register_delta routes the registry's FS-state through the log
+    snapshot: commits arrive as ordinary shard adds/removes, a removed
+    file is NOT resurrected by the on-disk walk (it still physically
+    exists until vacuum), and re-sync is a noop."""
+    from hadoop_sync_spark.registry import Registry
+
+    d, log = _mk_table(tmp_path, "delta_t")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register_delta("t", d)
+    reg.sync("t")
+    assert [os.path.basename(s["path"]) for s in reg.shards("t")] == [
+        "a.parquet"
+    ]
+    # append commit -> one shard add
+    log.commit(1, [log.add_action_for("b.parquet")])
+    s = reg.sync("t")
+    assert (s.added, s.removed) == (1, 0)
+    # remove commit -> shard drops even though the FILE still exists
+    log.commit(2, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    s = reg.sync("t")
+    assert (s.added, s.removed) == (0, 1)
+    assert os.path.exists(os.path.join(d, "a.parquet"))  # pre-vacuum
+    assert [os.path.basename(s2["path"]) for s2 in reg.shards("t")] == [
+        "b.parquet"
+    ]
+    assert reg.sync("t").noop
+    # catalog-only read sees exactly the live snapshot
+    assert [r.k for r in reg.read("t").collect()] == [2]
