@@ -818,3 +818,92 @@ def test_chunk_slice_idiom_parity_at_stride_boundaries(spark):
             per_doc.setdefault(d, 0)
             per_doc[d] += 1
         assert per_doc[counts.index(91)] == 4
+
+
+def test_cdc_chunking_idiom_parity(frames):
+    """q143's content-defined chunking run end-to-end over the
+    adversarial corpus: md5-last-hex-digit boundary flags, the
+    pre-boundary running count, ordered chunk reassembly
+    (collect_list+array_sort ↔ string_agg ORDER BY), and the chunk
+    signature must agree per (doc_id, chunk_id) — the places a
+    whitespace-tokenization or ordered-agg divergence would corrupt
+    chunk identities."""
+    from hadoop_sync_spark.queries.pipeline_q import cdc_chunks_frame
+
+    sdf, con = frames
+    got = _rows(cdc_chunks_frame(sdf))
+    want = _sql(
+        con,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_NORM_TOKENS} AS tok FROM documents
+        ), tokpos AS (
+            SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, tok[i + 1] AS term
+            FROM toks, unnest(range(len(tok))) AS u(i)
+        ), flagged AS (
+            SELECT doc_id, pos, term,
+                   CASE WHEN substr(md5(term), 32, 1) IN ('0', '1')
+                        THEN 1 ELSE 0 END AS flag
+            FROM tokpos
+        ), chunked AS (
+            SELECT doc_id, pos, term,
+                   COALESCE(SUM(flag) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS chunk_id
+            FROM flagged
+        )
+        SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_sig
+        FROM chunked GROUP BY doc_id, chunk_id
+        """,
+    )
+    assert got == want
+
+
+def test_shingle_coverage_idiom_parity(frames):
+    """q141's per-doc shingle inventory over the adversarial corpus:
+    Spark's shingles_of_tokens (sequence + slice + array_join) vs the
+    DuckDB generate_series/list-slice mirror must produce identical
+    DISTINCT shingle multisets — short docs (t < n yields ONE short
+    shingle), empty strings, and exotic whitespace included."""
+    from hadoop_sync_spark.functions.text import shingles_of_tokens
+
+    sdf, con = frames
+    toks_df = sdf.select(
+        "doc_id", tokens(normalize(F.col("text"))).alias("tok")
+    )
+    got = _rows(
+        toks_df.select(
+            "doc_id",
+            F.size(
+                F.array_distinct(shingles_of_tokens(F.col("tok"), n=3))
+            ).cast("long").alias("n_sh"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.array_distinct(
+                            shingles_of_tokens(F.col("tok"), n=3)
+                        )
+                    ),
+                    "\x01",
+                )
+            ).alias("sig"),
+        )
+    )
+    want = _sql(
+        con,
+        f"""
+        WITH s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(0, greatest(len(tok) - 3, 0)),
+                       i -> array_to_string(tok[i+1 : i+3], ' '))) AS sh
+            FROM (SELECT doc_id, {_SQL_NORM_TOKENS} AS tok FROM documents)
+        )
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+               md5(array_to_string(list_sort(sh), chr(1))) AS sig
+        FROM s
+        """,
+    )
+    assert got == want
