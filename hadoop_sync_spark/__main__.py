@@ -5,6 +5,7 @@ collecting min/max statistics.
     python -m hadoop_sync_spark sync  <meta_dir> <table> [--fetch-min-max]
     python -m hadoop_sync_spark register <meta_dir> <table> <data_path>
                                         [--partition-column COL]
+                                        [--format dir|delta]
     python -m hadoop_sync_spark diff  <meta_dir> <table>
     python -m hadoop_sync_spark vacuum <meta_dir> [--keep-last N]
     python -m hadoop_sync_spark compact <meta_dir> <table>
@@ -33,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     reg_p.add_argument("table")
     reg_p.add_argument("data_path")
     reg_p.add_argument("--partition-column", default=None)
+    reg_p.add_argument(
+        "--format",
+        choices=("dir", "delta"),
+        default="dir",
+        help="'delta' treats data_path as a Delta table: diff/sync track "
+        "the transaction log's live snapshot instead of the raw walk",
+    )
 
     sync_p = sub.add_parser("sync", help="incremental diff-sync one table")
     sync_p.add_argument("meta_dir")
@@ -79,9 +87,21 @@ def main(argv: list[str] | None = None) -> int:
     reg = Registry(spark, args.meta_dir)
     try:
         if args.cmd == "register":
-            reg.register(
-                args.table, args.data_path, partition_column=args.partition_column
-            )
+            if args.format == "delta":
+                if args.partition_column:
+                    print(
+                        "--partition-column is not supported with "
+                        "--format delta",
+                        file=sys.stderr,
+                    )
+                    return 1
+                reg.register_delta(args.table, args.data_path)
+            else:
+                reg.register(
+                    args.table,
+                    args.data_path,
+                    partition_column=args.partition_column,
+                )
             print(f"registered {args.table} -> {args.data_path}")
         elif args.cmd == "sync":
             r = reg.sync(args.table, fetch_min_max=args.fetch_min_max)

@@ -221,3 +221,21 @@ def test_registry_sync_of_delta_table_tracks_commits(spark, tmp_path):
     assert reg.sync("t").noop
     # catalog-only read sees exactly the live snapshot
     assert [r.k for r in reg.read("t").collect()] == [2]
+
+
+def test_cli_register_delta_and_sync(spark, tmp_path, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    d, log = _mk_table(tmp_path, "cli_t")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    meta = str(tmp_path / "meta")
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    assert main(["sync", meta, "t"]) == 0
+    out = capsys.readouterr().out
+    assert "+1 -0 shards" in out
+    # a delta remove flows through the same CLI sync
+    log.commit(1, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    assert main(["sync", meta, "t"]) == 0
+    assert "+0 -1 shards" in capsys.readouterr().out
