@@ -151,10 +151,10 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q142_length_matched_controls",
     "q143_cdc_chunk_dups",
     "q144_delta_registry_sync",
-    # (3) remaining slots: oldest-green r5 rows, pre-draining the
-    # round-8 mandatory set
+    "q145_png_roundtrip_stats",
+    # (3) remaining slot: oldest-green r5 row, pre-draining the round-8
+    # mandatory set
     "q04_supplier_by_region",
-    "q05_order_count_distribution",
 )
 
 

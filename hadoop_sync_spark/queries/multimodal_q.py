@@ -168,3 +168,99 @@ def q129_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_sync_spark.multimodal import audio_frame_energy
 
     return audio_frame_energy(assets_from_documents(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q145 — PNG round trip (compressed codec, zlib + scanline filters)
+# --------------------------------------------------------------------------
+@register(
+    "q145_png_roundtrip_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS h,
+               6 + doc_id % 7 AS w
+        FROM documents
+    ), px AS (
+        SELECT doc_id, h, w,
+               (doc_id * 31 + r.i * 7 + c.i * 13) % 256 AS v
+        FROM dims, unnest(range(h)) AS r(i), unnest(range(w)) AS c(i)
+    )
+    SELECT doc_id,
+           CAST(h AS BIGINT) AS h,
+           CAST(w AS BIGINT) AS w,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, h, w
+    """,
+    tags=("multimodal", "png", "codec", "compressed"),
+)
+def q145_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-codec plumbing proven end-to-end: per document a
+    deterministic greyscale image (H = 4 + id%5, W = 6 + id%7, pixel
+    (r, c) = (id·31 + r·7 + c·13) mod 256) is ENCODED to a real PNG —
+    per-row filter type (id + r) mod 5, so all five scanline filters are
+    on the path — in one Arrow stage, and a SECOND mapInPandas stage
+    decodes the bytes (chunk walk, CRC32 verification, multi-IDAT
+    reassembly, zlib inflate, unfilter) and emits integer pixel stats.
+    The oracle recomputes the stats in closed form, so a single wrong
+    byte anywhere in the DEFLATE stream, the filter inverse, or the
+    chunk framing flips the value hash.  Only doc_id crosses into the
+    encode stage; the pixels the decoder reports travelled exclusively
+    as compressed PNG bytes.
+
+    Scale: same posture as q90/q129 — payloads ride Spark's binary
+    columns in bounded Arrow batches; both stages are mapInPandas over
+    whatever partitioning the scan chose, no shuffle at all before the
+    final (tiny) stats frame."""
+    import pandas as pd
+
+    from hadoop_sync_spark.multimodal import decode_png, encode_png
+    from hadoop_sync_spark.queries._util import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 4 + did % 5, 6 + did % 7
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                arr = ((did * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                filters = [(did + rr) % 5 for rr in range(h)]
+                payloads.append(encode_png(arr, filters=filters))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "png": payloads}
+            )
+
+    encoded = docs.mapInPandas(enc, "doc_id long, png binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for did, data in zip(pdf["doc_id"], pdf["png"]):
+                arr = decode_png(bytes(data))
+                rows.append(
+                    (
+                        int(did),
+                        arr.shape[0],
+                        arr.shape[1],
+                        arr.size,
+                        int(arr.astype("int64").sum()),
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "h", "w", "n_px", "px_sum", "px_max"],
+            )
+
+    return encoded.mapInPandas(
+        dec,
+        "doc_id long, h long, w long, n_px long, px_sum long, px_max long",
+    )

@@ -155,3 +155,70 @@ def test_decode_real_returns_numpy_media(spark):
         else:
             assert len(decoded) == r["n_frames"]
             assert decoded[0].shape == (r["height"], r["width"], 3)
+
+
+# --------------------------------------------------------------------------
+# PNG codec (round 7): round trip per filter type, RGB, CRC, dispatch
+# --------------------------------------------------------------------------
+def test_png_roundtrip_all_filters_and_shapes():
+    import numpy as np
+
+    from hadoop_sync_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for shape in [(5, 9), (6, 4, 3), (1, 1), (3, 17, 3), (8, 1)]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        h = shape[0]
+        for filters in (None, *([[f] * h] for f in range(5)),
+                        [[(i * 3 + 1) % 5 for i in range(h)]]):
+            fl = filters if filters is None else filters[0]
+            data = encode_png(arr, filters=fl)
+            back = decode_png(data)
+            assert back.shape == arr.shape
+            assert (back == arr).all(), (shape, fl)
+
+
+def test_png_crc_and_truncation_rejected():
+    import numpy as np
+    import pytest
+
+    from hadoop_sync_spark.multimodal import decode_png, encode_png
+
+    arr = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    data = bytearray(encode_png(arr))
+    data[20] ^= 0xFF  # flip a byte inside IHDR payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    good = encode_png(arr)
+    with pytest.raises(Exception):
+        decode_png(good[:-24])  # IEND + part of final IDAT gone
+
+
+def test_png_unsupported_features_raise_honestly():
+    import struct
+    import zlib
+
+    import pytest
+
+    from hadoop_sync_spark.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+    # 16-bit depth header: must refuse, not silently mis-read
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    data = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 36)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(data)
+
+
+def test_decode_real_dispatches_png_to_rgb():
+    import numpy as np
+
+    from hadoop_sync_spark.multimodal import decode_real, encode_png
+
+    g = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    out = decode_real(encode_png(g, filters=[4, 3, 2, 1]))
+    assert out.shape == (4, 6, 3)
+    assert (out[:, :, 0] == g).all() and (out[:, :, 2] == g).all()
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    assert (decode_real(encode_png(rgb)) == rgb).all()
