@@ -347,11 +347,22 @@ def decode_real(content: bytes):
         return [
             decode_bmp(content[o : o + ln]) for o, ln in decode_rvid(content)
         ]
-    # Compressed-format path, wired but environment-gated (re-checked
-    # round 3: neither PIL nor av ships in this container).  If the libs
-    # appear, JPEG/PNG/… decode via PIL and MP4/audio via av with no code
-    # change here; with both absent the documented seam error below is
-    # the only reachable outcome.
+    if content[:2] == b"\xff\xd8":
+        # real DCT-class path (round 7): own baseline JPEG decoder —
+        # stream-supplied Huffman/quant tables, restart markers, generic
+        # sampling factors; greyscale replicates to RGB for the uniform
+        # (H, W, 3) consumer contract like PNG above
+        import numpy as np
+
+        from hadoop_sync_spark.jpeg_codec import decode_jpeg
+
+        arr = decode_jpeg(content)
+        return np.repeat(arr[:, :, None], 3, axis=2) if arr.ndim == 2 else arr
+    # Remaining compressed-format path (video containers, lossy audio),
+    # wired but environment-gated (re-checked round 3: neither PIL nor av
+    # ships in this container).  If the libs appear they take over here
+    # with no code change; with both absent the documented seam error
+    # below is the only reachable outcome.
     import io as _io
 
     import numpy as np

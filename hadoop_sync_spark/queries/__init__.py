@@ -152,9 +152,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q143_cdc_chunk_dups",
     "q144_delta_registry_sync",
     "q145_png_roundtrip_stats",
-    # (3) remaining slot: oldest-green r5 row, pre-draining the round-8
-    # mandatory set
-    "q04_supplier_by_region",
+    "q146_jpeg_roundtrip_stats",
 )
 
 

@@ -210,16 +210,22 @@ def q145_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode stage; the pixels the decoder reports travelled exclusively
     as compressed PNG bytes.
 
-    Scale: same posture as q90/q129 — payloads ride Spark's binary
-    columns in bounded Arrow batches; both stages are mapInPandas over
-    whatever partitioning the scan chose, no shuffle at all before the
-    final (tiny) stats frame."""
+    Scale: payloads ride Spark's binary columns in bounded Arrow
+    batches.  Codec work is CPU-bound, so the doc_id key frame is
+    repartitioned to core count BEFORE the encode stage (round-7 fix:
+    a few-KB doc_id frame otherwise plans as 1-2 input partitions and
+    serializes the codec on two threads) — the shuffle moves 8-byte
+    keys only; encoded payloads never cross an exchange."""
     import pandas as pd
 
     from hadoop_sync_spark.multimodal import decode_png, encode_png
     from hadoop_sync_spark.queries._util import t
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def enc(batches):
         import numpy as np
@@ -245,6 +251,117 @@ def q145_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did, data in zip(pdf["doc_id"], pdf["png"]):
                 arr = decode_png(bytes(data))
+                rows.append(
+                    (
+                        int(did),
+                        arr.shape[0],
+                        arr.shape[1],
+                        arr.size,
+                        int(arr.astype("int64").sum()),
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "h", "w", "n_px", "px_sum", "px_max"],
+            )
+
+    return encoded.mapInPandas(
+        dec,
+        "doc_id long, h long, w long, n_px long, px_sum long, px_max long",
+    )
+
+
+# --------------------------------------------------------------------------
+# q146 — JPEG round trip (DCT-class codec: Huffman + quant + restart)
+# --------------------------------------------------------------------------
+@register(
+    "q146_jpeg_roundtrip_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 3 AS bh,
+               1 + doc_id % 4 AS bw
+        FROM documents
+    ), tiles AS (
+        SELECT doc_id, bh, bw,
+               128 + 2 * (((doc_id * 7 + bi.i * 5 + bj.i * 3) % 53) - 26) AS v
+        FROM dims, unnest(range(bh)) AS bi(i), unnest(range(bw)) AS bj(i)
+    )
+    SELECT doc_id,
+           CAST(8 * bh AS BIGINT) AS h,
+           CAST(8 * bw AS BIGINT) AS w,
+           CAST(COUNT(*) * 192 AS BIGINT) AS n_px,
+           CAST(SUM(v) * 192 AS BIGINT) AS px_sum,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM tiles GROUP BY doc_id, bh, bw
+    """,
+    tags=("multimodal", "jpeg", "codec", "compressed", "dct"),
+)
+def q146_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-class codec plumbing proven end-to-end — the JPEG sibling of
+    q145's PNG round trip, closing the round-6 verdict's last codec-seam
+    class.  Per document a deterministic tiled image (1+id%3 × 1+id%4
+    grid of 8×8 tiles, tile (bi, bj) grey value
+    128 + 2·(((id·7 + bi·5 + bj·3) mod 53) − 26)) is ENCODED as a real
+    baseline JFIF stream in one Arrow stage — Annex-K tables at quality
+    50, restart interval 2 so the DRI/RSTn path (DC-predictor resets) is
+    live on every multi-MCU doc — and a SECOND mapInPandas stage Huffman-
+    decodes, dequantizes and inverse-DCTs the bytes back to pixels.
+
+    Per-8×8-constant tiles make the lossy pipeline EXACT by construction:
+    every block is DC-only, and even grey offsets divide the quality-50
+    DC quantizer (16 | 8·(v−128)), so the decoded pixels equal the
+    source and the oracle predicts the stats in closed form — a wrong
+    Huffman bit, missed restart reset, bad zigzag index or mis-scaled
+    quantizer flips the value hash (general lossy content is pinned by
+    tests/test_jpeg.py's quant-domain and tolerance suites).  Only
+    doc_id crosses into the encode stage; pixels travel between stages
+    exclusively as entropy-coded JPEG bytes.
+
+    Scale: codec stages are CPU-bound, not IO-bound, so partitioning
+    must follow cores rather than input bytes — a doc_id-only frame is a
+    few KB and would otherwise plan as 1-2 partitions, serializing the
+    whole codec on two threads.  The repartition happens on the 8-byte
+    key frame BEFORE any payload exists (only doc_id is shuffled; the
+    encoded bytes stay inside their executor through both Arrow stages),
+    so the same plan at 100 TB shuffles keys, never media."""
+    import pandas as pd
+
+    from hadoop_sync_spark.jpeg_codec import decode_jpeg, encode_jpeg
+    from hadoop_sync_spark.queries._util import t
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def enc(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bh, bw = 1 + did % 3, 1 + did % 4
+                bi = np.arange(bh)[:, None]
+                bj = np.arange(bw)[None, :]
+                vals = 128 + 2 * (((did * 7 + bi * 5 + bj * 3) % 53) - 26)
+                grey = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                rgb = np.stack([grey] * 3, axis=2)
+                payloads.append(
+                    encode_jpeg(rgb, quality=50, restart_interval=2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": payloads})
+
+    encoded = docs.mapInPandas(enc, "doc_id long, jpg binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for did, data in zip(pdf["doc_id"], pdf["jpg"]):
+                arr = decode_jpeg(bytes(data))
                 rows.append(
                     (
                         int(did),

@@ -1,0 +1,180 @@
+"""Baseline JPEG codec tests (hadoop_sync_spark/jpeg_codec.py).
+
+Strategy mirrors the PNG suite: exact cases where the math is exact
+(per-8×8-constant blocks are DC-only, and even grey offsets divide the
+quality-50 DC quantizer), tolerance bounds on smooth content, exact
+quant-domain equality between the two independent entropy implementations
+(encoder bit-writer vs decoder bit-reader share no code), and honest-seam
+/ malformed-stream rejection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hadoop_sync_spark.jpeg_codec import (
+    _AC_CHROM_BITS,
+    _AC_CHROM_VALS,
+    _AC_LUM_BITS,
+    _AC_LUM_VALS,
+    _canonical_codes,
+    _decode_quantized,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _tile_image(bh: int, bw: int, seed: int) -> np.ndarray:
+    """Per-8×8-block constant grey values at even offsets from 128 —
+    the exact-round-trip class (DC-only blocks; (v−128)·8 ≡ 0 mod 16)."""
+    rng = np.random.default_rng(seed)
+    vals = 128 + 2 * rng.integers(-26, 27, size=(bh, bw))
+    return np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+
+
+def test_dc_only_roundtrip_is_exact_444():
+    img = _tile_image(3, 4, seed=1)
+    rgb = np.stack([img] * 3, axis=2)
+    out = decode_jpeg(encode_jpeg(rgb, quality=50))
+    assert out.shape == rgb.shape
+    assert np.array_equal(out, rgb)
+
+
+def test_dc_only_roundtrip_is_exact_420_and_grey():
+    img = _tile_image(4, 2, seed=2)
+    rgb = np.stack([img] * 3, axis=2)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb, quality=50, subsampling="4:2:0")), rgb
+    )
+    grey = decode_jpeg(encode_jpeg(img, quality=50))
+    assert grey.ndim == 2 and np.array_equal(grey, img)
+
+
+def test_restart_markers_present_and_decode_identically():
+    img = np.stack([_tile_image(2, 5, seed=3)] * 3, axis=2)
+    plain = encode_jpeg(img, quality=50)
+    rst = encode_jpeg(img, quality=50, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain
+    assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+    assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
+    # a decoder that fails to reset DC predictors at RSTn would corrupt
+    # every block after the first restart — exactness above pins it, but
+    # also check >8 restarts so the RSTn index wraps mod 8
+    wide = np.stack([_tile_image(1, 24, seed=4)] * 3, axis=2)
+    r1 = encode_jpeg(wide, quality=50, restart_interval=1)
+    assert np.array_equal(decode_jpeg(r1), wide)
+
+
+def test_smooth_content_near_transparent():
+    h, w = 40, 56
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (x * 255 // (w - 1)).astype(np.uint8),
+            (y * 255 // (h - 1)).astype(np.uint8),
+            ((x * 2 + y) // 3 % 256).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    err = np.abs(
+        decode_jpeg(encode_jpeg(img, quality=90)).astype(int) - img.astype(int)
+    )
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_odd_dimensions_pad_and_crop():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(21, 35, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=75))
+    assert out.shape == (21, 35, 3)
+    out420 = decode_jpeg(encode_jpeg(img, quality=75, subsampling="4:2:0"))
+    assert out420.shape == (21, 35, 3)
+
+
+def test_quant_domain_entropy_exactness():
+    """Encoder-side quantized coefficients survive Huffman encode →
+    byte stuffing → Huffman decode EXACTLY: the lossy steps are DCT+quant
+    only, and the two entropy codecs are independent implementations."""
+    from hadoop_sync_spark.jpeg_codec import (
+        ZIGZAG,
+        _blockwise_dct_quant,
+        _pad_edge,
+        _rgb_to_ycbcr,
+        scaled_quant_tables,
+    )
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(24, 16, 3)).astype(np.uint8)
+    qlum, qchrom = scaled_quant_tables(85)
+    ycc = np.rint(_rgb_to_ycbcr(img))
+    expected = [
+        _blockwise_dct_quant(_pad_edge(ycc[..., i], 8, 8) - 128.0, q)
+        for i, q in ((0, qlum), (1, qchrom), (2, qchrom))
+    ]
+    h, w, comps, coefs = _decode_quantized(encode_jpeg(img, quality=85))
+    assert (h, w) == (24, 16)
+    for exp, got, comp, q in zip(
+        expected, coefs, comps, (qlum, qchrom, qchrom)
+    ):
+        assert np.array_equal(exp, got)
+        assert np.array_equal(comp["q"], q)  # DQT round-trips the tables
+    # and with restart markers interleaved the coefficients still match
+    _, _, _, coefs_rst = _decode_quantized(
+        encode_jpeg(img, quality=85, restart_interval=3)
+    )
+    for exp, got in zip(expected, coefs_rst):
+        assert np.array_equal(exp, got)
+
+
+def test_annex_k_table_shapes():
+    assert sum(_AC_LUM_BITS) == len(_AC_LUM_VALS) == 162
+    assert sum(_AC_CHROM_BITS) == len(_AC_CHROM_VALS) == 162
+    # every (run, size) pair run 0..15 × size 1..10 plus EOB and ZRL
+    for vals in (_AC_LUM_VALS, _AC_CHROM_VALS):
+        assert sorted(vals) == sorted(
+            [(r << 4) | s for r in range(16) for s in range(1, 11)]
+            + [0x00, 0xF0]
+        )
+    # canonical codes are prefix-free
+    codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    as_bits = {f"{c:0{ln}b}" for c, ln in codes.values()}
+    assert len(as_bits) == 162
+    for a in as_bits:
+        assert not any(b != a and b.startswith(a) for b in as_bits)
+
+
+def test_malformed_streams_rejected():
+    img = np.stack([_tile_image(1, 2, seed=7)] * 3, axis=2)
+    data = encode_jpeg(img, quality=50)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00" + data)
+    # progressive SOF2 is the honest seam
+    prog = bytearray(data)
+    prog[data.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    # truncation inside the entropy segment
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(data[: len(data) - max(8, len(data) // 4)])
+
+
+def test_quality_knob_monotone():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (25, 50, 75, 95)]
+    assert sizes == sorted(sizes)
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(img, quality=0)
+
+
+def test_decode_real_dispatches_jpeg():
+    from hadoop_sync_spark.multimodal import decode_real
+
+    img = _tile_image(2, 2, seed=9)
+    out = decode_real(encode_jpeg(np.stack([img] * 3, axis=2), quality=50))
+    assert out.shape == (16, 16, 3)
+    # greyscale replicates to (H, W, 3) like the PNG dispatch
+    outg = decode_real(encode_jpeg(img, quality=50))
+    assert outg.shape == (16, 16, 3)
+    assert np.array_equal(outg[:, :, 0], img)
