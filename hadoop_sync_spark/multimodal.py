@@ -514,12 +514,25 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (payload deterministically keyed by doc_id, kind cycling
     image/audio/video, dims derived from n_chars).  Built distributedly via
     ``mapInPandas`` so asset generation scales with the corpus instead of
-    materializing on the driver."""
+    materializing on the driver.
+
+    The (doc_id, n_chars) key frame repartitions to core count BEFORE the
+    generation stage: codec/DSP work downstream is CPU-bound, and a
+    few-KB key projection otherwise plans as ONE input partition,
+    serializing every consumer (q90/q91/q92/q129) on a single thread —
+    measured 3.0-3.6 s each at sf0.1 pre-fix, and the old q129 10× ratio
+    of 9.67 was this parallelism curve, not data.  Only 16-byte keys
+    cross the exchange; generated payloads never do — the identical
+    posture to the q145/q146 codec round trips."""
     from collections.abc import Iterator as _It
 
     from hadoop_sync_spark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def fn(batches: _It) -> _It:
         import pandas as pd
