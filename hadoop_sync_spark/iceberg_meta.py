@@ -1,0 +1,685 @@
+"""Apache Iceberg table-format reader/committer — the Iceberg sibling of
+``delta_log.py``, implemented from the PUBLIC table spec
+(iceberg.apache.org/spec, format v2) with no ``pyiceberg``/runtime
+binding (absent in this container).  Manifest lists and manifests are
+real Avro Object Container Files via the from-scratch codec in
+``avro_codec.py``.
+
+The metadata tree implemented:
+
+- ``<table>/metadata/v<N>.metadata.json`` — table metadata: format
+  version, table uuid, schemas (Iceberg field-id struct JSON), partition
+  specs, the snapshot list (each with ``manifest-list`` path, timestamp,
+  sequence number, operation summary), ``current-snapshot-id``,
+  ``snapshot-log``; ``version-hint.text`` carries N (the HadoopCatalog
+  convention, also public).
+- snapshot → **manifest list** (Avro): one row per manifest with path,
+  length, spec id, content kind, sequence numbers, added/existing/
+  deleted file+row counts, and per-partition-field summaries
+  (``contains_null`` + lower/upper bounds) — the layer Iceberg's scan
+  planning prunes on before touching any manifest.
+- manifest → **manifest entries** (Avro): status
+  (EXISTING=0/ADDED=1/DELETED=2), snapshot id, sequence numbers, and the
+  ``data_file`` struct (content, path, format, partition values, record
+  count, file size).  A file is live in a snapshot iff its newest entry
+  has status ≠ DELETED and ``content`` = data.
+
+Commits follow Iceberg's optimistic protocol shape: write the new
+manifest + manifest list + ``v(N+1).metadata.json`` via O_EXCL
+put-if-absent (two writers racing the same version: exactly one wins),
+then point ``version-hint.text`` at it — the swap-a-pointer discipline
+the registry's A23 publish (registry.py::_publish) and the Delta
+committer already use.  ``delete`` is copy-on-write at the metadata
+level: a replacement manifest rewrites surviving entries as EXISTING and
+removed ones as DELETED, exactly how Iceberg's ``overwrite`` snapshots
+express file-level deletes (no position/equality delete files — those
+are the v2 merge-on-read seam, raised on explicitly).
+
+Scale posture: identical to the Delta reader — the metadata walk is
+KB-scale driver work (exactly where production Iceberg plans scans: the
+manifest-list layer exists so planning reads O(manifests touched), not
+O(files)); the selected data files feed a plain distributed
+``spark.read.parquet`` with pushdown/pruning intact.  Partition pruning
+happens at BOTH metadata layers: manifest-list field summaries skip
+whole manifests, entry partition values skip files — before a single
+data byte is read.
+
+Reference parity: the reference's catalog tracks shards per table
+(CitusMetadataSync); Iceberg's manifest tree is the open-format
+equivalent of that shard list, which is why ``Registry.diff`` can treat
+a snapshot as FS state (the round-7 Delta integration pattern, A12-A16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from hadoop_sync_spark.avro_codec import read_ocf, write_ocf
+
+_STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+_CONTENT_DATA = 0
+
+#: Spark simpleString → Iceberg primitive type names (the subset the
+#: fixture tables need; anything else raises honestly).
+_SPARK_TO_ICEBERG = {
+    "bigint": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "binary": "binary",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _iceberg_schema_json(fields: list[tuple[str, str]]) -> dict:
+    """[(name, spark_type)] → Iceberg struct schema with field ids."""
+    out = []
+    for i, (name, spark_t) in enumerate(fields, start=1):
+        if spark_t not in _SPARK_TO_ICEBERG:
+            raise NotImplementedError(
+                f"no Iceberg mapping for Spark type {spark_t!r}"
+            )
+        out.append(
+            {
+                "id": i,
+                "name": name,
+                "required": False,
+                "type": _SPARK_TO_ICEBERG[spark_t],
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": out}
+
+
+def _partition_avro_fields(spec_fields: list[dict]) -> list[dict]:
+    """Iceberg spec fields (identity transforms) → Avro record fields for
+    the ``partition`` struct inside data_file.  Fixture specs are int/
+    long/string-typed identity partitions; the type rides in the spec."""
+    avro_t = {"int": "int", "long": "long", "string": "string"}
+    return [
+        {
+            "name": f["name"],
+            "type": ["null", avro_t[f["result-type"]]],
+            "default": None,
+        }
+        for f in spec_fields
+    ]
+
+
+def _manifest_entry_schema(spec_fields: list[dict]) -> dict:
+    part = {
+        "type": "record",
+        "name": "r102",
+        "fields": _partition_avro_fields(spec_fields),
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": part},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "field_summary",
+    "fields": [
+        {"name": "contains_null", "type": "boolean"},
+        {"name": "contains_nan", "type": ["null", "boolean"], "default": None},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+            "default": None,
+        },
+    ],
+}
+
+
+def _le_bytes(v, typ: str) -> bytes:
+    """Iceberg single-value serialization for bounds (spec Appendix D):
+    little-endian for int/long, UTF-8 for strings."""
+    import struct as _s
+
+    if typ == "int":
+        return _s.pack("<i", v)
+    if typ == "long":
+        return _s.pack("<q", v)
+    if typ == "string":
+        return v.encode("utf-8")
+    raise NotImplementedError(f"bound serialization for {typ!r}")
+
+
+def _from_le_bytes(b: bytes, typ: str):
+    import struct as _s
+
+    if typ == "int":
+        return _s.unpack("<i", b)[0]
+    if typ == "long":
+        return _s.unpack("<q", b)[0]
+    if typ == "string":
+        return b.decode("utf-8")
+    raise NotImplementedError(f"bound deserialization for {typ!r}")
+
+
+@dataclass(frozen=True)
+class DataFile:
+    path: str
+    partition: dict
+    record_count: int
+    file_size: int
+
+
+class IcebergTable:
+    """Reader/committer over ``<table_dir>/metadata``.  Data files live
+    under ``<table_dir>/data`` by convention but any absolute path in a
+    manifest is honored (manifests store full paths per spec)."""
+
+    def __init__(self, table_dir: str):
+        self.dir = table_dir
+        self.meta_dir = os.path.join(table_dir, "metadata")
+
+    # ------------------------------------------------------------ versions
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._hint_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            versions = [
+                int(n[1:].split(".")[0])
+                for n in os.listdir(self.meta_dir)
+                if n.startswith("v") and n.endswith(".metadata.json")
+            ]
+            if not versions:
+                raise ValueError(f"no Iceberg metadata in {self.meta_dir}")
+            return max(versions)
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as fh:
+            meta = json.load(fh)
+        if meta.get("format-version") not in (1, 2):
+            raise NotImplementedError(
+                f"Iceberg format-version {meta.get('format-version')}"
+            )
+        return meta
+
+    # ------------------------------------------------------------ snapshots
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata().get("snapshots", []))
+
+    def snapshot(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> dict:
+        meta = self.metadata()
+        snaps = meta.get("snapshots", [])
+        if not snaps:
+            raise ValueError("table has no snapshots")
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["snapshot-id"] == snapshot_id:
+                    return s
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        if as_of_timestamp_ms is not None:
+            eligible = [
+                e
+                for e in meta.get("snapshot-log", [])
+                if e["timestamp-ms"] <= as_of_timestamp_ms
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot at or before {as_of_timestamp_ms}"
+                )
+            want = max(eligible, key=lambda e: e["timestamp-ms"])
+            return self.snapshot(snapshot_id=want["snapshot-id"])
+        cur = meta.get("current-snapshot-id")
+        return self.snapshot(snapshot_id=cur)
+
+    # ----------------------------------------------------------------- scan
+    def _spec_fields(self, meta: dict, spec_id: int) -> list[dict]:
+        for spec in meta.get("partition-specs", []):
+            if spec["spec-id"] == spec_id:
+                for f in spec["fields"]:
+                    if f.get("transform", "identity") != "identity":
+                        raise NotImplementedError(
+                            f"partition transform {f['transform']!r}"
+                        )
+                return spec["fields"]
+        return []
+
+    def files(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> list[DataFile]:
+        """Live data files of a snapshot, pruned at both metadata layers
+        when ``partition_filter`` (identity-partition equality, e.g.
+        ``{"p_bucket": 3}``) is given: manifest-list field summaries skip
+        whole manifests, entry partition values skip files.  No data file
+        is opened at any point — this is the metadata-only scan planning
+        Iceberg exists for."""
+        meta = self.metadata()
+        snap = self.snapshot(snapshot_id, as_of_timestamp_ms)
+        mlist_path = self._resolve(snap["manifest-list"])
+        _, manifests, _ = read_ocf(mlist_path)
+        out: list[DataFile] = []
+        for mf in manifests:
+            if mf["content"] != _CONTENT_DATA:
+                raise NotImplementedError(
+                    "delete manifests (merge-on-read) not supported"
+                )
+            spec_fields = self._spec_fields(meta, mf["partition_spec_id"])
+            if partition_filter and mf.get("partitions"):
+                if self._summary_prunes(
+                    mf["partitions"], spec_fields, partition_filter
+                ):
+                    continue
+            _, entries, _ = read_ocf(self._resolve(mf["manifest_path"]))
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                df = e["data_file"]
+                if df["content"] != _CONTENT_DATA:
+                    raise NotImplementedError(
+                        "position/equality delete files not supported"
+                    )
+                part = dict(df["partition"])
+                if partition_filter and any(
+                    part.get(k) != v for k, v in partition_filter.items()
+                ):
+                    continue
+                out.append(
+                    DataFile(
+                        path=self._resolve(df["file_path"]),
+                        partition=part,
+                        record_count=df["record_count"],
+                        file_size=df["file_size_in_bytes"],
+                    )
+                )
+        return out
+
+    @staticmethod
+    def _summary_prunes(
+        summaries: list[dict], spec_fields: list[dict], flt: dict
+    ) -> bool:
+        """True iff a filtered field's value falls outside the manifest's
+        [lower, upper] bound summary — the whole manifest is skipped."""
+        by_name = {f["name"]: i for i, f in enumerate(spec_fields)}
+        for name, want in flt.items():
+            i = by_name.get(name)
+            if i is None or i >= len(summaries):
+                continue
+            s = summaries[i]
+            typ = spec_fields[i]["result-type"]
+            lo = (
+                _from_le_bytes(s["lower_bound"], typ)
+                if s.get("lower_bound") is not None
+                else None
+            )
+            hi = (
+                _from_le_bytes(s["upper_bound"], typ)
+                if s.get("upper_bound") is not None
+                else None
+            )
+            if lo is not None and want < lo:
+                return True
+            if hi is not None and want > hi:
+                return True
+        return False
+
+    def _resolve(self, path: str) -> str:
+        if os.path.isabs(path):
+            return path
+        return os.path.join(self.dir, path)
+
+    def read(
+        self,
+        spark,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        partition_filter: dict | None = None,
+    ):
+        """Snapshot → distributed parquet scan of exactly the live files
+        (pushdown/pruning intact; partition columns attached as literals
+        from the manifest's identity values when partitioned)."""
+        from pyspark.sql import functions as F
+
+        files = self.files(snapshot_id, as_of_timestamp_ms, partition_filter)
+        if not files:
+            raise ValueError("snapshot selects no data files")
+        by_part: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple(sorted(f.partition.items()))
+            by_part.setdefault(key, []).append(f.path)
+        frames = []
+        for key, paths in sorted(by_part.items()):
+            df = spark.read.parquet(*paths)
+            for name, val in key:
+                df = df.withColumn(name, F.lit(val))
+            frames.append(df)
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def history(self) -> list[dict]:
+        """Operation log in DESCRIBE HISTORY shape, newest first."""
+        meta = self.metadata()
+        return [
+            {
+                "snapshot_id": s["snapshot-id"],
+                "timestamp_ms": s["timestamp-ms"],
+                "sequence_number": s.get("sequence-number", 0),
+                "operation": s.get("summary", {}).get("operation"),
+                "is_current": s["snapshot-id"]
+                == meta.get("current-snapshot-id"),
+            }
+            for s in sorted(
+                meta.get("snapshots", []),
+                key=lambda s: -s["timestamp-ms"],
+            )
+        ]
+
+    # --------------------------------------------------------------- writes
+    @staticmethod
+    def create(
+        table_dir: str,
+        fields: list[tuple[str, str]],
+        partition_by: list[tuple[str, str]] | None = None,
+        now_ms: int = 0,
+    ) -> "IcebergTable":
+        """Create an empty v2 table: ``fields`` = [(name, spark_type)];
+        ``partition_by`` = [(column, result_type)] identity transforms."""
+        schema = _iceberg_schema_json(fields)
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        spec_fields = [
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": by_name[col],
+                "field-id": 1000 + i,
+                "result-type": typ,
+            }
+            for i, (col, typ) in enumerate(partition_by or [])
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-0000-0000-{abs(hash(table_dir)) % 10**12:012d}",
+            "location": table_dir,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": len(fields),
+            "current-schema-id": 0,
+            "schemas": [schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "properties": {},
+            "current-snapshot-id": None,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+        t = IcebergTable(table_dir)
+        t._write_metadata(1, meta)
+        return t
+
+    def _write_metadata(self, version: int, meta: dict) -> None:
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        # put-if-absent: O_EXCL loses cleanly to a concurrent committer
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        tmp = f"{self._hint_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._hint_path())
+
+    def _commit_snapshot(
+        self,
+        entries: list[dict],
+        operation: str,
+        now_ms: int,
+        counts: tuple[int, int, int, int, int, int],
+    ) -> int:
+        """Write manifest + manifest list + next metadata version.  The
+        snapshot id is deterministic (sequence-derived) — same
+        no-ambient-randomness rule as the Avro sync marker."""
+        meta = self.metadata()
+        version = self.current_version()
+        seq = meta["last-sequence-number"] + 1
+        snap_id = 1000 + seq
+        spec_fields = self._spec_fields(meta, 0)
+        entry_schema = _manifest_entry_schema(spec_fields)
+        man_rel = f"metadata/snap-{snap_id}-manifest.avro"
+        man_path = os.path.join(self.dir, man_rel)
+        write_ocf(
+            man_path,
+            entry_schema,
+            entries,
+            extra_meta={
+                "schema": json.dumps(
+                    meta["schemas"][meta["current-schema-id"]]
+                ).encode(),
+                "partition-spec": json.dumps(spec_fields).encode(),
+                "content": b"data",
+            },
+        )
+        added_f, existing_f, deleted_f, added_r, existing_r, deleted_r = counts
+        summaries = self._field_summaries(entries, spec_fields)
+        mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
+        write_ocf(
+            os.path.join(self.dir, mlist_rel),
+            _MANIFEST_FILE_SCHEMA,
+            [
+                {
+                    "manifest_path": man_rel,
+                    "manifest_length": os.path.getsize(man_path),
+                    "partition_spec_id": 0,
+                    "content": _CONTENT_DATA,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": added_f,
+                    "existing_files_count": existing_f,
+                    "deleted_files_count": deleted_f,
+                    "added_rows_count": added_r,
+                    "existing_rows_count": existing_r,
+                    "deleted_rows_count": deleted_r,
+                    "partitions": summaries if spec_fields else None,
+                }
+            ],
+        )
+        meta = dict(meta)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["current-snapshot-id"] = snap_id
+        meta["snapshots"] = list(meta["snapshots"]) + [
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": now_ms,
+                "sequence-number": seq,
+                "schema-id": meta["current-schema-id"],
+                "summary": {"operation": operation},
+                "manifest-list": mlist_rel,
+            }
+        ]
+        meta["snapshot-log"] = list(meta["snapshot-log"]) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        ]
+        self._write_metadata(version + 1, meta)
+        return snap_id
+
+    @staticmethod
+    def _field_summaries(
+        entries: list[dict], spec_fields: list[dict]
+    ) -> list[dict]:
+        out = []
+        for f in spec_fields:
+            vals = [
+                e["data_file"]["partition"].get(f["name"])
+                for e in entries
+                if e["status"] != _STATUS_DELETED
+            ]
+            non_null = [v for v in vals if v is not None]
+            out.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": _le_bytes(min(non_null), f["result-type"])
+                    if non_null
+                    else None,
+                    "upper_bound": _le_bytes(max(non_null), f["result-type"])
+                    if non_null
+                    else None,
+                }
+            )
+        return out
+
+    def append(
+        self, files: list[DataFile], now_ms: int = 0
+    ) -> int:
+        """Fast-append snapshot: prior live entries carry forward as
+        EXISTING, new files enter as ADDED."""
+        prior = self._live_entries()
+        entries = prior + [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": _CONTENT_DATA,
+                    "file_path": f.path,
+                    "file_format": "PARQUET",
+                    "partition": f.partition,
+                    "record_count": f.record_count,
+                    "file_size_in_bytes": f.file_size,
+                },
+            }
+            for f in files
+        ]
+        return self._commit_snapshot(
+            entries,
+            "append",
+            now_ms,
+            (
+                len(files),
+                len(prior),
+                0,
+                sum(f.record_count for f in files),
+                sum(
+                    e["data_file"]["record_count"] for e in prior
+                ),
+                0,
+            ),
+        )
+
+    def delete(self, paths: set[str], now_ms: int = 0) -> int:
+        """Copy-on-write delete: surviving entries rewritten EXISTING,
+        removed paths written DELETED (data files untouched on disk —
+        time travel to older snapshots still resolves them)."""
+        prior = self._live_entries()
+        entries = []
+        deleted_f = deleted_r = 0
+        for e in prior:
+            rel = e["data_file"]["file_path"]
+            if rel in paths or self._resolve(rel) in paths:
+                e = dict(e)
+                e["status"] = _STATUS_DELETED
+                deleted_f += 1
+                deleted_r += e["data_file"]["record_count"]
+            entries.append(e)
+        if not deleted_f:
+            raise ValueError("delete matched no live data files")
+        live = len(prior) - deleted_f
+        live_r = sum(
+            e["data_file"]["record_count"]
+            for e in entries
+            if e["status"] != _STATUS_DELETED
+        )
+        return self._commit_snapshot(
+            entries, "overwrite", now_ms, (0, live, deleted_f, 0, live_r, deleted_r)
+        )
+
+    def _live_entries(self) -> list[dict]:
+        meta = self.metadata()
+        if meta.get("current-snapshot-id") is None:
+            return []
+        out = []
+        for f in self.files():
+            out.append(
+                {
+                    "status": _STATUS_EXISTING,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": _CONTENT_DATA,
+                        "file_path": os.path.relpath(f.path, self.dir),
+                        "file_format": "PARQUET",
+                        "partition": f.partition,
+                        "record_count": f.record_count,
+                        "file_size_in_bytes": f.file_size,
+                    },
+                }
+            )
+        return out

@@ -1,0 +1,216 @@
+"""Avro binary codec + OCF tests (hadoop_sync_spark/avro_codec.py).
+
+The codec exists so Iceberg manifests (Avro OCF per the table spec) can
+be read and written with no avro/fastavro dependency; these tests pin the
+encoding rules from the public Avro 1.11 spec on an Iceberg-shaped schema
+plus the corner cases a from-scratch reader must survive (negative block
+counts, multi-block files, sync-marker corruption, unknown codecs).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+
+from hadoop_sync_spark.avro_codec import (
+    _decode,
+    _encode,
+    _Types,
+    read_long,
+    read_ocf,
+    write_long,
+    write_ocf,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [
+                                {
+                                    "name": "p_day",
+                                    "type": ["null", "int"],
+                                    "default": None,
+                                }
+                            ],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {
+                        "name": "column_sizes",
+                        "type": ["null", {"type": "map", "values": "long"}],
+                        "default": None,
+                    },
+                    {"name": "tags", "type": {"type": "array", "items": "string"}},
+                    {
+                        "name": "checksum",
+                        "type": {"type": "fixed", "name": "md5x", "size": 4},
+                    },
+                    {
+                        "name": "kind",
+                        "type": {
+                            "type": "enum",
+                            "name": "K",
+                            "symbols": ["DATA", "DELETES"],
+                        },
+                    },
+                    {"name": "score", "type": "double"},
+                    {"name": "ok", "type": "boolean"},
+                ],
+            },
+        },
+    ],
+}
+
+RECORDS = [
+    {
+        "status": 1,
+        "snapshot_id": 9_007_199_254_740_993,  # > 2^53: full 64-bit varint
+        "data_file": {
+            "file_path": "s3://bucket/data/f1.parquet",
+            "partition": {"p_day": 19_000},
+            "record_count": 100,
+            "column_sizes": {"1": 64, "2": 128},
+            "tags": ["a", "ü"],  # non-ASCII UTF-8
+            "checksum": b"\x01\x02\x03\x04",
+            "kind": "DELETES",
+            "score": 1.5,
+            "ok": True,
+        },
+    },
+    {
+        "status": 2,
+        "snapshot_id": None,
+        "data_file": {
+            "file_path": "f2.parquet",
+            "partition": {"p_day": None},
+            "record_count": -5,  # negative long → zigzag path
+            "column_sizes": None,
+            "tags": [],
+            "checksum": b"\xff\xfe\xfd\xfc",
+            "kind": "DATA",
+            "score": -0.25,
+            "ok": False,
+        },
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_roundtrip_multiblock(tmp_path, codec):
+    path = str(tmp_path / "m.avro")
+    recs = RECORDS * 700  # spans two 1000-row blocks
+    write_ocf(path, SCHEMA, recs, codec=codec)
+    schema, out, meta = read_ocf(path)
+    assert schema == SCHEMA
+    assert out == recs
+    assert meta["avro.codec"] == codec.encode()
+    if codec == "deflate":
+        assert os.path.getsize(path) < 10_000  # genuinely compressed
+
+
+def test_extra_meta_roundtrip(tmp_path):
+    path = str(tmp_path / "m.avro")
+    write_ocf(
+        path, SCHEMA, RECORDS, extra_meta={"partition-spec": b"[]", "content": b"data"}
+    )
+    _, _, meta = read_ocf(path)
+    assert meta["partition-spec"] == b"[]" and meta["content"] == b"data"
+
+
+def test_varint_zigzag_edges():
+    for n in (0, -1, 1, 63, -64, 2**62, -(2**63), 2**63 - 1):
+        buf = io.BytesIO()
+        write_long(buf, n)
+        buf.seek(0)
+        assert read_long(buf) == n
+    with pytest.raises(ValueError, match="truncated"):
+        read_long(io.BytesIO(b"\x80\x80"))
+
+
+def test_negative_block_count_array():
+    """Writers may emit size-prefixed blocks (negative count + byte
+    length); the reader must honor both forms (spec §complex types)."""
+    buf = io.BytesIO()
+    write_long(buf, -2)
+    write_long(buf, 99)  # byte-size hint, skipped by this reader
+    _encode(buf, "long", 7, _Types())
+    _encode(buf, "long", 8, _Types())
+    write_long(buf, 0)
+    buf.seek(0)
+    assert _decode(buf, {"type": "array", "items": "long"}, _Types()) == [7, 8]
+
+
+def test_sync_marker_corruption_detected(tmp_path):
+    path = str(tmp_path / "m.avro")
+    write_ocf(path, SCHEMA, RECORDS, codec="null")
+    data = bytearray(open(path, "rb").read())
+    data[-1] ^= 0xFF  # last byte is part of the final sync marker
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="sync"):
+        read_ocf(path)
+
+
+def test_bad_magic_and_unknown_codec(tmp_path):
+    path = str(tmp_path / "m.avro")
+    with pytest.raises(NotImplementedError, match="codec"):
+        write_ocf(path, SCHEMA, RECORDS, codec="snappy")
+    open(path, "wb").write(b"PAR1whatever")
+    with pytest.raises(ValueError, match="container"):
+        read_ocf(path)
+    # reader-side unknown codec: craft a minimal OCF claiming zstandard
+    buf = io.BytesIO()
+    buf.write(b"Obj\x01")
+    _encode(
+        buf,
+        {"type": "map", "values": "bytes"},
+        {"avro.schema": b'"long"', "avro.codec": b"zstandard"},
+        _Types(),
+    )
+    buf.write(b"\x00" * 16)
+    open(path, "wb").write(buf.getvalue())
+    with pytest.raises(NotImplementedError, match="zstandard"):
+        read_ocf(path)
+
+
+def test_union_branch_selection_and_mismatch():
+    buf = io.BytesIO()
+    _encode(buf, ["null", "long"], 7, _Types())
+    buf.seek(0)
+    assert read_long(buf) == 1  # branch index
+    assert read_long(buf) == 7
+    with pytest.raises(ValueError, match="union"):
+        _encode(io.BytesIO(), ["null", "long"], "not-a-long", _Types())
+
+
+def test_record_field_default_applied():
+    """A writer given a dict missing an optional field encodes the
+    schema default instead of raising (Iceberg entries omit nulls)."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": ["null", "int"], "default": None},
+        ],
+    }
+    buf = io.BytesIO()
+    _encode(buf, schema, {"a": 3}, _Types())
+    buf.seek(0)
+    assert _decode(buf, schema, _Types()) == {"a": 3, "b": None}

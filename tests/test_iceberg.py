@@ -1,0 +1,186 @@
+"""Iceberg table-format tests (hadoop_sync_spark/iceberg_meta.py).
+
+Mirrors the Delta suite's strategy (tests/test_delta_log.py): a
+deterministic multi-snapshot fixture exercises the full metadata tree —
+create → append → append → copy-on-write delete — and pins snapshot
+isolation, time travel (by id and by timestamp), metadata-only planning,
+two-layer partition pruning, commit-collision put-if-absent, and the
+honest seams (non-identity transforms, merge-on-read delete files,
+unknown format versions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    """3-snapshot partitioned table over simple (id, val, p_bucket) rows."""
+    d = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(d, "data"))
+
+    def write_pq(name, ids, bucket):
+        p = os.path.join(d, "data", name)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "val": [f"v{i}" for i in ids],
+                }
+            ),
+            p,
+        )
+        return DataFile(
+            path=f"data/{name}",
+            partition={"p_bucket": bucket},
+            record_count=len(ids),
+            file_size=os.path.getsize(p),
+        )
+
+    t = IcebergTable.create(
+        d,
+        [("id", "bigint"), ("val", "string"), ("p_bucket", "int")],
+        partition_by=[("p_bucket", "int")],
+        now_ms=1000,
+    )
+    s1 = t.append(
+        [write_pq("f1.parquet", [1, 2, 3], 0), write_pq("f2.parquet", [4, 5], 1)],
+        now_ms=2000,
+    )
+    s2 = t.append([write_pq("f3.parquet", [6], 2)], now_ms=3000)
+    s3 = t.delete({"data/f2.parquet"}, now_ms=4000)
+    return t, (s1, s2, s3)
+
+
+def _names(files):
+    return sorted(f.path.rsplit("/", 1)[-1] for f in files)
+
+
+def test_snapshot_lifecycle_and_live_set(table):
+    t, (s1, s2, s3) = table
+    assert _names(t.files()) == ["f1.parquet", "f3.parquet"]
+    assert _names(t.files(snapshot_id=s1)) == ["f1.parquet", "f2.parquet"]
+    assert _names(t.files(snapshot_id=s2)) == [
+        "f1.parquet",
+        "f2.parquet",
+        "f3.parquet",
+    ]
+    ops = [(h["operation"], h["is_current"]) for h in t.history()]
+    assert ops == [("overwrite", True), ("append", False), ("append", False)]
+    # sequence numbers strictly increase
+    seqs = [h["sequence_number"] for h in t.history()]
+    assert seqs == sorted(seqs, reverse=True) and len(set(seqs)) == 3
+
+
+def test_time_travel_by_timestamp(table):
+    t, (s1, s2, s3) = table
+    assert _names(t.files(as_of_timestamp_ms=2500)) == [
+        "f1.parquet",
+        "f2.parquet",
+    ]
+    assert _names(t.files(as_of_timestamp_ms=9999)) == _names(t.files())
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.files(as_of_timestamp_ms=500)
+
+
+def test_planning_is_metadata_only(table):
+    """files() must not open any data file: delete every parquet on disk
+    and planning still resolves the full live set — the manifest tree is
+    the catalog, exactly the property that lets scan planning run on a
+    driver without touching 100 TB of data."""
+    t, _ = table
+    before = _names(t.files())
+    for f in t.files():
+        os.remove(f.path)
+    assert _names(t.files()) == before
+
+
+def test_partition_pruning_two_layers(table, monkeypatch):
+    t, _ = table
+    assert _names(t.files(partition_filter={"p_bucket": 2})) == ["f3.parquet"]
+    assert _names(t.files(partition_filter={"p_bucket": 0})) == ["f1.parquet"]
+    # out-of-bounds filter: the manifest-list summary must prune the
+    # whole manifest, so NO manifest file is ever opened
+    import hadoop_sync_spark.iceberg_meta as M
+
+    opened = []
+    real = M.read_ocf
+
+    def spy(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(M, "read_ocf", spy)
+    assert t.files(partition_filter={"p_bucket": 99}) == []
+    assert all("manifest-list" in p for p in opened), opened
+
+
+def test_read_through_spark_with_time_travel(spark, table):
+    t, (s1, _, _) = table
+    now = t.read(spark)
+    assert sorted(r["id"] for r in now.collect()) == [1, 2, 3, 6]
+    old = t.read(spark, snapshot_id=s1)
+    assert sorted(r["id"] for r in old.collect()) == [1, 2, 3, 4, 5]
+    # identity partition values attach as columns from the manifest
+    got = {
+        (r["id"], r["p_bucket"]) for r in now.select("id", "p_bucket").collect()
+    }
+    assert got == {(1, 0), (2, 0), (3, 0), (6, 2)}
+    pruned = t.read(spark, partition_filter={"p_bucket": 0})
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 2, 3]
+
+
+def test_commit_collision_put_if_absent(table):
+    t, _ = table
+    v = t.current_version()
+    meta = t.metadata()
+    with pytest.raises(FileExistsError):
+        t._write_metadata(v, meta)  # same version: exactly one writer wins
+
+
+def test_delete_requires_a_match_and_keeps_history(table):
+    t, (s1, _, _) = table
+    with pytest.raises(ValueError, match="matched no"):
+        t.delete({"data/nope.parquet"}, now_ms=5000)
+    # the removed file is still resolvable through the old snapshot
+    assert "f2.parquet" in _names(t.files(snapshot_id=s1))
+
+
+def test_honest_seams(table, tmp_path):
+    t, _ = table
+    # non-identity transform refuses instead of mis-pruning
+    meta = t.metadata()
+    bad = json.loads(json.dumps(meta))
+    bad["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
+    v = t.current_version() + 1
+    path = os.path.join(t.meta_dir, f"v{v}.metadata.json")
+    json.dump(bad, open(path, "w"))
+    open(t._hint_path(), "w").write(str(v))
+    with pytest.raises(NotImplementedError, match="transform"):
+        t.files()
+    # unknown format version refuses at the metadata layer
+    bad["format-version"] = 3
+    json.dump(bad, open(path, "w"))
+    with pytest.raises(NotImplementedError, match="format-version"):
+        t.metadata()
+
+
+def test_unpartitioned_table(tmp_path, spark):
+    d = str(tmp_path / "flat")
+    os.makedirs(os.path.join(d, "data"))
+    p = os.path.join(d, "data", "a.parquet")
+    pq.write_table(pa.table({"x": pa.array([10, 20], pa.int64())}), p)
+    t = IcebergTable.create(d, [("x", "bigint")], now_ms=1)
+    t.append(
+        [DataFile(p, {}, 2, os.path.getsize(p))],
+        now_ms=2,
+    )
+    assert [r["x"] for r in t.read(spark).orderBy("x").collect()] == [10, 20]
