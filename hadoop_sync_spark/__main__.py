@@ -5,7 +5,7 @@ collecting min/max statistics.
     python -m hadoop_sync_spark sync  <meta_dir> <table> [--fetch-min-max]
     python -m hadoop_sync_spark register <meta_dir> <table> <data_path>
                                         [--partition-column COL]
-                                        [--format dir|delta]
+                                        [--format dir|delta|iceberg]
     python -m hadoop_sync_spark diff  <meta_dir> <table>
     python -m hadoop_sync_spark vacuum <meta_dir> [--keep-last N]
     python -m hadoop_sync_spark compact <meta_dir> <table>
@@ -36,10 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     reg_p.add_argument("--partition-column", default=None)
     reg_p.add_argument(
         "--format",
-        choices=("dir", "delta"),
+        choices=("dir", "delta", "iceberg"),
         default="dir",
-        help="'delta' treats data_path as a Delta table: diff/sync track "
-        "the transaction log's live snapshot instead of the raw walk",
+        help="'delta'/'iceberg' treat data_path as an open-format table: "
+        "diff/sync track the current snapshot's live files (transaction "
+        "log / manifest tree) instead of the raw directory walk",
     )
 
     sync_p = sub.add_parser("sync", help="incremental diff-sync one table")
@@ -87,15 +88,18 @@ def main(argv: list[str] | None = None) -> int:
     reg = Registry(spark, args.meta_dir)
     try:
         if args.cmd == "register":
-            if args.format == "delta":
+            if args.format in ("delta", "iceberg"):
                 if args.partition_column:
                     print(
                         "--partition-column is not supported with "
-                        "--format delta",
+                        f"--format {args.format}",
                         file=sys.stderr,
                     )
                     return 1
-                reg.register_delta(args.table, args.data_path)
+                if args.format == "delta":
+                    reg.register_delta(args.table, args.data_path)
+                else:
+                    reg.register_iceberg(args.table, args.data_path)
             else:
                 reg.register(
                     args.table,

@@ -424,6 +424,43 @@ class Registry:
             )
         return out
 
+    def register_iceberg(self, name: str, table_dir: str) -> None:
+        """Bind a logical table to an ICEBERG table directory — the
+        Iceberg twin of :meth:`register_delta`: diff/sync source FS state
+        from the current snapshot's manifest tree (live data files only),
+        so copy-on-write deletes drop shards even while the data files
+        remain on disk for time travel, and everything downstream of
+        diff is the unchanged A12-A16 workflow."""
+        tables = self._load_tables()
+        shards = self._load_shards()
+        tables[name] = {
+            "dir_path": os.path.abspath(table_dir),
+            "partition_column": None,
+            "format": "iceberg",
+            "registered_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        self._publish(tables, shards)
+
+    @staticmethod
+    def _iceberg_live_files(table_dir: str) -> list[dict]:
+        """FS state of an Iceberg-format table: the current snapshot's
+        live data files from the manifest walk (metadata-only planning),
+        (size, mtime) identity from the filesystem like every other
+        format."""
+        from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+        out = []
+        for f in IcebergTable(table_dir).files():
+            st = os.stat(f.path)
+            out.append(
+                {
+                    "path": f.path,
+                    "size": st.st_size,
+                    "mtime_ns": st.st_mtime_ns,
+                }
+            )
+        return out
+
     def diff(self, name: str) -> MetadataDifference:
         """FS state vs catalog state — the reference's
         `calculateMetadataDifference` (`HdfsSynchronizer.java:142-205`),
@@ -439,13 +476,15 @@ class Registry:
         tables = self._load_tables()
         if name not in tables:
             raise KeyError(f"table not registered: {name}")
-        # delta-format tables substitute the snapshot's live list for the
-        # raw walk; the non-delta path is byte-identical to before
-        fs_files = (
-            self._delta_live_files(tables[name]["dir_path"])
-            if tables[name].get("format") == "delta"
-            else self._list_data_files(tables[name]["dir_path"])
-        )
+        # open-format tables substitute the snapshot's live list for the
+        # raw walk; the plain-directory path is byte-identical to before
+        fmt = tables[name].get("format")
+        if fmt == "delta":
+            fs_files = self._delta_live_files(tables[name]["dir_path"])
+        elif fmt == "iceberg":
+            fs_files = self._iceberg_live_files(tables[name]["dir_path"])
+        else:
+            fs_files = self._list_data_files(tables[name]["dir_path"])
         fs = {(f["path"], f["size"], f["mtime_ns"]): f for f in fs_files}
         cat = {
             (s["path"], s["size"], s["mtime_ns"]): s

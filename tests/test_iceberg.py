@@ -184,3 +184,51 @@ def test_unpartitioned_table(tmp_path, spark):
         now_ms=2,
     )
     assert [r["x"] for r in t.read(spark).orderBy("x").collect()] == [10, 20]
+
+
+def test_registry_sync_of_iceberg_table_tracks_snapshots(spark, table):
+    """register_iceberg routes the registry's FS state through the
+    manifest walk — the Delta test's invariants against the other open
+    format: snapshots arrive as shard adds/removes, a copy-on-write
+    DELETE drops its shard while the data file still exists on disk
+    (time travel holds it), and re-sync is a noop."""
+    t, _ = table
+    from hadoop_sync_spark.registry import Registry
+
+    reg = Registry(spark, os.path.join(t.dir, "..", "meta"))
+    reg.register_iceberg("t", t.dir)
+    s = reg.sync("t")
+    assert (s.added, s.removed) == (2, 0)  # live set: f1, f3
+    assert sorted(
+        os.path.basename(r["path"]) for r in reg.shards("t")
+    ) == ["f1.parquet", "f3.parquet"]
+    assert reg.sync("t").noop
+    # a new append snapshot -> one shard add through the same sync
+    p = os.path.join(t.dir, "data", "f4.parquet")
+    pq.write_table(pa.table({"id": pa.array([7], pa.int64()), "val": ["v7"]}), p)
+    t.append(
+        [DataFile("data/f4.parquet", {"p_bucket": 3}, 1, os.path.getsize(p))],
+        now_ms=5000,
+    )
+    s = reg.sync("t")
+    assert (s.added, s.removed) == (1, 0)
+    # a delete snapshot -> shard drops even though the FILE still exists
+    t.delete({"data/f1.parquet"}, now_ms=6000)
+    s = reg.sync("t")
+    assert (s.added, s.removed) == (0, 1)
+    assert os.path.exists(os.path.join(t.dir, "data", "f1.parquet"))
+    # catalog-only read aggregates exactly the live rows
+    assert sorted(r["id"] for r in reg.read("t").collect()) == [6, 7]
+
+
+def test_cli_register_iceberg_and_sync(spark, table, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    t, _ = table
+    meta = os.path.join(t.dir, "..", "climeta")
+    assert main(["register", meta, "t", t.dir, "--format", "iceberg"]) == 0
+    assert main(["sync", meta, "t"]) == 0
+    assert "+2 -0 shards" in capsys.readouterr().out
+    t.delete({"data/f1.parquet"}, now_ms=7000)
+    assert main(["sync", meta, "t"]) == 0
+    assert "+0 -1 shards" in capsys.readouterr().out
