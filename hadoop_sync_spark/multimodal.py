@@ -425,7 +425,9 @@ def decode_real(content: bytes):
 def decode_header(content: bytes) -> tuple[int, int, int, int]:
     """Cheap header-only probe → (kind, width, height, frames) without
     decoding payloads: kind 1=image, 2=audio (width=n_samples, height=1),
-    3=video."""
+    3=video.  Covers every real-codec signature the module decodes
+    (BMP/WAV/RVID/PNG/JPEG) — the probe is what metadata-only pipelines
+    filter on before any payload crosses into Python."""
     if content[:2] == b"BM":
         w, h = struct.unpack("<ii", content[18:26])
         return 1, w, h, 1
@@ -437,6 +439,25 @@ def decode_header(content: bytes) -> tuple[int, int, int, int]:
         o, _ln = spans[0]
         w, h = struct.unpack("<ii", content[o + 18 : o + 26])
         return 3, w, h, len(spans)
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        # IHDR is mandated first: width/height at fixed offsets 16/20
+        w, h = struct.unpack(">II", content[16:24])
+        return 1, w, h, 1
+    if content[:2] == b"\xff\xd8":
+        # walk marker segments to the SOF header (no entropy decode)
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                break
+            marker = content[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
+                return 1, w, h, 1
+            if marker == 0xD9:
+                break
+            (ln,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+            pos += 2 + ln
+        raise ValueError("JPEG payload without an SOF header")
     raise ValueError("unknown media payload")
 
 

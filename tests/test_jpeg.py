@@ -178,3 +178,17 @@ def test_decode_real_dispatches_jpeg():
     outg = decode_real(encode_jpeg(img, quality=50))
     assert outg.shape == (16, 16, 3)
     assert np.array_equal(outg[:, :, 0], img)
+
+
+def test_decode_header_probes_jpeg_and_png():
+    """The metadata-only probe resolves dimensions from headers alone —
+    no Huffman/inflate work — for both compressed image formats."""
+    from hadoop_sync_spark.multimodal import decode_header, encode_png
+
+    img = _tile_image(2, 3, seed=10)
+    jpg = encode_jpeg(np.stack([img] * 3, axis=2), quality=50)
+    assert decode_header(jpg) == (1, 24, 16, 1)
+    png = encode_png(img)
+    assert decode_header(png) == (1, 24, 16, 1)
+    with pytest.raises(ValueError, match="SOF"):
+        decode_header(b"\xff\xd8\xff\xd9")
