@@ -214,3 +214,112 @@ def test_record_field_default_applied():
     _encode(buf, schema, {"a": 3}, _Types())
     buf.seek(0)
     assert _decode(buf, schema, _Types()) == {"a": 3, "b": None}
+
+
+def test_bidirectional_interop_with_official_avro_java(spark, tmp_path):
+    """TRUE external differential: Spark's jars bundle the official
+    Apache Avro Java library (avro-1.12), so the from-scratch codec is
+    checked both ways through the py4j gateway — a file the Java library
+    writes (its own sync markers, block layout, and deflate
+    implementation) must decode value-for-value with ours, and a file
+    OUR writer produces must parse with the Java DataFileReader.  This
+    closes the 'no second engine to differential-test against' caveat
+    for Avro, and with it the Iceberg manifest layer built on it."""
+    import json as _json
+
+    jvm = spark._jvm
+    schema_py = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "blob", "type": "bytes"},
+        ],
+    }
+    schema = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema_py))
+
+    # --- Java writes (deflate), ours reads
+    jpath = str(tmp_path / "jvm.avro")
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.create(schema, jvm.java.io.File(jpath))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", 9_007_199_254_740_993)  # > 2^53
+    rec.put("name", "héllo")
+    rec.put("score", -0.25)
+    rec.put("ok", True)
+    tags = jvm.java.util.ArrayList()
+    tags.add("a")
+    tags.add("b")
+    rec.put("tags", tags)
+    props = jvm.java.util.HashMap()
+    props.put("k1", 7)
+    rec.put("props", props)
+    rec.put("opt", None)
+    rec.put("blob", jvm.java.nio.ByteBuffer.wrap(bytearray(b"\x00\xff\x10")))
+    w.append(rec)
+    w.append(rec)
+    w.close()
+
+    expected = {
+        "id": 9_007_199_254_740_993,
+        "name": "héllo",
+        "score": -0.25,
+        "ok": True,
+        "tags": ["a", "b"],
+        "props": {"k1": 7},
+        "opt": None,
+        "blob": b"\x00\xff\x10",
+    }
+    got_schema, recs, meta = read_ocf(jpath)
+    assert meta["avro.codec"] == b"deflate"
+    assert recs == [expected, expected]
+
+    # --- ours writes, Java reads
+    opath = str(tmp_path / "ours.avro")
+    write_ocf(opath, schema_py, recs, codec="deflate")
+    r = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(opath),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    n = 0
+    while r.hasNext():
+        jr = r.next()
+        n += 1
+        assert jr.get("id") == expected["id"]
+        assert str(jr.get("name")) == expected["name"]
+        assert jr.get("score") == expected["score"]
+        assert jr.get("opt") is None
+        assert jr.get("tags").toString() == "[a, b]"
+        assert jr.get("props").toString() == "{k1=7}"
+    r.close()
+    assert n == 2
+
+    # --- and an Iceberg manifest OUR committer wrote parses in Java too
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(d, [("x", "bigint")], now_ms=1)
+    t.append([DataFile("data/a.parquet", {}, 3, 100)], now_ms=2)
+    man = [
+        os.path.join(d, "metadata", f)
+        for f in os.listdir(os.path.join(d, "metadata"))
+        if f.endswith(".avro")
+    ]
+    assert len(man) == 2  # manifest + manifest list
+    for path in man:
+        jr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        assert jr.hasNext() and jr.next() is not None
+        jr.close()
