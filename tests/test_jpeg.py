@@ -192,3 +192,83 @@ def test_decode_header_probes_jpeg_and_png():
     assert decode_header(png) == (1, 24, 16, 1)
     with pytest.raises(ValueError, match="SOF"):
         decode_header(b"\xff\xd8\xff\xd9")
+
+
+def test_bidirectional_interop_with_jdk_imageio(spark, tmp_path):
+    """TRUE external differential for both image codecs: the Spark JVM
+    ships javax.imageio with JPEG and PNG plugins, reachable over py4j.
+
+    - our JPEG (exact tile class, restart markers on) must decode
+      BIT-EXACTLY in the JDK — an external proof of marker framing,
+      Annex-K tables, Huffman coding, stuffing and RST handling;
+    - a JPEG the JDK writes must decode with ours close to the JDK's own
+      decode of the same file (greyscale ≤2: integer-vs-float IDCT only;
+      colour ≤12: the JDK's fancy chroma upsampling vs our replication —
+      both implementation-defined by T.81);
+    - PNG is lossless, so BOTH directions must be exact.
+    """
+    import os as _os
+
+    jvm = spark._jvm
+
+    def jvm_decode(path):
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        assert img is not None, f"ImageIO could not parse {path}"
+        w, h = img.getWidth(), img.getHeight()
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = img.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+        return out
+
+    def jvm_encode(arr, fmt, path):
+        h, w = arr.shape[:2]
+        bi = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in arr[y, x])
+                bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+        assert jvm.javax.imageio.ImageIO.write(
+            bi, fmt, jvm.java.io.File(path)
+        )
+
+    tiles = _tile_image(2, 3, seed=21)
+    rgb = np.stack([tiles] * 3, axis=2)
+
+    # our JPEG → JDK, bit-exact on the DC-only class
+    p = str(tmp_path / "ours.jpg")
+    open(p, "wb").write(encode_jpeg(rgb, quality=50, restart_interval=2))
+    assert np.array_equal(jvm_decode(p), rgb)
+
+    # JDK greyscale JPEG → ours vs JDK's own decode (IDCT variance only)
+    grey3 = np.stack([_tile_image(2, 3, seed=22)] * 3, axis=2)
+    pg = str(tmp_path / "jdk_grey.jpg")
+    jvm_encode(grey3, "jpg", pg)
+    ours = decode_jpeg(open(pg, "rb").read())
+    theirs = jvm_decode(pg)
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+    # JDK colour JPEG → ours vs JDK (adds chroma-upsampling freedom)
+    rng = np.random.default_rng(23)
+    smooth = (rng.integers(0, 256, (16, 24, 3)) // 4 + 96).astype(np.uint8)
+    pc = str(tmp_path / "jdk_colour.jpg")
+    jvm_encode(smooth, "jpg", pc)
+    ours = decode_jpeg(open(pc, "rb").read())
+    theirs = jvm_decode(pc)
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 12
+
+    # PNG: lossless, exact both ways
+    from hadoop_sync_spark.multimodal import decode_png, encode_png
+
+    pp = str(tmp_path / "ours.png")
+    open(pp, "wb").write(
+        encode_png(rgb, filters=[r % 5 for r in range(rgb.shape[0])])
+    )
+    assert np.array_equal(jvm_decode(pp), rgb)
+    pj = str(tmp_path / "jdk.png")
+    jvm_encode(smooth, "png", pj)
+    assert np.array_equal(decode_png(open(pj, "rb").read()), smooth)
+    _os.remove(pj)
