@@ -272,3 +272,11 @@ def test_bidirectional_interop_with_jdk_imageio(spark, tmp_path):
     jvm_encode(smooth, "png", pj)
     assert np.array_equal(decode_png(open(pj, "rb").read()), smooth)
     _os.remove(pj)
+
+    # BMP is uncompressed: our encoder's output decodes exactly in the
+    # JDK too (covers the remaining image codec in the real set)
+    from hadoop_sync_spark.multimodal import encode_bmp
+
+    pb = str(tmp_path / "ours.bmp")
+    open(pb, "wb").write(encode_bmp(smooth))
+    assert np.array_equal(jvm_decode(pb), smooth)

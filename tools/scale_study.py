@@ -201,6 +201,12 @@ def run(k: int) -> None:
 
     from hadoop_sync_spark.queries import load_all
 
+    # Deliberately NEAR-VANILLA (no engine conf, no files.minPartitionNum):
+    # this mirrors the driver's session posture, which is how the round-7
+    # multimodal partition-starvation bug became measurable here while the
+    # tuned bench.py session masked it.  Don't "fix" this by importing
+    # session.get_spark — queries must carry their own partition-sizing
+    # guards to pass this tool.
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
