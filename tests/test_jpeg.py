@@ -280,3 +280,36 @@ def test_bidirectional_interop_with_jdk_imageio(spark, tmp_path):
     pb = str(tmp_path / "ours.bmp")
     open(pb, "wb").write(encode_bmp(smooth))
     assert np.array_equal(jvm_decode(pb), smooth)
+
+
+def test_wav_interop_with_javax_sound(spark, tmp_path):
+    """The audio codec gets the same external treatment: javax.sound
+    parses our RIFF/WAVE header to the exact declared format, and a WAV
+    the JDK re-writes from our stream decodes sample-for-sample with our
+    decoder — every real codec in the repo is now differentially checked
+    against an independent implementation in the container's JVM."""
+    from hadoop_sync_spark.multimodal import decode_wav, encode_wav
+
+    jvm = spark._jvm
+    samples = (np.arange(1000) * 37 % 32768 - 16384).astype(np.int16)
+    p = str(tmp_path / "a.wav")
+    p2 = str(tmp_path / "b.wav")
+    open(p, "wb").write(encode_wav(samples, rate=16000))
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.File(p)
+    )
+    fmt = ais.getFormat()
+    assert (
+        fmt.getSampleRate(),
+        fmt.getSampleSizeInBits(),
+        fmt.getChannels(),
+        fmt.isBigEndian(),
+    ) == (16000.0, 16, 1, False)
+    assert ais.getFrameLength() == 1000
+    jvm.javax.sound.sampled.AudioSystem.write(
+        ais,
+        jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        jvm.java.io.File(p2),
+    )
+    rate, back = decode_wav(open(p2, "rb").read())
+    assert rate == 16000 and np.array_equal(back, samples)
