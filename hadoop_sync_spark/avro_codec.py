@@ -56,6 +56,8 @@ def _zigzag_decode(n: int) -> int:
 
 
 def write_long(out: io.BytesIO, n: int) -> None:
+    if not -(2**63) <= n < 2**63:
+        raise ValueError(f"{n} outside the signed 64-bit Avro long range")
     z = _zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
     while True:
         b = z & 0x7F

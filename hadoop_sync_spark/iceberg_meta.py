@@ -286,9 +286,16 @@ class IcebergTable:
                 raise ValueError(
                     f"no snapshot at or before {as_of_timestamp_ms}"
                 )
-            want = max(eligible, key=lambda e: e["timestamp-ms"])
-            return self.snapshot(snapshot_id=want["snapshot-id"])
+            # snapshot-log is append-ordered (spec): the LAST eligible
+            # entry is the state at that time — max() would keep the
+            # first of equal timestamps and resolve to an older snapshot
+            return self.snapshot(snapshot_id=eligible[-1]["snapshot-id"])
         cur = meta.get("current-snapshot-id")
+        if cur is None:
+            # the spec makes current-snapshot-id optional (staged /
+            # rolled-back tables); recursing with the same arguments
+            # would never terminate
+            raise ValueError("table has no current snapshot")
         return self.snapshot(snapshot_id=cur)
 
     # ----------------------------------------------------------------- scan
@@ -459,9 +466,18 @@ class IcebergTable:
             }
             for i, (col, typ) in enumerate(partition_by or [])
         ]
+        import hashlib
+
+        # content-derived uuid: built-in hash() is salted per process
+        # (PYTHONHASHSEED), which would break the byte-stable-re-runs
+        # rule the Avro sync markers follow
+        digest = hashlib.md5(table_dir.encode()).hexdigest()
         meta = {
             "format-version": 2,
-            "table-uuid": f"00000000-0000-0000-0000-{abs(hash(table_dir)) % 10**12:012d}",
+            "table-uuid": (
+                f"{digest[:8]}-{digest[8:12]}-{digest[12:16]}-"
+                f"{digest[16:20]}-{digest[20:32]}"
+            ),
             "location": table_dir,
             "last-sequence-number": 0,
             "last-updated-ms": now_ms,

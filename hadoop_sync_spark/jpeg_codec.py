@@ -532,6 +532,17 @@ def _decode_quantized(data: bytes):
                 raise ValueError("SOS before SOF")
             h, w, comps = frame
             ns = seg[0]
+            if ns != len(comps):
+                # baseline permits up to 4 scans (one per component,
+                # non-interleaved); this decoder implements only the
+                # single interleaved scan every mainstream encoder
+                # emits — returning just the first scan's component
+                # would be silently-wrong pixels, so refuse instead
+                # (honest-seam policy)
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG not "
+                    "supported — only a single interleaved scan"
+                )
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]

@@ -451,6 +451,8 @@ def decode_header(content: bytes) -> tuple[int, int, int, int]:
                 break
             marker = content[pos + 1]
             if marker in (0xC0, 0xC1, 0xC2):
+                if pos + 9 > len(content):
+                    raise ValueError("truncated JPEG SOF header")
                 h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
                 return 1, w, h, 1
             if marker == 0xD9:

@@ -449,8 +449,14 @@ class Registry:
         format."""
         from hadoop_sync_spark.iceberg_meta import IcebergTable
 
+        table = IcebergTable(table_dir)
+        if table.metadata().get("current-snapshot-id") is None:
+            # freshly created table, no snapshots yet: empty FS state,
+            # so diff/sync behave like an empty directory (dir/delta
+            # formats return a zero-change diff here too)
+            return []
         out = []
-        for f in IcebergTable(table_dir).files():
+        for f in table.files():
             st = os.stat(f.path)
             out.append(
                 {

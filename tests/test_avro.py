@@ -323,3 +323,12 @@ def test_bidirectional_interop_with_official_avro_java(spark, tmp_path):
         )
         assert jr.hasNext() and jr.next() is not None
         jr.close()
+
+
+def test_write_long_range_checked():
+    """Out-of-range ints must raise, not silently truncate (round-7
+    self-review: write_long(2**63) used to encode as 0)."""
+    buf = io.BytesIO()
+    for bad in (2**63, -(2**63) - 1, 2**70):
+        with pytest.raises(ValueError, match="64-bit"):
+            write_long(buf, bad)

@@ -232,3 +232,58 @@ def test_cli_register_iceberg_and_sync(spark, table, capsys):
     t.delete({"data/f1.parquet"}, now_ms=7000)
     assert main(["sync", meta, "t"]) == 0
     assert "+0 -1 shards" in capsys.readouterr().out
+
+
+def test_review_fixes_snapshotless_and_time_travel_ties(spark, tmp_path):
+    """Round-7 self-review regressions: (1) a freshly created table
+    (snapshots=[]) must diff/sync as an empty directory, not crash;
+    (2) duplicate snapshot timestamps must time-travel to the LATEST
+    eligible snapshot (snapshot-log append order), not the first tie;
+    (3) current-snapshot-id=null with snapshots present must raise
+    cleanly, not recurse; (4) table-uuid must be process-stable."""
+    import json as _json
+
+    from hadoop_sync_spark.registry import Registry
+
+    d = str(tmp_path / "fresh")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(d, [("x", "bigint")], now_ms=1)
+
+    # (1) snapshot-less: registry sync behaves like an empty dir
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register_iceberg("t", d)
+    s = reg.sync("t")
+    assert (s.added, s.removed) == (0, 0) and s.noop
+
+    # (4) uuid is content-derived (md5 of the path), so re-runs in any
+    # process produce the identical metadata bytes
+    import hashlib
+
+    digest = hashlib.md5(d.encode()).hexdigest()
+    assert t.metadata()["table-uuid"].replace("-", "") == digest
+
+    # (2) two appends at the SAME timestamp: as-of resolves to the newer
+    def add(name, ids, ms):
+        p = os.path.join(d, "data", name)
+        pq.write_table(pa.table({"x": pa.array(ids, pa.int64())}), p)
+        t.append(
+            [DataFile(f"data/{name}", {}, len(ids), os.path.getsize(p))],
+            now_ms=ms,
+        )
+
+    add("a.parquet", [1], 100)
+    add("b.parquet", [2], 100)  # same now_ms
+    assert _names(t.files(as_of_timestamp_ms=100)) == [
+        "a.parquet",
+        "b.parquet",
+    ]
+
+    # (3) null current-snapshot-id with snapshots listed: clean error
+    meta = t.metadata()
+    bad = _json.loads(_json.dumps(meta))
+    bad["current-snapshot-id"] = None
+    v = t.current_version() + 1
+    _json.dump(bad, open(os.path.join(t.meta_dir, f"v{v}.metadata.json"), "w"))
+    open(t._hint_path(), "w").write(str(v))
+    with pytest.raises(ValueError, match="no current snapshot"):
+        t.files()

@@ -313,3 +313,33 @@ def test_wav_interop_with_javax_sound(spark, tmp_path):
     )
     rate, back = decode_wav(open(p2, "rb").read())
     assert rate == 16000 and np.array_equal(back, samples)
+
+
+def test_multiscan_jpeg_refused_not_misdecoded():
+    """Baseline permits per-component scans; this decoder implements
+    only the interleaved form and must REFUSE a multi-scan stream
+    (round-7 self-review: it used to return just the first scan's
+    component as silently-wrong pixels).  Crafted by patching the SOS
+    component count of a conforming stream down to 1."""
+    img = np.stack([_tile_image(1, 2, seed=30)] * 3, axis=2)
+    data = bytearray(encode_jpeg(img, quality=50))
+    sos = data.index(b"\xff\xda")
+    assert data[sos + 4] == 3  # ns
+    data[sos + 4] = 1
+    data[sos + 2 : sos + 4] = (6 + 2 * 1).to_bytes(2, "big")
+    # drop the two extra (Cs, TdTa) pairs so the header stays coherent
+    del data[sos + 7 : sos + 11]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(data))
+
+
+def test_decode_header_truncated_sof_raises_valueerror():
+    """Metadata-only probes filter mixed corpora by catching ValueError;
+    a truncated SOF must not leak struct.error (round-7 self-review)."""
+    from hadoop_sync_spark.multimodal import decode_header
+
+    img = _tile_image(1, 1, seed=31)
+    data = encode_jpeg(np.stack([img] * 3, axis=2), quality=50)
+    sof = data.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_header(data[: sof + 6])
