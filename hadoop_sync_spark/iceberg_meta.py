@@ -403,28 +403,39 @@ class IcebergTable:
         as_of_timestamp_ms: int | None = None,
         partition_filter: dict | None = None,
     ):
-        """Snapshot → distributed parquet scan of exactly the live files
-        (pushdown/pruning intact; partition columns attached as literals
-        from the manifest's identity values when partitioned)."""
+        """Snapshot → ONE distributed parquet scan of exactly the live
+        files (pushdown/pruning intact).  Identity-partition values
+        attach via a broadcast join of the metadata-sized
+        file→partition map on ``input_file_name()`` — production
+        Iceberg's own shape.  (The first cut attached them as literals
+        on one DataFrame per distinct partition tuple chained with
+        unions, which explodes the logical plan at thousands of
+        partitions — a driver-side O(#partitions) plan is exactly the
+        scaling failure the manifest tree exists to avoid.)"""
+        from pathlib import Path
+
         from pyspark.sql import functions as F
 
         files = self.files(snapshot_id, as_of_timestamp_ms, partition_filter)
         if not files:
             raise ValueError("snapshot selects no data files")
-        by_part: dict[tuple, list[str]] = {}
-        for f in files:
-            key = tuple(sorted(f.partition.items()))
-            by_part.setdefault(key, []).append(f.path)
-        frames = []
-        for key, paths in sorted(by_part.items()):
-            df = spark.read.parquet(*paths)
-            for name, val in key:
-                df = df.withColumn(name, F.lit(val))
-            frames.append(df)
-        out = frames[0]
-        for df in frames[1:]:
-            out = out.unionByName(df)
-        return out
+        scan = spark.read.parquet(*[f.path for f in files])
+        part_cols = sorted({k for f in files for k in f.partition})
+        if not part_cols:
+            return scan
+        # input_file_name() yields the file URI; build the map in the
+        # same form so the join key matches exactly
+        rows = [
+            (Path(f.path).resolve().as_uri(),)
+            + tuple(f.partition.get(c) for c in part_cols)
+            for f in files
+        ]
+        part_map = spark.createDataFrame(rows, ["_file", *part_cols])
+        return (
+            scan.withColumn("_file", F.input_file_name())
+            .join(F.broadcast(part_map), "_file")
+            .drop("_file")
+        )
 
     def history(self) -> list[dict]:
         """Operation log in DESCRIBE HISTORY shape, newest first."""
