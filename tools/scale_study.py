@@ -130,6 +130,15 @@ STUDY_QUERIES = [
     "q135_k_anonymity",         # two chained aggregations
     "q136_token_pmi",           # vocab-capped doc-keyed pair expansion
     "q137_copurchase_pagerank",  # per-round message join + agg, cached rounds
+    "q138_delta_log_reader",    # metadata replay + snapshot-scoped scan
+    "q139_bm25_topk",           # postings join, matched-docs-only top-k
+    "q140_cogroup_asof_align",  # bucketed cogroup merge_asof
+    "q141_ngram_novelty",       # membership join (knowingly linear)
+    "q142_length_matched_controls",  # banded union-merge nearest join
+    "q143_cdc_chunk_dups",      # content-defined chunk signatures
+    "q144_delta_registry_sync",  # Delta snapshot diff through the registry
+    "q145_png_roundtrip_stats",  # CPU-bound codec, key-frame repartition
+    "q146_jpeg_roundtrip_stats",  # DCT codec round trip, same posture
 ]
 
 
