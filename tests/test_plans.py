@@ -272,3 +272,26 @@ def test_retention_cohorts_two_exchanges(spark, sf_dir):
     df = load_all()["q124_retention_cohorts"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["q145_png_roundtrip_stats", "q146_jpeg_roundtrip_stats"]
+)
+def test_codec_roundtrip_plans_shuffle_keys_only(spark, sf_dir, name):
+    """The codec round trips claim 'keys shuffle, payloads never do':
+    exactly ONE exchange (the round-robin key-frame repartition), placed
+    BEFORE both Arrow stages, no join, no sort — and the scan reads only
+    doc_id (payload columns pruned)."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "roundrobin" in plan.lower(), plan[:2000]
+    assert "Join" not in plan and "Sort" not in plan, plan[:2000]
+    # the exchange must feed the python stages, not consume them: every
+    # ArrowEvalPython/MapInPandas line sits ABOVE the exchange line in
+    # Spark's tree rendering (child printed below parent)
+    lines = plan.splitlines()
+    exch = next(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    py = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert py and all(i < exch for i in py), plan[:2000]
+    scans = _filescan_lines(plan)
+    assert scans and "doc_id" in scans[0] and "text" not in scans[0]
