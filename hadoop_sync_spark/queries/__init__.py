@@ -83,76 +83,67 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # ---- ROUND-7 WINDOW ----
-    # Round 6 drained the r2-green cohort; the remaining backlog is the
-    # 37-query r3-green cohort (last green three recorded rounds ago) —
-    # the ledger's strict branch applies again (37 <= 50) and windows all
-    # of them mandatorily.  Plan in WINDOW.md round-7 section.
-    # (3) the full r3-green cohort — the relational core plus the r3
-    # singles deferred from round 6
-    "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_top_unshipped_orders",
-    "q07_customers_without_orders",
-    "q08_late_shipments",
-    "q09_distinct_counts",
-    "q12_top_orders_per_customer",
-    "q17_scalar_functions",
-    "q20_brand_stats_having",
-    "q21_regional_revenue",
-    "q22_explode_embedding_prefix",
-    "q23_grouping_sets",
-    "q25_minby_maxby",
-    "q27_string_agg",
-    "q28_window_navigation",
-    "q29_outer_joins",
-    "q30_event_range_join",
-    "q31_asof_join",
-    "q38_exists_subquery",
-    "q51_fingerprint_groups",
-    "q55_tfidf",
-    "q56_top_terms_per_lang",
-    "q59_repetition_signals",
-    "q67_chargram_jaccard_pairs",
-    "q72_rp_lsh_topk",
-    "q91_image_resize",
-    "q92_frame_sample",
-    "q96_dup_profile",
-    "q100_column_profile",
-    "q107_weighted_priority_sample",
-    "q109_fingerprint_drilldown",
-    "q110_span_dedup",
-    "q111_pq_topk",
-    "q114_ivf_pq_topk",
-    "q115_per_source_quality_gate",
-    "q116_eval_per_lang",
-    "q118_split_leakage",
-    # (2) changed in round 6 without re-windowing (ADVICE rule-2 gap):
-    # q68's eligible anti-join gained an F.broadcast hint when
-    # _shingle_eligible was inlined — a physical-plan change; its rule-3
-    # deadline was round 8 anyway, so it slots in now
-    "q68_dup_components",
-    # (2) changed in round 7: _pair_contract gains the capped-pair
-    # masking guard (ADVICE falsifiability item — a spuriously emitted
-    # capped pair can no longer offset a missing uncapped pair in the
-    # recall count); both its users re-window
-    "q63_minhash_lsh_pairs",
-    "q66_simhash_pairs",
-    # (2) changed in round 7: q137's per-round persist cadence trimmed
-    # (VERDICT perf item 5)
-    "q137_copurchase_pagerank",
-    # (1) brand-new round-7 queries — never checked, mandatory; each
-    # displaces one r5-green placeholder below (family-carry notes in
-    # WINDOW.md)
-    "q138_delta_log_reader",
-    "q139_bm25_topk",
-    "q140_cogroup_asof_align",
-    "q141_ngram_novelty",
-    "q142_length_matched_controls",
-    "q143_cdc_chunk_dups",
-    "q144_delta_registry_sync",
-    "q145_png_roundtrip_stats",
-    "q146_jpeg_roundtrip_stats",
+    # ---- ROUND-8 WINDOW ----
+    # Round 7 drained the r3-green cohort; the backlog entering round 8
+    # is the 49-query r5-green cohort (last green three recorded rounds
+    # ago after CORRECTNESS_r07) — strict branch applies (49 <= 50) and
+    # windows all of them mandatorily.  Plan in WINDOW.md round-8 section.
+    # (3) the full r5-green cohort, numeric order
+    "q04_supplier_by_region",
+    "q05_order_count_distribution",
+    "q06_customers_with_open_orders",
+    "q10_rollup_orders",
+    "q11_cube_lineitem",
+    "q13_event_gaps",
+    "q14_running_customer_spend",
+    "q15_nation_set_ops",
+    "q16_distinct_segments",
+    "q18_json_extract",
+    "q19_array_ops",
+    "q24_exact_median",
+    "q33_pivot_returnflag",
+    "q34_exact_variance",
+    "q35_date_arithmetic",
+    "q36_regexp_text",
+    "q37_multiset_ops",
+    "q39_scalar_in_subquery",
+    "q40_tumbling_window",
+    "q41_sliding_window",
+    "q42_session_windows",
+    "q43_dedup_events",
+    "q44_salted_skew_agg",
+    "q45_grouped_mode_udaf",
+    "q69_semantic_dedup",
+    "q75_gap_fill_locf",
+    "q81_registry_pruned_scan",
+    "q82_registry_sync_lifecycle",
+    "q83_notin_supplier_cnt",
+    "q84_disjunctive_join_revenue",
+    "q85_correlated_max_qty",
+    "q95_compaction_lifecycle",
+    "q102_schema_evolution",
+    "q106_chain_components",
+    "q117_bloom_incremental_dedup",
+    "q119_scd2_intervals",
+    "q120_funnel_conversion",
+    "q121_bigram_lm_quality",
+    "q122_rolling_7d_revenue",
+    "q123_copurchase_triangles",
+    "q124_retention_cohorts",
+    "q125_event_trigrams",
+    "q126_snapshot_cdc",
+    "q127_vocab_build",
+    "q128_price_size_skyline",
+    "q129_audio_energy_segments",
+    "q130_robust_source_stats",
+    "q131_temperature_mix",
+    "q132_posting_blocks",
+    # (2) rule-2 obligation carried from round 7: assets_from_documents
+    # gained the key-frame repartition (multimodal.py _spread) late in
+    # round 7; q91/q92/q129 were windowed then/now but q90 had no slot —
+    # it windows here (the set is exactly full: 50/50, zero spare; round
+    # 8 registers NO new queries — WINDOW.md)
+    "q90_media_features",
 )
 
 
