@@ -77,6 +77,11 @@ def read_long(buf: io.BytesIO) -> int:
         if not raw:
             raise ValueError("truncated Avro varint")
         b = raw[0]
+        # the 10th byte (shift 63) may contribute only its low bit; any
+        # higher payload bits would push past 64 bits and, unmasked,
+        # decode corrupt varints to huge wrong integers (ADVICE r7)
+        if shift == 63 and b & 0x7E:
+            raise ValueError("Avro varint overflows the 64-bit range")
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             break

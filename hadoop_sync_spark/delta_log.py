@@ -41,7 +41,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
@@ -171,10 +171,14 @@ class DeltaLog:
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
         """The snapshot as a DataFrame: executors scan exactly the live
-        files through the ordinary parquet source (pushdown intact);
-        ``basePath`` re-attaches partition columns for partitioned
-        layouts.  An empty snapshot yields an empty frame with the
-        logged schema."""
+        files through the ordinary parquet source (pushdown intact).
+        Partition columns attach from the logged ``add.partitionValues``
+        (the protocol makes them authoritative — a conforming writer may
+        lay files out flat, ADVICE r7) via the shared decoded-path
+        broadcast join, cast from the logged strings to the schema's
+        types; directory inference via ``basePath`` remains only as the
+        fallback for logs whose adds never carried values.  An empty
+        snapshot yields an empty frame with the logged schema."""
         snap = self.snapshot(version)
         files = [
             os.path.join(self.table_dir, p) for p in snap.files
@@ -184,14 +188,50 @@ class DeltaLog:
             if schema is None:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], schema)
-        reader = spark.read.option("basePath", self.table_dir)
         schema = snap.schema()
-        if schema is not None and not snap.partition_columns:
-            # partition cols live only in paths; pinning the full logged
-            # schema on a partitioned read would drop them, so pin only
-            # on unpartitioned tables (where it skips footer inference)
-            reader = reader.schema(schema)
-        return reader.parquet(*files)
+        if not snap.partition_columns:
+            reader = spark.read
+            if schema is not None:
+                # pinning the logged schema skips footer inference
+                reader = reader.schema(schema)
+            return reader.parquet(*files)
+        part_cols = list(snap.partition_columns)
+        adds = [snap.live[p] for p in snap.files]
+        if all(
+            set(part_cols) <= set(a.get("partitionValues") or {})
+            for a in adds
+        ):
+            from hadoop_sync_spark.io import attach_file_columns
+
+            rows = [
+                (os.path.abspath(os.path.join(self.table_dir, a["path"])),)
+                + tuple(
+                    None
+                    if a["partitionValues"][c] is None
+                    else str(a["partitionValues"][c])
+                    for c in part_cols
+                )
+                for a in adds
+            ]
+            df = attach_file_columns(
+                spark.read.parquet(*files),
+                rows,
+                part_cols,
+                what="delta snapshot partition",
+            )
+            if schema is not None:
+                # the protocol logs partition values as strings; the
+                # logged schema owns their real types
+                for f in schema.fields:
+                    if f.name in part_cols:
+                        df = df.withColumn(
+                            f.name, F.col(f.name).cast(f.dataType)
+                        )
+            return df
+        # fallback: Hive-style layout inference for value-less logs
+        return (
+            spark.read.option("basePath", self.table_dir).parquet(*files)
+        )
 
     # ---- minimal committer (fixture builder + registry export) ---------
     def commit(self, version: int, actions: list[dict]) -> str:

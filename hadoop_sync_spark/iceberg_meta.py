@@ -213,6 +213,13 @@ def _from_le_bytes(b: bytes, typ: str):
     raise NotImplementedError(f"bound deserialization for {typ!r}")
 
 
+#: driver-side join-key normalization for IcebergTable.read's
+#: partition-attach map (module-level so tests can poison it to prove
+#: the loud-failure guard)
+def _norm_path(p: str) -> str:
+    return os.path.abspath(p)
+
+
 @dataclass(frozen=True)
 class DataFile:
     path: str
@@ -411,10 +418,13 @@ class IcebergTable:
         on one DataFrame per distinct partition tuple chained with
         unions, which explodes the logical plan at thousands of
         partitions — a driver-side O(#partitions) plan is exactly the
-        scaling failure the manifest tree exists to avoid.)"""
-        from pathlib import Path
+        scaling failure the manifest tree exists to avoid.)
 
-        from pyspark.sql import functions as F
+        Join-key discipline lives in :func:`io.attach_file_columns`
+        (shared with the Delta reader): both sides key on the DECODED
+        absolute path, and a residual mismatch raises instead of
+        silently dropping rows (ADVICE r7)."""
+        from hadoop_sync_spark.io import attach_file_columns
 
         files = self.files(snapshot_id, as_of_timestamp_ms, partition_filter)
         if not files:
@@ -423,18 +433,15 @@ class IcebergTable:
         part_cols = sorted({k for f in files for k in f.partition})
         if not part_cols:
             return scan
-        # input_file_name() yields the file URI; build the map in the
-        # same form so the join key matches exactly
+        # abspath, not resolve() — Hadoop qualifies paths but does not
+        # chase symlinks, so neither may we
         rows = [
-            (Path(f.path).resolve().as_uri(),)
+            (_norm_path(f.path),)
             + tuple(f.partition.get(c) for c in part_cols)
             for f in files
         ]
-        part_map = spark.createDataFrame(rows, ["_file", *part_cols])
-        return (
-            scan.withColumn("_file", F.input_file_name())
-            .join(F.broadcast(part_map), "_file")
-            .drop("_file")
+        return attach_file_columns(
+            scan, rows, part_cols, what="iceberg snapshot partition"
         )
 
     def history(self) -> list[dict]:

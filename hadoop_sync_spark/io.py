@@ -80,3 +80,59 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def attach_file_columns(
+    scan: DataFrame,
+    file_rows: list[tuple],
+    columns: list[str],
+    what: str = "file metadata",
+) -> DataFrame:
+    """Attach per-file metadata columns (e.g. an open table format's
+    partition values) to a multi-file scan via a broadcast join on the
+    DECODED file path — the lakehouse readers' shared idiom.
+
+    ``file_rows`` is ``[(abs_path, v1, v2, ...), ...]`` keyed by the
+    plain absolute path (no URI encoding).  Spark's
+    ``input_file_name()`` yields a percent-encoded ``file:`` URI whose
+    exact encoding Hadoop owns, so the Spark side strips the scheme,
+    protects literal ``+`` (url_decode speaks x-www-form-urlencoded
+    where ``+`` means space), and decodes the percent-escapes.  The
+    join is LEFT with a per-row ``raise_error`` guard: any residual
+    mismatch (foreign scheme, exotic encoding) fails the read loudly
+    instead of silently dropping the file's rows — a partition VALUE
+    may legitimately be null, so the guard keys on an explicit match
+    marker, never the value.  (ADVICE r7: the first Iceberg cut
+    inner-joined on a re-encoded URI.)
+    """
+    rows = [(r[0], True) + tuple(r[1:]) for r in file_rows]
+    part_map = scan.sparkSession.createDataFrame(
+        rows, ["_file", "_matched", *columns]
+    )
+    decoded = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+            r"\+",
+            "%2B",
+        )
+    )
+    joined = scan.withColumn("_file", decoded).join(
+        F.broadcast(part_map), "_file", "left"
+    )
+    err = F.raise_error(
+        F.concat(
+            F.lit(f"scanned file missing from the {what} map "
+                  "(URI normalization mismatch): "),
+            F.col("_file"),
+        )
+    )
+    types = dict(part_map.dtypes)
+    return joined.select(
+        *[F.col(c) for c in scan.columns if c != "_file"],
+        *[
+            F.when(F.col("_matched").isNull(), err.cast(types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in columns
+        ],
+    )

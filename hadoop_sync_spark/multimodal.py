@@ -446,8 +446,14 @@ def decode_header(content: bytes) -> tuple[int, int, int, int]:
     if content[:2] == b"\xff\xd8":
         # walk marker segments to the SOF header (no entropy decode)
         pos = 2
-        while pos + 4 <= len(content):
+        while pos + 2 <= len(content):
             if content[pos] != 0xFF:
+                break
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
+            # marker; conforming encoders emit them (ADVICE r7)
+            while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(content):
                 break
             marker = content[pos + 1]
             if marker in (0xC0, 0xC1, 0xC2):
@@ -457,7 +463,15 @@ def decode_header(content: bytes) -> tuple[int, int, int, int]:
                 return 1, w, h, 1
             if marker == 0xD9:
                 break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                # standalone markers (RSTn/TEM) carry no length field
+                pos += 2
+                continue
+            if pos + 4 > len(content):
+                break
             (ln,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+            if ln < 2:
+                raise ValueError("JPEG marker segment with length < 2")
             pos += 2 + ln
         raise ValueError("JPEG payload without an SOF header")
     raise ValueError("unknown media payload")

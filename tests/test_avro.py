@@ -332,3 +332,21 @@ def test_write_long_range_checked():
     for bad in (2**63, -(2**63) - 1, 2**70):
         with pytest.raises(ValueError, match="64-bit"):
             write_long(buf, bad)
+
+
+def test_varint_tenth_byte_overflow_rejected():
+    """ADVICE r7: a 10th varint byte may contribute only its low bit;
+    higher payload bits would overflow 64 bits and previously decoded
+    to huge wrong integers instead of raising."""
+    import io
+
+    from hadoop_sync_spark.avro_codec import read_long, write_long
+
+    with pytest.raises(ValueError, match="overflow"):
+        read_long(io.BytesIO(bytes([0xFF] * 9 + [0x7F])))
+    # the canonical 64-bit extremes still round trip
+    for n in (2**63 - 1, -(2**63)):
+        b = io.BytesIO()
+        write_long(b, n)
+        b.seek(0)
+        assert read_long(b) == n

@@ -106,9 +106,56 @@ def test_checkpoint_seeded_replay_equals_pure_json(spark, tmp_path):
     assert sorted(r.k for r in log.read(spark).collect()) == [1, 2, 3]
 
 
+PART_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+)
+
+
+def _meta_partitioned():
+    m = _meta(partition_cols=("p",))
+    m["metaData"]["schemaString"] = PART_SCHEMA_JSON
+    return m
+
+
 def test_partitioned_read_attaches_partition_column(spark, tmp_path):
+    """add.partitionValues is authoritative (ADVICE r7): the files here
+    are laid out FLAT — no Hive-style p=N directories — exactly the
+    conforming foreign table directory inference would silently
+    mis-read.  Values cast from the logged strings to the schema's
+    integer type; a null partition value stays null."""
     d, log = _mk_table(tmp_path)
-    # partition column p lives only in the directory layout
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    _write_file(d, "c.parquet", {"k": [3], "v": [30]})
+    log.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1}},
+            _meta_partitioned(),
+            log.add_action_for("a.parquet", partitionValues={"p": "0"}),
+            log.add_action_for("b.parquet", partitionValues={"p": "1"}),
+            log.add_action_for("c.parquet", partitionValues={"p": None}),
+        ],
+    )
+    df = log.read(spark)
+    assert "p" in df.columns
+    assert dict(df.dtypes)["p"] == "int"
+    got = {(r.k, r.p) for r in df.collect()}
+    assert got == {(1, 0), (2, 1), (3, None)}
+
+
+def test_partitioned_read_hive_layout_fallback(spark, tmp_path):
+    """A log whose adds never carried partitionValues still reads via
+    directory inference (the pre-ADVICE path, kept as fallback)."""
+    d, log = _mk_table(tmp_path)
     _write_file(d, "p=0/a.parquet", {"k": [1], "v": [10]})
     _write_file(d, "p=1/b.parquet", {"k": [2], "v": [20]})
     log.commit(
@@ -116,15 +163,11 @@ def test_partitioned_read_attaches_partition_column(spark, tmp_path):
         [
             {"protocol": {"minReaderVersion": 1}},
             _meta(partition_cols=("p",)),
-            log.add_action_for("p=0/a.parquet",
-                               partitionValues={"p": "0"}),
-            log.add_action_for("p=1/b.parquet",
-                               partitionValues={"p": "1"}),
+            log.add_action_for("p=0/a.parquet"),
+            log.add_action_for("p=1/b.parquet"),
         ],
     )
-    df = log.read(spark)
-    assert "p" in df.columns
-    got = {(r.k, r.p) for r in df.collect()}
+    got = {(r.k, r.p) for r in log.read(spark).collect()}
     assert got == {(1, 0), (2, 1)}
 
 

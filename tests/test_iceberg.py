@@ -287,3 +287,51 @@ def test_review_fixes_snapshotless_and_time_travel_ties(spark, tmp_path):
     open(t._hint_path(), "w").write(str(v))
     with pytest.raises(ValueError, match="no current snapshot"):
         t.files()
+
+
+def test_read_partition_attach_survives_uri_hostile_paths(spark, tmp_path):
+    """ADVICE-r7 medium: the partition-attach join must key on the
+    DECODED path on both sides.  A table rooted at a directory whose
+    name needs percent-encoding (space) and contains a literal '+'
+    (the url_decode x-www-form-urlencoded trap: '+' must stay '+')
+    would previously inner-join on a re-encoded URI and silently drop
+    every row on any encoding mismatch."""
+    d = str(tmp_path / "odd name+dir" / "tbl")
+    os.makedirs(os.path.join(d, "data"))
+
+    def write_pq(name, ids, bucket):
+        p = os.path.join(d, "data", name)
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), p)
+        return DataFile(
+            path=f"data/{name}",
+            partition={"p_bucket": bucket},
+            record_count=len(ids),
+            file_size=os.path.getsize(p),
+        )
+
+    t = IcebergTable.create(
+        d,
+        [("id", "bigint"), ("p_bucket", "int")],
+        partition_by=[("p_bucket", "int")],
+        now_ms=1000,
+    )
+    t.append(
+        [write_pq("a.parquet", [1, 2], 0), write_pq("b.parquet", [3], 7)],
+        now_ms=2000,
+    )
+    got = {(r["id"], r["p_bucket"]) for r in t.read(spark).collect()}
+    assert got == {(1, 0), (2, 0), (3, 7)}
+
+
+def test_read_partition_attach_mismatch_fails_loudly(spark, table, monkeypatch):
+    """A residual join-key mismatch must raise at execution, not drop
+    rows: poison the driver-side map by pointing abspath somewhere else."""
+    import hadoop_sync_spark.iceberg_meta as M
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    t, _ = table
+    monkeypatch.setattr(
+        M, "_norm_path", lambda p: "/nonexistent/" + os.path.basename(p)
+    )
+    with pytest.raises(SparkRuntimeException, match="partition map"):
+        t.read(spark).collect()

@@ -222,3 +222,36 @@ def test_decode_real_dispatches_png_to_rgb():
     assert (out[:, :, 0] == g).all() and (out[:, :, 2] == g).all()
     rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
     assert (decode_real(encode_png(rgb)) == rgb).all()
+
+
+def test_decode_header_jpeg_fill_bytes_and_standalone_markers():
+    """ADVICE r7: T.81 B.1.1.2 allows any number of 0xFF fill bytes
+    before a marker, and RSTn/TEM markers carry no length field — a
+    conforming foreign encoder's stream must still probe; a marker
+    segment claiming length < 2 is a hard error."""
+    import struct
+
+    from hadoop_sync_spark.multimodal import decode_header
+
+    def seg(marker, payload=b""):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", 33, 47) + bytes([1, 0x11, 0x11, 0]),
+    )
+    stream = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00")
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xff\x01"  # TEM, standalone
+        + sof
+        + b"\xff\xd9"
+    )
+    assert decode_header(stream) == (1, 47, 33, 1)
+    with pytest.raises(ValueError, match="length < 2"):
+        decode_header(b"\xff\xd8" + bytes([0xFF, 0xE0, 0x00, 0x01]))

@@ -14,7 +14,12 @@ import types
 
 _TP = "/usr/lib/google-cloud-sdk/lib/third_party"
 if _TP not in sys.path:
-    sys.path.insert(0, _TP)
+    # APPEND, never insert at the front: the SDK tree vendors dozens of
+    # packages (six, dateutil, certifi, jsonschema, httplib2, ...) that
+    # would otherwise shadow the installed versions process-wide; only
+    # the `cloudsdk` namespace actually needs resolving from here, and
+    # nothing at site-packages shadows it (ADVICE r7)
+    sys.path.append(_TP)
 
 # resolve google.protobuf.* submodules from the SDK tree; the vendored
 # modules self-reference via cloudsdk.google.protobuf.*, so double-loading
