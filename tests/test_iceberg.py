@@ -335,3 +335,19 @@ def test_read_partition_attach_mismatch_fails_loudly(spark, table, monkeypatch):
     )
     with pytest.raises(SparkRuntimeException, match="partition map"):
         t.read(spark).collect()
+
+
+def test_q147_oracle_parity_unregistered(spark, oracle):
+    """Round-9 registration prep (VERDICT r7 item 2): the Iceberg
+    snapshot-reader query must already pass the exact driver-style
+    parity gate, unregistered — the round-8 window has zero free slots,
+    so only the `register()` decorator is deferred."""
+    from hadoop_sync_spark.queries.lakehouse_q import (
+        Q147_ORACLE,
+        q147_iceberg_snapshot_reader,
+    )
+    from tests.conftest import SF_DIR, compare_frames
+
+    sdf = q147_iceberg_snapshot_reader(spark, SF_DIR)
+    n = compare_frames(sdf, oracle.sql(Q147_ORACLE), "q147")
+    assert n == 1
