@@ -28,11 +28,18 @@ usual lossy bounds apply and tests pin them by tolerance plus exact
 quant-domain equality (encoder's coefficients == decoder's recovered
 coefficients, two independent entropy implementations).
 
-The per-symbol Python Huffman loops are fine at fixture thumbnail scale;
-a production build swaps them for table-driven native decode exactly like
-PNG's sequential unfilter seam.  Reference parity: the reference engine
-(C++/Java) links a codec library for this; file:line cites live in
-SURVEY.md §2C's multimodal row.
+Entropy fast paths (round 8 — the VERDICT r7 codec-seam stretch): the
+decoder runs a monolithic combo-LUT scan (one 16-bit peek usually decodes
+a Huffman code AND its appended magnitude bits; restart segments
+unstuffed up front at C speed), the encoder a vectorized numpy token
+pass + bit-packer, size-dispatched so thumbnails keep the cheaper serial
+walk.  Both are machine-proven equivalent to the retained per-bit
+reference implementations (byte-identity / coefficient-identity property
+tests) and cut a 128×160 round trip 39 → 11 ms.  The remaining gap to a
+native codec is the per-symbol Python dispatch in the sequential scan —
+irreducible in pure CPython, and the documented native-swap seam.
+Reference parity: the reference engine (C++/Java) links a codec library
+for this; file:line cites live in SURVEY.md §2C's multimodal row.
 """
 
 from __future__ import annotations
@@ -188,6 +195,96 @@ def _decode_table(bits, vals) -> dict[tuple[int, int], int]:
     }
 
 
+#: 16-bit-peek decode LUTs, cached by the table's DHT payload bytes: the
+#: Annex-K tables repeat across every stream this engine or libjpeg-family
+#: encoders emit, so the 65 536-entry build cost is paid once per distinct
+#: table per process, not per image (the round-8 table-driven fast path —
+#: VERDICT r7 stretch item).
+_DEC_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _decode_lut(bits, vals) -> list[int]:
+    """Flat 2^16 lookup table for the table-driven decoder: index with the
+    next 16 bits of the stream (left-aligned), get ``(length << 8) | sym``
+    in one probe, or -1 for a bit pattern no code prefixes (T.81 canonical
+    codes are ≤ 16 bits, so a single peek always suffices)."""
+    key = bytes(bits) + bytes(vals)
+    lut = _DEC_LUT_CACHE.get(key)
+    if lut is None:
+        lut = [-1] * 65536
+        for sym, (code, length) in _canonical_codes(bits, vals).items():
+            start = code << (16 - length)
+            packed = (length << 8) | sym
+            lut[start : start + (1 << (16 - length))] = [packed] * (
+                1 << (16 - length)
+            )
+        _DEC_LUT_CACHE[key] = lut
+    return lut
+
+
+#: combo LUTs: one 16-bit peek decodes Huffman code AND its appended
+#: magnitude bits together when both fit in the window.  Entry layout
+#: (non-negative): (total_len << 26) | (sym << 18) | (value + 2^17);
+#: -1 = invalid prefix; other negatives encode a fallback to the
+#: two-step path as -(base_packed + 2) (code longer than 16-size room).
+_COMBO_LUT_CACHE: dict[bytes, list[int]] = {}
+_COMBO_OFF = 1 << 17
+
+
+def _combo_lut(bits, vals) -> list[int]:
+    key = bytes(bits) + bytes(vals)
+    lut = _COMBO_LUT_CACHE.get(key)
+    if lut is None:
+        base = np.asarray(_decode_lut(bits, vals), dtype=np.int64)
+        idx = np.arange(65536, dtype=np.int64)
+        ln = base >> 8
+        sym = base & 0xFF
+        size = sym & 0x0F
+        total = ln + size
+        room = 16 - total
+        ok = (base >= 0) & (total <= 16)
+        room_ok = np.where(ok, room, 0)
+        bitsv = (idx >> room_ok) & ((np.int64(1) << np.where(ok, size, 0)) - 1)
+        half = np.int64(1) << np.maximum(size - 1, 0)
+        value = np.where(
+            size == 0,
+            0,
+            np.where(bitsv < half, bitsv + 1 - (np.int64(1) << size), bitsv),
+        )
+        packed = (total << 26) | (sym << 18) | (value + _COMBO_OFF)
+        out = np.where(ok, packed, np.where(base < 0, -1, -(base + 2)))
+        lut = out.tolist()
+        _COMBO_LUT_CACHE[key] = lut
+    return lut
+
+
+def _split_entropy(data: bytes, pos: int):
+    """Split the entropy-coded stream starting at ``pos`` into UNSTUFFED
+    restart segments: returns (segments, rst_ids) where segments[i] has
+    every stuffed FF 00 collapsed to FF (C-speed ``bytes.replace``; safe
+    because replace scans the input left-to-right, so a literal 00 data
+    byte after an unstuffed FF is never re-matched) and rst_ids[i] is the
+    RSTn index that TERMINATED segment i (the last segment ends at the
+    next non-RST marker, e.g. EOI)."""
+    segs: list[bytes] = []
+    rst_ids: list[int] = []
+    start = i = pos
+    while True:
+        j = data.find(b"\xff", i)
+        if j == -1 or j + 1 >= len(data):
+            raise ValueError("unterminated entropy-coded segment")
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        segs.append(data[start:j].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:
+            rst_ids.append(nxt - 0xD0)
+            start = i = j + 2
+            continue
+        return segs, rst_ids
+
+
 #: The four Annex-K encode tables are static — build once at import, not
 #: per image (profiled at ~16% of fixture-scale encode+decode cost).
 _ENC_DC_LUM = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
@@ -273,6 +370,277 @@ class _BitReader:
         self.pos += 2
 
 
+class _BitReaderTabled:
+    """Table-driven entropy reader — the round-8 fast path.  Same
+    interface as :class:`_BitReader` (huff/receive/restart) but decodes
+    one whole Huffman symbol per 16-bit peek into a flat LUT instead of
+    one Python call per BIT, over restart segments unstuffed up front at
+    C speed.  ~7× fewer Python operations per coefficient; byte-exact
+    with the bit-serial reader (pinned by the differential test that
+    decodes every fixture stream with BOTH readers).  ``huff`` takes the
+    :func:`_decode_lut` list, not the dict."""
+
+    __slots__ = ("segs", "rst_ids", "si", "buf", "pos", "acc", "n", "avail")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.segs, self.rst_ids = _split_entropy(data, pos)
+        self.si = 0
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        self.buf = self.segs[i]
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+        #: bits of real data; consuming past this is a corrupt stream
+        #: (the bit-serial reader's "unexpected marker" case)
+        self.avail = len(self.buf) * 8
+
+    def _fill(self, need: int) -> None:
+        buf, pos, end = self.buf, self.pos, len(self.buf)
+        acc, n = self.acc, self.n
+        while n < need:
+            if pos < end:
+                acc = (acc << 8) | buf[pos]
+                pos += 1
+            else:
+                acc = (acc << 8) | 0xFF  # spec 1-fill past the end
+            n += 8
+        self.pos, self.acc, self.n = pos, acc, n
+
+    def _consume(self, k: int) -> None:
+        self.n -= k
+        self.avail -= k
+        if self.avail < 0:
+            raise ValueError(
+                "unexpected marker inside entropy-coded segment"
+            )
+
+    def huff(self, lut: list[int]) -> int:
+        if self.n < 16:
+            self._fill(16)
+        packed = lut[(self.acc >> (self.n - 16)) & 0xFFFF]
+        if packed < 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        self._consume(packed >> 8)
+        return packed & 0xFF
+
+    def receive(self, size: int) -> int:
+        if size == 0:
+            return 0
+        if self.n < size:
+            self._fill(size)
+        self._consume(size)
+        return (self.acc >> self.n) & ((1 << size) - 1)
+
+    def restart(self, idx: int) -> None:
+        if self.si >= len(self.rst_ids) or self.rst_ids[self.si] != idx % 8:
+            got = (
+                f"RST{self.rst_ids[self.si]}"
+                if self.si < len(self.rst_ids)
+                else "end of scan"
+            )
+            raise ValueError(f"expected RST{idx % 8} marker, got {got!r}")
+        self.si += 1
+        self._load(self.si)
+
+
+def _pack_entropy(values: list[int], lengths: list[int]) -> bytes:
+    """Vectorized bit-packer for one entropy-coded (restart) segment: the
+    collected (code-or-appended-bits, bit-length) pairs become bytes in
+    one numpy pass — MSB-first concatenation, 1-fill to the byte
+    boundary (F.1.2.1.3), then byte stuffing (F.1.2.3) via C-speed
+    ``bytes.replace``.  Output is byte-identical to feeding the same
+    pairs through :class:`_BitWriter` (pinned by a property test); the
+    per-bit Python accumulation is what the round-8 fast path removes
+    from the encoder."""
+    if len(values) == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint32)
+    ln = np.asarray(lengths, dtype=np.int64)
+    total = int(ln.sum())
+    pad = (-total) % 8
+    if pad:
+        v = np.append(v, np.uint32((1 << pad) - 1))
+        ln = np.append(ln, pad)
+        total += pad
+    starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+    rep_v = np.repeat(v, ln)
+    shift = np.repeat(ln, ln) - 1 - (np.arange(total) - np.repeat(starts, ln))
+    bits = (rep_v >> shift.astype(np.uint32)) & 1
+    return np.packbits(bits.astype(np.uint8)).tobytes().replace(
+        b"\xff", b"\xff\x00"
+    )
+
+
+def _decode_scan_tabled(data, pos, scan, htables_raw, coefs, dri,
+                        mcus_x, mcus_y):
+    """The entropy scan as ONE monolithic loop with the bit state in
+    locals — the round-8 table-driven fast path.  Semantically identical
+    to the :class:`_BitReader` walk in :func:`_decode_quantized` (the
+    differential test decodes every fixture stream both ways); the
+    restructuring only removes per-bit/per-symbol Python overhead: one
+    16-bit combo-LUT probe usually decodes a Huffman code AND its
+    appended magnitude bits together (two-step fallback when the pair
+    exceeds the window), restart segments are pre-split and unstuffed
+    at C speed."""
+    ns = len(scan)
+    luts = []
+    for _, td, ta in scan:
+        dcb, dca = htables_raw[td]
+        acb, aca = htables_raw[0x10 | ta]
+        luts.append(
+            (
+                _combo_lut(dcb, dca),
+                _decode_lut(dcb, dca),
+                _combo_lut(acb, aca),
+                _decode_lut(acb, aca),
+            )
+        )
+    off = _COMBO_OFF
+    segs, rst_ids = _split_entropy(data, pos)
+    seg_i = 0
+    buf = segs[0]
+    lb = len(buf)
+    avail = lb * 8
+    bpos = acc = n = used = 0
+    pred = [0] * ns
+    count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and count and count % dri == 0:
+                if seg_i >= len(rst_ids) or rst_ids[seg_i] != rst % 8:
+                    got = (
+                        f"RST{rst_ids[seg_i]}"
+                        if seg_i < len(rst_ids)
+                        else "end of scan"
+                    )
+                    raise ValueError(
+                        f"expected RST{rst % 8} marker, got {got!r}"
+                    )
+                seg_i += 1
+                rst += 1
+                buf = segs[seg_i]
+                lb = len(buf)
+                avail = lb * 8
+                bpos = acc = n = used = 0
+                pred = [0] * ns
+            for si in range(ns):
+                comp, _, _ = scan[si]
+                dc_combo, dc_base, ac_combo, ac_base = luts[si]
+                cv, ch = comp["v"], comp["h"]
+                grid = coefs[si]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = grid[my * cv + by, mx * ch + bx]
+                        # ---- DC: one combo probe decodes code + diff
+                        while n < 16:
+                            if bpos < lb:
+                                acc = (acc << 8) | buf[bpos]
+                                bpos += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                            n += 8
+                        p = dc_combo[(acc >> (n - 16)) & 0xFFFF]
+                        if p >= 0:
+                            t_ = p >> 26
+                            n -= t_
+                            used += t_
+                            pred[si] += (p & 0x3FFFF) - off
+                        elif p == -1:
+                            raise ValueError(
+                                "invalid Huffman code in entropy stream"
+                            )
+                        else:  # two-step fallback (code + size > 16)
+                            bp = -(p + 2)
+                            ln_ = bp >> 8
+                            size = bp & 0xFF
+                            n -= ln_
+                            used += ln_
+                            while n < size:
+                                if bpos < lb:
+                                    acc = (acc << 8) | buf[bpos]
+                                    bpos += 1
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                n += 8
+                            n -= size
+                            used += size
+                            v = (acc >> n) & ((1 << size) - 1)
+                            if v < (1 << (size - 1)):
+                                v += 1 - (1 << size)
+                            pred[si] += v
+                        zz[0] = pred[si]
+                        # ---- AC
+                        k = 1
+                        while k < 64:
+                            while n < 16:
+                                if bpos < lb:
+                                    acc = (acc << 8) | buf[bpos]
+                                    bpos += 1
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                n += 8
+                            p = ac_combo[(acc >> (n - 16)) & 0xFFFF]
+                            if p >= 0:
+                                t_ = p >> 26
+                                n -= t_
+                                used += t_
+                                rs = (p >> 18) & 0xFF
+                                sz = rs & 0x0F
+                                if sz == 0:
+                                    if rs == 0xF0:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError(
+                                        "AC run past block end"
+                                    )
+                                zz[k] = (p & 0x3FFFF) - off
+                                k += 1
+                            elif p == -1:
+                                raise ValueError(
+                                    "invalid Huffman code in entropy stream"
+                                )
+                            else:
+                                bp = -(p + 2)
+                                ln_ = bp >> 8
+                                rs = bp & 0xFF
+                                n -= ln_
+                                used += ln_
+                                sz = rs & 0x0F
+                                # a >16-bit combo always has sz > 0
+                                # (EOB/ZRL carry no appended bits)
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError(
+                                        "AC run past block end"
+                                    )
+                                while n < sz:
+                                    if bpos < lb:
+                                        acc = (acc << 8) | buf[bpos]
+                                        bpos += 1
+                                    else:
+                                        acc = (acc << 8) | 0xFF
+                                    n += 8
+                                n -= sz
+                                used += sz
+                                v = (acc >> n) & ((1 << sz) - 1)
+                                if v < (1 << (sz - 1)):
+                                    v += 1 - (1 << sz)
+                                zz[k] = v
+                                k += 1
+                        if used > avail:
+                            raise ValueError(
+                                "unexpected marker inside entropy-coded "
+                                "segment"
+                            )
+            count += 1
+
+
 def _extend(v: int, size: int) -> int:
     if size == 0:
         return 0
@@ -319,7 +687,11 @@ def _blockwise_dct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     zigzag coefficients, vectorized over all blocks at once."""
     h, w = plane.shape
     blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-    coefs = np.einsum("ux,byxz,vz->byuv", _DCT, blocks, _DCT)
+    # two batched 8×8 GEMMs (C @ block @ C.T) — same contraction the
+    # einsum triple product computed, an order of magnitude faster and
+    # still exact for the integer-valued DC-only case q146 relies on
+    # (products of exact float64s summed well inside 2^53)
+    coefs = _DCT @ blocks @ _DCT.T
     quant = np.rint(coefs / q).astype(np.int64)
     return quant.reshape(h // 8, w // 8, 64)[..., ZIGZAG]
 
@@ -417,13 +789,33 @@ def encode_jpeg(
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    writer = _BitWriter()
+    out += _encode_entropy(coefs, samp, enc, mcus_x, mcus_y, restart_interval)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_entropy_serial(
+    coefs, samp, enc, mcus_x, mcus_y, restart_interval
+) -> bytes:
+    """Reference entropy encoder: per-block Python walk collecting
+    (value, bit-length) pairs, packed per restart segment.  Kept as the
+    byte-identity oracle for :func:`_encode_entropy_vec` (the property
+    test feeds both randomized coefficient grids)."""
+    ncomp = len(coefs)
+    out = bytearray()
+    vals: list[int] = []
+    lens: list[int] = []
     pred = [0] * ncomp
     count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and count and count % restart_interval == 0:
-                writer.marker(0xD0 + ((count // restart_interval - 1) % 8))
+                out += _pack_entropy(vals, lens)
+                out += bytes(
+                    [0xFF, 0xD0 + ((count // restart_interval - 1) % 8)]
+                )
+                vals = []
+                lens = []
                 pred = [0] * ncomp
             for ci in range(ncomp):
                 hc, vc = samp[ci]
@@ -435,8 +827,11 @@ def encode_jpeg(
                         pred[ci] = int(zz[0])
                         size, bits = _magnitude(diff)
                         code, ln = dc_codes[size]
-                        writer.write(code, ln)
-                        writer.write(bits, size)
+                        vals.append(code)
+                        lens.append(ln)
+                        if size:
+                            vals.append(bits & ((1 << size) - 1))
+                            lens.append(size)
                         # jump straight between nonzero AC coefficients
                         # (DC-only blocks — the common fixture case — cost
                         # one nonzero() instead of a 63-step Python scan)
@@ -447,37 +842,251 @@ def encode_jpeg(
                             run = k - prev - 1
                             while run > 15:
                                 code, ln = ac_codes[0xF0]  # ZRL
-                                writer.write(code, ln)
+                                vals.append(code)
+                                lens.append(ln)
                                 run -= 16
                             size, bits = _magnitude(int(zz[k]))
                             code, ln = ac_codes[(run << 4) | size]
-                            writer.write(code, ln)
-                            writer.write(bits, size)
+                            vals.append(code)
+                            lens.append(ln)
+                            vals.append(bits & ((1 << size) - 1))
+                            lens.append(size)
                             prev = k
                         if prev < 63:
                             code, ln = ac_codes[0x00]  # EOB
-                            writer.write(code, ln)
+                            vals.append(code)
+                            lens.append(ln)
             count += 1
-    writer.pad()
-    out += writer.buf
-    out += b"\xff\xd9"  # EOI
+    out += _pack_entropy(vals, lens)
     return bytes(out)
 
 
+def _vec_magnitude(d: np.ndarray):
+    """Vectorized :func:`_magnitude`: (size, size-bit appended value) for
+    int64 coefficients.  ``np.frexp`` gives bit_length exactly for
+    |d| < 2^53 (far above any quantized coefficient)."""
+    size = np.frexp(np.abs(d).astype(np.float64))[1].astype(np.int64)
+    bits = np.where(d >= 0, d, d + (np.int64(1) << size) - 1)
+    return size, bits
+
+
+def _encode_entropy_vec(
+    coefs, samp, enc, mcus_x, mcus_y, restart_interval
+) -> bytes:
+    """Vectorized entropy encoder — the round-8 fast path.  All per-block
+    token generation (DC diffs with restart resets, AC run-lengths, ZRL
+    expansion, EOB placement) happens as numpy array passes per
+    component; per-MCU component interleaving and per-restart-segment
+    packing assemble the identical (value, bit-length) stream the serial
+    walk produces, byte for byte (property-tested)."""
+    ncomp = len(coefs)
+    nmcu = mcus_y * mcus_x
+    comp_tok_v: list[np.ndarray] = []
+    comp_tok_l: list[np.ndarray] = []
+    comp_tok_per_block: list[np.ndarray] = []
+    for ci in range(ncomp):
+        hc, vc = samp[ci]
+        dc_codes, ac_codes = enc[ci]
+        vh = vc * hc
+        grid = coefs[ci]
+        # blocks of this component in VISIT order (my, mx, by, bx)
+        my_i, mx_i, by_i, bx_i = np.meshgrid(
+            np.arange(mcus_y), np.arange(mcus_x),
+            np.arange(vc), np.arange(hc), indexing="ij",
+        )
+        zz = grid[
+            (my_i * vc + by_i).ravel(), (mx_i * hc + bx_i).ravel()
+        ]  # (nblk, 64)
+        nblk = zz.shape[0]
+        # ---- DC: differential with per-restart-chunk resets
+        dc = zz[:, 0]
+        prev = np.empty_like(dc)
+        prev[0] = 0
+        prev[1:] = dc[:-1]
+        if restart_interval:
+            chunk = restart_interval * vh
+            prev[np.arange(0, nblk, chunk)] = 0
+        diff = dc - prev
+        dsize, dbits = _vec_magnitude(diff)
+        dc_code_arr = np.zeros(16, dtype=np.int64)
+        dc_len_arr = np.zeros(16, dtype=np.int64)
+        for sym, (code, ln) in dc_codes.items():
+            dc_code_arr[sym] = code
+            dc_len_arr[sym] = ln
+        # ---- AC: nonzeros, runs, ZRL counts, EOB mask
+        acs = zz[:, 1:]
+        nzb, nzk = np.nonzero(acs)
+        aval = acs[nzb, nzk]
+        kk = nzk + 1
+        first = np.empty(len(nzb), dtype=bool)
+        if len(nzb):
+            first[0] = True
+            first[1:] = nzb[1:] != nzb[:-1]
+        prevk = np.where(first, 0, np.concatenate(([0], kk[:-1])))
+        run = kk - prevk - 1
+        zrl_cnt = run >> 4
+        rem = run & 15
+        asize, abits = _vec_magnitude(aval)
+        rs = (rem << 4) | asize
+        ac_code_arr = np.zeros(256, dtype=np.int64)
+        ac_len_arr = np.zeros(256, dtype=np.int64)
+        for sym, (code, ln) in ac_codes.items():
+            ac_code_arr[sym] = code
+            ac_len_arr[sym] = ln
+        zrl_code, zrl_len = ac_codes[0xF0]
+        eob_code, eob_len = ac_codes[0x00]
+        # EOB: blocks whose LAST nonzero sits before k=63 (or no nonzero)
+        eob = np.ones(nblk, dtype=bool)
+        if len(nzb):
+            last = np.empty(len(nzb), dtype=bool)
+            last[-1] = True
+            last[:-1] = nzb[1:] != nzb[:-1]
+            eob[nzb[last]] = kk[last] < 63
+        # ---- expand per-nz token groups: [ZRL×zrl_cnt, code, bits]
+        tok_per_nz = zrl_cnt + 2
+        nz_tok_total = int(tok_per_nz.sum()) if len(nzb) else 0
+        if nz_tok_total:
+            g_start = np.concatenate(([0], np.cumsum(tok_per_nz)[:-1]))
+            grp = np.repeat(np.arange(len(nzb)), tok_per_nz)
+            off = np.arange(nz_tok_total) - np.repeat(g_start, tok_per_nz)
+            is_code = off == tok_per_nz[grp] - 2
+            is_bits = off == tok_per_nz[grp] - 1
+            nz_v = np.where(
+                is_code, ac_code_arr[rs[grp]],
+                np.where(is_bits, abits[grp], zrl_code),
+            )
+            nz_l = np.where(
+                is_code, ac_len_arr[rs[grp]],
+                np.where(is_bits, asize[grp], zrl_len),
+            )
+        # ---- per-block token layout: DC(1|2) + nz tokens + EOB(0|1)
+        dc_cnt = 1 + (dsize > 0).astype(np.int64)
+        nz_per_block = np.bincount(
+            nzb, weights=tok_per_nz, minlength=nblk
+        ).astype(np.int64)
+        tok_per_block = dc_cnt + nz_per_block + eob
+        b_start = np.concatenate(([0], np.cumsum(tok_per_block)[:-1]))
+        total = int(tok_per_block.sum())
+        tv = np.zeros(total, dtype=np.int64)
+        tl = np.zeros(total, dtype=np.int64)
+        tv[b_start] = dc_code_arr[dsize]
+        tl[b_start] = dc_len_arr[dsize]
+        has_bits = dsize > 0
+        tv[b_start[has_bits] + 1] = dbits[has_bits]
+        tl[b_start[has_bits] + 1] = dsize[has_bits]
+        if nz_tok_total:
+            # position = block start + DC tokens + index within the
+            # block's nz-token run (global nz-token index minus the
+            # block's first global nz-token index)
+            nz_b_start = np.concatenate(
+                ([0], np.cumsum(nz_per_block)[:-1])
+            )
+            within = np.arange(nz_tok_total) - nz_b_start[nzb[grp]]
+            pos = b_start[nzb[grp]] + dc_cnt[nzb[grp]] + within
+            tv[pos] = nz_v
+            tl[pos] = nz_l
+        ends = b_start + tok_per_block - 1
+        tv[ends[eob]] = eob_code
+        tl[ends[eob]] = eob_len
+        comp_tok_v.append(tv)
+        comp_tok_l.append(tl)
+        comp_tok_per_block.append(tok_per_block)
+    # ---- interleave components per MCU into the global token stream
+    vh_arr = [samp[ci][0] * samp[ci][1] for ci in range(ncomp)]
+    if ncomp == 1:
+        g_v, g_l = comp_tok_v[0], comp_tok_l[0]
+        mcu_tok = comp_tok_per_block[0].reshape(nmcu, vh_arr[0]).sum(1)
+    else:
+        # per-MCU token counts per component (each MCU holds vh blocks)
+        per_mcu = [
+            comp_tok_per_block[ci].reshape(nmcu, vh_arr[ci]).sum(1)
+            for ci in range(ncomp)
+        ]
+        mcu_tok = np.sum(per_mcu, axis=0)
+        # source ranges: for MCU m, comp ci: tokens
+        # [comp_mcu_start[ci][m], +per_mcu[ci][m]) of comp stream ci
+        comp_mcu_start = [
+            np.concatenate(([0], np.cumsum(per_mcu[ci])[:-1]))
+            for ci in range(ncomp)
+        ]
+        all_v = np.concatenate(comp_tok_v)
+        all_l = np.concatenate(comp_tok_l)
+        base = np.concatenate(
+            ([0], np.cumsum([len(v) for v in comp_tok_v])[:-1])
+        )
+        # chunk sequence: (m, ci) in MCU-major order
+        seg_src_start = np.empty(nmcu * ncomp, dtype=np.int64)
+        seg_len = np.empty(nmcu * ncomp, dtype=np.int64)
+        for ci in range(ncomp):
+            seg_src_start[ci::ncomp] = comp_mcu_start[ci] + base[ci]
+            seg_len[ci::ncomp] = per_mcu[ci]
+        total = int(seg_len.sum())
+        seg_out_start = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+        idx = (
+            np.repeat(seg_src_start, seg_len)
+            + np.arange(total)
+            - np.repeat(seg_out_start, seg_len)
+        )
+        g_v = all_v[idx]
+        g_l = all_l[idx]
+    # ---- pack per restart segment
+    if not restart_interval:
+        return _pack_entropy(g_v, g_l)
+    mcu_tok_start = np.concatenate(([0], np.cumsum(mcu_tok)))
+    out = bytearray()
+    nseg = -(-nmcu // restart_interval)
+    for r in range(nseg):
+        lo = mcu_tok_start[r * restart_interval]
+        hi = mcu_tok_start[min((r + 1) * restart_interval, nmcu)]
+        if r:
+            out += bytes([0xFF, 0xD0 + ((r - 1) % 8)])
+        out += _pack_entropy(g_v[lo:hi], g_l[lo:hi])
+    return bytes(out)
+
+
+#: below this many total blocks the serial walk wins — the vectorized
+#: path pays ~30 numpy array setups regardless of size (measured: 12-block
+#: q146 thumbnails 0.55 ms serial vs 1.55 ms vectorized; 480-block
+#: 128×160 images 15.2 ms serial vs 10.8 ms vectorized)
+_VEC_MIN_BLOCKS = 128
+
+
+def _encode_entropy(
+    coefs, samp, enc, mcus_x, mcus_y, restart_interval
+) -> bytes:
+    """Entropy-coded segment (RST markers included).  Size-dispatched:
+    thumbnails take the serial walk, real images the vectorized token
+    pass — both produce byte-identical streams (property-tested)."""
+    n_blocks = mcus_x * mcus_y * sum(h * v for h, v in samp)
+    impl = (
+        _encode_entropy_vec
+        if n_blocks >= _VEC_MIN_BLOCKS
+        else _encode_entropy_serial
+    )
+    return impl(coefs, samp, enc, mcus_x, mcus_y, restart_interval)
+
+
 # ------------------------------------------------------------------ decoder
-def _decode_quantized(data: bytes):
+def _decode_quantized(data: bytes, *, bit_serial: bool = False):
     """Parse a baseline JPEG into (h, w, components, quantized-coef grids).
 
     components: list of dicts {id, h, v, q (natural 8×8 int64)};
     coefs[i]: (blocks_y, blocks_x, 64) int64 zigzag-order quantized
     coefficients.  Exposed separately so tests can assert exact
     quant-domain equality against the encoder's output — the two entropy
-    implementations share no code."""
+    implementations share no code.
+
+    ``bit_serial=True`` selects the original one-Python-call-per-bit
+    reader (:class:`_BitReader`); the default is the table-driven
+    :class:`_BitReaderTabled` fast path.  Both walks are otherwise the
+    SAME code — only the reader object and table form differ — and the
+    differential test pins their outputs equal on every fixture
+    stream."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[int, dict[tuple[int, int], int]] = {}
+    htables_raw: dict[int, tuple[list, list]] = {}
     frame = None
     dri = 0
     while pos < len(data):
@@ -510,7 +1119,7 @@ def _decode_quantized(data: bytes):
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + n])
-                htables[tc_th] = _decode_table(bits, vals)
+                htables_raw[tc_th] = (bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
@@ -556,42 +1165,49 @@ def _decode_quantized(data: bytes):
                 np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
                 for c, _, _ in scan
             ]
-            reader = _BitReader(data, pos + seglen)
-            pred = [0] * ns
-            count = 0
-            rst = 0
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    if dri and count and count % dri == 0:
-                        reader.restart(rst)
-                        rst += 1
-                        pred = [0] * ns
-                    for si, (comp, td, ta) in enumerate(scan):
-                        dc_t = htables[td]  # class 0, id td
-                        ac_t = htables[0x10 | ta]
-                        for by in range(comp["v"]):
-                            for bx in range(comp["h"]):
-                                zz = coefs[si][
-                                    my * comp["v"] + by, mx * comp["h"] + bx
-                                ]
-                                size = reader.huff(dc_t)
-                                pred[si] += _extend(reader.receive(size), size)
-                                zz[0] = pred[si]
-                                k = 1
-                                while k < 64:
-                                    rs = reader.huff(ac_t)
-                                    r, s = rs >> 4, rs & 0x0F
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC run past block end")
-                                    zz[k] = _extend(reader.receive(s), s)
-                                    k += 1
-                    count += 1
+            if bit_serial:
+                htables = {k: _decode_table(*v) for k, v in htables_raw.items()}
+                reader = _BitReader(data, pos + seglen)
+                pred = [0] * ns
+                count = 0
+                rst = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if dri and count and count % dri == 0:
+                            reader.restart(rst)
+                            rst += 1
+                            pred = [0] * ns
+                        for si, (comp, td, ta) in enumerate(scan):
+                            dc_t = htables[td]  # class 0, id td
+                            ac_t = htables[0x10 | ta]
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    zz = coefs[si][
+                                        my * comp["v"] + by, mx * comp["h"] + bx
+                                    ]
+                                    size = reader.huff(dc_t)
+                                    pred[si] += _extend(reader.receive(size), size)
+                                    zz[0] = pred[si]
+                                    k = 1
+                                    while k < 64:
+                                        rs = reader.huff(ac_t)
+                                        r, s = rs >> 4, rs & 0x0F
+                                        if s == 0:
+                                            if r == 15:
+                                                k += 16
+                                                continue
+                                            break  # EOB
+                                        k += r
+                                        if k > 63:
+                                            raise ValueError("AC run past block end")
+                                        zz[k] = _extend(reader.receive(s), s)
+                                        k += 1
+                        count += 1
+            else:
+                _decode_scan_tabled(
+                    data, pos + seglen, scan, htables_raw, coefs, dri,
+                    mcus_x, mcus_y,
+                )
             for (comp, _, _), _cf in zip(scan, coefs):
                 comp["q"] = qtables[comp["tq"]]
             return h, w, [c for c, _, _ in scan], coefs
@@ -618,7 +1234,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         nat = np.zeros((by, bx, 64), dtype=np.float64)
         nat[..., ZIGZAG] = cf * comp["q"].reshape(-1)[ZIGZAG]
         blocks = nat.reshape(by, bx, 8, 8)
-        pix = np.einsum("xu,byuv,zv->byxz", _DCT.T, blocks, _DCT.T)
+        # inverse: C.T @ coefs @ C, batched (see _blockwise_dct_quant)
+        pix = _DCT.T @ blocks @ _DCT
         plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
         fy, fx = vmax // comp["v"], hmax // comp["h"]
         if vmax % comp["v"] or hmax % comp["h"]:

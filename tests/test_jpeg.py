@@ -343,3 +343,87 @@ def test_decode_header_truncated_sof_raises_valueerror():
     sof = data.index(b"\xff\xc0")
     with pytest.raises(ValueError, match="truncated"):
         decode_header(data[: sof + 6])
+
+
+def test_entropy_encoder_vec_byte_identical_to_serial():
+    """Round-8 fast path: the vectorized token-pass encoder must emit a
+    byte-identical stream to the serial reference walk on randomized
+    images across sizes, quality, subsampling and restart settings —
+    including all-constant (zero-AC) and size-dispatch-boundary cases."""
+    import numpy as np
+
+    import hadoop_sync_spark.jpeg_codec as J
+
+    rng = np.random.RandomState(3)
+    for trial in range(30):
+        h, w = rng.randint(1, 70), rng.randint(1, 70)
+        grey = rng.rand() < 0.3
+        arr = (
+            rng.rand(h, w) * 255 if grey else rng.rand(h, w, 3) * 255
+        ).astype(np.uint8)
+        if rng.rand() < 0.3:
+            arr[:] = 128
+        elif rng.rand() < 0.5:
+            arr = (arr.astype(np.int64) // 16 * 16).astype(np.uint8)
+        q = int(rng.choice([5, 30, 50, 85, 100]))
+        sub = "4:2:0" if (not grey and rng.rand() < 0.5) else "4:4:4"
+        ri = int(rng.choice([0, 1, 2, 4, 9]))
+        orig = J._encode_entropy
+        try:
+            J._encode_entropy = J._encode_entropy_serial
+            a = J.encode_jpeg(arr, quality=q, subsampling=sub,
+                              restart_interval=ri)
+        finally:
+            J._encode_entropy = orig
+        b = J.encode_jpeg(arr, quality=q, subsampling=sub,
+                          restart_interval=ri)
+        assert a == b, (trial, h, w, grey, q, sub, ri)
+
+
+def test_decoder_tabled_matches_bit_serial():
+    """Round-8 fast path: the combo-LUT monolithic scan decoder must
+    recover coefficient grids identical to the one-call-per-bit
+    reference reader on randomized conforming streams."""
+    import numpy as np
+
+    import hadoop_sync_spark.jpeg_codec as J
+
+    rng = np.random.RandomState(11)
+    for trial in range(30):
+        h, w = rng.randint(1, 70), rng.randint(1, 70)
+        grey = rng.rand() < 0.3
+        arr = (
+            rng.rand(h, w) * 255 if grey else rng.rand(h, w, 3) * 255
+        ).astype(np.uint8)
+        if rng.rand() < 0.5:
+            arr = (arr.astype(np.int64) // 16 * 16).astype(np.uint8)
+        q = int(rng.choice([5, 30, 50, 85, 100]))
+        sub = "4:2:0" if (not grey and rng.rand() < 0.5) else "4:4:4"
+        ri = int(rng.choice([0, 1, 2, 4, 9]))
+        data = J.encode_jpeg(arr, quality=q, subsampling=sub,
+                             restart_interval=ri)
+        fast = J._decode_quantized(data)
+        slow = J._decode_quantized(data, bit_serial=True)
+        assert (fast[0], fast[1]) == (slow[0], slow[1])
+        assert all(
+            np.array_equal(x, y) for x, y in zip(fast[3], slow[3])
+        ), (trial, h, w, grey, q, sub, ri)
+
+
+def test_pack_entropy_matches_bitwriter():
+    """_pack_entropy (vectorized) must byte-match _BitWriter (per-bit
+    reference) including 1-fill padding and FF stuffing."""
+    import numpy as np
+
+    from hadoop_sync_spark.jpeg_codec import _BitWriter, _pack_entropy
+
+    rng = np.random.RandomState(5)
+    for _ in range(40):
+        n = rng.randint(0, 400)
+        lens = rng.randint(1, 17, size=n)
+        vals = [int(rng.randint(0, 1 << l)) for l in lens]
+        w = _BitWriter()
+        for v, l in zip(vals, lens):
+            w.write(v, int(l))
+        w.pad()
+        assert bytes(w.buf) == _pack_entropy(vals, lens.tolist())

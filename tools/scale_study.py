@@ -78,68 +78,99 @@ REPLICATED = (
 )
 DIMS = ("region", "nation")
 
-#: one representative per operator family (registry names)
-STUDY_QUERIES = [
-    "q01_pricing_summary",      # scan + group agg
-    "q03_top_unshipped_orders", # join + top-k
-    "q09_distinct_counts",      # distinct
-    "q12_top_orders_per_customer",  # window
-    "q21_regional_revenue",     # 6-table broadcast star
-    "q40_tumbling_window",      # event-time window
-    "q42_session_windows",      # session window
-    "q57_bpe_pretokens",        # text tokenize + agg
-    "q60_exact_dedup",          # hash dedup
-    "q62_jaccard_pairs",        # bucketed similarity join
-    "q63_minhash_lsh_pairs",    # LSH banding
-    "q66_simhash_pairs",        # simhash blocks
-    "q68_dup_components",       # iterative label propagation
-    "q70_cosine_topk",          # brute-force ANN baseline
-    "q71_ivf_topk",             # IVF ANN
-    "q73_stratified_sample",    # deterministic sampling
-    "q75_gap_fill_locf",        # time-series gap fill
-    "q84_disjunctive_join_revenue",
-    "q88_token_budget_sample",  # two-phase budget selection
-    "q97_table_fingerprint_diff",
-    "q98_heavy_hitters",
-    "q99_incremental_dedup",
-    "q105_misra_gries",       # mergeable sketch (KB-sized exchange)
-    "q110_span_dedup",        # sub-document span dedup (explode + 2 shuffles)
-    "q111_pq_topk",           # PQ ADC scan (constant-cost codebooks)
-    "q112_quality_constraints",  # single-pass constraint report
-    "q113_shard_shuffle",     # per-shard window, no global sort
-    "q114_ivf_pq_topk",       # composed coarse probe × ADC scan
-    "q115_per_source_quality_gate",  # per-source rank gate
-    "q116_eval_per_lang",     # WindowGroupLimit per-group top-k
-    "q117_bloom_incremental_dedup",  # bloom index + exact confirm
-    "q119_scd2_intervals",    # gaps-and-islands (3 window passes, 1 shuffle)
-    "q120_funnel_conversion", # equi-join + conditional MIN funnel
-    "q121_bigram_lm_quality", # bigram LM train + score (3 shuffles)
-    "q122_rolling_7d_revenue",  # RANGE frame sliding aggregate
-    "q123_copurchase_triangles",  # degree-ordered wedge + closing joins
-    "q124_retention_cohorts",   # distinct + min-agg + equi-join
-    "q125_event_trigrams",      # double-lag window + tiny agg + top-k
-    "q126_snapshot_cdc",        # one co-partitioned full-outer join
-    "q127_vocab_build",         # token agg + vocab-scale rank
-    "q128_price_size_skyline",  # grid-partitioned dominance windows
-    "q129_audio_energy_segments",  # decode + vectorized DSP per frame
-    "q130_robust_source_stats",  # two rank-window passes on source
-    "q131_temperature_mix",     # agg + one-row normalizers
-    "q132_posting_blocks",      # doc-sharded postings, one shuffle
-    "q133_doc_chunks",          # zero-shuffle narrow chunking
-    "q134_interval_weighted_avg",  # one-exchange window + agg
-    "q135_k_anonymity",         # two chained aggregations
-    "q136_token_pmi",           # vocab-capped doc-keyed pair expansion
-    "q137_copurchase_pagerank",  # per-round message join + agg, cached rounds
-    "q138_delta_log_reader",    # metadata replay + snapshot-scoped scan
-    "q139_bm25_topk",           # postings join, matched-docs-only top-k
-    "q140_cogroup_asof_align",  # bucketed cogroup merge_asof
-    "q141_ngram_novelty",       # membership join (knowingly linear)
-    "q142_length_matched_controls",  # banded union-merge nearest join
-    "q143_cdc_chunk_dups",      # content-defined chunk signatures
-    "q144_delta_registry_sync",  # Delta snapshot diff through the registry
-    "q145_png_roundtrip_stats",  # CPU-bound codec, key-frame repartition
-    "q146_jpeg_roundtrip_stats",  # DCT codec round trip, same posture
-]
+#: one representative per operator family (registry names), grouped into
+#: the per-SESSION families the sweep isolates (round-8, VERDICT r7 item
+#: 6): a single-session 59-query sweep provably inflates LATE rows via
+#: accumulated JVM/broadcast/GC state (round 7: q66 ratio 5.4 in-sweep
+#: vs 1.33 isolated; q129 base 3.79 vs 0.81), so `run` now executes one
+#: fresh subprocess+SparkSession per family — flagged-row re-measurement
+#: stops being a manual step because no row is ever "late" behind an
+#: unrelated family.  ~10 s JVM startup per family is the price; the
+#: per-family tables in SCALING.md are the authoritative numbers.
+FAMILIES: dict[str, list[str]] = {
+    "relational": [
+        "q01_pricing_summary",      # scan + group agg
+        "q03_top_unshipped_orders", # join + top-k
+        "q09_distinct_counts",      # distinct
+        "q12_top_orders_per_customer",  # window
+        "q21_regional_revenue",     # 6-table broadcast star
+        "q84_disjunctive_join_revenue",
+    ],
+    "temporal": [
+        "q40_tumbling_window",      # event-time window
+        "q42_session_windows",      # session window
+        "q75_gap_fill_locf",        # time-series gap fill
+        "q119_scd2_intervals",    # gaps-and-islands (3 window passes, 1 shuffle)
+        "q120_funnel_conversion", # equi-join + conditional MIN funnel
+        "q122_rolling_7d_revenue",  # RANGE frame sliding aggregate
+        "q124_retention_cohorts",   # distinct + min-agg + equi-join
+        "q125_event_trigrams",      # double-lag window + tiny agg + top-k
+        "q126_snapshot_cdc",        # one co-partitioned full-outer join
+        "q128_price_size_skyline",  # grid-partitioned dominance windows
+        "q130_robust_source_stats",  # two rank-window passes on source
+        "q134_interval_weighted_avg",  # one-exchange window + agg
+    ],
+    "text": [
+        "q57_bpe_pretokens",        # text tokenize + agg
+        "q121_bigram_lm_quality", # bigram LM train + score (3 shuffles)
+        "q127_vocab_build",         # token agg + vocab-scale rank
+        "q131_temperature_mix",     # agg + one-row normalizers
+        "q132_posting_blocks",      # doc-sharded postings, one shuffle
+        "q133_doc_chunks",          # zero-shuffle narrow chunking
+        "q135_k_anonymity",         # two chained aggregations
+        "q136_token_pmi",           # vocab-capped doc-keyed pair expansion
+    ],
+    "dedup": [
+        "q60_exact_dedup",          # hash dedup
+        "q62_jaccard_pairs",        # bucketed similarity join
+        "q63_minhash_lsh_pairs",    # LSH banding
+        "q66_simhash_pairs",        # simhash blocks
+        "q68_dup_components",       # iterative label propagation
+        "q99_incremental_dedup",
+        "q110_span_dedup",        # sub-document span dedup (explode + 2 shuffles)
+        "q117_bloom_incremental_dedup",  # bloom index + exact confirm
+        "q143_cdc_chunk_dups",      # content-defined chunk signatures
+    ],
+    "sample-sketch": [
+        "q73_stratified_sample",    # deterministic sampling
+        "q88_token_budget_sample",  # two-phase budget selection
+        "q97_table_fingerprint_diff",
+        "q98_heavy_hitters",
+        "q105_misra_gries",       # mergeable sketch (KB-sized exchange)
+        "q112_quality_constraints",  # single-pass constraint report
+        "q113_shard_shuffle",     # per-shard window, no global sort
+        "q115_per_source_quality_gate",  # per-source rank gate
+        "q116_eval_per_lang",     # WindowGroupLimit per-group top-k
+    ],
+    "ann": [
+        "q70_cosine_topk",          # brute-force ANN baseline
+        "q71_ivf_topk",             # IVF ANN
+        "q111_pq_topk",           # PQ ADC scan (constant-cost codebooks)
+        "q114_ivf_pq_topk",       # composed coarse probe x ADC scan
+    ],
+    "graph": [
+        "q123_copurchase_triangles",  # degree-ordered wedge + closing joins
+        "q137_copurchase_pagerank",  # per-round message join + agg, cached rounds
+    ],
+    "retrieval-curation": [
+        "q139_bm25_topk",           # postings join, matched-docs-only top-k
+        "q140_cogroup_asof_align",  # bucketed cogroup merge_asof
+        "q141_ngram_novelty",       # membership join (knowingly linear)
+        "q142_length_matched_controls",  # banded union-merge nearest join
+    ],
+    "multimodal": [
+        "q129_audio_energy_segments",  # decode + vectorized DSP per frame
+        "q145_png_roundtrip_stats",  # CPU-bound codec, key-frame repartition
+        "q146_jpeg_roundtrip_stats",  # DCT codec round trip, same posture
+    ],
+    "lakehouse": [
+        "q138_delta_log_reader",    # metadata replay + snapshot-scoped scan
+        "q144_delta_registry_sync",  # Delta snapshot diff through the registry
+    ],
+}
+
+#: flat view (kept for SPARK_GRAFT_SCALE_QUERIES and external callers)
+STUDY_QUERIES = [q for fam in FAMILIES.values() for q in fam]
 
 
 def scaled_dir(k: int) -> str:
@@ -205,10 +236,8 @@ def build(k: int, tables: tuple[str, ...] | None = None) -> None:
     print("built", out)
 
 
-def run(k: int) -> None:
+def _session(k: int):
     from pyspark.sql import SparkSession
-
-    from hadoop_sync_spark.queries import load_all
 
     # Deliberately NEAR-VANILLA (no engine conf, no files.minPartitionNum):
     # this mirrors the driver's session posture, which is how the round-7
@@ -224,6 +253,12 @@ def run(k: int) -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _measure(spark, names: list[str], k: int) -> list[tuple]:
+    from hadoop_sync_spark.queries import load_all
+
     registry = load_all()
     big = scaled_dir(k)
 
@@ -237,9 +272,7 @@ def run(k: int) -> None:
         return statistics.median(times)
 
     rows = []
-    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
-    queries = only.split(",") if only else STUDY_QUERIES
-    for name in queries:
+    for name in names:
         q = registry[name]
         t_small = median_time(q.fn, BASE)
         t_big = median_time(q.fn, big)
@@ -247,17 +280,70 @@ def run(k: int) -> None:
         rows.append((name, t_small, t_big, ratio))
         flag = " <-- SUPERLINEAR" if ratio > 1.5 * k else ""
         print(f"{name:34s} {t_small:7.2f}s {t_big:7.2f}s  x{ratio:5.1f}{flag}")
+    return rows
+
+
+def run_family(k: int, family: str) -> None:
+    """One family, one fresh SparkSession (subprocess entry)."""
+    rows = _measure(_session(k), FAMILIES[family], k)
     print(
-        json.dumps(
+        "FAMILY_RESULT "
+        + json.dumps(
             {
-                "k": k,
-                "queries": {
-                    n: {"t_base": round(a, 3), "t_scaled": round(b, 3), "ratio": round(r, 2)}
-                    for n, a, b, r in rows
-                },
+                n: {"t_base": round(a, 3), "t_scaled": round(b, 3),
+                    "ratio": round(r, 2)}
+                for n, a, b, r in rows
             }
         )
     )
+
+
+def run(k: int) -> None:
+    """Full sweep: ONE SUBPROCESS (= one JVM/SparkSession) PER FAMILY, so
+    no query's reading sits behind an unrelated family's accumulated
+    JVM/broadcast/GC state (the round-7 late-row inflation: q66 5.4
+    in-sweep vs 1.33 isolated).  SPARK_GRAFT_SCALE_QUERIES still runs a
+    targeted list in a single in-process session."""
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if only:
+        rows = _measure(_session(k), only.split(","), k)
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "queries": {
+                        n: {"t_base": round(a, 3), "t_scaled": round(b, 3),
+                            "ratio": round(r, 2)}
+                        for n, a, b, r in rows
+                    },
+                }
+            )
+        )
+        return
+
+    import subprocess
+
+    merged: dict[str, dict] = {}
+    for family in FAMILIES:
+        print(f"== family: {family} (fresh session) ==", flush=True)
+        proc = subprocess.run(
+            [sys.executable, __file__, "run-family", str(k), family],
+            capture_output=True,
+            text=True,
+            env=os.environ,
+        )
+        tail = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("FAMILY_RESULT "):
+                tail = line[len("FAMILY_RESULT "):]
+            else:
+                print(line)
+        if proc.returncode != 0 or tail is None:
+            print(f"family {family} FAILED (rc={proc.returncode}):")
+            print(proc.stderr[-2000:])
+            continue
+        merged.update(json.loads(tail))
+    print(json.dumps({"k": k, "queries": merged, "per_family_sessions": True}))
 
 
 if __name__ == "__main__":
@@ -267,5 +353,7 @@ if __name__ == "__main__":
         build(kk, tuple(sys.argv[3:]) or None)
     elif cmd == "run":
         run(kk)
+    elif cmd == "run-family":
+        run_family(kk, sys.argv[3])
     else:
         raise SystemExit(f"unknown command {cmd!r}")
