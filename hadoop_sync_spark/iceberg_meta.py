@@ -32,8 +32,14 @@ the registry's A23 publish (registry.py::_publish) and the Delta
 committer already use.  ``delete`` is copy-on-write at the metadata
 level: a replacement manifest rewrites surviving entries as EXISTING and
 removed ones as DELETED, exactly how Iceberg's ``overwrite`` snapshots
-express file-level deletes (no position/equality delete files — those
-are the v2 merge-on-read seam, raised on explicitly).
+express file-level deletes.  **Merge-on-read is implemented too**
+(round 8): position-delete files (reserved-field-id (file_path, pos)
+parquet, content=1) and equality-delete files (equality_ids columns,
+content=2) commit into separate delete manifests with spec-correct v2
+sequence-number inheritance and carry-forward, and ``read`` subtracts
+them with broadcast anti-joins keyed on ``_metadata.row_index`` /
+null-safe column equality, honoring the sequence rules (position: data
+seq ≤ delete seq; equality: strictly older — upsert semantics).
 
 Scale posture: identical to the Delta reader — the metadata walk is
 KB-scale driver work (exactly where production Iceberg plans scans: the
@@ -59,7 +65,17 @@ from dataclasses import dataclass
 from hadoop_sync_spark.avro_codec import read_ocf, write_ocf
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+#: data_file.content (spec: Data File struct)
 _CONTENT_DATA = 0
+_CONTENT_POS_DELETES = 1
+_CONTENT_EQ_DELETES = 2
+#: manifest_file.content (spec: Manifest Lists)
+_MANIFEST_DATA = 0
+_MANIFEST_DELETES = 1
+#: reserved field ids of the position-delete file schema (spec:
+#: Position Delete Files)
+_POS_DELETE_FILE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
 
 #: Spark simpleString → Iceberg primitive type names (the subset the
 #: fixture tables need; anything else raises honestly).
@@ -127,6 +143,13 @@ def _manifest_entry_schema(spec_fields: list[dict]) -> dict:
             {"name": "partition", "type": part},
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            # equality-delete files only (content=2): schema field ids
+            # the delete rows compare on (spec: equality_ids, id 135)
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+            },
         ],
     }
     return {
@@ -226,6 +249,14 @@ class DataFile:
     partition: dict
     record_count: int
     file_size: int
+    #: data_file.content: 0 data, 1 position deletes, 2 equality deletes
+    content: int = 0
+    #: data sequence number (v2 inheritance applied: an ADDED entry with
+    #: null sequence_number takes its manifest's) — what decides which
+    #: delete files apply to which data files
+    sequence: int = 0
+    #: equality-delete column field ids (content=2 only)
+    equality_ids: tuple = ()
 
 
 class IcebergTable:
@@ -329,16 +360,43 @@ class IcebergTable:
         whole manifests, entry partition values skip files.  No data file
         is opened at any point — this is the metadata-only scan planning
         Iceberg exists for."""
+        return self._scan_manifests(
+            _MANIFEST_DATA, snapshot_id, as_of_timestamp_ms, partition_filter
+        )
+
+    def delete_files(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> list[DataFile]:
+        """Live DELETE files (v2 merge-on-read) of a snapshot: content 1
+        = position deletes (rows named by (file_path, pos)), content 2 =
+        equality deletes (rows named by column equality on
+        ``equality_ids``).  Applicability is sequence-based and decided
+        by the reader (:meth:`read`): a position delete applies to data
+        files with data sequence ≤ its own, an equality delete to data
+        files STRICTLY older (spec "Scan Planning").  Delete manifests
+        are never partition-pruned here — a filter must not widen the
+        surviving-row set."""
+        return self._scan_manifests(
+            _MANIFEST_DELETES, snapshot_id, as_of_timestamp_ms, None
+        )
+
+    def _scan_manifests(
+        self,
+        want_content: int,
+        snapshot_id: int | None,
+        as_of_timestamp_ms: int | None,
+        partition_filter: dict | None,
+    ) -> list[DataFile]:
         meta = self.metadata()
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms)
         mlist_path = self._resolve(snap["manifest-list"])
         _, manifests, _ = read_ocf(mlist_path)
         out: list[DataFile] = []
         for mf in manifests:
-            if mf["content"] != _CONTENT_DATA:
-                raise NotImplementedError(
-                    "delete manifests (merge-on-read) not supported"
-                )
+            if mf["content"] != want_content:
+                continue
             spec_fields = self._spec_fields(meta, mf["partition_spec_id"])
             if partition_filter and mf.get("partitions"):
                 if self._summary_prunes(
@@ -350,21 +408,25 @@ class IcebergTable:
                 if e["status"] == _STATUS_DELETED:
                     continue
                 df = e["data_file"]
-                if df["content"] != _CONTENT_DATA:
-                    raise NotImplementedError(
-                        "position/equality delete files not supported"
-                    )
                 part = dict(df["partition"])
                 if partition_filter and any(
                     part.get(k) != v for k, v in partition_filter.items()
                 ):
                     continue
+                # v2 sequence inheritance: an entry with null
+                # sequence_number takes its manifest's
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf["sequence_number"]
                 out.append(
                     DataFile(
                         path=self._resolve(df["file_path"]),
                         partition=part,
                         record_count=df["record_count"],
                         file_size=df["file_size_in_bytes"],
+                        content=df["content"],
+                        sequence=seq,
+                        equality_ids=tuple(df.get("equality_ids") or ()),
                     )
                 )
         return out
@@ -423,26 +485,101 @@ class IcebergTable:
         Join-key discipline lives in :func:`io.attach_file_columns`
         (shared with the Delta reader): both sides key on the DECODED
         absolute path, and a residual mismatch raises instead of
-        silently dropping rows (ADVICE r7)."""
+        silently dropping rows (ADVICE r7).
+
+        Merge-on-read (v2 delete files): when the snapshot carries
+        position or equality deletes applicable to any selected data
+        file, the scan gains per-row lineage columns (file-relative
+        path via the same attach join, row ordinal via
+        ``_metadata.row_index``, data sequence number) and each delete
+        file subtracts rows through a broadcast LEFT ANTI join —
+        position deletes match (file, pos) on data files with sequence
+        ≤ the delete's, equality deletes match the ``equality_ids``
+        columns null-safely on STRICTLY older data files (the spec's
+        upsert semantics).  Delete files are metadata-scale next to the
+        data they prune, so broadcasting them is production Iceberg's
+        own plan shape; with no applicable deletes the plan is exactly
+        the plain scan (zero overhead for CoW-only tables)."""
+        from pyspark.sql import functions as F
+
         from hadoop_sync_spark.io import attach_file_columns
 
         files = self.files(snapshot_id, as_of_timestamp_ms, partition_filter)
         if not files:
             raise ValueError("snapshot selects no data files")
+        deletes = self.delete_files(snapshot_id, as_of_timestamp_ms)
+        pos_dels = [
+            d for d in deletes
+            if d.content == _CONTENT_POS_DELETES
+            and any(f.sequence <= d.sequence for f in files)
+        ]
+        eq_dels = [
+            d for d in deletes
+            if d.content == _CONTENT_EQ_DELETES
+            and any(f.sequence < d.sequence for f in files)
+        ]
         scan = spark.read.parquet(*[f.path for f in files])
         part_cols = sorted({k for f in files for k in f.partition})
-        if not part_cols:
-            return scan
-        # abspath, not resolve() — Hadoop qualifies paths but does not
-        # chase symlinks, so neither may we
+        if not (pos_dels or eq_dels):
+            if not part_cols:
+                return scan
+            # abspath, not resolve() — Hadoop qualifies paths but does
+            # not chase symlinks, so neither may we
+            rows = [
+                (_norm_path(f.path),)
+                + tuple(f.partition.get(c) for c in part_cols)
+                for f in files
+            ]
+            return attach_file_columns(
+                scan, rows, part_cols, what="iceberg snapshot partition"
+            )
+        data_cols = scan.columns
+        scan = scan.select(
+            "*", F.col("_metadata.row_index").alias("_row_idx")
+        )
         rows = [
-            (_norm_path(f.path),)
+            (
+                _norm_path(f.path),
+                os.path.relpath(f.path, self.dir),
+                f.sequence,
+            )
             + tuple(f.partition.get(c) for c in part_cols)
             for f in files
         ]
-        return attach_file_columns(
-            scan, rows, part_cols, what="iceberg snapshot partition"
+        df = attach_file_columns(
+            scan,
+            rows,
+            ["_rel_path", "_seq", *part_cols],
+            what="iceberg snapshot partition",
         )
+        meta_schema = {
+            f["id"]: f["name"]
+            for f in self.metadata()["schemas"][
+                self.metadata()["current-schema-id"]
+            ]["fields"]
+        }
+        for d in pos_dels:
+            dels = spark.read.parquet(d.path).select(
+                F.col("file_path").alias("_d_file"),
+                F.col("pos").alias("_d_pos"),
+            )
+            df = df.join(
+                F.broadcast(dels),
+                (F.col("_rel_path") == F.col("_d_file"))
+                & (F.col("_row_idx") == F.col("_d_pos"))
+                & (F.col("_seq") <= F.lit(d.sequence)),
+                "left_anti",
+            )
+        for d in eq_dels:
+            names = [meta_schema[fid] for fid in d.equality_ids]
+            dels = spark.read.parquet(d.path).select(
+                *[F.col(n).alias(f"_d_{n}") for n in names]
+            )
+            cond = F.col("_seq") < F.lit(d.sequence)
+            for n in names:
+                cond = cond & F.col(n).eqNullSafe(F.col(f"_d_{n}"))
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+        return df.select(*data_cols, *part_cols)
 
     def history(self) -> list[dict]:
         """Operation log in DESCRIBE HISTORY shape, newest first."""
@@ -532,45 +669,78 @@ class IcebergTable:
         entries: list[dict],
         operation: str,
         now_ms: int,
-        counts: tuple[int, int, int, int, int, int],
+        counts: tuple[int, int, int, int, int, int] | None = None,
+        delete_entries: list[dict] | None = None,
     ) -> int:
-        """Write manifest + manifest list + next metadata version.  The
-        snapshot id is deterministic (sequence-derived) — same
-        no-ambient-randomness rule as the Avro sync marker."""
+        """Write manifest(s) + manifest list + next metadata version.
+        ``entries`` fill the DATA manifest; ``delete_entries`` (v2
+        merge-on-read position/equality delete files), when present,
+        get their own manifest with ``content=1`` in the manifest list.
+        Per-manifest file/row counts derive from entry statuses;
+        ``min_sequence_number`` is the min over explicit entry sequences
+        (EXISTING carry-forwards) and the new sequence (ADDED inherit).
+        The snapshot id is deterministic (sequence-derived) — same
+        no-ambient-randomness rule as the Avro sync marker.  ``counts``
+        is accepted for backward compatibility and ignored (statuses are
+        authoritative)."""
         meta = self.metadata()
         version = self.current_version()
         seq = meta["last-sequence-number"] + 1
         snap_id = 1000 + seq
         spec_fields = self._spec_fields(meta, 0)
         entry_schema = _manifest_entry_schema(spec_fields)
-        man_rel = f"metadata/snap-{snap_id}-manifest.avro"
-        man_path = os.path.join(self.dir, man_rel)
-        write_ocf(
-            man_path,
-            entry_schema,
-            entries,
-            extra_meta={
-                "schema": json.dumps(
-                    meta["schemas"][meta["current-schema-id"]]
-                ).encode(),
-                "partition-spec": json.dumps(spec_fields).encode(),
-                "content": b"data",
-            },
-        )
-        added_f, existing_f, deleted_f, added_r, existing_r, deleted_r = counts
-        summaries = self._field_summaries(entries, spec_fields)
-        mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
-        write_ocf(
-            os.path.join(self.dir, mlist_rel),
-            _MANIFEST_FILE_SCHEMA,
-            [
+
+        def stat_counts(es):
+            f = {0: 0, 1: 0, 2: 0}
+            r = {0: 0, 1: 0, 2: 0}
+            for e in es:
+                f[e["status"]] += 1
+                r[e["status"]] += e["data_file"]["record_count"]
+            return (
+                f[_STATUS_ADDED], f[_STATUS_EXISTING], f[_STATUS_DELETED],
+                r[_STATUS_ADDED], r[_STATUS_EXISTING], r[_STATUS_DELETED],
+            )
+
+        def min_seq(es):
+            explicit = [
+                e["sequence_number"]
+                for e in es
+                if e.get("sequence_number") is not None
+            ]
+            return min(explicit + [seq])
+
+        mlist_rows = []
+        for content, kind, es in (
+            (_MANIFEST_DATA, "data", entries),
+            (_MANIFEST_DELETES, "deletes", delete_entries or []),
+        ):
+            if content == _MANIFEST_DELETES and not es:
+                continue
+            man_rel = f"metadata/snap-{snap_id}-{kind}-manifest.avro"
+            man_path = os.path.join(self.dir, man_rel)
+            write_ocf(
+                man_path,
+                entry_schema,
+                es,
+                extra_meta={
+                    "schema": json.dumps(
+                        meta["schemas"][meta["current-schema-id"]]
+                    ).encode(),
+                    "partition-spec": json.dumps(spec_fields).encode(),
+                    "content": kind.encode(),
+                },
+            )
+            added_f, existing_f, deleted_f, added_r, existing_r, deleted_r = (
+                stat_counts(es)
+            )
+            mlist_rows.append(
                 {
                     "manifest_path": man_rel,
                     "manifest_length": os.path.getsize(man_path),
                     "partition_spec_id": 0,
-                    "content": _CONTENT_DATA,
+                    "content": content,
                     "sequence_number": seq,
-                    "min_sequence_number": seq,
+                    "min_sequence_number": min_seq(es),
                     "added_snapshot_id": snap_id,
                     "added_files_count": added_f,
                     "existing_files_count": existing_f,
@@ -578,9 +748,16 @@ class IcebergTable:
                     "added_rows_count": added_r,
                     "existing_rows_count": existing_r,
                     "deleted_rows_count": deleted_r,
-                    "partitions": summaries if spec_fields else None,
+                    "partitions": self._field_summaries(es, spec_fields)
+                    if spec_fields
+                    else None,
                 }
-            ],
+            )
+        mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
+        write_ocf(
+            os.path.join(self.dir, mlist_rel),
+            _MANIFEST_FILE_SCHEMA,
+            mlist_rows,
         )
         meta = dict(meta)
         meta["last-sequence-number"] = seq
@@ -647,6 +824,7 @@ class IcebergTable:
                     "partition": f.partition,
                     "record_count": f.record_count,
                     "file_size_in_bytes": f.file_size,
+                    "equality_ids": None,
                 },
             }
             for f in files
@@ -655,16 +833,7 @@ class IcebergTable:
             entries,
             "append",
             now_ms,
-            (
-                len(files),
-                len(prior),
-                0,
-                sum(f.record_count for f in files),
-                sum(
-                    e["data_file"]["record_count"] for e in prior
-                ),
-                0,
-            ),
+            delete_entries=self._live_delete_entries(),
         )
 
     def delete(self, paths: set[str], now_ms: int = 0) -> int:
@@ -684,36 +853,166 @@ class IcebergTable:
             entries.append(e)
         if not deleted_f:
             raise ValueError("delete matched no live data files")
-        live = len(prior) - deleted_f
-        live_r = sum(
-            e["data_file"]["record_count"]
-            for e in entries
-            if e["status"] != _STATUS_DELETED
-        )
         return self._commit_snapshot(
-            entries, "overwrite", now_ms, (0, live, deleted_f, 0, live_r, deleted_r)
+            entries,
+            "overwrite",
+            now_ms,
+            delete_entries=self._live_delete_entries(),
         )
+
+    def add_position_deletes(
+        self, deletes: list[tuple[str, int]], now_ms: int = 0
+    ) -> int:
+        """Merge-on-read POSITION delete: write a delete parquet naming
+        rows as (file_path, pos) — the reserved-field-id schema of the
+        spec's "Position Delete Files" — and commit a snapshot whose
+        delete manifest carries it (content=1).  ``deletes`` uses
+        table-relative data file paths and 0-based row ordinals within
+        each file.  Applies at read time to data files with data
+        sequence ≤ this commit's sequence."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not deletes:
+            raise ValueError("no delete positions given")
+        meta = self.metadata()
+        seq = meta["last-sequence-number"] + 1
+        rel = f"data/delete-pos-{seq}.parquet"
+        path = os.path.join(self.dir, rel)
+        ordered = sorted(deletes)
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        [p for p, _ in ordered], pa.string()
+                    ),
+                    "pos": pa.array([p for _, p in ordered], pa.int64()),
+                }
+            ),
+            path,
+        )
+        spec_fields = self._spec_fields(meta, 0)
+        entry = {
+            "status": _STATUS_ADDED,
+            "snapshot_id": None,
+            "sequence_number": None,  # inherits this commit's sequence
+            "file_sequence_number": None,
+            "data_file": {
+                "content": _CONTENT_POS_DELETES,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                # not partition-scoped: all-null partition tuple
+                "partition": {f["name"]: None for f in spec_fields},
+                "record_count": len(ordered),
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": None,
+            },
+        }
+        return self._commit_snapshot(
+            self._live_entries(),
+            "delete",
+            now_ms,
+            delete_entries=self._live_delete_entries() + [entry],
+        )
+
+    def add_equality_deletes(
+        self, rows: list[dict], equality_ids: list[int], now_ms: int = 0
+    ) -> int:
+        """Merge-on-read EQUALITY delete: write a delete parquet holding
+        the equality columns (named by schema field ids) and commit it
+        in a delete manifest (content=2).  Applies at read time to data
+        files STRICTLY OLDER than this commit (data sequence < delete
+        sequence) — a row later re-inserted with the same key survives,
+        the spec's upsert semantics."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not rows or not equality_ids:
+            raise ValueError("equality delete needs rows and field ids")
+        meta = self.metadata()
+        schema_fields = {
+            f["id"]: f
+            for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        }
+        names = []
+        for fid in equality_ids:
+            if fid not in schema_fields:
+                raise ValueError(f"unknown schema field id {fid}")
+            names.append(schema_fields[fid]["name"])
+        seq = meta["last-sequence-number"] + 1
+        rel = f"data/delete-eq-{seq}.parquet"
+        path = os.path.join(self.dir, rel)
+        arrow_t = {
+            "long": pa.int64(),
+            "int": pa.int32(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+        }
+        cols = {}
+        for fid, name in zip(equality_ids, names):
+            typ = schema_fields[fid]["type"]
+            if typ not in arrow_t:
+                raise NotImplementedError(
+                    f"equality delete on {typ!r} column"
+                )
+            cols[name] = pa.array([r[name] for r in rows], arrow_t[typ])
+        pq.write_table(pa.table(cols), path)
+        spec_fields = self._spec_fields(meta, 0)
+        entry = {
+            "status": _STATUS_ADDED,
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": _CONTENT_EQ_DELETES,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {f["name"]: None for f in spec_fields},
+                "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": list(equality_ids),
+            },
+        }
+        return self._commit_snapshot(
+            self._live_entries(),
+            "delete",
+            now_ms,
+            delete_entries=self._live_delete_entries() + [entry],
+        )
+
+    def _carry_entries(self, files: list[DataFile]) -> list[dict]:
+        """Live files re-written as EXISTING entries with their original
+        data sequence numbers EXPLICIT (the spec forbids inheritance for
+        EXISTING status — losing the original sequence would break
+        merge-on-read applicability)."""
+        return [
+            {
+                "status": _STATUS_EXISTING,
+                "snapshot_id": None,
+                "sequence_number": f.sequence,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": f.content,
+                    "file_path": os.path.relpath(f.path, self.dir),
+                    "file_format": "PARQUET",
+                    "partition": f.partition,
+                    "record_count": f.record_count,
+                    "file_size_in_bytes": f.file_size,
+                    "equality_ids": list(f.equality_ids) or None,
+                },
+            }
+            for f in files
+        ]
 
     def _live_entries(self) -> list[dict]:
         meta = self.metadata()
         if meta.get("current-snapshot-id") is None:
             return []
-        out = []
-        for f in self.files():
-            out.append(
-                {
-                    "status": _STATUS_EXISTING,
-                    "snapshot_id": None,
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": _CONTENT_DATA,
-                        "file_path": os.path.relpath(f.path, self.dir),
-                        "file_format": "PARQUET",
-                        "partition": f.partition,
-                        "record_count": f.record_count,
-                        "file_size_in_bytes": f.file_size,
-                    },
-                }
-            )
-        return out
+        return self._carry_entries(self.files())
+
+    def _live_delete_entries(self) -> list[dict]:
+        meta = self.metadata()
+        if meta.get("current-snapshot-id") is None:
+            return []
+        return self._carry_entries(self.delete_files())

@@ -4,9 +4,11 @@ Mirrors the Delta suite's strategy (tests/test_delta_log.py): a
 deterministic multi-snapshot fixture exercises the full metadata tree —
 create → append → append → copy-on-write delete — and pins snapshot
 isolation, time travel (by id and by timestamp), metadata-only planning,
-two-layer partition pruning, commit-collision put-if-absent, and the
-honest seams (non-identity transforms, merge-on-read delete files,
-unknown format versions).
+two-layer partition pruning, commit-collision put-if-absent,
+merge-on-read delete files (position + equality, round 8 — sequence
+rules, upsert semantics, carry-through-CoW, metadata-only planning),
+and the honest seams (non-identity transforms, unknown format
+versions).
 """
 
 from __future__ import annotations
@@ -351,3 +353,106 @@ def test_q147_oracle_parity_unregistered(spark, oracle):
     sdf = q147_iceberg_snapshot_reader(spark, SF_DIR)
     n = compare_frames(sdf, oracle.sql(Q147_ORACLE), "q147")
     assert n == 1
+
+
+# ---------------------------------------------------------------- MoR (r8)
+def _mor_table(tmp_path, partitioned=False):
+    d = str(tmp_path / "mor")
+    os.makedirs(os.path.join(d, "data"))
+
+    def write_pq(name, ids, bucket=None):
+        p = os.path.join(d, "data", name)
+        cols = {"id": pa.array(ids, pa.int64()),
+                "val": pa.array([f"v{i}" for i in ids], pa.string())}
+        pq.write_table(pa.table(cols), p)
+        return DataFile(
+            path=f"data/{name}",
+            partition={"p_bucket": bucket} if partitioned else {},
+            record_count=len(ids),
+            file_size=os.path.getsize(p),
+        )
+
+    fields = [("id", "bigint"), ("val", "string")]
+    part_by = None
+    if partitioned:
+        fields.append(("p_bucket", "int"))
+        part_by = [("p_bucket", "int")]
+    t = IcebergTable.create(d, fields, partition_by=part_by, now_ms=1000)
+    return t, write_pq
+
+
+def test_position_deletes_subtract_rows(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2, 3, 4, 5])], now_ms=2000)
+    s2 = t.add_position_deletes(
+        [("data/f1.parquet", 0), ("data/f1.parquet", 2)], now_ms=3000
+    )
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 4, 5]
+    # the delete applies only to files with data seq <= delete seq: a
+    # LATER append is untouched even though the delete is still live
+    t.append([write_pq("f2.parquet", [10, 11])], now_ms=4000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 4, 5, 10, 11]
+    # time travel to before the delete still sees every row
+    assert sorted(
+        r.id for r in t.read(spark, snapshot_id=s1).collect()
+    ) == [1, 2, 3, 4, 5]
+    # and the delete files are live metadata, not data files
+    assert [f.content for f in t.delete_files()] == [1]
+    assert all(f.content == 0 for f in t.files())
+
+
+def test_equality_deletes_upsert_semantics(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3, 4])], now_ms=2000)
+    t.add_equality_deletes(
+        [{"id": 2}, {"id": 3}], equality_ids=[1], now_ms=3000
+    )
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 4]
+    # upsert: re-inserting id=2 AFTER the delete survives (equality
+    # deletes apply only to STRICTLY older data files)
+    t.append([write_pq("f2.parquet", [2, 9])], now_ms=4000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 4, 9]
+    # a newer equality delete kills both the old and the re-inserted row
+    t.add_equality_deletes([{"id": 2}], equality_ids=[1], now_ms=5000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 4, 9]
+
+
+def test_mor_deletes_carry_through_cow_commits(spark, tmp_path):
+    """Delete manifests must survive later CoW commits (append/delete
+    rewrite the data manifest but carry delete entries forward)."""
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3])], now_ms=2000)
+    t.add_position_deletes([("data/f1.parquet", 1)], now_ms=3000)
+    t.append([write_pq("f2.parquet", [7])], now_ms=4000)
+    t.delete({"data/f2.parquet"}, now_ms=5000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+    assert len(t.delete_files()) == 1
+
+
+def test_mor_with_partition_columns(spark, tmp_path):
+    """Deletes compose with the partition-attach join and partition
+    pruning (delete manifests are never pruned)."""
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    t.append(
+        [
+            write_pq("f1.parquet", [1, 2], bucket=0),
+            write_pq("f2.parquet", [3, 4], bucket=1),
+        ],
+        now_ms=2000,
+    )
+    t.add_position_deletes([("data/f1.parquet", 0)], now_ms=3000)
+    got = {(r.id, r.p_bucket) for r in t.read(spark).collect()}
+    assert got == {(2, 0), (3, 1), (4, 1)}
+    pruned = t.read(spark, partition_filter={"p_bucket": 0})
+    assert [r.id for r in pruned.collect()] == [2]
+
+
+def test_mor_planning_is_metadata_only(tmp_path):
+    """delete_files()/files() never open a data OR delete parquet."""
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3])], now_ms=2000)
+    t.add_position_deletes([("data/f1.parquet", 0)], now_ms=3000)
+    for f in [*t.files(), *t.delete_files()]:
+        os.remove(f.path)
+    assert [f.content for f in t.files()] == [0]
+    assert [f.content for f in t.delete_files()] == [1]
