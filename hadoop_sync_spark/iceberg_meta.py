@@ -236,6 +236,76 @@ def _from_le_bytes(b: bytes, typ: str):
     raise NotImplementedError(f"bound deserialization for {typ!r}")
 
 
+# ------------------------------------------------------- partition transforms
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm; the hash the
+    Iceberg spec mandates for bucket transforms, Appendix B)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h & 0x80000000 else h
+
+
+def transform_value(transform: str, value):
+    """Apply an Iceberg partition transform to a SOURCE-domain value
+    (spec "Partition Transforms"): identity; ``bucket[N]`` =
+    ``(murmur3(v) & Int.MAX) % N`` with int/long hashed as 8-byte
+    little-endian longs and strings as UTF-8 (Appendix B — so buckets
+    agree byte-for-byte with every conforming writer); ``truncate[W]``
+    = ``v - (v mod W)`` for integers (mod always non-negative) and the
+    W-codepoint prefix for strings.  None maps to None under every
+    transform.  Date/time transforms and ``void`` raise — untested
+    domains stay honest refusals."""
+    if value is None or transform == "identity":
+        return value
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        if isinstance(value, bool):
+            raise NotImplementedError("bucket on boolean")
+        if isinstance(value, int):
+            data = (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+        elif isinstance(value, str):
+            data = value.encode("utf-8")
+        elif isinstance(value, (bytes, bytearray)):
+            data = bytes(value)
+        else:
+            raise NotImplementedError(
+                f"bucket transform on {type(value).__name__}"
+            )
+        return (_murmur3_32(data) & 0x7FFFFFFF) % n
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if isinstance(value, int) and not isinstance(value, bool):
+            return value - (value % w)
+        if isinstance(value, str):
+            return value[:w]
+        raise NotImplementedError(
+            f"truncate transform on {type(value).__name__}"
+        )
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
 #: driver-side join-key normalization for IcebergTable.read's
 #: partition-attach map (module-level so tests can poison it to prove
 #: the loud-failure guard)
@@ -341,9 +411,12 @@ class IcebergTable:
         for spec in meta.get("partition-specs", []):
             if spec["spec-id"] == spec_id:
                 for f in spec["fields"]:
-                    if f.get("transform", "identity") != "identity":
+                    tr = f.get("transform", "identity")
+                    if tr != "identity" and not (
+                        tr.startswith("bucket[") or tr.startswith("truncate[")
+                    ):
                         raise NotImplementedError(
-                            f"partition transform {f['transform']!r}"
+                            f"partition transform {tr!r}"
                         )
                 return spec["fields"]
         return []
@@ -398,10 +471,21 @@ class IcebergTable:
             if mf["content"] != want_content:
                 continue
             spec_fields = self._spec_fields(meta, mf["partition_spec_id"])
-            if partition_filter and mf.get("partitions"):
-                if self._summary_prunes(
-                    mf["partitions"], spec_fields, partition_filter
-                ):
+            # filter values arrive in the SOURCE domain; transformed
+            # specs (bucket/truncate) compare in the partition domain,
+            # so transform the filter value the way the writer did
+            flt = None
+            if partition_filter:
+                tr_by_name = {
+                    f["name"]: f.get("transform", "identity")
+                    for f in spec_fields
+                }
+                flt = {
+                    k: transform_value(tr_by_name.get(k, "identity"), v)
+                    for k, v in partition_filter.items()
+                }
+            if flt and mf.get("partitions"):
+                if self._summary_prunes(mf["partitions"], spec_fields, flt):
                     continue
             _, entries, _ = read_ocf(self._resolve(mf["manifest_path"]))
             for e in entries:
@@ -409,8 +493,8 @@ class IcebergTable:
                     continue
                 df = e["data_file"]
                 part = dict(df["partition"])
-                if partition_filter and any(
-                    part.get(k) != v for k, v in partition_filter.items()
+                if flt and any(
+                    part.get(k) != v for k, v in flt.items()
                 ):
                     continue
                 # v2 sequence inheritance: an entry with null
@@ -611,16 +695,30 @@ class IcebergTable:
         ``partition_by`` = [(column, result_type)] identity transforms."""
         schema = _iceberg_schema_json(fields)
         by_name = {f["name"]: f["id"] for f in schema["fields"]}
-        spec_fields = [
-            {
-                "name": col,
-                "transform": "identity",
-                "source-id": by_name[col],
-                "field-id": 1000 + i,
-                "result-type": typ,
-            }
-            for i, (col, typ) in enumerate(partition_by or [])
-        ]
+        spec_fields = []
+        for i, spec in enumerate(partition_by or []):
+            col, typ = spec[0], spec[1]
+            transform = spec[2] if len(spec) > 2 else "identity"
+            name = (
+                spec[3]
+                if len(spec) > 3
+                else (
+                    col
+                    if transform == "identity"
+                    else col
+                    + "_"
+                    + transform.split("[", 1)[0]  # Iceberg's convention
+                )
+            )
+            spec_fields.append(
+                {
+                    "name": name,
+                    "transform": transform,
+                    "source-id": by_name[col],
+                    "field-id": 1000 + i,
+                    "result-type": typ,
+                }
+            )
         import hashlib
 
         # content-derived uuid: built-in hash() is salted per process

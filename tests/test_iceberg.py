@@ -158,10 +158,11 @@ def test_delete_requires_a_match_and_keeps_history(table):
 
 def test_honest_seams(table, tmp_path):
     t, _ = table
-    # non-identity transform refuses instead of mis-pruning
+    # an unimplemented transform refuses instead of mis-pruning
+    # (bucket/truncate are REAL since round 8 — see the transform tests)
     meta = t.metadata()
     bad = json.loads(json.dumps(meta))
-    bad["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
+    bad["partition-specs"][0]["fields"][0]["transform"] = "day"
     v = t.current_version() + 1
     path = os.path.join(t.meta_dir, f"v{v}.metadata.json")
     json.dump(bad, open(path, "w"))
@@ -456,3 +457,109 @@ def test_mor_planning_is_metadata_only(tmp_path):
         os.remove(f.path)
     assert [f.content for f in t.files()] == [0]
     assert [f.content for f in t.delete_files()] == [1]
+
+
+# ------------------------------------------------- partition transforms (r8)
+def test_murmur3_bucket_matches_spec_vectors():
+    """Appendix B published vectors: ints/longs hash as 8-byte LE longs,
+    strings as UTF-8 — the property that makes our buckets agree with
+    every conforming writer's."""
+    from hadoop_sync_spark.iceberg_meta import _murmur3_32, transform_value
+
+    assert _murmur3_32((34).to_bytes(8, "little")) == 2017239379
+    assert _murmur3_32(b"iceberg") == 1210000089
+    # int and long bucket identically (both hash as longs)
+    assert transform_value("bucket[16]", 34) == (2017239379 & 0x7FFFFFFF) % 16
+    assert transform_value("truncate[10]", -1) == -10  # spec example
+    assert transform_value("truncate[3]", "iceberg") == "ice"
+    assert transform_value("bucket[16]", None) is None
+    with pytest.raises(NotImplementedError, match="transform"):
+        transform_value("day", 17486)
+
+
+def test_bucket_partitioned_table_prunes_and_reads(spark, tmp_path):
+    """bucket[4] spec: files() prunes at both metadata layers on a
+    SOURCE-domain filter value, and read() attaches the bucket column
+    from the manifests."""
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
+    d = str(tmp_path / "bkt")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d,
+        [("id", "bigint"), ("val", "string")],
+        partition_by=[("id", "int", "bucket[4]")],
+        now_ms=1000,
+    )
+    # group fixture ids by their REAL bucket so each file is single-bucket
+    by_bucket = {}
+    for i in range(1, 30):
+        by_bucket.setdefault(transform_value("bucket[4]", i), []).append(i)
+    files = []
+    for b, ids in sorted(by_bucket.items()):
+        name = f"b{b}.parquet"
+        p = os.path.join(d, "data", name)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "val": [f"v{i}" for i in ids],
+                }
+            ),
+            p,
+        )
+        files.append(
+            DataFile(
+                path=f"data/{name}",
+                partition={"id_bucket": b},
+                record_count=len(ids),
+                file_size=os.path.getsize(p),
+            )
+        )
+    t.append(files, now_ms=2000)
+    # filter by SOURCE value 7: exactly 7's bucket file survives planning
+    want = transform_value("bucket[4]", 7)
+    sel = t.files(partition_filter={"id_bucket": 7})
+    assert [f.partition["id_bucket"] for f in sel] == [want]
+    assert 7 in {
+        r.id
+        for r in t.read(spark, partition_filter={"id_bucket": 7}).collect()
+    }
+    # full read attaches the metadata-only bucket column per row
+    got = {(r.id, r.id_bucket) for r in t.read(spark).collect()}
+    assert got == {
+        (i, b) for b, ids in by_bucket.items() for i in ids
+    }
+
+
+def test_truncate_partitioned_table(spark, tmp_path):
+    d = str(tmp_path / "trunc")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d,
+        [("id", "bigint")],
+        partition_by=[("id", "long", "truncate[10]")],
+        now_ms=1000,
+    )
+
+    def mk(name, ids, tr):
+        p = os.path.join(d, "data", name)
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), p)
+        return DataFile(
+            path=f"data/{name}",
+            partition={"id_truncate": tr},
+            record_count=len(ids),
+            file_size=os.path.getsize(p),
+        )
+
+    t.append(
+        [mk("a.parquet", [3, 7], 0), mk("b.parquet", [12, 19], 10)],
+        now_ms=2000,
+    )
+    # source-domain filter 15 → truncate bucket 10 → only file b
+    sel = t.files(partition_filter={"id_truncate": 15})
+    assert [os.path.basename(f.path) for f in sel] == ["b.parquet"]
+    assert sorted(
+        r.id
+        for r in t.read(spark, partition_filter={"id_truncate": 15}).collect()
+    ) == [12, 19]
