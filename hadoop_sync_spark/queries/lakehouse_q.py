@@ -541,3 +541,191 @@ def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_pad(b1))
         .agg(*[F.max(c).alias(c) for c in cols])
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — Iceberg merge-on-read reader (ROUND-9 REGISTRATION QUEUE)
+#
+# Same staging as q147: the round-8 window has zero spare slots, so the
+# query + oracle + parity test land now and the `register()` decorator
+# lands in round 9.
+# --------------------------------------------------------------------------
+_EQ_DEL_MOD = 100
+_EQ_DEL_REM = 7
+_POS_DEL_K = 5
+
+Q148_ORACLE = f"""
+    WITH evens AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), odds AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), readd AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey % {_EQ_DEL_MOD} = {_EQ_DEL_REM}
+          AND o_orderkey % 10 = 1
+    ), live AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM evens
+        WHERE pos >= {_POS_DEL_K}
+          AND o_custkey % {_EQ_DEL_MOD} <> {_EQ_DEL_REM}
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice FROM odds
+        WHERE o_custkey % {_EQ_DEL_MOD} <> {_EQ_DEL_REM}
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice FROM readd
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM live) AS cnt_live,
+        (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) FROM live) AS cents_live,
+        (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM live)
+            AS custkey_sum_live,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM evens) - {_POS_DEL_K}
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM odds)
+            AS cnt_after_posdel,
+        CAST(2 AS BIGINT) AS n_delete_files_latest
+    """
+
+
+def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ end to end (iceberg_meta.py round-8
+    support): a 4-commit table over ``orders`` —
+
+    - s1: append f_even (even orderkeys, SORTED so row position is
+      deterministic) + f_odd (odd orderkeys)
+    - s2: POSITION delete of the first {_POS_DEL_K} rows of f_even
+      (the {_POS_DEL_K} smallest even orderkeys)
+    - s3: EQUALITY delete of every o_custkey ≡ {_EQ_DEL_REM}
+      (mod {_EQ_DEL_MOD}) — applies to both s1 files (strictly older)
+    - s4: append f_readd re-inserting a subset of the deleted custkeys
+      (orderkey ≡ 1 mod 10) — SURVIVES s3 (upsert semantics: equality
+      deletes never touch newer files)
+
+    The one-row result aggregates the latest MoR read (count, exact
+    cents, custkey sum — the custkey sum catches an equality join on
+    the wrong column), a time-travel read at s2 (position deletes
+    applied, equality not yet committed), and the live delete-file
+    count.  The oracle reproduces the survivor set in pure SQL via the
+    row-number ↔ position correspondence of the sorted even file.
+
+    Scale: delete application is broadcast anti-joins of metadata-scale
+    delete sets against the distributed scan — production Iceberg's own
+    plan; nothing driver-side grows with the data."""
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+
+    scratch = _scratch_dir(os.path.abspath(sf_dir) + "#orders_iceberg_mor")
+    shutil.rmtree(scratch, ignore_errors=True)
+    table_dir = os.path.join(scratch, "orders_mor")
+    os.makedirs(os.path.join(table_dir, "data"))
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def write_file(df: DataFrame, name: str, sort: bool = False) -> DataFile:
+        staging = os.path.join(scratch, "staging_" + name)
+        part = df.repartition(1)
+        if sort:
+            part = part.sortWithinPartitions("o_orderkey")
+        part.write.mode("overwrite").parquet(staging)
+        dest = os.path.join(table_dir, "data", name)
+        _move_single_part(staging, dest)
+        n = spark.read.parquet(dest).count()
+        return DataFile(
+            path=f"data/{name}",
+            partition={},
+            record_count=n,
+            file_size=os.path.getsize(dest),
+        )
+
+    evens = src.filter(F.col("o_orderkey") % 2 == 0)
+    odds = src.filter(F.col("o_orderkey") % 2 == 1)
+    readd = src.filter(
+        (F.col("o_custkey") % _EQ_DEL_MOD == _EQ_DEL_REM)
+        & (F.col("o_orderkey") % 10 == 1)
+    )
+
+    f_even = write_file(evens, "f_even.parquet", sort=True)
+    f_odd = write_file(odds, "f_odd.parquet")
+    f_readd = write_file(readd, "f_readd.parquet")
+
+    table = IcebergTable.create(
+        table_dir,
+        [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("o_totalprice", "double"),
+        ],
+        now_ms=1000,
+    )
+    table.append([f_even, f_odd], now_ms=2000)
+    s2 = table.add_position_deletes(
+        [("data/f_even.parquet", p) for p in range(_POS_DEL_K)], now_ms=3000
+    )
+    # equality delete keyed on o_custkey (schema field id 2)
+    del_custkeys = sorted(
+        {
+            r["o_custkey"]
+            for r in src.filter(
+                F.col("o_custkey") % _EQ_DEL_MOD == _EQ_DEL_REM
+            )
+            .select("o_custkey")
+            .distinct()
+            .collect()
+        }
+    )
+    table.add_equality_deletes(
+        [{"o_custkey": int(c)} for c in del_custkeys],
+        equality_ids=[2],
+        now_ms=4000,
+    )
+    table.append([f_readd], now_ms=5000)
+
+    live = table.read(spark).agg(
+        F.count("*").alias("cnt_live"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents_live"),
+        F.sum("o_custkey").alias("custkey_sum_live"),
+    )
+    at_s2 = table.read(spark, snapshot_id=s2).agg(
+        F.count("*").alias("cnt_after_posdel")
+    )
+    meta = spark.range(1).select(
+        F.lit(len(table.delete_files()))
+        .cast("long")
+        .alias("n_delete_files_latest")
+    )
+
+    cols = (
+        "cnt_live",
+        "cents_live",
+        "custkey_sum_live",
+        "cnt_after_posdel",
+        "n_delete_files_latest",
+    )
+
+    def _pad(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast("long").alias(c)
+                for c in cols
+            ]
+        )
+
+    return (
+        _pad(meta)
+        .unionByName(_pad(live))
+        .unionByName(_pad(at_s2))
+        .agg(*[F.max(c).alias(c) for c in cols])
+    )
+
+
+q148_iceberg_mor_reader.__doc__ = q148_iceberg_mor_reader.__doc__.format(
+    _POS_DEL_K=_POS_DEL_K, _EQ_DEL_REM=_EQ_DEL_REM, _EQ_DEL_MOD=_EQ_DEL_MOD
+)

@@ -563,3 +563,18 @@ def test_truncate_partitioned_table(spark, tmp_path):
         r.id
         for r in t.read(spark, partition_filter={"id_truncate": 15}).collect()
     ) == [12, 19]
+
+
+def test_q148_oracle_parity_unregistered(spark, oracle):
+    """Round-9 registration prep #2: the merge-on-read reader query
+    passes the exact driver-style parity gate, unregistered (same
+    staging as q147 — the round-8 window has zero free slots)."""
+    from hadoop_sync_spark.queries.lakehouse_q import (
+        Q148_ORACLE,
+        q148_iceberg_mor_reader,
+    )
+    from tests.conftest import SF_DIR, compare_frames
+
+    sdf = q148_iceberg_mor_reader(spark, SF_DIR)
+    n = compare_frames(sdf, oracle.sql(Q148_ORACLE), "q148")
+    assert n == 1
