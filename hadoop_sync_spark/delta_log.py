@@ -30,9 +30,15 @@ feeds a plain ``spark.read.parquet``).  Checkpointing keeps replay
 O(tail) instead of O(#commits).  Partitioned tables resolve partition
 columns from the directory layout via ``basePath``.
 
-Honest seams: reader features beyond protocol v1 (deletion vectors,
-column mapping — ``minReaderVersion > 1``) raise instead of silently
-mis-reading.
+Protocol v3 deletion vectors are SUPPORTED (round 8): descriptors on
+``add`` actions (inline Base85 or framed ``deletion_vector_<uuid>.bin``
+files with CRC-verified RoaringBitmapArray payloads — both public
+formats implemented from scratch, incl. a portable-format Roaring
+reader covering array/bitset/run containers) subtract rows at read
+time via a broadcast anti-join on ``_metadata.row_index``, and survive
+checkpointing.  Honest seams: any OTHER v3 reader feature (column
+mapping, v2 checkpoints …) and bare ``minReaderVersion=2`` raise
+instead of silently mis-reading.
 """
 
 from __future__ import annotations
@@ -43,6 +49,167 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
+
+# ----------------------------------------------------- deletion vectors (r8)
+#: RFC 1924 Base85 alphabet — the character set Delta's DV descriptors
+#: use for inline vectors and the path UUID (PROTOCOL.md "Deletion
+#: Vectors"; public spec, from-scratch implementation)
+_B85_ALPHABET = (
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+)
+_B85_INDEX = {c: i for i, c in enumerate(_B85_ALPHABET)}
+
+#: Delta's RoaringBitmapArray "portable" serialization magic
+_DV_MAGIC = 1681511377
+
+
+def _b85_encode(data: bytes) -> str:
+    """4 bytes → 5 chars, big-endian groups (input length must be a
+    multiple of 4 — true for UUIDs and our padded DV payloads)."""
+    if len(data) % 4:
+        raise ValueError("base85 input must be 4-byte aligned")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_B85_ALPHABET[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _b85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("base85 input must be 5-char aligned")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            v = v * 85 + _B85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring32_write(values: list[int]) -> bytes:
+    """Serialize a 32-bit Roaring bitmap (portable format, public spec
+    at roaringbitmap.org/portable-serialization): cookie 12346, per-
+    container key + cardinality-1 headers, offset index, then array
+    (≤4096 values) or 8 KiB bitset containers.  Run containers are a
+    reader-side concern only."""
+    import struct as _s
+
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    out = bytearray(_s.pack("<ii", 12346, len(keys)))
+    for k in keys:
+        out += _s.pack("<HH", k, len(by_key[k]) - 1)
+    # offset index (cookie 12346 always carries it)
+    off = len(out) + 4 * len(keys)
+    for k in keys:
+        out += _s.pack("<I", off)
+        n = len(by_key[k])
+        off += 2 * n if n <= 4096 else 8192
+    for k in keys:
+        vals = by_key[k]
+        if len(vals) <= 4096:
+            out += _s.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            out += bits
+    return bytes(out)
+
+
+def _roaring32_read(data: bytes, pos: int = 0) -> tuple[list[int], int]:
+    """Read one 32-bit Roaring bitmap (portable format; array, bitset
+    AND run containers).  Returns (values, next_pos)."""
+    import struct as _s
+
+    (cookie,) = _s.unpack_from("<i", data, pos)
+    run_flags = b""
+    if cookie & 0xFFFF == 12347:  # runs present: flag bitset follows
+        n = (cookie >> 16) + 1
+        pos += 4
+        nbytes = (n + 7) // 8
+        run_flags = data[pos : pos + nbytes]
+        pos += nbytes
+    elif cookie == 12346:
+        (n,) = _s.unpack_from("<i", data, pos + 4)
+        pos += 8
+    else:
+        raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+
+    def has_run(i: int) -> bool:
+        return bool(run_flags and run_flags[i >> 3] & (1 << (i & 7)))
+
+    headers = []
+    for i in range(n):
+        key, card_m1 = _s.unpack_from("<HH", data, pos)
+        headers.append((key, card_m1 + 1))
+        pos += 4
+    if cookie == 12346 or (run_flags and n >= 4):
+        # offset index present (no-run cookie always; run cookie only
+        # when >= 4 containers)
+        pos += 4 * n
+    out: list[int] = []
+    for i, (key, card) in enumerate(headers):
+        base = key << 16
+        if has_run(i):
+            (n_runs,) = _s.unpack_from("<H", data, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = _s.unpack_from("<HH", data, pos)
+                pos += 4
+                out.extend(base | v for v in range(start, start + length + 1))
+        elif card <= 4096:
+            vals = _s.unpack_from(f"<{card}H", data, pos)
+            pos += 2 * card
+            out.extend(base | v for v in vals)
+        else:
+            bits = data[pos : pos + 8192]
+            pos += 8192
+            for byte_i, b in enumerate(bits):
+                while b:
+                    low = b & -b
+                    out.append(base | (byte_i << 3) | low.bit_length() - 1)
+                    b ^= low
+    return out, pos
+
+
+def _dv_serialize(positions: list[int]) -> bytes:
+    """RoaringBitmapArray 'portable' bytes: magic, int64 bitmap count,
+    then one 32-bit roaring bitmap per high-32 key (Delta splits a
+    64-bit row index into (index >> 32) bitmap slot, low 32 value)."""
+    import struct as _s
+
+    by_high: dict[int, list[int]] = {}
+    for p in positions:
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n = (max(by_high) + 1) if by_high else 0
+    out = bytearray(_s.pack("<iq", _DV_MAGIC, n))
+    for i in range(n):
+        out += _roaring32_write(by_high.get(i, []))
+    return bytes(out)
+
+
+def _dv_deserialize(data: bytes) -> list[int]:
+    import struct as _s
+
+    magic, n = _s.unpack_from("<iq", data, 0)
+    if magic != _DV_MAGIC:
+        raise ValueError(f"bad deletion-vector magic {magic}")
+    pos = 12
+    out: list[int] = []
+    for i in range(n):
+        vals, pos = _roaring32_read(data, pos)
+        out.extend((i << 32) | v for v in vals)
+    return sorted(out)
+
 
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -120,12 +287,21 @@ class DeltaLog:
     # ---- replay --------------------------------------------------------
     def _apply(self, snap: Snapshot, action: dict) -> None:
         if "protocol" in action:
-            mrv = action["protocol"].get("minReaderVersion", 1)
-            if mrv > 1:
+            proto = action["protocol"]
+            mrv = proto.get("minReaderVersion", 1)
+            if mrv == 3:
+                feats = set(proto.get("readerFeatures") or ())
+                unsupported = feats - {"deletionVectors"}
+                if unsupported:
+                    raise NotImplementedError(
+                        f"Delta reader features {sorted(unsupported)} "
+                        "not supported; refusing to silently mis-read"
+                    )
+            elif mrv > 1:
                 raise NotImplementedError(
-                    f"Delta minReaderVersion={mrv}: deletion vectors / "
-                    "column mapping are beyond this reader (protocol v1); "
-                    "refusing to silently mis-read"
+                    f"Delta minReaderVersion={mrv}: column mapping / v2 "
+                    "checkpoints are beyond this reader; refusing to "
+                    "silently mis-read"
                 )
         elif "metaData" in action:
             md = action["metaData"]
@@ -179,6 +355,8 @@ class DeltaLog:
         types; directory inference via ``basePath`` remains only as the
         fallback for logs whose adds never carried values.  An empty
         snapshot yields an empty frame with the logged schema."""
+        from hadoop_sync_spark.io import attach_file_columns
+
         snap = self.snapshot(version)
         files = [
             os.path.join(self.table_dir, p) for p in snap.files
@@ -189,22 +367,72 @@ class DeltaLog:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], schema)
         schema = snap.schema()
+        dv_map = {
+            p: a["deletionVector"]
+            for p, a in snap.live.items()
+            if a.get("deletionVector")
+        }
+
+        def subtract_dvs(df: DataFrame, data_cols: list[str]) -> DataFrame:
+            """Anti-join the resolved DV positions against the scan's
+            (relative path, row index) lineage.  DV cardinalities are
+            metadata-scale next to the data they prune (the whole point
+            of merge-on-write-avoidance), so driver-side expansion +
+            broadcast anti-join is the Spark-native equivalent of the
+            scan-side bitmap filter production readers apply."""
+            del_rows = [
+                (rel, int(pos))
+                for rel, desc in sorted(dv_map.items())
+                for pos in self._dv_positions(desc)
+            ]
+            dels = spark.createDataFrame(
+                del_rows, ["_d_file", "_d_pos"]
+            )
+            out = df.join(
+                F.broadcast(dels),
+                (F.col("_rel_path") == F.col("_d_file"))
+                & (F.col("_row_idx") == F.col("_d_pos")),
+                "left_anti",
+            )
+            return out.select(*data_cols)
+
         if not snap.partition_columns:
-            reader = spark.read
-            if schema is not None:
-                # pinning the logged schema skips footer inference
-                reader = reader.schema(schema)
-            return reader.parquet(*files)
+            if not dv_map:
+                reader = spark.read
+                if schema is not None:
+                    # pinning the logged schema skips footer inference
+                    reader = reader.schema(schema)
+                return reader.parquet(*files)
+            scan = spark.read.parquet(*files)
+            data_cols = scan.columns
+            scan = scan.select(
+                "*", F.col("_metadata.row_index").alias("_row_idx")
+            )
+            rows = [
+                (os.path.abspath(os.path.join(self.table_dir, p)), p)
+                for p in snap.files
+            ]
+            df = attach_file_columns(
+                scan, rows, ["_rel_path"], what="delta snapshot file"
+            )
+            return subtract_dvs(df, data_cols)
         part_cols = list(snap.partition_columns)
         adds = [snap.live[p] for p in snap.files]
         if all(
             set(part_cols) <= set(a.get("partitionValues") or {})
             for a in adds
         ):
-            from hadoop_sync_spark.io import attach_file_columns
-
+            scan = spark.read.parquet(*files)
+            data_cols = scan.columns + part_cols
+            attach_cols = list(part_cols)
+            if dv_map:
+                scan = scan.select(
+                    "*", F.col("_metadata.row_index").alias("_row_idx")
+                )
+                attach_cols = ["_rel_path", *part_cols]
             rows = [
                 (os.path.abspath(os.path.join(self.table_dir, a["path"])),)
+                + ((a["path"],) if dv_map else ())
                 + tuple(
                     None
                     if a["partitionValues"][c] is None
@@ -214,11 +442,13 @@ class DeltaLog:
                 for a in adds
             ]
             df = attach_file_columns(
-                spark.read.parquet(*files),
+                scan,
                 rows,
-                part_cols,
+                attach_cols,
                 what="delta snapshot partition",
             )
+            if dv_map:
+                df = subtract_dvs(df, data_cols)
             if schema is not None:
                 # the protocol logs partition values as strings; the
                 # logged schema owns their real types
@@ -228,6 +458,12 @@ class DeltaLog:
                             f.name, F.col(f.name).cast(f.dataType)
                         )
             return df
+        if dv_map:
+            raise NotImplementedError(
+                "deletion vectors over Hive-inferred partition layouts "
+                "(value-less adds) are not supported — log "
+                "partitionValues"
+            )
         # fallback: Hive-style layout inference for value-less logs
         return (
             spark.read.option("basePath", self.table_dir).parquet(*files)
@@ -264,6 +500,124 @@ class DeltaLog:
             }
         }
 
+    # ---- deletion vectors (protocol v3 readerFeature, round 8) ---------
+    def _dv_positions(self, desc: dict) -> list[int]:
+        """Resolve a deletionVector descriptor to its sorted deleted row
+        indexes.  Storage types per PROTOCOL.md: ``i`` inline (Base85
+        payload, ``sizeInBytes`` trims the 4-byte alignment pad), ``u``
+        relative file (optional prefix + Base85 UUID →
+        ``deletion_vector_<uuid>.bin``), ``p`` absolute path.  On-disk
+        framing: format-version byte 1, then at ``offset`` a 4-byte
+        big-endian size, the RoaringBitmapArray payload, and a 4-byte
+        big-endian CRC-32 that must verify."""
+        import uuid as _uuid
+        import zlib as _z
+
+        st = desc["storageType"]
+        if st == "i":
+            data = _b85_decode(desc["pathOrInlineDv"])
+            return _dv_deserialize(data[: desc["sizeInBytes"]])
+        if st == "p":
+            path = desc["pathOrInlineDv"]
+        elif st == "u":
+            enc = desc["pathOrInlineDv"]
+            prefix, uid_enc = enc[:-20], enc[-20:]
+            uid = _uuid.UUID(bytes=_b85_decode(uid_enc))
+            name = f"deletion_vector_{uid}.bin"
+            path = os.path.join(self.table_dir, prefix, name)
+        else:
+            raise NotImplementedError(f"DV storage type {st!r}")
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        if blob[:1] != b"\x01":
+            raise ValueError("unknown deletion-vector file version")
+        off = desc["offset"]
+        size = int.from_bytes(blob[off : off + 4], "big")
+        data = blob[off + 4 : off + 4 + size]
+        crc = int.from_bytes(blob[off + 4 + size : off + 8 + size], "big")
+        if _z.crc32(data) != crc:
+            raise ValueError("deletion-vector checksum mismatch")
+        return _dv_deserialize(data)
+
+    def add_deletion_vector(
+        self,
+        version: int,
+        rel_path: str,
+        positions: list[int],
+        storage: str = "u",
+    ) -> dict:
+        """Commit a deletion vector against a live data file (fixture
+        writer; REPLACES any prior DV on the file — callers pass the
+        full deleted set).  Emits the protocol upgrade (v3 +
+        deletionVectors feature), the remove of the prior file version,
+        and the re-add carrying the descriptor — the action shape
+        conforming writers produce.  ``storage`` ``u`` writes the
+        framed ``deletion_vector_<uuid>.bin``; ``i`` inlines the
+        Base85 payload."""
+        import uuid as _uuid
+        import zlib as _z
+
+        snap = self.snapshot()
+        if rel_path not in snap.live:
+            raise ValueError(f"{rel_path} is not live in the snapshot")
+        data = _dv_serialize(sorted(set(positions)))
+        if storage == "i":
+            pad = (-len(data)) % 4
+            desc = {
+                "storageType": "i",
+                "pathOrInlineDv": _b85_encode(data + b"\x00" * pad),
+                "sizeInBytes": len(data),
+                "cardinality": len(set(positions)),
+            }
+        elif storage == "u":
+            # deterministic uuid (no-ambient-randomness rule)
+            uid = _uuid.UUID(
+                bytes=__import__("hashlib")
+                .md5(f"{rel_path}#{version}".encode())
+                .digest()
+            )
+            blob = (
+                b"\x01"
+                + len(data).to_bytes(4, "big")
+                + data
+                + _z.crc32(data).to_bytes(4, "big")
+            )
+            with open(
+                os.path.join(
+                    self.table_dir, f"deletion_vector_{uid}.bin"
+                ),
+                "wb",
+            ) as fh:
+                fh.write(blob)
+            desc = {
+                "storageType": "u",
+                "pathOrInlineDv": _b85_encode(uid.bytes),
+                "offset": 1,
+                "sizeInBytes": len(data),
+                "cardinality": len(set(positions)),
+            }
+        else:
+            raise NotImplementedError(f"DV storage type {storage!r}")
+        prev = dict(snap.live[rel_path])
+        new_add = dict(prev)
+        new_add["deletionVector"] = desc
+        self.commit(
+            version,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                },
+                {"remove": {"path": rel_path, "dataChange": True}},
+                {"add": new_add},
+            ],
+        )
+        return desc
+
     # ---- checkpoints ---------------------------------------------------
     _CP_COLS = ("protocol", "metaData", "add", "remove")
 
@@ -275,8 +629,18 @@ class DeltaLog:
         import pyarrow.parquet as pq
 
         snap = self.snapshot(version)
+        has_dv = any(a.get("deletionVector") for a in snap.live.values())
         rows: list[dict] = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+                if has_dv
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            }
         ]
         if snap.schema_json is not None:
             rows.append(
@@ -302,7 +666,9 @@ class DeltaLog:
                     "protocol",
                     pa.struct(
                         [("minReaderVersion", pa.int32()),
-                         ("minWriterVersion", pa.int32())]
+                         ("minWriterVersion", pa.int32()),
+                         ("readerFeatures", pa.list_(pa.string())),
+                         ("writerFeatures", pa.list_(pa.string()))]
                     ),
                 ),
                 pa.field(
@@ -322,6 +688,20 @@ class DeltaLog:
                             ("size", pa.int64()),
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
+                            # protocol-v3 deletion vectors survive
+                            # checkpointing (round 8)
+                            (
+                                "deletionVector",
+                                pa.struct(
+                                    [
+                                        ("storageType", pa.string()),
+                                        ("pathOrInlineDv", pa.string()),
+                                        ("offset", pa.int32()),
+                                        ("sizeInBytes", pa.int32()),
+                                        ("cardinality", pa.int64()),
+                                    ]
+                                ),
+                            ),
                         ]
                     ),
                 ),

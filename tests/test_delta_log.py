@@ -171,13 +171,24 @@ def test_partitioned_read_hive_layout_fallback(spark, tmp_path):
     assert got == {(1, 0), (2, 1)}
 
 
-def test_protocol_v2_reader_features_refuse(tmp_path):
+def test_protocol_reader_features_gate(tmp_path):
+    """deletionVectors is SUPPORTED since round 8; any other v3 reader
+    feature, and bare v2, still refuse honestly."""
     d, log = _mk_table(tmp_path)
     log.commit(0, [{"protocol": {"minReaderVersion": 3,
                                  "readerFeatures": ["deletionVectors"]}},
                    _meta()])
+    log.snapshot()  # v3 + deletionVectors: accepted
+    d2, log2 = _mk_table(tmp_path, "t2")
+    log2.commit(0, [{"protocol": {"minReaderVersion": 3,
+                                  "readerFeatures": ["columnMapping"]}},
+                    _meta()])
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        log2.snapshot()
+    d3, log3 = _mk_table(tmp_path, "t3")
+    log3.commit(0, [{"protocol": {"minReaderVersion": 2}}, _meta()])
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
-        log.snapshot()
+        log3.snapshot()
 
 
 def test_commit_put_if_absent(tmp_path):
@@ -282,3 +293,103 @@ def test_cli_register_delta_and_sync(spark, tmp_path, capsys):
     log.commit(1, [{"remove": {"path": "a.parquet", "dataChange": True}}])
     assert main(["sync", meta, "t"]) == 0
     assert "+0 -1 shards" in capsys.readouterr().out
+
+
+# ------------------------------------------------------ deletion vectors (r8)
+def test_b85_and_roaring_round_trips():
+    import random
+
+    from hadoop_sync_spark.delta_log import (
+        _b85_decode,
+        _b85_encode,
+        _dv_deserialize,
+        _dv_serialize,
+        _roaring32_read,
+        _roaring32_write,
+    )
+
+    for data in [b"", b"\x00" * 4, bytes(range(16)), b"\xff" * 8]:
+        assert _b85_decode(_b85_encode(data)) == data
+    rng = random.Random(7)
+    for _ in range(5):
+        # spans multiple 16-bit containers AND exercises the bitset
+        # container path (cardinality > 4096 in one container)
+        vals = sorted(rng.sample(range(300_000), rng.randint(1, 9000)))
+        dec, _ = _roaring32_read(_roaring32_write(vals))
+        assert dec == vals
+    pos = [0, 5, 70_000, (1 << 32) + 3, (2 << 32) + 123_456]
+    assert _dv_deserialize(_dv_serialize(pos)) == sorted(pos)
+
+
+def test_roaring_run_container_reads():
+    """Run containers are reader-side (other writers emit them): craft
+    one by hand per the portable spec (cookie 12347, run flag bits)."""
+    import struct
+
+    from hadoop_sync_spark.delta_log import _roaring32_read
+
+    # one container, run flag set, runs [(10, len 5), (100, len 0)]
+    blob = struct.pack("<i", ((1 - 1) << 16) | 12347)
+    blob += bytes([0b1])  # run flag for container 0
+    blob += struct.pack("<HH", 0, 7 - 1)  # key 0, cardinality 7
+    # fewer than 4 containers -> no offset index
+    blob += struct.pack("<H", 2)  # 2 runs
+    blob += struct.pack("<HH", 10, 4)  # 10..14
+    blob += struct.pack("<HH", 100, 0)  # 100
+    vals, _ = _roaring32_read(blob)
+    assert vals == [10, 11, 12, 13, 14, 100]
+
+
+def test_deletion_vector_read_paths(spark, tmp_path):
+    """End-to-end DV reads: 'u' file storage with CRC framing, inline
+    'i', replay + time travel, and checkpoint survival."""
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2, 3, 4, 5], "v": [0] * 5})
+    _write_file(d, "b.parquet", {"k": [10, 11], "v": [0, 0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet"),
+                   log.add_action_for("b.parquet")])
+    log.add_deletion_vector(1, "a.parquet", [0, 2], storage="u")
+    assert sorted(r.k for r in log.read(spark).collect()) == [2, 4, 5, 10, 11]
+    # time travel to before the DV sees every row
+    assert sorted(r.k for r in log.read(spark, 0).collect()) == [
+        1, 2, 3, 4, 5, 10, 11]
+    # inline DV on the second file composes
+    log.add_deletion_vector(2, "b.parquet", [1], storage="i")
+    assert sorted(r.k for r in log.read(spark).collect()) == [2, 4, 5, 10]
+    # a checkpoint carries the descriptors; the seeded read agrees
+    log.write_checkpoint(2)
+    log.commit(3, [{"remove": {"path": "nope.parquet",
+                               "dataChange": False}}])
+    assert sorted(r.k for r in log.read(spark).collect()) == [2, 4, 5, 10]
+
+
+def test_deletion_vector_checksum_mismatch_raises(spark, tmp_path):
+    import glob as _g
+
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [0] * 3})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.add_deletion_vector(1, "a.parquet", [1], storage="u")
+    (dv_file,) = _g.glob(os.path.join(d, "deletion_vector_*.bin"))
+    blob = bytearray(open(dv_file, "rb").read())
+    blob[7] ^= 0xFF  # flip a payload byte under the CRC
+    open(dv_file, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        log.read(spark).collect()
+
+
+def test_deletion_vector_with_partition_columns(spark, tmp_path):
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [0, 0]})
+    _write_file(d, "b.parquet", {"k": [3, 4], "v": [0, 0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta_partitioned(),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "1"})])
+    log.add_deletion_vector(1, "b.parquet", [0], storage="i")
+    got = {(r.k, r.p) for r in log.read(spark).collect()}
+    assert got == {(1, 0), (2, 0), (4, 1)}
