@@ -729,3 +729,155 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 q148_iceberg_mor_reader.__doc__ = q148_iceberg_mor_reader.__doc__.format(
     _POS_DEL_K=_POS_DEL_K, _EQ_DEL_REM=_EQ_DEL_REM, _EQ_DEL_MOD=_EQ_DEL_MOD
 )
+
+
+# --------------------------------------------------------------------------
+# q149 — Delta deletion-vector reader (ROUND-9 REGISTRATION QUEUE)
+# --------------------------------------------------------------------------
+_DV_FIRST_K = 7
+_DV_MOD = 97
+_DV_REM = 3
+
+Q149_ORACLE = f"""
+    WITH evens AS (
+        SELECT o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), odds AS (
+        SELECT o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), live AS (
+        SELECT o_totalprice FROM evens WHERE pos >= {_DV_FIRST_K}
+        UNION ALL
+        SELECT o_totalprice FROM odds
+        WHERE pos % {_DV_MOD} <> {_DV_REM}
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM live) AS cnt_live,
+        (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) FROM live) AS cents_live,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS cnt_v0,
+        CAST({_DV_FIRST_K} AS BIGINT)
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM odds
+               WHERE pos % {_DV_MOD} = {_DV_REM})
+            AS dv_cardinality_total
+    """
+
+
+def q149_delta_dv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta protocol-v3 DELETION VECTORS end to end (delta_log.py
+    round-8 support): two sorted data files over ``orders`` (sorted so
+    row positions are deterministic and the oracle can name them via
+    ROW_NUMBER), then
+
+    - v1: a 'u'-storage DV on the even file (framed
+      ``deletion_vector_<uuid>.bin``, CRC-verified Roaring payload)
+      deleting the first {_DV_FIRST_K} positions,
+    - v2: an INLINE ('i', Base85) DV on the odd file deleting every
+      position ≡ {_DV_REM} (mod {_DV_MOD}).
+
+    One oracle-checked row aggregates the DV-subtracted latest read,
+    the v0 time travel (no DVs yet — full row count), and the summed
+    descriptor cardinalities (straight from the replayed add actions —
+    a wrong bitmap codec or a dropped descriptor flips it).
+
+    Scale: the DV positions are metadata-scale; read() broadcasts them
+    into a LEFT ANTI join against (file, ``_metadata.row_index``)
+    lineage — the Spark-native form of the scan-side bitmap filter
+    production Delta readers apply.  Payload rows never shuffle."""
+    from hadoop_sync_spark.delta_log import DeltaLog
+
+    scratch = _scratch_dir(os.path.abspath(sf_dir) + "#orders_delta_dv")
+    shutil.rmtree(scratch, ignore_errors=True)
+    table_dir = os.path.join(scratch, "orders_dv")
+    os.makedirs(table_dir)
+
+    src = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def write_sorted(df: DataFrame, name: str) -> int:
+        staging = os.path.join(scratch, "staging_" + name)
+        (
+            df.repartition(1)
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        dest = os.path.join(table_dir, name)
+        _move_single_part(staging, dest)
+        return spark.read.parquet(dest).count()
+
+    write_sorted(src.filter(F.col("o_orderkey") % 2 == 0), "evens.parquet")
+    n_odd = write_sorted(
+        src.filter(F.col("o_orderkey") % 2 == 1), "odds.parquet"
+    )
+
+    log = DeltaLog(table_dir)
+    log.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "orders-delta-dv",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": src.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            log.add_action_for("evens.parquet"),
+            log.add_action_for("odds.parquet"),
+        ],
+    )
+    log.add_deletion_vector(
+        1, "evens.parquet", list(range(_DV_FIRST_K)), storage="u"
+    )
+    log.add_deletion_vector(
+        2,
+        "odds.parquet",
+        [p for p in range(n_odd) if p % _DV_MOD == _DV_REM],
+        storage="i",
+    )
+
+    snap = log.snapshot()
+    dv_total = sum(
+        a["deletionVector"]["cardinality"]
+        for a in snap.live.values()
+        if a.get("deletionVector")
+    )
+
+    live = log.read(spark).agg(
+        F.count("*").alias("cnt_live"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents_live"),
+    )
+    v0 = log.read(spark, 0).agg(F.count("*").alias("cnt_v0"))
+    meta = spark.range(1).select(
+        F.lit(dv_total).cast("long").alias("dv_cardinality_total")
+    )
+
+    cols = ("cnt_live", "cents_live", "cnt_v0", "dv_cardinality_total")
+
+    def _pad(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast("long").alias(c)
+                for c in cols
+            ]
+        )
+
+    return (
+        _pad(meta)
+        .unionByName(_pad(live))
+        .unionByName(_pad(v0))
+        .agg(*[F.max(c).alias(c) for c in cols])
+    )
+
+
+q149_delta_dv_reader.__doc__ = q149_delta_dv_reader.__doc__.format(
+    _DV_FIRST_K=_DV_FIRST_K, _DV_MOD=_DV_MOD, _DV_REM=_DV_REM
+)

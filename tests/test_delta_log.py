@@ -393,3 +393,27 @@ def test_deletion_vector_with_partition_columns(spark, tmp_path):
     log.add_deletion_vector(1, "b.parquet", [0], storage="i")
     got = {(r.k, r.p) for r in log.read(spark).collect()}
     assert got == {(1, 0), (2, 0), (4, 1)}
+
+
+def test_q149_oracle_parity_unregistered(spark):
+    """Round-9 registration prep #3: the deletion-vector reader query
+    passes the exact driver-style parity gate, unregistered (the
+    round-8 window has zero free slots — WINDOW.md)."""
+    import duckdb
+
+    from hadoop_sync_spark.io import TABLES, table_path
+    from hadoop_sync_spark.queries.lakehouse_q import (
+        Q149_ORACLE,
+        q149_delta_dv_reader,
+    )
+    from tests.conftest import SF_DIR, compare_frames
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{table_path(SF_DIR, name)}')"
+        )
+    sdf = q149_delta_dv_reader(spark, SF_DIR)
+    assert compare_frames(sdf, con.sql(Q149_ORACLE), "q149") == 1
+    con.close()
