@@ -111,6 +111,11 @@ class MetadataDifference:
     new_files: list[dict] = field(default_factory=list)  # on FS, not in catalog
     old_files: list[dict] = field(default_factory=list)  # in catalog, gone/changed
     unchanged: list[dict] = field(default_factory=list)
+    #: open-format tables: the Delta version / Iceberg snapshot id the
+    #: FS-state side was captured from (None for plain directories) —
+    #: recorded on the table at sync so catalog-scoped reads can apply
+    #: that snapshot's ROW-level deletes (DVs / MoR delete files)
+    fs_version: int | None = None
     # placement-level diffs: identity is (path, size, mtime_ns, hostname)
     new_placements: list[dict] = field(default_factory=list)
     old_placements: list[dict] = field(default_factory=list)
@@ -415,14 +420,15 @@ class Registry:
         path still diffs as old+new."""
         from hadoop_sync_spark.delta_log import DeltaLog
 
+        snap = DeltaLog(table_dir).snapshot()
         out = []
-        for rel in DeltaLog(table_dir).snapshot().files:
+        for rel in snap.files:
             p = os.path.join(table_dir, rel)
             st = os.stat(p)
             out.append(
                 {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
             )
-        return out
+        return out, snap.version
 
     def register_iceberg(self, name: str, table_dir: str) -> None:
         """Bind a logical table to an ICEBERG table directory — the
@@ -450,13 +456,16 @@ class Registry:
         from hadoop_sync_spark.iceberg_meta import IcebergTable
 
         table = IcebergTable(table_dir)
-        if table.metadata().get("current-snapshot-id") is None:
+        snap_id = table.metadata().get("current-snapshot-id")
+        if snap_id is None:
             # freshly created table, no snapshots yet: empty FS state,
             # so diff/sync behave like an empty directory (dir/delta
             # formats return a zero-change diff here too)
-            return []
+            return [], None
         out = []
-        for f in table.files():
+        # list from the captured snapshot id, not "current" — a racing
+        # committer between the two calls must not split the identity
+        for f in table.files(snapshot_id=snap_id):
             st = os.stat(f.path)
             out.append(
                 {
@@ -465,7 +474,7 @@ class Registry:
                     "mtime_ns": st.st_mtime_ns,
                 }
             )
-        return out
+        return out, snap_id
 
     def diff(self, name: str) -> MetadataDifference:
         """FS state vs catalog state — the reference's
@@ -485,10 +494,15 @@ class Registry:
         # open-format tables substitute the snapshot's live list for the
         # raw walk; the plain-directory path is byte-identical to before
         fmt = tables[name].get("format")
+        fs_version = None
         if fmt == "delta":
-            fs_files = self._delta_live_files(tables[name]["dir_path"])
+            fs_files, fs_version = self._delta_live_files(
+                tables[name]["dir_path"]
+            )
         elif fmt == "iceberg":
-            fs_files = self._iceberg_live_files(tables[name]["dir_path"])
+            fs_files, fs_version = self._iceberg_live_files(
+                tables[name]["dir_path"]
+            )
         else:
             fs_files = self._list_data_files(tables[name]["dir_path"])
         fs = {(f["path"], f["size"], f["mtime_ns"]): f for f in fs_files}
@@ -516,6 +530,7 @@ class Registry:
             unchanged=[cat[k] for k in sorted(cat.keys() & fs.keys())],
             new_placements=[fs_place[k] for k in sorted(new_p)],
             old_placements=[cat_place[k] for k in sorted(old_p)],
+            fs_version=fs_version,
         )
 
     def _fetch_min_max(
@@ -562,8 +577,21 @@ class Registry:
             raise KeyError(f"table not registered: {name}")
         self._recover_compaction()  # roll forward any crashed compaction
         d = self.diff(name)
-        if d.empty:
+        fmt = tables[name].get("format")
+        if d.empty and (
+            fmt is None
+            or tables[name].get("synced_format_version") == d.fs_version
+        ):
             return SyncResult(name, self._current_version(), 0, 0, noop=True)
+        # an open-format commit that changed only ROW-level state (a
+        # deletion vector / MoR delete file) moves no shards but must
+        # still publish: catalog-scoped reads apply the deletes of the
+        # RECORDED snapshot, so a stale record would resurrect rows
+        if fmt is not None:
+            tables = dict(tables)
+            tables[name] = {
+                **tables[name], "synced_format_version": d.fs_version
+            }
 
         part_col = tables[name]["partition_column"]
         stats = (
@@ -961,7 +989,47 @@ class Registry:
         absent from older files surface as NULL) — schema evolution for
         append-style corpora, at the footer-merge cost that option always
         carries; leave it off for fixed-schema tables so scans keep the
-        single-footer fast path."""
+        single-footer fast path.
+
+        Open-format tables with ROW-level deletes in their synced
+        snapshot (Delta deletion vectors / Iceberg merge-on-read delete
+        files) delegate to the format reader PINNED AT the snapshot the
+        catalog was synced from — same files as the shard list, minus
+        the rows that snapshot deletes.  The catalog-lag property is
+        preserved exactly: a format commit after the last sync (file- or
+        row-level) stays invisible until the next sync publishes.
+        Format tables without row-level deletes keep the plain catalog
+        parquet scan, byte-identical to before."""
+        tables = self._load_tables(version)
+        rec = tables.get(name, {})
+        fmt = rec.get("format")
+        synced = rec.get("synced_format_version")
+        if fmt == "delta" and synced is not None:
+            from hadoop_sync_spark.delta_log import DeltaLog
+
+            log = DeltaLog(rec["dir_path"])
+            if any(
+                a.get("deletionVector")
+                for a in log.snapshot(synced).live.values()
+            ):
+                if merge_schema:
+                    raise ValueError(
+                        "merge_schema is not supported for deletion-"
+                        "vector Delta tables (the log owns the schema)"
+                    )
+                return log.read(self.spark, synced)
+        elif fmt == "iceberg" and synced is not None:
+            from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+            table = IcebergTable(rec["dir_path"])
+            if table.delete_files(snapshot_id=synced):
+                if merge_schema:
+                    raise ValueError(
+                        "merge_schema is not supported for merge-on-"
+                        "read Iceberg tables (the metadata owns the "
+                        "schema)"
+                    )
+                return table.read(self.spark, snapshot_id=synced)
         files = [s["path"] for s in self.shards(name, version)]
         if not files:
             raise ValueError(f"no synced shards for table {name}")

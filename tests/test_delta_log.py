@@ -417,3 +417,42 @@ def test_q149_oracle_parity_unregistered(spark):
     sdf = q149_delta_dv_reader(spark, SF_DIR)
     assert compare_frames(sdf, con.sql(Q149_ORACLE), "q149") == 1
     con.close()
+
+
+def test_registry_read_applies_deletion_vectors_with_catalog_lag(
+    spark, tmp_path
+):
+    """Round-8 correctness fix: a catalog-scoped read of a DV table
+    must subtract the rows deleted AT THE SYNCED SNAPSHOT — previously
+    the file-level shard list silently resurrected them.  And the
+    catalog-lag property extends to row level: a DV commit after the
+    last sync moves no shards but stays INVISIBLE until the next sync
+    publishes (which it now does — a row-level-only commit is not a
+    noop)."""
+    from hadoop_sync_spark.registry import Registry
+
+    d, log = _mk_table(tmp_path, "dv_t")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3, 4], "v": [0] * 4})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register_delta("t", d)
+    reg.sync("t")
+    assert sorted(r.k for r in reg.read("t").collect()) == [1, 2, 3, 4]
+
+    # DV commit: rows die in the table, but the catalog hasn't synced —
+    # catalog-scoped read still shows the synced snapshot (lag property)
+    log.add_deletion_vector(1, "a.parquet", [0, 2], storage="i")
+    assert sorted(r.k for r in reg.read("t").collect()) == [1, 2, 3, 4]
+
+    # the row-level-only commit is NOT a sync noop (zero shard churn,
+    # but the synced snapshot must advance or reads resurrect rows)
+    s = reg.sync("t")
+    assert (s.added, s.removed, s.noop) == (0, 0, False)
+    assert sorted(r.k for r in reg.read("t").collect()) == [2, 4]
+    # now idempotent again
+    assert reg.sync("t").noop
+    # registry time travel: the pre-DV catalog version still reads full
+    assert sorted(
+        r.k for r in reg.read("t", version=s.version - 1).collect()
+    ) == [1, 2, 3, 4]

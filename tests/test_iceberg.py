@@ -578,3 +578,25 @@ def test_q148_oracle_parity_unregistered(spark, oracle):
     sdf = q148_iceberg_mor_reader(spark, SF_DIR)
     n = compare_frames(sdf, oracle.sql(Q148_ORACLE), "q148")
     assert n == 1
+
+
+def test_registry_read_applies_mor_deletes_with_catalog_lag(spark, tmp_path):
+    """The Iceberg twin of the Delta DV catalog-lag test: catalog-scoped
+    reads of a MoR table subtract the synced snapshot's delete files; a
+    delete-only commit (zero shard churn) is not a sync noop."""
+    from hadoop_sync_spark.registry import Registry
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3, 4])], now_ms=2000)
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register_iceberg("t", t.dir)
+    reg.sync("t")
+    assert sorted(r.id for r in reg.read("t").collect()) == [1, 2, 3, 4]
+
+    t.add_position_deletes([("data/f1.parquet", 1)], now_ms=3000)
+    # lag: unsynced delete invisible to the catalog read
+    assert sorted(r.id for r in reg.read("t").collect()) == [1, 2, 3, 4]
+    s = reg.sync("t")
+    assert (s.added, s.removed, s.noop) == (0, 0, False)
+    assert sorted(r.id for r in reg.read("t").collect()) == [1, 3, 4]
+    assert reg.sync("t").noop
