@@ -1079,6 +1079,110 @@ class IcebergTable:
             delete_entries=self._live_delete_entries() + [entry],
         )
 
+    # ---------------------------------------------- maintenance (round 8)
+    def expire_snapshots(
+        self,
+        keep_last: int | None = None,
+        older_than_ms: int | None = None,
+        now_ms: int = 0,
+    ) -> list[int]:
+        """Drop expired snapshots from the metadata (the spec's snapshot
+        expiration: shrink the ``snapshots`` list + ``snapshot-log``;
+        the current snapshot always survives) and delete the manifest /
+        manifest-list files only THEY referenced.  Returns the expired
+        snapshot ids.  Data files are untouched — :meth:`vacuum`
+        removes unreferenced ones, the same two-step split the
+        registry's versioned publish uses (drop versions, then
+        vacuum)."""
+        meta = self.metadata()
+        snaps = meta.get("snapshots", [])
+        cur = meta.get("current-snapshot-id")
+        keep: set[int] = {cur} if cur is not None else set()
+        ordered = sorted(snaps, key=lambda s: -s["timestamp-ms"])
+        if keep_last is not None:
+            keep |= {s["snapshot-id"] for s in ordered[:keep_last]}
+        if older_than_ms is not None:
+            keep |= {
+                s["snapshot-id"]
+                for s in snaps
+                if s["timestamp-ms"] >= older_than_ms
+            }
+        if keep_last is None and older_than_ms is None:
+            raise ValueError("give keep_last and/or older_than_ms")
+        expired = [
+            s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep
+        ]
+        if not expired:
+            return []
+        survivors = [s for s in snaps if s["snapshot-id"] in keep]
+        # metadata files referenced by surviving snapshots
+        live_meta: set[str] = set()
+        for snap in survivors:
+            mlist = self._resolve(snap["manifest-list"])
+            live_meta.add(mlist)
+            _, manifests, _ = read_ocf(mlist)
+            live_meta.update(
+                self._resolve(mf["manifest_path"]) for mf in manifests
+            )
+        dead_meta: set[str] = set()
+        for snap in snaps:
+            if snap["snapshot-id"] in keep:
+                continue
+            mlist = self._resolve(snap["manifest-list"])
+            dead_meta.add(mlist)
+            _, manifests, _ = read_ocf(mlist)
+            dead_meta.update(
+                self._resolve(mf["manifest_path"]) for mf in manifests
+            )
+        meta = dict(meta)
+        meta["snapshots"] = survivors
+        meta["snapshot-log"] = [
+            e
+            for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in keep
+        ]
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
+        for path in sorted(dead_meta - live_meta):
+            if os.path.exists(path):
+                os.remove(path)
+        return sorted(expired)
+
+    def vacuum(self) -> list[str]:
+        """Delete data/delete files under ``data/`` referenced by NO
+        surviving snapshot (run after :meth:`expire_snapshots`; with
+        all snapshots live it deletes nothing — every snapshot's reads
+        keep working, the retention guarantee).  Returns the removed
+        table-relative paths."""
+        meta = self.metadata()
+        live: set[str] = set()
+        for snap in meta.get("snapshots", []):
+            _, manifests, _ = read_ocf(self._resolve(snap["manifest-list"]))
+            for mf in manifests:
+                _, entries, _ = read_ocf(
+                    self._resolve(mf["manifest_path"])
+                )
+                for e in entries:
+                    # DELETED entries still protect the file: the
+                    # PREVIOUS snapshot that lists it live shares the
+                    # path string; only files no entry mentions at all
+                    # are candidates (conservative, like production's
+                    # reachability walk)
+                    live.add(
+                        os.path.abspath(
+                            self._resolve(e["data_file"]["file_path"])
+                        )
+                    )
+        removed = []
+        data_dir = os.path.join(self.dir, "data")
+        for root, _dirs, names in os.walk(data_dir):
+            for n in names:
+                full = os.path.abspath(os.path.join(root, n))
+                if full not in live:
+                    os.remove(full)
+                    removed.append(os.path.relpath(full, self.dir))
+        return sorted(removed)
+
     def _carry_entries(self, files: list[DataFile]) -> list[dict]:
         """Live files re-written as EXISTING entries with their original
         data sequence numbers EXPLICIT (the spec forbids inheritance for
