@@ -517,16 +517,7 @@ class DeltaLog:
         if st == "i":
             data = _b85_decode(desc["pathOrInlineDv"])
             return _dv_deserialize(data[: desc["sizeInBytes"]])
-        if st == "p":
-            path = desc["pathOrInlineDv"]
-        elif st == "u":
-            enc = desc["pathOrInlineDv"]
-            prefix, uid_enc = enc[:-20], enc[-20:]
-            uid = _uuid.UUID(bytes=_b85_decode(uid_enc))
-            name = f"deletion_vector_{uid}.bin"
-            path = os.path.join(self.table_dir, prefix, name)
-        else:
-            raise NotImplementedError(f"DV storage type {st!r}")
+        path = self._dv_file_path(desc)
         with open(path, "rb") as fh:
             blob = fh.read()
         if blob[:1] != b"\x01":
@@ -538,6 +529,22 @@ class DeltaLog:
         if _z.crc32(data) != crc:
             raise ValueError("deletion-vector checksum mismatch")
         return _dv_deserialize(data)
+
+    def _dv_file_path(self, desc: dict) -> str:
+        """On-disk path of a file-backed DV descriptor ('u'/'p')."""
+        import uuid as _uuid
+
+        st = desc["storageType"]
+        if st == "p":
+            return desc["pathOrInlineDv"]
+        if st == "u":
+            enc = desc["pathOrInlineDv"]
+            prefix, uid_enc = enc[:-20], enc[-20:]
+            uid = _uuid.UUID(bytes=_b85_decode(uid_enc))
+            return os.path.join(
+                self.table_dir, prefix, f"deletion_vector_{uid}.bin"
+            )
+        raise NotImplementedError(f"DV storage type {st!r}")
 
     def add_deletion_vector(
         self,
@@ -753,22 +760,54 @@ class DeltaLog:
         single-writer fixtures — production retention windows exist to
         protect concurrent readers of old snapshots; after vacuum, time
         travel to versions needing removed files fails at read, exactly
-        like the registry's post-vacuum reads).  Returns deleted paths.
-        Never touches the log itself."""
-        live = set(self.snapshot().files)
+        like the registry's post-vacuum reads).  Deletion-vector
+        ``.bin`` files are reclaimed the same way (round 8): a DV
+        replaced by a newer one for the same data file becomes an
+        orphan the moment the snapshot stops referencing it.  Returns
+        deleted paths.  Never touches the log itself."""
+        snap = self.snapshot()
+        live = set(snap.files)
+        live_dvs = set()
+        for a in snap.live.values():
+            dv = a.get("deletionVector")
+            if dv and dv["storageType"] in ("u", "p"):
+                live_dvs.add(os.path.abspath(self._dv_file_path(dv)))
         deleted = []
         for root, dirs, files in os.walk(self.table_dir):
             if _LOG_DIR in root.split(os.sep):
                 continue
             for name in files:
-                if not name.endswith(".parquet"):
-                    continue
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.table_dir)
-                if rel not in live:
+                if name.endswith(".parquet"):
+                    if rel not in live:
+                        os.remove(full)
+                        deleted.append(rel)
+                elif (
+                    name.startswith("deletion_vector_")
+                    and name.endswith(".bin")
+                    and os.path.abspath(full) not in live_dvs
+                ):
                     os.remove(full)
                     deleted.append(rel)
         return sorted(deleted)
+
+    def expire_log(self) -> list[int]:
+        """Log retention: delete commit JSONs strictly BELOW the newest
+        checkpoint (their replay prefix is fully captured by it — the
+        production log-cleanup rule, retention 0).  Snapshots at or
+        above the checkpoint, and checkpoint-seeded reads, are
+        unaffected; time travel below it then fails loudly at replay
+        (the documented vacuumed-commit error).  Returns the expired
+        versions."""
+        cps = self._checkpoint_versions()
+        if not cps:
+            return []
+        cutoff = cps[-1]
+        expired = [v for v in self.versions() if v < cutoff]
+        for v in expired:
+            os.remove(_commit_path(self.table_dir, v))
+        return expired
 
     def _seed_from_checkpoint(self, snap: Snapshot, version: int) -> None:
         import pyarrow.parquet as pq

@@ -456,3 +456,42 @@ def test_registry_read_applies_deletion_vectors_with_catalog_lag(
     assert sorted(
         r.k for r in reg.read("t", version=s.version - 1).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_vacuum_reclaims_orphaned_deletion_vectors(spark, tmp_path):
+    """A replaced DV's .bin becomes an orphan and vacuum reclaims it;
+    the live DV survives and reads keep working."""
+    import glob as _g
+
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2, 3, 4], "v": [0] * 4})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.add_deletion_vector(1, "a.parquet", [0], storage="u")
+    log.add_deletion_vector(2, "a.parquet", [0, 2], storage="u")
+    assert len(_g.glob(os.path.join(d, "deletion_vector_*.bin"))) == 2
+    removed = log.vacuum()
+    assert len(removed) == 1 and removed[0].startswith("deletion_vector_")
+    assert len(_g.glob(os.path.join(d, "deletion_vector_*.bin"))) == 1
+    assert sorted(r.k for r in log.read(spark).collect()) == [2, 4]
+
+
+def test_expire_log_after_checkpoint(spark, tmp_path):
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [0]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.commit(1, [log.add_action_for("b.parquet")])
+    log.write_checkpoint(1)
+    log.commit(2, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    # no checkpoint -> nothing expires below it... checkpoint at 1:
+    assert log.expire_log() == [0]
+    # checkpoint-seeded reads still work across the expired prefix
+    assert sorted(r.k for r in log.read(spark).collect()) == [2]
+    assert sorted(r.k for r in log.read(spark, 1).collect()) == [1, 2]
+    # time travel below the checkpoint fails loudly at replay
+    with pytest.raises(FileNotFoundError):
+        log.snapshot(0)
+    # idempotent
+    assert log.expire_log() == []
