@@ -735,6 +735,16 @@ class Registry:
         tables = self._load_tables()
         if name not in tables:
             raise KeyError(f"table not registered: {name}")
+        fmt = tables[name].get("format")
+        if fmt is not None:
+            # renaming/deleting an open-format table's data files outside
+            # its log/manifests would corrupt every snapshot — the format
+            # owns the file layout, so compaction must go through a
+            # format-native rewrite (round-8 guard)
+            raise ValueError(
+                f"compact is for plain-directory tables; {name!r} is "
+                f"{fmt}-format — rewrite through the table format"
+            )
         lock = self._acquire_publish_lock()
         try:
             self._recover_compaction(have_lock=True)

@@ -659,3 +659,43 @@ def test_schema_evolution_read_and_ddl(spark, tmp_path):
         assert "score" in spark.table("t").columns
     finally:
         spark.sql("DROP TABLE IF EXISTS t")
+
+
+def test_compact_refuses_open_format_tables(spark, tmp_path):
+    """Round-8 guard: compacting a delta/iceberg-registered table would
+    rename/delete files the format's log or manifests still reference,
+    corrupting every snapshot — refuse loudly."""
+    import os
+
+    import pandas as pd
+
+    from hadoop_sync_spark.delta_log import DeltaLog
+    from hadoop_sync_spark.registry import Registry
+
+    d = str(tmp_path / "dt")
+    os.makedirs(d)
+    pd.DataFrame({"k": [1]}).to_parquet(os.path.join(d, "a.parquet"))
+    log = DeltaLog(d)
+    log.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1}},
+            {
+                "metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": spark.read.parquet(
+                        os.path.join(d, "a.parquet")
+                    ).schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            log.add_action_for("a.parquet"),
+        ],
+    )
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register_delta("t", d)
+    reg.sync("t")
+    with pytest.raises(ValueError, match="delta-format"):
+        reg.compact("t")
