@@ -295,3 +295,78 @@ def test_codec_roundtrip_plans_shuffle_keys_only(spark, sf_dir, name):
     assert py and all(i < exch for i in py), plan[:2000]
     scans = _filescan_lines(plan)
     assert scans and "doc_id" in scans[0] and "text" not in scans[0]
+
+
+# ----------------------------------------------- round-8 MoR/DV read plans
+def test_iceberg_mor_read_plans_broadcast_anti_joins(spark, sf_dir):
+    """q148's feeding path: merge-on-read delete application must plan
+    as broadcast LEFT ANTI joins (the delete sets are metadata-scale),
+    with no sort-merge join and no exchange of the data side beyond the
+    scan itself."""
+    from hadoop_sync_spark.queries.lakehouse_q import (
+        build_orders_iceberg_fixture,
+    )
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    table, (s1, s2, s3, s4) = build_orders_iceberg_fixture(spark, sf_dir)
+    table.add_position_deletes([("data/f0.parquet", 0)], now_ms=6000)
+    plan = (
+        table.read(spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    anti = [
+        ln
+        for ln in plan.splitlines()
+        if "LeftAnti" in ln and "Broadcast" in ln
+    ]
+    assert anti, plan
+    # the partition-attach join stays broadcast too
+    assert "BroadcastHashJoin" in plan
+
+
+def test_delta_dv_read_plans_broadcast_anti_join(spark, tmp_path):
+    """q149's feeding path: DV subtraction is one broadcast LEFT ANTI
+    join against (file, row_index) lineage — never a shuffle of the
+    data rows."""
+    import os
+
+    import pandas as pd
+
+    from hadoop_sync_spark.delta_log import DeltaLog
+
+    d = str(tmp_path / "dvplan")
+    os.makedirs(d)
+    pd.DataFrame({"k": list(range(10))}).to_parquet(
+        os.path.join(d, "a.parquet")
+    )
+    log = DeltaLog(d)
+    log.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1}},
+            {
+                "metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": spark.read.parquet(
+                        os.path.join(d, "a.parquet")
+                    ).schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            log.add_action_for("a.parquet"),
+        ],
+    )
+    log.add_deletion_vector(1, "a.parquet", [2, 5], storage="i")
+    plan = (
+        log.read(spark)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert any(
+        "LeftAnti" in ln and "Broadcast" in ln
+        for ln in plan.splitlines()
+    ), plan
