@@ -1,0 +1,799 @@
+"""From-scratch ISO-BMFF / MP4 container codec (ISO/IEC 14496-12).
+
+Round-8 seam closure: the video-container path was the last multimodal
+component that refused wholesale ("compressed-format decoding requires
+codec libraries").  This module makes the CONTAINER layer real with no
+external library — the part a 100 TB video-dataset pipeline actually
+runs on every asset (track enumeration, codec identification, sample
+tables, frame byte ranges, timestamps) — and narrows the honest seam to
+the video BITSTREAM decoders that genuinely need codec libraries
+(H.264/H.265/VP9).  One bitstream decodes for real end-to-end: MJPEG in
+MP4 (``mp4v`` sample entry with MP4RA objectTypeIndication 0x6C = JPEG,
+the same registration ffmpeg writes for ``-c:v mjpeg`` in .mp4), whose
+samples are baseline JFIF streams handled by
+:mod:`hadoop_sync_spark.jpeg_codec`.  PCM audio tracks use the
+``ipcm``/``pcmC`` sample entry of ISO/IEC 23003-5 (the in-ISO raw-PCM
+registration) and decode sample-exactly.
+
+Implemented against the public specs only:
+
+- **ISO/IEC 14496-12** (box model; ``ftyp``/``moov``/``mvhd``/``trak``/
+  ``tkhd``/``mdia``/``mdhd``/``hdlr``/``minf``/``stbl``; the sample
+  tables ``stsd``/``stts``/``stsc``/``stsz``/``stco``/``co64``; version
+  0/1 full boxes; ``size==1`` → 64-bit largesize);
+- **ISO/IEC 14496-1** §7.2.6 (the ``esds`` ES_Descriptor /
+  DecoderConfigDescriptor expandable-length encoding that carries the
+  objectTypeIndication);
+- **MP4RA** object-type registry (0x6C = JPEG, 0x6B = MP3 — identified
+  but the MP3 bitstream refuses honestly);
+- **ISO/IEC 23003-5** (``ipcm`` AudioSampleEntry + ``pcmC`` config box:
+  endianness flag + PCM sample size).
+
+The sample-table math is the real content here and is tested against
+hand-computed goldens (see tests/test_mp4.py): ``stsc`` is run-length
+over chunks (``first_chunk`` 1-based, a run applies until the next
+run's first chunk), per-sample file offsets accumulate sizes within a
+chunk starting at the chunk's ``stco``/``co64`` offset, and ``stts``
+run-length-decodes to per-sample DTS in media-timescale ticks.
+
+Scale notes: everything here is per-asset metadata work of O(#samples)
+— it runs inside the same Arrow-batched ``mapInPandas`` stages as the
+other codecs (multimodal.py), so parsing distributes with the payload
+column and no sample table ever crosses the driver.  Header-only
+probes (``decode_header``) read ``moov`` without touching ``mdat``
+payload bytes, preserving the metadata-only filter path.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+__all__ = [
+    "Mp4Track",
+    "Mp4File",
+    "Sample",
+    "encode_mp4",
+    "decode_mp4",
+    "video_frames",
+    "audio_samples",
+]
+
+_CONTAINERS = {
+    b"moov",
+    b"trak",
+    b"mdia",
+    b"minf",
+    b"stbl",
+    b"dinf",
+    b"edts",
+    b"udta",
+    b"mvex",
+}
+
+# MP4RA objectTypeIndication values this module recognizes in `esds`.
+_OTI_JPEG = 0x6C
+_OTI_MP3 = 0x6B
+_OTI_NAMES = {_OTI_JPEG: "jpeg", _OTI_MP3: "mp3"}
+
+
+# ------------------------------------------------------------ box writer
+def _box(typ: bytes, payload: bytes) -> bytes:
+    """Plain box; switches to size==1 + 64-bit largesize past 2^32-9."""
+    n = 8 + len(payload)
+    if n <= 0xFFFFFFFF:
+        return struct.pack(">I4s", n, typ) + payload
+    return struct.pack(">I4sQ", 1, typ, 16 + len(payload)) + payload
+
+
+def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def _desc(tag: int, payload: bytes) -> bytes:
+    """14496-1 expandable-length descriptor (7-bit groups, MSB=continue).
+
+    The canonical minimal encoding: one length byte below 128, two up to
+    16383, ... — enough for every descriptor this module emits or reads.
+    """
+    n = len(payload)
+    out = bytearray([tag])
+    groups = []
+    while True:
+        groups.append(n & 0x7F)
+        n >>= 7
+        if not n:
+            break
+    for i, g in enumerate(reversed(groups)):
+        out.append(g | (0x80 if i < len(groups) - 1 else 0))
+    return bytes(out) + payload
+
+
+def _esds(oti: int, avg_bitrate: int = 0) -> bytes:
+    """ES_Descriptor → DecoderConfig(objectTypeIndication=oti) → SLConfig.
+
+    streamType: 0x04 (VisualStream) or 0x05 (AudioStream) per 14496-1
+    table 9; packed into bits 7..2 with upStream=0 and reserved=1.
+    """
+    stream_type = 0x04 if oti == _OTI_JPEG else 0x05
+    dcd = struct.pack(
+        ">BBBHII",
+        oti,
+        (stream_type << 2) | 1,
+        0,  # bufferSizeDB high byte
+        0,  # bufferSizeDB low half (3-byte field split as B+H)
+        avg_bitrate,
+        avg_bitrate,
+    )
+    es = (
+        struct.pack(">HB", 1, 0)  # ES_ID=1, no optional flags
+        + _desc(0x04, dcd)
+        + _desc(0x06, b"\x02")  # SLConfig predefined=2 (MP4 files)
+    )
+    return _full(b"esds", 0, 0, _desc(0x03, es))
+
+
+def _stts(runs: list[tuple[int, int]]) -> bytes:
+    body = struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">II", c, d) for c, d in runs
+    )
+    return _full(b"stts", 0, 0, body)
+
+
+def _stsc(runs: list[tuple[int, int]]) -> bytes:
+    body = struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">III", first, per, 1) for first, per in runs
+    )
+    return _full(b"stsc", 0, 0, body)
+
+
+def _stsz(sizes: list[int] | None, uniform: int, count: int) -> bytes:
+    if sizes is None:
+        return _full(b"stsz", 0, 0, struct.pack(">II", uniform, count))
+    body = struct.pack(">II", 0, len(sizes)) + b"".join(
+        struct.pack(">I", s) for s in sizes
+    )
+    return _full(b"stsz", 0, 0, body)
+
+
+def _stco(offsets: list[int], force_co64: bool = False) -> bytes:
+    if force_co64 or (offsets and max(offsets) > 0xFFFFFFFF):
+        body = struct.pack(">I", len(offsets)) + b"".join(
+            struct.pack(">Q", o) for o in offsets
+        )
+        return _full(b"co64", 0, 0, body)
+    body = struct.pack(">I", len(offsets)) + b"".join(
+        struct.pack(">I", o) for o in offsets
+    )
+    return _full(b"stco", 0, 0, body)
+
+
+def _visual_sample_entry(w: int, h: int, oti: int) -> bytes:
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count per sample
+        + b"\x00" * 32  # compressorname (pascal, empty)
+        + struct.pack(">Hh", 0x0018, -1)  # depth, pre_defined
+        + _esds(oti)
+    )
+    return _box(b"mp4v", entry)
+
+
+def _ipcm_sample_entry(rate: int, channels: int) -> bytes:
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 8
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", rate << 16)  # 16.16 fixed
+        # pcmC (23003-5): format_flags bit0 = little-endian, size = 16
+        + _full(b"pcmC", 0, 0, struct.pack(">BB", 0x01, 16))
+    )
+    return _box(b"ipcm", entry)
+
+
+def _minf_leader(kind: str) -> bytes:
+    head = (
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        if kind == "video"
+        else _full(b"smhd", 0, 0, struct.pack(">Hxx", 0))
+    )
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    return head + _box(b"dinf", dref)
+
+
+def _trak(
+    track_id: int,
+    kind: str,
+    movie_timescale: int,
+    media_timescale: int,
+    media_duration: int,
+    stsd_entry: bytes,
+    stts_runs: list[tuple[int, int]],
+    stsc_runs: list[tuple[int, int]],
+    sizes: list[int] | None,
+    uniform_size: int,
+    sample_count: int,
+    chunk_offsets: list[int],
+    w: int = 0,
+    h: int = 0,
+    force_co64: bool = False,
+) -> bytes:
+    dur_movie = media_duration * movie_timescale // media_timescale
+    tkhd = _full(
+        b"tkhd",
+        0,
+        7,  # enabled | in_movie | in_preview
+        struct.pack(">IIII", 0, 0, track_id, 0)
+        + struct.pack(">I", dur_movie)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100 if kind == "audio" else 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, media_timescale, media_duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    handler = b"vide" if kind == "video" else b"soun"
+    hdlr = _full(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I4s", 0, handler) + b"\x00" * 12 + b"hadoop-sync\x00",
+    )
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+        + _stts(stts_runs)
+        + _stsc(stsc_runs)
+        + _stsz(sizes, uniform_size, sample_count)
+        + _stco(chunk_offsets, force_co64),
+    )
+    minf = _box(b"minf", _minf_leader(kind) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+_UNITY_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+_MOVIE_TIMESCALE = 1000
+_VIDEO_TIMESCALE = 90000  # MPEG's conventional video tick rate
+
+
+def encode_mp4(
+    frames=None,
+    fps: int = 25,
+    audio: tuple[int, "object"] | None = None,
+    quality: int = 75,
+    video_chunking: list[int] | None = None,
+    force_co64: bool = False,
+) -> bytes:
+    """Encode an MP4: MJPEG video track (each frame JPEG-encoded by
+    :mod:`jpeg_codec`, ``mp4v``/OTI-0x6C sample entry) and/or a 16-bit
+    PCM mono/stereo ``ipcm`` audio track.
+
+    ``video_chunking`` splits the video samples into chunks of the given
+    sizes (default: one chunk per 4 samples with a ragged tail) — the
+    writer exists partly to fabricate non-trivial ``stsc`` layouts for
+    the parser's tests, so the chunk structure is controllable.
+    ``force_co64`` writes 64-bit chunk offsets regardless of file size.
+    """
+    import numpy as np
+
+    from hadoop_sync_spark.jpeg_codec import encode_jpeg
+
+    if frames is None and audio is None:
+        raise ValueError("need at least one of frames/audio")
+
+    # --- encode payloads
+    video_bytes: list[bytes] = []
+    if frames is not None:
+        for f in frames:
+            video_bytes.append(encode_jpeg(np.asarray(f), quality=quality))
+    audio_payload = b""
+    n_audio_frames = 0
+    channels = 1
+    rate = 0
+    if audio is not None:
+        rate, samples = audio
+        a = np.asarray(samples, dtype="<i2")
+        if a.ndim == 1:
+            a = a[:, None]
+        n_audio_frames, channels = a.shape
+        audio_payload = a.tobytes()  # interleaved little-endian
+
+    # --- chunk layout inside mdat: video chunks first, then one audio
+    if video_chunking is None:
+        video_chunking = [4] * (len(video_bytes) // 4)
+        if len(video_bytes) % 4:
+            video_chunking.append(len(video_bytes) % 4)
+    if sum(video_chunking) != len(video_bytes):
+        raise ValueError("video_chunking must sum to the frame count")
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
+    mdat_header = 8
+    mdat_payload = b"".join(video_bytes) + audio_payload
+    base = len(ftyp) + mdat_header
+
+    video_chunk_offsets = []
+    pos = base
+    i = 0
+    for n in video_chunking:
+        video_chunk_offsets.append(pos)
+        for _ in range(n):
+            pos += len(video_bytes[i])
+            i += 1
+    audio_chunk_offset = base + sum(len(b) for b in video_bytes)
+
+    # collapse equal-run stsc: consecutive chunks with the same
+    # samples_per_chunk share one run (the spec's run-length form)
+    stsc_runs: list[tuple[int, int]] = []
+    for idx, n in enumerate(video_chunking, start=1):
+        if not stsc_runs or stsc_runs[-1][1] != n:
+            stsc_runs.append((idx, n))
+
+    traks = b""
+    track_id = 1
+    next_track_id = 1
+    movie_duration = 0
+    if video_bytes:
+        delta = _VIDEO_TIMESCALE // fps
+        media_duration = delta * len(video_bytes)
+        import numpy as _np
+
+        h0, w0 = _np.asarray(frames[0]).shape[:2]
+        traks += _trak(
+            track_id,
+            "video",
+            _MOVIE_TIMESCALE,
+            _VIDEO_TIMESCALE,
+            media_duration,
+            _visual_sample_entry(w0, h0, _OTI_JPEG),
+            [(len(video_bytes), delta)],
+            stsc_runs,
+            [len(b) for b in video_bytes],
+            0,
+            len(video_bytes),
+            video_chunk_offsets,
+            w=w0,
+            h=h0,
+            force_co64=force_co64,
+        )
+        track_id += 1
+        next_track_id = track_id
+        movie_duration = max(
+            movie_duration, media_duration * _MOVIE_TIMESCALE // _VIDEO_TIMESCALE
+        )
+    if audio is not None:
+        traks += _trak(
+            track_id,
+            "audio",
+            _MOVIE_TIMESCALE,
+            rate,
+            n_audio_frames,
+            _ipcm_sample_entry(rate, channels),
+            [(n_audio_frames, 1)],
+            [(1, n_audio_frames)] if n_audio_frames else [],
+            None,
+            2 * channels,
+            n_audio_frames,
+            [audio_chunk_offset] if n_audio_frames else [],
+            force_co64=force_co64,
+        )
+        next_track_id = track_id + 1
+        movie_duration = max(
+            movie_duration, n_audio_frames * _MOVIE_TIMESCALE // max(rate, 1)
+        )
+
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, _MOVIE_TIMESCALE, movie_duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", next_track_id),
+    )
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+# ------------------------------------------------------------ box parser
+def parse_boxes(data: bytes, start: int = 0, end: int | None = None):
+    """Yield ``(type, payload_start, payload_end)`` for the box sequence
+    in ``data[start:end]``, handling 64-bit largesize (size==1) and
+    to-end-of-file boxes (size==0)."""
+    if end is None:
+        end = len(data)
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"truncated box header at {pos}")
+        (size,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize at {pos}")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(f"box {typ!r} at {pos} overruns its parent")
+        yield typ, pos + header, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, *path: bytes):
+    """Resolve a nested box path → (payload_start, payload_end)."""
+    for typ in path:
+        found = None
+        for t, s, e in parse_boxes(data, start, end):
+            if t == typ:
+                found = (s, e)
+                break
+        if found is None:
+            return None
+        start, end = found
+    return start, end
+
+
+def _full_header(data: bytes, s: int) -> tuple[int, int, int]:
+    """FullBox → (version, flags, payload_start_after_header)."""
+    version = data[s]
+    flags = int.from_bytes(data[s + 1 : s + 4], "big")
+    return version, flags, s + 4
+
+
+@dataclass
+class Sample:
+    offset: int
+    size: int
+    dts: int  # media-timescale ticks
+    duration: int
+
+
+@dataclass
+class Mp4Track:
+    track_id: int
+    kind: str  # "video" | "audio" | other handler fourcc
+    codec: str  # "jpeg" | "mp3" | "ipcm" | sample-entry fourcc
+    timescale: int
+    duration: int
+    width: int = 0
+    height: int = 0
+    sample_rate: int = 0
+    channels: int = 0
+    pcm_little_endian: bool = True
+    samples: list[Sample] = field(default_factory=list)
+
+
+@dataclass
+class Mp4File:
+    major_brand: str
+    movie_timescale: int
+    movie_duration: int
+    tracks: list[Mp4Track]
+
+    @property
+    def video(self) -> Mp4Track | None:
+        return next((t for t in self.tracks if t.kind == "video"), None)
+
+    @property
+    def audio(self) -> Mp4Track | None:
+        return next((t for t in self.tracks if t.kind == "audio"), None)
+
+
+def _read_versioned(data: bytes, s: int, v0_fmt: str, v1_fmt: str, s_v: int):
+    version, _flags, p = _full_header(data, s)
+    fmt = v1_fmt if version == 1 else v0_fmt
+    return struct.unpack_from(fmt, data, p), p + struct.calcsize(fmt)
+
+
+def _parse_esds_oti(data: bytes, s: int, e: int) -> int | None:
+    """Walk the esds descriptor tree to the DecoderConfigDescriptor's
+    objectTypeIndication (14496-1 §7.2.6.6)."""
+    _v, _f, p = _full_header(data, s)
+
+    def read_desc(pos):
+        tag = data[pos]
+        pos += 1
+        n = 0
+        for _ in range(4):
+            b = data[pos]
+            pos += 1
+            n = (n << 7) | (b & 0x7F)
+            if not b & 0x80:
+                break
+        return tag, pos, pos + n
+
+    while p < e:
+        tag, body, body_end = read_desc(p)
+        if tag == 0x03:  # ES_Descriptor: descend past ES_ID + flags byte
+            flags = data[body + 2]
+            q = body + 3
+            if flags & 0x80:  # streamDependenceFlag → dependsOn_ES_ID
+                q += 2
+            if flags & 0x40:  # URL_Flag → URLlength + URLstring
+                q += 1 + data[q]
+            if flags & 0x20:  # OCRstreamFlag → OCR_ES_Id
+                q += 2
+            p, e = q, body_end
+            continue
+        if tag == 0x04:  # DecoderConfigDescriptor
+            return data[body]
+        p = body_end
+    return None
+
+
+def _parse_stsd(data: bytes, s: int, e: int, track: Mp4Track) -> None:
+    _v, _f, p = _full_header(data, s)
+    (count,) = struct.unpack_from(">I", data, p)
+    if count < 1:
+        return
+    for typ, es, ee in parse_boxes(data, p + 4, e):
+        fourcc = typ.decode("latin-1")
+        track.codec = fourcc
+        if track.kind == "video":
+            track.width, track.height = struct.unpack_from(">HH", data, es + 24)
+            if fourcc == "mp4v":  # esds lives in mp4v; avc1 carries avcC
+                sub = _find(data, es + 78, ee, b"esds")
+                oti = (
+                    _parse_esds_oti(data, sub[0], sub[1])
+                    if sub is not None
+                    else None
+                )
+                if oti is not None:
+                    track.codec = _OTI_NAMES.get(oti, f"oti_0x{oti:02x}")
+        elif track.kind == "audio":
+            track.channels, _size = struct.unpack_from(">HH", data, es + 16)
+            (rate_fixed,) = struct.unpack_from(">I", data, es + 24)
+            track.sample_rate = rate_fixed >> 16
+            if fourcc == "ipcm":
+                sub = _find(data, es + 28, ee, b"pcmC")
+                if sub is not None:
+                    _pv, _pf, pp = _full_header(data, sub[0])
+                    fmt_flags, _bits = struct.unpack_from(">BB", data, pp)
+                    track.pcm_little_endian = bool(fmt_flags & 0x01)
+            elif fourcc == "mp4a":
+                sub = _find(data, es + 28, ee, b"esds")
+                if sub is not None:
+                    oti = _parse_esds_oti(data, sub[0], sub[1])
+                    if oti is not None:
+                        track.codec = _OTI_NAMES.get(oti, f"oti_0x{oti:02x}")
+        break  # first sample description only (single-entry tables here)
+
+
+def _resolve_samples(
+    stts_runs: list[tuple[int, int]],
+    sizes: list[int] | None,
+    uniform_size: int,
+    sample_count: int,
+    stsc_runs: list[tuple[int, int, int]],
+    chunk_offsets: list[int],
+) -> list[Sample]:
+    """The sample-table join: stsc runs → per-chunk sample counts →
+    per-sample absolute offsets; stts runs → per-sample DTS."""
+    # per-chunk samples_per_chunk (stsc run applies until the next run)
+    per_chunk: list[int] = []
+    for i, (first, per, _sdi) in enumerate(stsc_runs):
+        next_first = (
+            stsc_runs[i + 1][0] if i + 1 < len(stsc_runs) else len(chunk_offsets) + 1
+        )
+        per_chunk.extend([per] * (next_first - first))
+    if len(per_chunk) != len(chunk_offsets):
+        raise ValueError(
+            f"stsc expansion gives {len(per_chunk)} chunks, "
+            f"stco has {len(chunk_offsets)}"
+        )
+    if sum(per_chunk) != sample_count:
+        raise ValueError(
+            f"stsc total {sum(per_chunk)} != sample count {sample_count}"
+        )
+
+    def size_of(i: int) -> int:
+        return sizes[i] if sizes is not None else uniform_size
+
+    # DTS from stts
+    dts_list: list[tuple[int, int]] = []
+    t = 0
+    for cnt, delta in stts_runs:
+        for _ in range(cnt):
+            dts_list.append((t, delta))
+            t += delta
+    if len(dts_list) != sample_count:
+        raise ValueError(
+            f"stts total {len(dts_list)} != sample count {sample_count}"
+        )
+
+    out: list[Sample] = []
+    si = 0
+    for chunk_off, n in zip(chunk_offsets, per_chunk):
+        pos = chunk_off
+        for _ in range(n):
+            dts, dur = dts_list[si]
+            out.append(Sample(pos, size_of(si), dts, dur))
+            pos += size_of(si)
+            si += 1
+    return out
+
+
+def _parse_trak(data: bytes, s: int, e: int) -> Mp4Track:
+    tk = _find(data, s, e, b"tkhd")
+    if tk is None:
+        raise ValueError("trak without tkhd")
+    (vals, _) = _read_versioned(data, tk[0], ">IIIII", ">QQIIQ", tk[0])
+    track_id = vals[2]
+
+    md = _find(data, s, e, b"mdia")
+    if md is None:
+        raise ValueError("trak without mdia")
+    mh = _find(data, md[0], md[1], b"mdhd")
+    (mvals, _) = _read_versioned(data, mh[0], ">IIII", ">QQIQ", mh[0])
+    timescale, duration = mvals[2], mvals[3]
+
+    hd = _find(data, md[0], md[1], b"hdlr")
+    _v, _f, p = _full_header(data, hd[0])
+    handler = data[p + 4 : p + 8]
+    kind = {b"vide": "video", b"soun": "audio"}.get(
+        handler, handler.decode("latin-1")
+    )
+
+    track = Mp4Track(track_id, kind, "", timescale, duration)
+
+    st = _find(data, md[0], md[1], b"minf", b"stbl")
+    if st is None:
+        raise ValueError("trak without stbl")
+    boxes = {t: (bs, be) for t, bs, be in parse_boxes(data, st[0], st[1])}
+
+    if b"stsd" in boxes:
+        _parse_stsd(data, *boxes[b"stsd"], track)
+
+    def full_payload(typ: bytes):
+        bs, _be = boxes[typ]
+        _v2, _f2, p2 = _full_header(data, bs)
+        return p2
+
+    stts_runs: list[tuple[int, int]] = []
+    if b"stts" in boxes:
+        p = full_payload(b"stts")
+        (n,) = struct.unpack_from(">I", data, p)
+        stts_runs = [
+            struct.unpack_from(">II", data, p + 4 + 8 * i) for i in range(n)
+        ]
+
+    sizes = None
+    uniform = 0
+    count = 0
+    if b"stsz" in boxes:
+        p = full_payload(b"stsz")
+        uniform, count = struct.unpack_from(">II", data, p)
+        if uniform == 0:
+            sizes = list(
+                struct.unpack_from(f">{count}I", data, p + 8) if count else ()
+            )
+
+    stsc_runs: list[tuple[int, int, int]] = []
+    if b"stsc" in boxes:
+        p = full_payload(b"stsc")
+        (n,) = struct.unpack_from(">I", data, p)
+        stsc_runs = [
+            struct.unpack_from(">III", data, p + 4 + 12 * i) for i in range(n)
+        ]
+
+    chunk_offsets: list[int] = []
+    if b"stco" in boxes:
+        p = full_payload(b"stco")
+        (n,) = struct.unpack_from(">I", data, p)
+        chunk_offsets = list(struct.unpack_from(f">{n}I", data, p + 4))
+    elif b"co64" in boxes:
+        p = full_payload(b"co64")
+        (n,) = struct.unpack_from(">I", data, p)
+        chunk_offsets = list(struct.unpack_from(f">{n}Q", data, p + 4))
+
+    if count:
+        track.samples = _resolve_samples(
+            stts_runs, sizes, uniform, count, stsc_runs, chunk_offsets
+        )
+    return track
+
+
+def decode_mp4(data: bytes) -> Mp4File:
+    """Parse an ISO-BMFF stream → :class:`Mp4File` with fully resolved
+    per-sample byte ranges and timestamps.  Raises ``ValueError`` for
+    structural corruption; never touches ``mdat`` payload bytes."""
+    top = {t: (s, e) for t, s, e in parse_boxes(data)}
+    if b"ftyp" not in top or b"moov" not in top:
+        raise ValueError("not an ISO-BMFF stream (missing ftyp/moov)")
+    fs, _fe = top[b"ftyp"]
+    major = data[fs : fs + 4].decode("latin-1")
+
+    ms, me = top[b"moov"]
+    mv = _find(data, ms, me, b"mvhd")
+    if mv is None:
+        raise ValueError("moov without mvhd")
+    (vals, _) = _read_versioned(data, mv[0], ">IIII", ">QQIQ", mv[0])
+    movie_timescale, movie_duration = vals[2], vals[3]
+
+    tracks = [
+        _parse_trak(data, s, e) for t, s, e in parse_boxes(data, ms, me) if t == b"trak"
+    ]
+    return Mp4File(major, movie_timescale, movie_duration, tracks)
+
+
+# ------------------------------------------------------------ decode paths
+def video_frames(data: bytes, every_k: int = 1, mp4: Mp4File | None = None):
+    """Decode the video track's JPEG samples (every ``every_k``-th) →
+    list of (frame_no, RGB array).  Refuses honestly for non-JPEG
+    bitstreams — the container math above still ran for real."""
+    import numpy as np
+
+    from hadoop_sync_spark.jpeg_codec import decode_jpeg
+
+    f = mp4 if mp4 is not None else decode_mp4(data)
+    track = f.video
+    if track is None:
+        raise ValueError("no video track")
+    if track.codec != "jpeg":
+        raise NotImplementedError(
+            f"video bitstream {track.codec!r}: only MJPEG (MP4RA "
+            "objectTypeIndication 0x6C) decodes without codec libraries; "
+            "the container (tracks, sample offsets, timestamps) parsed "
+            "for real above"
+        )
+    out = []
+    for i in range(0, len(track.samples), every_k):
+        s = track.samples[i]
+        arr = decode_jpeg(data[s.offset : s.offset + s.size])
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        out.append((i, arr))
+    return out
+
+
+def audio_samples(data: bytes, mp4: Mp4File | None = None):
+    """Decode the audio track → (rate, int16 array) — mono stays 1-D,
+    stereo is (n, 2).  Only ``ipcm`` (raw PCM per ISO 23003-5) decodes;
+    compressed audio (mp4a/AAC, OTI 0x6B MP3) refuses honestly."""
+    import numpy as np
+
+    f = mp4 if mp4 is not None else decode_mp4(data)
+    track = f.audio
+    if track is None:
+        raise ValueError("no audio track")
+    if track.codec != "ipcm":
+        raise NotImplementedError(
+            f"audio bitstream {track.codec!r}: only raw PCM ('ipcm', "
+            "ISO/IEC 23003-5) decodes without codec libraries"
+        )
+    dt = "<i2" if track.pcm_little_endian else ">i2"
+    # PCM sample-table rows are tiny (one audio frame each); coalesce
+    # byte-contiguous runs so decode is O(#chunks) numpy reads, not
+    # O(#frames) 2-byte reads
+    runs: list[tuple[int, int]] = []
+    for s in track.samples:
+        if runs and runs[-1][0] + runs[-1][1] == s.offset:
+            runs[-1] = (runs[-1][0], runs[-1][1] + s.size)
+        else:
+            runs.append((s.offset, s.size))
+    parts = [
+        np.frombuffer(data, dtype=dt, count=n // 2, offset=off)
+        for off, n in runs
+    ]
+    a = np.concatenate(parts) if parts else np.zeros(0, dtype="<i2")
+    a = a.astype("<i2", copy=False)
+    if track.channels > 1:
+        a = a.reshape(-1, track.channels)
+    return track.sample_rate, a

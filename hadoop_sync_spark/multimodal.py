@@ -16,7 +16,12 @@ The codec layer is REAL for the uncompressed formats that need only
 PNG joined the real set in round 7 (:func:`encode_png` /
 :func:`decode_png` — stdlib zlib + own scanline filters, CRC-checked), so
 a genuinely COMPRESSED interchange format round-trips with no external
-library.  DCT-class codecs (JPEG/MP4/MP3/...) remain the marked seam:
+library; baseline JPEG followed the same round (jpeg_codec).  ISO-BMFF /
+MP4 containers joined in round 8 (mp4_codec): track enumeration, codec
+identification, and full sample-table resolution are real, MJPEG video
+samples decode through the JPEG codec, and raw-PCM (``ipcm``) audio
+decodes sample-exactly.  The remaining seam is correctly narrow: video /
+audio BITSTREAMS that need codec libraries (H.264/VP9/AAC/MP3) —
 :func:`decode_real` falls through to an import-try of PIL/av and raises
 ``NotImplementedError`` in this container (no codec libs) — swapping in a
 real library changes only that branch.
@@ -358,6 +363,22 @@ def decode_real(content: bytes):
 
         arr = decode_jpeg(content)
         return np.repeat(arr[:, :, None], 3, axis=2) if arr.ndim == 2 else arr
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        # real ISO-BMFF path (round 8): from-scratch container parse
+        # (mp4_codec) + per-sample decode — MJPEG video via the baseline
+        # JPEG decoder, raw-PCM ('ipcm') audio sample-exact.  Compressed
+        # bitstreams (H.264/AAC/MP3) refuse inside video_frames /
+        # audio_samples with the container math already done for real.
+        from hadoop_sync_spark import mp4_codec
+
+        f = mp4_codec.decode_mp4(content)
+        if f.video is not None:
+            return [
+                arr for _no, arr in mp4_codec.video_frames(content, mp4=f)
+            ]
+        if f.audio is not None:
+            return mp4_codec.audio_samples(content, mp4=f)
+        raise ValueError("ISO-BMFF stream with no video or audio track")
     # Remaining compressed-format path (video containers, lossy audio),
     # wired but environment-gated (re-checked round 3: neither PIL nor av
     # ships in this container).  If the libs appear they take over here
@@ -443,6 +464,19 @@ def decode_header(content: bytes) -> tuple[int, int, int, int]:
         # IHDR is mandated first: width/height at fixed offsets 16/20
         w, h = struct.unpack(">II", content[16:24])
         return 1, w, h, 1
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        # ISO-BMFF: moov-only metadata walk (mp4_codec never reads mdat
+        # payload bytes on this path — the probe stays metadata-only)
+        from hadoop_sync_spark import mp4_codec
+
+        f = mp4_codec.decode_mp4(content)
+        v = f.video
+        if v is not None:
+            return 3, v.width, v.height, len(v.samples)
+        a = f.audio
+        if a is not None:
+            return 2, len(a.samples), 1, 1
+        raise ValueError("ISO-BMFF stream with no video or audio track")
     if content[:2] == b"\xff\xd8":
         # walk marker segments to the SOF header (no entropy decode)
         pos = 2
@@ -699,9 +733,11 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(assets: DataFrame, every_k: int = 4) -> DataFrame:
-    """Frame sampling for video: parse the RVID index, emit one row per
-    kept frame with its REAL encoded byte length (row explosion inside
-    mapInPandas — the decode-then-explode pattern)."""
+    """Frame sampling for video: parse the container's frame index (RVID
+    span list, or an ISO-BMFF sample table via mp4_codec — container
+    metadata only, no bitstream decode), emit one row per kept frame with
+    its REAL encoded byte length (row explosion inside mapInPandas — the
+    decode-then-explode pattern)."""
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -709,7 +745,18 @@ def sample_frames(assets: DataFrame, every_k: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                spans = decode_rvid(bytes(content))
+                content = bytes(content)
+                if len(content) >= 12 and content[4:8] == b"ftyp":
+                    from hadoop_sync_spark import mp4_codec
+
+                    track = mp4_codec.decode_mp4(content).video
+                    spans = (
+                        [(s.offset, s.size) for s in track.samples]
+                        if track is not None
+                        else []
+                    )
+                else:
+                    spans = decode_rvid(content)
                 for fno in range(0, len(spans), every_k):
                     out.append((aid, fno, spans[fno][1]))
             yield pd.DataFrame(
