@@ -113,10 +113,12 @@ def _iceberg_schema_json(fields: list[tuple[str, str]]) -> dict:
 
 
 def _partition_avro_fields(spec_fields: list[dict]) -> list[dict]:
-    """Iceberg spec fields (identity transforms) → Avro record fields for
-    the ``partition`` struct inside data_file.  Fixture specs are int/
-    long/string-typed identity partitions; the type rides in the spec."""
-    avro_t = {"int": "int", "long": "long", "string": "string"}
+    """Iceberg spec fields → Avro record fields for the ``partition``
+    struct inside data_file.  The type rides in the spec; ``date`` (the
+    spec's result type for the ``day`` transform) is Avro int underneath
+    (days from epoch — spec Appendix A maps date to ``int`` with the
+    ``date`` logical annotation, which plain-int readers interop with)."""
+    avro_t = {"int": "int", "long": "long", "string": "string", "date": "int"}
     return [
         {
             "name": f["name"],
@@ -212,10 +214,11 @@ _MANIFEST_FILE_SCHEMA = {
 
 def _le_bytes(v, typ: str) -> bytes:
     """Iceberg single-value serialization for bounds (spec Appendix D):
-    little-endian for int/long, UTF-8 for strings."""
+    little-endian for int/long (date = int days from epoch, spec
+    Appendix D "Single-value serialization"), UTF-8 for strings."""
     import struct as _s
 
-    if typ == "int":
+    if typ in ("int", "date"):
         return _s.pack("<i", v)
     if typ == "long":
         return _s.pack("<q", v)
@@ -227,7 +230,7 @@ def _le_bytes(v, typ: str) -> bytes:
 def _from_le_bytes(b: bytes, typ: str):
     import struct as _s
 
-    if typ == "int":
+    if typ in ("int", "date"):
         return _s.unpack("<i", b)[0]
     if typ == "long":
         return _s.unpack("<q", b)[0]
@@ -275,10 +278,41 @@ def transform_value(transform: str, value):
     agree byte-for-byte with every conforming writer); ``truncate[W]``
     = ``v - (v mod W)`` for integers (mod always non-negative) and the
     W-codepoint prefix for strings.  None maps to None under every
-    transform.  Date/time transforms and ``void`` raise — untested
-    domains stay honest refusals."""
+    transform.  Temporal transforms (spec "Partition Transforms" table):
+    ``year``/``month``/``day`` over dates and timestamps, ``hour`` over
+    timestamps — all FLOOR-based ordinals from the 1970 epoch (so
+    1969-12-31 → year −1, month −1, day −1), matching the spec's example
+    column (2017-11-16 → year 47, month 574, day 17486; its 22:31:08
+    timestamp → hour 17486·24+22 = 419686).  Source values must be
+    ``datetime.date`` /
+    ``datetime.datetime`` (naive = UTC, the Iceberg timestamp type) —
+    a bare int is ambiguous between days-from-epoch and micros and
+    raises rather than guessing.  ``void`` raises — untested domains
+    stay honest refusals."""
+    import datetime as _dt
+
     if value is None or transform == "identity":
         return value
+    if transform in ("year", "month", "day", "hour"):
+        is_ts = isinstance(value, _dt.datetime)
+        if not is_ts and not isinstance(value, _dt.date):
+            raise NotImplementedError(
+                f"{transform} transform on {type(value).__name__} "
+                "(pass datetime.date/datetime.datetime)"
+            )
+        if transform == "hour":
+            if not is_ts:
+                raise NotImplementedError("hour transform on date")
+            micros = (
+                value - _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+            ) // _dt.timedelta(microseconds=1)
+            return micros // 3_600_000_000
+        d = value.date() if is_ts else value
+        if transform == "year":
+            return d.year - 1970
+        if transform == "month":
+            return (d.year - 1970) * 12 + (d.month - 1)
+        return (d - _dt.date(1970, 1, 1)).days
     if transform.startswith("bucket["):
         n = int(transform[7:-1])
         if isinstance(value, bool):
@@ -412,7 +446,9 @@ class IcebergTable:
             if spec["spec-id"] == spec_id:
                 for f in spec["fields"]:
                     tr = f.get("transform", "identity")
-                    if tr != "identity" and not (
+                    if tr not in (
+                        "identity", "year", "month", "day", "hour"
+                    ) and not (
                         tr.startswith("bucket[") or tr.startswith("truncate[")
                     ):
                         raise NotImplementedError(

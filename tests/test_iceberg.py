@@ -159,10 +159,11 @@ def test_delete_requires_a_match_and_keeps_history(table):
 def test_honest_seams(table, tmp_path):
     t, _ = table
     # an unimplemented transform refuses instead of mis-pruning
-    # (bucket/truncate are REAL since round 8 — see the transform tests)
+    # (bucket/truncate are REAL since round 8, year/month/day/hour too —
+    # see the transform tests; void stays a refusal)
     meta = t.metadata()
     bad = json.loads(json.dumps(meta))
-    bad["partition-specs"][0]["fields"][0]["transform"] = "day"
+    bad["partition-specs"][0]["fields"][0]["transform"] = "void"
     v = t.current_version() + 1
     path = os.path.join(t.meta_dir, f"v{v}.metadata.json")
     json.dump(bad, open(path, "w"))
@@ -563,6 +564,123 @@ def test_truncate_partitioned_table(spark, tmp_path):
         r.id
         for r in t.read(spark, partition_filter={"id_truncate": 15}).collect()
     ) == [12, 19]
+
+
+def test_temporal_transforms_match_spec_examples():
+    """The Iceberg spec's own "Partition Transforms" example column is
+    the golden: 2017-11-16 → year 47 / month 574 / day 17486; hour is
+    pinned by arithmetic independent of this implementation
+    (2017-11-16T22:31:08 = 1,510,871,468 s from epoch; // 3600 =
+    17486·24 + 22 = 419,686).  Floor semantics make pre-epoch
+    values negative (1969-12-31 → −1 under year/month/day; 23:00 that
+    day → hour −1) — the property every conforming writer shares and
+    truncating division would break."""
+    import datetime as dt
+
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
+    d = dt.date(2017, 11, 16)
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert transform_value("year", d) == 47
+    assert transform_value("month", d) == 574
+    assert transform_value("day", d) == 17486
+    assert transform_value("hour", ts) == 17486 * 24 + 22  # 419686
+    # datetime sources floor to the same date ordinals as their date
+    assert transform_value("year", ts) == 47
+    assert transform_value("month", ts) == 574
+    assert transform_value("day", ts) == 17486
+    # pre-epoch floors negative, never truncates toward zero
+    pre = dt.date(1969, 12, 31)
+    assert transform_value("year", pre) == -1
+    assert transform_value("month", pre) == -1
+    assert transform_value("day", pre) == -1
+    assert transform_value("hour", dt.datetime(1969, 12, 31, 23)) == -1
+    # None is None under every transform; ambiguous ints refuse
+    assert transform_value("day", None) is None
+    with pytest.raises(NotImplementedError, match="transform"):
+        transform_value("hour", dt.date(2017, 11, 16))  # date has no hour
+
+
+def test_day_partitioned_table_prunes_and_reads(spark, tmp_path):
+    """day-transform spec (result type ``date``): files() prunes at both
+    metadata layers on a SOURCE-domain datetime.date filter value, the
+    manifest-list field summaries serialize date bounds as LE int days,
+    and read() attaches the day ordinal from the manifests."""
+    import datetime as dt
+
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
+    d = str(tmp_path / "daily")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d,
+        [("id", "bigint"), ("o_date", "date")],
+        partition_by=[("o_date", "date", "day")],
+        now_ms=1000,
+    )
+    days = [dt.date(2024, 3, 1), dt.date(2024, 3, 2), dt.date(2024, 3, 3)]
+    files = []
+    for n, day in enumerate(days):
+        name = f"d{n}.parquet"
+        p = os.path.join(d, "data", name)
+        ids = [n * 10 + k for k in range(3)]
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "o_date": pa.array([day] * 3, pa.date32()),
+                }
+            ),
+            p,
+        )
+        files.append(
+            DataFile(
+                path=f"data/{name}",
+                partition={"o_date_day": transform_value("day", day)},
+                record_count=3,
+                file_size=os.path.getsize(p),
+            )
+        )
+    t.append(files, now_ms=2000)
+    # source-domain date filter → exactly that day's file survives
+    sel = t.files(partition_filter={"o_date_day": days[1]})
+    assert [os.path.basename(f.path) for f in sel] == ["d1.parquet"]
+    got = t.read(
+        spark, partition_filter={"o_date_day": days[1]}
+    ).collect()
+    assert sorted(r.id for r in got) == [10, 11, 12]
+    # the attached metadata column is the day ordinal for every row
+    assert {r.o_date_day for r in got} == {transform_value("day", days[1])}
+    # manifest-list summary prunes a whole out-of-range manifest: a
+    # second snapshot's manifest holds only later days, so a filter on
+    # an early day must skip it at the LIST layer (bounds round-trip
+    # through the date LE-int serialization)
+    late = dt.date(2024, 4, 1)
+    p = os.path.join(d, "data", "late.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([99], pa.int64()),
+                "o_date": pa.array([late], pa.date32()),
+            }
+        ),
+        p,
+    )
+    t.append(
+        [
+            DataFile(
+                path="data/late.parquet",
+                partition={"o_date_day": transform_value("day", late)},
+                record_count=1,
+                file_size=os.path.getsize(p),
+            )
+        ],
+        now_ms=3000,
+    )
+    sel = t.files(partition_filter={"o_date_day": late})
+    assert [os.path.basename(f.path) for f in sel] == ["late.parquet"]
+    all_rows = t.read(spark).collect()
+    assert len(all_rows) == 10
 
 
 def test_q148_oracle_parity_unregistered(spark, oracle):
