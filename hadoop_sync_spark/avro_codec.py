@@ -8,7 +8,14 @@ files as Avro OCF — a lakehouse-interop reader (iceberg_meta.py, the
 Iceberg sibling of delta_log.py) cannot exist without one.  The module is
 a general codec, not an Iceberg-shaped subset: the full primitive set,
 records, arrays, maps, unions, enums and fixed, nested to any depth, with
-the ``null`` and ``deflate`` (raw RFC-1951, per spec) block codecs.
+the ``null``, ``deflate`` (raw RFC-1951, per spec), ``snappy`` (raw
+snappy block + 4-byte big-endian CRC32 of the UNCOMPRESSED data, per
+spec), and ``zstandard`` (RFC 8878 frame) block codecs.  Snappy/zstd
+bytes go through pyarrow's bundled compressors; snappy's decompressed
+size comes from the format's own LE-varint preamble (never trusted
+blindly — the decompressor checks the output length), and zstd reads
+as a stream so frames without Frame_Content_Size (Avro Java's
+streaming writer) decode too.
 
 Encoding rules implemented (spec §Binary encoding / §Object Container
 Files):
@@ -275,6 +282,71 @@ def _decode(buf: io.BytesIO, schema, types: _Types):
 
 
 # ------------------------------------------------------- object container file
+_OCF_CODECS = ("null", "deflate", "snappy", "zstandard")
+
+
+def _snappy_uncompressed_len(b: bytes) -> int:
+    """Raw snappy format preamble: the uncompressed length as a
+    little-endian base-128 varint (format description §1) — at most 5
+    bytes for the 32-bit lengths the format allows."""
+    n = shift = 0
+    for i in range(min(5, len(b))):
+        byte = b[i]
+        n |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return n
+        shift += 7
+    raise ValueError("invalid snappy length preamble")
+
+
+def _compress_block(payload: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return comp.compress(payload) + comp.flush()
+    if codec == "snappy":
+        import struct as _s
+
+        import pyarrow as _pa
+
+        body = _pa.Codec("snappy").compress(payload, asbytes=True)
+        return body + _s.pack(">I", zlib.crc32(payload))
+    if codec == "zstandard":
+        import pyarrow as _pa
+
+        return _pa.Codec("zstd").compress(payload, asbytes=True)
+    return payload  # null
+
+
+def _decompress_block(payload: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(payload, -15)
+    if codec == "snappy":
+        import struct as _s
+
+        import pyarrow as _pa
+
+        if len(payload) < 4:
+            raise ValueError("snappy block shorter than its checksum")
+        body, crc = payload[:-4], _s.unpack(">I", payload[-4:])[0]
+        out = _pa.Codec("snappy").decompress(
+            body, decompressed_size=_snappy_uncompressed_len(body),
+            asbytes=True,
+        )
+        if zlib.crc32(out) != crc:
+            raise ValueError("snappy block CRC32 mismatch")
+        return out
+    if codec == "zstandard":
+        import pyarrow as _pa
+
+        # streaming read: zstd frames from streaming writers (Avro
+        # Java's ZstdOutputStream path) omit Frame_Content_Size, so a
+        # header-declared-size decompress can't cover conforming files
+        return _pa.input_stream(
+            _pa.py_buffer(payload), compression="zstd"
+        ).read()
+    return payload  # null
+
+
 def write_ocf(
     path: str,
     schema: dict,
@@ -285,13 +357,14 @@ def write_ocf(
     extra_meta: dict[str, bytes] | None = None,
 ) -> str:
     """Write records as an Avro Object Container File.  ``codec`` is
-    ``null`` or ``deflate`` (raw RFC-1951 stream, per spec).
-    ``extra_meta`` adds application keys to the file-metadata map —
-    Iceberg manifests carry ``schema`` / ``partition-spec`` / ``content``
-    there.  The sync marker is deterministic from the content unless
-    given — the repo has no ambient-randomness budget (driver re-runs
-    must be byte-stable)."""
-    if codec not in ("null", "deflate"):
+    ``null``, ``deflate`` (raw RFC-1951 stream, per spec), ``snappy``
+    (+ 4-byte BE CRC32 of the uncompressed block, per spec), or
+    ``zstandard``.  ``extra_meta`` adds application keys to the
+    file-metadata map — Iceberg manifests carry ``schema`` /
+    ``partition-spec`` / ``content`` there.  The sync marker is
+    deterministic from the content unless given — the repo has no
+    ambient-randomness budget (driver re-runs must be byte-stable)."""
+    if codec not in _OCF_CODECS:
         raise NotImplementedError(f"Avro codec {codec!r}")
     schema_json = json.dumps(schema)
     if sync is None:
@@ -322,10 +395,7 @@ def write_ocf(
         types = _Types()
         for rec in chunk:
             _encode(body, schema, rec, types)
-        payload = body.getvalue()
-        if codec == "deflate":
-            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
-            payload = comp.compress(payload) + comp.flush()
+        payload = _compress_block(body.getvalue(), codec)
         write_long(out, len(chunk))
         write_long(out, len(payload))
         out.write(payload)
@@ -349,7 +419,7 @@ def read_ocf(path: str) -> tuple[dict, list[dict], dict[str, bytes]]:
     meta = _decode(buf, {"type": "map", "values": "bytes"}, _Types())
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in _OCF_CODECS:
         raise NotImplementedError(f"Avro codec {codec!r}")
     sync = _read_n(buf, 16)
     records: list[dict] = []
@@ -359,8 +429,7 @@ def read_ocf(path: str) -> tuple[dict, list[dict], dict[str, bytes]]:
         payload = _read_n(buf, n_bytes)
         if _read_n(buf, 16) != sync:
             raise ValueError("Avro block sync-marker mismatch")
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
+        payload = _decompress_block(payload, codec)
         body = io.BytesIO(payload)
         types = _Types()
         for _ in range(n_rows):

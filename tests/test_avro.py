@@ -112,7 +112,7 @@ RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "zstandard"])
 def test_ocf_roundtrip_multiblock(tmp_path, codec):
     path = str(tmp_path / "m.avro")
     recs = RECORDS * 700  # spans two 1000-row blocks
@@ -121,8 +121,8 @@ def test_ocf_roundtrip_multiblock(tmp_path, codec):
     assert schema == SCHEMA
     assert out == recs
     assert meta["avro.codec"] == codec.encode()
-    if codec == "deflate":
-        assert os.path.getsize(path) < 10_000  # genuinely compressed
+    if codec != "null":
+        assert os.path.getsize(path) < 25_000  # genuinely compressed
 
 
 def test_extra_meta_roundtrip(tmp_path):
@@ -169,24 +169,73 @@ def test_sync_marker_corruption_detected(tmp_path):
 
 def test_bad_magic_and_unknown_codec(tmp_path):
     path = str(tmp_path / "m.avro")
+    # xz is a real optional Avro codec this repo still refuses (snappy
+    # and zstandard are REAL since round 8 — see the codec tests)
     with pytest.raises(NotImplementedError, match="codec"):
-        write_ocf(path, SCHEMA, RECORDS, codec="snappy")
+        write_ocf(path, SCHEMA, RECORDS, codec="xz")
     open(path, "wb").write(b"PAR1whatever")
     with pytest.raises(ValueError, match="container"):
         read_ocf(path)
-    # reader-side unknown codec: craft a minimal OCF claiming zstandard
+    # reader-side unknown codec: craft a minimal OCF claiming xz
     buf = io.BytesIO()
     buf.write(b"Obj\x01")
     _encode(
         buf,
         {"type": "map", "values": "bytes"},
-        {"avro.schema": b'"long"', "avro.codec": b"zstandard"},
+        {"avro.schema": b'"long"', "avro.codec": b"xz"},
         _Types(),
     )
     buf.write(b"\x00" * 16)
     open(path, "wb").write(buf.getvalue())
-    with pytest.raises(NotImplementedError, match="zstandard"):
+    with pytest.raises(NotImplementedError, match="xz"):
         read_ocf(path)
+
+
+def test_snappy_crc_guards_and_zstd_size_parse(tmp_path):
+    """The snappy block's trailing CRC32 is of the UNCOMPRESSED data
+    (Avro spec) — flipping one compressed-body byte that still
+    snappy-decodes must be caught by the CRC, and a truncated block
+    refuses.  zstd decodes framed AND frameless (no Frame_Content_Size)
+    streams — the latter is what Avro Java's streaming writer emits."""
+    import pyarrow as pa
+
+    from hadoop_sync_spark.avro_codec import (
+        _decompress_block,
+        _snappy_uncompressed_len,
+    )
+
+    # CRC catches a wrong-but-decodable body: compress different data,
+    # splice the original CRC on
+    a = _compress_block_for_test(b"A" * 500, "snappy")
+    b = _compress_block_for_test(b"B" * 500, "snappy")
+    spliced = b[:-4] + a[-4:]
+    with pytest.raises(ValueError, match="CRC32"):
+        _decompress_block(spliced, "snappy")
+    with pytest.raises(ValueError, match="checksum"):
+        _decompress_block(b"\x01", "snappy")
+    # snappy preamble varint vs pyarrow's own compressor output
+    for n in (0, 1, 127, 128, 300_000):
+        comp = pa.Codec("snappy").compress(b"z" * n, asbytes=True)
+        assert _snappy_uncompressed_len(comp) == n
+    # zstd: one-shot frames (with FCS) and streaming frames (without)
+    # both decode
+    data = b"q" * 10_000
+    assert _decompress_block(
+        pa.Codec("zstd").compress(data, asbytes=True), "zstandard"
+    ) == data
+    sink = pa.BufferOutputStream()
+    w = pa.output_stream(sink, compression="zstd")
+    w.write(data)
+    w.close()
+    frameless = sink.getvalue().to_pybytes()
+    assert frameless[4] & 0xC0 == 0  # genuinely FCS-flag-less
+    assert _decompress_block(frameless, "zstandard") == data
+
+
+def _compress_block_for_test(payload, codec):
+    from hadoop_sync_spark.avro_codec import _compress_block
+
+    return _compress_block(payload, codec)
 
 
 def test_union_branch_selection_and_mismatch():
@@ -323,6 +372,68 @@ def test_bidirectional_interop_with_official_avro_java(spark, tmp_path):
         )
         assert jr.hasNext() and jr.next() is not None
         jr.close()
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstandard"])
+def test_compressed_codec_interop_with_official_avro_java(
+    spark, tmp_path, codec
+):
+    """Bidirectional differential for the round-8 block codecs: the
+    official Apache Avro Java library (bundled in Spark's jars, with
+    snappy-java / zstd-jni compressors) writes a file our reader must
+    decode value-for-value — proving our CRC framing and in-stream size
+    parsing match the other engine's bytes, not just our own writer —
+    and a file OUR writer produces must parse with the Java
+    DataFileReader."""
+    import json as _json
+
+    jvm = spark._jvm
+    schema_py = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+        ],
+    }
+    schema = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema_py))
+    factory = (
+        jvm.org.apache.avro.file.CodecFactory.snappyCodec()
+        if codec == "snappy"
+        else jvm.org.apache.avro.file.CodecFactory.zstandardCodec(3)
+    )
+
+    # --- Java writes, ours reads
+    jpath = str(tmp_path / "jvm.avro")
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    w.setCodec(factory)
+    w.create(schema, jvm.java.io.File(jpath))
+    for i in range(500):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("name", f"row-{i}")
+        w.append(rec)
+    w.close()
+    _, recs, meta = read_ocf(jpath)
+    assert meta["avro.codec"] == codec.encode()
+    assert recs == [{"id": i, "name": f"row-{i}"} for i in range(500)]
+
+    # --- ours writes, Java reads
+    opath = str(tmp_path / "ours.avro")
+    write_ocf(opath, schema_py, recs, codec=codec)
+    r = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(opath),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    n = 0
+    while r.hasNext():
+        jr = r.next()
+        assert jr.get("id") == n and str(jr.get("name")) == f"row-{n}"
+        n += 1
+    r.close()
+    assert n == 500
 
 
 def test_write_long_range_checked():
