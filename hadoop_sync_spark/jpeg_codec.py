@@ -12,13 +12,19 @@ spec (ITU-T T.81, its Annex K example tables, and the JFIF 1.02 note):
   zigzag, differential-DC + run-length-AC Huffman coding with the Annex-K
   code tables, byte stuffing, optional restart markers (DRI/RSTn);
 - **decoder**: full marker walk (multi-table DQT incl. 16-bit Pq=1,
-  multi-table DHT, SOF0/SOF1, DRI, APPn/COM skip), canonical Huffman
+  multi-table DHT, SOF0/SOF1/SOF2, DRI, APPn/COM skip), canonical Huffman
   rebuild from the stream's own tables, entropy decode with stuffing
   removal and restart-predictor resets, dequantize, inverse zigzag, IDCT,
   generic per-component sampling factors with replication upsampling,
-  YCbCr→RGB.  Progressive (SOF2), arithmetic coding, 12-bit precision and
-  hierarchical modes raise ``NotImplementedError`` — the honest-seam
-  policy used by the BMP/PNG codecs (multimodal.py).
+  YCbCr→RGB.  Progressive streams (SOF2, round 8) decode through the
+  Annex-G multi-scan walk — spectral selection plus successive
+  approximation, DC/AC first and refinement scans, EOB runs, interleaved
+  DC MCUs vs. per-component A.2.2 block grids — accumulating into
+  full-image coefficient grids finished at EOI, verified
+  coefficient-exact against the JDK encoder's baseline output of the
+  same pixels.  Arithmetic coding, 12-bit precision and hierarchical
+  modes raise ``NotImplementedError`` — the honest-seam policy used by
+  the BMP/PNG codecs (multimodal.py).
 
 Precision note: T.81 leaves DCT arithmetic implementation-defined; this
 codec uses float64 matrix DCT/IDCT with round-half-even.  For per-block
@@ -654,6 +660,215 @@ def _magnitude(diff: int) -> tuple[int, int]:
     return size, bits
 
 
+# ----------------------------------------------------- progressive decoding
+def _next_marker(data: bytes, pos: int) -> int:
+    """Offset of the first real marker at/after ``pos``: skips stuffed
+    FF 00 pairs and FF fill bytes (B.1.1.2 allows any number of fills
+    before a marker)."""
+    i = pos
+    while True:
+        j = data.find(b"\xff", i)
+        if j == -1 or j + 1 >= len(data):
+            raise ValueError("unterminated entropy-coded segment")
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        if nxt == 0xFF:  # fill byte before the marker
+            i = j + 1
+            continue
+        return j
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables_raw: dict,
+    grids: list,
+    comp_index: dict,
+    noninter_dims: dict,
+    dri: int,
+) -> int:
+    """Decode ONE progressive scan (ITU-T T.81 Annex G, Huffman
+    successive-approximation mode) into the shared full-image
+    coefficient ``grids``, returning the offset of the marker that
+    terminated the scan's entropy data.
+
+    The four scan kinds and their coefficient algebra:
+
+    - **DC first** (Ss=0, Ah=0): baseline DC diff coding, value stored
+      ``<< Al`` — the grid holds the full-scale coefficient at the
+      precision known so far.
+    - **DC refinement** (Ss=0, Ah>0): one raw bit per block, ORed in at
+      ``Al``.  Two's-complement OR reconstructs negatives exactly:
+      first-scan ``(V >> Ah) << Ah`` has all low bits clear, and
+      arithmetic-shift flooring means successive ORs rebuild ``V``
+      bit-for-bit for either sign.
+    - **AC first** (Ss>0, Ah=0): (run, size) pairs as in baseline but
+      only over the [Ss, Se] band, values ``<< Al``; an (r, 0) symbol
+      with r<15 is an EOB *run* — ``2^r - 1 + receive(r)`` additional
+      whole blocks with no new coefficients in this band.
+    - **AC refinement** (Ss>0, Ah>0): G.1.2.3's correction-bit walk.
+      New coefficients arrive with size 1 (value ±1 << Al) positioned
+      after a run of r zero-HISTORY coefficients; every nonzero-history
+      coefficient traversed — including the [k, Se] tail of every
+      EOB-run block — consumes one correction bit, adding
+      ``sign(coef) << Al`` when the bit is 1 and the Al bit is not
+      already set.
+
+    DC scans may be interleaved (MCU walk over all components); AC
+    scans are single-component by construction (B.2.3) and walk the
+    component's own block grid in row-major order.  Restart intervals
+    count MCUs (one block, non-interleaved), byte-align, verify RSTn
+    modulo-8 sequence, and reset DC predictors AND the EOB run."""
+    htables = {k: _decode_table(*v) for k, v in htables_raw.items()}
+    reader = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(zz, k):
+        if reader.bit() and not zz[k] & p1:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC progressive scan with Se != 0")
+        pred = [0] * len(scan)
+        if len(scan) > 1:  # interleaved MCU walk
+            units = []
+            g0 = grids[comp_index[scan[0][0]["id"]]]
+            mcus_y = g0.shape[0] // scan[0][0]["v"]
+            mcus_x = g0.shape[1] // scan[0][0]["h"]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    mcu = []
+                    for si, (comp, td, _ta) in enumerate(scan):
+                        g = grids[comp_index[comp["id"]]]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                mcu.append(
+                                    (
+                                        si,
+                                        td,
+                                        g[
+                                            my * comp["v"] + by,
+                                            mx * comp["h"] + bx,
+                                        ],
+                                    )
+                                )
+                    units.append(mcu)
+        else:
+            comp, td, _ta = scan[0]
+            bh, bw = noninter_dims[comp["id"]]
+            g = grids[comp_index[comp["id"]]]
+            units = [
+                [(0, td, g[by, bx])]
+                for by in range(bh)
+                for bx in range(bw)
+            ]
+        rst = 0
+        for count, mcu in enumerate(units):
+            if dri and count and count % dri == 0:
+                reader.restart(rst)
+                rst += 1
+                pred = [0] * len(scan)
+            for si, td, zz in mcu:
+                if ah == 0:
+                    size = reader.huff(htables[td])
+                    pred[si] += _extend(reader.receive(size), size)
+                    zz[0] = pred[si] << al
+                else:
+                    zz[0] |= reader.bit() << al
+        return _next_marker(data, reader.pos)
+
+    # AC scan — exactly one component (B.2.3)
+    if len(scan) != 1:
+        raise ValueError("interleaved AC progressive scan is not legal")
+    comp, _td, ta = scan[0]
+    ac_t = htables[0x10 | ta]
+    bh, bw = noninter_dims[comp["id"]]
+    g = grids[comp_index[comp["id"]]]
+    eobrun = 0
+    rst = 0
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and count and count % dri == 0:
+                reader.restart(rst)
+                rst += 1
+                eobrun = 0
+            count += 1
+            zz = g[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.huff(ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if ah == 0:
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            # EOB run INCLUDING this block (G.1.2.2:
+                            # 2^r + appended bits blocks end here); the
+                            # per-block epilogue consumes this one
+                            eobrun = (1 << r) + (
+                                reader.receive(r) if r else 0
+                            )
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        zz[k] = _extend(reader.receive(s), s) << al
+                        k += 1
+                    else:
+                        if s == 0:
+                            if r < 15:  # EOB run begins (incl. this
+                                # block — its [k, Se] tail still takes
+                                # correction bits in the epilogue)
+                                eobrun = (1 << r) + (
+                                    reader.receive(r) if r else 0
+                                )
+                                break
+                            newval = 0  # ZRL: 16 zero-history skips
+                        elif s == 1:
+                            newval = p1 if reader.bit() else m1
+                        else:
+                            raise ValueError(
+                                "AC refinement size must be 0 or 1"
+                            )
+                        # advance past r zero-history coefficients,
+                        # refining every nonzero-history one traversed
+                        while k <= se:
+                            if zz[k] != 0:
+                                refine_nonzero(zz, k)
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        zz[k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                        else:
+                            if newval:
+                                raise ValueError(
+                                    "AC refinement value past band end"
+                                )
+            if eobrun > 0:
+                if ah != 0:  # EOB blocks still carry correction bits
+                    while k <= se:
+                        if zz[k] != 0:
+                            refine_nonzero(zz, k)
+                        k += 1
+                eobrun -= 1
+    return _next_marker(data, reader.pos)
+
+
 # ------------------------------------------------------------------- colour
 def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
     r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
@@ -1088,6 +1303,10 @@ def _decode_quantized(data: bytes, *, bit_serial: bool = False):
     qtables: dict[int, np.ndarray] = {}
     htables_raw: dict[int, tuple[list, list]] = {}
     frame = None
+    progressive = False
+    grids: list | None = None
+    comp_index: dict[int, int] = {}
+    noninter_dims: dict[int, tuple[int, int]] = {}
     dri = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -1095,6 +1314,11 @@ def _decode_quantized(data: bytes, *, bit_serial: bool = False):
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and grids is not None:
+                _h, _w, comps = frame
+                for c in comps:
+                    c["q"] = qtables[c["tq"]]
+                return _h, _w, comps, grids
             raise ValueError("reached EOI without a scan")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
@@ -1121,7 +1345,7 @@ def _decode_quantized(data: bytes, *, bit_serial: bool = False):
                 vals = list(seg[p + 17 : p + 17 + n])
                 htables_raw[tc_th] = (bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive DCT
             prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -1130,12 +1354,49 @@ def _decode_quantized(data: bytes, *, bit_serial: bool = False):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/hierarchical/arithmetic JPEG modes not supported"
+                "lossless/hierarchical/arithmetic JPEG modes not supported"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA and progressive:  # one of several scans
+            h, w, comps = frame
+            ns = seg[0]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if grids is None:
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                grids = [
+                    np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64),
+                        dtype=np.int64,
+                    )
+                    for c in comps
+                ]
+                comp_index = {c["id"]: i for i, c in enumerate(comps)}
+                # non-interleaved scans walk the component's OWN block
+                # grid (A.2.2): samples y_i = ceil(h·v/vmax), blocks =
+                # ceil(y_i/8) — NOT the (possibly larger) MCU-padded grid
+                for c in comps:
+                    y_i = -(-(h * c["v"]) // vmax)
+                    x_i = -(-(w * c["h"]) // hmax)
+                    noninter_dims[c["id"]] = (-(-y_i // 8), -(-x_i // 8))
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            s_ss, s_se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + seglen, scan, s_ss, s_se,
+                ahal >> 4, ahal & 0x0F, htables_raw, grids,
+                comp_index, noninter_dims, dri,
+            )
+            continue
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
                 raise ValueError("SOS before SOF")

@@ -149,10 +149,17 @@ def test_malformed_streams_rejected():
     data = encode_jpeg(img, quality=50)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00" + data)
-    # progressive SOF2 is the honest seam
+    # arithmetic coding (SOF9) is the honest seam now that SOF2 decodes
+    arith = bytearray(data)
+    arith[data.index(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
+    # a baseline stream mislabelled SOF2 is structurally invalid as
+    # progressive (its single scan says Ss=0/Se=63 — a DC scan may not
+    # carry an AC band) and must refuse, not decode garbage
     prog = bytearray(data)
     prog[data.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC progressive scan"):
         decode_jpeg(bytes(prog))
     # truncation inside the entropy segment
     with pytest.raises((ValueError, IndexError)):
@@ -427,3 +434,100 @@ def test_pack_entropy_matches_bitwriter():
             w.write(v, int(l))
         w.pad()
         assert bytes(w.buf) == _pack_entropy(vals, lens.tolist())
+
+
+def test_progressive_decode_jdk_differential(spark, tmp_path):
+    """Progressive (SOF2) decode, differentially verified two ways against
+    the JDK encoder writing the SAME pixels progressive and baseline:
+
+    - **coefficient-exact**: one encoder, one quality → the quantized
+      coefficients are identical whichever scan organization carries
+      them, so ``_decode_quantized`` of the progressive file must equal
+      that of the baseline file grid-for-grid.  This catches every
+      Annex-G algebra bug (EOB-run accounting, refinement bit order,
+      band bookkeeping) with zero tolerance.
+    - **pixel-bounded**: our decode vs. the JDK's own decode of the
+      progressive file, within the same bound the baseline control
+      shows (IDCT/chroma-upsampling freedom only — T.81 leaves both
+      implementation-defined).
+
+    Covers: grey non-interleaved scans on an odd size (17×23 — partial
+    MCUs, per-component A.2.2 grid ≠ MCU-padded grid) and 4:2:0 colour
+    (interleaved DC scan + subsampled AC component grids)."""
+    import os
+
+    from hadoop_sync_spark.jpeg_codec import _decode_quantized
+
+    jvm = spark._jvm
+    IWP = jvm.javax.imageio.ImageWriteParam
+
+    def jvm_encode(arr, path, progressive, grey):
+        h, w = arr.shape[:2]
+        BI = jvm.java.awt.image.BufferedImage
+        bi = BI(w, h, BI.TYPE_BYTE_GRAY if grey else BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                if grey:
+                    v = int(arr[y, x])
+                    bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+                else:
+                    r, g, b = (int(c) for c in arr[y, x])
+                    bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg"
+        ).next()
+        param = writer.getDefaultWriteParam()
+        param.setCompressionMode(IWP.MODE_EXPLICIT)
+        param.setCompressionQuality(0.7)
+        param.setProgressiveMode(
+            IWP.MODE_DEFAULT if progressive else IWP.MODE_DISABLED
+        )
+        fos = jvm.javax.imageio.stream.FileImageOutputStream(
+            jvm.java.io.File(path)
+        )
+        writer.setOutput(fos)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        writer.dispose()
+        fos.close()
+
+    def jvm_decode(path, grey):
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        w, h = img.getWidth(), img.getHeight()
+        if grey:  # raster samples — getRGB gamma-warps TYPE_BYTE_GRAY
+            ras = img.getRaster()
+            return np.array(
+                [[ras.getSample(x, y, 0) for x in range(w)]
+                 for y in range(h)],
+                dtype=np.uint8,
+            )
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = img.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+        return out
+
+    rng = np.random.default_rng(31)
+    cases = [
+        ((rng.integers(0, 256, (17, 23)) // 3 + 60).astype(np.uint8), True),
+        ((rng.integers(0, 256, (16, 24, 3)) // 4 + 80).astype(np.uint8),
+         False),
+    ]
+    for arr, grey in cases:
+        pp = str(tmp_path / f"p{grey}.jpg")
+        pb = str(tmp_path / f"b{grey}.jpg")
+        jvm_encode(arr, pp, True, grey)
+        jvm_encode(arr, pb, False, grey)
+        prog_bytes = open(pp, "rb").read()
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        _, _, _, gp = _decode_quantized(prog_bytes)
+        _, _, _, gb = _decode_quantized(open(pb, "rb").read())
+        assert all(np.array_equal(a, b) for a, b in zip(gp, gb))
+        ours = decode_jpeg(prog_bytes)
+        theirs = jvm_decode(pp, grey)
+        dmax = np.abs(ours.astype(int) - theirs.astype(int)).max()
+        base_ctl = np.abs(
+            decode_jpeg(open(pb, "rb").read()).astype(int)
+            - jvm_decode(pb, grey).astype(int)
+        ).max()
+        assert dmax <= max(2, base_ctl + 2), (grey, dmax, base_ctl)
