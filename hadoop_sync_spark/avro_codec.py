@@ -8,11 +8,14 @@ files as Avro OCF — a lakehouse-interop reader (iceberg_meta.py, the
 Iceberg sibling of delta_log.py) cannot exist without one.  The module is
 a general codec, not an Iceberg-shaped subset: the full primitive set,
 records, arrays, maps, unions, enums and fixed, nested to any depth, with
-the ``null``, ``deflate`` (raw RFC-1951, per spec), ``snappy`` (raw
-snappy block + 4-byte big-endian CRC32 of the UNCOMPRESSED data, per
-spec), and ``zstandard`` (RFC 8878 frame) block codecs.  Snappy/zstd
-bytes go through pyarrow's bundled compressors; snappy's decompressed
-size comes from the format's own LE-varint preamble (never trusted
+ALL SIX spec block codecs: ``null``, ``deflate`` (raw RFC-1951, per
+spec), ``snappy`` (raw snappy block + 4-byte big-endian CRC32 of the
+UNCOMPRESSED data, per spec), ``zstandard`` (RFC 8878 frame),
+``bzip2`` (.bz2 stream, stdlib), and ``xz`` (.xz container, stdlib
+lzma pinned to FORMAT_XZ so a raw lzma-alone stream refuses rather
+than silently decoding a non-conforming file).  Snappy/zstd bytes go
+through pyarrow's bundled compressors; snappy's decompressed size
+comes from the format's own LE-varint preamble (never trusted
 blindly — the decompressor checks the output length), and zstd reads
 as a stream so frames without Frame_Content_Size (Avro Java's
 streaming writer) decode too.
@@ -37,9 +40,10 @@ Files):
 
 Reading uses the file's own writer schema (spec-compliant: a reader that
 interprets exactly the writer schema needs no resolution pass); named
-types may be referenced by name after first definition.  Unsupported
-block codecs raise ``NotImplementedError`` — the honest-seam policy the
-BMP/PNG/JPEG codecs follow.
+types may be referenced by name after first definition.  The codec
+surface is complete per the spec's registry; an unknown ``avro.codec``
+name still raises ``NotImplementedError`` — the honest-refusal policy
+the BMP/PNG/JPEG codecs follow — rather than guessing a decompressor.
 """
 
 from __future__ import annotations
@@ -282,7 +286,7 @@ def _decode(buf: io.BytesIO, schema, types: _Types):
 
 
 # ------------------------------------------------------- object container file
-_OCF_CODECS = ("null", "deflate", "snappy", "zstandard")
+_OCF_CODECS = ("null", "deflate", "snappy", "zstandard", "bzip2", "xz")
 
 
 def _snappy_uncompressed_len(b: bytes) -> int:
@@ -314,6 +318,14 @@ def _compress_block(payload: bytes, codec: str) -> bytes:
         import pyarrow as _pa
 
         return _pa.Codec("zstd").compress(payload, asbytes=True)
+    if codec == "bzip2":
+        import bz2 as _bz2
+
+        return _bz2.compress(payload, 9)
+    if codec == "xz":
+        import lzma as _lzma
+
+        return _lzma.compress(payload, format=_lzma.FORMAT_XZ)
     return payload  # null
 
 
@@ -344,6 +356,19 @@ def _decompress_block(payload: bytes, codec: str) -> bytes:
         return _pa.input_stream(
             _pa.py_buffer(payload), compression="zstd"
         ).read()
+    if codec == "bzip2":
+        import bz2 as _bz2
+
+        # stdlib handles concatenated .bz2 streams, which the format
+        # permits inside one block
+        return _bz2.decompress(payload)
+    if codec == "xz":
+        import lzma as _lzma
+
+        # FORMAT_XZ: integrity-checked .xz container only — a raw
+        # lzma-alone stream in an 'xz' block is non-conforming and
+        # refuses; concatenated xz streams decode per stdlib semantics
+        return _lzma.decompress(payload, format=_lzma.FORMAT_XZ)
     return payload  # null
 
 
@@ -357,9 +382,9 @@ def write_ocf(
     extra_meta: dict[str, bytes] | None = None,
 ) -> str:
     """Write records as an Avro Object Container File.  ``codec`` is
-    ``null``, ``deflate`` (raw RFC-1951 stream, per spec), ``snappy``
-    (+ 4-byte BE CRC32 of the uncompressed block, per spec), or
-    ``zstandard``.  ``extra_meta`` adds application keys to the
+    any of the spec's six: ``null``, ``deflate`` (raw RFC-1951 stream,
+    per spec), ``snappy`` (+ 4-byte BE CRC32 of the uncompressed block,
+    per spec), ``zstandard``, ``bzip2``, or ``xz``.  ``extra_meta`` adds application keys to the
     file-metadata map — Iceberg manifests carry ``schema`` /
     ``partition-spec`` / ``content`` there.  The sync marker is
     deterministic from the content unless given — the repo has no

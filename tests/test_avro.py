@@ -112,7 +112,9 @@ RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "zstandard"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "zstandard", "bzip2", "xz"]
+)
 def test_ocf_roundtrip_multiblock(tmp_path, codec):
     path = str(tmp_path / "m.avro")
     recs = RECORDS * 700  # spans two 1000-row blocks
@@ -169,25 +171,25 @@ def test_sync_marker_corruption_detected(tmp_path):
 
 def test_bad_magic_and_unknown_codec(tmp_path):
     path = str(tmp_path / "m.avro")
-    # xz is a real optional Avro codec this repo still refuses (snappy
-    # and zstandard are REAL since round 8 — see the codec tests)
+    # all six spec codecs are real since round 8; a codec name OUTSIDE
+    # the spec's registry must refuse, not guess a decompressor
     with pytest.raises(NotImplementedError, match="codec"):
-        write_ocf(path, SCHEMA, RECORDS, codec="xz")
+        write_ocf(path, SCHEMA, RECORDS, codec="lz4")
     open(path, "wb").write(b"PAR1whatever")
     with pytest.raises(ValueError, match="container"):
         read_ocf(path)
-    # reader-side unknown codec: craft a minimal OCF claiming xz
+    # reader-side unknown codec: craft a minimal OCF claiming lz4
     buf = io.BytesIO()
     buf.write(b"Obj\x01")
     _encode(
         buf,
         {"type": "map", "values": "bytes"},
-        {"avro.schema": b'"long"', "avro.codec": b"xz"},
+        {"avro.schema": b'"long"', "avro.codec": b"lz4"},
         _Types(),
     )
     buf.write(b"\x00" * 16)
     open(path, "wb").write(buf.getvalue())
-    with pytest.raises(NotImplementedError, match="xz"):
+    with pytest.raises(NotImplementedError, match="lz4"):
         read_ocf(path)
 
 
@@ -236,6 +238,34 @@ def _compress_block_for_test(payload, codec):
     from hadoop_sync_spark.avro_codec import _compress_block
 
     return _compress_block(payload, codec)
+
+
+def test_bzip2_xz_integrity_and_strictness():
+    """bzip2/xz carry format-internal integrity checks — a corrupted
+    block must refuse, never yield wrong bytes; and the 'xz' codec is
+    pinned to the .xz container, so a raw lzma-alone stream (which a
+    permissive auto-detecting reader would happily decode) refuses as
+    non-conforming."""
+    import lzma
+
+    from hadoop_sync_spark.avro_codec import _decompress_block
+
+    data = bytes(range(256)) * 40
+    for codec, errs in (
+        ("bzip2", (OSError, ValueError)),
+        ("xz", (lzma.LZMAError, ValueError)),
+    ):
+        blk = bytearray(_compress_block_for_test(data, codec))
+        assert _decompress_block(bytes(blk), codec) == data
+        blk[len(blk) // 2] ^= 0xFF  # one flipped payload byte
+        with pytest.raises(errs):
+            _decompress_block(bytes(blk), codec)
+        with pytest.raises(errs):  # truncation
+            _decompress_block(bytes(blk[: len(blk) // 3]), codec)
+    with pytest.raises(lzma.LZMAError):
+        _decompress_block(
+            lzma.compress(data, format=lzma.FORMAT_ALONE), "xz"
+        )
 
 
 def test_union_branch_selection_and_mismatch():
@@ -374,17 +404,17 @@ def test_bidirectional_interop_with_official_avro_java(spark, tmp_path):
         jr.close()
 
 
-@pytest.mark.parametrize("codec", ["snappy", "zstandard"])
+@pytest.mark.parametrize("codec", ["snappy", "zstandard", "bzip2", "xz"])
 def test_compressed_codec_interop_with_official_avro_java(
     spark, tmp_path, codec
 ):
     """Bidirectional differential for the round-8 block codecs: the
     official Apache Avro Java library (bundled in Spark's jars, with
-    snappy-java / zstd-jni compressors) writes a file our reader must
-    decode value-for-value — proving our CRC framing and in-stream size
-    parsing match the other engine's bytes, not just our own writer —
-    and a file OUR writer produces must parse with the Java
-    DataFileReader."""
+    snappy-java / zstd-jni / commons-compress / xz-java compressors)
+    writes a file our reader must decode value-for-value — proving our
+    CRC framing and in-stream size parsing match the other engine's
+    bytes, not just our own writer — and a file OUR writer produces
+    must parse with the Java DataFileReader."""
     import json as _json
 
     jvm = spark._jvm
@@ -397,11 +427,13 @@ def test_compressed_codec_interop_with_official_avro_java(
         ],
     }
     schema = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema_py))
-    factory = (
-        jvm.org.apache.avro.file.CodecFactory.snappyCodec()
-        if codec == "snappy"
-        else jvm.org.apache.avro.file.CodecFactory.zstandardCodec(3)
-    )
+    CF = jvm.org.apache.avro.file.CodecFactory
+    factory = {
+        "snappy": lambda: CF.snappyCodec(),
+        "zstandard": lambda: CF.zstandardCodec(3),
+        "bzip2": lambda: CF.bzip2Codec(),
+        "xz": lambda: CF.xzCodec(6),
+    }[codec]()
 
     # --- Java writes, ours reads
     jpath = str(tmp_path / "jvm.avro")
