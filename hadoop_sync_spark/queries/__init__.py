@@ -83,7 +83,72 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # ---- ROUND-8 WINDOW ----
+    # ---- ROUND-9 WINDOW ----
+    # Backlog entering round 9 (ledger-recomputed): the 46-query r6-green
+    # cohort — strict branch (46 <= 50), all mandatory (rule 3) — plus the
+    # THREE first-ever registrations q147/q148/q149 (rule 1; staged green
+    # through the parity gate in round 8, WINDOW.md runbook).  That's 49;
+    # the one spare slot goes to the oldest r7-green query (q01, the
+    # flagship), easing round 10's 50-query r7 drain to 49 + 1 spare.
+    # REGISTRY IS NOW CAPPED at 149 queries — see WINDOW.md steady state.
+    # (1) first-ever driver rows: the round-8-staged lakehouse trio
+    "q147_iceberg_snapshot_reader",
+    "q148_iceberg_mor_reader",
+    "q149_delta_dv_reader",
+    # (3) the full r6-green cohort, numeric order
+    "q26_conditional_agg",
+    "q32_approx_distinct",
+    "q46_json_map_explode",
+    "q47_streaming_tumbling_window",
+    "q48_approx_percentiles",
+    "q49_attribution_join",
+    "q50_token_stats",
+    "q52_lang_profile",
+    "q53_quality_scores",
+    "q54_lang_id_heuristic",
+    "q57_bpe_pretokens",
+    "q58_rolling_hash_fp",
+    "q60_exact_dedup",
+    "q61_token_set_dedup",
+    "q62_jaccard_pairs",
+    "q64_simhash_signatures",
+    "q65_embedding_dup_pairs",
+    "q70_cosine_topk",
+    "q71_ivf_topk",
+    "q73_stratified_sample",
+    "q74_train_val_test_split",
+    "q76_udtf_sentences",
+    "q77_ngram_stats",
+    "q78_corpus_mix",
+    "q79_sequence_packing",
+    "q80_minmax_stats",
+    "q86_pii_redaction",
+    "q87_contamination_screen",
+    "q88_token_budget_sample",
+    "q89_corpus_merge",
+    "q93_unpivot_metrics",
+    "q94_regression_stats",
+    "q97_table_fingerprint_diff",
+    "q98_heavy_hitters",
+    "q99_incremental_dedup",
+    "q101_time_travel",
+    "q103_zorder_box_query",
+    "q104_format_roundtrip",
+    "q105_misra_gries",
+    "q108_edit_distance_pairs",
+    "q112_quality_constraints",
+    "q113_shard_shuffle",
+    "q133_doc_chunks",
+    "q134_interval_weighted_avg",
+    "q135_k_anonymity",
+    "q136_token_pmi",
+    # (spare, oldest-green) flagship re-check from the r7 cohort
+    "q01_pricing_summary",
+)
+
+
+_ROUND8_WINDOW_HISTORICAL: tuple[str, ...] = (
+    # ---- ROUND-8 WINDOW (historical, kept for the ledger narrative) ----
     # Round 7 drained the r3-green cohort; the backlog entering round 8
     # is the 49-query r5-green cohort (last green three recorded rounds
     # ago after CORRECTNESS_r07) — strict branch applies (49 <= 50) and

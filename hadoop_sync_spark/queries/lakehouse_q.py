@@ -346,13 +346,10 @@ def q144_delta_registry_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q147 — Iceberg v2 snapshot reader (ROUND-9 REGISTRATION QUEUE)
-#
-# The round-8 driver window is exactly full (WINDOW.md: 50/50 mandatory,
-# zero spare), so this query ships UNREGISTERED this round — function +
-# oracle + parity test land now, the `register()` call lands in round 9
-# (the same staging the Iceberg library itself used in round 7).  Keep
-# the oracle string here so registration is a one-line decorator swap.
+# q147 — Iceberg v2 snapshot reader (registered in round 9 — the LAST
+# registration round: the 50-slot driver window supports at most 150
+# queries in steady state and q147/q148/q149 take the registry to 149.
+# See WINDOW.md "steady state" — no further queries register, ever.)
 # --------------------------------------------------------------------------
 Q147_ORACLE = f"""
     WITH b AS (
@@ -470,6 +467,11 @@ build_orders_iceberg_fixture.__doc__ = (
 )
 
 
+@register(
+    "q147_iceberg_snapshot_reader",
+    oracle=Q147_ORACLE,
+    tags=("lakehouse", "iceberg", "time-travel", "interop"),
+)
 def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg interop: build the 4-snapshot partitioned table over
     ``orders``, then read it back with the from-scratch metadata-tree
@@ -729,6 +731,13 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 q148_iceberg_mor_reader.__doc__ = q148_iceberg_mor_reader.__doc__.format(
     _POS_DEL_K=_POS_DEL_K, _EQ_DEL_REM=_EQ_DEL_REM, _EQ_DEL_MOD=_EQ_DEL_MOD
 )
+# Registered via explicit call AFTER the docstring fix-up so Query.doc
+# captures the formatted text (register() snapshots __doc__ at call time).
+register(
+    "q148_iceberg_mor_reader",
+    oracle=Q148_ORACLE,
+    tags=("lakehouse", "iceberg", "merge-on-read", "interop"),
+)(q148_iceberg_mor_reader)
 
 
 # --------------------------------------------------------------------------
@@ -881,3 +890,8 @@ def q149_delta_dv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 q149_delta_dv_reader.__doc__ = q149_delta_dv_reader.__doc__.format(
     _DV_FIRST_K=_DV_FIRST_K, _DV_MOD=_DV_MOD, _DV_REM=_DV_REM
 )
+register(
+    "q149_delta_dv_reader",
+    oracle=Q149_ORACLE,
+    tags=("lakehouse", "delta", "deletion-vectors", "interop"),
+)(q149_delta_dv_reader)
