@@ -546,15 +546,20 @@ def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q148 — Iceberg merge-on-read reader (ROUND-9 REGISTRATION QUEUE)
-#
-# Same staging as q147: the round-8 window has zero spare slots, so the
-# query + oracle + parity test land now and the `register()` decorator
-# lands in round 9.
+# q148 — Iceberg merge-on-read reader (registered round 9; see the q147
+# header — q147/q148/q149 are the final registrations, registry capped)
 # --------------------------------------------------------------------------
 _EQ_DEL_MOD = 100
 _EQ_DEL_REM = 7
 _POS_DEL_K = 5
+#: Hard cap on the equality-delete key set: the K SMALLEST matching
+#: custkeys.  Equality-delete files are by nature driver-authored
+#: metadata, but an uncapped "every custkey ≡ REM (mod MOD)" enumeration
+#: grows linearly with sf and the fixture's `.collect()` with it (round-8
+#: VERDICT item 3); the cap bounds the driver materialization at K rows
+#: at EVERY scale factor while the oracle reproduces the same set via
+#: ORDER BY o_custkey LIMIT K.
+_EQ_DEL_CAP = 20
 
 Q148_ORACLE = f"""
     WITH evens AS (
@@ -564,18 +569,23 @@ Q148_ORACLE = f"""
     ), odds AS (
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_orderkey % 2 = 1
+    ), eqdel AS (
+        SELECT o_custkey FROM (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_custkey % {_EQ_DEL_MOD} = {_EQ_DEL_REM}
+        ) ORDER BY o_custkey LIMIT {_EQ_DEL_CAP}
     ), readd AS (
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE o_custkey % {_EQ_DEL_MOD} = {_EQ_DEL_REM}
+        WHERE o_custkey IN (SELECT o_custkey FROM eqdel)
           AND o_orderkey % 10 = 1
     ), live AS (
         SELECT o_orderkey, o_custkey, o_totalprice FROM evens
         WHERE pos >= {_POS_DEL_K}
-          AND o_custkey % {_EQ_DEL_MOD} <> {_EQ_DEL_REM}
+          AND o_custkey NOT IN (SELECT o_custkey FROM eqdel)
         UNION ALL
         SELECT o_orderkey, o_custkey, o_totalprice FROM odds
-        WHERE o_custkey % {_EQ_DEL_MOD} <> {_EQ_DEL_REM}
+        WHERE o_custkey NOT IN (SELECT o_custkey FROM eqdel)
         UNION ALL
         SELECT o_orderkey, o_custkey, o_totalprice FROM readd
     )
@@ -600,8 +610,10 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
       deterministic) + f_odd (odd orderkeys)
     - s2: POSITION delete of the first {_POS_DEL_K} rows of f_even
       (the {_POS_DEL_K} smallest even orderkeys)
-    - s3: EQUALITY delete of every o_custkey ≡ {_EQ_DEL_REM}
-      (mod {_EQ_DEL_MOD}) — applies to both s1 files (strictly older)
+    - s3: EQUALITY delete of the {_EQ_DEL_CAP} smallest custkeys
+      ≡ {_EQ_DEL_REM} (mod {_EQ_DEL_MOD}) — applies to both s1 files
+      (strictly older); the key set is CAPPED so the driver-authored
+      delete file never grows with sf
     - s4: append f_readd re-inserting a subset of the deleted custkeys
       (orderkey ≡ 1 mod 10) — SURVIVES s3 (upsert semantics: equality
       deletes never touch newer files)
@@ -645,8 +657,22 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     evens = src.filter(F.col("o_orderkey") % 2 == 0)
     odds = src.filter(F.col("o_orderkey") % 2 == 1)
+    # Equality-delete key set: the _EQ_DEL_CAP smallest matching custkeys.
+    # The collect is bounded at _EQ_DEL_CAP rows at every scale factor
+    # (sorted-limit runs distributed; only the capped result reaches the
+    # driver) — equality-delete files are driver-authored metadata and
+    # must never grow with the data.
+    del_custkeys = [
+        int(r["o_custkey"])
+        for r in src.filter(F.col("o_custkey") % _EQ_DEL_MOD == _EQ_DEL_REM)
+        .select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(_EQ_DEL_CAP)
+        .collect()
+    ]
     readd = src.filter(
-        (F.col("o_custkey") % _EQ_DEL_MOD == _EQ_DEL_REM)
+        F.col("o_custkey").isin(del_custkeys)
         & (F.col("o_orderkey") % 10 == 1)
     )
 
@@ -668,17 +694,6 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("data/f_even.parquet", p) for p in range(_POS_DEL_K)], now_ms=3000
     )
     # equality delete keyed on o_custkey (schema field id 2)
-    del_custkeys = sorted(
-        {
-            r["o_custkey"]
-            for r in src.filter(
-                F.col("o_custkey") % _EQ_DEL_MOD == _EQ_DEL_REM
-            )
-            .select("o_custkey")
-            .distinct()
-            .collect()
-        }
-    )
     table.add_equality_deletes(
         [{"o_custkey": int(c)} for c in del_custkeys],
         equality_ids=[2],
@@ -729,7 +744,10 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q148_iceberg_mor_reader.__doc__ = q148_iceberg_mor_reader.__doc__.format(
-    _POS_DEL_K=_POS_DEL_K, _EQ_DEL_REM=_EQ_DEL_REM, _EQ_DEL_MOD=_EQ_DEL_MOD
+    _POS_DEL_K=_POS_DEL_K,
+    _EQ_DEL_REM=_EQ_DEL_REM,
+    _EQ_DEL_MOD=_EQ_DEL_MOD,
+    _EQ_DEL_CAP=_EQ_DEL_CAP,
 )
 # Registered via explicit call AFTER the docstring fix-up so Query.doc
 # captures the formatted text (register() snapshots __doc__ at call time).
@@ -741,7 +759,8 @@ register(
 
 
 # --------------------------------------------------------------------------
-# q149 — Delta deletion-vector reader (ROUND-9 REGISTRATION QUEUE)
+# q149 — Delta deletion-vector reader (registered round 9; see the q147
+# header — q147/q148/q149 are the final registrations, registry capped)
 # --------------------------------------------------------------------------
 _DV_FIRST_K = 7
 _DV_MOD = 97
