@@ -385,6 +385,12 @@ class DeltaLog:
                 for rel, desc in sorted(dv_map.items())
                 for pos in self._dv_positions(desc)
             ]
+            if not del_rows:
+                # every referenced DV decoded to zero positions (a
+                # cardinality-0 descriptor another engine wrote is legal)
+                # — a no-op subtraction, and createDataFrame([]) cannot
+                # infer a schema anyway
+                return df.select(*data_cols)
             dels = spark.createDataFrame(
                 del_rows, ["_d_file", "_d_pos"]
             )
@@ -522,7 +528,9 @@ class DeltaLog:
             blob = fh.read()
         if blob[:1] != b"\x01":
             raise ValueError("unknown deletion-vector file version")
-        off = desc["offset"]
+        # PROTOCOL.md marks offset optional for 'u'/'p' storage; without
+        # it the payload starts right after the format-version byte
+        off = desc.get("offset", 1)
         size = int.from_bytes(blob[off : off + 4], "big")
         data = blob[off + 4 : off + 4 + size]
         crc = int.from_bytes(blob[off + 4 + size : off + 8 + size], "big")

@@ -353,6 +353,17 @@ class DataFile:
     partition: dict
     record_count: int
     file_size: int
+    #: the manifest's file_path string VERBATIM (typically a full URI for
+    #: externally written tables, table-relative for ours).  Position
+    #: delete files reference data files by this exact string (spec:
+    #: "Position-based delete files identify deleted rows by file and
+    #: position ... file_path matching the data file"), so the MoR read
+    #: path must join on it raw — resolving/relativizing either side
+    #: silently resurrects deleted rows on tables whose manifests store
+    #: absolute URIs (ADVICE r8).  Empty only for caller-constructed
+    #: DataFiles headed INTO the writer (append() stores .path as the
+    #: manifest string, so raw == path there).
+    raw_path: str = ""
     #: data_file.content: 0 data, 1 position deletes, 2 equality deletes
     content: int = 0
     #: data sequence number (v2 inheritance applied: an ADDED entry with
@@ -547,6 +558,7 @@ class IcebergTable:
                         content=df["content"],
                         sequence=seq,
                         equality_ids=tuple(df.get("equality_ids") or ()),
+                        raw_path=df["file_path"],
                     )
                 )
         return out
@@ -609,9 +621,11 @@ class IcebergTable:
 
         Merge-on-read (v2 delete files): when the snapshot carries
         position or equality deletes applicable to any selected data
-        file, the scan gains per-row lineage columns (file-relative
-        path via the same attach join, row ordinal via
-        ``_metadata.row_index``, data sequence number) and each delete
+        file, the scan gains per-row lineage columns (the manifest's
+        raw ``file_path`` string via the same attach join — the exact
+        string position-delete files use per spec, so external
+        absolute-URI tables match; row ordinal via
+        ``_metadata.row_index``; data sequence number) and each delete
         file subtracts rows through a broadcast LEFT ANTI join —
         position deletes match (file, pos) on data files with sequence
         ≤ the delete's, equality deletes match the ``equality_ids``
@@ -657,10 +671,14 @@ class IcebergTable:
         scan = scan.select(
             "*", F.col("_metadata.row_index").alias("_row_idx")
         )
+        # Lineage carries the manifest's file_path string VERBATIM
+        # (raw_path): position-delete files name data files by that exact
+        # string per the spec, so relativizing it here would break every
+        # externally written table whose manifests store full URIs.
         rows = [
             (
                 _norm_path(f.path),
-                os.path.relpath(f.path, self.dir),
+                f.raw_path,
                 f.sequence,
             )
             + tuple(f.partition.get(c) for c in part_cols)
@@ -669,7 +687,7 @@ class IcebergTable:
         df = attach_file_columns(
             scan,
             rows,
-            ["_rel_path", "_seq", *part_cols],
+            ["_raw_path", "_seq", *part_cols],
             what="iceberg snapshot partition",
         )
         meta_schema = {
@@ -685,7 +703,7 @@ class IcebergTable:
             )
             df = df.join(
                 F.broadcast(dels),
-                (F.col("_rel_path") == F.col("_d_file"))
+                (F.col("_raw_path") == F.col("_d_file"))
                 & (F.col("_row_idx") == F.col("_d_pos"))
                 & (F.col("_seq") <= F.lit(d.sequence)),
                 "left_anti",
@@ -1223,7 +1241,11 @@ class IcebergTable:
         """Live files re-written as EXISTING entries with their original
         data sequence numbers EXPLICIT (the spec forbids inheritance for
         EXISTING status — losing the original sequence would break
-        merge-on-read applicability)."""
+        merge-on-read applicability).  The carried ``file_path`` is the
+        original manifest string VERBATIM (raw_path): position-delete
+        files reference data files by that exact string, so rewriting an
+        absolute manifest path as table-relative across a commit would
+        silently detach every older delete file (ADVICE r8)."""
         return [
             {
                 "status": _STATUS_EXISTING,
@@ -1232,7 +1254,8 @@ class IcebergTable:
                 "file_sequence_number": None,
                 "data_file": {
                     "content": f.content,
-                    "file_path": os.path.relpath(f.path, self.dir),
+                    "file_path": f.raw_path
+                    or os.path.relpath(f.path, self.dir),
                     "file_format": "PARQUET",
                     "partition": f.partition,
                     "record_count": f.record_count,

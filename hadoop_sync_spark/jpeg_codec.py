@@ -283,10 +283,25 @@ def _split_entropy(data: bytes, pos: int):
         if nxt == 0x00:
             i = j + 2
             continue
+        # T.81 B.1.1.2: any number of FF fill bytes may precede the
+        # marker code byte — skip the run, THEN classify (mirrors
+        # _next_marker; ADVICE r8).  The segment's entropy data ends at
+        # the FIRST fill byte: fill is padding, never coded bits.
+        k = j + 1
+        while k < len(data) and data[k] == 0xFF:
+            k += 1
+        if k >= len(data):
+            raise ValueError("unterminated entropy-coded segment")
+        nxt = data[k]
+        if nxt == 0x00:
+            # FF-run ending in 00: the final FF is a stuffed data byte
+            # (FF 00); keep scanning — replace() below unstuffs it
+            i = k + 1
+            continue
         segs.append(data[start:j].replace(b"\xff\x00", b"\xff"))
         if 0xD0 <= nxt <= 0xD7:
             rst_ids.append(nxt - 0xD0)
-            start = i = j + 2
+            start = i = k + 1
             continue
         return segs, rst_ids
 

@@ -1001,15 +1001,23 @@ class Registry:
         carries; leave it off for fixed-schema tables so scans keep the
         single-footer fast path.
 
-        Open-format tables with ROW-level deletes in their synced
-        snapshot (Delta deletion vectors / Iceberg merge-on-read delete
-        files) delegate to the format reader PINNED AT the snapshot the
-        catalog was synced from — same files as the shard list, minus
-        the rows that snapshot deletes.  The catalog-lag property is
-        preserved exactly: a format commit after the last sync (file- or
-        row-level) stays invisible until the next sync publishes.
-        Format tables without row-level deletes keep the plain catalog
-        parquet scan, byte-identical to before."""
+        Open-format tables (Delta / Iceberg) ALWAYS delegate to the
+        format reader PINNED AT the snapshot the catalog was synced
+        from — same files as the shard list, plus whatever the format's
+        snapshot semantics add (partition columns attached from
+        metadata, row-level deletes subtracted).  Delegating
+        unconditionally keeps the read schema STABLE across syncs: with
+        the old deletes-only dispatch, a partitioned table's partition
+        columns appeared the first time a DV/MoR commit synced and were
+        absent before — a result schema that depended on delete state,
+        not table state (ADVICE r8).  The catalog-lag property is
+        preserved exactly: a format commit after the last sync (file-
+        or row-level) stays invisible until the next sync publishes,
+        and `version` time travel pins the format snapshot recorded by
+        THAT catalog version.  ``merge_schema=True`` is the explicit
+        catalog-scan schema-union escape hatch and keeps its old
+        semantics (refused when the snapshot carries row-level deletes,
+        which a shard-list scan cannot honor)."""
         tables = self._load_tables(version)
         rec = tables.get(name, {})
         fmt = rec.get("format")
@@ -1018,28 +1026,28 @@ class Registry:
             from hadoop_sync_spark.delta_log import DeltaLog
 
             log = DeltaLog(rec["dir_path"])
+            if not merge_schema:
+                return log.read(self.spark, synced)
             if any(
                 a.get("deletionVector")
                 for a in log.snapshot(synced).live.values()
             ):
-                if merge_schema:
-                    raise ValueError(
-                        "merge_schema is not supported for deletion-"
-                        "vector Delta tables (the log owns the schema)"
-                    )
-                return log.read(self.spark, synced)
+                raise ValueError(
+                    "merge_schema is not supported for deletion-"
+                    "vector Delta tables (the log owns the schema)"
+                )
         elif fmt == "iceberg" and synced is not None:
             from hadoop_sync_spark.iceberg_meta import IcebergTable
 
             table = IcebergTable(rec["dir_path"])
-            if table.delete_files(snapshot_id=synced):
-                if merge_schema:
-                    raise ValueError(
-                        "merge_schema is not supported for merge-on-"
-                        "read Iceberg tables (the metadata owns the "
-                        "schema)"
-                    )
+            if not merge_schema:
                 return table.read(self.spark, snapshot_id=synced)
+            if table.delete_files(snapshot_id=synced):
+                raise ValueError(
+                    "merge_schema is not supported for merge-on-"
+                    "read Iceberg tables (the metadata owns the "
+                    "schema)"
+                )
         files = [s["path"] for s in self.shards(name, version)]
         if not files:
             raise ValueError(f"no synced shards for table {name}")

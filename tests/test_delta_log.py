@@ -395,6 +395,42 @@ def test_deletion_vector_with_partition_columns(spark, tmp_path):
     assert got == {(1, 0), (2, 0), (4, 1)}
 
 
+def test_deletion_vector_cardinality_zero_is_noop(spark, tmp_path):
+    """A cardinality-0 descriptor (legal from other engines) must read as
+    a no-op, not die on createDataFrame([]) schema inference (ADVICE r8)."""
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [0] * 3})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.add_deletion_vector(1, "a.parquet", [], storage="i")
+    assert sorted(r.k for r in log.read(spark).collect()) == [1, 2, 3]
+
+
+def test_deletion_vector_offset_field_is_optional(spark, tmp_path):
+    """PROTOCOL.md marks ``offset`` optional for 'u'/'p' storage; a
+    conforming descriptor without it reads from the position right after
+    the format-version byte (ADVICE r8)."""
+    import json as _json
+
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2, 3, 4], "v": [0] * 4})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.add_deletion_vector(1, "a.parquet", [0, 3], storage="u")
+    # strip the optional offset from the committed descriptor
+    commit = os.path.join(d, "_delta_log", "00000000000000000001.json")
+    lines = []
+    for line in open(commit):
+        a = _json.loads(line)
+        if "add" in a and a["add"].get("deletionVector"):
+            assert a["add"]["deletionVector"].pop("offset") == 1
+        lines.append(_json.dumps(a))
+    open(commit, "w").write("\n".join(lines) + "\n")
+    from hadoop_sync_spark.delta_log import DeltaLog
+    fresh = DeltaLog(d)
+    assert sorted(r.k for r in fresh.read(spark).collect()) == [2, 3]
+
+
 def test_q149_oracle_parity_unregistered(spark):
     """Round-9 registration prep #3: the deletion-vector reader query
     passes the exact driver-style parity gate, unregistered (the
@@ -456,6 +492,40 @@ def test_registry_read_applies_deletion_vectors_with_catalog_lag(
     assert sorted(
         r.k for r in reg.read("t", version=s.version - 1).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_registry_read_schema_stable_across_delete_state(spark, tmp_path):
+    """A partitioned format table's Registry.read schema must not depend
+    on whether the synced snapshot carries row-level deletes: partition
+    columns are present from the FIRST sync, before any DV commit lands
+    (ADVICE r8 — the old deletes-only dispatch surfaced them only once a
+    DV appeared, breaking downstream queries on a schema that tracked
+    delete state instead of table state)."""
+    from hadoop_sync_spark.registry import Registry
+
+    d, log = _mk_table(tmp_path, "stable_t")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [0, 0]})
+    _write_file(d, "b.parquet", {"k": [3, 4], "v": [0, 0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta_partitioned(),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "1"})])
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register_delta("t", d)
+    reg.sync("t")
+    before = reg.read("t")
+    assert "p" in before.columns
+    assert {(r.k, r.p) for r in before.collect()} == {
+        (1, 0), (2, 0), (3, 1), (4, 1)}
+    # DV commit + sync: SAME schema, fewer rows
+    log.add_deletion_vector(1, "b.parquet", [0], storage="i")
+    reg.sync("t")
+    after = reg.read("t")
+    assert after.columns == before.columns
+    assert {(r.k, r.p) for r in after.collect()} == {
+        (1, 0), (2, 0), (4, 1)}
 
 
 def test_vacuum_reclaims_orphaned_deletion_vectors(spark, tmp_path):

@@ -403,6 +403,39 @@ def test_position_deletes_subtract_rows(spark, tmp_path):
     assert all(f.content == 0 for f in t.files())
 
 
+def test_position_deletes_match_absolute_manifest_paths(spark, tmp_path):
+    """Conforming EXTERNAL MoR tables store full/absolute file_path
+    strings in manifests, and their position-delete files reference data
+    files by that exact string (spec: file_path matching the data file).
+    The read join must key on the raw manifest string — resolving or
+    relativizing either side silently resurrects deleted rows (ADVICE
+    r8).  Same table shape as test_position_deletes_subtract_rows but
+    with absolute paths everywhere, the way an external writer emits."""
+    d = str(tmp_path / "mor_abs")
+    os.makedirs(os.path.join(d, "data"))
+
+    def write_abs(name, ids):
+        p = os.path.join(d, "data", name)
+        cols = {"id": pa.array(ids, pa.int64()),
+                "val": pa.array([f"v{i}" for i in ids], pa.string())}
+        pq.write_table(pa.table(cols), p)
+        # ABSOLUTE path: append() stores this verbatim in the manifest
+        return DataFile(path=p, partition={}, record_count=len(ids),
+                        file_size=os.path.getsize(p))
+
+    t = IcebergTable.create(
+        d, [("id", "bigint"), ("val", "string")], now_ms=1000
+    )
+    f1 = write_abs("f1.parquet", [1, 2, 3, 4, 5])
+    t.append([f1], now_ms=2000)
+    # the delete file references the data file by the manifest's exact
+    # (absolute) string, as a conforming external writer would
+    t.add_position_deletes([(f1.path, 0), (f1.path, 2)], now_ms=3000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 4, 5]
+    # raw_path carried through files() is the verbatim manifest string
+    assert [f.raw_path for f in t.files()] == [f1.path]
+
+
 def test_equality_deletes_upsert_semantics(spark, tmp_path):
     t, write_pq = _mor_table(tmp_path)
     t.append([write_pq("f1.parquet", [1, 2, 3, 4])], now_ms=2000)

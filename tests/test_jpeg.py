@@ -66,6 +66,25 @@ def test_restart_markers_present_and_decode_identically():
     assert np.array_equal(decode_jpeg(r1), wide)
 
 
+def test_fill_bytes_before_rst_and_eoi_decode_identically():
+    """T.81 B.1.1.2 lets a conforming stream pad any marker with runs of
+    0xFF fill bytes.  Inject fill before every RSTn and before EOI and
+    require byte-identical decode to the unpadded stream — pins the
+    _split_entropy fill-skip (ADVICE r8; _next_marker already skipped
+    fill, the table-driven segment splitter did not)."""
+    img = np.stack([_tile_image(2, 5, seed=3)] * 3, axis=2)
+    rst = encode_jpeg(img, quality=50, restart_interval=2)
+    padded = rst
+    for i in range(8):
+        padded = padded.replace(
+            bytes([0xFF, 0xD0 + i]), bytes([0xFF, 0xFF, 0xFF, 0xD0 + i])
+        )
+    assert padded.endswith(b"\xff\xd9")
+    padded = padded[:-2] + b"\xff\xff" + b"\xff\xd9"
+    assert len(padded) > len(rst)
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(rst))
+
+
 def test_smooth_content_near_transparent():
     h, w = 40, 56
     y, x = np.mgrid[0:h, 0:w]
