@@ -559,6 +559,22 @@ class Registry:
             if p.startswith("file:"):
                 p = unquote(urlparse(p).path)
             out[p] = (r["min_value"], r["max_value"])
+        # Loud-failure guard (the io.py attach_file_columns idiom, adapted
+        # to the aggregate-per-file shape): a requested file absent from
+        # the result is EITHER genuinely empty (no rows → no group; a
+        # stat-less entry is sound for pruning) or a URI-decode mismatch
+        # that would silently strip stats from healthy files.  The parquet
+        # footer distinguishes the two driver-side without reading data.
+        for f in files:
+            if f["path"] not in out:
+                import pyarrow.parquet as pq
+
+                if pq.read_metadata(f["path"]).num_rows:
+                    raise ValueError(
+                        "min/max aggregation returned no group for "
+                        f"non-empty file {f['path']!r} — "
+                        "input_file_name URI decode mismatch"
+                    )
         return out
 
     def sync(self, name: str, fetch_min_max: bool = False) -> SyncResult:

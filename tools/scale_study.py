@@ -166,6 +166,9 @@ FAMILIES: dict[str, list[str]] = {
     "lakehouse": [
         "q138_delta_log_reader",    # metadata replay + snapshot-scoped scan
         "q144_delta_registry_sync",  # Delta snapshot diff through the registry
+        "q147_iceberg_snapshot_reader",  # manifest walk + 2-layer pruning
+        "q148_iceberg_mor_reader",  # broadcast-anti position/equality deletes
+        "q149_delta_dv_reader",     # Roaring DV subtraction, v0 time travel
     ],
 }
 
