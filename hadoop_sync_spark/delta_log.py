@@ -344,7 +344,10 @@ class DeltaLog:
 
     # ---- Spark read ----------------------------------------------------
     def read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        paths: set[str] | None = None,
     ) -> DataFrame:
         """The snapshot as a DataFrame: executors scan exactly the live
         files through the ordinary parquet source (pushdown intact).
@@ -358,8 +361,18 @@ class DeltaLog:
         from hadoop_sync_spark.io import attach_file_columns
 
         snap = self.snapshot(version)
+        sel = list(snap.files)
+        if paths is not None:
+            # subset scan (the compaction rewrite path): deletes still
+            # apply per file, exactly as in the full read
+            missing = paths - set(sel)
+            if missing:
+                raise ValueError(
+                    f"paths not live in snapshot: {sorted(missing)}"
+                )
+            sel = [p for p in sel if p in paths]
         files = [
-            os.path.join(self.table_dir, p) for p in snap.files
+            os.path.join(self.table_dir, p) for p in sel
         ]
         if not files:
             schema = snap.schema()
@@ -367,10 +380,11 @@ class DeltaLog:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], schema)
         schema = snap.schema()
+        sel_set = set(sel)
         dv_map = {
             p: a["deletionVector"]
             for p, a in snap.live.items()
-            if a.get("deletionVector")
+            if a.get("deletionVector") and p in sel_set
         }
 
         def subtract_dvs(df: DataFrame, data_cols: list[str]) -> DataFrame:
@@ -416,14 +430,14 @@ class DeltaLog:
             )
             rows = [
                 (os.path.abspath(os.path.join(self.table_dir, p)), p)
-                for p in snap.files
+                for p in sel
             ]
             df = attach_file_columns(
                 scan, rows, ["_rel_path"], what="delta snapshot file"
             )
             return subtract_dvs(df, data_cols)
         part_cols = list(snap.partition_columns)
-        adds = [snap.live[p] for p in snap.files]
+        adds = [snap.live[p] for p in sel]
         if all(
             set(part_cols) <= set(a.get("partitionValues") or {})
             for a in adds
@@ -504,6 +518,109 @@ class DeltaLog:
                 "dataChange": True,
                 **extra,
             }
+        }
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 << 20,
+        min_group: int = 2,
+    ) -> dict | None:
+        """OPTIMIZE-style bin-packing compaction (round 9; the Delta twin
+        of :meth:`IcebergTable.compact` — ``Registry.compact`` delegates
+        here for delta tables).  Per partition tuple, live files under
+        ``target_bytes`` are greedily binned; each bin of ≥ ``min_group``
+        files rewrites into one file **with deletion vectors applied**
+        (the rewrite reads through :meth:`read`'s DV path restricted to
+        the bin), and one commit carries ``remove`` (old) + ``add`` (new)
+        with ``dataChange: false`` — the protocol's marker that the
+        logical table content is unchanged, exactly what OPTIMIZE logs.
+        Rewritten files' DV descriptors disappear with their adds;
+        untouched files keep theirs.
+
+        Crash contract: new data stages under names no commit references
+        until the final put-if-absent commit JSON lands — a crash before
+        that leaves every snapshot intact and only unreferenced debris,
+        which :meth:`vacuum` reclaims.  Returns a summary dict, or None
+        when nothing qualified (a no-op makes NO commit)."""
+        snap = self.snapshot()
+        part_cols = list(snap.partition_columns)
+        by_part: dict[tuple, list[dict]] = {}
+        for rel in snap.files:
+            a = snap.live[rel]
+            pv = a.get("partitionValues") or {}
+            if part_cols and not set(part_cols) <= set(pv):
+                raise NotImplementedError(
+                    "compaction over value-less partitioned adds is not "
+                    "supported — log partitionValues"
+                )
+            by_part.setdefault(tuple(sorted(pv.items())), []).append(a)
+        bins: list[tuple[dict, list[dict]]] = []
+        for key in sorted(by_part):
+            smalls = sorted(
+                (a for a in by_part[key] if a["size"] < target_bytes),
+                key=lambda a: -a["size"],
+            )
+            cur: list[dict] = []
+            cur_bytes = 0
+            for a in smalls:
+                if cur and cur_bytes + a["size"] > target_bytes:
+                    if len(cur) >= min_group:
+                        bins.append((dict(key), cur))
+                    cur, cur_bytes = [], 0
+                cur.append(a)
+                cur_bytes += a["size"]
+            if len(cur) >= min_group:
+                bins.append((dict(key), cur))
+        if not bins:
+            return None
+
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        version = self.latest_version() + 1
+        rewritten: set[str] = set()
+        adds: list[dict] = []
+        bytes_in = 0
+        for i, (pv, group) in enumerate(bins):
+            rels = {a["path"] for a in group}
+            data_cols = spark.read.parquet(
+                *[os.path.join(self.table_dir, a["path"]) for a in group]
+            ).columns
+            out = self.read(spark, paths=rels).select(*data_cols)
+            rel = f"part-compact-{version:010d}-{i}.parquet"
+            dest = os.path.join(self.table_dir, rel)
+            staging = _tempfile.mkdtemp(prefix="delta_compact_")
+            try:
+                out.coalesce(1).write.mode("overwrite").parquet(staging)
+                (part_file,) = _glob.glob(
+                    os.path.join(staging, "part-*.parquet")
+                )
+                os.replace(part_file, dest)
+            finally:
+                _shutil.rmtree(staging, ignore_errors=True)
+            adds.append(
+                self.add_action_for(
+                    rel, partitionValues=pv, dataChange=False
+                )
+            )
+            rewritten |= rels
+            bytes_in += sum(a["size"] for a in group)
+        self.commit(
+            version,
+            [
+                {"remove": {"path": r, "dataChange": False}}
+                for r in sorted(rewritten)
+            ]
+            + adds,
+        )
+        return {
+            "version": version,
+            "groups": len(bins),
+            "files_in": len(rewritten),
+            "files_out": len(adds),
+            "bytes_in": bytes_in,
         }
 
     # ---- deletion vectors (protocol v3 readerFeature, round 8) ---------

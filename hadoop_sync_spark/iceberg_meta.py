@@ -603,6 +603,7 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
         partition_filter: dict | None = None,
+        paths: set[str] | None = None,
     ):
         """Snapshot → ONE distributed parquet scan of exactly the live
         files (pushdown/pruning intact).  Identity-partition values
@@ -639,6 +640,15 @@ class IcebergTable:
         from hadoop_sync_spark.io import attach_file_columns
 
         files = self.files(snapshot_id, as_of_timestamp_ms, partition_filter)
+        if paths is not None:
+            # subset scan (the compaction rewrite path) keyed on the
+            # manifest file_path string; delete application is unchanged
+            missing = paths - {f.raw_path for f in files}
+            if missing:
+                raise ValueError(
+                    f"paths not live in snapshot: {sorted(missing)}"
+                )
+            files = [f for f in files if f.raw_path in paths]
         if not files:
             raise ValueError("snapshot selects no data files")
         deletes = self.delete_files(snapshot_id, as_of_timestamp_ms)
@@ -1132,6 +1142,144 @@ class IcebergTable:
             now_ms,
             delete_entries=self._live_delete_entries() + [entry],
         )
+
+    def compact(
+        self,
+        spark,
+        now_ms: int = 0,
+        target_bytes: int = 128 << 20,
+        min_group: int = 2,
+    ) -> dict | None:
+        """``rewrite_data_files``-style bin-packing compaction (round 9;
+        the open-format twin of ``Registry.compact``, which delegates
+        here for iceberg tables — closing the round-8 guard that refused
+        to compact format tables outside their metadata).
+
+        Per partition tuple, live data files under ``target_bytes`` are
+        greedily binned; each bin of ≥ ``min_group`` files is REWRITTEN
+        into one file **with every live row-level delete applied** (the
+        rewrite reads through :meth:`read`'s MoR path restricted to the
+        bin's manifest paths).  The commit is a ``replace`` snapshot:
+        untouched files carry forward EXISTING with their original data
+        sequence numbers, rewritten files go DELETED, new files enter
+        ADDED at the new sequence, and delete manifests carry forward
+        UNCHANGED — position deletes naming rewritten paths become
+        dangling (harmless; expire+vacuum reclaims them), equality
+        deletes still apply to strictly-older untouched files but not to
+        the new files (their rows already reflect the deletes), which is
+        exactly the sequence-number algebra production Iceberg's rewrite
+        relies on.
+
+        Crash contract: data for new files stages under ``data/`` with
+        names no manifest references until the final O_EXCL metadata
+        swap in :meth:`_commit_snapshot` — a crash anywhere before that
+        leaves every existing snapshot intact and only unreferenced
+        debris, which :meth:`vacuum` reclaims.  Returns a summary dict,
+        or None when nothing qualified (a no-op makes NO commit)."""
+        live = [f for f in self.files() if f.content == _CONTENT_DATA]
+        by_part: dict[tuple, list[DataFile]] = {}
+        for f in live:
+            by_part.setdefault(
+                tuple(sorted(f.partition.items())), []
+            ).append(f)
+        bins: list[tuple[dict, list[DataFile]]] = []
+        for part_key in sorted(by_part):
+            smalls = sorted(
+                (f for f in by_part[part_key]
+                 if f.file_size < target_bytes),
+                key=lambda f: -f.file_size,
+            )
+            cur: list[DataFile] = []
+            cur_bytes = 0
+            for f in smalls:
+                if cur and cur_bytes + f.file_size > target_bytes:
+                    if len(cur) >= min_group:
+                        bins.append((dict(part_key), cur))
+                    cur, cur_bytes = [], 0
+                cur.append(f)
+                cur_bytes += f.file_size
+            if len(cur) >= min_group:
+                bins.append((dict(part_key), cur))
+        if not bins:
+            return None
+
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        seq = self.metadata()["last-sequence-number"] + 1
+        rewritten: set[str] = set()
+        new_files: list[DataFile] = []
+        rows_in = bytes_in = 0
+        for i, (part, fs) in enumerate(bins):
+            raws = {f.raw_path for f in fs}
+            # original on-disk schema (partition columns live in
+            # metadata; attach columns from read() must not leak in)
+            data_cols = spark.read.parquet(*[f.path for f in fs]).columns
+            out = self.read(spark, paths=raws).select(*data_cols)
+            rel = f"data/compact-{seq}-{i}.parquet"
+            dest = os.path.join(self.dir, rel)
+            staging = _tempfile.mkdtemp(prefix="iceberg_compact_")
+            try:
+                out.coalesce(1).write.mode("overwrite").parquet(staging)
+                (part_file,) = _glob.glob(
+                    os.path.join(staging, "part-*.parquet")
+                )
+                os.replace(part_file, dest)
+            finally:
+                _shutil.rmtree(staging, ignore_errors=True)
+            n = spark.read.parquet(dest).count()
+            new_files.append(
+                DataFile(
+                    path=rel,
+                    partition=part,
+                    record_count=n,
+                    file_size=os.path.getsize(dest),
+                )
+            )
+            rewritten |= raws
+            rows_in += sum(f.record_count for f in fs)
+            bytes_in += sum(f.file_size for f in fs)
+
+        entries = []
+        for e in self._live_entries():
+            if e["data_file"]["file_path"] in rewritten:
+                e = dict(e)
+                e["status"] = _STATUS_DELETED
+            entries.append(e)
+        entries += [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": None,
+                "sequence_number": None,  # inherits the new sequence
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": _CONTENT_DATA,
+                    "file_path": f.path,
+                    "file_format": "PARQUET",
+                    "partition": f.partition,
+                    "record_count": f.record_count,
+                    "file_size_in_bytes": f.file_size,
+                    "equality_ids": None,
+                },
+            }
+            for f in new_files
+        ]
+        snap_id = self._commit_snapshot(
+            entries,
+            "replace",
+            now_ms,
+            delete_entries=self._live_delete_entries(),
+        )
+        return {
+            "snapshot_id": snap_id,
+            "groups": len(bins),
+            "files_in": len(rewritten),
+            "files_out": len(new_files),
+            "rows_in": rows_in,
+            "rows_out": sum(f.record_count for f in new_files),
+            "bytes_in": bytes_in,
+        }
 
     # ---------------------------------------------- maintenance (round 8)
     def expire_snapshots(

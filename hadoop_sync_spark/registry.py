@@ -753,13 +753,50 @@ class Registry:
             raise KeyError(f"table not registered: {name}")
         fmt = tables[name].get("format")
         if fmt is not None:
-            # renaming/deleting an open-format table's data files outside
-            # its log/manifests would corrupt every snapshot — the format
-            # owns the file layout, so compaction must go through a
-            # format-native rewrite (round-8 guard)
-            raise ValueError(
-                f"compact is for plain-directory tables; {name!r} is "
-                f"{fmt}-format — rewrite through the table format"
+            # The format owns the file layout, so compaction goes through
+            # the format-native committer (round 9; the round-8 guard
+            # refused outright).  The rewrite commits a new format
+            # snapshot — old snapshots stay time-travel-readable, unlike
+            # the plain-directory journaled rewrite below — and a sync
+            # publishes the new file list into the catalog.
+            import time as _time
+
+            dir_path = tables[name]["dir_path"]
+            if fmt == "delta":
+                from hadoop_sync_spark.delta_log import DeltaLog
+
+                res = DeltaLog(dir_path).compact(
+                    self.spark, target_bytes, min_group
+                )
+            elif fmt == "iceberg":
+                from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+                res = IcebergTable(dir_path).compact(
+                    self.spark,
+                    now_ms=int(_time.time() * 1000),
+                    target_bytes=target_bytes,
+                    min_group=min_group,
+                )
+            else:
+                raise ValueError(f"unknown table format {fmt!r}")
+            if res is None:
+                return CompactResult(
+                    table=name,
+                    version=self._current_version(),
+                    groups=0,
+                    files_in=0,
+                    files_out=0,
+                    bytes_in=0,
+                    noop=True,
+                )
+            s = self.sync(name)
+            return CompactResult(
+                table=name,
+                version=s.version,
+                groups=res["groups"],
+                files_in=res["files_in"],
+                files_out=res["files_out"],
+                bytes_in=res["bytes_in"],
             )
         lock = self._acquire_publish_lock()
         try:

@@ -528,6 +528,88 @@ def test_registry_read_schema_stable_across_delete_state(spark, tmp_path):
         (1, 0), (2, 0), (4, 1)}
 
 
+# ---------------------------------------------------------- compaction (r9)
+def test_compact_binpacks_and_applies_dvs(spark, tmp_path):
+    """OPTIMIZE parity: small files bin-pack with deletion vectors
+    APPLIED in the rewrite; the dataChange:false commit reads identically
+    to the pre-compact snapshot and time travel still works."""
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [0] * 3})
+    _write_file(d, "b.parquet", {"k": [4, 5], "v": [0, 0]})
+    _write_file(d, "c.parquet", {"k": [6], "v": [0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet"),
+                   log.add_action_for("b.parquet"),
+                   log.add_action_for("c.parquet")])
+    log.add_deletion_vector(1, "a.parquet", [1], storage="i")  # kills k=2
+    before = sorted(r.k for r in log.read(spark).collect())
+    assert before == [1, 3, 4, 5, 6]
+    res = log.compact(spark)
+    assert res is not None
+    assert res["files_in"] == 3 and res["files_out"] == 1
+    assert sorted(r.k for r in log.read(spark).collect()) == before
+    snap = log.snapshot()
+    assert len(snap.files) == 1
+    # the compacted add carries no DV (its rows already reflect it) and
+    # is marked dataChange: false
+    (add,) = snap.live.values()
+    assert not add.get("deletionVector")
+    assert add["dataChange"] is False
+    # time travel to v1 (pre-compact, post-DV) unchanged
+    assert sorted(r.k for r in log.read(spark, 1).collect()) == before
+    # and to v0 (pre-DV)
+    assert sorted(r.k for r in log.read(spark, 0).collect()) == [
+        1, 2, 3, 4, 5, 6]
+
+
+def test_compact_partitioned_and_crash_injection(spark, tmp_path,
+                                                 monkeypatch):
+    import glob as _g
+
+    from hadoop_sync_spark.delta_log import DeltaLog
+
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [0]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [0]})
+    _write_file(d, "c.parquet", {"k": [10], "v": [0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta_partitioned(),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("c.parquet",
+                                      partitionValues={"p": "1"})])
+    res = log.compact(spark)
+    # only partition p=0 has >= 2 small files
+    assert res["files_in"] == 2 and res["files_out"] == 1
+    got = {(r.k, r.p) for r in log.read(spark).collect()}
+    assert got == {(1, 0), (2, 0), (10, 1)}
+    # crash injection: commit refused -> snapshot intact, debris only
+    v_before = log.latest_version()
+    _write_file(d, "d.parquet", {"k": [3], "v": [0]})
+    log.commit(v_before + 1,
+               [log.add_action_for("d.parquet",
+                                   partitionValues={"p": "1"})])
+
+    def boom(self, version, actions):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(DeltaLog, "commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        log.compact(spark)
+    monkeypatch.undo()
+    assert {(r.k, r.p) for r in log.read(spark).collect()} == {
+        (1, 0), (2, 0), (10, 1), (3, 1)}
+    live = {os.path.join(d, p) for p in log.snapshot().files}
+    debris = set(_g.glob(os.path.join(d, "part-compact-*.parquet"))) - live
+    assert len(debris) == 1
+    removed = log.vacuum()
+    assert any(p.startswith("part-compact-") for p in removed)
+    assert {(r.k, r.p) for r in log.read(spark).collect()} == {
+        (1, 0), (2, 0), (10, 1), (3, 1)}
+
+
 def test_vacuum_reclaims_orphaned_deletion_vectors(spark, tmp_path):
     """A replaced DV's .bin becomes an orphan and vacuum reclaims it;
     the live DV survives and reads keep working."""

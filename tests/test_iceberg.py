@@ -754,6 +754,89 @@ def test_registry_read_applies_mor_deletes_with_catalog_lag(spark, tmp_path):
 
 
 # ------------------------------------------------------- maintenance (r8)
+# ---------------------------------------------------------- compaction (r9)
+def test_compact_binpacks_and_applies_mor_deletes(spark, tmp_path):
+    """rewrite_data_files parity: small files bin-pack per partition with
+    every live row-level delete APPLIED in the rewrite; the committed
+    replace snapshot reads identically to the pre-compact table, old
+    snapshots stay time-travel-readable, and a LATER equality delete
+    still applies to the compacted file (sequence algebra intact)."""
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2, 3]),
+                   write_pq("f2.parquet", [4, 5]),
+                   write_pq("f3.parquet", [6])], now_ms=2000)
+    t.add_position_deletes([("data/f1.parquet", 1)], now_ms=3000)   # kills 2
+    t.add_equality_deletes([{"id": 5}], equality_ids=[1], now_ms=4000)
+    before = sorted(r.id for r in t.read(spark).collect())
+    assert before == [1, 3, 4, 6]
+    res = t.compact(spark, now_ms=5000)
+    assert res is not None
+    assert res["files_in"] == 3 and res["files_out"] == 1
+    assert res["rows_out"] == 4  # deletes baked in
+    assert sorted(r.id for r in t.read(spark).collect()) == before
+    # one live data file now; delete files carried (dangling but live)
+    assert len([f for f in t.files() if f.content == 0]) == 1
+    # time travel to the first append still sees every original row
+    assert sorted(
+        r.id for r in t.read(spark, snapshot_id=s1).collect()
+    ) == [1, 2, 3, 4, 5, 6]
+    # a LATER equality delete reaches rows inside the compacted file
+    t.add_equality_deletes([{"id": 3}], equality_ids=[1], now_ms=6000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 4, 6]
+
+
+def test_compact_partitioned_per_partition(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    t.append([write_pq("a1.parquet", [1, 2], bucket=0),
+              write_pq("a2.parquet", [3], bucket=0),
+              write_pq("b1.parquet", [10, 11], bucket=1),
+              write_pq("b2.parquet", [12], bucket=1)], now_ms=2000)
+    res = t.compact(spark, now_ms=3000)
+    assert res["files_in"] == 4 and res["files_out"] == 2
+    live = [f for f in t.files() if f.content == 0]
+    assert sorted(f.partition["p_bucket"] for f in live) == [0, 1]
+    got = {(r.id, r.p_bucket) for r in t.read(spark).collect()}
+    assert got == {(1, 0), (2, 0), (3, 0), (10, 1), (11, 1), (12, 1)}
+    # partition pruning still works over the compacted layout
+    pruned = t.read(spark, partition_filter={"p_bucket": 1})
+    assert sorted(r.id for r in pruned.collect()) == [10, 11, 12]
+
+
+def test_compact_noop_and_crash_injection(spark, tmp_path, monkeypatch):
+    """No qualifying bin -> None and NO commit.  A crash before the
+    metadata swap leaves every snapshot intact and only unreferenced
+    debris, which vacuum reclaims."""
+    import glob as _g
+
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3])], now_ms=2000)
+    v_before = t.current_version()
+    assert t.compact(spark, now_ms=3000) is None     # single file: no bin
+    assert t.current_version() == v_before
+    t.append([write_pq("f2.parquet", [4])], now_ms=4000)
+    v_before = t.current_version()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before metadata swap")
+
+    monkeypatch.setattr(IcebergTable, "_commit_snapshot", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        t.compact(spark, now_ms=5000)
+    monkeypatch.undo()
+    # table unchanged, reads fine
+    assert t.current_version() == v_before
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3, 4]
+    # the staged compact file is unreferenced debris; vacuum reclaims it
+    debris = _g.glob(os.path.join(str(tmp_path / "mor"), "data",
+                                  "compact-*.parquet"))
+    assert len(debris) == 1
+    removed = t.vacuum()
+    assert any("compact-" in p for p in removed)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3, 4]
+
+
 def test_expire_snapshots_and_vacuum(spark, table, tmp_path):
     t, (s1, s2, s3) = table
     # nothing expired -> vacuum removes nothing (every snapshot live)

@@ -661,10 +661,13 @@ def test_schema_evolution_read_and_ddl(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t")
 
 
-def test_compact_refuses_open_format_tables(spark, tmp_path):
-    """Round-8 guard: compacting a delta/iceberg-registered table would
-    rename/delete files the format's log or manifests still reference,
-    corrupting every snapshot — refuse loudly."""
+def test_compact_delegates_to_format_native_rewrite(spark, tmp_path):
+    """Round 9 (closing the round-8 guard): Registry.compact on an
+    open-format table delegates to the format-native committer — the
+    rewrite is a new format snapshot (old snapshots stay readable,
+    unlike the plain-directory journaled rewrite) — then syncs the new
+    file list into the catalog.  A table with nothing to bin is a noop
+    that commits NOTHING."""
     import os
 
     import pandas as pd
@@ -697,5 +700,24 @@ def test_compact_refuses_open_format_tables(spark, tmp_path):
     reg = Registry(spark, str(tmp_path / "meta"))
     reg.register_delta("t", d)
     reg.sync("t")
-    with pytest.raises(ValueError, match="delta-format"):
-        reg.compact("t")
+    # single live file: nothing to bin-pack -> noop, no format commit
+    r = reg.compact("t")
+    assert r.noop and log.latest_version() == 0
+    # two more small files arrive through a format commit + sync
+    pd.DataFrame({"k": [2]}).to_parquet(os.path.join(d, "b.parquet"))
+    pd.DataFrame({"k": [3]}).to_parquet(os.path.join(d, "c.parquet"))
+    log.commit(1, [log.add_action_for("b.parquet"),
+                   log.add_action_for("c.parquet")])
+    reg.sync("t")
+    assert len(reg.shards("t")) == 3
+    r = reg.compact("t")
+    assert not r.noop
+    assert (r.groups, r.files_in, r.files_out) == (1, 3, 1)
+    assert r.bytes_in > 0
+    # the catalog now tracks exactly the compacted layout
+    assert len(reg.shards("t")) == 1
+    assert sorted(x.k for x in reg.read("t").collect()) == [1, 2, 3]
+    # the rewrite is a normal format snapshot: time travel intact
+    assert sorted(x.k for x in log.read(spark, 1).collect()) == [1, 2, 3]
+    # and compact is idempotent through the registry too
+    assert reg.compact("t").noop
