@@ -1281,6 +1281,59 @@ class IcebergTable:
             "bytes_in": bytes_in,
         }
 
+    def remove_dangling_deletes(self, now_ms: int = 0) -> list[str]:
+        """The cleanup half of Iceberg's ``rewrite_position_delete_files``
+        maintenance (round 9; pairs with :meth:`compact`, after which
+        position deletes naming rewritten paths can no longer match):
+        drop live delete files that cannot affect any live data file —
+
+        - a POSITION delete is dangling when no live data file with data
+          sequence ≤ the delete's has its manifest path in the delete
+          parquet's ``file_path`` column (read driver-side; delete files
+          are metadata-scale by design);
+        - an EQUALITY delete is dangling when no live data file is
+          STRICTLY older than it.
+
+        Commits a ``delete`` snapshot whose delete manifest marks the
+        dropped files DELETED (their parquet stays on disk — older
+        snapshots still reference it; :meth:`expire_snapshots` +
+        :meth:`vacuum` reclaim it).  Returns the dropped manifest paths;
+        nothing dangling → no commit, empty list."""
+        import pyarrow.parquet as _pq
+
+        data = [f for f in self.files() if f.content == _CONTENT_DATA]
+        dropped: set[str] = set()
+        for d in self.delete_files():
+            if d.content == _CONTENT_POS_DELETES:
+                refs = set(
+                    _pq.read_table(d.path, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                )
+                applicable = any(
+                    f.sequence <= d.sequence and f.raw_path in refs
+                    for f in data
+                )
+            else:
+                applicable = any(f.sequence < d.sequence for f in data)
+            if not applicable:
+                dropped.add(d.raw_path)
+        if not dropped:
+            return []
+        del_entries = []
+        for e in self._live_delete_entries():
+            if e["data_file"]["file_path"] in dropped:
+                e = dict(e)
+                e["status"] = _STATUS_DELETED
+            del_entries.append(e)
+        self._commit_snapshot(
+            self._live_entries(),
+            "delete",
+            now_ms,
+            delete_entries=del_entries,
+        )
+        return sorted(dropped)
+
     # ---------------------------------------------- maintenance (round 8)
     def expire_snapshots(
         self,

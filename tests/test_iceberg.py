@@ -802,6 +802,59 @@ def test_compact_partitioned_per_partition(spark, tmp_path):
     assert sorted(r.id for r in pruned.collect()) == [10, 11, 12]
 
 
+def test_remove_dangling_deletes_after_compact(spark, tmp_path):
+    """Compaction leaves position deletes naming rewritten (now-dead)
+    paths; remove_dangling_deletes drops exactly those while keeping
+    deletes that still apply to live files, and expire+vacuum then
+    reclaims the dropped parquet."""
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3]),
+              write_pq("f2.parquet", [4, 5])], now_ms=2000)
+    t.add_position_deletes([("data/f1.parquet", 0)], now_ms=3000)
+    t.compact(spark, now_ms=4000)          # applies + strands the delete
+    # a FRESH position delete against the compacted file stays live
+    live_data = [f for f in t.files() if f.content == 0]
+    assert len(live_data) == 1
+    new_rel = live_data[0].raw_path
+    t.add_position_deletes([(new_rel, 0)], now_ms=5000)
+    before = sorted(r.id for r in t.read(spark).collect())
+    dropped = t.remove_dangling_deletes(now_ms=6000)
+    assert dropped == ["data/delete-pos-2.parquet"]
+    # survivors: exactly the fresh delete; read identical
+    survivors = t.delete_files()
+    assert len(survivors) == 1
+    assert "delete-pos-2" not in survivors[0].raw_path
+    assert sorted(r.id for r in t.read(spark).collect()) == before
+    # idempotent: nothing dangling now -> no commit
+    v = t.current_version()
+    assert t.remove_dangling_deletes(now_ms=7000) == []
+    assert t.current_version() == v
+    # the drop snapshot still tombstones the dead delete file (vacuum is
+    # conservative: DELETED tombstones keep their files); one further
+    # commit leaves the tombstone behind, then expiry + vacuum reclaims
+    t.append([write_pq("f9.parquet", [9])], now_ms=7500)
+    t.expire_snapshots(keep_last=1, now_ms=8000)
+    removed = t.vacuum()
+    assert any("delete-pos-2" in p for p in removed)
+    assert sorted(r.id for r in t.read(spark).collect()) == before + [9]
+
+
+def test_remove_dangling_equality_deletes(spark, tmp_path):
+    """An equality delete becomes dangling when every data file at least
+    as old as it has been rewritten away (nothing strictly older left)."""
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2]),
+              write_pq("f2.parquet", [3])], now_ms=2000)
+    t.add_equality_deletes([{"id": 2}], equality_ids=[1], now_ms=3000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+    t.compact(spark, now_ms=4000)   # new file is NEWER than the delete
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+    dropped = t.remove_dangling_deletes(now_ms=5000)
+    assert dropped and "delete-eq" in dropped[0]
+    assert t.delete_files() == []
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+
+
 def test_compact_noop_and_crash_injection(spark, tmp_path, monkeypatch):
     """No qualifying bin -> None and NO commit.  A crash before the
     metadata swap leaves every snapshot intact and only unreferenced
