@@ -10,6 +10,9 @@ collecting min/max statistics.
     python -m hadoop_sync_spark vacuum <meta_dir> [--keep-last N]
     python -m hadoop_sync_spark compact <meta_dir> <table>
                                         [--target-bytes N] [--min-group N]
+    python -m hadoop_sync_spark maintain <meta_dir> <table>
+                                        [--expire-keep-last N] [--expire-log]
+                                        [--remove-dangling-deletes] [--vacuum]
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -78,6 +81,35 @@ def main(argv: list[str] | None = None) -> int:
         help="only rewrite bins holding at least this many files",
     )
 
+    mnt_p = sub.add_parser(
+        "maintain",
+        help="format-native maintenance for delta/iceberg tables "
+        "(snapshot/log expiry, dangling-delete cleanup, data-file vacuum)",
+    )
+    mnt_p.add_argument("meta_dir")
+    mnt_p.add_argument("table")
+    mnt_p.add_argument(
+        "--expire-keep-last",
+        type=int,
+        default=None,
+        help="iceberg: expire all but the newest N snapshots",
+    )
+    mnt_p.add_argument(
+        "--expire-log",
+        action="store_true",
+        help="delta: delete commit JSONs below the newest checkpoint",
+    )
+    mnt_p.add_argument(
+        "--remove-dangling-deletes",
+        action="store_true",
+        help="iceberg: drop delete files that affect no live data file",
+    )
+    mnt_p.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="delete data files no surviving snapshot references",
+    )
+
     try:
         args = p.parse_args(argv)
     except SystemExit:
@@ -136,6 +168,65 @@ def main(argv: list[str] | None = None) -> int:
                     f"({c.bytes_in} bytes in {c.groups} group(s)), "
                     f"published v{c.version}"
                 )
+        elif args.cmd == "maintain":
+            rec = reg.tables().get(args.table)
+            if rec is None:
+                raise KeyError(f"table not registered: {args.table}")
+            fmt = rec.get("format")
+            if fmt not in ("delta", "iceberg"):
+                raise ValueError(
+                    f"maintain is for format tables; {args.table!r} is "
+                    "a plain directory — use vacuum/compact"
+                )
+            import time as _time
+
+            if fmt == "iceberg" and args.expire_log:
+                raise ValueError("--expire-log is a delta operation")
+            if fmt == "delta" and args.expire_keep_last is not None:
+                raise ValueError(
+                    "--expire-keep-last is an iceberg operation; "
+                    "delta uses --expire-log"
+                )
+            if fmt == "delta" and args.remove_dangling_deletes:
+                raise ValueError(
+                    "--remove-dangling-deletes is an iceberg operation"
+                )
+            did_something = False
+            if fmt == "iceberg":
+                from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+                it = IcebergTable(rec["dir_path"])
+                if args.expire_keep_last is not None:
+                    ex = it.expire_snapshots(
+                        keep_last=args.expire_keep_last,
+                        now_ms=int(_time.time() * 1000),
+                    )
+                    print(f"expired {len(ex)} snapshot(s)")
+                    did_something = True
+                if args.remove_dangling_deletes:
+                    dropped = it.remove_dangling_deletes(
+                        now_ms=int(_time.time() * 1000)
+                    )
+                    print(f"dropped {len(dropped)} dangling delete file(s)")
+                    did_something = True
+                if args.vacuum:
+                    removed = it.vacuum()
+                    print(f"vacuumed {len(removed)} unreferenced file(s)")
+                    did_something = True
+            else:
+                from hadoop_sync_spark.delta_log import DeltaLog
+
+                log = DeltaLog(rec["dir_path"])
+                if args.expire_log:
+                    ex = log.expire_log()
+                    print(f"expired {len(ex)} commit(s) below checkpoint")
+                    did_something = True
+                if args.vacuum:
+                    removed = log.vacuum()
+                    print(f"vacuumed {len(removed)} unreferenced file(s)")
+                    did_something = True
+            if not did_something:
+                print("nothing to do (pass at least one maintenance flag)")
         elif args.cmd == "diff":
             d = reg.diff(args.table)
             print(

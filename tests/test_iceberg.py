@@ -238,6 +238,35 @@ def test_cli_register_iceberg_and_sync(spark, table, capsys):
     assert "+0 -1 shards" in capsys.readouterr().out
 
 
+def test_cli_maintain_iceberg(spark, tmp_path, capsys):
+    """The maintain subcommand drives the format-native maintenance ops
+    (round 9): expire + dangling-delete cleanup + vacuum on a registered
+    iceberg table; wrong-format flags fail up-front with NO side effects."""
+    from hadoop_sync_spark.__main__ import main
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3]),
+              write_pq("f2.parquet", [4])], now_ms=2000)
+    t.add_position_deletes([("data/f1.parquet", 0)], now_ms=3000)
+    t.compact(spark, now_ms=4000)  # strands the position delete
+    meta = str(tmp_path / "meta")
+    assert main(["register", meta, "t", t.dir, "--format", "iceberg"]) == 0
+    assert main(["sync", meta, "t"]) == 0
+    capsys.readouterr()
+    # a delta-only flag on an iceberg table: usage error, nothing ran
+    v = t.current_version()
+    assert main(["maintain", meta, "t", "--expire-log",
+                 "--vacuum"]) == 2
+    assert t.current_version() == v
+    assert main(["maintain", meta, "t", "--remove-dangling-deletes"]) == 0
+    assert "dropped 1 dangling delete file(s)" in capsys.readouterr().out
+    assert main(["maintain", meta, "t", "--expire-keep-last", "1",
+                 "--vacuum"]) == 0
+    out = capsys.readouterr().out
+    assert "expired" in out and "vacuumed" in out
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3, 4]
+
+
 def test_review_fixes_snapshotless_and_time_travel_ties(spark, tmp_path):
     """Round-7 self-review regressions: (1) a freshly created table
     (snapshots=[]) must diff/sync as an empty directory, not crash;
