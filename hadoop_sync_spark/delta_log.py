@@ -36,8 +36,12 @@ files with CRC-verified RoaringBitmapArray payloads — both public
 formats implemented from scratch, incl. a portable-format Roaring
 reader covering array/bitset/run containers) subtract rows at read
 time via a broadcast anti-join on ``_metadata.row_index``, and survive
-checkpointing.  Honest seams: any OTHER v3 reader feature (column
-mapping, v2 checkpoints …) and bare ``minReaderVersion=2`` raise
+checkpointing.  Column mapping is SUPPORTED too (round 9): both
+``name`` and ``id`` modes (physical ``col-<uuid>`` columns renamed to
+the logical schema; id mode matches by parquet footer field_id), with
+partition values keyed by physical name per spec, composing with DVs
+and checkpoints.  Honest seams: any OTHER v3 reader feature
+(v2 checkpoints, type widening …) and reader versions above 3 raise
 instead of silently mis-reading.
 """
 
@@ -234,6 +238,19 @@ class Snapshot:
     partition_columns: tuple[str, ...]
     #: path -> add action dict (relative paths, exactly as logged)
     live: dict[str, dict] = field(default_factory=dict)
+    #: metaData.configuration verbatim (column mapping mode lives here)
+    configuration: dict = field(default_factory=dict)
+    #: the replayed protocol action (checkpoints reproduce it verbatim)
+    protocol: dict | None = None
+
+    @property
+    def column_mapping_mode(self) -> str:
+        mode = self.configuration.get("delta.columnMapping.mode", "none")
+        if mode not in ("none", "name", "id"):
+            raise NotImplementedError(
+                f"delta.columnMapping.mode={mode!r} is not a protocol mode"
+            )
+        return mode
 
     @property
     def files(self) -> list[str]:
@@ -291,22 +308,32 @@ class DeltaLog:
             mrv = proto.get("minReaderVersion", 1)
             if mrv == 3:
                 feats = set(proto.get("readerFeatures") or ())
-                unsupported = feats - {"deletionVectors"}
+                unsupported = feats - {"deletionVectors", "columnMapping"}
                 if unsupported:
                     raise NotImplementedError(
                         f"Delta reader features {sorted(unsupported)} "
                         "not supported; refusing to silently mis-read"
                     )
+            elif mrv == 2:
+                # minReaderVersion=2 IS the column-mapping capability
+                # (PROTOCOL.md reader-version table) — supported since
+                # round 9; the mode itself rides metaData.configuration
+                pass
             elif mrv > 1:
                 raise NotImplementedError(
-                    f"Delta minReaderVersion={mrv}: column mapping / v2 "
-                    "checkpoints are beyond this reader; refusing to "
+                    f"Delta minReaderVersion={mrv}: v2 checkpoints / "
+                    "newer features are beyond this reader; refusing to "
                     "silently mis-read"
                 )
+            snap.protocol = proto
         elif "metaData" in action:
             md = action["metaData"]
             snap.schema_json = md.get("schemaString", snap.schema_json)
             snap.partition_columns = tuple(md.get("partitionColumns", ()))
+            cfg = md.get("configuration")
+            if isinstance(cfg, list):  # checkpoint map column round trip
+                cfg = dict(cfg)
+            snap.configuration = cfg or {}
         elif "add" in action:
             add = action["add"]
             snap.live[add["path"]] = add
@@ -379,6 +406,8 @@ class DeltaLog:
             if schema is None:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], schema)
+        if snap.column_mapping_mode != "none":
+            return self._read_column_mapped(spark, snap, sel, files)
         schema = snap.schema()
         sel_set = set(sel)
         dv_map = {
@@ -488,6 +517,135 @@ class DeltaLog:
         return (
             spark.read.option("basePath", self.table_dir).parquet(*files)
         )
+
+    def _read_column_mapped(self, spark, snap, sel, files) -> DataFrame:
+        """Column-mapping read (PROTOCOL.md "Column Mapping", round 9):
+        data files store PHYSICAL column names (``col-<uuid>`` style from
+        conforming writers); the logical schema's per-field metadata
+        carries ``delta.columnMapping.physicalName`` and ``.id``.
+
+        - ``name`` mode matches parquet columns by physical name;
+        - ``id`` mode matches by the parquet footer's ``field_id``
+          (resolved driver-side from one footer — conforming id-mode
+          writers stamp every file identically; a footer without ids is
+          non-conforming and refuses).
+
+        Renaming is one ``select`` of alias+cast expressions — the
+        struct cast renames NESTED fields positionally to the logical
+        names, so nothing is rewritten row-side.  Partition values and
+        deletion vectors compose: ``partitionValues`` keys are PHYSICAL
+        names under mapping (per spec, like stats), DVs are path-keyed
+        and mode-agnostic."""
+        import json as _json
+
+        from hadoop_sync_spark.io import attach_file_columns
+
+        mode = snap.column_mapping_mode
+        schema = snap.schema()
+        fields = _json.loads(snap.schema_json)["fields"]
+
+        def mapping_of(f: dict) -> tuple[str, int]:
+            md = f.get("metadata") or {}
+            pn = md.get("delta.columnMapping.physicalName")
+            fid = md.get("delta.columnMapping.id")
+            if pn is None or fid is None:
+                raise ValueError(
+                    f"column mapping enabled but field {f['name']!r} "
+                    "lacks physicalName/id metadata"
+                )
+            return pn, int(fid)
+
+        phys: dict[str, str] = {}
+        if mode == "name":
+            for f in fields:
+                phys[f["name"]], _ = mapping_of(f)
+        else:  # id
+            import pyarrow.parquet as _pq
+
+            footer = _pq.read_schema(files[0])
+            id_to_col: dict[int, str] = {}
+            for i in range(len(footer.names)):
+                fld = footer.field(i)
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    id_to_col[int(fid)] = fld.name
+            for f in fields:
+                pn, fid = mapping_of(f)
+                if fid not in id_to_col:
+                    raise ValueError(
+                        f"id-mode column mapping: field id {fid} absent "
+                        f"from the parquet footer of {files[0]!r} — "
+                        "non-conforming file"
+                    )
+                phys[f["name"]] = id_to_col[fid]
+
+        part_cols = list(snap.partition_columns)
+        scan = spark.read.parquet(*files)
+        present = set(scan.columns)
+        dv_map = {
+            p: a["deletionVector"]
+            for p, a in snap.live.items()
+            if a.get("deletionVector") and p in set(sel)
+        }
+        if dv_map:
+            scan = scan.select(
+                "*", F.col("_metadata.row_index").alias("_row_idx")
+            )
+
+        # physical -> logical rename; struct cast renames nested fields
+        data_exprs = []
+        for f in schema.fields:
+            if f.name in part_cols:
+                continue  # partition values attach from the log
+            p = phys[f.name]
+            if p not in present:
+                raise ValueError(
+                    f"physical column {p!r} (logical {f.name!r}) absent "
+                    "from the data files"
+                )
+            data_exprs.append(F.col(p).cast(f.dataType).alias(f.name))
+
+        attach_cols: list[str] = []
+        if dv_map:
+            attach_cols.append("_rel_path")
+        attach_cols += part_cols
+        if attach_cols:
+            rows = []
+            for p in sel:
+                a = snap.live[p]
+                pv = a.get("partitionValues") or {}
+                row = [os.path.abspath(os.path.join(self.table_dir, p))]
+                if dv_map:
+                    row.append(p)
+                for c in part_cols:
+                    # spec: partitionValues keys use PHYSICAL names under
+                    # column mapping; tolerate logical for lax writers
+                    v = pv.get(phys.get(c, c), pv.get(c))
+                    row.append(None if v is None else str(v))
+                rows.append(tuple(row))
+            scan = attach_file_columns(
+                scan, rows, attach_cols, what="delta mapped snapshot"
+            )
+        out_cols = data_exprs + [
+            F.col(c).cast(schema[c].dataType).alias(c) for c in part_cols
+        ]
+        if dv_map:
+            del_rows = [
+                (rel, int(pos))
+                for rel, desc in sorted(dv_map.items())
+                for pos in self._dv_positions(desc)
+            ]
+            if del_rows:
+                dels = spark.createDataFrame(
+                    del_rows, ["_d_file", "_d_pos"]
+                )
+                scan = scan.join(
+                    F.broadcast(dels),
+                    (F.col("_rel_path") == F.col("_d_file"))
+                    & (F.col("_row_idx") == F.col("_d_pos")),
+                    "left_anti",
+                )
+        return scan.select(*out_cols)
 
     # ---- minimal committer (fixture builder + registry export) ---------
     def commit(self, version: int, actions: list[dict]) -> str:
@@ -762,24 +920,29 @@ class DeltaLog:
 
         snap = self.snapshot(version)
         has_dv = any(a.get("deletionVector") for a in snap.live.values())
-        rows: list[dict] = [
+        proto = snap.protocol or (
             {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
-                if has_dv
-                else {"minReaderVersion": 1, "minWriterVersion": 2}
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
             }
-        ]
+            if has_dv
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        rows: list[dict] = [{"protocol": proto}]
         if snap.schema_json is not None:
             rows.append(
                 {
                     "metaData": {
                         "schemaString": snap.schema_json,
                         "partitionColumns": list(snap.partition_columns),
+                        # configuration carries column-mapping mode; a
+                        # checkpoint that dropped it would silently
+                        # mis-read every physical column name
+                        "configuration": [
+                            (k, v) for k, v in snap.configuration.items()
+                        ],
                     }
                 }
             )
@@ -807,7 +970,9 @@ class DeltaLog:
                     "metaData",
                     pa.struct(
                         [("schemaString", pa.string()),
-                         ("partitionColumns", pa.list_(pa.string()))]
+                         ("partitionColumns", pa.list_(pa.string())),
+                         ("configuration",
+                          pa.map_(pa.string(), pa.string()))]
                     ),
                 ),
                 pa.field(

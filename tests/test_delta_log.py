@@ -9,6 +9,8 @@ import json
 import os
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from hadoop_sync_spark.delta_log import DeltaLog
@@ -172,23 +174,28 @@ def test_partitioned_read_hive_layout_fallback(spark, tmp_path):
 
 
 def test_protocol_reader_features_gate(tmp_path):
-    """deletionVectors is SUPPORTED since round 8; any other v3 reader
-    feature, and bare v2, still refuse honestly."""
+    """deletionVectors (round 8) and columnMapping / minReaderVersion=2
+    (round 9) are SUPPORTED; any other v3 reader feature and any newer
+    reader version still refuse honestly."""
     d, log = _mk_table(tmp_path)
     log.commit(0, [{"protocol": {"minReaderVersion": 3,
-                                 "readerFeatures": ["deletionVectors"]}},
+                                 "readerFeatures": ["deletionVectors",
+                                                    "columnMapping"]}},
                    _meta()])
-    log.snapshot()  # v3 + deletionVectors: accepted
+    log.snapshot()  # v3 + both supported features: accepted
     d2, log2 = _mk_table(tmp_path, "t2")
     log2.commit(0, [{"protocol": {"minReaderVersion": 3,
-                                  "readerFeatures": ["columnMapping"]}},
+                                  "readerFeatures": ["v2Checkpoint"]}},
                     _meta()])
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         log2.snapshot()
     d3, log3 = _mk_table(tmp_path, "t3")
     log3.commit(0, [{"protocol": {"minReaderVersion": 2}}, _meta()])
+    log3.snapshot()  # v2 = column-mapping capability: accepted
+    d4, log4 = _mk_table(tmp_path, "t4")
+    log4.commit(0, [{"protocol": {"minReaderVersion": 4}}, _meta()])
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
-        log3.snapshot()
+        log4.snapshot()
 
 
 def test_commit_put_if_absent(tmp_path):
@@ -526,6 +533,127 @@ def test_registry_read_schema_stable_across_delete_state(spark, tmp_path):
     assert after.columns == before.columns
     assert {(r.k, r.p) for r in after.collect()} == {
         (1, 0), (2, 0), (4, 1)}
+
+
+# ------------------------------------------------------ column mapping (r9)
+def _mapped_field(name, typ, fid, pn):
+    return {"name": name, "type": typ, "nullable": True,
+            "metadata": {"delta.columnMapping.id": fid,
+                         "delta.columnMapping.physicalName": pn}}
+
+
+def _mapped_meta(mode, part=False):
+    import json as _json
+
+    fields = [_mapped_field("k", "long", 1, "col-aaa"),
+              _mapped_field("v", "string", 2, "col-bbb")]
+    if part:
+        fields.append(_mapped_field("p", "integer", 3, "col-ccc"))
+    return {"metaData": {
+        "id": "t", "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+        "partitionColumns": ["p"] if part else [],
+        "configuration": {"delta.columnMapping.mode": mode,
+                          "delta.columnMapping.maxColumnId": "3"},
+    }}
+
+
+def _write_phys(d, name, ks, vs, col_k="col-aaa", col_v="col-bbb",
+                ids=None):
+    f_k = pa.field(col_k, pa.int64(),
+                   metadata={b"PARQUET:field_id": str(ids[0]).encode()}
+                   if ids else None)
+    f_v = pa.field(col_v, pa.string(),
+                   metadata={b"PARQUET:field_id": str(ids[1]).encode()}
+                   if ids else None)
+    pq.write_table(
+        pa.table({col_k: pa.array(ks, pa.int64()),
+                  col_v: pa.array(vs, pa.string())},
+                 schema=pa.schema([f_k, f_v])),
+        os.path.join(d, name),
+    )
+
+
+def test_column_mapping_name_mode_with_dv_and_checkpoint(spark, tmp_path):
+    """PROTOCOL.md column mapping, name mode: data files carry physical
+    col-<uuid> names, the read returns logical names/types; deletion
+    vectors compose, and the mode survives a checkpoint-seeded read
+    (configuration now rides the checkpoint's metaData struct)."""
+    d, log = _mk_table(tmp_path, "cm_name")
+    _write_phys(d, "a.parquet", [1, 2, 3], ["x", "y", "z"])
+    _write_phys(d, "b.parquet", [4], ["w"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name"),
+                   log.add_action_for("a.parquet"),
+                   log.add_action_for("b.parquet")])
+    df = log.read(spark)
+    assert sorted(df.columns) == ["k", "v"]
+    assert {(r.k, r.v) for r in df.collect()} == {
+        (1, "x"), (2, "y"), (3, "z"), (4, "w")}
+    # deletion vector on the mapped table (v3 + both features)
+    log.add_deletion_vector(1, "a.parquet", [1], storage="i")
+    assert sorted(r.k for r in log.read(spark).collect()) == [1, 3, 4]
+    # checkpoint round trip keeps the mode (fresh log, seeded read)
+    log.write_checkpoint(1)
+    log.commit(2, [{"remove": {"path": "nope.parquet",
+                               "dataChange": False}}])
+    from hadoop_sync_spark.delta_log import DeltaLog
+    fresh = DeltaLog(d)
+    assert sorted(r.k for r in fresh.read(spark).collect()) == [1, 3, 4]
+
+
+def test_column_mapping_id_mode_matches_by_field_id(spark, tmp_path):
+    """id mode matches parquet columns by footer field_id, NOT by name:
+    the file's column names disagree with physicalName on purpose."""
+    d, log = _mk_table(tmp_path, "cm_id")
+    _write_phys(d, "a.parquet", [7, 8], ["a", "b"],
+                col_k="col-zzz", col_v="col-qqq", ids=(1, 2))
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("id"),
+                   log.add_action_for("a.parquet")])
+    got = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert got == {(7, "a"), (8, "b")}
+    # a footer without ids is non-conforming in id mode: refuse
+    _write_phys(d, "b.parquet", [9], ["c"])  # no field ids
+    log.commit(1, [{"remove": {"path": "a.parquet", "dataChange": True}},
+                   log.add_action_for("b.parquet")])
+    with pytest.raises(ValueError, match="field id"):
+        log.read(spark).collect()
+
+
+def test_column_mapping_partition_values_use_physical_keys(spark,
+                                                           tmp_path):
+    d, log = _mk_table(tmp_path, "cm_part")
+    _write_phys(d, "a.parquet", [1], ["x"])
+    _write_phys(d, "b.parquet", [2], ["y"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name", part=True),
+                   log.add_action_for(
+                       "a.parquet", partitionValues={"col-ccc": "0"}),
+                   log.add_action_for(
+                       "b.parquet", partitionValues={"col-ccc": "1"})])
+    got = {(r.k, r.p) for r in log.read(spark).collect()}
+    assert got == {(1, 0), (2, 1)}
+
+
+def test_column_mapping_missing_metadata_refuses(spark, tmp_path):
+    import json as _json
+
+    d, log = _mk_table(tmp_path, "cm_bad")
+    _write_phys(d, "a.parquet", [1], ["x"])
+    meta = _mapped_meta("name")
+    fields = _json.loads(meta["metaData"]["schemaString"])["fields"]
+    del fields[1]["metadata"]["delta.columnMapping.physicalName"]
+    meta["metaData"]["schemaString"] = _json.dumps(
+        {"type": "struct", "fields": fields})
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   meta, log.add_action_for("a.parquet")])
+    with pytest.raises(ValueError, match="lacks physicalName"):
+        log.read(spark)
 
 
 # ---------------------------------------------------------- compaction (r9)
