@@ -651,6 +651,23 @@ class IcebergTable:
             files = [f for f in files if f.raw_path in paths]
         if not files:
             raise ValueError("snapshot selects no data files")
+        part_cols = sorted({k for f in files for k in f.partition})
+        reader = spark.read
+        meta_doc = self.metadata()
+        if len(meta_doc.get("schemas", [])) > 1:
+            # schema evolution (round 9): pin the snapshot's schema so
+            # files written before an added column null-fill it and
+            # dropped columns prune.  Name-based resolution is guarded —
+            # a rename/promotion in the schema history refuses (id-based
+            # resolution needs parquet footer field ids).  Single-schema
+            # tables keep the exact pre-round-9 inferred-schema plan.
+            self._check_no_rename_or_promotion()
+            sid = self.snapshot(snapshot_id, as_of_timestamp_ms).get(
+                "schema-id", meta_doc["current-schema-id"]
+            )
+            reader = reader.schema(
+                self._spark_schema(sid, exclude=set(part_cols))
+            )
         deletes = self.delete_files(snapshot_id, as_of_timestamp_ms)
         pos_dels = [
             d for d in deletes
@@ -662,8 +679,7 @@ class IcebergTable:
             if d.content == _CONTENT_EQ_DELETES
             and any(f.sequence < d.sequence for f in files)
         ]
-        scan = spark.read.parquet(*[f.path for f in files])
-        part_cols = sorted({k for f in files for k in f.partition})
+        scan = reader.parquet(*[f.path for f in files])
         if not (pos_dels or eq_dels):
             if not part_cols:
                 return scan
@@ -1142,6 +1158,98 @@ class IcebergTable:
             now_ms,
             delete_entries=self._live_delete_entries() + [entry],
         )
+
+    def _schema_by_id(self, sid: int) -> dict:
+        for s in self.metadata().get("schemas", []):
+            if s.get("schema-id", 0) == sid:
+                return s
+        raise ValueError(f"no schema with schema-id {sid}")
+
+    def _check_no_rename_or_promotion(self) -> None:
+        """Name-based column resolution is sound only while every field
+        id maps to ONE (name, type) across the schema history — spec
+        renames/promotions are id-based and need parquet footer field
+        ids to resolve, which plain-parquet writers don't stamp.  The
+        check is pure metadata, so a table evolved beyond add/drop
+        refuses loudly instead of silently null-filling a renamed
+        column."""
+        seen: dict[int, tuple] = {}
+        for s in self.metadata().get("schemas", []):
+            for f in s["fields"]:
+                cur = (f["name"], json.dumps(f["type"], sort_keys=True))
+                prev = seen.setdefault(f["id"], cur)
+                if prev != cur:
+                    raise NotImplementedError(
+                        f"schema evolution beyond add/drop (field id "
+                        f"{f['id']}: {prev} -> {cur}) needs id-based "
+                        "column resolution"
+                    )
+
+    def _spark_schema(self, sid: int, exclude: set | None = None):
+        from pyspark.sql import types as T
+
+        inv = {
+            "long": T.LongType(), "int": T.IntegerType(),
+            "double": T.DoubleType(), "float": T.FloatType(),
+            "string": T.StringType(), "boolean": T.BooleanType(),
+            "date": T.DateType(), "binary": T.BinaryType(),
+            "timestamptz": T.TimestampType(),
+            "timestamp": T.TimestampNTZType(),
+        }
+        fields = []
+        for f in self._schema_by_id(sid)["fields"]:
+            if exclude and f["name"] in exclude:
+                continue
+            ityp = f["type"]
+            if not isinstance(ityp, str) or ityp not in inv:
+                raise NotImplementedError(
+                    f"iceberg type {ityp!r} in the read schema"
+                )
+            fields.append(
+                T.StructField(
+                    f["name"], inv[ityp], not f.get("required", False)
+                )
+            )
+        return T.StructType(fields)
+
+    def add_column(
+        self, name: str, spark_type: str, now_ms: int = 0
+    ) -> int:
+        """Schema evolution, the add-column face (spec: "Schema
+        Evolution" — adds are metadata-only; existing data files simply
+        lack the column and reads null-fill it).  Appends a new schema
+        with the next schema-id and field id (``last-column-id`` + 1),
+        points ``current-schema-id`` at it, and bumps the metadata
+        version — no snapshot is committed (Iceberg's own shape: DDL is
+        a metadata swap).  Returns the new field id."""
+        meta = json.loads(json.dumps(self.metadata()))
+        cur = self._schema_by_id(meta["current-schema-id"])
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        if spark_type not in _SPARK_TO_ICEBERG:
+            raise NotImplementedError(
+                f"no Iceberg mapping for Spark type {spark_type!r}"
+            )
+        fid = meta["last-column-id"] + 1
+        new_sid = max(
+            s.get("schema-id", 0) for s in meta["schemas"]
+        ) + 1
+        new_schema = json.loads(json.dumps(cur))
+        new_schema["schema-id"] = new_sid
+        new_schema["fields"].append(
+            {
+                "id": fid,
+                "name": name,
+                "required": False,
+                "type": _SPARK_TO_ICEBERG[spark_type],
+            }
+        )
+        meta["schemas"].append(new_schema)
+        meta["current-schema-id"] = new_sid
+        meta["last-column-id"] = fid
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
+        return fid
 
     def compact(
         self,

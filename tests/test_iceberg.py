@@ -783,6 +783,68 @@ def test_registry_read_applies_mor_deletes_with_catalog_lag(spark, tmp_path):
 
 
 # ------------------------------------------------------- maintenance (r8)
+# ---------------------------------------------------- schema evolution (r9)
+def test_add_column_nullfills_old_files(spark, tmp_path):
+    """Iceberg schema evolution, the add face: a column added after
+    files were written is null in them and real in newer files; a
+    time-travel read to a pre-evolution snapshot uses THAT snapshot's
+    schema (no phantom column)."""
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2])], now_ms=2000)
+    fid = t.add_column("score", "double", now_ms=3000)
+    assert fid == 3  # id/val are 1/2
+    # newer file carries the column
+    p = os.path.join(str(tmp_path / "mor"), "data", "f2.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()),
+                  "val": pa.array(["v3"], pa.string()),
+                  "score": pa.array([0.5], pa.float64())}), p)
+    t.append([DataFile("data/f2.parquet", {}, 1, os.path.getsize(p))],
+             now_ms=4000)
+    got = {(r.id, r.score) for r in t.read(spark).collect()}
+    assert got == {(1, None), (2, None), (3, 0.5)}
+    # time travel: the pre-evolution snapshot has no score column
+    old = t.read(spark, snapshot_id=s1)
+    assert "score" not in old.columns
+    assert sorted(r.id for r in old.collect()) == [1, 2]
+    # deletes compose with the pinned evolved schema
+    t.add_position_deletes([("data/f1.parquet", 0)], now_ms=5000)
+    got = {(r.id, r.score) for r in t.read(spark).collect()}
+    assert got == {(2, None), (3, 0.5)}
+
+
+def test_add_column_guards(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1])], now_ms=2000)
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("val", "string")
+    with pytest.raises(NotImplementedError, match="no Iceberg mapping"):
+        t.add_column("m", "map<string,int>")
+
+
+def test_rename_in_schema_history_refuses(spark, tmp_path):
+    """Renames/promotions are id-based in the spec; name-based reads
+    would silently null-fill the renamed column, so the metadata-level
+    history check refuses before any data is read."""
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1])], now_ms=2000)
+    t.add_column("score", "double", now_ms=3000)
+    meta = json.loads(json.dumps(t.metadata()))
+    cur = [s for s in meta["schemas"]
+           if s.get("schema-id", 0) == meta["current-schema-id"]][0]
+    renamed = json.loads(json.dumps(cur))
+    renamed["schema-id"] = meta["current-schema-id"] + 1
+    renamed["fields"][1]["name"] = "value_renamed"  # same id, new name
+    meta["schemas"].append(renamed)
+    meta["current-schema-id"] = renamed["schema-id"]
+    v = t.current_version() + 1
+    json.dump(meta, open(os.path.join(t.meta_dir,
+                                      f"v{v}.metadata.json"), "w"))
+    open(t._hint_path(), "w").write(str(v))
+    with pytest.raises(NotImplementedError, match="id-based"):
+        t.read(spark)
+
+
 # ---------------------------------------------------------- compaction (r9)
 def test_compact_binpacks_and_applies_mor_deletes(spark, tmp_path):
     """rewrite_data_files parity: small files bin-pack per partition with
