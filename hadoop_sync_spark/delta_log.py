@@ -36,7 +36,10 @@ files with CRC-verified RoaringBitmapArray payloads — both public
 formats implemented from scratch, incl. a portable-format Roaring
 reader covering array/bitset/run containers) subtract rows at read
 time via a broadcast anti-join on ``_metadata.row_index``, and survive
-checkpointing.  Column mapping is SUPPORTED too (round 9): both
+checkpointing — classic ``N.checkpoint.parquet`` AND V2 UUID-named
+checkpoints (round 9: ``N.checkpoint.<uuid>.{json,parquet}`` with
+``checkpointMetadata`` validation and ``_delta_log/_sidecars/*.parquet``
+file-action sidecars).  Column mapping is SUPPORTED too (round 9): both
 ``name`` and ``id`` modes (physical ``col-<uuid>`` columns renamed to
 the logical schema; id mode matches by parquet footer field_id), with
 partition values keyed by physical name per spec, composing with DVs
@@ -289,17 +292,37 @@ class DeltaLog:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         return vs[-1]
 
-    def _checkpoint_versions(self) -> list[int]:
+    def _checkpoint_files(self) -> dict[int, str]:
+        """version -> checkpoint file path.  Classic
+        ``N.checkpoint.parquet`` and V2 UUID-named
+        ``N.checkpoint.<uuid>.{json,parquet}`` both resolve; when a
+        version has both, the V2 file wins (it is the newer write)."""
         if not os.path.isdir(self.log_dir):
-            return []
-        out = []
+            return {}
+        classic: dict[int, str] = {}
+        v2: dict[int, str] = {}
         for name in os.listdir(self.log_dir):
-            if name.endswith(".checkpoint.parquet"):
-                try:
-                    out.append(int(name.split(".", 1)[0]))
-                except ValueError:
-                    continue
-        return sorted(out)
+            parts = name.split(".")
+            try:
+                ver = int(parts[0])
+            except ValueError:
+                continue
+            if len(parts) == 3 and parts[1:] == ["checkpoint", "parquet"]:
+                classic[ver] = name
+            elif (
+                len(parts) == 4
+                and parts[1] == "checkpoint"
+                and parts[3] in ("json", "parquet")
+            ):
+                v2[ver] = name
+        merged = {**classic, **v2}
+        return {
+            ver: os.path.join(self.log_dir, merged[ver])
+            for ver in sorted(merged)
+        }
+
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(self._checkpoint_files())
 
     # ---- replay --------------------------------------------------------
     def _apply(self, snap: Snapshot, action: dict) -> None:
@@ -308,7 +331,9 @@ class DeltaLog:
             mrv = proto.get("minReaderVersion", 1)
             if mrv == 3:
                 feats = set(proto.get("readerFeatures") or ())
-                unsupported = feats - {"deletionVectors", "columnMapping"}
+                unsupported = feats - {
+                    "deletionVectors", "columnMapping", "v2Checkpoint"
+                }
                 if unsupported:
                     raise NotImplementedError(
                         f"Delta reader features {sorted(unsupported)} "
@@ -1021,6 +1046,132 @@ class DeltaLog:
             json.dump({"version": snap.version, "size": len(rows)}, fh)
         return cp_path
 
+    def write_checkpoint_v2(
+        self, version: int | None = None, sidecars: int = 1
+    ) -> str:
+        """V2 checkpoint (PROTOCOL.md "V2 Checkpoints", round 9): a
+        UUID-named ``N.checkpoint.<uuid>.json`` holding the non-file
+        actions (protocol, metaData), ONE ``checkpointMetadata`` action
+        naming its version, and ``sidecar`` actions pointing at
+        ``_delta_log/_sidecars/<uuid>-<i>.parquet`` files that carry the
+        file actions — the layout that lets engines write huge
+        checkpoints in parallel.  ``sidecars=0`` inlines the file
+        actions in the main file (also spec-legal).  UUIDs are
+        deterministic (table+version-derived — the repo's
+        no-ambient-randomness rule).  Points ``_last_checkpoint`` at
+        it."""
+        import hashlib as _hashlib
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot(version)
+        proto = snap.protocol or {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }
+        uid = _uuid.UUID(
+            bytes=_hashlib.md5(
+                f"{self.table_dir}#v2cp#{snap.version}".encode()
+            ).digest()
+        )
+        actions: list[dict] = [
+            {"protocol": proto},
+            {"checkpointMetadata": {"version": snap.version}},
+        ]
+        if snap.schema_json is not None:
+            actions.append(
+                {
+                    "metaData": {
+                        "schemaString": snap.schema_json,
+                        "partitionColumns": list(snap.partition_columns),
+                        "configuration": dict(snap.configuration),
+                    }
+                }
+            )
+        adds = [dict(snap.live[p]) for p in snap.files]
+        n_rows = len(actions) + len(adds)
+        if sidecars and adds:
+            side_dir = os.path.join(self.log_dir, "_sidecars")
+            os.makedirs(side_dir, exist_ok=True)
+            add_schema = pa.schema(
+                [
+                    pa.field(
+                        "add",
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                ("partitionValues",
+                                 pa.map_(pa.string(), pa.string())),
+                                ("size", pa.int64()),
+                                ("modificationTime", pa.int64()),
+                                ("dataChange", pa.bool_()),
+                                (
+                                    "deletionVector",
+                                    pa.struct(
+                                        [
+                                            ("storageType", pa.string()),
+                                            ("pathOrInlineDv",
+                                             pa.string()),
+                                            ("offset", pa.int32()),
+                                            ("sizeInBytes", pa.int32()),
+                                            ("cardinality", pa.int64()),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    )
+                ]
+            )
+            for i in range(sidecars):
+                chunk = adds[i::sidecars]
+                rows = []
+                for a in chunk:
+                    a = dict(a)
+                    a["partitionValues"] = [
+                        (k, v)
+                        for k, v in (a.get("partitionValues") or {}).items()
+                    ]
+                    rows.append(a)
+                name = f"{uid}-{i}.parquet"
+                side_path = os.path.join(side_dir, name)
+                pq.write_table(
+                    pa.table(
+                        {"add": pa.array(
+                            rows, type=add_schema.field("add").type
+                        )},
+                        schema=add_schema,
+                    ),
+                    side_path,
+                )
+                actions.append(
+                    {
+                        "sidecar": {
+                            "path": name,
+                            "sizeInBytes": os.path.getsize(side_path),
+                        }
+                    }
+                )
+        else:
+            actions.extend({"add": a} for a in adds)
+        cp_path = os.path.join(
+            self.log_dir,
+            f"{snap.version:020d}.checkpoint.{uid}.json",
+        )
+        with open(cp_path, "w", encoding="utf-8") as fh:
+            for a in actions:
+                fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+        with open(
+            os.path.join(self.log_dir, _LAST_CHECKPOINT), "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump({"version": snap.version, "size": n_rows}, fh)
+        return cp_path
+
     # ---- lifecycle (the registry's A23 ops on the open format) --------
     def history(self) -> list[dict]:
         """One row per commit, newest first: version, file mtime, and
@@ -1102,13 +1253,48 @@ class DeltaLog:
     def _seed_from_checkpoint(self, snap: Snapshot, version: int) -> None:
         import pyarrow.parquet as pq
 
-        table = pq.read_table(_checkpoint_path(self.table_dir, version))
-        for row in table.to_pylist():
-            action = {
-                k: v for k, v in row.items() if v is not None
-            }
-            if "add" in action:
-                pv = action["add"].get("partitionValues")
-                if isinstance(pv, list):
-                    action["add"]["partitionValues"] = dict(pv)
-            self._apply(snap, action)
+        path = self._checkpoint_files()[version]
+        if path.endswith(".json"):
+            actions = []
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        actions.append(json.loads(line))
+        else:
+            actions = [
+                {k: v for k, v in row.items() if v is not None}
+                for row in pq.read_table(path).to_pylist()
+            ]
+        for action in actions:
+            self._seed_action(snap, action, version)
+
+    def _seed_action(self, snap: Snapshot, action: dict, version: int):
+        """Apply one checkpoint action, including the V2-only kinds:
+        ``checkpointMetadata`` (must name the checkpoint's own version)
+        and ``sidecar`` (file actions split into
+        ``_delta_log/_sidecars/<name>.parquet`` per the V2 Checkpoint
+        spec — read here and applied inline)."""
+        import pyarrow.parquet as pq
+
+        if "checkpointMetadata" in action:
+            got = action["checkpointMetadata"].get("version")
+            if got != version:
+                raise ValueError(
+                    f"v2 checkpoint names version {got}, file says "
+                    f"{version} — corrupt checkpoint"
+                )
+            return
+        if "sidecar" in action:
+            side = os.path.join(
+                self.log_dir, "_sidecars", action["sidecar"]["path"]
+            )
+            for row in pq.read_table(side).to_pylist():
+                inner = {k: v for k, v in row.items() if v is not None}
+                self._seed_action(snap, inner, version)
+            return
+        if "add" in action:
+            pv = action["add"].get("partitionValues")
+            if isinstance(pv, list):
+                action["add"]["partitionValues"] = dict(pv)
+        self._apply(snap, action)

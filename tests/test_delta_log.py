@@ -174,20 +174,21 @@ def test_partitioned_read_hive_layout_fallback(spark, tmp_path):
 
 
 def test_protocol_reader_features_gate(tmp_path):
-    """deletionVectors (round 8) and columnMapping / minReaderVersion=2
-    (round 9) are SUPPORTED; any other v3 reader feature and any newer
-    reader version still refuse honestly."""
+    """deletionVectors (round 8) and columnMapping / v2Checkpoint /
+    minReaderVersion=2 (round 9) are SUPPORTED; any other v3 reader
+    feature and any newer reader version still refuse honestly."""
     d, log = _mk_table(tmp_path)
     log.commit(0, [{"protocol": {"minReaderVersion": 3,
                                  "readerFeatures": ["deletionVectors",
-                                                    "columnMapping"]}},
+                                                    "columnMapping",
+                                                    "v2Checkpoint"]}},
                    _meta()])
-    log.snapshot()  # v3 + both supported features: accepted
+    log.snapshot()  # v3 + all three supported features: accepted
     d2, log2 = _mk_table(tmp_path, "t2")
     log2.commit(0, [{"protocol": {"minReaderVersion": 3,
-                                  "readerFeatures": ["v2Checkpoint"]}},
+                                  "readerFeatures": ["typeWidening"]}},
                     _meta()])
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         log2.snapshot()
     d3, log3 = _mk_table(tmp_path, "t3")
     log3.commit(0, [{"protocol": {"minReaderVersion": 2}}, _meta()])
@@ -533,6 +534,79 @@ def test_registry_read_schema_stable_across_delete_state(spark, tmp_path):
     assert after.columns == before.columns
     assert {(r.k, r.p) for r in after.collect()} == {
         (1, 0), (2, 0), (4, 1)}
+
+
+# ------------------------------------------------------ v2 checkpoints (r9)
+def test_v2_checkpoint_sidecar_seeding_equals_pure_json(spark, tmp_path):
+    """V2 checkpoints (UUID-named main file + _sidecars parquet holding
+    the file actions) seed a snapshot identical to the pure JSON replay;
+    the tail replays on top, expire_log keys off it, and time travel
+    below it fails loudly — the classic checkpoint contract, new
+    layout."""
+    d, log = _mk_table(tmp_path)
+    for i in range(5):
+        _write_file(d, f"f{i}.parquet", {"k": [i], "v": [i * 10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("f0.parquet"),
+                   log.add_action_for("f1.parquet")])
+    log.commit(1, [log.add_action_for("f2.parquet"),
+                   {"remove": {"path": "f0.parquet", "dataChange": True}}])
+    log.commit(2, [log.add_action_for("f3.parquet")])
+    pure = log.snapshot(2)
+    cp = log.write_checkpoint_v2(2, sidecars=2)
+    assert ".checkpoint." in cp and cp.endswith(".json")
+    assert len(os.listdir(os.path.join(d, "_delta_log", "_sidecars"))) == 2
+    log.commit(3, [log.add_action_for("f4.parquet")])
+    from hadoop_sync_spark.delta_log import DeltaLog
+    fresh = DeltaLog(d)
+    seeded = fresh.snapshot(3)
+    assert seeded.files == sorted([*pure.files, "f4.parquet"])
+    assert seeded.schema_json == pure.schema_json
+    assert sorted(r.k for r in fresh.read(spark).collect()) == [1, 2, 3, 4]
+    # expire_log keys off the v2 checkpoint; the seeded read survives
+    expired = fresh.expire_log()
+    assert expired == [0, 1]
+    assert sorted(r.k for r in fresh.read(spark).collect()) == [1, 2, 3, 4]
+    with pytest.raises(FileNotFoundError):
+        fresh.snapshot(1)
+
+
+def test_v2_checkpoint_inline_and_dv(spark, tmp_path):
+    """sidecars=0 inlines file actions in the main v2 file (spec-legal);
+    deletion vectors survive the v2 round trip."""
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [0] * 3})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.add_deletion_vector(1, "a.parquet", [1], storage="i")
+    log.write_checkpoint_v2(1, sidecars=0)
+    log.commit(2, [{"remove": {"path": "nope.parquet",
+                               "dataChange": False}}])
+    from hadoop_sync_spark.delta_log import DeltaLog
+    fresh = DeltaLog(d)
+    assert sorted(r.k for r in fresh.read(spark).collect()) == [1, 3]
+
+
+def test_v2_checkpoint_version_mismatch_refuses(spark, tmp_path):
+    import glob as _g
+
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.write_checkpoint_v2(0, sidecars=0)
+    (cp,) = _g.glob(os.path.join(d, "_delta_log",
+                                 "*.checkpoint.*.json"))
+    lines = []
+    for line in open(cp):
+        a = json.loads(line)
+        if "checkpointMetadata" in a:
+            a["checkpointMetadata"]["version"] = 99
+        lines.append(json.dumps(a))
+    open(cp, "w").write("\n".join(lines) + "\n")
+    from hadoop_sync_spark.delta_log import DeltaLog
+    with pytest.raises(ValueError, match="corrupt checkpoint"):
+        DeltaLog(d).snapshot(0)
 
 
 # ------------------------------------------------------ column mapping (r9)
