@@ -662,9 +662,16 @@ class IcebergTable:
             # resolution needs parquet footer field ids).  Single-schema
             # tables keep the exact pre-round-9 inferred-schema plan.
             self._check_no_rename_or_promotion()
-            sid = self.snapshot(snapshot_id, as_of_timestamp_ms).get(
-                "schema-id", meta_doc["current-schema-id"]
-            )
+            if snapshot_id is None and as_of_timestamp_ms is None:
+                # a CURRENT read always uses the current schema — DDL is
+                # metadata-only (no snapshot), so the latest snapshot's
+                # recorded schema-id predates any post-commit add/drop
+                sid = meta_doc["current-schema-id"]
+            else:
+                # time travel reads the snapshot with ITS schema
+                sid = self.snapshot(snapshot_id, as_of_timestamp_ms).get(
+                    "schema-id", meta_doc["current-schema-id"]
+                )
             reader = reader.schema(
                 self._spark_schema(sid, exclude=set(part_cols))
             )
@@ -1174,6 +1181,7 @@ class IcebergTable:
         refuses loudly instead of silently null-filling a renamed
         column."""
         seen: dict[int, tuple] = {}
+        name_ids: dict[str, int] = {}
         for s in self.metadata().get("schemas", []):
             for f in s["fields"]:
                 cur = (f["name"], json.dumps(f["type"], sort_keys=True))
@@ -1183,6 +1191,17 @@ class IcebergTable:
                         f"schema evolution beyond add/drop (field id "
                         f"{f['id']}: {prev} -> {cur}) needs id-based "
                         "column resolution"
+                    )
+                # drop + re-add under the SAME name gives the name two
+                # field ids; old files' physical column would leak into
+                # the new field under name resolution — refuse
+                owner = name_ids.setdefault(f["name"], f["id"])
+                if owner != f["id"]:
+                    raise NotImplementedError(
+                        f"schema evolution beyond add/drop (name "
+                        f"{f['name']!r} carried by field ids {owner} "
+                        f"and {f['id']}) needs id-based column "
+                        "resolution"
                     )
 
     def _spark_schema(self, sid: int, exclude: set | None = None):
@@ -1250,6 +1269,62 @@ class IcebergTable:
         meta["last-updated-ms"] = now_ms
         self._write_metadata(self.current_version() + 1, meta)
         return fid
+
+    def drop_column(self, name: str, now_ms: int = 0) -> None:
+        """Schema evolution, the drop face (metadata-only like
+        :meth:`add_column`): the new schema omits the field; reads
+        pinned to newer schemas prune the column from older files, and
+        time travel to pre-drop snapshots still sees it (their
+        schema-id).  The field id is retired, never reused —
+        ``last-column-id`` only grows, so a later add cannot alias a
+        dropped column's id (the invariant the rename/promotion check
+        relies on)."""
+        meta = json.loads(json.dumps(self.metadata()))
+        cur = self._schema_by_id(meta["current-schema-id"])
+        if not any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"no such column {name!r}")
+        if len(cur["fields"]) == 1:
+            raise ValueError("cannot drop the last column")
+        by_id = {f["id"]: f["name"] for f in cur["fields"]}
+        for spec in meta.get("partition-specs", []):
+            for pf in spec["fields"]:
+                if by_id.get(pf.get("source-id")) == name:
+                    raise ValueError(
+                        f"column {name!r} is a partition source "
+                        f"(spec field {pf['name']!r}) — drop the "
+                        "partition field first"
+                    )
+        new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+        new_schema = json.loads(json.dumps(cur))
+        new_schema["schema-id"] = new_sid
+        new_schema["fields"] = [
+            f for f in new_schema["fields"] if f["name"] != name
+        ]
+        meta["schemas"].append(new_schema)
+        meta["current-schema-id"] = new_sid
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
+
+    def expire_metadata(self, keep_last: int = 5) -> list[int]:
+        """Metadata-log retention (the spec's
+        ``write.metadata.delete-after-commit.enabled`` /
+        ``previous-versions-max`` behavior): delete
+        ``v<N>.metadata.json`` files older than the newest
+        ``keep_last``.  Snapshots/manifests/data are untouched — only
+        the metadata-version history shrinks (old table-metadata
+        time travel via explicit ``metadata(version=)`` stops working
+        below the floor, exactly like the registry's vacuum)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = sorted(
+            int(n[1:].split(".", 1)[0])
+            for n in os.listdir(self.meta_dir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        )
+        expired = versions[:-keep_last]
+        for v in expired:
+            os.remove(os.path.join(self.meta_dir, f"v{v}.metadata.json"))
+        return expired
 
     def compact(
         self,

@@ -813,6 +813,52 @@ def test_add_column_nullfills_old_files(spark, tmp_path):
     assert got == {(2, None), (3, 0.5)}
 
 
+def test_drop_column_and_metadata_expiry(spark, tmp_path):
+    """Drop prunes the column under the new schema while time travel to
+    pre-drop snapshots still sees it; partition-source columns refuse;
+    expire_metadata shrinks the vN.metadata.json history only."""
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2])], now_ms=2000)
+    t.drop_column("val", now_ms=3000)
+    now = t.read(spark)
+    assert now.columns == ["id"]
+    assert sorted(r.id for r in now.collect()) == [1, 2]
+    old = t.read(spark, snapshot_id=s1)
+    assert sorted(old.columns) == ["id", "val"]
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("nope")
+    with pytest.raises(ValueError, match="last column"):
+        t.drop_column("id")
+    # a column added under a NEW name gets a fresh field id and
+    # null-fills the old file
+    fid = t.add_column("score", "string", now_ms=4000)
+    assert fid == 3
+    assert {(r.id, r.score) for r in t.read(spark).collect()} == {
+        (1, None), (2, None)}
+    # metadata-log retention: keep the newest 2 metadata versions
+    v = t.current_version()
+    expired = t.expire_metadata(keep_last=2)
+    assert expired == list(range(1, v - 1))
+    assert t.current_version() == v
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        t.metadata(version=expired[0])
+    # drop + re-add under the SAME name would let the old file's
+    # physical column leak into the new field under name resolution —
+    # the history check refuses the read (permanently: schema history
+    # is immutable, so the ambiguity never clears)
+    t.add_column("val", "string", now_ms=5000)
+    with pytest.raises(NotImplementedError, match="id-based"):
+        t.read(spark)
+
+
+def test_drop_partition_source_refuses(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    t.append([write_pq("a.parquet", [1], bucket=0)], now_ms=2000)
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("p_bucket")
+
+
 def test_add_column_guards(spark, tmp_path):
     t, write_pq = _mor_table(tmp_path)
     t.append([write_pq("f1.parquet", [1])], now_ms=2000)
