@@ -329,6 +329,42 @@ def test_b85_and_roaring_round_trips():
     assert _dv_deserialize(_dv_serialize(pos)) == sorted(pos)
 
 
+def test_dv_roaring_b85_property_roundtrips():
+    """Hypothesis property pass over the DV codecs: Base85 (4-byte
+    aligned payloads) and the RoaringBitmapArray portable serialization
+    (arbitrary 64-bit position sets spanning multiple 32-bit bitmaps and
+    16-bit containers) round-trip exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from hadoop_sync_spark.delta_log import (
+        _b85_decode,
+        _b85_encode,
+        _dv_deserialize,
+        _dv_serialize,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=64).map(
+        lambda b: b + b"\x00" * ((-len(b)) % 4)))
+    def b85_rt(data):
+        assert _b85_decode(_b85_encode(data)) == data
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.sets(
+        st.one_of(
+            st.integers(min_value=0, max_value=200_000),       # dense low
+            st.integers(min_value=0, max_value=(1 << 33) - 1),  # 2 bitmaps
+        ),
+        max_size=300,
+    ))
+    def dv_rt(positions):
+        pos = sorted(positions)
+        assert _dv_deserialize(_dv_serialize(pos)) == pos
+
+    b85_rt()
+    dv_rt()
+
+
 def test_roaring_run_container_reads():
     """Run containers are reader-side (other writers emit them): craft
     one by hand per the portable spec (cookie 12347, run flag bits)."""

@@ -238,6 +238,31 @@ def test_cli_register_iceberg_and_sync(spark, table, capsys):
     assert "+0 -1 shards" in capsys.readouterr().out
 
 
+def test_registry_compact_delegates_to_iceberg(spark, tmp_path):
+    """Registry.compact on an iceberg-registered table goes through
+    IcebergTable.compact (replace snapshot; old snapshots readable) and
+    syncs the new file list; noop when nothing bins."""
+    from hadoop_sync_spark.registry import Registry
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2]),
+              write_pq("f2.parquet", [3])], now_ms=2000)
+    reg = Registry(spark, str(tmp_path / "meta"))
+    reg.register_iceberg("t", t.dir)
+    reg.sync("t")
+    assert len(reg.shards("t")) == 2
+    r = reg.compact("t")
+    assert not r.noop
+    assert (r.groups, r.files_in, r.files_out) == (1, 2, 1)
+    assert len(reg.shards("t")) == 1
+    assert sorted(x.id for x in reg.read("t").collect()) == [1, 2, 3]
+    # the rewrite is a normal replace snapshot: time travel intact
+    first = sorted(t.snapshots(), key=lambda s: s["timestamp-ms"])[0]
+    old = t.read(spark, snapshot_id=first["snapshot-id"])
+    assert sorted(x.id for x in old.collect()) == [1, 2, 3]
+    assert reg.compact("t").noop
+
+
 def test_cli_maintain_iceberg(spark, tmp_path, capsys):
     """The maintain subcommand drives the format-native maintenance ops
     (round 9): expire + dangling-delete cleanup + vacuum on a registered
