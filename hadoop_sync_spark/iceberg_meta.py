@@ -60,7 +60,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dataclasses_field
 
 from hadoop_sync_spark.avro_codec import read_ocf, write_ocf
 
@@ -152,6 +152,41 @@ def _manifest_entry_schema(spec_fields: list[dict]) -> dict:
                 "type": ["null", {"type": "array", "items": "int"}],
                 "default": None,
             },
+            # per-COLUMN value bounds (spec: lower_bounds id 125 /
+            # upper_bounds id 128, map<field id, single-value bytes>
+            # ridden as Avro array-of-record like Iceberg's own files;
+            # round 9) — the layer that prunes FILES on non-partition
+            # predicates before any data byte is read
+            {
+                "name": "lower_bounds",
+                "type": ["null", {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "k126_v127",
+                        "fields": [
+                            {"name": "key", "type": "int"},
+                            {"name": "value", "type": "bytes"},
+                        ],
+                    },
+                }],
+                "default": None,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "k129_v130",
+                        "fields": [
+                            {"name": "key", "type": "int"},
+                            {"name": "value", "type": "bytes"},
+                        ],
+                    },
+                }],
+                "default": None,
+            },
         ],
     }
     return {
@@ -222,6 +257,10 @@ def _le_bytes(v, typ: str) -> bytes:
         return _s.pack("<i", v)
     if typ == "long":
         return _s.pack("<q", v)
+    if typ == "double":
+        return _s.pack("<d", v)
+    if typ == "float":
+        return _s.pack("<f", v)
     if typ == "string":
         return v.encode("utf-8")
     raise NotImplementedError(f"bound serialization for {typ!r}")
@@ -234,9 +273,58 @@ def _from_le_bytes(b: bytes, typ: str):
         return _s.unpack("<i", b)[0]
     if typ == "long":
         return _s.unpack("<q", b)[0]
+    if typ == "double":
+        return _s.unpack("<d", b)[0]
+    if typ == "float":
+        return _s.unpack("<f", b)[0]
     if typ == "string":
         return b.decode("utf-8")
     raise NotImplementedError(f"bound deserialization for {typ!r}")
+
+
+def parquet_column_bounds(
+    path: str, fields: list[dict]
+) -> tuple[dict, dict]:
+    """Per-column [min, max] bounds from a parquet file's FOOTER
+    statistics (no data pages read), serialized to the spec's
+    single-value bytes keyed by schema field id — what a conforming
+    writer stamps into ``lower_bounds``/``upper_bounds``.  Columns
+    without footer stats, with unsupported types, or absent from the
+    file are skipped (their absence never prunes — sound)."""
+    import pyarrow.parquet as pq
+
+    by_name = {
+        f["name"]: (f["id"], f["type"])
+        for f in fields
+        if isinstance(f["type"], str)
+    }
+    vals_lo: dict[int, object] = {}
+    vals_hi: dict[int, object] = {}
+    typ_of: dict[int, str] = {}
+    md = pq.read_metadata(path)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            info = by_name.get(col.path_in_schema)
+            st = col.statistics
+            if info is None or st is None or not st.has_min_max:
+                continue
+            fid, typ = info
+            mn, mx = st.min, st.max
+            if typ == "string" and isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            typ_of[fid] = typ
+            vals_lo[fid] = mn if fid not in vals_lo else min(vals_lo[fid], mn)
+            vals_hi[fid] = mx if fid not in vals_hi else max(vals_hi[fid], mx)
+    try:
+        lo = {f: _le_bytes(v, typ_of[f]) for f, v in vals_lo.items()}
+        hi = {f: _le_bytes(v, typ_of[f]) for f, v in vals_hi.items()}
+    except NotImplementedError:
+        # a column type without single-value serialization: skip stats
+        # for the whole file rather than write a partial, wrong map
+        return {}, {}
+    return lo, hi
 
 
 # ------------------------------------------------------- partition transforms
@@ -372,6 +460,10 @@ class DataFile:
     sequence: int = 0
     #: equality-delete column field ids (content=2 only)
     equality_ids: tuple = ()
+    #: per-column value bounds, {schema field id: single-value bytes}
+    #: (spec lower_bounds/upper_bounds; empty = no stats, never pruned)
+    lower_bounds: dict = dataclasses_field(default_factory=dict)
+    upper_bounds: dict = dataclasses_field(default_factory=dict)
 
 
 class IcebergTable:
@@ -473,15 +565,21 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
         partition_filter: dict | None = None,
+        column_filter: dict | None = None,
     ) -> list[DataFile]:
         """Live data files of a snapshot, pruned at both metadata layers
         when ``partition_filter`` (identity-partition equality, e.g.
         ``{"p_bucket": 3}``) is given: manifest-list field summaries skip
-        whole manifests, entry partition values skip files.  No data file
-        is opened at any point — this is the metadata-only scan planning
-        Iceberg exists for."""
+        whole manifests, entry partition values skip files.
+        ``column_filter`` ``{name: (lo, hi)}`` prunes FILES by the
+        manifest's per-column value bounds (spec lower_bounds /
+        upper_bounds; round 9) — the non-partition-predicate pruning
+        layer; files without stats for a filtered column always survive
+        (sound).  No data file is opened at any point — this is the
+        metadata-only scan planning Iceberg exists for."""
         return self._scan_manifests(
-            _MANIFEST_DATA, snapshot_id, as_of_timestamp_ms, partition_filter
+            _MANIFEST_DATA, snapshot_id, as_of_timestamp_ms,
+            partition_filter, column_filter
         )
 
     def delete_files(
@@ -499,7 +597,7 @@ class IcebergTable:
         are never partition-pruned here — a filter must not widen the
         surviving-row set."""
         return self._scan_manifests(
-            _MANIFEST_DELETES, snapshot_id, as_of_timestamp_ms, None
+            _MANIFEST_DELETES, snapshot_id, as_of_timestamp_ms, None, None
         )
 
     def _scan_manifests(
@@ -508,9 +606,23 @@ class IcebergTable:
         snapshot_id: int | None,
         as_of_timestamp_ms: int | None,
         partition_filter: dict | None,
+        column_filter: dict | None = None,
     ) -> list[DataFile]:
         meta = self.metadata()
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms)
+        col_info: dict[str, tuple[int, str]] = {}
+        if column_filter:
+            schema = self._schema_by_id(meta["current-schema-id"])
+            by_name = {f["name"]: f for f in schema["fields"]}
+            for name in column_filter:
+                f = by_name.get(name)
+                if f is None:
+                    raise ValueError(f"no such column {name!r}")
+                if not isinstance(f["type"], str):
+                    raise NotImplementedError(
+                        "column_filter on nested types"
+                    )
+                col_info[name] = (f["id"], f["type"])
         mlist_path = self._resolve(snap["manifest-list"])
         _, manifests, _ = read_ocf(mlist_path)
         out: list[DataFile] = []
@@ -544,6 +656,9 @@ class IcebergTable:
                     part.get(k) != v for k, v in flt.items()
                 ):
                     continue
+                if col_info and self._bounds_prune(df, column_filter,
+                                                   col_info):
+                    continue
                 # v2 sequence inheritance: an entry with null
                 # sequence_number takes its manifest's
                 seq = e.get("sequence_number")
@@ -559,9 +674,40 @@ class IcebergTable:
                         sequence=seq,
                         equality_ids=tuple(df.get("equality_ids") or ()),
                         raw_path=df["file_path"],
+                        lower_bounds={
+                            e["key"]: e["value"]
+                            for e in (df.get("lower_bounds") or ())
+                        },
+                        upper_bounds={
+                            e["key"]: e["value"]
+                            for e in (df.get("upper_bounds") or ())
+                        },
                     )
                 )
         return out
+
+    @staticmethod
+    def _bounds_prune(
+        df: dict, column_filter: dict, col_info: dict
+    ) -> bool:
+        """True iff the file's per-column [lower, upper] bounds prove it
+        cannot contain a row in ``{name: (lo, hi)}`` (either bound may
+        be None for a half-open range).  Missing stats never prune —
+        soundness over selectivity, same rule as the registry's
+        stat-based shard pruning."""
+        lower = {e["key"]: e["value"] for e in (df.get("lower_bounds") or ())}
+        upper = {e["key"]: e["value"] for e in (df.get("upper_bounds") or ())}
+        for name, (lo, hi) in column_filter.items():
+            fid, typ = col_info[name]
+            f_lo = lower.get(fid)
+            f_hi = upper.get(fid)
+            if hi is not None and f_lo is not None:
+                if _from_le_bytes(f_lo, typ) > hi:
+                    return True
+            if lo is not None and f_hi is not None:
+                if _from_le_bytes(f_hi, typ) < lo:
+                    return True
+        return False
 
     @staticmethod
     def _summary_prunes(
@@ -604,6 +750,7 @@ class IcebergTable:
         as_of_timestamp_ms: int | None = None,
         partition_filter: dict | None = None,
         paths: set[str] | None = None,
+        column_filter: dict | None = None,
     ):
         """Snapshot → ONE distributed parquet scan of exactly the live
         files (pushdown/pruning intact).  Identity-partition values
@@ -639,7 +786,22 @@ class IcebergTable:
 
         from hadoop_sync_spark.io import attach_file_columns
 
-        files = self.files(snapshot_id, as_of_timestamp_ms, partition_filter)
+        files = self.files(
+            snapshot_id, as_of_timestamp_ms, partition_filter,
+            column_filter=column_filter,
+        )
+
+        def _apply_cf(df):
+            # the file-level bound pruning above is an optimization; the
+            # predicate itself applies here so semantics stay exact (a
+            # surviving file can still hold out-of-range rows)
+            for name, (lo, hi) in (column_filter or {}).items():
+                if lo is not None:
+                    df = df.filter(F.col(name) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(name) <= hi)
+            return df
+
         if paths is not None:
             # subset scan (the compaction rewrite path) keyed on the
             # manifest file_path string; delete application is unchanged
@@ -689,7 +851,7 @@ class IcebergTable:
         scan = reader.parquet(*[f.path for f in files])
         if not (pos_dels or eq_dels):
             if not part_cols:
-                return scan
+                return _apply_cf(scan)
             # abspath, not resolve() — Hadoop qualifies paths but does
             # not chase symlinks, so neither may we
             rows = [
@@ -697,8 +859,11 @@ class IcebergTable:
                 + tuple(f.partition.get(c) for c in part_cols)
                 for f in files
             ]
-            return attach_file_columns(
-                scan, rows, part_cols, what="iceberg snapshot partition"
+            return _apply_cf(
+                attach_file_columns(
+                    scan, rows, part_cols,
+                    what="iceberg snapshot partition",
+                )
             )
         data_cols = scan.columns
         scan = scan.select(
@@ -750,7 +915,7 @@ class IcebergTable:
             for n in names:
                 cond = cond & F.col(n).eqNullSafe(F.col(f"_d_{n}"))
             df = df.join(F.broadcast(dels), cond, "left_anti")
-        return df.select(*data_cols, *part_cols)
+        return _apply_cf(df.select(*data_cols, *part_cols))
 
     def history(self) -> list[dict]:
         """Operation log in DESCRIBE HISTORY shape, newest first."""
@@ -1010,6 +1175,14 @@ class IcebergTable:
                     "record_count": f.record_count,
                     "file_size_in_bytes": f.file_size,
                     "equality_ids": None,
+                    "lower_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(f.lower_bounds.items())
+                    ] or None,
+                    "upper_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(f.upper_bounds.items())
+                    ] or None,
                 },
             }
             for f in files
@@ -1412,12 +1585,20 @@ class IcebergTable:
             finally:
                 _shutil.rmtree(staging, ignore_errors=True)
             n = spark.read.parquet(dest).count()
+            lb, ub = parquet_column_bounds(
+                dest,
+                self._schema_by_id(
+                    self.metadata()["current-schema-id"]
+                )["fields"],
+            )
             new_files.append(
                 DataFile(
                     path=rel,
                     partition=part,
                     record_count=n,
                     file_size=os.path.getsize(dest),
+                    lower_bounds=lb,
+                    upper_bounds=ub,
                 )
             )
             rewritten |= raws
@@ -1444,6 +1625,14 @@ class IcebergTable:
                     "record_count": f.record_count,
                     "file_size_in_bytes": f.file_size,
                     "equality_ids": None,
+                    "lower_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(f.lower_bounds.items())
+                    ] or None,
+                    "upper_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(f.upper_bounds.items())
+                    ] or None,
                 },
             }
             for f in new_files
@@ -1645,6 +1834,14 @@ class IcebergTable:
                     "record_count": f.record_count,
                     "file_size_in_bytes": f.file_size,
                     "equality_ids": list(f.equality_ids) or None,
+                    "lower_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(f.lower_bounds.items())
+                    ] or None,
+                    "upper_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(f.upper_bounds.items())
+                    ] or None,
                 },
             }
             for f in files

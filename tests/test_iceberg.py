@@ -808,6 +808,83 @@ def test_registry_read_applies_mor_deletes_with_catalog_lag(spark, tmp_path):
 
 
 # ------------------------------------------------------- maintenance (r8)
+# ------------------------------------------------- column-bound pruning (r9)
+def test_column_bounds_prune_files_metadata_only(spark, tmp_path):
+    """Per-column value bounds (spec lower_bounds/upper_bounds) prune
+    FILES on non-partition predicates without opening any data file —
+    the stat-based layer that complements partition pruning.  Bounds
+    come from parquet footers via parquet_column_bounds; files without
+    stats always survive (sound)."""
+    from hadoop_sync_spark.iceberg_meta import parquet_column_bounds
+
+    d = str(tmp_path / "cb")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("id", "bigint"), ("val", "string")], now_ms=1000
+    )
+    fields = t._schema_by_id(0)["fields"]
+
+    def write_stats(name, ids):
+        p = os.path.join(d, "data", name)
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "val": pa.array([f"v{i}" for i in ids],
+                                      pa.string())}), p)
+        lb, ub = parquet_column_bounds(p, fields)
+        return DataFile(path=f"data/{name}", partition={},
+                        record_count=len(ids),
+                        file_size=os.path.getsize(p),
+                        lower_bounds=lb, upper_bounds=ub)
+
+    # disjoint id ranges per file + one stats-less file
+    f1 = write_stats("f1.parquet", [1, 2, 3])
+    f2 = write_stats("f2.parquet", [100, 150])
+    f3 = write_stats("f3.parquet", [1000])
+    p4 = os.path.join(d, "data", "f4.parquet")
+    pq.write_table(pa.table({"id": pa.array([5000], pa.int64()),
+                             "val": pa.array(["x"], pa.string())}), p4)
+    f4 = DataFile(path="data/f4.parquet", partition={}, record_count=1,
+                  file_size=os.path.getsize(p4))  # NO bounds
+    t.append([f1, f2, f3, f4], now_ms=2000)
+
+    # metadata-only planning: delete data files from disk, plan anyway
+    import shutil as _sh
+    backup = str(tmp_path / "bk")
+    _sh.copytree(os.path.join(d, "data"), backup)
+    for f in t.files():
+        os.remove(f.path)
+    sel = t.files(column_filter={"id": (90, 200)})
+    # f2 matches by bounds; f4 survives (no stats); f1/f3 pruned
+    assert sorted(x.raw_path for x in sel) == [
+        "data/f2.parquet", "data/f4.parquet"]
+    # half-open ranges
+    assert sorted(x.raw_path for x in t.files(
+        column_filter={"id": (None, 10)})) == [
+        "data/f1.parquet", "data/f4.parquet"]
+    assert sorted(x.raw_path for x in t.files(
+        column_filter={"id": (999, None)})) == [
+        "data/f3.parquet", "data/f4.parquet"]
+    with pytest.raises(ValueError, match="no such column"):
+        t.files(column_filter={"nope": (1, 2)})
+    # restore files; read() applies the EXACT predicate on top of the
+    # file pruning (surviving files can hold out-of-range rows: f4)
+    for name in os.listdir(backup):
+        _sh.copy(os.path.join(backup, name), os.path.join(d, "data", name))
+    got = sorted(r.id for r in t.read(
+        spark, column_filter={"id": (90, 200)}).collect())
+    assert got == [100, 150]
+    # compaction stamps bounds on the rewritten file, so pruning keeps
+    # working over the compacted layout
+    t.compact(spark, now_ms=3000)
+    live = [f for f in t.files() if f.content == 0]
+    assert len(live) == 1 and live[0].lower_bounds
+    sel = t.files(column_filter={"id": (1_000_000, None)})
+    assert sel == []  # everything bounded below 5001
+    got = sorted(r.id for r in t.read(
+        spark, column_filter={"id": (90, 200)}).collect())
+    assert got == [100, 150]
+
+
 # ---------------------------------------------------- schema evolution (r9)
 def test_add_column_nullfills_old_files(spark, tmp_path):
     """Iceberg schema evolution, the add face: a column added after
