@@ -83,19 +83,79 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # ---- ROUND-9 WINDOW ----
-    # Backlog entering round 9 (ledger-recomputed): the 46-query r6-green
-    # cohort — strict branch (46 <= 50), all mandatory (rule 3) — plus the
-    # THREE first-ever registrations q147/q148/q149 (rule 1; staged green
-    # through the parity gate in round 8, WINDOW.md runbook).  That's 49;
-    # the one spare slot goes to the oldest r7-green query (q01, the
-    # flagship), easing round 10's 50-query r7 drain to 49 + 1 spare.
-    # REGISTRY IS NOW CAPPED at 149 queries — see WINDOW.md steady state.
-    # (1) first-ever driver rows: the round-8-staged lakehouse trio
+    # ---- ROUND-10 WINDOW ----
+    # Backlog entering round 10 (ledger-recomputed, matches WINDOW.md's
+    # round-10 preview name-for-name): the 49-query r7-green cohort — q01
+    # re-greened in r9's spare slot, leaving 49 of the 50 — strict branch
+    # (49 <= 50), all mandatory (rule 3).  The one spare slot goes to
+    # q147_iceberg_snapshot_reader: its fixture is evolved this round to
+    # route through the round-9 schema-evolution + column_filter read
+    # branches (VERDICT r9 "What's missing" #1), and a rule-2 change to an
+    # in-window query re-greens for free (WINDOW.md displacement case 1).
+    # REGISTRY IS CAPPED at 149 queries — see WINDOW.md steady state.
+    # (3) the full r7-green cohort, numeric order
+    "q02_filter_predicates",
+    "q03_top_unshipped_orders",
+    "q07_customers_without_orders",
+    "q08_late_shipments",
+    "q09_distinct_counts",
+    "q12_top_orders_per_customer",
+    "q17_scalar_functions",
+    "q20_brand_stats_having",
+    "q21_regional_revenue",
+    "q22_explode_embedding_prefix",
+    "q23_grouping_sets",
+    "q25_minby_maxby",
+    "q27_string_agg",
+    "q28_window_navigation",
+    "q29_outer_joins",
+    "q30_event_range_join",
+    "q31_asof_join",
+    "q38_exists_subquery",
+    "q51_fingerprint_groups",
+    "q55_tfidf",
+    "q56_top_terms_per_lang",
+    "q59_repetition_signals",
+    "q63_minhash_lsh_pairs",
+    "q66_simhash_pairs",
+    "q67_chargram_jaccard_pairs",
+    "q68_dup_components",
+    "q72_rp_lsh_topk",
+    "q91_image_resize",
+    "q92_frame_sample",
+    "q96_dup_profile",
+    "q100_column_profile",
+    "q107_weighted_priority_sample",
+    "q109_fingerprint_drilldown",
+    "q110_span_dedup",
+    "q111_pq_topk",
+    "q114_ivf_pq_topk",
+    "q115_per_source_quality_gate",
+    "q116_eval_per_lang",
+    "q118_split_leakage",
+    "q137_copurchase_pagerank",
+    "q138_delta_log_reader",
+    "q139_bm25_topk",
+    "q140_cogroup_asof_align",
+    "q141_ngram_novelty",
+    "q142_length_matched_controls",
+    "q143_cdc_chunk_dups",
+    "q144_delta_registry_sync",
+    "q145_png_roundtrip_stats",
+    "q146_jpeg_roundtrip_stats",
+    # (spare, rule-2 in-window) evolved-fixture lakehouse re-check
+    "q147_iceberg_snapshot_reader",
+)
+
+
+_ROUND9_WINDOW_HISTORICAL: tuple[str, ...] = (
+    # ---- ROUND-9 WINDOW (historical, kept for the ledger narrative) ----
+    # The 46-query r6-green cohort (rule 3) + the three first-ever
+    # lakehouse registrations q147/q148/q149 (rule 1) + q01 as the pinned
+    # spare.  CORRECTNESS_r09: 50/50 green.
     "q147_iceberg_snapshot_reader",
     "q148_iceberg_mor_reader",
     "q149_delta_dv_reader",
-    # (3) the full r6-green cohort, numeric order
     "q26_conditional_agg",
     "q32_approx_distinct",
     "q46_json_map_explode",
@@ -142,7 +202,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q134_interval_weighted_avg",
     "q135_k_anonymity",
     "q136_token_pmi",
-    # (spare, oldest-green) flagship re-check from the r7 cohort
     "q01_pricing_summary",
 )
 
