@@ -232,6 +232,47 @@ def _checkpoint_path(table_dir: str, version: int) -> str:
     )
 
 
+#: legacy features implied by pre-table-features protocol versions
+#: (PROTOCOL.md "Table Features": a version upgrade to reader 3 /
+#: writer 7 must list every feature the old version numbers implied)
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
+def _upgrade_protocol_for_v2_checkpoint(proto: dict) -> dict:
+    """PROTOCOL.md permits V2 checkpoints only on tables whose protocol
+    carries the ``v2Checkpoint`` reader feature; writing one under an
+    older protocol would hand spec-conforming readers an unrecognized
+    checkpoint format with no marker (ADVICE r9).  The checkpoint
+    therefore replays an UPGRADED protocol going forward: version 3/7
+    with ``v2Checkpoint`` added and every feature the old version
+    numbers implied listed explicitly (the spec's upgrade rule)."""
+    rf = set(proto.get("readerFeatures") or ())
+    if "v2Checkpoint" in rf:
+        return proto
+    wf = set(proto.get("writerFeatures") or ())
+    for v, feats in _LEGACY_READER_FEATURES.items():
+        if proto.get("minReaderVersion", 1) >= v:
+            rf.update(feats)
+    for v, feats in _LEGACY_WRITER_FEATURES.items():
+        if proto.get("minWriterVersion", 1) >= v:
+            wf.update(feats)
+    rf.add("v2Checkpoint")
+    wf.add("v2Checkpoint")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf),
+    }
+
+
 @dataclass
 class Snapshot:
     """Replay result at one version: live file infos + table metadata."""
@@ -726,13 +767,39 @@ class DeltaLog:
         that leaves every snapshot intact and only unreferenced debris,
         which :meth:`vacuum` reclaims.  Returns a summary dict, or None
         when nothing qualified (a no-op makes NO commit)."""
+        import json as _json
+
         snap = self.snapshot()
         part_cols = list(snap.partition_columns)
+        mode = snap.column_mapping_mode
+        # under column mapping the rewrite must emit PHYSICAL column
+        # names (and field ids, so id-mode readers resolve the new file)
+        # — read() returns LOGICAL names, and a logical-named output
+        # file would break the mapped read path (ADVICE r9 medium)
+        phys_fields: list[dict] = []
+        if mode != "none":
+            for f in _json.loads(snap.schema_json)["fields"]:
+                md = f.get("metadata") or {}
+                pn = md.get("delta.columnMapping.physicalName")
+                fid = md.get("delta.columnMapping.id")
+                if pn is None or fid is None:
+                    raise ValueError(
+                        f"column mapping enabled but field {f['name']!r} "
+                        "lacks physicalName/id metadata"
+                    )
+                phys_fields.append(
+                    {"name": f["name"], "pn": pn, "fid": int(fid)}
+                )
+        # partitionValues keys are PHYSICAL names under mapping (spec)
+        part_keys = (
+            {pf["pn"] for pf in phys_fields if pf["name"] in part_cols}
+            if mode != "none" else set(part_cols)
+        )
         by_part: dict[tuple, list[dict]] = {}
         for rel in snap.files:
             a = snap.live[rel]
             pv = a.get("partitionValues") or {}
-            if part_cols and not set(part_cols) <= set(pv):
+            if part_keys and not part_keys <= set(pv):
                 raise NotImplementedError(
                     "compaction over value-less partitioned adds is not "
                     "supported — log partitionValues"
@@ -766,12 +833,32 @@ class DeltaLog:
         rewritten: set[str] = set()
         adds: list[dict] = []
         bytes_in = 0
+        fid_conf = "spark.sql.parquet.fieldId.write.enabled"
+        old_fid_conf = None
+        if mode != "none":
+            try:
+                old_fid_conf = spark.conf.get(fid_conf)
+            except Exception:
+                old_fid_conf = None
+            spark.conf.set(fid_conf, "true")
         for i, (pv, group) in enumerate(bins):
             rels = {a["path"] for a in group}
-            data_cols = spark.read.parquet(
-                *[os.path.join(self.table_dir, a["path"]) for a in group]
-            ).columns
-            out = self.read(spark, paths=rels).select(*data_cols)
+            if mode != "none":
+                # logical -> physical rename with the mapping's field id
+                # stamped into the footer (id-mode readers match on it)
+                out = self.read(spark, paths=rels).select(*[
+                    F.col(pf["name"]).alias(
+                        pf["pn"],
+                        metadata={"parquet.field.id": pf["fid"]},
+                    )
+                    for pf in phys_fields if pf["name"] not in part_cols
+                ])
+            else:
+                data_cols = spark.read.parquet(
+                    *[os.path.join(self.table_dir, a["path"])
+                      for a in group]
+                ).columns
+                out = self.read(spark, paths=rels).select(*data_cols)
             rel = f"part-compact-{version:010d}-{i}.parquet"
             dest = os.path.join(self.table_dir, rel)
             staging = _tempfile.mkdtemp(prefix="delta_compact_")
@@ -790,6 +877,11 @@ class DeltaLog:
             )
             rewritten |= rels
             bytes_in += sum(a["size"] for a in group)
+        if mode != "none":
+            if old_fid_conf is None:
+                spark.conf.unset(fid_conf)
+            else:
+                spark.conf.set(fid_conf, old_fid_conf)
         self.commit(
             version,
             [
@@ -1073,6 +1165,7 @@ class DeltaLog:
             "readerFeatures": ["v2Checkpoint"],
             "writerFeatures": ["v2Checkpoint"],
         }
+        proto = _upgrade_protocol_for_v2_checkpoint(proto)
         uid = _uuid.UUID(
             bytes=_hashlib.md5(
                 f"{self.table_dir}#v2cp#{snap.version}".encode()

@@ -317,13 +317,20 @@ def parquet_column_bounds(
             typ_of[fid] = typ
             vals_lo[fid] = mn if fid not in vals_lo else min(vals_lo[fid], mn)
             vals_hi[fid] = mx if fid not in vals_hi else max(vals_hi[fid], mx)
-    try:
-        lo = {f: _le_bytes(v, typ_of[f]) for f, v in vals_lo.items()}
-        hi = {f: _le_bytes(v, typ_of[f]) for f, v in vals_hi.items()}
-    except NotImplementedError:
-        # a column type without single-value serialization: skip stats
-        # for the whole file rather than write a partial, wrong map
-        return {}, {}
+    lo: dict[int, bytes] = {}
+    hi: dict[int, bytes] = {}
+    for fid, v in vals_lo.items():
+        try:
+            lo[fid] = _le_bytes(v, typ_of[fid])
+            hi[fid] = _le_bytes(vals_hi[fid], typ_of[fid])
+        except NotImplementedError:
+            # a column type without single-value serialization skips
+            # INDIVIDUALLY — a partial map over the supported columns is
+            # equally sound (absence never prunes), and discarding the
+            # whole file's map was pure selectivity loss on mixed-type
+            # tables (ADVICE r9)
+            lo.pop(fid, None)
+            continue
     return lo, hi
 
 
@@ -1567,11 +1574,23 @@ class IcebergTable:
         rewritten: set[str] = set()
         new_files: list[DataFile] = []
         rows_in = bytes_in = 0
+        cur_schema = self._schema_by_id(
+            self.metadata()["current-schema-id"]
+        )
         for i, (part, fs) in enumerate(bins):
             raws = {f.raw_path for f in fs}
-            # original on-disk schema (partition columns live in
-            # metadata; attach columns from read() must not leak in)
-            data_cols = spark.read.parquet(*[f.path for f in fs]).columns
+            # the rewrite column list comes from the snapshot's PINNED
+            # schema, not a sampled footer: a bin mixing pre- and
+            # post-add_column files could sample an old footer and
+            # silently drop the new column's values (permanent loss —
+            # ADVICE r9 high), and after drop_column a footer column
+            # read() no longer returns would crash the select.  Partition
+            # columns still live in metadata only, so the attach columns
+            # read() adds must not leak into the data file.
+            data_cols = [
+                f["name"] for f in cur_schema["fields"]
+                if f["name"] not in part
+            ]
             out = self.read(spark, paths=raws).select(*data_cols)
             rel = f"data/compact-{seq}-{i}.parquet"
             dest = os.path.join(self.dir, rel)

@@ -623,6 +623,45 @@ def test_v2_checkpoint_inline_and_dv(spark, tmp_path):
     assert sorted(r.k for r in fresh.read(spark).collect()) == [1, 3]
 
 
+def test_v2_checkpoint_upgrades_protocol(spark, tmp_path):
+    """PROTOCOL.md permits V2 checkpoints only under the v2Checkpoint
+    reader feature: a table replaying an older protocol gets the
+    UPGRADED protocol (3/7 + v2Checkpoint + every legacy-implied
+    feature) written into the checkpoint, never the old one verbatim
+    (ADVICE r9).  A protocol already carrying the feature is untouched."""
+    import glob as _g
+
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.write_checkpoint_v2(0)
+    (cp,) = _g.glob(os.path.join(d, "_delta_log", "*.checkpoint.*.json"))
+    (proto,) = [json.loads(line)["protocol"] for line in open(cp)
+                if "protocol" in json.loads(line)]
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "columnMapping" in proto["readerFeatures"]  # implied by mrv=2
+    # legacy writer features implied by minWriterVersion=5
+    for feat in ("appendOnly", "invariants", "checkConstraints",
+                 "changeDataFeed", "generatedColumns", "columnMapping",
+                 "v2Checkpoint"):
+        assert feat in proto["writerFeatures"]
+    # the upgraded checkpoint still seeds our own reader
+    from hadoop_sync_spark.delta_log import DeltaLog
+    assert sorted(r.k for r in DeltaLog(d).read(spark).collect()) == [1]
+    # already-conforming protocols pass through verbatim
+    from hadoop_sync_spark.delta_log import (
+        _upgrade_protocol_for_v2_checkpoint,
+    )
+    p = {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+         "writerFeatures": ["deletionVectors", "v2Checkpoint"]}
+    assert _upgrade_protocol_for_v2_checkpoint(p) is p
+
+
 def test_v2_checkpoint_version_mismatch_refuses(spark, tmp_path):
     import glob as _g
 
@@ -798,6 +837,49 @@ def test_compact_binpacks_and_applies_dvs(spark, tmp_path):
     # and to v0 (pre-DV)
     assert sorted(r.k for r in log.read(spark, 0).collect()) == [
         1, 2, 3, 4, 5, 6]
+
+
+def test_compact_column_mapped_table(spark, tmp_path):
+    """Compaction on a column-mapped table rewrites with PHYSICAL column
+    names and footer field ids — a logical-named output file would break
+    the mapped read path (ADVICE r9 medium).  Covers name mode end to
+    end and id mode (the new footer must resolve by field_id alone)."""
+    # name mode, with a DV applied in the rewrite
+    d, log = _mk_table(tmp_path, "cm_compact")
+    _write_phys(d, "a.parquet", [1, 2, 3], ["x", "y", "z"])
+    _write_phys(d, "b.parquet", [4], ["w"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name"),
+                   log.add_action_for("a.parquet"),
+                   log.add_action_for("b.parquet")])
+    log.add_deletion_vector(1, "a.parquet", [1], storage="i")  # kills k=2
+    before = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert before == {(1, "x"), (3, "z"), (4, "w")}
+    res = log.compact(spark)
+    assert res is not None and res["files_out"] == 1
+    assert {(r.k, r.v) for r in log.read(spark).collect()} == before
+    (rel,) = log.snapshot().files
+    footer = pq.read_schema(os.path.join(d, rel))
+    assert sorted(footer.names) == ["col-aaa", "col-bbb"]
+    assert int((footer.field("col-aaa").metadata or {})
+               [b"PARQUET:field_id"]) == 1
+    # id mode: physical file names disagree with physicalName on purpose;
+    # the compacted footer must still resolve by field_id
+    d2, log2 = _mk_table(tmp_path, "cm_compact_id")
+    _write_phys(d2, "a.parquet", [7, 8], ["a", "b"],
+                col_k="col-zzz", col_v="col-qqq", ids=(1, 2))
+    _write_phys(d2, "b.parquet", [9], ["c"],
+                col_k="col-zzz", col_v="col-qqq", ids=(1, 2))
+    log2.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                  "minWriterVersion": 5}},
+                    _mapped_meta("id"),
+                    log2.add_action_for("a.parquet"),
+                    log2.add_action_for("b.parquet")])
+    res = log2.compact(spark)
+    assert res is not None and res["files_out"] == 1
+    assert {(r.k, r.v) for r in log2.read(spark).collect()} == {
+        (7, "a"), (8, "b"), (9, "c")}
 
 
 def test_compact_partitioned_and_crash_injection(spark, tmp_path,

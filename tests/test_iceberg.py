@@ -885,6 +885,29 @@ def test_column_bounds_prune_files_metadata_only(spark, tmp_path):
     assert got == [100, 150]
 
 
+def test_column_bounds_partial_over_unsupported_types(tmp_path):
+    """A column whose type lacks single-value serialization (boolean)
+    skips INDIVIDUALLY: the supported columns keep their bounds instead
+    of the whole file's map being discarded (ADVICE r9 — pure
+    selectivity loss on mixed-type tables)."""
+    from hadoop_sync_spark.iceberg_meta import (
+        _from_le_bytes,
+        parquet_column_bounds,
+    )
+
+    p = str(tmp_path / "mixed.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([5, 9], pa.int64()),
+                  "flag": pa.array([True, False], pa.bool_())}), p)
+    fields = [{"id": 1, "name": "id", "type": "long", "required": False},
+              {"id": 2, "name": "flag", "type": "boolean",
+               "required": False}]
+    lb, ub = parquet_column_bounds(p, fields)
+    assert set(lb) == {1} and set(ub) == {1}  # boolean skipped, id kept
+    assert _from_le_bytes(lb[1], "long") == 5
+    assert _from_le_bytes(ub[1], "long") == 9
+
+
 # ---------------------------------------------------- schema evolution (r9)
 def test_add_column_nullfills_old_files(spark, tmp_path):
     """Iceberg schema evolution, the add face: a column added after
@@ -1022,6 +1045,53 @@ def test_compact_binpacks_and_applies_mor_deletes(spark, tmp_path):
     # a LATER equality delete reaches rows inside the compacted file
     t.add_equality_deletes([{"id": 3}], equality_ids=[1], now_ms=6000)
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 4, 6]
+
+
+def test_compact_bin_spanning_add_column(spark, tmp_path):
+    """A bin mixing pre- and post-add_column files rewrites under the
+    snapshot's PINNED schema: the added column's values survive (a
+    footer sampled from the older file would silently drop them —
+    ADVICE r9 high) and the pre-add file's rows null-fill.  The
+    drop_column twin: the rewrite selects only live schema columns, so
+    a footer column read() no longer returns cannot crash the select."""
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2])], now_ms=2000)
+    t.add_column("score", "double", now_ms=3000)
+    p = os.path.join(str(tmp_path / "mor"), "data", "f2.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([3, 4], pa.int64()),
+                  "val": pa.array(["v3", "v4"], pa.string()),
+                  "score": pa.array([0.5, 0.25], pa.float64())}), p)
+    t.append([DataFile("data/f2.parquet", {}, 2, os.path.getsize(p))],
+             now_ms=4000)
+    before = {(r.id, r.score) for r in t.read(spark).collect()}
+    assert before == {(1, None), (2, None), (3, 0.5), (4, 0.25)}
+    res = t.compact(spark, now_ms=5000)
+    assert res is not None and res["files_out"] == 1
+    # the compacted file itself carries the evolved column's values
+    assert {(r.id, r.score) for r in t.read(spark).collect()} == before
+    (live,) = [f for f in t.files() if f.content == 0]
+    got = pq.read_table(os.path.join(str(tmp_path / "mor"), live.path))
+    assert sorted(zip(got.column("id").to_pylist(),
+                      got.column("score").to_pylist())) == [
+        (1, None), (2, None), (3, 0.5), (4, 0.25)]
+    # drop face: the dead footer column cannot crash the next rewrite
+    t.drop_column("val", now_ms=6000)
+    pq.write_table(
+        pa.table({"id": pa.array([5], pa.int64()),
+                  "score": pa.array([1.0], pa.float64())}),
+        os.path.join(str(tmp_path / "mor"), "data", "f3.parquet"))
+    t.append([DataFile(
+        "data/f3.parquet", {}, 1,
+        os.path.getsize(os.path.join(str(tmp_path / "mor"),
+                                     "data", "f3.parquet")))],
+        now_ms=7000)
+    res = t.compact(spark, now_ms=8000)
+    assert res is not None
+    now = t.read(spark)
+    assert sorted(now.columns) == ["id", "score"]
+    assert {(r.id, r.score) for r in now.collect()} == {
+        (1, None), (2, None), (3, 0.5), (4, 0.25), (5, 1.0)}
 
 
 def test_compact_partitioned_per_partition(spark, tmp_path):
