@@ -338,6 +338,7 @@ def minhash_lsh_pairs(
     parallelism: int | None = None,
     with_capped_ids: bool = False,
     with_persist_handle: bool = False,
+    eager_cache: bool = True,
 ) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
     DataFrame, DataFrame, DataFrame | None
 ]:
@@ -422,10 +423,17 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         buckets_all = buckets_all.persist(StorageLevel.MEMORY_AND_DISK)
-        # eager: the two branches surface as concurrent broadcast jobs,
-        # which would otherwise race past the lazy persist and both
-        # compute; one count() materializes the cache deterministically
-        buckets_all.count()
+        # eager (default): consumers that surface as CONCURRENT broadcast
+        # jobs would race past the lazy persist and each compute the full
+        # signature pass; one count() materializes the cache
+        # deterministically first.  A caller whose plan has at most ONE
+        # eager consumer before the final action (q63's contract after
+        # the round-10 fold: a single tripwire broadcast, then the
+        # collect) passes eager_cache=False — the broadcast itself
+        # materializes the cache and the redundant count() pass (~0.5 s
+        # of cache re-read + job overhead at sf0.1) disappears.
+        if eager_cache:
+            buckets_all.count()
     buckets = buckets_all
     if max_bucket is not None:
         buckets = buckets_all.filter(F.size("_ms") <= max_bucket)

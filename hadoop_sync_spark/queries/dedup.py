@@ -334,30 +334,44 @@ def _pair_contract(
     as a recall bug.  ``n_planted`` stays the oracle-pinned full planted
     count.
 
-    ONE job total beyond the caller's eager cache materialization (five
-    jobs in round 5, three in round 6, one in round 7 — the two broadcast
-    one-row aggregates became unionByName branches of the final collect's
-    max-fold, so their per-job overhead disappeared):
+    ONE broadcast + ONE collect job beyond the caller's eager cache
+    materialization (five jobs in round 5, three in round 6, one collect
+    + three broadcast jobs in round 7, two jobs total in round 10 — each
+    broadcast exchange materializes as its OWN eager Spark job, so
+    folding them away is per-job overhead reclaimed on warm caches):
 
     - ONE aggregation over the cached original frame yields the corpus /
       planted / pre-cap-eligible counts AND the id-disjointness min/max
       in a single pass (they were four separate branch jobs, ~1s of
       per-job overhead on warm caches);
-    - the expected clone pairs broadcast into the pair pipeline WITHOUT
-      the old anti-join against ``capped``: a capped id's pair cannot be
-      emitted by construction (every bucket that contained it was
-      dropped), so flagging it in `expected` can never inflate `_found` —
-      the recall equation subtracts the capped-eligible count instead.
-      That by-construction invariant is no longer assumed silently: the
-      same pair job also counts flagged pairs whose original-side id is
-      capped (``_found_capped``) and the recall verdict requires it to be
-      zero, so a future cap-semantics change (whole-bucket drop →
-      per-member trimming) that starts emitting capped pairs trips the
+    - planted-pair flagging is a PURE PREDICATE on the emitted pair
+      (original-side planted id in the honest range, partner exactly
+      ``id + _CLONE_OFFSET``) instead of the old broadcast join against
+      an expected-pair frame: an emitted pair implies its original-side
+      id reached a bucket, which implies the operator's own eligibility
+      filter passed — so predicate-flagging and expected-join flagging
+      agree on every emittable pair, and the broadcast job (plus its
+      re-scan of the cached original) disappears.  An ineligible id that
+      somehow surfaced in a pair would now COUNT in ``_found`` and break
+      the recall equality from above rather than below — still red,
+      strictly more conservative;
+    - a capped id's pair cannot be emitted by construction (every bucket
+      that contained it was dropped), so the recall equation subtracts
+      the capped-planted count instead of anti-joining ``expected``.
+      That by-construction invariant is not assumed silently: the pair
+      job counts flagged pairs whose original-side id is capped
+      (``_found_capped``, the one surviving broadcast) and the verdict
+      requires zero, so a future cap-semantics change (whole-bucket drop
+      → per-member trimming) that starts emitting capped pairs trips the
       contract instead of masking a missing uncapped pair;
-    - the capped∩eligible adjustment is a broadcast semi-join of the tiny
-      capped residue against the cached original (empirically ~0 rows —
-      a corpus where a large fraction of docs lose EVERY bucket to the
-      skew cap has degenerated beyond what a recall contract describes).
+    - the capped∩eligible adjustment is a fold branch aggregating the
+      capped frame DIRECTLY (planted + honest-range predicate): capped
+      ids come from ≥2-member buckets, so they passed the eligibility
+      filter, and an in-range id in the corpus is an original row by
+      ``_with_planted_clones`` construction — the old broadcast
+      semi-join against the cached original counted exactly the same
+      set (empirically ~0 rows) at the cost of its own broadcast job
+      and a second capped recomputation.
 
     ``free`` lists internally persisted frames (the LSH bucket caches)
     to release after the row MATERIALIZES here — same
@@ -382,21 +396,35 @@ def _pair_contract(
             F.lit(True),
         ).alias("_ids_ok"),
     )
-    expected = original.filter(is_elig).select(
-        F.col(id_col).alias(a_col),
-        (F.col(id_col) + _CLONE_OFFSET).alias(b_col),
-        F.lit(1).alias("_flag"),
+    # an honest original-side id: non-negative and below the clone band
+    def _in_range(c: Column) -> Column:
+        return (c >= 0) & (c < _CLONE_OFFSET)
+
+    # planted-pair flag as a pure predicate (docstring bullet 2): the
+    # original-side id is planted and in the honest range, the partner
+    # is exactly its clone id — no expected-pair broadcast
+    flag = (
+        (F.col(a_col) % _CLONE_MOD == 0)
+        & _in_range(F.col(a_col))
+        & (F.col(b_col) == F.col(a_col) + _CLONE_OFFSET)
     )
+    flagged = pairs.withColumn("_flag", F.when(flag, F.lit(1)))
     # masking guard (round-7 ADVICE): the recall equation below checks
     # COUNT equality (_found == _ne_pre - _ncap), so a spuriously emitted
     # capped pair would numerically offset a MISSING uncapped pair and
     # read green.  By construction a capped id's pair cannot be emitted
     # (every bucket containing it was dropped) — enforce that invariant
     # explicitly: count flagged pairs whose original-side id is capped,
-    # and require zero.  One extra broadcast hash join inside the same
-    # pair-aggregation job; no new Spark job.
-    flagged = pairs.join(F.broadcast(expected), [a_col, b_col], "left")
+    # and require zero.  One broadcast hash join inside the
+    # pair-aggregation branch; the one remaining broadcast job.
     if capped is not None:
+        # persist the (≈0-row) capped residue: the tripwire broadcast
+        # below materializes it and the _ncap fold branch re-reads the
+        # cache — without it each computes the full per-id bucket
+        # aggregation (a bucket-cache scan + groupBy shuffle apiece,
+        # ~0.5 s each at sf0.1); freed with the caller's caches
+        capped = capped.persist()
+        free = [*(free or []), capped]
         cap_marked = capped.select(
             F.col(capped_id_col).alias(a_col), F.lit(1).alias("_cap")
         )
@@ -420,16 +448,19 @@ def _pair_contract(
             F.lit(0).cast("long").alias("_ncap")
         )
     else:
-        n_capped = (
-            original.filter(is_elig)
-            .join(
-                F.broadcast(
-                    capped.withColumnRenamed(capped_id_col, id_col)
+        # capped∩eligible as a direct aggregation of the capped frame
+        # (docstring bullet 4): capped ids reached buckets, so the
+        # operator's eligibility filter passed; in-range → original row
+        n_capped = capped.agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col(capped_id_col) % _CLONE_MOD == 0)
+                        & _in_range(F.col(capped_id_col))
+                    ).cast("long")
                 ),
-                id_col,
-                "left_semi",
-            )
-            .agg(F.count("*").alias("_ncap"))
+                F.lit(0),
+            ).alias("_ncap")
         )
     # single-job assembly (round 7): the old epilogue cross-joined the two
     # one-row aggregates into `scalars` via F.broadcast — each broadcast
@@ -504,6 +535,7 @@ def lsh_candidate_pairs(
     shingled: DataFrame,
     with_capped_ids: bool = False,
     with_persist_handle: bool = False,
+    eager_cache: bool = True,
 ) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
     DataFrame, DataFrame, DataFrame | None
 ]:
@@ -515,6 +547,7 @@ def lsh_candidate_pairs(
         shingled, "doc_id", "sh", k=32, bands=8,
         with_capped_ids=with_capped_ids,
         with_persist_handle=with_persist_handle,
+        eager_cache=eager_cache,
     )
 
 
@@ -541,14 +574,18 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-vocabulary corpora make token-set Jaccard uniformly high (the
     sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
     MinHash), while shingle Jaccard stays discriminative."""
-    # persist the shingled frame: the contract's folded scalar pass, the
-    # expected-pair broadcast, and the capped adjustment all re-derive
-    # from it — without the cache each re-runs tokenize+shingle over the
-    # corpus; freed with the bucket cache once the row materializes
+    # persist the shingled frame: the signature pipeline AND the
+    # contract's folded scalar pass both derive from it — without the
+    # cache each re-runs tokenize+shingle over the corpus; freed with
+    # the bucket cache once the row materializes
     sh = _doc_shingles(spark, sf_dir).persist()
     corpus, _planted, _original = _with_planted_clones(sh, "doc_id")
+    # eager_cache=False: the contract's single tripwire broadcast is the
+    # first consumer and materializes the bucket cache itself — no
+    # concurrent-consumer race, and the separate count() job disappears
     pairs, capped, handle = lsh_candidate_pairs(
-        corpus, with_capped_ids=True, with_persist_handle=True
+        corpus, with_capped_ids=True, with_persist_handle=True,
+        eager_cache=False,
     )
     # eligibility = the sentinel filter inside minhash_lsh_pairs: docs
     # whose cleaned shingle set is empty never get a signature
@@ -708,12 +745,14 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the pair branch and the capped-id branch below both hang off this
     # frame; the nondeterministic SimHash Arrow stage defeats
-    # ReuseExchange, so without an eager persist each branch recomputes
-    # the signature pass + block shuffle (same fix as minhash_lsh_pairs)
+    # ReuseExchange, so without the persist each branch recomputes the
+    # signature pass + block shuffle (same fix as minhash_lsh_pairs).
+    # No eager count(): after the round-10 contract fold the single
+    # tripwire broadcast is the first consumer and materializes the
+    # cache itself — no concurrent-consumer race (same as q63)
     from pyspark import StorageLevel
 
     buckets_all = buckets_all.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets_all.count()
     buckets = buckets_all.filter(F.size("_ms") <= 500)
     ms = F.col("_ms")
     pair_structs = F.flatten(
