@@ -245,16 +245,19 @@ _LEGACY_WRITER_FEATURES = {
 }
 
 
-def _upgrade_protocol_for_v2_checkpoint(proto: dict) -> dict:
-    """PROTOCOL.md permits V2 checkpoints only on tables whose protocol
-    carries the ``v2Checkpoint`` reader feature; writing one under an
-    older protocol would hand spec-conforming readers an unrecognized
-    checkpoint format with no marker (ADVICE r9).  The checkpoint
-    therefore replays an UPGRADED protocol going forward: version 3/7
-    with ``v2Checkpoint`` added and every feature the old version
-    numbers implied listed explicitly (the spec's upgrade rule)."""
+def _protocol_with_feature(proto: dict, feature: str) -> dict:
+    """Upgrade ``proto`` to table-features form (reader 3 / writer 7)
+    carrying ``feature`` on both sides, listing every feature the old
+    version numbers implied (the spec's upgrade rule).  A protocol
+    already at version 3 with the feature listed passes through
+    verbatim.  Used by the DV writer (a mapped table's upgrade must
+    keep ``columnMapping`` listed) and the V2-checkpoint writer
+    (PROTOCOL.md permits V2 checkpoints only under the ``v2Checkpoint``
+    feature — writing one under an older protocol would hand
+    spec-conforming readers an unrecognized checkpoint format with no
+    marker; ADVICE r9)."""
     rf = set(proto.get("readerFeatures") or ())
-    if "v2Checkpoint" in rf:
+    if feature in rf:
         return proto
     wf = set(proto.get("writerFeatures") or ())
     for v, feats in _LEGACY_READER_FEATURES.items():
@@ -263,14 +266,18 @@ def _upgrade_protocol_for_v2_checkpoint(proto: dict) -> dict:
     for v, feats in _LEGACY_WRITER_FEATURES.items():
         if proto.get("minWriterVersion", 1) >= v:
             wf.update(feats)
-    rf.add("v2Checkpoint")
-    wf.add("v2Checkpoint")
+    rf.add(feature)
+    wf.add(feature)
     return {
         "minReaderVersion": 3,
         "minWriterVersion": 7,
         "readerFeatures": sorted(rf),
         "writerFeatures": sorted(wf),
     }
+
+
+def _upgrade_protocol_for_v2_checkpoint(proto: dict) -> dict:
+    return _protocol_with_feature(proto, "v2Checkpoint")
 
 
 @dataclass
@@ -1008,17 +1015,17 @@ class DeltaLog:
         prev = dict(snap.live[rel_path])
         new_add = dict(prev)
         new_add["deletionVector"] = desc
+        # upgrade preserves legacy-implied features: a column-mapped
+        # table (reader 2) must keep columnMapping LISTED at reader 3
+        # or conforming readers refuse the table (spec upgrade rule)
+        proto = _protocol_with_feature(
+            snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
+            "deletionVectors",
+        )
         self.commit(
             version,
             [
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
-                        "writerFeatures": ["deletionVectors"],
-                    }
-                },
+                {"protocol": proto},
                 {"remove": {"path": rel_path, "dataChange": True}},
                 {"add": new_add},
             ],

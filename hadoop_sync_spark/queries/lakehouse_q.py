@@ -356,19 +356,19 @@ Q147_ORACLE = f"""
         SELECT o_orderkey % 4 AS bkt, o_totalprice FROM orders
     )
     SELECT
-        CAST(4 AS BIGINT) AS n_snapshots,
-        CAST(3 AS BIGINT) AS n_live_files_latest,
+        CAST(5 AS BIGINT) AS n_snapshots,
+        CAST(4 AS BIGINT) AS n_live_files_latest,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM b
-         WHERE bkt IN (0, 2)
+         WHERE bkt IN (0, 2, 3)
             OR (bkt = 1 AND o_totalprice >= {_REWRITE_MIN}))
             AS cnt_latest,
         (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) FROM b
-         WHERE bkt IN (0, 2)
+         WHERE bkt IN (0, 2, 3)
             OR (bkt = 1 AND o_totalprice >= {_REWRITE_MIN}))
             AS cents_latest,
         (SELECT CAST(SUM(bkt) AS BIGINT) FROM b
-         WHERE bkt IN (0, 2)
+         WHERE bkt IN (0, 2, 3)
             OR (bkt = 1 AND o_totalprice >= {_REWRITE_MIN}))
             AS sum_bucket_latest,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE bkt IN (0, 1, 2))
@@ -382,16 +382,32 @@ Q147_ORACLE = f"""
         (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) FROM b
          WHERE bkt = 1 AND o_totalprice >= {_REWRITE_MIN})
-            AS cents_b1_latest
+            AS cents_b1_latest,
+        CAST(1 AS BIGINT) AS n_files_hi,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE bkt = 3)
+            AS cnt_hi,
+        (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) FROM b WHERE bkt = 3)
+            AS cents_hi,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE bkt = 3)
+            AS cnt_priority
     """
+
+#: the evolved file's keys shift above every honest o_orderkey (orders
+#: keys stay far below 10^9 at any test sf), making its o_orderkey
+#: bounds DISJOINT from f0–f3's — the deterministic substrate for the
+#: metadata-only column_filter pruning proof (n_files_hi = 1)
+_EVOLVED_KEY_SHIFT = 1_000_000_000
 
 
 def build_orders_iceberg_fixture(spark: SparkSession, sf_dir: str):
-    """Deterministic 4-snapshot Iceberg v2 table over ``orders``
+    """Deterministic 5-snapshot Iceberg v2 table over ``orders``
     (rebuilt from scratch on every call), identity-partitioned on
     ``bucket = o_orderkey % 4``.  Partition values live ONLY in the
-    manifest metadata — the data files carry just the three order
-    columns, so every read exercises the partition-attach join:
+    manifest metadata — the data files carry just the order columns, so
+    every read exercises the partition-attach join.  Every data file is
+    stamped with footer-derived column bounds (the conforming-writer
+    path), so the ``column_filter`` reads prune files metadata-only:
 
     - s1: append f0 (bucket 0) + f1 (bucket 1)
     - s2: append f2 (bucket 2)
@@ -399,14 +415,36 @@ def build_orders_iceberg_fixture(spark: SparkSession, sf_dir: str):
     - s4: append f3 (bucket-1 rows with o_totalprice >= {_REWRITE_MIN})
       — s3+s4 together are the delete-where-via-rewrite q138 models on
       the Delta side.
+    - DDL: ``add_column("priority", "string")`` (metadata-only, no
+      snapshot) — every subsequent read runs the round-9 pinned-schema
+      evolution branch, null-filling f0–f3.
+    - s5: append f4 — bucket-3 rows with keys shifted by
+      ``_EVOLVED_KEY_SHIFT`` (o_orderkey bounds disjoint from every
+      older file) and a non-null ``priority`` column.
 
-    Returns (table, (s1, s2, s3, s4) snapshot ids)."""
-    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+    Returns (table, (s1, s2, s3, s4, s5) snapshot ids)."""
+    from hadoop_sync_spark.iceberg_meta import (
+        DataFile,
+        IcebergTable,
+        parquet_column_bounds,
+    )
 
     scratch = _scratch_dir(os.path.abspath(sf_dir) + "#orders_iceberg")
     shutil.rmtree(scratch, ignore_errors=True)
     table_dir = os.path.join(scratch, "orders_iceberg")
     os.makedirs(os.path.join(table_dir, "data"))
+
+    table = IcebergTable.create(
+        table_dir,
+        [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("o_totalprice", "double"),
+            ("bucket", "int"),
+        ],
+        partition_by=[("bucket", "int")],
+        now_ms=1000,
+    )
 
     src = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -427,11 +465,21 @@ def build_orders_iceberg_fixture(spark: SparkSession, sf_dir: str):
         df.coalesce(1).write.mode("overwrite").parquet(staging)
         dest = os.path.join(table_dir, "data", name)
         _move_single_part(staging, dest)
+        # conforming-writer bounds from the CURRENT schema (f4 carries
+        # the evolved priority column; string bounds serialize fine)
+        lb, ub = parquet_column_bounds(
+            dest,
+            table._schema_by_id(
+                table.metadata()["current-schema-id"]
+            )["fields"],
+        )
         return DataFile(
             path=f"data/{name}",
             partition={"bucket": bkt},
             record_count=n,
             file_size=os.path.getsize(dest),
+            lower_bounds=lb,
+            upper_bounds=ub,
         )
 
     f0 = write_file(src.filter(bucket == 0), "f0.parquet", 0, counts.get(0, 0))
@@ -444,22 +492,29 @@ def build_orders_iceberg_fixture(spark: SparkSession, sf_dir: str):
         n_rewrite,
     )
 
-    table = IcebergTable.create(
-        table_dir,
-        [
-            ("o_orderkey", "bigint"),
-            ("o_custkey", "bigint"),
-            ("o_totalprice", "double"),
-            ("bucket", "int"),
-        ],
-        partition_by=[("bucket", "int")],
-        now_ms=1000,
-    )
     s1 = table.append([f0, f1], now_ms=2000)
     s2 = table.append([f2], now_ms=3000)
     s3 = table.delete({"data/f1.parquet"}, now_ms=4000)
     s4 = table.append([f3], now_ms=5000)
-    return table, (s1, s2, s3, s4)
+    # schema evolution (round 9): metadata-only DDL, then the evolved
+    # file — keys shifted above every honest orderkey so its o_orderkey
+    # bounds are disjoint from f0–f3's (the pruning substrate)
+    table.add_column("priority", "string", now_ms=5500)
+    f4 = write_file(
+        src.filter(bucket == 3).select(
+            (F.col("o_orderkey") + F.lit(_EVOLVED_KEY_SHIFT)).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_totalprice",
+            F.lit("evolved").alias("priority"),
+        ),
+        "f4.parquet",
+        3,
+        counts.get(3, 0),
+    )
+    s5 = table.append([f4], now_ms=6000)
+    return table, (s1, s2, s3, s4, s5)
 
 
 build_orders_iceberg_fixture.__doc__ = (
@@ -473,14 +528,20 @@ build_orders_iceberg_fixture.__doc__ = (
     tags=("lakehouse", "iceberg", "time-travel", "interop"),
 )
 def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg interop: build the 4-snapshot partitioned table over
-    ``orders``, then read it back with the from-scratch metadata-tree
-    reader (iceberg_meta.py:224 `IcebergTable`) — latest snapshot,
-    snapshot-id time travel to s2, AND a partition-pruned read
+    """Iceberg interop: build the 5-snapshot partitioned + schema-evolved
+    table over ``orders``, then read it back with the from-scratch
+    metadata-tree reader (iceberg_meta.py:224 `IcebergTable`) — latest
+    snapshot, snapshot-id time travel to s2 (whose PINNED pre-evolution
+    schema has no priority column), a partition-pruned read
     (``bucket = 1``, pruned at both the manifest-list summary and the
-    manifest entry layer) — aggregated into one oracle-checked row.
-    ``sum_bucket_latest`` proves the per-row partition-attach join:
-    bucket exists only in manifest metadata, never in the data files.
+    manifest entry layer), AND a ``column_filter`` read whose
+    metadata-only bounds pruning survives exactly ONE file
+    (``n_files_hi``: f4's shifted keys make its o_orderkey bounds
+    disjoint from every older file) — aggregated into one oracle-checked
+    row.  ``sum_bucket_latest`` proves the per-row partition-attach
+    join (bucket exists only in manifest metadata, never in the data
+    files); ``cnt_priority`` proves the evolved column null-fills f0–f3
+    and reads real values from f4 through the snapshot-pinned schema.
 
     Scale: planning is metadata-only (no data file opened — pinned
     adversarially in tests/test_iceberg.py); each read is ONE
@@ -488,7 +549,9 @@ def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast partition-map join, production Iceberg's own split.
     Aggregates use the scaled-BIGINT cents idiom for bit-exact
     cross-engine sums."""
-    table, (s1, s2, s3, s4) = build_orders_iceberg_fixture(spark, sf_dir)
+    table, (s1, s2, s3, s4, s5) = build_orders_iceberg_fixture(
+        spark, sf_dir
+    )
 
     latest = table.read(spark).agg(
         F.count("*").alias("cnt_latest"),
@@ -496,6 +559,9 @@ def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long")
         ).alias("cents_latest"),
         F.sum(F.col("bucket").cast("long")).alias("sum_bucket_latest"),
+        F.sum(
+            F.col("priority").isNotNull().cast("long")
+        ).alias("cnt_priority"),
     )
     at_s2 = table.read(spark, snapshot_id=s2).agg(
         F.count("*").alias("cnt_s2"),
@@ -509,9 +575,20 @@ def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long")
         ).alias("cents_b1_latest"),
     )
+    hi_filter = {"o_orderkey": (_EVOLVED_KEY_SHIFT, None)}
+    hi = table.read(spark, column_filter=hi_filter).agg(
+        F.count("*").alias("cnt_hi"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents_hi"),
+    )
     meta = spark.range(1).select(
         F.lit(len(table.history())).cast("long").alias("n_snapshots"),
         F.lit(len(table.files())).cast("long").alias("n_live_files_latest"),
+        # metadata-only file pruning: bounds decide before any scan plan
+        F.lit(len(table.files(column_filter=hi_filter)))
+        .cast("long")
+        .alias("n_files_hi"),
     )
 
     cols = (
@@ -524,6 +601,10 @@ def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents_s2",
         "cnt_b1_latest",
         "cents_b1_latest",
+        "n_files_hi",
+        "cnt_hi",
+        "cents_hi",
+        "cnt_priority",
     )
 
     def _pad(df: DataFrame) -> DataFrame:
@@ -541,6 +622,7 @@ def q147_iceberg_snapshot_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_pad(latest))
         .unionByName(_pad(at_s2))
         .unionByName(_pad(b1))
+        .unionByName(_pad(hi))
         .agg(*[F.max(c).alias(c) for c in cols])
     )
 
@@ -560,6 +642,12 @@ _POS_DEL_K = 5
 #: at EVERY scale factor while the oracle reproduces the same set via
 #: ORDER BY o_custkey LIMIT K.
 _EQ_DEL_CAP = 20
+#: column_filter threshold for the MoR-composed bounds read: low enough
+#: that rows survive at every sf, high enough to be a real predicate
+_HI_KEY_MIN = 1000
+#: a filter range beyond every honest orderkey — with bounds stamped on
+#: all three files, file pruning must drop ALL of them metadata-only
+_BEYOND_KEY = 10**12
 
 Q148_ORACLE = f"""
     WITH evens AS (
@@ -598,7 +686,13 @@ Q148_ORACLE = f"""
         (SELECT CAST(COUNT(*) AS BIGINT) FROM evens) - {_POS_DEL_K}
             + (SELECT CAST(COUNT(*) AS BIGINT) FROM odds)
             AS cnt_after_posdel,
-        CAST(2 AS BIGINT) AS n_delete_files_latest
+        CAST(2 AS BIGINT) AS n_delete_files_latest,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM live
+         WHERE o_orderkey >= {_HI_KEY_MIN}) AS cnt_live_hi,
+        (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) FROM live
+         WHERE o_orderkey >= {_HI_KEY_MIN}) AS cents_live_hi,
+        CAST(0 AS BIGINT) AS n_files_beyond
     """
 
 
@@ -621,19 +715,39 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     The one-row result aggregates the latest MoR read (count, exact
     cents, custkey sum — the custkey sum catches an equality join on
     the wrong column), a time-travel read at s2 (position deletes
-    applied, equality not yet committed), and the live delete-file
-    count.  The oracle reproduces the survivor set in pure SQL via the
-    row-number ↔ position correspondence of the sorted even file.
+    applied, equality not yet committed), the live delete-file count,
+    and — round 10, the bounds-pruning legs — a ``column_filter`` read
+    COMPOSED with the MoR subtraction (cnt_live_hi / cents_live_hi:
+    every file is stamped with footer bounds, the ranges interleave so
+    all survive, and the exact predicate applies on top of the
+    anti-joins) plus a metadata-only pruning proof (n_files_beyond: a
+    range beyond every honest orderkey drops ALL bounded files without
+    a scan plan).  The oracle reproduces the survivor set in pure SQL
+    via the row-number ↔ position correspondence of the sorted even
+    file.
 
     Scale: delete application is broadcast anti-joins of metadata-scale
     delete sets against the distributed scan — production Iceberg's own
     plan; nothing driver-side grows with the data."""
-    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+    from hadoop_sync_spark.iceberg_meta import (
+        DataFile,
+        IcebergTable,
+        _iceberg_schema_json,
+        parquet_column_bounds,
+    )
 
     scratch = _scratch_dir(os.path.abspath(sf_dir) + "#orders_iceberg_mor")
     shutil.rmtree(scratch, ignore_errors=True)
     table_dir = os.path.join(scratch, "orders_mor")
     os.makedirs(os.path.join(table_dir, "data"))
+
+    _MOR_COLS = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_totalprice", "double"),
+    ]
+    # the exact field-id/type assignment create() will make below
+    _MOR_FIELDS = _iceberg_schema_json(_MOR_COLS)["fields"]
 
     src = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -648,11 +762,16 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         dest = os.path.join(table_dir, "data", name)
         _move_single_part(staging, dest)
         n = spark.read.parquet(dest).count()
+        # conforming-writer column bounds: the column_filter contract
+        # legs (cnt_live_hi / n_files_beyond) prune on these
+        lb, ub = parquet_column_bounds(dest, _MOR_FIELDS)
         return DataFile(
             path=f"data/{name}",
             partition={},
             record_count=n,
             file_size=os.path.getsize(dest),
+            lower_bounds=lb,
+            upper_bounds=ub,
         )
 
     evens = src.filter(F.col("o_orderkey") % 2 == 0)
@@ -680,15 +799,7 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_odd = write_file(odds, "f_odd.parquet")
     f_readd = write_file(readd, "f_readd.parquet")
 
-    table = IcebergTable.create(
-        table_dir,
-        [
-            ("o_orderkey", "bigint"),
-            ("o_custkey", "bigint"),
-            ("o_totalprice", "double"),
-        ],
-        now_ms=1000,
-    )
+    table = IcebergTable.create(table_dir, _MOR_COLS, now_ms=1000)
     table.append([f_even, f_odd], now_ms=2000)
     s2 = table.add_position_deletes(
         [("data/f_even.parquet", p) for p in range(_POS_DEL_K)], now_ms=3000
@@ -711,10 +822,28 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_s2 = table.read(spark, snapshot_id=s2).agg(
         F.count("*").alias("cnt_after_posdel")
     )
+    # column_filter COMPOSED with MoR delete subtraction: bounds decide
+    # the file set (all three survive — ranges interleave), the exact
+    # predicate applies on top, and the anti-joins still subtract
+    live_hi = table.read(
+        spark, column_filter={"o_orderkey": (_HI_KEY_MIN, None)}
+    ).agg(
+        F.count("*").alias("cnt_live_hi"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents_live_hi"),
+    )
     meta = spark.range(1).select(
         F.lit(len(table.delete_files()))
         .cast("long")
-        .alias("n_delete_files_latest")
+        .alias("n_delete_files_latest"),
+        # metadata-only pruning to ZERO: a range beyond every honest
+        # orderkey drops all three bounded files without a scan plan
+        F.lit(len(table.files(
+            column_filter={"o_orderkey": (_BEYOND_KEY, None)}
+        )))
+        .cast("long")
+        .alias("n_files_beyond"),
     )
 
     cols = (
@@ -723,6 +852,9 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey_sum_live",
         "cnt_after_posdel",
         "n_delete_files_latest",
+        "cnt_live_hi",
+        "cents_live_hi",
+        "n_files_beyond",
     )
 
     def _pad(df: DataFrame) -> DataFrame:
@@ -739,6 +871,7 @@ def q148_iceberg_mor_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pad(meta)
         .unionByName(_pad(live))
         .unionByName(_pad(at_s2))
+        .unionByName(_pad(live_hi))
         .agg(*[F.max(c).alias(c) for c in cols])
     )
 
@@ -768,28 +901,32 @@ _DV_REM = 3
 
 Q149_ORACLE = f"""
     WITH evens AS (
-        SELECT o_totalprice,
+        SELECT o_totalprice, o_custkey,
                ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
         FROM orders WHERE o_orderkey % 2 = 0
     ), odds AS (
-        SELECT o_totalprice,
+        SELECT o_totalprice, o_custkey,
                ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
         FROM orders WHERE o_orderkey % 2 = 1
     ), live AS (
-        SELECT o_totalprice FROM evens WHERE pos >= {_DV_FIRST_K}
+        SELECT o_totalprice, o_custkey FROM evens
+        WHERE pos >= {_DV_FIRST_K}
         UNION ALL
-        SELECT o_totalprice FROM odds
+        SELECT o_totalprice, o_custkey FROM odds
         WHERE pos % {_DV_MOD} <> {_DV_REM}
     )
     SELECT
         (SELECT CAST(COUNT(*) AS BIGINT) FROM live) AS cnt_live,
         (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) FROM live) AS cents_live,
+        (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM live)
+            AS custkey_sum_live,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS cnt_v0,
         CAST({_DV_FIRST_K} AS BIGINT)
             + (SELECT CAST(COUNT(*) AS BIGINT) FROM odds
                WHERE pos % {_DV_MOD} = {_DV_REM})
-            AS dv_cardinality_total
+            AS dv_cardinality_total,
+        CAST(1 AS BIGINT) AS n_ckpt_sidecars
     """
 
 
@@ -810,10 +947,22 @@ def q149_delta_dv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     descriptor cardinalities (straight from the replayed add actions —
     a wrong bitmap codec or a dropped descriptor flips it).
 
+    Round 10 routes the same contract through TWO more round-9 read
+    branches, value-identically: the table is COLUMN-MAPPED (name mode —
+    data files store physical col-* names, the logical schema carries
+    the delta.columnMapping metadata; ``custkey_sum_live`` would flip if
+    the mapping resolved the two same-typed long columns crosswise) and
+    the latest read seeds from a V2 CHECKPOINT (UUID-named main file +
+    one ``_sidecars`` parquet, written after the DV commits; a no-op
+    tail commit replays on top, and ``n_ckpt_sidecars`` pins the
+    layout).  Time travel to v0 replays below the checkpoint.
+
     Scale: the DV positions are metadata-scale; read() broadcasts them
     into a LEFT ANTI join against (file, ``_metadata.row_index``)
     lineage — the Spark-native form of the scan-side bitmap filter
     production Delta readers apply.  Payload rows never shuffle."""
+    import json as _json
+
     from hadoop_sync_spark.delta_log import DeltaLog
 
     scratch = _scratch_dir(os.path.abspath(sf_dir) + "#orders_delta_dv")
@@ -821,13 +970,25 @@ def q149_delta_dv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = os.path.join(scratch, "orders_dv")
     os.makedirs(table_dir)
 
-    src = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # logical -> physical column mapping (name mode); two long columns
+    # on purpose — a crosswise physical resolution flips custkey_sum_live
+    phys = {
+        "o_orderkey": ("col-okey", 1, "long"),
+        "o_custkey": ("col-ckey", 2, "long"),
+        "o_totalprice": ("col-price", 3, "double"),
+    }
 
     def write_sorted(df: DataFrame, name: str) -> int:
         staging = os.path.join(scratch, "staging_" + name)
         (
             df.repartition(1)
             .sortWithinPartitions("o_orderkey")
+            .select(*[
+                F.col(c).alias(phys[c][0]) for c in df.columns
+            ])
             .write.mode("overwrite")
             .parquet(staging)
         )
@@ -840,18 +1001,36 @@ def q149_delta_dv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.filter(F.col("o_orderkey") % 2 == 1), "odds.parquet"
     )
 
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {
+                "name": name,
+                "type": typ,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": fid,
+                    "delta.columnMapping.physicalName": pn,
+                },
+            }
+            for name, (pn, fid, typ) in phys.items()
+        ],
+    })
     log = DeltaLog(table_dir)
     log.commit(
         0,
         [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
             {
                 "metaData": {
                     "id": "orders-delta-dv",
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": src.schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": [],
-                    "configuration": {},
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
                 }
             },
             log.add_action_for("evens.parquet"),
@@ -867,26 +1046,45 @@ def q149_delta_dv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         [p for p in range(n_odd) if p % _DV_MOD == _DV_REM],
         storage="i",
     )
+    # V2 checkpoint + a no-op tail commit, then a FRESH log: the latest
+    # read seeds from the UUID checkpoint's sidecar and replays the tail
+    log.write_checkpoint_v2(2, sidecars=1)
+    log.commit(
+        3, [{"remove": {"path": "absent.parquet", "dataChange": False}}]
+    )
+    fresh = DeltaLog(table_dir)
 
-    snap = log.snapshot()
+    snap = fresh.snapshot()
     dv_total = sum(
         a["deletionVector"]["cardinality"]
         for a in snap.live.values()
         if a.get("deletionVector")
     )
+    n_sidecars = len(os.listdir(
+        os.path.join(table_dir, "_delta_log", "_sidecars")
+    ))
 
-    live = log.read(spark).agg(
+    live = fresh.read(spark).agg(
         F.count("*").alias("cnt_live"),
         F.sum(
             F.round(F.col("o_totalprice") * 100).cast("long")
         ).alias("cents_live"),
+        F.sum("o_custkey").alias("custkey_sum_live"),
     )
-    v0 = log.read(spark, 0).agg(F.count("*").alias("cnt_v0"))
+    v0 = fresh.read(spark, 0).agg(F.count("*").alias("cnt_v0"))
     meta = spark.range(1).select(
-        F.lit(dv_total).cast("long").alias("dv_cardinality_total")
+        F.lit(dv_total).cast("long").alias("dv_cardinality_total"),
+        F.lit(n_sidecars).cast("long").alias("n_ckpt_sidecars"),
     )
 
-    cols = ("cnt_live", "cents_live", "cnt_v0", "dv_cardinality_total")
+    cols = (
+        "cnt_live",
+        "cents_live",
+        "custkey_sum_live",
+        "cnt_v0",
+        "dv_cardinality_total",
+        "n_ckpt_sidecars",
+    )
 
     def _pad(df: DataFrame) -> DataFrame:
         have = set(df.columns)

@@ -308,8 +308,8 @@ def test_iceberg_mor_read_plans_broadcast_anti_joins(spark, sf_dir):
     )
     from hadoop_sync_spark.iceberg_meta import IcebergTable
 
-    table, (s1, s2, s3, s4) = build_orders_iceberg_fixture(spark, sf_dir)
-    table.add_position_deletes([("data/f0.parquet", 0)], now_ms=6000)
+    table, _snaps = build_orders_iceberg_fixture(spark, sf_dir)
+    table.add_position_deletes([("data/f0.parquet", 0)], now_ms=7000)
     plan = (
         table.read(spark)
         ._jdf.queryExecution()
