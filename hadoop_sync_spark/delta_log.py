@@ -222,6 +222,63 @@ _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 
 
+from hadoop_sync_spark.io import BROADCAST_DELETE_ROW_LIMIT
+
+#: broadcast ceiling for row-level delete sets (shared with the Iceberg
+#: reader; rationale at io.BROADCAST_DELETE_ROW_LIMIT)
+_BROADCAST_DELETE_ROW_LIMIT = BROADCAST_DELETE_ROW_LIMIT
+
+
+def _dv_file_path(table_dir: str, desc: dict) -> str:
+    """On-disk path of a file-backed DV descriptor ('u'/'p')."""
+    import uuid as _uuid
+
+    st = desc["storageType"]
+    if st == "p":
+        return desc["pathOrInlineDv"]
+    if st == "u":
+        enc = desc["pathOrInlineDv"]
+        prefix, uid_enc = enc[:-20], enc[-20:]
+        uid = _uuid.UUID(bytes=_b85_decode(uid_enc))
+        return os.path.join(
+            table_dir, prefix, f"deletion_vector_{uid}.bin"
+        )
+    raise NotImplementedError(f"DV storage type {st!r}")
+
+
+def _resolve_dv_positions(table_dir: str, desc: dict) -> list[int]:
+    """Resolve a deletionVector descriptor to its sorted deleted row
+    indexes.  Storage types per PROTOCOL.md: ``i`` inline (Base85
+    payload, ``sizeInBytes`` trims the 4-byte alignment pad), ``u``
+    relative file (optional prefix + Base85 UUID →
+    ``deletion_vector_<uuid>.bin``), ``p`` absolute path.  On-disk
+    framing: format-version byte 1, then at ``offset`` a 4-byte
+    big-endian size, the RoaringBitmapArray payload, and a 4-byte
+    big-endian CRC-32 that must verify.  Module-level (not a DeltaLog
+    method) so the over-ceiling executor-side decode ships a plain
+    (table_dir, desc) closure to workers."""
+    import zlib as _z
+
+    st = desc["storageType"]
+    if st == "i":
+        data = _b85_decode(desc["pathOrInlineDv"])
+        return _dv_deserialize(data[: desc["sizeInBytes"]])
+    path = _dv_file_path(table_dir, desc)
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if blob[:1] != b"\x01":
+        raise ValueError("unknown deletion-vector file version")
+    # PROTOCOL.md marks offset optional for 'u'/'p' storage; without
+    # it the payload starts right after the format-version byte
+    off = desc.get("offset", 1)
+    size = int.from_bytes(blob[off : off + 4], "big")
+    data = blob[off + 4 : off + 4 + size]
+    crc = int.from_bytes(blob[off + 4 + size : off + 8 + size], "big")
+    if _z.crc32(data) != crc:
+        raise ValueError("deletion-vector checksum mismatch")
+    return _dv_deserialize(data)
+
+
 def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _LOG_DIR, f"{version:020d}.json")
 
@@ -491,27 +548,17 @@ class DeltaLog:
 
         def subtract_dvs(df: DataFrame, data_cols: list[str]) -> DataFrame:
             """Anti-join the resolved DV positions against the scan's
-            (relative path, row index) lineage.  DV cardinalities are
-            metadata-scale next to the data they prune (the whole point
-            of merge-on-write-avoidance), so driver-side expansion +
-            broadcast anti-join is the Spark-native equivalent of the
-            scan-side bitmap filter production readers apply."""
-            del_rows = [
-                (rel, int(pos))
-                for rel, desc in sorted(dv_map.items())
-                for pos in self._dv_positions(desc)
-            ]
-            if not del_rows:
+            (relative path, row index) lineage — broadcast under the
+            size ceiling, executor-decoded shuffle join above it (see
+            :meth:`_dv_delete_frame`)."""
+            dels = self._dv_delete_frame(spark, dv_map)
+            if dels is None:
                 # every referenced DV decoded to zero positions (a
                 # cardinality-0 descriptor another engine wrote is legal)
-                # — a no-op subtraction, and createDataFrame([]) cannot
-                # infer a schema anyway
+                # — a no-op subtraction
                 return df.select(*data_cols)
-            dels = spark.createDataFrame(
-                del_rows, ["_d_file", "_d_pos"]
-            )
             out = df.join(
-                F.broadcast(dels),
+                dels,
                 (F.col("_rel_path") == F.col("_d_file"))
                 & (F.col("_row_idx") == F.col("_d_pos")),
                 "left_anti",
@@ -703,17 +750,10 @@ class DeltaLog:
             F.col(c).cast(schema[c].dataType).alias(c) for c in part_cols
         ]
         if dv_map:
-            del_rows = [
-                (rel, int(pos))
-                for rel, desc in sorted(dv_map.items())
-                for pos in self._dv_positions(desc)
-            ]
-            if del_rows:
-                dels = spark.createDataFrame(
-                    del_rows, ["_d_file", "_d_pos"]
-                )
+            dels = self._dv_delete_frame(spark, dv_map)
+            if dels is not None:
                 scan = scan.join(
-                    F.broadcast(dels),
+                    dels,
                     (F.col("_rel_path") == F.col("_d_file"))
                     & (F.col("_row_idx") == F.col("_d_pos")),
                     "left_anti",
@@ -908,50 +948,64 @@ class DeltaLog:
     # ---- deletion vectors (protocol v3 readerFeature, round 8) ---------
     def _dv_positions(self, desc: dict) -> list[int]:
         """Resolve a deletionVector descriptor to its sorted deleted row
-        indexes.  Storage types per PROTOCOL.md: ``i`` inline (Base85
-        payload, ``sizeInBytes`` trims the 4-byte alignment pad), ``u``
-        relative file (optional prefix + Base85 UUID →
-        ``deletion_vector_<uuid>.bin``), ``p`` absolute path.  On-disk
-        framing: format-version byte 1, then at ``offset`` a 4-byte
-        big-endian size, the RoaringBitmapArray payload, and a 4-byte
-        big-endian CRC-32 that must verify."""
-        import uuid as _uuid
-        import zlib as _z
-
-        st = desc["storageType"]
-        if st == "i":
-            data = _b85_decode(desc["pathOrInlineDv"])
-            return _dv_deserialize(data[: desc["sizeInBytes"]])
-        path = self._dv_file_path(desc)
-        with open(path, "rb") as fh:
-            blob = fh.read()
-        if blob[:1] != b"\x01":
-            raise ValueError("unknown deletion-vector file version")
-        # PROTOCOL.md marks offset optional for 'u'/'p' storage; without
-        # it the payload starts right after the format-version byte
-        off = desc.get("offset", 1)
-        size = int.from_bytes(blob[off : off + 4], "big")
-        data = blob[off + 4 : off + 4 + size]
-        crc = int.from_bytes(blob[off + 4 + size : off + 8 + size], "big")
-        if _z.crc32(data) != crc:
-            raise ValueError("deletion-vector checksum mismatch")
-        return _dv_deserialize(data)
+        indexes (module-level resolver; kept as a method for callers and
+        tests)."""
+        return _resolve_dv_positions(self.table_dir, desc)
 
     def _dv_file_path(self, desc: dict) -> str:
         """On-disk path of a file-backed DV descriptor ('u'/'p')."""
-        import uuid as _uuid
+        return _dv_file_path(self.table_dir, desc)
 
-        st = desc["storageType"]
-        if st == "p":
-            return desc["pathOrInlineDv"]
-        if st == "u":
-            enc = desc["pathOrInlineDv"]
-            prefix, uid_enc = enc[:-20], enc[-20:]
-            uid = _uuid.UUID(bytes=_b85_decode(uid_enc))
-            return os.path.join(
-                self.table_dir, prefix, f"deletion_vector_{uid}.bin"
+    def _dv_delete_frame(self, spark: SparkSession, dv_map: dict):
+        """(file, pos) delete frame for the DV anti-join, or None when
+        every descriptor decodes to zero positions.  The regime is
+        decided from METADATA (the descriptors' summed ``cardinality``)
+        before any payload decodes:
+
+        - at or under ``_BROADCAST_DELETE_ROW_LIMIT`` total rows,
+          positions expand driver-side and the frame broadcasts — the
+          Spark-native form of the scan-side bitmap filter production
+          Delta readers apply;
+        - ABOVE the limit (a pathological delete set at 100 TB — e.g. a
+          GDPR purge touching most rows), driver expansion and the
+          broadcast would both blow up, so the descriptors (metadata-
+          scale) parallelize instead, each decoding ITS positions
+          executor-side, and the anti-join runs as a plain shuffle join.
+          A loud log line records the fallback."""
+        total = sum(
+            int(d.get("cardinality") or 0) for d in dv_map.values()
+        )
+        if total <= _BROADCAST_DELETE_ROW_LIMIT:
+            del_rows = [
+                (rel, int(pos))
+                for rel, desc in sorted(dv_map.items())
+                for pos in self._dv_positions(desc)
+            ]
+            if not del_rows:
+                return None
+            return F.broadcast(
+                spark.createDataFrame(del_rows, ["_d_file", "_d_pos"])
             )
-        raise NotImplementedError(f"DV storage type {st!r}")
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "deletion-vector set of %d rows exceeds the broadcast "
+            "ceiling (%d); falling back to executor-side DV decode + "
+            "shuffle anti-join",
+            total,
+            _BROADCAST_DELETE_ROW_LIMIT,
+        )
+        table_dir = self.table_dir
+        items = sorted(dv_map.items())
+        rdd = spark.sparkContext.parallelize(
+            items, min(len(items), 64)
+        ).flatMap(
+            lambda kv: [
+                (kv[0], int(p))
+                for p in _resolve_dv_positions(table_dir, kv[1])
+            ]
+        )
+        return spark.createDataFrame(rdd, "_d_file string, _d_pos long")
 
     def add_deletion_vector(
         self,

@@ -63,6 +63,9 @@ import os
 from dataclasses import dataclass, field as dataclasses_field
 
 from hadoop_sync_spark.avro_codec import read_ocf, write_ocf
+from hadoop_sync_spark.io import (
+    BROADCAST_DELETE_ROW_LIMIT as _BROADCAST_DELETE_ROW_LIMIT,
+)
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 #: data_file.content (spec: Data File struct)
@@ -901,13 +904,33 @@ class IcebergTable:
                 self.metadata()["current-schema-id"]
             ]["fields"]
         }
+        def _sized(dels, d):
+            """Broadcast a delete-file frame only under the size
+            ceiling — the manifest's record_count decides from METADATA.
+            A pathological delete set (most of a 100 TB table deleted
+            merge-on-read) would blow the broadcast; above the limit
+            the anti-join runs as a plain shuffle join with a loud log
+            line (VERDICT r9 item 7)."""
+            if d.record_count <= _BROADCAST_DELETE_ROW_LIMIT:
+                return F.broadcast(dels)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "delete file %s holds %d rows, over the broadcast "
+                "ceiling (%d); anti-join falls back to shuffle",
+                d.raw_path,
+                d.record_count,
+                _BROADCAST_DELETE_ROW_LIMIT,
+            )
+            return dels
+
         for d in pos_dels:
             dels = spark.read.parquet(d.path).select(
                 F.col("file_path").alias("_d_file"),
                 F.col("pos").alias("_d_pos"),
             )
             df = df.join(
-                F.broadcast(dels),
+                _sized(dels, d),
                 (F.col("_raw_path") == F.col("_d_file"))
                 & (F.col("_row_idx") == F.col("_d_pos"))
                 & (F.col("_seq") <= F.lit(d.sequence)),
@@ -921,7 +944,7 @@ class IcebergTable:
             cond = F.col("_seq") < F.lit(d.sequence)
             for n in names:
                 cond = cond & F.col(n).eqNullSafe(F.col(f"_d_{n}"))
-            df = df.join(F.broadcast(dels), cond, "left_anti")
+            df = df.join(_sized(dels, d), cond, "left_anti")
         return _apply_cf(df.select(*data_cols, *part_cols))
 
     def history(self) -> list[dict]:

@@ -29,6 +29,17 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
+#: broadcast ceiling for row-level delete sets (MoR position/equality
+#: deletes, deletion vectors), in ROWS — shared by the Delta and
+#: Iceberg readers.  A delete-key row is ~tens of bytes, so the limit
+#: sits well inside Spark's default broadcast comfort zone (≈ low
+#: hundreds of MB); above it the delete anti-join falls back to a
+#: shuffle join with a loud log line, and (for DVs) the descriptor
+#: decode moves executor-side so the driver never materializes a
+#: position list (VERDICT r9 item 7 — the size ledger for pathological
+#: delete sets at 100 TB).
+BROADCAST_DELETE_ROW_LIMIT = 5_000_000
+
 
 def table_path(sf_dir: str, name: str) -> str:
     """Resolve a table name to its parquet path under a scale-factor dir."""

@@ -885,6 +885,31 @@ def test_column_bounds_prune_files_metadata_only(spark, tmp_path):
     assert got == [100, 150]
 
 
+def test_mor_broadcast_ceiling_falls_back_to_shuffle(spark, tmp_path,
+                                                     monkeypatch, caplog):
+    """Above the broadcast ceiling (metadata-decided from the delete
+    file's record_count) the MoR anti-joins stop broadcasting and log
+    the shuffle fallback loudly, returning identical rows (VERDICT r9
+    item 7)."""
+    import logging
+
+    import hadoop_sync_spark.iceberg_meta as im
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3, 4])], now_ms=2000)
+    t.add_position_deletes([("data/f1.parquet", 1)], now_ms=3000)
+    t.add_equality_deletes([{"id": 4}], equality_ids=[1], now_ms=4000)
+    expect = sorted(r.id for r in t.read(spark).collect())
+    assert expect == [1, 3]
+    monkeypatch.setattr(im, "_BROADCAST_DELETE_ROW_LIMIT", 0)
+    with caplog.at_level(logging.WARNING,
+                         logger="hadoop_sync_spark.iceberg_meta"):
+        got = sorted(r.id for r in t.read(spark).collect())
+    assert got == expect
+    assert any("broadcast" in r.message and "shuffle" in r.message
+               for r in caplog.records)
+
+
 def test_column_bounds_partial_over_unsupported_types(tmp_path):
     """A column whose type lacks single-value serialization (boolean)
     skips INDIVIDUALLY: the supported columns keep their bounds instead
