@@ -882,7 +882,7 @@ class DeltaLog:
         bytes_in = 0
         fid_conf = "spark.sql.parquet.fieldId.write.enabled"
         old_fid_conf = None
-        if mode != "none":
+        if mode == "id":
             try:
                 old_fid_conf = spark.conf.get(fid_conf)
             except Exception:
@@ -891,12 +891,19 @@ class DeltaLog:
         for i, (pv, group) in enumerate(bins):
             rels = {a["path"] for a in group}
             if mode != "none":
-                # logical -> physical rename with the mapping's field id
-                # stamped into the footer (id-mode readers match on it)
+                # logical -> physical rename; the mapping's field id
+                # stamps into the footer ONLY in id mode (where every
+                # conforming file carries ids and readers match on
+                # them) — a stamped file in a name-mode table would
+                # poison Spark's inferred-schema read of a mixed
+                # stamped/plain directory, which hard-fails
                 out = self.read(spark, paths=rels).select(*[
                     F.col(pf["name"]).alias(
                         pf["pn"],
-                        metadata={"parquet.field.id": pf["fid"]},
+                        metadata=(
+                            {"parquet.field.id": pf["fid"]}
+                            if mode == "id" else None
+                        ),
                     )
                     for pf in phys_fields if pf["name"] not in part_cols
                 ])
@@ -924,7 +931,7 @@ class DeltaLog:
             )
             rewritten |= rels
             bytes_in += sum(a["size"] for a in group)
-        if mode != "none":
+        if mode == "id":
             if old_fid_conf is None:
                 spark.conf.unset(fid_conf)
             else:

@@ -826,14 +826,24 @@ class IcebergTable:
         part_cols = sorted({k for f in files for k in f.partition})
         reader = spark.read
         meta_doc = self.metadata()
+        #: rename support (round 10): when the history renamed fields,
+        #: per-field coalesce exprs over the historical name variants
+        #: form the LOGICAL projection applied as each return path's
+        #: final select (after lineage/attach selections, which need the
+        #: raw scan's metadata columns)
+        logical_exprs = None
+        variants: dict[int, list[str]] | None = None
+        variant_expr: dict[int, "F.Column"] = {}
         if len(meta_doc.get("schemas", [])) > 1:
             # schema evolution (round 9): pin the snapshot's schema so
             # files written before an added column null-fill it and
-            # dropped columns prune.  Name-based resolution is guarded —
-            # a rename/promotion in the schema history refuses (id-based
-            # resolution needs parquet footer field ids).  Single-schema
-            # tables keep the exact pre-round-9 inferred-schema plan.
-            self._check_no_rename_or_promotion()
+            # dropped columns prune.  Add/drop-only histories resolve
+            # by NAME on the snapshot's names; RENAME histories (round
+            # 10) pin every historical name of a field and coalesce —
+            # one scan, plain parquet, no footer ids needed.  Type
+            # promotions and drop+re-add-same-name still refuse.
+            # Single-schema tables keep the exact inferred-schema plan.
+            variants = self._rename_history()
             if snapshot_id is None and as_of_timestamp_ms is None:
                 # a CURRENT read always uses the current schema — DDL is
                 # metadata-only (no snapshot), so the latest snapshot's
@@ -845,8 +855,22 @@ class IcebergTable:
                     "schema-id", meta_doc["current-schema-id"]
                 )
             reader = reader.schema(
-                self._spark_schema(sid, exclude=set(part_cols))
+                self._spark_schema(
+                    sid, exclude=set(part_cols), name_variants=variants
+                )
             )
+            if variants:
+                logical_exprs = []
+                for f in self._schema_by_id(sid)["fields"]:
+                    if f["name"] in set(part_cols):
+                        continue
+                    names = variants.get(f["id"], [f["name"]])
+                    e = (
+                        F.col(names[0]) if len(names) == 1
+                        else F.coalesce(*[F.col(n) for n in names])
+                    )
+                    variant_expr[f["id"]] = e
+                    logical_exprs.append(e.alias(f["name"]))
         deletes = self.delete_files(snapshot_id, as_of_timestamp_ms)
         pos_dels = [
             d for d in deletes
@@ -861,7 +885,10 @@ class IcebergTable:
         scan = reader.parquet(*[f.path for f in files])
         if not (pos_dels or eq_dels):
             if not part_cols:
-                return _apply_cf(scan)
+                return _apply_cf(
+                    scan if logical_exprs is None
+                    else scan.select(*logical_exprs)
+                )
             # abspath, not resolve() — Hadoop qualifies paths but does
             # not chase symlinks, so neither may we
             rows = [
@@ -869,12 +896,13 @@ class IcebergTable:
                 + tuple(f.partition.get(c) for c in part_cols)
                 for f in files
             ]
-            return _apply_cf(
-                attach_file_columns(
-                    scan, rows, part_cols,
-                    what="iceberg snapshot partition",
-                )
+            out = attach_file_columns(
+                scan, rows, part_cols,
+                what="iceberg snapshot partition",
             )
+            if logical_exprs is not None:
+                out = out.select(*logical_exprs, *part_cols)
+            return _apply_cf(out)
         data_cols = scan.columns
         scan = scan.select(
             "*", F.col("_metadata.row_index").alias("_row_idx")
@@ -938,14 +966,30 @@ class IcebergTable:
             )
         for d in eq_dels:
             names = [meta_schema[fid] for fid in d.equality_ids]
-            dels = spark.read.parquet(d.path).select(
-                *[F.col(n).alias(f"_d_{n}") for n in names]
-            )
+            dels_raw = spark.read.parquet(d.path)
+            # a delete file written pre-rename stores its equality
+            # column under the write-time name — pick the variant the
+            # file actually carries
+            sel_exprs = []
+            for fid, n in zip(d.equality_ids, names):
+                cands = [
+                    v for v in (variants or {}).get(fid, [n])
+                    if v in dels_raw.columns
+                ] or [n]
+                sel_exprs.append(F.col(cands[0]).alias(f"_d_{n}"))
+            dels = dels_raw.select(*sel_exprs)
             cond = F.col("_seq") < F.lit(d.sequence)
-            for n in names:
-                cond = cond & F.col(n).eqNullSafe(F.col(f"_d_{n}"))
+            for fid, n in zip(d.equality_ids, names):
+                scan_val = variant_expr.get(fid, F.col(n))
+                cond = cond & scan_val.eqNullSafe(F.col(f"_d_{n}"))
             df = df.join(_sized(dels, d), cond, "left_anti")
-        return _apply_cf(df.select(*data_cols, *part_cols))
+        return _apply_cf(
+            df.select(
+                *(logical_exprs if logical_exprs is not None
+                  else data_cols),
+                *part_cols,
+            )
+        )
 
     def history(self) -> list[dict]:
         """Operation log in DESCRIBE HISTORY shape, newest first."""
@@ -1375,39 +1419,66 @@ class IcebergTable:
                 return s
         raise ValueError(f"no schema with schema-id {sid}")
 
-    def _check_no_rename_or_promotion(self) -> None:
-        """Name-based column resolution is sound only while every field
-        id maps to ONE (name, type) across the schema history — spec
-        renames/promotions are id-based and need parquet footer field
-        ids to resolve, which plain-parquet writers don't stamp.  The
-        check is pure metadata, so a table evolved beyond add/drop
-        refuses loudly instead of silently null-filling a renamed
-        column."""
-        seen: dict[int, tuple] = {}
+    def _rename_history(self) -> dict[int, list[str]] | None:
+        """Classify the schema history for column resolution (pure
+        metadata).  Returns:
+
+        - ``None`` — every field id kept one name and every name one
+          id: plain NAME resolution is sound;
+        - ``{fid: [names, latest first]}`` — some field id changed
+          NAME (a spec rename) while every name still belongs to ONE
+          id across the whole history: resolution goes by NAME VARIANT
+          (round 10) — the scan schema pins every historical name of
+          the field (a conforming file carries exactly one of them)
+          and the logical column coalesces across the variants, so
+          renamed tables read without footer field ids, on one scan;
+        - raises — a field id changed TYPE (promotion: per-file
+          coercion) or a name is carried by two field ids (drop +
+          re-add: an old file's physical column would leak into the
+          new field under any name-based scheme).  Both stay honest
+          refusals pending footer-field-id resolution."""
+        names_of: dict[int, list[str]] = {}
+        typ_of: dict[int, str] = {}
         name_ids: dict[str, int] = {}
+        renamed = False
         for s in self.metadata().get("schemas", []):
             for f in s["fields"]:
-                cur = (f["name"], json.dumps(f["type"], sort_keys=True))
-                prev = seen.setdefault(f["id"], cur)
-                if prev != cur:
+                typ = json.dumps(f["type"], sort_keys=True)
+                prev_t = typ_of.setdefault(f["id"], typ)
+                if prev_t != typ:
                     raise NotImplementedError(
-                        f"schema evolution beyond add/drop (field id "
-                        f"{f['id']}: {prev} -> {cur}) needs id-based "
-                        "column resolution"
+                        f"type promotion (field id {f['id']}: "
+                        f"{prev_t} -> {typ}) needs per-file type "
+                        "coercion; refusing to silently mis-read"
                     )
-                # drop + re-add under the SAME name gives the name two
-                # field ids; old files' physical column would leak into
-                # the new field under name resolution — refuse
                 owner = name_ids.setdefault(f["name"], f["id"])
                 if owner != f["id"]:
                     raise NotImplementedError(
-                        f"schema evolution beyond add/drop (name "
-                        f"{f['name']!r} carried by field ids {owner} "
-                        f"and {f['id']}) needs id-based column "
-                        "resolution"
+                        f"schema evolution beyond add/drop/rename "
+                        f"(name {f['name']!r} carried by field ids "
+                        f"{owner} and {f['id']}) needs id-based "
+                        "column resolution"
                     )
+                seq = names_of.setdefault(f["id"], [])
+                if f["name"] not in seq:
+                    if seq:
+                        renamed = True
+                    seq.insert(0, f["name"])  # latest first
+        return names_of if renamed else None
 
-    def _spark_schema(self, sid: int, exclude: set | None = None):
+    def _spark_schema(
+        self,
+        sid: int,
+        exclude: set | None = None,
+        name_variants: dict[int, list[str]] | None = None,
+    ):
+        """Pinned Spark read schema for schema-id ``sid``.  With
+        ``name_variants`` (a rename history from
+        :meth:`_rename_history`) the schema pins a column per
+        HISTORICAL name of each field — a conforming file carries
+        exactly one of them (the name its write-time schema used), the
+        rest null-fill, and the read's logical projection coalesces
+        across the variants."""
         from pyspark.sql import types as T
 
         inv = {
@@ -1427,11 +1498,12 @@ class IcebergTable:
                 raise NotImplementedError(
                     f"iceberg type {ityp!r} in the read schema"
                 )
-            fields.append(
-                T.StructField(
-                    f["name"], inv[ityp], not f.get("required", False)
-                )
+            names = (
+                name_variants.get(f["id"], [f["name"]])
+                if name_variants else [f["name"]]
             )
+            for n in names:
+                fields.append(T.StructField(n, inv[ityp], True))
         return T.StructType(fields)
 
     def add_column(
@@ -1472,6 +1544,43 @@ class IcebergTable:
         meta["last-updated-ms"] = now_ms
         self._write_metadata(self.current_version() + 1, meta)
         return fid
+
+    def rename_column(self, old: str, new: str, now_ms: int = 0) -> None:
+        """Schema evolution, the rename face (round 10; metadata-only
+        like :meth:`add_column`): the new schema carries the SAME field
+        id under the new name — the spec's id-stable rename.  Reads of
+        a renamed table resolve columns by parquet footer field id
+        (Spark's ``parquet.field.id`` matching; :meth:`read` pre-checks
+        that every selected file stamps ids and refuses otherwise —
+        name-mapping fallback is an honest seam).  Partition-source
+        columns refuse: identity spec field NAMES were fixed at create
+        time, and a renamed source would silently diverge from the
+        attach column."""
+        meta = json.loads(json.dumps(self.metadata()))
+        cur = self._schema_by_id(meta["current-schema-id"])
+        if not any(f["name"] == old for f in cur["fields"]):
+            raise ValueError(f"no such column {old!r}")
+        if any(f["name"] == new for f in cur["fields"]):
+            raise ValueError(f"column {new!r} already exists")
+        by_id = {f["id"]: f["name"] for f in cur["fields"]}
+        for spec in meta.get("partition-specs", []):
+            for pf in spec["fields"]:
+                if by_id.get(pf.get("source-id")) == old:
+                    raise ValueError(
+                        f"column {old!r} is a partition source "
+                        f"(spec field {pf['name']!r}) — renaming it "
+                        "would diverge from the spec field name"
+                    )
+        new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+        new_schema = json.loads(json.dumps(cur))
+        new_schema["schema-id"] = new_sid
+        for f in new_schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        meta["schemas"].append(new_schema)
+        meta["current-schema-id"] = new_sid
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
 
     def drop_column(self, name: str, now_ms: int = 0) -> None:
         """Schema evolution, the drop face (metadata-only like
@@ -1609,7 +1718,12 @@ class IcebergTable:
             # ADVICE r9 high), and after drop_column a footer column
             # read() no longer returns would crash the select.  Partition
             # columns still live in metadata only, so the attach columns
-            # read() adds must not leak into the data file.
+            # read() adds must not leak into the data file.  Columns
+            # write under the schema's CURRENT names, deliberately
+            # WITHOUT parquet field ids: Spark's inferred-schema read of
+            # a mixed directory (one stamped footer + one plain) demands
+            # ids of every file and hard-fails, and the rename read path
+            # resolves by name variant, never by footer id.
             data_cols = [
                 f["name"] for f in cur_schema["fields"]
                 if f["name"] not in part

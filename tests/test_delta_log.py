@@ -902,8 +902,10 @@ def test_compact_column_mapped_table(spark, tmp_path):
     (rel,) = log.snapshot().files
     footer = pq.read_schema(os.path.join(d, rel))
     assert sorted(footer.names) == ["col-aaa", "col-bbb"]
-    assert int((footer.field("col-aaa").metadata or {})
-               [b"PARQUET:field_id"]) == 1
+    # name mode deliberately does NOT stamp field ids: a stamped file
+    # in a plain-name directory poisons Spark's inferred mixed reads
+    assert b"PARQUET:field_id" not in (footer.field("col-aaa").metadata
+                                       or {})
     # id mode: physical file names disagree with physicalName on purpose;
     # the compacted footer must still resolve by field_id
     d2, log2 = _mk_table(tmp_path, "cm_compact_id")
@@ -920,6 +922,12 @@ def test_compact_column_mapped_table(spark, tmp_path):
     assert res is not None and res["files_out"] == 1
     assert {(r.k, r.v) for r in log2.read(spark).collect()} == {
         (7, "a"), (8, "b"), (9, "c")}
+    # id mode DOES stamp field ids — id-mode readers match on them
+    (rel2,) = log2.snapshot().files
+    footer2 = pq.read_schema(os.path.join(d2, rel2))
+    ids = {f2.name: int((f2.metadata or {})[b"PARQUET:field_id"])
+           for f2 in (footer2.field(i) for i in range(len(footer2.names)))}
+    assert sorted(ids.values()) == [1, 2]
 
 
 def test_compact_partitioned_and_crash_injection(spark, tmp_path,

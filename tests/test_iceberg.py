@@ -1018,10 +1018,77 @@ def test_add_column_guards(spark, tmp_path):
         t.add_column("m", "map<string,int>")
 
 
-def test_rename_in_schema_history_refuses(spark, tmp_path):
-    """Renames/promotions are id-based in the spec; name-based reads
-    would silently null-fill the renamed column, so the metadata-level
-    history check refuses before any data is read."""
+def test_rename_column_variant_read(spark, tmp_path):
+    """Spec renames (round 10) resolve via name variants: the scan pins
+    every historical name of the renamed field (a conforming file
+    carries exactly one) and the logical column coalesces — one scan,
+    plain parquet, NO footer field ids required.  A file written
+    pre-rename under the OLD name and one written post-rename under the
+    NEW name both land in the renamed logical column; time travel to
+    the pre-rename snapshot sees the old name; MoR deletes compose
+    (incl. an equality-delete file that stores the OLD column name);
+    compaction rewrites under the current name and stays readable."""
+    t, write_pq = _mor_table(tmp_path)
+    d = str(tmp_path / "mor")
+    s1 = t.append([write_pq("f1.parquet", [1, 2])], now_ms=2000)
+    t.rename_column("val", "label", now_ms=3000)
+    p = os.path.join(d, "data", "f2.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()),
+                  "label": pa.array(["v3"], pa.string())}), p)
+    t.append([DataFile("data/f2.parquet", {}, 1, os.path.getsize(p))],
+             now_ms=4000)
+    now = t.read(spark)
+    assert sorted(now.columns) == ["id", "label"]
+    assert {(r.id, r.label) for r in now.collect()} == {
+        (1, "v1"), (2, "v2"), (3, "v3")}
+    # time travel: the pre-rename snapshot reads under ITS schema
+    old = t.read(spark, snapshot_id=s1)
+    assert sorted(old.columns) == ["id", "val"]
+    assert {(r.id, r.val) for r in old.collect()} == {(1, "v1"), (2, "v2")}
+    # guards
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("id", "label")
+    # MoR composes: a position delete, plus an equality delete whose
+    # FILE stores the OLD column name (simulating a pre-rename engine's
+    # delete file: rewrite the committed parquet in place — the
+    # manifest references the path, not the column names)
+    t.add_position_deletes([("data/f1.parquet", 0)], now_ms=5000)
+    t.add_equality_deletes([{"label": "v3"}], equality_ids=[2],
+                           now_ms=6000)
+    (eq_del,) = [f for f in t.delete_files() if f.content == 2]
+    pq.write_table(
+        pa.table({"val": pa.array(["v3"], pa.string())}), eq_del.path)
+    assert {(r.id, r.label) for r in t.read(spark).collect()} == {
+        (2, "v2")}
+    # compaction rewrites under the CURRENT name; reads stay correct
+    res = t.compact(spark, now_ms=7000)
+    assert res is not None
+    assert {(r.id, r.label) for r in t.read(spark).collect()} == {
+        (2, "v2")}
+    # drop + re-add under the SAME name still refuses (a name carried
+    # by two field ids cannot resolve without footer ids)
+    t.drop_column("label", now_ms=8000)
+    t.add_column("label", "string", now_ms=9000)
+    with pytest.raises(NotImplementedError, match="id-based"):
+        t.read(spark)
+
+
+def test_rename_partition_source_refuses(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    t.append([write_pq("a.parquet", [1], bucket=0)], now_ms=2000)
+    with pytest.raises(ValueError, match="partition source"):
+        t.rename_column("p_bucket", "pb2")
+
+
+def test_externally_written_rename_reads_and_promotion_refuses(
+        spark, tmp_path):
+    """A rename appearing in an EXTERNALLY written schema history (not
+    via our rename_column face) resolves through the same name-variant
+    path; a type PROMOTION in the history still refuses — per-file
+    coercion is the honest seam."""
     t, write_pq = _mor_table(tmp_path)
     t.append([write_pq("f1.parquet", [1])], now_ms=2000)
     t.add_column("score", "double", now_ms=3000)
@@ -1037,7 +1104,22 @@ def test_rename_in_schema_history_refuses(spark, tmp_path):
     json.dump(meta, open(os.path.join(t.meta_dir,
                                       f"v{v}.metadata.json"), "w"))
     open(t._hint_path(), "w").write(str(v))
-    with pytest.raises(NotImplementedError, match="id-based"):
+    got = t.read(spark)
+    assert sorted(got.columns) == ["id", "score", "value_renamed"]
+    assert {(r.id, r.value_renamed, r.score)
+            for r in got.collect()} == {(1, "v1", None)}
+    # promotion: same id, widened type -> refuse
+    meta2 = json.loads(json.dumps(t.metadata()))
+    promoted = json.loads(json.dumps(renamed))
+    promoted["schema-id"] = renamed["schema-id"] + 1
+    promoted["fields"][2]["type"] = "float"  # score: double -> float
+    meta2["schemas"].append(promoted)
+    meta2["current-schema-id"] = promoted["schema-id"]
+    v2 = t.current_version() + 1
+    json.dump(meta2, open(os.path.join(t.meta_dir,
+                                       f"v{v2}.metadata.json"), "w"))
+    open(t._hint_path(), "w").write(str(v2))
+    with pytest.raises(NotImplementedError, match="promotion"):
         t.read(spark)
 
 
