@@ -95,6 +95,11 @@ _SPARK_TO_ICEBERG = {
     "timestamp_ntz": "timestamp",
 }
 
+#: the spec's primitive type-promotion lattice ("Schema Evolution":
+#: int → long, float → double; decimal widening is out of our type
+#: map).  JSON-encoded type strings, matching _rename_history's walk.
+_PROMOTIONS = {('"int"', '"long"'), ('"float"', '"double"')}
+
 
 def _iceberg_schema_json(fields: list[tuple[str, str]]) -> dict:
     """[(name, spark_type)] → Iceberg struct schema with field ids."""
@@ -275,9 +280,12 @@ def _from_le_bytes(b: bytes, typ: str):
     if typ in ("int", "date"):
         return _s.unpack("<i", b)[0]
     if typ == "long":
-        return _s.unpack("<q", b)[0]
+        # a promoted column's pre-promotion bounds are 4-byte ints —
+        # the single-value serialization is width-determined (spec
+        # Appendix D), so read by buffer width
+        return _s.unpack("<i" if len(b) == 4 else "<q", b)[0]
     if typ == "double":
-        return _s.unpack("<d", b)[0]
+        return _s.unpack("<f" if len(b) == 4 else "<d", b)[0]
     if typ == "float":
         return _s.unpack("<f", b)[0]
     if typ == "string":
@@ -1432,11 +1440,16 @@ class IcebergTable:
           the field (a conforming file carries exactly one of them)
           and the logical column coalesces across the variants, so
           renamed tables read without footer field ids, on one scan;
-        - raises — a field id changed TYPE (promotion: per-file
-          coercion) or a name is carried by two field ids (drop +
-          re-add: an old file's physical column would leak into the
-          new field under any name-based scheme).  Both stay honest
-          refusals pending footer-field-id resolution."""
+        Spec-legal type PROMOTIONS (int → long, float → double; round
+        10) pass the check without needing variants: the read pins the
+        snapshot schema's (widest) type and Spark's parquet reader
+        upcasts narrower physical columns natively.  Raises on:
+
+        - an ILLEGAL type change (anything off the promotion lattice,
+          or a narrowing) — per-file coercion stays the honest seam;
+        - a name carried by two field ids (drop + re-add: an old
+          file's physical column would leak into the new field under
+          any name-based scheme), pending footer-field-id resolution."""
         names_of: dict[int, list[str]] = {}
         typ_of: dict[int, str] = {}
         name_ids: dict[str, int] = {}
@@ -1446,11 +1459,15 @@ class IcebergTable:
                 typ = json.dumps(f["type"], sort_keys=True)
                 prev_t = typ_of.setdefault(f["id"], typ)
                 if prev_t != typ:
-                    raise NotImplementedError(
-                        f"type promotion (field id {f['id']}: "
-                        f"{prev_t} -> {typ}) needs per-file type "
-                        "coercion; refusing to silently mis-read"
-                    )
+                    if (prev_t, typ) in _PROMOTIONS:
+                        typ_of[f["id"]] = typ  # widened; keep walking
+                    else:
+                        raise NotImplementedError(
+                            f"type change (field id {f['id']}: "
+                            f"{prev_t} -> {typ}) is off the spec's "
+                            "promotion lattice; refusing to silently "
+                            "mis-read"
+                        )
                 owner = name_ids.setdefault(f["name"], f["id"])
                 if owner != f["id"]:
                     raise NotImplementedError(
@@ -1577,6 +1594,48 @@ class IcebergTable:
         for f in new_schema["fields"]:
             if f["name"] == old:
                 f["name"] = new
+        meta["schemas"].append(new_schema)
+        meta["current-schema-id"] = new_sid
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
+
+    def promote_column(
+        self, name: str, spark_type: str, now_ms: int = 0
+    ) -> None:
+        """Schema evolution, the type-promotion face (round 10;
+        metadata-only like :meth:`add_column`): widen a column along
+        the spec's promotion lattice (int → long, float → double),
+        keeping its field id.  Reads pin the snapshot schema's (widest)
+        type and Spark's parquet reader upcasts narrower physical
+        columns natively — no file rewrite, no per-file plan.  Anything
+        off the lattice refuses."""
+        meta = json.loads(json.dumps(self.metadata()))
+        cur = self._schema_by_id(meta["current-schema-id"])
+        field = next(
+            (f for f in cur["fields"] if f["name"] == name), None
+        )
+        if field is None:
+            raise ValueError(f"no such column {name!r}")
+        if spark_type not in _SPARK_TO_ICEBERG:
+            raise NotImplementedError(
+                f"no Iceberg mapping for Spark type {spark_type!r}"
+            )
+        new_t = _SPARK_TO_ICEBERG[spark_type]
+        pair = (
+            json.dumps(field["type"], sort_keys=True),
+            json.dumps(new_t, sort_keys=True),
+        )
+        if pair not in _PROMOTIONS:
+            raise NotImplementedError(
+                f"promotion {field['type']!r} -> {new_t!r} is off the "
+                "spec's lattice (int->long, float->double)"
+            )
+        new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+        new_schema = json.loads(json.dumps(cur))
+        new_schema["schema-id"] = new_sid
+        for f in new_schema["fields"]:
+            if f["name"] == name:
+                f["type"] = new_t
         meta["schemas"].append(new_schema)
         meta["current-schema-id"] = new_sid
         meta["last-updated-ms"] = now_ms

@@ -1076,6 +1076,73 @@ def test_rename_column_variant_read(spark, tmp_path):
         t.read(spark)
 
 
+def test_promote_column_int_to_long(spark, tmp_path):
+    """Spec type promotion (round 10): int → long widens metadata-only;
+    old int32 files upcast natively under the pinned wider schema, new
+    int64 files read as-is, time travel pins the narrow type, and
+    column_filter pruning handles the mixed bound widths (4-byte int
+    bounds on pre-promotion files, 8-byte on post)."""
+    from hadoop_sync_spark.iceberg_meta import parquet_column_bounds
+
+    d = str(tmp_path / "promo")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "int"), ("v", "string")], now_ms=1000
+    )
+
+    def write(name, ks, typ):
+        p = os.path.join(d, "data", name)
+        pq.write_table(
+            pa.table({"k": pa.array(ks, typ),
+                      "v": pa.array([f"v{x}" for x in ks],
+                                    pa.string())}), p)
+        lb, ub = parquet_column_bounds(
+            p, t._schema_by_id(t.metadata()["current-schema-id"])
+            ["fields"])
+        return DataFile(f"data/{name}", {}, len(ks),
+                        os.path.getsize(p),
+                        lower_bounds=lb, upper_bounds=ub)
+
+    s1 = t.append([write("f1.parquet", [1, 2], pa.int32())], now_ms=2000)
+    t.promote_column("k", "bigint", now_ms=3000)
+    big = 5_000_000_000  # needs 64 bits
+    t.append([write("f2.parquet", [big], pa.int64())], now_ms=4000)
+    now = t.read(spark)
+    assert dict(now.dtypes)["k"] == "bigint"
+    assert sorted(r.k for r in now.collect()) == [1, 2, big]
+    old = t.read(spark, snapshot_id=s1)
+    assert dict(old.dtypes)["k"] == "int"
+    assert sorted(r.k for r in old.collect()) == [1, 2]
+    # pruning across mixed bound widths: f1's bounds are 4-byte ints,
+    # f2's 8-byte longs; both decode and the right files survive
+    sel = t.files(column_filter={"k": (big - 1, None)})
+    assert [f.raw_path for f in sel] == ["data/f2.parquet"]
+    assert sorted(
+        r.k for r in t.read(
+            spark, column_filter={"k": (None, 10)}).collect()
+    ) == [1, 2]
+    # off-lattice refusals
+    with pytest.raises(NotImplementedError, match="lattice"):
+        t.promote_column("v", "bigint")
+    with pytest.raises(ValueError, match="no such column"):
+        t.promote_column("nope", "bigint")
+    # narrowing written externally also refuses at read
+    meta = json.loads(json.dumps(t.metadata()))
+    cur = [s for s in meta["schemas"]
+           if s.get("schema-id", 0) == meta["current-schema-id"]][0]
+    narrowed = json.loads(json.dumps(cur))
+    narrowed["schema-id"] = meta["current-schema-id"] + 1
+    narrowed["fields"][0]["type"] = "int"
+    meta["schemas"].append(narrowed)
+    meta["current-schema-id"] = narrowed["schema-id"]
+    v = t.current_version() + 1
+    json.dump(meta, open(os.path.join(t.meta_dir,
+                                      f"v{v}.metadata.json"), "w"))
+    open(t._hint_path(), "w").write(str(v))
+    with pytest.raises(NotImplementedError, match="lattice"):
+        t.read(spark)
+
+
 def test_rename_partition_source_refuses(spark, tmp_path):
     t, write_pq = _mor_table(tmp_path, partitioned=True)
     t.append([write_pq("a.parquet", [1], bucket=0)], now_ms=2000)
