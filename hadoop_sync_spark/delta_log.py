@@ -436,8 +436,17 @@ class DeltaLog:
             mrv = proto.get("minReaderVersion", 1)
             if mrv == 3:
                 feats = set(proto.get("readerFeatures") or ())
+                # typeWidening (round 10): the table schemaString holds
+                # the WIDEST type and this reader always pins it, so
+                # narrower physical pages upcast inside Spark's parquet
+                # reader — measured native coverage spans the spec's
+                # whole widening table (byte/short/int -> int/long,
+                # int/float -> double, date -> timestampNtz, decimal
+                # widening); an exotic mismatch fails the scan loudly,
+                # never a silent misread
                 unsupported = feats - {
-                    "deletionVectors", "columnMapping", "v2Checkpoint"
+                    "deletionVectors", "columnMapping", "v2Checkpoint",
+                    "typeWidening", "typeWidening-preview",
                 }
                 if unsupported:
                     raise NotImplementedError(

@@ -174,21 +174,23 @@ def test_partitioned_read_hive_layout_fallback(spark, tmp_path):
 
 
 def test_protocol_reader_features_gate(tmp_path):
-    """deletionVectors (round 8) and columnMapping / v2Checkpoint /
-    minReaderVersion=2 (round 9) are SUPPORTED; any other v3 reader
-    feature and any newer reader version still refuse honestly."""
+    """deletionVectors (round 8), columnMapping / v2Checkpoint /
+    minReaderVersion=2 (round 9) and typeWidening (round 10) are
+    SUPPORTED; any other v3 reader feature and any newer reader
+    version still refuse honestly."""
     d, log = _mk_table(tmp_path)
     log.commit(0, [{"protocol": {"minReaderVersion": 3,
                                  "readerFeatures": ["deletionVectors",
                                                     "columnMapping",
-                                                    "v2Checkpoint"]}},
+                                                    "v2Checkpoint",
+                                                    "typeWidening"]}},
                    _meta()])
-    log.snapshot()  # v3 + all three supported features: accepted
+    log.snapshot()  # v3 + all supported features: accepted
     d2, log2 = _mk_table(tmp_path, "t2")
     log2.commit(0, [{"protocol": {"minReaderVersion": 3,
-                                  "readerFeatures": ["typeWidening"]}},
+                                  "readerFeatures": ["timestampNtz"]}},
                     _meta()])
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="timestampNtz"):
         log2.snapshot()
     d3, log3 = _mk_table(tmp_path, "t3")
     log3.commit(0, [{"protocol": {"minReaderVersion": 2}}, _meta()])
@@ -803,6 +805,59 @@ def test_column_mapping_missing_metadata_refuses(spark, tmp_path):
                    meta, log.add_action_for("a.parquet")])
     with pytest.raises(ValueError, match="lacks physicalName"):
         log.read(spark)
+
+
+def test_type_widening_reads_widest_schema(spark, tmp_path):
+    """typeWidening (round 10): the schemaString holds the WIDEST type;
+    a file written pre-widening with narrower physical pages upcasts
+    natively under the pinned schema, a post-widening file reads as-is,
+    and deletion vectors compose.  The feature gate accepts
+    typeWidening/typeWidening-preview at reader version 3."""
+    import json as _json
+
+    d, log = _mk_table(tmp_path, "widen")
+    # pre-widening file: int32 k
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                  "v": pa.array(["a", "b", "c"], pa.string())}),
+        os.path.join(d, "old.parquet"))
+    # post-widening file: int64 k with a 64-bit value
+    big = 5_000_000_000
+    pq.write_table(
+        pa.table({"k": pa.array([big], pa.int64()),
+                  "v": pa.array(["d"], pa.string())}),
+        os.path.join(d, "new.parquet"))
+    schema = _json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.typeChanges": [
+             {"fromType": "integer", "toType": "long"}]}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {}}]})
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {"id": "w", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema,
+                      "partitionColumns": [], "configuration": {}}},
+        log.add_action_for("old.parquet"),
+        log.add_action_for("new.parquet")])
+    got = log.read(spark)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert sorted(r.k for r in got.collect()) == [1, 2, 3, big]
+    # DVs compose on the widened table
+    log.add_deletion_vector(1, "old.parquet", [0], storage="i")
+    assert sorted(r.k for r in log.read(spark).collect()) == [2, 3, big]
+    # unknown features still refuse
+    d2, log2 = _mk_table(tmp_path, "unknown_feat")
+    _write_file(d2, "a.parquet", {"k": [1], "v": [0]})
+    log2.commit(0, [{"protocol": {"minReaderVersion": 3,
+                                  "minWriterVersion": 7,
+                                  "readerFeatures": ["futureMagic"]}},
+                    _meta(), log2.add_action_for("a.parquet")])
+    with pytest.raises(NotImplementedError, match="futureMagic"):
+        log2.snapshot()
 
 
 def test_dv_broadcast_ceiling_falls_back_to_shuffle(spark, tmp_path,
