@@ -529,11 +529,21 @@ class IcebergTable:
         self,
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> dict:
         meta = self.metadata()
         snaps = meta.get("snapshots", [])
         if not snaps:
             raise ValueError("table has no snapshots")
+        if ref is not None:
+            if snapshot_id is not None or as_of_timestamp_ms is not None:
+                raise ValueError(
+                    "give ref OR snapshot_id/as_of_timestamp_ms"
+                )
+            entry = (meta.get("refs") or {}).get(ref)
+            if entry is None:
+                raise ValueError(f"no such ref {ref!r}")
+            return self.snapshot(snapshot_id=entry["snapshot-id"])
         if snapshot_id is not None:
             for s in snaps:
                 if s["snapshot-id"] == snapshot_id:
@@ -584,6 +594,7 @@ class IcebergTable:
         as_of_timestamp_ms: int | None = None,
         partition_filter: dict | None = None,
         column_filter: dict | None = None,
+        ref: str | None = None,
     ) -> list[DataFile]:
         """Live data files of a snapshot, pruned at both metadata layers
         when ``partition_filter`` (identity-partition equality, e.g.
@@ -597,13 +608,14 @@ class IcebergTable:
         metadata-only scan planning Iceberg exists for."""
         return self._scan_manifests(
             _MANIFEST_DATA, snapshot_id, as_of_timestamp_ms,
-            partition_filter, column_filter
+            partition_filter, column_filter, ref=ref
         )
 
     def delete_files(
         self,
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> list[DataFile]:
         """Live DELETE files (v2 merge-on-read) of a snapshot: content 1
         = position deletes (rows named by (file_path, pos)), content 2 =
@@ -615,7 +627,8 @@ class IcebergTable:
         are never partition-pruned here — a filter must not widen the
         surviving-row set."""
         return self._scan_manifests(
-            _MANIFEST_DELETES, snapshot_id, as_of_timestamp_ms, None, None
+            _MANIFEST_DELETES, snapshot_id, as_of_timestamp_ms, None,
+            None, ref=ref
         )
 
     def _scan_manifests(
@@ -625,9 +638,10 @@ class IcebergTable:
         as_of_timestamp_ms: int | None,
         partition_filter: dict | None,
         column_filter: dict | None = None,
+        ref: str | None = None,
     ) -> list[DataFile]:
         meta = self.metadata()
-        snap = self.snapshot(snapshot_id, as_of_timestamp_ms)
+        snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref=ref)
         col_info: dict[str, tuple[int, str]] = {}
         if column_filter:
             schema = self._schema_by_id(meta["current-schema-id"])
@@ -769,6 +783,7 @@ class IcebergTable:
         partition_filter: dict | None = None,
         paths: set[str] | None = None,
         column_filter: dict | None = None,
+        ref: str | None = None,
     ):
         """Snapshot → ONE distributed parquet scan of exactly the live
         files (pushdown/pruning intact).  Identity-partition values
@@ -806,7 +821,7 @@ class IcebergTable:
 
         files = self.files(
             snapshot_id, as_of_timestamp_ms, partition_filter,
-            column_filter=column_filter,
+            column_filter=column_filter, ref=ref,
         )
 
         def _apply_cf(df):
@@ -852,16 +867,18 @@ class IcebergTable:
             # promotions and drop+re-add-same-name still refuse.
             # Single-schema tables keep the exact inferred-schema plan.
             variants = self._rename_history()
-            if snapshot_id is None and as_of_timestamp_ms is None:
+            if (snapshot_id is None and as_of_timestamp_ms is None
+                    and ref is None):
                 # a CURRENT read always uses the current schema — DDL is
                 # metadata-only (no snapshot), so the latest snapshot's
                 # recorded schema-id predates any post-commit add/drop
                 sid = meta_doc["current-schema-id"]
             else:
-                # time travel reads the snapshot with ITS schema
-                sid = self.snapshot(snapshot_id, as_of_timestamp_ms).get(
-                    "schema-id", meta_doc["current-schema-id"]
-                )
+                # time travel (by id, timestamp or ref) reads the
+                # snapshot with ITS schema
+                sid = self.snapshot(
+                    snapshot_id, as_of_timestamp_ms, ref=ref
+                ).get("schema-id", meta_doc["current-schema-id"])
             reader = reader.schema(
                 self._spark_schema(
                     sid, exclude=set(part_cols), name_variants=variants
@@ -879,7 +896,8 @@ class IcebergTable:
                     )
                     variant_expr[f["id"]] = e
                     logical_exprs.append(e.alias(f["name"]))
-        deletes = self.delete_files(snapshot_id, as_of_timestamp_ms)
+        deletes = self.delete_files(snapshot_id, as_of_timestamp_ms,
+                                    ref=ref)
         pos_dels = [
             d for d in deletes
             if d.content == _CONTENT_POS_DELETES
@@ -1195,6 +1213,11 @@ class IcebergTable:
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         meta["current-snapshot-id"] = snap_id
+        # spec "Branching and Tagging": the main branch tracks the
+        # current snapshot; named refs (tags/branches) stay pinned
+        refs = dict(meta.get("refs") or {})
+        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+        meta["refs"] = refs
         meta["snapshots"] = list(meta["snapshots"]) + [
             {
                 "snapshot-id": snap_id,
@@ -1599,6 +1622,52 @@ class IcebergTable:
         meta["last-updated-ms"] = now_ms
         self._write_metadata(self.current_version() + 1, meta)
 
+    def create_ref(
+        self,
+        name: str,
+        ref_type: str = "tag",
+        snapshot_id: int | None = None,
+        now_ms: int = 0,
+    ) -> None:
+        """Named ref (spec "Branching and Tagging", round 10): a tag or
+        branch pointing at ``snapshot_id`` (default: current).
+        Metadata-only version bump; ``main`` is writer-maintained and
+        refuses; an existing ref refuses (drop it first — a silent
+        repoint is how tags stop meaning anything).  Refs PROTECT their
+        snapshots from :meth:`expire_snapshots`."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref type {ref_type!r}: tag or branch")
+        if name == "main":
+            raise ValueError("'main' is writer-maintained")
+        meta = json.loads(json.dumps(self.metadata()))
+        refs = meta.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        if sid is None or not any(
+            s["snapshot-id"] == sid for s in meta.get("snapshots", [])
+        ):
+            raise ValueError(f"snapshot {sid} not found")
+        refs[name] = {"snapshot-id": sid, "type": ref_type}
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
+
+    def drop_ref(self, name: str, now_ms: int = 0) -> None:
+        """Remove a named ref (its snapshot becomes expirable again)."""
+        if name == "main":
+            raise ValueError("'main' is writer-maintained")
+        meta = json.loads(json.dumps(self.metadata()))
+        refs = meta.get("refs") or {}
+        if name not in refs:
+            raise ValueError(f"no such ref {name!r}")
+        del refs[name]
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
+
     def promote_column(
         self, name: str, spark_type: str, now_ms: int = 0
     ) -> None:
@@ -1940,6 +2009,11 @@ class IcebergTable:
         snaps = meta.get("snapshots", [])
         cur = meta.get("current-snapshot-id")
         keep: set[int] = {cur} if cur is not None else set()
+        # refs protect their snapshots (spec: expiration must not break
+        # a tag/branch; drop the ref first to release the snapshot)
+        keep |= {
+            r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+        }
         ordered = sorted(snaps, key=lambda s: -s["timestamp-ms"])
         if keep_last is not None:
             keep |= {s["snapshot-id"] for s in ordered[:keep_last]}

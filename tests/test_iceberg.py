@@ -1076,6 +1076,52 @@ def test_rename_column_variant_read(spark, tmp_path):
         t.read(spark)
 
 
+def test_refs_tags_branches_and_expiry_protection(spark, tmp_path):
+    """Spec refs (round 10): tags/branches are named snapshot pointers —
+    read(ref=...) time-travels by name (pinning THAT snapshot's
+    schema), `main` is writer-maintained and follows commits, a
+    ref-pinned snapshot SURVIVES expire_snapshots until the ref drops,
+    and the guards refuse main-tampering / repoints / unknown refs."""
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2])], now_ms=2000)
+    t.create_ref("v1.0", "tag", now_ms=2500)  # pins current (= s1)
+    s2 = t.append([write_pq("f2.parquet", [3])], now_ms=3000)
+    # main follows commits; the tag stays pinned
+    assert t.snapshot(ref="main")["snapshot-id"] == s2
+    assert t.snapshot(ref="v1.0")["snapshot-id"] == s1
+    assert sorted(r.id for r in t.read(spark, ref="v1.0").collect()) \
+        == [1, 2]
+    assert sorted(r.id for r in t.read(spark, ref="main").collect()) \
+        == [1, 2, 3]
+    # ref reads pin the REF snapshot's schema under evolution
+    t.add_column("score", "double", now_ms=3500)
+    assert "score" not in t.read(spark, ref="v1.0").columns
+    assert "score" in t.read(spark).columns
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_ref("v1.0", "tag")
+    with pytest.raises(ValueError, match="writer-maintained"):
+        t.create_ref("main", "branch")
+    with pytest.raises(ValueError, match="no such ref"):
+        t.read(spark, ref="nope")
+    with pytest.raises(ValueError, match="tag or branch"):
+        t.create_ref("x", "bookmark")
+    # expiry protection: keep_last=1 would drop s1, but the tag holds it
+    s3 = t.append([write_pq("f3.parquet", [4])], now_ms=4000)
+    expired = t.expire_snapshots(keep_last=1, now_ms=5000)
+    assert s1 not in expired and s2 in expired
+    assert sorted(r.id for r in t.read(spark, ref="v1.0").collect()) \
+        == [1, 2]
+    # dropping the ref releases the snapshot to the next expiration
+    t.drop_ref("v1.0", now_ms=6000)
+    expired = t.expire_snapshots(keep_last=1, now_ms=7000)
+    assert s1 in expired
+    with pytest.raises(ValueError, match="no such ref"):
+        t.snapshot(ref="v1.0")
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3, 4]
+    assert t.snapshot(ref="main")["snapshot-id"] == s3
+
+
 def test_promote_column_int_to_long(spark, tmp_path):
     """Spec type promotion (round 10): int → long widens metadata-only;
     old int32 files upcast natively under the pinned wider schema, new
