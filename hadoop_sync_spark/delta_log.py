@@ -337,6 +337,28 @@ def _upgrade_protocol_for_v2_checkpoint(proto: dict) -> dict:
     return _protocol_with_feature(proto, "v2Checkpoint")
 
 
+#: PROTOCOL.md primitive names that differ from Spark's JSON names
+_DELTA_TO_SPARK_TYPE = {"timestampNtz": "timestamp_ntz"}
+
+
+def _normalize_delta_types(node):
+    """Recursively map Delta schemaString type names to Spark's
+    (PROTOCOL.md spells ``timestampNtz``; Spark's ``fromJson`` wants
+    ``timestamp_ntz``) through structs, arrays and maps."""
+    if isinstance(node, str):
+        return _DELTA_TO_SPARK_TYPE.get(node, node)
+    if isinstance(node, list):
+        return [_normalize_delta_types(x) for x in node]
+    if isinstance(node, dict):
+        return {
+            k: (_normalize_delta_types(v)
+                if k in ("type", "fields", "elementType", "keyType",
+                         "valueType") else v)
+            for k, v in node.items()
+        }
+    return node
+
+
 @dataclass
 class Snapshot:
     """Replay result at one version: live file infos + table metadata."""
@@ -367,7 +389,9 @@ class Snapshot:
     def schema(self) -> StructType | None:
         if self.schema_json is None:
             return None
-        return StructType.fromJson(json.loads(self.schema_json))
+        return StructType.fromJson(
+            _normalize_delta_types(json.loads(self.schema_json))
+        )
 
 
 class DeltaLog:
@@ -444,9 +468,14 @@ class DeltaLog:
                 # int/float -> double, date -> timestampNtz, decimal
                 # widening); an exotic mismatch fails the scan loudly,
                 # never a silent misread
+                # timestampNtz (round 10): the pinned logical schema
+                # maps PROTOCOL.md's type name to Spark's timestamp_ntz
+                # and the parquet reader handles isAdjustedToUTC=false
+                # natively — accepting the feature is schema plumbing
                 unsupported = feats - {
                     "deletionVectors", "columnMapping", "v2Checkpoint",
                     "typeWidening", "typeWidening-preview",
+                    "timestampNtz",
                 }
                 if unsupported:
                     raise NotImplementedError(

@@ -188,9 +188,9 @@ def test_protocol_reader_features_gate(tmp_path):
     log.snapshot()  # v3 + all supported features: accepted
     d2, log2 = _mk_table(tmp_path, "t2")
     log2.commit(0, [{"protocol": {"minReaderVersion": 3,
-                                  "readerFeatures": ["timestampNtz"]}},
+                                  "readerFeatures": ["variantType"]}},
                     _meta()])
-    with pytest.raises(NotImplementedError, match="timestampNtz"):
+    with pytest.raises(NotImplementedError, match="variantType"):
         log2.snapshot()
     d3, log3 = _mk_table(tmp_path, "t3")
     log3.commit(0, [{"protocol": {"minReaderVersion": 2}}, _meta()])
@@ -858,6 +858,39 @@ def test_type_widening_reads_widest_schema(spark, tmp_path):
                     _meta(), log2.add_action_for("a.parquet")])
     with pytest.raises(NotImplementedError, match="futureMagic"):
         log2.snapshot()
+
+
+def test_timestamp_ntz_feature_and_type_name(spark, tmp_path):
+    """timestampNtz (round 10): PROTOCOL.md spells the type
+    ``timestampNtz`` where Spark's schema JSON wants ``timestamp_ntz``
+    — the pinned logical schema maps the name (incl. nested under
+    array/struct) and the reader feature is accepted at v3."""
+    import datetime
+    import json as _json
+
+    d, log = _mk_table(tmp_path, "ntz")
+    ts = datetime.datetime(2023, 5, 1, 12, 30, 0)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "t": pa.array([ts, None],
+                                pa.timestamp("us"))}),  # no timezone
+        os.path.join(d, "a.parquet"))
+    schema = _json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "t", "type": "timestampNtz", "nullable": True,
+         "metadata": {}}]})
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz"],
+                      "writerFeatures": ["timestampNtz"]}},
+        {"metaData": {"id": "n", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema,
+                      "partitionColumns": [], "configuration": {}}},
+        log.add_action_for("a.parquet")])
+    got = log.read(spark)
+    assert dict(got.dtypes)["t"] == "timestamp_ntz"
+    assert {(r.k, r.t) for r in got.collect()} == {(1, ts), (2, None)}
 
 
 def test_dv_broadcast_ceiling_falls_back_to_shuffle(spark, tmp_path,
