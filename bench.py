@@ -25,7 +25,13 @@ from hadoop_sync_spark.queries import load_all
 from hadoop_sync_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+#: 5 warm runs per query since round 10 (was 3).  The median estimates
+#: the same quantity either way — the anchor comparison stays
+#: apples-to-apples — but the series' dominant error term is ambient
+#: co-tenancy spread (BASELINE.md trajectory: a 1.7x pure-ambient span
+#: on one boot), and a median of 5 halves the chance one contended run
+#: lands in the middle.  Costs ~2 extra runs/query ≈ +25 s wall.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 #: headline set: the queries flagged bench=True plus a spread of operator
 #: families (windows, dedup, vectors) so the number reflects the whole
