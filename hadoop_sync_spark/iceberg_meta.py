@@ -1017,6 +1017,101 @@ class IcebergTable:
             )
         )
 
+    def metadata_table(self, spark, kind: str, ref: str | None = None):
+        """Inspection DataFrames in production Iceberg's metadata-table
+        shape (``SELECT * FROM t.files`` etc., round 10): ``snapshots``,
+        ``history``, ``refs``, ``files``, ``delete_files``,
+        ``manifests``.  Rows come from the same driver-side metadata
+        walk scan planning does (KB-scale manifests; nothing row-scale
+        is read), surfaced as a DataFrame so inspection composes with
+        the engine's own relational surface."""
+        from pyspark.sql import types as T
+
+        meta = self.metadata()
+        if kind == "snapshots":
+            schema = T.StructType([
+                T.StructField("committed_at_ms", T.LongType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("sequence_number", T.LongType()),
+                T.StructField("schema_id", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("manifest_list", T.StringType()),
+            ])
+            rows = [
+                (s["timestamp-ms"], s["snapshot-id"],
+                 s.get("sequence-number", 0), s.get("schema-id", 0),
+                 s.get("summary", {}).get("operation"),
+                 s["manifest-list"])
+                for s in meta.get("snapshots", [])
+            ]
+        elif kind == "history":
+            schema = T.StructType([
+                T.StructField("made_current_at_ms", T.LongType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("is_current_ancestor", T.BooleanType()),
+            ])
+            live = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+            rows = [
+                (e["timestamp-ms"], e["snapshot-id"],
+                 e["snapshot-id"] in live)
+                for e in meta.get("snapshot-log", [])
+            ]
+        elif kind == "refs":
+            schema = T.StructType([
+                T.StructField("name", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("snapshot_id", T.LongType()),
+            ])
+            rows = [
+                (name, r.get("type", "branch"), r["snapshot-id"])
+                for name, r in sorted((meta.get("refs") or {}).items())
+            ]
+        elif kind in ("files", "delete_files"):
+            schema = T.StructType([
+                T.StructField("content", T.IntegerType()),
+                T.StructField("file_path", T.StringType()),
+                T.StructField("file_format", T.StringType()),
+                T.StructField(
+                    "partition",
+                    T.MapType(T.StringType(), T.StringType()),
+                ),
+                T.StructField("record_count", T.LongType()),
+                T.StructField("file_size_in_bytes", T.LongType()),
+                T.StructField("sequence_number", T.LongType()),
+            ])
+            fs = (
+                self.files(ref=ref) if kind == "files"
+                else self.delete_files(ref=ref)
+            )
+            rows = [
+                (f.content, f.raw_path, "PARQUET",
+                 {k: None if v is None else str(v)
+                  for k, v in f.partition.items()},
+                 f.record_count, f.file_size, f.sequence)
+                for f in fs
+            ]
+        elif kind == "manifests":
+            schema = T.StructType([
+                T.StructField("content", T.IntegerType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("partition_spec_id", T.IntegerType()),
+            ])
+            snap = self.snapshot(ref=ref)
+            _, manifests, _ = read_ocf(
+                self._resolve(snap["manifest-list"])
+            )
+            rows = [
+                (mf["content"], mf["manifest_path"],
+                 mf["partition_spec_id"])
+                for mf in manifests
+            ]
+        else:
+            raise ValueError(
+                f"unknown metadata table {kind!r}: snapshots, history, "
+                "refs, files, delete_files, manifests"
+            )
+        return spark.createDataFrame(rows, schema)
+
     def history(self) -> list[dict]:
         """Operation log in DESCRIBE HISTORY shape, newest first."""
         meta = self.metadata()

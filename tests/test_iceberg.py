@@ -1076,6 +1076,49 @@ def test_rename_column_variant_read(spark, tmp_path):
         t.read(spark)
 
 
+def test_metadata_tables(spark, tmp_path):
+    """Inspection DataFrames in production Iceberg's metadata-table
+    shape: snapshots / history / refs / files / delete_files /
+    manifests, with ref-scoped file listings."""
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    s1 = t.append([write_pq("a.parquet", [1, 2], bucket=0)], now_ms=2000)
+    t.create_ref("v1", "tag", now_ms=2500)
+    s2 = t.append([write_pq("b.parquet", [3], bucket=1)], now_ms=3000)
+    t.add_position_deletes([("data/a.parquet", 0)], now_ms=4000)
+
+    snaps = t.metadata_table(spark, "snapshots")
+    assert sorted(r.snapshot_id for r in snaps.collect()) == sorted(
+        s["snapshot-id"] for s in t.snapshots())
+    assert {r.operation for r in snaps.collect()} == {
+        "append", "row-delta"} or len(snaps.collect()) == 3
+
+    hist = t.metadata_table(spark, "history").collect()
+    assert [r.snapshot_id for r in hist][:2] == [s1, s2]
+    assert all(r.is_current_ancestor for r in hist)
+
+    refs = {r.name: (r.type, r.snapshot_id)
+            for r in t.metadata_table(spark, "refs").collect()}
+    assert refs["v1"] == ("tag", s1)
+    assert refs["main"][0] == "branch"
+
+    files = t.metadata_table(spark, "files")
+    assert sorted(r.file_path for r in files.collect()) == [
+        "data/a.parquet", "data/b.parquet"]
+    assert {r.partition["p_bucket"] for r in files.collect()} == \
+        {"0", "1"}
+    # ref-scoped listing sees only the tagged snapshot's file
+    assert [r.file_path for r in t.metadata_table(
+        spark, "files", ref="v1").collect()] == ["data/a.parquet"]
+
+    dels = t.metadata_table(spark, "delete_files").collect()
+    assert len(dels) == 1 and dels[0].content == 1
+
+    mans = t.metadata_table(spark, "manifests").collect()
+    assert {m.content for m in mans} == {0, 1}
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        t.metadata_table(spark, "partitions")
+
+
 def test_refs_tags_branches_and_expiry_protection(spark, tmp_path):
     """Spec refs (round 10): tags/branches are named snapshot pointers —
     read(ref=...) time-travels by name (pinning THAT snapshot's
