@@ -13,6 +13,14 @@ collecting min/max statistics.
     python -m hadoop_sync_spark maintain <meta_dir> <table>
                                         [--expire-keep-last N] [--expire-log]
                                         [--remove-dangling-deletes] [--vacuum]
+    python -m hadoop_sync_spark ddl <meta_dir> <table>
+                                        [--add-column NAME TYPE]
+                                        [--drop-column NAME]
+                                        [--rename-column OLD NEW]
+                                        [--promote-column NAME TYPE]
+                                        [--create-tag NAME | --create-branch
+                                         NAME [--at-snapshot ID]]
+                                        [--drop-ref NAME]
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -109,6 +117,34 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="delete data files no surviving snapshot references",
     )
+
+    ddl_p = sub.add_parser(
+        "ddl",
+        help="iceberg schema/ref DDL for a registered format table "
+        "(metadata-only; run `sync` afterwards to refresh the catalog)",
+    )
+    ddl_p.add_argument("meta_dir")
+    ddl_p.add_argument("table")
+    ddl_p.add_argument(
+        "--add-column", nargs=2, metavar=("NAME", "SPARK_TYPE"),
+        default=None,
+    )
+    ddl_p.add_argument("--drop-column", metavar="NAME", default=None)
+    ddl_p.add_argument(
+        "--rename-column", nargs=2, metavar=("OLD", "NEW"), default=None
+    )
+    ddl_p.add_argument(
+        "--promote-column", nargs=2, metavar=("NAME", "SPARK_TYPE"),
+        default=None,
+    )
+    ddl_p.add_argument("--create-tag", metavar="NAME", default=None)
+    ddl_p.add_argument("--create-branch", metavar="NAME", default=None)
+    ddl_p.add_argument(
+        "--at-snapshot", type=int, default=None,
+        help="snapshot id for --create-tag/--create-branch "
+        "(default: current)",
+    )
+    ddl_p.add_argument("--drop-ref", metavar="NAME", default=None)
 
     try:
         args = p.parse_args(argv)
@@ -227,6 +263,58 @@ def main(argv: list[str] | None = None) -> int:
                     did_something = True
             if not did_something:
                 print("nothing to do (pass at least one maintenance flag)")
+        elif args.cmd == "ddl":
+            rec = reg.tables().get(args.table)
+            if rec is None:
+                raise KeyError(f"table not registered: {args.table}")
+            if rec.get("format") != "iceberg":
+                raise ValueError(
+                    "ddl is for iceberg tables (delta schema evolution "
+                    f"rides its own log); {args.table!r} is "
+                    f"{rec.get('format') or 'a plain directory'}"
+                )
+            import time as _time
+
+            from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+            it = IcebergTable(rec["dir_path"])
+            now = int(_time.time() * 1000)
+            did = []
+            if args.add_column:
+                fid = it.add_column(*args.add_column, now_ms=now)
+                did.append(f"added {args.add_column[0]} (field id {fid})")
+            if args.drop_column:
+                it.drop_column(args.drop_column, now_ms=now)
+                did.append(f"dropped {args.drop_column}")
+            if args.rename_column:
+                it.rename_column(*args.rename_column, now_ms=now)
+                did.append(
+                    f"renamed {args.rename_column[0]} -> "
+                    f"{args.rename_column[1]}"
+                )
+            if args.promote_column:
+                it.promote_column(*args.promote_column, now_ms=now)
+                did.append(
+                    f"promoted {args.promote_column[0]} to "
+                    f"{args.promote_column[1]}"
+                )
+            if args.create_tag:
+                it.create_ref(args.create_tag, "tag",
+                              snapshot_id=args.at_snapshot, now_ms=now)
+                did.append(f"tagged {args.create_tag}")
+            if args.create_branch:
+                it.create_ref(args.create_branch, "branch",
+                              snapshot_id=args.at_snapshot, now_ms=now)
+                did.append(f"branched {args.create_branch}")
+            if args.drop_ref:
+                it.drop_ref(args.drop_ref, now_ms=now)
+                did.append(f"dropped ref {args.drop_ref}")
+            if not did:
+                print("nothing to do (pass at least one DDL flag)")
+            else:
+                for line in did:
+                    print(line)
+                print("hint: run `sync` to refresh the catalog")
         elif args.cmd == "diff":
             d = reg.diff(args.table)
             print(
@@ -234,7 +322,8 @@ def main(argv: list[str] | None = None) -> int:
                 f"{len(d.old_files)} removed/changed, "
                 f"{len(d.unchanged)} unchanged"
             )
-    except (KeyError, ValueError, RuntimeError) as e:
+    except (KeyError, ValueError, RuntimeError,
+            NotImplementedError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     return 0

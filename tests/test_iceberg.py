@@ -292,6 +292,49 @@ def test_cli_maintain_iceberg(spark, tmp_path, capsys):
     assert sorted(r.id for r in t.read(spark).collect()) == [2, 3, 4]
 
 
+def test_cli_ddl_iceberg(spark, tmp_path, capsys):
+    """The ddl subcommand drives the round-10 schema/ref faces on a
+    registered iceberg table; non-iceberg tables and off-lattice
+    promotions fail with exit 2 and no side effects."""
+    from hadoop_sync_spark.__main__ import main
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2])], now_ms=2000)
+    meta = str(tmp_path / "meta")
+    assert main(["register", meta, "t", t.dir, "--format", "iceberg"]) == 0
+    assert main(["sync", meta, "t"]) == 0
+    capsys.readouterr()
+    assert main(["ddl", meta, "t", "--add-column", "score", "double",
+                 "--create-tag", "v1"]) == 0
+    out = capsys.readouterr().out
+    assert "added score" in out and "tagged v1" in out
+    assert main(["ddl", meta, "t", "--rename-column", "val", "label"]) == 0
+    capsys.readouterr()
+    got = t.read(spark)
+    assert sorted(got.columns) == ["id", "label", "score"]
+    # the tag pins s1, whose schema predates BOTH DDLs: old names
+    assert sorted(r.val for r in t.read(spark, ref="v1").collect()) \
+        == ["v1", "v2"]
+    # off-lattice promotion: exit 2, schema untouched
+    v = t.current_version()
+    assert main(["ddl", meta, "t", "--promote-column", "label",
+                 "bigint"]) == 2
+    assert t.current_version() == v
+    assert main(["ddl", meta, "t", "--drop-ref", "v1"]) == 0
+    capsys.readouterr()
+    # plain-dir table refuses
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    plain = str(tmp_path / "plain")
+    os.makedirs(plain)
+    _pq.write_table(_pa.table({"x": _pa.array([1])}),
+                    os.path.join(plain, "a.parquet"))
+    assert main(["register", meta, "p", plain]) == 0
+    assert main(["ddl", meta, "p", "--drop-column", "x"]) == 2
+    assert main(["ddl", meta, "t"]) == 0
+    assert "nothing to do" in capsys.readouterr().out
+
+
 def test_review_fixes_snapshotless_and_time_travel_ties(spark, tmp_path):
     """Round-7 self-review regressions: (1) a freshly created table
     (snapshots=[]) must diff/sync as an empty directory, not crash;
