@@ -1021,7 +1021,7 @@ class IcebergTable:
         """Inspection DataFrames in production Iceberg's metadata-table
         shape (``SELECT * FROM t.files`` etc., round 10): ``snapshots``,
         ``history``, ``refs``, ``files``, ``delete_files``,
-        ``manifests``.  Rows come from the same driver-side metadata
+        ``partitions``, ``manifests``.  Rows come from the same driver-side metadata
         walk scan planning does (KB-scale manifests; nothing row-scale
         is read), surfaced as a DataFrame so inspection composes with
         the engine's own relational surface."""
@@ -1090,6 +1090,28 @@ class IcebergTable:
                  f.record_count, f.file_size, f.sequence)
                 for f in fs
             ]
+        elif kind == "partitions":
+            schema = T.StructType([
+                T.StructField(
+                    "partition",
+                    T.MapType(T.StringType(), T.StringType()),
+                ),
+                T.StructField("file_count", T.LongType()),
+                T.StructField("record_count", T.LongType()),
+                T.StructField("total_size_in_bytes", T.LongType()),
+            ])
+            agg: dict[tuple, list[int]] = {}
+            for f in self.files(ref=ref):
+                key = tuple(sorted(f.partition.items()))
+                acc = agg.setdefault(key, [0, 0, 0])
+                acc[0] += 1
+                acc[1] += f.record_count
+                acc[2] += f.file_size
+            rows = [
+                ({k: None if v is None else str(v) for k, v in key},
+                 n, rec, size)
+                for key, (n, rec, size) in sorted(agg.items())
+            ]
         elif kind == "manifests":
             schema = T.StructType([
                 T.StructField("content", T.IntegerType()),
@@ -1108,7 +1130,7 @@ class IcebergTable:
         else:
             raise ValueError(
                 f"unknown metadata table {kind!r}: snapshots, history, "
-                "refs, files, delete_files, manifests"
+                "refs, files, delete_files, partitions, manifests"
             )
         return spark.createDataFrame(rows, schema)
 

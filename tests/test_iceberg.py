@@ -1158,8 +1158,13 @@ def test_metadata_tables(spark, tmp_path):
 
     mans = t.metadata_table(spark, "manifests").collect()
     assert {m.content for m in mans} == {0, 1}
+    parts = {tuple(sorted(r.partition.items())): (r.file_count,
+                                                   r.record_count)
+             for r in t.metadata_table(spark, "partitions").collect()}
+    assert parts == {(("p_bucket", "0"),): (1, 2),
+                     (("p_bucket", "1"),): (1, 1)}
     with pytest.raises(ValueError, match="unknown metadata table"):
-        t.metadata_table(spark, "partitions")
+        t.metadata_table(spark, "entries")
 
 
 def test_refs_tags_branches_and_expiry_protection(spark, tmp_path):
