@@ -228,6 +228,12 @@ from hadoop_sync_spark.io import BROADCAST_DELETE_ROW_LIMIT
 #: reader; rationale at io.BROADCAST_DELETE_ROW_LIMIT)
 _BROADCAST_DELETE_ROW_LIMIT = BROADCAST_DELETE_ROW_LIMIT
 
+#: below this, DV positions expand DRIVER-side (the executor-decode
+#: RDD path's ~0.3 s fixed job overhead dominates tiny sets); above,
+#: descriptors decode executor-side (driver expansion is O(cardinality)
+#: Python serialization — measured 2.2x slower already at 200k rows)
+_DRIVER_DECODE_ROW_LIMIT = 20_000
+
 
 def _dv_file_path(table_dir: str, desc: dict) -> str:
     """On-disk path of a file-backed DV descriptor ('u'/'p')."""
@@ -1003,24 +1009,30 @@ class DeltaLog:
 
     def _dv_delete_frame(self, spark: SparkSession, dv_map: dict):
         """(file, pos) delete frame for the DV anti-join, or None when
-        every descriptor decodes to zero positions.  The regime is
+        every descriptor decodes to zero positions.  THREE regimes,
         decided from METADATA (the descriptors' summed ``cardinality``)
-        before any payload decodes:
+        before any payload decodes — all boundaries measured (round-10
+        A/B at 200k DV rows: driver decode + broadcast 4.6 s, executor
+        decode + broadcast 2.1 s, executor decode + shuffle 1.7 s;
+        RDD-path fixed overhead ≈ 0.3 s):
 
-        - at or under ``_BROADCAST_DELETE_ROW_LIMIT`` total rows,
-          positions expand driver-side and the frame broadcasts — the
-          Spark-native form of the scan-side bitmap filter production
-          Delta readers apply;
-        - ABOVE the limit (a pathological delete set at 100 TB — e.g. a
-          GDPR purge touching most rows), driver expansion and the
-          broadcast would both blow up, so the descriptors (metadata-
-          scale) parallelize instead, each decoding ITS positions
-          executor-side, and the anti-join runs as a plain shuffle join.
-          A loud log line records the fallback."""
+        - at or under ``_DRIVER_DECODE_ROW_LIMIT`` rows, positions
+          expand driver-side and the frame broadcasts — the RDD path's
+          fixed job overhead dominates tiny (fixture-scale) sets;
+        - up to ``_BROADCAST_DELETE_ROW_LIMIT``, the descriptors
+          (metadata-scale) parallelize and each decodes ITS positions
+          executor-side, then the result broadcasts — Python-side
+          driver expansion is O(cardinality) serialization and loses
+          to executor decode well before the broadcast itself is in
+          any trouble;
+        - ABOVE the ceiling (a pathological delete set at 100 TB —
+          e.g. a GDPR purge touching most rows), the broadcast itself
+          would blow up: same executor decode, plain shuffle join, and
+          a loud log line."""
         total = sum(
             int(d.get("cardinality") or 0) for d in dv_map.values()
         )
-        if total <= _BROADCAST_DELETE_ROW_LIMIT:
+        if total <= _DRIVER_DECODE_ROW_LIMIT:
             del_rows = [
                 (rel, int(pos))
                 for rel, desc in sorted(dv_map.items())
@@ -1031,15 +1043,6 @@ class DeltaLog:
             return F.broadcast(
                 spark.createDataFrame(del_rows, ["_d_file", "_d_pos"])
             )
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "deletion-vector set of %d rows exceeds the broadcast "
-            "ceiling (%d); falling back to executor-side DV decode + "
-            "shuffle anti-join",
-            total,
-            _BROADCAST_DELETE_ROW_LIMIT,
-        )
         table_dir = self.table_dir
         items = sorted(dv_map.items())
         rdd = spark.sparkContext.parallelize(
@@ -1050,7 +1053,19 @@ class DeltaLog:
                 for p in _resolve_dv_positions(table_dir, kv[1])
             ]
         )
-        return spark.createDataFrame(rdd, "_d_file string, _d_pos long")
+        dels = spark.createDataFrame(rdd, "_d_file string, _d_pos long")
+        if total <= _BROADCAST_DELETE_ROW_LIMIT:
+            return F.broadcast(dels)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "deletion-vector set of %d rows exceeds the broadcast "
+            "ceiling (%d); falling back to executor-side DV decode + "
+            "shuffle anti-join",
+            total,
+            _BROADCAST_DELETE_ROW_LIMIT,
+        )
+        return dels
 
     def add_deletion_vector(
         self,

@@ -893,6 +893,47 @@ def test_timestamp_ntz_feature_and_type_name(spark, tmp_path):
     assert {(r.k, r.t) for r in got.collect()} == {(1, ts), (2, None)}
 
 
+def test_type_widening_composes_with_column_mapping(spark, tmp_path):
+    """A column-mapped table whose logical type widened: the physical
+    col-* column holds int32 pages, the logical schema says long — the
+    mapped read's rename-and-cast projection upcasts."""
+    import json as _json
+
+    d, log = _mk_table(tmp_path, "cm_widen")
+    pq.write_table(
+        pa.table({"col-aaa": pa.array([1, 2], pa.int32()),
+                  "col-bbb": pa.array(["x", "y"], pa.string())}),
+        os.path.join(d, "a.parquet"))
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa",
+                      "delta.typeChanges": [
+                          {"fromType": "integer", "toType": "long"}]}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping",
+                                         "typeWidening"],
+                      "writerFeatures": ["columnMapping",
+                                         "typeWidening"]}},
+        {"metaData": {"id": "cw", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": fields}),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "2"}}},
+        log.add_action_for("a.parquet")])
+    got = log.read(spark)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert {(r.k, r.v) for r in got.collect()} == {(1, "x"), (2, "y")}
+
+
 def test_dv_broadcast_ceiling_falls_back_to_shuffle(spark, tmp_path,
                                                     monkeypatch, caplog):
     """Above the broadcast ceiling the DV anti-join must (a) stop
@@ -915,6 +956,14 @@ def test_dv_broadcast_ceiling_falls_back_to_shuffle(spark, tmp_path,
     log.add_deletion_vector(2, "b.parquet", [0], storage="i")
     expect = sorted(r.k for r in log.read(spark).collect())
     assert expect == [1, 3, 6]
+    # mid-tier: executor decode + broadcast (driver expansion skipped,
+    # no fallback warning — the set is still under the broadcast ceiling)
+    monkeypatch.setattr(dl, "_DRIVER_DECODE_ROW_LIMIT", 0)
+    with caplog.at_level(logging.WARNING,
+                         logger="hadoop_sync_spark.delta_log"):
+        assert sorted(r.k for r in log.read(spark).collect()) == expect
+    assert not caplog.records
+    # top tier: over the ceiling -> shuffle join + loud log
     monkeypatch.setattr(dl, "_BROADCAST_DELETE_ROW_LIMIT", 0)
     with caplog.at_level(logging.WARNING,
                          logger="hadoop_sync_spark.delta_log"):
