@@ -1751,7 +1751,13 @@ class IcebergTable:
         Metadata-only version bump; ``main`` is writer-maintained and
         refuses; an existing ref refuses (drop it first — a silent
         repoint is how tags stop meaning anything).  Refs PROTECT their
-        snapshots from :meth:`expire_snapshots`."""
+        snapshots from :meth:`expire_snapshots`.
+
+        Honest seam: refs here are POINTERS — every write face commits
+        to ``main`` (a branch ref never diverges; it stays pinned where
+        it was created).  Commit-to-branch semantics (per-branch
+        lineage, parent tracking, cherry-pick) are production Iceberg
+        surface this single-writer engine does not model."""
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref type {ref_type!r}: tag or branch")
         if name == "main":
