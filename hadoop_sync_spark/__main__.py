@@ -279,41 +279,49 @@ def main(argv: list[str] | None = None) -> int:
 
             it = IcebergTable(rec["dir_path"])
             now = int(_time.time() * 1000)
-            did = []
+            # each action prints AS IT LANDS: DDL ops commit their own
+            # metadata versions, so a later flag's failure must not
+            # hide the earlier flags' already-applied commits
+            did = 0
             if args.add_column:
                 fid = it.add_column(*args.add_column, now_ms=now)
-                did.append(f"added {args.add_column[0]} (field id {fid})")
+                print(f"added {args.add_column[0]} (field id {fid})")
+                did += 1
             if args.drop_column:
                 it.drop_column(args.drop_column, now_ms=now)
-                did.append(f"dropped {args.drop_column}")
+                print(f"dropped {args.drop_column}")
+                did += 1
             if args.rename_column:
                 it.rename_column(*args.rename_column, now_ms=now)
-                did.append(
+                print(
                     f"renamed {args.rename_column[0]} -> "
                     f"{args.rename_column[1]}"
                 )
+                did += 1
             if args.promote_column:
                 it.promote_column(*args.promote_column, now_ms=now)
-                did.append(
+                print(
                     f"promoted {args.promote_column[0]} to "
                     f"{args.promote_column[1]}"
                 )
+                did += 1
             if args.create_tag:
                 it.create_ref(args.create_tag, "tag",
                               snapshot_id=args.at_snapshot, now_ms=now)
-                did.append(f"tagged {args.create_tag}")
+                print(f"tagged {args.create_tag}")
+                did += 1
             if args.create_branch:
                 it.create_ref(args.create_branch, "branch",
                               snapshot_id=args.at_snapshot, now_ms=now)
-                did.append(f"branched {args.create_branch}")
+                print(f"branched {args.create_branch}")
+                did += 1
             if args.drop_ref:
                 it.drop_ref(args.drop_ref, now_ms=now)
-                did.append(f"dropped ref {args.drop_ref}")
+                print(f"dropped ref {args.drop_ref}")
+                did += 1
             if not did:
                 print("nothing to do (pass at least one DDL flag)")
             else:
-                for line in did:
-                    print(line)
                 print("hint: run `sync` to refresh the catalog")
         elif args.cmd == "diff":
             d = reg.diff(args.table)

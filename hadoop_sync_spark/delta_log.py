@@ -320,15 +320,23 @@ def _protocol_with_feature(proto: dict, feature: str) -> dict:
     spec-conforming readers an unrecognized checkpoint format with no
     marker; ADVICE r9)."""
     rf = set(proto.get("readerFeatures") or ())
-    if feature in rf:
-        return proto
     wf = set(proto.get("writerFeatures") or ())
-    for v, feats in _LEGACY_READER_FEATURES.items():
-        if proto.get("minReaderVersion", 1) >= v:
-            rf.update(feats)
-    for v, feats in _LEGACY_WRITER_FEATURES.items():
-        if proto.get("minWriterVersion", 1) >= v:
-            wf.update(feats)
+    if feature in rf and feature in wf:
+        return proto
+    # legacy-implied features fire ONLY for pre-table-features version
+    # numbers: at reader 3 / writer 7 the feature lists are already
+    # authoritative, and re-deriving implications there would stamp
+    # features the table never used (e.g. identityColumns onto a table
+    # whose writer version came from an earlier upgrade) — conforming
+    # engines without those features would then refuse the table
+    if proto.get("minReaderVersion", 1) < 3:
+        for v, feats in _LEGACY_READER_FEATURES.items():
+            if proto.get("minReaderVersion", 1) >= v:
+                rf.update(feats)
+    if proto.get("minWriterVersion", 1) < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if proto.get("minWriterVersion", 1) >= v:
+                wf.update(feats)
     rf.add(feature)
     wf.add(feature)
     return {
@@ -932,54 +940,63 @@ class DeltaLog:
             except Exception:
                 old_fid_conf = None
             spark.conf.set(fid_conf, "true")
-        for i, (pv, group) in enumerate(bins):
-            rels = {a["path"] for a in group}
-            if mode != "none":
-                # logical -> physical rename; the mapping's field id
-                # stamps into the footer ONLY in id mode (where every
-                # conforming file carries ids and readers match on
-                # them) — a stamped file in a name-mode table would
-                # poison Spark's inferred-schema read of a mixed
-                # stamped/plain directory, which hard-fails
-                out = self.read(spark, paths=rels).select(*[
-                    F.col(pf["name"]).alias(
-                        pf["pn"],
-                        metadata=(
-                            {"parquet.field.id": pf["fid"]}
-                            if mode == "id" else None
-                        ),
+        # try/finally: a mid-rewrite failure (disk full, analysis error)
+        # must not leak the session-wide conf — a stamped footer in a
+        # plain directory poisons inferred reads (the hazard the
+        # id-mode-only stamping exists to avoid)
+        try:
+            for i, (pv, group) in enumerate(bins):
+                rels = {a["path"] for a in group}
+                if mode != "none":
+                    # logical -> physical rename; the mapping's field id
+                    # stamps into the footer ONLY in id mode (where every
+                    # conforming file carries ids and readers match on
+                    # them) — a stamped file in a name-mode table would
+                    # poison Spark's inferred-schema read of a mixed
+                    # stamped/plain directory, which hard-fails
+                    out = self.read(spark, paths=rels).select(*[
+                        F.col(pf["name"]).alias(
+                            pf["pn"],
+                            metadata=(
+                                {"parquet.field.id": pf["fid"]}
+                                if mode == "id" else None
+                            ),
+                        )
+                        for pf in phys_fields
+                        if pf["name"] not in part_cols
+                    ])
+                else:
+                    data_cols = spark.read.parquet(
+                        *[os.path.join(self.table_dir, a["path"])
+                          for a in group]
+                    ).columns
+                    out = self.read(spark, paths=rels).select(*data_cols)
+                rel = f"part-compact-{version:010d}-{i}.parquet"
+                dest = os.path.join(self.table_dir, rel)
+                staging = _tempfile.mkdtemp(prefix="delta_compact_")
+                try:
+                    out.coalesce(1).write.mode("overwrite").parquet(
+                        staging
                     )
-                    for pf in phys_fields if pf["name"] not in part_cols
-                ])
-            else:
-                data_cols = spark.read.parquet(
-                    *[os.path.join(self.table_dir, a["path"])
-                      for a in group]
-                ).columns
-                out = self.read(spark, paths=rels).select(*data_cols)
-            rel = f"part-compact-{version:010d}-{i}.parquet"
-            dest = os.path.join(self.table_dir, rel)
-            staging = _tempfile.mkdtemp(prefix="delta_compact_")
-            try:
-                out.coalesce(1).write.mode("overwrite").parquet(staging)
-                (part_file,) = _glob.glob(
-                    os.path.join(staging, "part-*.parquet")
+                    (part_file,) = _glob.glob(
+                        os.path.join(staging, "part-*.parquet")
+                    )
+                    os.replace(part_file, dest)
+                finally:
+                    _shutil.rmtree(staging, ignore_errors=True)
+                adds.append(
+                    self.add_action_for(
+                        rel, partitionValues=pv, dataChange=False
+                    )
                 )
-                os.replace(part_file, dest)
-            finally:
-                _shutil.rmtree(staging, ignore_errors=True)
-            adds.append(
-                self.add_action_for(
-                    rel, partitionValues=pv, dataChange=False
-                )
-            )
-            rewritten |= rels
-            bytes_in += sum(a["size"] for a in group)
-        if mode == "id":
-            if old_fid_conf is None:
-                spark.conf.unset(fid_conf)
-            else:
-                spark.conf.set(fid_conf, old_fid_conf)
+                rewritten |= rels
+                bytes_in += sum(a["size"] for a in group)
+        finally:
+            if mode == "id":
+                if old_fid_conf is None:
+                    spark.conf.unset(fid_conf)
+                else:
+                    spark.conf.set(fid_conf, old_fid_conf)
         self.commit(
             version,
             [

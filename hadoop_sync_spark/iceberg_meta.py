@@ -512,6 +512,11 @@ class IcebergTable:
             return max(versions)
 
     def metadata(self, version: int | None = None) -> dict:
+        """Parsed vN.metadata.json.  Deliberately UNCACHED: one read()
+        touches this several times, but the documents are KB-scale and
+        json.loads dominates the disk read anyway, while any cache
+        would have to survive external tampering/expiry of version
+        files (a round-10 attempt broke exactly there)."""
         v = self.current_version() if version is None else version
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as fh:
             meta = json.load(fh)
@@ -644,7 +649,13 @@ class IcebergTable:
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref=ref)
         col_info: dict[str, tuple[int, str]] = {}
         if column_filter:
-            schema = self._schema_by_id(meta["current-schema-id"])
+            # filter names resolve against the SNAPSHOT's schema — the
+            # names the read's output frame will carry; resolving
+            # against the current schema would make a renamed table's
+            # time-travel filter unsatisfiable in both spellings
+            schema = self._schema_by_id(
+                snap.get("schema-id", meta["current-schema-id"])
+            )
             by_name = {f["name"]: f for f in schema["fields"]}
             for name in column_filter:
                 f = by_name.get(name)
@@ -845,6 +856,23 @@ class IcebergTable:
                 )
             files = [f for f in files if f.raw_path in paths]
         if not files:
+            if column_filter or partition_filter:
+                # a filter that prunes EVERY file is an empty result,
+                # not an error (round-10 review: the bounds pruning
+                # made this reachable on ordinary selective reads);
+                # the schema comes from metadata — partition columns
+                # included, in schema order
+                m = self.metadata()
+                sid0 = m.get("current-schema-id", 0)
+                if (snapshot_id is not None
+                        or as_of_timestamp_ms is not None
+                        or ref is not None):
+                    sid0 = self.snapshot(
+                        snapshot_id, as_of_timestamp_ms, ref=ref
+                    ).get("schema-id", sid0)
+                return spark.createDataFrame(
+                    [], self._spark_schema(sid0)
+                )
             raise ValueError("snapshot selects no data files")
         part_cols = sorted({k for f in files for k in f.partition})
         reader = spark.read
@@ -857,6 +885,12 @@ class IcebergTable:
         logical_exprs = None
         variants: dict[int, list[str]] | None = None
         variant_expr: dict[int, "F.Column"] = {}
+        #: the schema id the OUTPUT frame speaks — current for current
+        #: reads, the snapshot's own for time travel; equality-delete
+        #: column names resolve against THIS, never the current schema
+        #: (a field renamed or dropped after the read snapshot would
+        #: otherwise map equality ids to the wrong names)
+        read_sid = meta_doc.get("current-schema-id", 0)
         if len(meta_doc.get("schemas", [])) > 1:
             # schema evolution (round 9): pin the snapshot's schema so
             # files written before an added column null-fill it and
@@ -879,6 +913,7 @@ class IcebergTable:
                 sid = self.snapshot(
                     snapshot_id, as_of_timestamp_ms, ref=ref
                 ).get("schema-id", meta_doc["current-schema-id"])
+            read_sid = sid
             reader = reader.schema(
                 self._spark_schema(
                     sid, exclude=set(part_cols), name_variants=variants
@@ -952,26 +987,37 @@ class IcebergTable:
             ["_raw_path", "_seq", *part_cols],
             what="iceberg snapshot partition",
         )
+        # id -> name map in the READ schema (by schema-id lookup, not
+        # list position — external metadata need not keep ids as list
+        # indexes, and the output frame speaks the snapshot's names)
         meta_schema = {
             f["id"]: f["name"]
-            for f in self.metadata()["schemas"][
-                self.metadata()["current-schema-id"]
-            ]["fields"]
+            for f in self._schema_by_id(read_sid)["fields"]
         }
+        # the gate sums record_count across ALL applicable delete files
+        # (metadata-only): per-file gating would let 50 files of 4.9M
+        # rows each broadcast simultaneously — the aggregate is what
+        # lives on the driver and every executor at once
+        total_delete_rows = sum(
+            d.record_count for d in (*pos_dels, *eq_dels)
+        )
+
         def _sized(dels, d):
-            """Broadcast a delete-file frame only under the size
-            ceiling — the manifest's record_count decides from METADATA.
-            A pathological delete set (most of a 100 TB table deleted
+            """Broadcast a delete-file frame only while the SUMMED
+            applicable delete rows sit under the size ceiling.  A
+            pathological delete set (most of a 100 TB table deleted
             merge-on-read) would blow the broadcast; above the limit
-            the anti-join runs as a plain shuffle join with a loud log
-            line (VERDICT r9 item 7)."""
-            if d.record_count <= _BROADCAST_DELETE_ROW_LIMIT:
+            every delete anti-join runs as a plain shuffle join with a
+            loud log line (VERDICT r9 item 7)."""
+            if total_delete_rows <= _BROADCAST_DELETE_ROW_LIMIT:
                 return F.broadcast(dels)
             import logging
 
             logging.getLogger(__name__).warning(
-                "delete file %s holds %d rows, over the broadcast "
-                "ceiling (%d); anti-join falls back to shuffle",
+                "applicable delete files hold %d rows total (this "
+                "file: %s, %d rows), over the broadcast ceiling (%d); "
+                "anti-join falls back to shuffle",
+                total_delete_rows,
                 d.raw_path,
                 d.record_count,
                 _BROADCAST_DELETE_ROW_LIMIT,
@@ -991,6 +1037,13 @@ class IcebergTable:
                 "left_anti",
             )
         for d in eq_dels:
+            missing = [fid for fid in d.equality_ids
+                       if fid not in meta_schema]
+            if missing:
+                raise ValueError(
+                    f"equality delete {d.raw_path!r} references field "
+                    f"ids {missing} absent from the read schema"
+                )
             names = [meta_schema[fid] for fid in d.equality_ids]
             dels_raw = spark.read.parquet(d.path)
             # a delete file written pre-rename stores its equality
@@ -1110,7 +1163,15 @@ class IcebergTable:
             rows = [
                 ({k: None if v is None else str(v) for k, v in key},
                  n, rec, size)
-                for key, (n, rec, size) in sorted(agg.items())
+                # None-safe sort: identity partitions legally hold null
+                # values, and tuple comparison would TypeError on
+                # None < int
+                for key, (n, rec, size) in sorted(
+                    agg.items(),
+                    key=lambda kv: [
+                        (k, v is None, str(v)) for k, v in kv[0]
+                    ],
+                )
             ]
         elif kind == "manifests":
             schema = T.StructType([

@@ -662,6 +662,17 @@ def test_v2_checkpoint_upgrades_protocol(spark, tmp_path):
          "readerFeatures": ["deletionVectors", "v2Checkpoint"],
          "writerFeatures": ["deletionVectors", "v2Checkpoint"]}
     assert _upgrade_protocol_for_v2_checkpoint(p) is p
+    # a protocol ALREADY at table-features versions gains ONLY the new
+    # feature: the legacy-implication rule must not fire at 3/7 (it
+    # would stamp e.g. identityColumns onto a table that never used it)
+    p2 = {"minReaderVersion": 3, "minWriterVersion": 7,
+          "readerFeatures": ["columnMapping", "deletionVectors"],
+          "writerFeatures": ["columnMapping", "deletionVectors"]}
+    up = _upgrade_protocol_for_v2_checkpoint(p2)
+    assert up["readerFeatures"] == ["columnMapping", "deletionVectors",
+                                    "v2Checkpoint"]
+    assert up["writerFeatures"] == ["columnMapping", "deletionVectors",
+                                    "v2Checkpoint"]
 
 
 def test_v2_checkpoint_version_mismatch_refuses(spark, tmp_path):

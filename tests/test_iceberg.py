@@ -923,6 +923,11 @@ def test_column_bounds_prune_files_metadata_only(spark, tmp_path):
     assert len(live) == 1 and live[0].lower_bounds
     sel = t.files(column_filter={"id": (1_000_000, None)})
     assert sel == []  # everything bounded below 5001
+    # ... and a filter that prunes EVERY file is an empty RESULT
+    # through read(), not an error (round-10 review)
+    empty = t.read(spark, column_filter={"id": (1_000_000, None)})
+    assert empty.count() == 0
+    assert sorted(empty.columns) == ["id", "val"]
     got = sorted(r.id for r in t.read(
         spark, column_filter={"id": (90, 200)}).collect())
     assert got == [100, 150]
@@ -1089,6 +1094,15 @@ def test_rename_column_variant_read(spark, tmp_path):
     old = t.read(spark, snapshot_id=s1)
     assert sorted(old.columns) == ["id", "val"]
     assert {(r.id, r.val) for r in old.collect()} == {(1, "v1"), (2, "v2")}
+    # column_filter speaks the READ snapshot's names (round-10 review:
+    # resolving against the current schema made a renamed table's
+    # time-travel filter unsatisfiable in both spellings)
+    assert sorted(r.id for r in t.read(
+        spark, snapshot_id=s1,
+        column_filter={"val": ("v1", "v1")}).collect()) == [1]
+    assert sorted(r.id for r in t.read(
+        spark, column_filter={"label": ("v2", "v3")}).collect()) \
+        == [2, 3]
     # guards
     with pytest.raises(ValueError, match="no such column"):
         t.rename_column("nope", "x")
@@ -1163,6 +1177,12 @@ def test_metadata_tables(spark, tmp_path):
              for r in t.metadata_table(spark, "partitions").collect()}
     assert parts == {(("p_bucket", "0"),): (1, 2),
                      (("p_bucket", "1"),): (1, 1)}
+    # a NULL partition value (legal for identity transforms) must not
+    # crash the partitions sort (round-10 review)
+    t.append([write_pq("c.parquet", [9], bucket=None)], now_ms=5000)
+    parts = {tuple(sorted(r.partition.items()))
+             for r in t.metadata_table(spark, "partitions").collect()}
+    assert (("p_bucket", None),) in parts and len(parts) == 3
     with pytest.raises(ValueError, match="unknown metadata table"):
         t.metadata_table(spark, "entries")
 
