@@ -24,7 +24,12 @@ collecting min/max statistics.
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
-`README.md:15-19`).
+`README.md:15-19`).  Exception (ADVICE r10): a multi-flag `ddl`
+invocation applies each action as its OWN metadata commit in the listed
+order, printing each as it lands — a later flag's failure exits 2 with
+the earlier, already-printed actions durably applied (table-format DDL
+commits are not transactional across actions; re-run the failed flags
+alone after fixing the input).
 """
 
 from __future__ import annotations

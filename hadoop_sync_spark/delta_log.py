@@ -1289,7 +1289,17 @@ class DeltaLog:
         actions in the main file (also spec-legal).  UUIDs are
         deterministic (table+version-derived — the repo's
         no-ambient-randomness rule).  Points ``_last_checkpoint`` at
-        it."""
+        it.
+
+        Protocol rule (ADVICE r10): the spec permits V2 checkpoints only
+        under a COMMITTED ``v2Checkpoint`` feature, so when the table's
+        replayed protocol lacks it the upgrade is committed to the log
+        first (one protocol-only commit at head) and the checkpoint is
+        written at that new version — checkpoint-seeded and pure-replay
+        snapshots then agree on the protocol.  Requesting a checkpoint
+        at an explicit HISTORICAL version whose protocol lacks the
+        feature refuses (commits are immutable; the upgrade cannot be
+        retrofitted below head)."""
         import hashlib as _hashlib
         import uuid as _uuid
 
@@ -1303,7 +1313,19 @@ class DeltaLog:
             "readerFeatures": ["v2Checkpoint"],
             "writerFeatures": ["v2Checkpoint"],
         }
-        proto = _upgrade_protocol_for_v2_checkpoint(proto)
+        upgraded = _upgrade_protocol_for_v2_checkpoint(proto)
+        if upgraded is not proto:
+            head = self.latest_version()
+            if snap.version != head:
+                raise ValueError(
+                    f"cannot write a V2 checkpoint at historical version "
+                    f"{snap.version}: its committed protocol lacks the "
+                    f"v2Checkpoint feature and commits are immutable — "
+                    f"checkpoint the head (version {head}) instead"
+                )
+            self.commit(head + 1, [{"protocol": upgraded}])
+            snap = self.snapshot(head + 1)
+        proto = upgraded
         uid = _uuid.UUID(
             bytes=_hashlib.md5(
                 f"{self.table_dir}#v2cp#{snap.version}".encode()

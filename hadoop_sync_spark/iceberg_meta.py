@@ -859,9 +859,17 @@ class IcebergTable:
             if column_filter or partition_filter:
                 # a filter that prunes EVERY file is an empty result,
                 # not an error (round-10 review: the bounds pruning
-                # made this reachable on ordinary selective reads);
-                # the schema comes from metadata — partition columns
-                # included, in schema order
+                # made this reachable on ordinary selective reads).
+                # The schema comes from metadata, in the SAME column
+                # order the non-empty path produces (ADVICE r10): data
+                # columns from the pinned snapshot schema first, then
+                # the spec partition fields appended — positional
+                # consumers and unions-by-position see one ordering
+                # whether or not anything survived.  Partition columns
+                # type as the attach path's python-value inference does
+                # (Avro int/long/date -> LongType, string -> StringType).
+                from pyspark.sql import types as T
+
                 m = self.metadata()
                 sid0 = m.get("current-schema-id", 0)
                 if (snapshot_id is not None
@@ -870,9 +878,31 @@ class IcebergTable:
                     sid0 = self.snapshot(
                         snapshot_id, as_of_timestamp_ms, ref=ref
                     ).get("schema-id", sid0)
-                return spark.createDataFrame(
-                    [], self._spark_schema(sid0)
+                part_fields: dict[str, str] = {}
+                for spec in m.get("partition-specs", []):
+                    for pf in spec.get("fields", []):
+                        part_fields.setdefault(
+                            pf["name"], pf.get("result-type", "string")
+                        )
+                part_names = sorted(part_fields)
+                data_schema = self._spark_schema(
+                    sid0, exclude=set(part_names)
                 )
+                inferred = {
+                    "int": T.LongType(), "long": T.LongType(),
+                    "date": T.LongType(), "string": T.StringType(),
+                }
+                schema = T.StructType(
+                    list(data_schema.fields)
+                    + [
+                        T.StructField(
+                            n,
+                            inferred.get(part_fields[n], T.StringType()),
+                        )
+                        for n in part_names
+                    ]
+                )
+                return spark.createDataFrame([], schema)
             raise ValueError("snapshot selects no data files")
         part_cols = sorted({k for f in files for k in f.partition})
         reader = spark.read
@@ -1767,13 +1797,22 @@ class IcebergTable:
         """Schema evolution, the rename face (round 10; metadata-only
         like :meth:`add_column`): the new schema carries the SAME field
         id under the new name — the spec's id-stable rename.  Reads of
-        a renamed table resolve columns by parquet footer field id
-        (Spark's ``parquet.field.id`` matching; :meth:`read` pre-checks
-        that every selected file stamps ids and refuses otherwise —
-        name-mapping fallback is an honest seam).  Partition-source
-        columns refuse: identity spec field NAMES were fixed at create
-        time, and a renamed source would silently diverge from the
-        attach column."""
+        a renamed table resolve columns by NAME VARIANT
+        (:meth:`_rename_history` / :meth:`_spark_schema`): the pinned
+        scan schema carries one physical column per historical name of
+        the field, a conforming file populates exactly the name its
+        write-time schema used (the rest null-fill), and the logical
+        projection coalesces across the variants — ONE scan, no
+        per-file plans, no reliance on parquet footer field ids (a
+        conf-driven ``parquet.field.id`` design was measured and
+        rejected in round 10: the conf is read at action time and
+        stamped footers poison mixed-directory inferred reads).
+        Refusal cases stay honest: a name carried by two field ids
+        (drop + re-add of the same name) and off-lattice type changes
+        both raise in ``_rename_history`` rather than mis-read.
+        Partition-source columns refuse here: identity spec field
+        NAMES were fixed at create time, and a renamed source would
+        silently diverge from the attach column."""
         meta = json.loads(json.dumps(self.metadata()))
         cur = self._schema_by_id(meta["current-schema-id"])
         if not any(f["name"] == old for f in cur["fields"]):

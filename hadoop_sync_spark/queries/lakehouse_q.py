@@ -1047,10 +1047,13 @@ def q149_delta_dv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         storage="i",
     )
     # V2 checkpoint + a no-op tail commit, then a FRESH log: the latest
-    # read seeds from the UUID checkpoint's sidecar and replays the tail
+    # read seeds from the UUID checkpoint's sidecar and replays the tail.
+    # The DV protocol lacks v2Checkpoint, so the writer first COMMITS the
+    # upgraded protocol at version 3 (ADVICE r10) and checkpoints there —
+    # the tail no-op lands at 4.
     log.write_checkpoint_v2(2, sidecars=1)
     log.commit(
-        3, [{"remove": {"path": "absent.parquet", "dataChange": False}}]
+        4, [{"remove": {"path": "absent.parquet", "dataChange": False}}]
     )
     fresh = DeltaLog(table_dir)
 

@@ -580,7 +580,9 @@ def test_v2_checkpoint_sidecar_seeding_equals_pure_json(spark, tmp_path):
     the file actions) seed a snapshot identical to the pure JSON replay;
     the tail replays on top, expire_log keys off it, and time travel
     below it fails loudly — the classic checkpoint contract, new
-    layout."""
+    layout.  The table's protocol lacks v2Checkpoint, so the writer
+    first COMMITS the upgraded protocol at head (ADVICE r10) and the
+    checkpoint lands at that new version."""
     d, log = _mk_table(tmp_path)
     for i in range(5):
         _write_file(d, f"f{i}.parquet", {"k": [i], "v": [i * 10]})
@@ -593,17 +595,21 @@ def test_v2_checkpoint_sidecar_seeding_equals_pure_json(spark, tmp_path):
     pure = log.snapshot(2)
     cp = log.write_checkpoint_v2(2, sidecars=2)
     assert ".checkpoint." in cp and cp.endswith(".json")
+    # the protocol upgrade was committed at 3; the checkpoint names it
+    assert os.path.basename(cp).startswith(f"{3:020d}.")
+    assert log.latest_version() == 3
+    assert "v2Checkpoint" in log.snapshot(3).protocol["readerFeatures"]
     assert len(os.listdir(os.path.join(d, "_delta_log", "_sidecars"))) == 2
-    log.commit(3, [log.add_action_for("f4.parquet")])
+    log.commit(4, [log.add_action_for("f4.parquet")])
     from hadoop_sync_spark.delta_log import DeltaLog
     fresh = DeltaLog(d)
-    seeded = fresh.snapshot(3)
+    seeded = fresh.snapshot(4)
     assert seeded.files == sorted([*pure.files, "f4.parquet"])
     assert seeded.schema_json == pure.schema_json
     assert sorted(r.k for r in fresh.read(spark).collect()) == [1, 2, 3, 4]
     # expire_log keys off the v2 checkpoint; the seeded read survives
     expired = fresh.expire_log()
-    assert expired == [0, 1]
+    assert expired == [0, 1, 2]
     assert sorted(r.k for r in fresh.read(spark).collect()) == [1, 2, 3, 4]
     with pytest.raises(FileNotFoundError):
         fresh.snapshot(1)
@@ -617,8 +623,10 @@ def test_v2_checkpoint_inline_and_dv(spark, tmp_path):
     log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
                    log.add_action_for("a.parquet")])
     log.add_deletion_vector(1, "a.parquet", [1], storage="i")
+    # the DV protocol (3/7 + deletionVectors) lacks v2Checkpoint: the
+    # writer commits the upgrade at 2 and checkpoints there
     log.write_checkpoint_v2(1, sidecars=0)
-    log.commit(2, [{"remove": {"path": "nope.parquet",
+    log.commit(3, [{"remove": {"path": "nope.parquet",
                                "dataChange": False}}])
     from hadoop_sync_spark.delta_log import DeltaLog
     fresh = DeltaLog(d)
@@ -630,7 +638,10 @@ def test_v2_checkpoint_upgrades_protocol(spark, tmp_path):
     reader feature: a table replaying an older protocol gets the
     UPGRADED protocol (3/7 + v2Checkpoint + every legacy-implied
     feature) written into the checkpoint, never the old one verbatim
-    (ADVICE r9).  A protocol already carrying the feature is untouched."""
+    (ADVICE r9) — and since round 11 the upgrade is COMMITTED to the log
+    first (ADVICE r10), so checkpoint-seeded and replayed snapshots agree
+    on the protocol.  A protocol already carrying the feature is
+    untouched; a historical version whose protocol lacks it refuses."""
     import glob as _g
 
     d, log = _mk_table(tmp_path)
@@ -640,8 +651,12 @@ def test_v2_checkpoint_upgrades_protocol(spark, tmp_path):
                    log.add_action_for("a.parquet")])
     log.write_checkpoint_v2(0)
     (cp,) = _g.glob(os.path.join(d, "_delta_log", "*.checkpoint.*.json"))
+    # upgrade committed at 1, checkpoint written there: replay agrees
+    assert os.path.basename(cp).startswith(f"{1:020d}.")
+    assert log.latest_version() == 1
     (proto,) = [json.loads(line)["protocol"] for line in open(cp)
                 if "protocol" in json.loads(line)]
+    assert log.snapshot(1).protocol == proto
     assert proto["minReaderVersion"] == 3
     assert proto["minWriterVersion"] == 7
     assert "v2Checkpoint" in proto["readerFeatures"]
@@ -673,6 +688,12 @@ def test_v2_checkpoint_upgrades_protocol(spark, tmp_path):
                                     "v2Checkpoint"]
     assert up["writerFeatures"] == ["columnMapping", "deletionVectors",
                                     "v2Checkpoint"]
+    # a HISTORICAL version whose committed protocol lacks the feature
+    # cannot be checkpointed (the upgrade cannot be retrofitted below
+    # head); the refusal leaves the log untouched
+    with pytest.raises(ValueError, match="historical version 0"):
+        log.write_checkpoint_v2(0)
+    assert log.latest_version() == 1
 
 
 def test_v2_checkpoint_version_mismatch_refuses(spark, tmp_path):
@@ -682,6 +703,7 @@ def test_v2_checkpoint_version_mismatch_refuses(spark, tmp_path):
     _write_file(d, "a.parquet", {"k": [1], "v": [0]})
     log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
                    log.add_action_for("a.parquet")])
+    # upgrade committed at 1, checkpoint written at 1
     log.write_checkpoint_v2(0, sidecars=0)
     (cp,) = _g.glob(os.path.join(d, "_delta_log",
                                  "*.checkpoint.*.json"))
@@ -694,7 +716,7 @@ def test_v2_checkpoint_version_mismatch_refuses(spark, tmp_path):
     open(cp, "w").write("\n".join(lines) + "\n")
     from hadoop_sync_spark.delta_log import DeltaLog
     with pytest.raises(ValueError, match="corrupt checkpoint"):
-        DeltaLog(d).snapshot(0)
+        DeltaLog(d).snapshot(1)
 
 
 # ------------------------------------------------------ column mapping (r9)

@@ -125,6 +125,22 @@ def test_partition_pruning_two_layers(table, monkeypatch):
     assert all("manifest-list" in p for p in opened), opened
 
 
+def test_pruned_to_empty_read_keeps_column_order(spark, table):
+    """A filter that prunes EVERY file returns an empty frame whose
+    column ORDER matches the non-empty path exactly — data columns from
+    the pinned snapshot schema first, partition columns appended last
+    (ADVICE r10: the old empty path emitted schema order with partition
+    columns interleaved, breaking positional consumers and
+    union-by-position between the two outcomes of the same call)."""
+    t, _ = table
+    nonempty = t.read(spark, partition_filter={"p_bucket": 0})
+    empty = t.read(spark, partition_filter={"p_bucket": 99})
+    assert empty.count() == 0
+    assert empty.columns == nonempty.columns
+    # union-by-position across the two outcomes is now well-typed
+    assert nonempty.union(empty).count() == nonempty.count()
+
+
 def test_read_through_spark_with_time_travel(spark, table):
     t, (s1, _, _) = table
     now = t.read(spark)
@@ -927,7 +943,10 @@ def test_column_bounds_prune_files_metadata_only(spark, tmp_path):
     # through read(), not an error (round-10 review)
     empty = t.read(spark, column_filter={"id": (1_000_000, None)})
     assert empty.count() == 0
-    assert sorted(empty.columns) == ["id", "val"]
+    # exact ordering parity with the non-empty path (ADVICE r10)
+    assert empty.columns == t.read(
+        spark, column_filter={"id": (90, 200)}
+    ).columns
     got = sorted(r.id for r in t.read(
         spark, column_filter={"id": (90, 200)}).collect())
     assert got == [100, 150]
