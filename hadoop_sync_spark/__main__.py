@@ -21,6 +21,9 @@ collecting min/max statistics.
                                         [--create-tag NAME | --create-branch
                                          NAME [--at-snapshot ID]]
                                         [--drop-ref NAME]
+        (iceberg: every flag; delta: --add-column and --rename-column —
+         rename needs column mapping — the other flags refuse up front,
+         applying nothing)
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -125,8 +128,10 @@ def main(argv: list[str] | None = None) -> int:
 
     ddl_p = sub.add_parser(
         "ddl",
-        help="iceberg schema/ref DDL for a registered format table "
-        "(metadata-only; run `sync` afterwards to refresh the catalog)",
+        help="schema/ref DDL for a registered format table "
+        "(metadata-only; run `sync` afterwards to refresh the catalog). "
+        "iceberg: all flags; delta: --add-column and --rename-column "
+        "(rename needs column mapping), the rest refuse",
     )
     ddl_p.add_argument("meta_dir")
     ddl_p.add_argument("table")
@@ -272,18 +277,62 @@ def main(argv: list[str] | None = None) -> int:
             rec = reg.tables().get(args.table)
             if rec is None:
                 raise KeyError(f"table not registered: {args.table}")
-            if rec.get("format") != "iceberg":
+            fmt = rec.get("format")
+            if fmt not in ("iceberg", "delta"):
                 raise ValueError(
-                    "ddl is for iceberg tables (delta schema evolution "
-                    f"rides its own log); {args.table!r} is "
-                    f"{rec.get('format') or 'a plain directory'}"
+                    "ddl is for format tables (iceberg or delta); "
+                    f"{args.table!r} is a plain directory"
                 )
             import time as _time
+
+            now = int(_time.time() * 1000)
+            if fmt == "delta":
+                # the Delta write face covers add/rename (round 11);
+                # the remaining flags are Iceberg concepts (field-id
+                # lattice promotion, refs) or unimplemented (drop) —
+                # refuse UP FRONT so a mixed invocation applies nothing
+                unsupported = [
+                    flag for flag, val in (
+                        ("--drop-column", args.drop_column),
+                        ("--promote-column", args.promote_column),
+                        ("--create-tag", args.create_tag),
+                        ("--create-branch", args.create_branch),
+                        ("--drop-ref", args.drop_ref),
+                    ) if val
+                ]
+                if unsupported:
+                    raise ValueError(
+                        f"delta ddl supports --add-column and "
+                        f"--rename-column only; {', '.join(unsupported)} "
+                        "not supported for delta tables"
+                    )
+                from hadoop_sync_spark.delta_log import DeltaLog
+
+                log = DeltaLog(rec["dir_path"])
+                did = 0
+                if args.add_column:
+                    fid = log.add_column(*args.add_column, now_ms=now)
+                    suffix = (
+                        f" (field id {fid})" if fid is not None else ""
+                    )
+                    print(f"added {args.add_column[0]}{suffix}")
+                    did += 1
+                if args.rename_column:
+                    log.rename_column(*args.rename_column, now_ms=now)
+                    print(
+                        f"renamed {args.rename_column[0]} -> "
+                        f"{args.rename_column[1]}"
+                    )
+                    did += 1
+                if not did:
+                    print("nothing to do (pass at least one DDL flag)")
+                else:
+                    print("hint: run `sync` to refresh the catalog")
+                return 0
 
             from hadoop_sync_spark.iceberg_meta import IcebergTable
 
             it = IcebergTable(rec["dir_path"])
-            now = int(_time.time() * 1000)
             # each action prints AS IT LANDS: DDL ops commit their own
             # metadata versions, so a later flag's failure must not
             # hide the earlier flags' already-applied commits

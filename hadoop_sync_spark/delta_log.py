@@ -354,6 +354,18 @@ def _upgrade_protocol_for_v2_checkpoint(proto: dict) -> dict:
 #: PROTOCOL.md primitive names that differ from Spark's JSON names
 _DELTA_TO_SPARK_TYPE = {"timestampNtz": "timestamp_ntz"}
 
+#: PROTOCOL.md primitive type names accepted by the add_column DDL face
+_DELTA_DDL_TYPES = {
+    "string", "long", "integer", "short", "byte", "float", "double",
+    "boolean", "binary", "date", "timestamp", "timestampNtz",
+}
+
+#: Spark spellings normalized to PROTOCOL.md primitives, so the CLI's
+#: SPARK_TYPE metavar means the same thing for both formats
+_SPARK_TO_DELTA_TYPE = {
+    "bigint": "long", "int": "integer", "timestamp_ntz": "timestampNtz",
+}
+
 
 def _normalize_delta_types(node):
     """Recursively map Delta schemaString type names to Spark's
@@ -386,6 +398,10 @@ class Snapshot:
     configuration: dict = field(default_factory=dict)
     #: the replayed protocol action (checkpoints reproduce it verbatim)
     protocol: dict | None = None
+    #: the last replayed metaData action VERBATIM — DDL re-commits must
+    #: preserve fields the snapshot itself does not model (id, format,
+    #: createdTime), per the spec's whole-action replacement semantics
+    metadata_action: dict | None = None
 
     @property
     def column_mapping_mode(self) -> str:
@@ -510,6 +526,7 @@ class DeltaLog:
             snap.protocol = proto
         elif "metaData" in action:
             md = action["metaData"]
+            snap.metadata_action = md
             snap.schema_json = md.get("schemaString", snap.schema_json)
             snap.partition_columns = tuple(md.get("partitionColumns", ()))
             cfg = md.get("configuration")
@@ -622,9 +639,14 @@ class DeltaLog:
                 reader = spark.read
                 if schema is not None:
                     # pinning the logged schema skips footer inference
+                    # AND null-fills columns added by DDL after a file
+                    # was written (round 11)
                     reader = reader.schema(schema)
                 return reader.parquet(*files)
-            scan = spark.read.parquet(*files)
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            scan = reader.parquet(*files)
             data_cols = scan.columns
             scan = scan.select(
                 "*", F.col("_metadata.row_index").alias("_row_idx")
@@ -643,7 +665,17 @@ class DeltaLog:
             set(part_cols) <= set(a.get("partitionValues") or {})
             for a in adds
         ):
-            scan = spark.read.parquet(*files)
+            reader = spark.read
+            if schema is not None:
+                # pin the logged DATA columns (partition values attach
+                # from the log): deterministic plan, and files written
+                # before an add_column null-fill natively (round 11)
+                from pyspark.sql import types as T
+
+                reader = reader.schema(T.StructType(
+                    [f for f in schema.fields if f.name not in part_cols]
+                ))
+            scan = reader.parquet(*files)
             data_cols = scan.columns + part_cols
             attach_cols = list(part_cols)
             if dv_map:
@@ -698,9 +730,20 @@ class DeltaLog:
 
         - ``name`` mode matches parquet columns by physical name;
         - ``id`` mode matches by the parquet footer's ``field_id``
-          (resolved driver-side from one footer — conforming id-mode
-          writers stamp every file identically; a footer without ids is
-          non-conforming and refuses).
+          (resolved driver-side from footers with an early exit once
+          every schema field id is seen — conforming id-mode writers
+          stamp every file identically, so the common case reads ONE
+          footer; a footer without ids is non-conforming and refuses;
+          an id absent from every footer is a column added by DDL and
+          null-fills).
+
+        The scan pins the PHYSICAL schema with the logical (widest)
+        types (round 11): deterministic plan, native null-fill for
+        files predating an ``add_column``, native upcast under
+        typeWidening.  Nested fields inside a struct resolve by the
+        LOGICAL nested names (top-level physical mapping only — the
+        shape this writer produces; per-field nested physical renames
+        are beyond this reader).
 
         Renaming is one ``select`` of alias+cast expressions — the
         struct cast renames NESTED fields positionally to the logical
@@ -727,32 +770,71 @@ class DeltaLog:
                 )
             return pn, int(fid)
 
-        phys: dict[str, str] = {}
+        #: logical name -> metadata physicalName (partition-value keys
+        #: use THIS under mapping, whatever the footer resolution says)
+        meta_phys = {f["name"]: mapping_of(f)[0] for f in fields}
+        #: logical name -> physical column; None marks a field added by
+        #: DDL after every selected file was written (null-fills below)
+        phys: dict[str, str | None] = {}
         if mode == "name":
             for f in fields:
                 phys[f["name"]], _ = mapping_of(f)
         else:  # id
             import pyarrow.parquet as _pq
 
-            footer = _pq.read_schema(files[0])
+            needed = {mapping_of(f)[1] for f in fields}
             id_to_col: dict[int, str] = {}
-            for i in range(len(footer.names)):
-                fld = footer.field(i)
-                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                if fid is not None:
-                    id_to_col[int(fid)] = fld.name
-            for f in fields:
-                pn, fid = mapping_of(f)
-                if fid not in id_to_col:
+            # footer walk, driver-side metadata only: conforming id-mode
+            # writers stamp every file identically, so the FIRST footer
+            # resolves everything and the loop exits after one read (the
+            # pre-round-11 cost); only a post-add_column history (older
+            # files missing the new field id) walks further, and a field
+            # id absent from EVERY footer is the added-never-written
+            # case — legal, null-fills.  One id carried under two
+            # different physical names across files refuses (per-file
+            # plans are beyond the one-scan reader).
+            for fp in files:
+                footer = _pq.read_schema(fp)
+                any_id = False
+                for i in range(len(footer.names)):
+                    fld = footer.field(i)
+                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is None:
+                        continue
+                    any_id = True
+                    fid = int(fid)
+                    prev = id_to_col.setdefault(fid, fld.name)
+                    if prev != fld.name:
+                        raise ValueError(
+                            f"id-mode column mapping: field id {fid} "
+                            f"appears as {prev!r} and {fld.name!r} "
+                            "across data files — per-file physical-name "
+                            "divergence is beyond the one-scan reader"
+                        )
+                if not any_id:
                     raise ValueError(
-                        f"id-mode column mapping: field id {fid} absent "
-                        f"from the parquet footer of {files[0]!r} — "
-                        "non-conforming file"
+                        f"id-mode column mapping: no field ids in the "
+                        f"parquet footer of {fp!r} — non-conforming file"
                     )
-                phys[f["name"]] = id_to_col[fid]
+                if needed <= set(id_to_col):
+                    break
+            for f in fields:
+                _, fid = mapping_of(f)
+                phys[f["name"]] = id_to_col.get(fid)
 
         part_cols = list(snap.partition_columns)
-        scan = spark.read.parquet(*files)
+        from pyspark.sql import types as T
+
+        # pin the PHYSICAL data schema with the logical (widest) types:
+        # deterministic plan regardless of which footer Spark would have
+        # sampled, native null-fill for files predating an add_column,
+        # and native parquet upcast under typeWidening (round 11)
+        phys_schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, True)
+            for f in schema.fields
+            if f.name not in part_cols and phys.get(f.name) is not None
+        ])
+        scan = spark.read.schema(phys_schema).parquet(*files)
         present = set(scan.columns)
         dv_map = {
             p: a["deletionVector"]
@@ -770,6 +852,12 @@ class DeltaLog:
             if f.name in part_cols:
                 continue  # partition values attach from the log
             p = phys[f.name]
+            if p is None:
+                # added by DDL, no selected file carries it yet
+                data_exprs.append(
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                continue
             if p not in present:
                 raise ValueError(
                     f"physical column {p!r} (logical {f.name!r}) absent "
@@ -791,8 +879,11 @@ class DeltaLog:
                     row.append(p)
                 for c in part_cols:
                     # spec: partitionValues keys use PHYSICAL names under
-                    # column mapping; tolerate logical for lax writers
-                    v = pv.get(phys.get(c, c), pv.get(c))
+                    # column mapping (the metadata's physicalName — a
+                    # partition column never appears in data-file
+                    # footers, so id-mode footer resolution cannot name
+                    # it); tolerate logical for lax writers
+                    v = pv.get(meta_phys.get(c, c), pv.get(c))
                     row.append(None if v is None else str(v))
                 rows.append(tuple(row))
             scan = attach_file_columns(
@@ -827,6 +918,136 @@ class DeltaLog:
                 fh.write(json.dumps(a, separators=(",", ":")) + "\n")
         os.rename(tmp, path)
         return path
+
+    # ---- schema-evolution write faces (round 11; the Delta twins of
+    # IcebergTable.add_column / rename_column) -------------------------
+    def _physical_name_for(self, fid: int) -> str:
+        """Deterministic ``col-<uuid>`` physical name for a new mapped
+        column (conforming writers use a fresh UUID; this repo derives
+        it from table + field id — the no-ambient-randomness rule)."""
+        import hashlib as _hashlib
+        import uuid as _uuid
+
+        return "col-" + str(_uuid.UUID(bytes=_hashlib.md5(
+            f"{self.table_dir}#col#{fid}".encode()
+        ).digest()))
+
+    def add_column(
+        self, name: str, dtype: str, now_ms: int = 0
+    ) -> int | None:
+        """Schema evolution, the add face (PROTOCOL.md "Change
+        Metadata"): appends a nullable field to the schemaString and
+        commits ONE metaData action replacing the old one wholesale —
+        the verbatim last metaData (id, format, createdTime) is
+        preserved, only schemaString (and, under column mapping,
+        ``delta.columnMapping.maxColumnId``) changes.  Under mapping
+        mode ``name``/``id`` the new field gets a fresh field id and a
+        deterministic ``col-<uuid>`` physical name, and the assigned id
+        is returned; unmapped tables return None (the logical name IS
+        the physical name).  Files written before the add null-fill on
+        read: every read path pins the logged (current) schema, so the
+        parquet reader supplies nulls for the missing column natively
+        — no rewrite, exactly Delta's metadata-only ADD COLUMNS."""
+        snap = self.snapshot()
+        md = snap.metadata_action
+        if md is None or snap.schema_json is None:
+            raise ValueError("no metaData action in the log")
+        dtype = _SPARK_TO_DELTA_TYPE.get(dtype, dtype)
+        if dtype not in _DELTA_DDL_TYPES:
+            raise NotImplementedError(
+                f"no Delta primitive mapping for type {dtype!r} "
+                f"(supported: {sorted(_DELTA_DDL_TYPES)})"
+            )
+        schema = json.loads(snap.schema_json)
+        if any(f["name"] == name for f in schema["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        new_md = json.loads(json.dumps(md))
+        new_field: dict = {
+            "name": name, "type": dtype, "nullable": True, "metadata": {},
+        }
+        fid: int | None = None
+        if snap.column_mapping_mode != "none":
+            used = [
+                int((f.get("metadata") or {})
+                    .get("delta.columnMapping.id", 0))
+                for f in schema["fields"]
+            ]
+            max_id = int(snap.configuration.get(
+                "delta.columnMapping.maxColumnId", 0
+            ))
+            fid = max([max_id, *used]) + 1
+            new_field["metadata"] = {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName":
+                    self._physical_name_for(fid),
+            }
+            cfg = dict(new_md.get("configuration") or {})
+            cfg["delta.columnMapping.maxColumnId"] = str(fid)
+            new_md["configuration"] = cfg
+        schema["fields"].append(new_field)
+        new_md["schemaString"] = json.dumps(
+            schema, separators=(",", ":")
+        )
+        self.commit(
+            self.latest_version() + 1,
+            [
+                {"commitInfo": {"timestamp": now_ms,
+                                "operation": "ADD COLUMNS"}},
+                {"metaData": new_md},
+            ],
+        )
+        return fid
+
+    def rename_column(self, old: str, new: str, now_ms: int = 0) -> None:
+        """Schema evolution, the rename face — COLUMN-MAPPED tables
+        only (PROTOCOL.md "Column Mapping": the mapping exists precisely
+        to make renames metadata-only).  The field keeps its id and
+        physical name; only the logical name in the schemaString
+        changes, so every existing data file — pre- or post-rename,
+        DV-carrying or not — keeps resolving through the unchanged
+        physical column.  Unmapped tables refuse: their parquet files
+        carry the LOGICAL names, and a metadata-only rename would
+        orphan every existing file's column (Delta itself requires
+        column mapping for RENAME COLUMN).  Partition columns refuse,
+        mirroring :meth:`IcebergTable.rename_column` — partitionValues
+        keys and checkpoint layouts were fixed at write time."""
+        snap = self.snapshot()
+        if snap.column_mapping_mode == "none":
+            raise NotImplementedError(
+                "rename_column requires column mapping (mode 'name' or "
+                "'id'): an unmapped table's data files carry the "
+                "logical names, so a metadata-only rename would orphan "
+                "every existing file's column"
+            )
+        md = snap.metadata_action
+        if md is None or snap.schema_json is None:
+            raise ValueError("no metaData action in the log")
+        schema = json.loads(snap.schema_json)
+        if not any(f["name"] == old for f in schema["fields"]):
+            raise ValueError(f"no such column {old!r}")
+        if any(f["name"] == new for f in schema["fields"]):
+            raise ValueError(f"column {new!r} already exists")
+        if old in snap.partition_columns:
+            raise ValueError(
+                f"column {old!r} is a partition column — renaming it "
+                "would diverge from the logged partitionColumns"
+            )
+        new_md = json.loads(json.dumps(md))
+        new_schema = json.loads(snap.schema_json)
+        for f in new_schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        new_md["schemaString"] = json.dumps(
+            new_schema, separators=(",", ":")
+        )
+        self.commit(
+            self.latest_version() + 1,
+            [
+                {"commitInfo": {"timestamp": now_ms,
+                                "operation": "RENAME COLUMN"}},
+                {"metaData": new_md},
+            ],
+        )
 
     def add_action_for(self, rel_path: str, **extra) -> dict:
         """``add`` action for a data file already placed in the table

@@ -1185,3 +1185,218 @@ def test_expire_log_after_checkpoint(spark, tmp_path):
         log.snapshot(0)
     # idempotent
     assert log.expire_log() == []
+
+
+# ------------------------------------------------ schema-evolution DDL (r11)
+def test_add_column_unmapped_null_fills_old_files(spark, tmp_path):
+    """add_column on an unmapped table is one metaData commit; every
+    read path pins the logged schema, so files written BEFORE the add
+    null-fill the new column natively and files written after carry
+    values — Delta's metadata-only ADD COLUMNS, no rewrite."""
+    d, log = _mk_table(tmp_path, "ddl_add")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    assert log.add_column("w", "string", now_ms=1000) is None
+    snap = log.snapshot()
+    # verbatim metaData fields preserved; only schemaString changed
+    assert snap.metadata_action["id"] == "t"
+    assert [f["name"] for f in json.loads(snap.schema_json)["fields"]] \
+        == ["k", "v", "w"]
+    _write_file(d, "b.parquet", {"k": [3], "v": [30], "w": ["x"]})
+    log.commit(2, [log.add_action_for("b.parquet")])
+    got = {(r.k, r.v, r.w) for r in log.read(spark).collect()}
+    assert got == {(1, 10, None), (2, 20, None), (3, 30, "x")}
+    # time travel BELOW the add sees the old schema
+    assert log.read(spark, 0).columns == ["k", "v"]
+    # spark type spellings normalize to PROTOCOL.md primitives
+    log.add_column("n", "bigint", now_ms=1001)
+    fields = json.loads(log.snapshot().schema_json)["fields"]
+    assert fields[-1] == {"name": "n", "type": "long",
+                          "nullable": True, "metadata": {}}
+    # refusals
+    with pytest.raises(ValueError, match="already exists"):
+        log.add_column("w", "string")
+    with pytest.raises(NotImplementedError, match="primitive"):
+        log.add_column("bad", "struct")
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        log.rename_column("k", "kk")
+
+
+def test_add_column_partitioned_and_dv_read_paths(spark, tmp_path):
+    """The pinned-schema null-fill composes with partition attach and
+    deletion vectors (the two other unmapped read branches)."""
+    d, log = _mk_table(tmp_path, "ddl_add_part")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2, 3], "v": [20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta_partitioned(),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "1"})])
+    log.add_column("w", "long", now_ms=1000)
+    got = {(r.k, r.p, r.w) for r in log.read(spark).collect()}
+    assert got == {(1, 0, None), (2, 1, None), (3, 1, None)}
+    # DV on top: anti-join still sees the pinned columns
+    log.add_deletion_vector(2, "b.parquet", [0], storage="i")
+    got = {(r.k, r.p, r.w) for r in log.read(spark).collect()}
+    assert got == {(1, 0, None), (3, 1, None)}
+
+
+def test_mapped_rename_lifecycle_with_dv_and_checkpoint(spark, tmp_path):
+    """rename_column on a column-mapped table is pure metadata (the
+    field keeps its id and physical name): pre- and post-rename files
+    read identically, deletion vectors compose, the rename survives a
+    checkpoint-seeded fresh read, and time travel below the rename
+    speaks the OLD name — the Iceberg rename lifecycle, Delta twin."""
+    d, log = _mk_table(tmp_path, "ddl_ren")
+    _write_phys(d, "a.parquet", [1, 2, 3], ["x", "y", "z"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name"),
+                   log.add_action_for("a.parquet")])
+    log.rename_column("v", "label", now_ms=1000)
+    # physicalName/id unchanged; only the logical name moved
+    f = [x for x in json.loads(log.snapshot().schema_json)["fields"]
+         if x["name"] == "label"][0]
+    assert f["metadata"]["delta.columnMapping.physicalName"] == "col-bbb"
+    assert f["metadata"]["delta.columnMapping.id"] == 2
+    assert {(r.k, r.label) for r in log.read(spark).collect()} == {
+        (1, "x"), (2, "y"), (3, "z")}
+    # a post-rename file uses the SAME physical name — one scan reads
+    # files from both sides of the rename
+    _write_phys(d, "b.parquet", [4], ["w"])
+    log.commit(2, [log.add_action_for("b.parquet")])
+    # DV composes on the renamed table
+    log.add_deletion_vector(3, "a.parquet", [1], storage="i")
+    assert {(r.k, r.label) for r in log.read(spark).collect()} == {
+        (1, "x"), (3, "z"), (4, "w")}
+    # time travel below the rename speaks the old name
+    assert sorted(log.read(spark, 0).columns) == ["k", "v"]
+    # checkpoint survival: fresh log seeds the renamed schema
+    log.write_checkpoint(3)
+    log.commit(4, [{"remove": {"path": "nope.parquet",
+                               "dataChange": False}}])
+    fresh = DeltaLog(d)
+    assert sorted(fresh.read(spark).columns) == ["k", "label"]
+    assert {(r.k, r.label) for r in fresh.read(spark).collect()} == {
+        (1, "x"), (3, "z"), (4, "w")}
+    # refusals
+    with pytest.raises(ValueError, match="no such column"):
+        log.rename_column("v", "again")
+    with pytest.raises(ValueError, match="already exists"):
+        log.rename_column("k", "label")
+
+
+def test_mapped_rename_partition_column_refuses(spark, tmp_path):
+    d, log = _mk_table(tmp_path, "ddl_ren_part")
+    _write_phys(d, "a.parquet", [1], ["x"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name", part=True),
+                   log.add_action_for(
+                       "a.parquet", partitionValues={"col-ccc": "0"})])
+    with pytest.raises(ValueError, match="partition column"):
+        log.rename_column("p", "bucket")
+
+
+def test_mapped_add_column_assigns_id_and_physical_name(spark, tmp_path):
+    """add_column under mapping mode assigns a fresh field id and a
+    deterministic col-<uuid> physical name, bumps maxColumnId, and the
+    read null-fills old files while a post-add file written under the
+    physical name carries values."""
+    d, log = _mk_table(tmp_path, "ddl_add_map")
+    _write_phys(d, "a.parquet", [1, 2], ["x", "y"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name"),
+                   log.add_action_for("a.parquet")])
+    fid = log.add_column("score", "double", now_ms=1000)
+    assert fid == 4  # maxColumnId was 3 in _mapped_meta
+    snap = log.snapshot()
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "4"
+    f = [x for x in json.loads(snap.schema_json)["fields"]
+         if x["name"] == "score"][0]
+    pn = f["metadata"]["delta.columnMapping.physicalName"]
+    assert pn.startswith("col-") and len(pn) == 40
+    assert f["metadata"]["delta.columnMapping.id"] == 4
+    # determinism: same table + fid -> same physical name
+    assert pn == log._physical_name_for(4)
+    # old file null-fills; a new file under the physical name has data
+    pq.write_table(
+        pa.table({"col-aaa": pa.array([3], pa.int64()),
+                  "col-bbb": pa.array(["z"], pa.string()),
+                  pn: pa.array([0.5], pa.float64())}),
+        os.path.join(d, "b.parquet"))
+    log.commit(2, [log.add_action_for("b.parquet")])
+    got = {(r.k, r.v, r.score) for r in log.read(spark).collect()}
+    assert got == {(1, "x", None), (2, "y", None), (3, "z", 0.5)}
+
+
+def test_mapped_add_column_id_mode_null_fills_missing_fid(spark,
+                                                          tmp_path):
+    """id mode: a field id absent from EVERY selected footer is a
+    column added by DDL — null-fill, not refusal; old files missing
+    the new physical column null-fill through the pinned schema."""
+    d, log = _mk_table(tmp_path, "ddl_add_id")
+    _write_phys(d, "a.parquet", [7, 8], ["a", "b"],
+                col_k="col-zzz", col_v="col-qqq", ids=(1, 2))
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("id"),
+                   log.add_action_for("a.parquet")])
+    fid = log.add_column("extra", "long", now_ms=1000)
+    got = {(r.k, r.v, r.extra) for r in log.read(spark).collect()}
+    assert got == {(7, "a", None), (8, "b", None)}
+    # a new file stamps the new field id under ANY physical name
+    f_k = pa.field("col-zzz", pa.int64(),
+                   metadata={b"PARQUET:field_id": b"1"})
+    f_v = pa.field("col-qqq", pa.string(),
+                   metadata={b"PARQUET:field_id": b"2"})
+    f_e = pa.field("whatever", pa.int64(),
+                   metadata={b"PARQUET:field_id": str(fid).encode()})
+    pq.write_table(
+        pa.table({"col-zzz": pa.array([9], pa.int64()),
+                  "col-qqq": pa.array(["c"], pa.string()),
+                  "whatever": pa.array([42], pa.int64())},
+                 schema=pa.schema([f_k, f_v, f_e])),
+        os.path.join(d, "b.parquet"))
+    log.commit(2, [log.add_action_for("b.parquet")])
+    got = {(r.k, r.v, r.extra) for r in log.read(spark).collect()}
+    assert got == {(7, "a", None), (8, "b", None), (9, "c", 42)}
+
+
+def test_cli_ddl_delta_walk(spark, tmp_path, capsys):
+    """The ddl CLI covers delta add/rename; the Iceberg-only flags
+    refuse UP FRONT (exit 2, nothing applied)."""
+    from hadoop_sync_spark.__main__ import main
+
+    d, log = _mk_table(tmp_path, "cli_ddl")
+    _write_phys(d, "a.parquet", [1], ["x"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name"),
+                   log.add_action_for("a.parquet")])
+    meta = str(tmp_path / "meta")
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    assert main(["ddl", meta, "t", "--add-column", "score", "double",
+                 "--rename-column", "v", "label"]) == 0
+    out = capsys.readouterr().out
+    assert "added score (field id 4)" in out
+    assert "renamed v -> label" in out
+    assert sorted(log.read(spark).columns) == ["k", "label", "score"]
+    # Iceberg-only flags refuse up front: the add does NOT apply
+    v_before = log.latest_version()
+    assert main(["ddl", meta, "t", "--add-column", "more", "long",
+                 "--create-tag", "nope"]) == 2
+    assert "not supported for delta" in capsys.readouterr().err
+    assert log.latest_version() == v_before
+    # unmapped rename propagates the honest refusal through the CLI
+    d2, log2 = _mk_table(tmp_path, "cli_ddl_plain")
+    _write_file(d2, "a.parquet", {"k": [1], "v": [10]})
+    log2.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                    log2.add_action_for("a.parquet")])
+    assert main(["register", meta, "t2", d2, "--format", "delta"]) == 0
+    assert main(["ddl", meta, "t2", "--rename-column", "k", "kk"]) == 2
+    assert "column mapping" in capsys.readouterr().err
