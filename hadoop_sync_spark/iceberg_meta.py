@@ -1381,9 +1381,14 @@ class IcebergTable:
                 entry_schema,
                 es,
                 extra_meta={
-                    "schema": json.dumps(
-                        meta["schemas"][meta["current-schema-id"]]
-                    ).encode(),
+                    # by schema-id lookup on THIS doc, never list
+                    # position (external metadata need not keep ids as
+                    # list indexes)
+                    "schema": json.dumps(next(
+                        s for s in meta["schemas"]
+                        if s.get("schema-id", 0)
+                        == meta.get("current-schema-id", 0)
+                    )).encode(),
                     "partition-spec": json.dumps(spec_fields).encode(),
                     "content": kind.encode(),
                 },
@@ -1589,21 +1594,38 @@ class IcebergTable:
     def add_equality_deletes(
         self, rows: list[dict], equality_ids: list[int], now_ms: int = 0
     ) -> int:
-        """Merge-on-read EQUALITY delete: write a delete parquet holding
-        the equality columns (named by schema field ids) and commit it
-        in a delete manifest (content=2).  Applies at read time to data
-        files STRICTLY OLDER than this commit (data sequence < delete
-        sequence) — a row later re-inserted with the same key survives,
-        the spec's upsert semantics."""
+        """Merge-on-read EQUALITY delete — the documented write face
+        (round 11; the Iceberg twin of the Delta DV writer
+        :meth:`DeltaLog.add_deletion_vector`, spec "Equality Delete
+        Files" / "Sequence Numbers").  Writes one delete parquet holding
+        the equality columns (keyed by schema FIELD IDS; the file's
+        column names are the current schema's names for those ids) and
+        commits it in a delete manifest (content=2) whose entry leaves
+        ``sequence_number`` null — the commit's own sequence number is
+        INHERITED per the spec's assignment rule, which is what makes
+        the semantics right: the delete applies at read time to data
+        files STRICTLY OLDER (data sequence < delete sequence), so a
+        row re-inserted with the same key after the delete survives —
+        upsert semantics, pinned by
+        tests/test_iceberg.py::test_equality_deletes_upsert_semantics.
+        ``rows`` are keyed by the CURRENT schema's column names; a
+        renamed table's historical delete files keep resolving by field
+        id on the read side (name variants).  Refuses unknown field ids
+        and column types outside the supported scalar map."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         if not rows or not equality_ids:
             raise ValueError("equality delete needs rows and field ids")
         meta = self.metadata()
+        # by schema-id lookup, never list position (external metadata
+        # need not keep schema ids as list indexes — the same round-10
+        # defect the READ side fixed, closed here on the write side)
         schema_fields = {
             f["id"]: f
-            for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+            for f in self._schema_by_id(
+                meta.get("current-schema-id", 0)
+            )["fields"]
         }
         names = []
         for fid in equality_ids:

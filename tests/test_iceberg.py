@@ -1590,3 +1590,25 @@ def test_vacuum_removes_unreferenced_after_full_rewrite(spark, tmp_path):
     assert t.vacuum() == ["data/f1.parquet"]
     # f1's rows ([1, 2]) died with the file-level CoW delete
     assert sorted(r.id for r in t.read(spark).collect()) == [3, 4]
+
+
+def test_equality_delete_writer_resolves_schema_by_id(spark, tmp_path):
+    """add_equality_deletes resolves the current schema by SCHEMA-ID
+    lookup, never by list position: an externally compacted metadata
+    history (old schemas dropped, the survivor keeping its non-zero id)
+    must still write and apply the delete (round 11 — the write-side
+    twin of the round-10 read-side fix)."""
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3])], now_ms=2000)
+    t.add_column("note", "string", now_ms=3000)  # current-schema-id -> 1
+    meta = json.loads(json.dumps(t.metadata()))
+    assert meta["current-schema-id"] == 1
+    # external history compaction: only the current schema survives,
+    # at list position 0 with schema-id 1
+    meta["schemas"] = [s for s in meta["schemas"]
+                       if s.get("schema-id", 0) == 1]
+    t._write_metadata(t.current_version() + 1, meta)
+    t.add_equality_deletes([{"id": 2}], equality_ids=[1], now_ms=4000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+    with pytest.raises(ValueError, match="unknown schema field id"):
+        t.add_equality_deletes([{"id": 9}], equality_ids=[99])
