@@ -770,6 +770,7 @@ class DeltaLog:
                 )
             return pn, int(fid)
 
+        part_cols = list(snap.partition_columns)
         #: logical name -> metadata physicalName (partition-value keys
         #: use THIS under mapping, whatever the footer resolution says)
         meta_phys = {f["name"]: mapping_of(f)[0] for f in fields}
@@ -782,7 +783,13 @@ class DeltaLog:
         else:  # id
             import pyarrow.parquet as _pq
 
-            needed = {mapping_of(f)[1] for f in fields}
+            # partition columns never appear in data-file footers —
+            # including their ids here would defeat the early exit on
+            # every partitioned id-mode table (full footer walk)
+            needed = {
+                mapping_of(f)[1] for f in fields
+                if f["name"] not in part_cols
+            }
             id_to_col: dict[int, str] = {}
             # footer walk, driver-side metadata only: conforming id-mode
             # writers stamp every file identically, so the FIRST footer
@@ -822,7 +829,6 @@ class DeltaLog:
                 _, fid = mapping_of(f)
                 phys[f["name"]] = id_to_col.get(fid)
 
-        part_cols = list(snap.partition_columns)
         from pyspark.sql import types as T
 
         # pin the PHYSICAL data schema with the logical (widest) types:

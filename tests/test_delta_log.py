@@ -1400,3 +1400,34 @@ def test_cli_ddl_delta_walk(spark, tmp_path, capsys):
     assert main(["register", meta, "t2", d2, "--format", "delta"]) == 0
     assert main(["ddl", meta, "t2", "--rename-column", "k", "kk"]) == 2
     assert "column mapping" in capsys.readouterr().err
+
+
+def test_id_mode_partitioned_early_exit_reads_one_footer(
+        spark, tmp_path, monkeypatch):
+    """The id-mode footer walk must exit after ONE footer on a
+    conforming partitioned table: partition-column field ids never
+    appear in data-file footers, so counting them as 'needed' would
+    force a full O(#files) walk on every partitioned id-mode read."""
+    d, log = _mk_table(tmp_path, "cm_id_part")
+    names = ("a.parquet", "b.parquet", "c.parquet")
+    for i, name in enumerate(names):
+        _write_phys(d, name, [i], [f"v{i}"],
+                    col_k="col-aaa", col_v="col-bbb", ids=(1, 2))
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("id", part=True),
+                   *[log.add_action_for(
+                       n, partitionValues={"col-ccc": str(i)})
+                     for i, n in enumerate(names)]])
+    import pyarrow.parquet as _pq
+    calls = []
+    real = _pq.read_schema
+
+    def spy(p, *a, **k):
+        calls.append(p)
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(_pq, "read_schema", spy)
+    got = {(r.k, r.p) for r in log.read(spark).collect()}
+    assert got == {(0, 0), (1, 1), (2, 2)}
+    assert len(calls) == 1
