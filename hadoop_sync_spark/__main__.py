@@ -297,8 +297,9 @@ def main(argv: list[str] | None = None) -> int:
                         ("--promote-column", args.promote_column),
                         ("--create-tag", args.create_tag),
                         ("--create-branch", args.create_branch),
+                        ("--at-snapshot", args.at_snapshot),
                         ("--drop-ref", args.drop_ref),
-                    ) if val
+                    ) if val is not None
                 ]
                 if unsupported:
                     raise ValueError(

@@ -363,7 +363,8 @@ _DELTA_DDL_TYPES = {
 #: Spark spellings normalized to PROTOCOL.md primitives, so the CLI's
 #: SPARK_TYPE metavar means the same thing for both formats
 _SPARK_TO_DELTA_TYPE = {
-    "bigint": "long", "int": "integer", "timestamp_ntz": "timestampNtz",
+    "bigint": "long", "int": "integer", "smallint": "short",
+    "tinyint": "byte", "timestamp_ntz": "timestampNtz",
 }
 
 
@@ -526,13 +527,26 @@ class DeltaLog:
             snap.protocol = proto
         elif "metaData" in action:
             md = action["metaData"]
-            snap.metadata_action = md
             snap.schema_json = md.get("schemaString", snap.schema_json)
             snap.partition_columns = tuple(md.get("partitionColumns", ()))
             cfg = md.get("configuration")
             if isinstance(cfg, list):  # checkpoint map column round trip
                 cfg = dict(cfg)
             snap.configuration = cfg or {}
+            # metadata_action must stay RE-COMMITTABLE as JSON (the DDL
+            # faces deep-copy and replace it wholesale): normalize the
+            # parquet-checkpoint shapes — map columns arrive as pair
+            # lists, absent struct fields as None — back to the commit
+            # form, dropping null-valued fields
+            norm = {k: v for k, v in md.items() if v is not None}
+            if cfg is not None:
+                norm["configuration"] = cfg
+            fmt = norm.get("format")
+            if isinstance(fmt, dict) and isinstance(
+                fmt.get("options"), list
+            ):
+                norm["format"] = {**fmt, "options": dict(fmt["options"])}
+            snap.metadata_action = norm
         elif "add" in action:
             add = action["add"]
             snap.live[add["path"]] = add
@@ -796,10 +810,14 @@ class DeltaLog:
             # resolves everything and the loop exits after one read (the
             # pre-round-11 cost); only a post-add_column history (older
             # files missing the new field id) walks further, and a field
-            # id absent from EVERY footer is the added-never-written
-            # case — legal, null-fills.  One id carried under two
-            # different physical names across files refuses (per-file
-            # plans are beyond the one-scan reader).
+            # id absent from EVERY walked footer is the
+            # added-never-written case — legal, null-fills.  One id
+            # carried under two different physical names WITHIN the
+            # walked prefix refuses (per-file plans are beyond the
+            # one-scan reader); a divergent file past the early exit is
+            # indistinguishable from a conforming one without an
+            # O(#files) walk on every read — best-effort by design, the
+            # same trust conforming stamps earn elsewhere.
             for fp in files:
                 footer = _pq.read_schema(fp)
                 any_id = False
@@ -841,7 +859,6 @@ class DeltaLog:
             if f.name not in part_cols and phys.get(f.name) is not None
         ])
         scan = spark.read.schema(phys_schema).parquet(*files)
-        present = set(scan.columns)
         dv_map = {
             p: a["deletionVector"]
             for p, a in snap.live.items()
@@ -852,7 +869,12 @@ class DeltaLog:
                 "*", F.col("_metadata.row_index").alias("_row_idx")
             )
 
-        # physical -> logical rename; struct cast renames nested fields
+        # physical -> logical rename; struct cast renames nested fields.
+        # A pinned physical column a particular file lacks null-fills —
+        # production Delta's own semantics (files legitimately predate
+        # an added column), so a non-conforming file missing a mapped
+        # column reads as nulls rather than refusing; the pinned schema
+        # makes every phys name present in the scan by construction.
         data_exprs = []
         for f in schema.fields:
             if f.name in part_cols:
@@ -864,11 +886,6 @@ class DeltaLog:
                     F.lit(None).cast(f.dataType).alias(f.name)
                 )
                 continue
-            if p not in present:
-                raise ValueError(
-                    f"physical column {p!r} (logical {f.name!r}) absent "
-                    "from the data files"
-                )
             data_exprs.append(F.col(p).cast(f.dataType).alias(f.name))
 
         attach_cols: list[str] = []
@@ -1414,9 +1431,26 @@ class DeltaLog:
         )
         rows: list[dict] = [{"protocol": proto}]
         if snap.schema_json is not None:
+            md_src = snap.metadata_action or {}
+            fmt = md_src.get("format") or {}
             rows.append(
                 {
+                    # the FULL metaData, not just the read-side fields:
+                    # a checkpoint that dropped id/format/createdTime
+                    # would make any later DDL re-commit (which replaces
+                    # the metaData wholesale from the replayed action)
+                    # lose the table's identity (round-11 review)
                     "metaData": {
+                        "id": md_src.get("id"),
+                        "format": {
+                            "provider": fmt.get("provider", "parquet"),
+                            "options": [
+                                (k, v)
+                                for k, v in (fmt.get("options")
+                                             or {}).items()
+                            ],
+                        },
+                        "createdTime": md_src.get("createdTime"),
                         "schemaString": snap.schema_json,
                         "partitionColumns": list(snap.partition_columns),
                         # configuration carries column-mapping mode; a
@@ -1451,7 +1485,15 @@ class DeltaLog:
                 pa.field(
                     "metaData",
                     pa.struct(
-                        [("schemaString", pa.string()),
+                        [("id", pa.string()),
+                         ("format",
+                          pa.struct(
+                              [("provider", pa.string()),
+                               ("options",
+                                pa.map_(pa.string(), pa.string()))]
+                          )),
+                         ("createdTime", pa.int64()),
+                         ("schemaString", pa.string()),
                          ("partitionColumns", pa.list_(pa.string())),
                          ("configuration",
                           pa.map_(pa.string(), pa.string()))]
@@ -1534,14 +1576,22 @@ class DeltaLog:
         import pyarrow.parquet as pq
 
         snap = self.snapshot(version)
-        proto = snap.protocol or {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
-            "writerFeatures": ["v2Checkpoint"],
-        }
-        upgraded = _upgrade_protocol_for_v2_checkpoint(proto)
-        if upgraded is not proto:
+        if snap.protocol is None:
+            # a log with no committed protocol: the default must be
+            # COMMITTED too, not just embedded — a checkpoint claiming
+            # a protocol replay never saw is the exact disagreement
+            # this method exists to avoid (round-11 review)
+            upgraded = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+            needs_commit = True
+        else:
+            upgraded = _upgrade_protocol_for_v2_checkpoint(snap.protocol)
+            needs_commit = upgraded is not snap.protocol
+        if needs_commit:
             head = self.latest_version()
             if snap.version != head:
                 raise ValueError(
@@ -1563,15 +1613,14 @@ class DeltaLog:
             {"checkpointMetadata": {"version": snap.version}},
         ]
         if snap.schema_json is not None:
-            actions.append(
-                {
-                    "metaData": {
-                        "schemaString": snap.schema_json,
-                        "partitionColumns": list(snap.partition_columns),
-                        "configuration": dict(snap.configuration),
-                    }
-                }
-            )
+            # the FULL metaData verbatim (id/format/createdTime kept) —
+            # a checkpoint dropping them would feed any later DDL
+            # re-commit a lossy action (round-11 review)
+            md_out = dict(snap.metadata_action or {})
+            md_out["schemaString"] = snap.schema_json
+            md_out["partitionColumns"] = list(snap.partition_columns)
+            md_out["configuration"] = dict(snap.configuration)
+            actions.append({"metaData": md_out})
         adds = [dict(snap.live[p]) for p in snap.files]
         n_rows = len(actions) + len(adds)
         if sidecars and adds:

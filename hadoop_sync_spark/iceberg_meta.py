@@ -885,9 +885,39 @@ class IcebergTable:
                             pf["name"], pf.get("result-type", "string")
                         )
                 part_names = sorted(part_fields)
-                data_schema = self._spark_schema(
-                    sid0, exclude=set(part_names)
-                )
+                try:
+                    data_schema = self._spark_schema(
+                        sid0, exclude=set(part_names)
+                    )
+                except NotImplementedError:
+                    # a non-scalar column type _spark_schema cannot pin
+                    # (struct/list/decimal in EXTERNAL metadata): the
+                    # non-empty single-schema path reads it fine via
+                    # footer inference, so the empty path must not turn
+                    # the same call into an error (round-11 review) —
+                    # infer the data schema from one live footer the
+                    # way the scan would have
+                    import pyarrow.parquet as _pq
+                    from pyspark.sql.pandas.types import (
+                        from_arrow_schema,
+                    )
+
+                    if len(m.get("schemas", [])) > 1:
+                        # evolved tables pin via _spark_schema on the
+                        # NON-empty path too — the refusal is symmetric
+                        # there, so keep it symmetric here
+                        raise
+                    live = self.files(snapshot_id, as_of_timestamp_ms,
+                                      ref=ref)
+                    if not live:
+                        raise
+                    inferred_all = from_arrow_schema(
+                        _pq.read_schema(live[0].path)
+                    )
+                    data_schema = T.StructType([
+                        f for f in inferred_all.fields
+                        if f.name not in set(part_names)
+                    ])
                 inferred = {
                     "int": T.LongType(), "long": T.LongType(),
                     "date": T.LongType(), "string": T.StringType(),
@@ -1381,13 +1411,12 @@ class IcebergTable:
                 entry_schema,
                 es,
                 extra_meta={
-                    # by schema-id lookup on THIS doc, never list
-                    # position (external metadata need not keep ids as
-                    # list indexes)
-                    "schema": json.dumps(next(
-                        s for s in meta["schemas"]
-                        if s.get("schema-id", 0)
-                        == meta.get("current-schema-id", 0)
+                    # by schema-id lookup, never list position (external
+                    # metadata need not keep ids as list indexes; meta
+                    # is the unmutated current doc here, so the shared
+                    # helper's clear no-such-schema error applies)
+                    "schema": json.dumps(self._schema_by_id(
+                        meta.get("current-schema-id", 0)
                     )).encode(),
                     "partition-spec": json.dumps(spec_fields).encode(),
                     "content": kind.encode(),

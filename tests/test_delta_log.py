@@ -1392,6 +1392,11 @@ def test_cli_ddl_delta_walk(spark, tmp_path, capsys):
                  "--create-tag", "nope"]) == 2
     assert "not supported for delta" in capsys.readouterr().err
     assert log.latest_version() == v_before
+    # --at-snapshot is Iceberg-only too (meaningless without refs)
+    assert main(["ddl", meta, "t", "--add-column", "more", "long",
+                 "--at-snapshot", "0"]) == 2
+    assert "--at-snapshot" in capsys.readouterr().err
+    assert log.latest_version() == v_before
     # unmapped rename propagates the honest refusal through the CLI
     d2, log2 = _mk_table(tmp_path, "cli_ddl_plain")
     _write_file(d2, "a.parquet", {"k": [1], "v": [10]})
@@ -1431,3 +1436,81 @@ def test_id_mode_partitioned_early_exit_reads_one_footer(
     got = {(r.k, r.p) for r in log.read(spark).collect()}
     assert got == {(0, 0), (1, 1), (2, 2)}
     assert len(calls) == 1
+
+
+def test_ddl_after_checkpoint_preserves_metadata_identity(spark,
+                                                          tmp_path):
+    """Checkpoints carry the FULL metaData (id/format/createdTime), so
+    a DDL re-commit on a checkpoint-seeded snapshot must not lose the
+    table's identity (round-11 review: both checkpoint writers used to
+    reconstruct metaData with only the read-side fields)."""
+    import json as _json
+
+    d, log = _mk_table(tmp_path, "ddl_cp")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    full_meta = _meta()
+    full_meta["metaData"]["createdTime"] = 1234
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, full_meta,
+                   log.add_action_for("a.parquet")])
+    log.write_checkpoint(0)
+    # classic-checkpoint-seeded snapshot keeps the identity fields
+    fresh = DeltaLog(d)
+    md = fresh.snapshot().metadata_action
+    assert md["id"] == "t"
+    assert md["format"] == {"provider": "parquet", "options": {}}
+    assert md["createdTime"] == 1234
+    # a DDL on the seeded log re-commits the identity verbatim
+    fresh.add_column("w", "string", now_ms=2000)
+    committed = [
+        _json.loads(line)["metaData"]
+        for line in open(os.path.join(d, "_delta_log",
+                                      f"{1:020d}.json"))
+        if "metaData" in _json.loads(line)
+    ][0]
+    assert committed["id"] == "t"
+    assert committed["format"]["provider"] == "parquet"
+    assert committed["createdTime"] == 1234
+    assert [f["name"] for f in
+            _json.loads(committed["schemaString"])["fields"]] \
+        == ["k", "v", "w"]
+    # the v2 checkpoint writer embeds the full metaData too
+    log2_dir, log2 = _mk_table(tmp_path, "ddl_cp_v2")
+    _write_file(log2_dir, "a.parquet", {"k": [1], "v": [10]})
+    fm = _meta()
+    fm["metaData"]["createdTime"] = 99
+    log2.commit(0, [{"protocol": {"minReaderVersion": 1}}, fm,
+                    log2.add_action_for("a.parquet")])
+    log2.write_checkpoint_v2(0, sidecars=0)
+    md2 = DeltaLog(log2_dir).snapshot().metadata_action
+    assert md2["id"] == "t" and md2["createdTime"] == 99
+
+
+def test_v2_checkpoint_commits_default_protocol_when_log_has_none(
+        spark, tmp_path):
+    """A log whose commits never included a protocol action: the v2
+    checkpoint writer COMMITS the default 3/7+v2Checkpoint protocol
+    before checkpointing, so checkpoint-seeded and replayed snapshots
+    agree (round-11 review: the fabricated default used to be embedded
+    without ever being committed)."""
+    d, log = _mk_table(tmp_path, "v2_noproto")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [_meta(), log.add_action_for("a.parquet")])
+    assert log.snapshot().protocol is None
+    log.write_checkpoint_v2(0, sidecars=0)
+    assert log.latest_version() == 1
+    proto = log.snapshot(1).protocol
+    assert proto["minReaderVersion"] == 3
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert sorted(r.k for r in DeltaLog(d).read(spark).collect()) == [1]
+
+
+def test_add_column_spark_spellings_smallint_tinyint(tmp_path):
+    d, log = _mk_table(tmp_path, "ddl_types")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.add_column("s", "smallint", now_ms=1)
+    log.add_column("b", "tinyint", now_ms=2)
+    fields = {f["name"]: f["type"]
+              for f in json.loads(log.snapshot().schema_json)["fields"]}
+    assert fields["s"] == "short" and fields["b"] == "byte"

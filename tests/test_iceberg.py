@@ -1612,3 +1612,40 @@ def test_equality_delete_writer_resolves_schema_by_id(spark, tmp_path):
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
     with pytest.raises(ValueError, match="unknown schema field id"):
         t.add_equality_deletes([{"id": 9}], equality_ids=[99])
+
+
+def test_pruned_to_empty_read_with_exotic_external_type(spark, tmp_path):
+    """An external single-schema table whose metadata carries a column
+    type _spark_schema cannot pin (e.g. decimal): the NON-empty read
+    infers from footers and succeeds, so a filter that prunes every
+    file must return an empty frame through the same footer inference,
+    not flip into NotImplementedError (round-11 review)."""
+    from hadoop_sync_spark.iceberg_meta import parquet_column_bounds
+
+    d = str(tmp_path / "exotic")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("id", "bigint"), ("val", "string")], now_ms=1000
+    )
+    p = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "val": pa.array(["a", "b"], pa.string())}),
+                   p)
+    fields = t._schema_by_id(0)["fields"]
+    lb, ub = parquet_column_bounds(p, fields)
+    t.append([DataFile("data/f1.parquet", {}, 2, os.path.getsize(p),
+                       lower_bounds=lb, upper_bounds=ub)], now_ms=2000)
+    # simulate the external writer: the metadata speaks a type outside
+    # the scalar map (the data file itself is plain string)
+    meta = json.loads(json.dumps(t.metadata()))
+    for f in meta["schemas"][0]["fields"]:
+        if f["name"] == "val":
+            f["type"] = "decimal(10, 2)"
+    t._write_metadata(t.current_version() + 1, meta)
+    # non-empty read: footer inference, fine
+    assert sorted(r.id for r in t.read(
+        spark, column_filter={"id": (1, 2)}).collect()) == [1, 2]
+    # all-pruned read: empty frame via the same footer inference
+    empty = t.read(spark, column_filter={"id": (1_000_000, None)})
+    assert empty.count() == 0
+    assert empty.columns == ["id", "val"]
