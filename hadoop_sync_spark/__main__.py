@@ -21,9 +21,9 @@ collecting min/max statistics.
                                         [--create-tag NAME | --create-branch
                                          NAME [--at-snapshot ID]]
                                         [--drop-ref NAME]
-        (iceberg: every flag; delta: --add-column and --rename-column —
-         rename needs column mapping — the other flags refuse up front,
-         applying nothing)
+        (iceberg: every flag; delta: --add-column, --drop-column and
+         --rename-column — drop/rename need column mapping — the other
+         flags refuse up front, applying nothing)
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -130,8 +130,9 @@ def main(argv: list[str] | None = None) -> int:
         "ddl",
         help="schema/ref DDL for a registered format table "
         "(metadata-only; run `sync` afterwards to refresh the catalog). "
-        "iceberg: all flags; delta: --add-column and --rename-column "
-        "(rename needs column mapping), the rest refuse",
+        "iceberg: all flags; delta: --add-column/--drop-column/"
+        "--rename-column (drop/rename need column mapping), the rest "
+        "refuse",
     )
     ddl_p.add_argument("meta_dir")
     ddl_p.add_argument("table")
@@ -287,13 +288,13 @@ def main(argv: list[str] | None = None) -> int:
 
             now = int(_time.time() * 1000)
             if fmt == "delta":
-                # the Delta write face covers add/rename (round 11);
-                # the remaining flags are Iceberg concepts (field-id
-                # lattice promotion, refs) or unimplemented (drop) —
-                # refuse UP FRONT so a mixed invocation applies nothing
+                # the Delta write face covers add/drop/rename (round
+                # 11; drop/rename need column mapping); the remaining
+                # flags are Iceberg concepts (field-id lattice
+                # promotion, refs) — refuse UP FRONT so a mixed
+                # invocation applies nothing
                 unsupported = [
                     flag for flag, val in (
-                        ("--drop-column", args.drop_column),
                         ("--promote-column", args.promote_column),
                         ("--create-tag", args.create_tag),
                         ("--create-branch", args.create_branch),
@@ -303,8 +304,9 @@ def main(argv: list[str] | None = None) -> int:
                 ]
                 if unsupported:
                     raise ValueError(
-                        f"delta ddl supports --add-column and "
-                        f"--rename-column only; {', '.join(unsupported)} "
+                        f"delta ddl supports --add-column, "
+                        f"--drop-column and --rename-column only; "
+                        f"{', '.join(unsupported)} "
                         "not supported for delta tables"
                     )
                 from hadoop_sync_spark.delta_log import DeltaLog
@@ -317,6 +319,10 @@ def main(argv: list[str] | None = None) -> int:
                         f" (field id {fid})" if fid is not None else ""
                     )
                     print(f"added {args.add_column[0]}{suffix}")
+                    did += 1
+                if args.drop_column:
+                    log.drop_column(args.drop_column, now_ms=now)
+                    print(f"dropped {args.drop_column}")
                     did += 1
                 if args.rename_column:
                     log.rename_column(*args.rename_column, now_ms=now)

@@ -1072,6 +1072,57 @@ class DeltaLog:
             ],
         )
 
+    def drop_column(self, name: str, now_ms: int = 0) -> None:
+        """Schema evolution, the drop face — COLUMN-MAPPED tables only
+        (Delta itself requires column mapping for DROP COLUMN): remove
+        the field from the schemaString, one metaData commit, no data
+        rewrite.  Old files keep the physical column on disk but the
+        pinned physical read schema no longer selects it (column
+        pruning makes the dead bytes free at scan time).  A column
+        RE-ADDED under the same logical name later gets a FRESH field
+        id and physical name, so the dropped column's stale values can
+        never resurface — the drop+re-add case name-based readers (and
+        our Iceberg face) must refuse is exactly what the mapping
+        indirection solves.  Unmapped tables refuse (their files carry
+        logical names; a re-add would resurrect old values); partition
+        columns and the last remaining data column refuse."""
+        snap = self.snapshot()
+        if snap.column_mapping_mode == "none":
+            raise NotImplementedError(
+                "drop_column requires column mapping (mode 'name' or "
+                "'id'): an unmapped table's data files carry the "
+                "logical names, so re-adding the name later would "
+                "silently resurrect the dropped column's old values"
+            )
+        md = snap.metadata_action
+        if md is None or snap.schema_json is None:
+            raise ValueError("no metaData action in the log")
+        schema = json.loads(snap.schema_json)
+        if not any(f["name"] == name for f in schema["fields"]):
+            raise ValueError(f"no such column {name!r}")
+        if name in snap.partition_columns:
+            raise ValueError(
+                f"column {name!r} is a partition column — dropping it "
+                "would orphan the logged partitionColumns"
+            )
+        remaining = [f for f in schema["fields"] if f["name"] != name]
+        if not [f for f in remaining
+                if f["name"] not in snap.partition_columns]:
+            raise ValueError("cannot drop the last data column")
+        new_md = json.loads(json.dumps(md))
+        schema["fields"] = remaining
+        new_md["schemaString"] = json.dumps(
+            schema, separators=(",", ":")
+        )
+        self.commit(
+            self.latest_version() + 1,
+            [
+                {"commitInfo": {"timestamp": now_ms,
+                                "operation": "DROP COLUMNS"}},
+                {"metaData": new_md},
+            ],
+        )
+
     def add_action_for(self, rel_path: str, **extra) -> dict:
         """``add`` action for a data file already placed in the table
         dir (size/mtime from the filesystem, as writers log them)."""

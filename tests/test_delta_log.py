@@ -1386,6 +1386,10 @@ def test_cli_ddl_delta_walk(spark, tmp_path, capsys):
     assert "added score (field id 4)" in out
     assert "renamed v -> label" in out
     assert sorted(log.read(spark).columns) == ["k", "label", "score"]
+    # drop through the CLI (mapped table: metadata-only)
+    assert main(["ddl", meta, "t", "--drop-column", "score"]) == 0
+    assert "dropped score" in capsys.readouterr().out
+    assert sorted(log.read(spark).columns) == ["k", "label"]
     # Iceberg-only flags refuse up front: the add does NOT apply
     v_before = log.latest_version()
     assert main(["ddl", meta, "t", "--add-column", "more", "long",
@@ -1514,3 +1518,51 @@ def test_add_column_spark_spellings_smallint_tinyint(tmp_path):
     fields = {f["name"]: f["type"]
               for f in json.loads(log.snapshot().schema_json)["fields"]}
     assert fields["s"] == "short" and fields["b"] == "byte"
+
+
+def test_mapped_drop_column_and_fresh_readd(spark, tmp_path):
+    """drop_column on a mapped table is pure metadata: old files keep
+    the physical column but reads prune it, and a column RE-ADDED under
+    the same logical name gets a FRESH field id + physical name so the
+    dropped values never resurface — the drop+re-add case the mapping
+    indirection exists to solve."""
+    d, log = _mk_table(tmp_path, "ddl_drop")
+    _write_phys(d, "a.parquet", [1, 2], ["x", "y"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name"),
+                   log.add_action_for("a.parquet")])
+    log.drop_column("v", now_ms=1000)
+    assert log.read(spark).columns == ["k"]
+    # time travel below the drop still sees the column
+    assert sorted(log.read(spark, 0).columns) == ["k", "v"]
+    # re-add the same logical name: fresh id + physical name, so the
+    # old col-bbb values stay buried
+    fid = log.add_column("v", "string", now_ms=2000)
+    assert fid == 4
+    f = [x for x in json.loads(log.snapshot().schema_json)["fields"]
+         if x["name"] == "v"][0]
+    assert f["metadata"]["delta.columnMapping.physicalName"] != "col-bbb"
+    got = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert got == {(1, None), (2, None)}
+    # refusals: unmapped tables, partition columns, the last data column
+    with pytest.raises(ValueError, match="no such column"):
+        log.drop_column("nope")
+    log.drop_column("v", now_ms=3000)
+    with pytest.raises(ValueError, match="last data column"):
+        log.drop_column("k")
+    d2, log2 = _mk_table(tmp_path, "ddl_drop_plain")
+    _write_file(d2, "a.parquet", {"k": [1], "v": [10]})
+    log2.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                    log2.add_action_for("a.parquet")])
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        log2.drop_column("v")
+    d3, log3 = _mk_table(tmp_path, "ddl_drop_part")
+    _write_phys(d3, "a.parquet", [1], ["x"])
+    log3.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                  "minWriterVersion": 5}},
+                    _mapped_meta("name", part=True),
+                    log3.add_action_for(
+                        "a.parquet", partitionValues={"col-ccc": "0"})])
+    with pytest.raises(ValueError, match="partition column"):
+        log3.drop_column("p")
