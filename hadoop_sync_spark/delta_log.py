@@ -1379,38 +1379,32 @@ class DeltaLog:
         )
         return dels
 
-    def add_deletion_vector(
+    def _dv_descriptor(
         self,
-        version: int,
         rel_path: str,
         positions: list[int],
+        version: int,
         storage: str = "u",
     ) -> dict:
-        """Commit a deletion vector against a live data file (fixture
-        writer; REPLACES any prior DV on the file — callers pass the
-        full deleted set).  Emits the protocol upgrade (v3 +
-        deletionVectors feature), the remove of the prior file version,
-        and the re-add carrying the descriptor — the action shape
-        conforming writers produce.  ``storage`` ``u`` writes the
-        framed ``deletion_vector_<uuid>.bin``; ``i`` inlines the
-        Base85 payload."""
+        """Serialize ``positions`` into a deletionVector descriptor —
+        ``u`` writes the framed ``deletion_vector_<uuid>.bin`` (CRC'd
+        portable Roaring, deterministic uuid per the
+        no-ambient-randomness rule), ``i`` inlines the Base85 payload.
+        Shared by :meth:`add_deletion_vector` (one file per commit) and
+        :meth:`delete_where` (every affected file in ONE commit)."""
         import uuid as _uuid
         import zlib as _z
 
-        snap = self.snapshot()
-        if rel_path not in snap.live:
-            raise ValueError(f"{rel_path} is not live in the snapshot")
         data = _dv_serialize(sorted(set(positions)))
         if storage == "i":
             pad = (-len(data)) % 4
-            desc = {
+            return {
                 "storageType": "i",
                 "pathOrInlineDv": _b85_encode(data + b"\x00" * pad),
                 "sizeInBytes": len(data),
                 "cardinality": len(set(positions)),
             }
-        elif storage == "u":
-            # deterministic uuid (no-ambient-randomness rule)
+        if storage == "u":
             uid = _uuid.UUID(
                 bytes=__import__("hashlib")
                 .md5(f"{rel_path}#{version}".encode())
@@ -1429,15 +1423,34 @@ class DeltaLog:
                 "wb",
             ) as fh:
                 fh.write(blob)
-            desc = {
+            return {
                 "storageType": "u",
                 "pathOrInlineDv": _b85_encode(uid.bytes),
                 "offset": 1,
                 "sizeInBytes": len(data),
                 "cardinality": len(set(positions)),
             }
-        else:
-            raise NotImplementedError(f"DV storage type {storage!r}")
+        raise NotImplementedError(f"DV storage type {storage!r}")
+
+    def add_deletion_vector(
+        self,
+        version: int,
+        rel_path: str,
+        positions: list[int],
+        storage: str = "u",
+    ) -> dict:
+        """Commit a deletion vector against a live data file (fixture
+        writer; REPLACES any prior DV on the file — callers pass the
+        full deleted set).  Emits the protocol upgrade (v3 +
+        deletionVectors feature), the remove of the prior file version,
+        and the re-add carrying the descriptor — the action shape
+        conforming writers produce.  ``storage`` ``u`` writes the
+        framed ``deletion_vector_<uuid>.bin``; ``i`` inlines the
+        Base85 payload."""
+        snap = self.snapshot()
+        if rel_path not in snap.live:
+            raise ValueError(f"{rel_path} is not live in the snapshot")
+        desc = self._dv_descriptor(rel_path, positions, version, storage)
         prev = dict(snap.live[rel_path])
         new_add = dict(prev)
         new_add["deletionVector"] = desc
@@ -1457,6 +1470,158 @@ class DeltaLog:
             ],
         )
         return desc
+
+    #: driver-side materialization cap for delete_where's matched
+    #: (file, position) pairs — the WRITE-side analogue of the read
+    #: path's decode tiers.  Production engines build the per-file
+    #: Roaring bitmaps executor-side; above this many matched rows the
+    #: face refuses loudly rather than silently ballooning the driver
+    #: (an import-try-style seam: an executor-side bitmap builder drops
+    #: in behind the same API).
+    DELETE_WHERE_ROW_LIMIT = 1_000_000
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        column_filter: dict,
+        now_ms: int = 0,
+        storage: str = "u",
+    ) -> dict:
+        """Row-level ``DELETE FROM t WHERE ...`` the way production
+        Delta's DV writer does it — MERGE-ON-READ, no data rewrite:
+        scan ONLY the predicate columns (column-pruned, pushed-down)
+        with per-file row lineage, union the matched positions into
+        each affected file's existing deletion vector, and commit every
+        re-add in ONE version.  ``column_filter`` is the engine's
+        ``{col: (lo, hi)}`` range form (half-open ok), conjunctive
+        across columns, and reaches the parquet scan as a pushed
+        filter.  Positions an existing DV already covers are subtracted
+        before counting, so ``rows_deleted`` counts NEW deletions only
+        and a no-op predicate commits nothing.  Supports unmapped and
+        name-mode
+        column-mapped tables (predicates resolve through the metadata
+        physicalName); id mode refuses — its physical names ride the
+        footer walk in the read path and a write face should not guess.
+        Matched rows above :data:`DELETE_WHERE_ROW_LIMIT` refuse (see
+        the attribute doc — executor-side bitmap building is the scale
+        path behind the same API)."""
+        import re as _re
+        from urllib.parse import unquote as _unquote
+
+        snap = self.snapshot()
+        schema = snap.schema()
+        if schema is None:
+            raise ValueError("no metaData action in the log")
+        mode = snap.column_mapping_mode
+        if mode == "id":
+            raise NotImplementedError(
+                "delete_where on id-mode column mapping: physical "
+                "names resolve per-footer in the read path; the write "
+                "face refuses rather than guess"
+            )
+        phys: dict[str, str] = {f.name: f.name for f in schema.fields}
+        if mode == "name":
+            for f in json.loads(snap.schema_json)["fields"]:
+                md = f.get("metadata") or {}
+                pn = md.get("delta.columnMapping.physicalName")
+                if pn is None:
+                    raise ValueError(
+                        f"column mapping enabled but field "
+                        f"{f['name']!r} lacks physicalName metadata"
+                    )
+                phys[f["name"]] = pn
+        for c in column_filter:
+            if c not in phys:
+                raise ValueError(f"no such column {c!r}")
+            if c in snap.partition_columns:
+                raise NotImplementedError(
+                    f"delete_where on partition column {c!r}: use the "
+                    "file-level delete (partition values never reach "
+                    "the data files)"
+                )
+        sel = list(snap.files)
+        if not sel:
+            return {"version": None, "files": 0, "rows_deleted": 0}
+        files = [os.path.join(self.table_dir, p) for p in sel]
+        # scan ONLY the predicate columns + lineage; pinned physical
+        # schema so pre-DDL files null-fill (NULL fails every range
+        # predicate — SQL semantics, exactly right for added columns)
+        from pyspark.sql import types as T
+
+        pred_schema = T.StructType([
+            T.StructField(phys[c], schema[c].dataType, True)
+            for c in column_filter
+        ])
+        scan = spark.read.schema(pred_schema).parquet(*files).select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *[F.col(phys[c]).alias(c) for c in column_filter],
+        )
+        for c, (lo, hi) in column_filter.items():
+            if lo is not None:
+                scan = scan.filter(F.col(c) >= lo)
+            if hi is not None:
+                scan = scan.filter(F.col(c) <= hi)
+        matched = scan.select("_fp", "_pos").collect()
+        if len(matched) > self.DELETE_WHERE_ROW_LIMIT:
+            raise ValueError(
+                f"delete_where matched {len(matched)} rows, over the "
+                f"{self.DELETE_WHERE_ROW_LIMIT}-row driver "
+                "materialization cap — build the per-file bitmaps "
+                "executor-side for deletes of this size"
+            )
+
+        def _decode(fp: str) -> str:
+            return _unquote(
+                _re.sub("^file:(//)?", "", fp).replace("+", "%2B")
+            )
+
+        rel_of = {
+            os.path.abspath(os.path.join(self.table_dir, p)): p
+            for p in sel
+        }
+        per_file: dict[str, set[int]] = {}
+        for r in matched:
+            rel = rel_of.get(_decode(r._fp))
+            if rel is None:
+                raise ValueError(
+                    f"scanned file missing from the snapshot map "
+                    f"(URI normalization mismatch): {r._fp}"
+                )
+            per_file.setdefault(rel, set()).add(r._pos)
+        new_rows = 0
+        version = self.latest_version() + 1
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}},
+            {"protocol": _protocol_with_feature(
+                snap.protocol
+                or {"minReaderVersion": 1, "minWriterVersion": 2},
+                "deletionVectors",
+            )},
+        ]
+        for rel in sorted(per_file):
+            prev = dict(snap.live[rel])
+            existing: set[int] = set()
+            if prev.get("deletionVector"):
+                existing = set(self._dv_positions(prev["deletionVector"]))
+            fresh = per_file[rel] - existing
+            if not fresh:
+                continue  # every match was already deleted
+            new_rows += len(fresh)
+            desc = self._dv_descriptor(
+                rel, sorted(existing | per_file[rel]), version, storage
+            )
+            prev["deletionVector"] = desc
+            actions.append({"remove": {"path": rel, "dataChange": True}})
+            actions.append({"add": prev})
+        if new_rows == 0:
+            return {"version": None, "files": 0, "rows_deleted": 0}
+        self.commit(version, actions)
+        return {
+            "version": version,
+            "files": (len(actions) - 2) // 2,
+            "rows_deleted": new_rows,
+        }
 
     # ---- checkpoints ---------------------------------------------------
     _CP_COLS = ("protocol", "metaData", "add", "remove")

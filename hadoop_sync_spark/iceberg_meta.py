@@ -1620,6 +1620,106 @@ class IcebergTable:
             delete_entries=self._live_delete_entries() + [entry],
         )
 
+    #: driver-side materialization cap for delete_rows' matched
+    #: (file, position) pairs — the write-side analogue of the read
+    #: path's delete-broadcast ceiling; executor-side position-file
+    #: writing is the scale path behind the same API
+    DELETE_ROWS_LIMIT = 1_000_000
+
+    def delete_rows(self, spark, column_filter: dict,
+                    now_ms: int = 0) -> int:
+        """Row-level ``DELETE FROM t WHERE ...`` the merge-on-read way
+        (round 11; the Iceberg twin of :meth:`DeltaLog.delete_where`):
+        prune candidate files by the manifest column bounds (the same
+        two-layer metadata pruning ``read`` uses — at 100 TB a selective
+        predicate scans a handful of files, not the table), scan ONLY
+        the predicate columns with per-file row lineage, and commit ONE
+        position-delete file covering every match
+        (:meth:`add_position_deletes` — inherited sequence, applies to
+        data files with sequence ≤ the commit's).  Positions already
+        covered by existing position deletes de-duplicate harmlessly in
+        the read-side anti-join; rows an equality delete already hides
+        gain a redundant position entry, also harmless.  Returns the
+        number of (file, position) pairs committed; a no-match
+        predicate commits nothing and returns 0.  Renamed schema
+        histories refuse (the predicate scan pins current names;
+        compact first).  Matches above :data:`DELETE_ROWS_LIMIT`
+        refuse loudly rather than balloon the driver."""
+        import re as _re
+        from urllib.parse import unquote as _unquote
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if not column_filter:
+            raise ValueError("delete_rows needs a predicate")
+        if self._rename_history():
+            raise NotImplementedError(
+                "delete_rows on a renamed schema history: the predicate "
+                "scan pins current names — compact the table first"
+            )
+        cand = self.files(column_filter=column_filter)
+        if not cand:
+            return 0
+        part_cols = sorted({k for f in cand for k in f.partition})
+        meta = self.metadata()
+        sid = meta.get("current-schema-id", 0)
+        fields = {f["name"]: f
+                  for f in self._schema_by_id(sid)["fields"]}
+        for c in column_filter:
+            if c not in fields:
+                raise ValueError(f"no such column {c!r}")
+            if c in part_cols:
+                raise NotImplementedError(
+                    f"delete_rows on partition column {c!r}: partition "
+                    "values never reach the data files — delete the "
+                    "partition's files instead"
+                )
+        full = self._spark_schema(sid, exclude=set(part_cols))
+        pred_schema = T.StructType(
+            [f for f in full.fields if f.name in column_filter]
+        )
+        scan = spark.read.schema(pred_schema).parquet(
+            *[f.path for f in cand]
+        ).select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *[F.col(c) for c in column_filter],
+        )
+        for c, (lo, hi) in column_filter.items():
+            if lo is not None:
+                scan = scan.filter(F.col(c) >= lo)
+            if hi is not None:
+                scan = scan.filter(F.col(c) <= hi)
+        matched = scan.select("_fp", "_pos").collect()
+        if not matched:
+            return 0
+        if len(matched) > self.DELETE_ROWS_LIMIT:
+            raise ValueError(
+                f"delete_rows matched {len(matched)} rows, over the "
+                f"{self.DELETE_ROWS_LIMIT}-row driver materialization "
+                "cap — write the position files executor-side for "
+                "deletes of this size"
+            )
+
+        def _decode(fp: str) -> str:
+            return _unquote(
+                _re.sub("^file:(//)?", "", fp).replace("+", "%2B")
+            )
+
+        raw_of = {_norm_path(f.path): f.raw_path for f in cand}
+        pairs = []
+        for r in matched:
+            raw = raw_of.get(_norm_path(_decode(r._fp)))
+            if raw is None:
+                raise ValueError(
+                    f"scanned file missing from the snapshot map "
+                    f"(URI normalization mismatch): {r._fp}"
+                )
+            pairs.append((raw, r._pos))
+        self.add_position_deletes(pairs, now_ms=now_ms)
+        return len(pairs)
+
     def add_equality_deletes(
         self, rows: list[dict], equality_ids: list[int], now_ms: int = 0
     ) -> int:

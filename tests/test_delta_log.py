@@ -1566,3 +1566,73 @@ def test_mapped_drop_column_and_fresh_readd(spark, tmp_path):
                         "a.parquet", partitionValues={"col-ccc": "0"})])
     with pytest.raises(ValueError, match="partition column"):
         log3.drop_column("p")
+
+
+# ------------------------------------------------ row-level DELETE (r11)
+def test_delete_where_writes_dvs_one_commit(spark, tmp_path):
+    """delete_where = production Delta's MoR DELETE: matched positions
+    union into each affected file's DV, ONE commit, no data rewrite;
+    new-deletions-only accounting; no-match predicates commit nothing."""
+    d, log = _mk_table(tmp_path, "delw")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    _write_file(d, "b.parquet", {"k": [4, 5], "v": [40, 50]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet"),
+                   log.add_action_for("b.parquet")])
+    res = log.delete_where(spark, {"k": (2, 4)}, now_ms=1000)
+    assert res["rows_deleted"] == 3 and res["files"] == 2
+    assert res["version"] == 1 == log.latest_version()  # ONE commit
+    assert sorted(r.k for r in log.read(spark).collect()) == [1, 5]
+    # merge with the existing DV: only NEW positions count
+    res2 = log.delete_where(spark, {"k": (None, 2)}, now_ms=2000)
+    assert res2["rows_deleted"] == 1 and res2["files"] == 1
+    assert sorted(r.k for r in log.read(spark).collect()) == [5]
+    # every match already deleted -> nothing commits
+    v = log.latest_version()
+    res3 = log.delete_where(spark, {"k": (1, 4)}, now_ms=3000)
+    assert res3 == {"version": None, "files": 0, "rows_deleted": 0}
+    assert log.latest_version() == v
+    # time travel below the deletes sees everything
+    assert sorted(r.k for r in log.read(spark, 0).collect()) == [
+        1, 2, 3, 4, 5]
+    # guards
+    with pytest.raises(ValueError, match="no such column"):
+        log.delete_where(spark, {"nope": (1, 2)})
+    log.DELETE_WHERE_ROW_LIMIT = 0
+    try:
+        with pytest.raises(ValueError, match="materialization cap"):
+            log.delete_where(spark, {"k": (5, 5)})
+    finally:
+        del log.DELETE_WHERE_ROW_LIMIT
+
+
+def test_delete_where_mapped_and_partition_guards(spark, tmp_path):
+    d, log = _mk_table(tmp_path, "delw_map")
+    _write_phys(d, "a.parquet", [1, 2, 3], ["x", "y", "z"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name"),
+                   log.add_action_for("a.parquet")])
+    # logical-name predicate resolves through the physicalName
+    res = log.delete_where(spark, {"v": ("y", "y")}, now_ms=1000)
+    assert res["rows_deleted"] == 1
+    assert sorted(r.k for r in log.read(spark).collect()) == [1, 3]
+    # id mode refuses
+    d2, log2 = _mk_table(tmp_path, "delw_id")
+    _write_phys(d2, "a.parquet", [1], ["x"],
+                col_k="col-aaa", col_v="col-bbb", ids=(1, 2))
+    log2.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                  "minWriterVersion": 5}},
+                    _mapped_meta("id"),
+                    log2.add_action_for("a.parquet")])
+    with pytest.raises(NotImplementedError, match="id-mode"):
+        log2.delete_where(spark, {"k": (1, 1)})
+    # partition columns refuse (values never reach the data files)
+    d3, log3 = _mk_table(tmp_path, "delw_part")
+    _write_file(d3, "a.parquet", {"k": [1], "v": [10]})
+    log3.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                    _meta_partitioned(),
+                    log3.add_action_for("a.parquet",
+                                        partitionValues={"p": "0"})])
+    with pytest.raises(NotImplementedError, match="partition column"):
+        log3.delete_where(spark, {"p": (0, 0)})

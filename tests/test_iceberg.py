@@ -1649,3 +1649,51 @@ def test_pruned_to_empty_read_with_exotic_external_type(spark, tmp_path):
     empty = t.read(spark, column_filter={"id": (1_000_000, None)})
     assert empty.count() == 0
     assert empty.columns == ["id", "val"]
+
+
+def test_delete_rows_predicate_position_deletes(spark, tmp_path):
+    """delete_rows = merge-on-read DELETE WHERE: bounds-pruned candidate
+    scan, one position-delete commit, upsert semantics intact (a row
+    re-appended after the delete survives), time travel below the
+    delete sees everything, no-match commits nothing."""
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2, 3]),
+                   write_pq("f2.parquet", [4, 5])], now_ms=2000)
+    n = t.delete_rows(spark, {"id": (2, 4)}, now_ms=3000)
+    assert n == 3
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 5]
+    # one new snapshot only; time travel below it sees all rows
+    assert sorted(
+        r.id for r in t.read(spark, snapshot_id=s1).collect()
+    ) == [1, 2, 3, 4, 5]
+    # upsert: a re-appended id=2 is NEWER than the position delete
+    t.append([write_pq("f3.parquet", [2])], now_ms=4000)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 5]
+    # no-match predicate: no commit
+    v = t.current_version()
+    assert t.delete_rows(spark, {"id": (100, 200)}, now_ms=5000) == 0
+    assert t.current_version() == v
+    # duplicate positions from overlapping predicates stay harmless
+    assert t.delete_rows(spark, {"id": (1, 1)}, now_ms=6000) == 1
+    assert t.delete_rows(spark, {"id": (None, 1)}, now_ms=7000) == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 5]
+    # guards
+    with pytest.raises(ValueError, match="no such column"):
+        t.delete_rows(spark, {"nope": (1, 2)})
+    t.DELETE_ROWS_LIMIT = 0
+    try:
+        with pytest.raises(ValueError, match="materialization cap"):
+            t.delete_rows(spark, {"id": (5, 5)})
+    finally:
+        del t.DELETE_ROWS_LIMIT
+    # renamed histories refuse
+    t.rename_column("val", "label", now_ms=8000)
+    with pytest.raises(NotImplementedError, match="renamed"):
+        t.delete_rows(spark, {"id": (2, 2)})
+
+
+def test_delete_rows_partition_column_refuses(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    t.append([write_pq("f1.parquet", [1], bucket=0)], now_ms=2000)
+    with pytest.raises(NotImplementedError, match="partition column"):
+        t.delete_rows(spark, {"p_bucket": (0, 0)})
