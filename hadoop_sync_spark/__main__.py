@@ -24,6 +24,11 @@ collecting min/max statistics.
         (iceberg: every flag; delta: --add-column, --drop-column and
          --rename-column — drop/rename need column mapping — the other
          flags refuse up front, applying nothing)
+    python -m hadoop_sync_spark delete <meta_dir> <table>
+                                        --where COL LO HI [--where ...]
+        (merge-on-read row-level DELETE: delta writes deletion
+         vectors, iceberg one position-delete file; 'null' for a
+         half-open bound)
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -156,6 +161,23 @@ def main(argv: list[str] | None = None) -> int:
         "(default: current)",
     )
     ddl_p.add_argument("--drop-ref", metavar="NAME", default=None)
+
+    del_p = sub.add_parser(
+        "delete",
+        help="row-level DELETE WHERE on a registered format table "
+        "(merge-on-read: delta writes deletion vectors, iceberg a "
+        "position-delete file; run `sync` afterwards to refresh the "
+        "catalog)",
+    )
+    del_p.add_argument("meta_dir")
+    del_p.add_argument("table")
+    del_p.add_argument(
+        "--where", nargs=3, metavar=("COL", "LO", "HI"), action="append",
+        required=True,
+        help="range predicate, conjunctive when repeated; LO/HI accept "
+        "'null' for a half-open bound; values parse as int, then "
+        "float, then string",
+    )
 
     try:
         args = p.parse_args(argv)
@@ -384,6 +406,51 @@ def main(argv: list[str] | None = None) -> int:
                 print("nothing to do (pass at least one DDL flag)")
             else:
                 print("hint: run `sync` to refresh the catalog")
+        elif args.cmd == "delete":
+            rec = reg.tables().get(args.table)
+            if rec is None:
+                raise KeyError(f"table not registered: {args.table}")
+            fmt = rec.get("format")
+            if fmt not in ("iceberg", "delta"):
+                raise ValueError(
+                    "delete is for format tables (iceberg or delta); "
+                    f"{args.table!r} is a plain directory"
+                )
+            import time as _time
+
+            def _coerce(s: str):
+                if s.lower() in ("null", "none", "-"):
+                    return None
+                for cast in (int, float):
+                    try:
+                        return cast(s)
+                    except ValueError:
+                        continue
+                return s
+
+            column_filter = {
+                col: (_coerce(lo), _coerce(hi))
+                for col, lo, hi in args.where
+            }
+            now = int(_time.time() * 1000)
+            if fmt == "delta":
+                from hadoop_sync_spark.delta_log import DeltaLog
+
+                res = DeltaLog(rec["dir_path"]).delete_where(
+                    spark, column_filter, now_ms=now
+                )
+                print(
+                    f"deleted {res['rows_deleted']} row(s) across "
+                    f"{res['files']} file(s)"
+                )
+            else:
+                from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+                n = IcebergTable(rec["dir_path"]).delete_rows(
+                    spark, column_filter, now_ms=now
+                )
+                print(f"deleted {n} row(s)")
+            print("hint: run `sync` to refresh the catalog")
         elif args.cmd == "diff":
             d = reg.diff(args.table)
             print(

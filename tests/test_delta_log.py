@@ -1636,3 +1636,46 @@ def test_delete_where_mapped_and_partition_guards(spark, tmp_path):
                                         partitionValues={"p": "0"})])
     with pytest.raises(NotImplementedError, match="partition column"):
         log3.delete_where(spark, {"p": (0, 0)})
+
+
+def test_cli_delete_both_formats(spark, tmp_path, capsys):
+    """The `delete` CLI drives delete_where (delta) and delete_rows
+    (iceberg) with coerced range predicates; plain directories refuse."""
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta")
+    d, log = _mk_table(tmp_path, "cli_del")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    assert main(["delete", meta, "t",
+                 "--where", "k", "2", "null"]) == 0
+    assert "deleted 2 row(s) across 1 file(s)" in capsys.readouterr().out
+    assert sorted(r.k for r in log.read(spark).collect()) == [1]
+    # iceberg twin
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+    di = str(tmp_path / "cli_del_ice")
+    os.makedirs(os.path.join(di, "data"))
+    t = IcebergTable.create(di, [("id", "bigint"), ("val", "string")],
+                            now_ms=1000)
+    p = os.path.join(di, "data", "f1.parquet")
+    _pq.write_table(_pa.table({"id": _pa.array([1, 2, 3], _pa.int64()),
+                               "val": _pa.array(["a", "b", "c"],
+                                                _pa.string())}), p)
+    t.append([DataFile("data/f1.parquet", {}, 3, os.path.getsize(p))],
+             now_ms=2000)
+    assert main(["register", meta, "ti", di, "--format", "iceberg"]) == 0
+    assert main(["delete", meta, "ti",
+                 "--where", "id", "null", "1",
+                 "--where", "val", "a", "z"]) == 0
+    assert "deleted 1 row(s)" in capsys.readouterr().out
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3]
+    # plain directories refuse
+    dp = str(tmp_path / "plaindir"); os.makedirs(dp)
+    _write_file(dp, "x.parquet", {"k": [1], "v": [1]})
+    assert main(["register", meta, "tp", dp]) == 0
+    assert main(["delete", meta, "tp", "--where", "k", "1", "1"]) == 2
+    assert "format tables" in capsys.readouterr().err
