@@ -29,6 +29,11 @@ collecting min/max statistics.
         (merge-on-read row-level DELETE: delta writes deletion
          vectors, iceberg one position-delete file; 'null' for a
          half-open bound)
+    python -m hadoop_sync_spark update <meta_dir> <table>
+                                        --where COL LO HI [--where ...]
+                                        --set COL VALUE [--set ...]
+        (merge-on-read row-level UPDATE: matched rows delete via
+         DV/position file and their updated copies append, one commit)
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -177,6 +182,25 @@ def main(argv: list[str] | None = None) -> int:
         help="range predicate, conjunctive when repeated; LO/HI accept "
         "'null' for a half-open bound; values parse as int, then "
         "float, then string",
+    )
+
+    upd_p = sub.add_parser(
+        "update",
+        help="row-level UPDATE SET ... WHERE on a registered format "
+        "table (merge-on-read: matched rows delete via DV/position "
+        "file, updated copies append — one commit)",
+    )
+    upd_p.add_argument("meta_dir")
+    upd_p.add_argument("table")
+    upd_p.add_argument(
+        "--where", nargs=3, metavar=("COL", "LO", "HI"), action="append",
+        required=True,
+    )
+    upd_p.add_argument(
+        "--set", nargs=2, metavar=("COL", "VALUE"), action="append",
+        required=True, dest="set_",
+        help="constant assignment, repeatable; VALUE parses as int, "
+        "then float, then string",
     )
 
     try:
@@ -406,15 +430,15 @@ def main(argv: list[str] | None = None) -> int:
                 print("nothing to do (pass at least one DDL flag)")
             else:
                 print("hint: run `sync` to refresh the catalog")
-        elif args.cmd == "delete":
+        elif args.cmd in ("delete", "update"):
             rec = reg.tables().get(args.table)
             if rec is None:
                 raise KeyError(f"table not registered: {args.table}")
             fmt = rec.get("format")
             if fmt not in ("iceberg", "delta"):
                 raise ValueError(
-                    "delete is for format tables (iceberg or delta); "
-                    f"{args.table!r} is a plain directory"
+                    f"{args.cmd} is for format tables (iceberg or "
+                    f"delta); {args.table!r} is a plain directory"
                 )
             import time as _time
 
@@ -433,7 +457,29 @@ def main(argv: list[str] | None = None) -> int:
                 for col, lo, hi in args.where
             }
             now = int(_time.time() * 1000)
-            if fmt == "delta":
+            if args.cmd == "update":
+                set_values = {col: _coerce(v) for col, v in args.set_}
+                if fmt == "delta":
+                    from hadoop_sync_spark.delta_log import DeltaLog
+
+                    res = DeltaLog(rec["dir_path"]).update_where(
+                        spark, column_filter, set_values, now_ms=now
+                    )
+                    print(
+                        f"updated {res['rows_updated']} row(s) across "
+                        f"{res['files']} file(s) "
+                        f"(+{res['new_files']} new)"
+                    )
+                else:
+                    from hadoop_sync_spark.iceberg_meta import (
+                        IcebergTable,
+                    )
+
+                    n = IcebergTable(rec["dir_path"]).update_rows(
+                        spark, column_filter, set_values, now_ms=now
+                    )
+                    print(f"updated {n} row(s)")
+            elif fmt == "delta":
                 from hadoop_sync_spark.delta_log import DeltaLog
 
                 res = DeltaLog(rec["dir_path"]).delete_where(

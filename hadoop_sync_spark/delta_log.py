@@ -1480,6 +1480,113 @@ class DeltaLog:
     #: in behind the same API).
     DELETE_WHERE_ROW_LIMIT = 1_000_000
 
+    def _resolve_physical(self, snap: Snapshot, face: str) -> dict:
+        """logical name -> physical column for the DML write faces
+        (``none`` is identity, ``name`` rides the metadata
+        physicalName, ``id`` refuses — its names resolve per-footer in
+        the read path and a write face should not guess)."""
+        schema = snap.schema()
+        if schema is None:
+            raise ValueError("no metaData action in the log")
+        mode = snap.column_mapping_mode
+        if mode == "id":
+            raise NotImplementedError(
+                f"{face} on id-mode column mapping: physical names "
+                "resolve per-footer in the read path; the write face "
+                "refuses rather than guess"
+            )
+        phys: dict[str, str] = {f.name: f.name for f in schema.fields}
+        if mode == "name":
+            for f in json.loads(snap.schema_json)["fields"]:
+                md = f.get("metadata") or {}
+                pn = md.get("delta.columnMapping.physicalName")
+                if pn is None:
+                    raise ValueError(
+                        f"column mapping enabled but field "
+                        f"{f['name']!r} lacks physicalName metadata"
+                    )
+                phys[f["name"]] = pn
+        return phys
+
+    def _matched_per_file(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        column_filter: dict,
+        face: str,
+    ):
+        """Shared DML matcher: scan ONLY the predicate columns with
+        per-file row lineage (pinned physical schema, so pre-DDL files
+        null-fill — NULL fails every range predicate, SQL semantics)
+        and return ``(phys, {rel_path: {positions}})``; ``(phys,
+        None)`` when the table is empty or nothing matches.  Guards:
+        unknown/partition predicate columns, the
+        :data:`DELETE_WHERE_ROW_LIMIT` driver materialization cap."""
+        import re as _re
+        from urllib.parse import unquote as _unquote
+
+        from pyspark.sql import types as T
+
+        schema = snap.schema()
+        phys = self._resolve_physical(snap, face)
+        for c in column_filter:
+            if c not in phys:
+                raise ValueError(f"no such column {c!r}")
+            if c in snap.partition_columns:
+                raise NotImplementedError(
+                    f"{face} on partition column {c!r}: use the "
+                    "file-level delete (partition values never reach "
+                    "the data files)"
+                )
+        sel = list(snap.files)
+        if not sel:
+            return phys, None
+        files = [os.path.join(self.table_dir, p) for p in sel]
+        pred_schema = T.StructType([
+            T.StructField(phys[c], schema[c].dataType, True)
+            for c in column_filter
+        ])
+        scan = spark.read.schema(pred_schema).parquet(*files).select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *[F.col(phys[c]).alias(c) for c in column_filter],
+        )
+        for c, (lo, hi) in column_filter.items():
+            if lo is not None:
+                scan = scan.filter(F.col(c) >= lo)
+            if hi is not None:
+                scan = scan.filter(F.col(c) <= hi)
+        matched = scan.select("_fp", "_pos").collect()
+        if not matched:
+            return phys, None
+        if len(matched) > self.DELETE_WHERE_ROW_LIMIT:
+            raise ValueError(
+                f"{face} matched {len(matched)} rows, over the "
+                f"{self.DELETE_WHERE_ROW_LIMIT}-row driver "
+                "materialization cap — build the per-file bitmaps "
+                "executor-side for deletes of this size"
+            )
+
+        def _decode(fp: str) -> str:
+            return _unquote(
+                _re.sub("^file:(//)?", "", fp).replace("+", "%2B")
+            )
+
+        rel_of = {
+            os.path.abspath(os.path.join(self.table_dir, p)): p
+            for p in sel
+        }
+        per_file: dict[str, set[int]] = {}
+        for r in matched:
+            rel = rel_of.get(_decode(r._fp))
+            if rel is None:
+                raise ValueError(
+                    f"scanned file missing from the snapshot map "
+                    f"(URI normalization mismatch): {r._fp}"
+                )
+            per_file.setdefault(rel, set()).add(r._pos)
+        return phys, per_file
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -1505,90 +1612,12 @@ class DeltaLog:
         Matched rows above :data:`DELETE_WHERE_ROW_LIMIT` refuse (see
         the attribute doc — executor-side bitmap building is the scale
         path behind the same API)."""
-        import re as _re
-        from urllib.parse import unquote as _unquote
-
         snap = self.snapshot()
-        schema = snap.schema()
-        if schema is None:
-            raise ValueError("no metaData action in the log")
-        mode = snap.column_mapping_mode
-        if mode == "id":
-            raise NotImplementedError(
-                "delete_where on id-mode column mapping: physical "
-                "names resolve per-footer in the read path; the write "
-                "face refuses rather than guess"
-            )
-        phys: dict[str, str] = {f.name: f.name for f in schema.fields}
-        if mode == "name":
-            for f in json.loads(snap.schema_json)["fields"]:
-                md = f.get("metadata") or {}
-                pn = md.get("delta.columnMapping.physicalName")
-                if pn is None:
-                    raise ValueError(
-                        f"column mapping enabled but field "
-                        f"{f['name']!r} lacks physicalName metadata"
-                    )
-                phys[f["name"]] = pn
-        for c in column_filter:
-            if c not in phys:
-                raise ValueError(f"no such column {c!r}")
-            if c in snap.partition_columns:
-                raise NotImplementedError(
-                    f"delete_where on partition column {c!r}: use the "
-                    "file-level delete (partition values never reach "
-                    "the data files)"
-                )
-        sel = list(snap.files)
-        if not sel:
-            return {"version": None, "files": 0, "rows_deleted": 0}
-        files = [os.path.join(self.table_dir, p) for p in sel]
-        # scan ONLY the predicate columns + lineage; pinned physical
-        # schema so pre-DDL files null-fill (NULL fails every range
-        # predicate — SQL semantics, exactly right for added columns)
-        from pyspark.sql import types as T
-
-        pred_schema = T.StructType([
-            T.StructField(phys[c], schema[c].dataType, True)
-            for c in column_filter
-        ])
-        scan = spark.read.schema(pred_schema).parquet(*files).select(
-            F.col("_metadata.file_path").alias("_fp"),
-            F.col("_metadata.row_index").alias("_pos"),
-            *[F.col(phys[c]).alias(c) for c in column_filter],
+        phys, per_file = self._matched_per_file(
+            spark, snap, column_filter, "delete_where"
         )
-        for c, (lo, hi) in column_filter.items():
-            if lo is not None:
-                scan = scan.filter(F.col(c) >= lo)
-            if hi is not None:
-                scan = scan.filter(F.col(c) <= hi)
-        matched = scan.select("_fp", "_pos").collect()
-        if len(matched) > self.DELETE_WHERE_ROW_LIMIT:
-            raise ValueError(
-                f"delete_where matched {len(matched)} rows, over the "
-                f"{self.DELETE_WHERE_ROW_LIMIT}-row driver "
-                "materialization cap — build the per-file bitmaps "
-                "executor-side for deletes of this size"
-            )
-
-        def _decode(fp: str) -> str:
-            return _unquote(
-                _re.sub("^file:(//)?", "", fp).replace("+", "%2B")
-            )
-
-        rel_of = {
-            os.path.abspath(os.path.join(self.table_dir, p)): p
-            for p in sel
-        }
-        per_file: dict[str, set[int]] = {}
-        for r in matched:
-            rel = rel_of.get(_decode(r._fp))
-            if rel is None:
-                raise ValueError(
-                    f"scanned file missing from the snapshot map "
-                    f"(URI normalization mismatch): {r._fp}"
-                )
-            per_file.setdefault(rel, set()).add(r._pos)
+        if per_file is None:
+            return {"version": None, "files": 0, "rows_deleted": 0}
         new_rows = 0
         version = self.latest_version() + 1
         actions: list[dict] = [
@@ -1621,6 +1650,160 @@ class DeltaLog:
             "version": version,
             "files": (len(actions) - 2) // 2,
             "rows_deleted": new_rows,
+        }
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        column_filter: dict,
+        set_values: dict,
+        now_ms: int = 0,
+        storage: str = "u",
+    ) -> dict:
+        """Row-level ``UPDATE t SET ... WHERE ...`` the merge-on-read
+        way (round 11): the matched rows' positions union into each
+        affected file's deletion vector AND their updated copies append
+        as new data files — one file per affected partition tuple, all
+        in ONE commit, exactly production Delta's DV-backed UPDATE.
+        ``column_filter`` is the ``{col: (lo, hi)}`` range form;
+        ``set_values`` maps column -> literal or pyspark Column
+        expression (evaluated against the matched rows' LOGICAL
+        columns, cast to the column's schema type).  Rows an existing
+        DV already deletes are excluded — updating them would resurrect
+        deleted data.  Partition columns refuse in both the predicate
+        and the SET list (a partition move is a rewrite, not an
+        update); id-mode mapping refuses like the other write faces;
+        the :data:`DELETE_WHERE_ROW_LIMIT` cap applies."""
+        from pyspark.sql import Column
+        from pyspark.sql import types as T
+
+        snap = self.snapshot()
+        schema = snap.schema()
+        phys, per_file = self._matched_per_file(
+            spark, snap, column_filter, "update_where"
+        )
+        names = {f.name for f in schema.fields} if schema else set()
+        for c in set_values:
+            if c not in names:
+                raise ValueError(f"no such column {c!r}")
+            if c in snap.partition_columns:
+                raise NotImplementedError(
+                    f"update_where SET on partition column {c!r}: a "
+                    "partition move is a rewrite, not an update"
+                )
+        noop = {"version": None, "files": 0, "new_files": 0,
+                "rows_updated": 0}
+        if per_file is None:
+            return noop
+        fresh: dict[str, set[int]] = {}
+        existing: dict[str, set[int]] = {}
+        for rel, poss in per_file.items():
+            prev = snap.live[rel]
+            ex: set[int] = set()
+            if prev.get("deletionVector"):
+                ex = set(self._dv_positions(prev["deletionVector"]))
+            fr = poss - ex
+            if fr:
+                fresh[rel] = fr
+                existing[rel] = ex
+        if not fresh:
+            return noop
+        n_updated = sum(len(v) for v in fresh.values())
+        version = self.latest_version() + 1
+        part_cols = list(snap.partition_columns)
+        data_fields = [f for f in schema.fields
+                       if f.name not in part_cols]
+        full_schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, True)
+            for f in data_fields
+        ])
+        #: affected files grouped by partition tuple — the updated
+        #: copies must land one file per tuple so partitionValues stay
+        #: authoritative
+        groups: dict[tuple, list[str]] = {}
+        for rel in fresh:
+            pv = snap.live[rel].get("partitionValues") or {}
+            groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
+        decoded = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_fp"), "^file:(//)?", ""),
+                r"\+",
+                "%2B",
+            )
+        )
+        adds: list[dict] = []
+        for gi, pv_t in enumerate(sorted(groups)):
+            rels = groups[pv_t]
+            scan = spark.read.schema(full_schema).parquet(
+                *[os.path.join(self.table_dir, r) for r in rels]
+            ).select(
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+                *[F.col(phys[f.name]).alias(f.name)
+                  for f in data_fields],
+            )
+            sel_rows = [
+                (os.path.abspath(os.path.join(self.table_dir, r)), p)
+                for r in rels
+                for p in sorted(fresh[r])
+            ]
+            sel_df = spark.createDataFrame(sel_rows, ["_afp", "_pos"])
+            upd = scan.withColumn("_afp", decoded).join(
+                F.broadcast(sel_df), ["_afp", "_pos"], "inner"
+            )
+            for c, v in set_values.items():
+                expr = v if isinstance(v, Column) else F.lit(v)
+                upd = upd.withColumn(
+                    c, expr.cast(schema[c].dataType)
+                )
+            out = upd.select(*[
+                F.col(f.name).alias(phys[f.name]) for f in data_fields
+            ])
+            rel_new = f"part-update-{version:010d}-{gi}.parquet"
+            dest = os.path.join(self.table_dir, rel_new)
+            import tempfile as _tempfile
+
+            staging = _tempfile.mkdtemp(prefix="delta_update_")
+            try:
+                out.coalesce(1).write.mode("overwrite").parquet(staging)
+                import glob as _glob
+
+                (part_file,) = _glob.glob(
+                    os.path.join(staging, "part-*.parquet")
+                )
+                os.replace(part_file, dest)
+            finally:
+                import shutil as _shutil
+
+                _shutil.rmtree(staging, ignore_errors=True)
+            adds.append(
+                self.add_action_for(
+                    rel_new, partitionValues=dict(pv_t)
+                )
+            )
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": now_ms, "operation": "UPDATE"}},
+            {"protocol": _protocol_with_feature(
+                snap.protocol
+                or {"minReaderVersion": 1, "minWriterVersion": 2},
+                "deletionVectors",
+            )},
+        ]
+        for rel in sorted(fresh):
+            prev = dict(snap.live[rel])
+            desc = self._dv_descriptor(
+                rel, sorted(existing[rel] | fresh[rel]), version, storage
+            )
+            prev["deletionVector"] = desc
+            actions.append({"remove": {"path": rel, "dataChange": True}})
+            actions.append({"add": prev})
+        actions.extend(adds)
+        self.commit(version, actions)
+        return {
+            "version": version,
+            "files": len(fresh),
+            "new_files": len(adds),
+            "rows_updated": n_updated,
         }
 
     # ---- checkpoints ---------------------------------------------------

@@ -1679,3 +1679,113 @@ def test_cli_delete_both_formats(spark, tmp_path, capsys):
     assert main(["register", meta, "tp", dp]) == 0
     assert main(["delete", meta, "tp", "--where", "k", "1", "1"]) == 2
     assert "format tables" in capsys.readouterr().err
+
+
+def test_update_where_dv_plus_new_file_one_commit(spark, tmp_path):
+    """update_where = production Delta's DV UPDATE: matched rows DV out
+    of their files AND their updated copies append, one commit; rows an
+    existing DV deletes are NOT resurrected; Column expressions
+    evaluate against the logical row."""
+    from pyspark.sql import functions as F
+
+    d, log = _mk_table(tmp_path, "updw")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    _write_file(d, "b.parquet", {"k": [4], "v": [40]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet"),
+                   log.add_action_for("b.parquet")])
+    # delete k=2 first: the update below must not resurrect it
+    log.delete_where(spark, {"k": (2, 2)}, now_ms=500)
+    res = log.update_where(
+        spark, {"k": (2, 4)},
+        {"v": F.col("v") + 1000, "k": 99}, now_ms=1000)
+    assert res["rows_updated"] == 2          # k=3 and k=4; k=2 was dead
+    assert res["files"] == 2 and res["new_files"] == 1
+    assert res["version"] == log.latest_version()  # ONE commit
+    got = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert got == {(1, 10), (99, 1030), (99, 1040)}
+    # time travel below the update shows the pre-update state
+    got0 = {(r.k, r.v) for r in log.read(spark, 1).collect()}
+    assert got0 == {(1, 10), (3, 30), (4, 40)}
+    # no-match update commits nothing
+    v = log.latest_version()
+    assert log.update_where(spark, {"k": (7, 8)}, {"v": 0}) == {
+        "version": None, "files": 0, "new_files": 0, "rows_updated": 0}
+    assert log.latest_version() == v
+    # guards
+    with pytest.raises(ValueError, match="no such column"):
+        log.update_where(spark, {"k": (1, 1)}, {"nope": 0})
+
+
+def test_update_where_partitioned_and_mapped(spark, tmp_path):
+    """Updated copies land one file per affected partition tuple with
+    the tuple's partitionValues; name-mode mapping writes physical
+    column names; partition columns refuse in SET and predicate."""
+    d, log = _mk_table(tmp_path, "updw_part")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta_partitioned(),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "1"})])
+    res = log.update_where(spark, {"k": (1, 2)}, {"v": 7}, now_ms=1000)
+    assert res["rows_updated"] == 2 and res["new_files"] == 2
+    got = {(r.k, r.v, r.p) for r in log.read(spark).collect()}
+    assert got == {(1, 7, 0), (2, 7, 1)}
+    with pytest.raises(NotImplementedError, match="partition column"):
+        log.update_where(spark, {"k": (1, 1)}, {"p": 9})
+    # mapped table: physical names in the new file
+    d2, log2 = _mk_table(tmp_path, "updw_map")
+    _write_phys(d2, "a.parquet", [1, 2], ["x", "y"])
+    log2.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                  "minWriterVersion": 5}},
+                    _mapped_meta("name"),
+                    log2.add_action_for("a.parquet")])
+    res2 = log2.update_where(spark, {"k": (2, 2)}, {"v": "Z"},
+                             now_ms=2000)
+    assert res2["rows_updated"] == 1
+    assert {(r.k, r.v) for r in log2.read(spark).collect()} == {
+        (1, "x"), (2, "Z")}
+    import pyarrow.parquet as _pq
+    new_rel = [a for a in log2.snapshot().live
+               if a.startswith("part-update-")][0]
+    footer = _pq.read_schema(os.path.join(d2, new_rel))
+    assert set(footer.names) == {"col-aaa", "col-bbb"}
+
+
+def test_cli_update_both_formats(spark, tmp_path, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta")
+    d, log = _mk_table(tmp_path, "cli_upd")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    assert main(["update", meta, "t", "--where", "k", "2", "null",
+                 "--set", "v", "777"]) == 0
+    assert "updated 2 row(s)" in capsys.readouterr().out
+    got = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert got == {(1, 10), (2, 777), (3, 777)}
+    # iceberg twin
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+    di = str(tmp_path / "cli_upd_ice")
+    os.makedirs(os.path.join(di, "data"))
+    t = IcebergTable.create(di, [("id", "bigint"), ("val", "string")],
+                            now_ms=1000)
+    p = os.path.join(di, "data", "f1.parquet")
+    _pq.write_table(_pa.table({"id": _pa.array([1, 2], _pa.int64()),
+                               "val": _pa.array(["a", "b"],
+                                                _pa.string())}), p)
+    t.append([DataFile("data/f1.parquet", {}, 2, os.path.getsize(p))],
+             now_ms=2000)
+    assert main(["register", meta, "ti", di, "--format", "iceberg"]) == 0
+    assert main(["update", meta, "ti", "--where", "id", "2", "2",
+                 "--set", "val", "B"]) == 0
+    assert "updated 1 row(s)" in capsys.readouterr().out
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == {
+        (1, "a"), (2, "B")}

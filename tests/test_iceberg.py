@@ -1697,3 +1697,63 @@ def test_delete_rows_partition_column_refuses(spark, tmp_path):
     t.append([write_pq("f1.parquet", [1], bucket=0)], now_ms=2000)
     with pytest.raises(NotImplementedError, match="partition column"):
         t.delete_rows(spark, {"p_bucket": (0, 0)})
+
+
+def test_update_rows_position_delete_plus_new_file_one_snapshot(
+        spark, tmp_path):
+    """update_rows = MoR UPDATE: one snapshot commits the position
+    delete AND the updated copies; already-deleted rows are not
+    resurrected; time travel below shows the pre-update state; the new
+    file carries footer bounds so pruning keeps working."""
+    from pyspark.sql import functions as F
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3]),
+              write_pq("f2.parquet", [4])], now_ms=2000)
+    t.delete_rows(spark, {"id": (2, 2)}, now_ms=3000)  # kill id=2 first
+    v = t.current_version()
+    s_pre = t.snapshot()["snapshot-id"]
+    n = t.update_rows(spark, {"id": (2, 4)},
+                      {"val": F.concat(F.col("val"), F.lit("!")),
+                       "id": 100}, now_ms=4000)
+    assert n == 2                      # id=3 and id=4; id=2 was dead
+    assert t.current_version() == v + 1  # ONE commit
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(1, "v1"), (100, "v3!"), (100, "v4!")}
+    # time travel below the update
+    old = {(r.id, r.val)
+           for r in t.read(spark, snapshot_id=s_pre).collect()}
+    assert old == {(1, "v1"), (3, "v3"), (4, "v4")}
+    # the new file carries bounds: it survives a matching filter and
+    # PRUNES under a non-matching one (f1/f2 are stats-less in this
+    # fixture and always survive — sound)
+    assert any("part-update" in f.raw_path
+               for f in t.files(column_filter={"id": (100, None)}))
+    assert not any("part-update" in f.raw_path
+                   for f in t.files(column_filter={"id": (None, 10)}))
+    # no-match update commits nothing
+    v2 = t.current_version()
+    assert t.update_rows(spark, {"id": (7, 8)}, {"val": "x"}) == 0
+    assert t.current_version() == v2
+    # guards
+    with pytest.raises(ValueError, match="no such column"):
+        t.update_rows(spark, {"id": (1, 1)}, {"nope": 0})
+    t.add_equality_deletes([{"id": 1}], equality_ids=[1], now_ms=5000)
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        t.update_rows(spark, {"id": (100, 100)}, {"val": "y"})
+
+
+def test_update_rows_partitioned_per_tuple_files(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    t.append([write_pq("f1.parquet", [1, 2], bucket=0),
+              write_pq("f2.parquet", [3], bucket=1)], now_ms=2000)
+    n = t.update_rows(spark, {"id": (2, 3)}, {"val": "U"}, now_ms=3000)
+    assert n == 2
+    got = {(r.id, r.val, r.p_bucket)
+           for r in t.read(spark).collect()}
+    assert got == {(1, "v1", 0), (2, "U", 0), (3, "U", 1)}
+    # one new file per affected partition tuple
+    new = [f for f in t.files() if "part-update" in f.raw_path]
+    assert sorted(f.partition["p_bucket"] for f in new) == [0, 1]
+    with pytest.raises(NotImplementedError, match="partition-source"):
+        t.update_rows(spark, {"id": (1, 1)}, {"p_bucket": 5})
