@@ -1541,6 +1541,19 @@ class DeltaLog:
         sel = list(snap.files)
         if not sel:
             return phys, None
+        if snap.partition_columns and not all(
+            set(snap.partition_columns)
+            <= set(a.get("partitionValues") or {})
+            for a in snap.live.values()
+        ):
+            # a DV written here would make the table UNREADABLE: the
+            # read path refuses deletion vectors over Hive-inferred
+            # (value-less) partition layouts
+            raise NotImplementedError(
+                f"{face} on a partitioned table whose adds carry no "
+                "partitionValues (Hive-inferred layout): deletion "
+                "vectors need the logged values — re-log the adds"
+            )
         files = [os.path.join(self.table_dir, p) for p in sel]
         pred_schema = T.StructType([
             T.StructField(phys[c], schema[c].dataType, True)
@@ -1677,6 +1690,8 @@ class DeltaLog:
         from pyspark.sql import Column
         from pyspark.sql import types as T
 
+        if not set_values:
+            raise ValueError("update_where needs at least one SET")
         snap = self.snapshot()
         schema = snap.schema()
         phys, per_file = self._matched_per_file(
@@ -1751,13 +1766,17 @@ class DeltaLog:
             upd = scan.withColumn("_afp", decoded).join(
                 F.broadcast(sel_df), ["_afp", "_pos"], "inner"
             )
-            for c, v in set_values.items():
-                expr = v if isinstance(v, Column) else F.lit(v)
-                upd = upd.withColumn(
-                    c, expr.cast(schema[c].dataType)
-                )
+            # ONE select: every SET expression evaluates against the
+            # ORIGINAL row (simultaneous-assignment UPDATE semantics —
+            # sequential withColumn would let `SET k=9, v=k+1` see 9)
+            exprs = {
+                c: (v if isinstance(v, Column) else F.lit(v))
+                .cast(schema[c].dataType)
+                for c, v in set_values.items()
+            }
             out = upd.select(*[
-                F.col(f.name).alias(phys[f.name]) for f in data_fields
+                exprs.get(f.name, F.col(f.name)).alias(phys[f.name])
+                for f in data_fields
             ])
             rel_new = f"part-update-{version:010d}-{gi}.parquet"
             dest = os.path.join(self.table_dir, rel_new)

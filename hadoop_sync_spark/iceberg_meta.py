@@ -1753,6 +1753,8 @@ class IcebergTable:
 
         if not column_filter:
             raise ValueError("update_rows needs a predicate")
+        if not set_values:
+            raise ValueError("update_rows needs at least one SET")
         if self._rename_history():
             raise NotImplementedError(
                 "update_rows on a renamed schema history: the predicate "
@@ -1887,10 +1889,17 @@ class IcebergTable:
             upd = src.withColumn("_afp", decoded).join(
                 F.broadcast(sel_df), ["_afp", "_pos"], "inner"
             )
-            for c, v in set_values.items():
-                expr = v if isinstance(v, Column) else F.lit(v)
-                upd = upd.withColumn(c, expr.cast(spark_types[c]))
-            out = upd.select(*[F.col(f.name) for f in full.fields])
+            # ONE select: every SET expression evaluates against the
+            # ORIGINAL row (simultaneous-assignment UPDATE semantics)
+            exprs = {
+                c: (v if isinstance(v, Column) else F.lit(v))
+                .cast(spark_types[c])
+                for c, v in set_values.items()
+            }
+            out = upd.select(*[
+                exprs.get(f.name, F.col(f.name)).alias(f.name)
+                for f in full.fields
+            ])
             rel_new = f"data/part-update-{seq}-{gi}.parquet"
             dest = os.path.join(self.dir, rel_new)
             import glob as _glob

@@ -1789,3 +1789,29 @@ def test_cli_update_both_formats(spark, tmp_path, capsys):
     assert "updated 1 row(s)" in capsys.readouterr().out
     assert {(r.id, r.val) for r in t.read(spark).collect()} == {
         (1, "a"), (2, "B")}
+
+
+def test_update_where_simultaneous_set_semantics(spark, tmp_path):
+    """Every SET expression evaluates against the ORIGINAL row —
+    `SET k=9, v=k+1` gives v = old_k + 1, not 10 (SQL UPDATE
+    semantics, not sequential assignment)."""
+    from pyspark.sql import functions as F
+
+    d, log = _mk_table(tmp_path, "updw_sim")
+    _write_file(d, "a.parquet", {"k": [5], "v": [50]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.update_where(spark, {"k": (5, 5)},
+                     {"k": 9, "v": F.col("k") + 1}, now_ms=1000)
+    assert {(r.k, r.v) for r in log.read(spark).collect()} == {(9, 6)}
+    with pytest.raises(ValueError, match="at least one SET"):
+        log.update_where(spark, {"k": (9, 9)}, {})
+    # Hive-layout partitioned tables refuse DML (a DV would make the
+    # table unreadable through the value-less-adds fallback)
+    d2, log2 = _mk_table(tmp_path, "updw_hive")
+    _write_file(d2, "p=0/a.parquet", {"k": [1], "v": [10]})
+    log2.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                    _meta(partition_cols=("p",)),
+                    log2.add_action_for("p=0/a.parquet")])
+    with pytest.raises(NotImplementedError, match="Hive-inferred"):
+        log2.delete_where(spark, {"k": (1, 1)})

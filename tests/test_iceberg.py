@@ -1757,3 +1757,18 @@ def test_update_rows_partitioned_per_tuple_files(spark, tmp_path):
     assert sorted(f.partition["p_bucket"] for f in new) == [0, 1]
     with pytest.raises(NotImplementedError, match="partition-source"):
         t.update_rows(spark, {"id": (1, 1)}, {"p_bucket": 5})
+
+
+def test_update_rows_simultaneous_set_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [5])], now_ms=2000)
+    t.update_rows(spark, {"id": (5, 5)},
+                  {"id": 9, "val": F.concat(F.lit("was-"),
+                                            F.col("id").cast("string"))},
+                  now_ms=3000)
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == {
+        (9, "was-5")}
+    with pytest.raises(ValueError, match="at least one SET"):
+        t.update_rows(spark, {"id": (9, 9)}, {})
