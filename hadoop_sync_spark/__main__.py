@@ -443,7 +443,10 @@ def main(argv: list[str] | None = None) -> int:
             import time as _time
 
             def _coerce(s: str):
-                if s.lower() in ("null", "none", "-"):
+                # ONLY the exact word 'null' means SQL NULL / an open
+                # bound — 'none'/'-' stay literal strings (round-11
+                # review: a --set value of 'none' must not write NULL)
+                if s.lower() == "null":
                     return None
                 for cast in (int, float):
                     try:
@@ -452,10 +455,19 @@ def main(argv: list[str] | None = None) -> int:
                         continue
                 return s
 
-            column_filter = {
-                col: (_coerce(lo), _coerce(hi))
-                for col, lo, hi in args.where
-            }
+            # repeated --where on the SAME column conjoins (max of the
+            # lows, min of the highs) — silently overwriting the earlier
+            # triple would WIDEN a predicate the user meant to narrow
+            column_filter: dict = {}
+            for col, lo, hi in args.where:
+                lo, hi = _coerce(lo), _coerce(hi)
+                if col in column_filter:
+                    plo, phi = column_filter[col]
+                    lo = plo if lo is None else (
+                        lo if plo is None else max(plo, lo))
+                    hi = phi if hi is None else (
+                        hi if phi is None else min(phi, hi))
+                column_filter[col] = (lo, hi)
             now = int(_time.time() * 1000)
             if args.cmd == "update":
                 set_values = {col: _coerce(v) for col, v in args.set_}

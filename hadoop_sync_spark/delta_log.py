@@ -1522,11 +1522,12 @@ class DeltaLog:
         None)`` when the table is empty or nothing matches.  Guards:
         unknown/partition predicate columns, the
         :data:`DELETE_WHERE_ROW_LIMIT` driver materialization cap."""
-        import re as _re
-        from urllib.parse import unquote as _unquote
-
         from pyspark.sql import types as T
 
+        from hadoop_sync_spark.io import decode_file_uri
+
+        if not column_filter:
+            raise ValueError(f"{face} needs a predicate")
         schema = snap.schema()
         phys = self._resolve_physical(snap, face)
         for c in column_filter:
@@ -1541,19 +1542,27 @@ class DeltaLog:
         sel = list(snap.files)
         if not sel:
             return phys, None
-        if snap.partition_columns and not all(
-            set(snap.partition_columns)
-            <= set(a.get("partitionValues") or {})
-            for a in snap.live.values()
-        ):
-            # a DV written here would make the table UNREADABLE: the
-            # read path refuses deletion vectors over Hive-inferred
-            # (value-less) partition layouts
-            raise NotImplementedError(
-                f"{face} on a partitioned table whose adds carry no "
-                "partitionValues (Hive-inferred layout): deletion "
-                "vectors need the logged values — re-log the adds"
-            )
+        if snap.partition_columns:
+            # partitionValues keys are PHYSICAL names under column
+            # mapping (the spec; tolerate logical for lax writers) —
+            # comparing logical names alone would falsely refuse every
+            # conforming mapped partitioned table (round-11 review)
+            logical = set(snap.partition_columns)
+            physical = {phys.get(c, c) for c in snap.partition_columns}
+            if not all(
+                physical <= set(a.get("partitionValues") or {})
+                or logical <= set(a.get("partitionValues") or {})
+                for a in snap.live.values()
+            ):
+                # a DV written here would make the table UNREADABLE:
+                # the read path refuses deletion vectors over
+                # Hive-inferred (value-less) partition layouts
+                raise NotImplementedError(
+                    f"{face} on a partitioned table whose adds carry "
+                    "no partitionValues (Hive-inferred layout): "
+                    "deletion vectors need the logged values — re-log "
+                    "the adds"
+                )
         files = [os.path.join(self.table_dir, p) for p in sel]
         pred_schema = T.StructType([
             T.StructField(phys[c], schema[c].dataType, True)
@@ -1569,22 +1578,21 @@ class DeltaLog:
                 scan = scan.filter(F.col(c) >= lo)
             if hi is not None:
                 scan = scan.filter(F.col(c) <= hi)
-        matched = scan.select("_fp", "_pos").collect()
+        # limit(cap+1) so the CAP bounds what the driver materializes —
+        # a collect-then-check would have built the whole oversized
+        # list before refusing (round-11 review)
+        cap = self.DELETE_WHERE_ROW_LIMIT
+        matched = scan.select("_fp", "_pos").limit(cap + 1).collect()
         if not matched:
             return phys, None
-        if len(matched) > self.DELETE_WHERE_ROW_LIMIT:
+        if len(matched) > cap:
             raise ValueError(
-                f"{face} matched {len(matched)} rows, over the "
-                f"{self.DELETE_WHERE_ROW_LIMIT}-row driver "
+                f"{face} matched over {cap} rows, the driver "
                 "materialization cap — build the per-file bitmaps "
                 "executor-side for deletes of this size"
             )
 
-        def _decode(fp: str) -> str:
-            return _unquote(
-                _re.sub("^file:(//)?", "", fp).replace("+", "%2B")
-            )
-
+        _decode = decode_file_uri
         rel_of = {
             os.path.abspath(os.path.join(self.table_dir, p)): p
             for p in sel
@@ -1694,9 +1702,8 @@ class DeltaLog:
             raise ValueError("update_where needs at least one SET")
         snap = self.snapshot()
         schema = snap.schema()
-        phys, per_file = self._matched_per_file(
-            spark, snap, column_filter, "update_where"
-        )
+        # cheap guards BEFORE the scan (round-11 review: a typo'd SET
+        # column should not cost a full predicate scan first)
         names = {f.name for f in schema.fields} if schema else set()
         for c in set_values:
             if c not in names:
@@ -1706,6 +1713,9 @@ class DeltaLog:
                     f"update_where SET on partition column {c!r}: a "
                     "partition move is a rewrite, not an update"
                 )
+        phys, per_file = self._matched_per_file(
+            spark, snap, column_filter, "update_where"
+        )
         noop = {"version": None, "files": 0, "new_files": 0,
                 "rows_updated": 0}
         if per_file is None:
@@ -1779,22 +1789,12 @@ class DeltaLog:
                 for f in data_fields
             ])
             rel_new = f"part-update-{version:010d}-{gi}.parquet"
-            dest = os.path.join(self.table_dir, rel_new)
-            import tempfile as _tempfile
+            from hadoop_sync_spark.io import write_single_parquet
 
-            staging = _tempfile.mkdtemp(prefix="delta_update_")
-            try:
-                out.coalesce(1).write.mode("overwrite").parquet(staging)
-                import glob as _glob
-
-                (part_file,) = _glob.glob(
-                    os.path.join(staging, "part-*.parquet")
-                )
-                os.replace(part_file, dest)
-            finally:
-                import shutil as _shutil
-
-                _shutil.rmtree(staging, ignore_errors=True)
+            write_single_parquet(
+                out, os.path.join(self.table_dir, rel_new),
+                "delta_update_",
+            )
             adds.append(
                 self.add_action_for(
                     rel_new, partitionValues=dict(pv_t)

@@ -1626,6 +1626,81 @@ class IcebergTable:
     #: writing is the scale path behind the same API
     DELETE_ROWS_LIMIT = 1_000_000
 
+    def _matched_per_raw(self, spark, column_filter: dict, face: str):
+        """Shared DML matcher (round-11 review: delete_rows and
+        update_rows duplicated this): bounds-prune candidate files,
+        scan ONLY the predicate columns with per-file row lineage, and
+        return ``(cand, part_cols, {raw_path: {positions}})`` —
+        ``per_raw`` is ``None`` when nothing matches.  Guards: empty /
+        unknown / partition predicate columns, renamed histories, and
+        the :data:`DELETE_ROWS_LIMIT` cap enforced THROUGH a
+        ``limit(cap+1)`` so the driver never materializes an oversized
+        match list."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from hadoop_sync_spark.io import decode_file_uri
+
+        if not column_filter:
+            raise ValueError(f"{face} needs a predicate")
+        if self._rename_history():
+            raise NotImplementedError(
+                f"{face} on a renamed schema history: the predicate "
+                "scan pins current names — compact the table first"
+            )
+        meta = self.metadata()
+        sid = meta.get("current-schema-id", 0)
+        names = {f["name"] for f in self._schema_by_id(sid)["fields"]}
+        cand = self.files(column_filter=column_filter)
+        part_cols = sorted({k for f in cand for k in f.partition})
+        for c in column_filter:
+            if c not in names:
+                raise ValueError(f"no such column {c!r}")
+            if c in part_cols:
+                raise NotImplementedError(
+                    f"{face} on partition column {c!r}: partition "
+                    "values never reach the data files"
+                )
+        if not cand:
+            return cand, part_cols, None
+        full = self._spark_schema(sid, exclude=set(part_cols))
+        pred_schema = T.StructType(
+            [f for f in full.fields if f.name in column_filter]
+        )
+        scan = spark.read.schema(pred_schema).parquet(
+            *[f.path for f in cand]
+        ).select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *[F.col(c) for c in column_filter],
+        )
+        for c, (lo, hi) in column_filter.items():
+            if lo is not None:
+                scan = scan.filter(F.col(c) >= lo)
+            if hi is not None:
+                scan = scan.filter(F.col(c) <= hi)
+        cap = self.DELETE_ROWS_LIMIT
+        matched = scan.select("_fp", "_pos").limit(cap + 1).collect()
+        if not matched:
+            return cand, part_cols, None
+        if len(matched) > cap:
+            raise ValueError(
+                f"{face} matched over {cap} rows, the driver "
+                "materialization cap — write the position files "
+                "executor-side for deletes of this size"
+            )
+        raw_of = {_norm_path(f.path): f.raw_path for f in cand}
+        per_raw: dict[str, set[int]] = {}
+        for r in matched:
+            raw = raw_of.get(_norm_path(decode_file_uri(r._fp)))
+            if raw is None:
+                raise ValueError(
+                    f"scanned file missing from the snapshot map "
+                    f"(URI normalization mismatch): {r._fp}"
+                )
+            per_raw.setdefault(raw, set()).add(r._pos)
+        return cand, part_cols, per_raw
+
     def delete_rows(self, spark, column_filter: dict,
                     now_ms: int = 0) -> int:
         """Row-level ``DELETE FROM t WHERE ...`` the merge-on-read way
@@ -1645,78 +1720,14 @@ class IcebergTable:
         histories refuse (the predicate scan pins current names;
         compact first).  Matches above :data:`DELETE_ROWS_LIMIT`
         refuse loudly rather than balloon the driver."""
-        import re as _re
-        from urllib.parse import unquote as _unquote
-
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        if not column_filter:
-            raise ValueError("delete_rows needs a predicate")
-        if self._rename_history():
-            raise NotImplementedError(
-                "delete_rows on a renamed schema history: the predicate "
-                "scan pins current names — compact the table first"
-            )
-        cand = self.files(column_filter=column_filter)
-        if not cand:
-            return 0
-        part_cols = sorted({k for f in cand for k in f.partition})
-        meta = self.metadata()
-        sid = meta.get("current-schema-id", 0)
-        fields = {f["name"]: f
-                  for f in self._schema_by_id(sid)["fields"]}
-        for c in column_filter:
-            if c not in fields:
-                raise ValueError(f"no such column {c!r}")
-            if c in part_cols:
-                raise NotImplementedError(
-                    f"delete_rows on partition column {c!r}: partition "
-                    "values never reach the data files — delete the "
-                    "partition's files instead"
-                )
-        full = self._spark_schema(sid, exclude=set(part_cols))
-        pred_schema = T.StructType(
-            [f for f in full.fields if f.name in column_filter]
+        _, _, per_raw = self._matched_per_raw(
+            spark, column_filter, "delete_rows"
         )
-        scan = spark.read.schema(pred_schema).parquet(
-            *[f.path for f in cand]
-        ).select(
-            F.col("_metadata.file_path").alias("_fp"),
-            F.col("_metadata.row_index").alias("_pos"),
-            *[F.col(c) for c in column_filter],
-        )
-        for c, (lo, hi) in column_filter.items():
-            if lo is not None:
-                scan = scan.filter(F.col(c) >= lo)
-            if hi is not None:
-                scan = scan.filter(F.col(c) <= hi)
-        matched = scan.select("_fp", "_pos").collect()
-        if not matched:
+        if per_raw is None:
             return 0
-        if len(matched) > self.DELETE_ROWS_LIMIT:
-            raise ValueError(
-                f"delete_rows matched {len(matched)} rows, over the "
-                f"{self.DELETE_ROWS_LIMIT}-row driver materialization "
-                "cap — write the position files executor-side for "
-                "deletes of this size"
-            )
-
-        def _decode(fp: str) -> str:
-            return _unquote(
-                _re.sub("^file:(//)?", "", fp).replace("+", "%2B")
-            )
-
-        raw_of = {_norm_path(f.path): f.raw_path for f in cand}
-        pairs = []
-        for r in matched:
-            raw = raw_of.get(_norm_path(_decode(r._fp)))
-            if raw is None:
-                raise ValueError(
-                    f"scanned file missing from the snapshot map "
-                    f"(URI normalization mismatch): {r._fp}"
-                )
-            pairs.append((raw, r._pos))
+        pairs = sorted(
+            (raw, p) for raw, poss in per_raw.items() for p in poss
+        )
         self.add_position_deletes(pairs, now_ms=now_ms)
         return len(pairs)
 
@@ -1743,23 +1754,12 @@ class IcebergTable:
         hide — as do renamed histories, partition(-source) columns in
         SET, and partition columns in the predicate.  The
         :data:`DELETE_ROWS_LIMIT` cap applies."""
-        import re as _re
-        from urllib.parse import unquote as _unquote
-
         import pyarrow.parquet as pq
         from pyspark.sql import Column
         from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
-        if not column_filter:
-            raise ValueError("update_rows needs a predicate")
         if not set_values:
             raise ValueError("update_rows needs at least one SET")
-        if self._rename_history():
-            raise NotImplementedError(
-                "update_rows on a renamed schema history: the predicate "
-                "scan pins current names — compact the table first"
-            )
         deletes = self.delete_files()
         if any(d.content == _CONTENT_EQ_DELETES for d in deletes):
             raise NotImplementedError(
@@ -1786,68 +1786,36 @@ class IcebergTable:
                     f"update_rows SET on partition-source column {c!r}: "
                     "a partition move is a rewrite, not an update"
                 )
-        cand = self.files(column_filter=column_filter)
-        if not cand:
+        cand, part_cols, per_raw = self._matched_per_raw(
+            spark, column_filter, "update_rows"
+        )
+        if per_raw is None:
             return 0
-        part_cols = sorted({k for f in cand for k in f.partition})
-        for c in column_filter:
-            if c not in names:
-                raise ValueError(f"no such column {c!r}")
-            if c in part_cols:
-                raise NotImplementedError(
-                    f"update_rows on partition column {c!r}: partition "
-                    "values never reach the data files"
-                )
-        #: rows existing POSITION deletes already hide, per raw path
+        cand_by_raw = {f.raw_path: f for f in cand}
+        #: rows existing POSITION deletes already hide, per raw path —
+        #: SEQUENCE-AWARE (round-11 review): a delete applies to a data
+        #: file only when data sequence ≤ delete sequence, so a file
+        #: re-added after the delete ignores it on read and must ignore
+        #: it here too.  Metadata-gated: the summed record_count of the
+        #: applicable delete files must fit the same cap the match list
+        #: obeys before any payload is read.
+        pos_dels = [d for d in deletes
+                    if d.content == _CONTENT_POS_DELETES]
+        total_del_rows = sum(d.record_count for d in pos_dels)
+        if total_del_rows > self.DELETE_ROWS_LIMIT:
+            raise ValueError(
+                f"update_rows with {total_del_rows} existing "
+                "position-delete rows, over the driver materialization "
+                "cap — compact the table first"
+            )
         pos_sets: dict[str, set[int]] = {}
-        for d in deletes:
-            if d.content != _CONTENT_POS_DELETES:
-                continue
+        for d in pos_dels:
             tb = pq.read_table(d.path, columns=["file_path", "pos"])
             for fp, p in zip(tb["file_path"].to_pylist(),
                              tb["pos"].to_pylist()):
-                pos_sets.setdefault(fp, set()).add(p)
-        full = self._spark_schema(sid, exclude=set(part_cols))
-        pred_schema = T.StructType(
-            [f for f in full.fields if f.name in column_filter]
-        )
-        scan = spark.read.schema(pred_schema).parquet(
-            *[f.path for f in cand]
-        ).select(
-            F.col("_metadata.file_path").alias("_fp"),
-            F.col("_metadata.row_index").alias("_pos"),
-            *[F.col(c) for c in column_filter],
-        )
-        for c, (lo, hi) in column_filter.items():
-            if lo is not None:
-                scan = scan.filter(F.col(c) >= lo)
-            if hi is not None:
-                scan = scan.filter(F.col(c) <= hi)
-        matched = scan.select("_fp", "_pos").collect()
-        if not matched:
-            return 0
-        if len(matched) > self.DELETE_ROWS_LIMIT:
-            raise ValueError(
-                f"update_rows matched {len(matched)} rows, over the "
-                f"{self.DELETE_ROWS_LIMIT}-row driver materialization "
-                "cap — rewrite the files for updates of this size"
-            )
-
-        def _decode(fp: str) -> str:
-            return _unquote(
-                _re.sub("^file:(//)?", "", fp).replace("+", "%2B")
-            )
-
-        raw_of = {_norm_path(f.path): f.raw_path for f in cand}
-        per_raw: dict[str, set[int]] = {}
-        for r in matched:
-            raw = raw_of.get(_norm_path(_decode(r._fp)))
-            if raw is None:
-                raise ValueError(
-                    f"scanned file missing from the snapshot map "
-                    f"(URI normalization mismatch): {r._fp}"
-                )
-            per_raw.setdefault(raw, set()).add(r._pos)
+                f = cand_by_raw.get(fp)
+                if f is not None and f.sequence <= d.sequence:
+                    pos_sets.setdefault(fp, set()).add(p)
         fresh = {
             raw: poss - pos_sets.get(raw, set())
             for raw, poss in per_raw.items()
@@ -1855,12 +1823,12 @@ class IcebergTable:
         fresh = {raw: poss for raw, poss in fresh.items() if poss}
         if not fresh:
             return 0
-        cand_by_raw = {f.raw_path: f for f in cand}
         groups: dict[tuple, list[str]] = {}
         for raw in fresh:
             pv = cand_by_raw[raw].partition
             groups.setdefault(tuple(sorted(pv.items())), []).append(raw)
         seq = meta["last-sequence-number"] + 1
+        full = self._spark_schema(sid, exclude=set(part_cols))
         spark_types = {f.name: f.dataType for f in full.fields}
         new_entries: list[dict] = []
         spec_fields = self._spec_fields(meta, 0)
@@ -1902,19 +1870,9 @@ class IcebergTable:
             ])
             rel_new = f"data/part-update-{seq}-{gi}.parquet"
             dest = os.path.join(self.dir, rel_new)
-            import glob as _glob
-            import shutil as _shutil
-            import tempfile as _tempfile
+            from hadoop_sync_spark.io import write_single_parquet
 
-            staging = _tempfile.mkdtemp(prefix="iceberg_update_")
-            try:
-                out.coalesce(1).write.mode("overwrite").parquet(staging)
-                (part_file,) = _glob.glob(
-                    os.path.join(staging, "part-*.parquet")
-                )
-                os.replace(part_file, dest)
-            finally:
-                _shutil.rmtree(staging, ignore_errors=True)
+            write_single_parquet(out, dest, "iceberg_update_")
             lb, ub = parquet_column_bounds(dest, schema_fields)
             n_rows = sum(len(fresh[r]) for r in raws)
             new_entries.append({

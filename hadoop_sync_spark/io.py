@@ -93,6 +93,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def decode_file_uri(fp: str) -> str:
+    """Driver-side twin of :func:`attach_file_columns`'s Spark-side
+    decode: Spark's ``_metadata.file_path`` / ``input_file_name()``
+    yield a percent-encoded ``file:`` URI; strip the scheme, protect
+    literal ``+`` (x-www-form-urlencoded would read it as space), and
+    decode the percent-escapes back to a plain absolute path."""
+    import re as _re
+    from urllib.parse import unquote as _unquote
+
+    return _unquote(_re.sub("^file:(//)?", "", fp).replace("+", "%2B"))
+
+
+def write_single_parquet(df: DataFrame, dest: str, prefix: str) -> None:
+    """Materialize ``df`` as EXACTLY the file ``dest`` (coalesce(1)
+    through a staging dir, then an atomic rename) — the write idiom the
+    compaction and DML faces share.  ``prefix`` names the staging dir
+    for debuggability."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    staging = _tempfile.mkdtemp(prefix=prefix)
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part_file,) = _glob.glob(os.path.join(staging, "part-*.parquet"))
+        os.replace(part_file, dest)
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+
+
 def attach_file_columns(
     scan: DataFrame,
     file_rows: list[tuple],

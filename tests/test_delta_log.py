@@ -1815,3 +1815,56 @@ def test_update_where_simultaneous_set_semantics(spark, tmp_path):
                     log2.add_action_for("p=0/a.parquet")])
     with pytest.raises(NotImplementedError, match="Hive-inferred"):
         log2.delete_where(spark, {"k": (1, 1)})
+
+
+def test_cli_where_conjunction_and_null_literal(spark, tmp_path,
+                                                capsys):
+    """Repeated --where on the same column CONJOINS (max-lo, min-hi) —
+    overwriting would widen the predicate and delete rows the user
+    never named; --set 'none' writes the literal string, only 'null'
+    means SQL NULL (round-11 review)."""
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta")
+    d, log = _mk_table(tmp_path, "cli_conj")
+    _write_file(d, "a.parquet", {"k": [1, 5, 8, 12], "v": [0] * 4})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    # 5 <= k AND k <= 10 expressed as two triples on one column
+    assert main(["delete", meta, "t",
+                 "--where", "k", "5", "null",
+                 "--where", "k", "null", "10"]) == 0
+    assert "deleted 2 row(s)" in capsys.readouterr().out
+    assert sorted(r.k for r in log.read(spark).collect()) == [1, 12]
+    # --set 'none' is a literal; empty-filter refusal reaches the CLI
+    d2, log2 = _mk_table(tmp_path, "cli_none")
+    _write_file(d2, "a.parquet", {"k": [1], "v": ["old"]})
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {}}]})
+    log2.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                    {"metaData": {"id": "t2",
+                                  "format": {"provider": "parquet",
+                                             "options": {}},
+                                  "schemaString": schema,
+                                  "partitionColumns": [],
+                                  "configuration": {}}},
+                    log2.add_action_for("a.parquet")])
+    assert main(["register", meta, "t2", d2, "--format", "delta"]) == 0
+    assert main(["update", meta, "t2", "--where", "k", "1", "1",
+                 "--set", "v", "none"]) == 0
+    capsys.readouterr()
+    assert [r.v for r in log2.read(spark).collect()] == ["none"]
+
+
+def test_delete_where_empty_predicate_refuses(spark, tmp_path):
+    d, log = _mk_table(tmp_path, "delw_empty")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    with pytest.raises(ValueError, match="needs a predicate"):
+        log.delete_where(spark, {})
+    with pytest.raises(ValueError, match="needs a predicate"):
+        log.update_where(spark, {}, {"v": 0})
