@@ -1868,3 +1868,30 @@ def test_delete_where_empty_predicate_refuses(spark, tmp_path):
         log.delete_where(spark, {})
     with pytest.raises(ValueError, match="needs a predicate"):
         log.update_where(spark, {}, {"v": 0})
+
+
+def test_delete_where_mapped_partitioned_physical_keys(spark, tmp_path):
+    """A conforming name-mapped PARTITIONED table logs partitionValues
+    under PHYSICAL keys — the Hive-layout guard must translate before
+    comparing, not falsely refuse (round-11 review)."""
+    d, log = _mk_table(tmp_path, "delw_map_part")
+    _write_phys(d, "a.parquet", [1, 2], ["x", "y"])
+    _write_phys(d, "b.parquet", [3], ["z"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name", part=True),
+                   log.add_action_for(
+                       "a.parquet", partitionValues={"col-ccc": "0"}),
+                   log.add_action_for(
+                       "b.parquet", partitionValues={"col-ccc": "1"})])
+    res = log.delete_where(spark, {"k": (2, 3)}, now_ms=1000)
+    assert res["rows_deleted"] == 2
+    got = {(r.k, r.p) for r in log.read(spark).collect()}
+    assert got == {(1, 0)}
+    # the UPDATE face composes too: copies land per partition tuple
+    # with the PHYSICAL partition keys preserved
+    res2 = log.update_where(spark, {"k": (1, 1)}, {"v": "X"},
+                            now_ms=2000)
+    assert res2["rows_updated"] == 1 and res2["new_files"] == 1
+    got = {(r.k, r.v, r.p) for r in log.read(spark).collect()}
+    assert got == {(1, "X", 0)}
