@@ -1825,6 +1825,152 @@ class DeltaLog:
             "rows_updated": n_updated,
         }
 
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_col: str,
+        now_ms: int = 0,
+        storage: str = "u",
+    ) -> dict:
+        """MERGE/upsert (round 11; the Delta twin of
+        :meth:`IcebergTable.merge_upsert`): matched target rows DV out
+        of their files and the full source batch appends as one new
+        file, ONE commit.  Delta has no equality deletes, so the match
+        needs a target scan — but only of the KEY column (column-pruned,
+        with the distinct source keys pushed as an IN filter, so
+        row-group stats prune on the scan side), never the full rows.
+        Work is O(target-key-scan + source); the driver materializes
+        only the matched (file, position) pairs and the distinct source
+        keys, both under :data:`DELETE_WHERE_ROW_LIMIT`.  ``source``
+        must carry exactly the table's data columns; partitioned
+        tables refuse in this face (per-tuple source splitting);
+        unmapped and name-mode tables supported."""
+        from pyspark.sql import types as T
+
+        snap = self.snapshot()
+        schema = snap.schema()
+        if schema is None:
+            raise ValueError("no metaData action in the log")
+        if snap.partition_columns:
+            raise NotImplementedError(
+                "merge_upsert on a partitioned table: the source needs "
+                "per-partition-tuple splitting — unpartitioned tables "
+                "only in this face"
+            )
+        phys = self._resolve_physical(snap, "merge_upsert")
+        names = [f.name for f in schema.fields]
+        if key_col not in names:
+            raise ValueError(f"no such column {key_col!r}")
+        extra = set(source.columns) - set(names)
+        missing = set(names) - set(source.columns)
+        if extra or missing:
+            raise ValueError(
+                f"source columns must match the table's data columns "
+                f"exactly (extra: {sorted(extra)}, "
+                f"missing: {sorted(missing)})"
+            )
+        cap = self.DELETE_WHERE_ROW_LIMIT
+        keys = [
+            r[0] for r in source.select(key_col).distinct()
+            .limit(cap + 1).collect()
+        ]
+        if not keys:
+            return {"version": None, "files": 0, "rows_matched": 0,
+                    "rows_inserted": 0}
+        if len(keys) > cap:
+            raise ValueError(
+                f"merge_upsert source carries over {cap} distinct "
+                "keys, the driver materialization cap — split the "
+                "source batch"
+            )
+        version = self.latest_version() + 1
+        sel = list(snap.files)
+        per_file: dict[str, set[int]] = {}
+        if sel:
+            from hadoop_sync_spark.io import decode_file_uri
+
+            key_schema = T.StructType([
+                T.StructField(phys[key_col], schema[key_col].dataType,
+                              True)
+            ])
+            scan = spark.read.schema(key_schema).parquet(
+                *[os.path.join(self.table_dir, p) for p in sel]
+            ).select(
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+                F.col(phys[key_col]).alias(key_col),
+            ).filter(F.col(key_col).isin(
+                [k for k in keys if k is not None]
+            ))
+            matched = scan.select("_fp", "_pos").limit(cap + 1).collect()
+            if len(matched) > cap:
+                raise ValueError(
+                    f"merge_upsert matched over {cap} target rows, the "
+                    "driver materialization cap — split the source "
+                    "batch"
+                )
+            rel_of = {
+                os.path.abspath(os.path.join(self.table_dir, p)): p
+                for p in sel
+            }
+            for r in matched:
+                rel = rel_of.get(decode_file_uri(r._fp))
+                if rel is None:
+                    raise ValueError(
+                        f"scanned file missing from the snapshot map "
+                        f"(URI normalization mismatch): {r._fp}"
+                    )
+                per_file.setdefault(rel, set()).add(r._pos)
+        # the new file: full source batch under physical names
+        out = source.select(*[
+            F.col(n).cast(schema[n].dataType).alias(phys[n])
+            for n in names
+        ])
+        rel_new = f"part-upsert-{version:010d}.parquet"
+        from hadoop_sync_spark.io import write_single_parquet
+
+        write_single_parquet(
+            out, os.path.join(self.table_dir, rel_new), "delta_upsert_"
+        )
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": now_ms, "operation": "MERGE"}},
+            {"protocol": _protocol_with_feature(
+                snap.protocol
+                or {"minReaderVersion": 1, "minWriterVersion": 2},
+                "deletionVectors",
+            )},
+        ]
+        rows_matched = 0
+        for rel in sorted(per_file):
+            prev = dict(snap.live[rel])
+            existing: set[int] = set()
+            if prev.get("deletionVector"):
+                existing = set(
+                    self._dv_positions(prev["deletionVector"])
+                )
+            fresh = per_file[rel] - existing
+            if not fresh:
+                continue
+            rows_matched += len(fresh)
+            prev["deletionVector"] = self._dv_descriptor(
+                rel, sorted(existing | per_file[rel]), version, storage
+            )
+            actions.append({"remove": {"path": rel, "dataChange": True}})
+            actions.append({"add": prev})
+        actions.append(self.add_action_for(rel_new))
+        self.commit(version, actions)
+        import pyarrow.parquet as _pq
+
+        return {
+            "version": version,
+            "files": (len(actions) - 3) // 2,
+            "rows_matched": rows_matched,
+            "rows_inserted": _pq.read_metadata(
+                os.path.join(self.table_dir, rel_new)
+            ).num_rows,
+        }
+
     # ---- checkpoints ---------------------------------------------------
     _CP_COLS = ("protocol", "metaData", "add", "remove")
 

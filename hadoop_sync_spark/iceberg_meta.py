@@ -1958,6 +1958,138 @@ class IcebergTable:
         renamed table's historical delete files keep resolving by field
         id on the read side (name variants).  Refuses unknown field ids
         and column types outside the supported scalar map."""
+        entry = self._equality_delete_entry(rows, equality_ids)
+        return self._commit_snapshot(
+            self._live_entries(),
+            "delete",
+            now_ms,
+            delete_entries=self._live_delete_entries() + [entry],
+        )
+
+    def merge_upsert(
+        self,
+        spark,
+        source,
+        key_col: str,
+        now_ms: int = 0,
+    ) -> dict:
+        """MERGE/upsert the Flink-CDC way (round 11): ONE snapshot
+        commits the source rows as a new data file (footer bounds
+        stamped) PLUS an equality-delete file on ``key_col`` covering
+        the source keys.  **No target scan at any size** — the work is
+        O(source), never O(table), because the spec does the matching
+        at read time: the equality delete hides old rows with those
+        keys in STRICTLY older files (sequence <), and the same-commit
+        data file is exempt by exactly that strictness, so the new
+        versions survive.  This is how production streaming writers
+        land CDC upserts on 100 TB tables without reading them.
+        ``source`` is a DataFrame carrying exactly the table's data
+        columns (extra columns refuse; missing ones null-fill is NOT
+        assumed — refuse, an upsert that silently nulls columns is a
+        data bug).  Distinct source keys materialize driver-side for
+        the delete file and obey :data:`DELETE_ROWS_LIMIT`.
+        Partitioned tables refuse in this round's face (the source
+        would need per-tuple splitting); renamed histories are fine —
+        equality deletes resolve by field id on the read side."""
+        from pyspark.sql import functions as F
+
+        meta = self.metadata()
+        sid = meta.get("current-schema-id", 0)
+        schema_fields = self._schema_by_id(sid)["fields"]
+        names = [f["name"] for f in schema_fields]
+        if key_col not in names:
+            raise ValueError(f"no such column {key_col!r}")
+        if meta.get("partition-specs") and any(
+            spec.get("fields")
+            for spec in meta.get("partition-specs", [])
+        ):
+            raise NotImplementedError(
+                "merge_upsert on a partitioned table: the source needs "
+                "per-partition-tuple splitting — unpartitioned tables "
+                "only in this face"
+            )
+        extra = set(source.columns) - set(names)
+        missing = set(names) - set(source.columns)
+        if extra or missing:
+            raise ValueError(
+                f"source columns must match the table's data columns "
+                f"exactly (extra: {sorted(extra)}, "
+                f"missing: {sorted(missing)})"
+            )
+        key_fid = next(
+            f["id"] for f in schema_fields if f["name"] == key_col
+        )
+        cap = self.DELETE_ROWS_LIMIT
+        keys = [
+            r[0] for r in source.select(key_col).distinct()
+            .limit(cap + 1).collect()
+        ]
+        if not keys:
+            return {"snapshot_id": None, "rows": 0, "keys": 0}
+        if len(keys) > cap:
+            raise ValueError(
+                f"merge_upsert source carries over {cap} distinct "
+                "keys, the driver materialization cap — split the "
+                "source batch"
+            )
+        full = self._spark_schema(sid)
+        out = source.select(*[
+            F.col(n).cast(full[n].dataType) for n in names
+        ])
+        seq = meta["last-sequence-number"] + 1
+        rel_new = f"data/part-upsert-{seq}.parquet"
+        dest = os.path.join(self.dir, rel_new)
+        from hadoop_sync_spark.io import write_single_parquet
+
+        write_single_parquet(out, dest, "iceberg_upsert_")
+        lb, ub = parquet_column_bounds(dest, schema_fields)
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.read_metadata(dest).num_rows
+        data_entry = {
+            "status": _STATUS_ADDED,
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": _CONTENT_DATA,
+                "file_path": rel_new,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(dest),
+                "equality_ids": None,
+                "lower_bounds": [
+                    {"key": k, "value": v}
+                    for k, v in sorted(lb.items())
+                ] or None,
+                "upper_bounds": [
+                    {"key": k, "value": v}
+                    for k, v in sorted(ub.items())
+                ] or None,
+            },
+        }
+        del_entry = self._equality_delete_entry(
+            [{key_col: k}
+             for k in sorted(keys, key=lambda x: (x is None, x))],
+            [key_fid],
+        )
+        snap_id = self._commit_snapshot(
+            self._live_entries() + [data_entry],
+            "overwrite",
+            now_ms,
+            delete_entries=self._live_delete_entries() + [del_entry],
+        )
+        return {"snapshot_id": snap_id, "rows": n_rows,
+                "keys": len(keys)}
+
+    def _equality_delete_entry(
+        self, rows: list[dict], equality_ids: list[int]
+    ) -> dict:
+        """Write the equality-delete parquet and build its manifest
+        entry WITHOUT committing — shared by
+        :meth:`add_equality_deletes` (its own snapshot) and
+        :meth:`merge_upsert` (one snapshot carrying data + delete)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1998,7 +2130,7 @@ class IcebergTable:
             cols[name] = pa.array([r[name] for r in rows], arrow_t[typ])
         pq.write_table(pa.table(cols), path)
         spec_fields = self._spec_fields(meta, 0)
-        entry = {
+        return {
             "status": _STATUS_ADDED,
             "snapshot_id": None,
             "sequence_number": None,
@@ -2013,12 +2145,6 @@ class IcebergTable:
                 "equality_ids": list(equality_ids),
             },
         }
-        return self._commit_snapshot(
-            self._live_entries(),
-            "delete",
-            now_ms,
-            delete_entries=self._live_delete_entries() + [entry],
-        )
 
     def _schema_by_id(self, sid: int) -> dict:
         for s in self.metadata().get("schemas", []):

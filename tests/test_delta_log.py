@@ -1895,3 +1895,44 @@ def test_delete_where_mapped_partitioned_physical_keys(spark, tmp_path):
     assert res2["rows_updated"] == 1 and res2["new_files"] == 1
     got = {(r.k, r.v, r.p) for r in log.read(spark).collect()}
     assert got == {(1, "X", 0)}
+
+
+def test_merge_upsert_dv_plus_source_file(spark, tmp_path):
+    """Delta merge_upsert: key-only target scan (pruned to the key
+    column, source keys pushed as an IN filter), matched rows DV out,
+    the source batch appends — one commit; composes over its own
+    output and with prior DVs."""
+    d, log = _mk_table(tmp_path, "mrg")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    src = spark.createDataFrame([(2, 200), (9, 900)], ["k", "v"])
+    res = log.merge_upsert(spark, src, "k", now_ms=1000)
+    assert res["rows_matched"] == 1 and res["rows_inserted"] == 2
+    assert res["version"] == 1 == log.latest_version()
+    got = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert got == {(1, 10), (2, 200), (3, 30), (9, 900)}
+    # second upsert touches the row living in the upsert file itself
+    src2 = spark.createDataFrame([(9, 901)], ["k", "v"])
+    log.merge_upsert(spark, src2, "k", now_ms=2000)
+    got = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert got == {(1, 10), (2, 200), (3, 30), (9, 901)}
+    # time travel below the merges
+    assert {(r.k, r.v) for r in log.read(spark, 0).collect()} == {
+        (1, 10), (2, 20), (3, 30)}
+    # mapped table: the upsert file carries physical names
+    d2, log2 = _mk_table(tmp_path, "mrg_map")
+    _write_phys(d2, "a.parquet", [1, 2], ["x", "y"])
+    log2.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                  "minWriterVersion": 5}},
+                    _mapped_meta("name"),
+                    log2.add_action_for("a.parquet")])
+    srcm = spark.createDataFrame([(2, "Y"), (5, "five")], ["k", "v"])
+    log2.merge_upsert(spark, srcm, "k", now_ms=3000)
+    assert {(r.k, r.v) for r in log2.read(spark).collect()} == {
+        (1, "x"), (2, "Y"), (5, "five")}
+    import pyarrow.parquet as _pq
+    up_rel = [p for p in log2.snapshot().live
+              if p.startswith("part-upsert-")][0]
+    assert set(_pq.read_schema(
+        os.path.join(d2, up_rel)).names) == {"col-aaa", "col-bbb"}

@@ -1772,3 +1772,44 @@ def test_update_rows_simultaneous_set_semantics(spark, tmp_path):
         (9, "was-5")}
     with pytest.raises(ValueError, match="at least one SET"):
         t.update_rows(spark, {"id": (9, 9)}, {})
+
+
+def test_merge_upsert_scan_free_cdc(spark, tmp_path):
+    """merge_upsert commits ONE snapshot with the source file + an
+    equality delete on the key — no target scan: old key versions hide
+    (strictly-older rule), same-commit rows survive, unmatched keys
+    insert.  A second batch over the first composes; time travel below
+    each upsert shows the prior state."""
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2, 3])], now_ms=2000)
+    src = spark.createDataFrame(
+        [(2, "two-v2"), (9, "nine")], ["id", "val"])
+    res = t.merge_upsert(spark, src, "id", now_ms=3000)
+    assert res["rows"] == 2 and res["keys"] == 2
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(1, "v1"), (2, "two-v2"), (3, "v3"), (9, "nine")}
+    # second batch updates the updated row again
+    src2 = spark.createDataFrame([(2, "two-v3")], ["id", "val"])
+    t.merge_upsert(spark, src2, "id", now_ms=4000)
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(1, "v1"), (2, "two-v3"), (3, "v3"), (9, "nine")}
+    # time travel below the first upsert
+    assert {(r.id, r.val)
+            for r in t.read(spark, snapshot_id=s1).collect()} == {
+        (1, "v1"), (2, "v2"), (3, "v3")}
+    # guards: column mismatch, unknown key, empty source no-op
+    with pytest.raises(ValueError, match="match the table's data"):
+        t.merge_upsert(spark, src.select("id"), "id")
+    with pytest.raises(ValueError, match="no such column"):
+        t.merge_upsert(spark, src, "nope")
+    v = t.current_version()
+    assert t.merge_upsert(spark, src.limit(0), "id")["keys"] == 0
+    assert t.current_version() == v
+
+
+def test_merge_upsert_partitioned_refuses(spark, tmp_path):
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    t.append([write_pq("f1.parquet", [1], bucket=0)], now_ms=2000)
+    src = spark.createDataFrame([(1, "x", 0)], ["id", "val", "p_bucket"])
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        t.merge_upsert(spark, src, "id")
