@@ -34,6 +34,11 @@ collecting min/max statistics.
                                         --set COL VALUE [--set ...]
         (merge-on-read row-level UPDATE: matched rows delete via
          DV/position file and their updated copies append, one commit)
+    python -m hadoop_sync_spark merge <meta_dir> <table> <source.parquet>
+                                        --key COL
+        (MERGE/upsert a parquet batch: iceberg commits source file +
+         equality delete in one snapshot with zero target scan; delta
+         key-scans, DVs the matches and appends)
 
 Exit codes: 0 success (including no-op sync, `README.md:10-13`), 1 usage
 error, 2 runtime failure (catalog left at its previous version —
@@ -202,6 +207,19 @@ def main(argv: list[str] | None = None) -> int:
         help="constant assignment, repeatable; VALUE parses as int, "
         "then float, then string",
     )
+
+    mrg_p = sub.add_parser(
+        "merge",
+        help="MERGE/upsert a parquet source batch into a registered "
+        "format table keyed on one column (iceberg: one snapshot = "
+        "source file + equality delete, zero target scan; delta: "
+        "key-only pruned scan + DVs + append)",
+    )
+    mrg_p.add_argument("meta_dir")
+    mrg_p.add_argument("table")
+    mrg_p.add_argument("source", help="parquet file/dir with exactly "
+                       "the table's data columns")
+    mrg_p.add_argument("--key", required=True, metavar="COL")
 
     try:
         args = p.parse_args(argv)
@@ -508,6 +526,41 @@ def main(argv: list[str] | None = None) -> int:
                     spark, column_filter, now_ms=now
                 )
                 print(f"deleted {n} row(s)")
+            print("hint: run `sync` to refresh the catalog")
+        elif args.cmd == "merge":
+            rec = reg.tables().get(args.table)
+            if rec is None:
+                raise KeyError(f"table not registered: {args.table}")
+            fmt = rec.get("format")
+            if fmt not in ("iceberg", "delta"):
+                raise ValueError(
+                    "merge is for format tables (iceberg or delta); "
+                    f"{args.table!r} is a plain directory"
+                )
+            import time as _time
+
+            source = spark.read.parquet(args.source)
+            now = int(_time.time() * 1000)
+            if fmt == "delta":
+                from hadoop_sync_spark.delta_log import DeltaLog
+
+                res = DeltaLog(rec["dir_path"]).merge_upsert(
+                    spark, source, args.key, now_ms=now
+                )
+                print(
+                    f"merged: {res['rows_matched']} matched row(s) "
+                    f"replaced, {res['rows_inserted']} row(s) written"
+                )
+            else:
+                from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+                res = IcebergTable(rec["dir_path"]).merge_upsert(
+                    spark, source, args.key, now_ms=now
+                )
+                print(
+                    f"merged: {res['keys']} key(s) upserted, "
+                    f"{res['rows']} row(s) written"
+                )
             print("hint: run `sync` to refresh the catalog")
         elif args.cmd == "diff":
             d = reg.diff(args.table)

@@ -1936,3 +1936,42 @@ def test_merge_upsert_dv_plus_source_file(spark, tmp_path):
               if p.startswith("part-upsert-")][0]
     assert set(_pq.read_schema(
         os.path.join(d2, up_rel)).names) == {"col-aaa", "col-bbb"}
+
+
+def test_cli_merge_both_formats(spark, tmp_path, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta")
+    d, log = _mk_table(tmp_path, "cli_mrg")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(2, 200), (3, 300)], ["k", "v"]) \
+        .coalesce(1).write.parquet(src_dir)
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    assert main(["merge", meta, "t", src_dir, "--key", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "1 matched row(s) replaced, 2 row(s) written" in out
+    assert {(r.k, r.v) for r in log.read(spark).collect()} == {
+        (1, 10), (2, 200), (3, 300)}
+    # iceberg twin
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+    di = str(tmp_path / "cli_mrg_ice")
+    os.makedirs(os.path.join(di, "data"))
+    t = IcebergTable.create(di, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1000)
+    p = os.path.join(di, "data", "f1.parquet")
+    _pq.write_table(_pa.table({"k": _pa.array([1, 2], _pa.int64()),
+                               "v": _pa.array([10, 20], _pa.int64())}),
+                    p)
+    t.append([DataFile("data/f1.parquet", {}, 2, os.path.getsize(p))],
+             now_ms=2000)
+    assert main(["register", meta, "ti", di, "--format", "iceberg"]) == 0
+    assert main(["merge", meta, "ti", src_dir, "--key", "k"]) == 0
+    assert "2 key(s) upserted, 2 row(s) written" in \
+        capsys.readouterr().out
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {
+        (1, 10), (2, 200), (3, 300)}
