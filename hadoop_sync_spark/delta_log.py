@@ -1971,6 +1971,205 @@ class DeltaLog:
             ).num_rows,
         }
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed derived from the LOG ALONE (round 11;
+        Delta CDF's read shape without requiring ``_change_data``
+        files): for each commit in ``[from_version, to_version]``,
+
+        - an ``add`` with ``dataChange`` (not re-adding a removed path)
+          emits the file's rows as ``insert`` (minus its own DV);
+        - a ``remove`` with ``dataChange`` whose path is not re-added
+          in the same commit emits the file's then-live rows (minus its
+          DV at removal) as ``delete``;
+        - a DV change on a re-added path emits the newly covered
+          positions as ``delete`` and any uncovered ones as ``insert``
+          (a DV shrink un-deletes);
+        - ``dataChange: false`` (compaction, checkpoint maintenance)
+          emits nothing — the CDF contract.
+
+        Output columns: the table's data columns (pinned to the
+        ``to_version`` schema, so pre-``add_column`` files null-fill) +
+        partition columns + ``_change_type`` + ``_commit_version``.
+        ``update_where``/``merge_upsert`` therefore surface as
+        delete+insert pairs — there is no update_pre/postimage without
+        CDC files, documented honestly.  Referenced data files must
+        still exist (pre-vacuum) or the read refuses by name; DV diffs
+        decode driver-side under the summed-cardinality cap.  Mapped
+        tables resolve like :meth:`read` (id mode refuses)."""
+        from hadoop_sync_spark.io import attach_file_columns
+
+        if to_version is None:
+            to_version = self.latest_version()
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        end_snap = self.snapshot(to_version)
+        schema = end_snap.schema()
+        if schema is None:
+            raise ValueError("no metaData action in the log")
+        phys = self._resolve_physical(end_snap, "read_changes")
+        part_cols = list(end_snap.partition_columns)
+        #: path -> its add action as of the cursor (DV + partition state)
+        state: dict[str, dict] = {}
+        if from_version > 0:
+            state = dict(self.snapshot(from_version - 1).live)
+
+        def dv_pos(action: dict | None) -> set[int]:
+            if not action or not action.get("deletionVector"):
+                return set()
+            return set(self._dv_positions(action["deletionVector"]))
+
+        dv_budget = 0
+        ev_rows: list[tuple] = []      # (rel, version, kind)
+        pos_rows: list[tuple] = []     # (rel, version, kind, pos)
+        exc_rows: list[tuple] = []     # (rel, version, pos) exclusions
+        part_vals: dict[str, dict] = {}
+        for v in range(from_version, to_version + 1):
+            with open(_commit_path(self.table_dir, v),
+                      encoding="utf-8") as fh:
+                actions = [json.loads(ln) for ln in fh if ln.strip()]
+            added = {a["add"]["path"]: a["add"]
+                     for a in actions if "add" in a}
+            removed = {a["remove"]["path"]: a["remove"]
+                       for a in actions if "remove" in a}
+            for rel, rm in removed.items():
+                if rel in added:
+                    old_desc = state.get(rel) or {}
+                    dv_budget += (
+                        (old_desc.get("deletionVector") or {})
+                        .get("cardinality", 0)
+                        + (added[rel].get("deletionVector") or {})
+                        .get("cardinality", 0)
+                    )
+                    if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
+                        raise ValueError(
+                            "read_changes DV diffs exceed the driver "
+                            "materialization cap — narrow the version "
+                            "range"
+                        )
+                    old = dv_pos(state.get(rel))
+                    new = dv_pos(added[rel])
+                    for p in sorted(new - old):
+                        pos_rows.append((rel, v, "delete", p))
+                    for p in sorted(old - new):
+                        pos_rows.append((rel, v, "insert", p))
+                elif rm.get("dataChange", True):
+                    ev_rows.append((rel, v, "delete"))
+                    for p in sorted(dv_pos(state.get(rel))):
+                        exc_rows.append((rel, v, p))
+            for rel, add in added.items():
+                if rel not in removed and add.get("dataChange", True):
+                    ev_rows.append((rel, v, "insert"))
+                    for p in sorted(dv_pos(add)):
+                        exc_rows.append((rel, v, p))
+            for rel in removed:
+                state.pop(rel, None)
+            for rel, add in added.items():
+                state[rel] = add
+                if add.get("partitionValues"):
+                    part_vals[rel] = add["partitionValues"]
+            for rel in list(removed) + list(added):
+                pv = (removed.get(rel) or {}).get("partitionValues") \
+                    or (added.get(rel) or {}).get("partitionValues")
+                if pv:
+                    part_vals.setdefault(rel, pv)
+
+        from pyspark.sql import types as T
+
+        data_fields = [f for f in schema.fields
+                       if f.name not in part_cols]
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_change_type", T.StringType(), False),
+               T.StructField("_commit_version", T.LongType(), False)]
+        )
+        touched = sorted(
+            {r[0] for r in ev_rows} | {r[0] for r in pos_rows}
+        )
+        if not touched:
+            return spark.createDataFrame([], out_schema)
+        missing = [
+            rel for rel in touched
+            if not os.path.exists(os.path.join(self.table_dir, rel))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"read_changes needs data files the log references but "
+                f"disk no longer has (vacuumed?): {missing}"
+            )
+        #: partition values come from the actions, keyed per path;
+        #: tolerate physical keys under mapping like read() does
+        meta_phys = {c: phys.get(c, c) for c in part_cols}
+
+        def pv_of(rel: str, c: str):
+            pv = part_vals.get(rel) or {}
+            v = pv.get(meta_phys[c], pv.get(c))
+            return None if v is None else str(v)
+
+        phys_schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, True)
+            for f in data_fields
+        ])
+        scan = spark.read.schema(phys_schema).parquet(
+            *[os.path.join(self.table_dir, rel) for rel in touched]
+        ).select(
+            "*", F.col("_metadata.row_index").alias("_pos")
+        )
+        rows = [
+            (os.path.abspath(os.path.join(self.table_dir, rel)), rel)
+            + tuple(pv_of(rel, c) for c in part_cols)
+            for rel in touched
+        ]
+        df = attach_file_columns(
+            scan, rows, ["_rel", *part_cols], what="delta change feed"
+        )
+        data_exprs = [
+            F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+            for f in data_fields
+        ] + [
+            F.col(c).cast(schema[c].dataType).alias(c)
+            for c in part_cols
+        ]
+        pieces = []
+        if ev_rows:
+            ev_df = spark.createDataFrame(
+                ev_rows, ["_rel", "_commit_version", "_change_type"]
+            )
+            whole = df.join(F.broadcast(ev_df), "_rel")
+            if exc_rows:
+                exc_df = spark.createDataFrame(
+                    exc_rows, ["_rel", "_commit_version", "_pos"]
+                )
+                whole = whole.join(
+                    F.broadcast(exc_df),
+                    ["_rel", "_commit_version", "_pos"],
+                    "left_anti",
+                )
+            pieces.append(whole)
+        if pos_rows:
+            pos_df = spark.createDataFrame(
+                pos_rows,
+                ["_rel", "_commit_version", "_change_type", "_pos"],
+            )
+            pieces.append(
+                df.join(F.broadcast(pos_df), ["_rel", "_pos"])
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p, allowMissingColumns=False)
+        return out.select(
+            *data_exprs,
+            F.col("_change_type").cast("string").alias("_change_type"),
+            F.col("_commit_version").cast("long")
+            .alias("_commit_version"),
+        )
+
     # ---- checkpoints ---------------------------------------------------
     _CP_COLS = ("protocol", "metaData", "add", "remove")
 

@@ -2083,6 +2083,101 @@ class IcebergTable:
         return {"snapshot_id": snap_id, "rows": n_rows,
                 "keys": len(keys)}
 
+    def incremental_scan(
+        self,
+        spark,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> "DataFrame":
+        """Incremental APPEND scan (round 11; Iceberg's incremental
+        read): the rows added by append snapshots AFTER
+        ``from_snapshot_id`` (exclusive) up to ``to_snapshot_id``
+        (inclusive, default current), each tagged with the
+        ``_snapshot_id`` that added it — the CDC-consumer face for
+        append-only ingestion, O(new data) regardless of table size.
+        Every snapshot in the range must be an ``append``:
+        overwrite/delete/replace snapshots refuse (their row-level
+        story is the changelog scan, out of this face's scope), and
+        the appended rows are returned AS APPENDED — later delete
+        files do not subtract here, per the incremental-read contract.
+        Renamed histories refuse like the other DML faces."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from hadoop_sync_spark.io import attach_file_columns
+
+        if self._rename_history():
+            raise NotImplementedError(
+                "incremental_scan on a renamed schema history: compact "
+                "the table first"
+            )
+        snaps = self.snapshots()
+        ids = [s["snapshot-id"] for s in snaps]
+        if from_snapshot_id not in ids:
+            raise ValueError(
+                f"unknown snapshot id {from_snapshot_id}"
+            )
+        if to_snapshot_id is None:
+            to_snapshot_id = ids[-1]
+        if to_snapshot_id not in ids:
+            raise ValueError(f"unknown snapshot id {to_snapshot_id}")
+        i0, i1 = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+        if i1 < i0:
+            raise ValueError(
+                f"to_snapshot {to_snapshot_id} precedes "
+                f"from_snapshot {from_snapshot_id}"
+            )
+        rng = snaps[i0 + 1: i1 + 1]
+        for s in rng:
+            op = (s.get("summary") or {}).get("operation")
+            if op != "append":
+                raise NotImplementedError(
+                    f"incremental_scan over a {op!r} snapshot "
+                    f"({s['snapshot-id']}): append-only ranges only — "
+                    "row-level overwrite/delete history is the "
+                    "changelog scan, out of this face's scope"
+                )
+        added: dict[str, tuple] = {}  # raw_path -> (sid, DataFile)
+        prev = {f.raw_path
+                for f in self.files(snapshot_id=from_snapshot_id)}
+        for s in rng:
+            cur = {f.raw_path: f
+                   for f in self.files(snapshot_id=s["snapshot-id"])}
+            for raw in set(cur) - prev:
+                added[raw] = (s["snapshot-id"], cur[raw])
+            prev = set(cur)
+        meta = self.metadata()
+        sid = meta.get("current-schema-id", 0)
+        part_cols = sorted({
+            k for (_, f) in added.values() for k in f.partition
+        })
+        data_schema = self._spark_schema(sid, exclude=set(part_cols))
+        out_schema = T.StructType(
+            list(data_schema.fields)
+            + [T.StructField(c, T.LongType(), True) for c in part_cols]
+            + [T.StructField("_snapshot_id", T.LongType(), False)]
+        )
+        if not added:
+            return spark.createDataFrame([], out_schema)
+        infos = sorted(added.items())
+        reader = spark.read
+        if len(meta.get("schemas", [])) > 1:
+            reader = reader.schema(data_schema)
+        scan = reader.parquet(*[f.path for _, (_, f) in infos])
+        rows = [
+            (_norm_path(f.path), snap_id)
+            + tuple(f.partition.get(c) for c in part_cols)
+            for _, (snap_id, f) in infos
+        ]
+        return attach_file_columns(
+            scan, rows, ["_snapshot_id", *part_cols],
+            what="iceberg incremental scan",
+        ).select(
+            *[F.col(f.name) for f in data_schema.fields],
+            *part_cols,
+            "_snapshot_id",
+        )
+
     def _equality_delete_entry(
         self, rows: list[dict], equality_ids: list[int]
     ) -> dict:

@@ -1975,3 +1975,79 @@ def test_cli_merge_both_formats(spark, tmp_path, capsys):
         capsys.readouterr().out
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {
         (1, 10), (2, 200), (3, 300)}
+
+
+# ------------------------------------------------ change feed (r11)
+def test_read_changes_cdf_lite_lifecycle(spark, tmp_path):
+    """read_changes derives the CDF shape from the log alone: appends
+    emit inserts, DV growth emits position deletes, update_where
+    surfaces as delete+insert pairs, a CoW remove emits the file's
+    then-live rows (already-DV'd rows excluded — they were reported
+    deleted earlier), and dataChange:false emits nothing."""
+    d, log = _mk_table(tmp_path, "cdf")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.delete_where(spark, {"k": (2, 2)}, now_ms=1000)       # v1
+    log.update_where(spark, {"k": (3, 3)}, {"v": 300},
+                     now_ms=2000)                              # v2
+    _write_file(d, "b.parquet", {"k": [4], "v": [40]})
+    log.commit(3, [log.add_action_for("b.parquet")])           # v3
+    log.commit(4, [{"remove": {"path": "a.parquet",
+                               "dataChange": True}}])          # v4
+    rows = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in log.read_changes(spark, 0).collect()
+    }
+    assert rows == {
+        # v0: the initial append
+        (1, 10, "insert", 0), (2, 20, "insert", 0),
+        (3, 30, "insert", 0),
+        # v1: delete_where k=2 (DV growth)
+        (2, 20, "delete", 1),
+        # v2: update_where k=3 -> delete+insert pair
+        (3, 30, "delete", 2), (3, 300, "insert", 2),
+        # v3: plain append
+        (4, 40, "insert", 3),
+        # v4: CoW remove of a.parquet — only k=1 was still live
+        # (k=2 and k=3 were DV'd and already reported)
+        (1, 10, "delete", 4),
+    }
+    # a sub-range sees only its commits
+    sub = {
+        (r.k, r._change_type, r._commit_version)
+        for r in log.read_changes(spark, 1, 2).collect()
+    }
+    assert sub == {(2, "delete", 1), (3, "delete", 2),
+                   (3, "insert", 2)}
+    # compaction (dataChange: false) emits nothing
+    log.commit(5, [
+        {"remove": {"path": "b.parquet", "dataChange": False}},
+        log.add_action_for("b.parquet", dataChange=False),
+    ])
+    assert log.read_changes(spark, 5, 5).count() == 0
+    # vacuumed data files refuse by name
+    os.remove(os.path.join(d, "a.parquet"))
+    with pytest.raises(FileNotFoundError, match="a.parquet"):
+        log.read_changes(spark, 0).collect()
+
+
+def test_read_changes_mapped_and_merge(spark, tmp_path):
+    """Mapped tables resolve physical names; merge_upsert surfaces as
+    the matched delete + full-batch insert."""
+    d, log = _mk_table(tmp_path, "cdf_map")
+    _write_phys(d, "a.parquet", [1, 2], ["x", "y"])
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   _mapped_meta("name"),
+                   log.add_action_for("a.parquet")])
+    src = spark.createDataFrame([(2, "Y"), (5, "five")], ["k", "v"])
+    log.merge_upsert(spark, src, "k", now_ms=1000)             # v1
+    rows = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in log.read_changes(spark, 1).collect()
+    }
+    assert rows == {
+        (2, "y", "delete", 1),
+        (2, "Y", "insert", 1), (5, "five", "insert", 1),
+    }

@@ -1813,3 +1813,34 @@ def test_merge_upsert_partitioned_refuses(spark, tmp_path):
     src = spark.createDataFrame([(1, "x", 0)], ["id", "val", "p_bucket"])
     with pytest.raises(NotImplementedError, match="partitioned"):
         t.merge_upsert(spark, src, "id")
+
+
+def test_incremental_scan_append_only(spark, tmp_path):
+    """incremental_scan returns exactly the rows appended after the
+    cursor snapshot, tagged by the appending snapshot; non-append
+    snapshots in range refuse; later deletes do NOT subtract (the
+    incremental-read contract)."""
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2])], now_ms=2000)
+    s2 = t.append([write_pq("f2.parquet", [3])], now_ms=3000)
+    s3 = t.append([write_pq("f3.parquet", [4, 5])], now_ms=4000)
+    got = {(r.id, r._snapshot_id)
+           for r in t.incremental_scan(spark, s1).collect()}
+    assert got == {(3, s2), (4, s3), (5, s3)}
+    # bounded range
+    got = {(r.id, r._snapshot_id)
+           for r in t.incremental_scan(spark, s1, s2).collect()}
+    assert got == {(3, s2)}
+    # empty range is an empty frame with the full schema
+    empty = t.incremental_scan(spark, s3)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "val", "_snapshot_id"]
+    # a delete AFTER an append does not subtract from the append range
+    t.delete_rows(spark, {"id": (3, 3)}, now_ms=5000)
+    got = {r.id for r in t.incremental_scan(spark, s1, s3).collect()}
+    assert got == {3, 4, 5}
+    # ... but a range CROSSING the delete snapshot refuses
+    with pytest.raises(NotImplementedError, match="append-only"):
+        t.incremental_scan(spark, s1).collect()
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.incremental_scan(spark, 999999)
