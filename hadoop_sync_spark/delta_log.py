@@ -2029,7 +2029,14 @@ class DeltaLog:
         ev_rows: list[tuple] = []      # (rel, version, kind)
         pos_rows: list[tuple] = []     # (rel, version, kind, pos)
         exc_rows: list[tuple] = []     # (rel, version, pos) exclusions
-        part_vals: dict[str, dict] = {}
+        #: seeded from the pre-range state: a file added BEFORE the
+        #: range and removed in-range by a value-less remove action
+        #: must still attach its partition values
+        part_vals: dict[str, dict] = {
+            rel: a["partitionValues"]
+            for rel, a in state.items()
+            if a.get("partitionValues")
+        }
         for v in range(from_version, to_version + 1):
             with open(_commit_path(self.table_dir, v),
                       encoding="utf-8") as fh:
@@ -2060,11 +2067,26 @@ class DeltaLog:
                     for p in sorted(old - new):
                         pos_rows.append((rel, v, "insert", p))
                 elif rm.get("dataChange", True):
+                    dv_budget += (
+                        ((state.get(rel) or {})
+                         .get("deletionVector") or {})
+                        .get("cardinality", 0)
+                    )
+                    if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
+                        raise ValueError(
+                            "read_changes DV diffs exceed the driver "
+                            "materialization cap — narrow the version "
+                            "range"
+                        )
                     ev_rows.append((rel, v, "delete"))
                     for p in sorted(dv_pos(state.get(rel))):
                         exc_rows.append((rel, v, p))
             for rel, add in added.items():
                 if rel not in removed and add.get("dataChange", True):
+                    dv_budget += (
+                        (add.get("deletionVector") or {})
+                        .get("cardinality", 0)
+                    )
                     ev_rows.append((rel, v, "insert"))
                     for p in sorted(dv_pos(add)):
                         exc_rows.append((rel, v, p))

@@ -2152,9 +2152,22 @@ class IcebergTable:
             k for (_, f) in added.values() for k in f.partition
         })
         data_schema = self._spark_schema(sid, exclude=set(part_cols))
+        # empty-frame partition typing mirrors the attach path's
+        # python-value inference (int/long/date -> long, string stays)
+        part_types = {}
+        for spec in meta.get("partition-specs", []):
+            for pf in spec.get("fields", []):
+                part_types.setdefault(
+                    pf["name"], pf.get("result-type", "string")
+                )
+        inferred = {"int": T.LongType(), "long": T.LongType(),
+                    "date": T.LongType(), "string": T.StringType()}
         out_schema = T.StructType(
             list(data_schema.fields)
-            + [T.StructField(c, T.LongType(), True) for c in part_cols]
+            + [T.StructField(
+                c, inferred.get(part_types.get(c, "string"),
+                                T.StringType()), True)
+               for c in part_cols]
             + [T.StructField("_snapshot_id", T.LongType(), False)]
         )
         if not added:

@@ -2051,3 +2051,20 @@ def test_read_changes_mapped_and_merge(spark, tmp_path):
         (2, "y", "delete", 1),
         (2, "Y", "insert", 1), (5, "five", "insert", 1),
     }
+
+
+def test_read_changes_partitioned_valueless_remove(spark, tmp_path):
+    """A file added BEFORE the change range and removed in-range by a
+    value-less remove action still attaches its partition values in
+    the delete rows (seeded from the pre-range state)."""
+    d, log = _mk_table(tmp_path, "cdf_part")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta_partitioned(),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "7"})])
+    log.commit(1, [{"remove": {"path": "a.parquet",
+                               "dataChange": True}}])  # no pv on remove
+    rows = {(r.k, r.p, r._change_type, r._commit_version)
+            for r in log.read_changes(spark, 1, 1).collect()}
+    assert rows == {(1, 7, "delete", 1)}
