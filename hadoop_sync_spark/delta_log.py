@@ -1514,23 +1514,30 @@ class DeltaLog:
         snap: Snapshot,
         column_filter: dict,
         face: str,
+        in_filter: tuple | None = None,
     ):
         """Shared DML matcher: scan ONLY the predicate columns with
         per-file row lineage (pinned physical schema, so pre-DDL files
         null-fill — NULL fails every range predicate, SQL semantics)
         and return ``(phys, {rel_path: {positions}})``; ``(phys,
-        None)`` when the table is empty or nothing matches.  Guards:
+        None)`` when the table is empty or nothing matches.
+        ``column_filter`` is the ``{col: (lo, hi)}`` range form;
+        ``in_filter`` is an optional ``(col, values)`` membership
+        predicate (the merge face's key match).  Guards:
         unknown/partition predicate columns, the
         :data:`DELETE_WHERE_ROW_LIMIT` driver materialization cap."""
         from pyspark.sql import types as T
 
         from hadoop_sync_spark.io import decode_file_uri
 
-        if not column_filter:
+        if not column_filter and in_filter is None:
             raise ValueError(f"{face} needs a predicate")
+        pred_cols = dict(column_filter)
+        if in_filter is not None:
+            pred_cols.setdefault(in_filter[0], None)
         schema = snap.schema()
         phys = self._resolve_physical(snap, face)
-        for c in column_filter:
+        for c in pred_cols:
             if c not in phys:
                 raise ValueError(f"no such column {c!r}")
             if c in snap.partition_columns:
@@ -1566,18 +1573,20 @@ class DeltaLog:
         files = [os.path.join(self.table_dir, p) for p in sel]
         pred_schema = T.StructType([
             T.StructField(phys[c], schema[c].dataType, True)
-            for c in column_filter
+            for c in pred_cols
         ])
         scan = spark.read.schema(pred_schema).parquet(*files).select(
             F.col("_metadata.file_path").alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
-            *[F.col(phys[c]).alias(c) for c in column_filter],
+            *[F.col(phys[c]).alias(c) for c in pred_cols],
         )
         for c, (lo, hi) in column_filter.items():
             if lo is not None:
                 scan = scan.filter(F.col(c) >= lo)
             if hi is not None:
                 scan = scan.filter(F.col(c) <= hi)
+        if in_filter is not None:
+            scan = scan.filter(F.col(in_filter[0]).isin(in_filter[1]))
         # limit(cap+1) so the CAP bounds what the driver materializes —
         # a collect-then-check would have built the whole oversized
         # list before refusing (round-11 review)
@@ -1846,8 +1855,6 @@ class DeltaLog:
         must carry exactly the table's data columns; partitioned
         tables refuse in this face (per-tuple source splitting);
         unmapped and name-mode tables supported."""
-        from pyspark.sql import types as T
-
         snap = self.snapshot()
         schema = snap.schema()
         if schema is None:
@@ -1872,8 +1879,9 @@ class DeltaLog:
             )
         cap = self.DELETE_WHERE_ROW_LIMIT
         keys = [
-            r[0] for r in source.select(key_col).distinct()
-            .limit(cap + 1).collect()
+            r[0] for r in source.select(
+                F.col(key_col).cast(schema[key_col].dataType)
+            ).distinct().limit(cap + 1).collect()
         ]
         if not keys:
             return {"version": None, "files": 0, "rows_matched": 0,
@@ -1884,44 +1892,22 @@ class DeltaLog:
                 "keys, the driver materialization cap — split the "
                 "source batch"
             )
+        if any(k is None for k in keys):
+            # `=` does not match NULL in SQL MERGE (and Iceberg's
+            # eqNullSafe WOULD) — a null-keyed upsert is ambiguous
+            # across the format twins, so both refuse (round-11 review)
+            raise ValueError(
+                "merge_upsert source contains NULL keys — upsert keys "
+                "must be non-null"
+            )
         version = self.latest_version() + 1
-        sel = list(snap.files)
         per_file: dict[str, set[int]] = {}
-        if sel:
-            from hadoop_sync_spark.io import decode_file_uri
-
-            key_schema = T.StructType([
-                T.StructField(phys[key_col], schema[key_col].dataType,
-                              True)
-            ])
-            scan = spark.read.schema(key_schema).parquet(
-                *[os.path.join(self.table_dir, p) for p in sel]
-            ).select(
-                F.col("_metadata.file_path").alias("_fp"),
-                F.col("_metadata.row_index").alias("_pos"),
-                F.col(phys[key_col]).alias(key_col),
-            ).filter(F.col(key_col).isin(
-                [k for k in keys if k is not None]
-            ))
-            matched = scan.select("_fp", "_pos").limit(cap + 1).collect()
-            if len(matched) > cap:
-                raise ValueError(
-                    f"merge_upsert matched over {cap} target rows, the "
-                    "driver materialization cap — split the source "
-                    "batch"
-                )
-            rel_of = {
-                os.path.abspath(os.path.join(self.table_dir, p)): p
-                for p in sel
-            }
-            for r in matched:
-                rel = rel_of.get(decode_file_uri(r._fp))
-                if rel is None:
-                    raise ValueError(
-                        f"scanned file missing from the snapshot map "
-                        f"(URI normalization mismatch): {r._fp}"
-                    )
-                per_file.setdefault(rel, set()).add(r._pos)
+        if snap.files:
+            _, matched = self._matched_per_file(
+                spark, snap, {}, "merge_upsert",
+                in_filter=(key_col, keys),
+            )
+            per_file = matched or {}
         # the new file: full source batch under physical names
         out = source.select(*[
             F.col(n).cast(schema[n].dataType).alias(phys[n])
@@ -1935,11 +1921,6 @@ class DeltaLog:
         )
         actions: list[dict] = [
             {"commitInfo": {"timestamp": now_ms, "operation": "MERGE"}},
-            {"protocol": _protocol_with_feature(
-                snap.protocol
-                or {"minReaderVersion": 1, "minWriterVersion": 2},
-                "deletionVectors",
-            )},
         ]
         rows_matched = 0
         for rel in sorted(per_file):
@@ -1958,13 +1939,23 @@ class DeltaLog:
             )
             actions.append({"remove": {"path": rel, "dataChange": True}})
             actions.append({"add": prev})
+        if rows_matched:
+            # the protocol upgrade rides ONLY a commit that actually
+            # writes a DV — an all-new-keys batch must stay readable by
+            # engines without the deletionVectors feature (r11 review)
+            actions.insert(1, {"protocol": _protocol_with_feature(
+                snap.protocol
+                or {"minReaderVersion": 1, "minWriterVersion": 2},
+                "deletionVectors",
+            )})
         actions.append(self.add_action_for(rel_new))
         self.commit(version, actions)
         import pyarrow.parquet as _pq
 
+        n_dv = (len(actions) - 2 - (1 if rows_matched else 0)) // 2
         return {
             "version": version,
-            "files": (len(actions) - 3) // 2,
+            "files": n_dv,
             "rows_matched": rows_matched,
             "rows_inserted": _pq.read_metadata(
                 os.path.join(self.table_dir, rel_new)
@@ -2066,7 +2057,11 @@ class DeltaLog:
                         pos_rows.append((rel, v, "delete", p))
                     for p in sorted(old - new):
                         pos_rows.append((rel, v, "insert", p))
-                elif rm.get("dataChange", True):
+                elif rel in state and rm.get("dataChange", True):
+                    # a dataChange remove of a NON-live path (duplicate
+                    # tombstone) is a log no-op and emits nothing — a
+                    # phantom whole-file delete would double-report rows
+                    # the real removal already covered (r11 review)
                     dv_budget += (
                         ((state.get(rel) or {})
                          .get("deletionVector") or {})
@@ -2087,6 +2082,12 @@ class DeltaLog:
                         (add.get("deletionVector") or {})
                         .get("cardinality", 0)
                     )
+                    if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
+                        raise ValueError(
+                            "read_changes DV diffs exceed the driver "
+                            "materialization cap — narrow the version "
+                            "range"
+                        )
                     ev_rows.append((rel, v, "insert"))
                     for p in sorted(dv_pos(add)):
                         exc_rows.append((rel, v, p))
@@ -2124,6 +2125,17 @@ class DeltaLog:
             raise FileNotFoundError(
                 f"read_changes needs data files the log references but "
                 f"disk no longer has (vacuumed?): {missing}"
+            )
+        if part_cols and any(
+            not part_vals.get(rel) for rel in touched
+        ):
+            # read() infers Hive-layout partitions from paths; a change
+            # feed silently emitting NULL partition columns instead
+            # would be wrong data (r11 review) — refuse loudly
+            raise NotImplementedError(
+                "read_changes on a partitioned table whose actions "
+                "carry no partitionValues (Hive-inferred layout): "
+                "re-log the adds"
             )
         #: partition values come from the actions, keyed per path;
         #: tolerate physical keys under mapping like read() does

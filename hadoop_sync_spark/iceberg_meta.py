@@ -2016,13 +2016,30 @@ class IcebergTable:
                 f"exactly (extra: {sorted(extra)}, "
                 f"missing: {sorted(missing)})"
             )
-        key_fid = next(
-            f["id"] for f in schema_fields if f["name"] == key_col
+        key_fid, key_typ = next(
+            (f["id"], f["type"]) for f in schema_fields
+            if f["name"] == key_col
         )
+        if key_typ not in ("long", "int", "string", "double",
+                           "boolean"):
+            # fail BEFORE any file writes — _equality_delete_entry
+            # would refuse this type after the data file landed,
+            # leaving an orphan (r11 review)
+            raise NotImplementedError(
+                f"merge_upsert key on {key_typ!r} column: equality "
+                "deletes support scalar long/int/string/double/boolean "
+                "keys"
+            )
+        full = self._spark_schema(sid)
         cap = self.DELETE_ROWS_LIMIT
+        # collect the CAST key values — the delete file must carry
+        # exactly what the data file stores (r11 review)
+        from pyspark.sql import functions as _F
+
         keys = [
-            r[0] for r in source.select(key_col).distinct()
-            .limit(cap + 1).collect()
+            r[0] for r in source.select(
+                _F.col(key_col).cast(full[key_col].dataType)
+            ).distinct().limit(cap + 1).collect()
         ]
         if not keys:
             return {"snapshot_id": None, "rows": 0, "keys": 0}
@@ -2032,7 +2049,14 @@ class IcebergTable:
                 "keys, the driver materialization cap — split the "
                 "source batch"
             )
-        full = self._spark_schema(sid)
+        if any(k is None for k in keys):
+            # keep the format twins consistent: Delta's `=` match can
+            # never hit NULL while our equality read is null-safe — a
+            # null-keyed upsert is ambiguous, both faces refuse
+            raise ValueError(
+                "merge_upsert source contains NULL keys — upsert keys "
+                "must be non-null"
+            )
         out = source.select(*[
             F.col(n).cast(full[n].dataType) for n in names
         ])
@@ -2071,7 +2095,7 @@ class IcebergTable:
         }
         del_entry = self._equality_delete_entry(
             [{key_col: k}
-             for k in sorted(keys, key=lambda x: (x is None, x))],
+             for k in sorted(keys)],
             [key_fid],
         )
         snap_id = self._commit_snapshot(
@@ -2118,7 +2142,11 @@ class IcebergTable:
                 f"unknown snapshot id {from_snapshot_id}"
             )
         if to_snapshot_id is None:
-            to_snapshot_id = ids[-1]
+            # the table's CURRENT snapshot, not the last listed one —
+            # external metadata may stage snapshots past the current
+            # pointer (rolled-back tables), and read() would not show
+            # their rows (r11 review)
+            to_snapshot_id = self.snapshot()["snapshot-id"]
         if to_snapshot_id not in ids:
             raise ValueError(f"unknown snapshot id {to_snapshot_id}")
         i0, i1 = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
@@ -2137,29 +2165,51 @@ class IcebergTable:
                     "row-level overwrite/delete history is the "
                     "changelog scan, out of this face's scope"
                 )
+        # O(new files), not O(range x table): each range snapshot's
+        # manifest list names the manifests IT added
+        # (added_snapshot_id); only those manifests' ADDED entries are
+        # this snapshot's new files (r11 review — the set-difference
+        # walk re-listed every live file per snapshot)
         added: dict[str, tuple] = {}  # raw_path -> (sid, DataFile)
-        prev = {f.raw_path
-                for f in self.files(snapshot_id=from_snapshot_id)}
         for s in rng:
-            cur = {f.raw_path: f
-                   for f in self.files(snapshot_id=s["snapshot-id"])}
-            for raw in set(cur) - prev:
-                added[raw] = (s["snapshot-id"], cur[raw])
-            prev = set(cur)
+            snap_id = s["snapshot-id"]
+            _, manifests, _ = read_ocf(
+                self._resolve(s["manifest-list"])
+            )
+            for mf in manifests:
+                if (mf["content"] != _MANIFEST_DATA
+                        or mf.get("added_snapshot_id") != snap_id):
+                    continue
+                _, entries, _ = read_ocf(
+                    self._resolve(mf["manifest_path"])
+                )
+                for e in entries:
+                    if e["status"] != _STATUS_ADDED:
+                        continue
+                    df = e["data_file"]
+                    if df["content"] != _CONTENT_DATA:
+                        continue
+                    added[df["file_path"]] = (snap_id, DataFile(
+                        path=self._resolve(df["file_path"]),
+                        partition=dict(df["partition"]),
+                        record_count=df["record_count"],
+                        file_size=df["file_size_in_bytes"],
+                        raw_path=df["file_path"],
+                    ))
         meta = self.metadata()
         sid = meta.get("current-schema-id", 0)
-        part_cols = sorted({
-            k for (_, f) in added.values() for k in f.partition
-        })
-        data_schema = self._spark_schema(sid, exclude=set(part_cols))
-        # empty-frame partition typing mirrors the attach path's
-        # python-value inference (int/long/date -> long, string stays)
-        part_types = {}
+        # partition columns come from the SPEC names (stable whether or
+        # not anything was added — an empty interval's frame must union
+        # with a non-empty one; r11 review caught the added-derived
+        # names making the typing block unreachable)
+        part_types: dict[str, str] = {}
         for spec in meta.get("partition-specs", []):
             for pf in spec.get("fields", []):
                 part_types.setdefault(
                     pf["name"], pf.get("result-type", "string")
                 )
+        part_cols = sorted(part_types)
+        data_schema = self._spark_schema(sid, exclude=set(part_cols))
         inferred = {"int": T.LongType(), "long": T.LongType(),
                     "date": T.LongType(), "string": T.StringType()}
         out_schema = T.StructType(

@@ -2068,3 +2068,25 @@ def test_read_changes_partitioned_valueless_remove(spark, tmp_path):
     rows = {(r.k, r.p, r._change_type, r._commit_version)
             for r in log.read_changes(spark, 1, 1).collect()}
     assert rows == {(1, 7, "delete", 1)}
+
+
+def test_merge_upsert_all_new_keys_no_protocol_upgrade(spark, tmp_path):
+    """An all-new-keys merge writes no DV and must NOT upgrade the
+    protocol — older engines keep reading the table after a pure
+    append (round-11 review); NULL source keys refuse."""
+    d, log = _mk_table(tmp_path, "mrg_noproto")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    src = spark.createDataFrame([(7, 70)], ["k", "v"])
+    res = log.merge_upsert(spark, src, "k", now_ms=1000)
+    assert res["rows_matched"] == 0 and res["rows_inserted"] == 1
+    assert log.snapshot().protocol == {"minReaderVersion": 1}
+    # a matching merge DOES upgrade (it writes a DV)
+    src2 = spark.createDataFrame([(7, 71)], ["k", "v"])
+    log.merge_upsert(spark, src2, "k", now_ms=2000)
+    assert "deletionVectors" in log.snapshot().protocol["readerFeatures"]
+    from pyspark.sql import functions as F
+    nulls = spark.createDataFrame([(None, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="NULL keys"):
+        log.merge_upsert(spark, nulls, "k")

@@ -1844,3 +1844,29 @@ def test_incremental_scan_append_only(spark, tmp_path):
         t.incremental_scan(spark, s1).collect()
     with pytest.raises(ValueError, match="unknown snapshot"):
         t.incremental_scan(spark, 999999)
+
+
+def test_merge_upsert_validation_before_write(spark, tmp_path):
+    """Key-type and NULL-key refusals fire BEFORE any file lands
+    (round-11 review: a post-write refusal orphaned the data file)."""
+    import glob as _g
+
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1])], now_ms=2000)
+    d = str(tmp_path / "mor")
+    before = set(_g.glob(os.path.join(d, "data", "*")))
+    nulls = spark.createDataFrame([(None, "x")], "id long, val string")
+    with pytest.raises(ValueError, match="NULL keys"):
+        t.merge_upsert(spark, nulls, "id")
+    # keying on a column type equality deletes cannot carry refuses
+    # up front too (build a table with a date column)
+    d2 = str(tmp_path / "datetab")
+    os.makedirs(os.path.join(d2, "data"))
+    t2 = IcebergTable.create(
+        d2, [("d", "date"), ("v", "string")], now_ms=1000)
+    src = spark.createDataFrame([("2020-01-01", "x")], ["d", "v"]) \
+        .selectExpr("cast(d as date) d", "v")
+    with pytest.raises(NotImplementedError, match="merge_upsert key"):
+        t2.merge_upsert(spark, src, "d")
+    assert set(_g.glob(os.path.join(d, "data", "*"))) == before
+    assert _g.glob(os.path.join(d2, "data", "*")) == []
