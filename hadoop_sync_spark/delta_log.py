@@ -308,6 +308,29 @@ _LEGACY_WRITER_FEATURES = {
 }
 
 
+def _strip_checkpoint_nulls(row: dict) -> dict:
+    """One checkpoint parquet row → the action it encodes.  The row
+    carries every action kind as a nullable struct column, and every
+    struct MEMBER is nullable too, so a protocol committed as
+    ``{"minReaderVersion": 1}`` round-trips as ``{"minReaderVersion":
+    1, "minWriterVersion": None, ...}`` — parquet null means ABSENT at
+    both levels.  Strip exactly those two levels and nothing deeper:
+    values inside nested maps/lists (``partitionValues`` can
+    legitimately hold null partition values) must survive.  Found by
+    the DML sequence fuzzer: the explicit ``minWriterVersion: None``
+    in a checkpoint-seeded snapshot crashed every later DV-writing
+    face's protocol upgrade."""
+    return {
+        kind: (
+            {mk: mv for mk, mv in payload.items() if mv is not None}
+            if isinstance(payload, dict)
+            else payload
+        )
+        for kind, payload in row.items()
+        if payload is not None
+    }
+
+
 def _protocol_with_feature(proto: dict, feature: str) -> dict:
     """Upgrade ``proto`` to table-features form (reader 3 / writer 7)
     carrying ``feature`` on both sides, listing every feature the old
@@ -329,13 +352,19 @@ def _protocol_with_feature(proto: dict, feature: str) -> dict:
     # features the table never used (e.g. identityColumns onto a table
     # whose writer version came from an earlier upgrade) — conforming
     # engines without those features would then refuse the table
-    if proto.get("minReaderVersion", 1) < 3:
+    # `or 1`: a JSON-null version field reads as absent, same as a
+    # missing key — both mean "the lowest version" for the implication
+    # walk (the checkpoint seeder strips parquet nulls before they get
+    # here, but a lax external writer can commit the null in JSON too)
+    mrv = proto.get("minReaderVersion") or 1
+    mwv = proto.get("minWriterVersion") or 1
+    if mrv < 3:
         for v, feats in _LEGACY_READER_FEATURES.items():
-            if proto.get("minReaderVersion", 1) >= v:
+            if mrv >= v:
                 rf.update(feats)
-    if proto.get("minWriterVersion", 1) < 7:
+    if mwv < 7:
         for v, feats in _LEGACY_WRITER_FEATURES.items():
-            if proto.get("minWriterVersion", 1) >= v:
+            if mwv >= v:
                 wf.update(feats)
     rf.add(feature)
     wf.add(feature)
@@ -2589,7 +2618,7 @@ class DeltaLog:
                         actions.append(json.loads(line))
         else:
             actions = [
-                {k: v for k, v in row.items() if v is not None}
+                _strip_checkpoint_nulls(row)
                 for row in pq.read_table(path).to_pylist()
             ]
         for action in actions:
@@ -2616,8 +2645,9 @@ class DeltaLog:
                 self.log_dir, "_sidecars", action["sidecar"]["path"]
             )
             for row in pq.read_table(side).to_pylist():
-                inner = {k: v for k, v in row.items() if v is not None}
-                self._seed_action(snap, inner, version)
+                self._seed_action(
+                    snap, _strip_checkpoint_nulls(row), version
+                )
             return
         if "add" in action:
             pv = action["add"].get("partitionValues")

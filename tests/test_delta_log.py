@@ -2090,3 +2090,24 @@ def test_merge_upsert_all_new_keys_no_protocol_upgrade(spark, tmp_path):
     nulls = spark.createDataFrame([(None, 1)], "k long, v long")
     with pytest.raises(ValueError, match="NULL keys"):
         log.merge_upsert(spark, nulls, "k")
+
+
+def test_checkpoint_seeded_protocol_drops_parquet_nulls(spark, tmp_path):
+    """A protocol committed without minWriterVersion round-trips
+    through the parquet checkpoint's nullable struct as an explicit
+    None member; the seeder must strip it (parquet null = absent) so
+    checkpoint-seeded and replayed snapshots agree and later DV faces
+    can upgrade the protocol.  Found by the DML sequence fuzzer."""
+    d, log = _mk_table(tmp_path, "cp_nulls")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.write_checkpoint(0)
+    log.commit(1, [log.add_action_for("a.parquet")])
+    seeded = DeltaLog(d).snapshot()  # fresh instance → checkpoint seed
+    assert seeded.protocol == {"minReaderVersion": 1}
+    # the crash path: a DV-writing face after the seeded snapshot
+    log2 = DeltaLog(d)
+    res = log2.delete_where(spark, {"k": (1, 1)}, now_ms=1000)
+    assert res["rows_deleted"] == 1
+    assert sorted(r.k for r in log2.read(spark).collect()) == [2]

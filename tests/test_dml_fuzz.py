@@ -1,0 +1,472 @@
+"""Model-checking fuzz of the round-11 DML/MERGE/CDC faces.
+
+The unit suites pin each face's contract pairwise; what they cannot
+cover is the INTERACTION space — a deletion vector grown by delete,
+grown again by an update whose copies are then matched by a merge,
+compacted away mid-sequence, read back through a checkpoint seed.
+This harness runs seeded random op sequences (append / delete_where /
+update_where / merge_upsert / compact / checkpoint) against BOTH
+format twins (DeltaLog + IcebergTable) and checks, after EVERY op,
+that both tables read back exactly a pure-Python model's rows — and
+therefore also agree with each other.  At sequence end it replays
+Delta's log-derived change feed (read_changes) from version 0 and
+asserts the composed inserts/deletes reproduce the final state with
+no negative multiset at any commit, and it time-travels both formats
+to sampled historical versions/snapshots against the model's recorded
+states.
+
+Sequence legality mirrors the documented refusal contracts so every
+emitted op must SUCCEED on both twins (refusal paths are unit-tested
+elsewhere): first op is an append (empty-table reads are pinned by
+their own tests), and once a merge lands no more updates are emitted
+— Iceberg's update_rows refuses while equality deletes are live, by
+design.  Failures reproduce from the printed seed alone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_sync_spark.delta_log import DeltaLog
+from hadoop_sync_spark.iceberg_meta import (
+    DataFile,
+    IcebergTable,
+    parquet_column_bounds,
+)
+
+K_MAX = 30
+V_MAX = 400
+
+
+def _delta_schema_json(mapped: bool) -> str:
+    def fld(name, fid, pn):
+        md = (
+            {"delta.columnMapping.id": fid,
+             "delta.columnMapping.physicalName": pn}
+            if mapped
+            else {}
+        )
+        return {"name": name, "type": "long", "nullable": True,
+                "metadata": md}
+
+    return json.dumps({
+        "type": "struct",
+        "fields": [fld("k", 1, "col-kkk"), fld("v", 2, "col-vvv")],
+    })
+
+
+class DeltaHarness:
+    """Drives a (possibly name-mapped) unpartitioned Delta table."""
+
+    def __init__(self, spark, table_dir: str, mapped: bool):
+        self.spark = spark
+        self.d = table_dir
+        self.mapped = mapped
+        os.makedirs(table_dir)
+        self.log = DeltaLog(table_dir)
+        conf = (
+            {"delta.columnMapping.mode": "name",
+             "delta.columnMapping.maxColumnId": "2"}
+            if mapped
+            else {}
+        )
+        # legacy version-number forms on purpose (feature lists exist
+        # only at reader 3 / writer 7): the DV faces must upgrade them
+        proto = (
+            {"minReaderVersion": 2, "minWriterVersion": 5}
+            if mapped
+            else {"minReaderVersion": 1}
+        )
+        self.log.commit(0, [
+            {"protocol": proto},
+            {"metaData": {
+                "id": "fz", "format": {"provider": "parquet",
+                                       "options": {}},
+                "schemaString": _delta_schema_json(mapped),
+                "partitionColumns": [], "configuration": conf,
+            }},
+        ])
+        self.n_files = 0
+
+    def append(self, rows, now):
+        rel = f"fz-{self.n_files:04d}.parquet"
+        self.n_files += 1
+        names = ("col-kkk", "col-vvv") if self.mapped else ("k", "v")
+        pq.write_table(
+            pa.table({
+                names[0]: pa.array([r[0] for r in rows], pa.int64()),
+                names[1]: pa.array([r[1] for r in rows], pa.int64()),
+            }),
+            os.path.join(self.d, rel),
+        )
+        self.log.commit(
+            self.log.latest_version() + 1,
+            [{"commitInfo": {"timestamp": now, "operation": "WRITE"}},
+             self.log.add_action_for(rel)],
+        )
+
+    def delete(self, col, lo, hi, now):
+        self.log.delete_where(self.spark, {col: (lo, hi)}, now_ms=now)
+
+    def update(self, col, lo, hi, set_col, set_expr, now):
+        self.log.update_where(
+            self.spark, {col: (lo, hi)}, {set_col: set_expr},
+            now_ms=now,
+        )
+
+    def merge(self, batch, now):
+        src = self.spark.createDataFrame(
+            pd.DataFrame(batch, columns=["k", "v"]).astype("int64")
+        )
+        self.log.merge_upsert(self.spark, src, "k", now_ms=now)
+
+    def compact(self, now):
+        self.log.compact(self.spark)
+
+    def checkpoint(self):
+        self.log.write_checkpoint()
+
+    def version(self) -> int:
+        return self.log.latest_version()
+
+    def rows(self, version=None):
+        df = self.log.read(self.spark, version).select("k", "v")
+        return sorted((r.k, r.v) for r in df.collect())
+
+
+class IcebergHarness:
+    """Drives an unpartitioned Iceberg v2 table (bounds stamped on
+    appends so delete_rows' manifest pruning layer is live)."""
+
+    def __init__(self, spark, table_dir: str):
+        self.spark = spark
+        self.d = table_dir
+        os.makedirs(os.path.join(table_dir, "data"))
+        self.t = IcebergTable.create(
+            table_dir, [("k", "bigint"), ("v", "bigint")], now_ms=1
+        )
+        meta = self.t.metadata()
+        sid = meta.get("current-schema-id", 0)
+        self.fields = next(
+            s for s in meta["schemas"] if s.get("schema-id") == sid
+        )["fields"]
+        self.n_files = 0
+
+    def append(self, rows, now):
+        name = f"data/fz-{self.n_files:04d}.parquet"
+        self.n_files += 1
+        p = os.path.join(self.d, name)
+        pq.write_table(
+            pa.table({
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "v": pa.array([r[1] for r in rows], pa.int64()),
+            }),
+            p,
+        )
+        lb, ub = parquet_column_bounds(p, self.fields)
+        self.t.append(
+            [DataFile(name, {}, len(rows), os.path.getsize(p),
+                      lower_bounds=lb, upper_bounds=ub)],
+            now_ms=now,
+        )
+
+    def delete(self, col, lo, hi, now):
+        self.t.delete_rows(self.spark, {col: (lo, hi)}, now_ms=now)
+
+    def update(self, col, lo, hi, set_col, set_expr, now):
+        self.t.update_rows(
+            self.spark, {col: (lo, hi)}, {set_col: set_expr},
+            now_ms=now,
+        )
+
+    def merge(self, batch, now):
+        src = self.spark.createDataFrame(
+            pd.DataFrame(batch, columns=["k", "v"]).astype("int64")
+        )
+        self.t.merge_upsert(self.spark, src, "k", now_ms=now)
+
+    def compact(self, now):
+        self.t.compact(self.spark, now_ms=now)
+
+    def checkpoint(self):
+        pass  # no Delta-checkpoint analog in the op set
+
+    def snapshot_id(self):
+        return self.t.metadata().get("current-snapshot-id", -1)
+
+    def rows(self, snapshot_id=None):
+        df = self.t.read(
+            self.spark, snapshot_id=snapshot_id
+        ).select("k", "v")
+        return sorted((r.k, r.v) for r in df.collect())
+
+
+# ------------------------------------------------------------- the model
+
+
+def _matches(row, col, lo, hi):
+    x = row[0] if col == "k" else row[1]
+    return (lo is None or x >= lo) and (hi is None or x <= hi)
+
+
+def _model_delete(model, col, lo, hi):
+    return [r for r in model if not _matches(r, col, lo, hi)]
+
+
+def _model_update(model, col, lo, hi, set_col, fn):
+    out = []
+    for r in model:
+        if _matches(r, col, lo, hi):
+            nk, nv = r
+            if set_col == "k":
+                nk = fn(r)
+            else:
+                nv = fn(r)
+            out.append((nk, nv))
+        else:
+            out.append(r)
+    return out
+
+
+def _model_merge(model, batch):
+    keys = {k for k, _ in batch}
+    return [r for r in model if r[0] not in keys] + list(batch)
+
+
+def _gen_sequence(rng: random.Random, n_ops: int):
+    """A legal op sequence: dicts the runner interprets.  Updates stop
+    after the first merge (Iceberg's live-equality-delete refusal)."""
+    ops = [{"op": "append",
+            "rows": [(rng.randrange(K_MAX), rng.randrange(V_MAX))
+                     for _ in range(rng.randint(2, 6))]}]
+    merged = False
+    while len(ops) < n_ops:
+        roll = rng.random()
+        if roll < 0.30:
+            ops.append({"op": "append",
+                        "rows": [(rng.randrange(K_MAX),
+                                  rng.randrange(V_MAX))
+                                 for _ in range(rng.randint(1, 5))]})
+        elif roll < 0.50:
+            col = rng.choice(["k", "v"])
+            span = K_MAX if col == "k" else V_MAX
+            lo = rng.randrange(span)
+            hi = lo + rng.randint(0, span // 3)
+            if rng.random() < 0.15:
+                lo = None
+            elif rng.random() < 0.15:
+                hi = None
+            ops.append({"op": "delete", "col": col, "lo": lo, "hi": hi})
+        elif roll < 0.70 and not merged:
+            col = rng.choice(["k", "v"])
+            span = K_MAX if col == "k" else V_MAX
+            lo = rng.randrange(span)
+            hi = lo + rng.randint(0, span // 2)
+            set_col = "k" if rng.random() < 0.15 else "v"
+            if rng.random() < 0.5:
+                lit = rng.randrange(V_MAX)
+                ops.append({"op": "update", "col": col, "lo": lo,
+                            "hi": hi, "set_col": set_col,
+                            "kind": "lit", "val": lit})
+            else:
+                off = rng.randint(1, 50)
+                ops.append({"op": "update", "col": col, "lo": lo,
+                            "hi": hi, "set_col": set_col,
+                            "kind": "add", "val": off})
+        elif roll < 0.85:
+            n = rng.randint(1, 5)
+            ks = rng.sample(range(K_MAX), n)
+            batch = [(k, rng.randrange(V_MAX)) for k in ks]
+            if rng.random() < 0.2:
+                batch.append((batch[0][0], rng.randrange(V_MAX)))
+            ops.append({"op": "merge", "batch": batch})
+            merged = True
+        elif roll < 0.95:
+            ops.append({"op": "compact"})
+        else:
+            ops.append({"op": "checkpoint"})
+    return ops
+
+
+def _run_sequence(spark, tmp_path, seed: int, n_ops: int, mapped: bool):
+    rng = random.Random(seed)
+    ops = _gen_sequence(rng, n_ops)
+    delta = DeltaHarness(spark, str(tmp_path / f"d{seed}"), mapped)
+    ice = IcebergHarness(spark, str(tmp_path / f"i{seed}"))
+    model: list[tuple[int, int]] = []
+    delta_states: dict[int, list] = {}
+    ice_states: dict[int, list] = {}
+    now = 1000
+
+    for i, op in enumerate(ops):
+        now += 1000
+        if op["op"] == "append":
+            delta.append(op["rows"], now)
+            ice.append(op["rows"], now)
+            model = model + op["rows"]
+        elif op["op"] == "delete":
+            delta.delete(op["col"], op["lo"], op["hi"], now)
+            ice.delete(op["col"], op["lo"], op["hi"], now)
+            model = _model_delete(model, op["col"], op["lo"], op["hi"])
+        elif op["op"] == "update":
+            if op["kind"] == "lit":
+                expr, fn = op["val"], (lambda r, v=op["val"]: v)
+            else:
+                src = F.col(op["set_col"]) + op["val"]
+                idx = 0 if op["set_col"] == "k" else 1
+                expr = src
+                fn = (lambda r, d=op["val"], j=idx: r[j] + d)
+            delta.update(op["col"], op["lo"], op["hi"],
+                         op["set_col"], expr, now)
+            ice.update(op["col"], op["lo"], op["hi"],
+                       op["set_col"], expr, now)
+            model = _model_update(model, op["col"], op["lo"],
+                                  op["hi"], op["set_col"], fn)
+        elif op["op"] == "merge":
+            delta.merge(op["batch"], now)
+            ice.merge(op["batch"], now)
+            model = _model_merge(model, op["batch"])
+        elif op["op"] == "compact":
+            delta.compact(now)
+            ice.compact(now)
+        elif op["op"] == "checkpoint":
+            delta.checkpoint()
+
+        want = sorted(model)
+        ctx = f"seed={seed} mapped={mapped} step={i} op={op}"
+        assert delta.rows() == want, f"delta diverged: {ctx}"
+        assert ice.rows() == want, f"iceberg diverged: {ctx}"
+        delta_states[delta.version()] = want
+        ice_states[ice.snapshot_id()] = want
+
+    # time travel: sampled historical versions must match the model's
+    # recorded state at that commit
+    for ver in rng.sample(sorted(delta_states), min(2, len(delta_states))):
+        assert delta.rows(version=ver) == delta_states[ver], (
+            f"delta time travel diverged: seed={seed} version={ver}"
+        )
+    for sid in rng.sample(sorted(ice_states), min(2, len(ice_states))):
+        assert ice.rows(snapshot_id=sid) == ice_states[sid], (
+            f"iceberg time travel diverged: seed={seed} snapshot={sid}"
+        )
+
+    # CDF replay: composing read_changes' insert/delete rows version by
+    # version from 0 must land exactly on the final state, with no
+    # commit deleting a row the running state doesn't hold
+    cdf = delta.log.read_changes(spark, 0).select(
+        "k", "v", "_change_type", "_commit_version"
+    ).collect()
+    by_ver: dict[int, list] = {}
+    for r in cdf:
+        by_ver.setdefault(r._commit_version, []).append(r)
+    state: Counter = Counter()
+    for ver in sorted(by_ver):
+        for r in by_ver[ver]:
+            if r._change_type == "delete":
+                state[(r.k, r.v)] -= 1
+            else:
+                state[(r.k, r.v)] += 1
+        bad = {kv: c for kv, c in state.items() if c < 0}
+        assert not bad, (
+            f"CDF replay went negative at version {ver}: seed={seed} "
+            f"{bad}"
+        )
+    replayed = sorted(
+        kv for kv, c in state.items() for _ in range(c)
+    )
+    assert replayed == sorted(model), (
+        f"CDF replay != final state: seed={seed}"
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_dml_sequence_matches_model(spark, tmp_path, seed):
+    _run_sequence(spark, tmp_path, seed, n_ops=9, mapped=False)
+
+
+@pytest.mark.parametrize("seed", [21])
+def test_dml_sequence_matches_model_mapped(spark, tmp_path, seed):
+    _run_sequence(spark, tmp_path, seed, n_ops=9, mapped=True)
+
+
+def test_dml_sequence_long(spark, tmp_path):
+    _run_sequence(spark, tmp_path, seed=31, n_ops=14, mapped=False)
+
+
+# ---------------------------------------------- crash injection at commit
+
+class _Crash(RuntimeError):
+    pass
+
+
+def _crash_delta(log, op):
+    """Run one DML face with the final log commit replaced by a crash:
+    every file the face staged becomes unreferenced debris."""
+    orig = log.commit
+    log.commit = lambda *a, **k: (_ for _ in ()).throw(_Crash())
+    try:
+        with pytest.raises(_Crash):
+            op()
+    finally:
+        log.commit = orig
+
+
+def _crash_iceberg(t, op):
+    orig = t._write_metadata
+    t._write_metadata = lambda *a, **k: (_ for _ in ()).throw(_Crash())
+    try:
+        with pytest.raises(_Crash):
+            op()
+    finally:
+        t._write_metadata = orig
+
+
+def test_crash_at_commit_swap_preserves_snapshots(spark, tmp_path):
+    """Each DML face stages data/DV/delete files BEFORE its single
+    atomic commit; a crash exactly there must leave every committed
+    snapshot intact, the retry must succeed against the unchanged
+    table, and vacuum must reclaim the orphaned staging debris."""
+    delta = DeltaHarness(spark, str(tmp_path / "dc"), mapped=False)
+    ice = IcebergHarness(spark, str(tmp_path / "ic"))
+    rows = [(1, 10), (2, 20), (3, 30), (4, 40)]
+    delta.append(rows, 1000)
+    ice.append(rows, 1000)
+    model = list(rows)
+
+    faces = [
+        ("delete", lambda h, now: h.delete("k", 2, 2, now),
+         lambda m: _model_delete(m, "k", 2, 2)),
+        ("update", lambda h, now: h.update("k", 3, 3, "v", 99, now),
+         lambda m: _model_update(m, "k", 3, 3, "v", lambda r: 99)),
+        ("merge", lambda h, now: h.merge([(4, 44), (5, 55)], now),
+         lambda m: _model_merge(m, [(4, 44), (5, 55)])),
+    ]
+    now = 2000
+    for name, run, advance in faces:
+        now += 1000
+        _crash_delta(delta.log, lambda: run(delta, now))
+        _crash_iceberg(ice.t, lambda: run(ice, now))
+        want = sorted(model)
+        assert delta.rows() == want, f"delta changed after {name} crash"
+        assert ice.rows() == want, f"iceberg changed after {name} crash"
+        # staged-but-unreferenced debris reclaims without touching rows
+        delta.log.vacuum()
+        ice.t.vacuum()
+        assert delta.rows() == want and ice.rows() == want
+        # the retry lands the op for real
+        now += 1000
+        run(delta, now)
+        run(ice, now)
+        model = advance(model)
+        want = sorted(model)
+        assert delta.rows() == want, f"delta retry diverged: {name}"
+        assert ice.rows() == want, f"iceberg retry diverged: {name}"
