@@ -649,13 +649,23 @@ class IcebergTable:
         snap = self.snapshot(snapshot_id, as_of_timestamp_ms, ref=ref)
         col_info: dict[str, tuple[int, str]] = {}
         if column_filter:
-            # filter names resolve against the SNAPSHOT's schema — the
-            # names the read's output frame will carry; resolving
-            # against the current schema would make a renamed table's
-            # time-travel filter unsatisfiable in both spellings
-            schema = self._schema_by_id(
-                snap.get("schema-id", meta["current-schema-id"])
-            )
+            # filter names resolve against the schema the read's output
+            # frame will carry — the SAME two-branch rule as read():
+            # a CURRENT read uses the current schema (DDL is
+            # metadata-only, so the latest snapshot's recorded
+            # schema-id predates any post-commit add/rename — the
+            # fuzzer caught a filter on a just-added column refusing
+            # here), while time travel pins the snapshot's schema (a
+            # field renamed after that snapshot must stay addressable
+            # by its then-current spelling)
+            if (snapshot_id is None and as_of_timestamp_ms is None
+                    and ref is None):
+                sid = meta.get("current-schema-id", 0)
+            else:
+                sid = snap.get(
+                    "schema-id", meta.get("current-schema-id", 0)
+                )
+            schema = self._schema_by_id(sid)
             by_name = {f["name"]: f for f in schema["fields"]}
             for name in column_filter:
                 f = by_name.get(name)

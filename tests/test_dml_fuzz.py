@@ -3,24 +3,38 @@
 The unit suites pin each face's contract pairwise; what they cannot
 cover is the INTERACTION space — a deletion vector grown by delete,
 grown again by an update whose copies are then matched by a merge,
-compacted away mid-sequence, read back through a checkpoint seed.
-This harness runs seeded random op sequences (append / delete_where /
-update_where / merge_upsert / compact / checkpoint) against BOTH
-format twins (DeltaLog + IcebergTable) and checks, after EVERY op,
-that both tables read back exactly a pure-Python model's rows — and
-therefore also agree with each other.  At sequence end it replays
-Delta's log-derived change feed (read_changes) from version 0 and
-asserts the composed inserts/deletes reproduce the final state with
-no negative multiset at any commit, and it time-travels both formats
-to sampled historical versions/snapshots against the model's recorded
-states.
+an add_column landing mid-sequence so later predicates hit null-filled
+pre-DDL files, everything compacted away and read back through a
+checkpoint seed.  This harness runs seeded random op sequences
+(append / delete_where / update_where / merge_upsert / add_column /
+compact / checkpoint) against BOTH format twins (DeltaLog +
+IcebergTable) and checks, after EVERY op, that both tables read back
+exactly a pure-Python model's rows — and therefore also agree with
+each other.  At sequence end it replays Delta's log-derived change
+feed (read_changes) from version 0 and asserts the composed
+inserts/deletes reproduce the final state with no negative multiset
+at any commit (read_changes pins the END snapshot's schema, so
+pre-DDL rows null-fill consistently on both sides of the replay), and
+it time-travels both formats to sampled historical versions/snapshots
+against the model's recorded states, projected to the columns that
+existed at that point.
 
 Sequence legality mirrors the documented refusal contracts so every
 emitted op must SUCCEED on both twins (refusal paths are unit-tested
 elsewhere): first op is an append (empty-table reads are pinned by
 their own tests), and once a merge lands no more updates are emitted
 — Iceberg's update_rows refuses while equality deletes are live, by
-design.  Failures reproduce from the printed seed alone.
+design.  NULLs enter the tables only the organic way (pre-DDL files
+null-filling an added column); appends and merge sources stay
+non-null, and SQL NULL semantics are modeled (a NULL never matches a
+range predicate, NULL + x stays NULL).  Failures reproduce from the
+printed seed alone.
+
+The first run of the first version of this fuzzer caught a real bug:
+a protocol committed without minWriterVersion round-tripped through
+the parquet checkpoint's nullable struct as an explicit None and
+crashed every later DV-writing face on checkpoint-seeded snapshots
+(fixed in delta_log._strip_checkpoint_nulls).
 """
 
 from __future__ import annotations
@@ -30,7 +44,6 @@ import os
 import random
 from collections import Counter
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -97,14 +110,23 @@ class DeltaHarness:
         ])
         self.n_files = 0
 
-    def append(self, rows, now):
+    def _phys(self) -> dict[str, str]:
+        fields = json.loads(self.log.snapshot().schema_json)["fields"]
+        return {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in fields
+        }
+
+    def append(self, rows, cols, now):
         rel = f"fz-{self.n_files:04d}.parquet"
         self.n_files += 1
-        names = ("col-kkk", "col-vvv") if self.mapped else ("k", "v")
+        phys = self._phys()
         pq.write_table(
             pa.table({
-                names[0]: pa.array([r[0] for r in rows], pa.int64()),
-                names[1]: pa.array([r[1] for r in rows], pa.int64()),
+                phys[c]: pa.array([r[j] for r in rows], pa.int64())
+                for j, c in enumerate(cols)
             }),
             os.path.join(self.d, rel),
         )
@@ -123,11 +145,13 @@ class DeltaHarness:
             now_ms=now,
         )
 
-    def merge(self, batch, now):
-        src = self.spark.createDataFrame(
-            pd.DataFrame(batch, columns=["k", "v"]).astype("int64")
-        )
+    def merge(self, batch, cols, now):
+        schema = ", ".join(f"{c} long" for c in cols)
+        src = self.spark.createDataFrame(batch, schema)
         self.log.merge_upsert(self.spark, src, "k", now_ms=now)
+
+    def add_column(self, name, now):
+        self.log.add_column(name, "long", now_ms=now)
 
     def compact(self, now):
         self.log.compact(self.spark)
@@ -138,9 +162,9 @@ class DeltaHarness:
     def version(self) -> int:
         return self.log.latest_version()
 
-    def rows(self, version=None):
-        df = self.log.read(self.spark, version).select("k", "v")
-        return sorted((r.k, r.v) for r in df.collect())
+    def rows(self, cols, version=None):
+        df = self.log.read(self.spark, version).select(*cols)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
 class IcebergHarness:
@@ -154,25 +178,27 @@ class IcebergHarness:
         self.t = IcebergTable.create(
             table_dir, [("k", "bigint"), ("v", "bigint")], now_ms=1
         )
-        meta = self.t.metadata()
-        sid = meta.get("current-schema-id", 0)
-        self.fields = next(
-            s for s in meta["schemas"] if s.get("schema-id") == sid
-        )["fields"]
         self.n_files = 0
 
-    def append(self, rows, now):
+    def _fields(self):
+        meta = self.t.metadata()
+        sid = meta.get("current-schema-id", 0)
+        return next(
+            s for s in meta["schemas"] if s.get("schema-id") == sid
+        )["fields"]
+
+    def append(self, rows, cols, now):
         name = f"data/fz-{self.n_files:04d}.parquet"
         self.n_files += 1
         p = os.path.join(self.d, name)
         pq.write_table(
             pa.table({
-                "k": pa.array([r[0] for r in rows], pa.int64()),
-                "v": pa.array([r[1] for r in rows], pa.int64()),
+                c: pa.array([r[j] for r in rows], pa.int64())
+                for j, c in enumerate(cols)
             }),
             p,
         )
-        lb, ub = parquet_column_bounds(p, self.fields)
+        lb, ub = parquet_column_bounds(p, self._fields())
         self.t.append(
             [DataFile(name, {}, len(rows), os.path.getsize(p),
                       lower_bounds=lb, upper_bounds=ub)],
@@ -188,11 +214,13 @@ class IcebergHarness:
             now_ms=now,
         )
 
-    def merge(self, batch, now):
-        src = self.spark.createDataFrame(
-            pd.DataFrame(batch, columns=["k", "v"]).astype("int64")
-        )
+    def merge(self, batch, cols, now):
+        schema = ", ".join(f"{c} long" for c in cols)
+        src = self.spark.createDataFrame(batch, schema)
         self.t.merge_upsert(self.spark, src, "k", now_ms=now)
+
+    def add_column(self, name, now):
+        self.t.add_column(name, "bigint", now_ms=now)
 
     def compact(self, now):
         self.t.compact(self.spark, now_ms=now)
@@ -203,138 +231,170 @@ class IcebergHarness:
     def snapshot_id(self):
         return self.t.metadata().get("current-snapshot-id", -1)
 
-    def rows(self, snapshot_id=None):
+    def rows(self, cols, snapshot_id=None):
         df = self.t.read(
             self.spark, snapshot_id=snapshot_id
-        ).select("k", "v")
-        return sorted((r.k, r.v) for r in df.collect())
+        ).select(*cols)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
 # ------------------------------------------------------------- the model
+#
+# Rows are tuples aligned with the sequence's current column list
+# (always starting ["k", "v"]); add_column extends every existing row
+# with None, exactly the null-fill pre-DDL files get on read.
 
 
-def _matches(row, col, lo, hi):
-    x = row[0] if col == "k" else row[1]
+def _matches(row, cols, col, lo, hi):
+    x = row[cols.index(col)]
+    if x is None:
+        return False  # SQL: NULL fails every range predicate
     return (lo is None or x >= lo) and (hi is None or x <= hi)
 
 
-def _model_delete(model, col, lo, hi):
-    return [r for r in model if not _matches(r, col, lo, hi)]
+def _model_delete(model, cols, col, lo, hi):
+    return [r for r in model if not _matches(r, cols, col, lo, hi)]
 
 
-def _model_update(model, col, lo, hi, set_col, fn):
+def _model_update(model, cols, col, lo, hi, set_col, fn):
+    j = cols.index(set_col)
     out = []
     for r in model:
-        if _matches(r, col, lo, hi):
-            nk, nv = r
-            if set_col == "k":
-                nk = fn(r)
-            else:
-                nv = fn(r)
-            out.append((nk, nv))
+        if _matches(r, cols, col, lo, hi):
+            r = list(r)
+            r[j] = fn(r)
+            out.append(tuple(r))
         else:
             out.append(r)
     return out
 
 
 def _model_merge(model, batch):
-    keys = {k for k, _ in batch}
-    return [r for r in model if r[0] not in keys] + list(batch)
+    keys = {b[0] for b in batch}
+    return [r for r in model if r[0] not in keys] + [
+        tuple(b) for b in batch
+    ]
 
 
-def _gen_sequence(rng: random.Random, n_ops: int):
-    """A legal op sequence: dicts the runner interprets.  Updates stop
-    after the first merge (Iceberg's live-equality-delete refusal)."""
-    ops = [{"op": "append",
-            "rows": [(rng.randrange(K_MAX), rng.randrange(V_MAX))
-                     for _ in range(rng.randint(2, 6))]}]
+def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool):
+    """A legal op sequence over a growing column list.  Updates stop
+    after the first merge (Iceberg's live-equality-delete refusal);
+    at most two columns are added; appends and merge sources carry
+    non-null values for every current column."""
+    cols = ["k", "v"]
+
+    def span(col):
+        return K_MAX if col == "k" else V_MAX
+
+    def fresh_rows(n):
+        return [tuple(rng.randrange(span(c)) for c in cols)
+                for _ in range(n)]
+
+    ops = [{"op": "append", "rows": fresh_rows(rng.randint(2, 6)),
+            "cols": list(cols)}]
     merged = False
+    n_added = 0
     while len(ops) < n_ops:
         roll = rng.random()
-        if roll < 0.30:
+        if roll < 0.28:
             ops.append({"op": "append",
-                        "rows": [(rng.randrange(K_MAX),
-                                  rng.randrange(V_MAX))
-                                 for _ in range(rng.randint(1, 5))]})
-        elif roll < 0.50:
-            col = rng.choice(["k", "v"])
-            span = K_MAX if col == "k" else V_MAX
-            lo = rng.randrange(span)
-            hi = lo + rng.randint(0, span // 3)
+                        "rows": fresh_rows(rng.randint(1, 5)),
+                        "cols": list(cols)})
+        elif roll < 0.46:
+            col = rng.choice(cols)
+            lo = rng.randrange(span(col))
+            hi = lo + rng.randint(0, span(col) // 3)
             if rng.random() < 0.15:
                 lo = None
             elif rng.random() < 0.15:
                 hi = None
-            ops.append({"op": "delete", "col": col, "lo": lo, "hi": hi})
-        elif roll < 0.70 and not merged:
-            col = rng.choice(["k", "v"])
-            span = K_MAX if col == "k" else V_MAX
-            lo = rng.randrange(span)
-            hi = lo + rng.randint(0, span // 2)
-            set_col = "k" if rng.random() < 0.15 else "v"
-            if rng.random() < 0.5:
-                lit = rng.randrange(V_MAX)
-                ops.append({"op": "update", "col": col, "lo": lo,
-                            "hi": hi, "set_col": set_col,
-                            "kind": "lit", "val": lit})
-            else:
-                off = rng.randint(1, 50)
-                ops.append({"op": "update", "col": col, "lo": lo,
-                            "hi": hi, "set_col": set_col,
-                            "kind": "add", "val": off})
-        elif roll < 0.85:
+            ops.append({"op": "delete", "col": col, "lo": lo, "hi": hi,
+                        "cols": list(cols)})
+        elif roll < 0.62 and not merged:
+            col = rng.choice(cols)
+            lo = rng.randrange(span(col))
+            hi = lo + rng.randint(0, span(col) // 2)
+            set_col = rng.choice([c for c in cols if c != col] or cols)
+            kind = "lit" if rng.random() < 0.5 else "add"
+            val = (rng.randrange(V_MAX) if kind == "lit"
+                   else rng.randint(1, 50))
+            ops.append({"op": "update", "col": col, "lo": lo, "hi": hi,
+                        "set_col": set_col, "kind": kind, "val": val,
+                        "cols": list(cols)})
+        elif roll < 0.77:
             n = rng.randint(1, 5)
             ks = rng.sample(range(K_MAX), n)
-            batch = [(k, rng.randrange(V_MAX)) for k in ks]
+            batch = [
+                (k, *(rng.randrange(V_MAX) for _ in cols[1:]))
+                for k in ks
+            ]
             if rng.random() < 0.2:
-                batch.append((batch[0][0], rng.randrange(V_MAX)))
-            ops.append({"op": "merge", "batch": batch})
+                batch.append(
+                    (batch[0][0],
+                     *(rng.randrange(V_MAX) for _ in cols[1:]))
+                )
+            ops.append({"op": "merge", "batch": batch,
+                        "cols": list(cols)})
             merged = True
+        elif roll < 0.85 and with_ddl and n_added < 2:
+            n_added += 1
+            name = f"c{n_added}"
+            cols.append(name)
+            ops.append({"op": "add_column", "name": name,
+                        "cols": list(cols)})
         elif roll < 0.95:
-            ops.append({"op": "compact"})
+            ops.append({"op": "compact", "cols": list(cols)})
         else:
-            ops.append({"op": "checkpoint"})
+            ops.append({"op": "checkpoint", "cols": list(cols)})
     return ops
 
 
-def _run_sequence(spark, tmp_path, seed: int, n_ops: int, mapped: bool):
+def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
+                  mapped: bool, with_ddl: bool = True):
     rng = random.Random(seed)
-    ops = _gen_sequence(rng, n_ops)
+    ops = _gen_sequence(rng, n_ops, with_ddl)
     delta = DeltaHarness(spark, str(tmp_path / f"d{seed}"), mapped)
     ice = IcebergHarness(spark, str(tmp_path / f"i{seed}"))
-    model: list[tuple[int, int]] = []
-    delta_states: dict[int, list] = {}
-    ice_states: dict[int, list] = {}
+    model: list[tuple] = []
+    delta_states: dict[int, tuple] = {}
+    ice_states: dict[int, tuple] = {}
     now = 1000
 
     for i, op in enumerate(ops):
         now += 1000
+        cols = op["cols"]
         if op["op"] == "append":
-            delta.append(op["rows"], now)
-            ice.append(op["rows"], now)
+            delta.append(op["rows"], cols, now)
+            ice.append(op["rows"], cols, now)
             model = model + op["rows"]
         elif op["op"] == "delete":
             delta.delete(op["col"], op["lo"], op["hi"], now)
             ice.delete(op["col"], op["lo"], op["hi"], now)
-            model = _model_delete(model, op["col"], op["lo"], op["hi"])
+            model = _model_delete(model, cols, op["col"],
+                                  op["lo"], op["hi"])
         elif op["op"] == "update":
+            j = cols.index(op["set_col"])
             if op["kind"] == "lit":
                 expr, fn = op["val"], (lambda r, v=op["val"]: v)
             else:
-                src = F.col(op["set_col"]) + op["val"]
-                idx = 0 if op["set_col"] == "k" else 1
-                expr = src
-                fn = (lambda r, d=op["val"], j=idx: r[j] + d)
+                expr = F.col(op["set_col"]) + op["val"]
+                # SQL: NULL + x stays NULL
+                fn = (lambda r, d=op["val"], jj=j:
+                      None if r[jj] is None else r[jj] + d)
             delta.update(op["col"], op["lo"], op["hi"],
                          op["set_col"], expr, now)
             ice.update(op["col"], op["lo"], op["hi"],
                        op["set_col"], expr, now)
-            model = _model_update(model, op["col"], op["lo"],
+            model = _model_update(model, cols, op["col"], op["lo"],
                                   op["hi"], op["set_col"], fn)
         elif op["op"] == "merge":
-            delta.merge(op["batch"], now)
-            ice.merge(op["batch"], now)
+            delta.merge(op["batch"], cols, now)
+            ice.merge(op["batch"], cols, now)
             model = _model_merge(model, op["batch"])
+        elif op["op"] == "add_column":
+            delta.add_column(op["name"], now)
+            ice.add_column(op["name"], now)
+            model = [(*r, None) for r in model]
         elif op["op"] == "compact":
             delta.compact(now)
             ice.compact(now)
@@ -343,27 +403,37 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int, mapped: bool):
 
         want = sorted(model)
         ctx = f"seed={seed} mapped={mapped} step={i} op={op}"
-        assert delta.rows() == want, f"delta diverged: {ctx}"
-        assert ice.rows() == want, f"iceberg diverged: {ctx}"
-        delta_states[delta.version()] = want
-        ice_states[ice.snapshot_id()] = want
+        assert delta.rows(cols) == want, f"delta diverged: {ctx}"
+        assert ice.rows(cols) == want, f"iceberg diverged: {ctx}"
+        delta_states[delta.version()] = (list(cols), want)
+        # Iceberg DDL/no-op steps commit no snapshot; time travel to a
+        # snapshot pins ITS schema, so keep the FIRST recording per
+        # snapshot id (a later same-id recording would retag a pre-DDL
+        # state with post-DDL arity)
+        ice_states.setdefault(ice.snapshot_id(), (list(cols), want))
 
     # time travel: sampled historical versions must match the model's
-    # recorded state at that commit
-    for ver in rng.sample(sorted(delta_states), min(2, len(delta_states))):
-        assert delta.rows(version=ver) == delta_states[ver], (
+    # recorded state, projected to the columns that existed then
+    for ver in rng.sample(sorted(delta_states),
+                          min(2, len(delta_states))):
+        c, want = delta_states[ver]
+        assert delta.rows(c, version=ver) == want, (
             f"delta time travel diverged: seed={seed} version={ver}"
         )
     for sid in rng.sample(sorted(ice_states), min(2, len(ice_states))):
-        assert ice.rows(snapshot_id=sid) == ice_states[sid], (
+        c, want = ice_states[sid]
+        assert ice.rows(c, snapshot_id=sid) == want, (
             f"iceberg time travel diverged: seed={seed} snapshot={sid}"
         )
 
     # CDF replay: composing read_changes' insert/delete rows version by
     # version from 0 must land exactly on the final state, with no
-    # commit deleting a row the running state doesn't hold
+    # commit deleting a row the running state doesn't hold.
+    # read_changes pins the END snapshot's schema, so every event row
+    # carries the final column list (pre-DDL files null-fill).
+    final_cols = ops[-1]["cols"]
     cdf = delta.log.read_changes(spark, 0).select(
-        "k", "v", "_change_type", "_commit_version"
+        *final_cols, "_change_type", "_commit_version"
     ).collect()
     by_ver: dict[int, list] = {}
     for r in cdf:
@@ -371,18 +441,14 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int, mapped: bool):
     state: Counter = Counter()
     for ver in sorted(by_ver):
         for r in by_ver[ver]:
-            if r._change_type == "delete":
-                state[(r.k, r.v)] -= 1
-            else:
-                state[(r.k, r.v)] += 1
+            kv = tuple(r[c] for c in final_cols)
+            state[kv] += -1 if r._change_type == "delete" else 1
         bad = {kv: c for kv, c in state.items() if c < 0}
         assert not bad, (
             f"CDF replay went negative at version {ver}: seed={seed} "
             f"{bad}"
         )
-    replayed = sorted(
-        kv for kv, c in state.items() for _ in range(c)
-    )
+    replayed = sorted(kv for kv, c in state.items() for _ in range(c))
     assert replayed == sorted(model), (
         f"CDF replay != final state: seed={seed}"
     )
@@ -435,19 +501,21 @@ def test_crash_at_commit_swap_preserves_snapshots(spark, tmp_path):
     atomic commit; a crash exactly there must leave every committed
     snapshot intact, the retry must succeed against the unchanged
     table, and vacuum must reclaim the orphaned staging debris."""
+    cols = ["k", "v"]
     delta = DeltaHarness(spark, str(tmp_path / "dc"), mapped=False)
     ice = IcebergHarness(spark, str(tmp_path / "ic"))
     rows = [(1, 10), (2, 20), (3, 30), (4, 40)]
-    delta.append(rows, 1000)
-    ice.append(rows, 1000)
+    delta.append(rows, cols, 1000)
+    ice.append(rows, cols, 1000)
     model = list(rows)
 
     faces = [
         ("delete", lambda h, now: h.delete("k", 2, 2, now),
-         lambda m: _model_delete(m, "k", 2, 2)),
+         lambda m: _model_delete(m, cols, "k", 2, 2)),
         ("update", lambda h, now: h.update("k", 3, 3, "v", 99, now),
-         lambda m: _model_update(m, "k", 3, 3, "v", lambda r: 99)),
-        ("merge", lambda h, now: h.merge([(4, 44), (5, 55)], now),
+         lambda m: _model_update(m, cols, "k", 3, 3, "v",
+                                 lambda r: 99)),
+        ("merge", lambda h, now: h.merge([(4, 44), (5, 55)], cols, now),
          lambda m: _model_merge(m, [(4, 44), (5, 55)])),
     ]
     now = 2000
@@ -456,17 +524,23 @@ def test_crash_at_commit_swap_preserves_snapshots(spark, tmp_path):
         _crash_delta(delta.log, lambda: run(delta, now))
         _crash_iceberg(ice.t, lambda: run(ice, now))
         want = sorted(model)
-        assert delta.rows() == want, f"delta changed after {name} crash"
-        assert ice.rows() == want, f"iceberg changed after {name} crash"
+        assert delta.rows(cols) == want, (
+            f"delta changed after {name} crash"
+        )
+        assert ice.rows(cols) == want, (
+            f"iceberg changed after {name} crash"
+        )
         # staged-but-unreferenced debris reclaims without touching rows
         delta.log.vacuum()
         ice.t.vacuum()
-        assert delta.rows() == want and ice.rows() == want
+        assert delta.rows(cols) == want and ice.rows(cols) == want
         # the retry lands the op for real
         now += 1000
         run(delta, now)
         run(ice, now)
         model = advance(model)
         want = sorted(model)
-        assert delta.rows() == want, f"delta retry diverged: {name}"
-        assert ice.rows() == want, f"iceberg retry diverged: {name}"
+        assert delta.rows(cols) == want, f"delta retry diverged: {name}"
+        assert ice.rows(cols) == want, (
+            f"iceberg retry diverged: {name}"
+        )

@@ -1870,3 +1870,54 @@ def test_merge_upsert_validation_before_write(spark, tmp_path):
         t2.merge_upsert(spark, src, "d")
     assert set(_g.glob(os.path.join(d, "data", "*"))) == before
     assert _g.glob(os.path.join(d2, "data", "*")) == []
+
+
+def test_column_filter_on_just_added_column_current_read(spark, tmp_path):
+    """A CURRENT read's column_filter resolves against the CURRENT
+    schema, exactly like the read's output frame: DDL is metadata-only
+    (no snapshot), so the latest snapshot's recorded schema-id predates
+    the add — resolving there refused a filter on a just-added column
+    (found by the DML sequence fuzzer).  Time travel keeps pinning the
+    snapshot's own schema."""
+    from hadoop_sync_spark.iceberg_meta import parquet_column_bounds
+
+    d = str(tmp_path / "cfadd")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(d, [("k", "bigint")], now_ms=1)
+
+    def add(name, ks, cs=None):
+        p = os.path.join(d, "data", name)
+        cols = {"k": pa.array(ks, pa.int64())}
+        if cs is not None:
+            cols["c1"] = pa.array(cs, pa.int64())
+        pq.write_table(pa.table(cols), p)
+        meta = t.metadata()
+        fields = next(
+            s for s in meta["schemas"]
+            if s.get("schema-id") == meta.get("current-schema-id", 0)
+        )["fields"]
+        lb, ub = parquet_column_bounds(p, fields)
+        t.append([DataFile(f"data/{name}", {}, len(ks),
+                           os.path.getsize(p),
+                           lower_bounds=lb, upper_bounds=ub)],
+                 now_ms=1000)
+
+    add("f1.parquet", [1, 2])
+    s1 = t.metadata()["current-snapshot-id"]
+    t.add_column("c1", "bigint", now_ms=2000)
+    # filter on the just-added column BEFORE any new snapshot exists:
+    # resolves, matches nothing (every row null-fills)
+    assert t.read(spark, column_filter={"c1": (0, 10**6)}).count() == 0
+    add("f2.parquet", [3, 4], [30, 40])
+    # bounds prune: old file has no c1 stats (never pruned, rows are
+    # NULL and fail the predicate); new file matches
+    got = sorted(
+        tuple(r) for r in t.read(
+            spark, column_filter={"c1": (30, 30)}
+        ).collect()
+    )
+    assert got == [(3, 30)]
+    # time travel to the pre-DDL snapshot still refuses the name: the
+    # snapshot's schema is pinned, c1 did not exist there
+    with pytest.raises(ValueError, match="no such column 'c1'"):
+        t.read(spark, snapshot_id=s1, column_filter={"c1": (0, 1)})
