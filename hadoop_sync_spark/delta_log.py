@@ -1290,10 +1290,22 @@ class DeltaLog:
                         if pf["name"] not in part_cols
                     ])
                 else:
-                    data_cols = spark.read.parquet(
-                        *[os.path.join(self.table_dir, a["path"])
-                          for a in group]
-                    ).columns
+                    # column list from the LOGGED schema, not a sampled
+                    # footer: Spark's inferred read picks ONE footer per
+                    # directory, and a bin mixing pre- and post-
+                    # add_column files sampled a pre-DDL footer — the
+                    # select then silently DROPPED the added column's
+                    # values from the rewrite (data loss; the mapped
+                    # branch above and the Iceberg twin were fixed in
+                    # r9, this branch was caught by the DML fuzzer).
+                    # read(paths) pins the logged schema, so pre-DDL
+                    # rows null-fill and post-DDL values survive;
+                    # partition columns stay metadata-only.
+                    data_cols = [
+                        f["name"]
+                        for f in _json.loads(snap.schema_json)["fields"]
+                        if f["name"] not in part_cols
+                    ]
                     out = self.read(spark, paths=rels).select(*data_cols)
                 rel = f"part-compact-{version:010d}-{i}.parquet"
                 dest = os.path.join(self.table_dir, rel)

@@ -2111,3 +2111,33 @@ def test_checkpoint_seeded_protocol_drops_parquet_nulls(spark, tmp_path):
     res = log2.delete_where(spark, {"k": (1, 1)}, now_ms=1000)
     assert res["rows_deleted"] == 1
     assert sorted(r.k for r in log2.read(spark).collect()) == [2]
+
+
+def test_compact_unmapped_across_add_column_keeps_values(spark, tmp_path):
+    """Compacting a bin that mixes pre- and post-add_column files must
+    carry the added column's VALUES into the rewrite.  The unmapped
+    branch derived its column list from Spark's inferred parquet read,
+    which samples ONE footer — a pre-DDL footer dropped the column
+    silently (data loss; the mapped branch and the Iceberg twin were
+    fixed in r9, this branch was caught by the DML fuzzer).  The
+    column list now comes from the logged schema, partitioned and
+    unpartitioned alike."""
+    for partitioned in (False, True):
+        d, log = _mk_table(tmp_path, f"cmp_ddl_{partitioned}")
+        pv = {"partitionValues": {"p": "0"}} if partitioned else {}
+        meta = _meta_partitioned() if partitioned else _meta()
+        _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+        log.commit(0, [{"protocol": {"minReaderVersion": 1}}, meta,
+                       log.add_action_for("a.parquet", **pv)])
+        log.add_column("c1", "long", now_ms=1)
+        _write_file(d, "b.parquet", {"k": [2], "v": [20], "c1": [99]})
+        log.commit(2, [log.add_action_for("b.parquet", **pv)])
+        res = log.compact(spark)
+        assert res is not None and res["files_in"] == 2
+        got = sorted(
+            tuple(r) for r in
+            log.read(spark).select("k", "v", "c1").collect()
+        )
+        assert got == [(1, 10, None), (2, 20, 99)], (
+            f"partitioned={partitioned}: added-column values lost"
+        )

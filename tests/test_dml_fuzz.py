@@ -60,35 +60,43 @@ K_MAX = 30
 V_MAX = 400
 
 
-def _delta_schema_json(mapped: bool) -> str:
-    def fld(name, fid, pn):
+P_MAX = 3
+
+
+def _delta_schema_json(mapped: bool, partitioned: bool) -> str:
+    def fld(name, fid, pn, typ="long"):
         md = (
             {"delta.columnMapping.id": fid,
              "delta.columnMapping.physicalName": pn}
             if mapped
             else {}
         )
-        return {"name": name, "type": "long", "nullable": True,
+        return {"name": name, "type": typ, "nullable": True,
                 "metadata": md}
 
-    return json.dumps({
-        "type": "struct",
-        "fields": [fld("k", 1, "col-kkk"), fld("v", 2, "col-vvv")],
-    })
+    fields = [fld("k", 1, "col-kkk"), fld("v", 2, "col-vvv")]
+    if partitioned:
+        fields.append(fld("p", 3, "col-ppp"))
+    return json.dumps({"type": "struct", "fields": fields})
 
 
 class DeltaHarness:
-    """Drives a (possibly name-mapped) unpartitioned Delta table."""
+    """Drives a (possibly name-mapped, possibly identity-partitioned
+    on ``p``) Delta table.  Partition values live in the logged
+    ``add.partitionValues`` only — data files never carry ``p``,
+    the protocol's own layout."""
 
-    def __init__(self, spark, table_dir: str, mapped: bool):
+    def __init__(self, spark, table_dir: str, mapped: bool,
+                 partitioned: bool = False):
         self.spark = spark
         self.d = table_dir
         self.mapped = mapped
+        self.partitioned = partitioned
         os.makedirs(table_dir)
         self.log = DeltaLog(table_dir)
         conf = (
             {"delta.columnMapping.mode": "name",
-             "delta.columnMapping.maxColumnId": "2"}
+             "delta.columnMapping.maxColumnId": "3"}
             if mapped
             else {}
         )
@@ -104,8 +112,9 @@ class DeltaHarness:
             {"metaData": {
                 "id": "fz", "format": {"provider": "parquet",
                                        "options": {}},
-                "schemaString": _delta_schema_json(mapped),
-                "partitionColumns": [], "configuration": conf,
+                "schemaString": _delta_schema_json(mapped, partitioned),
+                "partitionColumns": ["p"] if partitioned else [],
+                "configuration": conf,
             }},
         ])
         self.n_files = 0
@@ -120,21 +129,37 @@ class DeltaHarness:
         }
 
     def append(self, rows, cols, now):
-        rel = f"fz-{self.n_files:04d}.parquet"
-        self.n_files += 1
         phys = self._phys()
-        pq.write_table(
-            pa.table({
-                phys[c]: pa.array([r[j] for r in rows], pa.int64())
-                for j, c in enumerate(cols)
-            }),
-            os.path.join(self.d, rel),
-        )
-        self.log.commit(
-            self.log.latest_version() + 1,
-            [{"commitInfo": {"timestamp": now, "operation": "WRITE"}},
-             self.log.add_action_for(rel)],
-        )
+        data_cols = [c for c in cols if c != "p"]
+        groups: dict[object, list] = {}
+        if self.partitioned:
+            jp = cols.index("p")
+            for r in rows:
+                groups.setdefault(r[jp], []).append(r)
+        else:
+            groups[None] = list(rows)
+        actions = [
+            {"commitInfo": {"timestamp": now, "operation": "WRITE"}}
+        ]
+        for pv in sorted(groups):
+            rel = f"fz-{self.n_files:04d}.parquet"
+            self.n_files += 1
+            grp = groups[pv]
+            pq.write_table(
+                pa.table({
+                    phys[c]: pa.array(
+                        [r[cols.index(c)] for r in grp], pa.int64()
+                    )
+                    for c in data_cols
+                }),
+                os.path.join(self.d, rel),
+            )
+            extra = {}
+            if self.partitioned:
+                # partitionValues keys are PHYSICAL names under mapping
+                extra["partitionValues"] = {phys["p"]: str(pv)}
+            actions.append(self.log.add_action_for(rel, **extra))
+        self.log.commit(self.log.latest_version() + 1, actions)
 
     def delete(self, col, lo, hi, now):
         self.log.delete_where(self.spark, {col: (lo, hi)}, now_ms=now)
@@ -168,15 +193,23 @@ class DeltaHarness:
 
 
 class IcebergHarness:
-    """Drives an unpartitioned Iceberg v2 table (bounds stamped on
-    appends so delete_rows' manifest pruning layer is live)."""
+    """Drives an Iceberg v2 table, optionally identity-partitioned on
+    ``p`` (bounds stamped on appends so delete_rows' manifest pruning
+    layer is live; partition values live in the manifests only — data
+    files never carry ``p``, production Iceberg's own layout)."""
 
-    def __init__(self, spark, table_dir: str):
+    def __init__(self, spark, table_dir: str, partitioned: bool = False):
         self.spark = spark
         self.d = table_dir
+        self.partitioned = partitioned
         os.makedirs(os.path.join(table_dir, "data"))
+        fields = [("k", "bigint"), ("v", "bigint")]
+        if partitioned:
+            fields.append(("p", "bigint"))
         self.t = IcebergTable.create(
-            table_dir, [("k", "bigint"), ("v", "bigint")], now_ms=1
+            table_dir, fields,
+            partition_by=[("p", "long")] if partitioned else None,
+            now_ms=1,
         )
         self.n_files = 0
 
@@ -188,22 +221,36 @@ class IcebergHarness:
         )["fields"]
 
     def append(self, rows, cols, now):
-        name = f"data/fz-{self.n_files:04d}.parquet"
-        self.n_files += 1
-        p = os.path.join(self.d, name)
-        pq.write_table(
-            pa.table({
-                c: pa.array([r[j] for r in rows], pa.int64())
-                for j, c in enumerate(cols)
-            }),
-            p,
-        )
-        lb, ub = parquet_column_bounds(p, self._fields())
-        self.t.append(
-            [DataFile(name, {}, len(rows), os.path.getsize(p),
-                      lower_bounds=lb, upper_bounds=ub)],
-            now_ms=now,
-        )
+        data_cols = [c for c in cols if c != "p"]
+        groups: dict[object, list] = {}
+        if self.partitioned:
+            jp = cols.index("p")
+            for r in rows:
+                groups.setdefault(r[jp], []).append(r)
+        else:
+            groups[None] = list(rows)
+        files = []
+        for pv in sorted(groups):
+            name = f"data/fz-{self.n_files:04d}.parquet"
+            self.n_files += 1
+            p = os.path.join(self.d, name)
+            grp = groups[pv]
+            pq.write_table(
+                pa.table({
+                    c: pa.array(
+                        [r[cols.index(c)] for r in grp], pa.int64()
+                    )
+                    for c in data_cols
+                }),
+                p,
+            )
+            lb, ub = parquet_column_bounds(p, self._fields())
+            files.append(
+                DataFile(name, {"p": pv} if self.partitioned else {},
+                         len(grp), os.path.getsize(p),
+                         lower_bounds=lb, upper_bounds=ub)
+            )
+        self.t.append(files, now_ms=now)
 
     def delete(self, col, lo, hi, now):
         self.t.delete_rows(self.spark, {col: (lo, hi)}, now_ms=now)
@@ -276,15 +323,20 @@ def _model_merge(model, batch):
     ]
 
 
-def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool):
+def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
+                  partitioned: bool = False):
     """A legal op sequence over a growing column list.  Updates stop
     after the first merge (Iceberg's live-equality-delete refusal);
     at most two columns are added; appends and merge sources carry
-    non-null values for every current column."""
-    cols = ["k", "v"]
+    non-null values for every current column.  Partitioned sequences
+    emit no merges (both formats refuse) and never put ``p`` in a
+    predicate or SET (both formats guard partition columns)."""
+    cols = ["k", "v"] + (["p"] if partitioned else [])
 
     def span(col):
-        return K_MAX if col == "k" else V_MAX
+        if col == "k":
+            return K_MAX
+        return P_MAX if col == "p" else V_MAX
 
     def fresh_rows(n):
         return [tuple(rng.randrange(span(c)) for c in cols)
@@ -301,7 +353,7 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool):
                         "rows": fresh_rows(rng.randint(1, 5)),
                         "cols": list(cols)})
         elif roll < 0.46:
-            col = rng.choice(cols)
+            col = rng.choice([c for c in cols if c != "p"])
             lo = rng.randrange(span(col))
             hi = lo + rng.randint(0, span(col) // 3)
             if rng.random() < 0.15:
@@ -311,27 +363,28 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool):
             ops.append({"op": "delete", "col": col, "lo": lo, "hi": hi,
                         "cols": list(cols)})
         elif roll < 0.62 and not merged:
-            col = rng.choice(cols)
+            col = rng.choice([c for c in cols if c != "p"])
             lo = rng.randrange(span(col))
             hi = lo + rng.randint(0, span(col) // 2)
-            set_col = rng.choice([c for c in cols if c != col] or cols)
+            settable = [c for c in cols if c != col and c != "p"]
+            set_col = rng.choice(settable or [col])
             kind = "lit" if rng.random() < 0.5 else "add"
             val = (rng.randrange(V_MAX) if kind == "lit"
                    else rng.randint(1, 50))
             ops.append({"op": "update", "col": col, "lo": lo, "hi": hi,
                         "set_col": set_col, "kind": kind, "val": val,
                         "cols": list(cols)})
-        elif roll < 0.77:
+        elif roll < 0.77 and not partitioned:
             n = rng.randint(1, 5)
             ks = rng.sample(range(K_MAX), n)
             batch = [
-                (k, *(rng.randrange(V_MAX) for _ in cols[1:]))
+                (k, *(rng.randrange(span(c)) for c in cols[1:]))
                 for k in ks
             ]
             if rng.random() < 0.2:
                 batch.append(
                     (batch[0][0],
-                     *(rng.randrange(V_MAX) for _ in cols[1:]))
+                     *(rng.randrange(span(c)) for c in cols[1:]))
                 )
             ops.append({"op": "merge", "batch": batch,
                         "cols": list(cols)})
@@ -350,11 +403,14 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool):
 
 
 def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
-                  mapped: bool, with_ddl: bool = True):
+                  mapped: bool, with_ddl: bool = True,
+                  partitioned: bool = False):
     rng = random.Random(seed)
-    ops = _gen_sequence(rng, n_ops, with_ddl)
-    delta = DeltaHarness(spark, str(tmp_path / f"d{seed}"), mapped)
-    ice = IcebergHarness(spark, str(tmp_path / f"i{seed}"))
+    ops = _gen_sequence(rng, n_ops, with_ddl, partitioned)
+    delta = DeltaHarness(spark, str(tmp_path / f"d{seed}"), mapped,
+                         partitioned)
+    ice = IcebergHarness(spark, str(tmp_path / f"i{seed}"),
+                         partitioned)
     model: list[tuple] = []
     delta_states: dict[int, tuple] = {}
     ice_states: dict[int, tuple] = {}
@@ -466,6 +522,12 @@ def test_dml_sequence_matches_model_mapped(spark, tmp_path, seed):
 
 def test_dml_sequence_long(spark, tmp_path):
     _run_sequence(spark, tmp_path, seed=31, n_ops=14, mapped=False)
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_dml_sequence_partitioned(spark, tmp_path, seed):
+    _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False,
+                  partitioned=True)
 
 
 # ---------------------------------------------- crash injection at commit
