@@ -517,7 +517,13 @@ class DeltaLog:
     def _apply(self, snap: Snapshot, action: dict) -> None:
         if "protocol" in action:
             proto = action["protocol"]
-            mrv = proto.get("minReaderVersion", 1)
+            # JSON-null version fields read as absent, the same stance
+            # _protocol_with_feature takes — a lax external writer's
+            # {"minReaderVersion": null} must not crash the whole
+            # replay with a None<int comparison (review of the fuzzer
+            # round: the parquet-checkpoint nulls are stripped by the
+            # seeder, but a commit .json can carry them too)
+            mrv = proto.get("minReaderVersion") or 1
             if mrv == 3:
                 feats = set(proto.get("readerFeatures") or ())
                 # typeWidening (round 10): the table schemaString holds
@@ -1248,6 +1254,23 @@ class DeltaLog:
         if not bins:
             return None
 
+        # unmapped rewrite column list from the LOGGED schema, not a
+        # sampled footer: Spark's inferred read picks ONE footer per
+        # directory, and a bin mixing pre- and post-add_column files
+        # could sample a pre-DDL footer — the select then silently
+        # DROPPED the added column's values from the rewrite (data
+        # loss; the mapped branch and the Iceberg twin were fixed in
+        # r9, this branch was caught by the DML fuzzer).  read(paths)
+        # pins the logged schema, so pre-DDL rows null-fill and
+        # post-DDL values survive; partition columns stay
+        # metadata-only.  Bin-invariant, so computed once here (the
+        # mapped twin phys_fields is hoisted the same way above).
+        data_cols = [
+            f["name"]
+            for f in _json.loads(snap.schema_json)["fields"]
+            if f["name"] not in part_cols
+        ]
+
         import glob as _glob
         import shutil as _shutil
         import tempfile as _tempfile
@@ -1290,22 +1313,6 @@ class DeltaLog:
                         if pf["name"] not in part_cols
                     ])
                 else:
-                    # column list from the LOGGED schema, not a sampled
-                    # footer: Spark's inferred read picks ONE footer per
-                    # directory, and a bin mixing pre- and post-
-                    # add_column files sampled a pre-DDL footer — the
-                    # select then silently DROPPED the added column's
-                    # values from the rewrite (data loss; the mapped
-                    # branch above and the Iceberg twin were fixed in
-                    # r9, this branch was caught by the DML fuzzer).
-                    # read(paths) pins the logged schema, so pre-DDL
-                    # rows null-fill and post-DDL values survive;
-                    # partition columns stay metadata-only.
-                    data_cols = [
-                        f["name"]
-                        for f in _json.loads(snap.schema_json)["fields"]
-                        if f["name"] not in part_cols
-                    ]
                     out = self.read(spark, paths=rels).select(*data_cols)
                 rel = f"part-compact-{version:010d}-{i}.parquet"
                 dest = os.path.join(self.table_dir, rel)

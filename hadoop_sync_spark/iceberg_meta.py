@@ -636,6 +636,30 @@ class IcebergTable:
             None, ref=ref
         )
 
+    def _read_schema_id(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
+    ) -> int:
+        """The schema-id a read's output frame speaks — ONE rule shared
+        by read()'s both branches and the scan/filter layer (review:
+        three hand-rolled copies had already drifted on missing
+        current-schema-id handling).  A CURRENT read (no snapshot /
+        timestamp / ref pin) uses the table's current schema, because
+        DDL is metadata-only and commits no snapshot, so the latest
+        snapshot's recorded schema-id predates any post-commit
+        add/rename; a pinned read uses the snapshot's own schema (a
+        field renamed later stays addressable by its then-current
+        spelling)."""
+        cur = self.metadata().get("current-schema-id", 0)
+        if (snapshot_id is None and as_of_timestamp_ms is None
+                and ref is None):
+            return cur
+        return self.snapshot(
+            snapshot_id, as_of_timestamp_ms, ref=ref
+        ).get("schema-id", cur)
+
     def _scan_manifests(
         self,
         want_content: int,
@@ -650,22 +674,13 @@ class IcebergTable:
         col_info: dict[str, tuple[int, str]] = {}
         if column_filter:
             # filter names resolve against the schema the read's output
-            # frame will carry — the SAME two-branch rule as read():
-            # a CURRENT read uses the current schema (DDL is
-            # metadata-only, so the latest snapshot's recorded
-            # schema-id predates any post-commit add/rename — the
-            # fuzzer caught a filter on a just-added column refusing
-            # here), while time travel pins the snapshot's schema (a
-            # field renamed after that snapshot must stay addressable
-            # by its then-current spelling)
-            if (snapshot_id is None and as_of_timestamp_ms is None
-                    and ref is None):
-                sid = meta.get("current-schema-id", 0)
-            else:
-                sid = snap.get(
-                    "schema-id", meta.get("current-schema-id", 0)
-                )
-            schema = self._schema_by_id(sid)
+            # frame will carry (the fuzzer caught a filter on a
+            # just-added column refusing under the old snapshot-only
+            # resolution) — the shared rule in _read_schema_id
+            schema = self._schema_by_id(
+                self._read_schema_id(snapshot_id, as_of_timestamp_ms,
+                                     ref)
+            )
             by_name = {f["name"]: f for f in schema["fields"]}
             for name in column_filter:
                 f = by_name.get(name)
@@ -881,13 +896,9 @@ class IcebergTable:
                 from pyspark.sql import types as T
 
                 m = self.metadata()
-                sid0 = m.get("current-schema-id", 0)
-                if (snapshot_id is not None
-                        or as_of_timestamp_ms is not None
-                        or ref is not None):
-                    sid0 = self.snapshot(
-                        snapshot_id, as_of_timestamp_ms, ref=ref
-                    ).get("schema-id", sid0)
+                sid0 = self._read_schema_id(
+                    snapshot_id, as_of_timestamp_ms, ref
+                )
                 part_fields: dict[str, str] = {}
                 for spec in m.get("partition-specs", []):
                     for pf in spec.get("fields", []):
@@ -971,18 +982,11 @@ class IcebergTable:
             # promotions and drop+re-add-same-name still refuse.
             # Single-schema tables keep the exact inferred-schema plan.
             variants = self._rename_history()
-            if (snapshot_id is None and as_of_timestamp_ms is None
-                    and ref is None):
-                # a CURRENT read always uses the current schema — DDL is
-                # metadata-only (no snapshot), so the latest snapshot's
-                # recorded schema-id predates any post-commit add/drop
-                sid = meta_doc["current-schema-id"]
-            else:
-                # time travel (by id, timestamp or ref) reads the
-                # snapshot with ITS schema
-                sid = self.snapshot(
-                    snapshot_id, as_of_timestamp_ms, ref=ref
-                ).get("schema-id", meta_doc["current-schema-id"])
+            # current read → current schema; pinned read → the
+            # snapshot's schema (the shared rule in _read_schema_id)
+            sid = self._read_schema_id(
+                snapshot_id, as_of_timestamp_ms, ref
+            )
             read_sid = sid
             reader = reader.schema(
                 self._spark_schema(

@@ -2141,3 +2141,22 @@ def test_compact_unmapped_across_add_column_keeps_values(spark, tmp_path):
         assert got == [(1, 10, None), (2, 20, 99)], (
             f"partitioned={partitioned}: added-column values lost"
         )
+
+
+def test_json_null_protocol_versions_read_as_absent(spark, tmp_path):
+    """A lax external writer's {"minReaderVersion": null} in a commit
+    JSON must read as ABSENT (lowest version) — the same stance the
+    checkpoint seeder and _protocol_with_feature take — not crash the
+    replay with a None<int comparison."""
+    d, log = _mk_table(tmp_path, "nullproto")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": None,
+                      "minWriterVersion": None}},
+        _meta(), log.add_action_for("a.parquet"),
+    ])
+    assert [tuple(r) for r in log.read(spark).collect()] == [(1, 10)]
+    # and the DV face upgrades the null-riddled protocol cleanly
+    res = log.delete_where(spark, {"k": (1, 1)}, now_ms=1000)
+    assert res["rows_deleted"] == 1
+    assert log.read(spark).count() == 0

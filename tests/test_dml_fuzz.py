@@ -181,8 +181,14 @@ class DeltaHarness:
     def compact(self, now):
         self.log.compact(self.spark)
 
-    def checkpoint(self):
-        self.log.write_checkpoint()
+    def checkpoint(self, kind="v1", sidecars=1):
+        if kind == "v2":
+            # commits the v2Checkpoint protocol upgrade at head when
+            # missing (one protocol-only commit), then seeds every
+            # later read through the v2 layout
+            self.log.write_checkpoint_v2(sidecars=sidecars)
+        else:
+            self.log.write_checkpoint()
 
     def version(self) -> int:
         return self.log.latest_version()
@@ -398,7 +404,10 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
         elif roll < 0.95:
             ops.append({"op": "compact", "cols": list(cols)})
         else:
-            ops.append({"op": "checkpoint", "cols": list(cols)})
+            kind = "v2" if rng.random() < 0.5 else "v1"
+            ops.append({"op": "checkpoint", "kind": kind,
+                        "sidecars": rng.randint(0, 1),
+                        "cols": list(cols)})
     return ops
 
 
@@ -455,7 +464,8 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             delta.compact(now)
             ice.compact(now)
         elif op["op"] == "checkpoint":
-            delta.checkpoint()
+            delta.checkpoint(op.get("kind", "v1"),
+                             op.get("sidecars", 1))
 
         want = sorted(model)
         ctx = f"seed={seed} mapped={mapped} step={i} op={op}"
@@ -593,8 +603,11 @@ def test_crash_at_commit_swap_preserves_snapshots(spark, tmp_path):
             f"iceberg changed after {name} crash"
         )
         # staged-but-unreferenced debris reclaims without touching rows
-        delta.log.vacuum()
-        ice.t.vacuum()
+        # — and there must BE debris: every face stages files before
+        # its commit, so an empty reclaim list means the crash landed
+        # after the commit (not the contract under test)
+        assert delta.log.vacuum(), f"no delta debris after {name} crash"
+        assert ice.t.vacuum(), f"no iceberg debris after {name} crash"
         assert delta.rows(cols) == want and ice.rows(cols) == want
         # the retry lands the op for real
         now += 1000

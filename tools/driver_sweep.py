@@ -63,6 +63,12 @@ def main() -> int:
     import __spark_entry__ as E
 
     qs, osql = E.queries(), E.oracle_sql()
+    if args.all and args.names:
+        # silently running the full (slow) sweep when the user named
+        # specific queries would hide their typo behind exit 0
+        print("--all and query names are mutually exclusive",
+              file=sys.stderr)
+        return 1
     if args.all:
         names = list(qs)
     elif args.names:
