@@ -60,6 +60,17 @@ K_MAX = 30
 V_MAX = 400
 
 
+def _nsort(rows):
+    """None-safe multiset sort: tuples mixing None (null-filled pre-DDL
+    cells) and ints crash plain sorted() on ties."""
+    return sorted(
+        rows,
+        key=lambda r: tuple(
+            (v is None, 0 if v is None else v) for v in r
+        ),
+    )
+
+
 P_MAX = 3
 
 
@@ -178,6 +189,12 @@ class DeltaHarness:
     def add_column(self, name, now):
         self.log.add_column(name, "long", now_ms=now)
 
+    def rename_column(self, old, new, now):
+        self.log.rename_column(old, new, now_ms=now)
+
+    def drop_column(self, name, now):
+        self.log.drop_column(name, now_ms=now)
+
     def compact(self, now):
         self.log.compact(self.spark)
 
@@ -195,7 +212,8 @@ class DeltaHarness:
 
     def rows(self, cols, version=None):
         df = self.log.read(self.spark, version).select(*cols)
-        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+        return _nsort(tuple(r[c] for c in cols)
+                      for r in df.collect())
 
 
 class IcebergHarness:
@@ -288,7 +306,8 @@ class IcebergHarness:
         df = self.t.read(
             self.spark, snapshot_id=snapshot_id
         ).select(*cols)
-        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+        return _nsort(tuple(r[c] for c in cols)
+                      for r in df.collect())
 
 
 # ------------------------------------------------------------- the model
@@ -467,7 +486,7 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             delta.checkpoint(op.get("kind", "v1"),
                              op.get("sidecars", 1))
 
-        want = sorted(model)
+        want = _nsort(model)
         ctx = f"seed={seed} mapped={mapped} step={i} op={op}"
         assert delta.rows(cols) == want, f"delta diverged: {ctx}"
         assert ice.rows(cols) == want, f"iceberg diverged: {ctx}"
@@ -514,8 +533,9 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             f"CDF replay went negative at version {ver}: seed={seed} "
             f"{bad}"
         )
-    replayed = sorted(kv for kv, c in state.items() for _ in range(c))
-    assert replayed == sorted(model), (
+    replayed = _nsort(kv for kv, c in state.items()
+                      for _ in range(c))
+    assert replayed == _nsort(model), (
         f"CDF replay != final state: seed={seed}"
     )
 
@@ -538,6 +558,178 @@ def test_dml_sequence_long(spark, tmp_path):
 def test_dml_sequence_partitioned(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False,
                   partitioned=True)
+
+
+# ------------------------------------- mapped-Delta DDL-heavy sequences
+#
+# rename_column / drop_column are column-mapped-Delta-only faces (the
+# mapping exists precisely to make them metadata-only), and Iceberg's
+# DML faces refuse renamed histories by contract — so this variant runs
+# the Delta twin alone against the model, with the full DDL triple in
+# the op mix and no post-merge update restriction (that was Iceberg's
+# refusal).  Renames keep the key column stable; drops never take k.
+
+
+def _gen_ddl_sequence(rng: random.Random, n_ops: int):
+    cols = ["k", "v"]
+
+    def span(col):
+        return K_MAX if col == "k" else V_MAX
+
+    def fresh_rows(n):
+        return [tuple(rng.randrange(span(c)) for c in cols)
+                for _ in range(n)]
+
+    ops = [{"op": "append", "rows": fresh_rows(rng.randint(2, 6)),
+            "cols": list(cols)}]
+    n_added = n_renamed = n_dropped = 0
+    while len(ops) < n_ops:
+        roll = rng.random()
+        if roll < 0.25:
+            ops.append({"op": "append",
+                        "rows": fresh_rows(rng.randint(1, 5)),
+                        "cols": list(cols)})
+        elif roll < 0.43:
+            col = rng.choice(cols)
+            lo = rng.randrange(span(col))
+            hi = lo + rng.randint(0, span(col) // 3)
+            ops.append({"op": "delete", "col": col, "lo": lo, "hi": hi,
+                        "cols": list(cols)})
+        elif roll < 0.58:
+            col = rng.choice(cols)
+            lo = rng.randrange(span(col))
+            hi = lo + rng.randint(0, span(col) // 2)
+            set_col = rng.choice([c for c in cols if c != col] or cols)
+            kind = "lit" if rng.random() < 0.5 else "add"
+            val = (rng.randrange(V_MAX) if kind == "lit"
+                   else rng.randint(1, 50))
+            ops.append({"op": "update", "col": col, "lo": lo, "hi": hi,
+                        "set_col": set_col, "kind": kind, "val": val,
+                        "cols": list(cols)})
+        elif roll < 0.70:
+            n = rng.randint(1, 4)
+            ks = rng.sample(range(K_MAX), n)
+            batch = [
+                (k, *(rng.randrange(span(c)) for c in cols[1:]))
+                for k in ks
+            ]
+            ops.append({"op": "merge", "batch": batch,
+                        "cols": list(cols)})
+        elif roll < 0.80 and n_added < 3:
+            n_added += 1
+            name = f"c{n_added}"
+            cols.append(name)
+            ops.append({"op": "add_column", "name": name,
+                        "cols": list(cols)})
+        elif roll < 0.88 and n_renamed < 2:
+            old = rng.choice([c for c in cols if c != "k"])
+            n_renamed += 1
+            new = f"r{n_renamed}"
+            cols[cols.index(old)] = new
+            ops.append({"op": "rename_column", "old": old, "new": new,
+                        "cols": list(cols)})
+        elif roll < 0.93 and n_dropped < 1 and len(cols) > 2:
+            name = rng.choice([c for c in cols if c != "k"])
+            n_dropped += 1
+            j = cols.index(name)
+            cols.pop(j)
+            ops.append({"op": "drop_column", "name": name, "idx": j,
+                        "cols": list(cols)})
+        elif roll < 0.97:
+            ops.append({"op": "compact", "cols": list(cols)})
+        else:
+            kind = "v2" if rng.random() < 0.5 else "v1"
+            ops.append({"op": "checkpoint", "kind": kind,
+                        "sidecars": rng.randint(0, 1),
+                        "cols": list(cols)})
+    return ops
+
+
+def _run_delta_ddl_sequence(spark, tmp_path, seed: int, n_ops: int):
+    rng = random.Random(seed)
+    ops = _gen_ddl_sequence(rng, n_ops)
+    delta = DeltaHarness(spark, str(tmp_path / f"dd{seed}"),
+                         mapped=True)
+    model: list[tuple] = []
+    states: dict[int, tuple] = {}
+    now = 1000
+
+    for i, op in enumerate(ops):
+        now += 1000
+        cols = op["cols"]
+        if op["op"] == "append":
+            delta.append(op["rows"], cols, now)
+            model = model + op["rows"]
+        elif op["op"] == "delete":
+            delta.delete(op["col"], op["lo"], op["hi"], now)
+            model = _model_delete(model, cols, op["col"],
+                                  op["lo"], op["hi"])
+        elif op["op"] == "update":
+            j = cols.index(op["set_col"])
+            if op["kind"] == "lit":
+                expr, fn = op["val"], (lambda r, v=op["val"]: v)
+            else:
+                expr = F.col(op["set_col"]) + op["val"]
+                fn = (lambda r, d=op["val"], jj=j:
+                      None if r[jj] is None else r[jj] + d)
+            delta.update(op["col"], op["lo"], op["hi"],
+                         op["set_col"], expr, now)
+            model = _model_update(model, cols, op["col"], op["lo"],
+                                  op["hi"], op["set_col"], fn)
+        elif op["op"] == "merge":
+            delta.merge(op["batch"], cols, now)
+            model = _model_merge(model, op["batch"])
+        elif op["op"] == "add_column":
+            delta.add_column(op["name"], now)
+            model = [(*r, None) for r in model]
+        elif op["op"] == "rename_column":
+            delta.rename_column(op["old"], op["new"], now)
+            # metadata-only: values untouched, the column list moved
+        elif op["op"] == "drop_column":
+            delta.drop_column(op["name"], now)
+            j = op["idx"]
+            model = [(*r[:j], *r[j + 1:]) for r in model]
+        elif op["op"] == "compact":
+            delta.compact(now)
+        elif op["op"] == "checkpoint":
+            delta.checkpoint(op.get("kind", "v1"),
+                             op.get("sidecars", 1))
+
+        want = _nsort(model)
+        ctx = f"seed={seed} step={i} op={op}"
+        assert delta.rows(cols) == want, f"delta diverged: {ctx}"
+        states[delta.version()] = (list(cols), want)
+
+    # time travel reads each version with ITS schema: pre-rename
+    # versions answer to the old names, pre-drop versions still carry
+    # the dropped column's values (the drop is metadata-only)
+    for ver in rng.sample(sorted(states), min(3, len(states))):
+        c, want = states[ver]
+        assert delta.rows(c, version=ver) == want, (
+            f"delta ddl time travel diverged: seed={seed} version={ver}"
+        )
+
+    # CDF replay under the END schema: renamed columns resolve through
+    # their unchanged physical names, dropped columns vanish from
+    # every event row exactly as they did from the model
+    final_cols = ops[-1]["cols"]
+    cdf = delta.log.read_changes(spark, 0).select(
+        *final_cols, "_change_type", "_commit_version"
+    ).collect()
+    state: Counter = Counter()
+    for r in sorted(cdf, key=lambda r: r._commit_version):
+        kv = tuple(r[c] for c in final_cols)
+        state[kv] += -1 if r._change_type == "delete" else 1
+    replayed = _nsort(kv for kv, c in state.items()
+                      for _ in range(c))
+    assert replayed == _nsort(model), (
+        f"ddl CDF replay != final state: seed={seed}"
+    )
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_dml_sequence_mapped_ddl_triple(spark, tmp_path, seed):
+    _run_delta_ddl_sequence(spark, tmp_path, seed, n_ops=12)
 
 
 # ---------------------------------------------- crash injection at commit
@@ -595,7 +787,7 @@ def test_crash_at_commit_swap_preserves_snapshots(spark, tmp_path):
         now += 1000
         _crash_delta(delta.log, lambda: run(delta, now))
         _crash_iceberg(ice.t, lambda: run(ice, now))
-        want = sorted(model)
+        want = _nsort(model)
         assert delta.rows(cols) == want, (
             f"delta changed after {name} crash"
         )
@@ -614,7 +806,7 @@ def test_crash_at_commit_swap_preserves_snapshots(spark, tmp_path):
         run(delta, now)
         run(ice, now)
         model = advance(model)
-        want = sorted(model)
+        want = _nsort(model)
         assert delta.rows(cols) == want, f"delta retry diverged: {name}"
         assert ice.rows(cols) == want, (
             f"iceberg retry diverged: {name}"
