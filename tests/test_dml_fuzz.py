@@ -811,3 +811,64 @@ def test_crash_at_commit_swap_preserves_snapshots(spark, tmp_path):
         assert ice.rows(cols) == want, (
             f"iceberg retry diverged: {name}"
         )
+
+
+# --------------------------------------------- optimistic-concurrency race
+
+def test_commit_race_loses_cleanly_and_retry_wins(spark, tmp_path):
+    """Both committers are put-if-absent (O_EXCL): when a concurrent
+    writer lands the exact version/metadata file a DML face is about
+    to claim, the face must FAIL loudly (FileExistsError), leave the
+    winner's commit as the table state with only vacuumable staging
+    debris, and a plain retry — which re-reads the now-current
+    snapshot — must succeed on top of the winner's commit."""
+    cols = ["k", "v"]
+    delta = DeltaHarness(spark, str(tmp_path / "dr"), mapped=False)
+    ice = IcebergHarness(spark, str(tmp_path / "ir"))
+    rows = [(1, 10), (2, 20), (3, 30)]
+    delta.append(rows, cols, 1000)
+    ice.append(rows, cols, 1000)
+
+    # -- delta: the "other writer" pre-claims the next commit version
+    orig_commit = delta.log.commit
+
+    def racing_commit(version, actions):
+        delta.log.commit = orig_commit  # the winner commits unpatched
+        delta.append([(9, 90)], cols, 1500)  # winner lands `version`
+        return orig_commit(version, actions)
+
+    delta.log.commit = racing_commit
+    try:
+        with pytest.raises(FileExistsError):
+            delta.delete(  # loser: computes version before the winner
+                "k", 2, 2, 2000
+            )
+    finally:
+        delta.log.commit = orig_commit
+    want = _nsort(rows + [(9, 90)])
+    assert delta.rows(cols) == want  # winner's state, loser invisible
+    delta.log.vacuum()
+    assert delta.rows(cols) == want
+    delta.delete("k", 2, 2, 3000)  # retry re-reads the snapshot
+    assert delta.rows(cols) == _nsort([(1, 10), (3, 30), (9, 90)])
+
+    # -- iceberg: the winner pre-claims the next metadata version
+    orig_write = ice.t._write_metadata
+
+    def racing_write(version, meta):
+        ice.t._write_metadata = orig_write
+        ice.append([(9, 90)], cols, 1500)  # winner takes `version`
+        ice.t._write_metadata = racing_write
+        return orig_write(version, meta)
+
+    ice.t._write_metadata = racing_write
+    try:
+        with pytest.raises(FileExistsError):
+            ice.delete("k", 2, 2, 2000)
+    finally:
+        ice.t._write_metadata = orig_write
+    assert ice.rows(cols) == want
+    ice.t.vacuum()
+    assert ice.rows(cols) == want
+    ice.delete("k", 2, 2, 3000)
+    assert ice.rows(cols) == _nsort([(1, 10), (3, 30), (9, 90)])
