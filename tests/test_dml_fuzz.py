@@ -198,6 +198,14 @@ class DeltaHarness:
     def compact(self, now):
         self.log.compact(self.spark)
 
+    def maintain(self, now):
+        # full production maintenance: checkpoint the head, expire the
+        # commit JSONs it captures, reclaim unreferenced data/DV files.
+        # Time travel below the checkpoint is gone BY DESIGN after this.
+        self.log.write_checkpoint()
+        self.log.expire_log()
+        self.log.vacuum()
+
     def checkpoint(self, kind="v1", sidecars=1):
         if kind == "v2":
             # commits the v2Checkpoint protocol upgrade at head when
@@ -295,6 +303,12 @@ class IcebergHarness:
 
     def compact(self, now):
         self.t.compact(self.spark, now_ms=now)
+
+    def maintain(self, now):
+        # snapshot expiration + vacuum: only the current snapshot
+        # survives; files referenced by no surviving snapshot reclaim
+        self.t.expire_snapshots(keep_last=1, now_ms=now)
+        self.t.vacuum()
 
     def checkpoint(self):
         pass  # no Delta-checkpoint analog in the op set
@@ -420,8 +434,10 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
             cols.append(name)
             ops.append({"op": "add_column", "name": name,
                         "cols": list(cols)})
-        elif roll < 0.95:
+        elif roll < 0.92:
             ops.append({"op": "compact", "cols": list(cols)})
+        elif roll < 0.96:
+            ops.append({"op": "maintain", "cols": list(cols)})
         else:
             kind = "v2" if rng.random() < 0.5 else "v1"
             ops.append({"op": "checkpoint", "kind": kind,
@@ -442,6 +458,9 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     model: list[tuple] = []
     delta_states: dict[int, tuple] = {}
     ice_states: dict[int, tuple] = {}
+    last_sid = None
+    cdf_seed: Counter = Counter()
+    cdf_from = 0
     now = 1000
 
     for i, op in enumerate(ops):
@@ -479,9 +498,24 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             delta.add_column(op["name"], now)
             ice.add_column(op["name"], now)
             model = [(*r, None) for r in model]
+            # the CDF replay seed lives in final-schema arity too
+            cdf_seed = Counter(
+                {(*k, None): v for k, v in cdf_seed.items()}
+            )
         elif op["op"] == "compact":
             delta.compact(now)
             ice.compact(now)
+        elif op["op"] == "maintain":
+            delta.maintain(now)
+            ice.maintain(now)
+            # maintenance erases history BY DESIGN: expired snapshots /
+            # commit JSONs below the checkpoint are no longer
+            # time-travelable, and the CDF replay re-seeds from the
+            # live state at this point
+            delta_states.clear()
+            ice_states.clear()
+            cdf_seed = Counter(tuple(r) for r in model)
+            cdf_from = delta.version() + 1
         elif op["op"] == "checkpoint":
             delta.checkpoint(op.get("kind", "v1"),
                              op.get("sidecars", 1))
@@ -491,11 +525,15 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
         assert delta.rows(cols) == want, f"delta diverged: {ctx}"
         assert ice.rows(cols) == want, f"iceberg diverged: {ctx}"
         delta_states[delta.version()] = (list(cols), want)
-        # Iceberg DDL/no-op steps commit no snapshot; time travel to a
-        # snapshot pins ITS schema, so keep the FIRST recording per
-        # snapshot id (a later same-id recording would retag a pre-DDL
-        # state with post-DDL arity)
-        ice_states.setdefault(ice.snapshot_id(), (list(cols), want))
+        # Iceberg DDL/no-op/maintenance steps commit no snapshot; time
+        # travel to a snapshot pins ITS schema, so record a snapshot id
+        # only when a commit CREATED it (re-recording the unchanged id
+        # after a DDL would retag a pre-DDL state with post-DDL arity —
+        # setdefault alone wasn't enough once maintain cleared the dict)
+        sid_now = ice.snapshot_id()
+        if sid_now != last_sid:
+            ice_states[sid_now] = (list(cols), want)
+            last_sid = sid_now
 
     # time travel: sampled historical versions must match the model's
     # recorded state, projected to the columns that existed then
@@ -517,13 +555,16 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     # read_changes pins the END snapshot's schema, so every event row
     # carries the final column list (pre-DDL files null-fill).
     final_cols = ops[-1]["cols"]
-    cdf = delta.log.read_changes(spark, 0).select(
-        *final_cols, "_change_type", "_commit_version"
-    ).collect()
+    state: Counter = Counter(cdf_seed)
+    if cdf_from > delta.version():
+        cdf = []  # maintenance was the last commit: nothing to replay
+    else:
+        cdf = delta.log.read_changes(spark, cdf_from).select(
+            *final_cols, "_change_type", "_commit_version"
+        ).collect()
     by_ver: dict[int, list] = {}
     for r in cdf:
         by_ver.setdefault(r._commit_version, []).append(r)
-    state: Counter = Counter()
     for ver in sorted(by_ver):
         for r in by_ver[ver]:
             kv = tuple(r[c] for c in final_cols)
@@ -558,6 +599,15 @@ def test_dml_sequence_long(spark, tmp_path):
 def test_dml_sequence_partitioned(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False,
                   partitioned=True)
+
+
+def test_dml_sequence_with_maintenance(spark, tmp_path):
+    # seed 602 draws maintenance (checkpoint + expire_log + vacuum /
+    # expire_snapshots + vacuum) at step 3, followed by deletes, an
+    # update, a merge, and an add_column — so the post-maintenance
+    # live face, the re-seeded CDF replay, AND the seed's arity
+    # padding all execute in CI (the other seeds never roll maintain)
+    _run_sequence(spark, tmp_path, seed=602, n_ops=11, mapped=False)
 
 
 # ------------------------------------- mapped-Delta DDL-heavy sequences
