@@ -310,6 +310,12 @@ class IcebergHarness:
         self.t.expire_snapshots(keep_last=1, now_ms=now)
         self.t.vacuum()
 
+    def rename_column(self, old, new, now):
+        self.t.rename_column(old, new, now_ms=now)
+
+    def drop_column(self, name, now):
+        self.t.drop_column(name, now_ms=now)
+
     def checkpoint(self):
         pass  # no Delta-checkpoint analog in the op set
 
@@ -780,6 +786,167 @@ def _run_delta_ddl_sequence(spark, tmp_path, seed: int, n_ops: int):
 @pytest.mark.parametrize("seed", [51, 52])
 def test_dml_sequence_mapped_ddl_triple(spark, tmp_path, seed):
     _run_delta_ddl_sequence(spark, tmp_path, seed, n_ops=12)
+
+
+# --------------------------------- Iceberg DDL-triple sequences
+#
+# The Iceberg twin of the mapped-Delta DDL variant: rename/drop are
+# metadata-only id-stable faces whose READS resolve by name variant
+# and coalesce, but the row-level delete/update faces refuse renamed
+# histories by contract — so after the first rename the generator
+# emits only appends/merges/compactions (merge resolves its equality
+# delete by field id, rename-proof), and updates additionally stop at
+# the first merge (live equality deletes).
+
+
+def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
+    cols = ["k", "v"]
+
+    def span(col):
+        return K_MAX if col == "k" else V_MAX
+
+    def fresh_rows(n):
+        return [tuple(rng.randrange(span(c)) for c in cols)
+                for _ in range(n)]
+
+    ops = [{"op": "append", "rows": fresh_rows(rng.randint(2, 6)),
+            "cols": list(cols)}]
+    merged = renamed = False
+    n_added = n_renamed = n_dropped = 0
+    while len(ops) < n_ops:
+        roll = rng.random()
+        if roll < 0.25:
+            ops.append({"op": "append",
+                        "rows": fresh_rows(rng.randint(1, 5)),
+                        "cols": list(cols)})
+        elif roll < 0.40 and not renamed:
+            col = rng.choice(cols)
+            lo = rng.randrange(span(col))
+            hi = lo + rng.randint(0, span(col) // 3)
+            ops.append({"op": "delete", "col": col, "lo": lo, "hi": hi,
+                        "cols": list(cols)})
+        elif roll < 0.52 and not renamed and not merged:
+            col = rng.choice(cols)
+            lo = rng.randrange(span(col))
+            hi = lo + rng.randint(0, span(col) // 2)
+            set_col = rng.choice([c for c in cols if c != col] or cols)
+            kind = "lit" if rng.random() < 0.5 else "add"
+            val = (rng.randrange(V_MAX) if kind == "lit"
+                   else rng.randint(1, 50))
+            ops.append({"op": "update", "col": col, "lo": lo, "hi": hi,
+                        "set_col": set_col, "kind": kind, "val": val,
+                        "cols": list(cols)})
+        elif roll < 0.67:
+            n = rng.randint(1, 4)
+            ks = rng.sample(range(K_MAX), n)
+            batch = [
+                (k, *(rng.randrange(span(c)) for c in cols[1:]))
+                for k in ks
+            ]
+            ops.append({"op": "merge", "batch": batch,
+                        "cols": list(cols)})
+            merged = True
+        elif roll < 0.77 and n_added < 3:
+            n_added += 1
+            name = f"c{n_added}"
+            cols.append(name)
+            ops.append({"op": "add_column", "name": name,
+                        "cols": list(cols)})
+        elif roll < 0.85 and n_renamed < 2:
+            old = rng.choice([c for c in cols if c != "k"])
+            n_renamed += 1
+            new = f"r{n_renamed}"
+            cols[cols.index(old)] = new
+            renamed = True
+            ops.append({"op": "rename_column", "old": old, "new": new,
+                        "cols": list(cols)})
+        elif roll < 0.90 and n_dropped < 1 and len(cols) > 2:
+            name = rng.choice([c for c in cols if c != "k"])
+            n_dropped += 1
+            j = cols.index(name)
+            cols.pop(j)
+            ops.append({"op": "drop_column", "name": name, "idx": j,
+                        "cols": list(cols)})
+        elif roll < 0.95:
+            ops.append({"op": "compact", "cols": list(cols)})
+        else:
+            ops.append({"op": "maintain", "cols": list(cols)})
+    return ops
+
+
+def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int):
+    rng = random.Random(seed)
+    ops = _gen_ice_ddl_sequence(rng, n_ops)
+    ice = IcebergHarness(spark, str(tmp_path / f"id{seed}"))
+    model: list[tuple] = []
+    states: dict[int, tuple] = {}
+    last_sid = None
+    now = 1000
+
+    for i, op in enumerate(ops):
+        now += 1000
+        cols = op["cols"]
+        if op["op"] == "append":
+            ice.append(op["rows"], cols, now)
+            model = model + op["rows"]
+        elif op["op"] == "delete":
+            ice.delete(op["col"], op["lo"], op["hi"], now)
+            model = _model_delete(model, cols, op["col"],
+                                  op["lo"], op["hi"])
+        elif op["op"] == "update":
+            j = cols.index(op["set_col"])
+            if op["kind"] == "lit":
+                expr, fn = op["val"], (lambda r, v=op["val"]: v)
+            else:
+                expr = F.col(op["set_col"]) + op["val"]
+                fn = (lambda r, d=op["val"], jj=j:
+                      None if r[jj] is None else r[jj] + d)
+            ice.update(op["col"], op["lo"], op["hi"],
+                       op["set_col"], expr, now)
+            model = _model_update(model, cols, op["col"], op["lo"],
+                                  op["hi"], op["set_col"], fn)
+        elif op["op"] == "merge":
+            ice.merge(op["batch"], cols, now)
+            model = _model_merge(model, op["batch"])
+        elif op["op"] == "add_column":
+            ice.add_column(op["name"], now)
+            model = [(*r, None) for r in model]
+        elif op["op"] == "rename_column":
+            ice.rename_column(op["old"], op["new"], now)
+        elif op["op"] == "drop_column":
+            ice.drop_column(op["name"], now)
+            j = op["idx"]
+            model = [(*r[:j], *r[j + 1:]) for r in model]
+        elif op["op"] == "compact":
+            ice.compact(now)
+        elif op["op"] == "maintain":
+            ice.maintain(now)
+            states.clear()
+
+        want = _nsort(model)
+        ctx = f"seed={seed} step={i} op={op}"
+        assert ice.rows(cols) == want, f"iceberg ddl diverged: {ctx}"
+        sid_now = ice.snapshot_id()
+        if sid_now != last_sid:
+            states[sid_now] = (list(cols), want)
+            last_sid = sid_now
+
+    # time travel pins each snapshot's own schema: pre-rename names,
+    # pre-drop values, all through the name-variant coalesce read
+    for sid in rng.sample(sorted(states), min(3, len(states))):
+        c, want = states[sid]
+        assert ice.rows(c, snapshot_id=sid) == want, (
+            f"iceberg ddl time travel diverged: seed={seed} "
+            f"snapshot={sid}"
+        )
+
+
+# seeds chosen for op richness: 709 = add, merge, drop, rename, three
+# more merges ON the renamed history, compact after the rename; 713 =
+# update before the rename, two adds, maintenance, merges after it
+@pytest.mark.parametrize("seed", [709, 713])
+def test_dml_sequence_iceberg_ddl_triple(spark, tmp_path, seed):
+    _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=12)
 
 
 # ---------------------------------------------- crash injection at commit

@@ -7,6 +7,7 @@ runners over a seed range in one JVM, mixing the mapped / partitioned
 
     python tools/dml_fuzz_sweep.py 100 120            # twin sequences
     python tools/dml_fuzz_sweep.py 300 312 --ddl      # mapped DDL triple
+    python tools/dml_fuzz_sweep.py 700 716 --ice-ddl  # Iceberg DDL triple
     python tools/dml_fuzz_sweep.py 100 120 --ops 14
 
 Seed mixing for the twin mode: seed % 4 == 3 runs column-mapped Delta,
@@ -36,11 +37,17 @@ def main() -> int:
     ap.add_argument("--ddl", action="store_true",
                     help="mapped-Delta DDL-triple sequences instead "
                          "of format-twin sequences")
+    ap.add_argument("--ice-ddl", action="store_true",
+                    help="Iceberg DDL-triple sequences")
     args = ap.parse_args()
 
     from hadoop_sync_spark.session import get_spark
 
-    from test_dml_fuzz import _run_delta_ddl_sequence, _run_sequence
+    from test_dml_fuzz import (
+        _run_delta_ddl_sequence,
+        _run_iceberg_ddl_sequence,
+        _run_sequence,
+    )
 
     spark = get_spark(app_name="dml-fuzz-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,7 +57,10 @@ def main() -> int:
         total += 1
         tmp = pathlib.Path(tempfile.mkdtemp(prefix="dmlfz_"))
         try:
-            if args.ddl:
+            if args.ice_ddl:
+                _run_iceberg_ddl_sequence(spark, tmp, seed, args.ops)
+                print(f"seed {seed} ice-ddl: OK", flush=True)
+            elif args.ddl:
                 _run_delta_ddl_sequence(spark, tmp, seed, args.ops)
                 print(f"seed {seed} ddl: OK", flush=True)
             else:
