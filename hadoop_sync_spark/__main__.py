@@ -34,6 +34,11 @@ collecting min/max statistics.
                                         --set COL VALUE [--set ...]
         (merge-on-read row-level UPDATE: matched rows delete via
          DV/position file and their updated copies append, one commit)
+    python -m hadoop_sync_spark restore <meta_dir> <table>
+                                        (--version N | --snapshot ID)
+        (undo a bad commit: delta RESTOREs to log version N in one
+         head commit, iceberg rolls the current-snapshot pointer back;
+         history stays time-travelable until expired)
     python -m hadoop_sync_spark merge <meta_dir> <table> <source.parquet>
                                         --key COL
         (MERGE/upsert a parquet batch: iceberg commits source file +
@@ -207,6 +212,21 @@ def main(argv: list[str] | None = None) -> int:
         help="constant assignment, repeatable; VALUE parses as int, "
         "then float, then string",
     )
+
+    rst_p = sub.add_parser(
+        "restore",
+        help="undo a bad commit on a registered format table: delta "
+        "RESTOREs to --version (one commit re-establishing the old "
+        "state at the log head), iceberg rolls the current snapshot "
+        "back to --snapshot (metadata-only pointer swap); history "
+        "stays time-travelable until expired",
+    )
+    rst_p.add_argument("meta_dir")
+    rst_p.add_argument("table")
+    rst_p.add_argument("--version", type=int, metavar="N",
+                       help="delta: target log version")
+    rst_p.add_argument("--snapshot", type=int, metavar="ID",
+                       help="iceberg: target snapshot id")
 
     mrg_p = sub.add_parser(
         "merge",
@@ -526,6 +546,54 @@ def main(argv: list[str] | None = None) -> int:
                     spark, column_filter, now_ms=now
                 )
                 print(f"deleted {n} row(s)")
+            print("hint: run `sync` to refresh the catalog")
+        elif args.cmd == "restore":
+            rec = reg.tables().get(args.table)
+            if rec is None:
+                raise KeyError(f"table not registered: {args.table}")
+            fmt = rec.get("format")
+            if fmt not in ("iceberg", "delta"):
+                raise ValueError(
+                    "restore is for format tables (iceberg or delta); "
+                    f"{args.table!r} is a plain directory — the "
+                    "registry's own versions roll back via its pointer"
+                )
+            import time as _time
+
+            now = int(_time.time() * 1000)
+            if fmt == "delta":
+                if args.version is None or args.snapshot is not None:
+                    raise ValueError(
+                        "delta restore takes --version (not --snapshot)"
+                    )
+                from hadoop_sync_spark.delta_log import DeltaLog
+
+                res = DeltaLog(rec["dir_path"]).restore(
+                    args.version, now_ms=now
+                )
+                if res["files_added"] or res["files_removed"] or (
+                    res["metadata_restored"]
+                ):
+                    print(
+                        f"restored to version {args.version}: "
+                        f"+{res['files_added']} -{res['files_removed']} "
+                        f"file(s), metadata "
+                        f"{'restored' if res['metadata_restored'] else 'kept'}, "
+                        f"committed v{res['version']}"
+                    )
+                else:
+                    print("table already at that state (no-op)")
+            else:
+                if args.snapshot is None or args.version is not None:
+                    raise ValueError(
+                        "iceberg restore takes --snapshot (not --version)"
+                    )
+                from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+                IcebergTable(rec["dir_path"]).rollback_to(
+                    args.snapshot, now_ms=now
+                )
+                print(f"rolled back to snapshot {args.snapshot}")
             print("hint: run `sync` to refresh the catalog")
         elif args.cmd == "merge":
             rec = reg.tables().get(args.table)

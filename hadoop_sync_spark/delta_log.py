@@ -2010,6 +2010,103 @@ class DeltaLog:
             ).num_rows,
         }
 
+    def restore(self, version: int, now_ms: int = 0) -> dict:
+        """RESTORE to an earlier version — Delta's standard "undo a bad
+        commit" face (reference parity: hadoopsync/Registry.java keeps
+        old version dirs so the pointer can swap back).  One new commit
+        re-establishes the target version's table state at the head of
+        the log:
+
+        - files live at the target but not now re-commit their
+          target-version ``add`` verbatim with ``dataChange`` true;
+        - files live at BOTH but with a DIFFERENT add action (a
+          deletion vector grown since, a rewritten stats blob) emit a
+          remove+add PAIR — production RESTORE's own action shape, and
+          what lets :meth:`read_changes` report exactly the DV diff
+          instead of a whole-file re-insert;
+        - files live now but not at the target get ``remove`` actions;
+        - the target's ``metaData`` re-commits when it differs from the
+          current one (schema/partitioning/configuration roll back with
+          the data — a post-target rename or add_column is undone,
+          which the column-mapping indirection makes safe);
+        - the protocol NEVER downgrades: features accumulated since the
+          target stay listed (production RESTORE's own rule — readers
+          of the restored state may still hit e.g. DV'd adds re-issued
+          from the target), so no protocol action is emitted.
+
+        History stays intact — time travel to the undone versions keeps
+        working until :meth:`expire_log`; VACUUMed target data files
+        (or their DV bins) refuse by name up front rather than
+        committing a state with dangling references.  Through
+        :meth:`read_changes` the restore surfaces as delete+insert
+        pairs, the honest limit of a log-only CDC feed.  Returns
+        ``{"version", "files_added", "files_removed",
+        "metadata_restored"}``; restoring to a state identical to the
+        current one commits nothing and returns the current version
+        with zero counts."""
+        head = self.latest_version()
+        if not 0 <= version <= head:
+            raise ValueError(
+                f"version {version} out of range 0..{head}"
+            )
+        cur = self.snapshot()
+        tgt = self.snapshot(version)
+        adds = [
+            dict(a)
+            for p, a in sorted(tgt.live.items())
+            if cur.live.get(p) != a
+        ]
+        pure_removes = sorted(set(cur.live) - set(tgt.live))
+        # remove+add pairs for changed-while-live paths (the pair is
+        # production RESTORE's shape; counts report only true exits)
+        removes = pure_removes + [
+            a["path"] for a in adds if a["path"] in cur.live
+        ]
+        missing = [
+            a["path"]
+            for a in adds
+            if not os.path.exists(os.path.join(self.table_dir, a["path"]))
+        ]
+        for a in adds:
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") != "i" and not os.path.exists(
+                self._dv_file_path(dv)
+            ):
+                missing.append(a["path"] + " (deletion vector)")
+        if missing:
+            raise FileNotFoundError(
+                "RESTORE target references vacuumed files: "
+                + ", ".join(missing)
+            )
+        meta_restored = (
+            tgt.metadata_action is not None
+            and tgt.metadata_action != cur.metadata_action
+        )
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": now_ms, "operation": "RESTORE",
+                            "operationParameters": {"version": version}}}
+        ]
+        if meta_restored:
+            actions.append({"metaData": tgt.metadata_action})
+        actions += [
+            {"remove": {"path": p, "dataChange": True,
+                        "deletionTimestamp": now_ms}}
+            for p in removes
+        ]
+        for a in adds:
+            a["dataChange"] = True
+            actions.append({"add": a})
+        if len(actions) == 1:
+            return {"version": head, "files_added": 0,
+                    "files_removed": 0, "metadata_restored": False}
+        self.commit(head + 1, actions)
+        return {
+            "version": head + 1,
+            "files_added": len(adds),
+            "files_removed": len(pure_removes),
+            "metadata_restored": meta_restored,
+        }
+
     def read_changes(
         self,
         spark: SparkSession,
@@ -2129,6 +2226,9 @@ class DeltaLog:
                     dv_budget += (
                         (add.get("deletionVector") or {})
                         .get("cardinality", 0)
+                        + ((state.get(rel) or {})
+                           .get("deletionVector") or {})
+                        .get("cardinality", 0)
                     )
                     if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
                         raise ValueError(
@@ -2136,9 +2236,22 @@ class DeltaLog:
                             "materialization cap — narrow the version "
                             "range"
                         )
-                    ev_rows.append((rel, v, "insert"))
-                    for p in sorted(dv_pos(add)):
-                        exc_rows.append((rel, v, p))
+                    if rel in state:
+                        # last-writer-wins re-add of a LIVE path with
+                        # no paired remove (spec-legal; lax writers do
+                        # it): the rows were already reported when the
+                        # file first went live, so the change is the
+                        # DV DIFF, never a whole-file re-insert
+                        old = dv_pos(state.get(rel))
+                        new = dv_pos(add)
+                        for p in sorted(new - old):
+                            pos_rows.append((rel, v, "delete", p))
+                        for p in sorted(old - new):
+                            pos_rows.append((rel, v, "insert", p))
+                    else:
+                        ev_rows.append((rel, v, "insert"))
+                        for p in sorted(dv_pos(add)):
+                            exc_rows.append((rel, v, p))
             for rel in removed:
                 state.pop(rel, None)
             for rel, add in added.items():

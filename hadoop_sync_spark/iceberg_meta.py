@@ -2557,6 +2557,50 @@ class IcebergTable:
         meta["last-updated-ms"] = now_ms
         self._write_metadata(self.current_version() + 1, meta)
 
+    def rollback_to(self, snapshot_id: int, now_ms: int = 0) -> None:
+        """Set the current snapshot back (or forward) to an existing
+        snapshot — the spec's ``set-current-snapshot`` / rollback
+        metadata update and the standard "undo a bad commit" face
+        (reference parity: the reference's versioned publish keeps old
+        versions precisely so the pointer can swap back;
+        hadoopsync/Registry.java's version-dir pointer).
+
+        Metadata-only version bump: ``current-snapshot-id`` repoints,
+        ``main`` follows (it tracks the current snapshot), and a
+        ``snapshot-log`` entry records the state change at ``now_ms``
+        so timestamp time travel sees the rollback as the state from
+        that moment on.  No snapshot is deleted — later snapshots stay
+        in the list (readable by id, expirable once unreferenced), the
+        same two-step undo discipline as :meth:`expire_snapshots` +
+        :meth:`vacuum`.  ``last-sequence-number`` keeps its high
+        watermark: sequence numbers are never reused, so a commit made
+        after a rollback still orders strictly after everything it
+        superseded (merge-on-read applicability stays correct).
+
+        In this single-writer engine the snapshot history is linear —
+        every listed snapshot is an ancestor-or-descendant of the
+        current one — so one face covers both the spec's ancestor-only
+        ``rollback`` and its general ``set-current-snapshot``.  Rolling
+        back to the current snapshot refuses (a no-op commit would
+        stamp a misleading state change)."""
+        meta = json.loads(json.dumps(self.metadata()))
+        snaps = meta.get("snapshots", [])
+        if not any(s["snapshot-id"] == snapshot_id for s in snaps):
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        if meta.get("current-snapshot-id") == snapshot_id:
+            raise ValueError(
+                f"snapshot {snapshot_id} is already current"
+            )
+        meta["current-snapshot-id"] = snapshot_id
+        refs = dict(meta.get("refs") or {})
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+        meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
+
     def promote_column(
         self, name: str, spark_type: str, now_ms: int = 0
     ) -> None:

@@ -2160,3 +2160,155 @@ def test_json_null_protocol_versions_read_as_absent(spark, tmp_path):
     res = log.delete_where(spark, {"k": (1, 1)}, now_ms=1000)
     assert res["rows_deleted"] == 1
     assert log.read(spark).count() == 0
+
+
+# ----------------------------------------------------------------- restore
+
+
+def test_restore_undoes_data_and_metadata(spark, tmp_path):
+    """RESTORE re-establishes an old version's state at the log head in
+    ONE commit: grown DVs roll back (the target's add re-commits
+    verbatim), post-target appends remove, post-target DDL un-happens
+    (the target metaData re-commits), and the protocol keeps the
+    features accumulated since — never a downgrade."""
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    _write_file(d, "b.parquet", {"k": [3], "v": [30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1,
+                                 "minWriterVersion": 2}},
+                   _meta(), log.add_action_for("a.parquet")])
+    # v1: append b; v2: DV-delete k=1 out of a; v3: widen the schema
+    log.commit(1, [log.add_action_for("b.parquet")])
+    assert log.delete_where(spark, {"k": (1, 1)}, now_ms=2000)[
+        "rows_deleted"] == 1
+    log.add_column("w", "long", now_ms=3000)
+    assert sorted(log.snapshot().schema().fieldNames()) == ["k", "v", "w"]
+
+    res = log.restore(1, now_ms=4000)
+    assert res == {"version": 4, "files_added": 1, "files_removed": 0,
+                   "metadata_restored": True}
+    snap = log.snapshot()
+    # the DV'd add rolled back to the target's un-DV'd action
+    assert "deletionVector" not in snap.live["a.parquet"]
+    assert sorted(snap.schema().fieldNames()) == ["k", "v"]
+    # protocol kept the deletionVectors feature (no downgrade)
+    assert "deletionVectors" in (
+        snap.protocol.get("readerFeatures") or ()
+    )
+    got = sorted(tuple(r) for r in log.read(spark).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # time travel below the restore still sees the undone states
+    assert log.read(spark, version=3).count() == 2
+
+    # restore FORWARD to the DV'd+widened state works too
+    res2 = log.restore(3, now_ms=5000)
+    assert res2["metadata_restored"] is True
+    assert log.read(spark).count() == 2
+    assert sorted(log.snapshot().schema().fieldNames()) == ["k", "v", "w"]
+
+    # restoring to the state the table is already in commits NOTHING
+    head = log.latest_version()
+    res3 = log.restore(3, now_ms=6000)
+    assert res3 == {"version": head, "files_added": 0,
+                    "files_removed": 0, "metadata_restored": False}
+    assert log.latest_version() == head
+
+
+def test_restore_removes_post_target_appends(tmp_path):
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.commit(1, [log.add_action_for("b.parquet")])
+    res = log.restore(0, now_ms=1000)
+    assert (res["files_removed"], res["files_added"]) == (1, 0)
+    assert log.snapshot().files == ["a.parquet"]
+    # the restore is itself plain log history: replaying to it from a
+    # checkpoint written later agrees
+    log.write_checkpoint()
+    assert DeltaLog(d).snapshot().files == ["a.parquet"]
+
+
+def test_restore_refuses_vacuumed_target_files(tmp_path):
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.commit(1, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    os.remove(os.path.join(d, "a.parquet"))
+    with pytest.raises(FileNotFoundError, match="a.parquet"):
+        log.restore(0)
+    with pytest.raises(ValueError, match="out of range"):
+        log.restore(99)
+
+
+def test_cli_restore_both_formats(spark, tmp_path, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta_rst")
+    d, log = _mk_table(tmp_path, "cli_rst")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.commit(1, [log.add_action_for("b.parquet")])
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    assert main(["restore", meta, "t", "--version", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "restored to version 0" in out and "-1 file(s)" in out
+    assert log.snapshot().files == ["a.parquet"]
+    # no-op second run
+    assert main(["restore", meta, "t", "--version", "0"]) == 0
+    assert "no-op" in capsys.readouterr().out
+    # wrong flag refuses with exit 2, applying nothing
+    assert main(["restore", meta, "t", "--snapshot", "5"]) == 2
+    # iceberg twin
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+    di = str(tmp_path / "cli_rst_ice")
+    os.makedirs(os.path.join(di, "data"))
+    t = IcebergTable.create(di, [("k", "bigint")], now_ms=1000)
+    p = os.path.join(di, "data", "f1.parquet")
+    _pq.write_table(_pa.table({"k": _pa.array([1], _pa.int64())}), p)
+    s1 = t.append([DataFile("data/f1.parquet", {}, 1,
+                            os.path.getsize(p))], now_ms=2000)
+    p2 = os.path.join(di, "data", "f2.parquet")
+    _pq.write_table(_pa.table({"k": _pa.array([2], _pa.int64())}), p2)
+    t.append([DataFile("data/f2.parquet", {}, 1,
+                       os.path.getsize(p2))], now_ms=3000)
+    assert main(["register", meta, "ti", di, "--format", "iceberg"]) == 0
+    assert main(["restore", meta, "ti", "--snapshot", str(s1)]) == 0
+    assert f"rolled back to snapshot {s1}" in capsys.readouterr().out
+    assert [f.path.rsplit("/", 1)[-1] for f in t.files()] == ["f1.parquet"]
+    assert main(["restore", meta, "ti", "--version", "1"]) == 2
+
+
+def test_read_changes_unpaired_readd_emits_dv_diff(spark, tmp_path):
+    """A last-writer-wins re-add of a LIVE path with no paired remove
+    (spec-legal; RESTORE used to emit it, lax writers still can) must
+    surface as the DV diff — the file's rows were already reported as
+    inserts when it first went live, so a whole-file re-insert would
+    double-count every surviving row."""
+    d, log = _mk_table(tmp_path, "cdf_readd")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    # grow a DV the paired way (delete k=2), then shrink it via an
+    # UNPAIRED re-add of the version-0 action (no remove in the commit)
+    log.delete_where(spark, {"k": (2, 2)}, now_ms=1000)
+    v0_add = dict(log.snapshot(0).live["a.parquet"])
+    v0_add["dataChange"] = True
+    log.commit(log.latest_version() + 1, [{"add": v0_add}])
+    cdf = log.read_changes(spark, 0).select(
+        "k", "v", "_change_type", "_commit_version").collect()
+    by_ver = {}
+    for r in cdf:
+        by_ver.setdefault(r._commit_version, []).append(
+            (r.k, r.v, r._change_type))
+    assert sorted(by_ver[0]) == [(1, 10, "insert"), (2, 20, "insert"),
+                                 (3, 30, "insert")]
+    assert by_ver[1] == [(2, 20, "delete")]
+    # the shrink UN-deletes exactly the covered position — 1 row, not 3
+    assert by_ver[2] == [(2, 20, "insert")]

@@ -369,13 +369,23 @@ def _model_merge(model, batch):
 
 
 def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
-                  partitioned: bool = False):
+                  partitioned: bool = False,
+                  with_rollback: bool = False):
     """A legal op sequence over a growing column list.  Updates stop
     after the first merge (Iceberg's live-equality-delete refusal);
     at most two columns are added; appends and merge sources carry
     non-null values for every current column.  Partitioned sequences
     emit no merges (both formats refuse) and never put ``p`` in a
-    predicate or SET (both formats guard partition columns)."""
+    predicate or SET (both formats guard partition columns).
+
+    ``with_rollback`` adds a restore/rollback op drawn from its OWN
+    probability slot (the base layout is untouched so the CI-pinned
+    seeds keep their documented sequences): the runner restores both
+    twins to a sampled earlier recorded state with the SAME column
+    arity (Delta RESTORE re-commits old metaData, Iceberg rollback
+    is pointer-only — cross-arity targets would make the twins
+    legally diverge on schema) recorded since the last maintenance
+    (expired history is not restorable, by design)."""
     cols = ["k", "v"] + (["p"] if partitioned else [])
 
     def span(col):
@@ -434,13 +444,17 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
             ops.append({"op": "merge", "batch": batch,
                         "cols": list(cols)})
             merged = True
-        elif roll < 0.85 and with_ddl and n_added < 2:
+        elif roll < (0.84 if with_rollback else 0.85) and with_ddl \
+                and n_added < 2:
             n_added += 1
             name = f"c{n_added}"
             cols.append(name)
             ops.append({"op": "add_column", "name": name,
                         "cols": list(cols)})
-        elif roll < 0.92:
+        elif with_rollback and roll < 0.89:
+            ops.append({"op": "rollback", "frac": rng.random(),
+                        "cols": list(cols)})
+        elif roll < (0.93 if with_rollback else 0.92):
             ops.append({"op": "compact", "cols": list(cols)})
         elif roll < 0.96:
             ops.append({"op": "maintain", "cols": list(cols)})
@@ -454,9 +468,11 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
 
 def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
                   mapped: bool, with_ddl: bool = True,
-                  partitioned: bool = False):
+                  partitioned: bool = False,
+                  with_rollback: bool = False):
     rng = random.Random(seed)
-    ops = _gen_sequence(rng, n_ops, with_ddl, partitioned)
+    ops = _gen_sequence(rng, n_ops, with_ddl, partitioned,
+                        with_rollback)
     delta = DeltaHarness(spark, str(tmp_path / f"d{seed}"), mapped,
                          partitioned)
     ice = IcebergHarness(spark, str(tmp_path / f"i{seed}"),
@@ -464,6 +480,18 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     model: list[tuple] = []
     delta_states: dict[int, tuple] = {}
     ice_states: dict[int, tuple] = {}
+    #: per-step (delta version, iceberg snapshot, cols, model) records —
+    #: the rollback op's target pool; cleared on maintain (expired
+    #: history is not restorable)
+    timeline: list[dict] = []
+    #: snapshot id -> column arity at snapshot CREATION (never cleared;
+    #: ids are unique).  Rollback targets must match on THIS too: an
+    #: Iceberg snapshot created pre-DDL pins its own schema under time
+    #: travel by design, so rolling back to a timeline entry whose sid
+    #: predates its cols (a DDL landed between the snapshot and the
+    #: entry) would re-tag the sid with arity its pinned schema lacks
+    sid_cols: dict[int, list] = {}
+    n_rollbacks = 0
     last_sid = None
     cdf_seed: Counter = Counter()
     cdf_from = 0
@@ -520,8 +548,21 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             # live state at this point
             delta_states.clear()
             ice_states.clear()
+            timeline.clear()
             cdf_seed = Counter(tuple(r) for r in model)
             cdf_from = delta.version() + 1
+        elif op["op"] == "rollback":
+            cur_sid = ice.snapshot_id()
+            eligible = [e for e in timeline
+                        if e["cols"] == cols and e["sid"] != cur_sid
+                        and sid_cols.get(e["sid"]) == cols]
+            if eligible:
+                tgt = eligible[int(op["frac"] * len(eligible))
+                               % len(eligible)]
+                delta.log.restore(tgt["dv"], now_ms=now)
+                ice.t.rollback_to(tgt["sid"], now_ms=now)
+                model = list(tgt["model"])
+                n_rollbacks += 1
         elif op["op"] == "checkpoint":
             delta.checkpoint(op.get("kind", "v1"),
                              op.get("sidecars", 1))
@@ -537,9 +578,12 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
         # after a DDL would retag a pre-DDL state with post-DDL arity —
         # setdefault alone wasn't enough once maintain cleared the dict)
         sid_now = ice.snapshot_id()
+        sid_cols.setdefault(sid_now, list(cols))
         if sid_now != last_sid:
             ice_states[sid_now] = (list(cols), want)
             last_sid = sid_now
+        timeline.append({"dv": delta.version(), "sid": sid_now,
+                         "cols": list(cols), "model": list(model)})
 
     # time travel: sampled historical versions must match the model's
     # recorded state, projected to the columns that existed then
@@ -585,6 +629,7 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     assert replayed == _nsort(model), (
         f"CDF replay != final state: seed={seed}"
     )
+    return {"rollbacks": n_rollbacks}
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13])
@@ -605,6 +650,40 @@ def test_dml_sequence_long(spark, tmp_path):
 def test_dml_sequence_partitioned(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False,
                   partitioned=True)
+
+
+@pytest.mark.parametrize("seed", [707, 721, 745])
+def test_dml_sequence_with_rollback(spark, tmp_path, seed):
+    # restore/rollback composed into the op mix (round 11): seed 707
+    # rolls back twice through grown deletion vectors (the
+    # restore-shrinks-a-DV path) with updates/deletes between; 721
+    # rolls back across an add_column + a landed merge (live equality
+    # deletes in the restored snapshot); 745 rolls back twice around
+    # add_columns and v1/v2 checkpoints, exercising the same-arity
+    # target filter.  Every step still reads back the model on BOTH
+    # twins, and the CDF replay composes the restore's delete+insert
+    # events like any other commit.
+    res = _run_sequence(spark, tmp_path, seed, n_ops=12, mapped=False,
+                        with_rollback=True)
+    assert res["rollbacks"] >= 1
+
+
+@pytest.mark.parametrize("seed", [815, 829])
+def test_dml_sequence_rollback_partitioned_mapped(spark, tmp_path,
+                                                  seed):
+    # partitioned twins + mapped Delta: seed 815 rolls back
+    # mid-sequence then lands DDL and updates ON TOP of the restored
+    # state; seed 829 draws maintenance BETWEEN the DDL and the
+    # rollback, so the target pool is the post-expiry timeline only.
+    # Partition values ride restore's value-less removes through the
+    # CDF replay, and the snapshot-creation-arity filter keeps targets
+    # to snapshots whose pinned schema matches the current column list
+    # (rolling back to a pre-DDL snapshot id would re-tag it with
+    # arity its time-travel schema lacks — seed 813's lesson)
+    res = _run_sequence(spark, tmp_path, seed=seed, n_ops=11,
+                        mapped=True, partitioned=True,
+                        with_rollback=True)
+    assert res["rollbacks"] >= 1
 
 
 def test_dml_sequence_with_maintenance(spark, tmp_path):

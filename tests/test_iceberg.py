@@ -1921,3 +1921,67 @@ def test_column_filter_on_just_added_column_current_read(spark, tmp_path):
     # snapshot's schema is pinned, c1 did not exist there
     with pytest.raises(ValueError, match="no such column 'c1'"):
         t.read(spark, snapshot_id=s1, column_filter={"c1": (0, 1)})
+
+
+# ---------------------------------------------------------------- rollback
+
+
+def test_rollback_to_restores_old_live_set(table):
+    """rollback_to repoints current (and main) at an older snapshot with
+    ONE metadata-only version bump; later snapshots stay readable by id
+    and expirable, and a post-rollback commit branches from the restored
+    state with a fresh (never-reused) sequence number."""
+    t, (s1, s2, s3) = table
+    assert _names(t.files()) == ["f1.parquet", "f3.parquet"]
+    seq_before = t.metadata()["last-sequence-number"]
+
+    t.rollback_to(s1, now_ms=5000)
+    meta = t.metadata()
+    assert meta["current-snapshot-id"] == s1
+    assert meta["refs"]["main"]["snapshot-id"] == s1
+    assert _names(t.files()) == ["f1.parquet", "f2.parquet"]
+    # the high watermark survives: sequences are never reused
+    assert meta["last-sequence-number"] == seq_before
+    # timestamp travel sees the rollback as the state from now_ms on
+    assert _names(t.files(as_of_timestamp_ms=6000)) == [
+        "f1.parquet", "f2.parquet",
+    ]
+    # ... while the pre-rollback instant still resolves the old head
+    assert _names(t.files(as_of_timestamp_ms=4500)) == [
+        "f1.parquet", "f3.parquet",
+    ]
+    # undone snapshots stay readable by id (two-step undo: expire later)
+    assert _names(t.files(snapshot_id=s3)) == ["f1.parquet", "f3.parquet"]
+
+    # rolling FORWARD again works (linear history: set-current semantics)
+    t.rollback_to(s3, now_ms=7000)
+    assert _names(t.files()) == ["f1.parquet", "f3.parquet"]
+    t.rollback_to(s1, now_ms=8000)
+
+    # a commit after the rollback branches from the restored state
+    p = os.path.join(t.dir, "data", "f9.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([9], pa.int64()), "val": ["v9"]}), p
+    )
+    t.append(
+        [DataFile("data/f9.parquet", {"p_bucket": 0}, 1,
+                  os.path.getsize(p))],
+        now_ms=9000,
+    )
+    assert _names(t.files()) == ["f1.parquet", "f2.parquet", "f9.parquet"]
+    seqs = [s["sequence-number"] for s in t.metadata()["snapshots"]]
+    assert len(set(seqs)) == len(seqs) and max(seqs) > seq_before
+
+    # expire + vacuum reclaim the undone branch but spare the live one
+    t.expire_snapshots(keep_last=1, now_ms=10000)
+    removed = t.vacuum()
+    assert "data/f3.parquet" in removed
+    assert _names(t.files()) == ["f1.parquet", "f2.parquet", "f9.parquet"]
+
+
+def test_rollback_refusals(table):
+    t, (s1, s2, s3) = table
+    with pytest.raises(ValueError, match="not found"):
+        t.rollback_to(424242)
+    with pytest.raises(ValueError, match="already current"):
+        t.rollback_to(s3)
