@@ -482,6 +482,11 @@ class DataFile:
     #: (spec lower_bounds/upper_bounds; empty = no stats, never pruned)
     lower_bounds: dict = dataclasses_field(default_factory=dict)
     upper_bounds: dict = dataclasses_field(default_factory=dict)
+    #: the partition spec the file's manifest was written under (spec
+    #: evolution: a snapshot's live files can span specs; carried
+    #: entries must rewrite under their ORIGINAL spec's partition
+    #: struct or the metadata would lie about what the writer recorded)
+    spec_id: int = 0
 
 
 class IcebergTable:
@@ -714,6 +719,13 @@ class IcebergTable:
             if flt and mf.get("partitions"):
                 if self._summary_prunes(mf["partitions"], spec_fields, flt):
                     continue
+            #: only filter keys THIS manifest's spec records can prune
+            #: its entries — a file written under an older spec has no
+            #: value for a later-added partition field, and excluding
+            #: it on a missing key would drop rows the file may hold
+            #: (spec evolution: partition filters are file-level
+            #: pruning; read() row-filters the survivors)
+            spec_names = {f["name"] for f in spec_fields}
             _, entries, _ = read_ocf(self._resolve(mf["manifest_path"]))
             for e in entries:
                 if e["status"] == _STATUS_DELETED:
@@ -721,7 +733,9 @@ class IcebergTable:
                 df = e["data_file"]
                 part = dict(df["partition"])
                 if flt and any(
-                    part.get(k) != v for k, v in flt.items()
+                    part.get(k) != v
+                    for k, v in flt.items()
+                    if k in spec_names
                 ):
                     continue
                 if col_info and self._bounds_prune(df, column_filter,
@@ -742,6 +756,7 @@ class IcebergTable:
                         sequence=seq,
                         equality_ids=tuple(df.get("equality_ids") or ()),
                         raw_path=df["file_path"],
+                        spec_id=mf["partition_spec_id"],
                         lower_bounds={
                             e["key"]: e["value"]
                             for e in (df.get("lower_bounds") or ())
@@ -958,6 +973,65 @@ class IcebergTable:
         part_cols = sorted({k for f in files for k in f.partition})
         reader = spark.read
         meta_doc = self.metadata()
+        #: the schema id the OUTPUT frame speaks — current for current
+        #: reads, the snapshot's own for time travel (the shared rule
+        #: in _read_schema_id; computed up front because the mixed-spec
+        #: logic below needs it too)
+        read_sid = meta_doc.get("current-schema-id", 0)
+        if len(meta_doc.get("schemas", [])) > 1:
+            read_sid = self._read_schema_id(
+                snapshot_id, as_of_timestamp_ms, ref
+            )
+        #: spec evolution (round 11): live files may span partition
+        #: specs.  A partition field some live files do NOT record is
+        #: "mixed": identity fields are ALSO data columns in the
+        #: pre-evolution files (the writer only strips a column from
+        #: the data once the spec records it), so the scan keeps the
+        #: column and the output COALESCEs the metadata value over the
+        #: scanned one; transform-named fields (``k_bucket``) have no
+        #: data-side twin and simply null-fill for pre-evolution files.
+        schema_names = {
+            f["name"]
+            for f in self._schema_by_id(read_sid)["fields"]
+        }
+        mixed = [
+            c for c in part_cols
+            if any(c not in f.partition for f in files)
+        ]
+        mixed_identity = [c for c in mixed if c in schema_names]
+        residue_keys: list[str] = []
+        if partition_filter:
+            # file-level pruning could not evaluate a filter key on
+            # files whose spec predates the field (a SURVIVOR without
+            # the key was never tested — note the key may be absent
+            # from part_cols entirely when the filter pruned away the
+            # whole recording era): identity keys re-apply row-side on
+            # the output column; transform keys have nothing row-side
+            # to evaluate — refuse rather than return untested rows
+            field_transform: dict[str, str] = {}
+            for spec in meta_doc.get("partition-specs", []):
+                for pf in spec.get("fields", []):
+                    field_transform.setdefault(
+                        pf["name"], pf.get("transform", "identity")
+                    )
+            unknown = sorted(set(partition_filter) - set(field_transform))
+            if unknown:
+                raise ValueError(
+                    f"partition_filter keys {unknown} are in no "
+                    "partition spec"
+                )
+            for k in partition_filter:
+                if all(k in f.partition for f in files):
+                    continue  # every survivor was file-level tested
+                if (field_transform[k] == "identity"
+                        and k in schema_names):
+                    residue_keys.append(k)
+                else:
+                    raise NotImplementedError(
+                        f"partition_filter on field {k!r} while live "
+                        "files predate its spec: the file-level value "
+                        "does not exist for those files"
+                    )
         #: rename support (round 10): when the history renamed fields,
         #: per-field coalesce exprs over the historical name variants
         #: form the LOGICAL projection applied as each return path's
@@ -966,12 +1040,10 @@ class IcebergTable:
         logical_exprs = None
         variants: dict[int, list[str]] | None = None
         variant_expr: dict[int, "F.Column"] = {}
-        #: the schema id the OUTPUT frame speaks — current for current
-        #: reads, the snapshot's own for time travel; equality-delete
-        #: column names resolve against THIS, never the current schema
-        #: (a field renamed or dropped after the read snapshot would
-        #: otherwise map equality ids to the wrong names)
-        read_sid = meta_doc.get("current-schema-id", 0)
+        #: the scan KEEPS mixed identity columns (pre-evolution files
+        #: carry them in data); fully-recorded partition columns stay
+        #: metadata-only as always
+        scan_excl = set(part_cols) - set(mixed_identity)
         if len(meta_doc.get("schemas", [])) > 1:
             # schema evolution (round 9): pin the snapshot's schema so
             # files written before an added column null-fill it and
@@ -982,20 +1054,15 @@ class IcebergTable:
             # promotions and drop+re-add-same-name still refuse.
             # Single-schema tables keep the exact inferred-schema plan.
             variants = self._rename_history()
-            # current read → current schema; pinned read → the
-            # snapshot's schema (the shared rule in _read_schema_id)
-            sid = self._read_schema_id(
-                snapshot_id, as_of_timestamp_ms, ref
-            )
-            read_sid = sid
             reader = reader.schema(
                 self._spark_schema(
-                    sid, exclude=set(part_cols), name_variants=variants
+                    read_sid, exclude=scan_excl,
+                    name_variants=variants,
                 )
             )
             if variants:
                 logical_exprs = []
-                for f in self._schema_by_id(sid)["fields"]:
+                for f in self._schema_by_id(read_sid)["fields"]:
                     if f["name"] in set(part_cols):
                         continue
                     names = variants.get(f["id"], [f["name"]])
@@ -1005,6 +1072,15 @@ class IcebergTable:
                     )
                     variant_expr[f["id"]] = e
                     logical_exprs.append(e.alias(f["name"]))
+        elif mixed_identity:
+            # a mixed-spec scan cannot rely on Spark's one-footer
+            # inference — pre- and post-evolution files disagree on the
+            # identity column's presence — so pin the metadata schema
+            # (the evolved-table rule, applied to the single-schema
+            # case; exotic external types refuse like the evolved path)
+            reader = reader.schema(
+                self._spark_schema(read_sid, exclude=scan_excl)
+            )
         deletes = self.delete_files(snapshot_id, as_of_timestamp_ms,
                                     ref=ref)
         pos_dels = [
@@ -1018,12 +1094,34 @@ class IcebergTable:
             and any(f.sequence < d.sequence for f in files)
         ]
         scan = reader.parquet(*[f.path for f in files])
+        #: mixed identity columns attach under a temp name and the
+        #: output takes COALESCE(metadata value, scanned value) — the
+        #: metadata wins where the spec recorded it, the data supplies
+        #: it for pre-evolution files
+        attach_names = [
+            "__meta_" + c if c in mixed_identity else c
+            for c in part_cols
+        ]
+
+        def _part_exprs():
+            return [
+                F.coalesce(F.col("__meta_" + c), F.col(c)).alias(c)
+                if c in mixed_identity
+                else F.col(c)
+                for c in part_cols
+            ]
+
+        def _apply_residue(df):
+            for k in residue_keys:
+                df = df.filter(F.col(k) == F.lit(partition_filter[k]))
+            return df
+
         if not (pos_dels or eq_dels):
             if not part_cols:
-                return _apply_cf(
+                return _apply_cf(_apply_residue(
                     scan if logical_exprs is None
                     else scan.select(*logical_exprs)
-                )
+                ))
             # abspath, not resolve() — Hadoop qualifies paths but does
             # not chase symlinks, so neither may we
             rows = [
@@ -1032,12 +1130,16 @@ class IcebergTable:
                 for f in files
             ]
             out = attach_file_columns(
-                scan, rows, part_cols,
+                scan, rows, attach_names,
                 what="iceberg snapshot partition",
             )
-            if logical_exprs is not None:
-                out = out.select(*logical_exprs, *part_cols)
-            return _apply_cf(out)
+            out = out.select(
+                *(logical_exprs if logical_exprs is not None
+                  else [F.col(c) for c in scan.columns
+                        if c not in set(mixed_identity)]),
+                *_part_exprs(),
+            )
+            return _apply_cf(_apply_residue(out))
         data_cols = scan.columns
         scan = scan.select(
             "*", F.col("_metadata.row_index").alias("_row_idx")
@@ -1058,7 +1160,7 @@ class IcebergTable:
         df = attach_file_columns(
             scan,
             rows,
-            ["_raw_path", "_seq", *part_cols],
+            ["_raw_path", "_seq", *attach_names],
             what="iceberg snapshot partition",
         )
         # id -> name map in the READ schema (by schema-id lookup, not
@@ -1119,6 +1221,14 @@ class IcebergTable:
                     f"ids {missing} absent from the read schema"
                 )
             names = [meta_schema[fid] for fid in d.equality_ids]
+            clash = sorted(set(names) & set(mixed_identity))
+            if clash:
+                raise NotImplementedError(
+                    f"equality delete {d.raw_path!r} matches on "
+                    f"{clash}, identity partition columns some live "
+                    "files record only in data — the anti-join cannot "
+                    "compare one expression for both eras"
+                )
             dels_raw = spark.read.parquet(d.path)
             # a delete file written pre-rename stores its equality
             # column under the write-time name — pick the variant the
@@ -1136,13 +1246,14 @@ class IcebergTable:
                 scan_val = variant_expr.get(fid, F.col(n))
                 cond = cond & scan_val.eqNullSafe(F.col(f"_d_{n}"))
             df = df.join(_sized(dels, d), cond, "left_anti")
-        return _apply_cf(
+        return _apply_cf(_apply_residue(
             df.select(
                 *(logical_exprs if logical_exprs is not None
-                  else data_cols),
-                *part_cols,
+                  else [F.col(c) for c in data_cols
+                        if c not in set(mixed_identity)]),
+                *_part_exprs(),
             )
-        )
+        ))
 
     def metadata_table(self, spark, kind: str, ref: str | None = None):
         """Inspection DataFrames in production Iceberg's metadata-table
@@ -1384,13 +1495,22 @@ class IcebergTable:
         The snapshot id is deterministic (sequence-derived) — same
         no-ambient-randomness rule as the Avro sync marker.  ``counts``
         is accepted for backward compatibility and ignored (statuses are
-        authoritative)."""
+        authoritative).
+
+        Partition-spec evolution (spec "Partition Evolution"): a
+        manifest holds entries of ONE spec (its partition struct and
+        summary layout are spec-shaped), so entries group by their
+        ``spec_id`` key — carried EXISTING/DELETED entries keep the
+        spec their file was written under, entries without the key
+        (every ADDED entry from the write faces) take the table's
+        CURRENT default spec — and each group writes its own manifest
+        stamped with that ``partition_spec_id``.  Single-spec tables
+        produce exactly the one-manifest layout they always did."""
         meta = self.metadata()
         version = self.current_version()
         seq = meta["last-sequence-number"] + 1
         snap_id = 1000 + seq
-        spec_fields = self._spec_fields(meta, 0)
-        entry_schema = _manifest_entry_schema(spec_fields)
+        default_spec = meta.get("default-spec-id", 0)
 
         def stat_counts(es):
             f = {0: 0, 1: 0, 2: 0}
@@ -1412,53 +1532,72 @@ class IcebergTable:
             return min(explicit + [seq])
 
         mlist_rows = []
-        for content, kind, es in (
+        for content, kind, all_es in (
             (_MANIFEST_DATA, "data", entries),
             (_MANIFEST_DELETES, "deletes", delete_entries or []),
         ):
-            if content == _MANIFEST_DELETES and not es:
+            if content == _MANIFEST_DELETES and not all_es:
                 continue
-            man_rel = f"metadata/snap-{snap_id}-{kind}-manifest.avro"
-            man_path = os.path.join(self.dir, man_rel)
-            write_ocf(
-                man_path,
-                entry_schema,
-                es,
-                extra_meta={
-                    # by schema-id lookup, never list position (external
-                    # metadata need not keep ids as list indexes; meta
-                    # is the unmutated current doc here, so the shared
-                    # helper's clear no-such-schema error applies)
-                    "schema": json.dumps(self._schema_by_id(
-                        meta.get("current-schema-id", 0)
-                    )).encode(),
-                    "partition-spec": json.dumps(spec_fields).encode(),
-                    "content": kind.encode(),
-                },
-            )
-            added_f, existing_f, deleted_f, added_r, existing_r, deleted_r = (
-                stat_counts(es)
-            )
-            mlist_rows.append(
-                {
-                    "manifest_path": man_rel,
-                    "manifest_length": os.path.getsize(man_path),
-                    "partition_spec_id": 0,
-                    "content": content,
-                    "sequence_number": seq,
-                    "min_sequence_number": min_seq(es),
-                    "added_snapshot_id": snap_id,
-                    "added_files_count": added_f,
-                    "existing_files_count": existing_f,
-                    "deleted_files_count": deleted_f,
-                    "added_rows_count": added_r,
-                    "existing_rows_count": existing_r,
-                    "deleted_rows_count": deleted_r,
-                    "partitions": self._field_summaries(es, spec_fields)
-                    if spec_fields
-                    else None,
-                }
-            )
+            by_spec: dict[int, list[dict]] = {}
+            for e in all_es:
+                e = dict(e)
+                by_spec.setdefault(
+                    e.pop("spec_id", default_spec), []
+                ).append(e)
+            if not by_spec:  # an EMPTY data section still needs its
+                by_spec = {default_spec: []}  # (empty) manifest row
+            for spec_id in sorted(by_spec):
+                es = by_spec[spec_id]
+                spec_fields = self._spec_fields(meta, spec_id)
+                entry_schema = _manifest_entry_schema(spec_fields)
+                man_rel = (
+                    f"metadata/snap-{snap_id}-{kind}-manifest.avro"
+                    if len(by_spec) == 1
+                    else f"metadata/snap-{snap_id}-{kind}-"
+                         f"spec{spec_id}-manifest.avro"
+                )
+                man_path = os.path.join(self.dir, man_rel)
+                write_ocf(
+                    man_path,
+                    entry_schema,
+                    es,
+                    extra_meta={
+                        # by schema-id lookup, never list position
+                        # (external metadata need not keep ids as list
+                        # indexes; meta is the unmutated current doc
+                        # here, so the shared helper's clear
+                        # no-such-schema error applies)
+                        "schema": json.dumps(self._schema_by_id(
+                            meta.get("current-schema-id", 0)
+                        )).encode(),
+                        "partition-spec": json.dumps(
+                            spec_fields).encode(),
+                        "content": kind.encode(),
+                    },
+                )
+                (added_f, existing_f, deleted_f,
+                 added_r, existing_r, deleted_r) = stat_counts(es)
+                mlist_rows.append(
+                    {
+                        "manifest_path": man_rel,
+                        "manifest_length": os.path.getsize(man_path),
+                        "partition_spec_id": spec_id,
+                        "content": content,
+                        "sequence_number": seq,
+                        "min_sequence_number": min_seq(es),
+                        "added_snapshot_id": snap_id,
+                        "added_files_count": added_f,
+                        "existing_files_count": existing_f,
+                        "deleted_files_count": deleted_f,
+                        "added_rows_count": added_r,
+                        "existing_rows_count": existing_r,
+                        "deleted_rows_count": deleted_r,
+                        "partitions": self._field_summaries(
+                            es, spec_fields)
+                        if spec_fields
+                        else None,
+                    }
+                )
         mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
         write_ocf(
             os.path.join(self.dir, mlist_rel),
@@ -1520,7 +1659,24 @@ class IcebergTable:
         self, files: list[DataFile], now_ms: int = 0
     ) -> int:
         """Fast-append snapshot: prior live entries carry forward as
-        EXISTING, new files enter as ADDED."""
+        EXISTING, new files enter as ADDED (recorded under the CURRENT
+        default spec — a key the default spec does not define refuses,
+        the writer-side half of spec evolution; missing keys are null
+        partition values, which the spec allows)."""
+        meta0 = self.metadata()
+        spec_names = {
+            f["name"]
+            for f in self._spec_fields(
+                meta0, meta0.get("default-spec-id", 0)
+            )
+        }
+        for f in files:
+            unknown = set(f.partition) - spec_names
+            if unknown:
+                raise ValueError(
+                    f"partition keys {sorted(unknown)} not in the "
+                    "default partition spec"
+                )
         prior = self._live_entries()
         entries = prior + [
             {
@@ -1800,6 +1956,18 @@ class IcebergTable:
                     f"update_rows SET on partition-source column {c!r}: "
                     "a partition move is a rewrite, not an update"
                 )
+        live_specs = {
+            f.spec_id for f in self.files()
+            if f.content == _CONTENT_DATA
+        }
+        if live_specs - {meta.get("default-spec-id", 0)}:
+            raise NotImplementedError(
+                "update_rows on a table whose live files carry "
+                f"partition specs {sorted(live_specs)} other than the "
+                "default: the rewritten copies' partition tuples would "
+                "be stamped under the default spec while sourced from "
+                "another — use delete_rows + append to move those rows"
+            )
         cand, part_cols, per_raw = self._matched_per_raw(
             spark, column_filter, "update_rows"
         )
@@ -2185,6 +2353,7 @@ class IcebergTable:
         # this snapshot's new files (r11 review — the set-difference
         # walk re-listed every live file per snapshot)
         added: dict[str, tuple] = {}  # raw_path -> (sid, DataFile)
+        range_specs: set[int] = set()
         for s in rng:
             snap_id = s["snapshot-id"]
             _, manifests, _ = read_ocf(
@@ -2194,6 +2363,7 @@ class IcebergTable:
                 if (mf["content"] != _MANIFEST_DATA
                         or mf.get("added_snapshot_id") != snap_id):
                     continue
+                range_specs.add(mf["partition_spec_id"])
                 _, entries, _ = read_ocf(
                     self._resolve(mf["manifest_path"])
                 )
@@ -2215,9 +2385,18 @@ class IcebergTable:
         # partition columns come from the SPEC names (stable whether or
         # not anything was added — an empty interval's frame must union
         # with a non-empty one; r11 review caught the added-derived
-        # names making the typing block unreachable)
+        # names making the typing block unreachable).  Under spec
+        # evolution the names come from the RANGE's own specs (each
+        # added manifest records its spec id; an empty interval types
+        # by the default spec) so a wholly pre-evolution range keeps
+        # its identity columns in the DATA section where its files
+        # carry them.
+        if not range_specs:
+            range_specs = {meta.get("default-spec-id", 0)}
         part_types: dict[str, str] = {}
         for spec in meta.get("partition-specs", []):
+            if spec["spec-id"] not in range_specs:
+                continue
             for pf in spec.get("fields", []):
                 part_types.setdefault(
                     pf["name"], pf.get("result-type", "string")
@@ -2237,6 +2416,25 @@ class IcebergTable:
         if not added:
             return spark.createDataFrame([], out_schema)
         infos = sorted(added.items())
+        schema_names = {
+            f["name"] for f in self._schema_by_id(sid)["fields"]
+        }
+        cross = sorted({
+            c for c in part_cols
+            if c in schema_names
+            and any(c not in f.partition for _, (_, f) in infos)
+        })
+        if cross:
+            # a range crossing an identity-field spec evolution mixes
+            # files that carry the column in DATA with files that
+            # record it in metadata; this face's one-schema scan would
+            # silently drop the data-side values — read() composes the
+            # two eras, the incremental face refuses (honest seam)
+            raise NotImplementedError(
+                "incremental_scan range crosses a spec evolution on "
+                f"identity fields {cross}: scan the eras separately "
+                "or use read()"
+            )
         reader = spark.read
         if len(meta.get("schemas", [])) > 1:
             reader = reader.schema(data_schema)
@@ -2601,6 +2799,109 @@ class IcebergTable:
         meta["last-updated-ms"] = now_ms
         self._write_metadata(self.current_version() + 1, meta)
 
+    def update_spec(
+        self,
+        partition_by: list[tuple] | None,
+        now_ms: int = 0,
+    ) -> int:
+        """Partition-spec evolution (spec "Partition Evolution"): one
+        metadata-only version bump appends a NEW spec — same
+        ``partition_by`` shape as :meth:`create`: [(column,
+        result_type[, transform[, name]])], ``None``/[] for
+        unpartitioned — and makes it the default.  No data rewrites:
+        existing files keep the spec their manifests were written
+        under (manifests are spec-shaped, so :meth:`_commit_snapshot`
+        carries them forward grouped per spec), new appends record
+        values under the new spec, and the read path composes both —
+        partition filters prune only files whose spec RECORDS the
+        filtered field, with surviving pre-evolution files row-filtered
+        for identity fields (they carry the source column in their
+        data) and refused for transform fields (the file-level value
+        does not exist and this engine does not re-derive transforms
+        row-side).
+
+        Partition field ids are never reused for different fields: a
+        field identical to one in ANY earlier spec (same name,
+        transform, source, type) keeps its id, anything else allocates
+        past ``last-partition-id``.  Renamed column histories refuse
+        (partition field names must stay resolvable against one name
+        per source)."""
+        meta = json.loads(json.dumps(self.metadata()))
+        if self._rename_history():
+            raise NotImplementedError(
+                "update_spec on a renamed column history"
+            )
+        schema = self._schema_by_id(meta.get("current-schema-id", 0))
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        known = {
+            (f["name"], f["transform"], f["source-id"],
+             f["result-type"]): f["field-id"]
+            for spec in meta.get("partition-specs", [])
+            for f in spec.get("fields", [])
+        }
+        next_id = meta.get("last-partition-id", 999) + 1
+        new_fields: list[dict] = []
+        for spec in partition_by or []:
+            col, typ = spec[0], spec[1]
+            transform = spec[2] if len(spec) > 2 else "identity"
+            if col not in by_name:
+                raise ValueError(f"no such column {col!r}")
+            if typ not in ("int", "long", "string", "date"):
+                raise NotImplementedError(
+                    f"partition result type {typ!r}"
+                )
+            # validate the transform spelling up front (a bad spelling
+            # must refuse here, not crash the first post-evolution read)
+            if transform != "identity":
+                probe = 0 if typ in ("int", "long", "date") else "x"
+                transform_value(transform, probe)
+            name = (
+                spec[3]
+                if len(spec) > 3
+                else (
+                    col
+                    if transform == "identity"
+                    else col + "_" + transform.split("[", 1)[0]
+                )
+            )
+            if any(f["name"] == name for f in new_fields):
+                raise ValueError(
+                    f"duplicate partition field name {name!r}"
+                )
+            key = (name, transform, by_name[col], typ)
+            fid = known.get(key)
+            if fid is None:
+                fid = next_id
+                next_id += 1
+            new_fields.append(
+                {
+                    "name": name,
+                    "transform": transform,
+                    "source-id": by_name[col],
+                    "field-id": fid,
+                    "result-type": typ,
+                }
+            )
+        cur_default = self._spec_fields(
+            meta, meta.get("default-spec-id", 0)
+        )
+        if new_fields == cur_default:
+            raise ValueError("new spec is identical to the default")
+        new_sid = (
+            max(s["spec-id"] for s in meta["partition-specs"]) + 1
+        )
+        meta["partition-specs"] = list(meta["partition-specs"]) + [
+            {"spec-id": new_sid, "fields": new_fields}
+        ]
+        meta["default-spec-id"] = new_sid
+        meta["last-partition-id"] = max(
+            meta.get("last-partition-id", 999),
+            max((f["field-id"] for f in new_fields), default=999),
+        )
+        meta["last-updated-ms"] = now_ms
+        self._write_metadata(self.current_version() + 1, meta)
+        return new_sid
+
     def promote_column(
         self, name: str, spark_type: str, now_ms: int = 0
     ) -> None:
@@ -2733,15 +3034,20 @@ class IcebergTable:
         debris, which :meth:`vacuum` reclaims.  Returns a summary dict,
         or None when nothing qualified (a no-op makes NO commit)."""
         live = [f for f in self.files() if f.content == _CONTENT_DATA]
+        # bins never mix specs: the rewritten file re-enters under the
+        # SAME spec its sources were written under (the bin's partition
+        # tuple only means what its spec says it means) — compaction
+        # preserves metadata truth across spec evolution rather than
+        # silently migrating values it cannot derive
         by_part: dict[tuple, list[DataFile]] = {}
         for f in live:
             by_part.setdefault(
-                tuple(sorted(f.partition.items())), []
+                (f.spec_id, tuple(sorted(f.partition.items()))), []
             ).append(f)
-        bins: list[tuple[dict, list[DataFile]]] = []
-        for part_key in sorted(by_part):
+        bins: list[tuple[int, dict, list[DataFile]]] = []
+        for spec_id, part_key in sorted(by_part):
             smalls = sorted(
-                (f for f in by_part[part_key]
+                (f for f in by_part[(spec_id, part_key)]
                  if f.file_size < target_bytes),
                 key=lambda f: -f.file_size,
             )
@@ -2750,12 +3056,12 @@ class IcebergTable:
             for f in smalls:
                 if cur and cur_bytes + f.file_size > target_bytes:
                     if len(cur) >= min_group:
-                        bins.append((dict(part_key), cur))
+                        bins.append((spec_id, dict(part_key), cur))
                     cur, cur_bytes = [], 0
                 cur.append(f)
                 cur_bytes += f.file_size
             if len(cur) >= min_group:
-                bins.append((dict(part_key), cur))
+                bins.append((spec_id, dict(part_key), cur))
         if not bins:
             return None
 
@@ -2770,7 +3076,7 @@ class IcebergTable:
         cur_schema = self._schema_by_id(
             self.metadata()["current-schema-id"]
         )
-        for i, (part, fs) in enumerate(bins):
+        for i, (bin_spec, part, fs) in enumerate(bins):
             raws = {f.raw_path for f in fs}
             # the rewrite column list comes from the snapshot's PINNED
             # schema, not a sampled footer: a bin mixing pre- and
@@ -2816,6 +3122,7 @@ class IcebergTable:
                     file_size=os.path.getsize(dest),
                     lower_bounds=lb,
                     upper_bounds=ub,
+                    spec_id=bin_spec,
                 )
             )
             rewritten |= raws
@@ -2834,6 +3141,7 @@ class IcebergTable:
                 "snapshot_id": None,
                 "sequence_number": None,  # inherits the new sequence
                 "file_sequence_number": None,
+                "spec_id": f.spec_id,
                 "data_file": {
                     "content": _CONTENT_DATA,
                     "file_path": f.path,
@@ -3047,6 +3355,7 @@ class IcebergTable:
                 "snapshot_id": None,
                 "sequence_number": f.sequence,
                 "file_sequence_number": None,
+                "spec_id": f.spec_id,
                 "data_file": {
                     "content": f.content,
                     "file_path": f.raw_path

@@ -1985,3 +1985,227 @@ def test_rollback_refusals(table):
         t.rollback_to(424242)
     with pytest.raises(ValueError, match="already current"):
         t.rollback_to(s3)
+
+
+# ------------------------------------------------- partition-spec evolution
+
+
+def _pq_file(d, name, cols):
+    p = os.path.join(d, "data", name)
+    pq.write_table(
+        pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()}),
+        p,
+    )
+    return p
+
+
+def test_update_spec_unpartitioned_to_identity(spark, tmp_path):
+    """The headline evolution: an unpartitioned table starts recording
+    an identity partition.  Pre-evolution files keep the column in
+    DATA, post-evolution files record it in metadata only, and ONE
+    read composes both eras (coalesce of the attached value over the
+    scanned one); partition filters prune only the era whose spec
+    records the field and row-filter the other."""
+    d = str(tmp_path / "evo")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("v", "bigint"), ("c", "bigint")],
+        now_ms=1000,
+    )
+    p1 = _pq_file(d, "f1.parquet", {"k": [1, 2], "v": [10, 20],
+                                    "c": [7, 8]})
+    s1 = t.append([DataFile("data/f1.parquet", {}, 2,
+                            os.path.getsize(p1))], now_ms=2000)
+    new_sid = t.update_spec([("c", "long")], now_ms=3000)
+    assert new_sid == 1
+    assert t.metadata()["default-spec-id"] == 1
+    # post-evolution writer: c lives in metadata, not the file
+    p2 = _pq_file(d, "f2.parquet", {"k": [3], "v": [30]})
+    t.append([DataFile("data/f2.parquet", {"c": 7}, 1,
+                       os.path.getsize(p2))], now_ms=4000)
+
+    got = sorted(tuple(r) for r in
+                 t.read(spark).select("k", "v", "c").collect())
+    assert got == [(1, 10, 7), (2, 20, 8), (3, 30, 7)]
+    # filter: prunes f2's era at file level, row-filters f1's era
+    got = sorted(tuple(r) for r in t.read(
+        spark, partition_filter={"c": 7}
+    ).select("k", "v", "c").collect())
+    assert got == [(1, 10, 7), (3, 30, 7)]
+    # the other partition value: f2 pruned entirely, f1 row-filtered
+    got = [tuple(r) for r in t.read(
+        spark, partition_filter={"c": 8}
+    ).select("k", "v", "c").collect()]
+    assert got == [(2, 20, 8)]
+    # time travel below the evolution: plain single-era read
+    got = sorted(tuple(r) for r in t.read(
+        spark, snapshot_id=s1
+    ).select("k", "v", "c").collect())
+    assert got == [(1, 10, 7), (2, 20, 8)]
+    # manifests carry their own spec ids
+    specs = {f.spec_id for f in t.files()}
+    assert specs == {0, 1}
+
+
+def test_update_spec_transform_field_and_filters(spark, tmp_path):
+    """identity(p) evolves to identity(p) + bucket[2](k): p stays
+    exact-filterable across both eras (every file records it), the
+    bucket field null-fills for pre-evolution files and filtering on
+    it refuses while any such file is live — the file-level value
+    does not exist and rows cannot be re-derived."""
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
+    d = str(tmp_path / "evo_tr")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("p", "bigint")],
+        partition_by=[("p", "long")], now_ms=1000,
+    )
+    p1 = _pq_file(d, "f1.parquet", {"k": [1, 2]})
+    t.append([DataFile("data/f1.parquet", {"p": 0}, 2,
+                       os.path.getsize(p1))], now_ms=2000)
+    t.update_spec(
+        [("p", "long"), ("k", "int", "bucket[2]")], now_ms=3000
+    )
+    # the reused field (p) keeps its field id; the new one allocates
+    specs = {s["spec-id"]: s for s in
+             t.metadata()["partition-specs"]}
+    assert specs[0]["fields"][0]["field-id"] == 1000
+    assert specs[1]["fields"][0]["field-id"] == 1000
+    assert specs[1]["fields"][1]["field-id"] == 1001
+    assert specs[1]["fields"][1]["name"] == "k_bucket"
+    p2 = _pq_file(d, "f2.parquet", {"k": [5]})
+    t.append([DataFile(
+        "data/f2.parquet",
+        {"p": 0, "k_bucket": transform_value("bucket[2]", 5)},
+        1, os.path.getsize(p2),
+    )], now_ms=4000)
+    # p filters exactly across both eras (recorded everywhere)
+    assert t.read(spark, partition_filter={"p": 0}).count() == 3
+    assert t.read(spark, partition_filter={"p": 1}).count() == 0
+    # k_bucket: pre-evolution file is live -> refuse
+    with pytest.raises(NotImplementedError, match="k_bucket"):
+        t.read(spark, partition_filter={"k_bucket": 1})
+    # the bucket column null-fills for the pre-evolution file
+    rows = {r.k: r.k_bucket for r in t.read(spark).collect()}
+    assert rows[5] == transform_value("bucket[2]", 5)
+    assert rows[1] is None and rows[2] is None
+    # CoW-delete the old era -> the transform filter works (filter
+    # values arrive in the SOURCE domain; the engine transforms them
+    # the way the writer did)
+    t.delete({"data/f1.parquet"}, now_ms=5000)
+    got = [r.k for r in t.read(
+        spark, partition_filter={"k_bucket": 5}).collect()]
+    assert got == [5]
+
+
+def test_update_spec_refusals_and_append_validation(tmp_path):
+    d = str(tmp_path / "evo_ref")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("v", "bigint")], now_ms=1000
+    )
+    with pytest.raises(ValueError, match="no such column"):
+        t.update_spec([("zzz", "long")])
+    with pytest.raises(NotImplementedError, match="result type"):
+        t.update_spec([("k", "float")])
+    with pytest.raises(NotImplementedError, match="transform"):
+        t.update_spec([("k", "long", "mod[3]")])
+    with pytest.raises(ValueError, match="identical"):
+        t.update_spec([])
+    t.update_spec([("v", "long")], now_ms=2000)
+    with pytest.raises(ValueError, match="identical"):
+        t.update_spec([("v", "long")])
+    # append under the new spec refuses keys the spec does not define
+    p1 = _pq_file(d, "f1.parquet", {"k": [1]})
+    with pytest.raises(ValueError, match="not in the default"):
+        t.append([DataFile("data/f1.parquet", {"nope": 1}, 1,
+                           os.path.getsize(p1))])
+    # renamed history refuses evolution
+    d2 = str(tmp_path / "evo_ren")
+    os.makedirs(os.path.join(d2, "data"))
+    t2 = IcebergTable.create(
+        d2, [("k", "bigint"), ("v", "bigint")], now_ms=1000
+    )
+    t2.rename_column("v", "w", now_ms=2000)
+    with pytest.raises(NotImplementedError, match="renamed"):
+        t2.update_spec([("k", "long")])
+
+
+def test_spec_evolution_mor_and_compact_compose(spark, tmp_path):
+    """Position deletes subtract from pre-evolution files through the
+    mixed-era read; compaction bins never mix specs (the rewritten
+    file re-enters under its sources' spec, values intact); equality
+    deletes matching on a mixed identity column refuse."""
+    d = str(tmp_path / "evo_mor")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("v", "bigint"), ("c", "bigint")],
+        now_ms=1000,
+    )
+    for i, ks in enumerate(([1, 2], [3, 4])):
+        p = _pq_file(d, f"f{i}.parquet",
+                     {"k": ks, "v": [x * 10 for x in ks],
+                      "c": [100 + i] * 2})
+        t.append([DataFile(f"data/f{i}.parquet", {}, 2,
+                           os.path.getsize(p))],
+                 now_ms=2000 + i * 1000)
+    t.update_spec([("c", "long")], now_ms=4000)
+    p2 = _pq_file(d, "f9.parquet", {"k": [9], "v": [90]})
+    t.append([DataFile("data/f9.parquet", {"c": 101}, 1,
+                       os.path.getsize(p2))], now_ms=5000)
+    # position-delete k=1 (file f0 row 0), pre-evolution era
+    t.add_position_deletes([("data/f0.parquet", 0)], now_ms=6000)
+    got = sorted(tuple(r) for r in
+                 t.read(spark).select("k", "c").collect())
+    assert got == [(2, 100), (3, 101), (4, 101), (9, 101)]
+    # filtered mixed read through the MoR branch
+    got = sorted(tuple(r) for r in t.read(
+        spark, partition_filter={"c": 101}
+    ).select("k", "c").collect())
+    assert got == [(3, 101), (4, 101), (9, 101)]
+    # equality delete on the mixed identity column refuses (field id
+    # 3 = c): the anti-join cannot compare one expression for both eras
+    t.add_equality_deletes([{"c": 100}], [3], now_ms=7000)
+    with pytest.raises(NotImplementedError, match="identity partition"):
+        t.read(spark).collect()
+    # roll the equality delete back off the table (rollback composes)
+    t.rollback_to(t.metadata()["snapshots"][-2]["snapshot-id"],
+                  now_ms=8000)
+    # compact: the two pre-evolution files bin together under spec 0,
+    # the post-evolution file stays (min_group=2)
+    res = t.compact(spark, target_bytes=1 << 20, min_group=2,
+                    now_ms=9000)
+    assert res is not None and res["files_in"] == 2
+    new = [f for f in t.files() if f.path.endswith(
+        f"compact-{res['snapshot_id'] - 1000}-0.parquet")]
+    assert len(new) == 1 and new[0].spec_id == 0
+    got = sorted(tuple(r) for r in
+                 t.read(spark).select("k", "c").collect())
+    assert got == [(2, 100), (3, 101), (4, 101), (9, 101)]
+
+
+def test_incremental_scan_refuses_cross_evolution_identity(
+    spark, tmp_path
+):
+    d = str(tmp_path / "evo_inc")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("c", "bigint")], now_ms=1000
+    )
+    p1 = _pq_file(d, "f1.parquet", {"k": [1], "c": [5]})
+    s1 = t.append([DataFile("data/f1.parquet", {}, 1,
+                            os.path.getsize(p1))], now_ms=2000)
+    p2 = _pq_file(d, "f2.parquet", {"k": [2], "c": [6]})
+    s2 = t.append([DataFile("data/f2.parquet", {}, 1,
+                            os.path.getsize(p2))], now_ms=3000)
+    t.update_spec([("c", "long")], now_ms=4000)
+    p3 = _pq_file(d, "f3.parquet", {"k": [3]})
+    t.append([DataFile("data/f3.parquet", {"c": 7}, 1,
+                       os.path.getsize(p3))], now_ms=5000)
+    # within one era: fine
+    assert [tuple(r) for r in t.incremental_scan(
+        spark, s1, s2).select("k", "c").collect()] == [(2, 6)]
+    # crossing the evolution with an identity field: refuse
+    with pytest.raises(NotImplementedError, match="spec evolution"):
+        t.incremental_scan(spark, s1).collect()
