@@ -21,6 +21,9 @@ collecting min/max statistics.
                                         [--create-tag NAME | --create-branch
                                          NAME [--at-snapshot ID]]
                                         [--drop-ref NAME]
+                                        [--evolve-spec
+                                         [--partition-field COL TYPE
+                                          TRANSFORM]...]
         (iceberg: every flag; delta: --add-column, --drop-column and
          --rename-column — drop/rename need column mapping — the other
          flags refuse up front, applying nothing)
@@ -176,6 +179,19 @@ def main(argv: list[str] | None = None) -> int:
         "(default: current)",
     )
     ddl_p.add_argument("--drop-ref", metavar="NAME", default=None)
+    ddl_p.add_argument(
+        "--evolve-spec", action="store_true",
+        help="iceberg: make the --partition-field list the table's "
+        "new default partition spec (spec evolution, zero data "
+        "rewrites; no --partition-field = unpartitioned)",
+    )
+    ddl_p.add_argument(
+        "--partition-field", nargs=3,
+        metavar=("COL", "RESULT_TYPE", "TRANSFORM"), action="append",
+        default=None,
+        help="a field of the new spec, repeatable (TRANSFORM: "
+        "identity, year/month/day/hour, bucket[N], truncate[W])",
+    )
 
     del_p = sub.add_parser(
         "delete",
@@ -384,6 +400,9 @@ def main(argv: list[str] | None = None) -> int:
                         ("--create-branch", args.create_branch),
                         ("--at-snapshot", args.at_snapshot),
                         ("--drop-ref", args.drop_ref),
+                        ("--evolve-spec",
+                         args.evolve_spec or None),
+                        ("--partition-field", args.partition_field),
                     ) if val is not None
                 ]
                 if unsupported:
@@ -463,6 +482,18 @@ def main(argv: list[str] | None = None) -> int:
             if args.drop_ref:
                 it.drop_ref(args.drop_ref, now_ms=now)
                 print(f"dropped ref {args.drop_ref}")
+                did += 1
+            if args.partition_field and not args.evolve_spec:
+                raise ValueError(
+                    "--partition-field needs --evolve-spec"
+                )
+            if args.evolve_spec:
+                new_sid = it.update_spec(
+                    [(c, t_, tr) for c, t_, tr
+                     in (args.partition_field or [])],
+                    now_ms=now,
+                )
+                print(f"evolved partition spec (spec id {new_sid})")
                 did += 1
             if not did:
                 print("nothing to do (pass at least one DDL flag)")

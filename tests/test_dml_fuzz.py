@@ -243,6 +243,10 @@ class IcebergHarness:
             partition_by=[("p", "long")] if partitioned else None,
             now_ms=1,
         )
+        #: the identity column appends currently record in METADATA
+        #: (and exclude from data files) — "p" from creation, or the
+        #: evolve op's column once a spec evolution lands
+        self.part_key = "p" if partitioned else None
         self.n_files = 0
 
     def _fields(self):
@@ -253,10 +257,10 @@ class IcebergHarness:
         )["fields"]
 
     def append(self, rows, cols, now):
-        data_cols = [c for c in cols if c != "p"]
+        data_cols = [c for c in cols if c != self.part_key]
         groups: dict[object, list] = {}
-        if self.partitioned:
-            jp = cols.index("p")
+        if self.part_key is not None:
+            jp = cols.index(self.part_key)
             for r in rows:
                 groups.setdefault(r[jp], []).append(r)
         else:
@@ -278,11 +282,20 @@ class IcebergHarness:
             )
             lb, ub = parquet_column_bounds(p, self._fields())
             files.append(
-                DataFile(name, {"p": pv} if self.partitioned else {},
+                DataFile(name,
+                         {self.part_key: pv}
+                         if self.part_key is not None else {},
                          len(grp), os.path.getsize(p),
                          lower_bounds=lb, upper_bounds=ub)
             )
         self.t.append(files, now_ms=now)
+
+    def evolve(self, col, now):
+        """Spec evolution: appends from here on record ``col`` in
+        metadata and stop writing it into the data files — existing
+        files keep it in data, the read composes both eras."""
+        self.t.update_spec([(col, "long")], now_ms=now)
+        self.part_key = col
 
     def delete(self, col, lo, hi, now):
         self.t.delete_rows(self.spark, {col: (lo, hi)}, now_ms=now)
@@ -878,7 +891,15 @@ def test_dml_sequence_mapped_ddl_triple(spark, tmp_path, seed):
 # the first merge (live equality deletes).
 
 
-def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
+def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int,
+                          with_evolve: bool = False):
+    """``with_evolve`` carves a spec-evolution op out of the merge
+    slot (base seeds stay byte-identical).  Post-evolution legality
+    mirrors the faces' contracts: the evolved column ("v") leaves the
+    predicate/SET/rename/drop pools (partition source), updates stop
+    (update_rows refuses live non-default specs), merges stop
+    (merge_upsert refuses partitioned tables), and update_spec itself
+    never fires on a renamed history."""
     cols = ["k", "v"]
 
     def span(col):
@@ -890,7 +911,8 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
 
     ops = [{"op": "append", "rows": fresh_rows(rng.randint(2, 6)),
             "cols": list(cols)}]
-    merged = renamed = False
+    merged = renamed = evolved = False
+    evolved_col = None
     n_added = n_renamed = n_dropped = 0
     while len(ops) < n_ops:
         roll = rng.random()
@@ -899,12 +921,12 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
                         "rows": fresh_rows(rng.randint(1, 5)),
                         "cols": list(cols)})
         elif roll < 0.40 and not renamed:
-            col = rng.choice(cols)
+            col = rng.choice([c for c in cols if c != evolved_col])
             lo = rng.randrange(span(col))
             hi = lo + rng.randint(0, span(col) // 3)
             ops.append({"op": "delete", "col": col, "lo": lo, "hi": hi,
                         "cols": list(cols)})
-        elif roll < 0.52 and not renamed and not merged:
+        elif roll < 0.52 and not renamed and not merged and not evolved:
             col = rng.choice(cols)
             lo = rng.randrange(span(col))
             hi = lo + rng.randint(0, span(col) // 2)
@@ -915,7 +937,7 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
             ops.append({"op": "update", "col": col, "lo": lo, "hi": hi,
                         "set_col": set_col, "kind": kind, "val": val,
                         "cols": list(cols)})
-        elif roll < 0.67:
+        elif roll < (0.60 if with_evolve else 0.67) and not evolved:
             n = rng.randint(1, 4)
             ks = rng.sample(range(K_MAX), n)
             batch = [
@@ -925,6 +947,17 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
             ops.append({"op": "merge", "batch": batch,
                         "cols": list(cols)})
             merged = True
+        elif (with_evolve and roll < 0.67 and not evolved
+                and not renamed):
+            # deterministic column pick (no rng draw — the CI seeds'
+            # sequences must not shift): "v" unless a drop took it
+            cand = [c for c in cols if c != "k"]
+            if not cand:
+                continue
+            evolved = True
+            evolved_col = "v" if "v" in cand else cand[0]
+            ops.append({"op": "evolve", "col": evolved_col,
+                        "cols": list(cols)})
         elif roll < 0.77 and n_added < 3:
             n_added += 1
             name = f"c{n_added}"
@@ -932,7 +965,11 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
             ops.append({"op": "add_column", "name": name,
                         "cols": list(cols)})
         elif roll < 0.85 and n_renamed < 2:
-            old = rng.choice([c for c in cols if c != "k"])
+            cand = [c for c in cols
+                    if c != "k" and c != evolved_col]
+            if not cand:
+                continue
+            old = rng.choice(cand)
             n_renamed += 1
             new = f"r{n_renamed}"
             cols[cols.index(old)] = new
@@ -940,7 +977,11 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
             ops.append({"op": "rename_column", "old": old, "new": new,
                         "cols": list(cols)})
         elif roll < 0.90 and n_dropped < 1 and len(cols) > 2:
-            name = rng.choice([c for c in cols if c != "k"])
+            cand = [c for c in cols
+                    if c != "k" and c != evolved_col]
+            if not cand:
+                continue
+            name = rng.choice(cand)
             n_dropped += 1
             j = cols.index(name)
             cols.pop(j)
@@ -953,13 +994,15 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int):
     return ops
 
 
-def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int):
+def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int,
+                              with_evolve: bool = False):
     rng = random.Random(seed)
-    ops = _gen_ice_ddl_sequence(rng, n_ops)
+    ops = _gen_ice_ddl_sequence(rng, n_ops, with_evolve)
     ice = IcebergHarness(spark, str(tmp_path / f"id{seed}"))
     model: list[tuple] = []
     states: dict[int, tuple] = {}
     last_sid = None
+    evolved_col = None
     now = 1000
 
     for i, op in enumerate(ops):
@@ -996,6 +1039,11 @@ def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int):
             ice.drop_column(op["name"], now)
             j = op["idx"]
             model = [(*r[:j], *r[j + 1:]) for r in model]
+        elif op["op"] == "evolve":
+            ice.evolve(op["col"], now)
+            evolved_col = op["col"]
+            # the model is untouched: evolution moves where the value
+            # is RECORDED, never what it is
         elif op["op"] == "compact":
             ice.compact(now)
         elif op["op"] == "maintain":
@@ -1005,6 +1053,28 @@ def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int):
         want = _nsort(model)
         ctx = f"seed={seed} step={i} op={op}"
         assert ice.rows(cols) == want, f"iceberg ddl diverged: {ctx}"
+        if evolved_col is not None and model:
+            # partition-filter probe across BOTH eras every step: a
+            # value present in the model must return exactly its rows
+            # (pre-evolution files row-filter, post-evolution files
+            # prune at file level).  NULL values never probe — `= NULL`
+            # matches nothing in SQL, deliberately (a null partition
+            # value is reachable when the evolved column postdates an
+            # add_column, e.g. seed 957's evolve-on-c1)
+            jc = cols.index(evolved_col)
+            vals = [r[jc] for r in model if r[jc] is not None]
+            if vals:
+                probe = vals[i % len(vals)]
+                got = _nsort(
+                    tuple(r[c] for c in cols)
+                    for r in ice.t.read(
+                        spark, partition_filter={evolved_col: probe}
+                    ).select(*cols).collect()
+                )
+                assert got == _nsort(
+                    r for r in model if r[jc] == probe
+                ), (f"evolved partition filter diverged: {ctx} "
+                    f"probe={probe}")
         sid_now = ice.snapshot_id()
         if sid_now != last_sid:
             states[sid_now] = (list(cols), want)
@@ -1026,6 +1096,20 @@ def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int):
 @pytest.mark.parametrize("seed", [709, 713])
 def test_dml_sequence_iceberg_ddl_triple(spark, tmp_path, seed):
     _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=12)
+
+
+# spec evolution in the op mix (round 11), with a partition-filter
+# probe against the model EVERY post-evolution step: 947 = deletes on
+# both sides of the evolve + compacts (mixed-spec bins); 964 = evolve
+# ON TOP of live equality deletes from two merges, then maintenance,
+# drop_column and a delete; 926 = compact→evolve→delete then three
+# add_columns and a rename (multi-schema × multi-spec reads); 911 =
+# update before the evolve, maintenance after (expire+vacuum over
+# mixed specs), then drop_column
+@pytest.mark.parametrize("seed", [947, 964, 926, 911])
+def test_dml_sequence_iceberg_spec_evolution(spark, tmp_path, seed):
+    _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=12,
+                              with_evolve=True)
 
 
 # ---------------------------------------------- crash injection at commit

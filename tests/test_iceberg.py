@@ -2209,3 +2209,44 @@ def test_incremental_scan_refuses_cross_evolution_identity(
     # crossing the evolution with an identity field: refuse
     with pytest.raises(NotImplementedError, match="spec evolution"):
         t.incremental_scan(spark, s1).collect()
+
+
+def test_cli_ddl_evolve_spec(spark, tmp_path, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta_evo")
+    d = str(tmp_path / "cli_evo")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("c", "bigint")], now_ms=1000
+    )
+    p = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "c": pa.array([5], pa.int64())}), p)
+    t.append([DataFile("data/f1.parquet", {}, 1, os.path.getsize(p))],
+             now_ms=2000)
+    assert main(["register", meta, "ti", d, "--format", "iceberg"]) == 0
+    assert main(["ddl", meta, "ti", "--evolve-spec",
+                 "--partition-field", "c", "long", "identity"]) == 0
+    assert "evolved partition spec (spec id 1)" in \
+        capsys.readouterr().out
+    assert t.metadata()["default-spec-id"] == 1
+    # --partition-field without --evolve-spec exits 2, applying nothing
+    assert main(["ddl", meta, "ti",
+                 "--partition-field", "k", "long", "identity"]) == 2
+    assert t.metadata()["default-spec-id"] == 1
+    # delta tables refuse the flag up front
+    from hadoop_sync_spark.delta_log import DeltaLog
+    dd = str(tmp_path / "cli_evo_delta")
+    os.makedirs(dd)
+    log = DeltaLog(dd)
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   {"metaData": {"id": "t", "format":
+                    {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": [
+                            {"name": "k", "type": "long",
+                             "nullable": True, "metadata": {}}]}),
+                    "partitionColumns": [], "configuration": {}}}])
+    assert main(["register", meta, "td", dd, "--format", "delta"]) == 0
+    assert main(["ddl", meta, "td", "--evolve-spec"]) == 2
