@@ -914,9 +914,23 @@ class IcebergTable:
                 sid0 = self._read_schema_id(
                     snapshot_id, as_of_timestamp_ms, ref
                 )
+                # the partition section mirrors the NON-empty path's
+                # shape rule: the snapshot's live files decide which
+                # spec fields attach (an evolved table whose live set
+                # is all pre-evolution keeps those columns inline);
+                # an empty snapshot falls back to every spec's fields
+                live_keys = {
+                    k
+                    for f in self.files(snapshot_id,
+                                        as_of_timestamp_ms, ref=ref)
+                    for k in f.partition
+                } if len(m.get("partition-specs", [])) > 1 else None
                 part_fields: dict[str, str] = {}
                 for spec in m.get("partition-specs", []):
                     for pf in spec.get("fields", []):
+                        if (live_keys is not None
+                                and pf["name"] not in live_keys):
+                            continue
                         part_fields.setdefault(
                             pf["name"], pf.get("result-type", "string")
                         )
@@ -973,6 +987,24 @@ class IcebergTable:
         part_cols = sorted({k for f in files for k in f.partition})
         reader = spark.read
         meta_doc = self.metadata()
+        if (len(meta_doc.get("partition-specs", [])) > 1
+                and (partition_filter or column_filter
+                     or paths is not None)):
+            # shape stability on evolved tables: pruning must not
+            # change WHICH columns sit in the appended partition
+            # section (a filter that prunes away the whole recording
+            # era would otherwise move the column inline, breaking
+            # union-by-position against the unfiltered read) — the
+            # section derives from the snapshot's FULL live set, one
+            # extra metadata-scale walk only on filtered multi-spec
+            # reads.  `mixed` below still derives from the SURVIVORS:
+            # that decides scan/coalesce mechanics, not output shape.
+            part_cols = sorted({
+                k
+                for f in self.files(snapshot_id, as_of_timestamp_ms,
+                                    ref=ref)
+                for k in f.partition
+            })
         #: the schema id the OUTPUT frame speaks — current for current
         #: reads, the snapshot's own for time travel (the shared rule
         #: in _read_schema_id; computed up front because the mixed-spec
@@ -1102,6 +1134,26 @@ class IcebergTable:
             "__meta_" + c if c in mixed_identity else c
             for c in part_cols
         ]
+        #: explicit attach types from the specs' result types — a
+        #: mixed column can be None for EVERY survivor (only
+        #: pre-evolution files left a filter), where inference refuses
+        from pyspark.sql import types as T
+
+        _t_of = {"int": T.LongType(), "long": T.LongType(),
+                 "date": T.LongType(), "string": T.StringType()}
+        attach_types: dict = {"_raw_path": T.StringType(),
+                              "_seq": T.LongType()}
+        for spec in meta_doc.get("partition-specs", []):
+            for pf in spec.get("fields", []):
+                if pf["name"] in part_cols:
+                    n = ("__meta_" + pf["name"]
+                         if pf["name"] in mixed_identity
+                         else pf["name"])
+                    attach_types.setdefault(
+                        n,
+                        _t_of.get(pf.get("result-type", "string"),
+                                  T.StringType()),
+                    )
 
         def _part_exprs():
             return [
@@ -1132,6 +1184,7 @@ class IcebergTable:
             out = attach_file_columns(
                 scan, rows, attach_names,
                 what="iceberg snapshot partition",
+                types=attach_types,
             )
             out = out.select(
                 *(logical_exprs if logical_exprs is not None
@@ -1162,6 +1215,7 @@ class IcebergTable:
             rows,
             ["_raw_path", "_seq", *attach_names],
             what="iceberg snapshot partition",
+            types=attach_types,
         )
         # id -> name map in the READ schema (by schema-id lookup, not
         # list position — external metadata need not keep ids as list

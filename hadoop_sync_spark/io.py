@@ -128,6 +128,7 @@ def attach_file_columns(
     file_rows: list[tuple],
     columns: list[str],
     what: str = "file metadata",
+    types: dict | None = None,
 ) -> DataFrame:
     """Attach per-file metadata columns (e.g. an open table format's
     partition values) to a multi-file scan via a broadcast join on the
@@ -147,9 +148,23 @@ def attach_file_columns(
     inner-joined on a re-encoded URI.)
     """
     rows = [(r[0], True) + tuple(r[1:]) for r in file_rows]
-    part_map = scan.sparkSession.createDataFrame(
-        rows, ["_file", "_matched", *columns]
-    )
+    if types is not None and all(c in types for c in columns):
+        # explicit column types (spec evolution: a metadata value can
+        # be None for EVERY scanned file — e.g. only pre-evolution
+        # files survive a filter — and type inference would refuse an
+        # all-null column; the caller knows the type from its metadata)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("_file", T.StringType(), False),
+             T.StructField("_matched", T.BooleanType(), False)]
+            + [T.StructField(c, types[c], True) for c in columns]
+        )
+        part_map = scan.sparkSession.createDataFrame(rows, schema)
+    else:
+        part_map = scan.sparkSession.createDataFrame(
+            rows, ["_file", "_matched", *columns]
+        )
     decoded = F.url_decode(
         F.regexp_replace(
             F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),

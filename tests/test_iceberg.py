@@ -2250,3 +2250,54 @@ def test_cli_ddl_evolve_spec(spark, tmp_path, capsys):
                     "partitionColumns": [], "configuration": {}}}])
     assert main(["register", meta, "td", dd, "--format", "delta"]) == 0
     assert main(["ddl", meta, "td", "--evolve-spec"]) == 2
+
+
+def test_evolved_read_shape_stable_under_pruning(spark, tmp_path):
+    """Union-by-position discipline on evolved tables (the ADVICE r10
+    ordering rule, extended to spec evolution): a filter that prunes
+    away the whole POST-evolution era must not move the partition
+    column inline — every outcome of the same read call (unfiltered,
+    one-era, all-pruned-empty) carries data columns first and the
+    evolved column appended."""
+    d = str(tmp_path / "evo_shape")
+    os.makedirs(os.path.join(d, "data"))
+    # c deliberately NOT last in the schema: inline-vs-appended
+    # divergence is visible only when another data column follows it
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("c", "bigint"), ("v", "bigint")],
+        now_ms=1000,
+    )
+    from hadoop_sync_spark.iceberg_meta import parquet_column_bounds
+    fields = t._schema_by_id(0)["fields"]
+    p1 = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "c": pa.array([8], pa.int64()),
+                             "v": pa.array([10], pa.int64())}), p1)
+    lb, ub = parquet_column_bounds(p1, fields)
+    t.append([DataFile("data/f1.parquet", {}, 1, os.path.getsize(p1),
+                       lower_bounds=lb, upper_bounds=ub)], now_ms=2000)
+    t.update_spec([("c", "long")], now_ms=3000)
+    p2 = os.path.join(d, "data", "f2.parquet")
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64()),
+                             "v": pa.array([20], pa.int64())}), p2)
+    lb, ub = parquet_column_bounds(p2, fields)
+    t.append([DataFile("data/f2.parquet", {"c": 7}, 1,
+                       os.path.getsize(p2),
+                       lower_bounds=lb, upper_bounds=ub)], now_ms=4000)
+
+    base = t.read(spark)
+    assert base.columns == ["k", "v", "c"]
+    # prunes the whole NEW era at file level -> survivors all pre-spec
+    old_only = t.read(spark, partition_filter={"c": 8})
+    assert old_only.columns == base.columns
+    assert [tuple(r) for r in old_only.collect()] == [(1, 10, 8)]
+    # prunes the whole OLD era via bounds (k=2 only in f2)
+    new_only = t.read(spark, column_filter={"k": (2, 2)})
+    assert new_only.columns == base.columns
+    # prunes EVERYTHING -> the empty frame keeps the same shape
+    empty = t.read(spark, column_filter={"k": (99, 99)})
+    assert empty.columns == base.columns and empty.count() == 0
+    # union-by-position across all outcomes is value-correct
+    u = base.union(old_only).union(new_only).union(empty)
+    assert sorted(tuple(r) for r in u.collect()) == [
+        (1, 10, 8), (1, 10, 8), (2, 20, 7), (2, 20, 7)]
