@@ -243,6 +243,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="delta: target log version")
     rst_p.add_argument("--snapshot", type=int, metavar="ID",
                        help="iceberg: target snapshot id")
+    rst_p.add_argument("--timestamp", type=int, metavar="MS",
+                       help="either format: restore to the state at "
+                       "this epoch-millisecond instant")
 
     mrg_p = sub.add_parser(
         "merge",
@@ -593,20 +596,24 @@ def main(argv: list[str] | None = None) -> int:
 
             now = int(_time.time() * 1000)
             if fmt == "delta":
-                if args.version is None or args.snapshot is not None:
+                if args.snapshot is not None or (
+                    (args.version is None) == (args.timestamp is None)
+                ):
                     raise ValueError(
-                        "delta restore takes --version (not --snapshot)"
+                        "delta restore takes --version OR --timestamp"
                     )
                 from hadoop_sync_spark.delta_log import DeltaLog
 
                 res = DeltaLog(rec["dir_path"]).restore(
-                    args.version, now_ms=now
+                    args.version, now_ms=now,
+                    timestamp_ms=args.timestamp,
                 )
                 if res["files_added"] or res["files_removed"] or (
                     res["metadata_restored"]
                 ):
                     print(
-                        f"restored to version {args.version}: "
+                        f"restored to "
+                        f"{'version ' + str(args.version) if args.version is not None else 'timestamp ' + str(args.timestamp)}: "
                         f"+{res['files_added']} -{res['files_removed']} "
                         f"file(s), metadata "
                         f"{'restored' if res['metadata_restored'] else 'kept'}, "
@@ -615,16 +622,25 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     print("table already at that state (no-op)")
             else:
-                if args.snapshot is None or args.version is not None:
+                if args.version is not None or (
+                    (args.snapshot is None) == (args.timestamp is None)
+                ):
                     raise ValueError(
-                        "iceberg restore takes --snapshot (not --version)"
+                        "iceberg restore takes --snapshot OR "
+                        "--timestamp"
                     )
                 from hadoop_sync_spark.iceberg_meta import IcebergTable
 
                 IcebergTable(rec["dir_path"]).rollback_to(
-                    args.snapshot, now_ms=now
+                    args.snapshot, now_ms=now,
+                    as_of_timestamp_ms=args.timestamp,
                 )
-                print(f"rolled back to snapshot {args.snapshot}")
+                print(
+                    "rolled back to "
+                    + (f"snapshot {args.snapshot}"
+                       if args.snapshot is not None
+                       else f"timestamp {args.timestamp}")
+                )
             print("hint: run `sync` to refresh the catalog")
         elif args.cmd == "merge":
             rec = reg.tables().get(args.table)

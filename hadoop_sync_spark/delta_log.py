@@ -2010,7 +2010,45 @@ class DeltaLog:
             ).num_rows,
         }
 
-    def restore(self, version: int, now_ms: int = 0) -> dict:
+    def version_at(self, timestamp_ms: int) -> int:
+        """Resolve the latest version whose commit timestamp is at or
+        before ``timestamp_ms`` — production Delta's
+        TIMESTAMP-AS-OF rule over ``commitInfo.timestamp`` (a commit
+        without commitInfo inherits its predecessor's timestamp, so
+        the mapping stays monotone over writers that omit it).  Only
+        versions still present in the log resolve (expired history is
+        not addressable, by design)."""
+        best = None
+        last_ts = None
+        for v in self.versions():
+            ts = None
+            with open(_commit_path(self.table_dir, v),
+                      encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        ts = a["commitInfo"].get("timestamp")
+                        break
+            if ts is None:
+                ts = last_ts
+            last_ts = ts
+            if ts is not None and ts <= timestamp_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp_ms}"
+            )
+        return best
+
+    def restore(
+        self,
+        version: int | None = None,
+        now_ms: int = 0,
+        timestamp_ms: int | None = None,
+    ) -> dict:
         """RESTORE to an earlier version — Delta's standard "undo a bad
         commit" face (reference parity: hadoopsync/Registry.java keeps
         old version dirs so the pointer can swap back).  One new commit
@@ -2043,7 +2081,13 @@ class DeltaLog:
         ``{"version", "files_added", "files_removed",
         "metadata_restored"}``; restoring to a state identical to the
         current one commits nothing and returns the current version
-        with zero counts."""
+        with zero counts.  ``timestamp_ms`` restores to the version
+        :meth:`version_at` resolves — production's RESTORE TO
+        TIMESTAMP."""
+        if (version is None) == (timestamp_ms is None):
+            raise ValueError("give version OR timestamp_ms")
+        if timestamp_ms is not None:
+            version = self.version_at(timestamp_ms)
         head = self.latest_version()
         if not 0 <= version <= head:
             raise ValueError(

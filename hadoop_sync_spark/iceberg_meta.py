@@ -393,10 +393,14 @@ def transform_value(transform: str, value):
     ``datetime.date`` /
     ``datetime.datetime`` (naive = UTC, the Iceberg timestamp type) —
     a bare int is ambiguous between days-from-epoch and micros and
-    raises rather than guessing.  ``void`` raises — untested domains
-    stay honest refusals."""
+    raises rather than guessing.  ``void`` maps every value to None
+    (spec: the v1 partition-evolution tombstone — dropped fields keep
+    their slot with the void transform; external v1-evolved specs
+    carry them and record null for every file)."""
     import datetime as _dt
 
+    if transform == "void":
+        return None
     if value is None or transform == "identity":
         return value
     if transform in ("year", "month", "day", "hour"):
@@ -588,7 +592,8 @@ class IcebergTable:
                 for f in spec["fields"]:
                     tr = f.get("transform", "identity")
                     if tr not in (
-                        "identity", "year", "month", "day", "hour"
+                        "identity", "year", "month", "day", "hour",
+                        "void",
                     ) and not (
                         tr.startswith("bucket[") or tr.startswith("truncate[")
                     ):
@@ -1051,6 +1056,15 @@ class IcebergTable:
                 raise ValueError(
                     f"partition_filter keys {unknown} are in no "
                     "partition spec"
+                )
+            voided = sorted(k for k in partition_filter
+                            if field_transform[k] == "void")
+            if voided:
+                # void maps every value to null — the filter would
+                # silently match every file instead of meaning anything
+                raise ValueError(
+                    f"partition_filter on void fields {voided}: a "
+                    "void transform records null for every file"
                 )
             for k in partition_filter:
                 if all(k in f.partition for f in files):
@@ -2809,10 +2823,17 @@ class IcebergTable:
         meta["last-updated-ms"] = now_ms
         self._write_metadata(self.current_version() + 1, meta)
 
-    def rollback_to(self, snapshot_id: int, now_ms: int = 0) -> None:
+    def rollback_to(
+        self,
+        snapshot_id: int | None = None,
+        now_ms: int = 0,
+        as_of_timestamp_ms: int | None = None,
+    ) -> None:
         """Set the current snapshot back (or forward) to an existing
-        snapshot — the spec's ``set-current-snapshot`` / rollback
-        metadata update and the standard "undo a bad commit" face
+        snapshot — by id, or by time via ``as_of_timestamp_ms`` (the
+        snapshot-log state at that instant, :meth:`snapshot`'s own
+        time-travel rule) — the spec's ``set-current-snapshot`` /
+        rollback metadata update and the standard "undo a bad commit" face
         (reference parity: the reference's versioned publish keeps old
         versions precisely so the pointer can swap back;
         hadoopsync/Registry.java's version-dir pointer).
@@ -2835,6 +2856,14 @@ class IcebergTable:
         ``rollback`` and its general ``set-current-snapshot``.  Rolling
         back to the current snapshot refuses (a no-op commit would
         stamp a misleading state change)."""
+        if (snapshot_id is None) == (as_of_timestamp_ms is None):
+            raise ValueError(
+                "give snapshot_id OR as_of_timestamp_ms"
+            )
+        if as_of_timestamp_ms is not None:
+            snapshot_id = self.snapshot(
+                as_of_timestamp_ms=as_of_timestamp_ms
+            )["snapshot-id"]
         meta = json.loads(json.dumps(self.metadata()))
         snaps = meta.get("snapshots", [])
         if not any(s["snapshot-id"] == snapshot_id for s in snaps):

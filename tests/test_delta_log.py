@@ -2312,3 +2312,53 @@ def test_read_changes_unpaired_readd_emits_dv_diff(spark, tmp_path):
     assert by_ver[1] == [(2, 20, "delete")]
     # the shrink UN-deletes exactly the covered position — 1 row, not 3
     assert by_ver[2] == [(2, 20, "insert")]
+
+
+def test_restore_by_timestamp(tmp_path):
+    """RESTORE TO TIMESTAMP resolves over commitInfo timestamps, with
+    commitInfo-less commits inheriting their predecessor's (monotone
+    mapping over lax writers)."""
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(0, [{"commitInfo": {"timestamp": 1000}},
+                   {"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    # v1 has NO commitInfo: inherits t=1000
+    log.commit(1, [log.add_action_for("b.parquet")])
+    log.commit(2, [{"commitInfo": {"timestamp": 3000}},
+                   {"remove": {"path": "a.parquet",
+                               "dataChange": True}}])
+    assert log.version_at(1000) == 1  # v1 inherited 1000
+    assert log.version_at(2999) == 1
+    assert log.version_at(99999) == 2
+    with pytest.raises(ValueError, match="no commit at or before"):
+        log.version_at(500)
+    res = log.restore(timestamp_ms=2999, now_ms=5000)
+    assert log.snapshot().files == ["a.parquet", "b.parquet"]
+    assert res["files_added"] == 1
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        log.restore(1, timestamp_ms=2999)
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        log.restore()
+
+
+def test_cli_restore_by_timestamp(spark, tmp_path, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta_rst_ts")
+    d, log = _mk_table(tmp_path, "cli_rst_ts")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(0, [{"commitInfo": {"timestamp": 1000}},
+                   {"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.commit(1, [{"commitInfo": {"timestamp": 2000}},
+                   log.add_action_for("b.parquet")])
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    assert main(["restore", meta, "t", "--timestamp", "1500"]) == 0
+    assert "restored to timestamp 1500" in capsys.readouterr().out
+    assert log.snapshot().files == ["a.parquet"]
+    # both flags at once refuses
+    assert main(["restore", meta, "t", "--version", "0",
+                 "--timestamp", "1500"]) == 2

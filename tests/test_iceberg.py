@@ -2301,3 +2301,43 @@ def test_evolved_read_shape_stable_under_pruning(spark, tmp_path):
     u = base.union(old_only).union(new_only).union(empty)
     assert sorted(tuple(r) for r in u.collect()) == [
         (1, 10, 8), (1, 10, 8), (2, 20, 7), (2, 20, 7)]
+
+
+def test_rollback_by_timestamp(table):
+    t, (s1, s2, s3) = table
+    # fixture timestamps: s1@2000 s2@3000 s3@4000
+    t.rollback_to(as_of_timestamp_ms=2500, now_ms=5000)
+    assert t.metadata()["current-snapshot-id"] == s1
+    with pytest.raises(ValueError, match="snapshot_id OR"):
+        t.rollback_to(s2, as_of_timestamp_ms=2500)
+    with pytest.raises(ValueError, match="snapshot_id OR"):
+        t.rollback_to()
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.rollback_to(as_of_timestamp_ms=100)
+
+
+def test_void_transform_reads_and_filter_refusal(spark, tmp_path):
+    """A spec carrying a v1-style void tombstone field reads fine
+    (every file records null for it) and filtering on it refuses —
+    the filter would silently match everything."""
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
+    assert transform_value("void", 42) is None
+    assert transform_value("void", None) is None
+    d = str(tmp_path / "voidt")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("p", "bigint")],
+        partition_by=[("p", "long")], now_ms=1000,
+    )
+    # evolve p to a void tombstone (v1-style drop keeps the slot)
+    t.update_spec([("p", "long", "void", "p_void")], now_ms=2000)
+    p1 = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "p": pa.array([7], pa.int64())}), p1)
+    t.append([DataFile("data/f1.parquet", {}, 1,
+                       os.path.getsize(p1))], now_ms=3000)
+    rows = {(r.k) for r in t.read(spark).select("k").collect()}
+    assert rows == {1}
+    with pytest.raises(ValueError, match="void"):
+        t.read(spark, partition_filter={"p_void": 7})
