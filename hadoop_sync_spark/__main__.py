@@ -445,6 +445,13 @@ def main(argv: list[str] | None = None) -> int:
 
             from hadoop_sync_spark.iceberg_meta import IcebergTable
 
+            if args.partition_field and not args.evolve_spec:
+                # UP FRONT, before any DDL op commits — a mixed
+                # invocation must refuse applying nothing (review: the
+                # late check let earlier flags land before the exit 2)
+                raise ValueError(
+                    "--partition-field needs --evolve-spec"
+                )
             it = IcebergTable(rec["dir_path"])
             # each action prints AS IT LANDS: DDL ops commit their own
             # metadata versions, so a later flag's failure must not
@@ -486,10 +493,6 @@ def main(argv: list[str] | None = None) -> int:
                 it.drop_ref(args.drop_ref, now_ms=now)
                 print(f"dropped ref {args.drop_ref}")
                 did += 1
-            if args.partition_field and not args.evolve_spec:
-                raise ValueError(
-                    "--partition-field needs --evolve-spec"
-                )
             if args.evolve_spec:
                 new_sid = it.update_spec(
                     [(c, t_, tr) for c, t_, tr

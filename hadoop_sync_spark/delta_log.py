@@ -2206,6 +2206,19 @@ class DeltaLog:
             return set(self._dv_positions(action["deletionVector"]))
 
         dv_budget = 0
+
+        def charge(n: int) -> None:
+            # one accumulator for every branch that decodes DVs
+            # driver-side (paired re-add, plain remove, unpaired
+            # re-add) — the cap rule and message live HERE only
+            nonlocal dv_budget
+            dv_budget += n
+            if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
+                raise ValueError(
+                    "read_changes DV diffs exceed the driver "
+                    "materialization cap — narrow the version range"
+                )
+
         ev_rows: list[tuple] = []      # (rel, version, kind)
         pos_rows: list[tuple] = []     # (rel, version, kind, pos)
         exc_rows: list[tuple] = []     # (rel, version, pos) exclusions
@@ -2228,18 +2241,12 @@ class DeltaLog:
             for rel, rm in removed.items():
                 if rel in added:
                     old_desc = state.get(rel) or {}
-                    dv_budget += (
+                    charge(
                         (old_desc.get("deletionVector") or {})
                         .get("cardinality", 0)
                         + (added[rel].get("deletionVector") or {})
                         .get("cardinality", 0)
                     )
-                    if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
-                        raise ValueError(
-                            "read_changes DV diffs exceed the driver "
-                            "materialization cap — narrow the version "
-                            "range"
-                        )
                     old = dv_pos(state.get(rel))
                     new = dv_pos(added[rel])
                     for p in sorted(new - old):
@@ -2251,35 +2258,23 @@ class DeltaLog:
                     # tombstone) is a log no-op and emits nothing — a
                     # phantom whole-file delete would double-report rows
                     # the real removal already covered (r11 review)
-                    dv_budget += (
+                    charge(
                         ((state.get(rel) or {})
                          .get("deletionVector") or {})
                         .get("cardinality", 0)
                     )
-                    if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
-                        raise ValueError(
-                            "read_changes DV diffs exceed the driver "
-                            "materialization cap — narrow the version "
-                            "range"
-                        )
                     ev_rows.append((rel, v, "delete"))
                     for p in sorted(dv_pos(state.get(rel))):
                         exc_rows.append((rel, v, p))
             for rel, add in added.items():
                 if rel not in removed and add.get("dataChange", True):
-                    dv_budget += (
+                    charge(
                         (add.get("deletionVector") or {})
                         .get("cardinality", 0)
                         + ((state.get(rel) or {})
                            .get("deletionVector") or {})
                         .get("cardinality", 0)
                     )
-                    if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
-                        raise ValueError(
-                            "read_changes DV diffs exceed the driver "
-                            "materialization cap — narrow the version "
-                            "range"
-                        )
                     if rel in state:
                         # last-writer-wins re-add of a LIVE path with
                         # no paired remove (spec-legal; lax writers do

@@ -924,12 +924,20 @@ class IcebergTable:
                 # spec fields attach (an evolved table whose live set
                 # is all pre-evolution keeps those columns inline);
                 # an empty snapshot falls back to every spec's fields
-                live_keys = {
-                    k
-                    for f in self.files(snapshot_id,
-                                        as_of_timestamp_ms, ref=ref)
-                    for k in f.partition
-                } if len(m.get("partition-specs", [])) > 1 else None
+                live_unf = (
+                    self.files(snapshot_id, as_of_timestamp_ms,
+                               ref=ref)
+                    if len(m.get("partition-specs", [])) > 1
+                    else None
+                )
+                # a LIVE-but-keyless set means "no partition columns"
+                # (consistent with the non-empty path); only a snapshot
+                # with no live files at all falls back to every spec
+                live_keys = (
+                    {k for f in live_unf for k in f.partition}
+                    if live_unf
+                    else None
+                )
                 part_fields: dict[str, str] = {}
                 for spec in m.get("partition-specs", []):
                     for pf in spec.get("fields", []):
@@ -1031,34 +1039,54 @@ class IcebergTable:
             f["name"]
             for f in self._schema_by_id(read_sid)["fields"]
         }
+        #: per-spec recording map: a file RECORDS a field only when its
+        #: own spec lists it with a non-void transform — a later spec
+        #:'s field is unrecorded for older files (key absent) and a
+        #: void tombstone is unrecorded for ITS files (key present but
+        #: always null; the source values live in data).  First-spec-
+        #: wins name resolution leaked here once (review finding: an
+        #: identity-then-void history let a filter skip the row-side
+        #: residue), so every decision below is per-file-spec.
+        _rec: dict[int, dict[str, str]] = {
+            spec["spec-id"]: {
+                pf["name"]: pf.get("transform", "identity")
+                for pf in spec.get("fields", [])
+            }
+            for spec in meta_doc.get("partition-specs", [])
+        }
+
+        def _recorded(f, c):
+            return _rec.get(f.spec_id, {}).get(c, "void") != "void"
+
         mixed = [
             c for c in part_cols
-            if any(c not in f.partition for f in files)
+            if any(not _recorded(f, c) for f in files)
         ]
         mixed_identity = [c for c in mixed if c in schema_names]
         residue_keys: list[str] = []
         if partition_filter:
             # file-level pruning could not evaluate a filter key on
-            # files whose spec predates the field (a SURVIVOR without
-            # the key was never tested — note the key may be absent
-            # from part_cols entirely when the filter pruned away the
-            # whole recording era): identity keys re-apply row-side on
-            # the output column; transform keys have nothing row-side
-            # to evaluate — refuse rather than return untested rows
-            field_transform: dict[str, str] = {}
+            # files whose spec does not RECORD the field (a survivor
+            # without a recorded value was never tested — note the key
+            # may be absent from part_cols entirely when the filter
+            # pruned away the whole recording era): identity keys
+            # re-apply row-side on the output column; transform keys
+            # have nothing row-side to evaluate — refuse rather than
+            # return untested rows
+            tr_sets: dict[str, set] = {}
             for spec in meta_doc.get("partition-specs", []):
                 for pf in spec.get("fields", []):
-                    field_transform.setdefault(
-                        pf["name"], pf.get("transform", "identity")
+                    tr_sets.setdefault(pf["name"], set()).add(
+                        pf.get("transform", "identity")
                     )
-            unknown = sorted(set(partition_filter) - set(field_transform))
+            unknown = sorted(set(partition_filter) - set(tr_sets))
             if unknown:
                 raise ValueError(
                     f"partition_filter keys {unknown} are in no "
                     "partition spec"
                 )
             voided = sorted(k for k in partition_filter
-                            if field_transform[k] == "void")
+                            if tr_sets[k] == {"void"})
             if voided:
                 # void maps every value to null — the filter would
                 # silently match every file instead of meaning anything
@@ -1067,15 +1095,15 @@ class IcebergTable:
                     "void transform records null for every file"
                 )
             for k in partition_filter:
-                if all(k in f.partition for f in files):
+                if all(_recorded(f, k) for f in files):
                     continue  # every survivor was file-level tested
-                if (field_transform[k] == "identity"
+                if (tr_sets[k] - {"void"} == {"identity"}
                         and k in schema_names):
                     residue_keys.append(k)
                 else:
                     raise NotImplementedError(
                         f"partition_filter on field {k!r} while live "
-                        "files predate its spec: the file-level value "
+                        "files do not record it: the file-level value "
                         "does not exist for those files"
                     )
         #: rename support (round 10): when the history renamed fields,
@@ -1169,13 +1197,29 @@ class IcebergTable:
                                   T.StringType()),
                     )
 
+        _ice_type = {
+            f["name"]: f["type"]
+            for f in self._schema_by_id(read_sid)["fields"]
+            if isinstance(f["type"], str)
+        }
+
         def _part_exprs():
-            return [
-                F.coalesce(F.col("__meta_" + c), F.col(c)).alias(c)
-                if c in mixed_identity
-                else F.col(c)
-                for c in part_cols
-            ]
+            out = []
+            for c in part_cols:
+                if c not in mixed_identity:
+                    out.append(F.col(c))
+                    continue
+                meta_e = F.col("__meta_" + c)
+                if _ice_type.get(c) == "date":
+                    # identity DATE values ride the manifests as
+                    # epoch-day ints (Avro int, Appendix A); the data
+                    # column is a real DateType — convert before the
+                    # coalesce or Spark finds no common type (review)
+                    meta_e = F.date_from_unix_date(
+                        meta_e.cast("int")
+                    )
+                out.append(F.coalesce(meta_e, F.col(c)).alias(c))
+            return out
 
         def _apply_residue(df):
             for k in residue_keys:
@@ -2909,6 +2953,8 @@ class IcebergTable:
         past ``last-partition-id``.  Renamed column histories refuse
         (partition field names must stay resolvable against one name
         per source)."""
+        import datetime as _dt
+
         meta = json.loads(json.dumps(self.metadata()))
         if self._rename_history():
             raise NotImplementedError(
@@ -2916,9 +2962,22 @@ class IcebergTable:
             )
         schema = self._schema_by_id(meta.get("current-schema-id", 0))
         by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        col_type = {f["name"]: f["type"] for f in schema["fields"]}
         known = {
             (f["name"], f["transform"], f["source-id"],
              f["result-type"]): f["field-id"]
+            for spec in meta.get("partition-specs", [])
+            for f in spec.get("fields", [])
+        }
+        #: cross-spec name discipline: a NAME must mean one thing
+        #: across the whole spec history — the read path's per-name
+        #: maps (filter transforms, attach types) would otherwise
+        #: silently pick one era's meaning for every era's files
+        #: (review finding: identity-then-void under one name let a
+        #: filter match rows it never tested)
+        name_meaning = {
+            f["name"]: (f["transform"], f["source-id"],
+                        f["result-type"])
             for spec in meta.get("partition-specs", [])
             for f in spec.get("fields", [])
         }
@@ -2933,10 +2992,32 @@ class IcebergTable:
                 raise NotImplementedError(
                     f"partition result type {typ!r}"
                 )
-            # validate the transform spelling up front (a bad spelling
-            # must refuse here, not crash the first post-evolution read)
-            if transform != "identity":
-                probe = 0 if typ in ("int", "long", "date") else "x"
+            if transform == "identity":
+                # identity records the SOURCE value: the result type
+                # must be the column's own type or the read-side
+                # attach would mistype every recorded value
+                want = {"bigint": "long", "long": "long",
+                        "int": "int", "integer": "int",
+                        "string": "string", "date": "date"}.get(
+                            str(col_type.get(col)))
+                if want is not None and typ != want:
+                    raise ValueError(
+                        f"identity partition on {col!r} needs result "
+                        f"type {want!r}, not {typ!r}"
+                    )
+            else:
+                # validate the transform spelling up front (a bad
+                # spelling must refuse here, not crash the first
+                # post-evolution read); temporal transforms take
+                # date/datetime probes — ints refuse by design
+                if transform == "hour":
+                    probe = _dt.datetime(1970, 1, 1)
+                elif transform in ("year", "month", "day"):
+                    probe = _dt.date(1970, 1, 1)
+                elif typ in ("int", "long", "date"):
+                    probe = 0
+                else:
+                    probe = "x"
                 transform_value(transform, probe)
             name = (
                 spec[3]
@@ -2952,6 +3033,13 @@ class IcebergTable:
                     f"duplicate partition field name {name!r}"
                 )
             key = (name, transform, by_name[col], typ)
+            prior = name_meaning.get(name)
+            if prior is not None and prior != key[1:]:
+                raise ValueError(
+                    f"partition field name {name!r} already means "
+                    f"{prior} in an earlier spec — one name, one "
+                    "meaning across the spec history"
+                )
             fid = known.get(key)
             if fid is None:
                 fid = next_id

@@ -2341,3 +2341,183 @@ def test_void_transform_reads_and_filter_refusal(spark, tmp_path):
     assert rows == {1}
     with pytest.raises(ValueError, match="void"):
         t.read(spark, partition_filter={"p_void": 7})
+
+
+# ----------------------------- review-pass pins (spec-evolution round)
+
+
+def test_update_spec_temporal_transform_probe(spark, tmp_path):
+    """The up-front transform validation probes temporal transforms
+    with date/datetime values (ints refuse by design in
+    transform_value — the review caught the int probe rejecting every
+    valid temporal evolution)."""
+    import datetime as dt
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
+    d = str(tmp_path / "evo_day")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("d", "date")], now_ms=1000
+    )
+    p1 = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "d": pa.array([dt.date(2017, 11, 16)], pa.date32()),
+    }), p1)
+    t.append([DataFile("data/f1.parquet", {}, 1,
+                       os.path.getsize(p1))], now_ms=2000)
+    sid = t.update_spec([("d", "date", "day")], now_ms=3000)
+    assert sid == 1  # day on a date column now validates
+    t.update_spec([("d", "date", "month")], now_ms=4000)
+    t.update_spec([("d", "int", "year")], now_ms=5000)
+    # and the written value matches the spec's example column
+    p2 = os.path.join(d, "data", "f2.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([2], pa.int64()),
+        "d": pa.array([dt.date(2017, 11, 16)], pa.date32()),
+    }), p2)
+    t.append([DataFile(
+        "data/f2.parquet",
+        {"d_year": transform_value("year", dt.date(2017, 11, 16))},
+        1, os.path.getsize(p2),
+    )], now_ms=6000)
+    assert t.read(spark).count() == 2
+
+
+def test_update_spec_cross_spec_name_collision_refuses(tmp_path):
+    """One name, one meaning across the spec history: reusing an
+    earlier spec's field name with a different transform (the v1-style
+    identity-then-void tombstone) or type refuses — first-spec-wins
+    name maps would silently mis-filter the other era's files."""
+    d = str(tmp_path / "evo_clash")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("p", "bigint")],
+        partition_by=[("p", "long")], now_ms=1000,
+    )
+    with pytest.raises(ValueError, match="one name, one meaning"):
+        t.update_spec([("p", "long", "void", "p")])
+    with pytest.raises(ValueError, match="one name, one meaning"):
+        t.update_spec([("k", "int", "bucket[4]", "p")])
+    # identity result type must match the column's own type
+    with pytest.raises(ValueError, match="needs result type"):
+        t.update_spec([("k", "int")])
+
+
+def test_external_void_tombstone_history_row_filters(spark, tmp_path):
+    """An EXTERNAL v1-style history (identity p in spec 0, void
+    tombstone under the SAME name in spec 1 — our writer refuses this
+    shape, conforming v1 upgrades produce it) must row-filter the
+    void-era files on the data column instead of matching them
+    blindly (review finding: first-spec-wins let p=7 return p=99
+    rows)."""
+    import json as _json
+
+    d = str(tmp_path / "evo_v1")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("p", "bigint")],
+        partition_by=[("p", "long")], now_ms=1000,
+    )
+    p1 = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), p1)
+    t.append([DataFile("data/f1.parquet", {"p": 7}, 1,
+                       os.path.getsize(p1))], now_ms=2000)
+    # hand-write the v1-style tombstone spec (external metadata shape)
+    meta = _json.loads(_json.dumps(t.metadata()))
+    meta["partition-specs"].append({
+        "spec-id": 1,
+        "fields": [{"name": "p", "transform": "void",
+                    "source-id": 2, "field-id": 1000,
+                    "result-type": "long"}],
+    })
+    meta["default-spec-id"] = 1
+    t._write_metadata(t.current_version() + 1, meta)
+    # void-era file: p lives in DATA (not partitioned by it any more)
+    p2 = os.path.join(d, "data", "f2.parquet")
+    pq.write_table(pa.table({"k": pa.array([2, 3], pa.int64()),
+                             "p": pa.array([99, 7], pa.int64())}), p2)
+    t.append([DataFile("data/f2.parquet", {}, 2,
+                       os.path.getsize(p2))], now_ms=3000)
+    got = sorted(tuple(r) for r in t.read(
+        spark, partition_filter={"p": 7}
+    ).select("k", "p").collect())
+    # k=1 (identity era, file-level), k=3 (void era, row-filtered);
+    # k=2 (p=99) must NOT leak through
+    assert got == [(1, 7), (3, 7)]
+
+
+def test_mixed_date_identity_coalesce(spark, tmp_path):
+    """Identity DATE partition evolution: manifests record epoch-day
+    ints, the data column is DateType — the mixed-era read must
+    convert before coalescing (review: no common type crashed every
+    read)."""
+    import datetime as dt
+
+    d = str(tmp_path / "evo_date")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("d", "date")], now_ms=1000
+    )
+    p1 = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "d": pa.array([dt.date(2020, 1, 2)], pa.date32()),
+    }), p1)
+    t.append([DataFile("data/f1.parquet", {}, 1,
+                       os.path.getsize(p1))], now_ms=2000)
+    t.update_spec([("d", "date")], now_ms=3000)
+    p2 = os.path.join(d, "data", "f2.parquet")
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), p2)
+    epoch_days = (dt.date(2021, 3, 4) - dt.date(1970, 1, 1)).days
+    t.append([DataFile("data/f2.parquet", {"d": epoch_days}, 1,
+                       os.path.getsize(p2))], now_ms=4000)
+    got = {r.k: r.d for r in t.read(spark).collect()}
+    assert got == {1: dt.date(2020, 1, 2), 2: dt.date(2021, 3, 4)}
+
+
+def test_evolved_empty_snapshot_falls_back_to_all_specs(
+    spark, tmp_path
+):
+    d = str(tmp_path / "evo_empty")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("c", "bigint")], now_ms=1000
+    )
+    from hadoop_sync_spark.iceberg_meta import parquet_column_bounds
+    fields = t._schema_by_id(0)["fields"]
+    p1 = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "c": pa.array([5], pa.int64())}), p1)
+    lb, ub = parquet_column_bounds(p1, fields)
+    t.append([DataFile("data/f1.parquet", {}, 1, os.path.getsize(p1),
+                       lower_bounds=lb, upper_bounds=ub)], now_ms=2000)
+    t.update_spec([("c", "long")], now_ms=3000)
+    # live set emptied entirely: the filtered empty frame falls back
+    # to every spec's fields (c appended)
+    t.delete({"data/f1.parquet"}, now_ms=4000)
+    empty = t.read(spark, column_filter={"k": (1, 1)})
+    assert empty.columns == ["k", "c"] and empty.count() == 0
+
+
+def test_cli_ddl_mixed_partition_field_applies_nothing(
+    spark, tmp_path, capsys
+):
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta_mix")
+    d = str(tmp_path / "cli_mix")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(d, [("k", "bigint")], now_ms=1000)
+    assert main(["register", meta, "ti", d, "--format", "iceberg"]) == 0
+    v_before = t.current_version()
+    # --partition-field without --evolve-spec must refuse BEFORE the
+    # --add-column lands (review: the late check applied it first)
+    assert main(["ddl", meta, "ti", "--add-column", "c1", "bigint",
+                 "--partition-field", "k", "long", "identity"]) == 2
+    assert t.current_version() == v_before
+    assert not any(
+        f["name"] == "c1"
+        for f in t._schema_by_id(
+            t.metadata().get("current-schema-id", 0))["fields"]
+    )
