@@ -892,7 +892,8 @@ def test_dml_sequence_mapped_ddl_triple(spark, tmp_path, seed):
 
 
 def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int,
-                          with_evolve: bool = False):
+                          with_evolve: bool = False,
+                          with_rollback: bool = False):
     """``with_evolve`` carves a spec-evolution op out of the merge
     slot (base seeds stay byte-identical).  Post-evolution legality
     mirrors the faces' contracts: the evolved column ("v") leaves the
@@ -987,6 +988,12 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int,
             cols.pop(j)
             ops.append({"op": "drop_column", "name": name, "idx": j,
                         "cols": list(cols)})
+        elif with_rollback and roll < 0.93:
+            # pointer rollback composed with evolution: the default
+            # spec stays evolved while the live set reverts to an
+            # older era's files — the read must keep composing
+            ops.append({"op": "rollback", "frac": rng.random(),
+                        "cols": list(cols)})
         elif roll < 0.95:
             ops.append({"op": "compact", "cols": list(cols)})
         else:
@@ -995,12 +1002,20 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int,
 
 
 def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int,
-                              with_evolve: bool = False):
+                              with_evolve: bool = False,
+                              with_rollback: bool = False):
     rng = random.Random(seed)
-    ops = _gen_ice_ddl_sequence(rng, n_ops, with_evolve)
+    ops = _gen_ice_ddl_sequence(rng, n_ops, with_evolve, with_rollback)
     ice = IcebergHarness(spark, str(tmp_path / f"id{seed}"))
     model: list[tuple] = []
     states: dict[int, tuple] = {}
+    #: rollback target pool (cleared on maintain) + snapshot-creation
+    #: arity map (never cleared) — same discipline as the twin runner:
+    #: time travel pins a snapshot's own schema, so targets must have
+    #: been CREATED at the current arity
+    timeline: list[dict] = []
+    sid_cols: dict[int, list] = {}
+    n_rollbacks = 0
     last_sid = None
     evolved_col = None
     now = 1000
@@ -1044,11 +1059,23 @@ def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int,
             evolved_col = op["col"]
             # the model is untouched: evolution moves where the value
             # is RECORDED, never what it is
+        elif op["op"] == "rollback":
+            cur_sid = ice.snapshot_id()
+            eligible = [e for e in timeline
+                        if e["cols"] == cols and e["sid"] != cur_sid
+                        and sid_cols.get(e["sid"]) == cols]
+            if eligible:
+                tgt = eligible[int(op["frac"] * len(eligible))
+                               % len(eligible)]
+                ice.t.rollback_to(tgt["sid"], now_ms=now)
+                model = list(tgt["model"])
+                n_rollbacks += 1
         elif op["op"] == "compact":
             ice.compact(now)
         elif op["op"] == "maintain":
             ice.maintain(now)
             states.clear()
+            timeline.clear()
 
         want = _nsort(model)
         ctx = f"seed={seed} step={i} op={op}"
@@ -1076,9 +1103,12 @@ def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int,
                 ), (f"evolved partition filter diverged: {ctx} "
                     f"probe={probe}")
         sid_now = ice.snapshot_id()
+        sid_cols.setdefault(sid_now, list(cols))
         if sid_now != last_sid:
             states[sid_now] = (list(cols), want)
             last_sid = sid_now
+        timeline.append({"sid": sid_now, "cols": list(cols),
+                         "model": list(model)})
 
     # time travel pins each snapshot's own schema: pre-rename names,
     # pre-drop values, all through the name-variant coalesce read
@@ -1088,6 +1118,7 @@ def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int,
             f"iceberg ddl time travel diverged: seed={seed} "
             f"snapshot={sid}"
         )
+    return {"rollbacks": n_rollbacks}
 
 
 # seeds chosen for op richness: 709 = add, merge, drop, rename, three
@@ -1252,3 +1283,18 @@ def test_commit_race_loses_cleanly_and_retry_wins(spark, tmp_path):
     assert ice.rows(cols) == want
     ice.delete("k", 2, 2, 3000)
     assert ice.rows(cols) == _nsort([(1, 10), (3, 30), (9, 90)])
+
+
+# rollback composed WITH spec evolution on the Iceberg twin: the
+# pointer reverts to an older era's live set while the default spec
+# stays evolved — seed 1286 rolls between mixed-era states with
+# deletes on both sides of the evolve and maintenance after; 1348
+# rolls back mid-sequence then lands DDL and MORE deletes on the
+# restored state; 1393 merges (live equality deletes) before the
+# evolve, rolls back right after it, then runs the full DDL triple
+@pytest.mark.parametrize("seed", [1286, 1348, 1393])
+def test_dml_sequence_iceberg_evolve_rollback(spark, tmp_path, seed):
+    res = _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=13,
+                                    with_evolve=True,
+                                    with_rollback=True)
+    assert res["rollbacks"] >= 1

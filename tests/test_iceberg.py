@@ -175,11 +175,12 @@ def test_delete_requires_a_match_and_keeps_history(table):
 def test_honest_seams(table, tmp_path):
     t, _ = table
     # an unimplemented transform refuses instead of mis-pruning
-    # (bucket/truncate are REAL since round 8, year/month/day/hour too —
-    # see the transform tests; void stays a refusal)
+    # (bucket/truncate are REAL since round 8, year/month/day/hour too,
+    # void — the v1 tombstone — reads as of round 11; an unknown
+    # spelling stays the refusal)
     meta = t.metadata()
     bad = json.loads(json.dumps(meta))
-    bad["partition-specs"][0]["fields"][0]["transform"] = "void"
+    bad["partition-specs"][0]["fields"][0]["transform"] = "zorder[2]"
     v = t.current_version() + 1
     path = os.path.join(t.meta_dir, f"v{v}.metadata.json")
     json.dump(bad, open(path, "w"))
