@@ -55,6 +55,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 # ----------------------------------------------------- deletion vectors (r8)
@@ -705,7 +706,8 @@ class DeltaLog:
                 for p in sel
             ]
             df = attach_file_columns(
-                scan, rows, ["_rel_path"], what="delta snapshot file"
+                scan, rows, ["_rel_path"], what="delta snapshot file",
+                types={"_rel_path": T.StringType()},
             )
             return subtract_dvs(df, data_cols)
         part_cols = list(snap.partition_columns)
@@ -748,6 +750,10 @@ class DeltaLog:
                 rows,
                 attach_cols,
                 what="delta snapshot partition",
+                # every delta attach value is a STRING (protocol
+                # partitionValues) — explicit types keep an all-null
+                # partition column from crashing inference
+                types={c: T.StringType() for c in attach_cols},
             )
             if dv_map:
                 df = subtract_dvs(df, data_cols)
@@ -945,7 +951,8 @@ class DeltaLog:
                     row.append(None if v is None else str(v))
                 rows.append(tuple(row))
             scan = attach_file_columns(
-                scan, rows, attach_cols, what="delta mapped snapshot"
+                scan, rows, attach_cols, what="delta mapped snapshot",
+                types={c: T.StringType() for c in attach_cols},
             )
         out_cols = data_exprs + [
             F.col(c).cast(schema[c].dataType).alias(c) for c in part_cols
@@ -2361,7 +2368,8 @@ class DeltaLog:
             for rel in touched
         ]
         df = attach_file_columns(
-            scan, rows, ["_rel", *part_cols], what="delta change feed"
+            scan, rows, ["_rel", *part_cols], what="delta change feed",
+            types={c: T.StringType() for c in ["_rel", *part_cols]},
         )
         data_exprs = [
             F.col(phys[f.name]).cast(f.dataType).alias(f.name)

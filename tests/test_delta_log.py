@@ -2362,3 +2362,26 @@ def test_cli_restore_by_timestamp(spark, tmp_path, capsys):
     # both flags at once refuses
     assert main(["restore", meta, "t", "--version", "0",
                  "--timestamp", "1500"]) == 2
+
+
+def test_all_null_partition_values_read(spark, tmp_path):
+    """Every surviving file holding a NULL partition value (Hive's
+    default-partition case) must read, not crash type inference — the
+    attach map's explicit StringType pins the all-null column."""
+    d, log = _mk_table(tmp_path, "nullpart")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "p", "type": "long", "nullable": True, "metadata": {}},
+    ]})
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": 1}},
+        {"metaData": {"id": "t",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema,
+                      "partitionColumns": ["p"], "configuration": {}}},
+        log.add_action_for("a.parquet", partitionValues={"p": None}),
+    ])
+    got = [tuple(r) for r in log.read(spark).collect()]
+    assert got == [(1, 10, None)]
