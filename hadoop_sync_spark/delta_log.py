@@ -721,8 +721,7 @@ class DeltaLog:
                 # pin the logged DATA columns (partition values attach
                 # from the log): deterministic plan, and files written
                 # before an add_column null-fill natively (round 11)
-                from pyspark.sql import types as T
-
+        
                 reader = reader.schema(T.StructType(
                     [f for f in schema.fields if f.name not in part_cols]
                 ))
@@ -888,7 +887,6 @@ class DeltaLog:
                 _, fid = mapping_of(f)
                 phys[f["name"]] = id_to_col.get(fid)
 
-        from pyspark.sql import types as T
 
         # pin the PHYSICAL data schema with the logical (widest) types:
         # deterministic plan regardless of which footer Spark would have
@@ -1581,7 +1579,6 @@ class DeltaLog:
         predicate (the merge face's key match).  Guards:
         unknown/partition predicate columns, the
         :data:`DELETE_WHERE_ROW_LIMIT` driver materialization cap."""
-        from pyspark.sql import types as T
 
         from hadoop_sync_spark.io import decode_file_uri
 
@@ -1760,7 +1757,6 @@ class DeltaLog:
         update); id-mode mapping refuses like the other write faces;
         the :data:`DELETE_WHERE_ROW_LIMIT` cap applies."""
         from pyspark.sql import Column
-        from pyspark.sql import types as T
 
         if not set_values:
             raise ValueError("update_where needs at least one SET")
@@ -2310,7 +2306,6 @@ class DeltaLog:
                 if pv:
                     part_vals.setdefault(rel, pv)
 
-        from pyspark.sql import types as T
 
         data_fields = [f for f in schema.fields
                        if f.name not in part_cols]
