@@ -1298,3 +1298,47 @@ def test_dml_sequence_iceberg_evolve_rollback(spark, tmp_path, seed):
                                     with_evolve=True,
                                     with_rollback=True)
     assert res["rollbacks"] >= 1
+
+
+def test_crash_at_commit_swap_restore_rollback_evolve(spark, tmp_path):
+    """The round-11 metadata faces under the same crash contract: a
+    crash at the single atomic swap leaves the table state byte-
+    untouched (these faces stage NO data files — metadata-only or
+    log-append-only), and a plain retry lands the op."""
+    cols = ["k", "v"]
+    delta = DeltaHarness(spark, str(tmp_path / "dcr"), mapped=False)
+    ice = IcebergHarness(spark, str(tmp_path / "icr"))
+    rows = [(1, 10), (2, 20)]
+    delta.append(rows, cols, 1000)
+    ice.append(rows, cols, 1000)
+    delta.append([(3, 30)], cols, 2000)
+    ice.append([(3, 30)], cols, 2000)
+    want3 = _nsort([(1, 10), (2, 20), (3, 30)])
+    v_tgt = 1  # the first append's delta version
+    sid_tgt = 1001  # the first append's snapshot (seq-derived)
+
+    # delta restore: crash at commit -> state unchanged, retry wins
+    _crash_delta(delta.log, lambda: delta.log.restore(v_tgt,
+                                                      now_ms=3000))
+    assert delta.rows(cols) == want3
+    delta.log.restore(v_tgt, now_ms=3000)
+    assert delta.rows(cols) == _nsort(rows)
+
+    # iceberg rollback: crash at metadata swap -> unchanged, retry wins
+    _crash_iceberg(ice.t, lambda: ice.t.rollback_to(sid_tgt,
+                                                    now_ms=3000))
+    assert ice.rows(cols) == want3
+    ice.t.rollback_to(sid_tgt, now_ms=3000)
+    assert ice.rows(cols) == _nsort(rows)
+
+    # update_spec: crash at metadata swap -> spec list unchanged
+    specs_before = ice.t.metadata()["partition-specs"]
+    _crash_iceberg(ice.t, lambda: ice.t.update_spec([("v", "long")],
+                                                    now_ms=4000))
+    assert ice.t.metadata()["partition-specs"] == specs_before
+    assert ice.rows(cols) == _nsort(rows)
+    ice.t.update_spec([("v", "long")], now_ms=4000)
+    assert ice.t.metadata()["default-spec-id"] == 1
+    ice.part_key = "v"
+    ice.append([(4, 40)], cols, 5000)
+    assert ice.rows(cols) == _nsort(rows + [(4, 40)])

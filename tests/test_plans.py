@@ -370,3 +370,38 @@ def test_delta_dv_read_plans_broadcast_anti_join(spark, tmp_path):
         "LeftAnti" in ln and "Broadcast" in ln
         for ln in plan.splitlines()
     ), plan
+
+
+def test_evolved_mixed_era_read_plan_no_shuffle(spark, tmp_path):
+    """Spec evolution's mixed-era read (round 11) must stay a single
+    scan + one metadata-sized BroadcastExchange (the partition attach)
+    with ZERO shuffle exchanges — the era coalesce is an expression,
+    never a join or a per-file plan.  Would silently rot into a
+    shuffle if the attach ever lost its broadcast hint or the coalesce
+    grew a repartition."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+
+    d = str(tmp_path / "evoplan")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("c", "bigint")], now_ms=1000
+    )
+    p1 = os.path.join(d, "data", "f1.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "c": pa.array([7], pa.int64())}), p1)
+    t.append([DataFile("data/f1.parquet", {}, 1,
+                       os.path.getsize(p1))], now_ms=2000)
+    t.update_spec([("c", "long")], now_ms=3000)
+    p2 = os.path.join(d, "data", "f2.parquet")
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), p2)
+    t.append([DataFile("data/f2.parquet", {"c": 8}, 1,
+                       os.path.getsize(p2))], now_ms=4000)
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1
+    assert not re.search(r"Exchange (hash|range|SinglePartition)", plan)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
