@@ -721,7 +721,7 @@ class DeltaLog:
                 # pin the logged DATA columns (partition values attach
                 # from the log): deterministic plan, and files written
                 # before an add_column null-fill natively (round 11)
-        
+
                 reader = reader.schema(T.StructType(
                     [f for f in schema.fields if f.name not in part_cols]
                 ))
@@ -2016,11 +2016,14 @@ class DeltaLog:
     def version_at(self, timestamp_ms: int) -> int:
         """Resolve the latest version whose commit timestamp is at or
         before ``timestamp_ms`` — production Delta's
-        TIMESTAMP-AS-OF rule over ``commitInfo.timestamp`` (a commit
-        without commitInfo inherits its predecessor's timestamp, so
-        the mapping stays monotone over writers that omit it).  Only
-        versions still present in the log resolve (expired history is
-        not addressable, by design)."""
+        TIMESTAMP-AS-OF rule over ``commitInfo.timestamp``, kept
+        MONOTONE the way production keeps its commit timestamps: a
+        commit without commitInfo inherits its predecessor's, and a
+        commit stamped EARLIER than its predecessor (writer clock
+        skew) clamps up to it — otherwise a skewed commit would make
+        the resolution include state written after the requested
+        instant.  Only versions still present in the log resolve
+        (expired history is not addressable, by design)."""
         best = None
         last_ts = None
         for v in self.versions():
@@ -2037,6 +2040,8 @@ class DeltaLog:
                         break
             if ts is None:
                 ts = last_ts
+            elif last_ts is not None and ts < last_ts:
+                ts = last_ts  # clock-skew clamp (monotone rule)
             last_ts = ts
             if ts is not None and ts <= timestamp_ms:
                 best = v

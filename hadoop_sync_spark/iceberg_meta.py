@@ -713,12 +713,31 @@ class IcebergTable:
             # so transform the filter value the way the writer did
             flt = None
             if partition_filter:
+                import datetime as _dt
+
                 tr_by_name = {
                     f["name"]: f.get("transform", "identity")
                     for f in spec_fields
                 }
+                rt_by_name = {
+                    f["name"]: f.get("result-type")
+                    for f in spec_fields
+                }
+
+                def _to_part_domain(k, v):
+                    v = transform_value(
+                        tr_by_name.get(k, "identity"), v
+                    )
+                    if (rt_by_name.get(k) == "date"
+                            and isinstance(v, _dt.date)
+                            and not isinstance(v, _dt.datetime)):
+                        # identity DATE values ride the manifests as
+                        # epoch-day ints (Avro int, Appendix A)
+                        v = (v - _dt.date(1970, 1, 1)).days
+                    return v
+
                 flt = {
-                    k: transform_value(tr_by_name.get(k, "identity"), v)
+                    k: _to_part_domain(k, v)
                     for k, v in partition_filter.items()
                 }
             if flt and mf.get("partitions"):
@@ -985,12 +1004,24 @@ class IcebergTable:
                     "int": T.LongType(), "long": T.LongType(),
                     "date": T.LongType(), "string": T.StringType(),
                 }
+                #: identity DATE fields type as DateType — the
+                #: non-empty path converts epoch-day ints for them
+                #: (transform fields like d_day keep ordinal longs)
+                sch_types = {
+                    f["name"]: f["type"]
+                    for f in self._schema_by_id(sid0)["fields"]
+                    if isinstance(f["type"], str)
+                }
                 schema = T.StructType(
                     list(data_schema.fields)
                     + [
                         T.StructField(
                             n,
-                            inferred.get(part_fields[n], T.StringType()),
+                            T.DateType()
+                            if (part_fields[n] == "date"
+                                and sch_types.get(n) == "date")
+                            else inferred.get(part_fields[n],
+                                              T.StringType()),
                         )
                         for n in part_names
                     ]
@@ -1035,10 +1066,11 @@ class IcebergTable:
         #: column and the output COALESCEs the metadata value over the
         #: scanned one; transform-named fields (``k_bucket``) have no
         #: data-side twin and simply null-fill for pre-evolution files.
-        schema_names = {
-            f["name"]
-            for f in self._schema_by_id(read_sid)["fields"]
-        }
+        #: ONE resolution of the output schema's field list — four
+        #: consumers below (names, types, equality-delete map, rename
+        #: projection) previously re-derived it independently
+        read_fields = self._schema_by_id(read_sid)["fields"]
+        schema_names = {f["name"] for f in read_fields}
         #: per-spec recording map: a file RECORDS a field only when its
         #: own spec lists it with a non-void transform — a later spec
         #:'s field is unrecorded for older files (key absent) and a
@@ -1136,7 +1168,7 @@ class IcebergTable:
             )
             if variants:
                 logical_exprs = []
-                for f in self._schema_by_id(read_sid)["fields"]:
+                for f in read_fields:
                     if f["name"] in set(part_cols):
                         continue
                     names = variants.get(f["id"], [f["name"]])
@@ -1199,22 +1231,33 @@ class IcebergTable:
 
         _ice_type = {
             f["name"]: f["type"]
-            for f in self._schema_by_id(read_sid)["fields"]
+            for f in read_fields
             if isinstance(f["type"], str)
         }
 
         def _part_exprs():
+            # identity DATE values ride the manifests as epoch-day
+            # ints (Avro int, Appendix A) while the data column is a
+            # real DateType: convert in EVERY branch — mixed or not —
+            # so the output type never flips with the pruning outcome
+            # (review: a filtered read that dropped the mixed era
+            # returned raw ints where the unfiltered read returned
+            # dates, breaking union compatibility).  Transform-named
+            # fields (``d_day``) are not schema columns and keep
+            # their ordinal ints.
             out = []
             for c in part_cols:
+                is_date = (_ice_type.get(c) == "date"
+                           and c in schema_names)
                 if c not in mixed_identity:
-                    out.append(F.col(c))
+                    e = F.col(c)
+                    if is_date:
+                        e = F.date_from_unix_date(
+                            e.cast("int")).alias(c)
+                    out.append(e)
                     continue
                 meta_e = F.col("__meta_" + c)
-                if _ice_type.get(c) == "date":
-                    # identity DATE values ride the manifests as
-                    # epoch-day ints (Avro int, Appendix A); the data
-                    # column is a real DateType — convert before the
-                    # coalesce or Spark finds no common type (review)
+                if is_date:
                     meta_e = F.date_from_unix_date(
                         meta_e.cast("int")
                     )
@@ -1278,10 +1321,7 @@ class IcebergTable:
         # id -> name map in the READ schema (by schema-id lookup, not
         # list position — external metadata need not keep ids as list
         # indexes, and the output frame speaks the snapshot's names)
-        meta_schema = {
-            f["id"]: f["name"]
-            for f in self._schema_by_id(read_sid)["fields"]
-        }
+        meta_schema = {f["id"]: f["name"] for f in read_fields}
         # the gate sums record_count across ALL applicable delete files
         # (metadata-only): per-file gating would let 50 files of 4.9M
         # rows each broadcast simultaneously — the aggregate is what
@@ -2517,11 +2557,25 @@ class IcebergTable:
         data_schema = self._spark_schema(sid, exclude=set(part_cols))
         inferred = {"int": T.LongType(), "long": T.LongType(),
                     "date": T.LongType(), "string": T.StringType()}
+        sch_types = {
+            f["name"]: f["type"]
+            for f in self._schema_by_id(sid)["fields"]
+            if isinstance(f["type"], str)
+        }
+        #: identity DATE partition columns type as DateType, matching
+        #: read()'s epoch-day conversion (transform fields keep longs)
+        date_parts = {
+            c for c in part_cols
+            if part_types.get(c) == "date"
+            and sch_types.get(c) == "date"
+        }
         out_schema = T.StructType(
             list(data_schema.fields)
             + [T.StructField(
-                c, inferred.get(part_types.get(c, "string"),
-                                T.StringType()), True)
+                c,
+                T.DateType() if c in date_parts
+                else inferred.get(part_types.get(c, "string"),
+                                  T.StringType()), True)
                for c in part_cols]
             + [T.StructField("_snapshot_id", T.LongType(), False)]
         )
@@ -2561,7 +2615,9 @@ class IcebergTable:
             what="iceberg incremental scan",
         ).select(
             *[F.col(f.name) for f in data_schema.fields],
-            *part_cols,
+            *[F.date_from_unix_date(F.col(c).cast("int")).alias(c)
+              if c in date_parts else F.col(c)
+              for c in part_cols],
             "_snapshot_id",
         )
 
@@ -2904,12 +2960,19 @@ class IcebergTable:
             raise ValueError(
                 "give snapshot_id OR as_of_timestamp_ms"
             )
-        if as_of_timestamp_ms is not None:
+        by_time = as_of_timestamp_ms is not None
+        if by_time:
             snapshot_id = self.snapshot(
                 as_of_timestamp_ms=as_of_timestamp_ms
             )["snapshot-id"]
         meta = json.loads(json.dumps(self.metadata()))
         snaps = meta.get("snapshots", [])
+        if by_time and meta.get("current-snapshot-id") == snapshot_id:
+            # a TIMESTAMP that resolves to the current snapshot is an
+            # idempotent no-op (the caller cannot know which snapshot
+            # an instant resolves to — Delta's restore prints a no-op
+            # for the same case); an EXPLICIT id keeps the refusal
+            return
         if not any(s["snapshot-id"] == snapshot_id for s in snaps):
             raise ValueError(f"snapshot {snapshot_id} not found")
         if meta.get("current-snapshot-id") == snapshot_id:
@@ -2992,33 +3055,49 @@ class IcebergTable:
                 raise NotImplementedError(
                     f"partition result type {typ!r}"
                 )
+            src_t = str(col_type.get(col))
             if transform == "identity":
                 # identity records the SOURCE value: the result type
                 # must be the column's own type or the read-side
                 # attach would mistype every recorded value
                 want = {"bigint": "long", "long": "long",
                         "int": "int", "integer": "int",
-                        "string": "string", "date": "date"}.get(
-                            str(col_type.get(col)))
+                        "string": "string", "date": "date"}.get(src_t)
                 if want is not None and typ != want:
                     raise ValueError(
                         f"identity partition on {col!r} needs result "
                         f"type {want!r}, not {typ!r}"
                     )
             else:
-                # validate the transform spelling up front (a bad
-                # spelling must refuse here, not crash the first
-                # post-evolution read); temporal transforms take
-                # date/datetime probes — ints refuse by design
-                if transform == "hour":
-                    probe = _dt.datetime(1970, 1, 1)
-                elif transform in ("year", "month", "day"):
-                    probe = _dt.date(1970, 1, 1)
-                elif typ in ("int", "long", "date"):
-                    probe = 0
-                else:
-                    probe = "x"
-                transform_value(transform, probe)
+                # validate up front so a bad combination refuses HERE,
+                # never on the first post-evolution append (review: a
+                # hardcoded date probe committed specs whose transform
+                # could not accept the actual column type).  The probe
+                # derives from the SOURCE column's type; temporal
+                # result types are the spec's own (year/month/hour →
+                # int, day → date).
+                if transform in ("year", "month", "hour"):
+                    if typ != "int":
+                        raise ValueError(
+                            f"{transform} transform needs result "
+                            f"type 'int', not {typ!r}"
+                        )
+                elif transform == "day" and typ != "date":
+                    raise ValueError(
+                        "day transform needs result type 'date', "
+                        f"not {typ!r}"
+                    )
+                probes = {
+                    "date": _dt.date(1970, 1, 1),
+                    "timestamp": _dt.datetime(1970, 1, 1),
+                    "timestamptz": _dt.datetime(1970, 1, 1),
+                    "int": 0, "long": 0, "string": "x",
+                }
+                if src_t not in probes:
+                    raise NotImplementedError(
+                        f"{transform} transform on a {src_t!r} column"
+                    )
+                transform_value(transform, probes[src_t])
             name = (
                 spec[3]
                 if len(spec) > 3

@@ -2385,3 +2385,24 @@ def test_all_null_partition_values_read(spark, tmp_path):
     ])
     got = [tuple(r) for r in log.read(spark).collect()]
     assert got == [(1, 10, None)]
+
+
+def test_version_at_clamps_clock_skew(tmp_path):
+    """A commit stamped EARLIER than its predecessor (writer clock
+    skew) clamps up to it — otherwise TIMESTAMP-AS-OF would resolve a
+    state containing changes committed after the requested instant
+    (second review pass)."""
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    _write_file(d, "c.parquet", {"k": [3], "v": [30]})
+    log.commit(0, [{"commitInfo": {"timestamp": 1000}},
+                   {"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.commit(1, [{"commitInfo": {"timestamp": 5000}},
+                   log.add_action_for("b.parquet")])
+    # skewed: stamped 2000 but committed after the 5000 commit
+    log.commit(2, [{"commitInfo": {"timestamp": 2000}},
+                   log.add_action_for("c.parquet")])
+    assert log.version_at(3000) == 0  # NOT 2 — v1's state is newer
+    assert log.version_at(5000) == 2  # clamp makes v2 resolve at 5000

@@ -2358,7 +2358,8 @@ def test_update_spec_temporal_transform_probe(spark, tmp_path):
     d = str(tmp_path / "evo_day")
     os.makedirs(os.path.join(d, "data"))
     t = IcebergTable.create(
-        d, [("k", "bigint"), ("d", "date")], now_ms=1000
+        d, [("k", "bigint"), ("d", "date"), ("s", "string")],
+        now_ms=1000
     )
     p1 = os.path.join(d, "data", "f1.parquet")
     pq.write_table(pa.table({
@@ -2369,8 +2370,20 @@ def test_update_spec_temporal_transform_probe(spark, tmp_path):
                        os.path.getsize(p1))], now_ms=2000)
     sid = t.update_spec([("d", "date", "day")], now_ms=3000)
     assert sid == 1  # day on a date column now validates
-    t.update_spec([("d", "date", "month")], now_ms=4000)
+    t.update_spec([("d", "int", "month")], now_ms=4000)
     t.update_spec([("d", "int", "year")], now_ms=5000)
+    # source-type and result-type discipline (second review pass):
+    # temporal transforms on non-temporal columns refuse UP FRONT,
+    # never on the first post-evolution append, and temporal result
+    # types are the spec's own
+    with pytest.raises(NotImplementedError, match="on str"):
+        t.update_spec([("s", "int", "year")])
+    with pytest.raises(NotImplementedError, match="hour transform"):
+        t.update_spec([("d", "int", "hour")])
+    with pytest.raises(ValueError, match="result type 'int'"):
+        t.update_spec([("d", "string", "year")])
+    with pytest.raises(ValueError, match="result type 'date'"):
+        t.update_spec([("d", "int", "day", "d_day2")])
     # and the written value matches the spec's example column
     p2 = os.path.join(d, "data", "f2.parquet")
     pq.write_table(pa.table({
@@ -2475,6 +2488,15 @@ def test_mixed_date_identity_coalesce(spark, tmp_path):
                        os.path.getsize(p2))], now_ms=4000)
     got = {r.k: r.d for r in t.read(spark).collect()}
     assert got == {1: dt.date(2020, 1, 2), 2: dt.date(2021, 3, 4)}
+    # the type must not flip with the pruning outcome (second review
+    # pass: a filtered read that dropped the mixed era returned raw
+    # epoch-day ints) — every outcome is DateType and union-compatible
+    base = t.read(spark)
+    one_era = t.read(spark, partition_filter={"d": dt.date(2021, 3, 4)})
+    assert dict(one_era.dtypes)["d"] == dict(base.dtypes)["d"] == "date"
+    assert [r.k for r in one_era.collect()] == [2]
+    u = base.unionByName(one_era)
+    assert u.count() == 3
 
 
 def test_evolved_empty_snapshot_falls_back_to_all_specs(
@@ -2522,3 +2544,16 @@ def test_cli_ddl_mixed_partition_field_applies_nothing(
         for f in t._schema_by_id(
             t.metadata().get("current-schema-id", 0))["fields"]
     )
+
+
+def test_rollback_by_timestamp_to_current_is_noop(table):
+    t, (s1, s2, s3) = table
+    v_before = t.current_version()
+    # the instant resolves to the CURRENT snapshot: idempotent no-op,
+    # no metadata version, no misleading snapshot-log entry
+    t.rollback_to(as_of_timestamp_ms=9999, now_ms=5000)
+    assert t.current_version() == v_before
+    assert t.metadata()["current-snapshot-id"] == s3
+    # an EXPLICIT id keeps the refusal (the user named a target)
+    with pytest.raises(ValueError, match="already current"):
+        t.rollback_to(s3)
