@@ -83,15 +83,85 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # ---- ROUND-11 WINDOW ----
+    # ---- ROUND-12 WINDOW ----
+    # Backlog entering round 12 (ledger-recomputed; matches WINDOW.md's
+    # pre-written round-12 runbook name-for-name): the 46-query r9-green
+    # cohort + q01 + q148 + q149 — 49 mandatory (rule 3), strict branch
+    # (49 <= 50).  q148/q149's rows are the first driver-channel execution
+    # of their round-10 evolved-fixture branches (column_filter-composed
+    # MoR; column mapping + v2-checkpoint seeding + the round-11
+    # committed-protocol-upgrade path), closing VERDICT r10 "What's
+    # missing" #1.  The one spare slot goes to q147_iceberg_snapshot_reader
+    # (rule-2 protective): round-12 library work changes the iceberg read
+    # path (ADVICE r11 _apply_residue eqNullSafe fix) that its fixture
+    # routes through, and an in-window rule-2 change re-greens for free
+    # (WINDOW.md displacement case 1).
+    # REGISTRY IS CAPPED at 149 queries — see WINDOW.md steady state.
+    # (3) the cohort in numeric order, then q148/q149, then the spare
+    "q01_pricing_summary",
+    "q26_conditional_agg",
+    "q32_approx_distinct",
+    "q46_json_map_explode",
+    "q47_streaming_tumbling_window",
+    "q48_approx_percentiles",
+    "q49_attribution_join",
+    "q50_token_stats",
+    "q52_lang_profile",
+    "q53_quality_scores",
+    "q54_lang_id_heuristic",
+    "q57_bpe_pretokens",
+    "q58_rolling_hash_fp",
+    "q60_exact_dedup",
+    "q61_token_set_dedup",
+    "q62_jaccard_pairs",
+    "q64_simhash_signatures",
+    "q65_embedding_dup_pairs",
+    "q70_cosine_topk",
+    "q71_ivf_topk",
+    "q73_stratified_sample",
+    "q74_train_val_test_split",
+    "q76_udtf_sentences",
+    "q77_ngram_stats",
+    "q78_corpus_mix",
+    "q79_sequence_packing",
+    "q80_minmax_stats",
+    "q86_pii_redaction",
+    "q87_contamination_screen",
+    "q88_token_budget_sample",
+    "q89_corpus_merge",
+    "q93_unpivot_metrics",
+    "q94_regression_stats",
+    "q97_table_fingerprint_diff",
+    "q98_heavy_hitters",
+    "q99_incremental_dedup",
+    "q101_time_travel",
+    "q103_zorder_box_query",
+    "q104_format_roundtrip",
+    "q105_misra_gries",
+    "q108_edit_distance_pairs",
+    "q112_quality_constraints",
+    "q113_shard_shuffle",
+    "q133_doc_chunks",
+    "q134_interval_weighted_avg",
+    "q135_k_anonymity",
+    "q136_token_pmi",
+    "q148_iceberg_mor_reader",
+    "q149_delta_dv_reader",
+    # (spare, rule-2 protective in-window) iceberg read-path re-check
+    "q147_iceberg_snapshot_reader",
+)
+
+
+_ROUND11_WINDOW_HISTORICAL: tuple[str, ...] = (
+    # ---- ROUND-11 WINDOW (historical, kept for the ledger narrative) ----
     # Backlog entering round 11 (ledger-recomputed; the tripwire's stale
     # list matches WINDOW.md's round-11 runbook name-for-name): the
     # 50-query r8-green cohort, last green three recorded rounds ago after
     # CORRECTNESS_r10 — strict branch (50 <= 50), all mandatory (rule 3),
-    # ZERO spare.  Round 11 registers nothing (the 149 cap forbids it) and
-    # ships no rule-2 change to an out-of-window query without a case-2
+    # ZERO spare.  Round 11 registered nothing (the 149 cap forbids it) and
+    # shipped no rule-2 change to an out-of-window query without a case-2
     # contract re-verification recorded in WINDOW.md.
-    # REGISTRY IS CAPPED at 149 queries — see WINDOW.md steady state.
+    # CORRECTNESS_r11: 50/50 green.
     # (3) the full r8-green cohort, numeric order
     "q04_supplier_by_region",
     "q05_order_count_distribution",
