@@ -253,6 +253,47 @@ def _dv_file_path(table_dir: str, desc: dict) -> str:
     raise NotImplementedError(f"DV storage type {st!r}")
 
 
+def _dv_uuid(rel_path: str, version: int):
+    """Deterministic DV file uuid (no-ambient-randomness rule): the
+    writer of file ``rel_path``'s vector at log ``version`` — unique
+    per (file, commit), reproducible by driver and executor alike so
+    the executor-side builder and the committing driver agree on the
+    path without shipping it back."""
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    return _uuid.UUID(
+        bytes=_hashlib.md5(f"{rel_path}#{version}".encode()).digest()
+    )
+
+
+def _dv_blob_write(
+    table_dir: str, rel_path: str, version: int, positions: list[int]
+) -> int:
+    """Serialize ``positions`` (sorted) and write the framed
+    ``deletion_vector_<uuid>.bin`` (format-version byte, 4-byte
+    big-endian size, portable RoaringBitmapArray, CRC-32).  Returns the
+    payload size for the descriptor.  Module-level so the DML write
+    faces' EXECUTOR-side builder can call it from workers — on a real
+    cluster ``table_dir`` is shared storage and distributed DV writes
+    are exactly how production writers land large deletes."""
+    import zlib as _z
+
+    data = _dv_serialize(positions)
+    blob = (
+        b"\x01"
+        + len(data).to_bytes(4, "big")
+        + data
+        + _z.crc32(data).to_bytes(4, "big")
+    )
+    uid = _dv_uuid(rel_path, version)
+    with open(
+        os.path.join(table_dir, f"deletion_vector_{uid}.bin"), "wb"
+    ) as fh:
+        fh.write(blob)
+    return len(data)
+
+
 def _resolve_dv_positions(table_dir: str, desc: dict) -> list[int]:
     """Resolve a deletionVector descriptor to its sorted deleted row
     indexes.  Storage types per PROTOCOL.md: ``i`` inline (Base85
@@ -1445,9 +1486,6 @@ class DeltaLog:
         no-ambient-randomness rule), ``i`` inlines the Base85 payload.
         Shared by :meth:`add_deletion_vector` (one file per commit) and
         :meth:`delete_where` (every affected file in ONE commit)."""
-        import uuid as _uuid
-        import zlib as _z
-
         data = _dv_serialize(sorted(set(positions)))
         if storage == "i":
             pad = (-len(data)) % 4
@@ -1458,29 +1496,15 @@ class DeltaLog:
                 "cardinality": len(set(positions)),
             }
         if storage == "u":
-            uid = _uuid.UUID(
-                bytes=__import__("hashlib")
-                .md5(f"{rel_path}#{version}".encode())
-                .digest()
+            uid = _dv_uuid(rel_path, version)
+            size = _dv_blob_write(
+                self.table_dir, rel_path, version, sorted(set(positions))
             )
-            blob = (
-                b"\x01"
-                + len(data).to_bytes(4, "big")
-                + data
-                + _z.crc32(data).to_bytes(4, "big")
-            )
-            with open(
-                os.path.join(
-                    self.table_dir, f"deletion_vector_{uid}.bin"
-                ),
-                "wb",
-            ) as fh:
-                fh.write(blob)
             return {
                 "storageType": "u",
                 "pathOrInlineDv": _b85_encode(uid.bytes),
                 "offset": 1,
-                "sizeInBytes": len(data),
+                "sizeInBytes": size,
                 "cardinality": len(set(positions)),
             }
         raise NotImplementedError(f"DV storage type {storage!r}")
@@ -1524,14 +1548,24 @@ class DeltaLog:
         )
         return desc
 
-    #: driver-side materialization cap for delete_where's matched
-    #: (file, position) pairs — the WRITE-side analogue of the read
-    #: path's decode tiers.  Production engines build the per-file
-    #: Roaring bitmaps executor-side; above this many matched rows the
-    #: face refuses loudly rather than silently ballooning the driver
-    #: (an import-try-style seam: an executor-side bitmap builder drops
-    #: in behind the same API).
+    #: driver-tier materialization bound for the DML write faces'
+    #: matched (file, position) pairs — the WRITE-side analogue of the
+    #: read path's decode tiers.  At or under it, positions collect and
+    #: the bitmaps build driver-side (cheapest at fixture scale: no
+    #: extra Spark job).  ABOVE it (round 12) the faces switch to the
+    #: EXECUTOR tier: the matched frame stays distributed, per-file
+    #: Roaring bitmaps serialize and write from the workers
+    #: (:meth:`_dv_build_distributed`), and the driver handles one
+    #: descriptor row per affected file — metadata scale at any
+    #: predicate selectivity.
     DELETE_WHERE_ROW_LIMIT = 1_000_000
+
+    #: separate driver cap for read_changes' DV position diffs — the
+    #: CDC face derives row-level events by decoding DV pairs
+    #: driver-side, an independent axis from the write faces' matched
+    #: sets (round 12 split: forcing the write faces onto their
+    #: executor tier must not also cripple CDC reads)
+    READ_CHANGES_ROW_LIMIT = 1_000_000
 
     def _resolve_physical(self, snap: Snapshot, face: str) -> dict:
         """logical name -> physical column for the DML write faces
@@ -1568,25 +1602,41 @@ class DeltaLog:
         column_filter: dict,
         face: str,
         in_filter: tuple | None = None,
+        in_frame: tuple | None = None,
     ):
         """Shared DML matcher: scan ONLY the predicate columns with
         per-file row lineage (pinned physical schema, so pre-DDL files
         null-fill — NULL fails every range predicate, SQL semantics)
-        and return ``(phys, {rel_path: {positions}})``; ``(phys,
-        None)`` when the table is empty or nothing matches.
+        and return ``(phys, per_file, frame)``:
+
+        - ``(phys, {rel_path: {positions}}, None)`` when the matched
+          set fits :data:`DELETE_WHERE_ROW_LIMIT` — the driver tier,
+          cheapest at fixture scale;
+        - ``(phys, None, matched_df)`` when it does NOT — the EXECUTOR
+          tier (round 12): the ``(_fp, _pos)`` frame stays distributed
+          and the caller builds the per-file deletion vectors with
+          :meth:`_dv_build_distributed`, never materializing positions
+          on the driver;
+        - ``(phys, None, None)`` when the table is empty or nothing
+          matches.
+
         ``column_filter`` is the ``{col: (lo, hi)}`` range form;
         ``in_filter`` is an optional ``(col, values)`` membership
-        predicate (the merge face's key match).  Guards:
-        unknown/partition predicate columns, the
-        :data:`DELETE_WHERE_ROW_LIMIT` driver materialization cap."""
+        predicate (the merge face's key match, IN-pushed to the scan);
+        ``in_frame`` is its over-cap twin ``(col, keys_df)`` — a
+        one-column DataFrame semi-joined against the scan when the key
+        set itself is too large for an IN list.  Guards:
+        unknown/partition predicate columns."""
 
         from hadoop_sync_spark.io import decode_file_uri
 
-        if not column_filter and in_filter is None:
+        if not column_filter and in_filter is None and in_frame is None:
             raise ValueError(f"{face} needs a predicate")
         pred_cols = dict(column_filter)
         if in_filter is not None:
             pred_cols.setdefault(in_filter[0], None)
+        if in_frame is not None:
+            pred_cols.setdefault(in_frame[0], None)
         schema = snap.schema()
         phys = self._resolve_physical(snap, face)
         for c in pred_cols:
@@ -1600,7 +1650,7 @@ class DeltaLog:
                 )
         sel = list(snap.files)
         if not sel:
-            return phys, None
+            return phys, None, None
         if snap.partition_columns:
             # partitionValues keys are PHYSICAL names under column
             # mapping (the spec; tolerate logical for lax writers) —
@@ -1639,19 +1689,24 @@ class DeltaLog:
                 scan = scan.filter(F.col(c) <= hi)
         if in_filter is not None:
             scan = scan.filter(F.col(in_filter[0]).isin(in_filter[1]))
+        if in_frame is not None:
+            kc, keys_df = in_frame
+            scan = scan.join(
+                keys_df.toDF(kc), on=kc, how="leftsemi"
+            )
         # limit(cap+1) so the CAP bounds what the driver materializes —
         # a collect-then-check would have built the whole oversized
-        # list before refusing (round-11 review)
+        # list before deciding the tier (round-11 review)
         cap = self.DELETE_WHERE_ROW_LIMIT
-        matched = scan.select("_fp", "_pos").limit(cap + 1).collect()
+        pairs = scan.select("_fp", "_pos")
+        matched = pairs.limit(cap + 1).collect()
         if not matched:
-            return phys, None
+            return phys, None, None
         if len(matched) > cap:
-            raise ValueError(
-                f"{face} matched over {cap} rows, the driver "
-                "materialization cap — build the per-file bitmaps "
-                "executor-side for deletes of this size"
-            )
+            # EXECUTOR tier (round 12): hand the distributed frame back
+            # — the caller builds per-file bitmaps executor-side
+            # instead of refusing (the round-11 behavior)
+            return phys, None, pairs
 
         _decode = decode_file_uri
         rel_of = {
@@ -1667,7 +1722,110 @@ class DeltaLog:
                     f"(URI normalization mismatch): {r._fp}"
                 )
             per_file.setdefault(rel, set()).add(r._pos)
-        return phys, per_file
+        return phys, per_file, None
+
+    def _dv_build_distributed(
+        self,
+        snap: Snapshot,
+        frame: DataFrame,
+        version: int,
+        storage: str,
+        face: str,
+    ) -> list:
+        """EXECUTOR-side deletion-vector build (round 12 — the scale
+        path the round-11 cap refusal named): group the matched
+        ``(_fp, _pos)`` frame by file and, per file, decode the
+        existing DV, union, serialize the portable Roaring payload and
+        write the framed ``.bin`` FROM THE EXECUTOR (shared storage on
+        a real cluster; the uuid is deterministic per (file, version)
+        so the committing driver re-derives the descriptor path without
+        shipping payloads back).  The driver materializes ONE row per
+        affected file — metadata scale, same as the log commit itself —
+        so a predicate matching 100M rows costs the driver nothing
+        beyond the actions it must write anyway.  Returns the non-noop
+        rows ``(rel, fresh, cardinality, size)`` sorted by path.
+        Files whose matches are all already deleted write nothing.
+        Only ``u`` storage: an inline (``i``) vector of over-cap size
+        inside a JSON log line is pathological, so it refuses."""
+        if storage != "u":
+            raise NotImplementedError(
+                f"{face}: matched set exceeds the driver tier and "
+                f"storage {storage!r} was requested — over-cap "
+                "deletion vectors are file-backed ('u') only"
+            )
+        from hadoop_sync_spark.io import decode_file_uri
+
+        table_dir = self.table_dir
+        live_info = {
+            os.path.abspath(os.path.join(table_dir, rel)): (
+                rel,
+                add.get("deletionVector"),
+            )
+            for rel, add in snap.live.items()
+        }
+
+        def build(pdf):
+            import pandas as pd
+
+            key = os.path.abspath(decode_file_uri(pdf["_fp"].iloc[0]))
+            info = live_info.get(key)
+            if info is None:
+                raise ValueError(
+                    f"scanned file missing from the snapshot map "
+                    f"(URI normalization mismatch): {key}"
+                )
+            rel, desc = info
+            existing: set[int] = (
+                set(_resolve_dv_positions(table_dir, desc))
+                if desc
+                else set()
+            )
+            poss = {int(p) for p in pdf["_pos"]}
+            fresh = len(poss - existing)
+            if fresh == 0:
+                return pd.DataFrame(
+                    {"rel": [], "fresh": [], "cardinality": [],
+                     "size": []}
+                )
+            allpos = sorted(existing | poss)
+            size = _dv_blob_write(table_dir, rel, version, allpos)
+            return pd.DataFrame(
+                {"rel": [rel], "fresh": [fresh],
+                 "cardinality": [len(allpos)], "size": [size]}
+            )
+
+        rows = (
+            frame.groupBy("_fp")
+            .applyInPandas(
+                build,
+                "rel string, fresh long, cardinality long, size long",
+            )
+            .collect()
+        )
+        return sorted(rows, key=lambda r: r.rel)
+
+    def _dv_actions_for(self, snap: Snapshot, rows: list,
+                        version: int) -> list[dict]:
+        """remove/add action pairs for :meth:`_dv_build_distributed`'s
+        result rows — the descriptor re-derives the deterministic
+        executor-written path from (rel, version)."""
+        actions: list[dict] = []
+        for r in rows:
+            prev = dict(snap.live[r.rel])
+            prev["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": _b85_encode(
+                    _dv_uuid(r.rel, version).bytes
+                ),
+                "offset": 1,
+                "sizeInBytes": r.size,
+                "cardinality": r.cardinality,
+            }
+            actions.append(
+                {"remove": {"path": r.rel, "dataChange": True}}
+            )
+            actions.append({"add": prev})
+        return actions
 
     def delete_where(
         self,
@@ -1691,16 +1849,19 @@ class DeltaLog:
         column-mapped tables (predicates resolve through the metadata
         physicalName); id mode refuses — its physical names ride the
         footer walk in the read path and a write face should not guess.
-        Matched rows above :data:`DELETE_WHERE_ROW_LIMIT` refuse (see
-        the attribute doc — executor-side bitmap building is the scale
-        path behind the same API)."""
+        Matched rows above :data:`DELETE_WHERE_ROW_LIMIT` switch to the
+        EXECUTOR tier (round 12): the matched frame stays distributed,
+        each affected file's bitmap unions, serializes and writes from
+        the executors (:meth:`_dv_build_distributed`), and the driver
+        handles only per-file descriptor rows — so a 100 TB-scale
+        purge predicate commits instead of refusing."""
         snap = self.snapshot()
-        phys, per_file = self._matched_per_file(
+        phys, per_file, frame = self._matched_per_file(
             spark, snap, column_filter, "delete_where"
         )
-        if per_file is None:
-            return {"version": None, "files": 0, "rows_deleted": 0}
-        new_rows = 0
+        noop = {"version": None, "files": 0, "rows_deleted": 0}
+        if per_file is None and frame is None:
+            return noop
         version = self.latest_version() + 1
         actions: list[dict] = [
             {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}},
@@ -1710,6 +1871,20 @@ class DeltaLog:
                 "deletionVectors",
             )},
         ]
+        if frame is not None:
+            rows = self._dv_build_distributed(
+                snap, frame, version, storage, "delete_where"
+            )
+            if not rows:
+                return noop
+            actions.extend(self._dv_actions_for(snap, rows, version))
+            self.commit(version, actions)
+            return {
+                "version": version,
+                "files": len(rows),
+                "rows_deleted": sum(r.fresh for r in rows),
+            }
+        new_rows = 0
         for rel in sorted(per_file):
             prev = dict(snap.live[rel])
             existing: set[int] = set()
@@ -1734,6 +1909,184 @@ class DeltaLog:
             "rows_deleted": new_rows,
         }
 
+    @staticmethod
+    def _decoded_fp():
+        """Spark-side ``_fp`` (file URI) -> absolute-path column, the
+        executor twin of :func:`hadoop_sync_spark.io.decode_file_uri`."""
+        return F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_fp"), "^file:(//)?", ""),
+                r"\+",
+                "%2B",
+            )
+        )
+
+    @staticmethod
+    def _partition_groups(snap: Snapshot, rels) -> dict[tuple, list]:
+        """Affected files grouped by partition tuple — the updated
+        copies must land one file per tuple so partitionValues stay
+        authoritative."""
+        groups: dict[tuple, list[str]] = {}
+        for rel in rels:
+            pv = snap.live[rel].get("partitionValues") or {}
+            groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
+        return groups
+
+    def _updated_copies(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        phys: dict,
+        set_values: dict,
+        version: int,
+        groups: dict,
+        select_pairs,
+    ) -> list[dict]:
+        """Shared UPDATE rewrite (both tiers): per affected partition
+        tuple, scan the affected files, inner-join the matched fresh
+        ``(_afp, _pos)`` pairs from ``select_pairs(spark, rels)`` (a
+        tiny broadcast list on the driver tier, a filtered distributed
+        frame on the executor tier), apply the SET expressions and
+        write ONE updated-copy file.  Returns the add actions."""
+        from pyspark.sql import Column
+
+        from hadoop_sync_spark.io import write_single_parquet
+
+        schema = snap.schema()
+        part_cols = list(snap.partition_columns)
+        data_fields = [f for f in schema.fields
+                       if f.name not in part_cols]
+        full_schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, True)
+            for f in data_fields
+        ])
+        adds: list[dict] = []
+        for gi, pv_t in enumerate(sorted(groups)):
+            rels = groups[pv_t]
+            scan = spark.read.schema(full_schema).parquet(
+                *[os.path.join(self.table_dir, r) for r in rels]
+            ).select(
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+                *[F.col(phys[f.name]).alias(f.name)
+                  for f in data_fields],
+            )
+            upd = scan.withColumn("_afp", self._decoded_fp()).join(
+                select_pairs(spark, rels), ["_afp", "_pos"], "inner"
+            )
+            # ONE select: every SET expression evaluates against the
+            # ORIGINAL row (simultaneous-assignment UPDATE semantics —
+            # sequential withColumn would let `SET k=9, v=k+1` see 9)
+            exprs = {
+                c: (v if isinstance(v, Column) else F.lit(v))
+                .cast(schema[c].dataType)
+                for c, v in set_values.items()
+            }
+            out = upd.select(*[
+                exprs.get(f.name, F.col(f.name)).alias(phys[f.name])
+                for f in data_fields
+            ])
+            rel_new = f"part-update-{version:010d}-{gi}.parquet"
+            write_single_parquet(
+                out, os.path.join(self.table_dir, rel_new),
+                "delta_update_",
+            )
+            adds.append(
+                self.add_action_for(
+                    rel_new, partitionValues=dict(pv_t)
+                )
+            )
+        return adds
+
+    def _update_where_distributed(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        frame: DataFrame,
+        set_values: dict,
+        now_ms: int,
+        storage: str,
+        phys: dict,
+    ) -> dict:
+        """EXECUTOR tier of :meth:`update_where` (round 12): the
+        matched ``(_fp, _pos)`` frame stays distributed — existing-DV
+        subtraction is an anti-join against the read path's
+        :meth:`_dv_delete_frame` (its three decode regimes included),
+        the per-file bitmaps build and write executor-side, and the
+        updated copies join the distributed fresh frame.  The driver
+        touches one row per affected file."""
+        noop = {"version": None, "files": 0, "new_files": 0,
+                "rows_updated": 0}
+        version = self.latest_version() + 1
+        rel_map = spark.createDataFrame(
+            [
+                (os.path.abspath(os.path.join(self.table_dir, rel)),
+                 rel)
+                for rel in snap.live
+            ],
+            ["_afp", "_rel"],
+        )
+        m = frame.withColumn("_afp", self._decoded_fp()).join(
+            F.broadcast(rel_map), "_afp"
+        )
+        dv_map = {
+            rel: add["deletionVector"]
+            for rel, add in snap.live.items()
+            if add.get("deletionVector")
+        }
+        dels = self._dv_delete_frame(spark, dv_map) if dv_map else None
+        if dels is not None:
+            m = m.join(
+                dels,
+                (m["_rel"] == dels["_d_file"])
+                & (m["_pos"] == dels["_d_pos"]),
+                "left_anti",
+            )
+        fresh_df = m.persist()
+        try:
+            rows = self._dv_build_distributed(
+                snap, fresh_df.select("_fp", "_pos"), version, storage,
+                "update_where",
+            )
+            if not rows:
+                return noop
+            n_updated = sum(r.fresh for r in rows)
+            groups = self._partition_groups(snap, [r.rel for r in rows])
+
+            def select_pairs(spark_, rels):
+                abs_paths = [
+                    os.path.abspath(os.path.join(self.table_dir, r))
+                    for r in rels
+                ]
+                return fresh_df.where(
+                    F.col("_afp").isin(abs_paths)
+                ).select("_afp", "_pos")
+
+            adds = self._updated_copies(
+                spark, snap, phys, set_values, version, groups,
+                select_pairs,
+            )
+            actions: list[dict] = [
+                {"commitInfo": {"timestamp": now_ms,
+                                "operation": "UPDATE"}},
+                {"protocol": _protocol_with_feature(
+                    snap.protocol
+                    or {"minReaderVersion": 1, "minWriterVersion": 2},
+                    "deletionVectors",
+                )},
+            ]
+            actions.extend(self._dv_actions_for(snap, rows, version))
+            actions.extend(adds)
+            self.commit(version, actions)
+            return {
+                "version": version,
+                "files": len(rows),
+                "new_files": len(adds),
+                "rows_updated": n_updated,
+            }
+        finally:
+            fresh_df.unpersist()
+
     def update_where(
         self,
         spark: SparkSession,
@@ -1754,10 +2107,12 @@ class DeltaLog:
         DV already deletes are excluded — updating them would resurrect
         deleted data.  Partition columns refuse in both the predicate
         and the SET list (a partition move is a rewrite, not an
-        update); id-mode mapping refuses like the other write faces;
-        the :data:`DELETE_WHERE_ROW_LIMIT` cap applies."""
-        from pyspark.sql import Column
-
+        update); id-mode mapping refuses like the other write faces.
+        Matches above :data:`DELETE_WHERE_ROW_LIMIT` switch to the
+        EXECUTOR tier (round 12): positions stay distributed end to
+        end — DV bitmaps build executor-side and the updated copies
+        join against the distributed matched frame instead of a
+        driver-built broadcast list."""
         if not set_values:
             raise ValueError("update_where needs at least one SET")
         snap = self.snapshot()
@@ -1773,13 +2128,17 @@ class DeltaLog:
                     f"update_where SET on partition column {c!r}: a "
                     "partition move is a rewrite, not an update"
                 )
-        phys, per_file = self._matched_per_file(
+        phys, per_file, frame = self._matched_per_file(
             spark, snap, column_filter, "update_where"
         )
         noop = {"version": None, "files": 0, "new_files": 0,
                 "rows_updated": 0}
-        if per_file is None:
+        if per_file is None and frame is None:
             return noop
+        if frame is not None:
+            return self._update_where_distributed(
+                spark, snap, frame, set_values, now_ms, storage, phys
+            )
         fresh: dict[str, set[int]] = {}
         existing: dict[str, set[int]] = {}
         for rel, poss in per_file.items():
@@ -1795,71 +2154,21 @@ class DeltaLog:
             return noop
         n_updated = sum(len(v) for v in fresh.values())
         version = self.latest_version() + 1
-        part_cols = list(snap.partition_columns)
-        data_fields = [f for f in schema.fields
-                       if f.name not in part_cols]
-        full_schema = T.StructType([
-            T.StructField(phys[f.name], f.dataType, True)
-            for f in data_fields
-        ])
-        #: affected files grouped by partition tuple — the updated
-        #: copies must land one file per tuple so partitionValues stay
-        #: authoritative
-        groups: dict[tuple, list[str]] = {}
-        for rel in fresh:
-            pv = snap.live[rel].get("partitionValues") or {}
-            groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
-        decoded = F.url_decode(
-            F.regexp_replace(
-                F.regexp_replace(F.col("_fp"), "^file:(//)?", ""),
-                r"\+",
-                "%2B",
-            )
-        )
-        adds: list[dict] = []
-        for gi, pv_t in enumerate(sorted(groups)):
-            rels = groups[pv_t]
-            scan = spark.read.schema(full_schema).parquet(
-                *[os.path.join(self.table_dir, r) for r in rels]
-            ).select(
-                F.col("_metadata.file_path").alias("_fp"),
-                F.col("_metadata.row_index").alias("_pos"),
-                *[F.col(phys[f.name]).alias(f.name)
-                  for f in data_fields],
-            )
+        groups = self._partition_groups(snap, fresh)
+
+        def select_pairs(spark_, rels):
             sel_rows = [
                 (os.path.abspath(os.path.join(self.table_dir, r)), p)
                 for r in rels
                 for p in sorted(fresh[r])
             ]
-            sel_df = spark.createDataFrame(sel_rows, ["_afp", "_pos"])
-            upd = scan.withColumn("_afp", decoded).join(
-                F.broadcast(sel_df), ["_afp", "_pos"], "inner"
+            return F.broadcast(
+                spark_.createDataFrame(sel_rows, ["_afp", "_pos"])
             )
-            # ONE select: every SET expression evaluates against the
-            # ORIGINAL row (simultaneous-assignment UPDATE semantics —
-            # sequential withColumn would let `SET k=9, v=k+1` see 9)
-            exprs = {
-                c: (v if isinstance(v, Column) else F.lit(v))
-                .cast(schema[c].dataType)
-                for c, v in set_values.items()
-            }
-            out = upd.select(*[
-                exprs.get(f.name, F.col(f.name)).alias(phys[f.name])
-                for f in data_fields
-            ])
-            rel_new = f"part-update-{version:010d}-{gi}.parquet"
-            from hadoop_sync_spark.io import write_single_parquet
 
-            write_single_parquet(
-                out, os.path.join(self.table_dir, rel_new),
-                "delta_update_",
-            )
-            adds.append(
-                self.add_action_for(
-                    rel_new, partitionValues=dict(pv_t)
-                )
-            )
+        adds = self._updated_copies(
+            spark, snap, phys, set_values, version, groups, select_pairs
+        )
         actions: list[dict] = [
             {"commitInfo": {"timestamp": now_ms, "operation": "UPDATE"}},
             {"protocol": _protocol_with_feature(
@@ -1900,12 +2209,14 @@ class DeltaLog:
         needs a target scan — but only of the KEY column (column-pruned,
         with the distinct source keys pushed as an IN filter, so
         row-group stats prune on the scan side), never the full rows.
-        Work is O(target-key-scan + source); the driver materializes
-        only the matched (file, position) pairs and the distinct source
-        keys, both under :data:`DELETE_WHERE_ROW_LIMIT`.  ``source``
-        must carry exactly the table's data columns; partitioned
-        tables refuse in this face (per-tuple source splitting);
-        unmapped and name-mode tables supported."""
+        Work is O(target-key-scan + source).  Either side outgrowing
+        :data:`DELETE_WHERE_ROW_LIMIT` switches to the EXECUTOR tier
+        (round 12): an over-cap key set semi-joins the scan instead of
+        materializing an IN list, and over-cap matches build their DV
+        bitmaps executor-side — the driver handles per-file descriptor
+        rows only.  ``source`` must carry exactly the table's data
+        columns; partitioned tables refuse in this face (per-tuple
+        source splitting); unmapped and name-mode tables supported."""
         snap = self.snapshot()
         schema = snap.schema()
         if schema is None:
@@ -1929,21 +2240,25 @@ class DeltaLog:
                 f"missing: {sorted(missing)})"
             )
         cap = self.DELETE_WHERE_ROW_LIMIT
-        keys = [
-            r[0] for r in source.select(
-                F.col(key_col).cast(schema[key_col].dataType)
-            ).distinct().limit(cap + 1).collect()
-        ]
+        keys_df = source.select(
+            F.col(key_col).cast(schema[key_col].dataType)
+        ).distinct()
+        keys = [r[0] for r in keys_df.limit(cap + 1).collect()]
         if not keys:
             return {"version": None, "files": 0, "rows_matched": 0,
                     "rows_inserted": 0}
-        if len(keys) > cap:
-            raise ValueError(
-                f"merge_upsert source carries over {cap} distinct "
-                "keys, the driver materialization cap — split the "
-                "source batch"
-            )
-        if any(k is None for k in keys):
+        over_cap_keys = len(keys) > cap
+        if over_cap_keys:
+            # EXECUTOR tier for the key set: never an IN list — the
+            # null check becomes an aggregate and the match a semi-join
+            if keys_df.where(
+                F.col(key_col).isNull()
+            ).limit(1).count():
+                raise ValueError(
+                    "merge_upsert source contains NULL keys — upsert "
+                    "keys must be non-null"
+                )
+        elif any(k is None for k in keys):
             # `=` does not match NULL in SQL MERGE (and Iceberg's
             # eqNullSafe WOULD) — a null-keyed upsert is ambiguous
             # across the format twins, so both refuse (round-11 review)
@@ -1953,12 +2268,16 @@ class DeltaLog:
             )
         version = self.latest_version() + 1
         per_file: dict[str, set[int]] = {}
+        frame = None
         if snap.files:
-            _, matched = self._matched_per_file(
+            _, per_file, frame = self._matched_per_file(
                 spark, snap, {}, "merge_upsert",
-                in_filter=(key_col, keys),
+                in_filter=(None if over_cap_keys
+                           else (key_col, keys)),
+                in_frame=((key_col, keys_df) if over_cap_keys
+                          else None),
             )
-            per_file = matched or {}
+            per_file = per_file or {}
         # the new file: full source batch under physical names
         out = source.select(*[
             F.col(n).cast(schema[n].dataType).alias(phys[n])
@@ -1974,6 +2293,17 @@ class DeltaLog:
             {"commitInfo": {"timestamp": now_ms, "operation": "MERGE"}},
         ]
         rows_matched = 0
+        n_dv_files = 0
+        if frame is not None:
+            # EXECUTOR tier for the matched positions (round 12)
+            dv_rows = self._dv_build_distributed(
+                snap, frame, version, storage, "merge_upsert"
+            )
+            rows_matched = sum(r.fresh for r in dv_rows)
+            n_dv_files = len(dv_rows)
+            actions.extend(
+                self._dv_actions_for(snap, dv_rows, version)
+            )
         for rel in sorted(per_file):
             prev = dict(snap.live[rel])
             existing: set[int] = set()
@@ -1985,6 +2315,7 @@ class DeltaLog:
             if not fresh:
                 continue
             rows_matched += len(fresh)
+            n_dv_files += 1
             prev["deletionVector"] = self._dv_descriptor(
                 rel, sorted(existing | per_file[rel]), version, storage
             )
@@ -2003,10 +2334,9 @@ class DeltaLog:
         self.commit(version, actions)
         import pyarrow.parquet as _pq
 
-        n_dv = (len(actions) - 2 - (1 if rows_matched else 0)) // 2
         return {
             "version": version,
-            "files": n_dv,
+            "files": n_dv_files,
             "rows_matched": rows_matched,
             "rows_inserted": _pq.read_metadata(
                 os.path.join(self.table_dir, rel_new)
@@ -2221,7 +2551,7 @@ class DeltaLog:
             # re-add) — the cap rule and message live HERE only
             nonlocal dv_budget
             dv_budget += n
-            if dv_budget > self.DELETE_WHERE_ROW_LIMIT:
+            if dv_budget > self.READ_CHANGES_ROW_LIMIT:
                 raise ValueError(
                     "read_changes DV diffs exceed the driver "
                     "materialization cap — narrow the version range"

@@ -1942,22 +1942,35 @@ class IcebergTable:
             delete_entries=self._live_delete_entries() + [entry],
         )
 
-    #: driver-side materialization cap for delete_rows' matched
-    #: (file, position) pairs — the write-side analogue of the read
-    #: path's delete-broadcast ceiling; executor-side position-file
-    #: writing is the scale path behind the same API
+    #: driver-tier materialization bound for the DML write faces'
+    #: matched (file, position) pairs and merge key sets — the
+    #: write-side analogue of the read path's delete-broadcast
+    #: ceiling.  At or under it, matches collect driver-side
+    #: (cheapest at fixture scale).  ABOVE it (round 12) delete_rows
+    #: and merge_upsert switch to the EXECUTOR tier — position/equality
+    #: delete parquets write straight from the distributed frames —
+    #: while update_rows (whose rewrite join still materializes
+    #: positions) keeps the honest refusal.
     DELETE_ROWS_LIMIT = 1_000_000
 
     def _matched_per_raw(self, spark, column_filter: dict, face: str):
         """Shared DML matcher (round-11 review: delete_rows and
         update_rows duplicated this): bounds-prune candidate files,
         scan ONLY the predicate columns with per-file row lineage, and
-        return ``(cand, part_cols, {raw_path: {positions}})`` —
-        ``per_raw`` is ``None`` when nothing matches.  Guards: empty /
-        unknown / partition predicate columns, renamed histories, and
-        the :data:`DELETE_ROWS_LIMIT` cap enforced THROUGH a
-        ``limit(cap+1)`` so the driver never materializes an oversized
-        match list."""
+        return ``(cand, part_cols, per_raw, frame)``:
+
+        - ``per_raw = {raw_path: {positions}}`` (``frame`` None) when
+          the matched set fits :data:`DELETE_ROWS_LIMIT` — the driver
+          tier;
+        - ``per_raw`` None with ``frame`` the distributed
+          ``(_fp, _pos)`` DataFrame when it does NOT — the EXECUTOR
+          tier (round 12), the caller writes position-delete files
+          straight from the frame;
+        - both None when nothing matches.
+
+        Guards: empty / unknown / partition predicate columns, renamed
+        histories; the cap check runs THROUGH a ``limit(cap+1)`` so
+        the driver never materializes an oversized match list."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -1984,7 +1997,7 @@ class IcebergTable:
                     "values never reach the data files"
                 )
         if not cand:
-            return cand, part_cols, None
+            return cand, part_cols, None, None
         full = self._spark_schema(sid, exclude=set(part_cols))
         pred_schema = T.StructType(
             [f for f in full.fields if f.name in column_filter]
@@ -2002,15 +2015,15 @@ class IcebergTable:
             if hi is not None:
                 scan = scan.filter(F.col(c) <= hi)
         cap = self.DELETE_ROWS_LIMIT
-        matched = scan.select("_fp", "_pos").limit(cap + 1).collect()
+        pairs = scan.select("_fp", "_pos")
+        matched = pairs.limit(cap + 1).collect()
         if not matched:
-            return cand, part_cols, None
+            return cand, part_cols, None, None
         if len(matched) > cap:
-            raise ValueError(
-                f"{face} matched over {cap} rows, the driver "
-                "materialization cap — write the position files "
-                "executor-side for deletes of this size"
-            )
+            # EXECUTOR tier (round 12): hand back the distributed frame
+            # — the caller writes the position-delete parquet straight
+            # from it instead of refusing (the round-11 behavior)
+            return cand, part_cols, None, pairs
         raw_of = {_norm_path(f.path): f.raw_path for f in cand}
         per_raw: dict[str, set[int]] = {}
         for r in matched:
@@ -2021,7 +2034,121 @@ class IcebergTable:
                     f"(URI normalization mismatch): {r._fp}"
                 )
             per_raw.setdefault(raw, set()).add(r._pos)
-        return cand, part_cols, per_raw
+        return cand, part_cols, per_raw, None
+
+    #: target rows per position-delete parquet on the executor tier —
+    #: bounds individual delete-file size (and the read side's per-file
+    #: decode) without any driver materialization
+    POS_DELETE_FILE_ROWS = 2_000_000
+
+    def _add_position_deletes_distributed(
+        self, spark, cand, frame, now_ms: int
+    ) -> int:
+        """EXECUTOR tier of :meth:`delete_rows` (round 12 — the scale
+        path the round-11 cap refusal named): the matched ``(_fp,
+        _pos)`` frame maps back to manifest ``file_path`` strings via a
+        broadcast of the candidate-file list (metadata scale), range-
+        partitions on (file_path, pos) and writes the position-delete
+        parquet(s) DIRECTLY from the executors — globally sorted per
+        the spec's delete-file sort order, ~\
+        :data:`POS_DELETE_FILE_ROWS` rows each, committed as one
+        snapshot with one delete-manifest entry per file.  The driver
+        materializes nothing but file metadata; a purge matching 100M
+        rows is a distributed sort-write, not a refusal."""
+        import glob as _glob
+        import math as _math
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        meta = self.metadata()
+        seq = meta["last-sequence-number"] + 1
+        raw_map = spark.createDataFrame(
+            [(_norm_path(f.path), f.raw_path) for f in cand],
+            ["_np", "file_path"],
+        )
+        decoded = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_fp"), "^file:(//)?", ""),
+                r"\+",
+                "%2B",
+            )
+        )
+        out = (
+            frame.withColumn("_np", decoded)
+            .join(F.broadcast(raw_map), "_np", "left")
+            .select(
+                "file_path", F.col("_pos").cast("long").alias("pos")
+            )
+            .persist()
+        )
+        try:
+            # an inner join would silently DROP unmapped rows — the
+            # driver tier raises on a normalization mismatch, so must we
+            if out.where(F.col("file_path").isNull()).first():
+                raise ValueError(
+                    "scanned file missing from the snapshot map "
+                    "(URI normalization mismatch) in the executor-tier "
+                    "position-delete write"
+                )
+            n = out.count()
+            nparts = max(
+                1, _math.ceil(n / self.POS_DELETE_FILE_ROWS)
+            )
+            staging = _tempfile.mkdtemp(prefix="iceberg_posdel_")
+            try:
+                (
+                    out.repartitionByRange(nparts, "file_path", "pos")
+                    .sortWithinPartitions("file_path", "pos")
+                    .write.mode("overwrite")
+                    .parquet(staging)
+                )
+                spec_fields = self._spec_fields(meta, 0)
+                entries = []
+                for i, pf in enumerate(
+                    sorted(
+                        _glob.glob(
+                            os.path.join(staging, "part-*.parquet")
+                        )
+                    )
+                ):
+                    rows = pq.read_metadata(pf).num_rows
+                    if rows == 0:
+                        continue
+                    rel = f"data/delete-pos-{seq}-{i}.parquet"
+                    os.replace(pf, os.path.join(self.dir, rel))
+                    entries.append({
+                        "status": _STATUS_ADDED,
+                        "snapshot_id": None,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": _CONTENT_POS_DELETES,
+                            "file_path": rel,
+                            "file_format": "PARQUET",
+                            "partition": {
+                                f["name"]: None for f in spec_fields
+                            },
+                            "record_count": rows,
+                            "file_size_in_bytes": os.path.getsize(
+                                os.path.join(self.dir, rel)
+                            ),
+                            "equality_ids": None,
+                        },
+                    })
+            finally:
+                _shutil.rmtree(staging, ignore_errors=True)
+            self._commit_snapshot(
+                self._live_entries(),
+                "delete",
+                now_ms,
+                delete_entries=self._live_delete_entries() + entries,
+            )
+            return n
+        finally:
+            out.unpersist()
 
     def delete_rows(self, spark, column_filter: dict,
                     now_ms: int = 0) -> int:
@@ -2041,12 +2168,19 @@ class IcebergTable:
         predicate commits nothing and returns 0.  Renamed schema
         histories refuse (the predicate scan pins current names;
         compact first).  Matches above :data:`DELETE_ROWS_LIMIT`
-        refuse loudly rather than balloon the driver."""
-        _, _, per_raw = self._matched_per_raw(
+        switch to the EXECUTOR tier (round 12): the position-delete
+        parquets write straight from the distributed matched frame
+        (:meth:`_add_position_deletes_distributed`) — no driver
+        materialization at any match size."""
+        cand, _, per_raw, frame = self._matched_per_raw(
             spark, column_filter, "delete_rows"
         )
-        if per_raw is None:
+        if per_raw is None and frame is None:
             return 0
+        if frame is not None:
+            return self._add_position_deletes_distributed(
+                spark, cand, frame, now_ms
+            )
         pairs = sorted(
             (raw, p) for raw, poss in per_raw.items() for p in poss
         )
@@ -2120,11 +2254,20 @@ class IcebergTable:
                 "be stamped under the default spec while sourced from "
                 "another — use delete_rows + append to move those rows"
             )
-        cand, part_cols, per_raw = self._matched_per_raw(
+        cand, part_cols, per_raw, frame = self._matched_per_raw(
             spark, column_filter, "update_rows"
         )
-        if per_raw is None:
+        if per_raw is None and frame is None:
             return 0
+        if frame is not None:
+            # delete_rows and the Delta twin lifted their caps in round
+            # 12; this face still materializes matched positions for
+            # the rewrite-copy join — honest refusal, same text as r11
+            raise ValueError(
+                f"update_rows matched over {self.DELETE_ROWS_LIMIT} "
+                "rows, the driver materialization cap — use "
+                "delete_rows + append for rewrites of this size"
+            )
         cand_by_raw = {f.raw_path: f for f in cand}
         #: rows existing POSITION deletes already hide, per raw path —
         #: SEQUENCE-AWARE (round-11 review): a delete applies to a data
@@ -2320,8 +2463,10 @@ class IcebergTable:
         ``source`` is a DataFrame carrying exactly the table's data
         columns (extra columns refuse; missing ones null-fill is NOT
         assumed — refuse, an upsert that silently nulls columns is a
-        data bug).  Distinct source keys materialize driver-side for
-        the delete file and obey :data:`DELETE_ROWS_LIMIT`.
+        data bug).  Distinct source keys under
+        :data:`DELETE_ROWS_LIMIT` materialize driver-side for the
+        delete file; above it the EXECUTOR tier (round 12) writes the
+        sorted delete parquet straight from the distributed frame.
         Partitioned tables refuse in this round's face (the source
         would need per-tuple splitting); renamed histories are fine —
         equality deletes resolve by field id on the read side."""
@@ -2370,20 +2515,25 @@ class IcebergTable:
         # exactly what the data file stores (r11 review)
         from pyspark.sql import functions as _F
 
-        keys = [
-            r[0] for r in source.select(
-                _F.col(key_col).cast(full[key_col].dataType)
-            ).distinct().limit(cap + 1).collect()
-        ]
+        keys_df = source.select(
+            _F.col(key_col).cast(full[key_col].dataType)
+        ).distinct()
+        keys = [r[0] for r in keys_df.limit(cap + 1).collect()]
         if not keys:
             return {"snapshot_id": None, "rows": 0, "keys": 0}
-        if len(keys) > cap:
-            raise ValueError(
-                f"merge_upsert source carries over {cap} distinct "
-                "keys, the driver materialization cap — split the "
-                "source batch"
-            )
-        if any(k is None for k in keys):
+        over_cap_keys = len(keys) > cap
+        if over_cap_keys:
+            # EXECUTOR tier (round 12): the key set never materializes
+            # — the null check becomes an aggregate and the delete
+            # parquet writes from the distributed frame below
+            if keys_df.where(
+                _F.col(key_col).isNull()
+            ).limit(1).count():
+                raise ValueError(
+                    "merge_upsert source contains NULL keys — upsert "
+                    "keys must be non-null"
+                )
+        elif any(k is None for k in keys):
             # keep the format twins consistent: Delta's `=` match can
             # never hit NULL while our equality read is null-safe — a
             # null-keyed upsert is ambiguous, both faces refuse
@@ -2427,11 +2577,42 @@ class IcebergTable:
                 ] or None,
             },
         }
-        del_entry = self._equality_delete_entry(
-            [{key_col: k}
-             for k in sorted(keys)],
-            [key_fid],
-        )
+        if over_cap_keys:
+            # the delete parquet writes straight from the distributed
+            # distinct-keys frame, sorted — the driver sees only the
+            # footer metadata for the manifest entry
+            seq_d = meta["last-sequence-number"] + 1
+            del_rel = f"data/delete-eq-{seq_d}.parquet"
+            del_path = os.path.join(self.dir, del_rel)
+            write_single_parquet(
+                keys_df.sort(key_col), del_path, "iceberg_eqdel_"
+            )
+            n_keys = _pq.read_metadata(del_path).num_rows
+            spec_fields = self._spec_fields(meta, 0)
+            del_entry = {
+                "status": _STATUS_ADDED,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": _CONTENT_EQ_DELETES,
+                    "file_path": del_rel,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        f["name"]: None for f in spec_fields
+                    },
+                    "record_count": n_keys,
+                    "file_size_in_bytes": os.path.getsize(del_path),
+                    "equality_ids": [key_fid],
+                },
+            }
+        else:
+            n_keys = len(keys)
+            del_entry = self._equality_delete_entry(
+                [{key_col: k}
+                 for k in sorted(keys)],
+                [key_fid],
+            )
         snap_id = self._commit_snapshot(
             self._live_entries() + [data_entry],
             "overwrite",
@@ -2439,7 +2620,7 @@ class IcebergTable:
             delete_entries=self._live_delete_entries() + [del_entry],
         )
         return {"snapshot_id": snap_id, "rows": n_rows,
-                "keys": len(keys)}
+                "keys": n_keys}
 
     def incremental_scan(
         self,

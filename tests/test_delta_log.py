@@ -1598,10 +1598,22 @@ def test_delete_where_writes_dvs_one_commit(spark, tmp_path):
     # guards
     with pytest.raises(ValueError, match="no such column"):
         log.delete_where(spark, {"nope": (1, 2)})
+    # over the driver cap -> the EXECUTOR tier (round 12) commits the
+    # same delete instead of refusing: bitmaps union with the existing
+    # DVs and write from workers, the driver sees per-file rows only
     log.DELETE_WHERE_ROW_LIMIT = 0
     try:
-        with pytest.raises(ValueError, match="materialization cap"):
-            log.delete_where(spark, {"k": (5, 5)})
+        res4 = log.delete_where(spark, {"k": (5, 5)}, now_ms=4000)
+        assert res4["rows_deleted"] == 1 and res4["files"] == 1
+        assert [r.k for r in log.read(spark).collect()] == []
+        # every match already deleted -> still a no-op on this tier
+        v = log.latest_version()
+        res5 = log.delete_where(spark, {"k": (1, 5)}, now_ms=5000)
+        assert res5 == {"version": None, "files": 0, "rows_deleted": 0}
+        assert log.latest_version() == v
+        # inline storage cannot hold an over-cap vector: honest refusal
+        with pytest.raises(NotImplementedError, match="file-backed"):
+            log.delete_where(spark, {"k": (None, None)}, storage="i")
     finally:
         del log.DELETE_WHERE_ROW_LIMIT
 
@@ -2090,6 +2102,87 @@ def test_merge_upsert_all_new_keys_no_protocol_upgrade(spark, tmp_path):
     nulls = spark.createDataFrame([(None, 1)], "k long, v long")
     with pytest.raises(ValueError, match="NULL keys"):
         log.merge_upsert(spark, nulls, "k")
+
+
+def test_update_where_executor_tier_over_cap(spark, tmp_path):
+    """update_where above the driver cap takes the round-12 EXECUTOR
+    tier end-to-end: existing-DV rows stay dead (anti-join, not driver
+    sets), bitmaps write from workers, updated copies land one file
+    per partition tuple, simultaneous-SET semantics hold, ONE commit."""
+    from pyspark.sql import functions as F
+
+    d, log = _mk_table(tmp_path, "updw_exec")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    _write_file(d, "b.parquet", {"k": [4], "v": [40]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta_partitioned(),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "1"})])
+    # existing DV on k=2: the over-cap update must not resurrect it
+    log.delete_where(spark, {"k": (2, 2)}, now_ms=500)
+    log.DELETE_WHERE_ROW_LIMIT = 0
+    try:
+        res = log.update_where(
+            spark, {"k": (2, 4)},
+            {"v": F.col("k") + 1000, "k": 99}, now_ms=1000)
+        assert res["rows_updated"] == 2      # k=3, k=4; k=2 was dead
+        assert res["files"] == 2 and res["new_files"] == 2
+        assert res["version"] == log.latest_version()  # ONE commit
+        got = {(r.k, r.v, r.p) for r in log.read(spark).collect()}
+        assert got == {(1, 10, 0), (99, 1003, 0), (99, 1004, 1)}
+        # no-match predicate is still a no-op on this tier
+        v = log.latest_version()
+        assert log.update_where(spark, {"k": (777, 778)}, {"v": 0}) == {
+            "version": None, "files": 0, "new_files": 0,
+            "rows_updated": 0}
+        assert log.latest_version() == v
+    finally:
+        del log.DELETE_WHERE_ROW_LIMIT
+
+
+def test_merge_upsert_executor_tier_over_cap(spark, tmp_path):
+    """merge_upsert above the driver cap: the key set semi-joins the
+    target scan (no IN list), matched rows DV out via the executor
+    builder, NULL keys still refuse (aggregate check), and the
+    protocol upgrade still rides only DV-writing commits."""
+    d, log = _mk_table(tmp_path, "mrg_exec")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.DELETE_WHERE_ROW_LIMIT = 0
+    try:
+        src = spark.createDataFrame([(2, 200), (9, 900)], ["k", "v"])
+        res = log.merge_upsert(spark, src, "k", now_ms=1000)
+        assert res["rows_matched"] == 1 and res["rows_inserted"] == 2
+        assert res["files"] == 1
+        assert res["version"] == 1 == log.latest_version()
+        got = {(r.k, r.v) for r in log.read(spark).collect()}
+        assert got == {(1, 10), (2, 200), (3, 30), (9, 900)}
+        # second upsert touches the row living in the upsert file
+        src2 = spark.createDataFrame([(9, 901)], ["k", "v"])
+        log.merge_upsert(spark, src2, "k", now_ms=2000)
+        got = {(r.k, r.v) for r in log.read(spark).collect()}
+        assert got == {(1, 10), (2, 200), (3, 30), (9, 901)}
+        nulls = spark.createDataFrame([(None, 1)], "k long, v long")
+        with pytest.raises(ValueError, match="NULL keys"):
+            log.merge_upsert(spark, nulls, "k")
+        # all-new-keys over-cap merge writes no DV: no protocol upgrade
+        d2, log2 = _mk_table(tmp_path, "mrg_exec_np")
+        _write_file(d2, "a.parquet", {"k": [1], "v": [10]})
+        log2.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                        log2.add_action_for("a.parquet")])
+        log2.DELETE_WHERE_ROW_LIMIT = 0
+        try:
+            src3 = spark.createDataFrame([(7, 70)], ["k", "v"])
+            res3 = log2.merge_upsert(spark, src3, "k", now_ms=1000)
+            assert res3["rows_matched"] == 0
+            assert log2.snapshot().protocol == {"minReaderVersion": 1}
+        finally:
+            del log2.DELETE_WHERE_ROW_LIMIT
+    finally:
+        del log.DELETE_WHERE_ROW_LIMIT
 
 
 def test_checkpoint_seeded_protocol_drops_parquet_nulls(spark, tmp_path):

@@ -482,10 +482,16 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
 def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
                   mapped: bool, with_ddl: bool = True,
                   partitioned: bool = False,
-                  with_rollback: bool = False):
+                  with_rollback: bool = False,
+                  drop_ops: tuple = ()):
     rng = random.Random(seed)
     ops = _gen_sequence(rng, n_ops, with_ddl, partitioned,
                         with_rollback)
+    if drop_ops:
+        # dropping whole ops preserves sequence legality (nothing
+        # becomes illegal by NOT updating/merging) — used by the
+        # executor-tier variants whose refusal contracts exclude an op
+        ops = [op for op in ops if op["op"] not in drop_ops]
     delta = DeltaHarness(spark, str(tmp_path / f"d{seed}"), mapped,
                          partitioned)
     ice = IcebergHarness(spark, str(tmp_path / f"i{seed}"),
@@ -697,6 +703,33 @@ def test_dml_sequence_rollback_partitioned_mapped(spark, tmp_path,
                         mapped=True, partitioned=True,
                         with_rollback=True)
     assert res["rollbacks"] >= 1
+
+
+@pytest.mark.parametrize("seed", [1201, 1217])
+def test_dml_sequence_delta_executor_tier(spark, tmp_path, seed,
+                                          monkeypatch):
+    # round 12: force EVERY Delta delete/update/merge through the
+    # over-cap EXECUTOR tier (cap 0 — bitmaps union/serialize/write on
+    # workers, updated copies join the distributed matched frame, merge
+    # keys semi-join) while Iceberg stays on its driver tier; every
+    # step must still read back the shared model on BOTH twins, so the
+    # two tiers are proven equivalent on the same op sequence
+    monkeypatch.setattr(DeltaLog, "DELETE_WHERE_ROW_LIMIT", 0)
+    _run_sequence(spark, tmp_path, seed, n_ops=9, mapped=False)
+
+
+@pytest.mark.parametrize("seed", [1303])
+def test_dml_sequence_iceberg_executor_tier(spark, tmp_path, seed,
+                                            monkeypatch):
+    # the Iceberg twin's executor tier: cap 0 routes delete_rows
+    # through the distributed position-delete write and merge_upsert
+    # through the distributed equality-delete write.  update_rows
+    # keeps its documented cap refusal, so updates are dropped from
+    # the op mix (legality-preserving).
+    monkeypatch.setattr(IcebergTable, "DELETE_ROWS_LIMIT", 0)
+    monkeypatch.setattr(DeltaLog, "DELETE_WHERE_ROW_LIMIT", 0)
+    _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False,
+                  drop_ops=("update",))
 
 
 def test_dml_sequence_with_maintenance(spark, tmp_path):

@@ -1681,10 +1681,24 @@ def test_delete_rows_predicate_position_deletes(spark, tmp_path):
     # guards
     with pytest.raises(ValueError, match="no such column"):
         t.delete_rows(spark, {"nope": (1, 2)})
+    # over the driver cap -> the EXECUTOR tier (round 12) writes the
+    # position-delete parquet straight from the distributed frame
     t.DELETE_ROWS_LIMIT = 0
     try:
+        assert t.delete_rows(spark, {"id": (5, 5)}, now_ms=7500) == 1
+        assert sorted(r.id for r in t.read(spark).collect()) == [2]
+        # spec sort order holds inside the executor-written file
+        import pyarrow.parquet as _epq
+        dels = [d for d in t.delete_files()
+                if "delete-pos-" in d.raw_path and "-0" in
+                os.path.basename(d.raw_path)]
+        tb = _epq.read_table(dels[-1].path)
+        got_pairs = list(zip(tb["file_path"].to_pylist(),
+                             tb["pos"].to_pylist()))
+        assert got_pairs == sorted(got_pairs)
+        # update_rows keeps its cap: honest refusal names the path out
         with pytest.raises(ValueError, match="materialization cap"):
-            t.delete_rows(spark, {"id": (5, 5)})
+            t.update_rows(spark, {"id": (2, 2)}, {"val": "x"})
     finally:
         del t.DELETE_ROWS_LIMIT
     # renamed histories refuse
