@@ -2214,23 +2214,43 @@ class DeltaLog:
         (round 12): an over-cap key set semi-joins the scan instead of
         materializing an IN list, and over-cap matches build their DV
         bitmaps executor-side — the driver handles per-file descriptor
-        rows only.  ``source`` must carry exactly the table's data
-        columns; partitioned tables refuse in this face (per-tuple
-        source splitting); unmapped and name-mode tables supported."""
+        rows only.  ``source`` must carry exactly the table's logical
+        columns (INCLUDING partition columns — on a partitioned table
+        the source rows decide their own tuples); unmapped and
+        name-mode tables supported.  Partitioned tables (round 12)
+        split the source per partition tuple and land one upsert file
+        per tuple IN THE SAME single commit — the upsert key may not be
+        a partition column (its values never reach the data files, so
+        the key scan could not match), and partition column types are
+        limited to the string-round-trippable scalars
+        (long/int/string/boolean, the types the read path's
+        ``CAST(partitionValue AS type)`` inverts exactly)."""
         snap = self.snapshot()
         schema = snap.schema()
         if schema is None:
             raise ValueError("no metaData action in the log")
-        if snap.partition_columns:
-            raise NotImplementedError(
-                "merge_upsert on a partitioned table: the source needs "
-                "per-partition-tuple splitting — unpartitioned tables "
-                "only in this face"
-            )
+        part_cols = list(snap.partition_columns)
         phys = self._resolve_physical(snap, "merge_upsert")
         names = [f.name for f in schema.fields]
         if key_col not in names:
             raise ValueError(f"no such column {key_col!r}")
+        if key_col in part_cols:
+            raise NotImplementedError(
+                f"merge_upsert key on partition column {key_col!r}: "
+                "partition values never reach the data files, so the "
+                "key scan cannot match them — key on a data column"
+            )
+        _PART_OK = {T.LongType(), T.IntegerType(), T.StringType(),
+                    T.BooleanType()}
+        for c in part_cols:
+            if schema[c].dataType not in _PART_OK:
+                raise NotImplementedError(
+                    f"merge_upsert on a table partitioned by "
+                    f"{schema[c].dataType.simpleString()} column "
+                    f"{c!r}: only long/int/string/boolean partition "
+                    "values round-trip the protocol's string encoding "
+                    "exactly"
+                )
         extra = set(source.columns) - set(names)
         missing = set(names) - set(source.columns)
         if extra or missing:
@@ -2278,17 +2298,70 @@ class DeltaLog:
                           else None),
             )
             per_file = per_file or {}
-        # the new file: full source batch under physical names
-        out = source.select(*[
-            F.col(n).cast(schema[n].dataType).alias(phys[n])
-            for n in names
-        ])
-        rel_new = f"part-upsert-{version:010d}.parquet"
+        # the new file(s): full source batch under physical names —
+        # one file per affected partition tuple on a partitioned table
+        # (tuples are metadata scale: they become one add action each
+        # in this same commit regardless), a single file otherwise
         from hadoop_sync_spark.io import write_single_parquet
 
-        write_single_parquet(
-            out, os.path.join(self.table_dir, rel_new), "delta_upsert_"
-        )
+        cast_src = source.select(*[
+            F.col(n).cast(schema[n].dataType) for n in names
+        ])
+        data_names = [n for n in names if n not in part_cols]
+
+        def _pv_str(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        new_adds: list[dict] = []
+        rows_inserted = 0
+        import pyarrow.parquet as _pq
+
+        if part_cols:
+            tuples = cast_src.select(*part_cols).distinct().collect()
+            for gi, t in enumerate(sorted(
+                tuples, key=lambda r: tuple(
+                    (v is None, v) for v in r
+                )
+            )):
+                cond = None
+                for c in part_cols:
+                    term = F.col(c).eqNullSafe(F.lit(t[c]))
+                    cond = term if cond is None else cond & term
+                out = cast_src.where(cond).select(*[
+                    F.col(n).alias(phys[n]) for n in data_names
+                ])
+                rel_new = f"part-upsert-{version:010d}-{gi}.parquet"
+                write_single_parquet(
+                    out, os.path.join(self.table_dir, rel_new),
+                    "delta_upsert_",
+                )
+                rows_inserted += _pq.read_metadata(
+                    os.path.join(self.table_dir, rel_new)
+                ).num_rows
+                new_adds.append(self.add_action_for(
+                    rel_new,
+                    partitionValues={
+                        phys.get(c, c): _pv_str(t[c])
+                        for c in part_cols
+                    },
+                ))
+        else:
+            out = cast_src.select(*[
+                F.col(n).alias(phys[n]) for n in names
+            ])
+            rel_new = f"part-upsert-{version:010d}.parquet"
+            write_single_parquet(
+                out, os.path.join(self.table_dir, rel_new),
+                "delta_upsert_",
+            )
+            rows_inserted = _pq.read_metadata(
+                os.path.join(self.table_dir, rel_new)
+            ).num_rows
+            new_adds.append(self.add_action_for(rel_new))
         actions: list[dict] = [
             {"commitInfo": {"timestamp": now_ms, "operation": "MERGE"}},
         ]
@@ -2330,17 +2403,13 @@ class DeltaLog:
                 or {"minReaderVersion": 1, "minWriterVersion": 2},
                 "deletionVectors",
             )})
-        actions.append(self.add_action_for(rel_new))
+        actions.extend(new_adds)
         self.commit(version, actions)
-        import pyarrow.parquet as _pq
-
         return {
             "version": version,
             "files": n_dv_files,
             "rows_matched": rows_matched,
-            "rows_inserted": _pq.read_metadata(
-                os.path.join(self.table_dir, rel_new)
-            ).num_rows,
+            "rows_inserted": rows_inserted,
         }
 
     def version_at(self, timestamp_ms: int) -> int:

@@ -2467,25 +2467,49 @@ class IcebergTable:
         :data:`DELETE_ROWS_LIMIT` materialize driver-side for the
         delete file; above it the EXECUTOR tier (round 12) writes the
         sorted delete parquet straight from the distributed frame.
-        Partitioned tables refuse in this round's face (the source
-        would need per-tuple splitting); renamed histories are fine —
-        equality deletes resolve by field id on the read side."""
+        Partitioned tables (round 12) are supported when the DEFAULT
+        spec is all-identity: the source splits per partition tuple
+        and lands one data file per tuple in the same snapshot, each
+        stamped with its tuple and footer bounds; the equality delete
+        stays table-wide (all-null tuple) so old rows hide across every
+        partition, exactly the Flink-CDC shape.  Non-identity default
+        transforms refuse (the writer would have to re-derive
+        bucket/truncate values); renamed histories are fine — equality
+        deletes resolve by field id on the read side."""
         from pyspark.sql import functions as F
 
         meta = self.metadata()
         sid = meta.get("current-schema-id", 0)
         schema_fields = self._schema_by_id(sid)["fields"]
         names = [f["name"] for f in schema_fields]
+        by_id = {f["id"]: f["name"] for f in schema_fields}
         if key_col not in names:
             raise ValueError(f"no such column {key_col!r}")
-        if meta.get("partition-specs") and any(
-            spec.get("fields")
-            for spec in meta.get("partition-specs", [])
-        ):
+        default_spec = self._spec_fields(
+            meta, meta.get("default-spec-id", 0)
+        )
+        part_cols: list[str] = []
+        for pf in default_spec:
+            if pf.get("transform", "identity") != "identity":
+                raise NotImplementedError(
+                    "merge_upsert on a table whose default spec "
+                    f"carries transform {pf['transform']!r}: only "
+                    "identity partitioning splits the source without "
+                    "re-deriving transform values"
+                )
+            src = by_id.get(pf.get("source-id"))
+            if src is None:
+                raise ValueError(
+                    f"partition field {pf['name']!r} sources unknown "
+                    f"schema field id {pf.get('source-id')}"
+                )
+            part_cols.append(src)
+        if key_col in part_cols:
             raise NotImplementedError(
-                "merge_upsert on a partitioned table: the source needs "
-                "per-partition-tuple splitting — unpartitioned tables "
-                "only in this face"
+                f"merge_upsert key on partition(-source) column "
+                f"{key_col!r}: identity partition values are attached "
+                "from the manifests, not stored in the data files — "
+                "key on a data column"
             )
         extra = set(source.columns) - set(names)
         missing = set(names) - set(source.columns)
@@ -2541,42 +2565,80 @@ class IcebergTable:
                 "merge_upsert source contains NULL keys — upsert keys "
                 "must be non-null"
             )
-        out = source.select(*[
+        cast_src = source.select(*[
             F.col(n).cast(full[n].dataType) for n in names
         ])
         seq = meta["last-sequence-number"] + 1
-        rel_new = f"data/part-upsert-{seq}.parquet"
-        dest = os.path.join(self.dir, rel_new)
         from hadoop_sync_spark.io import write_single_parquet
 
-        write_single_parquet(out, dest, "iceberg_upsert_")
-        lb, ub = parquet_column_bounds(dest, schema_fields)
         import pyarrow.parquet as _pq
 
-        n_rows = _pq.read_metadata(dest).num_rows
-        data_entry = {
-            "status": _STATUS_ADDED,
-            "snapshot_id": None,
-            "sequence_number": None,
-            "file_sequence_number": None,
-            "data_file": {
-                "content": _CONTENT_DATA,
-                "file_path": rel_new,
-                "file_format": "PARQUET",
-                "partition": {},
-                "record_count": n_rows,
-                "file_size_in_bytes": os.path.getsize(dest),
-                "equality_ids": None,
-                "lower_bounds": [
-                    {"key": k, "value": v}
-                    for k, v in sorted(lb.items())
-                ] or None,
-                "upper_bounds": [
-                    {"key": k, "value": v}
-                    for k, v in sorted(ub.items())
-                ] or None,
-            },
+        #: source-column name -> the spec FIELD name it stamps (identity
+        #: fields usually share the source name, but not necessarily)
+        field_of = {
+            by_id[pf["source-id"]]: pf["name"] for pf in default_spec
         }
+        data_names = [n for n in names if n not in part_cols]
+        data_schema_fields = [
+            f for f in schema_fields if f["name"] not in part_cols
+        ]
+
+        def _data_entry(rel, pv, rows, dest):
+            lb, ub = parquet_column_bounds(dest, data_schema_fields)
+            return {
+                "status": _STATUS_ADDED,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": _CONTENT_DATA,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": pv,
+                    "record_count": rows,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "equality_ids": None,
+                    "lower_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(lb.items())
+                    ] or None,
+                    "upper_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(ub.items())
+                    ] or None,
+                },
+            }
+
+        data_entries: list[dict] = []
+        n_rows = 0
+        if part_cols:
+            tuples = cast_src.select(*part_cols).distinct().collect()
+            for gi, t in enumerate(sorted(
+                tuples,
+                key=lambda r: tuple((v is None, v) for v in r),
+            )):
+                cond = None
+                for c in part_cols:
+                    term = F.col(c).eqNullSafe(F.lit(t[c]))
+                    cond = term if cond is None else cond & term
+                out = cast_src.where(cond).select(*data_names)
+                rel_new = f"data/part-upsert-{seq}-{gi}.parquet"
+                dest = os.path.join(self.dir, rel_new)
+                write_single_parquet(out, dest, "iceberg_upsert_")
+                rows = _pq.read_metadata(dest).num_rows
+                n_rows += rows
+                data_entries.append(_data_entry(
+                    rel_new,
+                    {field_of[c]: t[c] for c in part_cols},
+                    rows,
+                    dest,
+                ))
+        else:
+            rel_new = f"data/part-upsert-{seq}.parquet"
+            dest = os.path.join(self.dir, rel_new)
+            write_single_parquet(cast_src, dest, "iceberg_upsert_")
+            n_rows = _pq.read_metadata(dest).num_rows
+            data_entries.append(_data_entry(rel_new, {}, n_rows, dest))
         if over_cap_keys:
             # the delete parquet writes straight from the distributed
             # distinct-keys frame, sorted — the driver sees only the
@@ -2614,7 +2676,7 @@ class IcebergTable:
                 [key_fid],
             )
         snap_id = self._commit_snapshot(
-            self._live_entries() + [data_entry],
+            self._live_entries() + data_entries,
             "overwrite",
             now_ms,
             delete_entries=self._live_delete_entries() + [del_entry],

@@ -2082,6 +2082,59 @@ def test_read_changes_partitioned_valueless_remove(spark, tmp_path):
     assert rows == {(1, 7, "delete", 1)}
 
 
+def test_merge_upsert_partitioned(spark, tmp_path):
+    """Partitioned Delta merge (round 12): the source (which carries
+    the partition columns as logical columns) splits per tuple — one
+    upsert file per tuple, partitionValues stamped with the protocol's
+    string encoding, ONE commit; matched rows DV out of their old
+    files regardless of partition."""
+    d, log = _mk_table(tmp_path, "mrg_part")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    _write_file(d, "b.parquet", {"k": [3], "v": [30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta_partitioned(),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "1"})])
+    src = spark.createDataFrame(
+        [(2, 200, 0), (7, 700, 1), (8, 800, 2)], ["k", "v", "p"])
+    res = log.merge_upsert(spark, src, "k", now_ms=1000)
+    assert res["rows_matched"] == 1 and res["rows_inserted"] == 3
+    assert res["version"] == 1 == log.latest_version()  # ONE commit
+    got = {(r.k, r.v, r.p) for r in log.read(spark).collect()}
+    assert got == {(1, 10, 0), (2, 200, 0), (3, 30, 1),
+                   (7, 700, 1), (8, 800, 2)}
+    # one upsert file per tuple with string-encoded partitionValues
+    ups = {rel: a for rel, a in log.snapshot().live.items()
+           if rel.startswith("part-upsert-")}
+    assert sorted(a["partitionValues"]["p"]
+                  for a in ups.values()) == ["0", "1", "2"]
+    # partition-pruned read sees the new tuple
+    one = log.read(spark).where("p = 2").collect()
+    assert [(r.k, r.v) for r in one] == [(8, 800)]
+    # merge over its own output
+    src2 = spark.createDataFrame([(8, 801, 2)], ["k", "v", "p"])
+    log.merge_upsert(spark, src2, "k", now_ms=2000)
+    assert (8, 801, 2) in {(r.k, r.v, r.p)
+                           for r in log.read(spark).collect()}
+    # key on a partition column refuses
+    with pytest.raises(NotImplementedError, match="partition column"):
+        log.merge_upsert(spark, src, "p")
+    # executor tier composes with the partitioned split
+    log.DELETE_WHERE_ROW_LIMIT = 0
+    try:
+        src3 = spark.createDataFrame([(7, 701, 1), (9, 900, 0)],
+                                     ["k", "v", "p"])
+        res3 = log.merge_upsert(spark, src3, "k", now_ms=3000)
+        assert res3["rows_matched"] == 1 and res3["rows_inserted"] == 2
+        got = {(r.k, r.v, r.p) for r in log.read(spark).collect()}
+        assert (7, 701, 1) in got and (9, 900, 0) in got
+        assert (7, 700, 1) not in got
+    finally:
+        del log.DELETE_WHERE_ROW_LIMIT
+
+
 def test_merge_upsert_all_new_keys_no_protocol_upgrade(spark, tmp_path):
     """An all-new-keys merge writes no DV and must NOT upgrade the
     protocol — older engines keep reading the table after a pure

@@ -383,13 +383,17 @@ def _model_merge(model, batch):
 
 def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
                   partitioned: bool = False,
-                  with_rollback: bool = False):
+                  with_rollback: bool = False,
+                  partitioned_merge: bool = False):
     """A legal op sequence over a growing column list.  Updates stop
     after the first merge (Iceberg's live-equality-delete refusal);
     at most two columns are added; appends and merge sources carry
     non-null values for every current column.  Partitioned sequences
-    emit no merges (both formats refuse) and never put ``p`` in a
-    predicate or SET (both formats guard partition columns).
+    emit no merges unless ``partitioned_merge`` (round 12 lifted both
+    formats' partitioned-merge refusal; the flag rather than the base
+    layout keeps the CI-pinned partitioned seeds' sequences intact)
+    and never put ``p`` in a predicate or SET (both formats guard
+    partition columns).
 
     ``with_rollback`` adds a restore/rollback op drawn from its OWN
     probability slot (the base layout is untouched so the CI-pinned
@@ -442,7 +446,7 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
             ops.append({"op": "update", "col": col, "lo": lo, "hi": hi,
                         "set_col": set_col, "kind": kind, "val": val,
                         "cols": list(cols)})
-        elif roll < 0.77 and not partitioned:
+        elif roll < 0.77 and (not partitioned or partitioned_merge):
             n = rng.randint(1, 5)
             ks = rng.sample(range(K_MAX), n)
             batch = [
@@ -483,10 +487,11 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
                   mapped: bool, with_ddl: bool = True,
                   partitioned: bool = False,
                   with_rollback: bool = False,
-                  drop_ops: tuple = ()):
+                  drop_ops: tuple = (),
+                  partitioned_merge: bool = False):
     rng = random.Random(seed)
     ops = _gen_sequence(rng, n_ops, with_ddl, partitioned,
-                        with_rollback)
+                        with_rollback, partitioned_merge)
     if drop_ops:
         # dropping whole ops preserves sequence legality (nothing
         # becomes illegal by NOT updating/merging) — used by the
@@ -703,6 +708,19 @@ def test_dml_sequence_rollback_partitioned_mapped(spark, tmp_path,
                         mapped=True, partitioned=True,
                         with_rollback=True)
     assert res["rollbacks"] >= 1
+
+
+@pytest.mark.parametrize("seed", [1401, 1431])
+def test_dml_sequence_partitioned_merge(spark, tmp_path, seed):
+    # round 12 lifted the partitioned-merge refusal on BOTH formats:
+    # merges land in partitioned sequences (per-tuple source split,
+    # Delta string-encoded partitionValues / Iceberg identity tuples)
+    # and every step still reads back the shared model on both twins.
+    # seed 1401 merges over its own output and across a compact and a
+    # checkpoint; 1431 lands updates BEFORE its merges plus a
+    # maintain + add_column tail after them.
+    _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False,
+                  partitioned=True, partitioned_merge=True)
 
 
 @pytest.mark.parametrize("seed", [1201, 1217])

@@ -1822,12 +1822,48 @@ def test_merge_upsert_scan_free_cdc(spark, tmp_path):
     assert t.current_version() == v
 
 
-def test_merge_upsert_partitioned_refuses(spark, tmp_path):
+def test_merge_upsert_partitioned_identity(spark, tmp_path):
+    """Partitioned merge (round 12): the source splits per identity
+    partition tuple — one data file per tuple in ONE snapshot, each
+    entry stamped with its tuple (so later partition filters prune the
+    upsert files too) — while the equality delete stays table-wide."""
     t, write_pq = _mor_table(tmp_path, partitioned=True)
-    t.append([write_pq("f1.parquet", [1], bucket=0)], now_ms=2000)
-    src = spark.createDataFrame([(1, "x", 0)], ["id", "val", "p_bucket"])
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        t.merge_upsert(spark, src, "id")
+    t.append([write_pq("f1.parquet", [1, 2], bucket=0),
+              write_pq("f2.parquet", [3], bucket=1)], now_ms=2000)
+    src = spark.createDataFrame(
+        [(2, "x", 0), (7, "s", 1), (8, "n", 2)],
+        ["id", "val", "p_bucket"])
+    res = t.merge_upsert(spark, src, "id", now_ms=3000)
+    assert res["rows"] == 3 and res["keys"] == 3
+    got = {(r.id, r.val, r.p_bucket) for r in t.read(spark).collect()}
+    assert got == {(1, "v1", 0), (2, "x", 0), (3, "v3", 1),
+                   (7, "s", 1), (8, "n", 2)}
+    # one upsert file per tuple, stamped with its tuple
+    ups = [f for f in t.files() if "part-upsert-" in f.raw_path]
+    assert sorted(f.partition["p_bucket"] for f in ups) == [0, 1, 2]
+    # partition pruning reaches the upsert files
+    assert {r.id for r in t.read(
+        spark, partition_filter={"p_bucket": 1}).collect()} == {3, 7}
+    # merge over its own output
+    src2 = spark.createDataFrame([(7, "S", 1)],
+                                 ["id", "val", "p_bucket"])
+    t.merge_upsert(spark, src2, "id", now_ms=4000)
+    assert (7, "S", 1) in {(r.id, r.val, r.p_bucket)
+                           for r in t.read(spark).collect()}
+    # key on a partition-source column refuses
+    with pytest.raises(NotImplementedError, match="partition"):
+        t.merge_upsert(spark, src, "p_bucket")
+
+
+def test_merge_upsert_bucket_transform_refuses(spark, tmp_path):
+    d = str(tmp_path / "mrg_bkt")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("id", "bigint"), ("val", "string")],
+        partition_by=[("id", "int", "bucket[4]")], now_ms=1000)
+    src = spark.createDataFrame([(1, "x")], ["id", "val"])
+    with pytest.raises(NotImplementedError, match="identity"):
+        t.merge_upsert(spark, src, "val")
 
 
 def test_incremental_scan_append_only(spark, tmp_path):
