@@ -620,7 +620,23 @@ class IcebergTable:
         upper_bounds; round 9) — the non-partition-predicate pruning
         layer; files without stats for a filtered column always survive
         (sound).  No data file is opened at any point — this is the
-        metadata-only scan planning Iceberg exists for."""
+        metadata-only scan planning Iceberg exists for.
+
+        ``None`` filter values refuse uniformly (ADVICE r11): the three
+        pruning/filter layers disagreed on NULL semantics — the entry
+        prune matched null partition values, the residue filter's
+        ``==`` dropped them, and the summary prune crashed comparing
+        None against non-null bounds — so one filter could return
+        era-dependent results on a mixed-era identity field.  Filter
+        nulls on the read frame (``isNull``) instead."""
+        for k, v in (partition_filter or {}).items():
+            if v is None:
+                raise ValueError(
+                    f"partition_filter value for {k!r} is None — "
+                    "NULL-partition filtering is not expressible as "
+                    "an equality prune; filter isNull on the read "
+                    "frame instead"
+                )
         return self._scan_manifests(
             _MANIFEST_DATA, snapshot_id, as_of_timestamp_ms,
             partition_filter, column_filter, ref=ref
@@ -1577,6 +1593,17 @@ class IcebergTable:
                     + transform.split("[", 1)[0]  # Iceberg's convention
                 )
             )
+            if name in by_name and not (
+                transform == "identity" and name == col
+            ):
+                # same collision rule as update_spec (ADVICE r11): a
+                # transform field named like an unrelated schema column
+                # would mis-classify on the read side
+                raise ValueError(
+                    f"partition field name {name!r} collides with a "
+                    "schema column: only an identity partition on "
+                    "that same column may share its name"
+                )
             spec_fields.append(
                 {
                     "name": name,
@@ -1757,6 +1784,7 @@ class IcebergTable:
             mlist_rows,
         )
         meta = dict(meta)
+        parent = meta.get("current-snapshot-id")
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         meta["current-snapshot-id"] = snap_id
@@ -1765,16 +1793,21 @@ class IcebergTable:
         refs = dict(meta.get("refs") or {})
         refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
         meta["refs"] = refs
-        meta["snapshots"] = list(meta["snapshots"]) + [
-            {
-                "snapshot-id": snap_id,
-                "timestamp-ms": now_ms,
-                "sequence-number": seq,
-                "schema-id": meta["current-schema-id"],
-                "summary": {"operation": operation},
-                "manifest-list": mlist_rel,
-            }
-        ]
+        snap_rec = {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "schema-id": meta["current-schema-id"],
+            "summary": {"operation": operation},
+            "manifest-list": mlist_rel,
+        }
+        # spec: parent-snapshot-id records true ancestry — after a
+        # rollback the next commit's parent is the RESTORED snapshot,
+        # not the last listed one, which is what lets changelog_scan
+        # walk the ancestor chain past abandoned branches (round 12)
+        if parent is not None and parent != -1:
+            snap_rec["parent-snapshot-id"] = parent
+        meta["snapshots"] = list(meta["snapshots"]) + [snap_rec]
         meta["snapshot-log"] = list(meta["snapshot-log"]) + [
             {"timestamp-ms": now_ms, "snapshot-id": snap_id}
         ]
@@ -1968,9 +2001,14 @@ class IcebergTable:
           straight from the frame;
         - both None when nothing matches.
 
-        Guards: empty / unknown / partition predicate columns, renamed
-        histories; the cap check runs THROUGH a ``limit(cap+1)`` so
-        the driver never materializes an oversized match list."""
+        Guards: empty / unknown / partition predicate columns; the cap
+        check runs THROUGH a ``limit(cap+1)`` so the driver never
+        materializes an oversized match list.  Renamed histories are
+        SUPPORTED (round 12, lifting the r11 refusal): the predicate
+        scan pins one physical column per historical name of each
+        predicate field and coalesces across the variants — exactly
+        the read path's name-variant resolution, so pre-rename files
+        match instead of silently null-filling."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -1978,14 +2016,12 @@ class IcebergTable:
 
         if not column_filter:
             raise ValueError(f"{face} needs a predicate")
-        if self._rename_history():
-            raise NotImplementedError(
-                f"{face} on a renamed schema history: the predicate "
-                "scan pins current names — compact the table first"
-            )
+        variants = self._rename_history()
         meta = self.metadata()
         sid = meta.get("current-schema-id", 0)
-        names = {f["name"] for f in self._schema_by_id(sid)["fields"]}
+        sch_fields = self._schema_by_id(sid)["fields"]
+        names = {f["name"] for f in sch_fields}
+        fid_of = {f["name"]: f["id"] for f in sch_fields}
         cand = self.files(column_filter=column_filter)
         part_cols = sorted({k for f in cand for k in f.partition})
         for c in column_filter:
@@ -1998,16 +2034,25 @@ class IcebergTable:
                 )
         if not cand:
             return cand, part_cols, None, None
-        full = self._spark_schema(sid, exclude=set(part_cols))
+        full = self._spark_schema(
+            sid, exclude=set(part_cols), name_variants=variants
+        )
+
+        def _var_names(c):
+            return (variants.get(fid_of[c], [c]) if variants
+                    else [c])
+
+        pred_names = {n for c in column_filter for n in _var_names(c)}
         pred_schema = T.StructType(
-            [f for f in full.fields if f.name in column_filter]
+            [f for f in full.fields if f.name in pred_names]
         )
         scan = spark.read.schema(pred_schema).parquet(
             *[f.path for f in cand]
         ).select(
             F.col("_metadata.file_path").alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
-            *[F.col(c) for c in column_filter],
+            *[F.coalesce(*[F.col(n) for n in _var_names(c)]).alias(c)
+              for c in column_filter],
         )
         for c, (lo, hi) in column_filter.items():
             if lo is not None:
@@ -2166,8 +2211,9 @@ class IcebergTable:
         gain a redundant position entry, also harmless.  Returns the
         number of (file, position) pairs committed; a no-match
         predicate commits nothing and returns 0.  Renamed schema
-        histories refuse (the predicate scan pins current names;
-        compact first).  Matches above :data:`DELETE_ROWS_LIMIT`
+        histories are supported (round 12): the predicate scan
+        resolves by name variant like the read path, so pre-rename
+        files match too.  Matches above :data:`DELETE_ROWS_LIMIT`
         switch to the EXECUTOR tier (round 12): the position-delete
         parquets write straight from the distributed matched frame
         (:meth:`_add_position_deletes_distributed`) — no driver
@@ -2207,9 +2253,11 @@ class IcebergTable:
         Rows existing position deletes already hide are excluded
         (updating them would resurrect deleted data); tables with live
         EQUALITY deletes refuse — the scan cannot see which rows they
-        hide — as do renamed histories, partition(-source) columns in
-        SET, and partition columns in the predicate.  The
-        :data:`DELETE_ROWS_LIMIT` cap applies."""
+        hide — as do partition(-source) columns in SET and partition
+        columns in the predicate.  Renamed histories are SUPPORTED
+        (round 12): both the predicate scan and the rewrite-copy scan
+        resolve by name variant, and the copies land under the CURRENT
+        names.  The :data:`DELETE_ROWS_LIMIT` cap applies."""
         import pyarrow.parquet as pq
         from pyspark.sql import Column
         from pyspark.sql import functions as F
@@ -2305,18 +2353,34 @@ class IcebergTable:
             pv = cand_by_raw[raw].partition
             groups.setdefault(tuple(sorted(pv.items())), []).append(raw)
         seq = meta["last-sequence-number"] + 1
+        variants = self._rename_history()
+        fid_of = {
+            f["name"]: f["id"]
+            for f in self._schema_by_id(sid)["fields"]
+        }
+        scan_schema = self._spark_schema(
+            sid, exclude=set(part_cols), name_variants=variants
+        )
         full = self._spark_schema(sid, exclude=set(part_cols))
         spark_types = {f.name: f.dataType for f in full.fields}
+
+        def _lcol(name):
+            # logical column across rename variants (read-path rule):
+            # a conforming file carries exactly one historical name
+            vs = (variants.get(fid_of[name], [name]) if variants
+                  else [name])
+            return F.coalesce(*[F.col(n) for n in vs])
+
         new_entries: list[dict] = []
         spec_fields = self._spec_fields(meta, 0)
         for gi, pv_t in enumerate(sorted(groups)):
             raws = groups[pv_t]
-            src = spark.read.schema(full).parquet(
+            src = spark.read.schema(scan_schema).parquet(
                 *[cand_by_raw[r].path for r in raws]
             ).select(
                 F.col("_metadata.file_path").alias("_fp"),
                 F.col("_metadata.row_index").alias("_pos"),
-                *[F.col(f.name) for f in full.fields],
+                *[_lcol(f.name).alias(f.name) for f in full.fields],
             )
             sel_rows = [
                 (_norm_path(cand_by_raw[r].path), p)
@@ -2739,8 +2803,8 @@ class IcebergTable:
                 raise NotImplementedError(
                     f"incremental_scan over a {op!r} snapshot "
                     f"({s['snapshot-id']}): append-only ranges only — "
-                    "row-level overwrite/delete history is the "
-                    "changelog scan, out of this face's scope"
+                    "use changelog_scan for row-level "
+                    "overwrite/delete history"
                 )
         # O(new files), not O(range x table): each range snapshot's
         # manifest list names the manifests IT added
@@ -2863,6 +2927,223 @@ class IcebergTable:
               for c in part_cols],
             "_snapshot_id",
         )
+
+    def changelog_scan(
+        self,
+        spark,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> "DataFrame":
+        """Row-level CHANGELOG scan (round 12 — the face
+        :meth:`incremental_scan`'s delete refusal names; Iceberg's
+        ``create_changelog_view`` shape): every snapshot in
+        ``(from, to]`` contributes its row-level effect as tagged rows
+        — ``_change_type`` ``insert``/``delete`` plus the
+        ``_snapshot_id`` that caused it — so CDC consumers can replay
+        DELETE/UPDATE/MERGE history, not just appends.
+
+        Derivation is a per-snapshot VISIBILITY DIFF restricted to the
+        files that could have changed, never a table diff:
+
+        - inserts are the snapshot's ADDED data files read at that
+          snapshot (so a same-commit delete file already subtracts);
+        - deletes come from ``read(parent, paths=targeted) EXCEPT ALL
+          read(snapshot, paths=targeted)``, where ``targeted`` is
+          metadata-derived: files REMOVED by the snapshot, plus the
+          files its NEW position-delete files name (sequence-checked),
+          plus — for new equality-delete files — the strictly-older
+          live files bounds-pruned by the delete keys' min/max (one
+          Spark aggregate over the metadata-scale delete parquet; the
+          pruning skips when keys carry NULLs or multiple columns,
+          staying a conservative superset).  Both sides are SUBSET
+          scans with the full merge-on-read machinery, so prior
+          deletes, sequence rules and null-safe equality semantics are
+          exactly :meth:`read`'s.
+
+        Work is O(added + targeted files), never O(range × table).
+        ``replace`` snapshots (compaction) are skipped — the spec
+        defines them as logical no-ops, the same trust production
+        changelog readers extend.  Refusals (honest seams): renamed
+        histories, ranges crossing a schema change (the diff would
+        union frames of different widths; Delta's twin pins the end
+        schema — scan the eras separately here), ranges containing
+        snapshot operations other than
+        append/delete/overwrite/replace, and a partition-shape change
+        inside the range."""
+        from pyspark.sql import functions as F
+
+        if self._rename_history():
+            raise NotImplementedError(
+                "changelog_scan on a renamed schema history: compact "
+                "the table first"
+            )
+        snaps = self.snapshots()
+        ids = [s["snapshot-id"] for s in snaps]
+        if from_snapshot_id not in ids:
+            raise ValueError(f"unknown snapshot id {from_snapshot_id}")
+        if to_snapshot_id is None:
+            to_snapshot_id = self.snapshot()["snapshot-id"]
+        if to_snapshot_id not in ids:
+            raise ValueError(f"unknown snapshot id {to_snapshot_id}")
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        # ancestry walk (parent-snapshot-id) when the metadata records
+        # it — correct across rollbacks, whose ABANDONED snapshots stay
+        # in the list between the restored id and later commits; the
+        # list-order fallback covers legacy metadata without parent
+        # links (linear history by the same assumption
+        # incremental_scan documents)
+        if any("parent-snapshot-id" in s for s in snaps):
+            chain: list[dict] = []
+            cur = to_snapshot_id
+            while cur != from_snapshot_id:
+                s = by_id[cur]
+                chain.append(s)
+                p = s.get("parent-snapshot-id")
+                if p is None or p not in by_id:
+                    raise ValueError(
+                        f"snapshot {from_snapshot_id} is not an "
+                        f"ancestor of {to_snapshot_id}"
+                    )
+                cur = p
+            chain.reverse()
+        else:
+            i0 = ids.index(from_snapshot_id)
+            i1 = ids.index(to_snapshot_id)
+            if i1 < i0:
+                raise ValueError(
+                    f"to_snapshot {to_snapshot_id} precedes "
+                    f"from_snapshot {from_snapshot_id}"
+                )
+            chain = snaps[i0 + 1: i1 + 1]
+        end_schema = self._read_schema_id(to_snapshot_id)
+        for s in [by_id[from_snapshot_id], *chain]:
+            if self._read_schema_id(s["snapshot-id"]) != end_schema:
+                raise NotImplementedError(
+                    "changelog_scan range crosses a schema change "
+                    f"(snapshot {s['snapshot-id']} reads schema "
+                    f"{self._read_schema_id(s['snapshot-id'])}, the "
+                    f"range end reads {end_schema}): scan the eras "
+                    "separately"
+                )
+        name_of = {
+            f["id"]: f["name"]
+            for f in self._schema_by_id(end_schema)["fields"]
+        }
+        frames = []
+        cols_ref: list[str] | None = None
+
+        def _tag(df, kind, snap_id):
+            nonlocal cols_ref
+            if cols_ref is None:
+                cols_ref = list(df.columns)
+            elif list(df.columns) != cols_ref:
+                raise NotImplementedError(
+                    "changelog_scan range crosses a partition-shape "
+                    f"change ({cols_ref} vs {list(df.columns)}): scan "
+                    "the eras separately"
+                )
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(snap_id).cast("long").alias("_snapshot_id"),
+            )
+
+        prev_id = from_snapshot_id
+        for s in chain:
+            snap_id = s["snapshot-id"]
+            parent_id = prev_id
+            prev_id = snap_id
+            op = (s.get("summary") or {}).get("operation")
+            if op == "replace":
+                continue  # compaction: logical no-op by spec contract
+            if op not in ("append", "delete", "overwrite"):
+                raise NotImplementedError(
+                    f"changelog_scan over a {op!r} snapshot "
+                    f"({snap_id})"
+                )
+            live_p = {f.raw_path: f
+                      for f in self.files(snapshot_id=parent_id)}
+            live_s = {f.raw_path: f
+                      for f in self.files(snapshot_id=snap_id)}
+            added = sorted(set(live_s) - set(live_p))
+            if added:
+                frames.append(_tag(
+                    self.read(spark, snapshot_id=snap_id,
+                              paths=set(added)),
+                    "insert", snap_id,
+                ))
+            targeted = set(live_p) - set(live_s)  # removed files
+            dels_p = {d.raw_path
+                      for d in self.delete_files(
+                          snapshot_id=parent_id)}
+            for d in self.delete_files(snapshot_id=snap_id):
+                if d.raw_path in dels_p:
+                    continue
+                if d.content == _CONTENT_POS_DELETES:
+                    named = {
+                        r[0] for r in spark.read.parquet(d.path)
+                        .select("file_path").distinct().collect()
+                    }
+                    targeted |= {
+                        raw for raw in named
+                        if raw in live_p
+                        and live_p[raw].sequence <= d.sequence
+                    }
+                elif d.content == _CONTENT_EQ_DELETES:
+                    older = {
+                        raw for raw, f in live_p.items()
+                        if f.sequence < d.sequence
+                        and f.content == _CONTENT_DATA
+                    }
+                    if len(d.equality_ids) == 1:
+                        kc = name_of.get(d.equality_ids[0])
+                        if kc is not None and older:
+                            agg = spark.read.parquet(d.path).agg(
+                                F.min(kc).alias("lo"),
+                                F.max(kc).alias("hi"),
+                                F.count(F.when(
+                                    F.col(kc).isNull(), 1
+                                )).alias("nulls"),
+                            ).first()
+                            if not agg.nulls and agg.lo is not None:
+                                pruned = {
+                                    f.raw_path for f in self.files(
+                                        snapshot_id=parent_id,
+                                        column_filter={
+                                            kc: (agg.lo, agg.hi)
+                                        },
+                                    )
+                                }
+                                older &= pruned
+                    targeted |= older
+            if targeted:
+                before = self.read(
+                    spark, snapshot_id=parent_id, paths=targeted
+                )
+                alive = targeted & set(live_s)
+                if alive:
+                    after = self.read(
+                        spark, snapshot_id=snap_id, paths=alive
+                    )
+                    if list(after.columns) != list(before.columns):
+                        raise NotImplementedError(
+                            "changelog_scan range crosses a "
+                            "partition-shape change: scan the eras "
+                            "separately"
+                        )
+                    diff = before.exceptAll(after)
+                else:
+                    diff = before
+                frames.append(_tag(diff, "delete", snap_id))
+        if not frames:
+            base = self.read(
+                spark, snapshot_id=to_snapshot_id
+            ).limit(0)
+            return _tag(base, "insert", to_snapshot_id).limit(0)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def _equality_delete_entry(
         self, rows: list[dict], equality_ids: list[int]
@@ -3302,11 +3583,21 @@ class IcebergTable:
             if transform == "identity":
                 # identity records the SOURCE value: the result type
                 # must be the column's own type or the read-side
-                # attach would mistype every recorded value
+                # attach would mistype every recorded value.  Source
+                # types OUTSIDE the want-map refuse outright (ADVICE
+                # r11: skipping the check committed specs whose
+                # declared int/long/string/date result type could
+                # never match e.g. a timestamp or boolean source)
                 want = {"bigint": "long", "long": "long",
                         "int": "int", "integer": "int",
                         "string": "string", "date": "date"}.get(src_t)
-                if want is not None and typ != want:
+                if want is None:
+                    raise NotImplementedError(
+                        f"identity partition on {src_t!r} column "
+                        f"{col!r}: no declarable result type matches "
+                        "its recorded values"
+                    )
+                if typ != want:
                     raise ValueError(
                         f"identity partition on {col!r} needs result "
                         f"type {want!r}, not {typ!r}"
@@ -3354,6 +3645,19 @@ class IcebergTable:
                 raise ValueError(
                     f"duplicate partition field name {name!r}"
                 )
+            if name in by_name and not (
+                transform == "identity" and name == col
+            ):
+                # a field named like an UNRELATED schema column would
+                # make read() classify it as a mixed identity column of
+                # the wrong source — scan_excl would drop the real data
+                # column and the era coalesce would blend values from
+                # a different column (ADVICE r11)
+                raise ValueError(
+                    f"partition field name {name!r} collides with a "
+                    "schema column: only an identity partition on "
+                    "that same column may share its name"
+                )
             key = (name, transform, by_name[col], typ)
             prior = name_meaning.get(name)
             if prior is not None and prior != key[1:]:
@@ -3380,10 +3684,18 @@ class IcebergTable:
         )
         if new_fields == cur_default:
             raise ValueError("new spec is identical to the default")
-        new_sid = (
-            max(s["spec-id"] for s in meta["partition-specs"]) + 1
-        )
-        meta["partition-specs"] = list(meta["partition-specs"]) + [
+        specs = meta.get("partition-specs")
+        if not specs:
+            # v1 metadata carrying only the legacy "partition-spec"
+            # field: refuse cleanly instead of KeyError (ADVICE r11) —
+            # every other accessor in the module tolerates its absence
+            raise NotImplementedError(
+                "update_spec on metadata without a 'partition-specs' "
+                "list (v1 legacy 'partition-spec' layout): migrate "
+                "the metadata to v2 spec lists first"
+            )
+        new_sid = max(s["spec-id"] for s in specs) + 1
+        meta["partition-specs"] = list(specs) + [
             {"spec-id": new_sid, "fields": new_fields}
         ]
         meta["default-spec-id"] = new_sid

@@ -519,11 +519,19 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     last_sid = None
     cdf_seed: Counter = Counter()
     cdf_from = 0
+    #: Iceberg changelog replay cursor (round 12): the snapshot id the
+    #: end-of-run changelog_scan starts from, plus the model multiset
+    #: at that moment.  Re-seeds on add_column (changelog refuses
+    #: schema changes mid-range), maintain (expired history) and
+    #: rollback (the range restarts at the restored snapshot).
+    clog_from = None
+    clog_seed: Counter = Counter()
     now = 1000
 
     for i, op in enumerate(ops):
         now += 1000
         cols = op["cols"]
+        sid_before = ice.snapshot_id() if i else None
         if op["op"] == "append":
             delta.append(op["rows"], cols, now)
             ice.append(op["rows"], cols, now)
@@ -560,6 +568,7 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             cdf_seed = Counter(
                 {(*k, None): v for k, v in cdf_seed.items()}
             )
+            clog_from = None  # changelog refuses schema changes
         elif op["op"] == "compact":
             delta.compact(now)
             ice.compact(now)
@@ -575,6 +584,7 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             timeline.clear()
             cdf_seed = Counter(tuple(r) for r in model)
             cdf_from = delta.version() + 1
+            clog_from = None  # expired history is not replayable
         elif op["op"] == "rollback":
             cur_sid = ice.snapshot_id()
             eligible = [e for e in timeline
@@ -587,6 +597,7 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
                 ice.t.rollback_to(tgt["sid"], now_ms=now)
                 model = list(tgt["model"])
                 n_rollbacks += 1
+                clog_from = None  # range restarts at the restored id
         elif op["op"] == "checkpoint":
             delta.checkpoint(op.get("kind", "v1"),
                              op.get("sidecars", 1))
@@ -608,6 +619,13 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             last_sid = sid_now
         timeline.append({"dv": delta.version(), "sid": sid_now,
                          "cols": list(cols), "model": list(model)})
+        if clog_from is None and sid_now != sid_before:
+            # re-seed only once a NEW snapshot exists: after a DDL the
+            # current snapshot still pins the pre-DDL schema, and a
+            # range starting there would trip changelog_scan's
+            # schema-change refusal by design
+            clog_from = sid_now
+            clog_seed = Counter(tuple(r) for r in model)
 
     # time travel: sampled historical versions must match the model's
     # recorded state, projected to the columns that existed then
@@ -652,6 +670,41 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
                       for _ in range(c))
     assert replayed == _nsort(model), (
         f"CDF replay != final state: seed={seed}"
+    )
+
+    # Iceberg changelog replay (round 12): composing changelog_scan's
+    # insert/delete events snapshot by snapshot from the cursor state
+    # must land exactly on the final state, with no snapshot deleting a
+    # row the running state doesn't hold — the Iceberg twin of the CDF
+    # replay above (compaction 'replace' snapshots must contribute
+    # nothing, which the skip encodes).
+    if clog_from is None:
+        # a trailing DDL/maintain left no post-reset snapshot: nothing
+        # to replay (and the current snapshot still pins the pre-DDL
+        # schema, so even an empty-range scan could not select the
+        # final column list)
+        return {"rollbacks": n_rollbacks}
+    istate: Counter = Counter(clog_seed)
+    iev = ice.t.changelog_scan(spark, clog_from).select(
+        *final_cols, "_change_type", "_snapshot_id"
+    ).collect()
+    by_snap: dict[int, list] = {}
+    for r in iev:
+        by_snap.setdefault(r._snapshot_id, []).append(r)
+    order = [s["snapshot-id"] for s in ice.t.snapshots()]
+    for sid in sorted(by_snap, key=order.index):
+        for r in by_snap[sid]:
+            kv = tuple(r[c] for c in final_cols)
+            istate[kv] += -1 if r._change_type == "delete" else 1
+        bad = {kv: c for kv, c in istate.items() if c < 0}
+        assert not bad, (
+            f"changelog replay went negative at snapshot {sid}: "
+            f"seed={seed} {bad}"
+        )
+    ireplayed = _nsort(kv for kv, c in istate.items()
+                       for _ in range(c))
+    assert ireplayed == _nsort(model), (
+        f"changelog replay != final state: seed={seed}"
     )
     return {"rollbacks": n_rollbacks}
 
@@ -944,14 +997,18 @@ def test_dml_sequence_mapped_ddl_triple(spark, tmp_path, seed):
 
 def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int,
                           with_evolve: bool = False,
-                          with_rollback: bool = False):
+                          with_rollback: bool = False,
+                          renamed_dml: bool = False):
     """``with_evolve`` carves a spec-evolution op out of the merge
     slot (base seeds stay byte-identical).  Post-evolution legality
     mirrors the faces' contracts: the evolved column ("v") leaves the
     predicate/SET/rename/drop pools (partition source), updates stop
     (update_rows refuses live non-default specs), merges stop
     (merge_upsert refuses partitioned tables), and update_spec itself
-    never fires on a renamed history."""
+    never fires on a renamed history.  ``renamed_dml`` keeps emitting
+    deletes/updates AFTER a rename (round 12 lifted the faces' rename
+    refusal via name-variant scans; the flag rather than the base
+    layout keeps the CI-pinned seeds' sequences intact)."""
     cols = ["k", "v"]
 
     def span(col):
@@ -972,13 +1029,14 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int,
             ops.append({"op": "append",
                         "rows": fresh_rows(rng.randint(1, 5)),
                         "cols": list(cols)})
-        elif roll < 0.40 and not renamed:
+        elif roll < 0.40 and (not renamed or renamed_dml):
             col = rng.choice([c for c in cols if c != evolved_col])
             lo = rng.randrange(span(col))
             hi = lo + rng.randint(0, span(col) // 3)
             ops.append({"op": "delete", "col": col, "lo": lo, "hi": hi,
                         "cols": list(cols)})
-        elif roll < 0.52 and not renamed and not merged and not evolved:
+        elif roll < 0.52 and (not renamed or renamed_dml) \
+                and not merged and not evolved:
             col = rng.choice(cols)
             lo = rng.randrange(span(col))
             hi = lo + rng.randint(0, span(col) // 2)
@@ -1054,9 +1112,11 @@ def _gen_ice_ddl_sequence(rng: random.Random, n_ops: int,
 
 def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int,
                               with_evolve: bool = False,
-                              with_rollback: bool = False):
+                              with_rollback: bool = False,
+                              renamed_dml: bool = False):
     rng = random.Random(seed)
-    ops = _gen_ice_ddl_sequence(rng, n_ops, with_evolve, with_rollback)
+    ops = _gen_ice_ddl_sequence(rng, n_ops, with_evolve, with_rollback,
+                                renamed_dml)
     ice = IcebergHarness(spark, str(tmp_path / f"id{seed}"))
     model: list[tuple] = []
     states: dict[int, tuple] = {}
@@ -1178,6 +1238,18 @@ def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int,
 @pytest.mark.parametrize("seed", [709, 713])
 def test_dml_sequence_iceberg_ddl_triple(spark, tmp_path, seed):
     _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=12)
+
+
+# round 12 lifted the rename refusal on delete_rows/update_rows (the
+# predicate and rewrite scans resolve by name variant), so deletes and
+# updates keep firing AFTER renames: 1507 renames early then updates
+# and deletes across a compact and an add_column; 1554 deletes on both
+# sides of the rename and updates through two compacts (rewritten
+# copies re-entering under current names, then scanned again)
+@pytest.mark.parametrize("seed", [1507, 1554])
+def test_dml_sequence_iceberg_renamed_dml(spark, tmp_path, seed):
+    _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=12,
+                              renamed_dml=True)
 
 
 # spec evolution in the op mix (round 11), with a partition-filter

@@ -1701,10 +1701,21 @@ def test_delete_rows_predicate_position_deletes(spark, tmp_path):
             t.update_rows(spark, {"id": (2, 2)}, {"val": "x"})
     finally:
         del t.DELETE_ROWS_LIMIT
-    # renamed histories refuse
+    # renamed histories work (round 12 lifted the refusal): the
+    # predicate scan resolves by name variant, so rows in PRE-rename
+    # files still match — and predicates on the renamed column itself
+    # resolve values those old files stored under the old name
     t.rename_column("val", "label", now_ms=8000)
-    with pytest.raises(NotImplementedError, match="renamed"):
-        t.delete_rows(spark, {"id": (2, 2)})
+    # id=2 matches in BOTH the pre-rename f1 (already-dead position,
+    # harmless duplicate pair per the contract) and the live f3 — the
+    # variant scan sees pre-rename files instead of null-filling them
+    assert t.delete_rows(spark, {"id": (2, 2)}, now_ms=9000) == 2
+    assert [r.id for r in t.read(spark).collect()] == []
+    # predicate on the RENAMED column resolves old-name values
+    t.append([write_pq("f4.parquet", [8])], now_ms=9500)
+    assert t.delete_rows(spark, {"label": ("v8", "v8")},
+                         now_ms=9800) == 1
+    assert [r.id for r in t.read(spark).collect()] == []
 
 
 def test_delete_rows_partition_column_refuses(spark, tmp_path):
@@ -1756,6 +1767,38 @@ def test_update_rows_position_delete_plus_new_file_one_snapshot(
     t.add_equality_deletes([{"id": 1}], equality_ids=[1], now_ms=5000)
     with pytest.raises(NotImplementedError, match="equality-delete"):
         t.update_rows(spark, {"id": (100, 100)}, {"val": "y"})
+
+
+def test_dml_after_rename_resolves_name_variants(spark, tmp_path):
+    """delete_rows / update_rows on a renamed history (round 12 lifted
+    the r11 refusal): predicates on renamed AND stable columns match
+    rows in pre-rename files via the read path's name-variant
+    coalesce; update's rewritten copies land under the CURRENT names
+    and keep reading right after a second rename."""
+    t, write_pq = _mor_table(tmp_path)
+    t.append([write_pq("f1.parquet", [1, 2, 3])], now_ms=2000)
+    t.rename_column("val", "label", now_ms=3000)
+    # predicate ON the renamed column, values live under the OLD name
+    assert t.update_rows(spark, {"label": ("v2", "v2")},
+                         {"label": "L2"}, now_ms=4000) == 1
+    got = {(r.id, r.label) for r in t.read(spark).collect()}
+    assert got == {(1, "v1"), (2, "L2"), (3, "v3")}
+    # the rewritten copy carries the CURRENT physical name
+    import pyarrow.parquet as _pq
+    upd = [f for f in t.files() if "part-update-" in f.raw_path]
+    assert upd and set(_pq.read_schema(upd[0].path).names) == {
+        "id", "label"}
+    # a second rename: the copy (written as 'label') and the original
+    # files ('val') both resolve through the variant chain
+    t.rename_column("label", "tag", now_ms=5000)
+    assert t.update_rows(spark, {"id": (1, 1)},
+                         {"tag": "T1"}, now_ms=6000) == 1
+    got = {(r.id, r.tag) for r in t.read(spark).collect()}
+    assert got == {(1, "T1"), (2, "L2"), (3, "v3")}
+    assert t.delete_rows(spark, {"tag": ("v3", "v3")},
+                         now_ms=7000) == 1
+    assert {(r.id, r.tag) for r in t.read(spark).collect()} == {
+        (1, "T1"), (2, "L2")}
 
 
 def test_update_rows_partitioned_per_tuple_files(spark, tmp_path):
@@ -1895,6 +1938,91 @@ def test_incremental_scan_append_only(spark, tmp_path):
         t.incremental_scan(spark, s1).collect()
     with pytest.raises(ValueError, match="unknown snapshot"):
         t.incremental_scan(spark, 999999)
+
+
+def test_changelog_scan_row_level_history(spark, tmp_path):
+    """changelog_scan emits per-snapshot insert/delete events for
+    DELETE and MERGE snapshots (the face incremental_scan's refusal
+    names): replaying the events over the cursor state reproduces the
+    end state; compaction (replace) snapshots emit nothing; schema
+    changes mid-range refuse."""
+    from collections import Counter
+
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2, 3]),
+                   write_pq("f2.parquet", [4, 5])], now_ms=2000)
+    t.delete_rows(spark, {"id": (2, 4)}, now_ms=3000)
+    s2 = t.snapshot()["snapshot-id"]
+    s3 = t.append([write_pq("f3.parquet", [2])], now_ms=4000)
+    src = spark.createDataFrame([(5, "x"), (9, "y")], ["id", "val"])
+    s4 = t.merge_upsert(spark, src, "id", now_ms=5000)["snapshot_id"]
+
+    ev = [(r.id, r.val, r._change_type, r._snapshot_id)
+          for r in t.changelog_scan(spark, s1).collect()]
+    by_snap = {}
+    for i, v, k, sid in ev:
+        by_snap.setdefault(sid, set()).add((i, v, k))
+    assert by_snap[s2] == {(2, "v2", "delete"), (3, "v3", "delete"),
+                           (4, "v4", "delete")}
+    assert by_snap[s3] == {(2, "v2", "insert")}
+    assert by_snap[s4] == {(5, "v5", "delete"), (5, "x", "insert"),
+                           (9, "y", "insert")}
+    # replay: cursor state + events == end state (multiset)
+    state = Counter((r.id, r.val)
+                    for r in t.read(spark, snapshot_id=s1).collect())
+    for i, v, k, _ in sorted(ev, key=lambda e: e[3]):
+        if k == "insert":
+            state[(i, v)] += 1
+        else:
+            state[(i, v)] -= 1
+    end = Counter((r.id, r.val) for r in t.read(spark).collect())
+    assert +state == end
+    # bounded range stops at its end snapshot
+    got = {(r.id, r._change_type)
+           for r in t.changelog_scan(spark, s1, s2).collect()}
+    assert got == {(2, "delete"), (3, "delete"), (4, "delete")}
+    # empty range: empty frame, full tagged schema
+    empty = t.changelog_scan(spark, s4)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "val", "_change_type",
+                             "_snapshot_id"]
+    # compaction emits nothing (replace = logical no-op by spec)
+    t.compact(spark, now_ms=6000)
+    assert t.changelog_scan(spark, s4).count() == 0
+    # a schema change mid-range refuses
+    t.add_column("extra", "bigint", now_ms=7000)
+    t.append([write_pq("f4.parquet", [7])], now_ms=8000)
+    with pytest.raises(NotImplementedError, match="schema change"):
+        t.changelog_scan(spark, s1).collect()
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.changelog_scan(spark, 424242)
+
+
+def test_changelog_scan_partitioned_and_prior_deletes(spark, tmp_path):
+    """Partitioned changelog: events carry the identity partition
+    column; rows a PRIOR delete already hides do not re-emit when a
+    later overlapping delete lands (the visibility diff, not the raw
+    delete-file content, drives the events)."""
+    t, write_pq = _mor_table(tmp_path, partitioned=True)
+    s1 = t.append([write_pq("f1.parquet", [1, 2, 3], bucket=0),
+                   write_pq("f2.parquet", [4], bucket=1)], now_ms=2000)
+    t.delete_rows(spark, {"id": (2, 2)}, now_ms=3000)
+    s2 = t.snapshot()["snapshot-id"]
+    # overlapping predicate: id=2 is ALREADY dead — only 3 emits
+    t.delete_rows(spark, {"id": (2, 3)}, now_ms=4000)
+    s3 = t.snapshot()["snapshot-id"]
+    ev = {(r.id, r.p_bucket, r._change_type, r._snapshot_id)
+          for r in t.changelog_scan(spark, s1).collect()}
+    assert ev == {(2, 0, "delete", s2), (3, 0, "delete", s3)}
+    # partitioned merge changelog: delete+insert pair for the matched
+    # key, tuple-stamped inserts for the rest
+    src = spark.createDataFrame([(4, "X", 1), (9, "n", 2)],
+                                ["id", "val", "p_bucket"])
+    s4 = t.merge_upsert(spark, src, "id", now_ms=5000)["snapshot_id"]
+    ev4 = {(r.id, r.val, r.p_bucket, r._change_type)
+           for r in t.changelog_scan(spark, s3).collect()}
+    assert ev4 == {(4, "v4", 1, "delete"), (4, "X", 1, "insert"),
+                   (9, "n", 2, "insert")}
 
 
 def test_merge_upsert_validation_before_write(spark, tmp_path):
@@ -2181,6 +2309,45 @@ def test_update_spec_refusals_and_append_validation(tmp_path):
     t2.rename_column("v", "w", now_ms=2000)
     with pytest.raises(NotImplementedError, match="renamed"):
         t2.update_spec([("k", "long")])
+    # ADVICE r11 quartet:
+    # (1) identity on a source type with no declarable result type
+    d3 = str(tmp_path / "evo_bool")
+    os.makedirs(os.path.join(d3, "data"))
+    t3 = IcebergTable.create(
+        d3, [("k", "bigint"), ("flag", "boolean"),
+             ("ts", "timestamp")], now_ms=1000)
+    with pytest.raises(NotImplementedError, match="identity partition"):
+        t3.update_spec([("flag", "long")])
+    with pytest.raises(NotImplementedError, match="identity partition"):
+        t3.update_spec([("ts", "string")])
+    # (2) a transform field named like an UNRELATED schema column
+    with pytest.raises(ValueError, match="collides with a schema"):
+        t.update_spec([("v", "int", "bucket[4]", "k")])
+    with pytest.raises(ValueError, match="collides with a schema"):
+        IcebergTable.create(
+            str(tmp_path / "evo_clash_create"),
+            [("k", "bigint"), ("v", "bigint")],
+            partition_by=[("v", "int", "bucket[4]", "k")],
+            now_ms=1000)
+    # ... while identity-on-own-column sharing its name stays legal
+    t.update_spec([("k", "long")], now_ms=3000)
+    # (3) v1 metadata without a partition-specs list refuses cleanly
+    d4 = str(tmp_path / "evo_v1meta")
+    os.makedirs(os.path.join(d4, "data"))
+    t4 = IcebergTable.create(
+        d4, [("k", "bigint")], now_ms=1000)
+    import json as _json
+    mp = os.path.join(d4, "metadata",
+                      f"v{t4.current_version()}.metadata.json")
+    m = _json.loads(open(mp).read())
+    del m["partition-specs"]
+    m["partition-spec"] = []  # the legacy v1 field
+    open(mp, "w").write(_json.dumps(m))
+    with pytest.raises(NotImplementedError, match="partition-specs"):
+        IcebergTable(d4).update_spec([("k", "long")])
+    # (4) None partition_filter values refuse uniformly at entry
+    with pytest.raises(ValueError, match="is None"):
+        t.files(partition_filter={"v": None})
 
 
 def test_spec_evolution_mor_and_compact_compose(spark, tmp_path):
@@ -2459,10 +2626,18 @@ def test_update_spec_cross_spec_name_collision_refuses(tmp_path):
         d, [("k", "bigint"), ("p", "bigint")],
         partition_by=[("p", "long")], now_ms=1000,
     )
-    with pytest.raises(ValueError, match="one name, one meaning"):
+    # a non-identity field wearing a schema column's name trips the
+    # round-12 collision guard FIRST (ADVICE r11) — both the v1-style
+    # void tombstone and the unrelated-column disguise
+    with pytest.raises(ValueError, match="collides with a schema"):
         t.update_spec([("p", "long", "void", "p")])
-    with pytest.raises(ValueError, match="one name, one meaning"):
+    with pytest.raises(ValueError, match="collides with a schema"):
         t.update_spec([("k", "int", "bucket[4]", "p")])
+    # cross-spec discipline on NON-schema names still enforces one
+    # name, one meaning
+    t.update_spec([("k", "int", "bucket[4]")], now_ms=2000)  # k_bucket
+    with pytest.raises(ValueError, match="one name, one meaning"):
+        t.update_spec([("k", "long", "truncate[2]", "k_bucket")])
     # identity result type must match the column's own type
     with pytest.raises(ValueError, match="needs result type"):
         t.update_spec([("k", "int")])
