@@ -86,6 +86,63 @@ def main() -> None:
     pruned_s, pruned_n = timed_count(ra.read_pruned("lineitem", lo, hi).filter(pred))
     assert full_n == pruned_n, (full_n, pruned_n)
 
+    # ---- DML write-face proxies (round 12, VERDICT r11 item 8):
+    # delete_where wall clock vs matched rows and merge_upsert vs
+    # source size, so write-path regressions surface round-over-round
+    # in the recorded JSON, not just in correctness tests.  Fresh
+    # 600k-row Delta table per measurement (deletes mutate).
+    from hadoop_sync_spark.delta_log import DeltaLog
+    from hadoop_sync_spark.io import write_single_parquet
+
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+
+    def mk_delta(tag: str) -> DeltaLog:
+        d = os.path.join(scratch, f"dml_{tag}")
+        os.makedirs(d)
+        log = DeltaLog(d)
+        acts = [{"protocol": {"minReaderVersion": 1}},
+                {"metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": [], "configuration": {}}}]
+        per = 150_000
+        for i in range(4):
+            rel = f"f{i}.parquet"
+            df = spark.range(i * per, (i + 1) * per).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"))
+            write_single_parquet(df, os.path.join(d, rel), "br_dml_")
+            acts.append(log.add_action_for(rel))
+        log.commit(0, acts)
+        return log
+
+    dml: dict[str, float] = {}
+    for label, match in (("5k", 5_000), ("50k", 50_000)):
+        log = mk_delta(f"del_{label}")
+        t0 = time.perf_counter()
+        res = log.delete_where(spark, {"k": (0, match - 1)},
+                               now_ms=1000)
+        dml[f"delete_where_{label}_matched_s"] = round(
+            time.perf_counter() - t0, 4)
+        assert res["rows_deleted"] == match
+    for label, batch in (("1k", 1_000), ("10k", 10_000)):
+        log = mk_delta(f"mrg_{label}")
+        src = spark.range(0, batch).select(
+            F.col("id").alias("k"), (F.col("id") + 7).alias("v"))
+        t0 = time.perf_counter()
+        log.merge_upsert(spark, src, "k", now_ms=1000)
+        dml[f"merge_upsert_{label}_source_s"] = round(
+            time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {
@@ -101,6 +158,7 @@ def main() -> None:
                 "p2_speedup": round(full_s / pruned_s, 2),
                 "p2_rows": full_n,
                 "noop_resync_s": round(noop_s, 4),
+                **dml,
             }
         )
     )

@@ -1567,6 +1567,15 @@ class DeltaLog:
     #: executor tier must not also cripple CDC reads)
     READ_CHANGES_ROW_LIMIT = 1_000_000
 
+    #: merge key-match strategy threshold (round 12, measured): at or
+    #: under this many distinct source keys the key scan takes a
+    #: literal IN filter (pushed to the parquet scan, row-group stats
+    #: prune); above it, a semi-join against the distinct-keys frame —
+    #: a 10k-literal IN list cost 4x the 1k one in Catalyst planning
+    #: alone (bench_registry DML faces), long before the 1M driver cap
+    #: was in sight
+    MERGE_IN_PUSHDOWN_KEY_LIMIT = 1_000
+
     def _resolve_physical(self, snap: Snapshot, face: str) -> dict:
         """logical name -> physical column for the DML write faces
         (``none`` is identity, ``name`` rides the metadata
@@ -2289,13 +2298,17 @@ class DeltaLog:
         version = self.latest_version() + 1
         per_file: dict[str, set[int]] = {}
         frame = None
+        # IN-list pushdown only for SMALL key sets (independent of the
+        # 1M position cap): Catalyst planning of a large literal IN
+        # list dominates the scan well before the cap — measured 4x at
+        # 10k keys (see MERGE_IN_PUSHDOWN_KEY_LIMIT)
+        use_in = (not over_cap_keys
+                  and len(keys) <= self.MERGE_IN_PUSHDOWN_KEY_LIMIT)
         if snap.files:
             _, per_file, frame = self._matched_per_file(
                 spark, snap, {}, "merge_upsert",
-                in_filter=(None if over_cap_keys
-                           else (key_col, keys)),
-                in_frame=((key_col, keys_df) if over_cap_keys
-                          else None),
+                in_filter=((key_col, keys) if use_in else None),
+                in_frame=(None if use_in else (key_col, keys_df)),
             )
             per_file = per_file or {}
         # the new file(s): full source batch under physical names —

@@ -2082,6 +2082,29 @@ def test_read_changes_partitioned_valueless_remove(spark, tmp_path):
     assert rows == {(1, 7, "delete", 1)}
 
 
+def test_merge_upsert_semijoin_key_tier(spark, tmp_path):
+    """Key sets over MERGE_IN_PUSHDOWN_KEY_LIMIT (but under the
+    position cap) semi-join the key scan instead of a literal IN list
+    — measured 4x planning cost at 10k literals — while positions
+    still collect on the driver tier.  Same results as the IN path."""
+    d, log = _mk_table(tmp_path, "mrg_semijoin")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.MERGE_IN_PUSHDOWN_KEY_LIMIT = 0  # force the semi-join tier
+    try:
+        src = spark.createDataFrame([(2, 200), (9, 900)], ["k", "v"])
+        res = log.merge_upsert(spark, src, "k", now_ms=1000)
+        assert res["rows_matched"] == 1 and res["rows_inserted"] == 2
+        got = {(r.k, r.v) for r in log.read(spark).collect()}
+        assert got == {(1, 10), (2, 200), (3, 30), (9, 900)}
+        nulls = spark.createDataFrame([(None, 1)], "k long, v long")
+        with pytest.raises(ValueError, match="NULL keys"):
+            log.merge_upsert(spark, nulls, "k")
+    finally:
+        del log.MERGE_IN_PUSHDOWN_KEY_LIMIT
+
+
 def test_merge_upsert_partitioned(spark, tmp_path):
     """Partitioned Delta merge (round 12): the source (which carries
     the partition columns as logical columns) splits per tuple — one
