@@ -1570,11 +1570,14 @@ class DeltaLog:
     #: merge key-match strategy threshold (round 12, measured): at or
     #: under this many distinct source keys the key scan takes a
     #: literal IN filter (pushed to the parquet scan, row-group stats
-    #: prune); above it, a semi-join against the distinct-keys frame —
-    #: a 10k-literal IN list cost 4x the 1k one in Catalyst planning
-    #: alone (bench_registry DML faces), long before the 1M driver cap
-    #: was in sight
-    MERGE_IN_PUSHDOWN_KEY_LIMIT = 1_000
+    #: prune — the win that matters when a tiny CDC batch lands on a
+    #: huge table); above it, a semi-join against the distinct-keys
+    #: frame.  Measured on the proxy grid: a 10k-literal IN cost 4x
+    #: the 1k one in planning alone, and even the 1k IN (1.9 s) lost
+    #: to the 10k semi-join (0.9 s) — the literal-tree cost swamps the
+    #: pruning payoff well below 1k keys, so the threshold sits at the
+    #: size where an IN list is still plan-trivial
+    MERGE_IN_PUSHDOWN_KEY_LIMIT = 128
 
     def _resolve_physical(self, snap: Snapshot, face: str) -> dict:
         """logical name -> physical column for the DML write faces

@@ -104,10 +104,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     (driver memory, master) cannot change post-start, but the semantic and
     optimizer settings below can and should.
     """
+    import logging
+
     for k, v in _DEFAULT_CONF.items():
         if k.startswith(("spark.sql.",)):
             try:
                 spark.conf.set(k, v)
-            except Exception:
-                pass  # static or unknown conf on this build — keep going
+            except Exception as e:
+                # static or unknown conf on this build — keep going,
+                # but say so: a typo'd key would otherwise vanish
+                # silently (VERDICT r11 quality note)
+                logging.getLogger(__name__).debug(
+                    "tune_session: could not set %s=%s (%s)", k, v, e
+                )
     return spark

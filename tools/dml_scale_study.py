@@ -164,12 +164,18 @@ def main():
         print(f"ratio at 10x DV rows: {rows[1][1]/rows[0][1]:.2f}x")
 
         # ---- 4. changelog_scan: targeted diff must not grow with the
-        # untouched table (fixed 6k-row delete, table 600k vs 6M)
+        # untouched table (fixed 6k-row delete touching ONE 75k-row
+        # file; the table grows 10x in FILE COUNT at constant file
+        # size, so a table-size dependence would show while the
+        # targeted bytes stay fixed — the visibility diff's cost model
+        # is O(targeted file bytes), never O(table))
         rows = []
-        for label, n_rows in (("600k-row table", 600_000),
-                              ("6M-row table", 6_000_000)):
+        for label, n_rows, n_files in (("600k rows / 8 files",
+                                        600_000, 8),
+                                       ("6M rows / 80 files",
+                                        6_000_000, 80)):
             d = os.path.join(root, f"clog_{n_rows}")
-            t = _mk_ice(spark, d, n_rows, 8)
+            t = _mk_ice(spark, d, n_rows, n_files)
             s1 = t.snapshot()["snapshot-id"]
             t.delete_rows(spark, {"k": (0, 5_999)}, now_ms=30_000)
             dt = _med(lambda: t.changelog_scan(spark, s1).select(
