@@ -350,6 +350,32 @@ _LEGACY_WRITER_FEATURES = {
 }
 
 
+def _protocol_with_writer_feature(proto: dict, feature: str) -> dict:
+    """Upgrade ``proto`` to carry a WRITER-ONLY feature (round 12:
+    ``changeDataFeed`` — CDF never gates readers, so putting it in
+    readerFeatures would make conforming readers refuse the table).
+    A legacy version number that already implies the feature passes
+    through verbatim; otherwise the writer side moves to version 7
+    with the feature list (reader side untouched)."""
+    wf = set(proto.get("writerFeatures") or ())
+    if feature in wf:
+        return proto
+    mwv = proto.get("minWriterVersion") or 1
+    if mwv < 7:
+        implied = set()
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if mwv >= v:
+                implied.update(feats)
+        if feature in implied:
+            return proto
+        wf.update(implied)
+    wf.add(feature)
+    out = dict(proto)
+    out["minWriterVersion"] = 7
+    out["writerFeatures"] = sorted(wf)
+    return out
+
+
 def _strip_checkpoint_nulls(row: dict) -> dict:
     """One checkpoint parquet row → the action it encodes.  The row
     carries every action kind as a nullable struct column, and every
@@ -1875,28 +1901,72 @@ class DeltaLog:
         if per_file is None and frame is None:
             return noop
         version = self.latest_version() + 1
+        cdf = self._cdf_enabled(snap)
+        proto = _protocol_with_feature(
+            snap.protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2},
+            "deletionVectors",
+        )
+        if cdf:
+            proto = _protocol_with_writer_feature(
+                proto, "changeDataFeed"
+            )
         actions: list[dict] = [
             {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}},
-            {"protocol": _protocol_with_feature(
-                snap.protocol
-                or {"minReaderVersion": 1, "minWriterVersion": 2},
-                "deletionVectors",
-            )},
+            {"protocol": proto},
         ]
         if frame is not None:
-            rows = self._dv_build_distributed(
-                snap, frame, version, storage, "delete_where"
-            )
-            if not rows:
-                return noop
-            actions.extend(self._dv_actions_for(snap, rows, version))
-            self.commit(version, actions)
-            return {
-                "version": version,
-                "files": len(rows),
-                "rows_deleted": sum(r.fresh for r in rows),
-            }
+            fresh_df = None
+            if cdf:
+                # CDC needs the FRESH set as a frame (matched minus
+                # already-deleted) so the capture never re-reports
+                # rows an earlier delete already covered
+                fresh_df = self._fresh_frame(spark, snap, frame)
+                fresh_df.persist()
+                frame = fresh_df.select("_fp", "_pos")
+            try:
+                rows = self._dv_build_distributed(
+                    snap, frame, version, storage, "delete_where"
+                )
+                if not rows:
+                    return noop
+                actions.extend(
+                    self._dv_actions_for(snap, rows, version)
+                )
+                if cdf:
+                    groups = self._partition_groups(
+                        snap, [r.rel for r in rows]
+                    )
+
+                    def select_pairs(spark_, rels):
+                        abs_paths = [
+                            os.path.abspath(
+                                os.path.join(self.table_dir, r)
+                            )
+                            for r in rels
+                        ]
+                        return fresh_df.where(
+                            F.col("_afp").isin(abs_paths)
+                        ).select("_afp", "_pos")
+
+                    actions.extend(self._write_cdc_files(
+                        spark, version,
+                        self._cdc_capture_matched(
+                            spark, snap, phys, groups, select_pairs,
+                            "delete",
+                        ),
+                    ))
+                self.commit(version, actions)
+                return {
+                    "version": version,
+                    "files": len(rows),
+                    "rows_deleted": sum(r.fresh for r in rows),
+                }
+            finally:
+                if fresh_df is not None:
+                    fresh_df.unpersist()
         new_rows = 0
+        fresh_sets: dict[str, set[int]] = {}
         for rel in sorted(per_file):
             prev = dict(snap.live[rel])
             existing: set[int] = set()
@@ -1905,6 +1975,7 @@ class DeltaLog:
             fresh = per_file[rel] - existing
             if not fresh:
                 continue  # every match was already deleted
+            fresh_sets[rel] = fresh
             new_rows += len(fresh)
             desc = self._dv_descriptor(
                 rel, sorted(existing | per_file[rel]), version, storage
@@ -1914,10 +1985,31 @@ class DeltaLog:
             actions.append({"add": prev})
         if new_rows == 0:
             return {"version": None, "files": 0, "rows_deleted": 0}
+        n_dv = (len(actions) - 2) // 2
+        if cdf:
+            groups = self._partition_groups(snap, fresh_sets)
+
+            def select_pairs(spark_, rels):
+                sel_rows = [
+                    (os.path.abspath(
+                        os.path.join(self.table_dir, r)), p)
+                    for r in rels
+                    for p in sorted(fresh_sets[r])
+                ]
+                return F.broadcast(
+                    spark_.createDataFrame(sel_rows, ["_afp", "_pos"])
+                )
+
+            actions.extend(self._write_cdc_files(
+                spark, version,
+                self._cdc_capture_matched(
+                    spark, snap, phys, groups, select_pairs, "delete"
+                ),
+            ))
         self.commit(version, actions)
         return {
             "version": version,
-            "files": (len(actions) - 2) // 2,
+            "files": n_dv,
             "rows_deleted": new_rows,
         }
 
@@ -1944,92 +2036,14 @@ class DeltaLog:
             groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
         return groups
 
-    def _updated_copies(
-        self,
-        spark: SparkSession,
-        snap: Snapshot,
-        phys: dict,
-        set_values: dict,
-        version: int,
-        groups: dict,
-        select_pairs,
-    ) -> list[dict]:
-        """Shared UPDATE rewrite (both tiers): per affected partition
-        tuple, scan the affected files, inner-join the matched fresh
-        ``(_afp, _pos)`` pairs from ``select_pairs(spark, rels)`` (a
-        tiny broadcast list on the driver tier, a filtered distributed
-        frame on the executor tier), apply the SET expressions and
-        write ONE updated-copy file.  Returns the add actions."""
-        from pyspark.sql import Column
-
-        from hadoop_sync_spark.io import write_single_parquet
-
-        schema = snap.schema()
-        part_cols = list(snap.partition_columns)
-        data_fields = [f for f in schema.fields
-                       if f.name not in part_cols]
-        full_schema = T.StructType([
-            T.StructField(phys[f.name], f.dataType, True)
-            for f in data_fields
-        ])
-        adds: list[dict] = []
-        for gi, pv_t in enumerate(sorted(groups)):
-            rels = groups[pv_t]
-            scan = spark.read.schema(full_schema).parquet(
-                *[os.path.join(self.table_dir, r) for r in rels]
-            ).select(
-                F.col("_metadata.file_path").alias("_fp"),
-                F.col("_metadata.row_index").alias("_pos"),
-                *[F.col(phys[f.name]).alias(f.name)
-                  for f in data_fields],
-            )
-            upd = scan.withColumn("_afp", self._decoded_fp()).join(
-                select_pairs(spark, rels), ["_afp", "_pos"], "inner"
-            )
-            # ONE select: every SET expression evaluates against the
-            # ORIGINAL row (simultaneous-assignment UPDATE semantics —
-            # sequential withColumn would let `SET k=9, v=k+1` see 9)
-            exprs = {
-                c: (v if isinstance(v, Column) else F.lit(v))
-                .cast(schema[c].dataType)
-                for c, v in set_values.items()
-            }
-            out = upd.select(*[
-                exprs.get(f.name, F.col(f.name)).alias(phys[f.name])
-                for f in data_fields
-            ])
-            rel_new = f"part-update-{version:010d}-{gi}.parquet"
-            write_single_parquet(
-                out, os.path.join(self.table_dir, rel_new),
-                "delta_update_",
-            )
-            adds.append(
-                self.add_action_for(
-                    rel_new, partitionValues=dict(pv_t)
-                )
-            )
-        return adds
-
-    def _update_where_distributed(
-        self,
-        spark: SparkSession,
-        snap: Snapshot,
-        frame: DataFrame,
-        set_values: dict,
-        now_ms: int,
-        storage: str,
-        phys: dict,
-    ) -> dict:
-        """EXECUTOR tier of :meth:`update_where` (round 12): the
-        matched ``(_fp, _pos)`` frame stays distributed — existing-DV
-        subtraction is an anti-join against the read path's
-        :meth:`_dv_delete_frame` (its three decode regimes included),
-        the per-file bitmaps build and write executor-side, and the
-        updated copies join the distributed fresh frame.  The driver
-        touches one row per affected file."""
-        noop = {"version": None, "files": 0, "new_files": 0,
-                "rows_updated": 0}
-        version = self.latest_version() + 1
+    def _fresh_frame(self, spark, snap: Snapshot, frame: DataFrame):
+        """Distributed matched ``(_fp, _pos)`` frame → the FRESH rows
+        (``_fp``, ``_pos``, ``_afp``, ``_rel``): positions the
+        snapshot's existing deletion vectors already delete are
+        anti-joined away through the read path's
+        :meth:`_dv_delete_frame` (its three decode regimes included).
+        Shared by the executor tiers of update_where and the
+        CDC-enabled delete_where."""
         rel_map = spark.createDataFrame(
             [
                 (os.path.abspath(os.path.join(self.table_dir, rel)),
@@ -2054,7 +2068,184 @@ class DeltaLog:
                 & (m["_pos"] == dels["_d_pos"]),
                 "left_anti",
             )
-        fresh_df = m.persist()
+        return m
+
+    @staticmethod
+    def _cdf_enabled(snap: Snapshot) -> bool:
+        """Table property ``delta.enableChangeDataFeed`` (PROTOCOL.md
+        "Change Data Files"): when true, the DML write faces must
+        capture their row-level changes as ``_change_data`` files +
+        ``cdc`` actions, and :meth:`read_changes` must use those
+        instead of deriving."""
+        cfg = (snap.metadata_action or {}).get("configuration") or {}
+        return str(
+            cfg.get("delta.enableChangeDataFeed", "")
+        ).lower() == "true"
+
+    def _join_matched(self, spark, snap, phys, rels, sel):
+        """Scan ``rels`` (full physical data columns, row lineage) and
+        inner-join the matched ``(_afp, _pos)`` pairs — the shared
+        matched-row materialization the UPDATE rewrite and the CDC
+        captures build on.  Returns ``(joined_df, data_fields)`` with
+        LOGICAL column names."""
+        schema = snap.schema()
+        part_cols = list(snap.partition_columns)
+        data_fields = [f for f in schema.fields
+                       if f.name not in part_cols]
+        full_schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, True)
+            for f in data_fields
+        ])
+        scan = spark.read.schema(full_schema).parquet(
+            *[os.path.join(self.table_dir, r) for r in rels]
+        ).select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *[F.col(phys[f.name]).alias(f.name)
+              for f in data_fields],
+        )
+        joined = scan.withColumn("_afp", self._decoded_fp()).join(
+            sel, ["_afp", "_pos"], "inner"
+        )
+        return joined, data_fields
+
+    def _write_cdc_files(self, spark, version: int,
+                         pieces: list) -> list[dict]:
+        """Write ``_change_data/cdc-<version>-<i>.parquet`` files and
+        return their ``cdc`` actions (PROTOCOL.md "Add CDC File":
+        ``dataChange`` must be false — the rows describe changes, they
+        are not table content).  ``pieces`` = [(partitionValues, df)]
+        where ``df`` carries the table's PHYSICAL data columns plus
+        ``_change_type`` — the same physical layout as data files, so
+        mapped tables read their change feed like their data."""
+        from hadoop_sync_spark.io import write_single_parquet
+
+        os.makedirs(
+            os.path.join(self.table_dir, "_change_data"), exist_ok=True
+        )
+        actions: list[dict] = []
+        for i, (pv, df) in enumerate(pieces):
+            rel = f"_change_data/cdc-{version:010d}-{i}.parquet"
+            dest = os.path.join(self.table_dir, rel)
+            write_single_parquet(df, dest, "delta_cdc_")
+            actions.append({"cdc": {
+                "path": rel,
+                "partitionValues": dict(pv),
+                "size": os.path.getsize(dest),
+                "dataChange": False,
+            }})
+        return actions
+
+    def _cdc_capture_matched(
+        self, spark, snap, phys, groups, select_pairs, change_type
+    ) -> list:
+        """CDC pieces for matched EXISTING rows (delete preimages /
+        update preimages / merge preimages): per partition tuple, the
+        matched rows under physical names tagged ``change_type``."""
+        pieces = []
+        for pv_t in sorted(groups):
+            rels = groups[pv_t]
+            joined, data_fields = self._join_matched(
+                spark, snap, phys, rels, select_pairs(spark, rels)
+            )
+            pieces.append((dict(pv_t), joined.select(
+                *[F.col(f.name).alias(phys[f.name])
+                  for f in data_fields],
+                F.lit(change_type).alias("_change_type"),
+            )))
+        return pieces
+
+    def _updated_copies(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        phys: dict,
+        set_values: dict,
+        version: int,
+        groups: dict,
+        select_pairs,
+    ) -> tuple[list[dict], list]:
+        """Shared UPDATE rewrite (both tiers): per affected partition
+        tuple, scan the affected files, inner-join the matched fresh
+        ``(_afp, _pos)`` pairs from ``select_pairs(spark, rels)`` (a
+        tiny broadcast list on the driver tier, a filtered distributed
+        frame on the executor tier), apply the SET expressions and
+        write ONE updated-copy file.  Returns ``(add_actions,
+        cdc_pieces)`` — the pieces (pre+postimage rows per tuple) are
+        non-empty only when the table enables the change data feed."""
+        from pyspark.sql import Column
+
+        from hadoop_sync_spark.io import write_single_parquet
+
+        schema = snap.schema()
+        cdf = self._cdf_enabled(snap)
+        adds: list[dict] = []
+        cdc_pieces: list = []
+        for gi, pv_t in enumerate(sorted(groups)):
+            rels = groups[pv_t]
+            upd, data_fields = self._join_matched(
+                spark, snap, phys, rels, select_pairs(spark, rels)
+            )
+            # ONE select: every SET expression evaluates against the
+            # ORIGINAL row (simultaneous-assignment UPDATE semantics —
+            # sequential withColumn would let `SET k=9, v=k+1` see 9)
+            exprs = {
+                c: (v if isinstance(v, Column) else F.lit(v))
+                .cast(schema[c].dataType)
+                for c, v in set_values.items()
+            }
+            out = upd.select(*[
+                exprs.get(f.name, F.col(f.name)).alias(phys[f.name])
+                for f in data_fields
+            ])
+            rel_new = f"part-update-{version:010d}-{gi}.parquet"
+            write_single_parquet(
+                out, os.path.join(self.table_dir, rel_new),
+                "delta_update_",
+            )
+            adds.append(
+                self.add_action_for(
+                    rel_new, partitionValues=dict(pv_t)
+                )
+            )
+            if cdf:
+                pre = upd.select(
+                    *[F.col(f.name).alias(phys[f.name])
+                      for f in data_fields],
+                    F.lit("update_preimage").alias("_change_type"),
+                )
+                post = spark.read.parquet(
+                    os.path.join(self.table_dir, rel_new)
+                ).select(
+                    "*",
+                    F.lit("update_postimage").alias("_change_type"),
+                )
+                cdc_pieces.append(
+                    (dict(pv_t), pre.unionByName(post))
+                )
+        return adds, cdc_pieces
+
+    def _update_where_distributed(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        frame: DataFrame,
+        set_values: dict,
+        now_ms: int,
+        storage: str,
+        phys: dict,
+    ) -> dict:
+        """EXECUTOR tier of :meth:`update_where` (round 12): the
+        matched ``(_fp, _pos)`` frame stays distributed — existing-DV
+        subtraction is an anti-join against the read path's
+        :meth:`_dv_delete_frame` (its three decode regimes included),
+        the per-file bitmaps build and write executor-side, and the
+        updated copies join the distributed fresh frame.  The driver
+        touches one row per affected file."""
+        noop = {"version": None, "files": 0, "new_files": 0,
+                "rows_updated": 0}
+        version = self.latest_version() + 1
+        fresh_df = self._fresh_frame(spark, snap, frame).persist()
         try:
             rows = self._dv_build_distributed(
                 snap, fresh_df.select("_fp", "_pos"), version, storage,
@@ -2074,21 +2265,29 @@ class DeltaLog:
                     F.col("_afp").isin(abs_paths)
                 ).select("_afp", "_pos")
 
-            adds = self._updated_copies(
+            adds, cdc_pieces = self._updated_copies(
                 spark, snap, phys, set_values, version, groups,
                 select_pairs,
             )
+            proto = _protocol_with_feature(
+                snap.protocol
+                or {"minReaderVersion": 1, "minWriterVersion": 2},
+                "deletionVectors",
+            )
+            if cdc_pieces:
+                proto = _protocol_with_writer_feature(
+                    proto, "changeDataFeed"
+                )
             actions: list[dict] = [
                 {"commitInfo": {"timestamp": now_ms,
                                 "operation": "UPDATE"}},
-                {"protocol": _protocol_with_feature(
-                    snap.protocol
-                    or {"minReaderVersion": 1, "minWriterVersion": 2},
-                    "deletionVectors",
-                )},
+                {"protocol": proto},
             ]
             actions.extend(self._dv_actions_for(snap, rows, version))
             actions.extend(adds)
+            actions.extend(
+                self._write_cdc_files(spark, version, cdc_pieces)
+            )
             self.commit(version, actions)
             return {
                 "version": version,
@@ -2178,16 +2377,21 @@ class DeltaLog:
                 spark_.createDataFrame(sel_rows, ["_afp", "_pos"])
             )
 
-        adds = self._updated_copies(
+        adds, cdc_pieces = self._updated_copies(
             spark, snap, phys, set_values, version, groups, select_pairs
         )
+        proto = _protocol_with_feature(
+            snap.protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2},
+            "deletionVectors",
+        )
+        if cdc_pieces:
+            proto = _protocol_with_writer_feature(
+                proto, "changeDataFeed"
+            )
         actions: list[dict] = [
             {"commitInfo": {"timestamp": now_ms, "operation": "UPDATE"}},
-            {"protocol": _protocol_with_feature(
-                snap.protocol
-                or {"minReaderVersion": 1, "minWriterVersion": 2},
-                "deletionVectors",
-            )},
+            {"protocol": proto},
         ]
         for rel in sorted(fresh):
             prev = dict(snap.live[rel])
@@ -2198,6 +2402,9 @@ class DeltaLog:
             actions.append({"remove": {"path": rel, "dataChange": True}})
             actions.append({"add": prev})
         actions.extend(adds)
+        actions.extend(
+            self._write_cdc_files(spark, version, cdc_pieces)
+        )
         self.commit(version, actions)
         return {
             "version": version,
@@ -2381,9 +2588,17 @@ class DeltaLog:
         actions: list[dict] = [
             {"commitInfo": {"timestamp": now_ms, "operation": "MERGE"}},
         ]
+        cdf = self._cdf_enabled(snap)
         rows_matched = 0
         n_dv_files = 0
+        fresh_sets: dict[str, set[int]] = {}
+        fresh_df = None
         if frame is not None:
+            if cdf:
+                fresh_df = self._fresh_frame(
+                    spark, snap, frame
+                ).persist()
+                frame = fresh_df.select("_fp", "_pos")
             # EXECUTOR tier for the matched positions (round 12)
             dv_rows = self._dv_build_distributed(
                 snap, frame, version, storage, "merge_upsert"
@@ -2393,6 +2608,7 @@ class DeltaLog:
             actions.extend(
                 self._dv_actions_for(snap, dv_rows, version)
             )
+            affected = [r.rel for r in dv_rows]
         for rel in sorted(per_file):
             prev = dict(snap.live[rel])
             existing: set[int] = set()
@@ -2403,6 +2619,7 @@ class DeltaLog:
             fresh = per_file[rel] - existing
             if not fresh:
                 continue
+            fresh_sets[rel] = fresh
             rows_matched += len(fresh)
             n_dv_files += 1
             prev["deletionVector"] = self._dv_descriptor(
@@ -2414,12 +2631,97 @@ class DeltaLog:
             # the protocol upgrade rides ONLY a commit that actually
             # writes a DV — an all-new-keys batch must stay readable by
             # engines without the deletionVectors feature (r11 review)
-            actions.insert(1, {"protocol": _protocol_with_feature(
+            proto = _protocol_with_feature(
                 snap.protocol
                 or {"minReaderVersion": 1, "minWriterVersion": 2},
                 "deletionVectors",
-            )})
+            )
+            if cdf:
+                proto = _protocol_with_writer_feature(
+                    proto, "changeDataFeed"
+                )
+            actions.insert(1, {"protocol": proto})
         actions.extend(new_adds)
+        if cdf and rows_matched:
+            # CDC capture (spec: a commit carrying cdc actions must
+            # capture ALL its changes, inserts included; an all-new-
+            # keys merge writes none — readers derive pure inserts
+            # from the add actions).  Preimages are the matched old
+            # rows; source rows tag update_postimage when their key
+            # matched, insert otherwise.
+            if fresh_df is not None:
+                def select_pairs(spark_, rels):
+                    abs_paths = [
+                        os.path.abspath(
+                            os.path.join(self.table_dir, r))
+                        for r in rels
+                    ]
+                    return fresh_df.where(
+                        F.col("_afp").isin(abs_paths)
+                    ).select("_afp", "_pos")
+            else:
+                affected = sorted(fresh_sets)
+
+                def select_pairs(spark_, rels):
+                    sel_rows = [
+                        (os.path.abspath(
+                            os.path.join(self.table_dir, r)), p)
+                        for r in rels
+                        for p in sorted(fresh_sets[r])
+                    ]
+                    return F.broadcast(spark_.createDataFrame(
+                        sel_rows, ["_afp", "_pos"]))
+
+            groups = self._partition_groups(snap, affected)
+            pieces = self._cdc_capture_matched(
+                spark, snap, phys, groups, select_pairs,
+                "update_preimage",
+            )
+            # matched-key set for source-row classification (the
+            # preimage rows' key values, one more pruned scan)
+            pre_all, _ = self._join_matched(
+                spark, snap, phys, affected,
+                select_pairs(spark, affected),
+            )
+            pre_keys = pre_all.select(
+                F.col(key_col).alias("_mk")
+            ).distinct()
+            tagged = cast_src.join(
+                pre_keys, cast_src[key_col] == pre_keys["_mk"], "left"
+            ).withColumn(
+                "_change_type",
+                F.when(F.col("_mk").isNotNull(),
+                       F.lit("update_postimage"))
+                .otherwise(F.lit("insert")),
+            ).drop("_mk")
+            if part_cols:
+                for t in sorted(
+                    tuples,
+                    key=lambda r: tuple((v is None, v) for v in r),
+                ):
+                    cond = None
+                    for c in part_cols:
+                        term = F.col(c).eqNullSafe(F.lit(t[c]))
+                        cond = term if cond is None else cond & term
+                    pieces.append((
+                        {phys.get(c, c): _pv_str(t[c])
+                         for c in part_cols},
+                        tagged.where(cond).select(
+                            *[F.col(n).alias(phys[n])
+                              for n in data_names],
+                            "_change_type",
+                        ),
+                    ))
+            else:
+                pieces.append(({}, tagged.select(
+                    *[F.col(n).alias(phys[n]) for n in names],
+                    "_change_type",
+                )))
+            actions.extend(
+                self._write_cdc_files(spark, version, pieces)
+            )
+        if fresh_df is not None:
+            fresh_df.unpersist()
         self.commit(version, actions)
         return {
             "version": version,
@@ -2598,12 +2900,18 @@ class DeltaLog:
         Output columns: the table's data columns (pinned to the
         ``to_version`` schema, so pre-``add_column`` files null-fill) +
         partition columns + ``_change_type`` + ``_commit_version``.
-        ``update_where``/``merge_upsert`` therefore surface as
-        delete+insert pairs — there is no update_pre/postimage without
-        CDC files, documented honestly.  Referenced data files must
-        still exist (pre-vacuum) or the read refuses by name; DV diffs
-        decode driver-side under the summed-cardinality cap.  Mapped
-        tables resolve like :meth:`read` (id mode refuses)."""
+
+        **Change data files (round 12)**: a version carrying ``cdc``
+        actions is read FROM THOSE FILES instead of derived — the
+        spec's reader rule, and where ``update_preimage`` /
+        ``update_postimage`` come from (the write faces produce them
+        when the table sets ``delta.enableChangeDataFeed``).  Without
+        cdc actions, ``update_where``/``merge_upsert`` surface as
+        delete+insert pairs, documented honestly.  Referenced data and
+        cdc files must still exist (pre-vacuum) or the read refuses by
+        name; DV diffs decode driver-side under the summed-cardinality
+        cap.  Mapped tables resolve like :meth:`read` (id mode
+        refuses)."""
         from hadoop_sync_spark.io import attach_file_columns
 
         if to_version is None:
@@ -2653,6 +2961,7 @@ class DeltaLog:
             for rel, a in state.items()
             if a.get("partitionValues")
         }
+        cdc_versions: list[tuple[int, list[dict]]] = []
         for v in range(from_version, to_version + 1):
             with open(_commit_path(self.table_dir, v),
                       encoding="utf-8") as fh:
@@ -2661,6 +2970,23 @@ class DeltaLog:
                      for a in actions if "add" in a}
             removed = {a["remove"]["path"]: a["remove"]
                        for a in actions if "remove" in a}
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+            if cdcs:
+                # PROTOCOL.md "Change Data Files": when a version
+                # carries cdc actions they capture ALL its changes —
+                # readers must use THEM and ignore add/remove for CDF
+                # purposes (this is where update_pre/postimage come
+                # from; derivation can only say delete+insert).  The
+                # live-state bookkeeping below still runs so later
+                # derived versions see the right cursor.
+                cdc_versions.append((v, cdcs))
+                for rel in removed:
+                    state.pop(rel, None)
+                for rel, add in added.items():
+                    state[rel] = add
+                    if add.get("partitionValues"):
+                        part_vals[rel] = add["partitionValues"]
+                continue
             for rel, rm in removed.items():
                 if rel in added:
                     old_desc = state.get(rel) or {}
@@ -2737,10 +3063,13 @@ class DeltaLog:
         touched = sorted(
             {r[0] for r in ev_rows} | {r[0] for r in pos_rows}
         )
-        if not touched:
+        if not touched and not cdc_versions:
             return spark.createDataFrame([], out_schema)
         missing = [
-            rel for rel in touched
+            rel
+            for rel in (touched
+                        + [c["path"]
+                           for _, cdcs in cdc_versions for c in cdcs])
             if not os.path.exists(os.path.join(self.table_dir, rel))
         ]
         if missing:
@@ -2772,6 +3101,57 @@ class DeltaLog:
             T.StructField(phys[f.name], f.dataType, True)
             for f in data_fields
         ])
+        data_exprs = [
+            F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+            for f in data_fields
+        ] + [
+            F.col(c).cast(schema[c].dataType).alias(c)
+            for c in part_cols
+        ]
+        #: cdc-versioned frames in FINAL shape (built first so a
+        #: cdc-only range never constructs the derivation scan)
+        final_frames: list[DataFrame] = []
+        cdc_schema = T.StructType(
+            list(phys_schema.fields)
+            + [T.StructField("_change_type", T.StringType(), True)]
+        )
+        for v, cdcs in cdc_versions:
+            cscan = spark.read.schema(cdc_schema).parquet(*[
+                os.path.join(self.table_dir, c["path"]) for c in cdcs
+            ])
+            if part_cols:
+                crows = []
+                for c in cdcs:
+                    pv = c.get("partitionValues") or {}
+                    crows.append(
+                        (os.path.abspath(os.path.join(
+                            self.table_dir, c["path"])),)
+                        + tuple(
+                            None
+                            if pv.get(meta_phys[pc], pv.get(pc)) is None
+                            else str(pv.get(meta_phys[pc],
+                                            pv.get(pc)))
+                            for pc in part_cols
+                        )
+                    )
+                cdf_df = attach_file_columns(
+                    cscan, crows, list(part_cols),
+                    what="delta cdc partition",
+                    types={pc: T.StringType() for pc in part_cols},
+                )
+            else:
+                cdf_df = cscan
+            final_frames.append(cdf_df.select(
+                *data_exprs,
+                F.col("_change_type").cast("string")
+                .alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            ))
+        if not touched:
+            out = final_frames[0]
+            for p in final_frames[1:]:
+                out = out.unionByName(p, allowMissingColumns=False)
+            return out
         scan = spark.read.schema(phys_schema).parquet(
             *[os.path.join(self.table_dir, rel) for rel in touched]
         ).select(
@@ -2786,13 +3166,6 @@ class DeltaLog:
             scan, rows, ["_rel", *part_cols], what="delta change feed",
             types={c: T.StringType() for c in ["_rel", *part_cols]},
         )
-        data_exprs = [
-            F.col(phys[f.name]).cast(f.dataType).alias(f.name)
-            for f in data_fields
-        ] + [
-            F.col(c).cast(schema[c].dataType).alias(c)
-            for c in part_cols
-        ]
         pieces = []
         if ev_rows:
             ev_df = spark.createDataFrame(
@@ -2820,12 +3193,15 @@ class DeltaLog:
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p, allowMissingColumns=False)
-        return out.select(
+        out = out.select(
             *data_exprs,
             F.col("_change_type").cast("string").alias("_change_type"),
             F.col("_commit_version").cast("long")
             .alias("_commit_version"),
         )
+        for p in final_frames:
+            out = out.unionByName(p, allowMissingColumns=False)
+        return out
 
     # ---- checkpoints ---------------------------------------------------
     _CP_COLS = ("protocol", "metaData", "add", "remove")

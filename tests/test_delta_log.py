@@ -2261,6 +2261,130 @@ def test_merge_upsert_executor_tier_over_cap(spark, tmp_path):
         del log.DELETE_WHERE_ROW_LIMIT
 
 
+def _cdf_meta(partition_cols=()):
+    m = _meta(partition_cols)
+    m["metaData"]["configuration"] = {
+        "delta.enableChangeDataFeed": "true"
+    }
+    if partition_cols:
+        m["metaData"]["schemaString"] = PART_SCHEMA_JSON
+    return m
+
+
+def test_change_data_feed_write_and_read(spark, tmp_path):
+    """delta.enableChangeDataFeed=true (round 12): the DML faces write
+    _change_data files + cdc actions (dataChange false), read_changes
+    consumes THEM for those versions — update/merge gain real
+    update_pre/postimage rows — and the composed feed still replays to
+    the final state.  Pure appends write no cdc (readers derive)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    d, log = _mk_table(tmp_path, "cdf")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _cdf_meta(),
+                   log.add_action_for("a.parquet")])
+    # v1: UPDATE -> pre/postimages in the feed
+    log.update_where(spark, {"k": (2, 3)}, {"v": F.col("v") + 100},
+                     now_ms=1000)
+    ev = {(r.k, r.v, r._change_type)
+          for r in log.read_changes(spark, 1, 1).collect()}
+    assert ev == {(2, 20, "update_preimage"), (3, 30, "update_preimage"),
+                  (2, 120, "update_postimage"),
+                  (3, 130, "update_postimage")}
+    # v2: DELETE -> delete rows via the cdc file
+    log.delete_where(spark, {"k": (1, 1)}, now_ms=2000)
+    ev2 = {(r.k, r.v, r._change_type)
+           for r in log.read_changes(spark, 2, 2).collect()}
+    assert ev2 == {(1, 10, "delete")}
+    # v3: MERGE -> preimage for the matched key, postimage + insert
+    src = spark.createDataFrame([(2, 999), (7, 70)], ["k", "v"])
+    log.merge_upsert(spark, src, "k", now_ms=3000)
+    ev3 = {(r.k, r.v, r._change_type)
+           for r in log.read_changes(spark, 3, 3).collect()}
+    assert ev3 == {(2, 120, "update_preimage"),
+                   (2, 999, "update_postimage"), (7, 70, "insert")}
+    # v4: pure append writes NO cdc action; the feed derives an insert
+    _write_file(d, "b.parquet", {"k": [9], "v": [90]})
+    log.commit(4, [log.add_action_for("b.parquet")])
+    with open(os.path.join(d, "_delta_log",
+                           "00000000000000000004.json")) as fh:
+        assert not any("cdc" in json.loads(ln)
+                       for ln in fh if ln.strip())
+    ev4 = {(r.k, r.v, r._change_type)
+           for r in log.read_changes(spark, 4, 4).collect()}
+    assert ev4 == {(9, 90, "insert")}
+    # protocol: changeDataFeed is a WRITER feature only
+    proto = log.snapshot().protocol
+    assert "changeDataFeed" in proto["writerFeatures"]
+    assert "changeDataFeed" not in (proto.get("readerFeatures") or [])
+    # cdc actions: dataChange false, files under _change_data/
+    with open(os.path.join(d, "_delta_log",
+                           "00000000000000000001.json")) as fh:
+        cdcs = [json.loads(ln)["cdc"] for ln in fh
+                if ln.strip() and "cdc" in json.loads(ln)]
+    assert cdcs and all(c["dataChange"] is False for c in cdcs)
+    assert all(c["path"].startswith("_change_data/") for c in cdcs)
+    # full replay from 0 lands on the final table state
+    state: Counter = Counter()
+    for r in log.read_changes(spark, 0).collect():
+        delta = (-1 if r._change_type in ("delete", "update_preimage")
+                 else 1)
+        state[(r.k, r.v)] += delta
+    final = Counter((r.k, r.v) for r in log.read(spark).collect())
+    assert +state == final
+
+
+def test_change_data_feed_partitioned_and_executor_tier(spark,
+                                                        tmp_path):
+    """CDF on a partitioned table splits cdc files per tuple (the
+    reader attaches partition columns from the cdc action's
+    partitionValues), and the over-cap executor tier captures the same
+    events through the distributed fresh frame."""
+    from pyspark.sql import functions as F
+
+    d, log = _mk_table(tmp_path, "cdf_part")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    _write_file(d, "b.parquet", {"k": [3], "v": [30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _cdf_meta(("p",)),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "1"})])
+    log.DELETE_WHERE_ROW_LIMIT = 0  # executor tier for every face
+    try:
+        log.update_where(spark, {"k": (2, 3)},
+                         {"v": F.col("v") + 1}, now_ms=1000)
+        ev = {(r.k, r.v, r.p, r._change_type)
+              for r in log.read_changes(spark, 1, 1).collect()}
+        assert ev == {(2, 20, 0, "update_preimage"),
+                      (2, 21, 0, "update_postimage"),
+                      (3, 30, 1, "update_preimage"),
+                      (3, 31, 1, "update_postimage")}
+        log.delete_where(spark, {"k": (1, 2)}, now_ms=2000)
+        ev2 = {(r.k, r.v, r.p, r._change_type)
+               for r in log.read_changes(spark, 2, 2).collect()}
+        assert ev2 == {(1, 10, 0, "delete"), (2, 21, 0, "delete")}
+        # partitioned merge + CDF, over-cap keys
+        src = spark.createDataFrame([(3, 300, 1), (8, 80, 2)],
+                                    ["k", "v", "p"])
+        log.merge_upsert(spark, src, "k", now_ms=3000)
+        ev3 = {(r.k, r.v, r.p, r._change_type)
+               for r in log.read_changes(spark, 3, 3).collect()}
+        assert ev3 == {(3, 31, 1, "update_preimage"),
+                       (3, 300, 1, "update_postimage"),
+                       (8, 80, 2, "insert")}
+    finally:
+        del log.DELETE_WHERE_ROW_LIMIT
+    # deletes a second time are no-ops: no cdc rows, no commit
+    v = log.latest_version()
+    assert log.delete_where(spark, {"k": (1, 1)}) == {
+        "version": None, "files": 0, "rows_deleted": 0}
+    assert log.latest_version() == v
+
+
 def test_checkpoint_seeded_protocol_drops_parquet_nulls(spark, tmp_path):
     """A protocol committed without minWriterVersion round-trips
     through the parquet checkpoint's nullable struct as an explicit

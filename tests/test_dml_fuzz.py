@@ -98,7 +98,7 @@ class DeltaHarness:
     the protocol's own layout."""
 
     def __init__(self, spark, table_dir: str, mapped: bool,
-                 partitioned: bool = False):
+                 partitioned: bool = False, cdf: bool = False):
         self.spark = spark
         self.d = table_dir
         self.mapped = mapped
@@ -111,6 +111,12 @@ class DeltaHarness:
             if mapped
             else {}
         )
+        if cdf:
+            # round 12: the DML faces then WRITE _change_data files and
+            # the end-of-run CDF replay consumes them instead of
+            # deriving — running the same model check over both paths
+            conf = dict(conf)
+            conf["delta.enableChangeDataFeed"] = "true"
         # legacy version-number forms on purpose (feature lists exist
         # only at reader 3 / writer 7): the DV faces must upgrade them
         proto = (
@@ -488,7 +494,8 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
                   partitioned: bool = False,
                   with_rollback: bool = False,
                   drop_ops: tuple = (),
-                  partitioned_merge: bool = False):
+                  partitioned_merge: bool = False,
+                  cdf_enabled: bool = False):
     rng = random.Random(seed)
     ops = _gen_sequence(rng, n_ops, with_ddl, partitioned,
                         with_rollback, partitioned_merge)
@@ -498,7 +505,7 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
         # executor-tier variants whose refusal contracts exclude an op
         ops = [op for op in ops if op["op"] not in drop_ops]
     delta = DeltaHarness(spark, str(tmp_path / f"d{seed}"), mapped,
-                         partitioned)
+                         partitioned, cdf=cdf_enabled)
     ice = IcebergHarness(spark, str(tmp_path / f"i{seed}"),
                          partitioned)
     model: list[tuple] = []
@@ -660,7 +667,9 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     for ver in sorted(by_ver):
         for r in by_ver[ver]:
             kv = tuple(r[c] for c in final_cols)
-            state[kv] += -1 if r._change_type == "delete" else 1
+            # CDF convention: update_preimage is the removed old row
+            state[kv] += (-1 if r._change_type
+                          in ("delete", "update_preimage") else 1)
         bad = {kv: c for kv, c in state.items() if c < 0}
         assert not bad, (
             f"CDF replay went negative at version {ver}: seed={seed} "
@@ -761,6 +770,19 @@ def test_dml_sequence_rollback_partitioned_mapped(spark, tmp_path,
                         mapped=True, partitioned=True,
                         with_rollback=True)
     assert res["rollbacks"] >= 1
+
+
+@pytest.mark.parametrize("seed", [11, 41])
+def test_dml_sequence_cdf_written_feed(spark, tmp_path, seed):
+    # round 12: delta.enableChangeDataFeed makes the Delta faces WRITE
+    # _change_data files (update_pre/postimage included) and the
+    # end-of-run CDF replay consumes those instead of deriving — the
+    # SAME seeds as the derived-feed tests (11 plain, 41 partitioned),
+    # so written-CDC and derived-CDC are proven equivalent on
+    # identical op sequences
+    _run_sequence(spark, tmp_path, seed, n_ops=9 if seed == 11 else 10,
+                  mapped=False, partitioned=(seed == 41),
+                  cdf_enabled=True)
 
 
 @pytest.mark.parametrize("seed", [1401, 1431])
