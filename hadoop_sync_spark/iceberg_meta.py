@@ -1979,11 +1979,12 @@ class IcebergTable:
     #: matched (file, position) pairs and merge key sets — the
     #: write-side analogue of the read path's delete-broadcast
     #: ceiling.  At or under it, matches collect driver-side
-    #: (cheapest at fixture scale).  ABOVE it (round 12) delete_rows
-    #: and merge_upsert switch to the EXECUTOR tier — position/equality
-    #: delete parquets write straight from the distributed frames —
-    #: while update_rows (whose rewrite join still materializes
-    #: positions) keeps the honest refusal.
+    #: (cheapest at fixture scale).  ABOVE it (round 12) every DML
+    #: face — delete_rows, update_rows and merge_upsert — switches to
+    #: the EXECUTOR tier: position/equality delete parquets write
+    #: straight from the distributed frames and update's rewrite joins
+    #: the fresh frame, so no predicate selectivity materializes
+    #: positions on the driver.
     DELETE_ROWS_LIMIT = 1_000_000
 
     def _matched_per_raw(self, spark, column_filter: dict, face: str):
@@ -2139,52 +2140,9 @@ class IcebergTable:
                     "position-delete write"
                 )
             n = out.count()
-            nparts = max(
-                1, _math.ceil(n / self.POS_DELETE_FILE_ROWS)
+            entries = self._pos_delete_entries_from_frame(
+                out, n, meta, seq
             )
-            staging = _tempfile.mkdtemp(prefix="iceberg_posdel_")
-            try:
-                (
-                    out.repartitionByRange(nparts, "file_path", "pos")
-                    .sortWithinPartitions("file_path", "pos")
-                    .write.mode("overwrite")
-                    .parquet(staging)
-                )
-                spec_fields = self._spec_fields(meta, 0)
-                entries = []
-                for i, pf in enumerate(
-                    sorted(
-                        _glob.glob(
-                            os.path.join(staging, "part-*.parquet")
-                        )
-                    )
-                ):
-                    rows = pq.read_metadata(pf).num_rows
-                    if rows == 0:
-                        continue
-                    rel = f"data/delete-pos-{seq}-{i}.parquet"
-                    os.replace(pf, os.path.join(self.dir, rel))
-                    entries.append({
-                        "status": _STATUS_ADDED,
-                        "snapshot_id": None,
-                        "sequence_number": None,
-                        "file_sequence_number": None,
-                        "data_file": {
-                            "content": _CONTENT_POS_DELETES,
-                            "file_path": rel,
-                            "file_format": "PARQUET",
-                            "partition": {
-                                f["name"]: None for f in spec_fields
-                            },
-                            "record_count": rows,
-                            "file_size_in_bytes": os.path.getsize(
-                                os.path.join(self.dir, rel)
-                            ),
-                            "equality_ids": None,
-                        },
-                    })
-            finally:
-                _shutil.rmtree(staging, ignore_errors=True)
             self._commit_snapshot(
                 self._live_entries(),
                 "delete",
@@ -2194,6 +2152,69 @@ class IcebergTable:
             return n
         finally:
             out.unpersist()
+
+    def _pos_delete_entries_from_frame(
+        self, pairs, n: int, meta: dict, seq: int
+    ) -> list[dict]:
+        """Write globally-sorted position-delete parquet(s) straight
+        from a distributed ``(file_path, pos)`` frame (~\
+        :data:`POS_DELETE_FILE_ROWS` rows each) and return their
+        manifest entries WITHOUT committing — shared by
+        :meth:`_add_position_deletes_distributed` (its own snapshot)
+        and the executor tier of :meth:`update_rows` (one snapshot
+        carrying delete + rewritten copies)."""
+        import glob as _glob
+        import math as _math
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        import pyarrow.parquet as pq
+
+        nparts = max(1, _math.ceil(n / self.POS_DELETE_FILE_ROWS))
+        staging = _tempfile.mkdtemp(prefix="iceberg_posdel_")
+        entries: list[dict] = []
+        try:
+            (
+                pairs.repartitionByRange(nparts, "file_path", "pos")
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            spec_fields = self._spec_fields(meta, 0)
+            for i, pf in enumerate(
+                sorted(
+                    _glob.glob(
+                        os.path.join(staging, "part-*.parquet")
+                    )
+                )
+            ):
+                rows = pq.read_metadata(pf).num_rows
+                if rows == 0:
+                    continue
+                rel = f"data/delete-pos-{seq}-{i}.parquet"
+                os.replace(pf, os.path.join(self.dir, rel))
+                entries.append({
+                    "status": _STATUS_ADDED,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": _CONTENT_POS_DELETES,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            f["name"]: None for f in spec_fields
+                        },
+                        "record_count": rows,
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(self.dir, rel)
+                        ),
+                        "equality_ids": None,
+                    },
+                })
+        finally:
+            _shutil.rmtree(staging, ignore_errors=True)
+        return entries
 
     def delete_rows(self, spark, column_filter: dict,
                     now_ms: int = 0) -> int:
@@ -2257,7 +2278,13 @@ class IcebergTable:
         columns in the predicate.  Renamed histories are SUPPORTED
         (round 12): both the predicate scan and the rewrite-copy scan
         resolve by name variant, and the copies land under the CURRENT
-        names.  The :data:`DELETE_ROWS_LIMIT` cap applies."""
+        names.  Matches above :data:`DELETE_ROWS_LIMIT` switch to the
+        EXECUTOR tier (round 12, the last write-face cap lifted):
+        positions stay distributed end to end — existing position
+        deletes subtract via a sequence-aware anti-join on the delete
+        parquets read through Spark, the rewrite copies join the
+        distributed fresh frame, and the position-delete parquets
+        write straight from it."""
         import pyarrow.parquet as pq
         from pyspark.sql import Column
         from pyspark.sql import functions as F
@@ -2307,49 +2334,127 @@ class IcebergTable:
         )
         if per_raw is None and frame is None:
             return 0
-        if frame is not None:
-            # delete_rows and the Delta twin lifted their caps in round
-            # 12; this face still materializes matched positions for
-            # the rewrite-copy join — honest refusal, same text as r11
-            raise ValueError(
-                f"update_rows matched over {self.DELETE_ROWS_LIMIT} "
-                "rows, the driver materialization cap — use "
-                "delete_rows + append for rewrites of this size"
-            )
         cand_by_raw = {f.raw_path: f for f in cand}
-        #: rows existing POSITION deletes already hide, per raw path —
-        #: SEQUENCE-AWARE (round-11 review): a delete applies to a data
-        #: file only when data sequence ≤ delete sequence, so a file
-        #: re-added after the delete ignores it on read and must ignore
-        #: it here too.  Metadata-gated: the summed record_count of the
-        #: applicable delete files must fit the same cap the match list
-        #: obeys before any payload is read.
         pos_dels = [d for d in deletes
                     if d.content == _CONTENT_POS_DELETES]
-        total_del_rows = sum(d.record_count for d in pos_dels)
-        if total_del_rows > self.DELETE_ROWS_LIMIT:
-            raise ValueError(
-                f"update_rows with {total_del_rows} existing "
-                "position-delete rows, over the driver materialization "
-                "cap — compact the table first"
+        fresh_frame = None
+        if frame is not None:
+            # EXECUTOR tier (round 12 — the last write-face cap
+            # lifted): the matched frame stays distributed; existing
+            # position deletes subtract via a SEQUENCE-AWARE anti-join
+            # against the delete parquets read through Spark, the
+            # rewrite-copy joins filter the fresh frame per partition
+            # group, and the position-delete parquets write straight
+            # from the frame.  The driver materializes only the
+            # affected file list (metadata scale).
+            raw_map = spark.createDataFrame(
+                [
+                    (_norm_path(f.path), f.raw_path, f.sequence)
+                    for f in cand
+                ],
+                ["_np", "_raw", "_fseq"],
             )
-        pos_sets: dict[str, set[int]] = {}
-        for d in pos_dels:
-            tb = pq.read_table(d.path, columns=["file_path", "pos"])
-            for fp, p in zip(tb["file_path"].to_pylist(),
-                             tb["pos"].to_pylist()):
-                f = cand_by_raw.get(fp)
-                if f is not None and f.sequence <= d.sequence:
-                    pos_sets.setdefault(fp, set()).add(p)
-        fresh = {
-            raw: poss - pos_sets.get(raw, set())
-            for raw, poss in per_raw.items()
-        }
-        fresh = {raw: poss for raw, poss in fresh.items() if poss}
-        if not fresh:
-            return 0
+            decoded = F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_fp"), "^file:(//)?", ""
+                    ),
+                    r"\+",
+                    "%2B",
+                )
+            )
+            m = frame.withColumn("_np", decoded).join(
+                F.broadcast(raw_map), "_np", "left"
+            )
+            if pos_dels:
+                dels = None
+                for d in pos_dels:
+                    dfd = spark.read.parquet(d.path).select(
+                        F.col("file_path").alias("_d_file"),
+                        F.col("pos").cast("long").alias("_d_pos"),
+                        F.lit(d.sequence).alias("_dseq"),
+                    )
+                    dels = (dfd if dels is None
+                            else dels.unionByName(dfd))
+                m = m.join(
+                    dels,
+                    (m["_raw"] == dels["_d_file"])
+                    & (m["_pos"] == dels["_d_pos"])
+                    & (F.col("_fseq") <= dels["_dseq"]),
+                    "left_anti",
+                )
+            fresh_frame = m.persist()
+            if fresh_frame.where(F.col("_raw").isNull()).first():
+                fresh_frame.unpersist()
+                raise ValueError(
+                    "scanned file missing from the snapshot map "
+                    "(URI normalization mismatch) in the executor-tier "
+                    "update"
+                )
+            n_updated = fresh_frame.count()
+            if n_updated == 0:
+                fresh_frame.unpersist()
+                return 0
+            affected = sorted(
+                r[0]
+                for r in fresh_frame.select("_raw")
+                .distinct().collect()
+            )
+
+            def select_pairs(raws):
+                norms = [_norm_path(cand_by_raw[r].path)
+                         for r in raws]
+                return fresh_frame.where(
+                    F.col("_np").isin(norms)
+                ).select(F.col("_np").alias("_afp"), "_pos")
+        else:
+            #: rows existing POSITION deletes already hide, per raw
+            #: path — SEQUENCE-AWARE (round-11 review): a delete
+            #: applies to a data file only when data sequence ≤ delete
+            #: sequence, so a file re-added after the delete ignores
+            #: it on read and must ignore it here too.  Metadata-gated:
+            #: the summed record_count of the applicable delete files
+            #: must fit the same cap the match list obeys before any
+            #: payload is read (executor-tier updates read them
+            #: through Spark instead).
+            total_del_rows = sum(d.record_count for d in pos_dels)
+            if total_del_rows > self.DELETE_ROWS_LIMIT:
+                raise ValueError(
+                    f"update_rows with {total_del_rows} existing "
+                    "position-delete rows, over the driver "
+                    "materialization cap — compact the table first"
+                )
+            pos_sets: dict[str, set[int]] = {}
+            for d in pos_dels:
+                tb = pq.read_table(
+                    d.path, columns=["file_path", "pos"]
+                )
+                for fp, p in zip(tb["file_path"].to_pylist(),
+                                 tb["pos"].to_pylist()):
+                    f = cand_by_raw.get(fp)
+                    if f is not None and f.sequence <= d.sequence:
+                        pos_sets.setdefault(fp, set()).add(p)
+            fresh = {
+                raw: poss - pos_sets.get(raw, set())
+                for raw, poss in per_raw.items()
+            }
+            fresh = {raw: poss for raw, poss in fresh.items() if poss}
+            if not fresh:
+                return 0
+            n_updated = sum(len(v) for v in fresh.values())
+            affected = sorted(fresh)
+
+            def select_pairs(raws):
+                sel_rows = [
+                    (_norm_path(cand_by_raw[r].path), p)
+                    for r in raws
+                    for p in sorted(fresh[r])
+                ]
+                return F.broadcast(
+                    spark.createDataFrame(sel_rows, ["_afp", "_pos"])
+                )
         groups: dict[tuple, list[str]] = {}
-        for raw in fresh:
+        for raw in affected:
             pv = cand_by_raw[raw].partition
             groups.setdefault(tuple(sorted(pv.items())), []).append(raw)
         seq = meta["last-sequence-number"] + 1
@@ -2382,12 +2487,6 @@ class IcebergTable:
                 F.col("_metadata.row_index").alias("_pos"),
                 *[_lcol(f.name).alias(f.name) for f in full.fields],
             )
-            sel_rows = [
-                (_norm_path(cand_by_raw[r].path), p)
-                for r in raws
-                for p in sorted(fresh[r])
-            ]
-            sel_df = spark.createDataFrame(sel_rows, ["_afp", "_pos"])
             decoded = F.url_decode(
                 F.regexp_replace(
                     F.regexp_replace(F.col("_fp"), "^file:(//)?", ""),
@@ -2396,7 +2495,7 @@ class IcebergTable:
                 )
             )
             upd = src.withColumn("_afp", decoded).join(
-                F.broadcast(sel_df), ["_afp", "_pos"], "inner"
+                select_pairs(raws), ["_afp", "_pos"], "inner"
             )
             # ONE select: every SET expression evaluates against the
             # ORIGINAL row (simultaneous-assignment UPDATE semantics)
@@ -2415,7 +2514,7 @@ class IcebergTable:
 
             write_single_parquet(out, dest, "iceberg_update_")
             lb, ub = parquet_column_bounds(dest, schema_fields)
-            n_rows = sum(len(fresh[r]) for r in raws)
+            n_rows = pq.read_metadata(dest).num_rows
             new_entries.append({
                 "status": _STATUS_ADDED,
                 "snapshot_id": None,
@@ -2439,44 +2538,57 @@ class IcebergTable:
                     ] or None,
                 },
             })
-        # the position-delete file covering the replaced rows
-        pairs = sorted(
-            (raw, p) for raw in fresh for p in fresh[raw]
-        )
-        import pyarrow as pa
+        # the position-delete file(s) covering the replaced rows
+        if fresh_frame is not None:
+            del_entries = self._pos_delete_entries_from_frame(
+                fresh_frame.select(
+                    F.col("_raw").alias("file_path"),
+                    F.col("_pos").cast("long").alias("pos"),
+                ),
+                n_updated, meta, seq,
+            )
+            fresh_frame.unpersist()
+        else:
+            pairs = sorted(
+                (raw, p) for raw in fresh for p in fresh[raw]
+            )
+            import pyarrow as pa
 
-        del_rel = f"data/delete-pos-{seq}.parquet"
-        del_path = os.path.join(self.dir, del_rel)
-        pq.write_table(
-            pa.table({
-                "file_path": pa.array([p for p, _ in pairs],
-                                      pa.string()),
-                "pos": pa.array([p for _, p in pairs], pa.int64()),
-            }),
-            del_path,
-        )
-        del_entry = {
-            "status": _STATUS_ADDED,
-            "snapshot_id": None,
-            "sequence_number": None,
-            "file_sequence_number": None,
-            "data_file": {
-                "content": _CONTENT_POS_DELETES,
-                "file_path": del_rel,
-                "file_format": "PARQUET",
-                "partition": {f["name"]: None for f in spec_fields},
-                "record_count": len(pairs),
-                "file_size_in_bytes": os.path.getsize(del_path),
-                "equality_ids": None,
-            },
-        }
+            del_rel = f"data/delete-pos-{seq}.parquet"
+            del_path = os.path.join(self.dir, del_rel)
+            pq.write_table(
+                pa.table({
+                    "file_path": pa.array([p for p, _ in pairs],
+                                          pa.string()),
+                    "pos": pa.array([p for _, p in pairs],
+                                    pa.int64()),
+                }),
+                del_path,
+            )
+            del_entries = [{
+                "status": _STATUS_ADDED,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": _CONTENT_POS_DELETES,
+                    "file_path": del_rel,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        f["name"]: None for f in spec_fields
+                    },
+                    "record_count": len(pairs),
+                    "file_size_in_bytes": os.path.getsize(del_path),
+                    "equality_ids": None,
+                },
+            }]
         self._commit_snapshot(
             self._live_entries() + new_entries,
             "overwrite",
             now_ms,
-            delete_entries=self._live_delete_entries() + [del_entry],
+            delete_entries=self._live_delete_entries() + del_entries,
         )
-        return len(pairs)
+        return n_updated
 
     def add_equality_deletes(
         self, rows: list[dict], equality_ids: list[int], now_ms: int = 0

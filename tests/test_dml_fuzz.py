@@ -811,18 +811,17 @@ def test_dml_sequence_delta_executor_tier(spark, tmp_path, seed,
     _run_sequence(spark, tmp_path, seed, n_ops=9, mapped=False)
 
 
-@pytest.mark.parametrize("seed", [1303])
+@pytest.mark.parametrize("seed", [1303, 1306])
 def test_dml_sequence_iceberg_executor_tier(spark, tmp_path, seed,
                                             monkeypatch):
     # the Iceberg twin's executor tier: cap 0 routes delete_rows
-    # through the distributed position-delete write and merge_upsert
-    # through the distributed equality-delete write.  update_rows
-    # keeps its documented cap refusal, so updates are dropped from
-    # the op mix (legality-preserving).
+    # through the distributed position-delete write, update_rows
+    # through the distributed rewrite (round 12 lifted its refusal
+    # last) and merge_upsert through the distributed equality-delete
+    # write — full op mix, both twins at cap 0, model-checked.
     monkeypatch.setattr(IcebergTable, "DELETE_ROWS_LIMIT", 0)
     monkeypatch.setattr(DeltaLog, "DELETE_WHERE_ROW_LIMIT", 0)
-    _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False,
-                  drop_ops=("update",))
+    _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False)
 
 
 def test_dml_sequence_with_maintenance(spark, tmp_path):

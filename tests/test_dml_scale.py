@@ -105,6 +105,31 @@ def test_iceberg_delete_rows_over_one_million(spark, tmp_path):
         list(range(10))
 
 
+def test_iceberg_update_rows_over_one_million(spark, tmp_path):
+    """update_rows' executor tier at the REAL cap (round 12 lifted the
+    last write-face refusal): >1M matched rows rewrite + position-
+    delete in one snapshot with no driver materialization."""
+    d = str(tmp_path / "ice_upd_big")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("v", "bigint")], now_ms=1000
+    )
+    p = os.path.join(d, "data", "f1.parquet")
+    _spark_write_kv(spark, p, 0, N)
+    t.append([DataFile("data/f1.parquet", {}, N, os.path.getsize(p))],
+             now_ms=2000)
+    assert t.DELETE_ROWS_LIMIT == 1_000_000
+    from pyspark.sql import functions as F
+
+    n = t.update_rows(spark, {"k": (5, None)},
+                      {"v": F.col("v") + 1}, now_ms=3000)
+    assert n == N - 5
+    agg = t.read(spark).selectExpr(
+        "count(*) AS n", "sum(v) AS s").collect()[0]
+    assert agg.n == N
+    assert agg.s == 10 * (N * (N - 1)) // 2 + (N - 5)
+
+
 def test_delta_update_where_over_one_million(spark, tmp_path):
     """update_where's executor tier at real cap: >1M matched rows DV
     out and rewrite without driver materialization."""

@@ -1696,9 +1696,14 @@ def test_delete_rows_predicate_position_deletes(spark, tmp_path):
         got_pairs = list(zip(tb["file_path"].to_pylist(),
                              tb["pos"].to_pylist()))
         assert got_pairs == sorted(got_pairs)
-        # update_rows keeps its cap: honest refusal names the path out
-        with pytest.raises(ValueError, match="materialization cap"):
-            t.update_rows(spark, {"id": (2, 2)}, {"val": "x"})
+        # update_rows over the cap takes its executor tier too (round
+        # 12 lifted the last write-face refusal): rewrite + distributed
+        # position-delete write in ONE snapshot, existing deletes
+        # subtracted sequence-aware through Spark
+        assert t.update_rows(spark, {"id": (2, 2)},
+                             {"val": "X2"}, now_ms=7800) == 1
+        assert {(r.id, r.val) for r in t.read(spark).collect()} == {
+            (2, "X2")}
     finally:
         del t.DELETE_ROWS_LIMIT
     # renamed histories work (round 12 lifted the refusal): the
@@ -1706,10 +1711,11 @@ def test_delete_rows_predicate_position_deletes(spark, tmp_path):
     # files still match — and predicates on the renamed column itself
     # resolve values those old files stored under the old name
     t.rename_column("val", "label", now_ms=8000)
-    # id=2 matches in BOTH the pre-rename f1 (already-dead position,
-    # harmless duplicate pair per the contract) and the live f3 — the
-    # variant scan sees pre-rename files instead of null-filling them
-    assert t.delete_rows(spark, {"id": (2, 2)}, now_ms=9000) == 2
+    # id=2 matches in the pre-rename f1 AND f3 (already-dead
+    # positions, harmless duplicate pairs per the contract) AND the
+    # live update copy — the variant scan sees pre-rename files
+    # instead of null-filling them
+    assert t.delete_rows(spark, {"id": (2, 2)}, now_ms=9000) == 3
     assert [r.id for r in t.read(spark).collect()] == []
     # predicate on the RENAMED column resolves old-name values
     t.append([write_pq("f4.parquet", [8])], now_ms=9500)
