@@ -61,6 +61,7 @@ alone after fixing the input).
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from hadoop_sync_spark.registry import Registry
@@ -246,6 +247,24 @@ def main(argv: list[str] | None = None) -> int:
     rst_p.add_argument("--timestamp", type=int, metavar="MS",
                        help="either format: restore to the state at "
                        "this epoch-millisecond instant")
+
+    chg_p = sub.add_parser(
+        "changes",
+        help="row-level change feed of a registered format table "
+        "(delta: read_changes over the log/CDC files tagged "
+        "_change_type/_commit_version; iceberg: changelog_scan "
+        "between snapshots tagged _change_type/_snapshot_id)",
+    )
+    chg_p.add_argument("meta_dir")
+    chg_p.add_argument("table")
+    chg_p.add_argument("--from", dest="from_", type=int, required=True,
+                       metavar="N",
+                       help="delta: starting log version (inclusive); "
+                       "iceberg: cursor snapshot id (exclusive)")
+    chg_p.add_argument("--to", type=int, metavar="N",
+                       help="end version/snapshot (default: current)")
+    chg_p.add_argument("--limit", type=int, default=20,
+                       help="rows to print (default 20)")
 
     mrg_p = sub.add_parser(
         "merge",
@@ -680,6 +699,40 @@ def main(argv: list[str] | None = None) -> int:
                     f"{res['rows']} row(s) written"
                 )
             print("hint: run `sync` to refresh the catalog")
+        elif args.cmd == "changes":
+            rec = reg.tables().get(args.table)
+            if rec is None:
+                raise KeyError(f"table not registered: {args.table}")
+            fmt = rec.get("format")
+            if fmt not in ("iceberg", "delta"):
+                raise ValueError(
+                    "changes is for format tables (iceberg or delta); "
+                    f"{args.table!r} is a plain directory"
+                )
+            if fmt == "delta":
+                from hadoop_sync_spark.delta_log import DeltaLog
+
+                feed = DeltaLog(rec["dir_path"]).read_changes(
+                    spark, args.from_, args.to
+                )
+                order_col = "_commit_version"
+            else:
+                from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+                feed = IcebergTable(rec["dir_path"]).changelog_scan(
+                    spark, args.from_, args.to
+                )
+                order_col = "_snapshot_id"
+            rows = feed.orderBy(order_col).limit(
+                args.limit + 1
+            ).collect()
+            for r in rows[: args.limit]:
+                print(json.dumps(r.asDict(), default=str))
+            n = len(rows)
+            print(
+                f"{'>' if n > args.limit else ''}"
+                f"{min(n, args.limit)} change row(s)"
+            )
         elif args.cmd == "diff":
             d = reg.diff(args.table)
             print(

@@ -1950,6 +1950,49 @@ def test_merge_upsert_dv_plus_source_file(spark, tmp_path):
         os.path.join(d2, up_rel)).names) == {"col-aaa", "col-bbb"}
 
 
+def test_cli_changes_both_formats(spark, tmp_path, capsys):
+    from hadoop_sync_spark.__main__ import main
+
+    meta = str(tmp_path / "meta")
+    d, log = _mk_table(tmp_path, "cli_chg")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    log.delete_where(spark, {"k": (2, 2)}, now_ms=1000)
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    assert main(["changes", meta, "t", "--from", "1"]) == 0
+    out = capsys.readouterr().out
+    assert '"_change_type": "delete"' in out and '"k": 2' in out
+    assert "1 change row(s)" in out
+    # iceberg twin via changelog_scan
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+    di = str(tmp_path / "cli_chg_ice")
+    os.makedirs(os.path.join(di, "data"))
+    t = IcebergTable.create(di, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1000)
+    p = os.path.join(di, "data", "f1.parquet")
+    _pq.write_table(_pa.table({"k": _pa.array([1, 2], _pa.int64()),
+                               "v": _pa.array([10, 20], _pa.int64())}),
+                    p)
+    s1 = t.append(
+        [DataFile("data/f1.parquet", {}, 2, os.path.getsize(p))],
+        now_ms=2000)
+    t.delete_rows(spark, {"k": (1, 1)}, now_ms=3000)
+    assert main(["register", meta, "ti", di, "--format",
+                 "iceberg"]) == 0
+    assert main(["changes", meta, "ti", "--from", str(s1)]) == 0
+    out = capsys.readouterr().out
+    assert '"_change_type": "delete"' in out and '"k": 1' in out
+    # plain-directory tables refuse
+    os.makedirs(str(tmp_path / "plaind"))
+    _write_file(str(tmp_path / "plaind"), "x.parquet", {"k": [1]})
+    assert main(["register", meta, "tp",
+                 str(tmp_path / "plaind")]) == 0
+    assert main(["changes", meta, "tp", "--from", "0"]) == 2
+
+
 def test_cli_merge_both_formats(spark, tmp_path, capsys):
     from hadoop_sync_spark.__main__ import main
 
