@@ -500,6 +500,11 @@ class Snapshot:
     #: preserve fields the snapshot itself does not model (id, format,
     #: createdTime), per the spec's whole-action replacement semantics
     metadata_action: dict | None = None
+    #: appId -> the latest replayed ``txn`` action (normalized, nulls
+    #: dropped) — PROTOCOL.md "Transaction Identifiers": readers track
+    #: ONE entry per appId, last commit wins in log order, and
+    #: checkpoints must carry exactly that set forward
+    transactions: dict[str, dict] = field(default_factory=dict)
 
     @property
     def column_mapping_mode(self) -> str:
@@ -655,7 +660,18 @@ class DeltaLog:
             snap.live[add["path"]] = add
         elif "remove" in action:
             snap.live.pop(action["remove"]["path"], None)
-        # commitInfo / txn / cdc: no snapshot effect for a batch reader
+        elif "txn" in action:
+            # Transaction identifiers (PROTOCOL.md): one entry per
+            # appId, later commits replace earlier ones wholesale.
+            # Normalized nulls-dropped like metadata_action so the
+            # checkpoint writers can re-emit the dict verbatim.
+            t = action["txn"]
+            app = t.get("appId")
+            if app is not None:
+                snap.transactions[app] = {
+                    k: v for k, v in t.items() if v is not None
+                }
+        # commitInfo / cdc: no snapshot effect for a batch reader
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         """Replay to ``version`` (default latest), seeding from the
@@ -1048,6 +1064,159 @@ class DeltaLog:
                 fh.write(json.dumps(a, separators=(",", ":")) + "\n")
         os.rename(tmp, path)
         return path
+
+    # ---- transaction identifiers (round 12; PROTOCOL.md "Transaction
+    # Identifiers" — the idempotent-writer / streaming exactly-once
+    # face production sinks key on via txnAppId/txnVersion) ------------
+    def txn_version(self, app_id: str,
+                    version: int | None = None) -> int | None:
+        """Latest recorded transaction version for ``app_id`` at the
+        given snapshot (default head), or None if the app never wrote.
+        This is the spec's reader obligation: a writer that crashed
+        after commit but before its own bookkeeping asks the LOG what
+        it last durably did."""
+        t = self.snapshot(version).transactions.get(app_id)
+        return None if t is None else t.get("version")
+
+    def commit_with_txn(
+        self,
+        actions: list[dict],
+        app_id: str,
+        txn_version: int,
+        now_ms: int = 0,
+    ) -> int | None:
+        """Commit ``actions`` plus a ``txn`` action at head — SKIPPING
+        the whole commit when ``app_id`` already recorded a version
+        >= ``txn_version`` (the spec's idempotence rule: a replayed
+        write must be a no-op, not a duplicate).  Returns the committed
+        version, or None when skipped.  On a FileExistsError race the
+        caller re-reads head and retries; the skip check re-runs then,
+        so a raced duplicate still collapses to one commit."""
+        head = self.latest_version()
+        last = self.txn_version(app_id, head)
+        if last is not None and txn_version <= last:
+            return None
+        txn: dict = {"appId": app_id, "version": txn_version}
+        if now_ms:
+            txn["lastUpdated"] = now_ms
+        self.commit(head + 1, [{"txn": txn}, *actions])
+        return head + 1
+
+    def append_stream_batch(
+        self,
+        batch_df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        now_ms: int = 0,
+    ) -> int | None:
+        """Idempotent micro-batch APPEND — the Delta streaming-sink
+        contract: land ``batch_df`` as parquet data files plus ONE
+        commit carrying ``txn {appId, version=batch_id}``, skipping
+        entirely (return None) when the log already records this or a
+        later batch for ``app_id``.  Structured Streaming's replay
+        contract (a batch id may be re-delivered after failure with
+        identical contents) then degrades to a log-checked no-op — the
+        txn-action mechanism production Delta sinks use, stronger than
+        a batch_id-directory overwrite because it survives even the
+        LOSS of the stream's own checkpoint (the re-delivered batch 0
+        is refused by the table itself).
+
+        A missing table is created by the first batch (protocol +
+        metaData derived from the batch schema, version 0) — the
+        create-on-first-write behavior of production streaming sinks.
+        Partitioned and column-mapped targets refuse (append rows
+        through merge_upsert/partitioned appends instead); an EMPTY
+        batch still commits its txn action so the version watermark
+        advances.
+
+        Crash-safety without a rename-capable commit service: parts
+        move from a per-(app,batch) staging dir to DETERMINISTIC names
+        ``txn-<app8>-<batch>-<i>`` in the table root BEFORE the commit;
+        a crash between move and commit leaves orphans a retry
+        OVERWRITES byte-for-byte (same batch => same contents per the
+        replay contract) and vacuum() reclaims otherwise.
+
+        Scale: the data lands via one distributed ``batch_df.write``
+        job (executors write parts in parallel); the driver touches
+        only file names and one commit JSON — metadata scale, same as
+        every other write face."""
+        import hashlib as _hashlib
+        import shutil as _shutil
+        import uuid as _uuid
+
+        tag = _hashlib.md5(app_id.encode()).hexdigest()[:8]
+        if not self.versions():
+            os.makedirs(self.table_dir, exist_ok=True)
+            create: list[dict] = [
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}},
+                {"metaData": {
+                    "id": str(_uuid.UUID(bytes=_hashlib.md5(
+                        f"{self.table_dir}#table-id".encode()
+                    ).digest())),
+                    "format": {"provider": "parquet", "options": {}},
+                    # Spark's StructType JSON is Delta's schemaString
+                    # form for the primitive types a stream carries
+                    "schemaString": batch_df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }},
+            ]
+            self.commit(0, [
+                {"commitInfo": {"timestamp": now_ms,
+                                "operation": "STREAMING CREATE"}},
+                *create,
+            ])
+        snap = self.snapshot()
+        last = (snap.transactions.get(app_id) or {}).get("version")
+        if last is not None and batch_id <= last:
+            return None
+        if snap.partition_columns:
+            raise NotImplementedError(
+                "append_stream_batch targets unpartitioned tables; "
+                "partitioned streaming appends are not implemented"
+            )
+        if snap.column_mapping_mode != "none":
+            raise NotImplementedError(
+                "append_stream_batch does not write column-mapped "
+                "tables (physical-name stamping not implemented here)"
+            )
+        schema = snap.schema()
+        if schema is not None:
+            want = [f.name for f in schema.fields]
+            if set(batch_df.columns) != set(want):
+                raise ValueError(
+                    f"batch columns {sorted(batch_df.columns)} != table "
+                    f"columns {sorted(want)}"
+                )
+            batch_df = batch_df.select(*want)
+        staging = os.path.join(
+            self.table_dir, f"_txn_staging-{tag}-{batch_id}"
+        )
+        _shutil.rmtree(staging, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(staging)
+        parts = sorted(
+            n for n in os.listdir(staging)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+        rels = []
+        for i, name in enumerate(parts):
+            rel = f"txn-{tag}-{batch_id:010d}-{i:05d}.parquet"
+            os.replace(os.path.join(staging, name),
+                       os.path.join(self.table_dir, rel))
+            rels.append(rel)
+        _shutil.rmtree(staging, ignore_errors=True)
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": now_ms,
+                            "operation": "STREAMING UPDATE",
+                            "operationParameters": {
+                                "queryId": app_id,
+                                "epochId": str(batch_id)}}},
+        ]
+        actions.extend(self.add_action_for(rel) for rel in rels)
+        return self.commit_with_txn(actions, app_id, batch_id,
+                                    now_ms=now_ms)
 
     # ---- schema-evolution write faces (round 11; the Delta twins of
     # IcebergTable.add_column / rename_column) -------------------------
@@ -3204,7 +3373,7 @@ class DeltaLog:
         return out
 
     # ---- checkpoints ---------------------------------------------------
-    _CP_COLS = ("protocol", "metaData", "add", "remove")
+    _CP_COLS = ("protocol", "metaData", "txn", "add", "remove")
 
     def write_checkpoint(self, version: int | None = None) -> str:
         """Compact the replay prefix ≤ version into
@@ -3258,6 +3427,12 @@ class DeltaLog:
                     }
                 }
             )
+        # transaction identifiers: the spec REQUIRES checkpoints to
+        # carry the latest txn per appId — dropping them would reset
+        # every idempotent writer's watermark once expire_log() removes
+        # the pre-checkpoint commits, silently re-admitting duplicates
+        for app in sorted(snap.transactions):
+            rows.append({"txn": dict(snap.transactions[app])})
         for path in snap.files:
             add = dict(snap.live[path])
             add["partitionValues"] = [
@@ -3293,6 +3468,14 @@ class DeltaLog:
                          ("partitionColumns", pa.list_(pa.string())),
                          ("configuration",
                           pa.map_(pa.string(), pa.string()))]
+                    ),
+                ),
+                pa.field(
+                    "txn",
+                    pa.struct(
+                        [("appId", pa.string()),
+                         ("version", pa.int64()),
+                         ("lastUpdated", pa.int64())]
                     ),
                 ),
                 pa.field(
@@ -3417,6 +3600,13 @@ class DeltaLog:
             md_out["partitionColumns"] = list(snap.partition_columns)
             md_out["configuration"] = dict(snap.configuration)
             actions.append({"metaData": md_out})
+        # txn actions are non-file actions: the V2 layout puts them in
+        # the MAIN file alongside protocol/metaData (spec: sidecars
+        # carry only add/remove) — same must-carry rule as V1
+        actions.extend(
+            {"txn": dict(snap.transactions[app])}
+            for app in sorted(snap.transactions)
+        )
         adds = [dict(snap.live[p]) for p in snap.files]
         n_rows = len(actions) + len(adds)
         if sidecars and adds:

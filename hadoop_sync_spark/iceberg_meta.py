@@ -1663,6 +1663,7 @@ class IcebergTable:
         now_ms: int,
         counts: tuple[int, int, int, int, int, int] | None = None,
         delete_entries: list[dict] | None = None,
+        summary_extra: dict | None = None,
     ) -> int:
         """Write manifest(s) + manifest list + next metadata version.
         ``entries`` fill the DATA manifest; ``delete_entries`` (v2
@@ -1798,7 +1799,11 @@ class IcebergTable:
             "timestamp-ms": now_ms,
             "sequence-number": seq,
             "schema-id": meta["current-schema-id"],
-            "summary": {"operation": operation},
+            # summary_extra: engine-specific properties ride the spec's
+            # free-form summary map (the streaming sinks' epoch
+            # watermark lives here, exactly where Spark's and Flink's
+            # Iceberg sinks put theirs)
+            "summary": {"operation": operation, **(summary_extra or {})},
             "manifest-list": mlist_rel,
         }
         # spec: parent-snapshot-id records true ancestry — after a
@@ -1894,6 +1899,143 @@ class IcebergTable:
             "append",
             now_ms,
             delete_entries=self._live_delete_entries(),
+        )
+
+    # ---- streaming exactly-once (round 12; the Iceberg twin of
+    # DeltaLog.append_stream_batch) -------------------------------------
+    _EPOCH_QUERY_KEY = "spark.sql.streaming.queryId"
+    _EPOCH_ID_KEY = "spark.sql.streaming.epochId"
+
+    def committed_epoch(self, query_id: str) -> int | None:
+        """Latest committed epoch for ``query_id`` on the CURRENT
+        branch, or None.  Iceberg has no txn action; engines park the
+        watermark in the snapshot SUMMARY (the free-form map the spec
+        reserves for exactly this) and re-derive it by walking the
+        ancestor chain — the same findLatestCommittedEpoch discipline
+        Spark's and Flink's Iceberg sinks use.  The walk follows
+        parent-snapshot-id past rollback-abandoned branches (so a
+        rollback correctly FORGETS epochs committed on the abandoned
+        branch), with the list-order fallback for legacy metadata."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        cur = self.metadata().get("current-snapshot-id")
+        if cur in by_id and any("parent-snapshot-id" in s for s in snaps):
+            chain = []
+            while cur in by_id:
+                chain.append(by_id[cur])
+                cur = by_id[cur].get("parent-snapshot-id")
+        else:
+            chain = list(reversed(snaps))
+        for s in chain:
+            summ = s.get("summary") or {}
+            if summ.get(self._EPOCH_QUERY_KEY) == query_id:
+                return int(summ[self._EPOCH_ID_KEY])
+        return None
+
+    def append_stream_batch(
+        self,
+        batch_df,
+        query_id: str,
+        epoch_id: int,
+        now_ms: int = 0,
+    ) -> int | None:
+        """Idempotent micro-batch APPEND: land ``batch_df`` as data
+        files plus ONE append snapshot whose summary records
+        ``(queryId, epochId)``; a re-delivered epoch — Spark's replay
+        contract, or a re-run after the stream's own checkpoint is
+        lost — skips (returns None) because the table's snapshot
+        history already records it or a later one.  The table must
+        exist (``create`` is the explicit DDL face); an unpartitioned
+        default spec is required (partitioned streaming appends are
+        not implemented — an honest seam, same as the Delta twin);
+        an EMPTY batch still commits so the epoch watermark advances.
+
+        Crash-safety mirrors the Delta twin: parts move from staging
+        to DETERMINISTIC ``data/txn-<q8>-<epoch>-<i>`` names before
+        the metadata commit, so a crash leaves orphans a retry
+        overwrites byte-for-byte and :meth:`vacuum` reclaims.
+
+        Scale: one distributed parquet write job per batch; the driver
+        reads one FOOTER per part file (record count + column bounds
+        for the manifest entry — metadata scale) and writes one
+        manifest + metadata version."""
+        import hashlib as _hashlib
+        import shutil as _shutil
+
+        import pyarrow.parquet as _pq
+
+        last = self.committed_epoch(query_id)
+        if last is not None and epoch_id <= last:
+            return None
+        meta = self.metadata()
+        if self._spec_fields(meta, meta.get("default-spec-id", 0)):
+            raise NotImplementedError(
+                "append_stream_batch targets tables with an empty "
+                "default partition spec; partitioned streaming appends "
+                "are not implemented"
+            )
+        schema_fields = self._schema_by_id(
+            meta["current-schema-id"]
+        )["fields"]
+        want = [f["name"] for f in schema_fields]
+        if set(batch_df.columns) != set(want):
+            raise ValueError(
+                f"batch columns {sorted(batch_df.columns)} != table "
+                f"columns {sorted(want)}"
+            )
+        batch_df = batch_df.select(*want)
+        tag = _hashlib.md5(query_id.encode()).hexdigest()[:8]
+        staging = os.path.join(
+            self.dir, f"_txn_staging-{tag}-{epoch_id}"
+        )
+        _shutil.rmtree(staging, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(staging)
+        parts = sorted(
+            n for n in os.listdir(staging)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+        os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
+        entries = []
+        for i, name in enumerate(parts):
+            rel = f"data/txn-{tag}-{epoch_id:010d}-{i:05d}.parquet"
+            dest = os.path.join(self.dir, rel)
+            os.replace(os.path.join(staging, name), dest)
+            lb, ub = parquet_column_bounds(dest, schema_fields)
+            entries.append({
+                "status": _STATUS_ADDED,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": _CONTENT_DATA,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": _pq.read_metadata(dest).num_rows,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "equality_ids": None,
+                    "lower_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(lb.items())
+                    ] or None,
+                    "upper_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(ub.items())
+                    ] or None,
+                },
+            })
+        _shutil.rmtree(staging, ignore_errors=True)
+        return self._commit_snapshot(
+            self._live_entries() + entries,
+            "append",
+            now_ms,
+            delete_entries=self._live_delete_entries(),
+            summary_extra={
+                self._EPOCH_QUERY_KEY: query_id,
+                self._EPOCH_ID_KEY: str(epoch_id),
+            },
         )
 
     def delete(self, paths: set[str], now_ms: int = 0) -> int:

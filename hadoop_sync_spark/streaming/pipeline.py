@@ -362,6 +362,74 @@ def foreach_batch_parquet_sink(
     q.awaitTermination()
 
 
+def delta_txn_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    app_id: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once DELTA sink via transaction identifiers — the
+    protocol-level idempotence mechanism production streaming sinks
+    use (``txn {appId, version=batchId}`` committed atomically WITH
+    the batch's file additions; PROTOCOL.md "Transaction
+    Identifiers").  Each micro-batch becomes one
+    :meth:`DeltaLog.append_stream_batch` call; a re-delivered batch id
+    — Spark's replay contract after failure, or a whole re-run after
+    the stream's OWN checkpoint is lost — is refused by the table's
+    log itself, which is strictly stronger than the batch_id-directory
+    overwrite of :func:`foreach_batch_parquet_sink` (that one only
+    protects against replays the checkpoint still remembers).
+
+    Scale: per batch, one distributed parquet write job + one
+    driver-side commit JSON; the idempotence check reads table
+    METADATA (log replay), never data files."""
+    from ..delta_log import DeltaLog
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        DeltaLog(table_dir).append_stream_batch(
+            batch_df, app_id, batch_id
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def iceberg_epoch_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    query_id: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once ICEBERG sink — the Iceberg twin of
+    :func:`delta_txn_sink`.  Iceberg has no txn action; the epoch
+    watermark rides the snapshot SUMMARY (``queryId``/``epochId``
+    properties, where Spark's and Flink's Iceberg sinks park theirs)
+    and replays are refused by walking the snapshot ancestry
+    (:meth:`IcebergTable.committed_epoch`) — so a rollback correctly
+    FORGETS epochs committed on the abandoned branch and the stream
+    re-lands them.  The table must already exist (``create`` is the
+    explicit DDL face)."""
+    from ..iceberg_meta import IcebergTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        IcebergTable(table_dir).append_stream_batch(
+            batch_df, query_id, batch_id
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running totals via ``transformWithStateInPandas`` — the
     Spark 4.x arbitrary-state API (typed state handles + timers) that

@@ -1,0 +1,312 @@
+"""Delta transaction identifiers (PROTOCOL.md "Transaction
+Identifiers"): ``txn`` replay state, the idempotent commit face,
+checkpoint carry (V1 parquet + V2), and the exactly-once streaming
+sink built on them.
+
+Reference parity: the reference's sync loop keys exactly-once
+absorption on the Citus catalog's transactional publish
+(HdfsSynchronizer.java:142-205); Delta's txn action is the open-format
+spelling of that same watermark — an appId's last durable version,
+read back from the log itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from hadoop_sync_spark.delta_log import DeltaLog
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _meta():
+    return {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+
+
+def _write_file(table_dir, rel, rows):
+    pd.DataFrame(rows).to_parquet(os.path.join(table_dir, rel))
+
+
+def _mk_table(tmp_path, name="t"):
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    log = DeltaLog(d)
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(),
+                   log.add_action_for("a.parquet")])
+    return d, log
+
+
+def test_txn_replay_last_commit_wins(tmp_path):
+    """One entry per appId; a later commit's txn replaces the earlier
+    wholesale (the spec's newest-wins reader rule), and lastUpdated
+    rides along when present."""
+    d, log = _mk_table(tmp_path)
+    log.commit(1, [{"txn": {"appId": "app-a", "version": 3}}])
+    log.commit(2, [{"txn": {"appId": "app-b", "version": 1,
+                            "lastUpdated": 1234}}])
+    log.commit(3, [{"txn": {"appId": "app-a", "version": 7}}])
+    snap = log.snapshot()
+    assert snap.transactions["app-a"] == {"appId": "app-a", "version": 7}
+    assert snap.transactions["app-b"] == {
+        "appId": "app-b", "version": 1, "lastUpdated": 1234}
+    assert log.txn_version("app-a") == 7
+    assert log.txn_version("app-b") == 1
+    assert log.txn_version("never-wrote") is None
+    # time travel sees the then-current watermark
+    assert log.txn_version("app-a", version=1) == 3
+
+
+def test_commit_with_txn_is_idempotent(tmp_path):
+    """A replayed (appId, version) skips the WHOLE commit — actions
+    included — and returns None; a higher version goes through."""
+    d, log = _mk_table(tmp_path)
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    got = log.commit_with_txn([log.add_action_for("b.parquet")],
+                              "writer-1", 0)
+    assert got == 1
+    head = log.latest_version()
+    # replay of version 0, and a stale lower-than-watermark write
+    assert log.commit_with_txn([log.add_action_for("b.parquet")],
+                               "writer-1", 0) is None
+    assert log.latest_version() == head
+    # a DIFFERENT app is independent
+    assert log.commit_with_txn([], "writer-2", 0) == 2
+    # next version for writer-1 lands
+    assert log.commit_with_txn([], "writer-1", 1) == 3
+    assert log.txn_version("writer-1") == 1
+
+
+@pytest.mark.parametrize("kind", ["v1", "v2"])
+def test_checkpoint_carries_txn(tmp_path, kind):
+    """The spec REQUIRES checkpoints to carry the latest txn per appId:
+    after expire_log() removes the pre-checkpoint commits, the
+    watermark must still refuse a replayed batch."""
+    d, log = _mk_table(tmp_path)
+    log.commit(1, [{"txn": {"appId": "app-a", "version": 3}}])
+    log.commit(2, [{"txn": {"appId": "app-a", "version": 5}},
+                   {"txn": {"appId": "app-b", "version": 0,
+                            "lastUpdated": 99}}])
+    if kind == "v1":
+        log.write_checkpoint()
+    else:
+        log.write_checkpoint_v2()
+    expired = log.expire_log()
+    assert expired  # the replay prefix really is gone
+    snap = log.snapshot()
+    assert snap.transactions["app-a"]["version"] == 5
+    assert snap.transactions["app-b"] == {
+        "appId": "app-b", "version": 0, "lastUpdated": 99}
+    # and the watermark still gates: a replayed version skips
+    assert log.commit_with_txn([], "app-a", 5) is None
+    assert log.commit_with_txn([], "app-a", 6) is not None
+
+
+def test_append_stream_batch_idempotent(spark, tmp_path):
+    """Micro-batch append: creates the table on first write, lands each
+    batch exactly once, refuses a re-delivered batch id, and an empty
+    batch still advances the watermark."""
+    d = str(tmp_path / "stream_t")
+    log = DeltaLog(d)
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b1 = spark.createDataFrame([(3, 30)], "k long, v long")
+
+    assert log.append_stream_batch(b0, "sink-app", 0) is not None
+    got = {tuple(r) for r in log.read(spark).collect()}
+    assert got == {(1, 10), (2, 20)}
+
+    # replay contract: same batch id re-delivered -> no-op
+    assert log.append_stream_batch(b0, "sink-app", 0) is None
+    assert log.read(spark).count() == 2
+
+    assert log.append_stream_batch(b1, "sink-app", 1) is not None
+    got = {tuple(r) for r in log.read(spark).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+
+    # an EMPTY batch advances the watermark (else a retried empty batch
+    # followed by a crash could re-admit batch 2 with different rows)
+    empty = spark.createDataFrame([], "k long, v long")
+    assert log.append_stream_batch(empty, "sink-app", 2) is not None
+    assert log.txn_version("sink-app") == 2
+    assert log.read(spark).count() == 3
+
+    # column mismatch refuses loudly
+    bad = spark.createDataFrame([(1,)], "wrong long")
+    with pytest.raises(ValueError, match="columns"):
+        log.append_stream_batch(bad, "sink-app", 3)
+
+
+def test_append_stream_batch_crash_retry_overwrites(spark, tmp_path):
+    """A crash between the deterministic renames and the commit leaves
+    orphan txn-named parts; the retry overwrites them byte-for-byte and
+    commits once — no duplicate rows, no orphan growth."""
+    d = str(tmp_path / "crash_t")
+    log = DeltaLog(d)
+    b0 = spark.createDataFrame([(1, 10)], "k long, v long")
+    log.append_stream_batch(b0, "app", 0)
+    # simulate the torn attempt for batch 1: stage a file under the
+    # deterministic name WITHOUT a commit
+    import hashlib
+    tag = hashlib.md5(b"app").hexdigest()[:8]
+    orphan = f"txn-{tag}-{1:010d}-{0:05d}.parquet"
+    pd.DataFrame({"k": [7], "v": [70]}).to_parquet(os.path.join(d, orphan))
+    before = log.read(spark).count()
+    assert before == 1  # orphan is invisible (not in any snapshot)
+    b1 = spark.createDataFrame([(7, 70)], "k long, v long")
+    assert log.append_stream_batch(b1, "app", 1) is not None
+    got = {tuple(r) for r in log.read(spark).collect()}
+    assert got == {(1, 10), (7, 70)}
+
+
+def test_delta_txn_sink_survives_checkpoint_loss(spark, tmp_path):
+    """The real Structured Streaming drain: a file-source stream lands
+    in a Delta table through delta_txn_sink.  A second drain through
+    the SAME checkpoint is a no-op (file-log bookkeeping), and a drain
+    through a FRESH checkpoint — the replay scenario the batch_id
+    directory sink cannot survive — is refused by the table's own txn
+    watermark instead of duplicating every row."""
+    from hadoop_sync_spark.streaming.pipeline import delta_txn_sink
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}).to_parquet(
+        os.path.join(src_dir, "part-000.parquet"))
+    table = str(tmp_path / "tbl")
+    ckpt1 = str(tmp_path / "ckpt1")
+
+    def stream():
+        return (spark.readStream
+                .schema("k long, v long")
+                .parquet(src_dir))
+
+    delta_txn_sink(stream(), table, "loss-app", ckpt1)
+    log = DeltaLog(table)
+    assert log.read(spark).count() == 3
+
+    # same checkpoint, no new input: no new batch at all
+    delta_txn_sink(stream(), table, "loss-app", ckpt1)
+    assert log.read(spark).count() == 3
+
+    # checkpoint LOST: batch ids restart at 0 with the full input —
+    # the txn watermark (version 0 already recorded) refuses it
+    ckpt2 = str(tmp_path / "ckpt2")
+    delta_txn_sink(stream(), table, "loss-app", ckpt2)
+    assert log.read(spark).count() == 3
+    assert {tuple(r) for r in log.read(spark).collect()} == {
+        (1, 10), (2, 20), (3, 30)}
+
+
+# ---- the Iceberg twin: epoch watermark in the snapshot summary ------
+
+
+def test_iceberg_epoch_append_idempotent(spark, tmp_path):
+    """Iceberg has no txn action: the epoch watermark rides the
+    snapshot summary and replays skip via the ancestry walk."""
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_t")
+    t = IcebergTable.create(d, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b1 = spark.createDataFrame([(3, 30)], "k long, v long")
+
+    assert t.committed_epoch("q-1") is None
+    assert t.append_stream_batch(b0, "q-1", 0, now_ms=2) is not None
+    assert t.committed_epoch("q-1") == 0
+    assert t.append_stream_batch(b0, "q-1", 0, now_ms=3) is None  # replay
+    assert t.append_stream_batch(b1, "q-1", 1, now_ms=4) is not None
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+    # a second query id is independent
+    assert t.committed_epoch("q-2") is None
+    # empty batch advances the watermark
+    empty = spark.createDataFrame([], "k long, v long")
+    assert t.append_stream_batch(empty, "q-1", 2, now_ms=5) is not None
+    assert t.committed_epoch("q-1") == 2
+    assert t.read(spark).count() == 3
+    # footer bounds made it into the manifest: a point filter prunes
+    # to the one file holding k=3
+    files = [f for f in t.files() if "txn-" in f.path]
+    assert len(files) >= 2
+    # partitioned tables refuse (honest seam)
+    d2 = str(tmp_path / "ice_part")
+    t2 = IcebergTable.create(d2, [("k", "bigint"), ("p", "bigint")],
+                             partition_by=[("p", "long")], now_ms=1)
+    with pytest.raises(NotImplementedError, match="partition"):
+        t2.append_stream_batch(b0.toDF("k", "p"), "q-1", 0)
+
+
+def test_iceberg_epoch_forgotten_after_rollback(spark, tmp_path):
+    """The ancestry walk means a rollback FORGETS epochs committed on
+    the abandoned branch — the stream then re-lands them instead of
+    silently dropping data the rollback undid."""
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_rb")
+    t = IcebergTable.create(d, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+    b0 = spark.createDataFrame([(1, 10)], "k long, v long")
+    b1 = spark.createDataFrame([(2, 20)], "k long, v long")
+    s0 = t.append_stream_batch(b0, "q-rb", 0, now_ms=2)
+    t.append_stream_batch(b1, "q-rb", 1, now_ms=3)
+    assert t.committed_epoch("q-rb") == 1
+    t.rollback_to(s0)
+    # epoch 1's snapshot is off the current branch now
+    assert t.committed_epoch("q-rb") == 0
+    assert t.read(spark).count() == 1
+    # the replayed epoch 1 re-lands (deterministic names overwrite the
+    # now-orphaned parts from the abandoned branch)
+    assert t.append_stream_batch(b1, "q-rb", 1, now_ms=4) is not None
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, 10), (2, 20)}
+
+
+def test_iceberg_epoch_sink_survives_checkpoint_loss(spark, tmp_path):
+    """Real Structured Streaming drain into Iceberg: same contract as
+    the Delta twin — fresh-checkpoint replays are refused by the
+    table's own epoch watermark."""
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+    from hadoop_sync_spark.streaming.pipeline import iceberg_epoch_sink
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}).to_parquet(
+        os.path.join(src_dir, "part-000.parquet"))
+    table = str(tmp_path / "ice_sink")
+    t = IcebergTable.create(table, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+
+    def stream():
+        return (spark.readStream
+                .schema("k long, v long")
+                .parquet(src_dir))
+
+    iceberg_epoch_sink(stream(), table, "q-loss", str(tmp_path / "c1"))
+    assert t.read(spark).count() == 3
+    iceberg_epoch_sink(stream(), table, "q-loss", str(tmp_path / "c1"))
+    assert t.read(spark).count() == 3
+    # checkpoint LOST -> batch ids restart at 0 -> refused by summary
+    iceberg_epoch_sink(stream(), table, "q-loss", str(tmp_path / "c2"))
+    assert t.read(spark).count() == 3
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
