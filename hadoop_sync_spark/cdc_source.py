@@ -1,0 +1,274 @@
+"""``delta_cdc`` — a Structured Streaming SOURCE over a Delta table's
+change feed (Spark 4 Python Data Source API, the streaming half).
+
+This completes the repo's CDC story: the DML write faces produce
+changes (``_change_data`` files under ``delta.enableChangeDataFeed``,
+round 12), ``DeltaLog.read_changes`` is the BATCH read face, the
+``changes`` CLI prints them — and this source makes them a live
+stream::
+
+    spark.dataSource.register(DeltaCDCStreamSource)
+    df = (spark.readStream.format("delta_cdc")
+          .option("path", table_dir)
+          .option("startingVersion", 0).load())
+
+Offsets are commit versions (``{"version": N}`` = next version to
+process), so the stream's checkpoint records exactly the log position
+— pairing this source with the txn-keyed sink
+(:func:`hadoop_sync_spark.streaming.pipeline.delta_txn_sink`) gives an
+end-to-end exactly-once CDC pipeline between two Delta tables.
+
+Execution model (why this is scale-correct): micro-batch PLANNING runs
+on the driver and is pure log replay — JSON commits only, no data I/O,
+no SparkSession.  Each planned :class:`_CDCPart` is ONE file; the
+executors read cdc/add parquet directly via pyarrow, so a batch that
+touches 500 files fans out 500 parallel tasks and the driver never
+holds a row.
+
+Honest scope (matching production Delta, which also refuses streaming
+CDF reads of versions without recorded changes):
+
+- commits carrying ``cdc`` actions stream those files verbatim (the
+  in-file ``_change_type`` rides through: delete / update_preimage /
+  update_postimage / insert);
+- PURE-APPEND commits (adds with dataChange, no deletion vectors)
+  stream as inserts per the spec's reconstructable-changes rule;
+- DML commits WITHOUT cdc files (derived deletes / DV growth /
+  dataChange removes) refuse at planning with the fix spelled out:
+  set ``delta.enableChangeDataFeed``.  ``read_changes`` (driver-side,
+  Spark available) remains the batch face for those;
+- column-mapped tables and mid-stream schema changes refuse (the
+  source pins its construction-time schema, as Spark sources must).
+
+Reference parity: the reference's incremental loop tails the HDFS
+block report and applies the DIFF (HdfsSynchronizer.java:142-205);
+this source is that loop re-homed on an open format's commit log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+#: partition-value string encodings this source inverts — the same set
+#: the partitioned-merge write face stamps (delta_log.py `_pv_str`)
+_PV_TYPES = ("long", "integer", "int", "string", "boolean")
+
+
+def _pv_decode(raw, typ: str):
+    if raw is None:
+        return None
+    if typ in ("long", "integer", "int"):
+        return int(raw)
+    if typ == "boolean":
+        return raw == "true"
+    return raw
+
+
+@dataclass
+class _CDCPart(InputPartition):
+    """One file of one commit: everything an executor needs to emit
+    finished output rows without a SparkSession."""
+
+    abs_path: str
+    #: fixed change type for add-derived inserts; None = the file is a
+    #: cdc file and carries its own _change_type column
+    change_type: str | None
+    commit_version: int
+    #: logical partition column -> decoded Python value
+    pv: dict
+    #: output data columns in schema order (partition cols included)
+    out_cols: tuple
+    partition_cols: tuple
+
+
+class _CDCStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        # option keys arrive through a case-insensitive map; normalize
+        lower = {k.lower(): v for k, v in dict(options).items()}
+        self.path = lower.get("path")
+        if not self.path:
+            raise ValueError("delta_cdc requires .option('path', ...)")
+        self.start_version = int(lower.get("startingversion", 0))
+        log, snap = self._log_snap()
+        if snap.column_mapping_mode != "none":
+            raise NotImplementedError(
+                "delta_cdc does not stream column-mapped tables"
+            )
+        self._pinned_schema = snap.schema_json
+        fields = json.loads(snap.schema_json)["fields"]
+        self._out_cols = tuple(f["name"] for f in fields)
+        self._part_cols = tuple(snap.partition_columns)
+        self._pv_types = {}
+        for f in fields:
+            if f["name"] in self._part_cols:
+                if f["type"] not in _PV_TYPES:
+                    raise NotImplementedError(
+                        f"partition column {f['name']!r} of type "
+                        f"{f['type']!r}: only {_PV_TYPES} partition "
+                        "values stream"
+                    )
+                self._pv_types[f["name"]] = f["type"]
+
+    def _log_snap(self):
+        from hadoop_sync_spark.delta_log import DeltaLog
+
+        log = DeltaLog(self.path)
+        return log, log.snapshot()
+
+    # ---- offsets: {"version": N} = the next commit to process ------
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from hadoop_sync_spark.delta_log import DeltaLog
+
+        return {"version": DeltaLog(self.path).latest_version() + 1}
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is the source of truth; nothing to clean up
+
+    # ---- planning: pure log replay, one part per file ---------------
+    def partitions(self, start: dict, end: dict):
+        from hadoop_sync_spark.delta_log import (
+            _commit_path,
+            _LOG_DIR,  # noqa: F401  (import proves the layout contract)
+        )
+
+        parts: list[_CDCPart] = []
+        for v in range(start["version"], end["version"]):
+            cpath = _commit_path(self.path, v)
+            if not os.path.exists(cpath):
+                raise FileNotFoundError(
+                    f"commit {v} missing (vacuumed?): the stream's "
+                    f"offset predates the log's retained history"
+                )
+            cdc, adds, dirty = [], [], []
+            with open(cpath, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "cdc" in a:
+                        cdc.append(a["cdc"])
+                    elif "add" in a:
+                        if a["add"].get("deletionVector"):
+                            dirty.append("add with deletion vector")
+                        elif a["add"].get("dataChange", True):
+                            adds.append(a["add"])
+                    elif "remove" in a:
+                        if a["remove"].get("dataChange", True):
+                            dirty.append("remove with dataChange")
+                    elif "metaData" in a:
+                        ms = a["metaData"].get("schemaString")
+                        if ms is not None and ms != self._pinned_schema:
+                            raise NotImplementedError(
+                                f"schema changed at version {v}: "
+                                "restart the stream to pick up the "
+                                "new schema"
+                            )
+            if cdc:
+                # the spec's reader rule: when a commit has cdc files
+                # they are the COMPLETE change set for that commit
+                for c in cdc:
+                    parts.append(self._part(c, None, v))
+            elif dirty:
+                raise NotImplementedError(
+                    f"version {v} changed rows without a change feed "
+                    f"({dirty[0]}): set delta.enableChangeDataFeed on "
+                    "the table, or consume DeltaLog.read_changes in "
+                    "batch"
+                )
+            else:
+                for add in adds:
+                    parts.append(self._part(add, "insert", v))
+        if not parts:
+            # a planned batch whose versions carried only row-neutral
+            # actions (compaction, protocol, checkpoints): one empty
+            # part keeps the engine's >=1-partition expectation
+            parts.append(_CDCPart(
+                abs_path="", change_type="insert", commit_version=-1,
+                pv={}, out_cols=self._out_cols,
+                partition_cols=self._part_cols,
+            ))
+        return parts
+
+    def _part(self, action: dict, change_type, version: int) -> _CDCPart:
+        pv_raw = action.get("partitionValues") or {}
+        pv = {
+            c: _pv_decode(pv_raw.get(c), self._pv_types[c])
+            for c in self._part_cols
+        }
+        return _CDCPart(
+            abs_path=os.path.join(self.path, action["path"]),
+            change_type=change_type,
+            commit_version=version,
+            pv=pv,
+            out_cols=self._out_cols,
+            partition_cols=self._part_cols,
+        )
+
+    # ---- executor-side: one pyarrow file read, no Spark -------------
+    def read(self, partition: _CDCPart):
+        import pyarrow.parquet as pq
+
+        if not partition.abs_path:
+            return  # the row-neutral-batch placeholder part
+        t = pq.read_table(partition.abs_path)
+        names = set(t.schema.names)
+        cols = {}
+        for c in partition.out_cols:
+            if c in partition.partition_cols:
+                cols[c] = None  # constant from pv
+            elif c in names:
+                cols[c] = t.column(c).to_pylist()
+            else:
+                cols[c] = None  # absent in an old file: null-fill
+        if partition.change_type is None:
+            ct = t.column("_change_type").to_pylist()
+        else:
+            ct = None
+        n = t.num_rows
+        for i in range(n):
+            row = tuple(
+                (partition.pv.get(c) if c in partition.partition_cols
+                 else (cols[c][i] if cols[c] is not None else None))
+                for c in partition.out_cols
+            )
+            yield row + (
+                ct[i] if ct is not None else partition.change_type,
+                partition.commit_version,
+            )
+
+
+class DeltaCDCStreamSource(DataSource):
+    """``spark.readStream.format("delta_cdc")`` — options: ``path``
+    (the Delta table directory), ``startingVersion`` (default 0)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_cdc"
+
+    def schema(self):
+        from hadoop_sync_spark.delta_log import DeltaLog
+
+        snap = DeltaLog(self.options["path"]).snapshot()
+        schema = snap.schema()
+        if schema is None:
+            raise ValueError("delta_cdc: table has no metaData action")
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        return schema.add(
+            StructField("_change_type", StringType())
+        ).add(StructField("_commit_version", LongType()))
+
+    def streamReader(self, schema) -> _CDCStreamReader:
+        return _CDCStreamReader(self.options)

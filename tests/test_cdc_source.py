@@ -1,0 +1,212 @@
+"""``delta_cdc`` streaming source (Spark 4 Python Data Source API):
+the change feed as a live stream, cross-checked against
+``read_changes`` (the batch face) on the same log, plus the composed
+source->sink exactly-once pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from hadoop_sync_spark.cdc_source import DeltaCDCStreamSource
+from hadoop_sync_spark.delta_log import DeltaLog
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+PART_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _meta(cdf: bool, partition_cols=()):
+    return {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": (PART_SCHEMA_JSON if partition_cols
+                             else SCHEMA_JSON),
+            "partitionColumns": list(partition_cols),
+            "configuration": (
+                {"delta.enableChangeDataFeed": "true"} if cdf else {}
+            ),
+        }
+    }
+
+
+def _mk_table(tmp_path, name, cdf=True, partition_cols=()):
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    return d, DeltaLog(d)
+
+
+def _write_file(d, rel, rows):
+    pd.DataFrame(rows).to_parquet(os.path.join(d, rel))
+
+
+def _drain(spark, table_dir, ckpt, rows_out, starting=0):
+    """One availableNow drain collecting every micro-batch's rows into
+    ``rows_out`` (foreachBatch runs driver-side)."""
+    spark.dataSource.register(DeltaCDCStreamSource)
+    df = (spark.readStream.format("delta_cdc")
+          .option("path", table_dir)
+          .option("startingVersion", starting).load())
+
+    def sink(batch_df, _bid):
+        rows_out.extend(tuple(r) for r in batch_df.collect())
+
+    q = (df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_cdc_source_matches_batch_read_changes(spark, tmp_path):
+    """The streamed feed over a CDF table with update/delete/merge/
+    append history equals read_changes(0) as a multiset — the batch
+    face is the oracle for the streaming face."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    d, log = _mk_table(tmp_path, "src")
+    _write_file(d, "a.parquet", {"k": [1, 2, 3], "v": [10, 20, 30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(True),
+                   log.add_action_for("a.parquet")])
+    log.update_where(spark, {"k": (2, 3)}, {"v": F.col("v") + 100},
+                     now_ms=1000)
+    log.delete_where(spark, {"k": (1, 1)}, now_ms=2000)
+    src = spark.createDataFrame([(2, 999), (7, 70)], ["k", "v"])
+    log.merge_upsert(spark, src, "k", now_ms=3000)
+    _write_file(d, "b.parquet", {"k": [9], "v": [90]})
+    log.commit(4, [log.add_action_for("b.parquet")])
+
+    got: list = []
+    _drain(spark, d, str(tmp_path / "ck"), got)
+    want = Counter(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in log.read_changes(spark, 0).collect()
+    )
+    assert Counter(got) == want
+    # update pre/postimages really came through the cdc files
+    kinds = {t[2] for t in got}
+    assert {"update_preimage", "update_postimage",
+            "delete", "insert"} <= kinds
+
+
+def test_cdc_source_incremental_and_partitioned(spark, tmp_path):
+    """Same checkpoint, second drain: only NEW versions arrive; a
+    partitioned table's cdc/add files get their partition column from
+    the action's partitionValues."""
+    d, log = _mk_table(tmp_path, "part_src")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    _write_file(d, "b.parquet", {"k": [3], "v": [30]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                   _meta(True, ("p",)),
+                   log.add_action_for("a.parquet",
+                                      partitionValues={"p": "0"}),
+                   log.add_action_for("b.parquet",
+                                      partitionValues={"p": "1"})])
+    got: list = []
+    ck = str(tmp_path / "ck")
+    _drain(spark, d, ck, got)
+    assert sorted(got) == [
+        (1, 10, 0, "insert", 0), (2, 20, 0, "insert", 0),
+        (3, 30, 1, "insert", 0)]
+
+    # no new commits: a drain adds nothing
+    got2: list = []
+    _drain(spark, d, ck, got2)
+    assert got2 == []
+
+    # a delete lands cdc files per tuple; only version 1 streams
+    log.delete_where(spark, {"k": (1, 1)}, now_ms=1000)
+    got3: list = []
+    _drain(spark, d, ck, got3)
+    assert got3 == [(1, 10, 0, "delete", 1)]
+
+
+def test_cdc_source_refuses_dml_without_feed(spark, tmp_path):
+    """A DML commit with no cdc files (CDF off -> deletion-vector add)
+    refuses at planning, naming the table property — never a silent
+    wrong changelog."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    d, log = _mk_table(tmp_path, "nocdf")
+    _write_file(d, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(False),
+                   log.add_action_for("a.parquet")])
+    log.delete_where(spark, {"k": (1, 1)}, now_ms=1000)
+    got: list = []
+    with pytest.raises(StreamingQueryException,
+                       match="enableChangeDataFeed"):
+        _drain(spark, d, str(tmp_path / "ck"), got)
+
+
+def test_cdc_replication_pipeline_exactly_once(spark, tmp_path):
+    """The composed pipeline: delta_cdc SOURCE -> insert rows ->
+    delta_txn_sink into a second Delta table.  Incremental drains
+    replicate appends exactly once; a re-drain through a FRESH sink
+    checkpoint replays batch 0 and the target's txn watermark refuses
+    the duplicates — exactly-once end to end across two tables."""
+    from pyspark.sql import functions as F
+
+    src_dir, src_log = _mk_table(tmp_path, "repl_src")
+    _write_file(src_dir, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    src_log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                       _meta(True), src_log.add_action_for("a.parquet")])
+    tgt_dir = str(tmp_path / "repl_tgt")
+    tgt_log = DeltaLog(tgt_dir)
+    spark.dataSource.register(DeltaCDCStreamSource)
+
+    def replicate(ckpt):
+        df = (spark.readStream.format("delta_cdc")
+              .option("path", src_dir).load())
+        inserts = (df.where(F.col("_change_type") == "insert")
+                   .select("k", "v"))
+
+        def sink(batch_df, batch_id):
+            DeltaLog(tgt_dir).append_stream_batch(
+                batch_df, "replicator", batch_id)
+
+        q = (inserts.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    ck = str(tmp_path / "repl_ck")
+    replicate(ck)
+    assert sorted(
+        tuple(r) for r in tgt_log.read(spark).collect()
+    ) == [(1, 10), (2, 20)]
+
+    # incremental: one more append replicates once
+    _write_file(src_dir, "b.parquet", {"k": [3], "v": [30]})
+    src_log.commit(1, [src_log.add_action_for("b.parquet")])
+    replicate(ck)
+    assert sorted(
+        tuple(r) for r in tgt_log.read(spark).collect()
+    ) == [(1, 10), (2, 20), (3, 30)]
+
+    # sink checkpoint LOST: the replayed batch 0 (full feed) is
+    # refused by the target's txn watermark
+    replicate(str(tmp_path / "repl_ck2"))
+    assert sorted(
+        tuple(r) for r in tgt_log.read(spark).collect()
+    ) == [(1, 10), (2, 20), (3, 30)]

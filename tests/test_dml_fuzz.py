@@ -390,7 +390,8 @@ def _model_merge(model, batch):
 def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
                   partitioned: bool = False,
                   with_rollback: bool = False,
-                  partitioned_merge: bool = False):
+                  partitioned_merge: bool = False,
+                  with_stream: bool = False):
     """A legal op sequence over a growing column list.  Updates stop
     after the first merge (Iceberg's live-equality-delete refusal);
     at most two columns are added; appends and merge sources carry
@@ -467,6 +468,20 @@ def _gen_sequence(rng: random.Random, n_ops: int, with_ddl: bool,
             ops.append({"op": "merge", "batch": batch,
                         "cols": list(cols)})
             merged = True
+        elif with_stream and roll < 0.80:
+            # streaming micro-batch append (round 12): its own slot,
+            # consumed only under the flag so every CI-pinned seed's
+            # sequence stays byte-identical.  Epochs are assigned
+            # monotonically by the runner; ``replay`` re-delivers the
+            # SAME epoch immediately (Spark's failure-replay contract)
+            # and both formats must skip — never a cross-op replay,
+            # because a rollback between commit and replay would make
+            # the twins legally diverge (Delta restore preserves txn
+            # watermarks, Iceberg ancestry-walk forgets them)
+            ops.append({"op": "stream_append",
+                        "rows": fresh_rows(rng.randint(1, 5)),
+                        "replay": rng.random() < 0.4,
+                        "cols": list(cols)})
         elif roll < (0.84 if with_rollback else 0.85) and with_ddl \
                 and n_added < 2:
             n_added += 1
@@ -495,10 +510,11 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
                   with_rollback: bool = False,
                   drop_ops: tuple = (),
                   partitioned_merge: bool = False,
-                  cdf_enabled: bool = False):
+                  cdf_enabled: bool = False,
+                  with_stream: bool = False):
     rng = random.Random(seed)
     ops = _gen_sequence(rng, n_ops, with_ddl, partitioned,
-                        with_rollback, partitioned_merge)
+                        with_rollback, partitioned_merge, with_stream)
     if drop_ops:
         # dropping whole ops preserves sequence legality (nothing
         # becomes illegal by NOT updating/merging) — used by the
@@ -534,6 +550,7 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     clog_from = None
     clog_seed: Counter = Counter()
     now = 1000
+    next_epoch = 0
 
     for i, op in enumerate(ops):
         now += 1000
@@ -567,6 +584,27 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
             delta.merge(op["batch"], cols, now)
             ice.merge(op["batch"], cols, now)
             model = _model_merge(model, op["batch"])
+        elif op["op"] == "stream_append":
+            epoch = next_epoch
+            next_epoch += 1
+            ddl = ", ".join(f"{c} long" for c in cols)
+            df = spark.createDataFrame(op["rows"], ddl)
+            assert delta.log.append_stream_batch(
+                df, "fuzz-app", epoch, now_ms=now) is not None
+            assert ice.t.append_stream_batch(
+                df, "fuzz-app", epoch, now_ms=now) is not None
+            if op["replay"]:
+                # failure replay: same epoch, identical contents —
+                # BOTH formats must skip (txn watermark / summary
+                # ancestry), leaving log heads untouched
+                dv0, sid0 = delta.version(), ice.snapshot_id()
+                assert delta.log.append_stream_batch(
+                    df, "fuzz-app", epoch, now_ms=now) is None
+                assert ice.t.append_stream_batch(
+                    df, "fuzz-app", epoch, now_ms=now) is None
+                assert (delta.version(), ice.snapshot_id()) == (
+                    dv0, sid0)
+            model = model + op["rows"]
         elif op["op"] == "add_column":
             delta.add_column(op["name"], now)
             ice.add_column(op["name"], now)
@@ -822,6 +860,29 @@ def test_dml_sequence_iceberg_executor_tier(spark, tmp_path, seed,
     monkeypatch.setattr(IcebergTable, "DELETE_ROWS_LIMIT", 0)
     monkeypatch.setattr(DeltaLog, "DELETE_WHERE_ROW_LIMIT", 0)
     _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False)
+
+
+def test_dml_sequence_stream_append_rollback(spark, tmp_path):
+    # round 12: streaming micro-batch appends composed into the op mix
+    # (Delta txn watermark / Iceberg summary-epoch watermark).  seed
+    # 1618 replays an epoch (both formats must skip, heads untouched),
+    # rolls back OVER a streamed batch, then streams twice more on the
+    # restored state — fresh monotone epochs land on both twins even
+    # though Delta's watermark SURVIVES the restore while Iceberg's
+    # ancestry walk forgets the abandoned branch
+    _run_sequence(spark, tmp_path, seed=1618, n_ops=12, mapped=False,
+                  with_rollback=True, with_stream=True)
+
+
+def test_dml_sequence_stream_append_ddl_maintenance(spark, tmp_path):
+    # seed 1688 streams, evolves the schema twice, draws MAINTENANCE
+    # (checkpoint + expire_log + vacuum) between the DDLs, then
+    # streams again on the evolved schema — the second epoch's skip
+    # watermark must come through the CHECKPOINT's txn carry on Delta
+    # (the pre-checkpoint commits holding the txn action are expired)
+    # and through surviving snapshot summaries on Iceberg
+    _run_sequence(spark, tmp_path, seed=1688, n_ops=12, mapped=False,
+                  with_stream=True)
 
 
 def test_dml_sequence_with_maintenance(spark, tmp_path):

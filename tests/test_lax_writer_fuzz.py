@@ -133,6 +133,25 @@ def unknown_fields_and_actions(version, actions):
 
 
 @_delta_mutation
+def external_txn_actions(version, actions):
+    """Other engines' streaming writers interleave ``txn`` actions
+    (transaction identifiers) with file actions.  Batch ROWS must not
+    change, replay must survive lax shapes (explicit-null lastUpdated,
+    a version-less txn, unknown fields inside the payload), and the
+    recorded watermark must still be readable for the well-formed
+    entries."""
+    actions.append({"txn": {"appId": f"ext-{version}",
+                            "version": version,
+                            "lastUpdated": None,
+                            "x-writer-custom": "z"}})
+    if version % 2:
+        # spec-violating but seen in the wild: no version field — must
+        # not crash replay, and reads back as "no watermark"
+        actions.append({"txn": {"appId": "ext-versionless"}})
+    return actions
+
+
+@_delta_mutation
 def action_type_order_shuffled(version, actions):
     """protocol/metaData/commitInfo placement within a commit is not
     semantic — move them AFTER the file actions."""

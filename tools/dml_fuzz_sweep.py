@@ -39,6 +39,11 @@ def main() -> int:
                          "of format-twin sequences")
     ap.add_argument("--ice-ddl", action="store_true",
                     help="Iceberg DDL-triple sequences")
+    ap.add_argument("--stream", action="store_true",
+                    help="compose streaming micro-batch appends into "
+                         "the twin sequences (unmapped/unpartitioned "
+                         "only — the faces' documented seams); odd "
+                         "seeds add rollbacks")
     args = ap.parse_args()
 
     from hadoop_sync_spark.session import get_spark
@@ -63,6 +68,12 @@ def main() -> int:
             elif args.ddl:
                 _run_delta_ddl_sequence(spark, tmp, seed, args.ops)
                 print(f"seed {seed} ddl: OK", flush=True)
+            elif args.stream:
+                rb = seed % 2 == 1
+                _run_sequence(spark, tmp, seed, args.ops, mapped=False,
+                              with_rollback=rb, with_stream=True)
+                print(f"seed {seed} stream rollback={rb}: OK",
+                      flush=True)
             else:
                 mapped = seed % 4 == 3
                 part = seed % 4 == 2
