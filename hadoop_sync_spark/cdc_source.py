@@ -249,6 +249,178 @@ class _CDCStreamReader(DataSourceStreamReader):
             )
 
 
+@dataclass
+class _IcePart(InputPartition):
+    abs_path: str
+    snapshot_id: int
+    pv: dict
+    out_cols: tuple
+
+
+class _IceIncStreamReader(DataSourceStreamReader):
+    """Streaming half of :meth:`IcebergTable.incremental_scan`:
+    offsets are SEQUENCE NUMBERS ({"sequence": N} = every ancestry
+    snapshot with sequence < N is processed).  Sequence numbers keep
+    their high watermark across rollbacks, so post-rollback commits
+    always order after everything already consumed, and abandoned-
+    branch snapshots (off the current ancestry) never stream."""
+
+    def __init__(self, options):
+        lower = {k.lower(): v for k, v in dict(options).items()}
+        self.path = lower.get("path")
+        if not self.path:
+            raise ValueError(
+                "iceberg_incremental requires .option('path', ...)")
+        self.start_seq = int(lower.get("startingsequence", 1))
+        t = self._table()
+        if t._rename_history():
+            raise NotImplementedError(
+                "iceberg_incremental on a renamed schema history: "
+                "compact the table first"
+            )
+        meta = t.metadata()
+        self._pinned_schema_id = meta.get("current-schema-id", 0)
+        fields = t._schema_by_id(self._pinned_schema_id)["fields"]
+        self._out_cols = tuple(f["name"] for f in fields)
+
+    def _table(self):
+        from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+        return IcebergTable(self.path)
+
+    @staticmethod
+    def _ancestry(t):
+        """Current-branch snapshots, oldest first (the same walk
+        committed_epoch uses)."""
+        snaps = t.snapshots()
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        cur = t.metadata().get("current-snapshot-id")
+        if cur in by_id and any("parent-snapshot-id" in s
+                                for s in snaps):
+            chain = []
+            while cur in by_id:
+                chain.append(by_id[cur])
+                cur = by_id[cur].get("parent-snapshot-id")
+            return list(reversed(chain))
+        return snaps
+
+    def initialOffset(self) -> dict:
+        return {"sequence": self.start_seq}
+
+    def latestOffset(self) -> dict:
+        t = self._table()
+        chain = self._ancestry(t)
+        if not chain:
+            return {"sequence": self.start_seq}
+        return {"sequence": chain[-1]["sequence-number"] + 1}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def partitions(self, start: dict, end: dict):
+        from hadoop_sync_spark.avro_codec import read_ocf
+        from hadoop_sync_spark.iceberg_meta import (
+            _CONTENT_DATA,
+            _MANIFEST_DATA,
+            _STATUS_ADDED,
+        )
+
+        t = self._table()
+        parts: list[_IcePart] = []
+        for s in self._ancestry(t):
+            seq = s["sequence-number"]
+            if not (start["sequence"] <= seq < end["sequence"]):
+                continue
+            op = (s.get("summary") or {}).get("operation")
+            if op == "replace":
+                continue  # compaction: no new rows by spec contract
+            if op != "append":
+                raise NotImplementedError(
+                    f"iceberg_incremental over a {op!r} snapshot "
+                    f"({s['snapshot-id']}): append-only streams only — "
+                    "changelog_scan is the batch face for row-level "
+                    "delete/overwrite history"
+                )
+            if s.get("schema-id",
+                     self._pinned_schema_id) != self._pinned_schema_id:
+                raise NotImplementedError(
+                    f"schema changed at snapshot {s['snapshot-id']}: "
+                    "restart the stream to pick up the new schema"
+                )
+            snap_id = s["snapshot-id"]
+            _, manifests, _ = read_ocf(t._resolve(s["manifest-list"]))
+            for mf in manifests:
+                if (mf["content"] != _MANIFEST_DATA
+                        or mf.get("added_snapshot_id") != snap_id):
+                    continue
+                _, entries, _ = read_ocf(
+                    t._resolve(mf["manifest_path"]))
+                for e in entries:
+                    if e["status"] != _STATUS_ADDED:
+                        continue
+                    df = e["data_file"]
+                    if df["content"] != _CONTENT_DATA:
+                        continue
+                    parts.append(_IcePart(
+                        abs_path=t._resolve(df["file_path"]),
+                        snapshot_id=snap_id,
+                        pv=dict(df["partition"] or {}),
+                        out_cols=self._out_cols,
+                    ))
+        if not parts:
+            parts.append(_IcePart(abs_path="", snapshot_id=-1, pv={},
+                                  out_cols=self._out_cols))
+        return parts
+
+    def read(self, partition: _IcePart):
+        import pyarrow.parquet as pq
+
+        if not partition.abs_path:
+            return
+        tbl = pq.read_table(partition.abs_path)
+        names = set(tbl.schema.names)
+        cols = {}
+        for c in partition.out_cols:
+            if c in names:
+                cols[c] = tbl.column(c).to_pylist()
+            else:
+                # identity partition value recorded in metadata only
+                # (or a pre-DDL file): attach the manifest value;
+                # absent there too -> null-fill
+                cols[c] = None
+        n = tbl.num_rows
+        for i in range(n):
+            yield tuple(
+                (cols[c][i] if cols[c] is not None
+                 else partition.pv.get(c))
+                for c in partition.out_cols
+            ) + (partition.snapshot_id,)
+
+
+class IcebergIncrementalStreamSource(DataSource):
+    """``spark.readStream.format("iceberg_incremental")`` — options:
+    ``path`` (table directory), ``startingSequence`` (default 1).
+    Output = table schema + ``_snapshot_id`` (the same shape as the
+    batch :meth:`IcebergTable.incremental_scan`)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_incremental"
+
+    def schema(self):
+        from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+        t = IcebergTable(self.options["path"])
+        sid = t.metadata().get("current-schema-id", 0)
+        schema = t._spark_schema(sid)
+        from pyspark.sql.types import LongType, StructField
+
+        return schema.add(StructField("_snapshot_id", LongType()))
+
+    def streamReader(self, schema) -> _IceIncStreamReader:
+        return _IceIncStreamReader(self.options)
+
+
 class DeltaCDCStreamSource(DataSource):
     """``spark.readStream.format("delta_cdc")`` — options: ``path``
     (the Delta table directory), ``startingVersion`` (default 0)."""

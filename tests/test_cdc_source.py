@@ -210,3 +210,79 @@ def test_cdc_replication_pipeline_exactly_once(spark, tmp_path):
     assert sorted(
         tuple(r) for r in tgt_log.read(spark).collect()
     ) == [(1, 10), (2, 20), (3, 30)]
+
+
+# ---------------------------------------- iceberg_incremental source
+
+
+def _ice_drain(spark, table_dir, ckpt, rows_out):
+    from hadoop_sync_spark.cdc_source import (
+        IcebergIncrementalStreamSource,
+    )
+
+    spark.dataSource.register(IcebergIncrementalStreamSource)
+    df = (spark.readStream.format("iceberg_incremental")
+          .option("path", table_dir).load())
+
+    def sink(batch_df, _bid):
+        rows_out.extend(tuple(r) for r in batch_df.collect())
+
+    q = (df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_iceberg_incremental_source(spark, tmp_path):
+    """Streamed append snapshots match the batch incremental face:
+    rows tagged with the snapshot that added them, compaction silent,
+    only new sequence numbers on a second drain."""
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_inc")
+    t = IcebergTable.create(d, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    s0 = t.append_stream_batch(b0, "w", 0, now_ms=2)
+
+    got: list = []
+    ck = str(tmp_path / "ck")
+    _ice_drain(spark, d, ck, got)
+    assert sorted(got) == sorted(
+        (r.k, r.v, r._snapshot_id)
+        for r in t.read(spark).selectExpr(
+            "k", "v", f"cast({s0} as long) as _snapshot_id"
+        ).collect())
+
+    # no new snapshots: nothing arrives
+    got2: list = []
+    _ice_drain(spark, d, ck, got2)
+    assert got2 == []
+
+    # a second append streams ONLY its own rows; compaction between
+    # the appends is silent (replace snapshots add no rows)
+    t.compact(spark, now_ms=3)
+    b1 = spark.createDataFrame([(3, 30)], "k long, v long")
+    s1 = t.append_stream_batch(b1, "w", 1, now_ms=4)
+    got3: list = []
+    _ice_drain(spark, d, ck, got3)
+    assert got3 == [(3, 30, s1)]
+
+
+def test_iceberg_incremental_refuses_deletes(spark, tmp_path):
+    """A delete snapshot in the streamed range refuses, naming the
+    changelog face — the incremental contract, same as the batch
+    twin."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_del")
+    t = IcebergTable.create(d, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    t.append_stream_batch(b0, "w", 0, now_ms=2)
+    t.delete_rows(spark, {"k": (1, 1)}, now_ms=3)
+    got: list = []
+    with pytest.raises(StreamingQueryException, match="changelog"):
+        _ice_drain(spark, d, str(tmp_path / "ck"), got)
