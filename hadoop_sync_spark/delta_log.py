@@ -1124,8 +1124,10 @@ class DeltaLog:
         A missing table is created by the first batch (protocol +
         metaData derived from the batch schema, version 0) — the
         create-on-first-write behavior of production streaming sinks.
-        Partitioned and column-mapped targets refuse (append rows
-        through merge_upsert/partitioned appends instead); an EMPTY
+        Partitioned targets split per tuple exactly like the
+        partitioned MERGE (one file per tuple in the SAME txn commit,
+        string-encoded partitionValues, long/int/string/boolean
+        partition types only); column-mapped targets refuse; an EMPTY
         batch still commits its txn action so the version watermark
         advances.
 
@@ -1172,17 +1174,13 @@ class DeltaLog:
         last = (snap.transactions.get(app_id) or {}).get("version")
         if last is not None and batch_id <= last:
             return None
-        if snap.partition_columns:
-            raise NotImplementedError(
-                "append_stream_batch targets unpartitioned tables; "
-                "partitioned streaming appends are not implemented"
-            )
         if snap.column_mapping_mode != "none":
             raise NotImplementedError(
                 "append_stream_batch does not write column-mapped "
                 "tables (physical-name stamping not implemented here)"
             )
         schema = snap.schema()
+        part_cols = list(snap.partition_columns)
         if schema is not None:
             want = [f.name for f in schema.fields]
             if set(batch_df.columns) != set(want):
@@ -1191,22 +1189,73 @@ class DeltaLog:
                     f"columns {sorted(want)}"
                 )
             batch_df = batch_df.select(*want)
-        staging = os.path.join(
-            self.table_dir, f"_txn_staging-{tag}-{batch_id}"
-        )
-        _shutil.rmtree(staging, ignore_errors=True)
-        batch_df.write.mode("overwrite").parquet(staging)
-        parts = sorted(
-            n for n in os.listdir(staging)
-            if n.endswith(".parquet") and not n.startswith((".", "_"))
-        )
-        rels = []
-        for i, name in enumerate(parts):
-            rel = f"txn-{tag}-{batch_id:010d}-{i:05d}.parquet"
-            os.replace(os.path.join(staging, name),
-                       os.path.join(self.table_dir, rel))
-            rels.append(rel)
-        _shutil.rmtree(staging, ignore_errors=True)
+        if part_cols:
+            # per-tuple split, exactly the partitioned-merge shape:
+            # one file per tuple in the SAME single txn commit,
+            # partitionValues in the protocol's string encoding (the
+            # set the read path's CAST inverts exactly)
+            _PART_OK = {T.LongType(), T.IntegerType(), T.StringType(),
+                        T.BooleanType()}
+            for c in part_cols:
+                if schema[c].dataType not in _PART_OK:
+                    raise NotImplementedError(
+                        f"append_stream_batch on a table partitioned "
+                        f"by {schema[c].dataType.simpleString()} "
+                        f"column {c!r}: only long/int/string/boolean "
+                        "partition values round-trip the string "
+                        "encoding exactly"
+                    )
+
+            def _pv_str(v):
+                if v is None:
+                    return None
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                return str(v)
+
+            from hadoop_sync_spark.io import write_single_parquet
+
+            data_names = [c for c in batch_df.columns
+                          if c not in part_cols]
+            tuples = batch_df.select(*part_cols).distinct().collect()
+            adds = []
+            for gi, t in enumerate(sorted(
+                tuples,
+                key=lambda r: tuple((v is None, v) for v in r),
+            )):
+                cond = None
+                for c in part_cols:
+                    term = F.col(c).eqNullSafe(F.lit(t[c]))
+                    cond = term if cond is None else cond & term
+                rel = f"txn-{tag}-{batch_id:010d}-p{gi:05d}.parquet"
+                write_single_parquet(
+                    batch_df.where(cond).select(*data_names),
+                    os.path.join(self.table_dir, rel),
+                    "delta_txn_",
+                )
+                adds.append(self.add_action_for(
+                    rel,
+                    partitionValues={c: _pv_str(t[c])
+                                     for c in part_cols},
+                ))
+        else:
+            staging = os.path.join(
+                self.table_dir, f"_txn_staging-{tag}-{batch_id}"
+            )
+            _shutil.rmtree(staging, ignore_errors=True)
+            batch_df.write.mode("overwrite").parquet(staging)
+            parts = sorted(
+                n for n in os.listdir(staging)
+                if n.endswith(".parquet")
+                and not n.startswith((".", "_"))
+            )
+            adds = []
+            for i, name in enumerate(parts):
+                rel = f"txn-{tag}-{batch_id:010d}-{i:05d}.parquet"
+                os.replace(os.path.join(staging, name),
+                           os.path.join(self.table_dir, rel))
+                adds.append(self.add_action_for(rel))
+            _shutil.rmtree(staging, ignore_errors=True)
         actions: list[dict] = [
             {"commitInfo": {"timestamp": now_ms,
                             "operation": "STREAMING UPDATE",
@@ -1214,7 +1263,7 @@ class DeltaLog:
                                 "queryId": app_id,
                                 "epochId": str(batch_id)}}},
         ]
-        actions.extend(self.add_action_for(rel) for rel in rels)
+        actions.extend(adds)
         return self.commit_with_txn(actions, app_id, batch_id,
                                     now_ms=now_ms)
 

@@ -1947,10 +1947,12 @@ class IcebergTable:
         contract, or a re-run after the stream's own checkpoint is
         lost — skips (returns None) because the table's snapshot
         history already records it or a later one.  The table must
-        exist (``create`` is the explicit DDL face); an unpartitioned
-        default spec is required (partitioned streaming appends are
-        not implemented — an honest seam, same as the Delta twin);
-        an EMPTY batch still commits so the epoch watermark advances.
+        exist (``create`` is the explicit DDL face); an
+        identity-default-spec table splits per partition tuple like
+        the partitioned MERGE (one data file per tuple, manifest
+        tuple stamped so partition filters prune streamed files);
+        non-identity default transforms refuse; an EMPTY batch still
+        commits so the epoch watermark advances.
 
         Crash-safety mirrors the Delta twin: parts move from staging
         to DETERMINISTIC ``data/txn-<q8>-<epoch>-<i>`` names before
@@ -1970,15 +1972,31 @@ class IcebergTable:
         if last is not None and epoch_id <= last:
             return None
         meta = self.metadata()
-        if self._spec_fields(meta, meta.get("default-spec-id", 0)):
-            raise NotImplementedError(
-                "append_stream_batch targets tables with an empty "
-                "default partition spec; partitioned streaming appends "
-                "are not implemented"
-            )
         schema_fields = self._schema_by_id(
             meta["current-schema-id"]
         )["fields"]
+        by_id = {f["id"]: f["name"] for f in schema_fields}
+        default_spec = self._spec_fields(
+            meta, meta.get("default-spec-id", 0)
+        )
+        part_cols: list = []
+        field_of: dict = {}
+        for pf in default_spec:
+            if pf.get("transform", "identity") != "identity":
+                raise NotImplementedError(
+                    "append_stream_batch on a table whose default "
+                    f"spec carries transform {pf['transform']!r}: "
+                    "only identity partitioning splits a micro-batch "
+                    "without re-deriving transform values"
+                )
+            src = by_id.get(pf.get("source-id"))
+            if src is None:
+                raise ValueError(
+                    f"partition field {pf['name']!r} sources unknown "
+                    f"schema field id {pf.get('source-id')}"
+                )
+            part_cols.append(src)
+            field_of[src] = pf["name"]
         want = [f["name"] for f in schema_fields]
         if set(batch_df.columns) != set(want):
             raise ValueError(
@@ -1987,23 +2005,13 @@ class IcebergTable:
             )
         batch_df = batch_df.select(*want)
         tag = _hashlib.md5(query_id.encode()).hexdigest()[:8]
-        staging = os.path.join(
-            self.dir, f"_txn_staging-{tag}-{epoch_id}"
-        )
-        _shutil.rmtree(staging, ignore_errors=True)
-        batch_df.write.mode("overwrite").parquet(staging)
-        parts = sorted(
-            n for n in os.listdir(staging)
-            if n.endswith(".parquet") and not n.startswith((".", "_"))
-        )
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
-        entries = []
-        for i, name in enumerate(parts):
-            rel = f"data/txn-{tag}-{epoch_id:010d}-{i:05d}.parquet"
-            dest = os.path.join(self.dir, rel)
-            os.replace(os.path.join(staging, name), dest)
-            lb, ub = parquet_column_bounds(dest, schema_fields)
-            entries.append({
+        bounds_fields = [f for f in schema_fields
+                         if f["name"] not in part_cols]
+
+        def _entry(rel, dest, pv):
+            lb, ub = parquet_column_bounds(dest, bounds_fields)
+            return {
                 "status": _STATUS_ADDED,
                 "snapshot_id": None,
                 "sequence_number": None,
@@ -2012,7 +2020,7 @@ class IcebergTable:
                     "content": _CONTENT_DATA,
                     "file_path": rel,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": pv,
                     "record_count": _pq.read_metadata(dest).num_rows,
                     "file_size_in_bytes": os.path.getsize(dest),
                     "equality_ids": None,
@@ -2025,8 +2033,55 @@ class IcebergTable:
                         for k, v in sorted(ub.items())
                     ] or None,
                 },
-            })
-        _shutil.rmtree(staging, ignore_errors=True)
+            }
+
+        entries = []
+        if part_cols:
+            # identity-partitioned: per-tuple split, the partitioned-
+            # merge shape — one data file per tuple, manifest tuple
+            # stamped so partition filters prune streamed files too
+            from pyspark.sql import functions as _F
+
+            from hadoop_sync_spark.io import write_single_parquet
+
+            data_names = [c for c in want if c not in part_cols]
+            tuples = batch_df.select(*part_cols).distinct().collect()
+            for gi, t in enumerate(sorted(
+                tuples,
+                key=lambda r: tuple((v is None, v) for v in r),
+            )):
+                cond = None
+                for c in part_cols:
+                    term = _F.col(c).eqNullSafe(_F.lit(t[c]))
+                    cond = term if cond is None else cond & term
+                rel = (f"data/txn-{tag}-{epoch_id:010d}"
+                       f"-p{gi:05d}.parquet")
+                dest = os.path.join(self.dir, rel)
+                write_single_parquet(
+                    batch_df.where(cond).select(*data_names),
+                    dest, "iceberg_txn_",
+                )
+                entries.append(_entry(
+                    rel, dest,
+                    {field_of[c]: t[c] for c in part_cols},
+                ))
+        else:
+            staging = os.path.join(
+                self.dir, f"_txn_staging-{tag}-{epoch_id}"
+            )
+            _shutil.rmtree(staging, ignore_errors=True)
+            batch_df.write.mode("overwrite").parquet(staging)
+            parts = sorted(
+                n for n in os.listdir(staging)
+                if n.endswith(".parquet")
+                and not n.startswith((".", "_"))
+            )
+            for i, name in enumerate(parts):
+                rel = f"data/txn-{tag}-{epoch_id:010d}-{i:05d}.parquet"
+                dest = os.path.join(self.dir, rel)
+                os.replace(os.path.join(staging, name), dest)
+                entries.append(_entry(rel, dest, {}))
+            _shutil.rmtree(staging, ignore_errors=True)
         return self._commit_snapshot(
             self._live_entries() + entries,
             "append",

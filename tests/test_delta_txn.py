@@ -248,12 +248,76 @@ def test_iceberg_epoch_append_idempotent(spark, tmp_path):
     # to the one file holding k=3
     files = [f for f in t.files() if "txn-" in f.path]
     assert len(files) >= 2
-    # partitioned tables refuse (honest seam)
-    d2 = str(tmp_path / "ice_part")
-    t2 = IcebergTable.create(d2, [("k", "bigint"), ("p", "bigint")],
-                             partition_by=[("p", "long")], now_ms=1)
-    with pytest.raises(NotImplementedError, match="partition"):
-        t2.append_stream_batch(b0.toDF("k", "p"), "q-1", 0)
+
+
+def test_partitioned_stream_appends_both_formats(spark, tmp_path):
+    """Partitioned targets split per tuple in one idempotent commit —
+    the partitioned-MERGE shape: Delta stamps string-encoded
+    partitionValues, Iceberg stamps manifest tuples, and partition
+    filters prune streamed files on both."""
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    # Iceberg identity-partitioned
+    d = str(tmp_path / "ice_part")
+    t = IcebergTable.create(d, [("k", "bigint"), ("p", "bigint")],
+                            partition_by=[("p", "long")], now_ms=1)
+    b0 = spark.createDataFrame([(1, 0), (2, 1), (3, 0)],
+                               "k long, p long")
+    assert t.append_stream_batch(b0, "q-p", 0, now_ms=2) is not None
+    assert t.append_stream_batch(b0, "q-p", 0, now_ms=3) is None
+    got = {(r["k"], r["p"]) for r in t.read(spark).collect()}
+    assert got == {(1, 0), (2, 1), (3, 0)}
+    # one data file per tuple; a partition filter prunes to one
+    assert len([f for f in t.files() if "txn-" in f.path]) == 2
+    pruned = t.read(spark, partition_filter={"p": 1})
+    assert {(r["k"], r["p"]) for r in pruned.collect()} == {(2, 1)}
+    # non-identity default transforms refuse
+    d2 = str(tmp_path / "ice_bucket")
+    t2 = IcebergTable.create(
+        d2, [("k", "bigint"), ("p", "bigint")],
+        partition_by=[("p", "int", "bucket[4]", "p_bucket")], now_ms=1)
+    with pytest.raises(NotImplementedError, match="identity"):
+        t2.append_stream_batch(b0, "q-p", 0)
+
+    # Delta partitioned (string-encoded partitionValues)
+    dd = str(tmp_path / "delta_part")
+    log = DeltaLog(dd)
+    os.makedirs(dd)
+    _write_file(dd, "seed.parquet", {"k": [9], "v": [90]})
+    meta = {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "v", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "p", "type": "long", "nullable": True,
+                     "metadata": {}},
+                ],
+            }),
+            "partitionColumns": ["p"],
+            "configuration": {},
+        }
+    }
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, meta,
+                   log.add_action_for("seed.parquet",
+                                      partitionValues={"p": "7"})])
+    batch = spark.createDataFrame([(1, 10, 0), (2, 20, 1), (3, 30, 0)],
+                                  "k long, v long, p long")
+    assert log.append_stream_batch(batch, "sink-p", 0) is not None
+    assert log.append_stream_batch(batch, "sink-p", 0) is None
+    got = {tuple(r) for r in
+           log.read(spark).select("k", "v", "p").collect()}
+    assert got == {(9, 90, 7), (1, 10, 0), (2, 20, 1), (3, 30, 0)}
+    # partitionValues stamped per tuple with the string encoding
+    snap = log.snapshot()
+    pvs = sorted(a["partitionValues"]["p"]
+                 for pth, a in snap.live.items() if "txn-" in pth)
+    assert pvs == ["0", "1"]
 
 
 def test_iceberg_epoch_forgotten_after_rollback(spark, tmp_path):

@@ -885,6 +885,17 @@ def test_dml_sequence_stream_append_ddl_maintenance(spark, tmp_path):
                   with_stream=True)
 
 
+def test_dml_sequence_stream_append_partitioned(spark, tmp_path):
+    # round 12 (late): both sinks accept partitioned targets via the
+    # per-tuple split.  seed 1894 streams into identity-partitioned
+    # twins around maintenance, updates, merges and deletes — streamed
+    # per-tuple files must compose with partition-aware DML exactly
+    # like appended ones, and the replayed epoch skips on both
+    _run_sequence(spark, tmp_path, seed=1894, n_ops=13, mapped=False,
+                  partitioned=True, partitioned_merge=True,
+                  with_stream=True)
+
+
 def test_dml_sequence_with_maintenance(spark, tmp_path):
     # seed 602 draws maintenance (checkpoint + expire_log + vacuum /
     # expire_snapshots + vacuum) at step 3, followed by deletes, an
