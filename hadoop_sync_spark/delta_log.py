@@ -1127,7 +1127,9 @@ class DeltaLog:
         Partitioned targets split per tuple exactly like the
         partitioned MERGE (one file per tuple in the SAME txn commit,
         string-encoded partitionValues, long/int/string/boolean
-        partition types only); column-mapped targets refuse; an EMPTY
+        partition types only); name-mode column mapping writes under
+        physical names exactly like the merge face (id-mode refuses —
+        its names resolve per-footer on the read side); an EMPTY
         batch still commits its txn action so the version watermark
         advances.
 
@@ -1174,11 +1176,11 @@ class DeltaLog:
         last = (snap.transactions.get(app_id) or {}).get("version")
         if last is not None and batch_id <= last:
             return None
-        if snap.column_mapping_mode != "none":
-            raise NotImplementedError(
-                "append_stream_batch does not write column-mapped "
-                "tables (physical-name stamping not implemented here)"
-            )
+        # name-mode column mapping writes under physical names (the
+        # merge face's rule); id-mode refuses inside _resolve_physical
+        phys = (self._resolve_physical(snap, "append_stream_batch")
+                if snap.column_mapping_mode != "none"
+                else None)
         schema = snap.schema()
         part_cols = list(snap.partition_columns)
         if schema is not None:
@@ -1229,13 +1231,17 @@ class DeltaLog:
                     cond = term if cond is None else cond & term
                 rel = f"txn-{tag}-{batch_id:010d}-p{gi:05d}.parquet"
                 write_single_parquet(
-                    batch_df.where(cond).select(*data_names),
+                    batch_df.where(cond).select(*[
+                        F.col(n).alias((phys or {}).get(n, n))
+                        for n in data_names
+                    ]),
                     os.path.join(self.table_dir, rel),
                     "delta_txn_",
                 )
                 adds.append(self.add_action_for(
                     rel,
-                    partitionValues={c: _pv_str(t[c])
+                    # physical key names under mapping (protocol rule)
+                    partitionValues={(phys or {}).get(c, c): _pv_str(t[c])
                                      for c in part_cols},
                 ))
         else:
@@ -1243,7 +1249,10 @@ class DeltaLog:
                 self.table_dir, f"_txn_staging-{tag}-{batch_id}"
             )
             _shutil.rmtree(staging, ignore_errors=True)
-            batch_df.write.mode("overwrite").parquet(staging)
+            out_df = (batch_df.select(*[
+                F.col(n).alias(phys[n]) for n in batch_df.columns
+            ]) if phys else batch_df)
+            out_df.write.mode("overwrite").parquet(staging)
             parts = sorted(
                 n for n in os.listdir(staging)
                 if n.endswith(".parquet")

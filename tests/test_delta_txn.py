@@ -178,6 +178,45 @@ def test_append_stream_batch_crash_retry_overwrites(spark, tmp_path):
     assert got == {(1, 10), (7, 70)}
 
 
+def test_append_stream_batch_column_mapped(spark, tmp_path):
+    """name-mode column mapping: the batch lands under PHYSICAL column
+    names (the merge face's rule) and reads back logically; replay
+    still skips.  id-mode refuses via _resolve_physical."""
+    d = str(tmp_path / "mapped_t")
+    os.makedirs(d)
+    log = DeltaLog(d)
+    fields = [
+        {"name": n, "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": i + 1,
+                      "delta.columnMapping.physicalName": f"col-{n}"}}
+        for i, n in enumerate(("k", "v"))
+    ]
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }},
+    ])
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    assert log.append_stream_batch(b0, "m-app", 0) is not None
+    assert log.append_stream_batch(b0, "m-app", 0) is None
+    got = {tuple(r) for r in
+           log.read(spark).select("k", "v").collect()}
+    assert got == {(1, 10), (2, 20)}
+    # the parquet on disk carries PHYSICAL names
+    import pyarrow.parquet as pq
+    txn_files = [n for n in os.listdir(d) if n.startswith("txn-")]
+    assert txn_files
+    names = pq.read_schema(os.path.join(d, txn_files[0])).names
+    assert set(names) == {"col-k", "col-v"}
+
+
 def test_delta_txn_sink_survives_checkpoint_loss(spark, tmp_path):
     """The real Structured Streaming drain: a file-source stream lands
     in a Delta table through delta_txn_sink.  A second drain through

@@ -874,14 +874,18 @@ def test_dml_sequence_stream_append_rollback(spark, tmp_path):
                   with_rollback=True, with_stream=True)
 
 
-def test_dml_sequence_stream_append_ddl_maintenance(spark, tmp_path):
+@pytest.mark.parametrize("mapped", [False, True])
+def test_dml_sequence_stream_append_ddl_maintenance(spark, tmp_path,
+                                                    mapped):
     # seed 1688 streams, evolves the schema twice, draws MAINTENANCE
     # (checkpoint + expire_log + vacuum) between the DDLs, then
     # streams again on the evolved schema — the second epoch's skip
     # watermark must come through the CHECKPOINT's txn carry on Delta
     # (the pre-checkpoint commits holding the txn action are expired)
-    # and through surviving snapshot summaries on Iceberg
-    _run_sequence(spark, tmp_path, seed=1688, n_ops=12, mapped=False,
+    # and through surviving snapshot summaries on Iceberg.  The mapped
+    # variant runs the SAME sequence on a column-mapped Delta twin:
+    # streamed batches land under physical names (round-12 late lift)
+    _run_sequence(spark, tmp_path, seed=1688, n_ops=12, mapped=mapped,
                   with_stream=True)
 
 
