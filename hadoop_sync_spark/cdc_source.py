@@ -37,8 +37,12 @@ CDF reads of versions without recorded changes):
   dataChange removes) refuse at planning with the fix spelled out:
   set ``delta.enableChangeDataFeed``.  ``read_changes`` (driver-side,
   Spark available) remains the batch face for those;
-- column-mapped tables and mid-stream schema changes refuse (the
-  source pins its construction-time schema, as Spark sources must).
+- name-mode column mapping streams (the mapping is metadata-static,
+  so executors translate physical file and partitionValues names
+  through one passed dict); id-mode refuses — its names resolve
+  per-footer in the batch read path only;
+- mid-stream schema changes refuse (the source pins its
+  construction-time schema, as Spark sources must).
 
 Reference parity: the reference's incremental loop tails the HDFS
 block report and applies the DIFF (HdfsSynchronizer.java:142-205);
@@ -87,6 +91,9 @@ class _CDCPart(InputPartition):
     #: output data columns in schema order (partition cols included)
     out_cols: tuple
     partition_cols: tuple
+    #: logical -> physical column name (name-mode column mapping);
+    #: empty = identity
+    phys: dict
 
 
 class _CDCStreamReader(DataSourceStreamReader):
@@ -98,13 +105,29 @@ class _CDCStreamReader(DataSourceStreamReader):
             raise ValueError("delta_cdc requires .option('path', ...)")
         self.start_version = int(lower.get("startingversion", 0))
         log, snap = self._log_snap()
-        if snap.column_mapping_mode != "none":
+        mode = snap.column_mapping_mode
+        if mode == "id":
             raise NotImplementedError(
-                "delta_cdc does not stream column-mapped tables"
+                "delta_cdc on id-mode column mapping: physical names "
+                "resolve per-footer in the batch read path; the "
+                "stream refuses rather than guess"
             )
         self._pinned_schema = snap.schema_json
         fields = json.loads(snap.schema_json)["fields"]
         self._out_cols = tuple(f["name"] for f in fields)
+        # name-mode mapping is metadata-static: executors translate
+        # physical file/partitionValues names through this map
+        self._phys = {}
+        if mode == "name":
+            for f in fields:
+                pn = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName")
+                if pn is None:
+                    raise ValueError(
+                        f"column mapping enabled but field "
+                        f"{f['name']!r} lacks physicalName metadata"
+                    )
+                self._phys[f["name"]] = pn
         self._part_cols = tuple(snap.partition_columns)
         self._pv_types = {}
         for f in fields:
@@ -197,14 +220,16 @@ class _CDCStreamReader(DataSourceStreamReader):
             parts.append(_CDCPart(
                 abs_path="", change_type="insert", commit_version=-1,
                 pv={}, out_cols=self._out_cols,
-                partition_cols=self._part_cols,
+                partition_cols=self._part_cols, phys={},
             ))
         return parts
 
     def _part(self, action: dict, change_type, version: int) -> _CDCPart:
         pv_raw = action.get("partitionValues") or {}
+        # under name mapping, partitionValues keys are PHYSICAL
         pv = {
-            c: _pv_decode(pv_raw.get(c), self._pv_types[c])
+            c: _pv_decode(pv_raw.get(self._phys.get(c, c)),
+                          self._pv_types[c])
             for c in self._part_cols
         }
         return _CDCPart(
@@ -214,6 +239,7 @@ class _CDCStreamReader(DataSourceStreamReader):
             pv=pv,
             out_cols=self._out_cols,
             partition_cols=self._part_cols,
+            phys=self._phys,
         )
 
     # ---- executor-side: one pyarrow file read, no Spark -------------
@@ -226,10 +252,11 @@ class _CDCStreamReader(DataSourceStreamReader):
         names = set(t.schema.names)
         cols = {}
         for c in partition.out_cols:
+            fc = partition.phys.get(c, c)  # physical name in the file
             if c in partition.partition_cols:
                 cols[c] = None  # constant from pv
-            elif c in names:
-                cols[c] = t.column(c).to_pylist()
+            elif fc in names:
+                cols[c] = t.column(fc).to_pylist()
             else:
                 cols[c] = None  # absent in an old file: null-fill
         if partition.change_type is None:

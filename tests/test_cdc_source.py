@@ -212,6 +212,56 @@ def test_cdc_replication_pipeline_exactly_once(spark, tmp_path):
     ) == [(1, 10), (2, 20), (3, 30)]
 
 
+def test_cdc_source_column_mapped_name_mode(spark, tmp_path):
+    """Name-mode mapped CDF table: cdc and add files carry PHYSICAL
+    column names; the stream translates through the metadata map and
+    matches the batch face logically."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "mapped_src")
+    os.makedirs(d)
+    log = DeltaLog(d)
+    fields = [
+        {"name": n, "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": i + 1,
+                      "delta.columnMapping.physicalName": f"col-{n}"}}
+        for i, n in enumerate(("k", "v"))
+    ]
+    pd.DataFrame({"col-k": [1, 2, 3],
+                  "col-v": [10, 20, 30]}).to_parquet(
+        os.path.join(d, "a.parquet"))
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",
+                "delta.enableChangeDataFeed": "true"},
+        }},
+        log.add_action_for("a.parquet"),
+    ])
+    log.update_where(spark, {"k": (2, 2)}, {"v": F.col("v") + 100},
+                     now_ms=1000)
+    log.delete_where(spark, {"k": (3, 3)}, now_ms=2000)
+
+    got: list = []
+    _drain(spark, d, str(tmp_path / "ck"), got)
+    want = Counter(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in log.read_changes(spark, 0).collect()
+    )
+    assert Counter(got) == want
+    assert {"update_preimage", "update_postimage", "delete",
+            "insert"} <= {t[2] for t in got}
+
+
 # ---------------------------------------- iceberg_incremental source
 
 
