@@ -266,6 +266,23 @@ def main(argv: list[str] | None = None) -> int:
     chg_p.add_argument("--limit", type=int, default=20,
                        help="rows to print (default 20)")
 
+    stm_p = sub.add_parser(
+        "stream",
+        help="drain a parquet source directory into a registered "
+        "format table EXACTLY ONCE via Structured Streaming "
+        "(delta: txn-action watermark; iceberg: snapshot-summary "
+        "epoch watermark) — re-running, even after deleting the "
+        "checkpoint, never duplicates rows",
+    )
+    stm_p.add_argument("meta_dir")
+    stm_p.add_argument("table")
+    stm_p.add_argument("source", help="parquet directory to tail")
+    stm_p.add_argument("--checkpoint", required=True,
+                       help="stream checkpoint directory")
+    stm_p.add_argument("--app-id", default="hadoop-sync-stream",
+                       help="writer identity the idempotence keys on "
+                       "(default hadoop-sync-stream)")
+
     mrg_p = sub.add_parser(
         "merge",
         help="MERGE/upsert a parquet source batch into a registered "
@@ -698,6 +715,51 @@ def main(argv: list[str] | None = None) -> int:
                     f"merged: {res['keys']} key(s) upserted, "
                     f"{res['rows']} row(s) written"
                 )
+            print("hint: run `sync` to refresh the catalog")
+        elif args.cmd == "stream":
+            rec = reg.tables().get(args.table)
+            if rec is None:
+                raise KeyError(f"table not registered: {args.table}")
+            fmt = rec.get("format")
+            if fmt not in ("iceberg", "delta"):
+                raise ValueError(
+                    "stream is for format tables (iceberg or delta); "
+                    f"{args.table!r} is a plain directory"
+                )
+            # the source schema comes from the files present now (a
+            # streaming read requires an explicit schema)
+            src_schema = spark.read.parquet(args.source).schema
+            stream_df = (spark.readStream.schema(src_schema)
+                         .parquet(args.source))
+            if fmt == "delta":
+                from hadoop_sync_spark.delta_log import DeltaLog
+                from hadoop_sync_spark.streaming.pipeline import (
+                    delta_txn_sink,
+                )
+
+                before = DeltaLog(rec["dir_path"]).txn_version(
+                    args.app_id)
+                delta_txn_sink(stream_df, rec["dir_path"],
+                               args.app_id, args.checkpoint)
+                after = DeltaLog(rec["dir_path"]).txn_version(
+                    args.app_id)
+            else:
+                from hadoop_sync_spark.iceberg_meta import IcebergTable
+                from hadoop_sync_spark.streaming.pipeline import (
+                    iceberg_epoch_sink,
+                )
+
+                before = IcebergTable(
+                    rec["dir_path"]).committed_epoch(args.app_id)
+                iceberg_epoch_sink(stream_df, rec["dir_path"],
+                                   args.app_id, args.checkpoint)
+                after = IcebergTable(
+                    rec["dir_path"]).committed_epoch(args.app_id)
+            n = ((after - before) if (after is not None
+                                      and before is not None)
+                 else (after + 1 if after is not None else 0))
+            print(f"drained: {n} new batch(es) landed "
+                  f"(watermark {before} -> {after})")
             print("hint: run `sync` to refresh the catalog")
         elif args.cmd == "changes":
             rec = reg.tables().get(args.table)

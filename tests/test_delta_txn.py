@@ -255,6 +255,62 @@ def test_delta_txn_sink_survives_checkpoint_loss(spark, tmp_path):
         (1, 10), (2, 20), (3, 30)}
 
 
+def test_cli_stream_both_formats(spark, tmp_path, capsys):
+    """`stream` CLI: drains a parquet dir into a registered format
+    table exactly once; a re-run with a FRESH checkpoint lands zero
+    new batches (the table's own watermark refuses the replay); plain
+    directories refuse."""
+    from hadoop_sync_spark.__main__ import main
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    meta = str(tmp_path / "meta")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame({"k": [1, 2], "v": [10, 20]}).to_parquet(
+        os.path.join(src, "p0.parquet"))
+
+    d, log = _mk_table(tmp_path, "cli_stream")
+    assert main(["register", meta, "t", d, "--format", "delta"]) == 0
+    ck = str(tmp_path / "ck")
+    assert main(["stream", meta, "t", src, "--checkpoint", ck,
+                 "--app-id", "cli"]) == 0
+    out = capsys.readouterr().out
+    assert "watermark None -> 0" in out
+    # a.parquet's (1,10) plus the two streamed rows, exactly once
+    rows = sorted(tuple(r) for r in
+                  log.read(spark).select("k", "v").collect())
+    assert rows == [(1, 10), (1, 10), (2, 20)]
+    # checkpoint lost: replayed batch 0 refused, zero new batches
+    assert main(["stream", meta, "t", src, "--checkpoint",
+                 str(tmp_path / "ck2"), "--app-id", "cli"]) == 0
+    assert "0 new batch(es)" in capsys.readouterr().out
+    assert log.read(spark).count() == 3  # a.parquet row + 2 streamed
+
+    # iceberg twin
+    di = str(tmp_path / "cli_stream_ice")
+    t = IcebergTable.create(di, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+    assert main(["register", meta, "ti", di, "--format",
+                 "iceberg"]) == 0
+    assert main(["stream", meta, "ti", src, "--checkpoint",
+                 str(tmp_path / "cki"), "--app-id", "cli"]) == 0
+    assert "watermark None -> 0" in capsys.readouterr().out
+    assert t.read(spark).count() == 2
+    assert main(["stream", meta, "ti", src, "--checkpoint",
+                 str(tmp_path / "cki2"), "--app-id", "cli"]) == 0
+    assert "0 new batch(es)" in capsys.readouterr().out
+    assert t.read(spark).count() == 2
+
+    # plain-directory tables refuse
+    os.makedirs(str(tmp_path / "plaind"))
+    pd.DataFrame({"k": [1]}).to_parquet(
+        os.path.join(str(tmp_path / "plaind"), "x.parquet"))
+    assert main(["register", meta, "tp",
+                 str(tmp_path / "plaind")]) == 0
+    assert main(["stream", meta, "tp", src, "--checkpoint",
+                 str(tmp_path / "ckp")]) == 2
+
+
 # ---- the Iceberg twin: epoch watermark in the snapshot summary ------
 
 
