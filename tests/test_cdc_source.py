@@ -319,6 +319,42 @@ def test_iceberg_incremental_source(spark, tmp_path):
     assert got3 == [(3, 30, s1)]
 
 
+def test_iceberg_incremental_partitioned_pv_attach(spark, tmp_path):
+    """Streamed per-tuple data files EXCLUDE identity partition
+    columns (the partitioned append shape); the source attaches the
+    value from the manifest tuple."""
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_inc_part")
+    t = IcebergTable.create(d, [("k", "bigint"), ("p", "bigint")],
+                            partition_by=[("p", "long")], now_ms=1)
+    b0 = spark.createDataFrame([(1, 0), (2, 1)], "k long, p long")
+    s0 = t.append_stream_batch(b0, "w", 0, now_ms=2)
+
+    got: list = []
+    _ice_drain(spark, d, str(tmp_path / "ck"), got)
+    assert sorted(got) == [(1, 0, s0), (2, 1, s0)]
+
+
+def test_cdc_source_refuses_vacuumed_prefix(spark, tmp_path):
+    """An offset below the log's retained history refuses loudly
+    (vacuumed commits) instead of silently skipping changes."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    d, log = _mk_table(tmp_path, "vac_src")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(True),
+                   log.add_action_for("a.parquet")])
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(1, [log.add_action_for("b.parquet")])
+    log.write_checkpoint()
+    assert log.expire_log() == [0]
+    got: list = []
+    with pytest.raises(StreamingQueryException,
+                       match="vacuumed|missing"):
+        _drain(spark, d, str(tmp_path / "ck"), got, starting=0)
+
+
 def test_iceberg_incremental_refuses_deletes(spark, tmp_path):
     """A delete snapshot in the streamed range refuses, naming the
     changelog face — the incremental contract, same as the batch

@@ -70,10 +70,13 @@ def main() -> int:
                 print(f"seed {seed} ddl: OK", flush=True)
             elif args.stream:
                 rb = seed % 2 == 1
+                part = seed % 3 == 0
                 _run_sequence(spark, tmp, seed, args.ops, mapped=False,
-                              with_rollback=rb, with_stream=True)
-                print(f"seed {seed} stream rollback={rb}: OK",
-                      flush=True)
+                              with_rollback=rb, with_stream=True,
+                              partitioned=part,
+                              partitioned_merge=part)
+                print(f"seed {seed} stream rollback={rb} "
+                      f"part={part}: OK", flush=True)
             else:
                 mapped = seed % 4 == 3
                 part = seed % 4 == 2
