@@ -262,6 +262,53 @@ def test_cdc_source_column_mapped_name_mode(spark, tmp_path):
             "insert"} <= {t[2] for t in got}
 
 
+def test_cross_format_replication_delta_to_iceberg(spark, tmp_path):
+    """CROSS-FORMAT pipeline: delta_cdc source -> iceberg epoch sink.
+    A Delta table's insert feed replicates into an Iceberg table
+    exactly once, surviving a lost sink checkpoint — the two formats'
+    idempotence mechanisms compose because both key on the batch id."""
+    from pyspark.sql import functions as F
+
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    src_dir, src_log = _mk_table(tmp_path, "x_src")
+    _write_file(src_dir, "a.parquet", {"k": [1, 2], "v": [10, 20]})
+    src_log.commit(0, [{"protocol": {"minReaderVersion": 1}},
+                       _meta(True), src_log.add_action_for("a.parquet")])
+    tgt_dir = str(tmp_path / "x_tgt")
+    tgt = IcebergTable.create(tgt_dir,
+                              [("k", "bigint"), ("v", "bigint")],
+                              now_ms=1)
+    spark.dataSource.register(DeltaCDCStreamSource)
+
+    def replicate(ckpt):
+        df = (spark.readStream.format("delta_cdc")
+              .option("path", src_dir).load())
+        inserts = (df.where(F.col("_change_type") == "insert")
+                   .select("k", "v"))
+
+        def sink(batch_df, batch_id):
+            IcebergTable(tgt_dir).append_stream_batch(
+                batch_df, "x-repl", batch_id)
+
+        q = (inserts.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    ck = str(tmp_path / "x_ck")
+    replicate(ck)
+    assert sorted((r.k, r.v) for r in tgt.read(spark).collect()) == [
+        (1, 10), (2, 20)]
+    # incremental + lost-checkpoint replay
+    _write_file(src_dir, "b.parquet", {"k": [3], "v": [30]})
+    src_log.commit(1, [src_log.add_action_for("b.parquet")])
+    replicate(ck)
+    replicate(str(tmp_path / "x_ck2"))  # fresh checkpoint: refused
+    assert sorted((r.k, r.v) for r in tgt.read(spark).collect()) == [
+        (1, 10), (2, 20), (3, 30)]
+
+
 # ---------------------------------------- iceberg_incremental source
 
 

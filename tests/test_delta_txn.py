@@ -97,6 +97,27 @@ def test_commit_with_txn_is_idempotent(tmp_path):
     assert log.txn_version("writer-1") == 1
 
 
+def test_commit_with_txn_race_retry(tmp_path):
+    """The documented optimistic-concurrency contract: commit() itself
+    refuses an existing version loudly (put-if-absent), and a caller's
+    retry of commit_with_txn re-runs the skip check against whatever
+    the racing writer landed — same (app, version) collapses to a
+    no-op instead of a duplicate."""
+    d, log = _mk_table(tmp_path)
+    head = log.latest_version()
+    # the raw atomicity primitive the contract rests on
+    with pytest.raises(FileExistsError):
+        log.commit(head, [{"txn": {"appId": "me", "version": 0}}])
+    # a racing writer (another process, same app after a crash) lands
+    # OUR (app, version) first; the retry must skip, not duplicate
+    log.commit(head + 1, [{"txn": {"appId": "me", "version": 0}}])
+    assert log.commit_with_txn([], "me", 0) is None
+    assert log.latest_version() == head + 1
+    # and a DIFFERENT version still lands after the race
+    assert log.commit_with_txn([], "me", 1) == head + 2
+    assert log.txn_version("me") == 1
+
+
 @pytest.mark.parametrize("kind", ["v1", "v2"])
 def test_checkpoint_carries_txn(tmp_path, kind):
     """The spec REQUIRES checkpoints to carry the latest txn per appId:
