@@ -142,6 +142,19 @@ def main() -> None:
         log.merge_upsert(spark, src, "k", now_ms=1000)
         dml[f"merge_upsert_{label}_source_s"] = round(
             time.perf_counter() - t0, 4)
+    # streaming sink faces (round 12): micro-batch land wall clock +
+    # the replay-skip, whose cost is the exactly-once price (must stay
+    # metadata-time — a regression here means the skip started
+    # touching data)
+    log = mk_delta("stream")
+    sbatch = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") + 3).alias("v"))
+    t0 = time.perf_counter()
+    log.append_stream_batch(sbatch, "bench", 0)
+    dml["stream_land_200k_s"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    assert log.append_stream_batch(sbatch, "bench", 0) is None
+    dml["stream_replay_skip_s"] = round(time.perf_counter() - t0, 4)
 
     print(
         json.dumps(
