@@ -353,8 +353,26 @@ class _IceIncStreamReader(DataSourceStreamReader):
         )
 
         t = self._table()
+        chain = self._ancestry(t)
+        if chain:
+            # expired-history guard (parity with delta_cdc's vacuumed-
+            # commit refusal): if the offset predates the OLDEST
+            # retained ancestor and that ancestor is not the table's
+            # genesis (it names a parent no longer listed), snapshots
+            # in range were expired — refusing beats silently skipping
+            # their rows
+            oldest = chain[0]
+            if (start["sequence"] < oldest["sequence-number"]
+                    and oldest.get("parent-snapshot-id") is not None):
+                raise ValueError(
+                    f"offset sequence {start['sequence']} predates "
+                    f"the oldest retained snapshot (sequence "
+                    f"{oldest['sequence-number']}, whose parent was "
+                    "expired): the stream's position is beyond the "
+                    "table's retained history"
+                )
         parts: list[_IcePart] = []
-        for s in self._ancestry(t):
+        for s in chain:
             seq = s["sequence-number"]
             if not (start["sequence"] <= seq < end["sequence"]):
                 continue

@@ -402,6 +402,49 @@ def test_cdc_source_refuses_vacuumed_prefix(spark, tmp_path):
         _drain(spark, d, str(tmp_path / "ck"), got, starting=0)
 
 
+def test_iceberg_incremental_refuses_expired_history(spark, tmp_path):
+    """Parity with delta_cdc's vacuumed-commit refusal: an offset
+    predating the oldest RETAINED snapshot refuses loudly instead of
+    silently skipping the expired snapshots' rows."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_exp")
+    t = IcebergTable.create(d, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+    for e in range(3):
+        t.append_stream_batch(
+            spark.createDataFrame([(e, e * 10)], "k long, v long"),
+            "w", e, now_ms=10 + e)
+    expired = t.expire_snapshots(keep_last=1, now_ms=100)
+    assert expired
+    got: list = []
+    with pytest.raises(StreamingQueryException, match="retained"):
+        _ice_drain(spark, d, str(tmp_path / "ck"), got)
+    # an offset AT the retained head still streams (fresh consumer
+    # starting from the current sequence)
+    from hadoop_sync_spark.cdc_source import (
+        IcebergIncrementalStreamSource,
+    )
+
+    spark.dataSource.register(IcebergIncrementalStreamSource)
+    head_seq = t.snapshot()["sequence-number"]
+    df = (spark.readStream.format("iceberg_incremental")
+          .option("path", d)
+          .option("startingSequence", head_seq).load())
+    got2: list = []
+
+    def sink(batch_df, _bid):
+        got2.extend(tuple(r) for r in batch_df.collect())
+
+    q = (df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert [(k, v) for k, v, _ in got2] == [(2, 20)]
+
+
 def test_iceberg_incremental_refuses_deletes(spark, tmp_path):
     """A delete snapshot in the streamed range refuses, naming the
     changelog face — the incremental contract, same as the batch
