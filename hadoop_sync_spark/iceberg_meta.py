@@ -1915,7 +1915,16 @@ class IcebergTable:
         Spark's and Flink's Iceberg sinks use.  The walk follows
         parent-snapshot-id past rollback-abandoned branches (so a
         rollback correctly FORGETS epochs committed on the abandoned
-        branch), with the list-order fallback for legacy metadata."""
+        branch), with the list-order fallback for legacy metadata.
+
+        Durability caveat (inherent to the summary mechanism, shared
+        by production Iceberg sinks): :meth:`expire_snapshots` erases
+        the watermark with the snapshots that carried it — if EVERY
+        snapshot recording a query's epoch expires while the stream's
+        own checkpoint is also lost, a replay re-lands.  Keep snapshot
+        retention longer than checkpoint-loss recovery time, or use
+        the Delta twin, whose txn state rides every checkpoint
+        forever."""
         snaps = self.snapshots()
         if not snaps:
             return None
