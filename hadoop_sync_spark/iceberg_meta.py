@@ -1940,7 +1940,18 @@ class IcebergTable:
         for s in chain:
             summ = s.get("summary") or {}
             if summ.get(self._EPOCH_QUERY_KEY) == query_id:
-                return int(summ[self._EPOCH_ID_KEY])
+                raw = summ.get(self._EPOCH_ID_KEY)
+                try:
+                    return int(raw)
+                except (TypeError, ValueError):
+                    # an external writer recorded this query with a
+                    # malformed epoch: IGNORING it would walk on to an
+                    # OLDER epoch and re-admit duplicates, so refuse
+                    raise ValueError(
+                        f"snapshot {s['snapshot-id']} records queryId "
+                        f"{query_id!r} with malformed epochId {raw!r}"
+                        " — cannot determine the idempotence watermark"
+                    ) from None
         return None
 
     def append_stream_batch(

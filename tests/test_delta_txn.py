@@ -436,6 +436,36 @@ def test_partitioned_stream_appends_both_formats(spark, tmp_path):
     assert pvs == ["0", "1"]
 
 
+def test_iceberg_malformed_external_epoch_refuses(spark, tmp_path):
+    """A lax external writer recording this query with a malformed
+    epochId refuses loudly: ignoring it would walk on to an OLDER
+    epoch and re-admit duplicates."""
+    import json as _json
+
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_lax")
+    t = IcebergTable.create(d, [("k", "bigint")], now_ms=1)
+    b = spark.createDataFrame([(1,)], "k long")
+    t.append_stream_batch(b, "q-lax", 0, now_ms=2)
+    # mutate the newest snapshot's summary in place (external writer)
+    mdir = os.path.join(d, "metadata")
+    latest = sorted(n for n in os.listdir(mdir)
+                    if n.endswith(".metadata.json"))[-1]
+    mp = os.path.join(mdir, latest)
+    with open(mp) as fh:
+        meta = _json.load(fh)
+    meta["snapshots"][-1]["summary"][
+        "spark.sql.streaming.epochId"] = "not-a-number"
+    with open(mp, "w") as fh:
+        _json.dump(meta, fh)
+    t2 = IcebergTable(d)
+    with pytest.raises(ValueError, match="malformed epochId"):
+        t2.committed_epoch("q-lax")
+    # a different query id is unaffected
+    assert t2.committed_epoch("other") is None
+
+
 def test_iceberg_epoch_forgotten_after_rollback(spark, tmp_path):
     """The ancestry walk means a rollback FORGETS epochs committed on
     the abandoned branch — the stream then re-lands them instead of
