@@ -664,10 +664,20 @@ class DeltaLog:
             # Transaction identifiers (PROTOCOL.md): one entry per
             # appId, later commits replace earlier ones wholesale.
             # Normalized nulls-dropped like metadata_action so the
-            # checkpoint writers can re-emit the dict verbatim.
-            t = action["txn"]
+            # checkpoint writers can re-emit the dict verbatim.  A lax
+            # external writer's string version coerces to int here (so
+            # comparisons and the checkpoint's int64 column stay
+            # sound); an unparseable one stays raw and the WRITE faces
+            # refuse on it — a reader must not crash the whole replay
+            t = dict(action["txn"])
             app = t.get("appId")
             if app is not None:
+                v = t.get("version")
+                if v is not None and not isinstance(v, int):
+                    try:
+                        t["version"] = int(v)
+                    except (TypeError, ValueError):
+                        pass  # kept raw; txn_version refuses cleanly
                 snap.transactions[app] = {
                     k: v for k, v in t.items() if v is not None
                 }
@@ -1076,7 +1086,16 @@ class DeltaLog:
         after commit but before its own bookkeeping asks the LOG what
         it last durably did."""
         t = self.snapshot(version).transactions.get(app_id)
-        return None if t is None else t.get("version")
+        v = None if t is None else t.get("version")
+        if v is not None and not isinstance(v, int):
+            # an external writer's unparseable version (replay keeps
+            # it raw): treating it as "never wrote" would re-admit
+            # duplicates, so the idempotence faces refuse instead
+            raise ValueError(
+                f"txn for appId {app_id!r} carries malformed version "
+                f"{v!r} — cannot determine the idempotence watermark"
+            )
+        return v
 
     def commit_with_txn(
         self,
@@ -1174,6 +1193,11 @@ class DeltaLog:
             ])
         snap = self.snapshot()
         last = (snap.transactions.get(app_id) or {}).get("version")
+        if last is not None and not isinstance(last, int):
+            raise ValueError(
+                f"txn for appId {app_id!r} carries malformed version "
+                f"{last!r} — cannot determine the idempotence watermark"
+            )
         if last is not None and batch_id <= last:
             return None
         # name-mode column mapping writes under physical names (the
@@ -3490,7 +3514,17 @@ class DeltaLog:
         # every idempotent writer's watermark once expire_log() removes
         # the pre-checkpoint commits, silently re-admitting duplicates
         for app in sorted(snap.transactions):
-            rows.append({"txn": dict(snap.transactions[app])})
+            txn_out = dict(snap.transactions[app])
+            ver = txn_out.get("version")
+            if ver is not None and not isinstance(ver, int):
+                # the parquet checkpoint's int64 column cannot hold a
+                # lax writer's unparseable version; dropping the entry
+                # would reset the watermark, so refuse cleanly
+                raise ValueError(
+                    f"cannot checkpoint txn for appId {app!r}: "
+                    f"malformed version {ver!r}"
+                )
+            rows.append({"txn": txn_out})
         for path in snap.files:
             add = dict(snap.live[path])
             add["partitionValues"] = [

@@ -97,6 +97,32 @@ def test_commit_with_txn_is_idempotent(tmp_path):
     assert log.txn_version("writer-1") == 1
 
 
+def test_lax_external_txn_versions(tmp_path):
+    """External writers' lax txn shapes: a STRING version coerces to
+    int at replay (comparisons and the checkpoint's int64 column stay
+    sound); an unparseable one keeps the reader alive but makes every
+    idempotence face — and the V1 checkpoint, whose int64 column
+    cannot hold it — refuse cleanly instead of TypeError-ing or
+    silently resetting the watermark."""
+    d, log = _mk_table(tmp_path)
+    log.commit(1, [{"txn": {"appId": "strver", "version": "5"}}])
+    assert log.txn_version("strver") == 5  # coerced
+    assert log.commit_with_txn([], "strver", 5) is None  # skip works
+    assert log.commit_with_txn([], "strver", 6) == 2
+    log.write_checkpoint()  # int64 column accepts the coerced value
+
+    log.commit(3, [{"txn": {"appId": "badver", "version": "abc"}}])
+    assert log.read  # replay itself survived
+    with pytest.raises(ValueError, match="malformed version"):
+        log.txn_version("badver")
+    with pytest.raises(ValueError, match="malformed version"):
+        log.commit_with_txn([], "badver", 7)
+    with pytest.raises(ValueError, match="malformed version"):
+        log.write_checkpoint()
+    # other apps are unaffected
+    assert log.txn_version("strver") == 6
+
+
 def test_commit_with_txn_race_retry(tmp_path):
     """The documented optimistic-concurrency contract: commit() itself
     refuses an existing version loudly (put-if-absent), and a caller's
