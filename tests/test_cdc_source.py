@@ -383,6 +383,60 @@ def test_iceberg_incremental_partitioned_pv_attach(spark, tmp_path):
     assert sorted(got) == [(1, 0, s0), (2, 1, s0)]
 
 
+def test_cdc_source_mapped_partitioned_and_fanout(spark, tmp_path):
+    """The remaining matrix cell: name-mode mapping AND partitioning
+    together — cdc/add files carry physical data columns, the
+    partition column restores from PHYSICAL partitionValues keys.
+    Also pins the planner's fan-out contract: one InputPartition per
+    file, so a multi-file batch parallelizes across executors."""
+    from hadoop_sync_spark.cdc_source import _CDCStreamReader
+
+    d = str(tmp_path / "mp_src")
+    os.makedirs(d)
+    log = DeltaLog(d)
+    fields = [
+        {"name": n, "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": i + 1,
+                      "delta.columnMapping.physicalName": f"col-{n}"}}
+        for i, n in enumerate(("k", "v", "p"))
+    ]
+    pd.DataFrame({"col-k": [1, 2], "col-v": [10, 20]}).to_parquet(
+        os.path.join(d, "a.parquet"))
+    pd.DataFrame({"col-k": [3], "col-v": [30]}).to_parquet(
+        os.path.join(d, "b.parquet"))
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": ["p"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+                "delta.enableChangeDataFeed": "true"},
+        }},
+        log.add_action_for("a.parquet",
+                           partitionValues={"col-p": "0"}),
+        log.add_action_for("b.parquet",
+                           partitionValues={"col-p": "1"}),
+    ])
+    log.delete_where(spark, {"k": (1, 1)}, now_ms=1000)
+
+    # planner fan-out: version 0's two files = two parts, each typed
+    rdr = _CDCStreamReader({"path": d})
+    parts = rdr.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == 2
+    assert sorted(p.pv["p"] for p in parts) == [0, 1]
+
+    got: list = []
+    _drain(spark, d, str(tmp_path / "ck"), got)
+    assert sorted(got) == [
+        (1, 10, 0, "delete", 1), (1, 10, 0, "insert", 0),
+        (2, 20, 0, "insert", 0), (3, 30, 1, "insert", 0)]
+
+
 def test_cdc_source_refuses_vacuumed_prefix(spark, tmp_path):
     """An offset below the log's retained history refuses loudly
     (vacuumed commits) instead of silently skipping changes."""
