@@ -42,7 +42,13 @@ CDF reads of versions without recorded changes):
   through one passed dict); id-mode refuses — its names resolve
   per-footer in the batch read path only;
 - mid-stream schema changes refuse (the source pins its
-  construction-time schema, as Spark sources must).
+  construction-time schema, as Spark sources must);
+- ``startingVersion`` accepts ``"latest"`` (new-changes-only
+  consumers, production CDF's spelling) besides an explicit version;
+- no rate limiting: the Python Data Source API (Spark 4.1) exposes no
+  ReadLimit hook, so a long-stopped stream's first batch spans the
+  whole backlog — the per-file partition fan-out keeps that batch
+  parallel, and the driver cost stays O(backlog commits) JSON reads.
 
 Reference parity: the reference's incremental loop tails the HDFS
 block report and applies the DIFF (HdfsSynchronizer.java:142-205);
@@ -103,8 +109,12 @@ class _CDCStreamReader(DataSourceStreamReader):
         self.path = lower.get("path")
         if not self.path:
             raise ValueError("delta_cdc requires .option('path', ...)")
-        self.start_version = int(lower.get("startingversion", 0))
         log, snap = self._log_snap()
+        sv = lower.get("startingversion", 0)
+        # "latest" = new-changes-only consumer (production CDF's
+        # startingVersion:latest): skip the whole existing backlog
+        self.start_version = (log.latest_version() + 1
+                              if sv == "latest" else int(sv))
         mode = snap.column_mapping_mode
         if mode == "id":
             raise NotImplementedError(
@@ -298,8 +308,14 @@ class _IceIncStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError(
                 "iceberg_incremental requires .option('path', ...)")
-        self.start_seq = int(lower.get("startingsequence", 1))
         t = self._table()
+        ss = lower.get("startingsequence", 1)
+        if ss == "latest":
+            chain = self._ancestry(t)
+            self.start_seq = (chain[-1]["sequence-number"] + 1
+                              if chain else 1)
+        else:
+            self.start_seq = int(ss)
         if t._rename_history():
             raise NotImplementedError(
                 "iceberg_incremental on a renamed schema history: "

@@ -142,6 +142,75 @@ def test_cdc_source_incremental_and_partitioned(spark, tmp_path):
     assert got3 == [(1, 10, 0, "delete", 1)]
 
 
+def test_sources_starting_latest(spark, tmp_path):
+    """startingVersion/startingSequence = 'latest': the existing
+    backlog is skipped, only commits after stream creation arrive —
+    the new-changes-only consumer, on both sources."""
+    from hadoop_sync_spark.cdc_source import (
+        IcebergIncrementalStreamSource,
+    )
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d, log = _mk_table(tmp_path, "latest_src")
+    _write_file(d, "a.parquet", {"k": [1], "v": [10]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(True),
+                   log.add_action_for("a.parquet")])
+    spark.dataSource.register(DeltaCDCStreamSource)
+    df = (spark.readStream.format("delta_cdc")
+          .option("path", d).option("startingVersion", "latest")
+          .load())
+    got: list = []
+
+    def sink(batch_df, _bid):
+        got.extend(tuple(r) for r in batch_df.collect())
+
+    def drain(frame, ck):
+        q = (frame.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    ck = str(tmp_path / "ck")
+    drain(df, ck)
+    assert got == []  # backlog skipped
+    _write_file(d, "b.parquet", {"k": [2], "v": [20]})
+    log.commit(1, [log.add_action_for("b.parquet")])
+    drain((spark.readStream.format("delta_cdc")
+           .option("path", d).option("startingVersion", "latest")
+           .load()), ck)  # same checkpoint: offset already pinned
+    assert got == [(2, 20, "insert", 1)]
+
+    # iceberg twin
+    di = str(tmp_path / "latest_ice")
+    t = IcebergTable.create(di, [("k", "bigint")], now_ms=1)
+    t.append_stream_batch(spark.createDataFrame([(1,)], "k long"),
+                          "w", 0, now_ms=2)
+    spark.dataSource.register(IcebergIncrementalStreamSource)
+    got2: list = []
+
+    def sink2(batch_df, _bid):
+        got2.extend(tuple(r) for r in batch_df.collect())
+
+    dfi = (spark.readStream.format("iceberg_incremental")
+           .option("path", di)
+           .option("startingSequence", "latest").load())
+    q = (dfi.writeStream.foreachBatch(sink2)
+         .option("checkpointLocation", str(tmp_path / "cki"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert got2 == []  # backlog skipped
+    s1 = t.append_stream_batch(spark.createDataFrame([(2,)], "k long"),
+                               "w", 1, now_ms=3)
+    dfi2 = (spark.readStream.format("iceberg_incremental")
+            .option("path", di)
+            .option("startingSequence", "latest").load())
+    q = (dfi2.writeStream.foreachBatch(sink2)
+         .option("checkpointLocation", str(tmp_path / "cki"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert got2 == [(2, s1)]
+
+
 def test_cdc_source_refuses_dml_without_feed(spark, tmp_path):
     """A DML commit with no cdc files (CDF off -> deletion-vector add)
     refuses at planning, naming the table property — never a silent
