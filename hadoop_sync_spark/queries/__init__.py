@@ -83,7 +83,76 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # ---- ROUND-12 WINDOW ----
+    # ---- ROUND-13 WINDOW ----
+    # Backlog entering round 13 (ledger-recomputed; matches WINDOW.md's
+    # pre-written round-13 runbook name-for-name): the 49-query r10-green
+    # cohort, last green three recorded rounds ago after CORRECTNESS_r12 —
+    # strict branch (49 <= 50), all mandatory (rule 3).  Pre-checked green
+    # on final round-12 code (WINDOW.md round-13 pre-check: 59/59 via
+    # prefix-widened driver_sweep).  The one spare slot goes to
+    # q149_delta_dv_reader (rule-2 protective): round-13 library work
+    # extends the Delta column-mapping surface (id-mode write faces per
+    # VERDICT r12 item 5) adjacent to the mapped read path its fixture
+    # routes through, and an in-window rule-2 change re-greens for free
+    # (WINDOW.md displacement case 1).
+    # REGISTRY IS CAPPED at 149 queries — see WINDOW.md steady state.
+    # (3) the cohort in numeric order, then the spare
+    "q02_filter_predicates",
+    "q03_top_unshipped_orders",
+    "q07_customers_without_orders",
+    "q08_late_shipments",
+    "q09_distinct_counts",
+    "q12_top_orders_per_customer",
+    "q17_scalar_functions",
+    "q20_brand_stats_having",
+    "q21_regional_revenue",
+    "q22_explode_embedding_prefix",
+    "q23_grouping_sets",
+    "q25_minby_maxby",
+    "q27_string_agg",
+    "q28_window_navigation",
+    "q29_outer_joins",
+    "q30_event_range_join",
+    "q31_asof_join",
+    "q38_exists_subquery",
+    "q51_fingerprint_groups",
+    "q55_tfidf",
+    "q56_top_terms_per_lang",
+    "q59_repetition_signals",
+    "q63_minhash_lsh_pairs",
+    "q66_simhash_pairs",
+    "q67_chargram_jaccard_pairs",
+    "q68_dup_components",
+    "q72_rp_lsh_topk",
+    "q91_image_resize",
+    "q92_frame_sample",
+    "q96_dup_profile",
+    "q100_column_profile",
+    "q107_weighted_priority_sample",
+    "q109_fingerprint_drilldown",
+    "q110_span_dedup",
+    "q111_pq_topk",
+    "q114_ivf_pq_topk",
+    "q115_per_source_quality_gate",
+    "q116_eval_per_lang",
+    "q118_split_leakage",
+    "q137_copurchase_pagerank",
+    "q138_delta_log_reader",
+    "q139_bm25_topk",
+    "q140_cogroup_asof_align",
+    "q141_ngram_novelty",
+    "q142_length_matched_controls",
+    "q143_cdc_chunk_dups",
+    "q144_delta_registry_sync",
+    "q145_png_roundtrip_stats",
+    "q146_jpeg_roundtrip_stats",
+    # (spare, rule-2 protective in-window) delta mapped read-path re-check
+    "q149_delta_dv_reader",
+)
+
+
+_ROUND12_WINDOW_HISTORICAL: tuple[str, ...] = (
+    # ---- ROUND-12 WINDOW (historical, kept for the ledger narrative) ----
     # Backlog entering round 12 (ledger-recomputed; matches WINDOW.md's
     # pre-written round-12 runbook name-for-name): the 46-query r9-green
     # cohort + q01 + q148 + q149 — 49 mandatory (rule 3), strict branch
@@ -91,12 +160,12 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # of their round-10 evolved-fixture branches (column_filter-composed
     # MoR; column mapping + v2-checkpoint seeding + the round-11
     # committed-protocol-upgrade path), closing VERDICT r10 "What's
-    # missing" #1.  The one spare slot goes to q147_iceberg_snapshot_reader
+    # missing" #1.  The one spare slot went to q147_iceberg_snapshot_reader
     # (rule-2 protective): round-12 library work changes the iceberg read
     # path (ADVICE r11 _apply_residue eqNullSafe fix) that its fixture
     # routes through, and an in-window rule-2 change re-greens for free
     # (WINDOW.md displacement case 1).
-    # REGISTRY IS CAPPED at 149 queries — see WINDOW.md steady state.
+    # CORRECTNESS_r12: 50/50 green.
     # (3) the cohort in numeric order, then q148/q149, then the spare
     "q01_pricing_summary",
     "q26_conditional_agg",
