@@ -82,6 +82,17 @@ def _pv_decode(raw, typ: str):
     return raw
 
 
+def _const_array(value, n: int, typ):
+    """A length-``n`` constant pyarrow array of ``typ`` (nulls when the
+    value is None) — the executor-side building block for metadata-only
+    columns (partition values, change types, commit versions)."""
+    import pyarrow as pa
+
+    if value is None:
+        return pa.nulls(n, type=typ)
+    return pa.repeat(pa.scalar(value, type=typ), n)
+
+
 @dataclass
 class _CDCPart(InputPartition):
     """One file of one commit: everything an executor needs to emit
@@ -100,6 +111,10 @@ class _CDCPart(InputPartition):
     #: logical -> physical column name (name-mode column mapping);
     #: empty = identity
     phys: dict
+    #: the FULL output arrow schema (out_cols + _change_type +
+    #: _commit_version), computed once on the driver from the source's
+    #: declared Spark schema so executors emit typed RecordBatches
+    arrow_schema: object = None
 
 
 class _CDCStreamReader(DataSourceStreamReader):
@@ -149,6 +164,16 @@ class _CDCStreamReader(DataSourceStreamReader):
                         "values stream"
                     )
                 self._pv_types[f["name"]] = f["type"]
+        # the output arrow schema, once, on the driver (executors have
+        # no Spark): read() emits RecordBatches of exactly this shape
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(
+            snap.schema()
+            .add(T.StructField("_change_type", T.StringType()))
+            .add(T.StructField("_commit_version", T.LongType()))
+        )
 
     def _log_snap(self):
         from hadoop_sync_spark.delta_log import DeltaLog
@@ -231,6 +256,7 @@ class _CDCStreamReader(DataSourceStreamReader):
                 abs_path="", change_type="insert", commit_version=-1,
                 pv={}, out_cols=self._out_cols,
                 partition_cols=self._part_cols, phys={},
+                arrow_schema=self._arrow_schema,
             ))
         return parts
 
@@ -250,48 +276,62 @@ class _CDCStreamReader(DataSourceStreamReader):
             out_cols=self._out_cols,
             partition_cols=self._part_cols,
             phys=self._phys,
+            arrow_schema=self._arrow_schema,
         )
 
     # ---- executor-side: one pyarrow file read, no Spark -------------
     def read(self, partition: _CDCPart):
+        """One Arrow-native file read per part: parquet columns pass
+        through as arrow arrays (cast to the pinned output type when a
+        file's physical type differs), metadata-only columns (partition
+        values, add-derived change type, commit version) attach as
+        constant arrays, and the result streams back as RecordBatches —
+        no per-row Python loop on the wide-backlog path (ADVICE r12)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if not partition.abs_path:
             return  # the row-neutral-batch placeholder part
         t = pq.read_table(partition.abs_path)
         names = set(t.schema.names)
-        cols = {}
-        for c in partition.out_cols:
+        n = t.num_rows
+        sch = partition.arrow_schema
+        arrays = []
+        for i, c in enumerate(partition.out_cols):
+            typ = sch.field(i).type
             fc = partition.phys.get(c, c)  # physical name in the file
             if c in partition.partition_cols:
-                cols[c] = None  # constant from pv
+                arrays.append(_const_array(partition.pv.get(c), n, typ))
             elif fc in names:
-                cols[c] = t.column(fc).to_pylist()
+                col = t.column(fc)
+                arrays.append(col if col.type == typ else col.cast(typ))
             else:
-                cols[c] = None  # absent in an old file: null-fill
+                arrays.append(pa.nulls(n, type=typ))  # pre-DDL file
+        k = len(partition.out_cols)
         if partition.change_type is None:
-            ct = t.column("_change_type").to_pylist()
+            ct = t.column("_change_type")
+            ct_typ = sch.field(k).type
+            arrays.append(ct if ct.type == ct_typ else ct.cast(ct_typ))
         else:
-            ct = None
-        n = t.num_rows
-        for i in range(n):
-            row = tuple(
-                (partition.pv.get(c) if c in partition.partition_cols
-                 else (cols[c][i] if cols[c] is not None else None))
-                for c in partition.out_cols
-            )
-            yield row + (
-                ct[i] if ct is not None else partition.change_type,
-                partition.commit_version,
-            )
+            arrays.append(_const_array(
+                partition.change_type, n, sch.field(k).type))
+        arrays.append(_const_array(
+            partition.commit_version, n, sch.field(k + 1).type))
+        yield from pa.table(arrays, schema=sch).to_batches()
 
 
 @dataclass
 class _IcePart(InputPartition):
     abs_path: str
     snapshot_id: int
+    #: SOURCE-COLUMN name -> identity partition value (spec-field names
+    #: are remapped at planning time via the spec's source-id, so a
+    #: custom-named identity field still lands on its schema column —
+    #: ADVICE r12: keying by spec-field name silently null-filled it)
     pv: dict
     out_cols: tuple
+    #: full output arrow schema (out_cols + _snapshot_id), driver-built
+    arrow_schema: object = None
 
 
 class _IceIncStreamReader(DataSourceStreamReader):
@@ -325,6 +365,16 @@ class _IceIncStreamReader(DataSourceStreamReader):
         self._pinned_schema_id = meta.get("current-schema-id", 0)
         fields = t._schema_by_id(self._pinned_schema_id)["fields"]
         self._out_cols = tuple(f["name"] for f in fields)
+        self._field_by_id = {f["id"]: f["name"] for f in fields}
+        self._sch_type = {f["name"]: f["type"] for f in fields
+                          if isinstance(f["type"], str)}
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(
+            t._spark_schema(self._pinned_schema_id)
+            .add(T.StructField("_snapshot_id", T.LongType()))
+        )
 
     def _table(self):
         from hadoop_sync_spark.iceberg_meta import IcebergTable
@@ -410,10 +460,17 @@ class _IceIncStreamReader(DataSourceStreamReader):
                 )
             snap_id = s["snapshot-id"]
             _, manifests, _ = read_ocf(t._resolve(s["manifest-list"]))
+            meta = t.metadata()
+            id_maps: dict[int, tuple[dict, set]] = {}
             for mf in manifests:
                 if (mf["content"] != _MANIFEST_DATA
                         or mf.get("added_snapshot_id") != snap_id):
                     continue
+                spec_id = mf["partition_spec_id"]
+                if spec_id not in id_maps:
+                    id_maps[spec_id] = self._identity_map(t, meta,
+                                                          spec_id)
+                src_of, date_src = id_maps[spec_id]
                 _, entries, _ = read_ocf(
                     t._resolve(mf["manifest_path"]))
                 for e in entries:
@@ -425,37 +482,86 @@ class _IceIncStreamReader(DataSourceStreamReader):
                     parts.append(_IcePart(
                         abs_path=t._resolve(df["file_path"]),
                         snapshot_id=snap_id,
-                        pv=dict(df["partition"] or {}),
+                        pv=self._remap_pv(df["partition"], src_of,
+                                          date_src),
                         out_cols=self._out_cols,
+                        arrow_schema=self._arrow_schema,
                     ))
         if not parts:
             parts.append(_IcePart(abs_path="", snapshot_id=-1, pv={},
-                                  out_cols=self._out_cols))
+                                  out_cols=self._out_cols,
+                                  arrow_schema=self._arrow_schema))
         return parts
 
+    def _identity_map(self, t, meta, spec_id):
+        """spec-field name -> SOURCE COLUMN name for the spec's identity
+        fields (via source-id, the same resolution append_stream_batch
+        uses), plus which source columns are DATE-typed (their manifest
+        values ride as epoch-day ints and need converting).  Non-
+        identity transform fields are excluded on purpose: their source
+        values live in the data files, and a transform field can never
+        name an output column (the create/update_spec collision guard).
+        ADVICE r12: attaching by spec-field name silently null-filled a
+        custom-named identity field's source column."""
+        src_of: dict = {}
+        date_src: set = set()
+        for pf in t._spec_fields(meta, spec_id):
+            if pf.get("transform", "identity") != "identity":
+                continue
+            src = self._field_by_id.get(pf.get("source-id"))
+            if src is None:
+                continue  # source column dropped from pinned schema
+            src_of[pf["name"]] = src
+            if self._sch_type.get(src) == "date":
+                date_src.add(src)
+        return src_of, date_src
+
+    @staticmethod
+    def _remap_pv(raw: dict | None, src_of: dict, date_src: set) -> dict:
+        import datetime as _dt
+
+        pv = {}
+        for k, v in (raw or {}).items():
+            src = src_of.get(k)
+            if src is None:
+                continue
+            if src in date_src and isinstance(v, int):
+                # manifests carry identity DATE values as epoch-day
+                # ints (Avro int, spec Appendix A/D)
+                v = _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+            pv[src] = v
+        return pv
+
     def read(self, partition: _IcePart):
+        """Arrow-native twin of the delta reader's ``read``: file
+        columns pass through as arrow arrays, identity partition values
+        recorded in metadata only (and pre-DDL null fills) attach as
+        constant arrays keyed by SOURCE column name — RecordBatches
+        out, no per-row Python loop (ADVICE r12)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if not partition.abs_path:
             return
         tbl = pq.read_table(partition.abs_path)
         names = set(tbl.schema.names)
-        cols = {}
-        for c in partition.out_cols:
+        n = tbl.num_rows
+        sch = partition.arrow_schema
+        arrays = []
+        for i, c in enumerate(partition.out_cols):
+            typ = sch.field(i).type
             if c in names:
-                cols[c] = tbl.column(c).to_pylist()
+                col = tbl.column(c)
+                arrays.append(col if col.type == typ else col.cast(typ))
             else:
                 # identity partition value recorded in metadata only
                 # (or a pre-DDL file): attach the manifest value;
                 # absent there too -> null-fill
-                cols[c] = None
-        n = tbl.num_rows
-        for i in range(n):
-            yield tuple(
-                (cols[c][i] if cols[c] is not None
-                 else partition.pv.get(c))
-                for c in partition.out_cols
-            ) + (partition.snapshot_id,)
+                arrays.append(_const_array(partition.pv.get(c), n, typ))
+        arrays.append(_const_array(
+            partition.snapshot_id, n,
+            sch.field(len(partition.out_cols)).type))
+        yield from pa.table(arrays, schema=sch).to_batches()
 
 
 class IcebergIncrementalStreamSource(DataSource):

@@ -452,6 +452,30 @@ def test_iceberg_incremental_partitioned_pv_attach(spark, tmp_path):
     assert sorted(got) == [(1, 0, s0), (2, 1, s0)]
 
 
+def test_iceberg_incremental_custom_named_identity_pv(spark, tmp_path):
+    """An identity partition field with an EXPLICIT custom name
+    (create's 4-element spec form, which the collision guard permits)
+    must still attach its manifest value to the SOURCE column: the
+    manifest tuple is keyed by spec-field name, and planning remaps it
+    via the spec's source-id (ADVICE r12 — attaching by schema column
+    name silently null-filled the column while batch incremental_scan
+    emitted values)."""
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_inc_custom")
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("p", "bigint")],
+        partition_by=[("p", "long", "identity", "p_part")], now_ms=1,
+    )
+    b0 = spark.createDataFrame([(1, 0), (2, 1)], "k long, p long")
+    s0 = t.append_stream_batch(b0, "w", 0, now_ms=2)
+
+    got: list = []
+    _ice_drain(spark, d, str(tmp_path / "ck"), got)
+    assert sorted(got) == [(1, 0, s0), (2, 1, s0)]
+    assert all(r[1] is not None for r in got)
+
+
 def test_cdc_source_mapped_partitioned_and_fanout(spark, tmp_path):
     """The remaining matrix cell: name-mode mapping AND partitioning
     together — cdc/add files carry physical data columns, the
