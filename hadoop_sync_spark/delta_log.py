@@ -1103,23 +1103,36 @@ class DeltaLog:
         app_id: str,
         txn_version: int,
         now_ms: int = 0,
+        max_retries: int = 5,
     ) -> int | None:
         """Commit ``actions`` plus a ``txn`` action at head — SKIPPING
         the whole commit when ``app_id`` already recorded a version
         >= ``txn_version`` (the spec's idempotence rule: a replayed
         write must be a no-op, not a duplicate).  Returns the committed
-        version, or None when skipped.  On a FileExistsError race the
-        caller re-reads head and retries; the skip check re-runs then,
-        so a raced duplicate still collapses to one commit."""
-        head = self.latest_version()
-        last = self.txn_version(app_id, head)
-        if last is not None and txn_version <= last:
-            return None
-        txn: dict = {"appId": app_id, "version": txn_version}
-        if now_ms:
-            txn["lastUpdated"] = now_ms
-        self.commit(head + 1, [{"txn": txn}, *actions])
-        return head + 1
+        version, or None when skipped.  On a FileExistsError race
+        (another writer claimed the version first) head is re-read and
+        the commit retried HERE, up to ``max_retries`` times — the skip
+        check re-runs before each attempt, so a raced duplicate of this
+        same txn collapses to a no-op mid-loop (ADVICE r12: the
+        docstring promised a caller-side retry no in-repo caller
+        performed; the loop now lives where the promise is).  After
+        ``max_retries`` consecutive losses the last FileExistsError
+        propagates — a livelocked writer should surface, not spin."""
+        last_err: FileExistsError | None = None
+        for _ in range(max_retries + 1):
+            head = self.latest_version()
+            last = self.txn_version(app_id, head)
+            if last is not None and txn_version <= last:
+                return None
+            txn: dict = {"appId": app_id, "version": txn_version}
+            if now_ms:
+                txn["lastUpdated"] = now_ms
+            try:
+                self.commit(head + 1, [{"txn": txn}, *actions])
+                return head + 1
+            except FileExistsError as e:
+                last_err = e  # lost the race: re-read head, re-check
+        raise last_err
 
     def append_stream_batch(
         self,
@@ -3460,7 +3473,18 @@ class DeltaLog:
     def write_checkpoint(self, version: int | None = None) -> str:
         """Compact the replay prefix ≤ version into
         ``N.checkpoint.parquet`` (one action per row, struct columns per
-        the spec) and point ``_last_checkpoint`` at it."""
+        the spec) and point ``_last_checkpoint`` at it.
+
+        Known-lossy carry (ADVICE r12): a spec-lax external writer's
+        EXTRA ``txn`` fields (anything beyond appId/version/lastUpdated)
+        survive JSON replay and the V2 checkpoint's raw-shape
+        passthrough, but this V1 writer's fixed parquet struct cannot
+        hold them — pyarrow drops unknown dict keys — so they vanish
+        once ``expire_log`` removes the pre-checkpoint commits.  The
+        spec defines only the three fields, so the idempotence
+        watermark itself is never lost (malformed VERSIONS still refuse
+        loudly below); the extra fields are best-effort vendor baggage
+        the V1 format has no column for."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 

@@ -97,6 +97,44 @@ def test_commit_with_txn_is_idempotent(tmp_path):
     assert log.txn_version("writer-1") == 1
 
 
+def test_commit_with_txn_retries_lost_race(tmp_path, monkeypatch):
+    """A FileExistsError race (another writer claimed the version
+    between our head read and our commit) retries INSIDE
+    commit_with_txn (ADVICE r12: the old docstring promised a
+    caller-side retry no caller performed): head re-reads, the skip
+    check re-runs, and the commit lands at the true next version."""
+    d, log = _mk_table(tmp_path)
+    log.commit(1, [{"txn": {"appId": "other", "version": 9}}])
+
+    real_latest = log.latest_version
+    stale = {"n": 1}
+
+    def latest_stale_once():
+        v = real_latest()
+        if stale["n"]:
+            stale["n"] -= 1
+            return v - 1  # a competitor committed after our read
+        return v
+
+    monkeypatch.setattr(log, "latest_version", latest_stale_once)
+    got = log.commit_with_txn([], "writer-1", 0)
+    assert got == real_latest() == 2
+    assert log.txn_version("writer-1") == 0
+
+    # a raced DUPLICATE of the same (appId, version) collapses to a
+    # no-op mid-loop: the stale view targets an existing file, the
+    # retry's re-read sees the competitor already recorded our txn
+    stale["n"] = 1
+    assert log.commit_with_txn([], "writer-1", 0) is None
+    assert real_latest() == 2
+
+    # livelock surfaces: a head view that never becomes current
+    # exhausts max_retries and propagates the last FileExistsError
+    monkeypatch.setattr(log, "latest_version", lambda: 0)
+    with pytest.raises(FileExistsError):
+        log.commit_with_txn([], "writer-1", 5, max_retries=2)
+
+
 def test_lax_external_txn_versions(tmp_path):
     """External writers' lax txn shapes: a STRING version coerces to
     int at replay (comparisons and the checkpoint's int64 column stay
