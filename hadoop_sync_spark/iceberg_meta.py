@@ -325,6 +325,14 @@ def parquet_column_bounds(
             mn, mx = st.min, st.max
             if typ == "string" and isinstance(mn, bytes):
                 mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            if typ == "date":
+                # footer stats surface python dates; the spec's
+                # single-value form is int days from epoch
+                import datetime as _dt
+
+                if isinstance(mn, _dt.date):
+                    epoch = _dt.date(1970, 1, 1)
+                    mn, mx = (mn - epoch).days, (mx - epoch).days
             typ_of[fid] = typ
             vals_lo[fid] = mn if fid not in vals_lo else min(vals_lo[fid], mn)
             vals_hi[fid] = mx if fid not in vals_hi else max(vals_hi[fid], mx)
@@ -447,6 +455,163 @@ def transform_value(transform: str, value):
         raise NotImplementedError(
             f"truncate transform on {type(value).__name__}"
         )
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
+def _bucket_hash_i64_np(vals):
+    """Vectorized MurmurHash3 x86 32-bit over int64 values hashed as
+    8-byte little-endian longs (spec Appendix B) — numpy modular uint32
+    arithmetic, bit-for-bit equal to :func:`_murmur3_32` on the same
+    bytes (property-tested).  Returns uint32 hashes; callers apply
+    ``(h & Int.MAX) % N``."""
+    import numpy as np
+
+    u = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(u), dtype=np.uint32)
+    for shift in (np.uint64(0), np.uint64(32)):
+        k = ((u >> shift) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ np.uint32(8)  # total byte length
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def transform_column(transform: str, src: str, src_type: str):
+    """Per-ROW twin of :func:`transform_value`: a pyspark Column
+    computing the PARTITION-DOMAIN value of ``transform`` over source
+    column ``src`` (Iceberg type ``src_type``) — what lets the write
+    faces split a frame on bucket/truncate/temporal default specs
+    (round 13, VERDICT r12 item 2) instead of refusing.
+
+    Everything but bucket stays JVM-side (whole-stage codegen):
+    truncate via pmod/substring, temporal via tz-independent paths —
+    ``timestamptz`` through ``unix_micros`` (absolute, never the
+    session zone; chronofield extraction on TimestampType would be
+    session-tz dependent), ``timestamp`` (ntz) through wall-clock
+    casts (tz-free by construction), ``date`` through datediff.
+    ``bucket[N]`` is the one Python seam — Iceberg's murmur3 has no
+    Spark builtin — and runs as an Arrow-batched pandas UDF:
+    vectorized numpy for int/long keys, per-value UTF-8 hashing for
+    strings.  NULL maps to NULL under every transform, matching
+    transform_value.  Unsupported (transform, type) pairs refuse with
+    both names."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    col = F.col(src)
+    if transform == "identity":
+        return col
+    if transform == "void":
+        return F.lit(None)
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if src_type in ("int", "long"):
+            return col - F.pmod(col, F.lit(w))
+        if src_type == "string":
+            return F.substring(col, 1, w)
+        raise NotImplementedError(
+            f"truncate transform on iceberg type {src_type!r}"
+        )
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        # explicit eval type: the module's future-annotations mode
+        # breaks pandas_udf's type-hint inference for local aliases
+        # (the "prefer type hints" UserWarning is silenced — explicit
+        # is the working spelling here, not a legacy one)
+        import warnings as _warnings
+
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.util import PythonEvalType
+
+        def _scalar_udf(fn):
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore", UserWarning)
+                return pandas_udf(
+                    fn, "int", PythonEvalType.SQL_SCALAR_PANDAS_UDF
+                )
+
+        if src_type in ("int", "long"):
+
+            def _bucket_i(s):
+                import pandas as _pd
+
+                mask = s.isna()
+                vals = s.fillna(0).astype("int64").to_numpy()
+                h = _bucket_hash_i64_np(vals)
+                out = _pd.Series((h & 0x7FFFFFFF) % n, dtype="Int32")
+                out[mask.to_numpy()] = None
+                return out
+
+            return _scalar_udf(_bucket_i)(col)
+        if src_type == "string":
+
+            def _bucket_s(s):
+                import pandas as _pd
+
+                return _pd.Series(
+                    [None if v is None
+                     else (_murmur3_32(v.encode("utf-8"))
+                           & 0x7FFFFFFF) % n
+                     for v in s],
+                    dtype="Int32",
+                )
+
+            return _scalar_udf(_bucket_s)(col)
+        raise NotImplementedError(
+            f"bucket transform on iceberg type {src_type!r}"
+        )
+    if transform in ("year", "month", "day", "hour"):
+        if src_type == "date":
+            d = col
+        elif src_type == "timestamp":  # ntz: wall-clock, tz-free
+            d = col.cast("date")
+        elif src_type == "timestamptz":
+            # exact int64 floor division (pmod then `div`): a plain
+            # double divide loses low bits past 2^53 micros
+            q = f"`{src}`"
+
+            def _floor_div(d_us: int):
+                return F.expr(
+                    f"cast((unix_micros({q}) - pmod(unix_micros({q}),"
+                    f" {d_us})) div {d_us} as int)"
+                )
+
+            if transform == "hour":
+                return _floor_div(3_600_000_000)
+            d = F.date_from_unix_date(_floor_div(86_400_000_000))
+        else:
+            raise NotImplementedError(
+                f"{transform} transform on iceberg type {src_type!r}"
+            )
+        if transform == "hour":
+            if src_type == "date":
+                raise NotImplementedError("hour transform on date")
+            # ntz wall-clock hour ordinal: epoch-day * 24 + hour-of-day
+            return (
+                F.datediff(d, F.lit(_dt.date(1970, 1, 1))) * F.lit(24)
+                + F.hour(col)
+            ).cast("int")
+        if transform == "year":
+            return (F.year(d) - F.lit(1970)).cast("int")
+        if transform == "month":
+            return (
+                (F.year(d) - F.lit(1970)) * F.lit(12)
+                + F.month(d) - F.lit(1)
+            ).cast("int")
+        return F.datediff(
+            d, F.lit(_dt.date(1970, 1, 1))
+        ).cast("int")
     raise NotImplementedError(f"partition transform {transform!r}")
 
 
@@ -1954,6 +2119,79 @@ class IcebergTable:
                     ) from None
         return None
 
+    def _default_spec_split(self, meta: dict, face: str):
+        """Split plan for writing a source frame under the DEFAULT
+        spec (round 13 — VERDICT r12 item 2 lifts the identity-only
+        refusal): identity fields keep the r12 shape (source column
+        EXCLUDED from data files, value stamped from the tuple into
+        the manifest), non-identity fields derive their
+        partition-domain value per source row via
+        :func:`transform_column` — the same spec-vector-verified
+        functions the pruning layers apply to filter values — and the
+        source column STAYS in the data files (transforms are lossy).
+        Returns ``(id_srcs, field_of, derived)``: identity source
+        columns in spec order, identity source -> spec-field name, and
+        ``[(helper_col, spec_field_name, Column)]`` for the transform
+        fields (``void`` stamps None without touching any column)."""
+        from pyspark.sql import functions as F
+
+        schema_fields = self._schema_by_id(
+            meta.get("current-schema-id", 0)
+        )["fields"]
+        by_id = {f["id"]: f["name"] for f in schema_fields}
+        typ_of = {f["name"]: f["type"] for f in schema_fields
+                  if isinstance(f["type"], str)}
+        id_srcs: list = []
+        field_of: dict = {}
+        derived: list = []
+        for i, pf in enumerate(self._spec_fields(
+            meta, meta.get("default-spec-id", 0)
+        )):
+            tr = pf.get("transform", "identity")
+            if tr == "void":
+                derived.append(
+                    (f"_pt_{i}_{pf['name']}", pf["name"], F.lit(None))
+                )
+                continue
+            src = by_id.get(pf.get("source-id"))
+            if src is None:
+                raise ValueError(
+                    f"partition field {pf['name']!r} sources unknown "
+                    f"schema field id {pf.get('source-id')}"
+                )
+            if tr == "identity":
+                id_srcs.append(src)
+                field_of[src] = pf["name"]
+            else:
+                derived.append((
+                    f"_pt_{i}_{pf['name']}",
+                    pf["name"],
+                    transform_column(tr, src, typ_of.get(src)),
+                ))
+        return id_srcs, field_of, derived
+
+    @staticmethod
+    def _split_tuples(frame, key_cols: list):
+        """Distinct partition tuples of ``frame`` over ``key_cols``,
+        deterministically ordered (None-first), plus a per-tuple
+        null-safe filter builder — the shared splitting idiom of the
+        partitioned write faces."""
+        from pyspark.sql import functions as F
+
+        tuples = sorted(
+            frame.select(*key_cols).distinct().collect(),
+            key=lambda r: tuple((v is None, v) for v in r),
+        )
+
+        def cond_for(t):
+            cond = None
+            for c in key_cols:
+                term = F.col(c).eqNullSafe(F.lit(t[c]))
+                cond = term if cond is None else cond & term
+            return cond
+
+        return tuples, cond_for
+
     def append_stream_batch(
         self,
         batch_df,
@@ -1967,12 +2205,16 @@ class IcebergTable:
         contract, or a re-run after the stream's own checkpoint is
         lost — skips (returns None) because the table's snapshot
         history already records it or a later one.  The table must
-        exist (``create`` is the explicit DDL face); an
-        identity-default-spec table splits per partition tuple like
-        the partitioned MERGE (one data file per tuple, manifest
-        tuple stamped so partition filters prune streamed files);
-        non-identity default transforms refuse; an EMPTY batch still
-        commits so the epoch watermark advances.
+        exist (``create`` is the explicit DDL face); a partitioned
+        default spec splits per partition tuple like the partitioned
+        MERGE (one data file per tuple, manifest tuple stamped so
+        partition filters prune streamed files) — identity fields
+        stamp source values with the source column excluded from the
+        data files, and bucket/truncate/temporal fields (round 13)
+        derive their transform value per source row via
+        :func:`transform_column` with the source column kept in the
+        data; an EMPTY batch still commits so the epoch watermark
+        advances.
 
         Crash-safety mirrors the Delta twin: parts move from staging
         to DETERMINISTIC ``data/txn-<q8>-<epoch>-<i>`` names before
@@ -1995,28 +2237,9 @@ class IcebergTable:
         schema_fields = self._schema_by_id(
             meta["current-schema-id"]
         )["fields"]
-        by_id = {f["id"]: f["name"] for f in schema_fields}
-        default_spec = self._spec_fields(
-            meta, meta.get("default-spec-id", 0)
+        part_cols, field_of, derived = self._default_spec_split(
+            meta, "append_stream_batch"
         )
-        part_cols: list = []
-        field_of: dict = {}
-        for pf in default_spec:
-            if pf.get("transform", "identity") != "identity":
-                raise NotImplementedError(
-                    "append_stream_batch on a table whose default "
-                    f"spec carries transform {pf['transform']!r}: "
-                    "only identity partitioning splits a micro-batch "
-                    "without re-deriving transform values"
-                )
-            src = by_id.get(pf.get("source-id"))
-            if src is None:
-                raise ValueError(
-                    f"partition field {pf['name']!r} sources unknown "
-                    f"schema field id {pf.get('source-id')}"
-                )
-            part_cols.append(src)
-            field_of[src] = pf["name"]
         want = [f["name"] for f in schema_fields]
         if set(batch_df.columns) != set(want):
             raise ValueError(
@@ -2056,35 +2279,31 @@ class IcebergTable:
             }
 
         entries = []
-        if part_cols:
-            # identity-partitioned: per-tuple split, the partitioned-
-            # merge shape — one data file per tuple, manifest tuple
-            # stamped so partition filters prune streamed files too
-            from pyspark.sql import functions as _F
-
+        if part_cols or derived:
+            # partitioned: per-tuple split, the partitioned-merge
+            # shape — one data file per tuple, manifest tuple stamped
+            # so partition filters prune streamed files too.
+            # Transform fields (round 13) derive once per row into
+            # helper columns; identity fields split on the source.
             from hadoop_sync_spark.io import write_single_parquet
 
+            work = batch_df
+            for h, _, expr in derived:
+                work = work.withColumn(h, expr)
+            key_cols = [*part_cols, *[h for h, _, _ in derived]]
             data_names = [c for c in want if c not in part_cols]
-            tuples = batch_df.select(*part_cols).distinct().collect()
-            for gi, t in enumerate(sorted(
-                tuples,
-                key=lambda r: tuple((v is None, v) for v in r),
-            )):
-                cond = None
-                for c in part_cols:
-                    term = _F.col(c).eqNullSafe(_F.lit(t[c]))
-                    cond = term if cond is None else cond & term
+            tuples, cond_for = self._split_tuples(work, key_cols)
+            for gi, t in enumerate(tuples):
                 rel = (f"data/txn-{tag}-{epoch_id:010d}"
                        f"-p{gi:05d}.parquet")
                 dest = os.path.join(self.dir, rel)
                 write_single_parquet(
-                    batch_df.where(cond).select(*data_names),
+                    work.where(cond_for(t)).select(*data_names),
                     dest, "iceberg_txn_",
                 )
-                entries.append(_entry(
-                    rel, dest,
-                    {field_of[c]: t[c] for c in part_cols},
-                ))
+                pv = {field_of[c]: t[c] for c in part_cols}
+                pv.update({fn: t[h] for h, fn, _ in derived})
+                entries.append(_entry(rel, dest, pv))
         else:
             staging = os.path.join(
                 self.dir, f"_txn_staging-{tag}-{epoch_id}"
@@ -2860,15 +3079,17 @@ class IcebergTable:
         :data:`DELETE_ROWS_LIMIT` materialize driver-side for the
         delete file; above it the EXECUTOR tier (round 12) writes the
         sorted delete parquet straight from the distributed frame.
-        Partitioned tables (round 12) are supported when the DEFAULT
-        spec is all-identity: the source splits per partition tuple
-        and lands one data file per tuple in the same snapshot, each
-        stamped with its tuple and footer bounds; the equality delete
-        stays table-wide (all-null tuple) so old rows hide across every
-        partition, exactly the Flink-CDC shape.  Non-identity default
-        transforms refuse (the writer would have to re-derive
-        bucket/truncate values); renamed histories are fine — equality
-        deletes resolve by field id on the read side."""
+        Partitioned tables (round 12) split the source per partition
+        tuple and land one data file per tuple in the same snapshot,
+        each stamped with its tuple and footer bounds; the equality
+        delete stays table-wide (all-null tuple) so old rows hide
+        across every partition, exactly the Flink-CDC shape.
+        Bucket/truncate/temporal default specs are supported too
+        (round 13): the transform value derives per source row via
+        :func:`transform_column` — the spec-vector-verified functions
+        the pruning layers use — with the source column kept in the
+        data files.  Renamed histories are fine — equality deletes
+        resolve by field id on the read side."""
         from pyspark.sql import functions as F
 
         meta = self.metadata()
@@ -2878,25 +3099,9 @@ class IcebergTable:
         by_id = {f["id"]: f["name"] for f in schema_fields}
         if key_col not in names:
             raise ValueError(f"no such column {key_col!r}")
-        default_spec = self._spec_fields(
-            meta, meta.get("default-spec-id", 0)
+        part_cols, field_of, derived = self._default_spec_split(
+            meta, "merge_upsert"
         )
-        part_cols: list[str] = []
-        for pf in default_spec:
-            if pf.get("transform", "identity") != "identity":
-                raise NotImplementedError(
-                    "merge_upsert on a table whose default spec "
-                    f"carries transform {pf['transform']!r}: only "
-                    "identity partitioning splits the source without "
-                    "re-deriving transform values"
-                )
-            src = by_id.get(pf.get("source-id"))
-            if src is None:
-                raise ValueError(
-                    f"partition field {pf['name']!r} sources unknown "
-                    f"schema field id {pf.get('source-id')}"
-                )
-            part_cols.append(src)
         if key_col in part_cols:
             raise NotImplementedError(
                 f"merge_upsert key on partition(-source) column "
@@ -2966,11 +3171,6 @@ class IcebergTable:
 
         import pyarrow.parquet as _pq
 
-        #: source-column name -> the spec FIELD name it stamps (identity
-        #: fields usually share the source name, but not necessarily)
-        field_of = {
-            by_id[pf["source-id"]]: pf["name"] for pf in default_spec
-        }
         data_names = [n for n in names if n not in part_cols]
         data_schema_fields = [
             f for f in schema_fields if f["name"] not in part_cols
@@ -3004,27 +3204,26 @@ class IcebergTable:
 
         data_entries: list[dict] = []
         n_rows = 0
-        if part_cols:
-            tuples = cast_src.select(*part_cols).distinct().collect()
-            for gi, t in enumerate(sorted(
-                tuples,
-                key=lambda r: tuple((v is None, v) for v in r),
-            )):
-                cond = None
-                for c in part_cols:
-                    term = F.col(c).eqNullSafe(F.lit(t[c]))
-                    cond = term if cond is None else cond & term
-                out = cast_src.where(cond).select(*data_names)
+        if part_cols or derived:
+            # per-tuple split; transform fields (round 13) derive
+            # once per row into helper columns, identity fields split
+            # on the source — the append_stream_batch shape
+            work = cast_src
+            for h, _, expr in derived:
+                work = work.withColumn(h, expr)
+            key_cols = [*part_cols, *[h for h, _, _ in derived]]
+            tuples, cond_for = self._split_tuples(work, key_cols)
+            for gi, t in enumerate(tuples):
+                out = work.where(cond_for(t)).select(*data_names)
                 rel_new = f"data/part-upsert-{seq}-{gi}.parquet"
                 dest = os.path.join(self.dir, rel_new)
                 write_single_parquet(out, dest, "iceberg_upsert_")
                 rows = _pq.read_metadata(dest).num_rows
                 n_rows += rows
+                pv = {field_of[c]: t[c] for c in part_cols}
+                pv.update({fn: t[h] for h, fn, _ in derived})
                 data_entries.append(_data_entry(
-                    rel_new,
-                    {field_of[c]: t[c] for c in part_cols},
-                    rows,
-                    dest,
+                    rel_new, pv, rows, dest,
                 ))
         else:
             rel_new = f"data/part-upsert-{seq}.parquet"

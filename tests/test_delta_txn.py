@@ -451,13 +451,26 @@ def test_partitioned_stream_appends_both_formats(spark, tmp_path):
     assert len([f for f in t.files() if "txn-" in f.path]) == 2
     pruned = t.read(spark, partition_filter={"p": 1})
     assert {(r["k"], r["p"]) for r in pruned.collect()} == {(2, 1)}
-    # non-identity default transforms refuse
+    # bucket-partitioned stream (round 13 — the r12 refusal flipped):
+    # per-row murmur3 bucket stamped into manifest tuples, replay
+    # skips, pruning reaches the streamed files, source column KEPT
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
     d2 = str(tmp_path / "ice_bucket")
     t2 = IcebergTable.create(
         d2, [("k", "bigint"), ("p", "bigint")],
         partition_by=[("p", "int", "bucket[4]", "p_bucket")], now_ms=1)
-    with pytest.raises(NotImplementedError, match="identity"):
-        t2.append_stream_batch(b0, "q-p", 0)
+    assert t2.append_stream_batch(b0, "q-p", 0, now_ms=2) is not None
+    assert t2.append_stream_batch(b0, "q-p", 0, now_ms=3) is None
+    assert {(r["k"], r["p"]) for r in t2.read(spark).collect()} == {
+        (1, 0), (2, 1), (3, 0)}
+    sf = [f for f in t2.files() if "txn-" in f.path]
+    assert sorted(f.partition["p_bucket"] for f in sf) == sorted(
+        {transform_value("bucket[4]", p) for p in (0, 1)})
+    pruned1 = t2.files(partition_filter={"p_bucket": 1})
+    assert pruned1 and all(
+        f.partition["p_bucket"] == transform_value("bucket[4]", 1)
+        for f in pruned1)
 
     # Delta partitioned (string-encoded partitionValues)
     dd = str(tmp_path / "delta_part")

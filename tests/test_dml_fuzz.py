@@ -236,7 +236,8 @@ class IcebergHarness:
     layer is live; partition values live in the manifests only — data
     files never carry ``p``, production Iceberg's own layout)."""
 
-    def __init__(self, spark, table_dir: str, partitioned: bool = False):
+    def __init__(self, spark, table_dir: str, partitioned: bool = False,
+                 bucket: bool = False):
         self.spark = spark
         self.d = table_dir
         self.partitioned = partitioned
@@ -244,15 +245,24 @@ class IcebergHarness:
         fields = [("k", "bigint"), ("v", "bigint")]
         if partitioned:
             fields.append(("p", "bigint"))
+        #: bucket twin (round 13): the DEFAULT spec is bucket[2](p) —
+        #: ``p`` stays a DATA column (transforms are lossy), appends
+        #: stamp the murmur3 bucket into the manifest tuple, and the
+        #: merge/stream write faces re-derive it per source row
+        self.bucket_n = 2 if bucket else None
+        part_by = None
+        if bucket:
+            assert partitioned, "bucket twin needs the p column"
+            part_by = [("p", "int", f"bucket[{self.bucket_n}]")]
+        elif partitioned:
+            part_by = [("p", "long")]
         self.t = IcebergTable.create(
-            table_dir, fields,
-            partition_by=[("p", "long")] if partitioned else None,
-            now_ms=1,
+            table_dir, fields, partition_by=part_by, now_ms=1,
         )
         #: the identity column appends currently record in METADATA
         #: (and exclude from data files) — "p" from creation, or the
         #: evolve op's column once a spec evolution lands
-        self.part_key = "p" if partitioned else None
+        self.part_key = "p" if (partitioned and not bucket) else None
         self.n_files = 0
 
     def _fields(self):
@@ -263,6 +273,8 @@ class IcebergHarness:
         )["fields"]
 
     def append(self, rows, cols, now):
+        if self.bucket_n:
+            return self._append_bucket(rows, cols, now)
         data_cols = [c for c in cols if c != self.part_key]
         groups: dict[object, list] = {}
         if self.part_key is not None:
@@ -292,6 +304,41 @@ class IcebergHarness:
                          {self.part_key: pv}
                          if self.part_key is not None else {},
                          len(grp), os.path.getsize(p),
+                         lower_bounds=lb, upper_bounds=ub)
+            )
+        self.t.append(files, now_ms=now)
+
+    def _append_bucket(self, rows, cols, now):
+        """External-writer append under the bucket spec: one file per
+        occupied murmur3 bucket, ALL columns in the data (the source
+        column included), tuple stamped with the transform value — what
+        a conforming bucket-partitioned writer produces."""
+        from hadoop_sync_spark.iceberg_meta import transform_value
+
+        jp = cols.index("p")
+        tr = f"bucket[{self.bucket_n}]"
+        groups: dict[object, list] = {}
+        for r in rows:
+            groups.setdefault(transform_value(tr, r[jp]), []).append(r)
+        files = []
+        for bv in sorted(groups, key=lambda x: (x is None, x or 0)):
+            name = f"data/fz-{self.n_files:04d}.parquet"
+            self.n_files += 1
+            p = os.path.join(self.d, name)
+            grp = groups[bv]
+            pq.write_table(
+                pa.table({
+                    c: pa.array(
+                        [r[cols.index(c)] for r in grp], pa.int64()
+                    )
+                    for c in cols
+                }),
+                p,
+            )
+            lb, ub = parquet_column_bounds(p, self._fields())
+            files.append(
+                DataFile(name, {"p_bucket": bv}, len(grp),
+                         os.path.getsize(p),
                          lower_bounds=lb, upper_bounds=ub)
             )
         self.t.append(files, now_ms=now)
@@ -511,7 +558,8 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
                   drop_ops: tuple = (),
                   partitioned_merge: bool = False,
                   cdf_enabled: bool = False,
-                  with_stream: bool = False):
+                  with_stream: bool = False,
+                  ice_bucket: bool = False):
     rng = random.Random(seed)
     ops = _gen_sequence(rng, n_ops, with_ddl, partitioned,
                         with_rollback, partitioned_merge, with_stream)
@@ -523,7 +571,7 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     delta = DeltaHarness(spark, str(tmp_path / f"d{seed}"), mapped,
                          partitioned, cdf=cdf_enabled)
     ice = IcebergHarness(spark, str(tmp_path / f"i{seed}"),
-                         partitioned)
+                         partitioned, bucket=ice_bucket)
     model: list[tuple] = []
     delta_states: dict[int, tuple] = {}
     ice_states: dict[int, tuple] = {}
@@ -860,6 +908,20 @@ def test_dml_sequence_iceberg_executor_tier(spark, tmp_path, seed,
     monkeypatch.setattr(IcebergTable, "DELETE_ROWS_LIMIT", 0)
     monkeypatch.setattr(DeltaLog, "DELETE_WHERE_ROW_LIMIT", 0)
     _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False)
+
+
+@pytest.mark.parametrize("seed", [2119, 2137])
+def test_dml_sequence_bucket_partitioned_iceberg(spark, tmp_path, seed):
+    """Round 13: the Iceberg twin runs under a bucket[2](p) DEFAULT
+    spec (p stays a data column; the Delta twin keeps its identity
+    layout) — external appends stamp murmur3 tuples, the merge and
+    stream write faces RE-DERIVE the bucket per source row through
+    transform_column, and delete/update/compact/maintain carry tuples
+    untouched.  Seed 2119: update → stream → merges → maintain; seed
+    2137: checkpoint + stream + update + deletes + merge."""
+    _run_sequence(spark, tmp_path, seed, 10, mapped=False,
+                  partitioned=True, partitioned_merge=True,
+                  with_stream=True, ice_bucket=True)
 
 
 def test_dml_sequence_stream_append_rollback(spark, tmp_path):

@@ -625,6 +625,83 @@ def test_murmur3_bucket_matches_spec_vectors():
         transform_value("day", 17486)
 
 
+def test_vectorized_bucket_hash_matches_scalar():
+    """The numpy murmur3 (the write faces' vectorized bucket kernel,
+    round 13) is bit-for-bit the scalar _murmur3_32 on 8-byte LE
+    longs — including negatives and the int64 extremes."""
+    import numpy as np
+
+    from hadoop_sync_spark.iceberg_meta import (
+        _bucket_hash_i64_np,
+        _murmur3_32,
+    )
+
+    vals = [0, 1, -1, 34, -34, 123456789, -987654321,
+            2**63 - 1, -(2**63), 42, 7, -7]
+    got = _bucket_hash_i64_np(np.array(vals, dtype=np.int64))
+    for v, g in zip(vals, got):
+        exp = _murmur3_32(
+            (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"))
+        assert int(g) == exp & 0xFFFFFFFF, v
+
+
+def test_transform_column_matches_transform_value(spark):
+    """Per-row Spark transforms (the write faces' split expressions,
+    round 13) agree with transform_value on every supported
+    (transform, type) pair — nulls, negatives, pre-1970 temporals —
+    under an ADVERSARIAL session timezone (the tz-independence the
+    timestamptz unix_micros path and the ntz wall-clock casts exist
+    for)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from hadoop_sync_spark.iceberg_meta import (
+        transform_column,
+        transform_value,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        longs = [0, 1, -1, 7, -7, 123456789, -987654321,
+                 2**62, -(2**62), None]
+        strs = ["", "a", "abcdef", "héllo wörld", None]
+        dates = [dt.date(1970, 1, 1), dt.date(1969, 12, 31),
+                 dt.date(2017, 11, 16), dt.date(1901, 2, 3), None]
+        tss = [dt.datetime(1970, 1, 1),
+               dt.datetime(2017, 11, 16, 22, 31, 8),
+               dt.datetime(1969, 12, 31, 23, 59, 59),
+               dt.datetime(2024, 2, 29, 1, 2, 3, 456789), None]
+
+        def check(tr, vals, st, ice, exp_vals=None):
+            df = spark.createDataFrame(
+                [(v,) for v in vals],
+                T.StructType([T.StructField("c", st, True)]))
+            got = [r[0] for r in df.select(
+                transform_column(tr, "c", ice).alias("t")).collect()]
+            for v, g in zip(exp_vals or vals, got):
+                assert g == transform_value(tr, v), (tr, ice, v)
+
+        for tr in ("bucket[4]", "bucket[16]", "truncate[10]"):
+            check(tr, longs, T.LongType(), "long")
+        for tr in ("bucket[4]", "truncate[3]"):
+            check(tr, strs, T.StringType(), "string")
+        for tr in ("year", "month", "day"):
+            check(tr, dates, T.DateType(), "date")
+        for tr in ("year", "month", "day", "hour"):
+            check(tr, tss, T.TimestampNTZType(), "timestamp")
+        # timestamptz: absolute instants; transform_value sees the
+        # same wall-clock as naive-UTC
+        tz = [v.replace(tzinfo=dt.timezone.utc) if v else None
+              for v in tss]
+        for tr in ("year", "month", "day", "hour"):
+            check(tr, tz, T.TimestampType(), "timestamptz",
+                  exp_vals=tss)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_bucket_partitioned_table_prunes_and_reads(spark, tmp_path):
     """bucket[4] spec: files() prunes at both metadata layers on a
     SOURCE-domain filter value, and read() attaches the bucket column
@@ -1904,15 +1981,99 @@ def test_merge_upsert_partitioned_identity(spark, tmp_path):
         t.merge_upsert(spark, src, "p_bucket")
 
 
-def test_merge_upsert_bucket_transform_refuses(spark, tmp_path):
+def test_merge_upsert_bucket_transform(spark, tmp_path):
+    """Bucket-partitioned MERGE (round 13 — the r12 refusal flipped):
+    the source splits per TRANSFORM tuple computed per row with the
+    same spec-verified murmur3 the pruning layers use, each data file
+    stamped with its bucket so partition filters prune merged files,
+    the source column kept IN the data files (transforms are lossy),
+    and a second merge over its own output composes."""
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
     d = str(tmp_path / "mrg_bkt")
     os.makedirs(os.path.join(d, "data"))
     t = IcebergTable.create(
         d, [("id", "bigint"), ("val", "string")],
         partition_by=[("id", "int", "bucket[4]")], now_ms=1000)
-    src = spark.createDataFrame([(1, "x")], ["id", "val"])
-    with pytest.raises(NotImplementedError, match="identity"):
-        t.merge_upsert(spark, src, "val")
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], ["id", "val"])
+    res = t.merge_upsert(spark, src, "id", now_ms=2000)
+    assert res["rows"] == 8 and res["keys"] == 8
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(i, f"v{i}") for i in range(8)}
+    # one data file per OCCUPIED bucket, tuple = spec murmur3 bucket
+    want_buckets = {transform_value("bucket[4]", i) for i in range(8)}
+    ups = [f for f in t.files() if f.content == 0]
+    assert sorted(f.partition["id_bucket"] for f in ups) == sorted(
+        want_buckets)
+    # partition pruning reaches the merged files: filter in the
+    # SOURCE domain, files() transforms it like the read path
+    want = transform_value("bucket[4]", 5)
+    pruned = t.files(partition_filter={"id_bucket": 5})
+    assert pruned and all(
+        f.partition["id_bucket"] == want for f in pruned)
+    assert len(pruned) < len(ups)
+    # the data files CARRY the source column (unlike identity)
+    import pyarrow.parquet as pq
+
+    assert "id" in pq.read_schema(ups[0].path).names
+    # merge over its own output: the equality delete hides the old
+    # row across buckets, the new version lands in its bucket
+    src2 = spark.createDataFrame([(5, "V5")], ["id", "val"])
+    t.merge_upsert(spark, src2, "id", now_ms=3000)
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert (5, "V5") in got and (5, "v5") not in got
+    assert len(got) == 8
+
+
+def test_stream_and_merge_truncate_temporal_transforms(spark, tmp_path):
+    """Mixed truncate[2](string) + day(date) default spec through
+    BOTH write faces (round 13): per-row transform values stamp the
+    manifest tuples, prune correctly, and match transform_value."""
+    import datetime as dt
+
+    from hadoop_sync_spark.iceberg_meta import transform_value
+
+    d = str(tmp_path / "tt")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d,
+        [("id", "bigint"), ("name", "string"), ("d", "date")],
+        partition_by=[("name", "string", "truncate[2]"),
+                      ("d", "int", "day")],
+        now_ms=1000,
+    )
+    rows = [
+        (1, "alpha", dt.date(2024, 1, 1)),
+        (2, "alto", dt.date(2024, 1, 1)),
+        (3, "beta", dt.date(1969, 12, 31)),  # pre-epoch day ordinal
+        (4, None, None),                      # NULL transforms to NULL
+    ]
+    b = spark.createDataFrame(rows, "id long, name string, d date")
+    assert t.append_stream_batch(b, "q-tt", 0, now_ms=2000) is not None
+    files = [f for f in t.files() if f.content == 0]
+    # tuples: (al, 19723) x2 -> one file; (be, -1); (None, None)
+    tuples = sorted(
+        ((f.partition["name_truncate"], f.partition["d_day"])
+         for f in files),
+        key=lambda p: (p[0] is None, p[0] or ""),
+    )
+    assert tuples == sorted(
+        {(transform_value("truncate[2]", n),
+          transform_value("day", dd)) for _, n, dd in rows},
+        key=lambda p: (p[0] is None, p[0] or ""),
+    )
+    got = {(r.id, r.name, r.d) for r in t.read(spark).collect()}
+    assert got == set(rows)
+    # merge through the same spec: update one row, add another
+    src = spark.createDataFrame(
+        [(2, "alto-v2", dt.date(2024, 1, 1)),
+         (5, "gamma", dt.date(2024, 6, 1))],
+        "id long, name string, d date")
+    t.merge_upsert(spark, src, "id", now_ms=3000)
+    got = {(r.id, r.name) for r in t.read(spark).collect()}
+    assert (2, "alto-v2") in got and (5, "gamma") in got
+    assert (2, "alto") not in got and len(got) == 5
 
 
 def test_incremental_scan_append_only(spark, tmp_path):
