@@ -77,6 +77,148 @@ def _drain(spark, table_dir, ckpt, rows_out, starting=0):
     q.awaitTermination()
 
 
+def test_cdc_source_bounded_batches(spark, tmp_path):
+    """``maxVersionsPerBatch`` clamps latestOffset to
+    min(latest, pos + N) (round 13 — rate limiting inside the API):
+    a 10-commit backlog drains in ceil(10/3) = 4 micro-batches with
+    identical total output, each batch spanning <= 3 commit versions,
+    and the checkpoint records the clamped per-batch offsets."""
+    import json as _json
+
+    d, log = _mk_table(tmp_path, "bounded")
+    _write_file(d, "f0.parquet", {"k": [0], "v": [0]})
+    log.commit(0, [{"protocol": {"minReaderVersion": 1}}, _meta(True),
+                   log.add_action_for("f0.parquet")])
+    for v in range(1, 10):
+        _write_file(d, f"f{v}.parquet", {"k": [v], "v": [v * 10]})
+        log.commit(v, [log.add_action_for(f"f{v}.parquet")])
+
+    # one CONTINUOUS query (the Python Data Source API lacks
+    # Trigger.AvailableNow — Spark falls back to one batch per start,
+    # so a processingTime trigger is the mode where successive
+    # clamped batches actually happen): the reader's position carries
+    # across its batches and every one is bounded
+    import time
+
+    spark.dataSource.register(DeltaCDCStreamSource)
+    ck = str(tmp_path / "ck")
+    batches: list = []
+
+    def sink(bdf, _bid):
+        rs = [tuple(r) for r in bdf.collect()]
+        if rs:
+            batches.append(rs)
+
+    df = (spark.readStream.format("delta_cdc")
+          .option("path", d).option("startingVersion", 0)
+          .option("maxVersionsPerBatch", 3).load())
+    q = (df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(processingTime="50 milliseconds").start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(len(rs) for rs in batches) >= 10:
+            break
+        time.sleep(0.3)
+    q.stop()
+
+    rows = [r for rs in batches for r in rs]
+    assert sorted(r[0] for r in rows) == list(range(10))
+    assert len(batches) == 4  # ceil(10 commits / 3 per batch)
+    for rs in batches:
+        vers = {r[3] for r in rs}
+        assert max(vers) - min(vers) < 3
+    # the checkpoint's per-batch offsets are the CLAMPED ends
+    odir = os.path.join(ck, "offsets")
+
+    def offset_ends():
+        ends = []
+        for name in sorted(
+            (n for n in os.listdir(odir) if not n.startswith(".")),
+            key=int,
+        ):
+            with open(os.path.join(odir, name)) as fh:
+                last = fh.read().strip().splitlines()[-1]
+            ends.append(_json.loads(last)["version"])
+        return ends
+
+    assert offset_ends()[:4] == [3, 6, 9, 10]
+
+    # RESTART over a new backlog stays bounded: Spark re-plans the
+    # restored offsets-log entry before the fresh reader's first
+    # latestOffset, re-teaching the clamp position — no unbounded
+    # catch-up batch, no duplicates
+    for v in range(10, 15):
+        _write_file(d, f"f{v}.parquet", {"k": [v], "v": [v * 10]})
+        log.commit(v, [log.add_action_for(f"f{v}.parquet")])
+    batches.clear()
+    df = (spark.readStream.format("delta_cdc")
+          .option("path", d).option("startingVersion", 0)
+          .option("maxVersionsPerBatch", 3).load())
+    q = (df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(processingTime="50 milliseconds").start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(len(rs) for rs in batches) >= 5:
+            break
+        time.sleep(0.3)
+    q.stop()
+    rows2 = [r for rs in batches for r in rs]
+    assert sorted(r[0] for r in rows2) == list(range(10, 15))
+    assert len(batches) == 2  # ceil(5 new commits / 3 per batch)
+    for rs in batches:
+        vers = {r[3] for r in rs}
+        assert max(vers) - min(vers) < 3
+
+
+def test_iceberg_incremental_bounded_batches(spark, tmp_path):
+    """``maxSnapshotsPerBatch`` — the iceberg twin: a 5-append
+    backlog drains in ceil(5/2) = 3 micro-batches, one or two
+    snapshots each, with identical total output."""
+    from hadoop_sync_spark.cdc_source import (
+        IcebergIncrementalStreamSource,
+    )
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+
+    d = str(tmp_path / "ice_bounded")
+    t = IcebergTable.create(d, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+    sids = []
+    for i in range(5):
+        b = spark.createDataFrame([(i, i * 10)], "k long, v long")
+        sids.append(t.append_stream_batch(b, "w", i, now_ms=2 + i))
+
+    import time
+
+    spark.dataSource.register(IcebergIncrementalStreamSource)
+    df = (spark.readStream.format("iceberg_incremental")
+          .option("path", d)
+          .option("maxSnapshotsPerBatch", 2).load())
+    batches: list = []
+
+    def sink(bdf, _bid):
+        rs = [tuple(r) for r in bdf.collect()]
+        if rs:
+            batches.append(rs)
+
+    q = (df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckb"))
+         .trigger(processingTime="50 milliseconds").start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(len(rs) for rs in batches) >= 5:
+            break
+        time.sleep(0.3)
+    q.stop()
+
+    rows = [r for rs in batches for r in rs]
+    assert sorted(r[0] for r in rows) == list(range(5))
+    assert len(batches) == 3  # ceil(5 snapshots / 2 per batch)
+    for rs in batches:
+        assert len({r[2] for r in rs}) <= 2  # snapshots per batch
+
+
 def test_cdc_source_matches_batch_read_changes(spark, tmp_path):
     """The streamed feed over a CDF table with update/delete/merge/
     append history equals read_changes(0) as a multiset — the batch
