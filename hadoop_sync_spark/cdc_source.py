@@ -370,6 +370,10 @@ class _IcePart(InputPartition):
     out_cols: tuple
     #: full output arrow schema (out_cols + _snapshot_id), driver-built
     arrow_schema: object = None
+    #: current column name -> historical name variants (latest first;
+    #: round 13 renamed-history support): a conforming file carries
+    #: exactly one, the executor resolves per file schema
+    variants: dict = None
 
 
 class _IceIncStreamReader(DataSourceStreamReader):
@@ -394,11 +398,14 @@ class _IceIncStreamReader(DataSourceStreamReader):
                               if chain else 1)
         else:
             self.start_seq = int(ss)
-        if t._rename_history():
-            raise NotImplementedError(
-                "iceberg_incremental on a renamed schema history: "
-                "compact the table first"
-            )
+        #: renamed-history support (round 13, lifting the r12
+        #: refusal): map each CURRENT column name to its historical
+        #: variants by field id — a pre-rename file carries exactly
+        #: one of them, resolved per file at executor read time.
+        #: (A rename AFTER stream start still refuses through the
+        #: pinned-schema check in partitions(), as schema changes
+        #: must.)
+        fid_variants = t._rename_history() or {}
         #: bounded micro-batches (round 13): clamp latestOffset to
         #: min(latest, pos + N) in SEQUENCE-NUMBER space — ancestry
         #: sequences are monotone, so a batch never spans more than N
@@ -427,6 +434,37 @@ class _IceIncStreamReader(DataSourceStreamReader):
             t._spark_schema(self._pinned_schema_id)
             .add(T.StructField("_snapshot_id", T.LongType()))
         )
+        self._variants = {
+            self._field_by_id[fid]: tuple(names)
+            for fid, names in fid_variants.items()
+            if fid in self._field_by_id
+        }
+        #: schema ids COMPATIBLE with the pinned output: every field
+        #: id a subset of the pinned schema's with an equal (or
+        #: spec-promotable-to) type — renames and pre-add-column eras,
+        #: which variants + null-fill already read correctly.  A
+        #: schema the pinned output cannot represent (new/changed
+        #: fields) still refuses in partitions().
+        import json as _json
+
+        from hadoop_sync_spark.iceberg_meta import _PROMOTIONS
+
+        pinned_types = {
+            f["id"]: _json.dumps(f["type"], sort_keys=True)
+            for f in fields
+        }
+        self._ok_sids = set()
+        for s in meta.get("schemas", []):
+            fs = {
+                f["id"]: _json.dumps(f["type"], sort_keys=True)
+                for f in s["fields"]
+            }
+            if set(fs) <= set(pinned_types) and all(
+                fs[i] == pinned_types[i]
+                or (fs[i], pinned_types[i]) in _PROMOTIONS
+                for i in fs
+            ):
+                self._ok_sids.add(s.get("schema-id", 0))
 
     def _table(self):
         from hadoop_sync_spark.iceberg_meta import IcebergTable
@@ -508,8 +546,12 @@ class _IceIncStreamReader(DataSourceStreamReader):
                     "changelog_scan is the batch face for row-level "
                     "delete/overwrite history"
                 )
-            if s.get("schema-id",
-                     self._pinned_schema_id) != self._pinned_schema_id:
+            snap_sid = s.get("schema-id", self._pinned_schema_id)
+            if (snap_sid != self._pinned_schema_id
+                    and snap_sid not in self._ok_sids):
+                # a schema the pinned output CANNOT represent (new or
+                # re-typed fields); rename/pre-add-column eras pass
+                # via _ok_sids (round 13)
                 raise NotImplementedError(
                     f"schema changed at snapshot {s['snapshot-id']}: "
                     "restart the stream to pick up the new schema"
@@ -542,11 +584,13 @@ class _IceIncStreamReader(DataSourceStreamReader):
                                           date_src),
                         out_cols=self._out_cols,
                         arrow_schema=self._arrow_schema,
+                        variants=self._variants,
                     ))
         if not parts:
             parts.append(_IcePart(abs_path="", snapshot_id=-1, pv={},
                                   out_cols=self._out_cols,
-                                  arrow_schema=self._arrow_schema))
+                                  arrow_schema=self._arrow_schema,
+                                  variants=self._variants))
         return parts
 
     def _identity_map(self, t, meta, spec_id):
@@ -603,11 +647,18 @@ class _IceIncStreamReader(DataSourceStreamReader):
         names = set(tbl.schema.names)
         n = tbl.num_rows
         sch = partition.arrow_schema
+        variants = partition.variants or {}
         arrays = []
         for i, c in enumerate(partition.out_cols):
             typ = sch.field(i).type
-            if c in names:
-                col = tbl.column(c)
+            # renamed-history resolution (round 13): a conforming
+            # file carries exactly one historical name of the field
+            fc = next(
+                (v for v in variants.get(c, (c,)) if v in names),
+                None,
+            )
+            if fc is not None:
+                col = tbl.column(fc)
                 arrays.append(col if col.type == typ else col.cast(typ))
             else:
                 # identity partition value recorded in metadata only

@@ -3293,17 +3293,17 @@ class IcebergTable:
         story is the changelog scan, out of this face's scope), and
         the appended rows are returned AS APPENDED — later delete
         files do not subtract here, per the incremental-read contract.
-        Renamed histories refuse like the other DML faces."""
+        Renamed histories are SUPPORTED (round 13, lifting the r11
+        refusal): the scan pins one physical column per historical
+        name of each field and coalesces across the variants, emitting
+        the CURRENT names — the batch read path's rule, the same one
+        ``read_changes`` applies on the Delta side."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         from hadoop_sync_spark.io import attach_file_columns
 
-        if self._rename_history():
-            raise NotImplementedError(
-                "incremental_scan on a renamed schema history: compact "
-                "the table first"
-            )
+        variants = self._rename_history()
         snaps = self.snapshots()
         ids = [s["snapshot-id"] for s in snaps]
         if from_snapshot_id not in ids:
@@ -3437,19 +3437,36 @@ class IcebergTable:
                 "or use read()"
             )
         reader = spark.read
-        if len(meta.get("schemas", [])) > 1:
-            reader = reader.schema(data_schema)
+        if len(meta.get("schemas", [])) > 1 or variants:
+            # pin the scan schema: one physical column per historical
+            # name of each field (a conforming file carries exactly
+            # one; the rest null-fill)
+            reader = reader.schema(self._spark_schema(
+                sid, exclude=set(part_cols), name_variants=variants
+            ))
         scan = reader.parquet(*[f.path for _, (_, f) in infos])
         rows = [
             (_norm_path(f.path), snap_id)
             + tuple(f.partition.get(c) for c in part_cols)
             for _, (snap_id, f) in infos
         ]
+        fid_of = {
+            f["name"]: f["id"]
+            for f in self._schema_by_id(sid)["fields"]
+        }
+
+        def _lcol(n):
+            vs = (variants.get(fid_of[n], [n]) if variants else [n])
+            if len(vs) == 1:
+                return F.col(vs[0])
+            return F.coalesce(*[F.col(v) for v in vs])
+
         return attach_file_columns(
             scan, rows, ["_snapshot_id", *part_cols],
             what="iceberg incremental scan",
         ).select(
-            *[F.col(f.name) for f in data_schema.fields],
+            *[_lcol(f.name).alias(f.name)
+              for f in data_schema.fields],
             *[F.date_from_unix_date(F.col(c).cast("int")).alias(c)
               if c in date_parts else F.col(c)
               for c in part_cols],
@@ -3491,20 +3508,23 @@ class IcebergTable:
         Work is O(added + targeted files), never O(range × table).
         ``replace`` snapshots (compaction) are skipped — the spec
         defines them as logical no-ops, the same trust production
-        changelog readers extend.  Refusals (honest seams): renamed
-        histories, ranges crossing a schema change (the diff would
-        union frames of different widths; Delta's twin pins the end
-        schema — scan the eras separately here), ranges containing
-        snapshot operations other than
+        changelog readers extend.  Renamed histories are SUPPORTED
+        (round 13): every frame comes from :meth:`read`, whose
+        name-variant coalesce already emits CURRENT names; the
+        equality-key bounds pruning resolves the key's historical
+        name against each delete parquet's own columns (skipping the
+        pruning — a conservative superset — when none matches).  Note
+        a range CROSSING the rename itself still refuses via the
+        schema-change check below (a rename mints a new schema id).
+        Refusals (honest seams): ranges crossing a schema change (the
+        diff would union frames of different widths; Delta's twin
+        pins the end schema — scan the eras separately here), ranges
+        containing snapshot operations other than
         append/delete/overwrite/replace, and a partition-shape change
         inside the range."""
         from pyspark.sql import functions as F
 
-        if self._rename_history():
-            raise NotImplementedError(
-                "changelog_scan on a renamed schema history: compact "
-                "the table first"
-            )
+        variants = self._rename_history()
         snaps = self.snapshots()
         ids = [s["snapshot-id"] for s in snaps]
         if from_snapshot_id not in ids:
@@ -3626,11 +3646,27 @@ class IcebergTable:
                     if len(d.equality_ids) == 1:
                         kc = name_of.get(d.equality_ids[0])
                         if kc is not None and older:
-                            agg = spark.read.parquet(d.path).agg(
-                                F.min(kc).alias("lo"),
-                                F.max(kc).alias("hi"),
+                            ddf = spark.read.parquet(d.path)
+                            # a pre-rename delete parquet carries the
+                            # key under a historical name — resolve
+                            # against the file's own columns; no
+                            # match skips the pruning (sound: the
+                            # targeted set stays a superset)
+                            vs = (variants.get(d.equality_ids[0],
+                                               [kc])
+                                  if variants else [kc])
+                            kf = next(
+                                (n for n in vs if n in ddf.columns),
+                                None,
+                            )
+                            if kf is None:
+                                targeted |= older
+                                continue
+                            agg = ddf.agg(
+                                F.min(kf).alias("lo"),
+                                F.max(kf).alias("hi"),
                                 F.count(F.when(
-                                    F.col(kc).isNull(), 1
+                                    F.col(kf).isNull(), 1
                                 )).alias("nulls"),
                             ).first()
                             if not agg.nulls and agg.lo is not None:

@@ -618,6 +618,62 @@ def test_iceberg_incremental_custom_named_identity_pv(spark, tmp_path):
     assert all(r[1] is not None for r in got)
 
 
+def test_iceberg_incremental_renamed_history(spark, tmp_path):
+    """A rename BEFORE stream start resolves per field id (round 13 —
+    the r12 refusal lifted): pre-rename files carry the old physical
+    name, the executor resolves variants against each file's own
+    schema and emits CURRENT names.  A rename AFTER stream start
+    still refuses through the pinned-schema check."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+
+    d = str(tmp_path / "ice_ren")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(d, [("k", "bigint"), ("val", "string")],
+                            now_ms=1)
+
+    def write_pq(name, ks, col):
+        p = os.path.join(d, "data", name)
+        pq.write_table(pa.table({
+            "k": pa.array(ks, pa.int64()),
+            col: pa.array([f"v{i}" for i in ks], pa.string()),
+        }), p)
+        return DataFile(path=f"data/{name}", partition={},
+                        record_count=len(ks),
+                        file_size=os.path.getsize(p))
+
+    s1 = t.append([write_pq("f1.parquet", [1, 2], "val")], now_ms=2)
+    t.rename_column("val", "label", now_ms=3)
+    s2 = t.append([write_pq("f2.parquet", [3], "label")], now_ms=4)
+
+    got: list = []
+    _ice_drain(spark, d, str(tmp_path / "ck"), got)
+    assert sorted(got) == [(1, "v1", s1), (2, "v2", s1),
+                           (3, "v3", s2)]
+
+    # a rename AFTER reader construction is a mid-stream schema
+    # change: the new schema id is unknown to the construction-time
+    # variant map, so planning refuses rather than silently
+    # null-filling the renamed column
+    from hadoop_sync_spark.cdc_source import _IceIncStreamReader
+
+    rdr = _IceIncStreamReader({"path": d})
+    rdr.initialOffset()
+    t.rename_column("label", "tag", now_ms=5)
+    s3 = t.append([write_pq("f3.parquet", [9], "tag")], now_ms=6)
+    with pytest.raises(NotImplementedError, match="schema changed"):
+        rdr.partitions({"sequence": 1}, rdr.latestOffset())
+
+    # ...and a RESTART (fresh reader, same checkpoint) picks the new
+    # schema up, resolving every era — exactly what the refusal
+    # message prescribes
+    got2: list = []
+    _ice_drain(spark, d, str(tmp_path / "ck"), got2)
+    assert got2 == [(9, "v9", s3)]
+
+
 def test_cdc_source_mapped_partitioned_and_fanout(spark, tmp_path):
     """The remaining matrix cell: name-mode mapping AND partitioning
     together — cdc/add files carry physical data columns, the

@@ -2107,6 +2107,53 @@ def test_incremental_scan_append_only(spark, tmp_path):
         t.incremental_scan(spark, 999999)
 
 
+def test_incremental_and_changelog_scan_renamed_history(spark, tmp_path):
+    """Round 13 lifts the renamed-history refusal on both CDC batch
+    faces: pre-rename files carry the OLD physical name, post-rename
+    files the NEW one, and both scans resolve per field id —
+    coalescing variants (incremental) / reading through read()'s
+    composition (changelog) — emitting the CURRENT names, the same
+    rule the batch read and the r12 DML faces apply."""
+    t, write_pq = _mor_table(tmp_path)
+    s1 = t.append([write_pq("f1.parquet", [1, 2])], now_ms=2000)
+    # second pre-rename file lands IN the scanned range
+    s2 = t.append([write_pq("f2.parquet", [3])], now_ms=3000)
+    t.rename_column("val", "label", now_ms=4000)
+
+    def write_new(name, ids):
+        p = os.path.join(t.dir, "data", name)
+        pq.write_table(pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "label": pa.array([f"v{i}" for i in ids], pa.string()),
+        }), p)
+        return DataFile(path=f"data/{name}", partition={},
+                        record_count=len(ids),
+                        file_size=os.path.getsize(p))
+
+    s3 = t.append([write_new("f3.parquet", [4])], now_ms=5000)
+    # incremental range spans a pre-rename AND a post-rename file:
+    # old-name column coalesces into the current name
+    inc = t.incremental_scan(spark, s1, s3)
+    assert inc.columns == ["id", "label", "_snapshot_id"]
+    assert {(r.id, r.label, r._snapshot_id)
+            for r in inc.collect()} == {(3, "v3", s2), (4, "v4", s3)}
+
+    # changelog entirely AFTER the rename, deleting rows that live in
+    # a PRE-rename file (f1): the delete frame reads the old-name file
+    # and still emits current names.  (A range CROSSING the rename
+    # refuses via the schema-change check — pinned below.)
+    t.delete_rows(spark, {"id": (1, 1)}, now_ms=6000)
+    s4 = t.current_snapshot_id() if hasattr(t, "current_snapshot_id") \
+        else t.metadata()["current-snapshot-id"]
+    clog = t.changelog_scan(spark, s3, s4)
+    assert clog.columns == ["id", "label", "_change_type",
+                            "_snapshot_id"]
+    assert {(r.id, r.label, r._change_type)
+            for r in clog.collect()} == {(1, "v1", "delete")}
+    with pytest.raises(NotImplementedError, match="schema change"):
+        t.changelog_scan(spark, s1, s4).collect()
+
+
 def test_changelog_scan_row_level_history(spark, tmp_path):
     """changelog_scan emits per-snapshot insert/delete events for
     DELETE and MERGE snapshots (the face incremental_scan's refusal
