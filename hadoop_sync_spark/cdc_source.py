@@ -37,10 +37,13 @@ CDF reads of versions without recorded changes):
   dataChange removes) refuse at planning with the fix spelled out:
   set ``delta.enableChangeDataFeed``.  ``read_changes`` (driver-side,
   Spark available) remains the batch face for those;
-- name-mode column mapping streams (the mapping is metadata-static,
-  so executors translate physical file and partitionValues names
-  through one passed dict); id-mode refuses — its names resolve
-  per-footer in the batch read path only;
+- BOTH column-mapping modes stream (round 13 adds id): name mode is
+  metadata-static (executors translate physical file and
+  partitionValues names through one passed dict); id mode resolves
+  each planned file's physical names from ITS OWN footer field ids on
+  the executor — per-file resolution, free where each part already
+  opens its footer (partitionValues keys stay the metadata
+  physicalName in both modes, per spec);
 - mid-stream schema changes refuse (the source pins its
   construction-time schema, as Spark sources must);
 - ``startingVersion`` accepts ``"latest"`` (new-changes-only
@@ -119,13 +122,19 @@ class _CDCPart(InputPartition):
     #: output data columns in schema order (partition cols included)
     out_cols: tuple
     partition_cols: tuple
-    #: logical -> physical column name (name-mode column mapping);
-    #: empty = identity
+    #: logical -> physical column name (name-mode column mapping, and
+    #: the partitionValues key map in BOTH mapped modes); empty =
+    #: identity
     phys: dict
     #: the FULL output arrow schema (out_cols + _change_type +
     #: _commit_version), computed once on the driver from the source's
     #: declared Spark schema so executors emit typed RecordBatches
     arrow_schema: object = None
+    #: logical -> parquet footer field id (id-mode column mapping,
+    #: round 13): the executor resolves each planned file's physical
+    #: names from ITS OWN footer — per-file resolution, exactly the
+    #: batch read path's rule; None = not id mode
+    fids: dict = None
 
 
 class _CDCStreamReader(DataSourceStreamReader):
@@ -160,28 +169,35 @@ class _CDCStreamReader(DataSourceStreamReader):
             raise ValueError("maxVersionsPerBatch must be >= 1")
         self._pos: int = self.start_version
         mode = snap.column_mapping_mode
-        if mode == "id":
-            raise NotImplementedError(
-                "delta_cdc on id-mode column mapping: physical names "
-                "resolve per-footer in the batch read path; the "
-                "stream refuses rather than guess"
-            )
         self._pinned_schema = snap.schema_json
         fields = json.loads(snap.schema_json)["fields"]
         self._out_cols = tuple(f["name"] for f in fields)
         # name-mode mapping is metadata-static: executors translate
-        # physical file/partitionValues names through this map
+        # physical file/partitionValues names through this map.  In id
+        # mode (round 13) the SAME map carries the metadata
+        # physicalName for partitionValues keys (partition columns
+        # never appear in footers, per spec), while DATA columns
+        # resolve per planned file from its own footer field ids —
+        # each part already opens its own footer via pyarrow, so the
+        # per-file resolution the batch path does driver-side happens
+        # executor-side here for free.
         self._phys = {}
-        if mode == "name":
+        self._fids = None
+        if mode in ("name", "id"):
+            if mode == "id":
+                self._fids = {}
             for f in fields:
-                pn = (f.get("metadata") or {}).get(
-                    "delta.columnMapping.physicalName")
-                if pn is None:
+                md = f.get("metadata") or {}
+                pn = md.get("delta.columnMapping.physicalName")
+                fid = md.get("delta.columnMapping.id")
+                if pn is None or (mode == "id" and fid is None):
                     raise ValueError(
                         f"column mapping enabled but field "
-                        f"{f['name']!r} lacks physicalName metadata"
+                        f"{f['name']!r} lacks physicalName/id metadata"
                     )
                 self._phys[f["name"]] = pn
+                if mode == "id":
+                    self._fids[f["name"]] = int(fid)
         self._part_cols = tuple(snap.partition_columns)
         self._pv_types = {}
         for f in fields:
@@ -294,7 +310,7 @@ class _CDCStreamReader(DataSourceStreamReader):
                 abs_path="", change_type="insert", commit_version=-1,
                 pv={}, out_cols=self._out_cols,
                 partition_cols=self._part_cols, phys={},
-                arrow_schema=self._arrow_schema,
+                arrow_schema=self._arrow_schema, fids=self._fids,
             ))
         return parts
 
@@ -315,6 +331,7 @@ class _CDCStreamReader(DataSourceStreamReader):
             partition_cols=self._part_cols,
             phys=self._phys,
             arrow_schema=self._arrow_schema,
+            fids=self._fids,
         )
 
     # ---- executor-side: one pyarrow file read, no Spark -------------
@@ -334,13 +351,31 @@ class _CDCStreamReader(DataSourceStreamReader):
         names = set(t.schema.names)
         n = t.num_rows
         sch = partition.arrow_schema
+        if partition.fids is not None:
+            # id-mode: resolve THIS file's physical names from its
+            # own footer field ids (per-file, the batch read rule)
+            id_names: dict[int, str] = {}
+            for j in range(len(t.schema.names)):
+                fld = t.schema.field(j)
+                raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if raw is not None:
+                    id_names[int(raw)] = fld.name
+
+            def file_col(c):
+                fid = partition.fids.get(c)
+                return None if fid is None else id_names.get(fid)
+        else:
+
+            def file_col(c):
+                return partition.phys.get(c, c)
+
         arrays = []
         for i, c in enumerate(partition.out_cols):
             typ = sch.field(i).type
-            fc = partition.phys.get(c, c)  # physical name in the file
+            fc = file_col(c)  # physical name in THIS file
             if c in partition.partition_cols:
                 arrays.append(_const_array(partition.pv.get(c), n, typ))
-            elif fc in names:
+            elif fc is not None and fc in names:
                 col = t.column(fc)
                 arrays.append(col if col.type == typ else col.cast(typ))
             else:

@@ -1159,11 +1159,12 @@ class DeltaLog:
         Partitioned targets split per tuple exactly like the
         partitioned MERGE (one file per tuple in the SAME txn commit,
         string-encoded partitionValues, long/int/string/boolean
-        partition types only); name-mode column mapping writes under
-        physical names exactly like the merge face (id-mode refuses —
-        its names resolve per-footer on the read side); an EMPTY
-        batch still commits its txn action so the version watermark
-        advances.
+        partition types only); column-mapped tables write under
+        physical names exactly like the merge face — name mode via
+        the metadata physicalName, id mode (round 13) via per-footer
+        resolution with field ids stamped into the new footers; an
+        EMPTY batch still commits its txn action so the version
+        watermark advances.
 
         Crash-safety without a rename-capable commit service: parts
         move from a per-(app,batch) staging dir to DETERMINISTIC names
@@ -1213,8 +1214,9 @@ class DeltaLog:
             )
         if last is not None and batch_id <= last:
             return None
-        # name-mode column mapping writes under physical names (the
-        # merge face's rule); id-mode refuses inside _resolve_physical
+        # column mapping writes under physical names (the merge
+        # face's rule): name mode via metadata physicalName, id mode
+        # per-footer with stamped output footers (round 13)
         phys = (self._resolve_physical(snap, "append_stream_batch")
                 if snap.column_mapping_mode != "none"
                 else None)
@@ -1268,10 +1270,10 @@ class DeltaLog:
                     cond = term if cond is None else cond & term
                 rel = f"txn-{tag}-{batch_id:010d}-p{gi:05d}.parquet"
                 write_single_parquet(
-                    batch_df.where(cond).select(*[
-                        F.col(n).alias((phys or {}).get(n, n))
-                        for n in data_names
-                    ]),
+                    batch_df.where(cond).select(*self._phys_cols(
+                        snap, phys or {n: n for n in data_names},
+                        data_names,
+                    )),
                     os.path.join(self.table_dir, rel),
                     "delta_txn_",
                 )
@@ -1286,9 +1288,9 @@ class DeltaLog:
                 self.table_dir, f"_txn_staging-{tag}-{batch_id}"
             )
             _shutil.rmtree(staging, ignore_errors=True)
-            out_df = (batch_df.select(*[
-                F.col(n).alias(phys[n]) for n in batch_df.columns
-            ]) if phys else batch_df)
+            out_df = (batch_df.select(*self._phys_cols(
+                snap, phys, batch_df.columns
+            )) if phys else batch_df)
             out_df.write.mode("overwrite").parquet(staging)
             parts = sorted(
                 n for n in os.listdir(staging)
@@ -1872,30 +1874,111 @@ class DeltaLog:
     def _resolve_physical(self, snap: Snapshot, face: str) -> dict:
         """logical name -> physical column for the DML write faces
         (``none`` is identity, ``name`` rides the metadata
-        physicalName, ``id`` refuses — its names resolve per-footer in
-        the read path and a write face should not guess)."""
+        physicalName).  ``id`` mode (round 13, lifting the r12
+        refusal) resolves per-FOOTER exactly like the read path: walk
+        live files' footers by field id with the same early exit —
+        the incumbent names win, so new files stay consistent with
+        what conforming external writers already stamped; field ids
+        no live footer carries (added columns, empty tables) fall
+        back to the metadata physicalName, the name this writer's own
+        stamped-footer files then establish.  Writers pair this with
+        :meth:`_phys_field_meta` so id-mode output files carry footer
+        field ids themselves (the compact path's discipline)."""
         schema = snap.schema()
         if schema is None:
             raise ValueError("no metaData action in the log")
         mode = snap.column_mapping_mode
-        if mode == "id":
-            raise NotImplementedError(
-                f"{face} on id-mode column mapping: physical names "
-                "resolve per-footer in the read path; the write face "
-                "refuses rather than guess"
-            )
         phys: dict[str, str] = {f.name: f.name for f in schema.fields}
+        if mode == "none":
+            return phys
+        part_cols = set(snap.partition_columns)
+        meta_of: dict[str, tuple[str, int | None]] = {}
+        for f in json.loads(snap.schema_json)["fields"]:
+            md = f.get("metadata") or {}
+            pn = md.get("delta.columnMapping.physicalName")
+            fid = md.get("delta.columnMapping.id")
+            if pn is None or (mode == "id" and fid is None):
+                raise ValueError(
+                    f"column mapping enabled but field "
+                    f"{f['name']!r} lacks physicalName/id metadata"
+                )
+            meta_of[f["name"]] = (pn, None if fid is None else int(fid))
         if mode == "name":
-            for f in json.loads(snap.schema_json)["fields"]:
-                md = f.get("metadata") or {}
-                pn = md.get("delta.columnMapping.physicalName")
-                if pn is None:
+            return {n: pn for n, (pn, _) in meta_of.items()}
+        # id mode: footer walk (partition columns never appear in data
+        # files, so their ids are excluded from the early-exit target;
+        # their physical name — the partitionValues key — is the
+        # metadata's, per spec)
+        import pyarrow.parquet as _pq
+
+        needed = {fid for n, (_, fid) in meta_of.items()
+                  if n not in part_cols}
+        id_to_col: dict[int, str] = {}
+        for rel in snap.files:
+            footer = _pq.read_schema(
+                os.path.join(self.table_dir, rel))
+            any_id = False
+            for i in range(len(footer.names)):
+                fld = footer.field(i)
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is None:
+                    continue
+                any_id = True
+                fid = int(fid)
+                prev = id_to_col.setdefault(fid, fld.name)
+                if prev != fld.name:
                     raise ValueError(
-                        f"column mapping enabled but field "
-                        f"{f['name']!r} lacks physicalName metadata"
+                        f"id-mode column mapping: field id {fid} "
+                        f"appears as {prev!r} and {fld.name!r} across "
+                        "data files — per-file physical-name "
+                        "divergence is beyond the one-scan reader, "
+                        f"and {face} will not add to it"
                     )
-                phys[f["name"]] = pn
-        return phys
+            if not any_id:
+                raise ValueError(
+                    f"id-mode column mapping: no field ids in the "
+                    f"parquet footer of {rel!r} — non-conforming file"
+                )
+            if needed <= set(id_to_col):
+                break
+        return {
+            n: (pn if n in part_cols
+                else id_to_col.get(fid, pn))
+            for n, (pn, fid) in meta_of.items()
+        }
+
+    def _phys_field_meta(self, snap: Snapshot) -> dict:
+        """logical name -> alias metadata for the write faces: in id
+        mode, ``{"parquet.field.id": fid}`` so output footers carry
+        the field ids id-mode readers match on (Spark's
+        ``fieldId.write`` honors the alias metadata); empty for
+        none/name mode (a stamped file in a name-mode table would
+        poison inferred reads of mixed directories — compact's
+        rule)."""
+        if snap.column_mapping_mode != "id":
+            return {}
+        out = {}
+        for f in json.loads(snap.schema_json)["fields"]:
+            fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+            if fid is not None:
+                out[f["name"]] = {"parquet.field.id": int(fid)}
+        return out
+
+    def _phys_cols(self, snap: Snapshot, phys: dict, names,
+                   exprs: dict | None = None) -> list:
+        """THE logical->physical output projection for every write
+        face: ``[expr.alias(phys[n], metadata=<field id in id mode>)]``
+        — one spelling, so id-mode data/copy/CDC files all leave this
+        writer with stamped footers (Spark's fieldId.write, default
+        on, honors the alias metadata) and id-mode readers resolve
+        them like any conforming writer's files.  ``exprs`` overrides
+        the source expression per column (the UPDATE SET map)."""
+        fmeta = self._phys_field_meta(snap)
+        return [
+            ((exprs or {}).get(n, F.col(n)))
+            .alias(phys[n], metadata=fmeta.get(n))
+            for n in names
+        ]
 
     def _matched_per_file(
         self,
@@ -2147,10 +2230,9 @@ class DeltaLog:
         filter.  Positions an existing DV already covers are subtracted
         before counting, so ``rows_deleted`` counts NEW deletions only
         and a no-op predicate commits nothing.  Supports unmapped and
-        name-mode
-        column-mapped tables (predicates resolve through the metadata
-        physicalName); id mode refuses — its physical names ride the
-        footer walk in the read path and a write face should not guess.
+        column-mapped tables: name-mode predicates resolve through the
+        metadata physicalName, id-mode (round 13) per-footer like the
+        read path.
         Matched rows above :data:`DELETE_WHERE_ROW_LIMIT` switch to the
         EXECUTOR tier (round 12): the matched frame stays distributed,
         each affected file's bitmap unions, serializes and writes from
@@ -2413,8 +2495,8 @@ class DeltaLog:
                 spark, snap, phys, rels, select_pairs(spark, rels)
             )
             pieces.append((dict(pv_t), joined.select(
-                *[F.col(f.name).alias(phys[f.name])
-                  for f in data_fields],
+                *self._phys_cols(snap, phys,
+                                 [f.name for f in data_fields]),
                 F.lit(change_type).alias("_change_type"),
             )))
         return pieces
@@ -2458,10 +2540,9 @@ class DeltaLog:
                 .cast(schema[c].dataType)
                 for c, v in set_values.items()
             }
-            out = upd.select(*[
-                exprs.get(f.name, F.col(f.name)).alias(phys[f.name])
-                for f in data_fields
-            ])
+            out = upd.select(*self._phys_cols(
+                snap, phys, [f.name for f in data_fields], exprs=exprs
+            ))
             rel_new = f"part-update-{version:010d}-{gi}.parquet"
             write_single_parquet(
                 out, os.path.join(self.table_dir, rel_new),
@@ -2474,8 +2555,8 @@ class DeltaLog:
             )
             if cdf:
                 pre = upd.select(
-                    *[F.col(f.name).alias(phys[f.name])
-                      for f in data_fields],
+                    *self._phys_cols(snap, phys,
+                                     [f.name for f in data_fields]),
                     F.lit("update_preimage").alias("_change_type"),
                 )
                 post = spark.read.parquet(
@@ -2582,7 +2663,8 @@ class DeltaLog:
         DV already deletes are excluded — updating them would resurrect
         deleted data.  Partition columns refuse in both the predicate
         and the SET list (a partition move is a rewrite, not an
-        update); id-mode mapping refuses like the other write faces.
+        update); id-mode mapping resolves per-footer (round 13) and
+        the rewritten copies stamp footer field ids.
         Matches above :data:`DELETE_WHERE_ROW_LIMIT` switch to the
         EXECUTOR tier (round 12): positions stay distributed end to
         end — DV bitmaps build executor-side and the updated copies
@@ -2818,9 +2900,9 @@ class DeltaLog:
                 for c in part_cols:
                     term = F.col(c).eqNullSafe(F.lit(t[c]))
                     cond = term if cond is None else cond & term
-                out = cast_src.where(cond).select(*[
-                    F.col(n).alias(phys[n]) for n in data_names
-                ])
+                out = cast_src.where(cond).select(
+                    *self._phys_cols(snap, phys, data_names)
+                )
                 rel_new = f"part-upsert-{version:010d}-{gi}.parquet"
                 write_single_parquet(
                     out, os.path.join(self.table_dir, rel_new),
@@ -2837,9 +2919,9 @@ class DeltaLog:
                     },
                 ))
         else:
-            out = cast_src.select(*[
-                F.col(n).alias(phys[n]) for n in names
-            ])
+            out = cast_src.select(
+                *self._phys_cols(snap, phys, names)
+            )
             rel_new = f"part-upsert-{version:010d}.parquet"
             write_single_parquet(
                 out, os.path.join(self.table_dir, rel_new),
@@ -2971,14 +3053,13 @@ class DeltaLog:
                         {phys.get(c, c): _pv_str(t[c])
                          for c in part_cols},
                         tagged.where(cond).select(
-                            *[F.col(n).alias(phys[n])
-                              for n in data_names],
+                            *self._phys_cols(snap, phys, data_names),
                             "_change_type",
                         ),
                     ))
             else:
                 pieces.append(({}, tagged.select(
-                    *[F.col(n).alias(phys[n]) for n in names],
+                    *self._phys_cols(snap, phys, names),
                     "_change_type",
                 )))
             actions.extend(

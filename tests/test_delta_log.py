@@ -807,6 +807,54 @@ def test_column_mapping_id_mode_matches_by_field_id(spark, tmp_path):
         log.read(spark).collect()
 
 
+def test_dml_write_faces_id_mode(spark, tmp_path):
+    """Round 13 lifts the id-mode write refusal: the write faces
+    resolve physical names per-FOOTER like the read path — the
+    INCUMBENT names win even when they disagree with the metadata
+    physicalName (this fixture's files say col-zzz/col-qqq while the
+    metadata says col-aaa/col-bbb) — and stamp field ids into their
+    output footers, so merge/delete/update/CDF all compose with the
+    id-mode reader."""
+    from pyspark.sql import functions as F
+
+    d, log = _mk_table(tmp_path, "dml_id")
+    _write_phys(d, "a.parquet", [1, 2, 3], ["x", "y", "z"],
+                col_k="col-zzz", col_v="col-qqq", ids=(1, 2))
+    meta = _mapped_meta("id")
+    meta["metaData"]["configuration"][
+        "delta.enableChangeDataFeed"] = "true"
+    log.commit(0, [{"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}},
+                   meta, log.add_action_for("a.parquet")])
+    # MERGE: update one key, insert one
+    src = spark.createDataFrame([(2, "Y"), (9, "nine")], ["k", "v"])
+    res = log.merge_upsert(spark, src, "k", now_ms=1000)
+    assert res["rows_matched"] == 1 and res["rows_inserted"] == 2
+    got = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert got == {(1, "x"), (2, "Y"), (3, "z"), (9, "nine")}
+    # the upsert file keeps the INCUMBENT names and stamps field ids
+    ups = [n for n in os.listdir(d) if n.startswith("part-upsert-")]
+    assert len(ups) == 1
+    sch = pq.read_schema(os.path.join(d, ups[0]))
+    assert sch.names == ["col-zzz", "col-qqq"]
+    assert {
+        int((sch.field(i).metadata or {})[b"PARQUET:field_id"])
+        for i in range(2)
+    } == {1, 2}
+    # DELETE and UPDATE resolve predicates per-footer too
+    assert log.delete_where(spark, {"k": (1, 1)},
+                            now_ms=2000)["rows_deleted"] == 1
+    assert log.update_where(spark, {"k": (3, 3)}, {"v": F.lit("Z")},
+                            now_ms=3000)["rows_updated"] == 1
+    got = {(r.k, r.v) for r in log.read(spark).collect()}
+    assert got == {(2, "Y"), (3, "Z"), (9, "nine")}
+    # the change feed reads back logically across the whole history
+    kinds = {(r.k, r._change_type)
+             for r in log.read_changes(spark, 1).collect()}
+    assert {(2, "update_postimage"), (9, "insert"), (1, "delete"),
+            (3, "update_preimage"), (3, "update_postimage")} <= kinds
+
+
 def test_column_mapping_partition_values_use_physical_keys(spark,
                                                            tmp_path):
     d, log = _mk_table(tmp_path, "cm_part")
@@ -1629,7 +1677,8 @@ def test_delete_where_mapped_and_partition_guards(spark, tmp_path):
     res = log.delete_where(spark, {"v": ("y", "y")}, now_ms=1000)
     assert res["rows_deleted"] == 1
     assert sorted(r.k for r in log.read(spark).collect()) == [1, 3]
-    # id mode refuses
+    # id mode resolves per-footer (round 13 — the refusal flipped;
+    # the full id-mode DML lifecycle is test_dml_write_faces_id_mode)
     d2, log2 = _mk_table(tmp_path, "delw_id")
     _write_phys(d2, "a.parquet", [1], ["x"],
                 col_k="col-aaa", col_v="col-bbb", ids=(1, 2))
@@ -1637,8 +1686,9 @@ def test_delete_where_mapped_and_partition_guards(spark, tmp_path):
                                   "minWriterVersion": 5}},
                     _mapped_meta("id"),
                     log2.add_action_for("a.parquet")])
-    with pytest.raises(NotImplementedError, match="id-mode"):
-        log2.delete_where(spark, {"k": (1, 1)})
+    assert log2.delete_where(
+        spark, {"k": (1, 1)}, now_ms=500)["rows_deleted"] == 1
+    assert log2.read(spark).count() == 0
     # partition columns refuse (values never reach the data files)
     d3, log3 = _mk_table(tmp_path, "delw_part")
     _write_file(d3, "a.parquet", {"k": [1], "v": [10]})

@@ -266,7 +266,7 @@ def test_append_stream_batch_crash_retry_overwrites(spark, tmp_path):
 def test_append_stream_batch_column_mapped(spark, tmp_path):
     """name-mode column mapping: the batch lands under PHYSICAL column
     names (the merge face's rule) and reads back logically; replay
-    still skips.  id-mode refuses via _resolve_physical."""
+    still skips."""
     d = str(tmp_path / "mapped_t")
     os.makedirs(d)
     log = DeltaLog(d)
@@ -300,6 +300,58 @@ def test_append_stream_batch_column_mapped(spark, tmp_path):
     assert txn_files
     names = pq.read_schema(os.path.join(d, txn_files[0])).names
     assert set(names) == {"col-k", "col-v"}
+
+
+def test_append_stream_batch_id_mode(spark, tmp_path):
+    """id-mode twin (round 13 — the r12 refusal lifted): an EMPTY
+    id-mode table's first batch lands under the metadata physicalName
+    with footer field ids STAMPED; the second batch resolves
+    per-footer from the first's files, so the table stays
+    self-consistent and the id-mode reader composes."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idmode_t")
+    os.makedirs(d)
+    log = DeltaLog(d)
+    fields = [
+        {"name": n, "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": i + 1,
+                      "delta.columnMapping.physicalName": f"col-{n}"}}
+        for i, n in enumerate(("k", "v"))
+    ]
+    log.commit(0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }},
+    ])
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    assert log.append_stream_batch(b0, "id-app", 0) is not None
+    assert log.append_stream_batch(b0, "id-app", 0) is None  # replay
+    b1 = spark.createDataFrame([(3, 30)], "k long, v long")
+    assert log.append_stream_batch(b1, "id-app", 1) is not None
+    got = {tuple(r) for r in
+           log.read(spark).select("k", "v").collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+    # every streamed file carries physical names AND footer field ids
+    txn_files = sorted(n for n in os.listdir(d)
+                       if n.startswith("txn-"))
+    assert len(txn_files) >= 2
+    for n in txn_files:
+        sch = pq.read_schema(os.path.join(d, n))
+        assert set(sch.names) == {"col-k", "col-v"}
+        ids = {
+            sch.field(i).name:
+            int((sch.field(i).metadata or {})[b"PARQUET:field_id"])
+            for i in range(len(sch.names))
+        }
+        assert ids == {"col-k": 1, "col-v": 2}
 
 
 def test_delta_txn_sink_survives_checkpoint_loss(spark, tmp_path):
