@@ -85,6 +85,11 @@ from pyspark.sql.datasource import (
 #: the partitioned-merge write face stamps (delta_log.py `_pv_str`)
 _PV_TYPES = ("long", "integer", "int", "string", "boolean")
 
+#: Iceberg delete-file content codes, kept literal so executors never
+#: import the (large) iceberg_meta module; planning asserts they match
+#: _CONTENT_POS_DELETES/_CONTENT_EQ_DELETES
+_ICE_POS, _ICE_EQ = 1, 2
+
 
 def _pv_decode(raw, typ: str):
     if raw is None:
@@ -411,13 +416,54 @@ class _IcePart(InputPartition):
     variants: dict = None
 
 
+@dataclass
+class _IceChangePart(InputPartition):
+    """Changelog-mode part (round 13): ONE data file plus everything
+    needed to compute its per-file visibility masks executor-side.
+    Iceberg MoR visibility composes PER DATA FILE (a row is visible
+    iff no applicable delete file hides it, and applicability is a
+    pure (data seq, delete seq, key/position) predicate), so the
+    snapshot-vs-parent diff the batch ``changelog_scan`` computes
+    with ``exceptAll`` becomes an independent mask diff per file —
+    embarrassingly parallel, no shuffle, no driver rows."""
+
+    abs_path: str
+    #: manifest path string VERBATIM (position-delete join key)
+    raw_path: str
+    seq: int
+    snapshot_id: int
+    role: str  # "insert" | "delete"
+    #: applicable delete specs, each (abs_path, content, sequence,
+    #: ((field_id, current_key_name), ...)) — parent-side for the
+    #: delete diff
+    dels_before: tuple
+    #: snapshot-side; None = the file is REMOVED at the snapshot
+    #: (after-visibility is empty)
+    dels_after: tuple | None
+    pv: dict
+    out_cols: tuple
+    arrow_schema: object = None
+    variants: dict = None
+
+
 class _IceIncStreamReader(DataSourceStreamReader):
     """Streaming half of :meth:`IcebergTable.incremental_scan`:
     offsets are SEQUENCE NUMBERS ({"sequence": N} = every ancestry
     snapshot with sequence < N is processed).  Sequence numbers keep
     their high watermark across rollbacks, so post-rollback commits
     always order after everything already consumed, and abandoned-
-    branch snapshots (off the current ancestry) never stream."""
+    branch snapshots (off the current ancestry) never stream.
+
+    ``mode=changelog`` (round 13 — the true twin of delta_cdc's full
+    feed): every range snapshot contributes its ROW-LEVEL effect as
+    tagged insert/delete rows derived per data file from visibility
+    masks (see :class:`_IceChangePart`), matching
+    :meth:`IcebergTable.changelog_scan` over the same range as a
+    multiset.  Planning stays metadata-scale: files/delete lists per
+    snapshot plus one columnar ``file_path`` read per NEW
+    position-delete parquet and one FOOTER-stats read per new
+    equality-delete parquet (for bounds pruning of the targeted
+    candidates); ``replace`` snapshots (compaction) are silent."""
 
     def __init__(self, options):
         lower = {k.lower(): v for k, v in dict(options).items()}
@@ -425,6 +471,12 @@ class _IceIncStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError(
                 "iceberg_incremental requires .option('path', ...)")
+        self.mode = lower.get("mode", "append")
+        if self.mode not in ("append", "changelog"):
+            raise ValueError(
+                f"iceberg_incremental mode {self.mode!r}: "
+                "'append' or 'changelog'"
+            )
         t = self._table()
         ss = lower.get("startingsequence", 1)
         if ss == "latest":
@@ -465,9 +517,11 @@ class _IceIncStreamReader(DataSourceStreamReader):
         from pyspark.sql import types as T
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        sp = t._spark_schema(self._pinned_schema_id)
+        if self.mode == "changelog":
+            sp = sp.add(T.StructField("_change_type", T.StringType()))
         self._arrow_schema = to_arrow_schema(
-            t._spark_schema(self._pinned_schema_id)
-            .add(T.StructField("_snapshot_id", T.LongType()))
+            sp.add(T.StructField("_snapshot_id", T.LongType()))
         )
         self._variants = {
             self._field_by_id[fid]: tuple(names)
@@ -566,6 +620,8 @@ class _IceIncStreamReader(DataSourceStreamReader):
                     "expired): the stream's position is beyond the "
                     "table's retained history"
                 )
+        if self.mode == "changelog":
+            return self._changelog_partitions(t, chain, start, end)
         parts: list[_IcePart] = []
         for s in chain:
             seq = s["sequence-number"]
@@ -578,19 +634,11 @@ class _IceIncStreamReader(DataSourceStreamReader):
                 raise NotImplementedError(
                     f"iceberg_incremental over a {op!r} snapshot "
                     f"({s['snapshot-id']}): append-only streams only — "
-                    "changelog_scan is the batch face for row-level "
-                    "delete/overwrite history"
+                    "mode=changelog streams row-level delete/overwrite "
+                    "history too (round 13), changelog_scan is the "
+                    "batch face"
                 )
-            snap_sid = s.get("schema-id", self._pinned_schema_id)
-            if (snap_sid != self._pinned_schema_id
-                    and snap_sid not in self._ok_sids):
-                # a schema the pinned output CANNOT represent (new or
-                # re-typed fields); rename/pre-add-column eras pass
-                # via _ok_sids (round 13)
-                raise NotImplementedError(
-                    f"schema changed at snapshot {s['snapshot-id']}: "
-                    "restart the stream to pick up the new schema"
-                )
+            self._check_schema(s)
             snap_id = s["snapshot-id"]
             _, manifests, _ = read_ocf(t._resolve(s["manifest-list"]))
             meta = t.metadata()
@@ -627,6 +675,210 @@ class _IceIncStreamReader(DataSourceStreamReader):
                                   arrow_schema=self._arrow_schema,
                                   variants=self._variants))
         return parts
+
+    def _check_schema(self, s):
+        snap_sid = s.get("schema-id", self._pinned_schema_id)
+        if (snap_sid != self._pinned_schema_id
+                and snap_sid not in self._ok_sids):
+            # a schema the pinned output CANNOT represent (new or
+            # re-typed fields); rename/pre-add-column eras pass via
+            # _ok_sids (round 13)
+            raise NotImplementedError(
+                f"schema changed at snapshot {s['snapshot-id']}: "
+                "restart the stream to pick up the new schema"
+            )
+
+    def _changelog_partitions(self, t, chain, start, end):
+        """Changelog-mode planning (round 13): per range snapshot,
+        inserts = its ADDED data files (visibility at the snapshot),
+        deletes = the per-file visibility DIFF over the files that
+        could have changed — removed files, files the snapshot's NEW
+        position deletes name, and (for new equality deletes) the
+        strictly-older live files bounds-pruned by the delete
+        parquet's FOOTER stats against the manifest column bounds.
+        Metadata-scale driver work: files/delete lists per snapshot +
+        one columnar ``file_path`` read per new position-delete file;
+        all row reads happen on executors."""
+        import pyarrow.parquet as _pq
+
+        from hadoop_sync_spark.iceberg_meta import (
+            _CONTENT_DATA,
+            _CONTENT_EQ_DELETES,
+            _CONTENT_POS_DELETES,
+        )
+
+        # executor-side content codes (kept import-free there)
+        assert (_ICE_POS, _ICE_EQ) == (
+            _CONTENT_POS_DELETES, _CONTENT_EQ_DELETES)
+        meta = t.metadata()
+        name_of = {
+            f["id"]: f["name"]
+            for f in t._schema_by_id(self._pinned_schema_id)["fields"]
+        }
+        parts: list[_IceChangePart] = []
+        id_maps: dict[int, tuple[dict, set]] = {}
+
+        def spec_of(d):
+            keys = ()
+            if d.content == _CONTENT_EQ_DELETES:
+                ks = []
+                for fid in d.equality_ids:
+                    kn = name_of.get(fid)
+                    if kn is None:
+                        raise ValueError(
+                            f"equality delete {d.raw_path!r} "
+                            f"references field id {fid} absent from "
+                            "the pinned schema"
+                        )
+                    ks.append((fid, kn))
+                keys = tuple(ks)
+            return (d.path, d.content, d.sequence, keys)
+
+        def applicable(dels, f):
+            return tuple(
+                spec_of(d) for d in dels
+                if (d.content == _CONTENT_POS_DELETES
+                    and f.sequence <= d.sequence)
+                or (d.content == _CONTENT_EQ_DELETES
+                    and f.sequence < d.sequence)
+            )
+
+        def mk(f, snap_id, role, before, after):
+            if f.spec_id not in id_maps:
+                id_maps[f.spec_id] = self._identity_map(
+                    t, meta, f.spec_id)
+            src_of, date_src = id_maps[f.spec_id]
+            return _IceChangePart(
+                abs_path=f.path, raw_path=f.raw_path, seq=f.sequence,
+                snapshot_id=snap_id, role=role,
+                dels_before=before, dels_after=after,
+                pv=self._remap_pv(f.partition, src_of, date_src),
+                out_cols=self._out_cols,
+                arrow_schema=self._arrow_schema,
+                variants=self._variants,
+            )
+
+        for s in chain:
+            seq = s["sequence-number"]
+            if not (start["sequence"] <= seq < end["sequence"]):
+                continue
+            op = (s.get("summary") or {}).get("operation")
+            if op == "replace":
+                continue  # compaction: logical no-op by spec contract
+            if op not in ("append", "delete", "overwrite"):
+                raise NotImplementedError(
+                    f"iceberg_incremental changelog over a {op!r} "
+                    f"snapshot ({s['snapshot-id']})"
+                )
+            self._check_schema(s)
+            snap_id = s["snapshot-id"]
+            parent_id = s.get("parent-snapshot-id")
+            live_p = {} if parent_id is None else {
+                f.raw_path: f
+                for f in t.files(snapshot_id=parent_id)
+                if f.content == _CONTENT_DATA
+            }
+            live_s = {
+                f.raw_path: f
+                for f in t.files(snapshot_id=snap_id)
+                if f.content == _CONTENT_DATA
+            }
+            dels_p = ([] if parent_id is None
+                      else t.delete_files(snapshot_id=parent_id))
+            dels_s = t.delete_files(snapshot_id=snap_id)
+
+            for raw in sorted(set(live_s) - set(live_p)):
+                f = live_s[raw]
+                parts.append(mk(f, snap_id, "insert", (),
+                                applicable(dels_s, f)))
+            targeted = set(live_p) - set(live_s)  # removed files
+            dels_p_raw = {d.raw_path for d in dels_p}
+            for d in dels_s:
+                if d.raw_path in dels_p_raw:
+                    continue
+                if d.content == _CONTENT_POS_DELETES:
+                    named = set(
+                        _pq.read_table(d.path, columns=["file_path"])
+                        .column("file_path").to_pylist()
+                    )
+                    targeted |= {
+                        raw for raw in named
+                        if raw in live_p
+                        and live_p[raw].sequence <= d.sequence
+                    }
+                elif d.content == _CONTENT_EQ_DELETES:
+                    older = {
+                        raw for raw, f in live_p.items()
+                        if f.sequence < d.sequence
+                    }
+                    if older and len(d.equality_ids) == 1:
+                        kn = name_of.get(d.equality_ids[0])
+                        pruned = self._eq_footer_prune(
+                            t, d, kn, parent_id)
+                        if pruned is not None:
+                            older &= pruned
+                    targeted |= older
+            for raw in sorted(targeted):
+                f = live_p[raw]
+                after = (None if raw not in live_s
+                         else applicable(dels_s, live_s[raw]))
+                parts.append(mk(f, snap_id, "delete",
+                                applicable(dels_p, f), after))
+        if not parts:
+            parts.append(_IceChangePart(
+                abs_path="", raw_path="", seq=-1, snapshot_id=-1,
+                role="insert", dels_before=(), dels_after=(),
+                pv={}, out_cols=self._out_cols,
+                arrow_schema=self._arrow_schema,
+                variants=self._variants,
+            ))
+        return parts
+
+    def _eq_footer_prune(self, t, d, kn, parent_id):
+        """Targeted-candidate pruning for a new single-key equality
+        delete, entirely metadata-side: the delete parquet's FOOTER
+        stats give the key's [min, max] (and null count), and the
+        manifest column bounds prune the parent's live files by that
+        range — no data pages read anywhere.  Returns the surviving
+        raw paths, or None when pruning cannot apply soundly (no
+        stats, unknown/nonzero nulls, unresolvable key column)."""
+        import pyarrow.parquet as _pq
+
+        if kn is None:
+            return None
+        sch = _pq.read_schema(d.path)
+        cands = [v for v in (self._variants.get(kn) or (kn,))
+                 if v in sch.names]
+        if not cands:
+            return None
+        col = cands[0]
+        md = _pq.read_metadata(d.path)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema != col:
+                    continue
+                st = c.statistics
+                if (st is None or not st.has_min_max
+                        or st.null_count is None or st.null_count):
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+        if lo is None:
+            return None
+        try:
+            return {
+                f.raw_path
+                for f in t.files(snapshot_id=parent_id,
+                                 column_filter={kn: (lo, hi)})
+            }
+        except (ValueError, NotImplementedError):
+            return None  # unprunable key type/column: keep superset
 
     def _identity_map(self, t, meta, spec_id):
         """spec-field name -> SOURCE COLUMN name for the spec's identity
@@ -667,15 +919,19 @@ class _IceIncStreamReader(DataSourceStreamReader):
             pv[src] = v
         return pv
 
-    def read(self, partition: _IcePart):
+    def read(self, partition):
         """Arrow-native twin of the delta reader's ``read``: file
         columns pass through as arrow arrays, identity partition values
         recorded in metadata only (and pre-DDL null fills) attach as
         constant arrays keyed by SOURCE column name — RecordBatches
-        out, no per-row Python loop (ADVICE r12)."""
+        out, no per-row Python loop (ADVICE r12).  Changelog-mode
+        parts route to the per-file visibility-mask diff."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _IceChangePart):
+            yield from self._read_change(partition)
+            return
         if not partition.abs_path:
             return
         tbl = pq.read_table(partition.abs_path)
@@ -705,12 +961,117 @@ class _IceIncStreamReader(DataSourceStreamReader):
             sch.field(len(partition.out_cols)).type))
         yield from pa.table(arrays, schema=sch).to_batches()
 
+    @staticmethod
+    def _visibility_mask(tbl, p: "_IceChangePart", dels):
+        """Boolean row mask of ``tbl`` (the part's data file) under
+        the applicable delete specs — the executor-side core of
+        changelog mode.  ``None`` dels = the file is removed at that
+        side (nothing visible).  Position deletes vectorize via an
+        arrow filter on ``file_path``; equality deletes match
+        NULL-SAFE tuples (None == None, exactly read()'s eqNullSafe),
+        with identity-partition key columns restored from the
+        manifest value.  The per-row tuple loop runs only on
+        delete-carrying files' rows — bounded by one file."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        n = tbl.num_rows
+        if dels is None:
+            return np.zeros(n, dtype=bool)
+        m = np.ones(n, dtype=bool)
+        names = set(tbl.schema.names)
+        for dpath, content, _dseq, keys in dels:
+            if content == _ICE_POS:
+                dt = pq.read_table(dpath,
+                                   columns=["file_path", "pos"])
+                poss = dt.filter(
+                    pc.equal(dt.column("file_path"),
+                             pa.scalar(p.raw_path))
+                ).column("pos").to_numpy(zero_copy_only=False)
+                poss = poss[(poss >= 0) & (poss < n)].astype("int64")
+                m[poss] = False
+            else:  # equality delete
+                dt = pq.read_table(dpath)
+                dnames = set(dt.schema.names)
+                del_cols, data_cols = [], []
+                for _fid, kn in keys:
+                    dc = next(
+                        (v for v in (p.variants or {}).get(kn, (kn,))
+                         if v in dnames), None)
+                    if dc is None:
+                        raise ValueError(
+                            f"equality delete {dpath!r} lacks key "
+                            f"column {kn!r} (or any name variant)"
+                        )
+                    del_cols.append(dt.column(dc).to_pylist())
+                    fc = next(
+                        (v for v in (p.variants or {}).get(kn, (kn,))
+                         if v in names), None)
+                    if fc is not None:
+                        data_cols.append(tbl.column(fc).to_pylist())
+                    else:
+                        # identity-partition key: metadata-only value
+                        data_cols.append([p.pv.get(kn)] * n)
+                del_keys = set(zip(*del_cols)) if del_cols else set()
+                for i, kt in enumerate(zip(*data_cols)):
+                    if m[i] and kt in del_keys:
+                        m[i] = False
+        return m
+
+    def _read_change(self, p: "_IceChangePart"):
+        """Executor side of changelog mode: one data file, two
+        visibility masks, emit ``insert`` rows visible at the
+        snapshot or ``delete`` rows visible at the parent but not the
+        snapshot — the per-file decomposition of changelog_scan's
+        ``exceptAll`` (sound because MoR visibility is per-file)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not p.abs_path:
+            return
+        tbl = pq.read_table(p.abs_path)
+        if p.role == "insert":
+            emit = self._visibility_mask(tbl, p, p.dels_after)
+            tag = "insert"
+        else:
+            before = self._visibility_mask(tbl, p, p.dels_before)
+            after = self._visibility_mask(tbl, p, p.dels_after)
+            emit = before & ~after
+            tag = "delete"
+        k = int(emit.sum())
+        if not k:
+            return
+        base = tbl.filter(pa.array(emit))
+        names = set(base.schema.names)
+        sch = p.arrow_schema
+        arrays = []
+        for i, c in enumerate(p.out_cols):
+            typ = sch.field(i).type
+            fc = next(
+                (v for v in (p.variants or {}).get(c, (c,))
+                 if v in names), None)
+            if fc is not None:
+                col = base.column(fc)
+                arrays.append(col if col.type == typ else col.cast(typ))
+            else:
+                arrays.append(_const_array(p.pv.get(c), k, typ))
+        j = len(p.out_cols)
+        arrays.append(_const_array(tag, k, sch.field(j).type))
+        arrays.append(_const_array(p.snapshot_id, k,
+                                   sch.field(j + 1).type))
+        yield from pa.table(arrays, schema=sch).to_batches()
+
 
 class IcebergIncrementalStreamSource(DataSource):
     """``spark.readStream.format("iceberg_incremental")`` — options:
-    ``path`` (table directory), ``startingSequence`` (default 1).
-    Output = table schema + ``_snapshot_id`` (the same shape as the
-    batch :meth:`IcebergTable.incremental_scan`)."""
+    ``path`` (table directory), ``startingSequence`` (default 1),
+    ``maxSnapshotsPerBatch``, ``mode`` (``append`` default |
+    ``changelog``).  Output = table schema + ``_snapshot_id`` (the
+    batch :meth:`IcebergTable.incremental_scan` shape); changelog
+    mode adds ``_change_type`` before it (the
+    :meth:`IcebergTable.changelog_scan` shape)."""
 
     @classmethod
     def name(cls) -> str:
@@ -719,11 +1080,19 @@ class IcebergIncrementalStreamSource(DataSource):
     def schema(self):
         from hadoop_sync_spark.iceberg_meta import IcebergTable
 
-        t = IcebergTable(self.options["path"])
+        lower = {k.lower(): v for k, v in dict(self.options).items()}
+        t = IcebergTable(lower["path"])
         sid = t.metadata().get("current-schema-id", 0)
         schema = t._spark_schema(sid)
-        from pyspark.sql.types import LongType, StructField
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+        )
 
+        if lower.get("mode", "append") == "changelog":
+            schema = schema.add(
+                StructField("_change_type", StringType()))
         return schema.add(StructField("_snapshot_id", LongType()))
 
     def streamReader(self, schema) -> _IceIncStreamReader:

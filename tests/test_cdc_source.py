@@ -738,6 +738,78 @@ def test_iceberg_incremental_renamed_history(spark, tmp_path):
     assert got2 == [(9, "v9", s3)]
 
 
+def test_iceberg_changelog_stream_matches_batch(spark, tmp_path):
+    """``mode=changelog`` (round 13 stretch — the true twin of
+    delta_cdc's full feed): the streamed row-level changelog over a
+    DELETE + UPDATE + MERGE + compaction history equals
+    ``changelog_scan`` over the same range as a multiset — the batch
+    face is the oracle, and the oracle chain extends it to the fuzz
+    model.  Derivation is per-file visibility masks on executors;
+    compaction is silent; the append-mode delete refusal names this
+    mode as the fix."""
+    from collections import Counter
+
+    from hadoop_sync_spark.cdc_source import (
+        IcebergIncrementalStreamSource,
+    )
+    from hadoop_sync_spark.iceberg_meta import IcebergTable
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "ice_clog")
+    t = IcebergTable.create(d, [("k", "bigint"), ("v", "bigint")],
+                            now_ms=1)
+    b0 = spark.createDataFrame([(i, i * 10) for i in range(1, 6)],
+                               "k long, v long")
+    s1 = t.append_stream_batch(b0, "w", 0, now_ms=2)       # seq 1
+    t.delete_rows(spark, {"k": (2, 2)}, now_ms=3)          # pos delete
+    t.update_rows(spark, {"k": (4, 4)}, {"v": F.lit(444)},
+                  now_ms=4)                                # pos+copy
+    src = spark.createDataFrame([(3, 33), (9, 90)], "k long, v long")
+    t.merge_upsert(spark, src, "k", now_ms=5)              # eq delete
+    t.compact(spark, now_ms=6)                             # replace
+    b1 = spark.createDataFrame([(7, 70)], "k long, v long")
+    t.append_stream_batch(b1, "w", 1, now_ms=7)            # post-compact
+
+    spark.dataSource.register(IcebergIncrementalStreamSource)
+    got: list = []
+    df = (spark.readStream.format("iceberg_incremental")
+          .option("path", d).option("mode", "changelog")
+          .option("startingSequence", 2).load())
+
+    def sink(bdf, _bid):
+        got.extend(tuple(r) for r in bdf.collect())
+
+    q = (df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    want = Counter(
+        (r.k, r.v, r._change_type, r._snapshot_id)
+        for r in t.changelog_scan(spark, s1).collect()
+    )
+    assert Counter(got) == want
+    kinds = {g[2] for g in got}
+    assert kinds == {"insert", "delete"}
+    # the history really exercised all three row-level faces
+    assert (2, 20, "delete") in {(g[0], g[1], g[2]) for g in got}
+    assert (4, 444, "insert") in {(g[0], g[1], g[2]) for g in got}
+    assert (3, 33, "insert") in {(g[0], g[1], g[2]) for g in got}
+
+    # a second drain over NEW history streams only the new effect
+    t.delete_rows(spark, {"k": (9, 9)}, now_ms=8)
+    got2: list = []
+    df2 = (spark.readStream.format("iceberg_incremental")
+           .option("path", d).option("mode", "changelog")
+           .option("startingSequence", 2).load())
+    q2 = (df2.writeStream.foreachBatch(
+            lambda b, _i: got2.extend(tuple(r) for r in b.collect()))
+          .option("checkpointLocation", str(tmp_path / "ck"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert {(g[0], g[2]) for g in got2} == {(9, "delete")}
+
+
 def test_cdc_source_mapped_partitioned_and_fanout(spark, tmp_path):
     """The remaining matrix cell: name-mode mapping AND partitioning
     together — cdc/add files carry physical data columns, the
