@@ -2160,6 +2160,14 @@ class IcebergTable:
                     f"schema field id {pf.get('source-id')}"
                 )
             if tr == "identity":
+                if typ_of.get(src) in ("timestamp", "timestamptz"):
+                    raise NotImplementedError(
+                        f"{face} with identity partitioning on "
+                        f"timestamp source {src!r}: the typed "
+                        "micros round-trip is not implemented — "
+                        "partition by the day/hour transform instead "
+                        "(supported since round 13)"
+                    )
                 id_srcs.append(src)
                 field_of[src] = pf["name"]
             else:
@@ -2168,7 +2176,19 @@ class IcebergTable:
                     pf["name"],
                     transform_column(tr, src, typ_of.get(src)),
                 ))
-        return id_srcs, field_of, derived
+        #: identity DATE values stamp manifests as epoch-day ints
+        #: (Avro int, spec Appendix A — raw dates crashed the Avro
+        #: union encode; the read paths already convert back)
+        date_ids = {s for s in id_srcs if typ_of.get(s) == "date"}
+
+        def pv_encode(col, v):
+            if v is not None and col in date_ids:
+                import datetime as _dt
+
+                return (v - _dt.date(1970, 1, 1)).days
+            return v
+
+        return id_srcs, field_of, derived, pv_encode
 
     @staticmethod
     def _split_tuples(frame, key_cols: list):
@@ -2237,8 +2257,8 @@ class IcebergTable:
         schema_fields = self._schema_by_id(
             meta["current-schema-id"]
         )["fields"]
-        part_cols, field_of, derived = self._default_spec_split(
-            meta, "append_stream_batch"
+        part_cols, field_of, derived, pv_encode = (
+            self._default_spec_split(meta, "append_stream_batch")
         )
         want = [f["name"] for f in schema_fields]
         if set(batch_df.columns) != set(want):
@@ -2301,7 +2321,8 @@ class IcebergTable:
                     work.where(cond_for(t)).select(*data_names),
                     dest, "iceberg_txn_",
                 )
-                pv = {field_of[c]: t[c] for c in part_cols}
+                pv = {field_of[c]: pv_encode(c, t[c])
+                      for c in part_cols}
                 pv.update({fn: t[h] for h, fn, _ in derived})
                 entries.append(_entry(rel, dest, pv))
         else:
@@ -3099,8 +3120,8 @@ class IcebergTable:
         by_id = {f["id"]: f["name"] for f in schema_fields}
         if key_col not in names:
             raise ValueError(f"no such column {key_col!r}")
-        part_cols, field_of, derived = self._default_spec_split(
-            meta, "merge_upsert"
+        part_cols, field_of, derived, pv_encode = (
+            self._default_spec_split(meta, "merge_upsert")
         )
         if key_col in part_cols:
             raise NotImplementedError(
@@ -3220,7 +3241,8 @@ class IcebergTable:
                 write_single_parquet(out, dest, "iceberg_upsert_")
                 rows = _pq.read_metadata(dest).num_rows
                 n_rows += rows
-                pv = {field_of[c]: t[c] for c in part_cols}
+                pv = {field_of[c]: pv_encode(c, t[c])
+                      for c in part_cols}
                 pv.update({fn: t[h] for h, fn, _ in derived})
                 data_entries.append(_data_entry(
                     rel_new, pv, rows, dest,

@@ -2107,6 +2107,53 @@ def test_incremental_scan_append_only(spark, tmp_path):
         t.incremental_scan(spark, 999999)
 
 
+def test_stream_and_merge_identity_date_partition(spark, tmp_path):
+    """Identity-DATE default specs through both write faces (round
+    13): manifest tuples stamp EPOCH-DAY ints (Avro int, Appendix A —
+    raw dates crashed the union encode), the read paths convert back,
+    date-valued partition filters prune, NULL tuples ride, and merge
+    composes.  Identity on TIMESTAMP sources refuses early with the
+    day/hour-transform alternative named."""
+    import datetime as dt
+
+    d = str(tmp_path / "id_date")
+    os.makedirs(os.path.join(d, "data"))
+    t = IcebergTable.create(
+        d, [("k", "bigint"), ("d", "date")],
+        partition_by=[("d", "date")], now_ms=1)
+    b = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 2)),
+         (3, None)], "k long, d date")
+    assert t.append_stream_batch(b, "w", 0, now_ms=2) is not None
+    got = {(r.k, r.d) for r in t.read(spark).collect()}
+    assert got == {(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 2)),
+                   (3, None)}
+    tuples = sorted(
+        (f.partition["d"] for f in t.files()),
+        key=lambda v: (v is None, v or 0))
+    assert tuples == [19723, 19724, None]  # epoch-day ints + null
+    pruned = t.files(partition_filter={"d": dt.date(2024, 1, 2)})
+    assert [f.partition["d"] for f in pruned] == [19724]
+    src = spark.createDataFrame(
+        [(2, dt.date(2024, 2, 2)), (9, dt.date(2024, 1, 1))],
+        "k long, d date")
+    t.merge_upsert(spark, src, "k", now_ms=3)
+    got = {(r.k, r.d) for r in t.read(spark).collect()}
+    assert (2, dt.date(2024, 2, 2)) in got and len(got) == 4
+
+    # identity on a timestamp source refuses EARLY, naming the
+    # transform alternative (raw stamping would crash in Avro)
+    d2 = str(tmp_path / "id_ts")
+    os.makedirs(os.path.join(d2, "data"))
+    t2 = IcebergTable.create(
+        d2, [("k", "bigint"), ("ts", "timestamp")],
+        partition_by=[("ts", "timestamp")], now_ms=1)
+    b2 = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))],
+                               "k long, ts timestamp_ntz")
+    with pytest.raises(NotImplementedError, match="day/hour"):
+        t2.append_stream_batch(b2, "w", 0, now_ms=2)
+
+
 def test_incremental_and_changelog_scan_renamed_history(spark, tmp_path):
     """Round 13 lifts the renamed-history refusal on both CDC batch
     faces: pre-rename files carry the OLD physical name, post-rename
