@@ -339,6 +339,7 @@ def minhash_lsh_pairs(
     with_capped_ids: bool = False,
     with_persist_handle: bool = False,
     eager_cache: bool = True,
+    items_hashed: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
     DataFrame, DataFrame, DataFrame | None
 ]:
@@ -368,6 +369,15 @@ def minhash_lsh_pairs(
     persisted bucket frame (or None) so a caller that MATERIALIZES its
     result can unpersist it — otherwise the cache lives until session
     shutdown (the contract queries' pattern).
+
+    ``items_hashed=True`` declares that ``items_col`` already holds the
+    per-element ``xxhash64`` values (``element_hashes`` applied AFTER the
+    empty-string strip) instead of raw string items — the caller computed
+    them once into a cache shared with other passes, so re-hashing here
+    would be redundant work and the string arrays a needlessly fat cache
+    (guide §2.3: cache/shuffle the narrow proxy, not the payload).  The
+    signature fold is bit-identical either way (same hash values reach
+    the same Arrow fold); asserted in tests/test_dedup.py.
     """
     if bands < 1 or bands > k or k % bands != 0:
         raise ValueError(
@@ -379,9 +389,14 @@ def minhash_lsh_pairs(
     # strip empty-string items: a whitespace-only document tokenizes to
     # [""], which would make every blank doc an exact "duplicate" of every
     # other blank doc — a quadratic mega-bucket of meaningless pairs
+    # (items_hashed inputs had the strip applied before hashing)
     src = df.select(
         F.col(id_col).alias("_id"),
-        F.array_remove(F.col(items_col), "").alias("_items"),
+        (
+            F.col(items_col)
+            if items_hashed
+            else F.array_remove(F.col(items_col), "")
+        ).alias("_items"),
     )
     # `parallelism`: explicit repartition width for narrow inputs (a single
     # small parquet file arrives as 1 partition, serializing the signature
@@ -396,9 +411,14 @@ def minhash_lsh_pairs(
     # slot: a size()>0 predicate here would be pushed below the projection,
     # re-inlining the item-array expression into the filter (computed
     # twice); the sentinel test can't cross the Arrow stage.
-    sig = src.select(
-        "_id", minhash_signature(F.col("_items"), k=k, seed=seed).alias("_sig")
-    ).filter(F.element_at("_sig", 1) != F.lit(0x7FFFFFFFFFFFFFFF).cast("long"))
+    sig_expr = (
+        _minhash_arrow_udf(k, seed)(F.col("_items"))
+        if items_hashed
+        else minhash_signature(F.col("_items"), k=k, seed=seed)
+    )
+    sig = src.select("_id", sig_expr.alias("_sig")).filter(
+        F.element_at("_sig", 1) != F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+    )
     banded = sig.select(
         "_id",
         "_sig",
@@ -438,28 +458,35 @@ def minhash_lsh_pairs(
     if max_bucket is not None:
         buckets = buckets_all.filter(F.size("_ms") <= max_bucket)
     ms = F.col("_ms")
+
+    def _est(sa, sb):
+        # matching-slot fraction — identical expression to the old
+        # post-explode form, just evaluated inside the pair lambda so the
+        # flattened intermediate carries (id, id, est) instead of two full
+        # k-slot signatures per candidate pair (guide §2.3: project before
+        # the expansion; the signatures are dead weight past this point)
+        return F.size(
+            F.filter(F.zip_with(sa, sb, lambda a, b: a == b), lambda x: x)
+        ).cast("double") / F.lit(float(k))
+
     pair_structs = F.flatten(
         F.transform(
             ms,
             lambda x, i: F.transform(
                 F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(x.alias("x"), y.alias("y")),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    _est(x["_sig"], y["_sig"]).alias("est_jaccard"),
+                ),
             ),
         )
     )
-    ex = buckets.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.x._id").alias("id_a"),
-        F.col("p.y._id").alias("id_b"),
-        F.col("p.x._sig").alias("sig_a"),
-        F.col("p.y._sig").alias("sig_b"),
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
+        .distinct()
     )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
-            lambda x: x,
-        )
-    ).cast("double") / F.lit(float(k))
-    pairs = ex.select("id_a", "id_b", est.alias("est_jaccard")).distinct()
     if not with_capped_ids:
         if with_persist_handle:
             raise ValueError(

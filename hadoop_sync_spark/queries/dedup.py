@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import materialize_and_free, t
 from hadoop_sync_spark.functions.hashing import (
+    element_hashes,
     hamming64,
     minhash_lsh_pairs,
     simhash64,
@@ -334,11 +335,14 @@ def _pair_contract(
     as a recall bug.  ``n_planted`` stays the oracle-pinned full planted
     count.
 
-    ONE broadcast + ONE collect job beyond the caller's eager cache
-    materialization (five jobs in round 5, three in round 6, one collect
-    + three broadcast jobs in round 7, two jobs total in round 10 — each
-    broadcast exchange materializes as its OWN eager Spark job, so
-    folding them away is per-job overhead reclaimed on warm caches):
+    ONE collect job beyond the caller's eager cache materialization
+    (five jobs in round 5, three in round 6, one collect + three
+    broadcast jobs in round 7, two jobs total in round 10, one in round
+    13 — each broadcast exchange materializes as its OWN eager Spark
+    job, so folding them away is per-job overhead reclaimed on warm
+    caches; round 13 replaced the last broadcast, the capped tripwire
+    join, with a union + per-id groupBy inside the collect job, which
+    also absorbed the separate capped persist):
 
     - ONE aggregation over the cached original frame yields the corpus /
       planted / pre-cap-eligible counts AND the id-disjointness min/max
@@ -408,68 +412,76 @@ def _pair_contract(
         & _in_range(F.col(a_col))
         & (F.col(b_col) == F.col(a_col) + _CLONE_OFFSET)
     )
-    flagged = pairs.withColumn("_flag", F.when(flag, F.lit(1)))
     # masking guard (round-7 ADVICE): the recall equation below checks
     # COUNT equality (_found == _ne_pre - _ncap), so a spuriously emitted
     # capped pair would numerically offset a MISSING uncapped pair and
     # read green.  By construction a capped id's pair cannot be emitted
     # (every bucket containing it was dropped) — enforce that invariant
     # explicitly: count flagged pairs whose original-side id is capped,
-    # and require zero.  One broadcast hash join inside the
-    # pair-aggregation branch; the one remaining broadcast job.
-    if capped is not None:
-        # persist the (≈0-row) capped residue: the tripwire broadcast
-        # below materializes it and the _ncap fold branch re-reads the
-        # cache — without it each computes the full per-id bucket
-        # aggregation (a bucket-cache scan + groupBy shuffle apiece,
-        # ~0.5 s each at sf0.1); freed with the caller's caches
-        capped = capped.persist()
-        free = [*(free or []), capped]
-        cap_marked = capped.select(
-            F.col(capped_id_col).alias(a_col), F.lit(1).alias("_cap")
-        )
-        flagged = flagged.join(F.broadcast(cap_marked), [a_col], "left")
-    else:
-        flagged = flagged.withColumn("_cap", F.lit(None).cast("int"))
-    pair_stats = flagged.agg(
-        F.count("*").alias("_np"),
-        F.count("_flag").alias("_found"),
-        F.coalesce(
-            F.sum(
-                (
-                    F.col("_flag").isNotNull() & F.col("_cap").isNotNull()
-                ).cast("long")
-            ),
-            F.lit(0),
-        ).alias("_found_capped"),
+    # and require zero.  Round-13 form: the pair/capped alignment no
+    # longer broadcasts the capped residue into the pair frame (that
+    # broadcast materialized as its own eager build job, and the residue
+    # had to be persisted so the _ncap branch would not recompute it).
+    # Instead, pair rows and capped-id rows UNION and aggregate per
+    # original-side id once — _np/_found, the capped tripwire
+    # (_found_capped) and capped∩eligible (_ncap) all fall out of a
+    # single small groupBy that lives inside the one collect job (guide
+    # §2.4: operations keyed the same way share one exchange).  The key
+    # is the pair's left id: per-id pair width is bounded by
+    # bands × max_bucket (no skew), total rows by the linear candidate
+    # bound plus the ≈0-row capped residue.
+    pair_rows = pairs.select(
+        F.col(a_col).alias("_k"),
+        F.when(flag, F.lit(1)).alias("_flag"),
+        F.lit(1).alias("_is_pair"),
+        F.lit(0).alias("_is_cap"),
+        F.lit(0).alias("_cap_elig"),
     )
-    if capped is None:
-        n_capped = original.sparkSession.range(1).select(
-            F.lit(0).cast("long").alias("_ncap")
+    if capped is not None:
+        cap_rows = capped.select(
+            F.col(capped_id_col).alias("_k"),
+            F.lit(None).cast("int").alias("_flag"),
+            F.lit(0).alias("_is_pair"),
+            F.lit(1).alias("_is_cap"),
+            # capped∩eligible (docstring bullet 4): capped ids reached
+            # buckets, so the operator's own eligibility filter passed;
+            # in-range → original row
+            (
+                (F.col(capped_id_col) % _CLONE_MOD == 0)
+                & _in_range(F.col(capped_id_col))
+            ).cast("int").alias("_cap_elig"),
         )
+        tallied = pair_rows.unionByName(cap_rows)
     else:
-        # capped∩eligible as a direct aggregation of the capped frame
-        # (docstring bullet 4): capped ids reached buckets, so the
-        # operator's eligibility filter passed; in-range → original row
-        n_capped = capped.agg(
-            F.coalesce(
-                F.sum(
-                    (
-                        (F.col(capped_id_col) % _CLONE_MOD == 0)
-                        & _in_range(F.col(capped_id_col))
-                    ).cast("long")
-                ),
-                F.lit(0),
-            ).alias("_ncap")
-        )
-    # single-job assembly (round 7): the old epilogue cross-joined the two
+        tallied = pair_rows
+    # capped ids are distinct by construction (groupBy output), so
+    # per-id max(_is_cap)/max(_cap_elig) recover exactly the old
+    # broadcast-join alignment and the old direct capped aggregation
+    per_id = tallied.groupBy("_k").agg(
+        F.sum("_is_pair").alias("_np_id"),
+        F.count("_flag").alias("_nf_id"),
+        F.max("_is_cap").alias("_c_id"),
+        F.max("_cap_elig").alias("_ce_id"),
+    )
+    pair_stats = per_id.agg(
+        F.coalesce(F.sum("_np_id"), F.lit(0)).cast("long").alias("_np"),
+        F.coalesce(F.sum("_nf_id"), F.lit(0)).cast("long").alias("_found"),
+        F.coalesce(
+            F.sum(F.col("_nf_id") * F.col("_c_id")), F.lit(0)
+        ).cast("long").alias("_found_capped"),
+        F.coalesce(
+            F.sum(F.col("_ce_id").cast("long") * F.col("_c_id")), F.lit(0)
+        ).cast("long").alias("_ncap"),
+    )
+    # single-job assembly (round 7): the old epilogue cross-joined the
     # one-row aggregates into `scalars` via F.broadcast — each broadcast
     # materializes as its OWN eager Spark job before the final collect,
     # three jobs of pure per-job overhead on warm caches (same-boot A/B:
-    # ~0.7 s of the q63 wall clock).  Union-folding the three one-row
+    # ~0.7 s of the q63 wall clock).  Union-folding the one-row
     # aggregates keeps every branch inside the single collect job: each
     # branch pads the shared scalar schema with typed NULLs and a
     # null-skipping max() reassembles the row.  Emitted row is identical.
+    # (Two branches since round 13: _ncap folded into pair_stats above.)
     _cols = {
         "_no": "long",
         "n_planted": "long",
@@ -493,7 +505,6 @@ def _pair_contract(
     folded = (
         _pad(scalars)
         .unionByName(_pad(pair_stats))
-        .unionByName(_pad(n_capped))
         .agg(*[F.max(c).alias(c) for c in _cols])
     )
     assembled = (
@@ -536,18 +547,24 @@ def lsh_candidate_pairs(
     with_capped_ids: bool = False,
     with_persist_handle: bool = False,
     eager_cache: bool = True,
+    items_col: str = "sh",
+    items_hashed: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame] | tuple[
     DataFrame, DataFrame, DataFrame | None
 ]:
     """MinHash-LSH candidate pairs over (doc_id, sh) rows: 32-slot
     signature → 8-band bucketing → in-bucket expansion.  No trailing
     orderBy: a global sort over the unbounded pair output is pure
-    fixture-determinism cost at 100 TB — tests sort their own copies."""
+    fixture-determinism cost at 100 TB — tests sort their own copies.
+    ``items_col``/``items_hashed``: callers that cache pre-hashed
+    element arrays (q63) pass them through so the signature stage skips
+    re-hashing (see :func:`minhash_lsh_pairs`)."""
     return minhash_lsh_pairs(
-        shingled, "doc_id", "sh", k=32, bands=8,
+        shingled, "doc_id", items_col, k=32, bands=8,
         with_capped_ids=with_capped_ids,
         with_persist_handle=with_persist_handle,
         eager_cache=eager_cache,
+        items_hashed=items_hashed,
     )
 
 
@@ -574,26 +591,40 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-vocabulary corpora make token-set Jaccard uniformly high (the
     sf0.01 word-soup fixtures collide on ~2/3 of all pairs with token
     MinHash), while shingle Jaccard stays discriminative."""
-    # persist the shingled frame: the signature pipeline AND the
-    # contract's folded scalar pass both derive from it — without the
-    # cache each re-runs tokenize+shingle over the corpus; freed with
-    # the bucket cache once the row materializes
-    sh = _doc_shingles(spark, sf_dir).persist()
-    corpus, _planted, _original = _with_planted_clones(sh, "doc_id")
-    # eager_cache=False: the contract's single tripwire broadcast is the
-    # first consumer and materializes the bucket cache itself — no
-    # concurrent-consumer race, and the separate count() job disappears
+    # persist the PRE-HASHED element arrays, not the shingle strings
+    # (round 13): the signature pipeline and the contract's folded scalar
+    # pass both derive from this cache, and both only need the xxhash64
+    # element values / the cleaned-set size — hashing once into the cache
+    # drops the per-branch re-hash and shrinks the cached payload from
+    # ~60-byte shingle strings to 8-byte longs (guide §2.3: cache the
+    # narrow proxy).  Freed with the bucket cache once the row
+    # materializes.
+    hs = (
+        _doc_shingles(spark, sf_dir)
+        .select(
+            "doc_id",
+            element_hashes(F.array_remove(F.col("sh"), "")).alias("hs"),
+        )
+        .persist()
+    )
+    corpus, _planted, _original = _with_planted_clones(hs, "doc_id")
+    # eager_cache=True: since the round-13 contract fold removed the
+    # tripwire broadcast, the one collect job consumes the bucket cache
+    # from TWO concurrent subtrees (pairs + capped) — the eager count()
+    # materializes it once, deterministically, before they race
     pairs, capped, handle = lsh_candidate_pairs(
         corpus, with_capped_ids=True, with_persist_handle=True,
-        eager_cache=False,
+        items_col="hs", items_hashed=True,
     )
     # eligibility = the sentinel filter inside minhash_lsh_pairs: docs
-    # whose cleaned shingle set is empty never get a signature
+    # whose cleaned shingle set is empty never get a signature (the
+    # hashed array is element-aligned with the cleaned shingle set, so
+    # its size carries the same predicate)
     return _pair_contract(
-        pairs, sh, "doc_id", "id_a", "id_b",
-        eligible_pred=F.size(F.array_remove(F.col("sh"), "")) > 0,
+        pairs, hs, "doc_id", "id_a", "id_b",
+        eligible_pred=F.size(F.col("hs")) > 0,
         capped=capped, capped_id_col="id_a",
-        free=[handle, sh],
+        free=[handle, hs],
     )
 
 
@@ -747,12 +778,14 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame; the nondeterministic SimHash Arrow stage defeats
     # ReuseExchange, so without the persist each branch recomputes the
     # signature pass + block shuffle (same fix as minhash_lsh_pairs).
-    # No eager count(): after the round-10 contract fold the single
-    # tripwire broadcast is the first consumer and materializes the
-    # cache itself — no concurrent-consumer race (same as q63)
+    # Eager count() since round 13: the contract fold no longer has a
+    # tripwire broadcast to serve as the single first consumer, so the
+    # one collect job reads the cache from two concurrent subtrees
+    # (pairs + capped) — materialize it once before they race
     from pyspark import StorageLevel
 
     buckets_all = buckets_all.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets_all.count()
     buckets = buckets_all.filter(F.size("_ms") <= 500)
     ms = F.col("_ms")
     pair_structs = F.flatten(

@@ -433,3 +433,30 @@ def test_vectorized_folds_are_chunk_invariant():
         assert list(_simhash_fold(s, shifts, chunk)) == big_sh, (
             f"simhash fold differs at chunk={chunk}"
         )
+
+
+def test_lsh_hashed_items_path_is_bit_identical(spark):
+    """The round-13 fast path (caller caches element_hashes output and
+    passes items_hashed=True) must emit exactly the pair set — ids AND
+    est_jaccard bits — of the raw string-items path: the same xxhash64
+    values reach the same Arrow fold either way, including empty docs
+    (sentinel drop) whose cleaned arrays hash to empty arrays."""
+    from hadoop_sync_spark.functions.hashing import element_hashes
+
+    df = _planted_corpus(spark)
+    # interleave whitespace-only docs to cover the sentinel branch
+    blanks = spark.createDataFrame(
+        [(9000 + j, "   ") for j in range(5)], "doc_id long, text string"
+    )
+    sh = _shingled(df.unionByName(blanks))
+    via_strings = minhash_lsh_pairs(sh, "doc_id", "sh", k=32, bands=8)
+    hashed = sh.select(
+        "doc_id",
+        element_hashes(F.array_remove(F.col("sh"), "")).alias("hs"),
+    )
+    via_hashes = minhash_lsh_pairs(
+        hashed, "doc_id", "hs", k=32, bands=8, items_hashed=True
+    )
+    a = sorted(map(tuple, via_strings.collect()))
+    b = sorted(map(tuple, via_hashes.collect()))
+    assert a == b and len(a) > 0
