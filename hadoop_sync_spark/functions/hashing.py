@@ -327,6 +327,79 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
 
+#: Memo of the LSH pipeline's internal Column trees (round-13 driver-side
+#: optimization).  Every piece below references only the pipeline's FIXED
+#: internal names (_id/_items/_sig/_band/_bkey/_ms), so the trees are
+#: reusable verbatim across calls — and building them is NOT free: the
+#: nested pair-expansion lambdas alone cost ~0.7 s of py4j round-trips
+#: per call (profiled via cProfile: ~3k gateway messages per q63 run,
+#: guide §5 — the driver should do almost no work on the query path).
+#: Column objects are immutable expression trees; PySpark officially
+#: supports reusing them across plans (unresolved attributes re-resolve
+#: per plan), and the JVM gateway lives for the process, so a
+#: module-level memo is safe.
+_LSH_EXPR_CACHE: dict = {}
+
+
+def _lsh_exprs(k: int, bands: int, rows: int, seed: int,
+               items_hashed: bool) -> dict:
+    key = (k, bands, rows, seed, items_hashed)
+    got = _LSH_EXPR_CACHE.get(key)
+    if got is not None:
+        return got
+    sig_raw = (
+        _minhash_arrow_udf(k, seed)(F.col("_items"))
+        if items_hashed
+        else minhash_signature(F.col("_items"), k=k, seed=seed)
+    )
+
+    def _est(sa, sb):
+        # matching-slot fraction — identical expression to the old
+        # post-explode form, just evaluated inside the pair lambda so the
+        # flattened intermediate carries (id, id, est) instead of two
+        # full k-slot signatures per candidate pair (guide §2.3: project
+        # before the expansion; the signatures are dead weight past this
+        # point)
+        return F.size(
+            F.filter(F.zip_with(sa, sb, lambda a, b: a == b), lambda x: x)
+        ).cast("double") / F.lit(float(k))
+
+    ms = F.col("_ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    _est(x["_sig"], y["_sig"]).alias("est_jaccard"),
+                ),
+            ),
+        )
+    )
+    got = {
+        "sig": sig_raw.alias("_sig"),
+        "sentinel_keep": (
+            F.element_at("_sig", 1)
+            != F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+        ),
+        "banded": F.posexplode(
+            lsh_band_keys(F.col("_sig"), bands, rows)
+        ).alias("_band", "_bkey"),
+        "bucket_agg": F.array_sort(
+            F.collect_list(F.struct("_id", "_sig"))
+        ).alias("_ms"),
+        "multi_member": F.size("_ms") > 1,
+        "pair_explode": F.explode(pair_structs).alias("p"),
+        "capped_group_key": F.col("_m._id").alias("id_a"),
+        "capped_agg": F.max("_u").alias("_any_under"),
+        "fully_capped": F.col("_any_under") == 0,
+    }
+    _LSH_EXPR_CACHE[key] = got
+    return got
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -411,25 +484,13 @@ def minhash_lsh_pairs(
     # slot: a size()>0 predicate here would be pushed below the projection,
     # re-inlining the item-array expression into the filter (computed
     # twice); the sentinel test can't cross the Arrow stage.
-    sig_expr = (
-        _minhash_arrow_udf(k, seed)(F.col("_items"))
-        if items_hashed
-        else minhash_signature(F.col("_items"), k=k, seed=seed)
-    )
-    sig = src.select("_id", sig_expr.alias("_sig")).filter(
-        F.element_at("_sig", 1) != F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
-    )
-    banded = sig.select(
-        "_id",
-        "_sig",
-        F.posexplode(lsh_band_keys(F.col("_sig"), bands, rows)).alias(
-            "_band", "_bkey"
-        ),
-    )
+    ex_ = _lsh_exprs(k, bands, rows, seed, items_hashed)
+    sig = src.select("_id", ex_["sig"]).filter(ex_["sentinel_keep"])
+    banded = sig.select("_id", "_sig", ex_["banded"])
     buckets_all = (
         banded.groupBy("_band", "_bkey")
-        .agg(F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_ms"))
-        .filter(F.size("_ms") > 1)
+        .agg(ex_["bucket_agg"])
+        .filter(ex_["multi_member"])
     )
     if with_capped_ids and max_bucket is not None:
         # Both the pair branch and the capped-id branch hang off this
@@ -457,33 +518,8 @@ def minhash_lsh_pairs(
     buckets = buckets_all
     if max_bucket is not None:
         buckets = buckets_all.filter(F.size("_ms") <= max_bucket)
-    ms = F.col("_ms")
-
-    def _est(sa, sb):
-        # matching-slot fraction — identical expression to the old
-        # post-explode form, just evaluated inside the pair lambda so the
-        # flattened intermediate carries (id, id, est) instead of two full
-        # k-slot signatures per candidate pair (guide §2.3: project before
-        # the expansion; the signatures are dead weight past this point)
-        return F.size(
-            F.filter(F.zip_with(sa, sb, lambda a, b: a == b), lambda x: x)
-        ).cast("double") / F.lit(float(k))
-
-    pair_structs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(
-                    x["_id"].alias("id_a"),
-                    y["_id"].alias("id_b"),
-                    _est(x["_sig"], y["_sig"]).alias("est_jaccard"),
-                ),
-            ),
-        )
-    )
     pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        buckets.select(ex_["pair_explode"])
         .select("p.id_a", "p.id_b", "p.est_jaccard")
         .distinct()
     )
@@ -506,9 +542,9 @@ def minhash_lsh_pairs(
                 (F.size("_ms") <= max_bucket).cast("int").alias("_u"),
                 F.explode("_ms").alias("_m"),
             )
-            .groupBy(F.col("_m._id").alias("id_a"))
-            .agg(F.max("_u").alias("_any_under"))
-            .filter(F.col("_any_under") == 0)
+            .groupBy(ex_["capped_group_key"])
+            .agg(ex_["capped_agg"])
+            .filter(ex_["fully_capped"])
             .select("id_a")
         )
     if with_persist_handle:

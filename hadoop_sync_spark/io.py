@@ -46,6 +46,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Per-session memo of ANALYZED table plans (round-13 optimization).
+#: ``spark.read.parquet`` pays ~100 ms of driver work per call at any
+#: scale — file listing, footer schema read, py4j round-trips — and the
+#: query layer re-loads each table on every ``fn()`` call (a six-table
+#: join paid it six times per run).  The memo returns the same analyzed
+#: DataFrame, so listing + schema inference happen once per
+#: (session, sf_dir, table); EXECUTION still scans the parquet files
+#: every action — this caches a plan, never data or results, the same
+#: class of metadata cache as Spark's own
+#: ``filesourcePartitionFileCacheSize`` (optimization guide §6) and the
+#: bench protocol's warm-up pass ("file-listing caches").  Keyed weakly
+#: by session so a stopped session's plans are collectable; the fixture
+#: dirs are immutable, and a caller that regenerates a table under the
+#: same path within one session can opt out via
+#: ``SPARK_GRAFT_NO_TABLE_PLAN_CACHE=1``.
+_PLAN_CACHE: "object" = None
+
+
+def _plan_cache_for(spark: SparkSession) -> dict | None:
+    global _PLAN_CACHE
+    if os.environ.get("SPARK_GRAFT_NO_TABLE_PLAN_CACHE") == "1":
+        return None
+    if _PLAN_CACHE is None:
+        from weakref import WeakKeyDictionary
+
+        _PLAN_CACHE = WeakKeyDictionary()
+    try:
+        return _PLAN_CACHE.setdefault(spark, {})
+    except TypeError:  # non-weakrefable session stub (tests)
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table.  Plain ``spark.read.parquet`` so Catalyst gets full
     pushdown/pruning; callers `.select()` early to keep ReadSchema narrow.
@@ -62,7 +94,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     run with UTC as the session zone), keeping oracle parity.
     """
     # session-settable legacy conf; required for any table with ns timestamps
+    # (set even on a plan-cache hit: execution re-resolves it per scan)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cache = _plan_cache_for(spark)
+    if cache is not None:
+        hit = cache.get((sf_dir, name))
+        if hit is not None:
+            return hit
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_type = df.schema["ts"].dataType
@@ -84,6 +122,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         col = "l_shipdate" if name == "lineitem" else "o_orderdate"
         if isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if cache is not None:
+        cache[(sf_dir, name)] = df
     return df
 
 

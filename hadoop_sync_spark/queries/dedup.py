@@ -286,10 +286,33 @@ def _with_planted_clones(
     `_CLONE_OFFSET`; contracts assert max(original id) < offset via the
     returned original frame (`ids_disjoint_ok`) so a regenerated fixture
     whose ids grow into the clone range fails loudly instead of silently
-    corrupting the recall joins."""
-    planted = df.filter(F.col(id_col) % _CLONE_MOD == 0)
-    clones = planted.withColumn(id_col, F.col(id_col) + _CLONE_OFFSET)
-    return df.unionByName(clones), planted, df
+    corrupting the recall joins.
+
+    Round-13 form: the corpus is generated by a single ``explode`` over
+    the source rows (a planted row emits [id, id+offset], others [id])
+    instead of ``df ∪ clones(df.filter(...))``.  Row multiset is
+    identical, but the union form scanned the source twice — and when the
+    source is a caller's still-cold persisted frame, the two concurrent
+    union branches each populated the cache, doubling the tokenize/hash
+    pass inside the contract's eager materialization job (measured as
+    twin 32-task stages in the q63 event log).  One generator projection
+    reads the source exactly once."""
+    planted = df.filter(
+        _memo(("planted_pred", id_col),
+              lambda: F.col(id_col) % _CLONE_MOD == 0)
+    )
+    exploded_id = _memo(
+        ("clone_ids", id_col),
+        lambda: F.explode(
+            F.when(
+                F.col(id_col) % _CLONE_MOD == 0,
+                F.array(F.col(id_col), F.col(id_col) + _CLONE_OFFSET),
+            ).otherwise(F.array(F.col(id_col)))
+        ).alias(id_col),
+    )
+    rest = [c for c in df.columns if c != id_col]
+    corpus = df.select(exploded_id, *rest).select(*df.columns)
+    return corpus, planted, df
 
 
 def _ids_disjoint(original: DataFrame, id_col: str) -> DataFrame:
@@ -305,6 +328,127 @@ def _ids_disjoint(original: DataFrame, id_col: str) -> DataFrame:
             F.lit(True),
         ).alias("_ids_ok")
     )
+
+
+#: Memo of the contract's Column trees (round-13 driver-side optimization,
+#: the _LSH_EXPR_CACHE twin in functions/hashing.py): building these
+#: expressions costs ~0.3-0.4 s of py4j round-trips per call, and they
+#: are parametric only on column NAMES and the bound constant — Column
+#: trees are immutable and officially reusable across plans.
+_CONTRACT_EXPR_CACHE: dict = {}
+
+
+def _memo(key, builder):
+    """Tiny Column-tree memo (same rationale as _CONTRACT_EXPR_CACHE)."""
+    got = _CONTRACT_EXPR_CACHE.get(key)
+    if got is None:
+        got = builder()
+        _CONTRACT_EXPR_CACHE[key] = got
+    return got
+
+
+def _contract_exprs(id_col: str, a_col: str, b_col: str,
+                    capped_id_col: str, max_pairs_per_row: int) -> dict:
+    key = (id_col, a_col, b_col, capped_id_col, max_pairs_per_row)
+    got = _CONTRACT_EXPR_CACHE.get(key)
+    if got is not None:
+        return got
+
+    def _in_range(c: Column) -> Column:
+        # an honest original-side id: non-negative, below the clone band
+        return (c >= 0) & (c < _CLONE_OFFSET)
+
+    is_planted = F.col(id_col) % _CLONE_MOD == 0
+    # planted-pair flag as a pure predicate (docstring bullet 2): the
+    # original-side id is planted and in the honest range, the partner
+    # is exactly its clone id — no expected-pair broadcast
+    flag = (
+        (F.col(a_col) % _CLONE_MOD == 0)
+        & _in_range(F.col(a_col))
+        & (F.col(b_col) == F.col(a_col) + _CLONE_OFFSET)
+    )
+    cols = {
+        "_no": "long",
+        "n_planted": "long",
+        "_ne_pre": "long",
+        "_ids_ok": "boolean",
+        "_np": "long",
+        "_found": "long",
+        "_found_capped": "long",
+        "_ncap": "long",
+    }
+    got = {
+        "is_planted": is_planted,
+        "scalars_fixed": [
+            F.count("*").alias("_no"),
+            F.coalesce(F.sum(is_planted.cast("long")), F.lit(0)).alias(
+                "n_planted"
+            ),
+            F.coalesce(
+                (F.max(F.col(id_col)) < F.lit(_CLONE_OFFSET))
+                & (F.min(F.col(id_col)) >= 0),
+                F.lit(True),
+            ).alias("_ids_ok"),
+        ],
+        "pair_sel": [
+            F.col(a_col).alias("_k"),
+            F.when(flag, F.lit(1)).alias("_flag"),
+            F.lit(1).alias("_is_pair"),
+            F.lit(0).alias("_is_cap"),
+            F.lit(0).alias("_cap_elig"),
+        ],
+        "cap_sel": [
+            F.col(capped_id_col).alias("_k"),
+            F.lit(None).cast("int").alias("_flag"),
+            F.lit(0).alias("_is_pair"),
+            F.lit(1).alias("_is_cap"),
+            # capped∩eligible (docstring bullet 4): capped ids reached
+            # buckets, so the operator's own eligibility filter passed;
+            # in-range → original row
+            (
+                (F.col(capped_id_col) % _CLONE_MOD == 0)
+                & _in_range(F.col(capped_id_col))
+            ).cast("int").alias("_cap_elig"),
+        ],
+        "per_id_aggs": [
+            F.sum("_is_pair").alias("_np_id"),
+            F.count("_flag").alias("_nf_id"),
+            F.max("_is_cap").alias("_c_id"),
+            F.max("_cap_elig").alias("_ce_id"),
+        ],
+        "pair_stats_aggs": [
+            F.coalesce(F.sum("_np_id"), F.lit(0)).cast("long").alias("_np"),
+            F.coalesce(F.sum("_nf_id"), F.lit(0)).cast("long").alias(
+                "_found"
+            ),
+            F.coalesce(
+                F.sum(F.col("_nf_id") * F.col("_c_id")), F.lit(0)
+            ).cast("long").alias("_found_capped"),
+            F.coalesce(
+                F.sum(F.col("_ce_id").cast("long") * F.col("_c_id")),
+                F.lit(0),
+            ).cast("long").alias("_ncap"),
+        ],
+        "pad_null": {
+            c: F.lit(None).cast(t).alias(c) for c, t in cols.items()
+        },
+        "cols": cols,
+        "fold_aggs": [F.max(c).alias(c) for c in cols],
+        "assembled_sel": [
+            F.col("n_planted"),
+            (
+                (F.col("_found") == F.col("_ne_pre") - F.col("_ncap"))
+                & (F.col("_found_capped") == 0)
+            ).alias("clone_recall_ok"),
+            (
+                F.col("_np")
+                <= max_pairs_per_row * (F.col("_no") + F.col("n_planted"))
+            ).alias("candidate_bound_ok"),
+            F.col("_ids_ok").alias("ids_disjoint_ok"),
+        ],
+    }
+    _CONTRACT_EXPR_CACHE[key] = got
+    return got
 
 
 def _pair_contract(
@@ -381,7 +525,9 @@ def _pair_contract(
     to release after the row MATERIALIZES here — same
     materialize-then-unpersist hygiene as the ANN contracts: a lazily
     returned plan would pin the caches for the session lifetime."""
-    is_planted = F.col(id_col) % _CLONE_MOD == 0
+    ex_ = _contract_exprs(id_col, a_col, b_col, capped_id_col,
+                          max_pairs_per_row)
+    is_planted = ex_["is_planted"]
     is_elig = (
         is_planted & eligible_pred if eligible_pred is not None else is_planted
     )
@@ -389,28 +535,8 @@ def _pair_contract(
     # COUNT(*) jobs returned 0 — an empty regenerated fixture must yield
     # (0, TRUE, TRUE, TRUE) like the oracle, not a NULL-poisoned row
     scalars = original.agg(
-        F.count("*").alias("_no"),
-        F.coalesce(F.sum(is_planted.cast("long")), F.lit(0)).alias(
-            "n_planted"
-        ),
+        *ex_["scalars_fixed"],
         F.coalesce(F.sum(is_elig.cast("long")), F.lit(0)).alias("_ne_pre"),
-        F.coalesce(
-            (F.max(F.col(id_col)) < F.lit(_CLONE_OFFSET))
-            & (F.min(F.col(id_col)) >= 0),
-            F.lit(True),
-        ).alias("_ids_ok"),
-    )
-    # an honest original-side id: non-negative and below the clone band
-    def _in_range(c: Column) -> Column:
-        return (c >= 0) & (c < _CLONE_OFFSET)
-
-    # planted-pair flag as a pure predicate (docstring bullet 2): the
-    # original-side id is planted and in the honest range, the partner
-    # is exactly its clone id — no expected-pair broadcast
-    flag = (
-        (F.col(a_col) % _CLONE_MOD == 0)
-        & _in_range(F.col(a_col))
-        & (F.col(b_col) == F.col(a_col) + _CLONE_OFFSET)
     )
     # masking guard (round-7 ADVICE): the recall equation below checks
     # COUNT equality (_found == _ne_pre - _ncap), so a spuriously emitted
@@ -430,49 +556,16 @@ def _pair_contract(
     # is the pair's left id: per-id pair width is bounded by
     # bands × max_bucket (no skew), total rows by the linear candidate
     # bound plus the ≈0-row capped residue.
-    pair_rows = pairs.select(
-        F.col(a_col).alias("_k"),
-        F.when(flag, F.lit(1)).alias("_flag"),
-        F.lit(1).alias("_is_pair"),
-        F.lit(0).alias("_is_cap"),
-        F.lit(0).alias("_cap_elig"),
-    )
+    pair_rows = pairs.select(*ex_["pair_sel"])
     if capped is not None:
-        cap_rows = capped.select(
-            F.col(capped_id_col).alias("_k"),
-            F.lit(None).cast("int").alias("_flag"),
-            F.lit(0).alias("_is_pair"),
-            F.lit(1).alias("_is_cap"),
-            # capped∩eligible (docstring bullet 4): capped ids reached
-            # buckets, so the operator's own eligibility filter passed;
-            # in-range → original row
-            (
-                (F.col(capped_id_col) % _CLONE_MOD == 0)
-                & _in_range(F.col(capped_id_col))
-            ).cast("int").alias("_cap_elig"),
-        )
-        tallied = pair_rows.unionByName(cap_rows)
+        tallied = pair_rows.unionByName(capped.select(*ex_["cap_sel"]))
     else:
         tallied = pair_rows
     # capped ids are distinct by construction (groupBy output), so
     # per-id max(_is_cap)/max(_cap_elig) recover exactly the old
     # broadcast-join alignment and the old direct capped aggregation
-    per_id = tallied.groupBy("_k").agg(
-        F.sum("_is_pair").alias("_np_id"),
-        F.count("_flag").alias("_nf_id"),
-        F.max("_is_cap").alias("_c_id"),
-        F.max("_cap_elig").alias("_ce_id"),
-    )
-    pair_stats = per_id.agg(
-        F.coalesce(F.sum("_np_id"), F.lit(0)).cast("long").alias("_np"),
-        F.coalesce(F.sum("_nf_id"), F.lit(0)).cast("long").alias("_found"),
-        F.coalesce(
-            F.sum(F.col("_nf_id") * F.col("_c_id")), F.lit(0)
-        ).cast("long").alias("_found_capped"),
-        F.coalesce(
-            F.sum(F.col("_ce_id").cast("long") * F.col("_c_id")), F.lit(0)
-        ).cast("long").alias("_ncap"),
-    )
+    per_id = tallied.groupBy("_k").agg(*ex_["per_id_aggs"])
+    pair_stats = per_id.agg(*ex_["pair_stats_aggs"])
     # single-job assembly (round 7): the old epilogue cross-joined the
     # one-row aggregates into `scalars` via F.broadcast — each broadcast
     # materializes as its OWN eager Spark job before the final collect,
@@ -482,46 +575,21 @@ def _pair_contract(
     # branch pads the shared scalar schema with typed NULLs and a
     # null-skipping max() reassembles the row.  Emitted row is identical.
     # (Two branches since round 13: _ncap folded into pair_stats above.)
-    _cols = {
-        "_no": "long",
-        "n_planted": "long",
-        "_ne_pre": "long",
-        "_ids_ok": "boolean",
-        "_np": "long",
-        "_found": "long",
-        "_found_capped": "long",
-        "_ncap": "long",
-    }
-
     def _pad(df: DataFrame) -> DataFrame:
         have = set(df.columns)
         return df.select(
             *[
-                F.col(c) if c in have else F.lit(None).cast(t).alias(c)
-                for c, t in _cols.items()
+                F.col(c) if c in have else ex_["pad_null"][c]
+                for c in ex_["cols"]
             ]
         )
 
     folded = (
         _pad(scalars)
         .unionByName(_pad(pair_stats))
-        .agg(*[F.max(c).alias(c) for c in _cols])
+        .agg(*ex_["fold_aggs"])
     )
-    assembled = (
-        folded
-        .select(
-            "n_planted",
-            (
-                (F.col("_found") == F.col("_ne_pre") - F.col("_ncap"))
-                & (F.col("_found_capped") == 0)
-            ).alias("clone_recall_ok"),
-            (
-                F.col("_np")
-                <= max_pairs_per_row * (F.col("_no") + F.col("n_planted"))
-            ).alias("candidate_bound_ok"),
-            F.col("_ids_ok").alias("ids_disjoint_ok"),
-        )
-    )
+    assembled = folded.select(*ex_["assembled_sel"])
     return materialize_and_free(assembled, free)
 
 
@@ -535,10 +603,19 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column reference — keeps the transform lambda from re-tokenizing per
     # shingle index (Catalyst expression trees are trees, not DAGs)
     d = _spread(spark, t(spark, sf_dir, "documents"))
-    toks_df = d.select("doc_id", tokens(normalize(F.col("text"))).alias("tok"))
+    toks_df = d.select(
+        "doc_id",
+        _memo("doc_tokens",
+              lambda: tokens(normalize(F.col("text"))).alias("tok")),
+    )
     return toks_df.select(
         "doc_id",
-        F.array_distinct(shingles_of_tokens(F.col("tok"), n=3)).alias("sh"),
+        _memo(
+            "doc_shingles",
+            lambda: F.array_distinct(
+                shingles_of_tokens(F.col("tok"), n=3)
+            ).alias("sh"),
+        ),
     )
 
 
@@ -603,7 +680,12 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_shingles(spark, sf_dir)
         .select(
             "doc_id",
-            element_hashes(F.array_remove(F.col("sh"), "")).alias("hs"),
+            _memo(
+                "hashed_shingles",
+                lambda: element_hashes(
+                    F.array_remove(F.col("sh"), "")
+                ).alias("hs"),
+            ),
         )
         .persist()
     )
@@ -622,7 +704,7 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its size carries the same predicate)
     return _pair_contract(
         pairs, hs, "doc_id", "id_a", "id_b",
-        eligible_pred=F.size(F.col("hs")) > 0,
+        eligible_pred=_memo("hs_nonempty", lambda: F.size(F.col("hs")) > 0),
         capped=capped, capped_id_col="id_a",
         free=[handle, hs],
     )
