@@ -55,32 +55,47 @@ def brute_force_topk(
     # the pair space would re-fold the vector-side norm once per QUERY and
     # the query-side norm once per ROW (|queries|× / |vectors|× redundant
     # dim-wide folds); sqrt of the same double multiplied once is
-    # IEEE-identical, so oracle parity is unaffected
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+    # IEEE-identical, so oracle parity is unaffected.
+    # Column trees memoized per (id_col, vec_col, k) — the dim-wide HOF
+    # lambdas cost real py4j time per build (the q63 lesson, round 13).
+    from hadoop_sync_spark.queries._util import memo
+
+    q_sel, v_sel, sim_a, rank_a, keep = memo(
+        f"brute_force_topk/{id_col}/{vec_col}/{k}",
+        lambda: (
+            [
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"),
+                l2_norm(F.col(vec_col)).alias("_qn"),
+            ],
+            [
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_vvec"),
+                l2_norm(F.col(vec_col)).alias("_vn"),
+            ],
+            (
+                dot(F.col("_qvec"), F.col("_vvec"))
+                / F.nullif(F.col("_qn") * F.col("_vn"), F.lit(0.0))
+            ).alias("cosine_sim"),
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine_sim").desc(), F.col("neighbor_id")
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+            F.col("rank") <= k,
+        ),
     )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vvec"),
-        l2_norm(F.col(vec_col)).alias("_vn"),
-    )
-    sim = dot(F.col("_qvec"), F.col("_vvec")) / F.nullif(
-        F.col("_qn") * F.col("_vn"), F.lit(0.0)
-    )
+    q = queries.select(*q_sel)
+    v = vectors.select(*v_sel)
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .select("query_id", "neighbor_id", sim_a)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.withColumn("rank", rank_a).filter(keep)
 
 
 def _collect_sample(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_sync_spark.queries import register
-from hadoop_sync_spark.queries._util import davg, sql_davg, t
+from hadoop_sync_spark.queries._util import davg, memo, sql_davg, t
 
 _10M_US = 600_000_000
 _5M_US = 300_000_000
@@ -44,16 +44,20 @@ def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single shuffle on (window, type); partial agg bounds shuffle rows
     by distinct windows × types per task."""
     ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("event_cnt"), davg("value").alias("avg_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "event_cnt",
-            "avg_value",
-        )
+    win, aggs, out = memo(
+        "q40",
+        lambda: (
+            F.window("ts", "10 minutes").alias("w"),
+            [F.count("*").alias("event_cnt"), davg("value").alias("avg_value")],
+            [
+                F.col("w.start").alias("window_start"),
+                F.col("event_type"),
+                F.col("event_cnt"),
+                F.col("avg_value"),
+            ],
+        ),
     )
+    return ev.groupBy(win, "event_type").agg(*aggs).select(*out)
 
 
 # --------------------------------------------------------------------------
@@ -122,16 +126,20 @@ def q42_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAG + running SUM.  Output keys on (user, session_start) so the
     windowed and island forms align."""
     ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.max("ts").alias("last_event"), F.count("*").alias("event_cnt"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "last_event",
-            "event_cnt",
-        )
+    win, aggs, out = memo(
+        "q42",
+        lambda: (
+            F.session_window("ts", "30 minutes").alias("w"),
+            [F.max("ts").alias("last_event"), F.count("*").alias("event_cnt")],
+            [
+                F.col("user_id"),
+                F.col("w.start").alias("session_start"),
+                F.col("last_event"),
+                F.col("event_cnt"),
+            ],
+        ),
     )
+    return ev.groupBy(win, "user_id").agg(*aggs).select(*out)
 
 
 # --------------------------------------------------------------------------
@@ -435,44 +443,45 @@ def q75_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one running value.  Sums ride scaled BIGINTs until the final double
     division (exact parity)."""
     ev = t(spark, sf_dir, "events")
-    bucket = F.timestamp_micros(
-        F.expr(f"unix_micros(ts) DIV {_10M_US}") * _10M_US
-    )
-    b = ev.groupBy(
-        F.col("event_type"), bucket.alias("bucket")
-    ).agg(
-        F.count("*").alias("cnt"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sv"),
-    )
-    bounds = b.agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-    )
-    spine = (
-        ev.select("event_type").distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
+    bucket_a, aggs, bounds_a, spine_bucket, out = memo(
+        "q75",
+        lambda: (
+            F.timestamp_micros(
+                F.expr(f"unix_micros(ts) DIV {_10M_US}") * _10M_US
+            ).alias("bucket"),
+            [
+                F.count("*").alias("cnt"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sv"),
+            ],
+            [F.min("bucket").alias("lo"), F.max("bucket").alias("hi")],
             F.explode(
                 F.sequence("lo", "hi", F.expr("INTERVAL 10 MINUTES"))
             ).alias("bucket"),
-        )
+            [
+                F.col("event_type"),
+                F.col("bucket"),
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+                F.last(
+                    F.col("sv").cast("double") / F.lit(100.0),
+                    ignorenulls=True,
+                )
+                .over(
+                    Window.partitionBy("event_type")
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                .alias("locf_sum"),
+            ],
+        ),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = ev.groupBy(F.col("event_type"), bucket_a).agg(*aggs)
+    bounds = b.agg(*bounds_a)
+    spine = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", spine_bucket)
     )
-    return (
-        spine.join(b, ["event_type", "bucket"], "left")
-        .select(
-            "event_type",
-            "bucket",
-            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
-            F.last(
-                F.col("sv").cast("double") / F.lit(100.0), ignorenulls=True
-            ).over(w).alias("locf_sum"),
-        )
-    )
+    return spine.join(b, ["event_type", "bucket"], "left").select(*out)
 
 
 # --------------------------------------------------------------------------

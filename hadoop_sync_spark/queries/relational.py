@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import (
+    memo,
     davg,
     dsum,
     scaled,
@@ -81,24 +82,27 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses each map task to ≤|groups| rows, so shuffle volume
     is O(partitions), not O(rows)."""
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias(
-                "sum_disc_price"
-            ),
-            (F.sum(_charge6()).cast("double") / F.lit(1000000.0)).alias(
-                "sum_charge"
-            ),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    filt, aggs = memo(
+        "q01",
+        lambda: (
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"),
+            [
+                dsum("l_quantity").alias("sum_qty"),
+                dsum("l_extendedprice").alias("sum_base_price"),
+                (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias(
+                    "sum_disc_price"
+                ),
+                (F.sum(_charge6()).cast("double") / F.lit(1000000.0)).alias(
+                    "sum_charge"
+                ),
+                davg("l_quantity").alias("avg_qty"),
+                davg("l_extendedprice").alias("avg_price"),
+                davg("l_discount").alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            ],
+        ),
     )
+    return li.filter(filt).groupBy("l_returnflag", "l_linestatus").agg(*aggs)
 
 
 # --------------------------------------------------------------------------
@@ -173,22 +177,28 @@ def q03_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⋈lineitem join shuffles on orderkey — the natural co-partition key
     for both facts (bucketing candidates at 100 TB).  LIMIT is executed as
     TakeOrderedAndProject: each partition keeps 10 rows, no global sort."""
-    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    fc, fo, fl, rev, order = memo(
+        "q03",
+        lambda: (
+            F.col("c_mktsegment") == "BUILDING",
+            F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"),
+            F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz"),
+            (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            [F.col("revenue").desc(), F.col("l_orderkey")],
+        ),
     )
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
-    )
+    cust = t(spark, sf_dir, "customer").filter(fc)
+    orders = t(spark, sf_dir, "orders").filter(fo)
+    li = t(spark, sf_dir, "lineitem").filter(fl)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias("revenue")
-        )
+        .agg(rev)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .orderBy(*order)
         .limit(10)
     )
 
@@ -349,10 +359,14 @@ def q08_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (li.l_orderkey == orders.o_orderkey)
         & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAYS")),
     )
-    return joined.groupBy("o_orderpriority").agg(
-        F.count("*").alias("late_line_cnt"),
-        dsum("l_extendedprice").alias("late_value"),
+    aggs = memo(
+        "q08",
+        lambda: [
+            F.count("*").alias("late_line_cnt"),
+            dsum("l_extendedprice").alias("late_value"),
+        ],
     )
+    return joined.groupBy("o_orderpriority").agg(*aggs)
 
 
 # --------------------------------------------------------------------------
@@ -374,15 +388,15 @@ def q09_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) ×2 + COUNT(*) per group — the reference's
     shardId-set dedup (A3 `HdfsMasterNode.java:53-71`) generalized.
     Spark expands multi-distinct via a single Expand + two-phase agg."""
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
+    aggs = memo(
+        "q09",
+        lambda: [
             F.countDistinct("l_suppkey").alias("supp_cnt"),
             F.countDistinct("l_partkey").alias("part_cnt"),
             F.count("*").alias("line_cnt"),
-        )
+        ],
     )
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(*aggs)
 
 
 # --------------------------------------------------------------------------
@@ -472,18 +486,24 @@ def q12_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on o_custkey; the rn<=3 filter collapses each
     partition immediately (Spark 3.5+ pushes a per-group limit into the
     window exec via WindowGroupLimit)."""
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    rn, keep = memo(
+        "q12",
+        lambda: (
+            F.row_number()
+            .over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            )
+            .cast("long")
+            .alias("rn"),
+            F.col("rn") <= 3,
+        ),
     )
     return (
         t(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", rn)
+        .filter(keep)
     )
 
 
@@ -785,15 +805,26 @@ def q21_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lineitem⋈orders shuffles on orderkey (the only fact-fact edge);
     customer/supplier/nation/region all broadcast.  Catalyst + AQE handle
     join reordering; the region filter prunes via the broadcast chain."""
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    fo, fr, aggs = memo(
+        "q21",
+        lambda: (
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")),
+            F.col("r_name") == "ASIA",
+            [
+                (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias(
+                    "revenue"
+                ),
+                F.count("*").alias("line_cnt"),
+            ],
+        ),
     )
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(fo)
     li = t(spark, sf_dir, "lineitem")
     sup = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
-    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    reg = t(spark, sf_dir, "region").filter(fr)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -801,10 +832,7 @@ def q21_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            (F.sum(_revenue4()).cast("double") / F.lit(10000.0)).alias("revenue"),
-            F.count("*").alias("line_cnt"),
-        )
+        .agg(*aggs)
     )
 
 

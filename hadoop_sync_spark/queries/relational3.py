@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import (
+    memo,
     scaled,
     sql_scaled,
     t,
@@ -96,33 +97,40 @@ def q84_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: part is dimension-sized → broadcast; lineitem never shuffles."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    revenue4 = scaled("l_extendedprice") * (
-        F.lit(100).cast("long") - scaled("l_discount")
-    )
-    band = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(1, 21)
+
+    def _build():
+        revenue4 = scaled("l_extendedprice") * (
+            F.lit(100).cast("long") - scaled("l_discount")
         )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 30)
-            & F.col("l_quantity").between(10, 30)
+        band = (
+            (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("p_size").between(1, 15)
+                & F.col("l_quantity").between(1, 21)
+            )
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & F.col("p_size").between(1, 30)
+                & F.col("l_quantity").between(10, 30)
+            )
+            | (
+                (F.col("p_brand") == "Brand#34")
+                & F.col("p_size").between(1, 45)
+                & F.col("l_quantity").between(20, 40)
+            )
         )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & F.col("p_size").between(1, 45)
-            & F.col("l_quantity").between(20, 40)
-        )
-    )
+        return band, [
+            (F.sum(revenue4).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.count("*").alias("line_cnt"),
+        ]
+
+    band, aggs = memo("q84", _build)
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(band)
-        .agg(
-            (F.sum(revenue4).cast("double") / F.lit(10000.0)).alias("revenue"),
-            F.count("*").alias("line_cnt"),
-        )
+        .agg(*aggs)
     )
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from hadoop_sync_spark.queries import register
-from hadoop_sync_spark.queries._util import md5_prefix_long, sql_md5_prefix_long, t
+from hadoop_sync_spark.queries._util import md5_prefix_long, memo, sql_md5_prefix_long, t
 
 #: SQL twin of :func:`hash_bucket` (DuckDB spelling).
 _SQL_BUCKET = f"{sql_md5_prefix_long('CAST(doc_id AS VARCHAR)')} % 100"
@@ -70,10 +70,14 @@ def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: narrow per-row predicate on a hash of the id — zero shuffle,
     pushdown-friendly, no RNG state."""
     d = t(spark, sf_dir, "documents")
-    bucket = hash_bucket(F.col("doc_id"))
-    return d.select(
-        "doc_id", "lang", "source", bucket.alias("bucket")
-    ).filter(F.col("bucket") < _threshold())
+    bucket, keep = memo(
+        "q73",
+        lambda: (
+            hash_bucket(F.col("doc_id")).alias("bucket"),
+            F.col("bucket") < _threshold(),
+        ),
+    )
+    return d.select("doc_id", "lang", "source", bucket).filter(keep)
 
 
 # --------------------------------------------------------------------------

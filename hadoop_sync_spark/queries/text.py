@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from hadoop_sync_spark.queries import register
 from hadoop_sync_spark.queries._util import (
     md5_prefix_long,
+    memo,
     sql_md5_prefix_long,
     t,
 )
@@ -85,11 +86,17 @@ def q51_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic survivor (min doc_id) per group — exact-dedup's grouping
     step, the same shape as the reference's shardId dedup (A3)."""
     d = t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.count("*").alias("doc_cnt"), F.min("doc_id").alias("keep_doc_id"))
+    fp, aggs = memo(
+        "q51",
+        lambda: (
+            fingerprint(F.col("text")).alias("fp"),
+            [
+                F.count("*").alias("doc_cnt"),
+                F.min("doc_id").alias("keep_doc_id"),
+            ],
+        ),
     )
+    return d.select("doc_id", fp).groupBy("fp").agg(*aggs)
 
 
 # --------------------------------------------------------------------------
@@ -264,19 +271,24 @@ def q57_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the classification filters are array lambdas over the
     already-extracted list."""
     d = t(spark, sf_dir, "documents")
-    pt = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
-    first = lambda x: x.substr(1, 1)  # noqa: E731
-    return d.select(
-        "doc_id",
-        F.size(pt).cast("long").alias("pretoken_cnt"),
-        F.size(F.array_distinct(pt)).cast("long").alias("uniq_pretoken_cnt"),
-        F.size(F.filter(pt, lambda x: first(x).between("a", "z")))
-        .cast("long")
-        .alias("alpha_cnt"),
-        F.size(F.filter(pt, lambda x: first(x).between("0", "9")))
-        .cast("long")
-        .alias("num_cnt"),
-    )
+
+    def _build():
+        pt = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+        first = lambda x: x.substr(1, 1)  # noqa: E731
+        return [
+            F.size(pt).cast("long").alias("pretoken_cnt"),
+            F.size(F.array_distinct(pt)).cast("long").alias(
+                "uniq_pretoken_cnt"
+            ),
+            F.size(F.filter(pt, lambda x: first(x).between("a", "z")))
+            .cast("long")
+            .alias("alpha_cnt"),
+            F.size(F.filter(pt, lambda x: first(x).between("0", "9")))
+            .cast("long")
+            .alias("num_cnt"),
+        ]
+
+    return d.select("doc_id", *memo("q57", _build))
 
 
 # --------------------------------------------------------------------------
