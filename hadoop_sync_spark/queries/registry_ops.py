@@ -297,73 +297,90 @@ def q100_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges are the same IEEE expression on both engines, so assignments
     match bit-for-bit.
 
-    Scale: two passes per column (bounds, then bucketing against the
-    broadcast one-row bounds) — the honest cost of an exact equal-width
-    histogram; the single-pass alternative is a t-digest/KLL sketch, which
-    q48's approx-percentile contract already covers.  Each pass reads ONE
-    column (pruned scan), aggregates map-side, and shuffles 8 rows."""
+    Scale: TWO table passes total since round 13 (was two per column —
+    6 pruned scans): one aggregation computes every column's bounds /
+    counts / distincts together (one Expand handles the multi-distinct),
+    and one bucketing pass against the broadcast one-row bounds emits all
+    histograms via a per-row struct explode + a single (column, bucket)
+    groupBy.  Emitted rows are identical stat-for-stat; the single-pass
+    alternative to the exact histogram remains a t-digest/KLL sketch,
+    which q48's approx-percentile contract already covers."""
     li = t(spark, sf_dir, "lineitem")
-    parts = []
-    for col in _PROFILE_COLS:
-        x = li.select(F.col(col).alias("x"))
-        b = x.agg(
-            F.count("*").alias("n"),
-            F.sum(F.isnull("x").cast("long")).alias("nulls"),
-            F.countDistinct("x").alias("nd"),
-            F.min("x").alias("mn"),
-            F.max("x").alias("mx"),
-            F.sum(F.round(F.col("x") * 100).cast("long")).alias("s"),
-        )
-        name = F.lit(col).alias("column_name")
-        stats = b.select(
-            name,
-            F.explode(
-                F.map_from_arrays(
-                    F.array(
-                        F.lit("n"),
-                        F.lit("nulls"),
-                        F.lit("n_distinct"),
-                        F.lit("min"),
-                        F.lit("max"),
-                        F.lit("mean"),
-                    ),
-                    F.array(
-                        F.col("n").cast("double"),
-                        F.col("nulls").cast("double"),
-                        F.col("nd").cast("double"),
-                        F.col("mn").cast("double"),
-                        F.col("mx").cast("double"),
-                        F.col("s").cast("double") / 100.0 / F.col("n"),
-                    ),
+    from hadoop_sync_spark.queries._util import memo
+
+    def _build():
+        bounds_aggs = [F.count("*").alias("n")]
+        stat_structs = []
+        hist_structs = []
+        for c in _PROFILE_COLS:
+            x = F.col(c)
+            bounds_aggs += [
+                F.sum(F.isnull(x).cast("long")).alias(f"nulls_{c}"),
+                F.countDistinct(x).alias(f"nd_{c}"),
+                F.min(x).alias(f"mn_{c}"),
+                F.max(x).alias(f"mx_{c}"),
+                F.sum(F.round(x * 100).cast("long")).alias(f"s_{c}"),
+            ]
+            for stat, v in (
+                ("n", F.col("n").cast("double")),
+                ("nulls", F.col(f"nulls_{c}").cast("double")),
+                ("n_distinct", F.col(f"nd_{c}").cast("double")),
+                ("min", F.col(f"mn_{c}").cast("double")),
+                ("max", F.col(f"mx_{c}").cast("double")),
+                ("mean", F.col(f"s_{c}").cast("double") / 100.0 / F.col("n")),
+            ):
+                stat_structs.append(
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.lit(stat).alias("stat"),
+                        v.alias("value"),
+                    )
                 )
-            ).alias("stat", "value"),
-        )
-        bkt = F.coalesce(
-            F.least(
-                F.lit(7),
-                F.floor(
-                    (F.col("x") - F.col("mn"))
-                    / F.nullif(F.col("mx") - F.col("mn"), F.lit(0))
-                    * 8
-                ).cast("int"),
-            ),
-            F.lit(0),
-        )
-        hist = (
-            x.crossJoin(F.broadcast(b.select("mn", "mx")))
-            .groupBy(bkt.alias("bkt"))
-            .agg(F.count("*").cast("double").alias("value"))
-            .select(
-                name,
-                F.concat(F.lit("h"), F.col("bkt").cast("string")).alias("stat"),
-                "value",
+            bkt = F.coalesce(
+                F.least(
+                    F.lit(7),
+                    F.floor(
+                        (x - F.col(f"mn_{c}"))
+                        / F.nullif(F.col(f"mx_{c}") - F.col(f"mn_{c}"), F.lit(0))
+                        * 8
+                    ).cast("int"),
+                ),
+                F.lit(0),
             )
+            hist_structs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"), bkt.alias("bkt")
+                )
+            )
+        return (
+            bounds_aggs,
+            F.explode(F.array(*stat_structs)).alias("e"),
+            F.explode(F.array(*hist_structs)).alias("e"),
+            [F.col(f"mn_{c}") for c in _PROFILE_COLS]
+            + [F.col(f"mx_{c}") for c in _PROFILE_COLS],
         )
-        parts.append(stats.unionByName(hist))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    bounds_aggs, stat_explode, hist_explode, mnmx = memo("q100", _build)
+    b = li.agg(*bounds_aggs)
+    stats = b.select(stat_explode).select(
+        "e.column_name", "e.stat", "e.value"
+    )
+    hist = (
+        li.select(*_PROFILE_COLS)
+        .crossJoin(F.broadcast(b.select(*mnmx)))
+        .select(hist_explode)
+        .groupBy(
+            F.col("e.column_name").alias("column_name"),
+            F.col("e.bkt").alias("bkt"),
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            "column_name",
+            F.concat(F.lit("h"), F.col("bkt").cast("string")).alias("stat"),
+            "value",
+        )
+    )
+    return stats.unionByName(hist)
 
 
 # --------------------------------------------------------------------------

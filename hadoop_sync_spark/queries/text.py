@@ -573,9 +573,15 @@ def q76_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's `trim(x, ' ')` — Python's bare strip() removes \\t/\\n too,
     which DuckDB's space-trim does not.
 
-    Scale: UDTFs stream Arrow batches like mapInPandas — per-row Python,
-    so it's the right tool only when the expansion logic needs Python;
-    the split itself would otherwise be `posexplode(split(...))`."""
+    Scale: UDTF eval is per-row Python whatever the transport, so it's
+    the right tool only when the expansion logic needs Python; the split
+    itself would otherwise be `posexplode(split(...))`.  useArrow=True
+    was MEASURED in round 13 (guide §4.3 suggests Arrow transport) and
+    REJECTED: on Spark 4.1.2 the Arrow UDTF serializer ran this query at
+    2× the pickle path's wall (0.90 s vs 0.45 s median-of-5, two
+    interleaved A/B passes) — per-row eval emits one tiny batch per
+    output group and the Arrow writer overhead dominates at this row
+    width, so the default pickle transport stays."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="idx: bigint, sentence: string")
