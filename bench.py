@@ -33,6 +33,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: lands in the middle.  Costs ~2 extra runs/query ≈ +25 s wall.
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+#: Engine-compute twins (round 13, guide §1.4): the four headline queries
+#: whose collect() is dominated by driver-side Python row conversion of a
+#: LARGE result (q42 returns 95k rows — 0.6 s of its 1.1 s wall is
+#: collect conversion, not engine work) get an additional `<name>__noop`
+#: entry timing the same computation through the noop sink, which
+#: materializes every column of every row and discards it.  These are
+#: ADDED entries — the headline metric, its query list and the timed
+#: collect methodology are unchanged, so the anchor comparison stays
+#: apples-to-apples; the twins expose how the engine itself scales where
+#: the collect floor would mask it.
+NOOP_TWINS = [
+    "q12_top_orders_per_customer",
+    "q40_tumbling_window",
+    "q42_session_windows",
+    "q75_gap_fill_locf",
+]
+
 #: headline set: the queries flagged bench=True plus a spread of operator
 #: families (windows, dedup, vectors) so the number reflects the whole
 #: engine, not just scans.
@@ -72,6 +89,18 @@ def main() -> None:
             q.fn(spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+    #: the headline metric sums ONLY the collect-timed headline entries;
+    #: the noop twins are reported alongside, never added to `value`
+    value = round(sum(timings.values()), 4)
+
+    for name in NOOP_TWINS:
+        q = registry[name]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[f"{name}__noop"] = round(statistics.median(samples), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -79,7 +108,7 @@ def main() -> None:
             {
                 "metric": "headline-suite wall clock (median of "
                 f"{RUNS} warm runs/query)",
-                "value": round(sum(timings.values()), 4),
+                "value": value,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,

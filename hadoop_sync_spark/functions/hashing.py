@@ -392,9 +392,91 @@ def _lsh_exprs(k: int, bands: int, rows: int, seed: int,
         ).alias("_ms"),
         "multi_member": F.size("_ms") > 1,
         "pair_explode": F.explode(pair_structs).alias("p"),
-        "capped_group_key": F.col("_m._id").alias("id_a"),
-        "capped_agg": F.max("_u").alias("_any_under"),
-        "fully_capped": F.col("_any_under") == 0,
+    }
+    _LSH_EXPR_CACHE[key] = got
+    return got
+
+
+#: DDL type of the tagged generator rows (the typed-empty branch of the
+#: over-cap conditional needs it spelled out — `F.array()` alone is
+#: array<null>).
+_TAGGED_ROW_T = (
+    "array<struct<id_a:bigint,id_b:bigint,est_jaccard:double,"
+    "_tag:int,_under:int>>"
+)
+
+
+def _lsh_tagged_exprs(k: int, bands: int, rows: int, seed: int,
+                      items_hashed: bool, max_bucket: int) -> dict:
+    """Column trees for the FUSED capped path (round 13): one generator
+    over each bucket row emits BOTH the candidate-pair structs (tag 0,
+    under-cap buckets only — the conditional keeps the quadratic
+    expansion from ever evaluating on an over-cap bucket) and one
+    member struct per bucket member (tag 1, every bucket, carrying the
+    bucket's under-cap flag).  A single groupBy over the tagged rows
+    then yields the distinct pairs (tag-0 groups) AND the fully-capped
+    ids (tag-1 groups whose max(_under)=0) — one pass over the bucket
+    frame and one exchange where the unfused form paid a pair-distinct
+    shuffle plus a separate member-explode groupBy, each re-scanning the
+    persisted bucket frame."""
+    key = (k, bands, rows, seed, items_hashed, max_bucket)
+    got = _LSH_EXPR_CACHE.get(key)
+    if got is not None:
+        return got
+    base = _lsh_exprs(k, bands, rows, seed, items_hashed)
+
+    def _est(sa, sb):
+        return F.size(
+            F.filter(F.zip_with(sa, sb, lambda a, b: a == b), lambda x: x)
+        ).cast("double") / F.lit(float(k))
+
+    ms = F.col("_ms")
+    under = (F.size(ms) <= max_bucket).cast("int")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    _est(x["_sig"], y["_sig"]).alias("est_jaccard"),
+                    F.lit(0).alias("_tag"),
+                    F.lit(1).alias("_under"),
+                ),
+            ),
+        )
+    )
+    member_structs = F.transform(
+        ms,
+        lambda m: F.struct(
+            m["_id"].alias("id_a"),
+            F.lit(None).cast("bigint").alias("id_b"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(1).alias("_tag"),
+            under.alias("_under"),
+        ),
+    )
+    tagged = F.explode(
+        F.concat(
+            F.when(F.size(ms) <= max_bucket, pair_structs).otherwise(
+                F.array().cast(_TAGGED_ROW_T)
+            ),
+            member_structs,
+        )
+    ).alias("p")
+    got = {
+        **base,
+        "tagged_explode": tagged,
+        "group_keys": [
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.est_jaccard").alias("est_jaccard"),
+            F.col("p._tag").alias("_tag"),
+        ],
+        "group_agg": F.max("p._under").alias("_any_under"),
+        "is_pair": F.col("_tag") == 0,
+        "is_fully_capped": (F.col("_tag") == 1) & (F.col("_any_under") == 0),
     }
     _LSH_EXPR_CACHE[key] = got
     return got
@@ -493,28 +575,42 @@ def minhash_lsh_pairs(
         .filter(ex_["multi_member"])
     )
     if with_capped_ids and max_bucket is not None:
-        # Both the pair branch and the capped-id branch hang off this
-        # frame, and the Arrow signature stage is nondeterministic (its
-        # pushdown barrier), which defeats ReuseExchange — without a
-        # persist Spark recomputes the whole signature pass + bucket
-        # shuffle per branch (measured 2.1x on the q63 contract).
-        # MEMORY_AND_DISK: at 100 TB the bucketed frame (only >=2-member
-        # buckets) is the standard materialization point of a production
-        # LSH pipeline; evicted LRU, never required for correctness.
+        # FUSED pair+capped derivation (round 13): one tagged generator
+        # over each bucket row emits the candidate-pair structs AND the
+        # per-member rows, and a single groupBy yields both the distinct
+        # pairs (tag 0: grouping on (id_a, id_b, est) IS the old
+        # .distinct()) and the fully-capped ids (tag 1: ids whose every
+        # ≥2-member bucket was over the cap — max of the bucket under-cap
+        # flags is 0).  The unfused form persisted the bucket frame and
+        # re-scanned it from two downstream branches through two separate
+        # exchanges (pair distinct + member groupBy); this is one scan and
+        # one exchange.  The persisted frame is now the grouped output
+        # `g` — smaller than the bucket frame (no signatures), and the
+        # standard materialization point of a production LSH pipeline
+        # (MEMORY_AND_DISK, evicted LRU, never required for correctness).
+        tx = _lsh_tagged_exprs(k, bands, rows, seed, items_hashed,
+                               max_bucket)
         from pyspark import StorageLevel
 
-        buckets_all = buckets_all.persist(StorageLevel.MEMORY_AND_DISK)
-        # eager (default): consumers that surface as CONCURRENT broadcast
-        # jobs would race past the lazy persist and each compute the full
-        # signature pass; one count() materializes the cache
-        # deterministically first.  A caller whose plan has at most ONE
-        # eager consumer before the final action (q63's contract after
-        # the round-10 fold: a single tripwire broadcast, then the
-        # collect) passes eager_cache=False — the broadcast itself
-        # materializes the cache and the redundant count() pass (~0.5 s
-        # of cache re-read + job overhead at sf0.1) disappears.
+        g = (
+            buckets_all.select(tx["tagged_explode"])
+            .groupBy(*tx["group_keys"])
+            .agg(tx["group_agg"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # eager (default): the two g-consumers (pairs + capped) surface as
+        # concurrent subtrees of the caller's one collect job; a lazy
+        # persist would let them race and each compute the full signature
+        # pipeline.  One count() materializes the cache first.
         if eager_cache:
-            buckets_all.count()
+            g.count()
+        pairs = g.filter(tx["is_pair"]).select(
+            "id_a", "id_b", "est_jaccard"
+        )
+        capped = g.filter(tx["is_fully_capped"]).select("id_a")
+        if with_persist_handle:
+            return pairs, capped, g
+        return pairs, capped
     buckets = buckets_all
     if max_bucket is not None:
         buckets = buckets_all.filter(F.size("_ms") <= max_bucket)
@@ -532,24 +628,10 @@ def minhash_lsh_pairs(
                 "would crash the caller's 3-tuple unpacking)"
             )
         return pairs
-    if max_bucket is None:
-        capped = df.sparkSession.createDataFrame([], "id_a long")
-    else:
-        # ids whose every ≥2-member bucket was dropped by the cap — they
-        # cannot surface in any pair (see docstring)
-        capped = (
-            buckets_all.select(
-                (F.size("_ms") <= max_bucket).cast("int").alias("_u"),
-                F.explode("_ms").alias("_m"),
-            )
-            .groupBy(ex_["capped_group_key"])
-            .agg(ex_["capped_agg"])
-            .filter(ex_["fully_capped"])
-            .select("id_a")
-        )
+    # max_bucket is None: nothing can be capped
+    capped = df.sparkSession.createDataFrame([], "id_a long")
     if with_persist_handle:
-        handle = buckets_all if max_bucket is not None else None
-        return pairs, capped, handle
+        return pairs, capped, None
     return pairs, capped
 
 

@@ -856,54 +856,95 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("_ms") > 1)
     )
-    # the pair branch and the capped-id branch below both hang off this
-    # frame; the nondeterministic SimHash Arrow stage defeats
-    # ReuseExchange, so without the persist each branch recomputes the
-    # signature pass + block shuffle (same fix as minhash_lsh_pairs).
-    # Eager count() since round 13: the contract fold no longer has a
-    # tripwire broadcast to serve as the single first consumer, so the
-    # one collect job reads the cache from two concurrent subtrees
-    # (pairs + capped) — materialize it once before they race
+    # FUSED pair+capped derivation (round 13, the minhash_lsh_pairs
+    # pattern): one tagged generator over each block-bucket row emits the
+    # candidate-pair structs (tag 0, under-cap buckets only — the
+    # conditional keeps the quadratic expansion off over-cap buckets) and
+    # one member struct per bucket member (tag 1, every bucket, carrying
+    # the under-cap flag); a single groupBy then yields the distinct
+    # hamming-verified pairs AND the fully-capped ids in one pass and one
+    # exchange where the unfused form re-scanned the persisted bucket
+    # frame through two separate exchanges.  The persisted frame is the
+    # grouped output (no signatures — smaller), materialized eagerly so
+    # the collect job's two consumers cannot race the cache build.
     from pyspark import StorageLevel
 
-    buckets_all = buckets_all.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets_all.count()
-    buckets = buckets_all.filter(F.size("_ms") <= 500)
-    ms = F.col("_ms")
-    pair_structs = F.flatten(
-        F.transform(
+    def _q66_tagged():
+        ms = F.col("_ms")
+        under = (F.size(ms) <= 500).cast("int")
+        pair_structs = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        hamming64(x["sig"], y["sig"]).alias("hamming"),
+                        F.lit(0).alias("_tag"),
+                        F.lit(1).alias("_under"),
+                    ),
+                ),
+            )
+        )
+        member_structs = F.transform(
             ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            lambda m: F.struct(
+                m["doc_id"].alias("doc_a"),
+                F.lit(None).cast("bigint").alias("doc_b"),
+                F.lit(None).cast("int").alias("hamming"),
+                F.lit(1).alias("_tag"),
+                under.alias("_under"),
             ),
         )
+        empty_t = (
+            "array<struct<doc_a:bigint,doc_b:bigint,hamming:int,"
+            "_tag:int,_under:int>>"
+        )
+        tagged = F.explode(
+            F.concat(
+                F.when(F.size(ms) <= 500, pair_structs).otherwise(
+                    F.array().cast(empty_t)
+                ),
+                member_structs,
+            )
+        ).alias("p")
+        return (
+            tagged,
+            # member rows ride (hamming NULL → disjunct NULL, tag==1 wins);
+            # pair rows pass only at hamming ≤ 6 — same pre-distinct filter
+            (F.col("p._tag") == 1) | (F.col("p.hamming") <= 6),
+            [
+                F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"),
+                F.col("p.hamming").alias("hamming"),
+                F.col("p._tag").alias("_tag"),
+            ],
+            F.max("p._under").alias("_any_under"),
+        )
+
+    tagged, keep, gkeys, gagg = _memo("q66_tagged", _q66_tagged)
+    g = (
+        buckets_all.select(tagged)
+        .filter(keep)
+        .groupBy(*gkeys)
+        .agg(gagg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ex = buckets.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.x.doc_id").alias("doc_a"),
-        F.col("p.y.doc_id").alias("doc_b"),
-        hamming64(F.col("p.x.sig"), F.col("p.y.sig")).alias("hamming"),
-    )
-    pairs = ex.filter(F.col("hamming") <= 6).distinct()
+    g.count()
+    pairs = g.filter(F.col("_tag") == 0).select("doc_a", "doc_b", "hamming")
     # clone pairs the block path GUARANTEES: SimHash is defined for every
     # doc (empty → sig 0), so the only loss channel is the 500 cap — an
     # id whose every ≥2-member block bucket was dropped cannot pair
-    capped = (
-        buckets_all.select(
-            (F.size("_ms") <= 500).cast("int").alias("_u"),
-            F.explode("_ms").alias("_m"),
-        )
-        .groupBy(F.col("_m.doc_id").alias("doc_id"))
-        .agg(F.max("_u").alias("_any_under"))
-        .filter(F.col("_any_under") == 0)
-        .select("doc_id")
-    )
+    capped = g.filter(
+        (F.col("_tag") == 1) & (F.col("_any_under") == 0)
+    ).select(F.col("doc_a").alias("doc_id"))
     # eligibility needs no predicate: SimHash is defined for every doc
     # (empty → sig 0), so the cap is the only loss channel
     return _pair_contract(
         pairs, toks_df, "doc_id", "doc_a", "doc_b",
         capped=capped, capped_id_col="doc_id",
-        free=[buckets_all, toks_df],
+        free=[g, toks_df],
     )
 
 
