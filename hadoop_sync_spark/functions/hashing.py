@@ -341,6 +341,17 @@ def hamming64(a: Column, b: Column) -> Column:
 _LSH_EXPR_CACHE: dict = {}
 
 
+def _est_expr(sa: Column, sb: Column, k: int) -> Column:
+    """Matching-slot fraction of two k-slot signatures — evaluated inside
+    the pair lambda so the flattened intermediate carries (id, id, est)
+    instead of two full k-slot signatures per candidate pair (guide §2.3:
+    project before the expansion; the signatures are dead weight past
+    that point)."""
+    return F.size(
+        F.filter(F.zip_with(sa, sb, lambda a, b: a == b), lambda x: x)
+    ).cast("double") / F.lit(float(k))
+
+
 def _lsh_exprs(k: int, bands: int, rows: int, seed: int,
                items_hashed: bool) -> dict:
     key = (k, bands, rows, seed, items_hashed)
@@ -354,15 +365,7 @@ def _lsh_exprs(k: int, bands: int, rows: int, seed: int,
     )
 
     def _est(sa, sb):
-        # matching-slot fraction — identical expression to the old
-        # post-explode form, just evaluated inside the pair lambda so the
-        # flattened intermediate carries (id, id, est) instead of two
-        # full k-slot signatures per candidate pair (guide §2.3: project
-        # before the expansion; the signatures are dead weight past this
-        # point)
-        return F.size(
-            F.filter(F.zip_with(sa, sb, lambda a, b: a == b), lambda x: x)
-        ).cast("double") / F.lit(float(k))
+        return _est_expr(sa, sb, k)
 
     ms = F.col("_ms")
     pair_structs = F.flatten(
@@ -397,50 +400,52 @@ def _lsh_exprs(k: int, bands: int, rows: int, seed: int,
     return got
 
 
-#: DDL type of the tagged generator rows (the typed-empty branch of the
-#: over-cap conditional needs it spelled out — `F.array()` alone is
-#: array<null>).
-_TAGGED_ROW_T = (
-    "array<struct<id_a:bigint,id_b:bigint,est_jaccard:double,"
-    "_tag:int,_under:int>>"
-)
+def tagged_bucket_exprs(
+    memo_key: tuple,
+    id_field: str,
+    payload_name: str,
+    payload_of,
+    max_bucket: int,
+    a_name: str,
+    b_name: str,
+) -> dict:
+    """Column trees for the FUSED pair+capped derivation (round 13),
+    shared by the MinHash path (est_jaccard payload) and q66's SimHash
+    block path (hamming payload).  One generator over each `_ms` bucket
+    row emits BOTH the candidate-pair structs (tag 0 — built over an
+    emptied member array for over-cap buckets, so the quadratic
+    expansion never evaluates there) and one member struct per bucket
+    member (tag 1, every bucket, carrying the bucket's under-cap flag).
+    A single groupBy over the tagged rows then yields the distinct
+    pairs (tag-0 groups: grouping on (a, b, payload) IS the old
+    .distinct()) and the fully-capped ids (tag-1 groups whose
+    max(_under)=0) — one pass and one exchange where the unfused form
+    paid a pair-distinct shuffle plus a separate member-explode groupBy
+    against a persisted bucket frame.
 
-
-def _lsh_tagged_exprs(k: int, bands: int, rows: int, seed: int,
-                      items_hashed: bool, max_bucket: int) -> dict:
-    """Column trees for the FUSED capped path (round 13): one generator
-    over each bucket row emits BOTH the candidate-pair structs (tag 0,
-    under-cap buckets only — the conditional keeps the quadratic
-    expansion from ever evaluating on an over-cap bucket) and one
-    member struct per bucket member (tag 1, every bucket, carrying the
-    bucket's under-cap flag).  A single groupBy over the tagged rows
-    then yields the distinct pairs (tag-0 groups) AND the fully-capped
-    ids (tag-1 groups whose max(_under)=0) — one pass over the bucket
-    frame and one exchange where the unfused form paid a pair-distinct
-    shuffle plus a separate member-explode groupBy, each re-scanning the
-    persisted bucket frame."""
-    key = (k, bands, rows, seed, items_hashed, max_bucket)
-    got = _LSH_EXPR_CACHE.get(key)
+    Types are DERIVED, never pinned: the member struct's null id/payload
+    slots are `when(lit(false), <the real expression>)`, so they carry
+    exactly the pair struct's types whatever the caller's id column or
+    payload type is (a hand-written DDL here silently widened int ids to
+    bigint on one path only — round-13 review finding)."""
+    got = _LSH_EXPR_CACHE.get(memo_key)
     if got is not None:
         return got
-    base = _lsh_exprs(k, bands, rows, seed, items_hashed)
-
-    def _est(sa, sb):
-        return F.size(
-            F.filter(F.zip_with(sa, sb, lambda a, b: a == b), lambda x: x)
-        ).cast("double") / F.lit(float(k))
-
     ms = F.col("_ms")
-    under = (F.size(ms) <= max_bucket).cast("int")
+    under_b = F.size(ms) <= max_bucket
+    # over-cap buckets expand an EMPTY member list (slice(ms, 1, 0) is a
+    # zero-length array of ms's own element type) — no typed-empty
+    # literal, no expansion cost on the capped buckets
+    src_ms = F.when(under_b, ms).otherwise(F.slice(ms, 1, 0))
     pair_structs = F.flatten(
         F.transform(
-            ms,
+            src_ms,
             lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
+                F.slice(src_ms, i + 2, F.size(src_ms)),
                 lambda y: F.struct(
-                    x["_id"].alias("id_a"),
-                    y["_id"].alias("id_b"),
-                    _est(x["_sig"], y["_sig"]).alias("est_jaccard"),
+                    x[id_field].alias(a_name),
+                    y[id_field].alias(b_name),
+                    payload_of(x, y).alias(payload_name),
                     F.lit(0).alias("_tag"),
                     F.lit(1).alias("_under"),
                 ),
@@ -450,35 +455,28 @@ def _lsh_tagged_exprs(k: int, bands: int, rows: int, seed: int,
     member_structs = F.transform(
         ms,
         lambda m: F.struct(
-            m["_id"].alias("id_a"),
-            F.lit(None).cast("bigint").alias("id_b"),
-            F.lit(None).cast("double").alias("est_jaccard"),
+            m[id_field].alias(a_name),
+            F.when(F.lit(False), m[id_field]).alias(b_name),
+            F.when(F.lit(False), payload_of(m, m)).alias(payload_name),
             F.lit(1).alias("_tag"),
-            under.alias("_under"),
+            under_b.cast("int").alias("_under"),
         ),
     )
-    tagged = F.explode(
-        F.concat(
-            F.when(F.size(ms) <= max_bucket, pair_structs).otherwise(
-                F.array().cast(_TAGGED_ROW_T)
-            ),
-            member_structs,
-        )
-    ).alias("p")
     got = {
-        **base,
-        "tagged_explode": tagged,
+        "tagged_explode": F.explode(
+            F.concat(pair_structs, member_structs)
+        ).alias("p"),
         "group_keys": [
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.col("p.est_jaccard").alias("est_jaccard"),
+            F.col(f"p.{a_name}").alias(a_name),
+            F.col(f"p.{b_name}").alias(b_name),
+            F.col(f"p.{payload_name}").alias(payload_name),
             F.col("p._tag").alias("_tag"),
         ],
         "group_agg": F.max("p._under").alias("_any_under"),
         "is_pair": F.col("_tag") == 0,
         "is_fully_capped": (F.col("_tag") == 1) & (F.col("_any_under") == 0),
     }
-    _LSH_EXPR_CACHE[key] = got
+    _LSH_EXPR_CACHE[memo_key] = got
     return got
 
 
@@ -519,11 +517,17 @@ def minhash_lsh_pairs(
     With ``with_capped_ids=True`` also returns the ids whose every
     ≥2-member bucket was dropped by the cap — rows that *cannot* appear
     in any pair; contract queries subtract them from expected recall so
-    the documented cap tradeoff doesn't read as an operator bug.
-    ``with_persist_handle=True`` additionally returns the internally
-    persisted bucket frame (or None) so a caller that MATERIALIZES its
-    result can unpersist it — otherwise the cache lives until session
-    shutdown (the contract queries' pattern).
+    the documented cap tradeoff doesn't read as an operator bug.  That
+    path derives pairs and capped ids from ONE fused tagged generator
+    (see :func:`tagged_bucket_exprs`) whose grouped output is persisted
+    and ALWAYS materialized eagerly — ``eager_cache`` is ignored there:
+    its False setting served the old tripwire-broadcast contract whose
+    single-first-consumer guarantee no longer exists, and a lazy persist
+    would let the two consumers race and recompute the signature
+    pipeline twice.  ``with_persist_handle=True`` additionally returns
+    the internally persisted frame (or None) so a caller that
+    MATERIALIZES its result can unpersist it — otherwise the cache lives
+    until session shutdown (the contract queries' pattern).
 
     ``items_hashed=True`` declares that ``items_col`` already holds the
     per-element ``xxhash64`` values (``element_hashes`` applied AFTER the
@@ -588,8 +592,15 @@ def minhash_lsh_pairs(
         # `g` — smaller than the bucket frame (no signatures), and the
         # standard materialization point of a production LSH pipeline
         # (MEMORY_AND_DISK, evicted LRU, never required for correctness).
-        tx = _lsh_tagged_exprs(k, bands, rows, seed, items_hashed,
-                               max_bucket)
+        tx = tagged_bucket_exprs(
+            ("lsh_tagged", k, bands, rows, seed, items_hashed, max_bucket),
+            "_id",
+            "est_jaccard",
+            lambda x, y: _est_expr(x["_sig"], y["_sig"], k),
+            max_bucket,
+            "id_a",
+            "id_b",
+        )
         from pyspark import StorageLevel
 
         g = (
@@ -598,12 +609,14 @@ def minhash_lsh_pairs(
             .agg(tx["group_agg"])
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # eager (default): the two g-consumers (pairs + capped) surface as
+        # ALWAYS eager on this path (eager_cache is ignored here, see
+        # docstring): the two g-consumers (pairs + capped) surface as
         # concurrent subtrees of the caller's one collect job; a lazy
         # persist would let them race and each compute the full signature
-        # pipeline.  One count() materializes the cache first.
-        if eager_cache:
-            g.count()
+        # pipeline — the eager_cache=False escape hatch existed for the
+        # old tripwire-broadcast structure, whose single-first-consumer
+        # guarantee no longer exists.
+        g.count()
         pairs = g.filter(tx["is_pair"]).select(
             "id_a", "id_b", "est_jaccard"
         )

@@ -46,7 +46,7 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: Per-session memo of ANALYZED table plans (round-13 optimization).
+#: Memo of ANALYZED table plans (round-13 optimization).
 #: ``spark.read.parquet`` pays ~100 ms of driver work per call at any
 #: scale — file listing, footer schema read, py4j round-trips — and the
 #: query layer re-loads each table on every ``fn()`` call (a six-table
@@ -56,26 +56,37 @@ def table_path(sf_dir: str, name: str) -> str:
 #: every action — this caches a plan, never data or results, the same
 #: class of metadata cache as Spark's own
 #: ``filesourcePartitionFileCacheSize`` (optimization guide §6) and the
-#: bench protocol's warm-up pass ("file-listing caches").  Keyed weakly
-#: by session so a stopped session's plans are collectable; the fixture
-#: dirs are immutable, and a caller that regenerates a table under the
-#: same path within one session can opt out via
-#: ``SPARK_GRAFT_NO_TABLE_PLAN_CACHE=1``.
-_PLAN_CACHE: "object" = None
+#: bench protocol's warm-up pass ("file-listing caches").
+#:
+#: Bounded LRU keyed by (id(session), sf_dir, name): a cached DataFrame
+#: strongly references its session, so id() cannot be reused while the
+#: entry lives, and the FIFO bound is what retires a stopped session's
+#: plans (a weak-keyed dict could never evict them — the values pin
+#: their keys).  The fixture dirs are immutable; a caller that
+#: regenerates a table under the same path within one session can opt
+#: out via ``SPARK_GRAFT_NO_TABLE_PLAN_CACHE=1``.
+from collections import OrderedDict
+
+_PLAN_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_PLAN_CACHE_CAP = 64
 
 
-def _plan_cache_for(spark: SparkSession) -> dict | None:
-    global _PLAN_CACHE
+def _plan_cache_get(spark: SparkSession, sf_dir: str, name: str):
     if os.environ.get("SPARK_GRAFT_NO_TABLE_PLAN_CACHE") == "1":
         return None
-    if _PLAN_CACHE is None:
-        from weakref import WeakKeyDictionary
+    key = (id(spark), sf_dir, name)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        _PLAN_CACHE.move_to_end(key)
+    return hit
 
-        _PLAN_CACHE = WeakKeyDictionary()
-    try:
-        return _PLAN_CACHE.setdefault(spark, {})
-    except TypeError:  # non-weakrefable session stub (tests)
-        return None
+
+def _plan_cache_put(spark: SparkSession, sf_dir: str, name: str, df) -> None:
+    if os.environ.get("SPARK_GRAFT_NO_TABLE_PLAN_CACHE") == "1":
+        return
+    _PLAN_CACHE[(id(spark), sf_dir, name)] = df
+    while len(_PLAN_CACHE) > _PLAN_CACHE_CAP:
+        _PLAN_CACHE.popitem(last=False)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,11 +107,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session-settable legacy conf; required for any table with ns timestamps
     # (set even on a plan-cache hit: execution re-resolves it per scan)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cache = _plan_cache_for(spark)
-    if cache is not None:
-        hit = cache.get((sf_dir, name))
-        if hit is not None:
-            return hit
+    hit = _plan_cache_get(spark, sf_dir, name)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_type = df.schema["ts"].dataType
@@ -122,8 +131,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         col = "l_shipdate" if name == "lineitem" else "o_orderdate"
         if isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    if cache is not None:
-        cache[(sf_dir, name)] = df
+    _plan_cache_put(spark, sf_dir, name, df)
     return df
 
 

@@ -338,13 +338,9 @@ def _ids_disjoint(original: DataFrame, id_col: str) -> DataFrame:
 _CONTRACT_EXPR_CACHE: dict = {}
 
 
-def _memo(key, builder):
-    """Tiny Column-tree memo (same rationale as _CONTRACT_EXPR_CACHE)."""
-    got = _CONTRACT_EXPR_CACHE.get(key)
-    if got is None:
-        got = builder()
-        _CONTRACT_EXPR_CACHE[key] = got
-    return got
+# the module's general Column-tree memo is _util.memo (same rationale as
+# _CONTRACT_EXPR_CACHE above); aliased so call sites read locally
+from hadoop_sync_spark.queries._util import memo as _memo  # noqa: E402
 
 
 def _contract_exprs(id_col: str, a_col: str, b_col: str,
@@ -508,7 +504,8 @@ def _pair_contract(
       the capped-planted count instead of anti-joining ``expected``.
       That by-construction invariant is not assumed silently: the pair
       job counts flagged pairs whose original-side id is capped
-      (``_found_capped``, the one surviving broadcast) and the verdict
+      (``_found_capped``, via the per-id union groupBy — no broadcast
+      remains in the contract since round 13) and the verdict
       requires zero, so a future cap-semantics change (whole-bucket drop
       → per-member trimming) that starts emitting capped pairs trips the
       contract instead of masking a missing uncapped pair;
@@ -869,76 +866,39 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the collect job's two consumers cannot race the cache build.
     from pyspark import StorageLevel
 
-    def _q66_tagged():
-        ms = F.col("_ms")
-        under = (F.size(ms) <= 500).cast("int")
-        pair_structs = F.flatten(
-            F.transform(
-                ms,
-                lambda x, i: F.transform(
-                    F.slice(ms, i + 2, F.size(ms)),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        hamming64(x["sig"], y["sig"]).alias("hamming"),
-                        F.lit(0).alias("_tag"),
-                        F.lit(1).alias("_under"),
-                    ),
-                ),
-            )
-        )
-        member_structs = F.transform(
-            ms,
-            lambda m: F.struct(
-                m["doc_id"].alias("doc_a"),
-                F.lit(None).cast("bigint").alias("doc_b"),
-                F.lit(None).cast("int").alias("hamming"),
-                F.lit(1).alias("_tag"),
-                under.alias("_under"),
-            ),
-        )
-        empty_t = (
-            "array<struct<doc_a:bigint,doc_b:bigint,hamming:int,"
-            "_tag:int,_under:int>>"
-        )
-        tagged = F.explode(
-            F.concat(
-                F.when(F.size(ms) <= 500, pair_structs).otherwise(
-                    F.array().cast(empty_t)
-                ),
-                member_structs,
-            )
-        ).alias("p")
-        return (
-            tagged,
-            # member rows ride (hamming NULL → disjunct NULL, tag==1 wins);
-            # pair rows pass only at hamming ≤ 6 — same pre-distinct filter
-            (F.col("p._tag") == 1) | (F.col("p.hamming") <= 6),
-            [
-                F.col("p.doc_a").alias("doc_a"),
-                F.col("p.doc_b").alias("doc_b"),
-                F.col("p.hamming").alias("hamming"),
-                F.col("p._tag").alias("_tag"),
-            ],
-            F.max("p._under").alias("_any_under"),
-        )
+    from hadoop_sync_spark.functions.hashing import tagged_bucket_exprs
 
-    tagged, keep, gkeys, gagg = _memo("q66_tagged", _q66_tagged)
+    tx = tagged_bucket_exprs(
+        ("q66_tagged", 500),
+        "doc_id",
+        "hamming",
+        lambda x, y: hamming64(x["sig"], y["sig"]),
+        500,
+        "doc_a",
+        "doc_b",
+    )
+    # member rows ride the hamming filter (hamming NULL → disjunct NULL,
+    # tag==1 wins); pair rows pass only at hamming ≤ 6 — the same
+    # pre-distinct verification filter as the unfused form
+    keep = _memo(
+        "q66_keep",
+        lambda: (F.col("p._tag") == 1) | (F.col("p.hamming") <= 6),
+    )
     g = (
-        buckets_all.select(tagged)
+        buckets_all.select(tx["tagged_explode"])
         .filter(keep)
-        .groupBy(*gkeys)
-        .agg(gagg)
+        .groupBy(*tx["group_keys"])
+        .agg(tx["group_agg"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     g.count()
-    pairs = g.filter(F.col("_tag") == 0).select("doc_a", "doc_b", "hamming")
+    pairs = g.filter(tx["is_pair"]).select("doc_a", "doc_b", "hamming")
     # clone pairs the block path GUARANTEES: SimHash is defined for every
     # doc (empty → sig 0), so the only loss channel is the 500 cap — an
     # id whose every ≥2-member block bucket was dropped cannot pair
-    capped = g.filter(
-        (F.col("_tag") == 1) & (F.col("_any_under") == 0)
-    ).select(F.col("doc_a").alias("doc_id"))
+    capped = g.filter(tx["is_fully_capped"]).select(
+        F.col("doc_a").alias("doc_id")
+    )
     # eligibility needs no predicate: SimHash is defined for every doc
     # (empty → sig 0), so the cap is the only loss channel
     return _pair_contract(
