@@ -1069,22 +1069,38 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges in ~3 rounds."""
     from hadoop_sync_spark.functions.graph import connected_components
 
-    # shingle persist: same contract-count rationale as q63
-    sh = _doc_shingles(spark, sf_dir).persist()
-    corpus, planted, original = _with_planted_clones(sh, "doc_id")
+    # hashed-element persist: same narrow-proxy rationale as q63 (round
+    # 13) — both the signature pipeline and the eligibility filter need
+    # only the xxhash64 values / the cleaned-set size
+    hs = (
+        _doc_shingles(spark, sf_dir)
+        .select(
+            "doc_id",
+            _memo(
+                "hashed_shingles",
+                lambda: element_hashes(
+                    F.array_remove(F.col("sh"), "")
+                ).alias("hs"),
+            ),
+        )
+        .persist()
+    )
+    corpus, planted, original = _with_planted_clones(hs, "doc_id")
     pairs, capped, handle = lsh_candidate_pairs(
-        corpus, with_capped_ids=True, with_persist_handle=True
+        corpus, with_capped_ids=True, with_persist_handle=True,
+        items_col="hs", items_hashed=True,
     )
     comp, comp_h = connected_components(
         pairs, src="id_a", dst="id_b", with_handles=True
     )
     # eligible = planted rows whose clone EDGE the MinHash path
     # guarantees: cleaned shingle set non-empty (the sentinel filter
-    # inside minhash_lsh_pairs drops empty docs) and not every bucket
+    # inside minhash_lsh_pairs drops empty docs — the hashed array is
+    # element-aligned with the cleaned set) and not every bucket
     # lost to the max_bucket cap; the capped residue is ~0 rows, so it
     # broadcasts (was the inlined body of the removed _shingle_eligible)
     eligible = planted.filter(
-        F.size(F.array_remove(F.col("sh"), "")) > 0
+        _memo("hs_nonempty", lambda: F.size(F.col("hs")) > 0)
     ).join(
         F.broadcast(capped.withColumnRenamed("id_a", "doc_id")),
         "doc_id",
@@ -1095,7 +1111,7 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _component_contract(
         comp, planted, corpus, "doc_id",
         eligible=eligible, original=original,
-        free=[handle, sh, comp_h],
+        free=[handle, hs, comp_h],
     )
 
 
