@@ -968,10 +968,16 @@ class _IceIncStreamReader(DataSourceStreamReader):
         changelog mode.  ``None`` dels = the file is removed at that
         side (nothing visible).  Position deletes vectorize via an
         arrow filter on ``file_path``; equality deletes match
-        NULL-SAFE tuples (None == None, exactly read()'s eqNullSafe),
-        with identity-partition key columns restored from the
-        manifest value.  The per-row tuple loop runs only on
-        delete-carrying files' rows — bounded by one file."""
+        NULL-SAFE (None == None, exactly read()'s eqNullSafe), with
+        identity-partition key columns restored from the manifest
+        value.  Fully vectorized (round 14 — this was the last
+        row-at-a-time Python loop on a data path): a single-key
+        delete is one arrow ``is_in`` (``skip_nulls=False`` IS the
+        null-safe semantics), a multi-key delete dictionary-encodes
+        each key column over the union of both sides (null → code
+        -1, so null-safe by construction) and matches the code rows
+        as numpy structured records via ``np.isin`` — per-file cost
+        is O(rows·keys) vectorized ops, no Python per-row work."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -995,7 +1001,7 @@ class _IceIncStreamReader(DataSourceStreamReader):
             else:  # equality delete
                 dt = pq.read_table(dpath)
                 dnames = set(dt.schema.names)
-                del_cols, data_cols = [], []
+                del_arrs, data_arrs = [], []
                 for _fid, kn in keys:
                     dc = next(
                         (v for v in (p.variants or {}).get(kn, (kn,))
@@ -1005,19 +1011,66 @@ class _IceIncStreamReader(DataSourceStreamReader):
                             f"equality delete {dpath!r} lacks key "
                             f"column {kn!r} (or any name variant)"
                         )
-                    del_cols.append(dt.column(dc).to_pylist())
+                    da = dt.column(dc).combine_chunks()
                     fc = next(
                         (v for v in (p.variants or {}).get(kn, (kn,))
                          if v in names), None)
                     if fc is not None:
-                        data_cols.append(tbl.column(fc).to_pylist())
+                        ca = tbl.column(fc).combine_chunks()
                     else:
                         # identity-partition key: metadata-only value
-                        data_cols.append([p.pv.get(kn)] * n)
-                del_keys = set(zip(*del_cols)) if del_cols else set()
-                for i, kt in enumerate(zip(*data_cols)):
-                    if m[i] and kt in del_keys:
-                        m[i] = False
+                        ca = _const_array(p.pv.get(kn), n, da.type)
+                    if da.type != ca.type:
+                        # a conforming delete file carries the key at
+                        # the schema's (possibly pre-promotion) type;
+                        # unify on the data side, as read() casts
+                        da = da.cast(ca.type)
+                    del_arrs.append(da)
+                    data_arrs.append(ca)
+                if not del_arrs:
+                    continue  # keyless spec: matches nothing (as before)
+                if len(del_arrs) == 1:
+                    hit = pc.is_in(data_arrs[0], value_set=del_arrs[0],
+                                   skip_nulls=False)
+                    m &= ~hit.to_numpy(zero_copy_only=False)
+                else:
+                    nd = dt.num_rows
+                    code_rows = np.empty((n, len(del_arrs)), np.int64)
+                    code_dels = np.empty((nd, len(del_arrs)), np.int64)
+                    radix = []
+                    for j, (ca, da) in enumerate(
+                            zip(data_arrs, del_arrs)):
+                        both = pa.concat_arrays(
+                            [ca, da]).dictionary_encode()
+                        codes = pc.fill_null(
+                            both.indices.cast(pa.int64()), -1
+                        ).to_numpy(zero_copy_only=False)
+                        code_rows[:, j] = codes[:n]
+                        code_dels[:, j] = codes[n:]
+                        # codes span [-1, len(dictionary)-1]
+                        radix.append(len(both.dictionary) + 1)
+                    # mixed-radix pack into ONE int64 key per row when
+                    # the radix product fits (it always does for ≤3 key
+                    # columns: radixes are bounded by rows-per-file + 1)
+                    # — np.isin on scalar int64 is ~6x the void path
+                    total = 1
+                    for r in radix:
+                        total *= r
+                    if total < (1 << 63):
+                        ka = np.zeros(n, np.int64)
+                        kb = np.zeros(nd, np.int64)
+                        for j, r in enumerate(radix):
+                            ka = ka * r + (code_rows[:, j] + 1)
+                            kb = kb * r + (code_dels[:, j] + 1)
+                        hit = np.isin(ka, kb)
+                    else:
+                        void = np.dtype((np.void, 8 * len(del_arrs)))
+                        hit = np.isin(
+                            np.ascontiguousarray(code_rows)
+                            .view(void).ravel(),
+                            np.ascontiguousarray(code_dels)
+                            .view(void).ravel())
+                    m &= ~hit
         return m
 
     def _read_change(self, p: "_IceChangePart"):

@@ -943,3 +943,116 @@ def test_iceberg_incremental_refuses_deletes(spark, tmp_path):
     got: list = []
     with pytest.raises(StreamingQueryException, match="changelog"):
         _ice_drain(spark, d, str(tmp_path / "ck"), got)
+
+
+def test_visibility_mask_vectorized_matches_tuple_reference(tmp_path):
+    """Round-14 internals pin: the vectorized equality-delete mask
+    (arrow ``is_in`` single-key; dictionary codes + packed-radix /
+    structured ``np.isin`` multi-key) must be BIT-IDENTICAL to the
+    round-13 per-row tuple-set semantics — null-safe matching (None ==
+    None), renamed-history variants, metadata-only identity-partition
+    keys, and delete-vs-data type promotion included.  Runs
+    _visibility_mask directly (it is the executor-side core; no Spark
+    needed)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_sync_spark.cdc_source import (
+        _ICE_EQ,
+        _ICE_POS,
+        _IceChangePart,
+        _IceIncStreamReader,
+    )
+
+    def reference_mask(tbl, p, dels):
+        """The pre-vectorization tuple-set semantics, verbatim."""
+        n = tbl.num_rows
+        if dels is None:
+            return np.zeros(n, dtype=bool)
+        m = np.ones(n, dtype=bool)
+        names = set(tbl.schema.names)
+        for dpath, content, _dseq, keys in dels:
+            if content == _ICE_POS:
+                dt = pq.read_table(dpath, columns=["file_path", "pos"])
+                for fp, pos in zip(dt.column("file_path").to_pylist(),
+                                   dt.column("pos").to_pylist()):
+                    if fp == p.raw_path and 0 <= pos < n:
+                        m[pos] = False
+            else:
+                dt = pq.read_table(dpath)
+                dnames = set(dt.schema.names)
+                del_cols, data_cols = [], []
+                for _fid, kn in keys:
+                    dc = next(
+                        (v for v in (p.variants or {}).get(kn, (kn,))
+                         if v in dnames), None)
+                    del_cols.append(dt.column(dc).to_pylist())
+                    fc = next(
+                        (v for v in (p.variants or {}).get(kn, (kn,))
+                         if v in names), None)
+                    if fc is not None:
+                        data_cols.append(tbl.column(fc).to_pylist())
+                    else:
+                        data_cols.append([p.pv.get(kn)] * n)
+                del_keys = set(zip(*del_cols)) if del_cols else set()
+                for i, kt in enumerate(zip(*data_cols)):
+                    if m[i] and kt in del_keys:
+                        m[i] = False
+        return m
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    tbl = pa.table({
+        "k1": pa.array([None if i % 97 == 0 else int(x)
+                        for i, x in enumerate(
+                            rng.integers(0, 400, n))], pa.int64()),
+        "s_old": pa.array([None if i % 89 == 0 else f"s{x % 37}"
+                           for i, x in enumerate(range(n))]),
+        "v": pa.array(np.arange(n)),
+    })
+
+    def write(name, table):
+        path = str(tmp_path / name)
+        pq.write_table(table, path)
+        return path
+
+    # 1-key with nulls on both sides (null-safe match required)
+    eq1 = write("eq1.parquet", pa.table({
+        "k1": pa.array([1, 2, None, 399], pa.int64())}))
+    # 2-key: renamed-history variant on the string key (delete file
+    # carries s_old; "current" name is s_new) + nulls + an int32 delete
+    # column against the int64 data column (type unification)
+    eq2 = write("eq2.parquet", pa.table({
+        "k1": pa.array([3, None, 7, 8], pa.int32()),
+        "s_old": pa.array(["s3", None, "s7", "s9"])}))
+    # metadata-only identity-partition key (pt lives only in pv)
+    eq3 = write("eq3.parquet", pa.table({
+        "k1": pa.array([5, 6], pa.int64()),
+        "pt": pa.array(["a", "b"])}))
+    # position delete
+    posd = write("pos.parquet", pa.table({
+        "file_path": pa.array(["data.parquet"] * 3 + ["other"] ),
+        "pos": pa.array([0, 17, 4_999, 5], pa.int64())}))
+
+    part = _IceChangePart(
+        abs_path="", raw_path="data.parquet", seq=1, snapshot_id=1,
+        role="insert", dels_before=(), dels_after=(),
+        pv={"pt": "a"}, out_cols=("k1", "s_new", "v"),
+        arrow_schema=None,
+        variants={"s_new": ("s_new", "s_old"), "pt": ("pt",)})
+
+    dels = (
+        (eq1, _ICE_EQ, 9, ((1, "k1"),)),
+        (eq2, _ICE_EQ, 9, ((1, "k1"), (2, "s_new"))),
+        (eq3, _ICE_EQ, 9, ((1, "k1"), (3, "pt"))),
+        (posd, _ICE_POS, 9, ()),
+    )
+    got = _IceIncStreamReader._visibility_mask(tbl, part, dels)
+    want = reference_mask(tbl, part, dels)
+    assert (got == want).all()
+    # the masks must actually hide something for the pin to mean much
+    assert 0 < int(want.sum()) < n
+    # dels=None (file removed at that side): nothing visible
+    assert not _IceIncStreamReader._visibility_mask(
+        tbl, part, None).any()
