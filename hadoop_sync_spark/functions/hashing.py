@@ -327,18 +327,14 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
 
-#: Memo of the LSH pipeline's internal Column trees (round-13 driver-side
-#: optimization).  Every piece below references only the pipeline's FIXED
-#: internal names (_id/_items/_sig/_band/_bkey/_ms), so the trees are
-#: reusable verbatim across calls — and building them is NOT free: the
-#: nested pair-expansion lambdas alone cost ~0.7 s of py4j round-trips
-#: per call (profiled via cProfile: ~3k gateway messages per q63 run,
-#: guide §5 — the driver should do almost no work on the query path).
-#: Column objects are immutable expression trees; PySpark officially
-#: supports reusing them across plans (unresolved attributes re-resolve
-#: per plan), and the JVM gateway lives for the process, so a
-#: module-level memo is safe.
-_LSH_EXPR_CACHE: dict = {}
+# The LSH pipeline's internal Column trees (fixed internal names
+# _id/_items/_sig/_band/_bkey/_ms) are memoized via the process-wide
+# hadoop_sync_spark.memoize.expr_memo (round 14 — previously a
+# module-local dict): building them costs ~0.7 s of py4j round-trips
+# per call (the nested pair-expansion lambdas alone; profiled at ~3k
+# gateway messages per q63 run).  See memoize.py for the Column-only
+# rule, the SparkContext keying, and the collision tripwire.
+from hadoop_sync_spark.memoize import closure_fingerprint, expr_memo
 
 
 def _est_expr(sa: Column, sb: Column, k: int) -> Column:
@@ -354,54 +350,54 @@ def _est_expr(sa: Column, sb: Column, k: int) -> Column:
 
 def _lsh_exprs(k: int, bands: int, rows: int, seed: int,
                items_hashed: bool) -> dict:
-    key = (k, bands, rows, seed, items_hashed)
-    got = _LSH_EXPR_CACHE.get(key)
-    if got is not None:
-        return got
-    sig_raw = (
-        _minhash_arrow_udf(k, seed)(F.col("_items"))
-        if items_hashed
-        else minhash_signature(F.col("_items"), k=k, seed=seed)
-    )
-
-    def _est(sa, sb):
-        return _est_expr(sa, sb, k)
-
-    ms = F.col("_ms")
-    pair_structs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(
-                    x["_id"].alias("id_a"),
-                    y["_id"].alias("id_b"),
-                    _est(x["_sig"], y["_sig"]).alias("est_jaccard"),
-                ),
-            ),
+    def _build() -> dict:
+        sig_raw = (
+            _minhash_arrow_udf(k, seed)(F.col("_items"))
+            if items_hashed
+            else minhash_signature(F.col("_items"), k=k, seed=seed)
         )
+
+        def _est(sa, sb):
+            return _est_expr(sa, sb, k)
+
+        ms = F.col("_ms")
+        pair_structs = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["_id"].alias("id_a"),
+                        y["_id"].alias("id_b"),
+                        _est(x["_sig"], y["_sig"]).alias("est_jaccard"),
+                    ),
+                ),
+            )
+        )
+        return {
+            "sig": sig_raw.alias("_sig"),
+            "sentinel_keep": (
+                F.element_at("_sig", 1)
+                != F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+            ),
+            "banded": F.posexplode(
+                lsh_band_keys(F.col("_sig"), bands, rows)
+            ).alias("_band", "_bkey"),
+            "bucket_agg": F.array_sort(
+                F.collect_list(F.struct("_id", "_sig"))
+            ).alias("_ms"),
+            "multi_member": F.size("_ms") > 1,
+            "pair_explode": F.explode(pair_structs).alias("p"),
+        }
+
+    return expr_memo(
+        "functions.hashing._lsh_exprs",
+        (k, bands, rows, seed, items_hashed),
+        _build,
     )
-    got = {
-        "sig": sig_raw.alias("_sig"),
-        "sentinel_keep": (
-            F.element_at("_sig", 1)
-            != F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
-        ),
-        "banded": F.posexplode(
-            lsh_band_keys(F.col("_sig"), bands, rows)
-        ).alias("_band", "_bkey"),
-        "bucket_agg": F.array_sort(
-            F.collect_list(F.struct("_id", "_sig"))
-        ).alias("_ms"),
-        "multi_member": F.size("_ms") > 1,
-        "pair_explode": F.explode(pair_structs).alias("p"),
-    }
-    _LSH_EXPR_CACHE[key] = got
-    return got
 
 
 def tagged_bucket_exprs(
-    memo_key: tuple,
     id_field: str,
     payload_name: str,
     payload_of,
@@ -427,57 +423,69 @@ def tagged_bucket_exprs(
     slots are `when(lit(false), <the real expression>)`, so they carry
     exactly the pair struct's types whatever the caller's id column or
     payload type is (a hand-written DDL here silently widened int ids to
-    bigint on one path only — round-13 review finding)."""
-    got = _LSH_EXPR_CACHE.get(memo_key)
-    if got is not None:
-        return got
-    ms = F.col("_ms")
-    under_b = F.size(ms) <= max_bucket
-    # over-cap buckets expand an EMPTY member list (slice(ms, 1, 0) is a
-    # zero-length array of ms's own element type) — no typed-empty
-    # literal, no expansion cost on the capped buckets
-    src_ms = F.when(under_b, ms).otherwise(F.slice(ms, 1, 0))
-    pair_structs = F.flatten(
-        F.transform(
-            src_ms,
-            lambda x, i: F.transform(
-                F.slice(src_ms, i + 2, F.size(src_ms)),
-                lambda y: F.struct(
-                    x[id_field].alias(a_name),
-                    y[id_field].alias(b_name),
-                    payload_of(x, y).alias(payload_name),
-                    F.lit(0).alias("_tag"),
-                    F.lit(1).alias("_under"),
+    bigint on one path only — round-13 review finding).
+
+    The memo key is DERIVED from every functional parameter — including
+    ``payload_of``'s code object and captured constants (its
+    :func:`closure_fingerprint`) — so an edited payload or cap can never
+    be served a stale expression tree (the round-13 form trusted a
+    caller-supplied opaque key; ADVICE r13)."""
+
+    def _build() -> dict:
+        ms = F.col("_ms")
+        under_b = F.size(ms) <= max_bucket
+        # over-cap buckets expand an EMPTY member list (slice(ms, 1, 0)
+        # is a zero-length array of ms's own element type) — no
+        # typed-empty literal, no expansion cost on the capped buckets
+        src_ms = F.when(under_b, ms).otherwise(F.slice(ms, 1, 0))
+        pair_structs = F.flatten(
+            F.transform(
+                src_ms,
+                lambda x, i: F.transform(
+                    F.slice(src_ms, i + 2, F.size(src_ms)),
+                    lambda y: F.struct(
+                        x[id_field].alias(a_name),
+                        y[id_field].alias(b_name),
+                        payload_of(x, y).alias(payload_name),
+                        F.lit(0).alias("_tag"),
+                        F.lit(1).alias("_under"),
+                    ),
                 ),
+            )
+        )
+        member_structs = F.transform(
+            ms,
+            lambda m: F.struct(
+                m[id_field].alias(a_name),
+                F.when(F.lit(False), m[id_field]).alias(b_name),
+                F.when(F.lit(False), payload_of(m, m)).alias(payload_name),
+                F.lit(1).alias("_tag"),
+                under_b.cast("int").alias("_under"),
             ),
         )
+        return {
+            "tagged_explode": F.explode(
+                F.concat(pair_structs, member_structs)
+            ).alias("p"),
+            "group_keys": [
+                F.col(f"p.{a_name}").alias(a_name),
+                F.col(f"p.{b_name}").alias(b_name),
+                F.col(f"p.{payload_name}").alias(payload_name),
+                F.col("p._tag").alias("_tag"),
+            ],
+            "group_agg": F.max("p._under").alias("_any_under"),
+            "is_pair": F.col("_tag") == 0,
+            "is_fully_capped": (
+                (F.col("_tag") == 1) & (F.col("_any_under") == 0)
+            ),
+        }
+
+    return expr_memo(
+        "functions.hashing.tagged_bucket_exprs",
+        (id_field, payload_name, closure_fingerprint(payload_of),
+         max_bucket, a_name, b_name),
+        _build,
     )
-    member_structs = F.transform(
-        ms,
-        lambda m: F.struct(
-            m[id_field].alias(a_name),
-            F.when(F.lit(False), m[id_field]).alias(b_name),
-            F.when(F.lit(False), payload_of(m, m)).alias(payload_name),
-            F.lit(1).alias("_tag"),
-            under_b.cast("int").alias("_under"),
-        ),
-    )
-    got = {
-        "tagged_explode": F.explode(
-            F.concat(pair_structs, member_structs)
-        ).alias("p"),
-        "group_keys": [
-            F.col(f"p.{a_name}").alias(a_name),
-            F.col(f"p.{b_name}").alias(b_name),
-            F.col(f"p.{payload_name}").alias(payload_name),
-            F.col("p._tag").alias("_tag"),
-        ],
-        "group_agg": F.max("p._under").alias("_any_under"),
-        "is_pair": F.col("_tag") == 0,
-        "is_fully_capped": (F.col("_tag") == 1) & (F.col("_any_under") == 0),
-    }
-    _LSH_EXPR_CACHE[memo_key] = got
-    return got
 
 
 def minhash_lsh_pairs(
@@ -593,7 +601,6 @@ def minhash_lsh_pairs(
         # standard materialization point of a production LSH pipeline
         # (MEMORY_AND_DISK, evicted LRU, never required for correctness).
         tx = tagged_bucket_exprs(
-            ("lsh_tagged", k, bands, rows, seed, items_hashed, max_bucket),
             "_id",
             "est_jaccard",
             lambda x, y: _est_expr(x["_sig"], y["_sig"], k),

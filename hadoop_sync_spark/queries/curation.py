@@ -858,6 +858,14 @@ def q109_fingerprint_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         _li_bucket_digest(li, lineno_b),
         "bucket",
     )
+    # NOTE (round 14, measured): do NOT materialize bad0/bad1 as local
+    # relations "to cut the rescans".  The static plan prints 36 scans
+    # because the digest subtrees repeat under every consumer, but
+    # AQE's runtime exchange reuse dedups the identical subtrees inside
+    # the one collect action — the executed run completes 25 tasks.
+    # Collect-then-reattach splits the action into separate jobs that
+    # cannot share exchanges: same-boot A/B ran 121 tasks and
+    # 10.8 s → 13.8 s.  The lazy form IS the optimized form.
     ra = _keyed_fp_rows(li, F.col("l_linenumber")).join(
         F.broadcast(bad0), "bucket"
     )

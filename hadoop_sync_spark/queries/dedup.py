@@ -330,26 +330,33 @@ def _ids_disjoint(original: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-#: Memo of the contract's Column trees (round-13 driver-side optimization,
-#: the _LSH_EXPR_CACHE twin in functions/hashing.py): building these
-#: expressions costs ~0.3-0.4 s of py4j round-trips per call, and they
-#: are parametric only on column NAMES and the bound constant — Column
-#: trees are immutable and officially reusable across plans.
-_CONTRACT_EXPR_CACHE: dict = {}
+# The contract's Column trees (round-13 driver-side optimization) are
+# memoized via the process-wide hadoop_sync_spark.memoize.expr_memo
+# (round 14 — previously a module-local dict): building them costs
+# ~0.3-0.4 s of py4j round-trips per call, and they are parametric only
+# on column NAMES and the bound constant.  See memoize.py for the
+# Column-only rule, the SparkContext keying, and the collision tripwire.
+from hadoop_sync_spark.memoize import expr_memo as _expr_memo  # noqa: E402
 
-
-# the module's general Column-tree memo is _util.memo (same rationale as
-# _CONTRACT_EXPR_CACHE above); aliased so call sites read locally
+# the module's general Column-tree memo is _util.memo (same rationale);
+# aliased so call sites read locally
 from hadoop_sync_spark.queries._util import memo as _memo  # noqa: E402
 
 
 def _contract_exprs(id_col: str, a_col: str, b_col: str,
                     capped_id_col: str, max_pairs_per_row: int) -> dict:
     key = (id_col, a_col, b_col, capped_id_col, max_pairs_per_row)
-    got = _CONTRACT_EXPR_CACHE.get(key)
-    if got is not None:
-        return got
+    return _expr_memo(
+        "queries.dedup._contract_exprs", key,
+        lambda: _build_contract_exprs(
+            id_col, a_col, b_col, capped_id_col, max_pairs_per_row
+        ),
+    )
 
+
+def _build_contract_exprs(id_col: str, a_col: str, b_col: str,
+                          capped_id_col: str,
+                          max_pairs_per_row: int) -> dict:
     def _in_range(c: Column) -> Column:
         # an honest original-side id: non-negative, below the clone band
         return (c >= 0) & (c < _CLONE_OFFSET)
@@ -443,7 +450,6 @@ def _contract_exprs(id_col: str, a_col: str, b_col: str,
             F.col("_ids_ok").alias("ids_disjoint_ok"),
         ],
     }
-    _CONTRACT_EXPR_CACHE[key] = got
     return got
 
 
@@ -616,6 +622,28 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hs_nonempty() -> Column:
+    """Shared eligibility predicate for the hashed-shingle contracts
+    (q63/q68): cleaned shingle set non-empty, read off the cached
+    hashed-element array (element-aligned with the cleaned set).  ONE
+    memo call site on purpose — the round-14 collision tripwire flags
+    the same key cached from two different builders."""
+    return _memo("hs_nonempty", lambda: F.size(F.col("hs")) > 0)
+
+
+def _hashed_shingles_col() -> Column:
+    """Shared hashed-element projection for the MinHash contracts
+    (q63/q68): xxhash64 of each cleaned shingle, the narrow proxy both
+    persist instead of the shingle strings (round 13, guide §2.3).  ONE
+    memo call site on purpose (see :func:`_hs_nonempty`)."""
+    return _memo(
+        "hashed_shingles",
+        lambda: element_hashes(
+            F.array_remove(F.col("sh"), "")
+        ).alias("hs"),
+    )
+
+
 def lsh_candidate_pairs(
     shingled: DataFrame,
     with_capped_ids: bool = False,
@@ -675,15 +703,7 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes.
     hs = (
         _doc_shingles(spark, sf_dir)
-        .select(
-            "doc_id",
-            _memo(
-                "hashed_shingles",
-                lambda: element_hashes(
-                    F.array_remove(F.col("sh"), "")
-                ).alias("hs"),
-            ),
-        )
+        .select("doc_id", _hashed_shingles_col())
         .persist()
     )
     corpus, _planted, _original = _with_planted_clones(hs, "doc_id")
@@ -701,7 +721,7 @@ def q63_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its size carries the same predicate)
     return _pair_contract(
         pairs, hs, "doc_id", "id_a", "id_b",
-        eligible_pred=_memo("hs_nonempty", lambda: F.size(F.col("hs")) > 0),
+        eligible_pred=_hs_nonempty(),
         capped=capped, capped_id_col="id_a",
         free=[handle, hs],
     )
@@ -869,7 +889,6 @@ def q66_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_sync_spark.functions.hashing import tagged_bucket_exprs
 
     tx = tagged_bucket_exprs(
-        ("q66_tagged", 500),
         "doc_id",
         "hamming",
         lambda x, y: hamming64(x["sig"], y["sig"]),
@@ -1074,15 +1093,7 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the xxhash64 values / the cleaned-set size
     hs = (
         _doc_shingles(spark, sf_dir)
-        .select(
-            "doc_id",
-            _memo(
-                "hashed_shingles",
-                lambda: element_hashes(
-                    F.array_remove(F.col("sh"), "")
-                ).alias("hs"),
-            ),
-        )
+        .select("doc_id", _hashed_shingles_col())
         .persist()
     )
     corpus, planted, original = _with_planted_clones(hs, "doc_id")
@@ -1099,9 +1110,7 @@ def q68_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element-aligned with the cleaned set) and not every bucket
     # lost to the max_bucket cap; the capped residue is ~0 rows, so it
     # broadcasts (was the inlined body of the removed _shingle_eligible)
-    eligible = planted.filter(
-        _memo("hs_nonempty", lambda: F.size(F.col("hs")) > 0)
-    ).join(
+    eligible = planted.filter(_hs_nonempty()).join(
         F.broadcast(capped.withColumnRenamed("id_a", "doc_id")),
         "doc_id",
         "left_anti",

@@ -297,14 +297,22 @@ def q100_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges are the same IEEE expression on both engines, so assignments
     match bit-for-bit.
 
-    Scale: TWO table passes total since round 13 (was two per column —
-    6 pruned scans): one aggregation computes every column's bounds /
+    Scale: TWO table passes of real work per run since round 13 (was
+    two per column): one aggregation computes every column's bounds /
     counts / distincts together (one Expand handles the multi-distinct),
-    and one bucketing pass against the broadcast one-row bounds emits all
-    histograms via a per-row struct explode + a single (column, bucket)
-    groupBy.  Emitted rows are identical stat-for-stat; the single-pass
-    alternative to the exact histogram remains a t-digest/KLL sketch,
-    which q48's approx-percentile contract already covers."""
+    and one bucketing pass against the broadcast one-row bounds emits
+    all histograms via a per-row struct explode + a single
+    (column, bucket) groupBy.  The STATIC plan prints 6 scans — the
+    one-row bounds subtree is repeated under the stats branch and the
+    broadcast — but AQE's runtime exchange reuse dedups the identical
+    subtrees: the executed run completes 17 tasks, exactly the two
+    passes.  (Round 14 measured the "obvious" fix — materialize the
+    one-row bounds as a local relation — and REJECTED it: splitting the
+    action into collect-then-reattach defeats that reuse and ran 77
+    tasks, 2.3 s → 4.0 s same-boot.)  Emitted rows are identical
+    stat-for-stat; the single-pass alternative to the exact histogram
+    remains a t-digest/KLL sketch, which q48's approx-percentile
+    contract already covers."""
     li = t(spark, sf_dir, "lineitem")
     from hadoop_sync_spark.queries._util import memo
 

@@ -460,3 +460,60 @@ def test_lsh_hashed_items_path_is_bit_identical(spark):
     a = sorted(map(tuple, via_strings.collect()))
     b = sorted(map(tuple, via_hashes.collect()))
     assert a == b and len(a) > 0
+
+
+def test_fused_capped_path_matches_unfused_derivation(spark):
+    """ADVICE r13: the fused tagged-generator path (with_capped_ids=True
+    — ONE generator emits pair and member structs, one groupBy yields
+    both outputs) must agree with the unfused derivation on a corpus
+    holding an over-cap bucket group, an exactly-at-cap group, and
+    normal under-cap docs:
+
+    - pairs == the unfused pair set (with_capped_ids=False, same cap);
+    - capped == ids present in some >=2-member bucket but in NO
+      under-cap >=2-member bucket (derived here via the uncapped pair
+      set: an id pairs somewhere iff it has an under-cap bucket when
+      cap=None means every bucket is under-cap... the reference is
+      computed from group structure instead, see below).
+
+    Group structure makes the expected capped set exact by
+    construction: identical docs share identical signatures, so a
+    group of size g lands g-strong in EVERY band bucket — over-cap
+    groups are fully capped (no other band can rescue them), at-cap
+    and under-cap groups pair completely and are never capped.
+    """
+    base_a = " ".join(f"a{i} b{i} c{i}" for i in range(40))
+    base_b = " ".join(f"x{i} y{i} z{i}" for i in range(40))
+    cap = 6
+    rows = [(i, base_a) for i in range(10)]          # over-cap group
+    rows += [(100 + i, base_b) for i in range(cap)]  # exactly-at-cap
+    rows += [(1000 + i, " ".join(f"u{i}w{j}" for j in range(30)))
+             for i in range(4)]                      # under-cap singles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingled(df)
+
+    pairs_f, capped_f = minhash_lsh_pairs(
+        sh, "doc_id", "sh", k=32, bands=8, max_bucket=cap,
+        with_capped_ids=True,
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in pairs_f.collect()}
+    got_capped = {r.id_a for r in capped_f.collect()}
+
+    pairs_u = minhash_lsh_pairs(
+        sh, "doc_id", "sh", k=32, bands=8, max_bucket=cap,
+    )
+    want_pairs = {(r.id_a, r.id_b) for r in pairs_u.collect()}
+
+    assert got_pairs == want_pairs
+    # the at-cap group's full pair set must be present (cap is <=)
+    at_cap = {100 + i for i in range(cap)}
+    assert {(a, b) for a, b in want_pairs
+            if a in at_cap and b in at_cap} == {
+        (a, b) for a in at_cap for b in at_cap if a < b
+    }
+    # the over-cap group is fully capped; nobody else is
+    assert got_capped == set(range(10))
+    # est_jaccard payload identical across both paths for shared pairs
+    est_f = {(r.id_a, r.id_b): r.est_jaccard for r in pairs_f.collect()}
+    est_u = {(r.id_a, r.id_b): r.est_jaccard for r in pairs_u.collect()}
+    assert est_f == est_u

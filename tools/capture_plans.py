@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r13/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r13/<query>_<suffix>.txt for each query (default: the
-bench.py HEADLINE set).  Planning only — no job execution beyond what
-persist()-bearing query constructors trigger, so it is cheap enough to
-run alongside other work.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (round
+defaults to r14) for each query (default: the bench.py HEADLINE set).
+Planning only — no job execution beyond what persist()-bearing query
+constructors trigger, so it is cheap enough to run alongside other
+work.
 """
 
 from __future__ import annotations
@@ -37,7 +38,8 @@ def main() -> None:
     registry = load_all()
     spark = get_spark(app_name="plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    out_dir = (Path(__file__).resolve().parent.parent / "plans"
+               / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = registry[name].fn(spark, SF_DIR)
