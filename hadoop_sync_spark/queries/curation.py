@@ -635,6 +635,22 @@ def _li_rowstr(lineno: F.Column) -> F.Column:
     )
 
 
+def _spread_li(spark: SparkSession, li: DataFrame) -> DataFrame:
+    """Widen a narrow lineitem scan before the fingerprint passes
+    (round 14; the dedup._spread pattern).  The digest/drilldown
+    queries do per-row md5+conv work in EVERY pass, and a small
+    single-file table arrives as ONE partition — at sf0.1 that
+    serialized four 600k-row fingerprint scans onto one core (q109
+    measured 10.8 s wall over only 25 completed tasks).  One
+    deterministic hash repartition, shared by every consumer through
+    AQE exchange reuse, runs them all wide.  No-op at scale: a real
+    table's scan already has >= defaultParallelism splits."""
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        return li.repartition(par, "l_orderkey")
+    return li
+
+
 def _li_bucket_digest(li: DataFrame, lineno: F.Column) -> DataFrame:
     """Per-bucket order-insensitive digest of lineitem rows: row count,
     XOR-fold and bounded additive fold of a 32-bit md5 row fingerprint."""
@@ -699,7 +715,7 @@ def q97_table_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     level-0 sweep: only mismatched buckets need a drill-down rescan
     (re-digest the bucket at finer granularity), never a full-table sort
     or exchange."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _spread_li(spark, t(spark, sf_dir, "lineitem"))
     a = _li_bucket_digest(li, F.col("l_linenumber"))
     b = _li_bucket_digest(
         li,
@@ -848,7 +864,7 @@ def q109_fingerprint_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction).  A persisted digest tree (registry-published, per
     q95's compaction lifecycle) would drop the rescans too; the stateless
     form is the worst case."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _spread_li(spark, t(spark, sf_dir, "lineitem"))
     lineno_b = F.when(
         F.col("l_orderkey") % 997 == 0, F.col("l_linenumber") + 100
     ).otherwise(F.col("l_linenumber"))
