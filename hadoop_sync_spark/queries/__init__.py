@@ -83,19 +83,83 @@ def register(
 #:      so no query ever goes more than 2 rounds without a driver row.
 #: Queries not listed here append afterwards in registration order.
 _DRIVER_ORDER: tuple[str, ...] = (
-    # ---- ROUND-13 WINDOW ----
+    # ---- ROUND-14 WINDOW ----
+    # Backlog entering round 14 (ledger-recomputed; matches WINDOW.md's
+    # pre-written round-14 runbook name-for-name): the 50-query r11-green
+    # cohort, last green three recorded rounds ago after CORRECTNESS_r13 —
+    # strict branch (50 = 50), all mandatory (rule 3), ZERO spare.
+    # Pre-checked green on final round-13 code (the round-13 closing
+    # capstone swept ALL 149 through the exact driver contract), and the
+    # rotated window re-swept 50/50 on round-14 code at the rotation
+    # commit.  REGISTRY IS CAPPED at 149 queries — see WINDOW.md.
+    # (3) the cohort in numeric order
+    "q04_supplier_by_region",
+    "q05_order_count_distribution",
+    "q06_customers_with_open_orders",
+    "q10_rollup_orders",
+    "q11_cube_lineitem",
+    "q13_event_gaps",
+    "q14_running_customer_spend",
+    "q15_nation_set_ops",
+    "q16_distinct_segments",
+    "q18_json_extract",
+    "q19_array_ops",
+    "q24_exact_median",
+    "q33_pivot_returnflag",
+    "q34_exact_variance",
+    "q35_date_arithmetic",
+    "q36_regexp_text",
+    "q37_multiset_ops",
+    "q39_scalar_in_subquery",
+    "q40_tumbling_window",
+    "q41_sliding_window",
+    "q42_session_windows",
+    "q43_dedup_events",
+    "q44_salted_skew_agg",
+    "q45_grouped_mode_udaf",
+    "q69_semantic_dedup",
+    "q75_gap_fill_locf",
+    "q81_registry_pruned_scan",
+    "q82_registry_sync_lifecycle",
+    "q83_notin_supplier_cnt",
+    "q84_disjunctive_join_revenue",
+    "q85_correlated_max_qty",
+    "q90_media_features",
+    "q95_compaction_lifecycle",
+    "q102_schema_evolution",
+    "q106_chain_components",
+    "q117_bloom_incremental_dedup",
+    "q119_scd2_intervals",
+    "q120_funnel_conversion",
+    "q121_bigram_lm_quality",
+    "q122_rolling_7d_revenue",
+    "q123_copurchase_triangles",
+    "q124_retention_cohorts",
+    "q125_event_trigrams",
+    "q126_snapshot_cdc",
+    "q127_vocab_build",
+    "q128_price_size_skyline",
+    "q129_audio_energy_segments",
+    "q130_robust_source_stats",
+    "q131_temperature_mix",
+    "q132_posting_blocks",
+)
+
+
+_ROUND13_WINDOW_HISTORICAL: tuple[str, ...] = (
+    # ---- ROUND-13 WINDOW (historical, kept for the ledger narrative) ----
     # Backlog entering round 13 (ledger-recomputed; matches WINDOW.md's
     # pre-written round-13 runbook name-for-name): the 49-query r10-green
     # cohort, last green three recorded rounds ago after CORRECTNESS_r12 —
     # strict branch (49 <= 50), all mandatory (rule 3).  Pre-checked green
     # on final round-12 code (WINDOW.md round-13 pre-check: 59/59 via
-    # prefix-widened driver_sweep).  The one spare slot goes to
+    # prefix-widened driver_sweep).  The one spare slot went to
     # q149_delta_dv_reader (rule-2 protective): round-13 library work
     # extends the Delta column-mapping surface (id-mode write faces per
     # VERDICT r12 item 5) adjacent to the mapped read path its fixture
     # routes through, and an in-window rule-2 change re-greens for free
     # (WINDOW.md displacement case 1).
-    # REGISTRY IS CAPPED at 149 queries — see WINDOW.md steady state.
+    # CORRECTNESS_r13: 50/50 green.
     # (3) the cohort in numeric order, then the spare
     "q02_filter_predicates",
     "q03_top_unshipped_orders",
