@@ -610,6 +610,13 @@ def minhash_lsh_pairs(
         )
         from pyspark import StorageLevel
 
+        # NOTE (round 14, measured): do NOT coalesce `g` before the
+        # persist to shrink its 32 tiny cached partitions — interleaved
+        # same-boot A/B of coalesce(4) vs none was a tie inside the
+        # ambient band (medians 2.56/2.75/4.11 vs 2.92/2.84/3.61 across
+        # three alternating passes): the consumer stages' 32 trivial
+        # cache-read tasks cost launch overhead only, while a fixed
+        # coalesce narrows the aggregation's merge parallelism at scale.
         g = (
             buckets_all.select(tx["tagged_explode"])
             .groupBy(*tx["group_keys"])

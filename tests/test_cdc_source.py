@@ -172,6 +172,7 @@ def test_cdc_source_bounded_batches(spark, tmp_path):
         assert max(vers) - min(vers) < 3
 
 
+@pytest.mark.slow
 def test_iceberg_incremental_bounded_batches(spark, tmp_path):
     """``maxSnapshotsPerBatch`` — the iceberg twin: a 5-append
     backlog drains in ceil(5/2) = 3 micro-batches, one or two
@@ -284,6 +285,7 @@ def test_cdc_source_incremental_and_partitioned(spark, tmp_path):
     assert got3 == [(1, 10, 0, "delete", 1)]
 
 
+@pytest.mark.slow
 def test_sources_starting_latest(spark, tmp_path):
     """startingVersion/startingSequence = 'latest': the existing
     backlog is skipped, only commits after stream creation arrive —
@@ -423,6 +425,7 @@ def test_cdc_replication_pipeline_exactly_once(spark, tmp_path):
     ) == [(1, 10), (2, 20), (3, 30)]
 
 
+@pytest.mark.slow
 def test_cdc_source_column_mapped_name_mode(spark, tmp_path):
     """Name-mode mapped CDF table: cdc and add files carry PHYSICAL
     column names; the stream translates through the metadata map and
@@ -473,6 +476,7 @@ def test_cdc_source_column_mapped_name_mode(spark, tmp_path):
             "insert"} <= {t[2] for t in got}
 
 
+@pytest.mark.slow
 def test_cross_format_replication_delta_to_iceberg(spark, tmp_path):
     """CROSS-FORMAT pipeline: delta_cdc source -> iceberg epoch sink.
     A Delta table's insert feed replicates into an Iceberg table
@@ -541,6 +545,7 @@ def _ice_drain(spark, table_dir, ckpt, rows_out):
     q.awaitTermination()
 
 
+@pytest.mark.slow
 def test_cdc_source_id_mode(spark, tmp_path):
     """id-mode twin (round 13 — the r12 refusal lifted): the streamed
     feed resolves each planned file's physical names from ITS OWN
@@ -641,6 +646,7 @@ def test_iceberg_incremental_source(spark, tmp_path):
     assert got3 == [(3, 30, s1)]
 
 
+@pytest.mark.slow
 def test_iceberg_incremental_partitioned_pv_attach(spark, tmp_path):
     """Streamed per-tuple data files EXCLUDE identity partition
     columns (the partitioned append shape); the source attaches the
@@ -658,6 +664,7 @@ def test_iceberg_incremental_partitioned_pv_attach(spark, tmp_path):
     assert sorted(got) == [(1, 0, s0), (2, 1, s0)]
 
 
+@pytest.mark.slow
 def test_iceberg_incremental_custom_named_identity_pv(spark, tmp_path):
     """An identity partition field with an EXPLICIT custom name
     (create's 4-element spec form, which the collision guard permits)
@@ -682,6 +689,7 @@ def test_iceberg_incremental_custom_named_identity_pv(spark, tmp_path):
     assert all(r[1] is not None for r in got)
 
 
+@pytest.mark.slow
 def test_iceberg_incremental_renamed_history(spark, tmp_path):
     """A rename BEFORE stream start resolves per field id (round 13 —
     the r12 refusal lifted): pre-rename files carry the old physical
@@ -738,6 +746,7 @@ def test_iceberg_incremental_renamed_history(spark, tmp_path):
     assert got2 == [(9, "v9", s3)]
 
 
+@pytest.mark.slow
 def test_iceberg_changelog_stream_matches_batch(spark, tmp_path):
     """``mode=changelog`` (round 13 stretch — the true twin of
     delta_cdc's full feed): the streamed row-level changelog over a
@@ -810,6 +819,7 @@ def test_iceberg_changelog_stream_matches_batch(spark, tmp_path):
     assert {(g[0], g[2]) for g in got2} == {(9, "delete")}
 
 
+@pytest.mark.slow
 def test_cdc_source_mapped_partitioned_and_fanout(spark, tmp_path):
     """The remaining matrix cell: name-mode mapping AND partitioning
     together — cdc/add files carry physical data columns, the

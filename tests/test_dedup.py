@@ -3,6 +3,7 @@ planted near-duplicates must be found, unrelated docs must not pair, and
 the Arrow-vectorized signature paths must be bit-identical to the
 pure-builtin reference implementations."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_sync_spark.functions.hashing import (
@@ -147,6 +148,7 @@ def test_connected_components_planted_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+@pytest.mark.slow
 def test_star_components_match_label_propagation(spark):
     """large-star/small-star must agree with one-hop label propagation on
     random graphs (several seeds and densities) — same (node, component)

@@ -807,6 +807,7 @@ def test_column_mapping_id_mode_matches_by_field_id(spark, tmp_path):
         log.read(spark).collect()
 
 
+@pytest.mark.slow
 def test_dml_write_faces_id_mode(spark, tmp_path):
     """Round 13 lifts the id-mode write refusal: the write faces
     resolve physical names per-FOOTER like the read path — the
@@ -1959,6 +1960,7 @@ def test_delete_where_mapped_partitioned_physical_keys(spark, tmp_path):
     assert got == {(1, "X", 0)}
 
 
+@pytest.mark.slow
 def test_merge_upsert_dv_plus_source_file(spark, tmp_path):
     """Delta merge_upsert: key-only target scan (pruned to the key
     column, source keys pushed as an IN filter), matched rows DV out,
@@ -2043,6 +2045,7 @@ def test_cli_changes_both_formats(spark, tmp_path, capsys):
     assert main(["changes", meta, "tp", "--from", "0"]) == 2
 
 
+@pytest.mark.slow
 def test_cli_merge_both_formats(spark, tmp_path, capsys):
     from hadoop_sync_spark.__main__ import main
 
@@ -2137,6 +2140,7 @@ def test_read_changes_cdf_lite_lifecycle(spark, tmp_path):
         log.read_changes(spark, 0).collect()
 
 
+@pytest.mark.slow
 def test_read_changes_mapped_and_merge(spark, tmp_path):
     """Mapped tables resolve physical names; merge_upsert surfaces as
     the matched delete + full-batch insert."""
@@ -2175,6 +2179,7 @@ def test_read_changes_partitioned_valueless_remove(spark, tmp_path):
     assert rows == {(1, 7, "delete", 1)}
 
 
+@pytest.mark.slow
 def test_merge_upsert_semijoin_key_tier(spark, tmp_path):
     """Key sets over MERGE_IN_PUSHDOWN_KEY_LIMIT (but under the
     position cap) semi-join the key scan instead of a literal IN list
@@ -2198,6 +2203,7 @@ def test_merge_upsert_semijoin_key_tier(spark, tmp_path):
         del log.MERGE_IN_PUSHDOWN_KEY_LIMIT
 
 
+@pytest.mark.slow
 def test_merge_upsert_partitioned(spark, tmp_path):
     """Partitioned Delta merge (round 12): the source (which carries
     the partition columns as logical columns) splits per tuple — one
@@ -2251,6 +2257,7 @@ def test_merge_upsert_partitioned(spark, tmp_path):
         del log.DELETE_WHERE_ROW_LIMIT
 
 
+@pytest.mark.slow
 def test_merge_upsert_all_new_keys_no_protocol_upgrade(spark, tmp_path):
     """An all-new-keys merge writes no DV and must NOT upgrade the
     protocol — older engines keep reading the table after a pure
@@ -2311,6 +2318,7 @@ def test_update_where_executor_tier_over_cap(spark, tmp_path):
         del log.DELETE_WHERE_ROW_LIMIT
 
 
+@pytest.mark.slow
 def test_merge_upsert_executor_tier_over_cap(spark, tmp_path):
     """merge_upsert above the driver cap: the key set semi-joins the
     target scan (no IN list), matched rows DV out via the executor
@@ -2429,6 +2437,7 @@ def test_change_data_feed_write_and_read(spark, tmp_path):
     assert +state == final
 
 
+@pytest.mark.slow
 def test_change_data_feed_partitioned_and_executor_tier(spark,
                                                         tmp_path):
     """CDF on a partitioned table splits cdc files per tuple (the

@@ -804,7 +804,15 @@ def _run_sequence(spark, tmp_path, seed: int, n_ops: int,
     return {"rollbacks": n_rollbacks}
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
+
+def _slow(*vals):
+    """Extra fuzz seeds beyond the first of each sequence flavor ride
+    the slow tier (round 14 — conftest.pytest_collection_modifyitems):
+    the default run keeps ONE seed per flavor as smoke coverage, the
+    full sweep runs under SPARK_GRAFT_FULL_TESTS=1."""
+    return [pytest.param(v, marks=pytest.mark.slow) for v in vals]
+
+@pytest.mark.parametrize("seed", [11, *_slow(12, 13)])
 def test_dml_sequence_matches_model(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed, n_ops=9, mapped=False)
 
@@ -814,17 +822,18 @@ def test_dml_sequence_matches_model_mapped(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed, n_ops=9, mapped=True)
 
 
+@pytest.mark.slow
 def test_dml_sequence_long(spark, tmp_path):
     _run_sequence(spark, tmp_path, seed=31, n_ops=14, mapped=False)
 
 
-@pytest.mark.parametrize("seed", [41, 42])
+@pytest.mark.parametrize("seed", [41, *_slow(42)])
 def test_dml_sequence_partitioned(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False,
                   partitioned=True)
 
 
-@pytest.mark.parametrize("seed", [707, 721, 745])
+@pytest.mark.parametrize("seed", [707, *_slow(721, 745)])
 def test_dml_sequence_with_rollback(spark, tmp_path, seed):
     # restore/rollback composed into the op mix (round 11): seed 707
     # rolls back twice through grown deletion vectors (the
@@ -840,7 +849,8 @@ def test_dml_sequence_with_rollback(spark, tmp_path, seed):
     assert res["rollbacks"] >= 1
 
 
-@pytest.mark.parametrize("seed", [815, 829])
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [815, *_slow(829)])
 def test_dml_sequence_rollback_partitioned_mapped(spark, tmp_path,
                                                   seed):
     # partitioned twins + mapped Delta: seed 815 rolls back
@@ -858,7 +868,8 @@ def test_dml_sequence_rollback_partitioned_mapped(spark, tmp_path,
     assert res["rollbacks"] >= 1
 
 
-@pytest.mark.parametrize("seed", [11, 41])
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [11, *_slow(41)])
 def test_dml_sequence_cdf_written_feed(spark, tmp_path, seed):
     # round 12: delta.enableChangeDataFeed makes the Delta faces WRITE
     # _change_data files (update_pre/postimage included) and the
@@ -871,7 +882,8 @@ def test_dml_sequence_cdf_written_feed(spark, tmp_path, seed):
                   cdf_enabled=True)
 
 
-@pytest.mark.parametrize("seed", [1401, 1431])
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [1401, *_slow(1431)])
 def test_dml_sequence_partitioned_merge(spark, tmp_path, seed):
     # round 12 lifted the partitioned-merge refusal on BOTH formats:
     # merges land in partitioned sequences (per-tuple source split,
@@ -884,7 +896,8 @@ def test_dml_sequence_partitioned_merge(spark, tmp_path, seed):
                   partitioned=True, partitioned_merge=True)
 
 
-@pytest.mark.parametrize("seed", [1201, 1217])
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [1201, *_slow(1217)])
 def test_dml_sequence_delta_executor_tier(spark, tmp_path, seed,
                                           monkeypatch):
     # round 12: force EVERY Delta delete/update/merge through the
@@ -897,7 +910,8 @@ def test_dml_sequence_delta_executor_tier(spark, tmp_path, seed,
     _run_sequence(spark, tmp_path, seed, n_ops=9, mapped=False)
 
 
-@pytest.mark.parametrize("seed", [1303, 1306])
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [1303, *_slow(1306)])
 def test_dml_sequence_iceberg_executor_tier(spark, tmp_path, seed,
                                             monkeypatch):
     # the Iceberg twin's executor tier: cap 0 routes delete_rows
@@ -910,7 +924,8 @@ def test_dml_sequence_iceberg_executor_tier(spark, tmp_path, seed,
     _run_sequence(spark, tmp_path, seed, n_ops=10, mapped=False)
 
 
-@pytest.mark.parametrize("seed", [2119, 2137])
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [2119, *_slow(2137)])
 def test_dml_sequence_bucket_partitioned_iceberg(spark, tmp_path, seed):
     """Round 13: the Iceberg twin runs under a bucket[2](p) DEFAULT
     spec (p stays a data column; the Delta twin keeps its identity
@@ -924,6 +939,7 @@ def test_dml_sequence_bucket_partitioned_iceberg(spark, tmp_path, seed):
                   with_stream=True, ice_bucket=True)
 
 
+@pytest.mark.slow
 def test_dml_sequence_stream_append_rollback(spark, tmp_path):
     # round 12: streaming micro-batch appends composed into the op mix
     # (Delta txn watermark / Iceberg summary-epoch watermark).  seed
@@ -936,7 +952,7 @@ def test_dml_sequence_stream_append_rollback(spark, tmp_path):
                   with_rollback=True, with_stream=True)
 
 
-@pytest.mark.parametrize("mapped", [False, True])
+@pytest.mark.parametrize("mapped", [False, *_slow(True)])
 def test_dml_sequence_stream_append_ddl_maintenance(spark, tmp_path,
                                                     mapped):
     # seed 1688 streams, evolves the schema twice, draws MAINTENANCE
@@ -951,6 +967,7 @@ def test_dml_sequence_stream_append_ddl_maintenance(spark, tmp_path,
                   with_stream=True)
 
 
+@pytest.mark.slow
 def test_dml_sequence_stream_append_partitioned(spark, tmp_path):
     # round 12 (late): both sinks accept partitioned targets via the
     # per-tuple split.  seed 1894 streams into identity-partitioned
@@ -962,6 +979,7 @@ def test_dml_sequence_stream_append_partitioned(spark, tmp_path):
                   with_stream=True)
 
 
+@pytest.mark.slow
 def test_dml_sequence_with_maintenance(spark, tmp_path):
     # seed 602 draws maintenance (checkpoint + expire_log + vacuum /
     # expire_snapshots + vacuum) at step 3, followed by deletes, an
@@ -1138,7 +1156,8 @@ def _run_delta_ddl_sequence(spark, tmp_path, seed: int, n_ops: int):
     )
 
 
-@pytest.mark.parametrize("seed", [51, 52])
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [51, *_slow(52)])
 def test_dml_sequence_mapped_ddl_triple(spark, tmp_path, seed):
     _run_delta_ddl_sequence(spark, tmp_path, seed, n_ops=12)
 
@@ -1391,26 +1410,29 @@ def _run_iceberg_ddl_sequence(spark, tmp_path, seed: int, n_ops: int,
     return {"rollbacks": n_rollbacks}
 
 
+@pytest.mark.slow
 # seeds chosen for op richness: 709 = add, merge, drop, rename, three
 # more merges ON the renamed history, compact after the rename; 713 =
 # update before the rename, two adds, maintenance, merges after it
-@pytest.mark.parametrize("seed", [709, 713])
+@pytest.mark.parametrize("seed", [709, *_slow(713)])
 def test_dml_sequence_iceberg_ddl_triple(spark, tmp_path, seed):
     _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=12)
 
 
+@pytest.mark.slow
 # round 12 lifted the rename refusal on delete_rows/update_rows (the
 # predicate and rewrite scans resolve by name variant), so deletes and
 # updates keep firing AFTER renames: 1507 renames early then updates
 # and deletes across a compact and an add_column; 1554 deletes on both
 # sides of the rename and updates through two compacts (rewritten
 # copies re-entering under current names, then scanned again)
-@pytest.mark.parametrize("seed", [1507, 1554])
+@pytest.mark.parametrize("seed", [1507, *_slow(1554)])
 def test_dml_sequence_iceberg_renamed_dml(spark, tmp_path, seed):
     _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=12,
                               renamed_dml=True)
 
 
+@pytest.mark.slow
 # spec evolution in the op mix (round 11), with a partition-filter
 # probe against the model EVERY post-evolution step: 947 = deletes on
 # both sides of the evolve + compacts (mixed-spec bins); 964 = evolve
@@ -1419,7 +1441,7 @@ def test_dml_sequence_iceberg_renamed_dml(spark, tmp_path, seed):
 # add_columns and a rename (multi-schema × multi-spec reads); 911 =
 # update before the evolve, maintenance after (expire+vacuum over
 # mixed specs), then drop_column
-@pytest.mark.parametrize("seed", [947, 964, 926, 911])
+@pytest.mark.parametrize("seed", [947, *_slow(964, 926, 911)])
 def test_dml_sequence_iceberg_spec_evolution(spark, tmp_path, seed):
     _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=12,
                               with_evolve=True)
@@ -1453,6 +1475,7 @@ def _crash_iceberg(t, op):
         t._write_metadata = orig
 
 
+@pytest.mark.slow
 def test_crash_at_commit_swap_preserves_snapshots(spark, tmp_path):
     """Each DML face stages data/DV/delete files BEFORE its single
     atomic commit; a crash exactly there must leave every committed
@@ -1567,6 +1590,7 @@ def test_commit_race_loses_cleanly_and_retry_wins(spark, tmp_path):
     assert ice.rows(cols) == _nsort([(1, 10), (3, 30), (9, 90)])
 
 
+@pytest.mark.slow
 # rollback composed WITH spec evolution on the Iceberg twin: the
 # pointer reverts to an older era's live set while the default spec
 # stays evolved — seed 1286 rolls between mixed-era states with
@@ -1574,7 +1598,7 @@ def test_commit_race_loses_cleanly_and_retry_wins(spark, tmp_path):
 # rolls back mid-sequence then lands DDL and MORE deletes on the
 # restored state; 1393 merges (live equality deletes) before the
 # evolve, rolls back right after it, then runs the full DDL triple
-@pytest.mark.parametrize("seed", [1286, 1348, 1393])
+@pytest.mark.parametrize("seed", [1286, *_slow(1348, 1393)])
 def test_dml_sequence_iceberg_evolve_rollback(spark, tmp_path, seed):
     res = _run_iceberg_ddl_sequence(spark, tmp_path, seed, n_ops=13,
                                     with_evolve=True,

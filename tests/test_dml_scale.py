@@ -16,9 +16,16 @@ import json
 import os
 
 import pyarrow.parquet as pq
+import pytest
 
 from hadoop_sync_spark.delta_log import DeltaLog
 from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
+
+#: slow tier (round 14): >1M-row executor-tier scale studies — the
+#: executor-tier code paths themselves stay default-covered at cap 0 by
+#: test_dml_fuzz's executor-tier seeds; these runs prove them at the
+#: REAL cap and ride SPARK_GRAFT_FULL_TESTS=1
+pytestmark = pytest.mark.slow
 
 N = 1_200_000  # > DELETE_WHERE_ROW_LIMIT / DELETE_ROWS_LIMIT = 1M
 

@@ -645,6 +645,7 @@ def test_vectorized_bucket_hash_matches_scalar():
         assert int(g) == exp & 0xFFFFFFFF, v
 
 
+@pytest.mark.slow
 def test_transform_column_matches_transform_value(spark):
     """Per-row Spark transforms (the write faces' split expressions,
     round 13) agree with transform_value on every supported
@@ -1915,6 +1916,7 @@ def test_update_rows_simultaneous_set_semantics(spark, tmp_path):
         t.update_rows(spark, {"id": (9, 9)}, {})
 
 
+@pytest.mark.slow
 def test_merge_upsert_scan_free_cdc(spark, tmp_path):
     """merge_upsert commits ONE snapshot with the source file + an
     equality delete on the key — no target scan: old key versions hide
@@ -1948,6 +1950,7 @@ def test_merge_upsert_scan_free_cdc(spark, tmp_path):
     assert t.current_version() == v
 
 
+@pytest.mark.slow
 def test_merge_upsert_partitioned_identity(spark, tmp_path):
     """Partitioned merge (round 12): the source splits per identity
     partition tuple — one data file per tuple in ONE snapshot, each
@@ -1981,6 +1984,7 @@ def test_merge_upsert_partitioned_identity(spark, tmp_path):
         t.merge_upsert(spark, src, "p_bucket")
 
 
+@pytest.mark.slow
 def test_merge_upsert_bucket_transform(spark, tmp_path):
     """Bucket-partitioned MERGE (round 13 — the r12 refusal flipped):
     the source splits per TRANSFORM tuple computed per row with the
@@ -2026,6 +2030,7 @@ def test_merge_upsert_bucket_transform(spark, tmp_path):
     assert len(got) == 8
 
 
+@pytest.mark.slow
 def test_stream_and_merge_truncate_temporal_transforms(spark, tmp_path):
     """Mixed truncate[2](string) + day(date) default spec through
     BOTH write faces (round 13): per-row transform values stamp the
@@ -2107,6 +2112,7 @@ def test_incremental_scan_append_only(spark, tmp_path):
         t.incremental_scan(spark, 999999)
 
 
+@pytest.mark.slow
 def test_stream_and_merge_identity_date_partition(spark, tmp_path):
     """Identity-DATE default specs through both write faces (round
     13): manifest tuples stamp EPOCH-DAY ints (Avro int, Appendix A —
@@ -2259,6 +2265,7 @@ def test_changelog_scan_row_level_history(spark, tmp_path):
         t.changelog_scan(spark, 424242)
 
 
+@pytest.mark.slow
 def test_changelog_scan_partitioned_and_prior_deletes(spark, tmp_path):
     """Partitioned changelog: events carry the identity partition
     column; rows a PRIOR delete already hides do not re-emit when a

@@ -30,6 +30,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+#: slow tier (round 14): metamorphic lax-writer fuzz variants —
+#: the strict-writer contracts stay default-covered in the format suites
+pytestmark = pytest.mark.slow
+
 from hadoop_sync_spark.delta_log import DeltaLog
 from hadoop_sync_spark.iceberg_meta import DataFile, IcebergTable
 
